@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, exact n-gram Jaccard, MinHash+LSH,
+SimHash — the standard large-corpus near-dup ladder.
+
+Scale design (100 TB):
+- exact: shuffle key is a 128-bit content hash, never the document text.
+- jaccard: inverted-index self-join — O(sum of postings²) pairs, never
+  an O(n²) crossJoin; a df-cap drops degenerate stop-shingles.
+- minhash: signatures are 64 JVM-side min-aggregates over one explode
+  (map-side partial agg), LSH bands shuffle only (band_hash, doc_id).
+- simhash: 64 bit-column sums, banded hamming join, F.bit_count verify.
+
+No Python UDFs anywhere — every stage is whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from census_asc5_data_pipeline_spark.functions import (
+    seeded_hash64,
+    token_bigrams,
+    words,
+)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical documents: (content_hash, keeper id, copy count).
+
+    Keeps one row per distinct content; at scale group on the md5 so the
+    shuffle carries 16 bytes + id per row, with map-side combine.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_postings(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle, n_shingles) inverted-index postings over
+    distinct token-bigram shingles."""
+    docs = (
+        df.withColumn("__w", words(F.col(text_col)))
+        .filter(F.size("__w") >= 2)
+        .withColumn("__sh", F.array_distinct(token_bigrams(F.col("__w"))))
+        .select("doc_id", F.size("__sh").cast("bigint").alias("n_sh"), F.explode("__sh").alias("shingle"))
+    )
+    return docs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_ppm: int = 100000,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index self-join.
+
+    jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets,
+    emitted as parts-per-million (fixed-point — engine-portable).
+    ``df_cap`` (optional) drops shingles whose document frequency
+    exceeds the cap — candidate recall only; when set, co-counts are
+    lower bounds (use for candidate generation at scale, verify with
+    MinHash or exact re-check).
+    """
+    post = shingle_postings(df, text_col)
+    if df_cap is not None:
+        freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        post = post.join(F.broadcast(freq.filter(F.col("__df") <= df_cap)), "shingle")
+    a = post.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.col("co").cast("double")
+                * 1000000.0
+                / (F.col("n_a") + F.col("n_b") - F.col("co"))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "co", "jaccard_ppm")
+    )
+    return pairs
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per document, entirely JVM-side.
+
+    One explode of distinct shingles, then ``num_hashes`` seeded-xxhash64
+    min-aggregates — partial aggregation makes the shuffle one row per
+    document regardless of document length.
+    """
+    post = shingle_postings(df, text_col)
+    aggs = [
+        F.min(seeded_hash64(F.col("shingle"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return post.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs.
+
+    rows-per-band = num_hashes // bands; two docs collide in a band iff
+    that band's signature slice matches exactly, so only (band_hash,
+    doc_id) rows are shuffled — O(n·bands), never O(n²).
+
+    With ``verify_threshold`` the candidates are verified against the
+    estimated Jaccard = fraction of matching signature components.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, num_hashes).cache()
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(
+        [F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)],
+        F.lit(0),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, JVM-side.
+
+    Explode tokens, xxhash64 each, then per bit position sum (+1/-1)
+    contributions and fold the signs back into one BIGINT signature.
+    """
+    toks = (
+        df.withColumn("__w", words(F.col(text_col)))
+        .select("doc_id", F.explode("__w").alias("tok"))
+        .withColumn("h", F.xxhash64(F.col("tok")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_bit = toks.groupBy("doc_id").agg(*bit_aggs)
+    sig = sum(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * F.lit(2 ** i if i < 63 else -(2 ** 63))).otherwise(0)
+            for i in range(64)
+        ],
+        F.lit(0).cast("bigint"),
+    )
+    return per_bit.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (pigeonhole over 4×16-bit
+    bands) verified with ``bit_count(a XOR b) <= max_hamming``."""
+    sig = simhash_signatures(df, text_col).cache()
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+        )
+        for b in range(4)
+    ]
+    buckets = sig.select("doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = buckets.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bh")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

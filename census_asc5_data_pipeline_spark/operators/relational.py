@@ -1,0 +1,68 @@
+"""Generalized relational operators beyond plain groupBy/join.
+
+All are thin, declarative compositions so Catalyst keeps full freedom
+(join reordering, pushdown, AQE). The only imperative knob exposed is
+``salted_join`` for keys too skewed even for AQE's skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame, partition_by: list[str], order_by: list[Column], k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Deterministic top-k per group via row_number.
+
+    ``order_by`` must be a total order (callers append an id tiebreak) —
+    otherwise the result is nondeterministic across runs/engines.
+    One shuffle on the partition keys; no global sort.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    value: Column,
+    out_col: str = "running",
+) -> DataFrame:
+    """Cumulative sum over a deterministic ROWS frame."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side and
+    explode the right side across ``salt_buckets`` replicas.
+
+    Use when one key holds >> 1/partitions of the rows and AQE's
+    skew-join split is not enough. Costs ``salt_buckets``× replication
+    of the right side, so keep the right side the smaller input.
+    """
+    salted_l = left.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
+    )
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_l.join(salted_r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -1,0 +1,946 @@
+"""Query registry: every capability from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` builder plus (where SQL-expressible) a
+DuckDB oracle that must hash-match.
+
+Determinism rules (engine-portability of the value hash):
+- NEVER ``ROUND`` a double for output: Spark rounds the shortest
+  decimal repr (HALF_UP on Double.toString) while DuckDB rounds the
+  binary value, so they disagree whenever the true value sits on a
+  rounding half-boundary. Instead every continuous output is a scaled
+  integer via ``FLOOR(x*scale + 0.5)`` — both engines evaluate the
+  identical IEEE expression tree on identical inputs, so the result is
+  bit-deterministic for any sign and any boundary.
+- Money/value sums: per-row integer cents (``FLOOR(x*100+0.5)``), then
+  an exact integer SUM — aggregation order can't shift the result.
+- Averages: ``FLOOR(CAST(int_sum AS DOUBLE)*scale/n + 0.5)`` — the
+  inputs are exact integers, so the double math is identical.
+- Top-k ranks on the scaled integer with an id tiebreak.
+- Timestamps are emitted as epoch-millis BIGINT.
+- Counts/ids cast so Spark and DuckDB schemas agree (INT vs BIGINT).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from census_asc5_data_pipeline_spark.operators import dedup as D
+from census_asc5_data_pipeline_spark.operators import multimodal as M
+from census_asc5_data_pipeline_spark.operators import relational as R
+from census_asc5_data_pipeline_spark.operators import similarity as S
+from census_asc5_data_pipeline_spark.operators import text as TX
+from census_asc5_data_pipeline_spark.operators import windows as WOP
+from census_asc5_data_pipeline_spark.plans import star_schema as SS
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+from census_asc5_data_pipeline_spark.catalog import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+from census_asc5_data_pipeline_spark.functions import avg_scaled, cents, scaled
+
+
+def epoch_ms(col: str) -> Column:
+    """Epoch millis from TIMESTAMP or TIMESTAMP_NTZ (UTC session)."""
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+# =====================================================================
+# §2.1 Reference parity (census ETL semantics)
+# =====================================================================
+
+
+def q_dim_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """state_dim analog (report.md:451-453): DISTINCT dim w/ rename."""
+    customer, nation = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    return SS.dim_view(joined, {"n_nationkey": "nation_id", "n_name": "nation"})
+
+
+SQL_DIM_EXTRACT = """
+SELECT DISTINCT n_nationkey AS nation_id, n_name AS nation
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_year_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year_dim analog (report.md:459-461)."""
+    orders = _t(spark, sf_dir, "orders")
+    return SS.dim_view(
+        orders.select(F.year("o_orderdate").cast("int").alias("y")), {"y": "year"}
+    )
+
+
+SQL_YEAR_DIM = """
+SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS year FROM orders
+"""
+
+
+def _order_value_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    m = SS.measure_view(
+        joined,
+        keys={
+            "nation_id": F.col("c_nationkey"),
+            "year": F.year("o_orderdate").cast("int"),
+        },
+        measures={
+            "sum_price_c": F.sum(cents(F.col("o_totalprice"))),
+            "n_orders": F.count(F.lit(1)),
+        },
+    )
+    return m.withColumn(
+        "order_value_micro",
+        avg_scaled(F.col("sum_price_c"), F.col("n_orders"), 10000),
+    ).drop("sum_price_c")
+
+
+def q_measure_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """income_measure analog (report.md:467-469): keyed measure w/ rename."""
+    return _order_value_measure(spark, sf_dir)
+
+
+SQL_MEASURE_VIEW = """
+SELECT nation_id, year, n_orders,
+       CAST(FLOOR(CAST(sum_price_c AS DOUBLE) * 10000 / n_orders + 0.5) AS BIGINT) AS order_value_micro
+FROM (
+  SELECT c_nationkey AS nation_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+         COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+"""
+
+
+def _revenue_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).join(customer, orders.o_custkey == customer.c_custkey)
+    return SS.measure_view(
+        joined,
+        keys={
+            "nation_id": F.col("c_nationkey"),
+            "year": F.year("o_orderdate").cast("int"),
+        },
+        measures={
+            "revenue_cents": F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+        },
+    )
+
+
+def q_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """income_vs_graduation_fact analog (report.md:489-495): two
+    measures joined on the composite (nation_id, year) key, decorated
+    with broadcast dims."""
+    m1 = _order_value_measure(spark, sf_dir).drop("n_orders")
+    m2 = _revenue_measure(spark, sf_dir)
+    nation_dim = SS.dim_view(
+        _t(spark, sf_dir, "nation"), {"n_nationkey": "nation_id", "n_name": "nation"}
+    )
+    fact = SS.fact_join([m1, m2], ["nation_id", "year"], [(nation_dim, ["nation_id"])])
+    return fact.select("nation", "year", "order_value_micro", "revenue_cents")
+
+
+SQL_FACT_JOIN = """
+WITH m1 AS (
+  SELECT nation_id, year,
+         CAST(FLOOR(CAST(sum_price_c AS DOUBLE) * 10000 / n_orders + 0.5) AS BIGINT) AS order_value_micro
+  FROM (
+    SELECT c_nationkey AS nation_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
+  )
+), m2 AS (
+  SELECT c_nationkey AS nation_id, CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), nd AS (SELECT DISTINCT n_nationkey AS nation_id, n_name AS nation FROM nation)
+SELECT nation, m1.year AS year, order_value_micro, revenue_cents
+FROM m1 JOIN m2 ON m1.nation_id = m2.nation_id AND m1.year = m2.year
+JOIN nd ON m1.nation_id = nd.nation_id
+"""
+
+
+def q_multi_year_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """census_api per-year loop analog (extractCensusACS5.py:17-45)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def extract(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+            )
+        )
+
+    return SS.multi_year_union([1995, 1996, 1997], extract)
+
+
+SQL_MULTI_YEAR_UNION = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(1995 AS INTEGER) AS year
+FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, COUNT(*),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       CAST(1996 AS INTEGER)
+FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, COUNT(*),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       CAST(1997 AS INTEGER)
+FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+"""
+
+
+def q_serving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quicksight visual analog (report.md:507-519): filter one year,
+    group by dim, average the measures."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents(F.col("o_totalprice"))).alias("sum_price_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "nation",
+            "n_orders",
+            avg_scaled(F.col("sum_price_c"), F.col("n_orders"), 10000).alias(
+                "order_value_micro"
+            ),
+        )
+    )
+
+
+SQL_SERVING_AGG = """
+SELECT nation, n_orders,
+       CAST(FLOOR(CAST(sum_price_c AS DOUBLE) * 10000 / n_orders + 0.5) AS BIGINT) AS order_value_micro
+FROM (
+  SELECT n_name AS nation,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+         COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) = 1996
+  GROUP BY 1
+)
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-pivoted wide measure table (reporting shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("y"),
+            cents(F.col("o_totalprice")).alias("pc"),
+        )
+    )
+    wide = base.groupBy("nation").pivot("y", [1995, 1996, 1997]).sum("pc")
+    return wide.select(
+        "nation",
+        F.col("1995").alias("rev_1995"),
+        F.col("1996").alias("rev_1996"),
+        F.col("1997").alias("rev_1997"),
+    )
+
+
+SQL_PIVOT_WIDE = """
+SELECT n_name AS nation,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE year(o_orderdate) = 1995) AS BIGINT) AS rev_1995,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE year(o_orderdate) = 1996) AS BIGINT) AS rev_1996,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE year(o_orderdate) = 1997) AS BIGINT) AS rev_1997
+FROM orders JOIN customer ON o_custkey = c_custkey
+     JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# =====================================================================
+# §2.2 Core relational surface
+# =====================================================================
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter + 8-agg groupBy (pushdown check)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "sum_disc_c"
+        ),
+        F.sum(
+            cents(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )
+        ).alias("sum_charge_c"),
+        F.sum(scaled(F.col("l_discount"), 10000)).alias("sum_disc_bp"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_c",
+        "sum_base_c",
+        "sum_disc_c",
+        "sum_charge_c",
+        "count_order",
+        avg_scaled(F.col("sum_qty_c"), F.col("count_order"), 10000).alias(
+            "avg_qty_micro"
+        ),
+        avg_scaled(F.col("sum_base_c"), F.col("count_order"), 10000).alias(
+            "avg_price_micro"
+        ),
+        avg_scaled(F.col("sum_disc_bp"), F.col("count_order"), 100).alias(
+            "avg_disc_ppm"
+        ),
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus, sum_qty_c, sum_base_c, sum_disc_c,
+       sum_charge_c, count_order,
+       CAST(FLOOR(CAST(sum_qty_c AS DOUBLE) * 10000 / count_order + 0.5) AS BIGINT) AS avg_qty_micro,
+       CAST(FLOOR(CAST(sum_base_c AS DOUBLE) * 10000 / count_order + 0.5) AS BIGINT) AS avg_price_micro,
+       CAST(FLOOR(CAST(sum_disc_bp AS DOUBLE) * 100 / count_order + 0.5) AS BIGINT) AS avg_disc_ppm
+FROM (
+  SELECT l_returnflag, l_linestatus,
+    CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+    CAST(SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+    COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+"""
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("l_orderkey"),
+            epoch_ms("o_orderdate").alias("orderdate_ms"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_c"
+            )
+        )
+    )
+    return agg.orderBy(F.col("revenue_c").desc(), F.col("l_orderkey")).limit(10)
+
+
+SQL_Q3 = """
+SELECT l_orderkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
+       o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join, dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_c"
+            )
+        )
+    )
+
+
+SQL_Q5 = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+  AND year(o_orderdate) = 1996
+GROUP BY 1
+"""
+
+
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    return R.top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("price_c").desc(), F.col("o_orderkey")],
+        k=3,
+    ).withColumn("rn", F.col("rn").cast("int"))
+
+
+SQL_TOP_K = """
+SELECT o_custkey, o_orderkey, price_c, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey
+         ) AS INTEGER) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        epoch_ms("l_shipdate").alias("ship_ms"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    return R.running_agg(
+        li,
+        ["l_suppkey"],
+        [F.col("ship_ms"), F.col("l_orderkey"), F.col("l_linenumber")],
+        F.col("price_c"),
+        out_col="running_c",
+    )
+
+
+SQL_RUNNING = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(epoch_ms(l_shipdate) AS BIGINT) AS ship_ms,
+       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY epoch_ms(l_shipdate), l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS running_c
+FROM lineitem
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers having orders, counted per segment."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    )
+    return with_orders.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SQL_SEMI = """
+SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers without any order."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from a string column + aggregate."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "min_k",
+            "max_k",
+            avg_scaled(F.col("sum_k"), F.col("n"), 1000000).alias("avg_k_micro"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, n, min_k, max_k,
+       CAST(FLOOR(CAST(sum_k AS DOUBLE) * 1000000 / n + 0.5) AS BIGINT) AS avg_k_micro
+FROM (
+  SELECT event_type, COUNT(*) AS n,
+         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+  FROM events GROUP BY 1
+)
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate (batch twin of the
+    streaming pipeline)."""
+    ev = _t(spark, sf_dir, "events").withColumn("value_c", cents(F.col("value")))
+    out = WOP.tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value_c": F.sum("value_c"),
+        },
+    )
+    return out.withColumn(
+        "avg_value_micro", avg_scaled(F.col("sum_value_c"), F.col("n"), 10000)
+    ).select("window_start_ms", "event_type", "n", "sum_value_c", "avg_value_micro")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT window_start_ms, event_type, n, sum_value_c,
+       CAST(FLOOR(CAST(sum_value_c AS DOUBLE) * 10000 / n + 0.5) AS BIGINT) AS avg_value_micro
+FROM (
+  SELECT CAST(epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_ms,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return WOP.sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+), m AS (
+  SELECT user_id, event_id, ts_ms,
+    CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+         WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), s AS (
+  SELECT user_id, ts_ms,
+    CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_id
+  FROM m
+)
+SELECT user_id, session_id, MIN(ts_ms) AS session_start_ms,
+       MAX(ts_ms) AS session_end_ms, COUNT(*) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first event per (user, type) — CDC-style key dedup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        cents(F.col("value")).alias("value_c"),
+    )
+    return WOP.keep_first_per_key(
+        ev, ["user_id", "event_type"], [F.col("ts_ms"), F.col("event_id")]
+    )
+
+
+SQL_EVENTS_DEDUP = """
+SELECT user_id, event_type, event_id, ts_ms, value_c FROM (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# =====================================================================
+# §2.3 LLM-training-data operators
+# =====================================================================
+
+# Shared DuckDB CTE for token-bigram shingle postings.
+_SQL_SHINGLES = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_ppm=100000, df_cap=None
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    _SQL_SHINGLES
+    + """
+SELECT doc_a, doc_b, co,
+       CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) AS jaccard_ppm
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 100000
+"""
+)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs (rows-only oracle: signature hashing
+    is engine-specific; recall is pytest-verified vs exact Jaccard)."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, verify_threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only oracle; pytest-verified)."""
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), s AS (
+  SELECT query_id, cand_id,
+         CAST(FLOOR(
+           (list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+           * 1000000 + 0.5) AS BIGINT) AS cos_micro
+  FROM c, q WHERE cand_id <> query_id
+), r AS (
+  SELECT query_id, cand_id, cos_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, cand_id) AS INTEGER) AS rn
+  FROM s
+)
+SELECT query_id, cand_id, cos_micro, rn FROM r WHERE rn <= 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only oracle; recall pytest-verified)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, planes=8, dim=64)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TX.lang_id(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang", "s_en", "s_es", "s_fr", "s_de", "s_zh", "pred_lang"
+    )
+
+
+SQL_LANG_ID = """
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(w, x -> x IN ('the','and','of','is','a'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(w, x -> x IN ('el','la','los','de','que'))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(w, x -> x IN ('le','les','des','et','une'))) AS BIGINT) AS s_fr,
+    CAST(len(list_filter(w, x -> x IN ('der','und','die','das','ein'))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[一-鿿]'))) AS BIGINT) AS s_zh
+  FROM t
+)
+SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'unknown'
+       WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+       WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+       ELSE 'zh' END AS pred_lang
+FROM s
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars_txt,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x IN ('the','and','of','is','a'))) AS BIGINT) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_txt, n_words,
+         (n_chars_txt - (n_words - 1)) / n_words AS awl,
+         n_punct / GREATEST(n_chars_txt, 1) AS punct_ratio,
+         n_stop / GREATEST(n_words, 1) AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_chars_txt, n_words,
+       CAST(FLOOR(awl * 1000000.0 + 0.5) AS BIGINT) AS awl_micro,
+       CAST(FLOOR(punct_ratio * 1000000.0 + 0.5) AS BIGINT) AS punct_ppm,
+       CAST(FLOOR(stop_ratio * 1000000.0 + 0.5) AS BIGINT) AS stop_ppm,
+       CAST(FLOOR(
+         (LEAST(1.0, n_words / 64.0) * 0.4 + (1 - punct_ratio) * 0.3
+          + LEAST(1.0, stop_ratio * 8.0) * 0.3) * 1000000.0 + 0.5) AS BIGINT) AS quality_ppm
+FROM r
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = (
+    _SQL_SHINGLES
+    + """
+SELECT doc_id, MIN(md5(shingle)) AS fp_min, MAX(md5(shingle)) AS fp_max,
+       COUNT(*) AS n_shingles
+FROM p GROUP BY doc_id
+"""
+)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: attach payload → Arrow mapInPandas decode
+    stub → typed metadata. The oracle reproduces the deterministic fake
+    codec arithmetic in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.decode_media(M.attach_binary(docs))
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(64 + strlen(text) % 577 AS BIGINT) AS width,
+       CAST(64 + strlen(text) % 479 AS BIGINT) AS height,
+       CAST(1 + strlen(text) % 31 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, QueryFn] = {
+    # §2.1 reference parity
+    "dim_extract": q_dim_extract,
+    "year_dim": q_year_dim,
+    "measure_view": q_measure_view,
+    "fact_join": q_fact_join,
+    "multi_year_union": q_multi_year_union,
+    "serving_agg": q_serving_agg,
+    "pivot_wide": q_pivot_wide,
+    # §2.2 relational surface
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_unshipped": q3_top_unshipped,
+    "q5_region_revenue": q5_region_revenue,
+    "top_k_per_group": q_top_k_per_group,
+    "running_agg": q_running_agg,
+    "rollup_agg": q_rollup_agg,
+    "semi_join_exists": q_semi_join,
+    "anti_join_not_exists": q_anti_join,
+    "distinct_count": q_distinct_count,
+    "events_json": q_events_json,
+    "events_window": q_events_window,
+    "sessionize": q_sessionize,
+    "events_dedup_latest": q_events_dedup,
+    # §2.3 LLM-data operators
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "dim_extract": SQL_DIM_EXTRACT,
+    "year_dim": SQL_YEAR_DIM,
+    "measure_view": SQL_MEASURE_VIEW,
+    "fact_join": SQL_FACT_JOIN,
+    "multi_year_union": SQL_MULTI_YEAR_UNION,
+    "serving_agg": SQL_SERVING_AGG,
+    "pivot_wide": SQL_PIVOT_WIDE,
+    "q1_pricing_summary": SQL_Q1,
+    "q3_top_unshipped": SQL_Q3,
+    "q5_region_revenue": SQL_Q5,
+    "top_k_per_group": SQL_TOP_K,
+    "running_agg": SQL_RUNNING,
+    "rollup_agg": SQL_ROLLUP,
+    "semi_join_exists": SQL_SEMI,
+    "anti_join_not_exists": SQL_ANTI,
+    "distinct_count": SQL_DISTINCT_COUNT,
+    "events_json": SQL_EVENTS_JSON,
+    "events_window": SQL_EVENTS_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+    "events_dedup_latest": SQL_EVENTS_DEDUP,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ann_cosine_topk": SQL_ANN_COSINE,
+    "lang_id": SQL_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL,
+    # rows-only (engine-specific hashing / randomized ANN):
+    #   dedup_minhash, dedup_simhash, ann_lsh_topk
+}
