@@ -17,11 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from census_asc5_data_pipeline_spark.functions import (
-    seeded_hash64,
-    token_bigrams,
-    words,
-)
+from census_asc5_data_pipeline_spark.functions import token_bigrams, words
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -40,15 +36,31 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_postings(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle, n_shingles) inverted-index postings over
-    distinct token-bigram shingles."""
-    docs = (
-        df.withColumn("__w", words(F.col(text_col)))
-        .filter(F.size("__w") >= 2)
-        .withColumn("__sh", F.array_distinct(token_bigrams(F.col("__w"))))
-        .select("doc_id", F.size("__sh").cast("bigint").alias("n_sh"), F.explode("__sh").alias("shingle"))
+    """(doc_id, n_sh, shingle) inverted-index postings over distinct
+    token-bigram shingles.
+
+    Shape notes: bigrams come from ``zip_with`` over two slices (one
+    cheap HOF), exploded BEFORE dedup — deduping via ``.distinct()``
+    and counting via a window keeps the per-row expressions tiny.
+    Building ``array_distinct(<hof>)`` arrays and exploding them is
+    3-5x slower because the optimizer clones the whole array
+    expression into the generator's null filter. The distinct and the
+    window are each one shuffle over the postings — both fully
+    distributed, no driver or broadcast bottleneck at corpus scale.
+    """
+    from pyspark.sql import Window
+
+    w = words(F.col(text_col))
+    toks = df.select("doc_id", w.alias("__w")).filter(F.size("__w") >= 2)
+    bigrams = F.zip_with(
+        F.slice("__w", 1, F.size("__w") - 1),
+        F.slice("__w", 2, F.size("__w") - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
-    return docs
+    post = toks.select("doc_id", F.explode(bigrams).alias("shingle")).distinct()
+    return post.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("bigint")
+    ).select("doc_id", "n_sh", "shingle")
 
 
 def ngram_jaccard_pairs(
@@ -70,14 +82,18 @@ def ngram_jaccard_pairs(
     if df_cap is not None:
         freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         post = post.join(F.broadcast(freq.filter(F.col("__df") <= df_cap)), "shingle")
-    a = post.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    b = post.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
-    )
+    # Join on a 64-bit hash of the shingle, not the string: the shuffle
+    # carries 8 bytes instead of a variable-length string, and the
+    # postings are persisted so shingle generation runs once, not twice.
+    # A cross-shingle hash collision could miscount co by 1 — odds are
+    # ~|shingles|²/2^64, negligible against corpus sizes.
+    post = post.select(
+        "doc_id", "n_sh", F.xxhash64(F.col("shingle")).alias("sh")
+    ).persist()
+    a = post.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh")
+    b = post.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh")
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("co"))
@@ -96,19 +112,36 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature per document, entirely JVM-side.
 
-    One explode of distinct shingles, then ``num_hashes`` seeded-xxhash64
-    min-aggregates — partial aggregation makes the shuffle one row per
-    document regardless of document length.
+    One explode of distinct shingles, ONE xxhash64 per shingle, then a
+    universal-hash family h_i = (a_i*h + b_i) mod (2^31-1) derived by
+    pure integer arithmetic (values stay < 2^62, so no overflow under
+    ANSI mode). ``num_hashes`` min-aggregates with map-side partial
+    aggregation — the shuffle is one row per document regardless of
+    document length.
     """
-    post = shingle_postings(df, text_col)
+    import random
+
+    rng = random.Random(42)
+    params = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+    post = shingle_postings(df, text_col).withColumn(
+        "__h", F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31))
+    )
     aggs = [
-        F.min(seeded_hash64(F.col("shingle"), i)).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(
+            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
     ]
     return post.groupBy("doc_id").agg(*aggs)
 

@@ -49,5 +49,10 @@ def extract_api(
     for f in frames[1:]:
         out = out.unionByName(f)
     if rename:
-        out = out.withColumnsRenamed(rename)
+        # Simultaneous rename (pandas df.rename semantics): a chained
+        # withColumnsRenamed would cascade {"NAME": "state",
+        # "state": "state_id"} into two state_id columns.
+        out = out.select(
+            *[F.col(c).alias(rename.get(c, c)) for c in out.columns]
+        )
     return out

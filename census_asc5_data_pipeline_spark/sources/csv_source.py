@@ -34,5 +34,9 @@ def read_csv(
         reader = reader.option(k, v)
     df = reader.csv(path)
     if rename:
-        df = df.withColumnsRenamed(dict(rename))
+        # Simultaneous rename (pandas semantics) — chained renames
+        # cascade when an old name equals another entry's new name.
+        from pyspark.sql import functions as F
+
+        df = df.select(*[F.col(c).alias(rename.get(c, c)) for c in df.columns])
     return df

@@ -1,0 +1,167 @@
+"""Structured Streaming twins of the batch event-time operators.
+
+Each builder takes a streaming DataFrame (``spark.readStream``) and
+returns the transformed streaming DataFrame; callers attach sinks.
+Watermarks bound state on every stateful operator so the pipelines run
+indefinitely at production scale. Local tests drive them with a file
+source and ``processAllAvailable()`` against a memory sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-based event stream (the local stand-in for Kafka; swap
+    ``format`` for kafka + the same downstream graph in production)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums with a watermark bounding state —
+    the streaming twin of ``operators.windows.tumbling_agg``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum(F.col("value")) * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("sum_value_c_approx"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value_c_approx",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Keyed dedup within the watermark — the streaming twin of
+    ``operators.windows.keep_first_per_key``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful sessionizer: merge each micro-batch's events into
+    the open session; emit + reset when the inactivity gap passes
+    (event-time driven via timeout). Gap: 30 minutes."""
+    gap_ms = 30 * 60 * 1000
+    if state.hasTimedOut:
+        start_ms, end_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [[key[0], start_ms, end_ms, n]],
+            columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+        )
+        return
+
+    ts_ms_all: list[int] = []
+    for pdf in pdfs:
+        ts_ms_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+    if not ts_ms_all:
+        return
+    ts_ms_all.sort()
+    closed: list[list[int]] = []
+    if state.exists:
+        start_ms, end_ms, n = state.get
+    else:
+        start_ms, end_ms, n = ts_ms_all[0], ts_ms_all[0], 0
+    for t in ts_ms_all:
+        if t - end_ms > gap_ms:
+            closed.append([key[0], start_ms, end_ms, n])
+            start_ms, end_ms, n = t, t, 1
+        else:
+            end_ms = max(end_ms, t)
+            n += 1
+    state.update((start_ms, end_ms, n))
+    state.setTimeoutTimestamp(end_ms + gap_ms)
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+        )
+
+
+def stateful_sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — sessions
+    with a 30-minute inactivity gap, state bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def write_idempotent_parquet(df: DataFrame, out_dir: str, checkpoint: str):
+    """Exactly-once-style sink: foreachBatch writes each epoch to a
+    batch-id-named directory, so replays overwrite instead of double-
+    appending."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

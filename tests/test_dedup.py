@@ -1,0 +1,94 @@
+"""Dedup operators on corpora with planted duplicates: exact groups,
+exact-Jaccard as ground truth, MinHash-LSH and SimHash recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from census_asc5_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_postings,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "falls softly on the quiet village roofs tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 3 exact copies of BASE
+    for i in range(3):
+        rows.append((i, BASE))
+    # near-dup: one word changed
+    rows.append((10, BASE.replace("village", "mountain")))
+    # near-dup: a few words appended
+    rows.append((11, BASE + " and the wind keeps singing"))
+    # unrelated docs
+    rows.append((20, "completely different text about census data pipelines"))
+    rows.append((21, "spark engines shuffle partitions across executors quickly"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(corpus):
+    groups = exact_dedup_groups(corpus).collect()
+    by_keeper = {r.keep_doc_id: r.n_copies for r in groups}
+    assert by_keeper[0] == 3  # the three exact copies collapse to doc 0
+    assert sum(by_keeper.values()) == 7
+
+
+def test_shingle_postings_counts(corpus):
+    post = shingle_postings(corpus)
+    n_by_doc = {
+        r.doc_id: r.n_sh for r in post.select("doc_id", "n_sh").distinct().collect()
+    }
+    words = BASE.split()
+    expected = len(set(zip(words, words[1:])))
+    assert n_by_doc[0] == expected
+
+
+def test_exact_jaccard_finds_planted_pairs(corpus):
+    pairs = ngram_jaccard_pairs(corpus, threshold_ppm=300000).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # exact copies have jaccard 1.0
+    assert (0, 1) in found and (0, 2) in found and (1, 2) in found
+    # planted near-dups cross threshold
+    assert (0, 10) in found
+    assert (0, 11) in found
+    # unrelated docs don't pair with the BASE cluster
+    assert not any(a == 20 or b == 20 for a, b in found)
+
+
+def test_minhash_recall_vs_exact(corpus):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(corpus, threshold_ppm=700000).collect()
+    }
+    assert exact  # sanity: ground truth is non-empty
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, verify_threshold=0.5).collect()
+    }
+    # every high-jaccard pair must be recalled by LSH banding
+    assert exact <= lsh
+
+
+def test_minhash_est_close_to_true(corpus):
+    rows = minhash_lsh_pairs(corpus, verify_threshold=0.5).collect()
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in rows}
+    assert est[(0, 1)] == 1.0  # identical docs: every signature matches
+    if (0, 10) in est:
+        assert 0.4 <= est[(0, 10)] <= 1.0
+
+
+def test_simhash_finds_exact_and_near(corpus):
+    pairs = simhash_near_pairs(corpus, max_hamming=6).collect()
+    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert found[(0, 1)] == 0  # identical text → identical simhash
+    assert (0, 10) in found  # one-word change → small hamming distance
+    assert not any({a, b} == {20, 21} for a, b in found)

@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from census_asc5_data_pipeline_spark.operators.relational import (
+    running_agg,
+    salted_join,
+    top_k_per_group,
+)
+from census_asc5_data_pipeline_spark.operators.windows import (
+    keep_first_per_key,
+    sessionize,
+)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 4, 5)],
+        ["g", "id", "v"],
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
+    got = {(r.g, r.id, r.rn) for r in out.collect()}
+    assert got == {("a", 2, 1), ("a", 3, 2), ("b", 4, 1)}
+
+
+def test_running_agg(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 5), ("a", 3, 1)], ["g", "seq", "v"]
+    )
+    out = running_agg(df, ["g"], [F.col("seq")], F.col("v"))
+    got = {r.seq: r.running for r in out.collect()}
+    assert got == {1: 10, 2: 15, 3: 16}
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, "x")] * 50 + [(2, "y")] * 3, ["k", "lv"]
+    )
+    right = spark.createDataFrame([(1, "R1"), (2, "R2"), (3, "R3")], ["k", "rv"])
+    plain = left.join(right, "k").groupBy("k").count().collect()
+    salted = salted_join(left, right, "k").groupBy("k").count().collect()
+    assert {(r.k, r["count"]) for r in plain} == {(r.k, r["count"]) for r in salted}
+
+
+def test_sessionize_gap_islands(spark):
+    base = 1_700_000_000_000
+    rows = [
+        (1, 1, base),
+        (1, 2, base + 10 * 60 * 1000),        # same session (10 min)
+        (1, 3, base + 50 * 60 * 1000),        # new session (40 min gap)
+        (2, 4, base),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ms"]).withColumn(
+        "ts", F.timestamp_millis(F.col("ms"))
+    )
+    out = sessionize(df, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+    got = {(r.user_id, r.session_id): r.n_events for r in out.collect()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_keep_first_per_key(spark):
+    df = spark.createDataFrame(
+        [("u", "click", 2, "later"), ("u", "click", 1, "first"), ("u", "view", 5, "v")],
+        ["u", "t", "seq", "tag"],
+    )
+    out = keep_first_per_key(df, ["u", "t"], [F.col("seq")])
+    got = {(r.u, r.t): r.tag for r in out.collect()}
+    assert got == {("u", "click"): "first", ("u", "view"): "v"}
+
+
+def test_broadcast_join_in_plan(spark):
+    """Dim joins must broadcast (no shuffle of the fact side)."""
+    from census_asc5_data_pipeline_spark.queries import QUERIES
+
+    plan = QUERIES["q5_region_revenue"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_in_plan(spark):
+    from census_asc5_data_pipeline_spark.queries import QUERIES
+
+    plan = QUERIES["q1_pricing_summary"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from census_asc5_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 16).astype("float32")
+    # plant: vec 100 = vec 0 + tiny noise (guaranteed nearest neighbor)
+    vecs[100] = vecs[0] + 0.01 * rng.randn(16).astype("float32")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_brute_force_topk_exact(emb):
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=5, vec_col="embedding")
+    rows = sorted(out.collect(), key=lambda r: r.rn)
+    assert rows[0].cand_id == 100  # the planted near-duplicate wins
+    assert rows[0].cos_micro > 990000
+    assert [r.rn for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_brute_force_matches_numpy(emb):
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 3), k=3)
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+    q = mat[3]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    cos[3] = -np.inf
+    top = np.argsort(-cos)[:3]
+    got = [r.cand_id for r in sorted(out.collect(), key=lambda r: r.rn)]
+    assert got == top.tolist()
+
+
+def test_lsh_recall_of_planted_pair(emb):
+    out = lsh_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, planes=4, dim=16
+    ).collect()
+    # near-identical vectors land in the same hyperplane bucket
+    assert any(r.cand_id == 100 for r in out)
+
+
+def test_lsh_is_subset_of_brute_force_scores(emb):
+    brute = {
+        (r.query_id, r.cand_id): r.cos_micro
+        for r in cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=200).collect()
+    }
+    for r in lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, planes=4, dim=16).collect():
+        assert brute[(r.query_id, r.cand_id)] == r.cos_micro

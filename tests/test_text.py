@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from census_asc5_data_pipeline_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+
+TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_lang_id_markers(spark):
+    out = {
+        r.doc_id: r.pred_lang
+        for r in lang_id(
+            _df(
+                spark,
+                [
+                    "the cat and the dog is a friend of the house",
+                    "el perro y la casa de los amigos que ladran",
+                    "le chat et les amis des villes une histoire",
+                    "der hund und die katze das ein freund",
+                    "你好 世界 这是 中文 文本",
+                    "xyzzy plugh",
+                ],
+            ).withColumn("lang", F.lit("?"))
+        ).collect()
+    }
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "fr"
+    assert out[3] == "de"
+    assert out[4] == "zh"
+    assert out[5] == "unknown"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc XYZ012.,!", min_size=1, max_size=40
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_token_counts_match_python(spark, texts):
+    out = {r.doc_id: r for r in token_counts(_df(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        # Spark split(..., -1) keeps leading/trailing empties like re.split
+        assert out[i].ws_tokens == len(re.split(r"\s+", t.lower()))
+        assert out[i].bpe_tokens == len(TOKEN_RE.findall(t))
+
+
+def test_quality_monotone_in_length(spark):
+    short = "word " * 3
+    long = "the and of is a " * 30
+    out = {r.doc_id: r for r in quality_score(_df(spark, [short, long])).collect()}
+    assert out[1].quality_ppm > out[0].quality_ppm
+    assert 0 <= out[0].quality_ppm <= 1_000_000
+
+
+def test_fingerprint_matches_python_md5(spark):
+    text = "alpha beta gamma alpha beta"
+    out = fingerprint(_df(spark, [text])).collect()[0]
+    words = text.lower().split()
+    shingles = {f"{a} {b}" for a, b in zip(words, words[1:])}
+    hashes = sorted(hashlib.md5(s.encode()).hexdigest() for s in shingles)
+    assert out.fp_min == hashes[0]
+    assert out.fp_max == hashes[-1]
+    assert out.n_shingles == len(shingles)
+
+
+def test_fingerprint_stable_under_duplication(spark):
+    # distinct-shingle fingerprints ignore repetition
+    a = "one two three"
+    b = "one two three one two three one two"
+    out = {r.doc_id: r for r in fingerprint(_df(spark, [a, b])).collect()}
+    assert out[0].fp_min == out[1].fp_min
+    assert out[0].fp_max != "" and out[1].n_shingles >= out[0].n_shingles
