@@ -134,7 +134,17 @@ def minhash_signatures(
         (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
         for _ in range(num_hashes)
     ]
-    post = shingle_postings(df, text_col).withColumn(
+    # Raw (non-distinct) shingles: MIN over a multiset equals MIN over
+    # the set, so minhash skips the dedup shuffle and the count window
+    # that the exact-jaccard path needs — one explode, one groupBy.
+    w = words(F.col(text_col))
+    toks = df.select("doc_id", w.alias("__w")).filter(F.size("__w") >= 2)
+    bigrams = F.zip_with(
+        F.slice("__w", 1, F.size("__w") - 1),
+        F.slice("__w", 2, F.size("__w") - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    post = toks.select("doc_id", F.explode(bigrams).alias("shingle")).withColumn(
         "__h", F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31))
     )
     aggs = [
@@ -183,11 +193,20 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
-    matches = sum(
-        [F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)],
+    # Signature vectors as arrays: one zip_with/aggregate instead of a
+    # 64-term when-chain keeps the generated code small (the wide
+    # chain costs ~8s of janino compilation on first run).
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    sa = sig.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
         F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
         cand.join(sa, "doc_a")

@@ -44,6 +44,44 @@ def running_agg(
     return df.withColumn(out_col, F.sum(value).over(w))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_payload_cols: list[str],
+    tiebreak: str | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join (Spark has no native one): attach to each left row the
+    payload of the latest right row at-or-before (``strict``: strictly
+    before) its timestamp, per key.
+
+    Tagged-union + window implementation: ONE shuffle on the key, no
+    range-explosion, no per-group Python — the standard scale-out shape
+    for as-of semantics. Both inputs must already share the ``key`` and
+    ``ts`` column names (use ``unionByName`` alignment: right-only
+    payload columns are null on left rows and vice versa).
+    """
+    l = left.withColumn("__side", F.lit(1))
+    r = right.withColumn("__side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # strict <  : left sorts before same-ts right rows, so the
+    #             preceding frame excludes them;
+    # inclusive <= : right first, so same-ts right rows are visible.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    order = [F.col(ts), side_order] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = u
+    for p in right_payload_cols:
+        out = out.withColumn(p, F.last(F.col(p), ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == 1).drop("__side")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -57,6 +57,39 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold_micro: int = 300000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cos(a,b) >= threshold — the exact correctness kernel.
+
+    This is the brute O(n²) verifier; the 100 TB path prefilters
+    candidates with ``lsh_bucket`` (equi-join on sign-pattern buckets)
+    and then applies this exact score inside buckets.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("vec_id_a"), to_double_array(vec_col).alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("vec_id_b"), to_double_array(vec_col).alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn(
+            "cos_micro",
+            F.floor(cosine(F.col("va"), F.col("vb")) * 1000000.0 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("cos_micro") >= threshold_micro)
+        .select("vec_id_a", "vec_id_b", "cos_micro")
+    )
+
+
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(planes, dim).tolist()

@@ -674,6 +674,150 @@ SELECT user_id, event_type, event_id, ts_ms, value_c FROM (
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event gets the timestamp of the most
+    recent strictly-prior view by the same user."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_ms("ts").alias("ts_ms")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.col("ts_ms").alias("prior_view_ms"),
+    )
+    out = R.asof_join(
+        purchases,
+        views,
+        key="user_id",
+        ts="ts_ms",
+        right_payload_cols=["prior_view_ms"],
+        tiebreak="event_id",
+        strict=True,
+    )
+    return out.select("user_id", "event_id", "ts_ms", "prior_view_ms")
+
+
+SQL_ASOF = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+  FROM events WHERE event_type IN ('purchase', 'view')
+), u AS (
+  SELECT user_id, event_id, ts_ms,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+         CASE WHEN event_type = 'view' THEN ts_ms END AS pv
+  FROM e
+), w AS (
+  SELECT user_id, event_id, ts_ms, side,
+         last_value(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_ms, side DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prior_view_ms
+  FROM u
+)
+SELECT user_id, event_id, ts_ms, prior_view_ms FROM w WHERE side = 1
+"""
+
+
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + interpolated p90 over integer cents (both exact
+    in double space, so engine-portable)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.floor(F.median("price_c") * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("median_half_c"),
+        F.floor(F.percentile("price_c", 0.9) * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("p90_half_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_GROUP_MEDIAN = """
+SELECT o_orderpriority AS priority,
+       CAST(FLOOR(median(price_c) * 2 + 0.5) AS BIGINT) AS median_half_c,
+       CAST(FLOOR(quantile_cont(price_c, 0.9) * 2 + 0.5) AS BIGINT) AS p90_half_c,
+       COUNT(*) AS n
+FROM (SELECT o_orderpriority, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c FROM orders)
+GROUP BY 1
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (stack) of three measures per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(cents(F.col("l_quantity"))).alias("qty_c"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("base_c"),
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "disc_c"
+        ),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty_c', qty_c, 'base_c', base_c, 'disc_c', disc_c) AS (measure, value_c)",
+    )
+
+
+SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS base_c,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS disc_c
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'qty_c' AS measure, qty_c AS value_c FROM wide
+UNION ALL SELECT l_returnflag, 'base_c', base_c FROM wide
+UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM wide
+"""
+
+
+def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead inter-event gaps per user (funnel timing shape)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_ms("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ms"), F.col("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_prev_ms"),
+        (F.lead("ts_ms").over(w) - F.col("ts_ms")).alias("gap_next_ms"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT user_id, event_id, ts_ms,
+       ts_ms - lag(ts_ms) OVER w AS gap_prev_ms,
+       lead(ts_ms) OVER w - ts_ms AS gap_next_ms
+FROM (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+"""
+
+
 # =====================================================================
 # §2.3 LLM-training-data operators
 # =====================================================================
@@ -854,6 +998,55 @@ FROM p GROUP BY doc_id
 )
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact kernel; LSH-bucketed
+    variant is the scale path, see ann_lsh_topk)."""
+    return S.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold_micro=300000
+    )
+
+
+SQL_EMB_COSINE_PAIRS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       CAST(FLOOR(
+         (list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))))
+         * 1000000 + 0.5) AS BIGINT) AS cos_micro
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CAST(FLOOR(
+        (list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))))
+        * 1000000 + 0.5) AS BIGINT) >= 300000
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, deterministic top-50."""
+    docs = _t(spark, sf_dir, "documents")
+    from census_asc5_data_pipeline_spark.functions import words
+
+    terms = docs.select(F.explode(words(F.col("text"))).alias("word"))
+    counts = terms.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+SQL_TOP_TERMS = """
+SELECT word, n, rank FROM (
+  SELECT word, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INTEGER) AS rank
+  FROM (
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      FROM documents
+    ) GROUP BY 1
+  )
+) WHERE rank <= 50
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: attach payload → Arrow mapInPandas decode
     stub → typed metadata. The oracle reproduces the deterministic fake
@@ -898,6 +1091,11 @@ QUERIES: dict[str, QueryFn] = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "events_dedup_latest": q_events_dedup,
+    "asof_join": q_asof_join,
+    "group_median": q_group_median,
+    "cube_agg": q_cube_agg,
+    "unpivot_long": q_unpivot_long,
+    "lag_lead_delta": q_lag_lead_delta,
     # §2.3 LLM-data operators
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -910,6 +1108,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "top_terms": q_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -933,6 +1133,11 @@ ORACLES: dict[str, str] = {
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
     "events_dedup_latest": SQL_EVENTS_DEDUP,
+    "asof_join": SQL_ASOF,
+    "group_median": SQL_GROUP_MEDIAN,
+    "cube_agg": SQL_CUBE,
+    "unpivot_long": SQL_UNPIVOT,
+    "lag_lead_delta": SQL_LAG_LEAD,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_cosine_topk": SQL_ANN_COSINE,
@@ -941,6 +1146,8 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL,
+    "dedup_embedding_cosine": SQL_EMB_COSINE_PAIRS,
+    "top_terms": SQL_TOP_TERMS,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

@@ -3,6 +3,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from census_asc5_data_pipeline_spark.operators.relational import (
+    asof_join,
     running_agg,
     salted_join,
     top_k_per_group,
@@ -66,6 +67,23 @@ def test_keep_first_per_key(spark):
     out = keep_first_per_key(df, ["u", "t"], [F.col("seq")])
     got = {(r.u, r.t): r.tag for r in out.collect()}
     assert got == {("u", "click"): "first", ("u", "view"): "v"}
+
+
+def test_asof_join_strict_prior(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 20), (1, 102, 20), (2, 103, 5)],
+        ["k", "id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5), (1, 15), (1, 20), (2, 50)], ["k", "ts"]
+    ).withColumn("pv", F.col("ts"))
+    out = asof_join(left, right, "k", "ts", ["pv"], tiebreak="id", strict=True)
+    got = {r.id: r.pv for r in out.collect()}
+    # strictly prior: ts=20 right row NOT visible to ts=20 left rows
+    assert got == {100: 5, 101: 15, 102: 15, 103: None}
+    out2 = asof_join(left, right, "k", "ts", ["pv"], tiebreak="id", strict=False)
+    got2 = {r.id: r.pv for r in out2.collect()}
+    assert got2 == {100: 5, 101: 20, 102: 20, 103: None}
 
 
 def test_broadcast_join_in_plan(spark):
