@@ -147,13 +147,25 @@ def minhash_signatures(
     post = toks.select("doc_id", F.explode(bigrams).alias("shingle")).withColumn(
         "__h", F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31))
     )
-    aggs = [
-        F.min(
+    # All num_hashes universal hashes land in ONE array column per row;
+    # the aggregates are then trivial `min(__ha[i])` updates. Inlining
+    # the pmod chain into each aggregate instead makes the generated
+    # agg-update method huge (~2.5s extra janino compile at 64 hashes).
+    ha = F.array(
+        *[
             F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return post.groupBy("doc_id").agg(*aggs)
+            for a, b in params
+        ]
+    )
+    post = post.withColumn("__ha", ha)
+    aggs = [F.min(F.col("__ha")[i]).alias(f"h{i}") for i in range(num_hashes)]
+    wide = post.groupBy("doc_id").agg(*aggs)
+    # Single array column out: downstream banding/verification hash and
+    # slice the array (one small expression each) instead of touching 64
+    # named columns, which keeps every later codegen stage tiny.
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -174,13 +186,19 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, num_hashes).cache()
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
-        )
-    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    # Band hash = xxhash64 over an array *slice* of the signature —
+    # generated as a loop over band indices, not 16 unrolled wide
+    # expressions (xxhash64 hashes complex types natively).
+    band_structs = F.transform(
+        F.array(*[F.lit(b) for b in range(bands)]),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+            ).alias("bh"),
+        ),
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bh")
@@ -193,12 +211,10 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    # Signature vectors as arrays: one zip_with/aggregate instead of a
-    # 64-term when-chain keeps the generated code small (the wide
-    # chain costs ~8s of janino compilation on first run).
-    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
-    sa = sig.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
+    # Verify with one zip_with/aggregate over the signature arrays — a
+    # 64-term when-chain here costs ~8s of janino compilation.
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     matches = F.aggregate(
         F.zip_with(
             F.col("sig_a"),

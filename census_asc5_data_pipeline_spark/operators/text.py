@@ -97,6 +97,114 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept to RE2-safe syntax (no lookarounds) so the same
+# regex runs identically on Spark (java.util.regex) and RE2 engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / SSN-shaped spans, keeping per-doc
+    redaction counts — the standard pre-training scrub pass.
+
+    Order matters: SSNs are masked before phones (both are digit-dash
+    shapes) and counts are taken on the ORIGINAL text. Pure
+    regexp_replace/regexp_count — full scan speed, no Python.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_SSN, "<SSN>")
+    redacted = F.regexp_replace(redacted, PII_PHONE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_SSN)).cast("bigint").alias("n_ssns"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash — stable under re-runs, resharding, and corpus growth.
+
+    Bucket = first 8 hex chars of md5(salt || id) as an int mod 100.
+    md5 (not xxhash64) so the very same bucket function exists on any
+    engine; the salt versions the split.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(100))
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by an integer tf-idf.
+
+    idf_ppm = FLOOR(1e6 * N / df + 0.5) (no log — exact integer math is
+    engine-portable; log differs in ulps across libm implementations),
+    score = tf * idf_ppm. Two shuffles: term-count groupBy and the
+    per-doc top-k window; the doc-frequency table is broadcast back.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        "doc_id", F.explode(words(F.col(text_col))).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.floor(F.lit(1000000.0) * F.lit(float(n_docs)) / F.col("df") + F.lit(0.5)).cast(
+        "bigint"
+    )
+    scored = tf.join(F.broadcast(dfreq.withColumn("idf_ppm", idf)), "term").withColumn(
+        "score", F.col("tf") * F.col("idf_ppm")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signal: share of the most frequent token
+    bigram among all bigrams (ppm). High values flag boilerplate /
+    degenerate generations. One explode + one groupBy."""
+    docs = df.select("doc_id", words(F.col(text_col)).alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    big = docs.select(
+        "doc_id", F.explode(token_bigrams(F.col("__w"))).alias("bg")
+    )
+    per = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.max("c").alias("max_bg"), F.sum("c").alias("n_bg")
+    )
+    rep = F.floor(
+        F.col("max_bg").cast("double") * 1000000.0 / F.col("n_bg") + F.lit(0.5)
+    ).cast("bigint")
+    return agg.select("doc_id", "max_bg", "n_bg", rep.alias("rep_ppm"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Winnowing-style document fingerprint: min/max of the md5 hashes
     of the document's token-bigram shingles.

@@ -1047,6 +1047,324 @@ SELECT word, n, rank FROM (
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: plant deterministic synthetic PII per doc (the
+    corpus itself is clean), then redact + count. Proves the redaction
+    regexes do real work under the oracle hash."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 ssn 987-65-4321"),
+        ).alias("text"),
+    )
+    out = TX.pii_redact(docs)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        "n_emails",
+        "n_ssns",
+        "n_phones",
+    )
+
+
+SQL_PII_REDACT = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id::VARCHAR ||
+         '@example.com or 555-123-4567 ssn 987-65-4321' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(LENGTH(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+      '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g')
+  ) AS BIGINT) AS clean_len,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssns,
+  CAST(len(regexp_extract_all(text, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS BIGINT) AS n_phones
+FROM d
+"""
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by salted md5 of the
+    doc id — per-split doc counts and char volume."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = TX.hash_split(docs, id_col="doc_id", salt="split-v1")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+
+
+SQL_TRAIN_SPLIT = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+"""
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample stddev per group, computed from
+    EXACT integer sums with one shared expression tree — built-in
+    corr()/stddev() accumulate in engine-specific order, so their low
+    bits (and a micro-rounded output) are not portable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    sd_y = F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0))))
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.floor(corr * 1000000.0 + F.lit(0.5)).cast("bigint").alias("corr_micro"),
+        F.floor(sd_y * 100.0 + F.lit(0.5)).cast("bigint").alias("sd_price_c"),
+    )
+
+
+SQL_STATS_AGG = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM li GROUP BY 1
+)
+SELECT l_returnflag, n,
+  CAST(FLOOR(
+    (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+    * 1000000.0 + 0.5) AS BIGINT) AS corr_micro,
+  CAST(FLOOR(
+    sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+    * 100.0 + 0.5) AS BIGINT) AS sd_price_c
+FROM s
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by integer tf-idf (idf as an
+    exact FLOOR(1e6·N/df) ppm — no log, hence engine-portable)."""
+    return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF = """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+), t AS (
+  SELECT doc_id, term FROM terms WHERE LENGTH(term) >= 3
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * CAST(FLOOR(1000000.0 * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / dfreq.df + 0.5) AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate signal: most-frequent-bigram share per doc (ppm)."""
+    return TX.repetition_ratio(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+  FROM t WHERE len(w) >= 2
+), per AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bg FROM per GROUP BY 1
+)
+SELECT doc_id, CAST(max_bg AS BIGINT) AS max_bg, CAST(n_bg AS BIGINT) AS n_bg,
+       CAST(FLOOR(CAST(max_bg AS DOUBLE) * 1000000.0 / n_bg + 0.5) AS BIGINT) AS rep_ppm
+FROM agg
+"""
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality filter funnel: survivor count after each
+    cumulative stage (one scan, conditional sums, unpivoted)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    c1 = F.length("text") >= 100
+    c2 = c1 & (F.size(w) >= 20)
+    punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    c3 = c2 & (punct * 10 <= F.length("text"))
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("s0_total"),
+        F.sum(c1.cast("bigint")).alias("s1_minlen"),
+        F.sum(c2.cast("bigint")).alias("s2_minwords"),
+        F.sum(c3.cast("bigint")).alias("s3_punct"),
+    )
+    return agg.selectExpr(
+        "stack(4, 's0_total', s0_total, 's1_minlen', s1_minlen, "
+        "'s2_minwords', s2_minwords, 's3_punct', s3_punct) AS (stage, n_docs)"
+    )
+
+
+SQL_QUALITY_FUNNEL = """
+WITH d AS (
+  SELECT LENGTH(text) >= 100 AS c1,
+         LENGTH(text) >= 100 AND len(regexp_split_to_array(lower(text), '\\s+')) >= 20 AS c2,
+         (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 10 <= LENGTH(text) AS cp
+  FROM documents
+), agg AS (
+  SELECT COUNT(*) AS s0, SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS s1,
+         SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS s2,
+         SUM(CASE WHEN c2 AND cp THEN 1 ELSE 0 END) AS s3
+  FROM d
+)
+SELECT 's0_total' AS stage, CAST(s0 AS BIGINT) AS n_docs FROM agg
+UNION ALL SELECT 's1_minlen', CAST(s1 AS BIGINT) FROM agg
+UNION ALL SELECT 's2_minwords', CAST(s2 AS BIGINT) FROM agg
+UNION ALL SELECT 's3_punct', CAST(s3 AS BIGINT) FROM agg
+"""
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) price quartiles per order priority (deterministic order
+    by price then key), summarized per tile."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price_c", "o_orderkey")
+    tiled = orders.withColumn("tile", F.ntile(4).over(w).cast("int"))
+    return tiled.groupBy(
+        F.col("o_orderpriority").alias("priority"), "tile"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price_c").alias("lo_c"),
+        F.max("price_c").alias("hi_c"),
+    )
+
+
+SQL_NTILE = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), t AS (
+  SELECT o_orderpriority, price_c,
+         CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY price_c, o_orderkey) AS INTEGER) AS tile
+  FROM o
+)
+SELECT o_orderpriority AS priority, tile, COUNT(*) AS n,
+       MIN(price_c) AS lo_c, MAX(price_c) AS hi_c
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above their priority's mean),
+    decorrelated to a window — compared as exact integers
+    (price·n > sum) so the mean itself never touches a double."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    flagged = orders.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+        "sum_c", F.sum("price_c").over(w)
+    )
+    above = flagged.filter(F.col("price_c") * F.col("n") > F.col("sum_c"))
+    return above.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_above"),
+        F.sum("price_c").alias("above_total_c"),
+    )
+
+
+SQL_ABOVE_AVG = """
+WITH o AS (
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), f AS (
+  SELECT o_orderpriority, price_c,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+         SUM(price_c) OVER (PARTITION BY o_orderpriority) AS sum_c
+  FROM o
+)
+SELECT o_orderpriority AS priority, COUNT(*) AS n_above,
+       CAST(SUM(price_c) AS BIGINT) AS above_total_c
+FROM f WHERE price_c * n > sum_c GROUP BY 1
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer cohorts of the two latest order
+    years, tagged and unioned."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    mx = orders.agg(F.max("yr").alias("m")).collect()[0]["m"]
+    cur = orders.filter(F.col("yr") == mx).select("o_custkey").distinct()
+    prev = orders.filter(F.col("yr") == mx - 1).select("o_custkey").distinct()
+    both = cur.intersect(prev).select(F.lit("both").alias("cohort"), "o_custkey")
+    churned = prev.exceptAll(cur).select(F.lit("churned").alias("cohort"), "o_custkey")
+    new = cur.exceptAll(prev).select(F.lit("new").alias("cohort"), "o_custkey")
+    return both.unionByName(churned).unionByName(new)
+
+
+SQL_SET_OPS = """
+WITH o AS (
+  SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr FROM orders
+), mx AS (SELECT MAX(yr) AS m FROM o),
+cur AS (SELECT DISTINCT o_custkey FROM o, mx WHERE yr = m),
+prev AS (SELECT DISTINCT o_custkey FROM o, mx WHERE yr = m - 1)
+SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM cur INTERSECT SELECT * FROM prev)
+UNION ALL SELECT 'churned', o_custkey FROM (SELECT * FROM prev EXCEPT SELECT * FROM cur)
+UNION ALL SELECT 'new', o_custkey FROM (SELECT * FROM cur EXCEPT SELECT * FROM prev)
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: attach payload → Arrow mapInPandas decode
     stub → typed metadata. The oracle reproduces the deterministic fake
@@ -1110,6 +1428,16 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_meta": q_multimodal_meta,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "top_terms": q_top_terms,
+    "pii_redact": q_pii_redact,
+    "train_split": q_train_split,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_ratio": q_repetition_ratio,
+    "quality_funnel": q_quality_funnel,
+    # §2.2 additions
+    "stats_agg": q_stats_agg,
+    "ntile_quartiles": q_ntile_quartiles,
+    "above_avg_orders": q_above_avg_orders,
+    "set_ops": q_set_ops,
 }
 
 ORACLES: dict[str, str] = {
@@ -1148,6 +1476,15 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL,
     "dedup_embedding_cosine": SQL_EMB_COSINE_PAIRS,
     "top_terms": SQL_TOP_TERMS,
+    "pii_redact": SQL_PII_REDACT,
+    "train_split": SQL_TRAIN_SPLIT,
+    "tfidf_top_terms": SQL_TFIDF,
+    "repetition_ratio": SQL_REPETITION,
+    "quality_funnel": SQL_QUALITY_FUNNEL,
+    "stats_agg": SQL_STATS_AGG,
+    "ntile_quartiles": SQL_NTILE,
+    "above_avg_orders": SQL_ABOVE_AVG,
+    "set_ops": SQL_SET_OPS,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

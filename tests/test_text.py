@@ -10,8 +10,12 @@ from pyspark.sql import functions as F
 
 from census_asc5_data_pipeline_spark.operators.text import (
     fingerprint,
+    hash_split,
     lang_id,
+    pii_redact,
     quality_score,
+    repetition_ratio,
+    tfidf_top_terms,
     token_counts,
 )
 
@@ -84,6 +88,69 @@ def test_fingerprint_matches_python_md5(spark):
     assert out.fp_min == hashes[0]
     assert out.fp_max == hashes[-1]
     assert out.n_shingles == len(shingles)
+
+
+def test_pii_redact_masks_and_counts(spark):
+    out = pii_redact(
+        _df(
+            spark,
+            [
+                "mail a@b.com and c.d+x@e.org call 555-123-4567 ssn 987-65-4321",
+                "nothing sensitive here",
+            ],
+        )
+    ).collect()
+    r = {x.doc_id: x for x in out}
+    assert r[0].n_emails == 2 and r[0].n_phones == 1 and r[0].n_ssns == 1
+    assert "<EMAIL>" in r[0].clean_text and "<PHONE>" in r[0].clean_text
+    assert "<SSN>" in r[0].clean_text and "@" not in r[0].clean_text
+    assert r[1].clean_text == "nothing sensitive here"
+    assert r[1].n_emails == r[1].n_phones == r[1].n_ssns == 0
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    a = {r.doc_id: (r.split, r.bucket) for r in hash_split(df).collect()}
+    b = {r.doc_id: (r.split, r.bucket) for r in hash_split(df).collect()}
+    assert a == b  # rerun-stable
+    counts = {"train": 0, "val": 0, "test": 0}
+    for s, _ in a.values():
+        counts[s] += 1
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+    # ~80/10/10 within loose bounds
+    assert 1400 <= counts["train"] <= 1900
+    assert 100 <= counts["val"] <= 350 and 100 <= counts["test"] <= 350
+    # different salt → different assignment for at least some ids
+    c = {r.doc_id: r.split for r in hash_split(df, salt="v2").collect()}
+    assert any(c[i] != a[i][0] for i in range(2000))
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    corpus = _df(
+        spark,
+        [
+            "common common common zebra zebra unique",
+            "common common words words words filler",
+            "common filler filler other other things",
+        ],
+    )
+    out = tfidf_top_terms(corpus, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' appears in every doc → idf floor; rare terms win
+    assert top[0] == "zebra"
+    assert top[1] == "words"
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    out = {
+        r.doc_id: r
+        for r in repetition_ratio(
+            _df(spark, ["spam spam spam spam spam", "all words here differ fully"])
+        ).collect()
+    }
+    assert out[0].rep_ppm == 1_000_000  # single repeated bigram
+    assert out[1].max_bg == 1
+    assert out[1].rep_ppm < 300_000
 
 
 def test_fingerprint_stable_under_duplication(spark):
