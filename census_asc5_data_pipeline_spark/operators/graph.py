@@ -1,0 +1,119 @@
+"""Distributed connected components — turns near-duplicate PAIRS into
+duplicate CLUSTERS, the last step of corpus-level dedup.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame self-joins. Converges in O(log n) rounds on any graph shape
+(plain min-label propagation needs diameter rounds — a pathological
+chain of near-dups would need thousands), each round is a constant
+number of shuffles on the node id, and the edge list only ever shrinks
+toward (node → component-min) stars, so a 100 TB pair set never
+amplifies. Lineage is cut per round with localCheckpoint so the plan
+doesn't grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list as (u, v) with u != v, deduped."""
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of n to n's min neighbor
+    (including n itself)."""
+    nbrs = e.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    with_min = nbrs.withColumn(
+        "mn", F.min(F.least(F.col("m"), F.col("n"))).over(Window.partitionBy("n"))
+    )
+    out = with_min.filter(F.col("m") > F.col("n")).select(
+        F.col("mn").alias("u"), F.col("m").alias("v")
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect all smaller-or-equal neighbors of n to n's min neighbor."""
+    # orient edges toward the smaller endpoint: (n = larger, m = smaller)
+    nbrs = e.select(
+        F.greatest("u", "v").alias("n"), F.least("u", "v").alias("m")
+    )
+    with_min = nbrs.withColumn("mn", F.min("m").over(Window.partitionBy("n")))
+    out = with_min.select(F.col("mn").alias("u"), F.col("m").alias("v")).unionAll(
+        with_min.select(F.col("mn").alias("u"), F.col("n").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 12,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the minimum node id of the component.
+
+    Each round runs large-star then small-star; convergence is checked
+    by edge-set fixpoint (count + sum-of-hashes — one cheap action, no
+    collect of the edge list).
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    # after convergence e is a star list (component-min -> member)
+    members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Corpus dedup verdict: every document labeled with its duplicate
+    cluster (singletons keep their own id), plus cluster size and the
+    canonical keeper (min id).
+
+    The join back to ``docs`` is a left join on the id — documents in
+    no pair never enter the component computation, so the heavy path
+    only touches the (tiny) near-dup subgraph.
+    """
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    out = out.withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("component")
+    return out.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_keeper"),
+    )

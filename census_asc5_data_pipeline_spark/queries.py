@@ -866,6 +866,50 @@ FROM (
 )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup end-to-end: exact-Jaccard near-dup pairs (≥ 0.5) →
+    alternating-star connected components → every doc labeled with its
+    duplicate cluster, size, and keeper flag. The oracle recomputes the
+    components with a recursive-CTE transitive closure."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=500000, df_cap=None)
+    return G.dedup_clusters(docs, pairs)
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 500000
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM documents
+  UNION
+  SELECT e.v AS node, r.root FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY 1
+)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       doc_id = component AS is_keeper
+FROM comp
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs (rows-only oracle: signature hashing
     is engine-specific; recall is pytest-verified vs exact Jaccard)."""
@@ -1417,6 +1461,7 @@ QUERIES: dict[str, QueryFn] = {
     # §2.3 LLM-data operators
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1468,6 +1513,7 @@ ORACLES: dict[str, str] = {
     "lag_lead_delta": SQL_LAG_LEAD,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from census_asc5_data_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _components(rows):
+    return {r.node: r.component for r in rows}
+
+
+def test_cc_basic_components(spark):
+    # {1,2,3} via chain, {10,11}, isolated-in-edges none
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    got = _components(connected_components(e).collect())
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    # a 64-node chain needs ~diameter rounds under naive propagation;
+    # alternating star must finish inside the max_iter=12 budget
+    e = _edges(spark, [(i, i + 1) for i in range(64)])
+    got = _components(connected_components(e).collect())
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    e = _edges(spark, [(2, 1), (1, 2), (2, 1), (5, 4)])
+    got = _components(connected_components(e).collect())
+    assert got == {1: 1, 2: 1, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_labels_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["doc_a", "doc_b"])
+    out = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert out[0].component == 0 and out[3].component == 0 and out[5].component == 0
+    assert out[0].cluster_size == 3 and out[0].is_keeper
+    assert not out[3].is_keeper and not out[5].is_keeper
+    for i in (1, 2, 4):
+        assert out[i].component == i and out[i].cluster_size == 1 and out[i].is_keeper

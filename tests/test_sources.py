@@ -5,6 +5,7 @@ from pyspark.sql import types as T
 
 from census_asc5_data_pipeline_spark.sources.api_source import extract_api
 from census_asc5_data_pipeline_spark.sources.csv_source import read_csv
+from census_asc5_data_pipeline_spark.sources.json_source import read_jsonl, write_jsonl
 from census_asc5_data_pipeline_spark.sources.sinks import write_csv, write_parquet
 
 
@@ -42,6 +43,30 @@ def test_csv_roundtrip(spark, tmp_path):
     back = read_csv(spark, out, schema=schema, rename={"v": "val"})
     assert back.columns == ["k", "val"]
     assert sorted(r.k for r in back.collect()) == [1, 2]
+
+
+def test_jsonl_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "hello", "en"), (2, "hola", "es"), (3, "bonjour", "en")],
+        "doc_id INT, text STRING, lang STRING",
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out, partition_by=["lang"])
+    back = read_jsonl(spark, out, schema="doc_id INT, text STRING")
+    assert back.count() == 3
+    assert {r.text for r in back.collect()} == {"hello", "hola", "bonjour"}
+
+
+def test_jsonl_corrupt_quarantine(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2}\n')
+    clean = read_jsonl(spark, str(p), schema="doc_id INT, text STRING")
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+    kept = read_jsonl(
+        spark, str(p), schema="doc_id INT, text STRING", keep_corrupt=True
+    )
+    bad = kept.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]._corrupt_record == "not json at all"
 
 
 def test_parquet_partitioned_sink(spark, tmp_path):
