@@ -65,6 +65,46 @@ def sessionize(
     )
 
 
+def gap_fill_daily(
+    df: DataFrame, key_col: str, ts_ms: Column, value: Column | None = None
+) -> DataFrame:
+    """Time-series resample: per-key daily counts with missing days
+    densified to explicit zero rows (charting / feature pipelines need
+    the gaps).
+
+    Scale shape: the spine is built per key from its own [min_day,
+    max_day] span (``sequence`` + ``explode``) — output is bounded by
+    sum-of-spans, never keys × global-calendar; the fill join is an
+    equi-join on (key, day) against the already-aggregated daily table,
+    so raw events are touched exactly once.
+    """
+    day = F.floor(ts_ms / F.lit(86400000.0)).cast("bigint")
+    daily = (
+        df.select(F.col(key_col), day.alias("day"))
+        if value is None
+        else df.select(F.col(key_col), day.alias("day"), value.alias("__v"))
+    )
+    agg_exprs = [F.count(F.lit(1)).alias("n_events")] + (
+        [F.sum("__v").alias("total_value")] if value is not None else []
+    )
+    daily = daily.groupBy(key_col, "day").agg(*agg_exprs)
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            key_col, F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+        )
+    )
+    out = spine.join(daily, [key_col, "day"], "left").withColumn(
+        "n_events", F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint")
+    )
+    if value is not None:
+        out = out.withColumn(
+            "total_value", F.coalesce(F.col("total_value"), F.lit(0)).cast("bigint")
+        )
+    return out
+
+
 def keep_first_per_key(
     df: DataFrame, keys: list[str], order_by: list[Column]
 ) -> DataFrame:

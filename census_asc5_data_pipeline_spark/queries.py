@@ -1409,6 +1409,123 @@ UNION ALL SELECT 'new', o_custkey FROM (SELECT * FROM cur EXCEPT SELECT * FROM p
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user daily event counts + value with
+    missing days densified to zero rows (per-key spine, see operator)."""
+    ev = _t(spark, sf_dir, "events")
+    return WOP.gap_fill_daily(
+        ev, "user_id", epoch_ms("ts"), value=cents(F.col("value"))
+    )
+
+
+SQL_GAP_FILL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(FLOOR(CAST(epoch_ms(ts) AS BIGINT) / 86400000.0) AS BIGINT) AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), daily AS (
+  SELECT user_id, day, COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS total_value
+  FROM e GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span
+)
+SELECT s.user_id, s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.total_value, 0) AS total_value
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+"""
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching: part names paired within a
+    first-token block, kept when levenshtein ≤ 4 — the blocking join is
+    the scale path (never all-pairs; block key bounds the quadratic)."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_name"), F.split("p_name", " ")[0].alias("blk")
+    )
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "blk"
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 4)
+        .select("key_a", "key_b", "dist")
+    )
+
+
+SQL_FUZZY_MATCH = """
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: lineitem⋈orders through the salting operator
+    (16-way key split), then revenue per priority — the oracle is the
+    PLAIN join, proving salting never changes results."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = R.salted_join(li, orders, key="o_orderkey", salt_buckets=16)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_c").alias("revenue_c"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (20 × $30k buckets, top
+    bucket clamps the tail) — exact integer bucket arithmetic."""
+    orders = _t(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("price_c")
+    )
+    bucket = F.least(
+        F.lit(19), F.floor(F.col("price_c") / F.lit(3000000.0)).cast("int")
+    ).cast("int")
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("price_c").alias("min_c"),
+            F.max("price_c").alias("max_c"),
+        )
+    )
+
+
+SQL_HISTOGRAM = """
+WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c FROM orders
+)
+SELECT CAST(LEAST(19, FLOOR(price_c / 3000000.0)) AS INTEGER) AS bucket,
+       COUNT(*) AS n, MIN(price_c) AS min_c, MAX(price_c) AS max_c
+FROM o GROUP BY 1
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: attach payload → Arrow mapInPandas decode
     stub → typed metadata. The oracle reproduces the deterministic fake
@@ -1483,6 +1600,10 @@ QUERIES: dict[str, QueryFn] = {
     "ntile_quartiles": q_ntile_quartiles,
     "above_avg_orders": q_above_avg_orders,
     "set_ops": q_set_ops,
+    "gap_fill": q_gap_fill,
+    "fuzzy_match": q_fuzzy_match,
+    "salted_join_agg": q_salted_join_agg,
+    "histogram": q_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -1531,6 +1652,10 @@ ORACLES: dict[str, str] = {
     "ntile_quartiles": SQL_NTILE,
     "above_avg_orders": SQL_ABOVE_AVG,
     "set_ops": SQL_SET_OPS,
+    "gap_fill": SQL_GAP_FILL,
+    "fuzzy_match": SQL_FUZZY_MATCH,
+    "salted_join_agg": SQL_SALTED_JOIN,
+    "histogram": SQL_HISTOGRAM,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

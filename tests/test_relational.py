@@ -86,6 +86,24 @@ def test_asof_join_strict_prior(spark):
     assert got2 == {100: 5, 101: 20, 102: 20, 103: None}
 
 
+def test_gap_fill_densifies_missing_days(spark):
+    from pyspark.sql import functions as F
+
+    from census_asc5_data_pipeline_spark.operators.windows import gap_fill_daily
+
+    day_ms = 86400000
+    df = spark.createDataFrame(
+        [("u", 0 * day_ms, 5), ("u", 3 * day_ms, 7), ("v", 10 * day_ms, 1)],
+        ["user_id", "ts_ms", "v"],
+    )
+    out = gap_fill_daily(df, "user_id", F.col("ts_ms"), value=F.col("v"))
+    rows = {(r.user_id, r.day): (r.n_events, r.total_value) for r in out.collect()}
+    # u spans days 0..3 — days 1 and 2 are zero-filled
+    assert rows[("u", 0)] == (1, 5) and rows[("u", 3)] == (1, 7)
+    assert rows[("u", 1)] == (0, 0) and rows[("u", 2)] == (0, 0)
+    assert rows[("v", 10)] == (1, 1) and len(rows) == 5
+
+
 def test_broadcast_join_in_plan(spark):
     """Dim joins must broadcast (no shuffle of the fact side)."""
     from census_asc5_data_pipeline_spark.queries import QUERIES
