@@ -205,6 +205,81 @@ def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", "max_bg", "n_bg", rep.alias("rep_ppm"))
 
 
+def boilerplate_segments(
+    df: DataFrame, text_col: str = "text", seg_tokens: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Segment-level (C4-style line-level) dedup signal: fixed
+    ``seg_tokens``-token chunks that recur across ≥ ``min_docs``
+    distinct documents — the removal list for boilerplate stripping.
+
+    Scale shape: explode distinct segments per doc (one narrow shuffle
+    on the segment string), count distinct docs per segment with
+    map-side partial aggregation. Never pairs documents.
+    """
+    w = words(F.col(text_col))
+    n_segs = F.floor(F.size(w) / F.lit(float(seg_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    per_doc = (
+        df.filter(F.size(words(F.col(text_col))) >= seg_tokens)
+        .select("doc_id", F.explode(F.array_distinct(segs)).alias("segment"))
+    )
+    return (
+        per_doc.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the share of its
+    distinct token ``n``-grams that also occur in the benchmark set
+    (ppm). Docs above a threshold get dropped from training data.
+
+    The benchmark n-gram set is DISTINCT and broadcast (benchmarks are
+    tiny next to the corpus); the corpus side is one explode + one
+    groupBy — never a corpus×benchmark pair join.
+    """
+
+    def ngrams(col):
+        w = words(col)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+
+    bench = (
+        benchmark.select(F.explode(ngrams(F.col(text_col))).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corp = corpus.filter(F.size(words(F.col(text_col))) >= n).select(
+        "doc_id", F.explode(F.array_distinct(ngrams(F.col(text_col)))).alias("gram")
+    )
+    joined = corp.join(F.broadcast(bench), "gram", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        F.floor(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            * 1000000.0
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("contam_ppm"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Winnowing-style document fingerprint: min/max of the md5 hashes
     of the document's token-bigram shingles.

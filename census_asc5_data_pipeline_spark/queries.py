@@ -1409,6 +1409,57 @@ UNION ALL SELECT 'new', o_custkey FROM (SELECT * FROM cur EXCEPT SELECT * FROM p
 """
 
 
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment dedup: 8-token chunks recurring across ≥2 docs
+    (the boilerplate removal list)."""
+    return TX.boilerplate_segments(
+        _t(spark, sf_dir, "documents"), seg_tokens=8, min_docs=2
+    )
+
+
+SQL_BOILERPLATE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), segs AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(w[i*8+1:i*8+8], ' ')
+     FOR i IN range(0, CAST(FLOOR(len(w)/8.0) AS INT))]
+  )) AS segment
+  FROM t WHERE len(w) >= 8
+)
+SELECT segment, COUNT(*) AS n_docs FROM segs GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: overlap of each training doc's 5-grams
+    with a held-out 'benchmark' slice (doc_id < 50 simulates the eval
+    set), as contamination ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    return TX.decontaminate(corpus, bench, n=5)
+
+
+SQL_DECONTAMINATE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), bench AS (
+  SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS gram
+  FROM t WHERE doc_id < 50 AND len(w) >= 5
+), corp AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)])) AS gram
+  FROM t WHERE doc_id >= 50 AND len(w) >= 5
+), j AS (
+  SELECT c.doc_id, CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+)
+SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(FLOOR(CAST(SUM(hit) AS DOUBLE) * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS contam_ppm
+FROM j GROUP BY 1
+"""
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample: per-user daily event counts + value with
     missing days densified to zero rows (per-key spine, see operator)."""
@@ -1595,6 +1646,8 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_ratio": q_repetition_ratio,
     "quality_funnel": q_quality_funnel,
+    "boilerplate_segments": q_boilerplate_segments,
+    "decontaminate": q_decontaminate,
     # §2.2 additions
     "stats_agg": q_stats_agg,
     "ntile_quartiles": q_ntile_quartiles,
@@ -1648,6 +1701,8 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": SQL_TFIDF,
     "repetition_ratio": SQL_REPETITION,
     "quality_funnel": SQL_QUALITY_FUNNEL,
+    "boilerplate_segments": SQL_BOILERPLATE,
+    "decontaminate": SQL_DECONTAMINATE,
     "stats_agg": SQL_STATS_AGG,
     "ntile_quartiles": SQL_NTILE,
     "above_avg_orders": SQL_ABOVE_AVG,

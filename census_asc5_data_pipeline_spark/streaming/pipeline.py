@@ -152,6 +152,73 @@ def stateful_sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide
+    overlapping windows (state is that factor larger than tumbling —
+    the watermark still bounds it)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: per-micro-batch hash join against a static
+    (broadcastable) dimension — no state, no watermark needed; the dim
+    is re-resolved each batch so slowly-changing dims pick up updates."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def purchase_attribution(
+    events: DataFrame, watermark: str = "2 hours", attribution_window: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's views in the preceding hour. Both sides are watermarked and
+    the join condition carries the time bound, so each side's state
+    buffer is dropped once the watermark passes the interval."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return views.join(purchases, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.unix_millis("p_ts").alias("purchase_ms"),
+        F.unix_millis("v_ts").alias("view_ms"),
+    )
+
+
 def write_idempotent_parquet(df: DataFrame, out_dir: str, checkpoint: str):
     """Exactly-once-style sink: foreachBatch writes each epoch to a
     batch-id-named directory, so replays overwrite instead of double-

@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 
 from census_asc5_data_pipeline_spark.catalog import read_table
 from census_asc5_data_pipeline_spark.streaming.pipeline import (
+    enrich_with_dim,
+    purchase_attribution,
     read_event_stream,
+    sliding_counts,
     stateful_sessionize,
     stream_dedup,
     windowed_counts,
@@ -89,6 +92,66 @@ def test_stateful_sessionize_matches_batch_sessions(spark, event_dir):
     assert got
     matched = sum(1 for k, v in got.items() if want.get(k) == v)
     assert matched / len(got) > 0.95
+
+
+def test_sliding_counts_match_batch(spark, event_dir):
+    ev = read_event_stream(spark, event_dir)
+    _run(sliding_counts(ev), "slide_out", mode="append")
+    got = {
+        (r.window_start_ms, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ms"), "event_type", "n")
+    )
+    want = {(r.ms, r.event_type): r.n for r in batch.collect()}
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    # sliding: ~4x the windows of tumbling for the same data
+    assert len(got) > len(spark.sql("SELECT * FROM slide_out WHERE 1=0").columns)
+
+
+def test_stream_static_enrich(spark, event_dir):
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(1000)], ["user_id", "segment"]
+    )
+    ev = read_event_stream(spark, event_dir)
+    _run(enrich_with_dim(ev, dim, "user_id"), "enrich_out")
+    out = spark.sql(
+        "SELECT count(*) AS n, count(segment) AS with_seg FROM enrich_out"
+    ).collect()[0]
+    assert out.n == spark.read.parquet(event_dir).count()
+    assert out.with_seg > 0  # joined rows carry the dim column
+
+
+def test_stream_stream_attribution_matches_batch(spark, event_dir):
+    ev = read_event_stream(spark, event_dir)
+    _run(purchase_attribution(ev), "attr_out")
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    b = spark.read.parquet(event_dir)
+    views = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    purchases = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in views.join(purchases, "u")
+        .filter(
+            (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour"))
+        )
+        .collect()
+    }
+    assert got == want and got
 
 
 def test_foreach_batch_idempotent_sink(spark, event_dir, tmp_path):
