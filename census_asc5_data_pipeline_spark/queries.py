@@ -1409,6 +1409,67 @@ UNION ALL SELECT 'new', o_custkey FROM (SELECT * FROM cur EXCEPT SELECT * FROM p
 """
 
 
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: revenue and order count per (year, month) —
+    date-part extraction portability check."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_c"),
+        )
+    )
+
+
+SQL_MONTHLY_REVENUE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: for each order, how many orders of the same
+    priority fall within $500 below its price (value-range frame, peers
+    included — distinct from ROWS frames)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c")
+        .rangeBetween(-50000, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "price_c",
+        F.count(F.lit(1)).over(w).alias("n_in_range"),
+        F.sum("price_c").over(w).alias("sum_in_range_c"),
+    )
+
+
+SQL_RANGE_FRAME = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority AS priority, price_c,
+       COUNT(*) OVER w AS n_in_range,
+       CAST(SUM(price_c) OVER w AS BIGINT) AS sum_in_range_c
+FROM o
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style segment dedup: 8-token chunks recurring across ≥2 docs
     (the boilerplate removal list)."""
@@ -1657,6 +1718,8 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_match": q_fuzzy_match,
     "salted_join_agg": q_salted_join_agg,
     "histogram": q_histogram,
+    "monthly_revenue": q_monthly_revenue,
+    "range_frame": q_range_frame,
 }
 
 ORACLES: dict[str, str] = {
@@ -1711,6 +1774,8 @@ ORACLES: dict[str, str] = {
     "fuzzy_match": SQL_FUZZY_MATCH,
     "salted_join_agg": SQL_SALTED_JOIN,
     "histogram": SQL_HISTOGRAM,
+    "monthly_revenue": SQL_MONTHLY_REVENUE,
+    "range_frame": SQL_RANGE_FRAME,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

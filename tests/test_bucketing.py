@@ -1,0 +1,67 @@
+"""Bucketed co-located join: the claim is a PLAN SHAPE (no Exchange on
+either join side), so that is what the test asserts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from census_asc5_data_pipeline_spark.catalog import read_table
+from census_asc5_data_pipeline_spark.sources.bucketing import (
+    cojoin_bucketed,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    li = read_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    write_bucketed(li, "li_b", "l_orderkey", 8, path=str(base / "li"))
+    write_bucketed(orders, "ord_b", "l_orderkey", 8, path=str(base / "ord"))
+    yield "li_b", "ord_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    joined = cojoin_bucketed(spark, lt, rt, "l_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    joined = cojoin_bucketed(spark, lt, rt, "l_orderkey").groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = {r.o_orderpriority: r.n for r in joined.collect()}
+    li = read_table(spark, SF, "lineitem").select(F.col("l_orderkey"))
+    orders = read_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    want = {
+        r.o_orderpriority: r.n
+        for r in li.join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bucketed_groupby_needs_no_shuffle(spark, bucketed_tables):
+    lt, _ = bucketed_tables
+    agg = spark.table(lt).groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # aggregation on the bucket key reuses the bucketing — no Exchange
+    assert "Exchange" not in plan, plan
