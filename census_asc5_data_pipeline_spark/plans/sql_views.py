@@ -1,0 +1,88 @@
+"""The reference's SQL surface, on Spark.
+
+The reference's users query Athena VIEWs (report.md:450-495); this
+module registers the same view layer as Spark temporary views so every
+SQL query they run today runs here unchanged (modulo the Athena
+``"Quoted Identifier"`` style, which Spark writes with backticks —
+the view/column NAMES are kept identical).
+
+Also registers the driver testdata tables as views so ad-hoc
+``spark.sql(...)`` works over the whole catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from census_asc5_data_pipeline_spark.catalog import read_table
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# Spark-SQL re-expression of the reference's Athena view DDL
+# (report.md:450-495). Athena double-quoted identifiers become
+# backticks; the qualified censusacs5data.* base tables become the
+# temp views registered from the extract outputs.
+CENSUS_VIEW_SQL: dict[str, str] = {
+    "state_dim": """
+        CREATE OR REPLACE TEMPORARY VIEW state_dim AS
+        SELECT DISTINCT state_id, state AS State FROM states
+    """,
+    "year_dim": """
+        CREATE OR REPLACE TEMPORARY VIEW year_dim AS
+        SELECT DISTINCT year AS Year FROM states
+    """,
+    "income_measure": """
+        CREATE OR REPLACE TEMPORARY VIEW income_measure AS
+        SELECT DISTINCT median_household_income AS `Median Household Income`,
+               state_id, year AS year_id
+        FROM median_household_incomes
+    """,
+    "graduation_measure": """
+        CREATE OR REPLACE TEMPORARY VIEW graduation_measure AS
+        SELECT DISTINCT graduation_rate AS `Graduation Rate`,
+               state_id, year AS year_id
+        FROM graduation_rates
+    """,
+    "income_vs_graduation_fact": """
+        CREATE OR REPLACE TEMPORARY VIEW income_vs_graduation_fact AS
+        SELECT income_measure.`Median Household Income`,
+               graduation_measure.`Graduation Rate`,
+               state_dim.State, year_dim.Year
+        FROM income_measure
+        JOIN graduation_measure
+          ON income_measure.state_id = graduation_measure.state_id
+         AND income_measure.year_id = graduation_measure.year_id
+        JOIN state_dim ON graduation_measure.state_id = state_dim.state_id
+        JOIN year_dim ON graduation_measure.year_id = year_dim.Year
+    """,
+}
+
+
+def register_census_views(
+    spark: SparkSession,
+    states: DataFrame,
+    incomes: DataFrame,
+    grads: DataFrame,
+) -> None:
+    """Register base tables + the five reference views. Views are lazy
+    — Catalyst fuses the whole layer into each query's plan, so there
+    is no materialization cost to stacking them."""
+    states.createOrReplaceTempView("states")
+    incomes.createOrReplaceTempView("median_household_incomes")
+    grads.createOrReplaceTempView("graduation_rates")
+    for ddl in CENSUS_VIEW_SQL.values():
+        spark.sql(ddl)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Every driver testdata table as a temp view (ad-hoc SQL surface)."""
+    for t in TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(sql)

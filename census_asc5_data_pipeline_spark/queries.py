@@ -1409,6 +1409,41 @@ UNION ALL SELECT 'new', o_custkey FROM (SELECT * FROM cur EXCEPT SELECT * FROM p
 """
 
 
+def q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation customer vs supplier presence —
+    nations with only one side survive with a zero on the other."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation")
+    )
+    out = c.join(s, "nationkey", "full_outer")
+    return out.join(F.broadcast(nation), "nationkey").select(
+        "nation",
+        F.coalesce(F.col("n_cust"), F.lit(0)).cast("bigint").alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).cast("bigint").alias("n_supp"),
+    )
+
+
+SQL_FULL_OUTER = """
+WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT n.n_name AS nation,
+       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s USING (nationkey)
+JOIN nation n ON n.n_nationkey = COALESCE(c.nationkey, s.nationkey)
+"""
+
+
 def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar rollup: revenue and order count per (year, month) —
     date-part extraction portability check."""
@@ -1720,6 +1755,7 @@ QUERIES: dict[str, QueryFn] = {
     "histogram": q_histogram,
     "monthly_revenue": q_monthly_revenue,
     "range_frame": q_range_frame,
+    "full_outer_balance": q_full_outer_balance,
 }
 
 ORACLES: dict[str, str] = {
@@ -1776,6 +1812,7 @@ ORACLES: dict[str, str] = {
     "histogram": SQL_HISTOGRAM,
     "monthly_revenue": SQL_MONTHLY_REVENUE,
     "range_frame": SQL_RANGE_FRAME,
+    "full_outer_balance": SQL_FULL_OUTER,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

@@ -63,3 +63,50 @@ def test_serving_query(views):
     rows = {r.state: r for r in out.collect()}
     assert len(rows) == 52
     assert rows["Maryland"].avg_median_household_income == 81868.0
+
+
+@pytest.fixture(scope="module")
+def sql_views(spark):
+    from census_asc5_data_pipeline_spark.plans.sql_views import register_census_views
+
+    t = load_census_csvs(spark, CSV_DIR)
+    register_census_views(spark, t["states"], t["incomes"], t["grads"])
+    return spark
+
+
+def test_sql_view_layer_matches_reference_shapes(sql_views):
+    spark = sql_views
+    assert spark.sql("SELECT * FROM state_dim").count() == 52
+    assert spark.sql("SELECT * FROM income_vs_graduation_fact").count() == 104
+    cols = spark.sql("SELECT * FROM income_vs_graduation_fact").columns
+    # the exact Athena view column names survive
+    assert cols == ["Median Household Income", "Graduation Rate", "State", "Year"]
+
+
+def test_sql_view_layer_matches_dataframe_plan(sql_views, views):
+    spark = sql_views
+    got = {
+        (r.State, r.Year): (r["Median Household Income"], r["Graduation Rate"])
+        for r in spark.sql("SELECT * FROM income_vs_graduation_fact").collect()
+    }
+    want = {
+        (r.state, r.year): (r.income, r.graduation)
+        for r in views["income_vs_graduation_fact"].collect()
+    }
+    assert got == want
+
+
+def test_adhoc_sql_over_testdata(spark):
+    from census_asc5_data_pipeline_spark.plans.sql_views import run_sql
+
+    out = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """
+        SELECT n_name, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) == 3 and all(r.n > 0 for r in rows)
