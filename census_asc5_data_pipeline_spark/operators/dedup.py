@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from census_asc5_data_pipeline_spark.functions import token_bigrams, words
+from census_asc5_data_pipeline_spark.functions import words
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:

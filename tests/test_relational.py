@@ -86,6 +86,43 @@ def test_asof_join_strict_prior(spark):
     assert got2 == {100: 5, 101: 20, 102: 20, 103: None}
 
 
+def test_asof_join_matches_python_model(spark):
+    """Property test: asof_join vs a brute-force Python as-of on random
+    small inputs (keys collide, timestamps tie)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=5),  # ts
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(row, min_size=1, max_size=8),
+        st.lists(row, min_size=0, max_size=8),
+    )
+    def check(lrows, rrows):
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)], ["k", "ts", "id"]
+        )
+        right = spark.createDataFrame(
+            [(k, t, t) for (k, t) in rrows], ["k", "ts", "pv"]
+        ) if rrows else spark.createDataFrame([], "k INT, ts INT, pv INT")
+        out = {
+            r.id: r.pv
+            for r in asof_join(
+                left, right, "k", "ts", ["pv"], tiebreak="id", strict=True
+            ).collect()
+        }
+        for i, (k, t) in enumerate(lrows):
+            prior = [rt for rk, rt in rrows if rk == k and rt < t]
+            want = max(prior) if prior else None
+            assert out[i] == want, (lrows, rrows, i)
+
+    check()
+
+
 def test_gap_fill_densifies_missing_days(spark):
     from pyspark.sql import functions as F
 

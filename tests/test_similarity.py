@@ -7,6 +7,7 @@ from pyspark.sql import types as T
 
 from census_asc5_data_pipeline_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -53,6 +54,28 @@ def test_lsh_recall_of_planted_pair(emb):
     ).collect()
     # near-identical vectors land in the same hyperplane bucket
     assert any(r.cand_id == 100 for r in out)
+
+
+def test_ivf_recall_of_planted_pair(emb):
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, n_centroids=8, nprobe=3
+    ).collect()
+    # the near-duplicate shares (or neighbors) the query's inverted list
+    assert any(r.cand_id == 100 for r in out)
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        brute.setdefault(r.query_id, set()).add(r.cand_id)
+    approx = {}
+    for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4).collect():
+        approx.setdefault(r.query_id, set()).add(r.cand_id)
+        # every approx score must equal the exact score (subset property)
+    hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert hits / total >= 0.5  # nprobe=4 of 8 lists — recall well above chance
 
 
 def test_lsh_is_subset_of_brute_force_scores(emb):
