@@ -1,0 +1,67 @@
+"""CDC / slowly-changing-dimension maintenance — batch MERGE shapes.
+
+Spark has no MERGE INTO against plain parquet (that's a table-format
+feature), so the engine expresses upserts as full-outer joins and SCD2
+history as window functions — both single-shuffle-per-key, no driver
+loops, the standard warehouse-maintenance shapes at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd1_upsert(dim: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Type-1 upsert: updates overwrite matching keys, new keys insert,
+    unmatched dim rows persist. One full-outer join on the key; updated
+    columns are taken from the update side when present.
+
+    Both inputs must share the schema (key + payload columns).
+    """
+    payload = [c for c in dim.columns if c != key]
+    u = updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in payload])
+    out = dim.join(u, key, "full_outer")
+    for c in payload:
+        out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+    return out.select(key, *payload)
+
+
+def scd2_from_snapshots(
+    snapshots: DataFrame,
+    key: str,
+    version: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Type-2 history from periodic snapshots: per key, collapse
+    consecutive versions into validity ranges [valid_from, valid_to)
+    with an ``is_current`` flag; only CHANGED payloads open a new row
+    (gap-and-island on payload equality — one shuffle on the key).
+    """
+    w = Window.partitionBy(key).orderBy(version)
+    changed = (
+        sum(
+            [
+                F.when(
+                    ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)), 1
+                ).otherwise(0)
+                for c in payload_cols
+            ],
+            F.when(F.lag(F.col(version)).over(w).isNull(), 1).otherwise(0),
+        )
+        > 0
+    )
+    grp = F.sum(F.when(changed, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    collapsed = (
+        snapshots.withColumn("__grp", grp)
+        .groupBy(key, "__grp", *payload_cols)
+        .agg(F.min(version).alias("valid_from"))
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from")
+    return (
+        collapsed.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key, *payload_cols, "valid_from", "valid_to", "is_current")
+    )

@@ -1417,6 +1417,196 @@ UNION ALL SELECT 'new', o_custkey FROM (SELECT * FROM cur EXCEPT SELECT * FROM p
 """
 
 
+def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 MERGE: latest-year order totals overwrite customer
+    balances; a synthetic new key exercises the insert path."""
+    from census_asc5_data_pipeline_spark.operators import cdc as CDC
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        cents(F.col("c_acctbal")).alias("acctbal_c"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.year("o_orderdate")).alias("m")).collect()[0]["m"]
+    upd = (
+        orders.filter(F.year("o_orderdate") == mx)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("acctbal_c"))
+    )
+    new_row = spark.createDataFrame([(-1, 0)], "custkey INT, acctbal_c BIGINT")
+    upd = upd.unionByName(new_row.select(
+        F.col("custkey").cast(upd.schema["custkey"].dataType),
+        F.col("acctbal_c").cast("bigint"),
+    ))
+    return CDC.scd1_upsert(cust, upd, "custkey")
+
+
+SQL_SCD1 = """
+WITH mx AS (SELECT MAX(EXTRACT(year FROM o_orderdate)) AS m FROM orders),
+upd AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_c
+  FROM orders, mx WHERE EXTRACT(year FROM o_orderdate) = m GROUP BY 1
+  UNION ALL SELECT -1, 0
+), dim AS (
+  SELECT c_custkey AS custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+  FROM customer
+)
+SELECT COALESCE(d.custkey, u.custkey) AS custkey,
+       COALESCE(u.acctbal_c, d.acctbal_c) AS acctbal_c
+FROM dim d FULL OUTER JOIN upd u ON d.custkey = u.custkey
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history from yearly spend snapshots: consecutive equal
+    payloads collapse into one validity range [valid_from, valid_to)."""
+    from census_asc5_data_pipeline_spark.operators import cdc as CDC
+
+    orders = _t(spark, sf_dir, "orders")
+    snaps = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).agg(
+        # bucketed spend tier (not raw cents) so consecutive-equal
+        # payloads actually occur and the collapse does real work
+        F.floor(F.sum(cents(F.col("o_totalprice"))) / F.lit(10000000.0))
+        .cast("bigint")
+        .alias("tier")
+    )
+    return CDC.scd2_from_snapshots(snaps, "custkey", "yr", ["tier"])
+
+
+SQL_SCD2 = """
+WITH snaps AS (
+  SELECT o_custkey AS custkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 10000000.0) AS BIGINT) AS tier
+  FROM orders GROUP BY 1, 2
+), flagged AS (
+  SELECT custkey, yr, tier,
+         CASE WHEN lag(yr) OVER w IS NULL THEN 1
+              WHEN tier IS DISTINCT FROM lag(tier) OVER w THEN 1 ELSE 0 END AS chg
+  FROM snaps WINDOW w AS (PARTITION BY custkey ORDER BY yr)
+), grouped AS (
+  SELECT custkey, yr, tier,
+         SUM(chg) OVER (PARTITION BY custkey ORDER BY yr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+), collapsed AS (
+  SELECT custkey, grp, tier, MIN(yr) AS valid_from
+  FROM grouped GROUP BY 1, 2, 3
+)
+SELECT custkey, tier, valid_from,
+       lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) IS NULL AS is_current
+FROM collapsed
+"""
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: referential integrity, key nullability/
+    uniqueness, and domain checks as one violations report."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    checks = {
+        "orphan_lineitem": li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        ).count(),
+        "orphan_order_cust": orders.join(
+            cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti"
+        ).count(),
+        "null_l_orderkey": li.filter(F.col("l_orderkey").isNull()).count(),
+        "dup_lineitem_pk": li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+        .count(),
+        "nonpositive_qty": li.filter(F.col("l_quantity") <= 0).count(),
+        "nonpositive_totalprice": orders.filter(F.col("o_totalprice") <= 0).count(),
+    }
+    return spark.createDataFrame(
+        sorted((k, int(v)) for k, v in checks.items()),
+        "check STRING, n_violations BIGINT",
+    )
+
+
+SQL_DQ_REPORT = """
+SELECT 'dup_lineitem_pk' AS check, CAST(COUNT(*) AS BIGINT) AS n_violations FROM (
+  SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+)
+UNION ALL SELECT 'nonpositive_qty', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+UNION ALL SELECT 'nonpositive_totalprice', COUNT(*) FROM orders WHERE o_totalprice <= 0
+UNION ALL SELECT 'null_l_orderkey', COUNT(*) FROM lineitem WHERE l_orderkey IS NULL
+UNION ALL SELECT 'orphan_lineitem', COUNT(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL SELECT 'orphan_order_cust', COUNT(*) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% stratified sample (salted-md5 bucket < 10 per
+    priority stratum) — rerun-stable, engine-portable; summarized so
+    the sample membership itself is what's verified."""
+    orders = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sample-v1|"), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = orders.withColumn("bucket", F.pmod(h, F.lit(100))).filter(
+        F.col("bucket") < 10
+    )
+    return sampled.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(cents(F.col("o_totalprice"))).alias("sample_total_c"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SQL_STRATIFIED = """
+WITH s AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         ('0x' || substr(md5('sample-v1|' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM orders
+)
+SELECT o_orderpriority AS priority, COUNT(*) AS n_sampled,
+       CAST(SUM(price_c) AS BIGINT) AS sample_total_c,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM s WHERE bucket < 10 GROUP BY 1
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status), (priority), () — through the
+    engine's SQL surface (distinct from CUBE/ROLLUP coverage)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join: per-nation customer vs supplier presence —
     nations with only one side survive with a zero on the other."""
@@ -1765,6 +1955,11 @@ QUERIES: dict[str, QueryFn] = {
     "monthly_revenue": q_monthly_revenue,
     "range_frame": q_range_frame,
     "full_outer_balance": q_full_outer_balance,
+    "scd1_upsert": q_scd1_upsert,
+    "scd2_history": q_scd2_history,
+    "dq_report": q_dq_report,
+    "stratified_sample": q_stratified_sample,
+    "grouping_sets": q_grouping_sets,
 }
 
 ORACLES: dict[str, str] = {
@@ -1822,6 +2017,11 @@ ORACLES: dict[str, str] = {
     "monthly_revenue": SQL_MONTHLY_REVENUE,
     "range_frame": SQL_RANGE_FRAME,
     "full_outer_balance": SQL_FULL_OUTER,
+    "scd1_upsert": SQL_SCD1,
+    "scd2_history": SQL_SCD2,
+    "dq_report": SQL_DQ_REPORT,
+    "stratified_sample": SQL_STRATIFIED,
+    "grouping_sets": SQL_GROUPING_SETS,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+from census_asc5_data_pipeline_spark.operators.cdc import (
+    scd1_upsert,
+    scd2_from_snapshots,
+)
+
+
+def test_scd1_update_insert_keep(spark):
+    dim = spark.createDataFrame(
+        [(1, 100, "a"), (2, 200, "b"), (3, 300, "c")], ["k", "bal", "seg"]
+    )
+    upd = spark.createDataFrame(
+        [(2, 999, None), (4, 400, "d")], dim.schema
+    )
+    out = {r.k: (r.bal, r.seg) for r in scd1_upsert(dim, upd, "k").collect()}
+    assert out[1] == (100, "a")  # untouched
+    assert out[2] == (999, "b")  # updated bal; null update leaves seg
+    assert out[3] == (300, "c")  # untouched
+    assert out[4] == (400, "d")  # inserted
+    assert len(out) == 4
+
+
+def test_scd2_collapses_equal_runs(spark):
+    snaps = spark.createDataFrame(
+        [
+            (1, 2015, "x"),
+            (1, 2016, "x"),  # same payload — same range
+            (1, 2017, "y"),  # change
+            (1, 2018, "x"),  # change back — NEW range (not merged with 2015)
+            (2, 2016, "z"),
+        ],
+        ["k", "yr", "val"],
+    )
+    out = scd2_from_snapshots(snaps, "k", "yr", ["val"])
+    rows = sorted(
+        ((r.k, r.valid_from, r.valid_to, r.val, r.is_current) for r in out.collect())
+    )
+    assert rows == [
+        (1, 2015, 2017, "x", False),
+        (1, 2017, 2018, "y", False),
+        (1, 2018, None, "x", True),
+        (2, 2016, None, "z", True),
+    ]
+
+
+def test_scd2_null_payload_transitions(spark):
+    snaps = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None), (1, 3, "a")], "k INT, yr INT, val STRING"
+    )
+    out = sorted(
+        ((r.valid_from, r.valid_to, r.val) for r in
+         scd2_from_snapshots(snaps, "k", "yr", ["val"]).collect())
+    )
+    # null==null is NOT a change (eqNullSafe); null→'a' is
+    assert out == [(1, 3, None), (3, None, "a")]
