@@ -71,6 +71,66 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def resize_meta(
+    df: DataFrame, max_w: int = 224, max_h: int = 224
+) -> DataFrame:
+    """Resize planning: fit-within target dims preserving aspect ratio —
+    pure integer column math (the actual pixel work belongs in the
+    decode kernel; the plan stage only needs the geometry)."""
+    scale_num = F.least(
+        F.lit(max_w) * F.col("height"), F.lit(max_h) * F.col("width")
+    )
+    denom = F.col("width") * F.col("height")
+    new_w = F.floor(F.col("width") * scale_num / denom).cast("bigint")
+    new_h = F.floor(F.col("height") * scale_num / denom).cast("bigint")
+    no_up = F.col("width") <= F.lit(max_w)
+    no_up_h = F.col("height") <= F.lit(max_h)
+    return df.select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(no_up & no_up_h, F.col("width")).otherwise(new_w).alias("out_w"),
+        F.when(no_up & no_up_h, F.col("height")).otherwise(new_h).alias("out_h"),
+    )
+
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage as Arrow-batched mapInPandas.
+
+    STUB kernel: a real model (CLIP/ViT) is unavailable here, so the
+    vector is a deterministic byte-histogram projection — the contract
+    (binary in, fixed-dim double array out, bounded Arrow batches) is
+    the real thing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                buckets = [0] * FEATURE_DIM
+                for b in p:
+                    buckets[b % FEATURE_DIM] += 1
+                total = max(1, len(p))
+                feats.append([b / total for b in buckets])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "features": feats}
+            )
+
+    return df.mapInPandas(batches, FEATURES_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every: int = 7) -> DataFrame:
     """Frame-sampling plan: explode a frame index per decoded video and
     keep every ``every``-th frame — pure JVM explode, no codec."""

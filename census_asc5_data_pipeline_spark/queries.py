@@ -866,6 +866,95 @@ FROM (
 )
 
 
+def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dup pairs — the tokenizer-free dedup
+    path (CJK/no-whitespace text). Shingles with document frequency
+    > 250 are dropped on BOTH engines (common substrings are stopwords
+    here; candidate recall is what a df-capped pass is for), so the
+    capped co-counts still hash-match exactly."""
+    from census_asc5_data_pipeline_spark.functions import char_shingles
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    post = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(char_shingles(F.lower(F.col("text")), 5))
+        ).alias("sh"),
+    )
+    from pyspark.sql import Window
+
+    post = post.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+    freq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    post = post.join(F.broadcast(freq.filter(F.col("df") <= 250)), "sh")
+    a = post.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh")
+    b = post.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") * 100 >= F.col("n_a") * 30)  # ≥30% of a's shingles
+        .select("doc_a", "doc_b", "co")
+    )
+
+
+SQL_DEDUP_CHAR_NGRAM = """
+WITH d AS (
+  SELECT doc_id, list_distinct(
+    [substr(lower(text), i, 5) FOR i IN range(1, length(text) - 3)]
+  ) AS shs
+  FROM documents WHERE LENGTH(text) >= 5
+), p0 AS (
+  SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh, unnest(shs) AS sh FROM d
+), freq AS (
+  SELECT sh FROM p0 GROUP BY sh HAVING COUNT(*) <= 250
+), p AS (
+  SELECT p0.* FROM p0 JOIN freq USING (sh)
+)
+SELECT doc_a, doc_b, co FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+) WHERE co * 100 >= n_a * 30
+"""
+
+
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per order within its priority — both
+    are exact rational functions of integer ranks, micro-rounded."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price_c")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "price_c",
+        F.floor(F.percent_rank().over(w) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("pr_ppm"),
+        F.floor(F.cume_dist().over(w) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cd_ppm"),
+    )
+
+
+SQL_PERCENT_RANK = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority AS priority, price_c,
+       CAST(FLOOR(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pr_ppm,
+       CAST(FLOOR(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT) AS cd_ppm
+FROM o WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup end-to-end: exact-Jaccard near-dup pairs (≥ 0.5) →
     alternating-star connected components → every doc labeled with its
@@ -1924,6 +2013,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_char_ngram": q_dedup_char_ngram,
+    "percent_rank": q_percent_rank,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1991,6 +2082,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_char_ngram": SQL_DEDUP_CHAR_NGRAM,
+    "percent_rank": SQL_PERCENT_RANK,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,

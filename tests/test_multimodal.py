@@ -1,9 +1,12 @@
 from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
     attach_binary,
     decode_media,
+    extract_features,
     frame_sample,
+    resize_meta,
 )
 
 
@@ -31,6 +34,27 @@ def test_decode_media_deterministic(spark):
     assert out[1].height == 64 + 11 % 479
     assert out[1].n_frames == 1 + 11 % 31
     assert out[3].n_bytes == 0
+
+
+def test_resize_fit_within_preserves_aspect(spark):
+    decoded = spark.createDataFrame(
+        [(1, 448, 224), (2, 100, 200), (3, 224, 224)],
+        ["doc_id", "width", "height"],
+    )
+    out = {r.doc_id: (r.out_w, r.out_h) for r in resize_meta(decoded).collect()}
+    assert out[1] == (224, 112)  # 2:1 landscape halves
+    assert out[2] == (100, 200)  # already fits — no upscale
+    assert out[3] == (224, 224)
+
+
+def test_extract_features_deterministic_unit_mass(spark):
+    media = attach_binary(_docs(spark))
+    out = {r.doc_id: list(r.features) for r in extract_features(media).collect()}
+    assert len(out[1]) == FEATURE_DIM
+    assert abs(sum(out[1]) - 1.0) < 1e-9  # histogram normalizes to 1
+    assert out[3] == [0.0] * FEATURE_DIM  # empty payload
+    again = {r.doc_id: list(r.features) for r in extract_features(media).collect()}
+    assert out == again
 
 
 def test_frame_sample(spark):
