@@ -1843,6 +1843,67 @@ FROM j GROUP BY 1
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: each stage
+    counts users whose stage event strictly follows their previous
+    stage's FIRST event. Three keyed aggregations, no self-cross."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_ms("ts").alias("ts_ms")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts_ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_ms") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("s1_signup").alias("stage"), "n")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("s2_view_after").alias("stage"), "n"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("s3_purchase_after").alias("stage"), "n"
+            )
+        )
+    )
+    return counts
+
+
+SQL_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_ms) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(ts_ms) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'view' AND ts_ms > t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(ts_ms) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_ms > t2 GROUP BY 1
+)
+SELECT 's1_signup' AS stage, COUNT(*) AS n FROM s1
+UNION ALL SELECT 's2_view_after', COUNT(*) FROM s2
+UNION ALL SELECT 's3_purchase_after', COUNT(*) FROM s3
+"""
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample: per-user daily event counts + value with
     missing days densified to zero rows (per-key spine, see operator)."""
@@ -2040,6 +2101,7 @@ QUERIES: dict[str, QueryFn] = {
     "above_avg_orders": q_above_avg_orders,
     "set_ops": q_set_ops,
     "gap_fill": q_gap_fill,
+    "funnel": q_funnel,
     "fuzzy_match": q_fuzzy_match,
     "salted_join_agg": q_salted_join_agg,
     "histogram": q_histogram,
@@ -2104,6 +2166,7 @@ ORACLES: dict[str, str] = {
     "above_avg_orders": SQL_ABOVE_AVG,
     "set_ops": SQL_SET_OPS,
     "gap_fill": SQL_GAP_FILL,
+    "funnel": SQL_FUNNEL,
     "fuzzy_match": SQL_FUZZY_MATCH,
     "salted_join_agg": SQL_SALTED_JOIN,
     "histogram": SQL_HISTOGRAM,

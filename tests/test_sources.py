@@ -69,6 +69,35 @@ def test_jsonl_corrupt_quarantine(spark, tmp_path):
     assert len(bad) == 1 and bad[0]._corrupt_record == "not json at all"
 
 
+def test_incremental_ingest_processes_only_delta(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.incremental import (
+        commit_increment,
+        read_increment,
+    )
+
+    src = tmp_path / "src"
+    ledger = str(tmp_path / "ledger")
+    src.mkdir()
+    spark.range(0, 10).coalesce(1).write.parquet(str(src / "a.parquet"))
+
+    df1, files1 = read_increment(spark, str(src), ledger)
+    assert len(files1) == 1 and df1.count() == 10
+    commit_increment(spark, ledger, files1)
+
+    # no new files → no-op
+    df2, files2 = read_increment(spark, str(src), ledger)
+    assert df2 is None and files2 == []
+
+    # second batch arrives → only IT is read
+    spark.range(100, 105).coalesce(1).write.parquet(str(src / "b.parquet"))
+    df3, files3 = read_increment(spark, str(src), ledger)
+    assert len(files3) == 1 and "b.parquet" in files3[0]
+    assert sorted(r.id for r in df3.collect()) == [100, 101, 102, 103, 104]
+    commit_increment(spark, ledger, files3)
+    df4, _ = read_increment(spark, str(src), ledger)
+    assert df4 is None
+
+
 def test_parquet_partitioned_sink(spark, tmp_path):
     df = spark.range(10).withColumn("p", (F.col("id") % 2).cast("int"))
     out = str(tmp_path / "pq")
