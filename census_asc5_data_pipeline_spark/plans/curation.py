@@ -1,0 +1,67 @@
+"""End-to-end LLM training-corpus curation — the flagship composition.
+
+One declarative plan: quality gate → exact dedup (content-hash
+keep-first) → near-dup clustering (Jaccard pairs → connected
+components, cluster-min keeper) → PII redaction → deterministic
+train/val/test split. Catalyst sees the whole graph at once, so
+filters push into the scan and each stage's shuffle feeds the next —
+no materialization between stages.
+
+Scale: the near-dup subgraph only ever contains quality+exact
+survivors; clustering runs on PAIRS (tiny vs corpus); everything else
+is one pass over the documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from census_asc5_data_pipeline_spark.functions import words
+from census_asc5_data_pipeline_spark.operators import dedup as D
+from census_asc5_data_pipeline_spark.operators import graph as G
+from census_asc5_data_pipeline_spark.operators import text as TX
+
+
+def curate(
+    docs: DataFrame,
+    min_chars: int = 100,
+    min_words: int = 20,
+    jaccard_ppm: int = 500000,
+) -> DataFrame:
+    """Per-document curation verdict.
+
+    Returns (doc_id, split, clean_len) for every KEPT document:
+    quality-passing, first of its exact-content group, and its near-dup
+    cluster's keeper (minimum surviving doc_id).
+    """
+    quality = docs.filter(
+        (F.length("text") >= min_chars) & (F.size(words(F.col("text"))) >= min_words)
+    )
+    exact_keep = quality.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = quality.join(exact_keep.select("doc_id"), "doc_id")
+    pairs = D.ngram_jaccard_pairs(survivors, threshold_ppm=jaccard_ppm, df_cap=None)
+    clusters = G.dedup_clusters(survivors, pairs)
+    keepers = clusters.filter(F.col("is_keeper")).select("doc_id")
+    kept = survivors.join(keepers, "doc_id")
+    redacted = TX.pii_redact(kept)
+    split = TX.hash_split(
+        redacted.select("doc_id", F.length("clean_text").alias("clean_len")),
+        id_col="doc_id",
+        salt="split-v1",
+    )
+    return split.select("doc_id", "split", F.col("clean_len").cast("bigint"))
+
+
+def curation_summary(docs: DataFrame, **kwargs) -> DataFrame:
+    """Split-level rollup of the curation verdict (the dataset card)."""
+    return (
+        curate(docs, **kwargs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("clean_len").alias("total_chars"),
+        )
+    )

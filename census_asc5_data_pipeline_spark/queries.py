@@ -2021,6 +2021,68 @@ FROM o GROUP BY 1
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the full curation pipeline (quality gate →
+    exact dedup → near-dup cluster keeper → PII redact → split) as one
+    Catalyst plan; the oracle re-derives every stage in SQL."""
+    from census_asc5_data_pipeline_spark.plans.curation import curate
+
+    return curate(_t(spark, sf_dir, "documents"))
+
+
+SQL_CURATE = """
+WITH RECURSIVE q AS (
+  SELECT doc_id, text FROM documents
+  WHERE LENGTH(text) >= 100
+    AND len(regexp_split_to_array(lower(text), '\\s+')) >= 20
+), ek AS (
+  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), s AS (
+  SELECT q.* FROM q JOIN ek USING (doc_id)
+), t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM s
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 500000
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM s
+  UNION
+  SELECT e.v AS node, r.root FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY 1
+), kept AS (
+  SELECT s.doc_id, s.text FROM s JOIN comp USING (doc_id) WHERE comp.component = s.doc_id
+), red AS (
+  SELECT doc_id, LENGTH(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+      '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g')
+  ) AS clean_len FROM kept
+), b AS (
+  SELECT doc_id, clean_len,
+         ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM red
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(clean_len AS BIGINT) AS clean_len
+FROM b
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: attach payload → Arrow mapInPandas decode
     stub → typed metadata. The oracle reproduces the deterministic fake
@@ -2095,6 +2157,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_funnel": q_quality_funnel,
     "boilerplate_segments": q_boilerplate_segments,
     "decontaminate": q_decontaminate,
+    "curate_corpus": q_curate_corpus,
     # §2.2 additions
     "stats_agg": q_stats_agg,
     "ntile_quartiles": q_ntile_quartiles,
@@ -2161,6 +2224,7 @@ ORACLES: dict[str, str] = {
     "quality_funnel": SQL_QUALITY_FUNNEL,
     "boilerplate_segments": SQL_BOILERPLATE,
     "decontaminate": SQL_DECONTAMINATE,
+    "curate_corpus": SQL_CURATE,
     "stats_agg": SQL_STATS_AGG,
     "ntile_quartiles": SQL_NTILE,
     "above_avg_orders": SQL_ABOVE_AVG,
