@@ -255,12 +255,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k: random-hyperplane bucketing + exact rerank in-bucket.
 
     At scale: corpus bucketing is one narrow map; the join is an
     equi-join on bucket id (shuffle bounded by bucket sizes, not n²).
     Recall < 1 by design — tested against ``cosine_topk`` recall.
+    ``multiprobe`` additionally probes all hamming-1 buckets.
     """
     hp = _hyperplanes(dim, planes, seed)
     c = corpus.select(
@@ -269,6 +271,21 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
     ).withColumn("bucket", lsh_bucket(F.col("qv"), hp))
+    if multiprobe:
+        # probe the exact bucket plus every hamming-1 neighbor (flip one
+        # hyperplane sign): recall of near-boundary vectors goes way up
+        # at the cost of planes+1 probes per query — still an equi-join,
+        # corpus side untouched.
+        probe = F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(planes)
+                ],
+            )
+        )
+        q = q.withColumn("bucket", probe)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))

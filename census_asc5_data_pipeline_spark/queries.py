@@ -1044,6 +1044,47 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, planes=8, dim=64)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (rows-only; hamming-1 probes widen recall —
+    superset-of-single-probe property pytest-verified)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        planes=8,
+        dim=64,
+        multiprobe=True,
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation: approx_percentile (Greenwald-Khanna) per
+    priority — rows-only oracle (sketch internals are engine-specific);
+    pytest bounds the error against the exact quantiles."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.percentile_approx("price_c", [0.5, 0.9, 0.99], 1000).alias("approx_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries-style heavy hitters over corpus terms via
+    ``DataFrame.freqItems`` (rows-only; superset-of-true-heavy-hitters
+    property pytest-verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    from census_asc5_data_pipeline_spark.functions import words
+
+    terms = docs.select(F.explode(words(F.col("text"))).alias("term"))
+    freq = terms.freqItems(["term"], support=0.01)
+    return freq.select(
+        F.explode(F.array_sort(F.col("term_freqItems"))).alias("term")
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only oracle; recall pytest-verified vs brute)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2142,7 +2183,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "approx_quantiles": q_approx_quantiles,
+    "heavy_hitters": q_heavy_hitters,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,

@@ -39,3 +39,34 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 512,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_file_mb`` files (the silent killer at 100 TB is a
+    million 1 MB files — every scan pays open/footer cost per file).
+
+    File count is derived from the dataset's on-disk bytes; the rewrite
+    round-trips through a temp dir so a crash never leaves the dataset
+    half-deleted. Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

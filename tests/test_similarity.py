@@ -78,6 +78,27 @@ def test_ivf_recall_vs_brute_force(emb):
     assert hits / total >= 0.5  # nprobe=4 of 8 lists — recall well above chance
 
 
+def test_multiprobe_recall_dominates_single_probe(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    single = {
+        (r.query_id, r.cand_id)
+        for r in lsh_topk(emb, queries, k=5, planes=4, dim=16).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id)
+        for r in lsh_topk(
+            emb, queries, k=5, planes=4, dim=16, multiprobe=True
+        ).collect()
+    }
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    # hamming-1 probing can only widen the candidate set → recall ≥
+    assert len(multi & brute) >= len(single & brute)
+    assert len(multi & brute) > 0
+
+
 def test_lsh_is_subset_of_brute_force_scores(emb):
     brute = {
         (r.query_id, r.cand_id): r.cos_micro

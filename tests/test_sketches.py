@@ -1,0 +1,75 @@
+"""Approximate-op guarantees: sketches are rows-only at the oracle
+gate, so their error/superset properties are asserted here instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from census_asc5_data_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_quantiles_within_bound(spark):
+    got = {
+        r.priority: r.approx_q
+        for r in QUERIES["approx_quantiles"](spark, SF).collect()
+    }
+    from census_asc5_data_pipeline_spark.catalog import read_table
+    from census_asc5_data_pipeline_spark.functions import cents
+
+    orders = read_table(spark, SF, "orders").select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    exact = {
+        r.o_orderpriority: r.q
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.percentile("price_c", [0.5, 0.9, 0.99]).alias("q"))
+        .collect()
+    }
+    for prio, approx in got.items():
+        for a, e in zip(approx, exact[prio]):
+            # GK sketch with accuracy 1000 → rank error ≤ n/1000; value
+            # error bounded loosely at 5% here
+            assert abs(a - e) <= max(0.05 * e, 1), (prio, a, e)
+
+
+def test_heavy_hitters_superset_of_true(spark):
+    got = {r.term for r in QUERIES["heavy_hitters"](spark, SF).collect()}
+    from census_asc5_data_pipeline_spark.catalog import read_table
+    from census_asc5_data_pipeline_spark.functions import words
+
+    docs = read_table(spark, SF, "documents")
+    terms = docs.select(F.explode(words(F.col("text"))).alias("term"))
+    total = terms.count()
+    true_heavy = {
+        r.term
+        for r in terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > total * 0.01)
+        .collect()
+    }
+    # freqItems guarantees no false negatives at the support level
+    assert true_heavy <= got
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(64).write.parquet(path)
+    import os
+
+    def count_parts():
+        return sum(
+            1
+            for _, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert count_parts() == 64
+    before = {r.id for r in spark.read.parquet(path).collect()}
+    n = compact_parquet(spark, path, target_file_mb=512)
+    assert n == 1 and count_parts() == 1
+    assert {r.id for r in spark.read.parquet(path).collect()} == before
