@@ -38,6 +38,47 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of up to 4 numeric columns, as one
+    Column expression — sort-by this key before writing and parquet
+    row-group min/max stats become selective on EVERY interleaved
+    column at once (multi-dimensional data skipping), where a plain
+    sort only skips on its leading column.
+
+    Columns must be pre-scaled to [0, 2**bits) integers (use ntile or
+    epoch-truncation upstream); values are clamped defensively.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            col = F.col(c) if isinstance(c, str) else c
+            clamped = F.least(
+                F.greatest(col.cast("bigint"), F.lit(0)), F.lit((1 << bits) - 1)
+            )
+            bit = F.shiftright(clamped, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + i)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Sort-by-Z-order write: range-partition + sort on the interleaved
+    key so row groups cover compact hyper-rectangles of the key space."""
+    out = df.withColumn("__z", zorder_key(zcols, bits)).sortWithinPartitions("__z")
+    out = out.repartitionByRange(max(df.rdd.getNumPartitions(), 1), "__z")
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
 def cojoin_bucketed(
     spark: SparkSession,
     left_table: str,

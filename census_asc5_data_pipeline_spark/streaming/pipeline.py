@@ -152,6 +152,25 @@ def stateful_sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def native_session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Built-in ``session_window`` sessionization (vs the custom
+    ``applyInPandasWithState`` operator: JVM-side, no Python worker, but
+    fixed merge semantics — window end = last event + gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -59,6 +59,41 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     assert got == want
 
 
+def test_zorder_key_interleaves_and_localizes(spark):
+    from census_asc5_data_pipeline_spark.sources.bucketing import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["x", "y"]
+    )
+    out = {(r.x, r.y): r.z for r in df.withColumn("z", zorder_key(["x", "y"], 3)).collect()}
+    # known Morton values for 3-bit interleave (x in even bit positions)
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1
+    assert out[(0, 1)] == 2
+    assert out[(1, 1)] == 3
+    assert out[(7, 7)] == 63
+    # locality: the 4x4 quadrant [0..3]x[0..3] occupies the contiguous
+    # key range [0, 16) — that is the data-skipping property
+    quad = {out[(x, y)] for x in range(4) for y in range(4)}
+    assert quad == set(range(16))
+
+
+def test_write_zordered_roundtrip(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.bucketing import write_zordered
+
+    df = spark.createDataFrame(
+        [(x, y, x * 100 + y) for x in range(16) for y in range(16)],
+        ["x", "y", "v"],
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, ["x", "y"], bits=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 256
+    assert {(r.x, r.y, r.v) for r in back.collect()} == {
+        (x, y, x * 100 + y) for x in range(16) for y in range(16)
+    }
+
+
 def test_bucketed_groupby_needs_no_shuffle(spark, bucketed_tables):
     lt, _ = bucketed_tables
     agg = spark.table(lt).groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))

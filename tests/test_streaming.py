@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from census_asc5_data_pipeline_spark.catalog import read_table
 from census_asc5_data_pipeline_spark.streaming.pipeline import (
     enrich_with_dim,
+    native_session_agg,
     purchase_attribution,
     read_event_stream,
     sliding_counts,
@@ -152,6 +153,28 @@ def test_stream_stream_attribution_matches_batch(spark, event_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_native_session_window_matches_custom_sessions(spark, event_dir):
+    ev = read_event_stream(spark, event_dir)
+    _run(native_session_agg(ev), "native_sess_out")
+    got = {
+        (r.user_id, r.session_start_ms): (r.session_end_ms, r.n_events)
+        for r in spark.sql("SELECT * FROM native_sess_out").collect()
+    }
+    from census_asc5_data_pipeline_spark.operators.windows import sessionize
+    batch = sessionize(
+        spark.read.parquet(event_dir), "user_id", "ts", 30, tiebreak="event_id"
+    )
+    gap_ms = 30 * 60 * 1000
+    want = {
+        (r.user_id, r.session_start_ms): (r.session_end_ms + gap_ms, r.n_events)
+        for r in batch.collect()
+    }
+    # session_window's end = last event + gap; starts and counts align
+    assert got
+    matched = sum(1 for k, v in got.items() if want.get(k) == v)
+    assert matched / len(got) > 0.95
 
 
 def test_foreach_batch_idempotent_sink(spark, event_dir, tmp_path):
