@@ -1737,6 +1737,56 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events wide: one row per user, one count column per event
+    type (explicit value list so the plan is single-pass, no distinct
+    scan)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): region → sorted nation
+    list. Sorting inside the agg makes the concatenation deterministic
+    regardless of partitioning."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+SQL_STRING_AGG = """
+SELECT r_name AS region,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
 def q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join: per-nation customer vs supplier presence —
     nations with only one side survive with a zero on the other."""
@@ -2215,6 +2265,8 @@ QUERIES: dict[str, QueryFn] = {
     "monthly_revenue": q_monthly_revenue,
     "range_frame": q_range_frame,
     "full_outer_balance": q_full_outer_balance,
+    "events_pivot": q_events_pivot,
+    "string_agg": q_string_agg,
     "scd1_upsert": q_scd1_upsert,
     "scd2_history": q_scd2_history,
     "dq_report": q_dq_report,
@@ -2281,6 +2333,8 @@ ORACLES: dict[str, str] = {
     "monthly_revenue": SQL_MONTHLY_REVENUE,
     "range_frame": SQL_RANGE_FRAME,
     "full_outer_balance": SQL_FULL_OUTER,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "string_agg": SQL_STRING_AGG,
     "scd1_upsert": SQL_SCD1,
     "scd2_history": SQL_SCD2,
     "dq_report": SQL_DQ_REPORT,
