@@ -19,6 +19,27 @@ from pyspark.sql import functions as F
 from census_asc5_data_pipeline_spark.functions import cosine, dot, to_double_array
 
 
+def _exact_rerank_topk(matched: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every ANN variant: exact micro-fixed-point cosine
+    on (query_id, qv, cand_id, cv) candidates, deterministic top-k."""
+    from pyspark.sql import Window
+
+    scored = matched.filter(F.col("cand_id") != F.col("query_id")).withColumn(
+        "cos_micro",
+        F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000.0 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_micro", "rn")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -35,26 +56,7 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "cos_micro",
-            F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000.0 + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_micro").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "cand_id", "cos_micro", "rn")
-    )
+    return _exact_rerank_topk(c.crossJoin(F.broadcast(q)), k)
 
 
 def cosine_near_dup_pairs(
@@ -224,26 +226,7 @@ def ivf_topk(
         .withColumn("cluster", F.col("__probe").cast("int"))
         .drop("__probe")
     )
-    scored = (
-        c.join(F.broadcast(probes), "cluster")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "cos_micro",
-            F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000.0 + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_micro").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "cand_id", "cos_micro", "rn")
-    )
+    return _exact_rerank_topk(c.join(F.broadcast(probes), "cluster"), k)
 
 
 def lsh_topk(
@@ -286,23 +269,4 @@ def lsh_topk(
             )
         )
         q = q.withColumn("bucket", probe)
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "cos_micro",
-            F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000.0 + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_micro").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "cand_id", "cos_micro", "rn")
-    )
+    return _exact_rerank_topk(c.join(F.broadcast(q), "bucket"), k)

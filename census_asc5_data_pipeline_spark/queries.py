@@ -1737,6 +1737,39 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by argmax aggregates: per nation the customer holding
+    the highest / lowest balance. Tie-break to the lowest custkey is
+    encoded into the scalar ordering key (bal·1e8 ∓ custkey) — struct
+    ordering keys aren't portable across engines."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    key_hi = F.col("bal_c") * F.lit(100000000) - F.col("c_custkey")
+    key_lo = F.col("bal_c") * F.lit(100000000) + F.col("c_custkey")
+    return cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.max_by("c_custkey", key_hi).alias("richest_cust"),
+        F.max("bal_c").alias("max_bal_c"),
+        F.min_by("c_custkey", key_lo).alias("poorest_cust"),
+        F.min("bal_c").alias("min_bal_c"),
+    )
+
+
+SQL_ARGMAX = """
+SELECT c_nationkey AS nationkey,
+       arg_max(c_custkey, bal_c * 100000000 - c_custkey) AS richest_cust,
+       MAX(bal_c) AS max_bal_c,
+       arg_min(c_custkey, bal_c * 100000000 + c_custkey) AS poorest_cust,
+       MIN(bal_c) AS min_bal_c
+FROM (SELECT c_nationkey, c_custkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer)
+GROUP BY 1
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot events wide: one row per user, one count column per event
     type (explicit value list so the plan is single-pass, no distinct
@@ -2267,6 +2300,7 @@ QUERIES: dict[str, QueryFn] = {
     "full_outer_balance": q_full_outer_balance,
     "events_pivot": q_events_pivot,
     "string_agg": q_string_agg,
+    "argmax_agg": q_argmax_agg,
     "scd1_upsert": q_scd1_upsert,
     "scd2_history": q_scd2_history,
     "dq_report": q_dq_report,
@@ -2335,6 +2369,7 @@ ORACLES: dict[str, str] = {
     "full_outer_balance": SQL_FULL_OUTER,
     "events_pivot": SQL_EVENTS_PIVOT,
     "string_agg": SQL_STRING_AGG,
+    "argmax_agg": SQL_ARGMAX,
     "scd1_upsert": SQL_SCD1,
     "scd2_history": SQL_SCD2,
     "dq_report": SQL_DQ_REPORT,
