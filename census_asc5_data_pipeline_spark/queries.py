@@ -1737,6 +1737,96 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage over embeddings: dim, L2 norm, mean and
+    max element — all JVM folds (zip_with/aggregate), micro fixed
+    point."""
+    from census_asc5_data_pipeline_spark.functions import l2_norm, to_double_array
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+
+    def micro(c):
+        return F.floor(c * 1000000.0 + F.lit(0.5)).cast("bigint")
+
+    mean = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size("v")
+    return emb.select(
+        "vec_id",
+        F.size("v").cast("bigint").alias("dim"),
+        micro(l2_norm(F.col("v"))).alias("norm_micro"),
+        micro(mean).alias("mean_micro"),
+        micro(F.array_max("v")).alias("max_micro"),
+    )
+
+
+SQL_VECTOR_STATS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+       CAST(FLOOR(sqrt(list_dot_product(v, v)) * 1000000.0 + 0.5) AS BIGINT) AS norm_micro,
+       CAST(FLOOR(list_sum(v) / len(v) * 1000000.0 + 0.5) AS BIGINT) AS mean_micro,
+       CAST(FLOOR(list_max(v) * 1000000.0 + 0.5) AS BIGINT) AS max_micro
+FROM e
+"""
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(quarter, day-of-week) revenue matrix — date-part portability:
+    Spark's dayofweek is 1-based Sunday, ANSI dow is 0-based Sunday,
+    so the Spark side normalizes to dow = dayofweek - 1."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_c"),
+    )
+
+
+SQL_DOW_SEASONALITY = """
+SELECT CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause-style conditional aggregates in one pass: per user,
+    total events, error count/ppm, and value sum restricted to
+    purchases."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", cents(F.col("value")).alias("value_c")
+    )
+    n = F.count(F.lit(1))
+    n_err = F.sum((F.col("event_type") == "error").cast("bigint"))
+    return ev.groupBy("user_id").agg(
+        n.alias("n_events"),
+        n_err.alias("n_errors"),
+        F.floor(n_err.cast("double") * 1000000.0 / n + F.lit(0.5))
+        .cast("bigint")
+        .alias("error_ppm"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value_c")).otherwise(0)
+        ).alias("purchase_value_c"),
+    )
+
+
+SQL_CONDITIONAL_AGG = """
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       CAST(FLOOR(CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE)
+                  * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS error_ppm,
+       CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_value_c
+FROM events GROUP BY 1
+"""
+
+
 def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by argmax aggregates: per nation the customer holding
     the highest / lowest balance. Tie-break to the lowest custkey is
@@ -2301,6 +2391,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_pivot": q_events_pivot,
     "string_agg": q_string_agg,
     "argmax_agg": q_argmax_agg,
+    "vector_stats": q_vector_stats,
+    "dow_seasonality": q_dow_seasonality,
+    "conditional_agg": q_conditional_agg,
     "scd1_upsert": q_scd1_upsert,
     "scd2_history": q_scd2_history,
     "dq_report": q_dq_report,
@@ -2370,6 +2463,9 @@ ORACLES: dict[str, str] = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "string_agg": SQL_STRING_AGG,
     "argmax_agg": SQL_ARGMAX,
+    "vector_stats": SQL_VECTOR_STATS,
+    "dow_seasonality": SQL_DOW_SEASONALITY,
+    "conditional_agg": SQL_CONDITIONAL_AGG,
     "scd1_upsert": SQL_SCD1,
     "scd2_history": SQL_SCD2,
     "dq_report": SQL_DQ_REPORT,
