@@ -134,8 +134,11 @@ def extract_features(df: DataFrame) -> DataFrame:
 def frame_sample(df: DataFrame, every: int = 7) -> DataFrame:
     """Frame-sampling plan: explode a frame index per decoded video and
     keep every ``every``-th frame — pure JVM explode, no codec."""
+    # guard n_frames >= 1: sequence(0, -1) runs DESCENDING in Spark and
+    # would fabricate frames for zero-frame media
     return (
-        df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)))
+        df.filter(F.col("n_frames") >= 1)
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)))
         .filter(F.col("frame_idx") % every == 0)
         .select("doc_id", "frame_idx", "width", "height")
     )

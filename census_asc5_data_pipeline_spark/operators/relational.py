@@ -95,7 +95,13 @@ def salted_join(
     Use when one key holds >> 1/partitions of the rows and AQE's
     skew-join split is not enough. Costs ``salt_buckets``× replication
     of the right side, so keep the right side the smaller input.
+
+    Only inner / left joins are salt-able this way: an unmatched RIGHT
+    row exists once per salt replica, so right/full outer joins would
+    emit it ``salt_buckets`` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salted_l = left.withColumn(
         "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
     )

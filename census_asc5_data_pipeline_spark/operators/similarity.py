@@ -131,7 +131,10 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not seeds:
+        raise ValueError("ivf_centroids: empty corpus")
     cents: list[list[float]] = [list(r.v) for r in seeds]
+    n_centroids = len(cents)  # corpus may hold fewer rows than requested
     for _ in range(iterations):
         assigned = corpus.select(
             to_double_array(vec_col).alias("v")

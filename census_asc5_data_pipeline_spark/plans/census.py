@@ -75,10 +75,14 @@ def census_views(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "state_id",
         F.col("year").alias("year_id"),
     ).distinct()
+    # join year_dim too (report.md:489-494 joins it on year_id = Year):
+    # a year present in the measures but absent from states must drop,
+    # exactly as the SQL view layer (plans/sql_views.py) does.
+    year_dim_j = year_dim.withColumnRenamed("year", "year_id")
     fact = fact_join(
         [income_measure, grad_measure],
         ["state_id", "year_id"],
-        [(state_dim, ["state_id"])],
+        [(state_dim, ["state_id"]), (year_dim_j, ["year_id"])],
     ).select("state", F.col("year_id").alias("year"), "income", "graduation")
     return {
         "state_dim": state_dim,

@@ -51,6 +51,13 @@ def zorder_key(cols: list, bits: int = 16):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    # bit positions must stay inside a signed 64-bit long: JVM shiftleft
+    # masks the shift amount mod 64, so overflow would silently wrap
+    # high bits onto low positions instead of erroring
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} bit positions > 63"
+        )
     key = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -74,7 +81,7 @@ def write_zordered(
 ) -> None:
     """Sort-by-Z-order write: range-partition + sort on the interleaved
     key so row groups cover compact hyper-rectangles of the key space."""
-    out = df.withColumn("__z", zorder_key(zcols, bits)).sortWithinPartitions("__z")
+    out = df.withColumn("__z", zorder_key(zcols, bits))
     out = out.repartitionByRange(max(df.rdd.getNumPartitions(), 1), "__z")
     out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
 

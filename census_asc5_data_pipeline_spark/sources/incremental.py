@@ -31,9 +31,11 @@ def _list_source_files(spark: SparkSession, source_dir: str) -> DataFrame:
 def new_files(spark: SparkSession, source_dir: str, ledger_dir: str) -> list[str]:
     """Source files absent from the ledger (deterministic order)."""
     listing = _list_source_files(spark, source_dir)
-    try:
+    if os.path.isdir(ledger_dir):
+        # any OTHER read failure (corrupt ledger, IO error) must raise:
+        # treating it as "no ledger" would silently reprocess history
         seen = spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir)
-    except Exception:
+    else:
         seen = spark.createDataFrame([], LEDGER_SCHEMA)
     delta = listing.join(seen, "file", "left_anti")
     return sorted(r.file for r in delta.collect())

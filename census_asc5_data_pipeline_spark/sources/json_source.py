@@ -39,7 +39,12 @@ def read_jsonl(
         if schema is not None:
             if isinstance(schema, str):
                 schema = T.StructType.fromDDL(schema)
-            schema = schema.add(CORRUPT_COL, T.StringType())
+            # never StructType.add on the caller's object — it mutates in
+            # place, so a reused module-level schema would accumulate
+            # duplicate corrupt columns across calls
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+            )
             reader = reader.schema(schema)
     else:
         reader = spark.read.option("mode", "DROPMALFORMED")

@@ -51,8 +51,10 @@ def compact_parquet(
     million 1 MB files — every scan pays open/footer cost per file).
 
     File count is derived from the dataset's on-disk bytes; the rewrite
-    round-trips through a temp dir so a crash never leaves the dataset
-    half-deleted. Returns the new file count.
+    round-trips through a temp dir and swaps via two renames (old aside
+    → tmp in → delete old) so a crash at any point leaves either the
+    old or the new dataset fully present, never neither. Returns the
+    new file count.
     """
     import math
     import os
@@ -66,7 +68,9 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files

@@ -125,6 +125,9 @@ def _session_fn(
             closed.append([key[0], start_ms, end_ms, n])
             start_ms, end_ms, n = t, t, 1
         else:
+            # late (out-of-order within the watermark) events can extend
+            # the session BACKWARD too
+            start_ms = min(start_ms, t)
             end_ms = max(end_ms, t)
             n += 1
     state.update((start_ms, end_ms, n))
