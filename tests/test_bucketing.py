@@ -100,3 +100,12 @@ def test_bucketed_groupby_needs_no_shuffle(spark, bucketed_tables):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     # aggregation on the bucket key reuses the bucketing — no Exchange
     assert "Exchange" not in plan, plan
+
+
+def test_zorder_key_rejects_bit_overflow(spark):
+    import pytest as _pytest
+
+    from census_asc5_data_pipeline_spark.sources.bucketing import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d", "e"], bits=16)  # 80 bit positions

@@ -64,3 +64,13 @@ def test_frame_sample(spark):
     n_frames = 1 + 100 % 31  # =8
     expected = [i for i in range(n_frames) if i % 5 == 0]
     assert sorted(r.frame_idx for r in rows) == expected
+
+
+def test_frame_sample_skips_zero_frame_media(spark):
+    decoded = spark.createDataFrame(
+        [(1, 10, 10, 0), (2, 10, 10, 2)],
+        ["doc_id", "width", "height", "n_frames"],
+    )
+    rows = frame_sample(decoded, every=1).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert sorted(r.frame_idx for r in rows) == [0, 1]

@@ -158,3 +158,13 @@ def test_filter_pushdown_in_plan(spark):
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_salted_join_rejects_outer_right(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with _pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full_outer")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, "k", how="right")

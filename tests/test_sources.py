@@ -107,3 +107,30 @@ def test_parquet_partitioned_sink(spark, tmp_path):
     # partition pruning: only one directory read
     pruned = back.filter(F.col("p") == 1)
     assert pruned.count() == 5
+
+
+def test_jsonl_schema_not_mutated_across_calls(spark, tmp_path):
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n')
+    schema = T.StructType(
+        [T.StructField("doc_id", T.IntegerType()), T.StructField("text", T.StringType())]
+    )
+    for _ in range(2):  # second call would hit a duplicate corrupt col pre-fix
+        out = read_jsonl(spark, str(p), schema=schema, keep_corrupt=True)
+        assert out.columns == ["doc_id", "text", "_corrupt_record"]
+    assert [f.name for f in schema.fields] == ["doc_id", "text"]
+
+
+def test_incremental_corrupt_ledger_raises(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.incremental import new_files
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    spark.range(3).coalesce(1).write.parquet(str(src / "a.parquet"))
+    ledger = tmp_path / "ledger2"
+    ledger.mkdir()
+    (ledger / "garbage.parquet").write_text("not parquet at all")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        new_files(spark, str(src), str(ledger))
