@@ -205,6 +205,23 @@ def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", "max_bg", "n_bg", rep.alias("rep_ppm"))
 
 
+def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document (ppm) — the classic
+    redundancy/boilerplate signal (highly compressible ≈ repetitive).
+
+    This is the ONE text op that genuinely needs Python (no codec in
+    SQL), so it is an Arrow-batched ``pandas_udf`` — vectorized
+    transfer, one Python call per batch, never per row.
+    """
+    from census_asc5_data_pipeline_spark.operators._udfs import zlib_ratio_ppm
+
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("bigint").alias("n_chars_txt"),
+        zlib_ratio_ppm(F.col(text_col)).alias("compress_ppm"),
+    )
+
+
 def boilerplate_segments(
     df: DataFrame, text_col: str = "text", seg_tokens: int = 8, min_docs: int = 2
 ) -> DataFrame:

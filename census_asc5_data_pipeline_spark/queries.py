@@ -2235,6 +2235,12 @@ FROM o GROUP BY 1
 """
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib redundancy signal (rows-only: no SQL codec; the Arrow
+    pandas_udf result is pinned against pure-python zlib in pytest)."""
+    return TX.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: the full curation pipeline (quality gate →
     exact dedup → near-dup cluster keeper → PII redact → split) as one
@@ -2375,6 +2381,7 @@ QUERIES: dict[str, QueryFn] = {
     "boilerplate_segments": q_boilerplate_segments,
     "decontaminate": q_decontaminate,
     "curate_corpus": q_curate_corpus,
+    "compression_ratio": q_compression_ratio,
     # §2.2 additions
     "stats_agg": q_stats_agg,
     "ntile_quartiles": q_ntile_quartiles,

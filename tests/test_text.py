@@ -160,3 +160,21 @@ def test_fingerprint_stable_under_duplication(spark):
     out = {r.doc_id: r for r in fingerprint(_df(spark, [a, b])).collect()}
     assert out[0].fp_min == out[1].fp_min
     assert out[0].fp_max != "" and out[1].n_shingles >= out[0].n_shingles
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from census_asc5_data_pipeline_spark.operators.text import compression_ratio
+
+    texts = ["spam " * 200, "the quick brown fox jumps over the lazy dog", ""]
+    out = {r.doc_id: r for r in compression_ratio(_df(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert out[i].compress_ppm == 0
+            continue
+        raw = t.encode("utf-8")
+        want = len(zlib.compress(raw, 6)) * 1000000 // len(raw)
+        assert out[i].compress_ppm == want
+    # repetitive text compresses far better than natural text
+    assert out[0].compress_ppm < out[1].compress_ppm
