@@ -674,6 +674,140 @@ SELECT user_id, event_type, event_id, ts_ms, value_c FROM (
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between nation pairs per year
+    (two broadcast dim joins + one fact-fact join, pair filter)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_n = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    supp_n = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == supp_n.s_suppkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("rev_c").alias("volume_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_Q7 = """
+SELECT s_nat.n_name AS supp_nation, c_nat.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS volume_c,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation s_nat ON s_nationkey = s_nat.n_nationkey
+JOIN nation c_nat ON c_nationkey = c_nat.n_nationkey
+WHERE c_nat.n_name <> s_nat.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c").alias("lost_c"))
+    )
+    out = (
+        agg.join(cust, agg.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "lost_c",
+        )
+    )
+    w = Window.orderBy(F.col("lost_c").desc(), F.col("custkey"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+SQL_Q10 = """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS lost_c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' GROUP BY 1
+)
+SELECT custkey, c_name, nation, lost_c, rank FROM (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name, n_name AS nation, lost_c,
+         CAST(ROW_NUMBER() OVER (ORDER BY lost_c DESC, c_custkey) AS INTEGER) AS rank
+  FROM agg JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+) WHERE rank <= 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (HAVING + join-back), with customer decoration."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", cents(F.col("l_quantity")).alias("qty_c")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_c").alias("total_qty_c"))
+        .filter(F.col("total_qty_c") > 25000)  # > 250 units
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("orderkey"),
+            "c_name",
+            "price_c",
+            "total_qty_c",
+        )
+    )
+
+
+SQL_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_qty_c
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000
+)
+SELECT CAST(l_orderkey AS BIGINT) AS orderkey, c_name,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, total_qty_c
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event gets the timestamp of the most
     recent strictly-prior view by the same user."""
@@ -2337,6 +2471,9 @@ QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_region_revenue": q5_region_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_orders": q18_large_orders,
     "top_k_per_group": q_top_k_per_group,
     "running_agg": q_running_agg,
     "rollup_agg": q_rollup_agg,
@@ -2419,6 +2556,9 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": SQL_Q1,
     "q3_top_unshipped": SQL_Q3,
     "q5_region_revenue": SQL_Q5,
+    "q7_nation_volume": SQL_Q7,
+    "q10_returned_items": SQL_Q10,
+    "q18_large_orders": SQL_Q18,
     "top_k_per_group": SQL_TOP_K,
     "running_agg": SQL_RUNNING,
     "rollup_agg": SQL_ROLLUP,
