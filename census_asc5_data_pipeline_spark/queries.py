@@ -808,6 +808,78 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per month — a conditional
+    ratio over a broadcast part join, computed from exact integer sums."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.month("l_shipdate").cast("bigint").alias("mo"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.groupBy("yr", "mo").agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(0)).alias(
+            "promo_c"
+        ),
+        F.sum("rev_c").alias("total_c"),
+    )
+    share = F.floor(
+        F.col("promo_c").cast("double") * 1000000.0 / F.col("total_c") + F.lit(0.5)
+    ).cast("bigint")
+    return agg.select("yr", "mo", "promo_c", "total_c", share.alias("promo_ppm"))
+
+
+SQL_Q14 = """
+WITH j AS (
+  SELECT EXTRACT(year FROM l_shipdate) AS yr, EXTRACT(month FROM l_shipdate) AS mo,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_c,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), agg AS (
+  SELECT CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo,
+         CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c,
+         CAST(SUM(rev_c) AS BIGINT) AS total_c
+  FROM j GROUP BY 1, 2
+)
+SELECT yr, mo, promo_c, total_c,
+       CAST(FLOOR(CAST(promo_c AS DOUBLE) * 1000000.0 / total_c + 0.5) AS BIGINT) AS promo_ppm
+FROM agg
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate bundle across the part
+    join — exercises disjunctive predicate pushdown/compaction."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 25) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#25") & (F.col("p_size") <= 50) & (F.col("l_quantity") >= 30))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_c").alias("revenue_c"),
+    )
+
+
+SQL_Q19 = """
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#22' AND p_size <= 25 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#25' AND p_size <= 50 AND l_quantity >= 30)
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event gets the timestamp of the most
     recent strictly-prior view by the same user."""
@@ -2474,6 +2546,8 @@ QUERIES: dict[str, QueryFn] = {
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q18_large_orders": q18_large_orders,
+    "q14_promo_share": q14_promo_share,
+    "q19_disjunctive": q19_disjunctive,
     "top_k_per_group": q_top_k_per_group,
     "running_agg": q_running_agg,
     "rollup_agg": q_rollup_agg,
@@ -2559,6 +2633,8 @@ ORACLES: dict[str, str] = {
     "q7_nation_volume": SQL_Q7,
     "q10_returned_items": SQL_Q10,
     "q18_large_orders": SQL_Q18,
+    "q14_promo_share": SQL_Q14,
+    "q19_disjunctive": SQL_Q19,
     "top_k_per_group": SQL_TOP_K,
     "running_agg": SQL_RUNNING,
     "rollup_agg": SQL_ROLLUP,
