@@ -86,3 +86,39 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     return spark.sql(sql)
+
+
+# SQL scalar UDFs (CREATE FUNCTION ... RETURN expr): pure expression
+# macros, inlined by Catalyst into the calling plan — zero Python, full
+# codegen, unlike spark.udf.register.
+SQL_FUNCTION_DDL: dict[str, str] = {
+    "engine_words": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_words(s STRING)
+        RETURNS ARRAY<STRING> RETURN split(lower(s), '\\\\s+')
+    """,
+    "engine_cents": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_cents(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(FLOOR(x * 100 + 0.5) AS BIGINT)
+    """,
+    "engine_token_count": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_token_count(s STRING)
+        RETURNS BIGINT RETURN CAST(size(split(lower(s), '\\\\s+')) AS BIGINT)
+    """,
+    "engine_cosine": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_cosine(
+            a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+        RETURNS DOUBLE RETURN
+            aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+            / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+               * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)))
+    """,
+}
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Expose the engine's column helpers to SQL users as named scalar
+    functions, so the Athena-style SQL surface can call the engine's
+    primitives (tokenize, fixed-point cents, cosine) without leaving
+    SQL or paying a Python round-trip."""
+    for ddl in SQL_FUNCTION_DDL.values():
+        spark.sql(ddl)

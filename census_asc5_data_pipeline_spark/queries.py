@@ -808,6 +808,40 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with EXISTS a
+    lineitem shipped > 90 days after the order date — a left-semi join
+    with a compound (key + range) condition in exact epoch-ms space."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", epoch_ms("o_orderdate").alias("order_ms")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", epoch_ms("l_shipdate").alias("ship_ms")
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.ship_ms > orders.order_ms + 90 * 86400000),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(epoch_ms(l.l_shipdate) AS BIGINT) >
+        CAST(epoch_ms(o.o_orderdate) AS BIGINT) + CAST(90 AS BIGINT) * 86400000
+)
+GROUP BY 1
+"""
+
+
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share per month — a conditional
     ratio over a broadcast part join, computed from exact integer sums."""
@@ -2548,6 +2582,7 @@ QUERIES: dict[str, QueryFn] = {
     "q18_large_orders": q18_large_orders,
     "q14_promo_share": q14_promo_share,
     "q19_disjunctive": q19_disjunctive,
+    "q4_late_shipments": q4_late_shipments,
     "top_k_per_group": q_top_k_per_group,
     "running_agg": q_running_agg,
     "rollup_agg": q_rollup_agg,
@@ -2635,6 +2670,7 @@ ORACLES: dict[str, str] = {
     "q18_large_orders": SQL_Q18,
     "q14_promo_share": SQL_Q14,
     "q19_disjunctive": SQL_Q19,
+    "q4_late_shipments": SQL_Q4,
     "top_k_per_group": SQL_TOP_K,
     "running_agg": SQL_RUNNING,
     "rollup_agg": SQL_ROLLUP,

@@ -96,6 +96,23 @@ def test_sql_view_layer_matches_dataframe_plan(sql_views, views):
     assert got == want
 
 
+def test_sql_scalar_functions(spark):
+    from census_asc5_data_pipeline_spark.plans.sql_views import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT engine_words('A b  C') AS w, engine_cents(1.005) AS c, "
+        "engine_token_count('x y z') AS n, "
+        "engine_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos"
+    ).collect()[0]
+    assert r.w == ["a", "b", "c"]
+    assert r.c == 100  # FLOOR(x*100+0.5) — identical to the engine helper
+    assert r.n == 3
+    assert abs(r.cos - 1.0) < 1e-12
+
+
 def test_adhoc_sql_over_testdata(spark):
     from census_asc5_data_pipeline_spark.plans.sql_views import run_sql
 
