@@ -2543,6 +2543,121 @@ FROM b
 """
 
 
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain stats: deterministic synthetic URLs
+    are planted per doc (the corpus has none), then extracted with the
+    same regex on both engines and rolled up by domain."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://ref"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            F.lit(".org/x"),
+        ).alias("text"),
+    )
+    url_re = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
+    urls = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(F.col("text"), F.lit(url_re), 0)).alias("url")
+    )
+    domain = F.regexp_extract(F.col("url"), r"https?://([A-Za-z0-9.-]+)", 1)
+    return (
+        urls.withColumn("domain", domain)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+SQL_URL_DOMAINS = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' see https://site' || (doc_id % 7)::VARCHAR ||
+         '.example.com/p/' || doc_id::VARCHAR ||
+         ' and http://ref' || (doc_id % 3)::VARCHAR || '.org/x' AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*')) AS url
+  FROM d
+)
+SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+       COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+FROM u GROUP BY 1
+"""
+
+
+def q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection (crawl artifact: same page, different
+    tails): group documents by the md5 of their first 10 tokens; emit
+    groups with > 1 member. Shuffle key is the 32-char hash, never the
+    text."""
+    docs = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    prefix = F.concat_ws(" ", F.slice(w, 1, 10))
+    return (
+        docs.filter(F.size(w) >= 10)
+        .select("doc_id", F.md5(prefix).alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_PREFIX_DUPS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), p AS (
+  SELECT doc_id, md5(array_to_string(w[1:10], ' ')) AS prefix_hash
+  FROM t WHERE len(w) >= 10
+)
+SELECT prefix_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM p GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active DAY (the
+    testdata spans one month), counted as active at each day offset."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(epoch_ms("ts") / F.lit(86400000.0)).cast("bigint").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.select("user_id", "day").distinct()
+    j = active.join(first, "user_id").withColumn(
+        "day_offset", F.col("day") - F.col("cohort_day")
+    )
+    return j.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+
+
+SQL_COHORT = """
+WITH e AS (
+  SELECT user_id,
+         CAST(FLOOR(CAST(epoch_ms(ts) AS BIGINT) / 86400000.0) AS BIGINT) AS day
+  FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, day FROM e
+)
+SELECT cohort_day, day - cohort_day AS day_offset, COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: attach payload → Arrow mapInPandas decode
     stub → typed metadata. The oracle reproduces the deterministic fake
@@ -2628,6 +2743,9 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate": q_decontaminate,
     "curate_corpus": q_curate_corpus,
     "compression_ratio": q_compression_ratio,
+    "url_domains": q_url_domains,
+    "prefix_dups": q_prefix_dups,
+    "cohort_retention": q_cohort_retention,
     # §2.2 additions
     "stats_agg": q_stats_agg,
     "ntile_quartiles": q_ntile_quartiles,
@@ -2707,6 +2825,9 @@ ORACLES: dict[str, str] = {
     "boilerplate_segments": SQL_BOILERPLATE,
     "decontaminate": SQL_DECONTAMINATE,
     "curate_corpus": SQL_CURATE,
+    "url_domains": SQL_URL_DOMAINS,
+    "prefix_dups": SQL_PREFIX_DUPS,
+    "cohort_retention": SQL_COHORT,
     "stats_agg": SQL_STATS_AGG,
     "ntile_quartiles": SQL_NTILE,
     "above_avg_orders": SQL_ABOVE_AVG,
