@@ -82,6 +82,26 @@ def asof_join(
     return out.filter(F.col("__side") == 1).drop("__side")
 
 
+def group_trend(
+    df: DataFrame, key: str, ts_ms: str, value: str
+) -> DataFrame:
+    """Per-group least-squares trend via ``applyInPandas`` — the
+    grouped-map UDF modality: Spark shuffles each group to one Arrow
+    batch, numpy fits it, one row comes back. Use ONLY when the
+    per-group math has no relational form (regression does not);
+    group sizes must fit an executor (bounded keys at 100 TB)."""
+    from census_asc5_data_pipeline_spark.operators._udfs import fit_trend
+
+    sel = df.select(
+        F.col(key).alias("key"),
+        F.col(ts_ms).alias("ts_ms"),
+        F.col(value).alias("value_c"),
+    )
+    return sel.groupBy("key").applyInPandas(
+        fit_trend, "key BIGINT, n BIGINT, slope_ppb BIGINT, intercept_c BIGINT"
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

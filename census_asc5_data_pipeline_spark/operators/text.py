@@ -218,7 +218,7 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         F.length(text_col).cast("bigint").alias("n_chars_txt"),
-        zlib_ratio_ppm(F.col(text_col)).alias("compress_ppm"),
+        zlib_ratio_ppm()(F.col(text_col)).alias("compress_ppm"),
     )
 
 

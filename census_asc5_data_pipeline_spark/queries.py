@@ -2543,6 +2543,16 @@ FROM b
 """
 
 
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend (least-squares slope) via applyInPandas —
+    the grouped-map UDF modality (rows-only: float fit; pinned against
+    numpy in pytest)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", epoch_ms("ts").alias("ts_ms"), cents(F.col("value")).alias("v_c")
+    )
+    return R.group_trend(ev, "user_id", "ts_ms", "v_c")
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL extraction + per-domain stats: deterministic synthetic URLs
     are planted per doc (the corpus has none), then extracted with the
@@ -2746,6 +2756,7 @@ QUERIES: dict[str, QueryFn] = {
     "url_domains": q_url_domains,
     "prefix_dups": q_prefix_dups,
     "cohort_retention": q_cohort_retention,
+    "user_trend": q_user_trend,
     # §2.2 additions
     "stats_agg": q_stats_agg,
     "ntile_quartiles": q_ntile_quartiles,

@@ -168,3 +168,25 @@ def test_salted_join_rejects_outer_right(spark):
         salted_join(df, df, "k", how="full_outer")
     with _pytest.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_group_trend_matches_numpy(spark):
+    import numpy as np
+
+    from census_asc5_data_pipeline_spark.operators.relational import group_trend
+
+    rows = []
+    for uid, (slope, icept) in {1: (2.0, 100.0), 2: (-0.5, 40.0)}.items():
+        for i in range(20):
+            rows.append((uid, 1000 + i * 10, int(icept + slope * i * 10)))
+    rows.append((3, 500, 7))  # single point → slope 0
+    df = spark.createDataFrame(rows, ["user_id", "ts_ms", "v_c"])
+    out = {r.key: r for r in group_trend(df, "user_id", "ts_ms", "v_c").collect()}
+    for uid, (slope, icept) in {1: (2.0, 100.0), 2: (-0.5, 40.0)}.items():
+        x = np.array([r[1] for r in rows if r[0] == uid], dtype="float64")
+        y = np.array([r[2] for r in rows if r[0] == uid], dtype="float64")
+        s, b = np.polyfit(x - x.min(), y, 1)
+        assert out[uid].slope_ppb == int(s * 1e9 // 1)
+        assert out[uid].intercept_c == int(b // 1)
+        assert out[uid].n == 20
+    assert out[3].slope_ppb == 0 and out[3].n == 1

@@ -188,3 +188,35 @@ def test_foreach_batch_idempotent_sink(spark, event_dir, tmp_path):
     q.stop()
     back = spark.read.parquet(out_dir)
     assert back.count() == spark.read.parquet(event_dir).count()
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Kill a stream mid-source, restart with the same checkpoint: the
+    idempotent sink must hold each input row exactly once."""
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    spark.range(0, 50).selectExpr("id AS event_id", "id % 5 AS user_id").coalesce(
+        1
+    ).write.parquet(str(src / "batch1.parquet"))
+    out_dir = str(tmp_path / "restart_sink")
+    ck = str(tmp_path / "restart_ck")
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_id LONG, user_id LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*.parquet"))
+        )
+        return write_idempotent_parquet(stream, out_dir, ck).start()
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # "crash" after the first file
+    spark.range(100, 130).selectExpr("id AS event_id", "id % 5 AS user_id").coalesce(
+        1
+    ).write.parquet(str(src / "batch2.parquet"))
+    q = start()  # restart from the SAME checkpoint
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
+    assert got == list(range(0, 50)) + list(range(100, 130))
