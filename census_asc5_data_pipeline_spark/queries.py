@@ -463,10 +463,18 @@ def q_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms("l_shipdate").alias("ship_ms"),
         cents(F.col("l_extendedprice")).alias("price_c"),
     )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # price_c joins the sort key: remaining ties are fully-identical
+    # rows, whose prefix sums form the same multiset under any order.
     return R.running_agg(
         li,
         ["l_suppkey"],
-        [F.col("ship_ms"), F.col("l_orderkey"), F.col("l_linenumber")],
+        [
+            F.col("ship_ms"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("price_c"),
+        ],
         F.col("price_c"),
         out_col="running_c",
     )
@@ -478,7 +486,8 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
        CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY l_suppkey
-         ORDER BY epoch_ms(l_shipdate), l_orderkey, l_linenumber
+         ORDER BY epoch_ms(l_shipdate), l_orderkey, l_linenumber,
+                  CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS running_c
 FROM lineitem
