@@ -494,6 +494,43 @@ FROM lineitem
 """
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS-frame window: 7-row trailing average of order value
+    per customer (avg of exact ints micro-rounded — portable because
+    the frame contents are identical under the totalized order)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", epoch_ms("o_orderdate").alias("ms"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ms", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    ma = F.floor(
+        F.sum("price_c").over(w).cast("double") * 100.0
+        / F.count(F.lit(1)).over(w)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return orders.select(
+        "o_custkey", "o_orderkey", "ms", "price_c", ma.alias("ma7_centi_c")
+    )
+
+
+SQL_MOVING_AVG = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS ms,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, ms, price_c,
+       CAST(FLOOR(CAST(SUM(price_c) OVER w AS DOUBLE) * 100.0 / COUNT(*) OVER w + 0.5) AS BIGINT) AS ma7_centi_c
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY ms, o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -2719,6 +2756,7 @@ QUERIES: dict[str, QueryFn] = {
     "q4_late_shipments": q4_late_shipments,
     "top_k_per_group": q_top_k_per_group,
     "running_agg": q_running_agg,
+    "moving_avg": q_moving_avg,
     "rollup_agg": q_rollup_agg,
     "semi_join_exists": q_semi_join,
     "anti_join_not_exists": q_anti_join,
@@ -2811,6 +2849,7 @@ ORACLES: dict[str, str] = {
     "q4_late_shipments": SQL_Q4,
     "top_k_per_group": SQL_TOP_K,
     "running_agg": SQL_RUNNING,
+    "moving_avg": SQL_MOVING_AVG,
     "rollup_agg": SQL_ROLLUP,
     "semi_join_exists": SQL_SEMI,
     "anti_join_not_exists": SQL_ANTI,

@@ -134,3 +134,17 @@ def test_incremental_corrupt_ledger_raises(spark, tmp_path):
 
     with _pytest.raises(Exception):
         new_files(spark, str(src), str(ledger))
+
+
+def test_csv_malformed_rows_dropped(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\n1,a\nnot_an_int,b\n3,c\n")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    clean = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert sorted((r.k, r.v) for r in clean.collect()) == [(1, "a"), (3, "c")]
+    # PERMISSIVE (default): bad cell nulls out, row count preserved
+    loose = read_csv(spark, str(p), schema=schema)
+    assert loose.count() == 3
+    assert loose.filter(F.col("k").isNull()).count() == 1
