@@ -1347,13 +1347,24 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation: approx_percentile (Greenwald-Khanna) per
     priority — rows-only oracle (sketch internals are engine-specific);
-    pytest bounds the error against the exact quantiles."""
+    pytest bounds the error against the exact quantiles.
+
+    Output is three scalar BIGINT columns (not one array column): the
+    driver's canonicalizer sorts cell values and chokes on list cells.
+    """
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderpriority", cents(F.col("o_totalprice")).alias("price_c")
     )
-    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+    q = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.percentile_approx("price_c", [0.5, 0.9, 0.99], 1000).alias("approx_q"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return q.select(
+        "priority",
+        F.col("approx_q")[0].alias("q50_c"),
+        F.col("approx_q")[1].alias("q90_c"),
+        F.col("approx_q")[2].alias("q99_c"),
+        "n",
     )
 
 
@@ -2735,17 +2746,72 @@ FROM documents
 # Registry
 # =====================================================================
 
+# Registry order is deliberate: the driver's correctness gate verifies
+# the FIRST 50 entries per round, so queries without a prior green
+# CORRECTNESS row come first (round 1 checked the original positions
+# 1-50; the 38 then-unchecked keys now lead). Previously-green queries
+# rotate to the back, keeping a handful of sentinels for code touched
+# this round inside the window.
 QUERIES: dict[str, QueryFn] = {
-    # §2.1 reference parity
-    "dim_extract": q_dim_extract,
-    "year_dim": q_year_dim,
+    # --- round-1 driver-unchecked (registry positions 51-88 then) ---
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "top_terms": q_top_terms,
+    "pii_redact": q_pii_redact,
+    "train_split": q_train_split,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_ratio": q_repetition_ratio,
+    "quality_funnel": q_quality_funnel,
+    "boilerplate_segments": q_boilerplate_segments,
+    "decontaminate": q_decontaminate,
+    "curate_corpus": q_curate_corpus,
+    "compression_ratio": q_compression_ratio,
+    "url_domains": q_url_domains,
+    "prefix_dups": q_prefix_dups,
+    "cohort_retention": q_cohort_retention,
+    "user_trend": q_user_trend,
+    "stats_agg": q_stats_agg,
+    "ntile_quartiles": q_ntile_quartiles,
+    "above_avg_orders": q_above_avg_orders,
+    "set_ops": q_set_ops,
+    "gap_fill": q_gap_fill,
+    "funnel": q_funnel,
+    "fuzzy_match": q_fuzzy_match,
+    "salted_join_agg": q_salted_join_agg,
+    "histogram": q_histogram,
+    "monthly_revenue": q_monthly_revenue,
+    "range_frame": q_range_frame,
+    "full_outer_balance": q_full_outer_balance,
+    "events_pivot": q_events_pivot,
+    "string_agg": q_string_agg,
+    "argmax_agg": q_argmax_agg,
+    "vector_stats": q_vector_stats,
+    "dow_seasonality": q_dow_seasonality,
+    "conditional_agg": q_conditional_agg,
+    "scd1_upsert": q_scd1_upsert,
+    "scd2_history": q_scd2_history,
+    "dq_report": q_dq_report,
+    "stratified_sample": q_stratified_sample,
+    "grouping_sets": q_grouping_sets,
+    # --- round-1 red / rows-only rows, re-run in the window ---
+    "approx_quantiles": q_approx_quantiles,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "heavy_hitters": q_heavy_hitters,
+    # --- green sentinels for subsystems touched this round ---
     "measure_view": q_measure_view,
     "fact_join": q_fact_join,
+    "q1_pricing_summary": q1_pricing_summary,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    # --- round-1 green (rotated behind the 50-entry window) ---
+    "dim_extract": q_dim_extract,
+    "year_dim": q_year_dim,
     "multi_year_union": q_multi_year_union,
     "serving_agg": q_serving_agg,
     "pivot_wide": q_pivot_wide,
-    # §2.2 relational surface
-    "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_region_revenue": q5_region_revenue,
     "q7_nation_volume": q7_nation_volume,
@@ -2770,64 +2836,15 @@ QUERIES: dict[str, QueryFn] = {
     "cube_agg": q_cube_agg,
     "unpivot_long": q_unpivot_long,
     "lag_lead_delta": q_lag_lead_delta,
-    # §2.3 LLM-data operators
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_char_ngram": q_dedup_char_ngram,
     "percent_rank": q_percent_rank,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "approx_quantiles": q_approx_quantiles,
-    "heavy_hitters": q_heavy_hitters,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "top_terms": q_top_terms,
-    "pii_redact": q_pii_redact,
-    "train_split": q_train_split,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "repetition_ratio": q_repetition_ratio,
-    "quality_funnel": q_quality_funnel,
-    "boilerplate_segments": q_boilerplate_segments,
-    "decontaminate": q_decontaminate,
-    "curate_corpus": q_curate_corpus,
-    "compression_ratio": q_compression_ratio,
-    "url_domains": q_url_domains,
-    "prefix_dups": q_prefix_dups,
-    "cohort_retention": q_cohort_retention,
-    "user_trend": q_user_trend,
-    # §2.2 additions
-    "stats_agg": q_stats_agg,
-    "ntile_quartiles": q_ntile_quartiles,
-    "above_avg_orders": q_above_avg_orders,
-    "set_ops": q_set_ops,
-    "gap_fill": q_gap_fill,
-    "funnel": q_funnel,
-    "fuzzy_match": q_fuzzy_match,
-    "salted_join_agg": q_salted_join_agg,
-    "histogram": q_histogram,
-    "monthly_revenue": q_monthly_revenue,
-    "range_frame": q_range_frame,
-    "full_outer_balance": q_full_outer_balance,
-    "events_pivot": q_events_pivot,
-    "string_agg": q_string_agg,
-    "argmax_agg": q_argmax_agg,
-    "vector_stats": q_vector_stats,
-    "dow_seasonality": q_dow_seasonality,
-    "conditional_agg": q_conditional_agg,
-    "scd1_upsert": q_scd1_upsert,
-    "scd2_history": q_scd2_history,
-    "dq_report": q_dq_report,
-    "stratified_sample": q_stratified_sample,
-    "grouping_sets": q_grouping_sets,
 }
 
 ORACLES: dict[str, str] = {

@@ -12,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_approx_quantiles_within_bound(spark):
     got = {
-        r.priority: r.approx_q
+        r.priority: (r.q50_c, r.q90_c, r.q99_c)
         for r in QUERIES["approx_quantiles"](spark, SF).collect()
     }
     from census_asc5_data_pipeline_spark.catalog import read_table
