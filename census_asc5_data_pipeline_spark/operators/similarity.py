@@ -92,12 +92,61 @@ def cosine_near_dup_pairs(
     )
 
 
+def rademacher_planes(dim: int, planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplanes derived from md5 — the
+    sign of plane q, coordinate d is +1 iff the first hex digit of
+    ``md5("plane:{seed}:{q}:{d}")`` is 0-7.
+
+    Rademacher projections are a standard random-projection family
+    (sign-LSH works with any symmetric zero-mean entries); deriving
+    them from md5 instead of a PRNG makes the plane matrix portable —
+    any engine with md5 (DuckDB included) reproduces the exact buckets,
+    so the LSH output is hash-verifiable cross-engine.
+    """
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"plane:{seed}:{q}:{d}".encode()).hexdigest()[0]
+            in "01234567"
+            else -1
+            for d in range(dim)
+        ]
+        for q in range(planes)
+    ]
+
+
+def _quantized(vec_col) -> "F.Column":
+    """Per-element micro-fixed-point quantization (FLOOR(x*1e6+0.5) as
+    BIGINT): makes every downstream projection exact integer arithmetic,
+    bit-identical across engines regardless of float summation order."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _int_bucket(vq_col, planes: list[list[int]]):
+    """Sign-pattern bucket over integer-quantized vectors: bit p = 1 iff
+    Σ_d vq[d]·plane_p[d] > 0 — pure bigint arithmetic, no float ties."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(int(x)) for x in plane])
+        s = F.aggregate(
+            F.zip_with(vq_col, lit_plane, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("bigint")
+
+
 def cosine_near_dup_pairs_lsh(
     corpus: DataFrame,
     threshold_micro: int = 300000,
     bands: int = 8,
     planes_per_band: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     multiprobe: bool = True,
     vec_col: str = "embedding",
@@ -113,9 +162,18 @@ def cosine_near_dup_pairs_lsh(
     emitted pair exactly scored — precision vs the brute kernel is 1.0
     by construction. Candidate recall follows the OR-amplified curve
     1-(1-p(θ)^r)^b with p(θ)=1-θ/π: >= 0.99 for true near-dups
-    (cos >= 0.9) at the 8x8 multiprobe default, and the brute kernel
-    remains the pytest oracle (tests/test_similarity.py asserts the
-    subset property and planted-near-dup recall).
+    (cos >= 0.9) at the 8x8 multiprobe default. The brute kernel is the
+    pytest oracle: tests/test_similarity.py::test_near_dup_lsh_subset
+    asserts output ⊆ brute with identical scores, and
+    ::test_near_dup_lsh_planted_recall asserts planted near-identical
+    pairs are all recovered.
+
+    Cross-engine determinism: planes are md5-derived ±1 signs
+    (``rademacher_planes``) and projections run on micro-quantized
+    integer vectors (``_quantized``), so bucket ids are exact integer
+    math — DuckDB reproduces them bit-for-bit (see
+    SQL_EMB_COSINE_PAIRS in queries.py), which is what lets the driver
+    hash-verify an LSH query instead of downgrading it to rows-only.
 
     Scale shape: one narrow bucketing map over the corpus (the plane
     matrix ships as literals), a self-equi-join on 10-byte
@@ -124,17 +182,29 @@ def cosine_near_dup_pairs_lsh(
     vectors only for candidates. ``multiprobe`` explodes the probe side
     to all hamming-1 buckets: bands*(planes_per_band+1) rows per vector
     instead of bands, corpus side untouched.
+
+    ``dim`` defaults to the width of the first vector (one cheap
+    head(1) job); pass it explicitly to skip that lookup. A mismatched
+    ``dim`` would silently degenerate every bucket to 0 (null dot), so
+    deriving it from the data is the safe default.
     """
-    hp = _hyperplanes(dim, bands * planes_per_band, seed)
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).head(1)
+        if not first:  # empty corpus -> empty pair set, skip bucketing
+            return corpus.sparkSession.createDataFrame(
+                [], "vec_id_a long, vec_id_b long, cos_micro long"
+            )
+        dim = first[0]["d"]
+    hp = rademacher_planes(dim, bands * planes_per_band, seed)
     v = corpus.select(
-        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")
+        F.col(id_col).alias("vec_id"), _quantized(F.col(vec_col)).alias("vq")
     )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                lsh_bucket(
-                    F.col("v"), hp[b * planes_per_band : (b + 1) * planes_per_band]
+                _int_bucket(
+                    F.col("vq"), hp[b * planes_per_band : (b + 1) * planes_per_band]
                 ).alias("bh"),
             )
             for b in range(bands)

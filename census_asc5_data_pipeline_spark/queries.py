@@ -1478,22 +1478,64 @@ FROM p GROUP BY doc_id
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact kernel; LSH-bucketed
-    variant is the scale path, see ann_lsh_topk)."""
-    return S.cosine_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold_micro=300000
+    """Embedding-cosine near-dup pairs via banded random-hyperplane LSH
+    + exact in-candidate verification — the 100 TB path (no O(n²) cross
+    join; candidates come from an equi-join on (band, bucket)).
+
+    The md5-derived ±1 planes and integer-quantized projections make
+    the bucket ids engine-portable, so the DuckDB oracle below computes
+    the *same* LSH candidate set and the driver hash-verifies this
+    approximate operator exactly. The brute kernel
+    (S.cosine_near_dup_pairs) stays the pytest oracle for the subset /
+    planted-recall properties (tests/test_similarity.py).
+    """
+    return S.cosine_near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold_micro=300000,
+        bands=8,
+        planes_per_band=8,
+        dim=64,
+        seed=42,
+        multiprobe=True,
     )
 
 
+# Mirrors cosine_near_dup_pairs_lsh exactly: same md5-Rademacher planes
+# (flat plane index q = band*8 + p), same micro-quantized integer
+# projections, same multiprobe (hamming<=1) candidate join, same exact
+# cosine verification — bit-deterministic in both engines.
 SQL_EMB_COSINE_PAIRS = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id,
+             list_transform(e, x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS eq
+      FROM v),
+pl AS (SELECT qq.plane AS plane, dd.d AS d,
+              CASE WHEN substr(md5('plane:42:' || CAST(qq.plane AS VARCHAR)
+                                   || ':' || CAST(dd.d AS VARCHAR)), 1, 1)
+                   BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS sgn
+       FROM range(64) qq(plane), range(64) dd(d)),
+proj AS (SELECT q.vec_id, pl.plane // 8 AS band, pl.plane % 8 AS p,
+                SUM(q.eq[pl.d + 1] * pl.sgn) AS s
+         FROM q, pl GROUP BY 1, 2, 3),
+buck AS (SELECT vec_id, band,
+                SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bh
+         FROM proj GROUP BY 1, 2),
+probe AS (SELECT vec_id, band,
+                 CASE WHEN pr.p = 8 THEN bh
+                      ELSE xor(bh, CAST(1 AS BIGINT) << pr.p) END AS bh
+          FROM buck, range(9) pr(p)),
+cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, p.vec_id AS vec_id_b
+         FROM buck a JOIN probe p USING (band, bh)
+         WHERE a.vec_id < p.vec_id)
+SELECT c.vec_id_a, c.vec_id_b,
        CAST(FLOOR(
-         (list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))))
+         (list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))))
          * 1000000 + 0.5) AS BIGINT) AS cos_micro
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM cand c
+JOIN v va ON va.vec_id = c.vec_id_a
+JOIN v vb ON vb.vec_id = c.vec_id_b
 WHERE CAST(FLOOR(
-        (list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))))
+        (list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))))
         * 1000000 + 0.5) AS BIGINT) >= 300000
 """
 

@@ -13,9 +13,11 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# queries whose semantics ARE an all-pairs kernel (documented scale
-# path is the LSH-bucketed variant) — the only allowed cross joins
-CROSS_JOIN_OK = {"ann_cosine_topk", "dedup_embedding_cosine"}
+# queries whose semantics ARE an all-pairs kernel (the exact
+# correctness baseline for the ANN family) — the only allowed cross
+# join. dedup_embedding_cosine now registers the LSH-bucketed path and
+# is covered by the no-cartesian assertion below.
+CROSS_JOIN_OK = {"ann_cosine_topk"}
 
 
 def _formatted_plan(spark, df) -> str:

@@ -6,9 +6,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from census_asc5_data_pipeline_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_lsh,
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    rademacher_planes,
 )
 
 
@@ -106,3 +109,81 @@ def test_lsh_is_subset_of_brute_force_scores(emb):
     }
     for r in lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, planes=4, dim=16).collect():
         assert brute[(r.query_id, r.cand_id)] == r.cos_micro
+
+
+# ------------------------- cosine_near_dup_pairs_lsh vs brute kernel
+
+
+def test_near_dup_lsh_subset(emb):
+    """Every LSH pair is a brute pair with the identical exact score
+    (precision 1.0 by construction)."""
+    brute = {
+        (r.vec_id_a, r.vec_id_b): r.cos_micro
+        for r in cosine_near_dup_pairs(emb, threshold_micro=300000).collect()
+    }
+    lsh = cosine_near_dup_pairs_lsh(emb, threshold_micro=300000).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert brute[(r.vec_id_a, r.vec_id_b)] == r.cos_micro
+
+
+def test_near_dup_lsh_planted_recall(spark):
+    """Planted near-identical pairs (cos >= ~0.99) are ALL recovered —
+    the OR-amplified miss probability at 8x8 multiprobe is ~1e-6 per
+    pair, and the md5-derived planes make the outcome deterministic."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 32).astype("float64")
+    rows = []
+    planted = set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # id 1000+i is a near-copy of i
+        rows.append((1000 + i, [float(x) for x in v + 0.01 * rng.randn(32)]))
+        planted.add((i, 1000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in cosine_near_dup_pairs_lsh(df, threshold_micro=900000).collect()
+    }
+    assert planted <= got, planted - got
+
+
+def test_near_dup_lsh_derives_dim_from_data(spark):
+    """dim=None derives the plane width from the data — a 16-dim corpus
+    must not silently degenerate to bucket-0 (the ADVICE failure mode
+    for a hardcoded dim=64)."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(30, 16).astype("float64")
+    vecs[20] = vecs[3] + 0.005 * rng.randn(16)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in cosine_near_dup_pairs_lsh(df, threshold_micro=900000).collect()
+    }
+    assert (3, 20) in got
+    # and buckets are non-degenerate: far fewer candidate pairs than n²
+    all_pairs = cosine_near_dup_pairs_lsh(df, threshold_micro=-1000000).count()
+    assert all_pairs < 30 * 29 / 2
+
+
+def test_rademacher_planes_deterministic_and_balanced():
+    p1 = rademacher_planes(64, 8, seed=42)
+    p2 = rademacher_planes(64, 8, seed=42)
+    assert p1 == p2
+    flat = [x for row in p1 for x in row]
+    assert set(flat) == {-1, 1}
+    # md5 signs should be roughly balanced (binomial, 512 draws)
+    assert 0.35 < flat.count(1) / len(flat) < 0.65
