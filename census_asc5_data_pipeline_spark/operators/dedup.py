@@ -73,15 +73,23 @@ def ngram_jaccard_pairs(
 
     jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets,
     emitted as parts-per-million (fixed-point — engine-portable).
-    ``df_cap`` (optional) drops shingles whose document frequency
-    exceeds the cap — candidate recall only; when set, co-counts are
-    lower bounds (use for candidate generation at scale, verify with
-    MinHash or exact re-check).
+
+    ``df_cap`` is the 100 TB safety valve for stop-shingles: a shingle
+    shared by k documents contributes k² rows to the self-join, so one
+    degenerate "of the"-style bigram across 10⁶ docs would emit 10¹²
+    join rows. With ``df_cap`` set, shingles whose document frequency
+    exceeds the cap are excluded from CANDIDATE GENERATION ONLY (an
+    anti-join against the tiny broadcast stop-shingle list), and every
+    surviving candidate pair is then re-verified EXACTLY against the
+    full uncapped shingle sets (array_intersect over per-doc hash
+    arrays, built only for candidate docs). Emitted scores are
+    therefore true Jaccard values — identical to the uncapped output
+    unless a qualifying pair shares *only* stop-shingles, which at
+    jaccard >= 0.1 requires the pair to be composed almost entirely of
+    corpus-degenerate bigrams (tests/test_dedup.py plants exactly that
+    corpus shape and asserts output identity + bounded join size).
     """
     post = shingle_postings(df, text_col)
-    if df_cap is not None:
-        freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        post = post.join(F.broadcast(freq.filter(F.col("__df") <= df_cap)), "shingle")
     # Join on a 64-bit hash of the shingle, not the string: the shuffle
     # carries 8 bytes instead of a variable-length string, and the
     # postings are persisted so shingle generation runs once, not twice.
@@ -90,13 +98,68 @@ def ngram_jaccard_pairs(
     post = post.select(
         "doc_id", "n_sh", F.xxhash64(F.col("shingle")).alias("sh")
     ).persist()
-    a = post.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh")
-    b = post.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh")
-    pairs = (
-        a.join(b, "sh")
+    cand_post = post
+    if df_cap is not None:
+        freq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        # Broadcast the STOP list (df > cap), not its complement — the
+        # sub-cap side is nearly every distinct shingle in the corpus.
+        stop = freq.filter(F.col("__df") > df_cap).select("sh")
+        cand_post = post.join(F.broadcast(stop), "sh", "left_anti")
+    a = cand_post.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh"
+    )
+    b = cand_post.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh"
+    )
+    if df_cap is None:
+        return (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("co"))
+            .withColumn(
+                "jaccard_ppm",
+                F.floor(
+                    F.col("co").cast("double")
+                    * 1000000.0
+                    / (F.col("n_a") + F.col("n_b") - F.col("co"))
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            )
+            .filter(F.col("jaccard_ppm") >= threshold_ppm)
+            .select("doc_a", "doc_b", "co", "jaccard_ppm")
+        )
+    # Capped path: candidates from the pruned index, exact scores from
+    # the full one. Shingle-set arrays are built ONLY for candidate
+    # docs (semi-join first), so the array shuffle is proportional to
+    # the candidate set, not the corpus.
+    cand = (
+        a.select("doc_a", "sh")
+        .join(b.select("doc_b", "sh"), "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("co"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        post.join(cand_docs, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("shs"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "co", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
+        )
+        .withColumn("n_a", F.size("shs_a").cast("bigint"))
+        .withColumn("n_b", F.size("shs_b").cast("bigint"))
         .withColumn(
             "jaccard_ppm",
             F.floor(
@@ -109,7 +172,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "co", "jaccard_ppm")
     )
-    return pairs
 
 
 _MERSENNE31 = (1 << 31) - 1

@@ -28,6 +28,7 @@ def curate(
     min_chars: int = 100,
     min_words: int = 20,
     jaccard_ppm: int = 500000,
+    df_cap: int = 256,
 ) -> DataFrame:
     """Per-document curation verdict.
 
@@ -42,7 +43,11 @@ def curate(
         F.min("doc_id").alias("doc_id")
     )
     survivors = quality.join(exact_keep.select("doc_id"), "doc_id")
-    pairs = D.ngram_jaccard_pairs(survivors, threshold_ppm=jaccard_ppm, df_cap=None)
+    # df_cap bounds the stop-shingle self-join blowup (one bigram shared
+    # by k docs -> k² join rows); capped candidates are exactly
+    # re-verified inside ngram_jaccard_pairs, so kept/dropped verdicts
+    # are unchanged for any pair not composed purely of stop-shingles.
+    pairs = D.ngram_jaccard_pairs(survivors, threshold_ppm=jaccard_ppm, df_cap=df_cap)
     clusters = G.dedup_clusters(survivors, pairs)
     keepers = clusters.filter(F.col("is_keeper")).select("doc_id")
     kept = survivors.join(keepers, "doc_id")

@@ -1132,8 +1132,11 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df_cap=256 prunes stop-shingle join blowup; capped candidates
+    are exactly re-verified against full shingle sets, so the output
+    still hash-matches the uncapped DuckDB oracle."""
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold_ppm=100000, df_cap=None
+        _t(spark, sf_dir, "documents"), threshold_ppm=100000, df_cap=256
     )
 
 
@@ -1249,7 +1252,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from census_asc5_data_pipeline_spark.operators import graph as G
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=500000, df_cap=None)
+    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=500000, df_cap=256)
     return G.dedup_clusters(docs, pairs)
 
 

@@ -92,3 +92,59 @@ def test_simhash_finds_exact_and_near(corpus):
     assert found[(0, 1)] == 0  # identical text → identical simhash
     assert (0, 10) in found  # one-word change → small hamming distance
     assert not any({a, b} == {20, 21} for a, b in found)
+
+
+# --------------------------------------- df_cap: stop-shingle pruning
+
+
+@pytest.fixture(scope="module")
+def stop_shingle_corpus(spark):
+    """60 docs that ALL share a boilerplate header (a stop-shingle
+    factory: every header bigram has df=60) plus unique bodies; one
+    planted near-dup pair (50, 51) that also shares rare shingles."""
+    header = "copyright notice all rights reserved by the site owner"
+    rows = []
+    for i in range(60):
+        # every body token is doc-unique -> no cross-doc body bigrams,
+        # so non-planted pairs overlap ONLY via the header (j=9/29<0.4)
+        body = " ".join(f"w{i}x{k}" for k in range(10))
+        rows.append((i, header + " " + body))
+    rows.append((50_0, header + " shared rare tail about crimson albatross migration"))
+    rows.append((50_1, header + " shared rare tail about crimson albatross migration today"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_df_cap_output_identical_to_uncapped(stop_shingle_corpus):
+    uncapped = {
+        (r.doc_a, r.doc_b, r.co, r.jaccard_ppm)
+        for r in ngram_jaccard_pairs(
+            stop_shingle_corpus, threshold_ppm=400000, df_cap=None
+        ).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.co, r.jaccard_ppm)
+        for r in ngram_jaccard_pairs(
+            stop_shingle_corpus, threshold_ppm=400000, df_cap=10
+        ).collect()
+    }
+    assert capped == uncapped
+    assert (500, 501) in {(a, b) for a, b, *_ in capped}  # planted pair found
+    # and the emitted scores are TRUE jaccard (include stop-shingle co)
+    co_by_pair = {(a, b): c for a, b, c, _ in capped}
+    uncapped_co = {(a, b): c for a, b, c, _ in uncapped}
+    assert co_by_pair == uncapped_co
+
+
+def test_df_cap_bounds_candidate_join(stop_shingle_corpus):
+    """With threshold ~0 every co-shingled pair is emitted: uncapped,
+    the shared header makes that ALL ~n²/2 pairs; capped, candidates
+    collapse to only pairs sharing a sub-cap shingle."""
+    n = stop_shingle_corpus.count()
+    uncapped = ngram_jaccard_pairs(
+        stop_shingle_corpus, threshold_ppm=1, df_cap=None
+    ).count()
+    capped = ngram_jaccard_pairs(
+        stop_shingle_corpus, threshold_ppm=1, df_cap=10
+    ).count()
+    assert uncapped == n * (n - 1) / 2  # stop-shingles connect everything
+    assert capped < 10  # only genuinely-overlapping pairs remain candidates
