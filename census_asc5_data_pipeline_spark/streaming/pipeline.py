@@ -114,22 +114,27 @@ def _session_fn(
         ts_ms_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
     if not ts_ms_all:
         return
-    ts_ms_all.sort()
-    closed: list[list[int]] = []
+    # Re-sessionize the open session TOGETHER with the batch's events:
+    # each event is a (t, t, 1) interval, the open session an
+    # (start, end, n) interval (its internal gaps are <= gap by
+    # invariant), and a standard sorted gap-fold merges them. A late
+    # event within gap of the session start still extends it backward,
+    # but an event more than gap BEFORE the open session now closes as
+    # its own earlier session instead of being silently absorbed —
+    # matching batch sessionize() and session_window semantics.
+    intervals: list[tuple[int, int, int]] = [(t, t, 1) for t in sorted(ts_ms_all)]
     if state.exists:
-        start_ms, end_ms, n = state.get
-    else:
-        start_ms, end_ms, n = ts_ms_all[0], ts_ms_all[0], 0
-    for t in ts_ms_all:
-        if t - end_ms > gap_ms:
+        intervals.append(tuple(state.get))
+        intervals.sort()
+    closed: list[list[int]] = []
+    start_ms, end_ms, n = intervals[0]
+    for s, e, cnt in intervals[1:]:
+        if s - end_ms > gap_ms:
             closed.append([key[0], start_ms, end_ms, n])
-            start_ms, end_ms, n = t, t, 1
+            start_ms, end_ms, n = s, e, cnt
         else:
-            # late (out-of-order within the watermark) events can extend
-            # the session BACKWARD too
-            start_ms = min(start_ms, t)
-            end_ms = max(end_ms, t)
-            n += 1
+            end_ms = max(end_ms, e)
+            n += cnt
     state.update((start_ms, end_ms, n))
     state.setTimeoutTimestamp(end_ms + gap_ms)
     if closed:

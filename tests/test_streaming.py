@@ -220,3 +220,66 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     q.stop()
     got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
     assert got == list(range(0, 50)) + list(range(100, 130))
+
+
+def test_stateful_sessionize_very_late_event_forms_own_session(spark, tmp_path):
+    """An event more than one gap BEFORE the open session's start must
+    close as its own earlier session, not silently extend the open one
+    backward — matching batch sessionize() (regression: the old code
+    merged any in-watermark late event into the open session)."""
+    from datetime import datetime
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import EVENT_SCHEMA
+
+    src = str(tmp_path / "src")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [
+                (i, datetime(2024, 1, 1, h, m), 1, "view", 1.0, "{}")
+                for i, (h, m) in enumerate(rows)
+            ],
+            EVENT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch([(10, 0), (10, 5)])  # opens session 10:00-10:05
+    ev = read_event_stream(spark, src)
+    q = (
+        stateful_sessionize(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sess_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: 9:00 is 60 min before the session start (gap = 30 min)
+    # but inside the 2h watermark -> must become its OWN session
+    write_batch([(9, 0)])
+    q.processAllAvailable()
+    # batch 3: far-future event closes the 10:00 session
+    write_batch([(14, 0)])
+    q.processAllAvailable()
+    q.stop()
+
+    def ms(h, m):
+        return int(datetime(2024, 1, 1, h, m).timestamp() * 1000)
+
+    got = {
+        (r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in spark.sql("SELECT * FROM late_sess_out").collect()
+    }
+    assert (ms(9, 0), ms(9, 0), 1) in got, got
+    assert (ms(10, 0), ms(10, 5), 2) in got, got
+    # and the early event did NOT get merged into the open session
+    assert not any(s == ms(9, 0) and e >= ms(10, 0) for s, e, _ in got)
+
+    # batch twin agrees on the same event set
+    from census_asc5_data_pipeline_spark.operators.windows import sessionize
+
+    batch = {
+        (r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in sessionize(
+            spark.read.parquet(src), "user_id", "ts", 30, tiebreak="event_id"
+        ).collect()
+    }
+    assert got <= batch
