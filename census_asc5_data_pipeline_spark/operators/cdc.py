@@ -14,16 +14,30 @@ from pyspark.sql import functions as F
 
 def scd1_upsert(dim: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """Type-1 upsert: updates overwrite matching keys, new keys insert,
-    unmatched dim rows persist. One full-outer join on the key; updated
-    columns are taken from the update side when present.
+    unmatched dim rows persist. One full-outer join on the key.
+
+    Matched keys take the update row's payload VERBATIM — including
+    explicit NULLs — per MERGE ... WHEN MATCHED THEN UPDATE SET
+    semantics. Selection is driven by a matched flag from the update
+    side, not per-column coalesce: coalesce would silently keep the
+    stale dim value whenever an update intentionally nulls a column.
 
     Both inputs must share the schema (key + payload columns).
     """
     payload = [c for c in dim.columns if c != key]
-    u = updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in payload])
+    u = updates.select(
+        key,
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__u_{c}") for c in payload],
+    )
     out = dim.join(u, key, "full_outer")
     for c in payload:
-        out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+        out = out.withColumn(
+            c,
+            F.when(F.col("__matched").isNotNull(), F.col(f"__u_{c}")).otherwise(
+                F.col(c)
+            ),
+        )
     return out.select(key, *payload)
 
 

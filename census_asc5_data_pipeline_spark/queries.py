@@ -1891,7 +1891,9 @@ UNION ALL SELECT 'new', o_custkey FROM (SELECT * FROM cur EXCEPT SELECT * FROM p
 
 def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-1 MERGE: latest-year order totals overwrite customer
-    balances; a synthetic new key exercises the insert path."""
+    balances; a synthetic new key exercises the insert path and a
+    synthetic (custkey=1, NULL) update exercises the explicit-NULL
+    overwrite path (MERGE UPDATE SET semantics — the NULL must land)."""
     from census_asc5_data_pipeline_spark.operators import cdc as CDC
 
     cust = _t(spark, sf_dir, "customer").select(
@@ -1902,11 +1904,14 @@ def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = orders.agg(F.max(F.year("o_orderdate")).alias("m")).collect()[0]["m"]
     upd = (
         orders.filter(F.year("o_orderdate") == mx)
+        .filter(F.col("o_custkey") != 1)  # key 1 gets the NULL update below
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.sum(cents(F.col("o_totalprice"))).alias("acctbal_c"))
     )
-    new_row = spark.createDataFrame([(-1, 0)], "custkey INT, acctbal_c BIGINT")
-    upd = upd.unionByName(new_row.select(
+    synth = spark.createDataFrame(
+        [(-1, 0), (1, None)], "custkey INT, acctbal_c BIGINT"
+    )
+    upd = upd.unionByName(synth.select(
         F.col("custkey").cast(upd.schema["custkey"].dataType),
         F.col("acctbal_c").cast("bigint"),
     ))
@@ -1918,14 +1923,15 @@ WITH mx AS (SELECT MAX(EXTRACT(year FROM o_orderdate)) AS m FROM orders),
 upd AS (
   SELECT o_custkey AS custkey,
          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_c
-  FROM orders, mx WHERE EXTRACT(year FROM o_orderdate) = m GROUP BY 1
-  UNION ALL SELECT -1, 0
+  FROM orders, mx WHERE EXTRACT(year FROM o_orderdate) = m AND o_custkey != 1 GROUP BY 1
+  UNION ALL SELECT -1, CAST(0 AS BIGINT)
+  UNION ALL SELECT 1, NULL
 ), dim AS (
   SELECT c_custkey AS custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
   FROM customer
 )
 SELECT COALESCE(d.custkey, u.custkey) AS custkey,
-       COALESCE(u.acctbal_c, d.acctbal_c) AS acctbal_c
+       CASE WHEN u.custkey IS NOT NULL THEN u.acctbal_c ELSE d.acctbal_c END AS acctbal_c
 FROM dim d FULL OUTER JOIN upd u ON d.custkey = u.custkey
 """
 

@@ -15,10 +15,22 @@ def test_scd1_update_insert_keep(spark):
     )
     out = {r.k: (r.bal, r.seg) for r in scd1_upsert(dim, upd, "k").collect()}
     assert out[1] == (100, "a")  # untouched
-    assert out[2] == (999, "b")  # updated bal; null update leaves seg
+    # MERGE UPDATE SET semantics: the matched row takes the update
+    # payload VERBATIM — the explicit NULL seg overwrites "b"
+    assert out[2] == (999, None)
     assert out[3] == (300, "c")  # untouched
     assert out[4] == (400, "d")  # inserted
     assert len(out) == 4
+
+
+def test_scd1_explicit_null_update_lands(spark):
+    """Regression: per-column coalesce kept the stale value on an
+    intentional NULL update; the matched-flag selection must not."""
+    dim = spark.createDataFrame([(1, 100)], "k INT, bal INT")
+    upd = spark.createDataFrame([(1, None)], "k INT, bal INT")
+    out = scd1_upsert(dim, upd, "k").collect()
+    assert len(out) == 1
+    assert out[0].bal is None
 
 
 def test_scd2_collapses_equal_runs(spark):
