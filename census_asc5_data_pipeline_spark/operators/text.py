@@ -162,16 +162,19 @@ def tfidf_top_terms(
     engine-portable; log differs in ulps across libm implementations),
     score = tf * idf_ppm. Two shuffles: term-count groupBy and the
     per-doc top-k window; the doc-frequency table is broadcast back.
+    N (the corpus size) is folded INTO the plan as a scalar subquery
+    (``DataFrame.scalar()``) — one query, no separate driver-blocking
+    df.count() scan of the corpus.
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).cast("double")).scalar()
     terms = df.select(
         "doc_id", F.explode(words(F.col(text_col))).alias("term")
     ).filter(F.length("term") >= 3)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.floor(F.lit(1000000.0) * F.lit(float(n_docs)) / F.col("df") + F.lit(0.5)).cast(
+    idf = F.floor(F.lit(1000000.0) * n_docs / F.col("df") + F.lit(0.5)).cast(
         "bigint"
     )
     scored = tf.join(F.broadcast(dfreq.withColumn("idf_ppm", idf)), "term").withColumn(

@@ -1868,7 +1868,8 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.year("o_orderdate").alias("yr")
     )
-    mx = orders.agg(F.max("yr").alias("m")).collect()[0]["m"]
+    # max-year folded in-plan as a scalar subquery — no driver collect
+    mx = orders.groupBy().agg(F.max("yr")).scalar()
     cur = orders.filter(F.col("yr") == mx).select("o_custkey").distinct()
     prev = orders.filter(F.col("yr") == mx - 1).select("o_custkey").distinct()
     both = cur.intersect(prev).select(F.lit("both").alias("cohort"), "o_custkey")
@@ -1901,7 +1902,8 @@ def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("c_acctbal")).alias("acctbal_c"),
     )
     orders = _t(spark, sf_dir, "orders")
-    mx = orders.agg(F.max(F.year("o_orderdate")).alias("m")).collect()[0]["m"]
+    # max-year folded in-plan as a scalar subquery — no driver collect
+    mx = orders.groupBy().agg(F.max(F.year("o_orderdate"))).scalar()
     upd = (
         orders.filter(F.year("o_orderdate") == mx)
         .filter(F.col("o_custkey") != 1)  # key 1 gets the NULL update below
@@ -1983,31 +1985,53 @@ FROM collapsed
 
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate: referential integrity, key nullability/
-    uniqueness, and domain checks as one violations report."""
+    uniqueness, and domain checks as one violations report.
+
+    All six checks are 1-row aggregates UNIONed into a single plan —
+    one Spark job, no driver-side count() loop (six blocking jobs
+    previously)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    checks = {
-        "orphan_lineitem": li.join(
-            orders.select("o_orderkey"),
-            li.l_orderkey == orders.o_orderkey,
-            "left_anti",
-        ).count(),
-        "orphan_order_cust": orders.join(
-            cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti"
-        ).count(),
-        "null_l_orderkey": li.filter(F.col("l_orderkey").isNull()).count(),
-        "dup_lineitem_pk": li.groupBy("l_orderkey", "l_linenumber")
-        .count()
-        .filter(F.col("count") > 1)
-        .count(),
-        "nonpositive_qty": li.filter(F.col("l_quantity") <= 0).count(),
-        "nonpositive_totalprice": orders.filter(F.col("o_totalprice") <= 0).count(),
-    }
-    return spark.createDataFrame(
-        sorted((k, int(v)) for k, v in checks.items()),
-        "check STRING, n_violations BIGINT",
-    )
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(name).alias("check"), "n_violations")
+        )
+
+    checks = [
+        one(
+            "orphan_lineitem",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ),
+        ),
+        one(
+            "orphan_order_cust",
+            orders.join(
+                cust.select("c_custkey"),
+                orders.o_custkey == cust.c_custkey,
+                "left_anti",
+            ),
+        ),
+        one("null_l_orderkey", li.filter(F.col("l_orderkey").isNull())),
+        one(
+            "dup_lineitem_pk",
+            li.groupBy("l_orderkey", "l_linenumber")
+            .count()
+            .filter(F.col("count") > 1),
+        ),
+        one("nonpositive_qty", li.filter(F.col("l_quantity") <= 0)),
+        one("nonpositive_totalprice", orders.filter(F.col("o_totalprice") <= 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 SQL_DQ_REPORT = """
