@@ -13,22 +13,43 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from census_asc5_data_pipeline_spark.functions import cosine, dot, to_double_array
 
 
-def _exact_rerank_topk(matched: DataFrame, k: int) -> DataFrame:
+def dot_unrolled(a, b, dim: int):
+    """Dot product as an UNROLLED left-associated sum of element_at
+    products. Bit-identical to the ``functions.dot`` fold (same IEEE
+    operation sequence: ((0+t1)+t2)+... == (t1+t2)+...), but a plain
+    expression tree, so it runs inside whole-stage codegen — the
+    zip_with/aggregate higher-order form falls back to interpreted
+    per-row evaluation, ~10x slower in the pair-verification hot path.
+    Requires a known ``dim`` (plan-compile-time constant).
+    """
+    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+    return sum(terms[1:], terms[0])
+
+
+def _exact_rerank_topk(matched: DataFrame, k: int, dim: int | None = None) -> DataFrame:
     """Shared tail of every ANN variant: exact micro-fixed-point cosine
-    on (query_id, qv, cand_id, cv) candidates, deterministic top-k."""
+    on (query_id, qv, cand_id, cv) candidates, deterministic top-k.
+    With a known ``dim`` the cosine is the codegen-friendly unrolled
+    dot; values are bit-identical either way."""
     from pyspark.sql import Window
 
+    if dim is not None:
+        cos = dot_unrolled(F.col("qv"), F.col("cv"), dim) / (
+            F.sqrt(dot_unrolled(F.col("qv"), F.col("qv"), dim))
+            * F.sqrt(dot_unrolled(F.col("cv"), F.col("cv"), dim))
+        )
+    else:
+        cos = cosine(F.col("qv"), F.col("cv"))
     scored = matched.filter(F.col("cand_id") != F.col("query_id")).withColumn(
         "cos_micro",
-        F.floor(cosine(F.col("qv"), F.col("cv")) * 1000000.0 + F.lit(0.5)).cast(
-            "bigint"
-        ),
+        F.floor(cos * 1000000.0 + F.lit(0.5)).cast("bigint"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_micro").desc(), F.col("cand_id")
@@ -46,6 +67,7 @@ def cosine_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``queries`` against ``corpus``.
 
@@ -56,7 +78,7 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv"))
-    return _exact_rerank_topk(c.crossJoin(F.broadcast(q)), k)
+    return _exact_rerank_topk(c.crossJoin(F.broadcast(q)), k, dim=dim)
 
 
 def cosine_near_dup_pairs(
@@ -117,28 +139,51 @@ def rademacher_planes(dim: int, planes: int, seed: int = 42) -> list[list[int]]:
     ]
 
 
-def _quantized(vec_col) -> "F.Column":
-    """Per-element micro-fixed-point quantization (FLOOR(x*1e6+0.5) as
-    BIGINT): makes every downstream projection exact integer arithmetic,
-    bit-identical across engines regardless of float summation order."""
-    return F.transform(
-        vec_col, lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("bigint")
-    )
+def _lsh_band_buckets(
+    corpus: DataFrame,
+    planes: list[list[int]],
+    bands: int,
+    planes_per_band: int,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(vec_id, band, bh) sign-pattern buckets over integer-quantized
+    projections, computed as ONE vectorized Arrow pandas_udf (numpy
+    int64 matmul) per batch.
 
+    Why a UDF here and nowhere else in this module: the projection is a
+    dense (n×dim)·(dim×planes) matrix multiply. Expressed as Catalyst
+    expressions it is bands×planes×dim unrolled terms, which either
+    trips janino's 64 KB method limit (interpreted fallback) or costs
+    ~40 s of compile time per session; expressed as HOF folds it runs
+    interpreted per row. BLAS-backed numpy over Arrow batches is the
+    idiomatic Spark answer for dense linear algebra — vectorized,
+    compile-free, and embarrassingly parallel across partitions.
 
-def _int_bucket(vq_col, planes: list[list[int]]):
-    """Sign-pattern bucket over integer-quantized vectors: bit p = 1 iff
-    Σ_d vq[d]·plane_p[d] > 0 — pure bigint arithmetic, no float ties."""
-    bits = []
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(int(x)) for x in plane])
-        s = F.aggregate(
-            F.zip_with(vq_col, lit_plane, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).cast("bigint")
+    Determinism: quantization (FLOOR(x*1e6+0.5) in float64) is the
+    identical IEEE expression the SQL oracle uses, and the projection
+    is pure int64 arithmetic — order-independent, so numpy's summation
+    strategy cannot change a single bit vs DuckDB's integer SUM.
+    """
+    P = np.asarray(planes, dtype=np.int64)  # (bands*ppb, dim), entries ±1
+
+    @F.pandas_udf("array<bigint>")
+    def band_hashes(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(embs.to_numpy()).astype(np.float64)
+        Q = np.floor(M * 1000000.0 + 0.5).astype(np.int64)
+        bits = (Q @ P.T) > 0  # (n, bands*ppb)
+        bhs = np.zeros((len(embs), bands), dtype=np.int64)
+        for b in range(bands):
+            for p in range(planes_per_band):
+                bhs[:, b] |= bits[:, b * planes_per_band + p].astype(np.int64) << p
+        return pd.Series(list(bhs))
+
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), band_hashes(F.col(vec_col)).alias("__bhs")
+    ).select("vec_id", F.posexplode("__bhs").alias("band", "bh"))
 
 
 def cosine_near_dup_pairs_lsh(
@@ -170,8 +215,8 @@ def cosine_near_dup_pairs_lsh(
 
     Cross-engine determinism: planes are md5-derived ±1 signs
     (``rademacher_planes``) and projections run on micro-quantized
-    integer vectors (``_quantized``), so bucket ids are exact integer
-    math — DuckDB reproduces them bit-for-bit (see
+    integer elements (``_quantized_elem``), so bucket ids are exact
+    integer math — DuckDB reproduces them bit-for-bit (see
     SQL_EMB_COSINE_PAIRS in queries.py), which is what lets the driver
     hash-verify an LSH query instead of downgrading it to rows-only.
 
@@ -196,22 +241,8 @@ def cosine_near_dup_pairs_lsh(
             )
         dim = first[0]["d"]
     hp = rademacher_planes(dim, bands * planes_per_band, seed)
-    v = corpus.select(
-        F.col(id_col).alias("vec_id"), _quantized(F.col(vec_col)).alias("vq")
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _int_bucket(
-                    F.col("vq"), hp[b * planes_per_band : (b + 1) * planes_per_band]
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = v.select("vec_id", F.explode(band_structs).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    buckets = _lsh_band_buckets(
+        corpus, hp, bands, planes_per_band, dim, vec_col, id_col
     )
     a = buckets.select(F.col("vec_id").alias("vec_id_a"), "band", "bh")
     b = buckets
@@ -236,20 +267,29 @@ def cosine_near_dup_pairs_lsh(
         .select("vec_id_a", "vec_id_b")
         .distinct()
     )
+    # Exact verification: norms precomputed ONCE per vector, dot
+    # unrolled (codegen) — one fused 64-term sum per candidate pair
+    # instead of three interpreted HOF folds. Same IEEE sequence as the
+    # fold, so scores stay bit-identical to the brute kernel/oracle.
+    dv = to_double_array(vec_col)
+    norm = F.sqrt(dot_unrolled(dv, dv, dim))
     va = corpus.select(
-        F.col(id_col).alias("vec_id_a"), to_double_array(vec_col).alias("va")
+        F.col(id_col).alias("vec_id_a"), dv.alias("va"), norm.alias("__na")
     )
     vb = corpus.select(
-        F.col(id_col).alias("vec_id_b"), to_double_array(vec_col).alias("vb")
+        F.col(id_col).alias("vec_id_b"), dv.alias("vb"), norm.alias("__nb")
     )
     return (
         cand.join(va, "vec_id_a")
         .join(vb, "vec_id_b")
         .withColumn(
             "cos_micro",
-            F.floor(cosine(F.col("va"), F.col("vb")) * 1000000.0 + F.lit(0.5)).cast(
-                "bigint"
-            ),
+            F.floor(
+                dot_unrolled(F.col("va"), F.col("vb"), dim)
+                / (F.col("__na") * F.col("__nb"))
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("bigint"),
         )
         .filter(F.col("cos_micro") >= threshold_micro)
         .select("vec_id_a", "vec_id_b", "cos_micro")
@@ -263,13 +303,17 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-pattern bucket id for one vector: bit p = 1 iff v·plane_p>0.
-    Pure column expression — the plane matrix ships as literals."""
+    Pure column expression — the plane matrix ships as literal
+    coefficients in an unrolled dot (codegen; the zip_with/aggregate
+    fold form evaluates interpreted, off the codegen fast path)."""
     bits = []
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(
-            F.when(dot(vec_col, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        )
+        terms = [
+            F.element_at(vec_col, i + 1) * F.lit(float(x))
+            for i, x in enumerate(plane)
+        ]
+        s = sum(terms[1:], terms[0])
+        bits.append(F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0]).cast("bigint")
 
 
@@ -300,9 +344,9 @@ def ivf_centroids(
     cents: list[list[float]] = [list(r.v) for r in seeds]
     n_centroids = len(cents)  # corpus may hold fewer rows than requested
     for _ in range(iterations):
-        assigned = corpus.select(
-            to_double_array(vec_col).alias("v")
-        ).withColumn("cluster", _nearest_centroid(F.col("v"), cents))
+        assigned = _assign_clusters(
+            corpus.select(to_double_array(vec_col).alias("v")), "v", cents
+        )
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -321,24 +365,50 @@ def ivf_centroids(
     return cents
 
 
-def _nearest_centroid(vec, cents: list[list[float]]):
-    """argmax-cosine cluster id as one column expression: array_max over
-    (cos_micro, -cid) structs — deterministic tie-break to lowest id."""
+def _with_centroid_scores(
+    df: DataFrame, vec_colname: str, cents: list[list[float]], out_col: str = "__css"
+) -> DataFrame:
+    """Per-centroid cos_micro scores as ONE array column, computed by a
+    vectorized Arrow pandas_udf (numpy matmul) — dense linear algebra,
+    same rationale as ``_lsh_band_buckets``. Scores feed CANDIDATE
+    selection only (assignment / probe ranking); the emitted top-k is
+    re-scored by the exact expression-based rerank, so numpy's float
+    summation order never reaches an output value."""
+    C = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    @F.pandas_udf("array<bigint>")
+    def centroid_scores(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        vn = np.sqrt((M * M).sum(axis=1))
+        S = (M @ C.T) / (vn[:, None] * cn[None, :])
+        return pd.Series(list(np.floor(S * 1000000.0 + 0.5).astype(np.int64)))
+
+    return df.withColumn(out_col, centroid_scores(F.col(vec_colname)))
+
+
+def _argmax_centroid(n_centroids: int, arr_col: str = "__css"):
+    """Cluster id = argmax of the score array, lowest-id tiebreak —
+    a tiny expression over the precomputed score column."""
     scored = F.array(
         *[
             F.struct(
-                F.floor(
-                    cosine(vec, F.array(*[F.lit(float(x)) for x in c])) * 1000000.0
-                    + F.lit(0.5)
-                )
-                .cast("bigint")
-                .alias("s"),
+                F.element_at(F.col(arr_col), cid + 1).alias("s"),
                 F.lit(-cid).alias("negcid"),
             )
-            for cid, c in enumerate(cents)
+            for cid in range(n_centroids)
         ]
     )
     return (-F.array_max(scored)["negcid"]).cast("int")
+
+
+def _assign_clusters(
+    df: DataFrame, vec_colname: str, cents: list[list[float]], out_col: str = "cluster"
+) -> DataFrame:
+    scored = _with_centroid_scores(df, vec_colname, cents)
+    return scored.withColumn(out_col, _argmax_centroid(len(cents))).drop("__css")
 
 
 def ivf_topk(
@@ -359,41 +429,42 @@ def ivf_topk(
     Recall < 1 by design; tested against ``cosine_topk``.
     """
     cents = ivf_centroids(corpus, n_centroids, vec_col, id_col)
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv")
-    ).withColumn("cluster", _nearest_centroid(F.col("cv"), cents))
+    dim = len(cents[0])
+    c = _assign_clusters(
+        corpus.select(
+            F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv")
+        ),
+        "cv",
+        cents,
+    )
+    # probe list: top-nprobe centroid ids by score — scores are plain
+    # columns (codegen-split), the sort is a tiny array over them
+    q_scored = _with_centroid_scores(
+        queries.select(
+            F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
+        ),
+        "qv",
+        cents,
+    )
     scored_cents = F.array(
         *[
             F.struct(
-                F.floor(
-                    cosine(F.col("qv"), F.array(*[F.lit(float(x)) for x in cc]))
-                    * 1000000.0
-                    + F.lit(0.5)
-                )
-                .cast("bigint")
-                .alias("s"),
+                F.element_at(F.col("__css"), cid + 1).alias("s"),
                 F.lit(cid).alias("cid"),
             )
-            for cid, cc in enumerate(cents)
+            for cid in range(len(cents))
         ]
     )
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
-        )
-        .withColumn(
-            "__probe",
-            F.explode(
-                F.transform(
-                    F.slice(F.reverse(F.array_sort(scored_cents)), 1, nprobe),
-                    lambda s: s["cid"],
-                )
-            ),
-        )
-        .withColumn("cluster", F.col("__probe").cast("int"))
-        .drop("__probe")
-    )
-    return _exact_rerank_topk(c.join(F.broadcast(probes), "cluster"), k)
+    probes = q_scored.withColumn(
+        "cluster",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(scored_cents)), 1, nprobe),
+                lambda s: s["cid"].cast("int"),
+            )
+        ),
+    ).drop("__css")
+    return _exact_rerank_topk(c.join(F.broadcast(probes), "cluster"), k, dim=dim)
 
 
 def lsh_topk(
@@ -436,4 +507,4 @@ def lsh_topk(
             )
         )
         q = q.withColumn("bucket", probe)
-    return _exact_rerank_topk(c.join(F.broadcast(q), "bucket"), k)
+    return _exact_rerank_topk(c.join(F.broadcast(q), "bucket"), k, dim=dim)
