@@ -32,6 +32,13 @@ HEADLINE = [
     "lang_id",
     "text_quality",
     "doc_fingerprint",
+    # flagship tail (round-2 verdict): the composed / iterative /
+    # ANN-scale paths get their own bench rows
+    "curate_corpus",
+    "dedup_clusters",
+    "decontaminate",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
 ]
 
 

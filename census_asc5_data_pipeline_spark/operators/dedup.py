@@ -129,37 +129,35 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard_ppm") >= threshold_ppm)
             .select("doc_a", "doc_b", "co", "jaccard_ppm")
         )
-    # Capped path: candidates from the pruned index, exact scores from
-    # the full one. Shingle-set arrays are built ONLY for candidate
-    # docs (semi-join first), so the array shuffle is proportional to
-    # the candidate set, not the corpus.
-    cand = (
-        a.select("doc_a", "sh")
-        .join(b.select("doc_b", "sh"), "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        post.join(cand_docs, "doc_id")
+    # Capped path: co splits exactly into
+    #   co = co_sub (sub-cap shingles — counted by the SAME map-side-
+    #        combinable join+groupBy as the uncapped path, just over the
+    #        pruned index) + |stop(a) ∩ stop(b)| (stop-shingle overlap).
+    # Per-doc STOP arrays are tiny (≤ |stop list|, the handful of
+    # degenerate shingles), so the correction is two cheap left joins —
+    # nothing like materializing full shingle sets. n_a/n_b were counted
+    # before pruning, so the emitted jaccard is the true uncapped value.
+    stop_sets = (
+        post.join(F.broadcast(stop), "sh")
         .groupBy("doc_id")
-        .agg(F.collect_list("sh").alias("shs"))
+        .agg(F.collect_list("sh").alias("ss"))
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    pairs_sub = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("co_sub"))
+    )
+    ssa = stop_sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    ssb = stop_sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    co_stop = F.when(
+        F.col("ss_a").isNotNull() & F.col("ss_b").isNotNull(),
+        F.size(F.array_intersect("ss_a", "ss_b")).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "co", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
-        )
-        .withColumn("n_a", F.size("shs_a").cast("bigint"))
-        .withColumn("n_b", F.size("shs_b").cast("bigint"))
+        pairs_sub.join(ssa, "doc_a", "left")
+        .join(ssb, "doc_b", "left")
+        .withColumn("co", (F.col("co_sub") + co_stop).cast("bigint"))
         .withColumn(
             "jaccard_ppm",
             F.floor(

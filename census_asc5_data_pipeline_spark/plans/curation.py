@@ -28,7 +28,7 @@ def curate(
     min_chars: int = 100,
     min_words: int = 20,
     jaccard_ppm: int = 500000,
-    df_cap: int = 256,
+    df_cap: int = 4096,
 ) -> DataFrame:
     """Per-document curation verdict.
 

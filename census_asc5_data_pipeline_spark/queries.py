@@ -1132,11 +1132,14 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df_cap=256 prunes stop-shingle join blowup; capped candidates
-    are exactly re-verified against full shingle sets, so the output
-    still hash-matches the uncapped DuckDB oracle."""
+    """df_cap=4096 is the stop-shingle safety valve (a shingle shared by
+    k docs contributes k^2 join rows; the cap bounds k). It is far above
+    any legitimate document frequency in this corpus (max 338 at sf0.1),
+    so candidates are complete, and capped candidates are exactly
+    re-verified against full shingle sets either way — the output
+    hash-matches the uncapped DuckDB oracle at every SF."""
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold_ppm=100000, df_cap=256
+        _t(spark, sf_dir, "documents"), threshold_ppm=100000, df_cap=4096
     )
 
 
@@ -1252,7 +1255,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from census_asc5_data_pipeline_spark.operators import graph as G
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=500000, df_cap=256)
+    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=500000, df_cap=4096)
     return G.dedup_clusters(docs, pairs)
 
 
@@ -1290,9 +1293,14 @@ FROM comp
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs (rows-only oracle: signature hashing
-    is engine-specific; recall is pytest-verified vs exact Jaccard)."""
+    is engine-specific; recall is pytest-verified vs exact Jaccard).
+
+    32 hashes / 8 bands (4 rows per band — same per-band selectivity as
+    64/16) halves signature work and quarters the janino codegen cost
+    vs 64/16 at equal tested recall; the planted-corpus recall test
+    runs these exact parameters."""
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, verify_threshold=0.5
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, verify_threshold=0.5
     )
 
 
@@ -1303,7 +1311,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
 
 
 SQL_ANN_COSINE = """
@@ -2822,11 +2830,14 @@ FROM documents
 # =====================================================================
 
 # Registry order is deliberate: the driver's correctness gate verifies
-# the FIRST 50 entries per round, so queries without a prior green
-# CORRECTNESS row come first (round 1 checked the original positions
-# 1-50; the 38 then-unchecked keys now lead). Previously-green queries
-# rotate to the back, keeping a handful of sentinels for code touched
-# this round inside the window.
+# the FIRST 50 entries per round. Every key is green across r1∪r2, so
+# the round-3 window prioritizes queries whose code CHANGED this round
+# (LSH embedding dedup, capped jaccard + its consumers, scd1, in-plan
+# scalars, re-parameterized minhash, ANN family) plus sentinels; the
+# stable remainder rotates behind the window.
+# tests/test_registry_window.py PINS the first-50 set — an innocent
+# alphabetization or top-insertion would silently change what the
+# driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- round-1 driver-unchecked (registry positions 51-88 then) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2840,8 +2851,8 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate": q_decontaminate,
     "curate_corpus": q_curate_corpus,
     "compression_ratio": q_compression_ratio,
-    "url_domains": q_url_domains,
-    "prefix_dups": q_prefix_dups,
+    "dedup_clusters": q_dedup_clusters,
+    "ann_cosine_topk": q_ann_cosine_topk,
     "cohort_retention": q_cohort_retention,
     "user_trend": q_user_trend,
     "stats_agg": q_stats_agg,
@@ -2911,10 +2922,10 @@ QUERIES: dict[str, QueryFn] = {
     "cube_agg": q_cube_agg,
     "unpivot_long": q_unpivot_long,
     "lag_lead_delta": q_lag_lead_delta,
-    "dedup_clusters": q_dedup_clusters,
+    "url_domains": q_url_domains,
+    "prefix_dups": q_prefix_dups,
     "dedup_char_ngram": q_dedup_char_ngram,
     "percent_rank": q_percent_rank,
-    "ann_cosine_topk": q_ann_cosine_topk,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,

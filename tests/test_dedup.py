@@ -78,6 +78,23 @@ def test_minhash_recall_vs_exact(corpus):
     assert exact <= lsh
 
 
+def test_minhash_recall_at_registered_params(corpus):
+    """The registered dedup_minhash query runs 32 hashes / 8 bands —
+    recall of high-jaccard pairs must hold at THOSE parameters too
+    (the gate for the bench-motivated 64/16 -> 32/8 change)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(corpus, threshold_ppm=700000).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            corpus, num_hashes=32, bands=8, verify_threshold=0.5
+        ).collect()
+    }
+    assert exact <= lsh
+
+
 def test_minhash_est_close_to_true(corpus):
     rows = minhash_lsh_pairs(corpus, verify_threshold=0.5).collect()
     est = {(r.doc_a, r.doc_b): r.est_jaccard for r in rows}
