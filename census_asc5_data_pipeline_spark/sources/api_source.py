@@ -29,6 +29,52 @@ def _no_network_fetcher(columns: str, year: str) -> list[list[str]]:
     )
 
 
+def census_url(
+    columns: str,
+    year: str,
+    api_key: str,
+    base_url: str = "https://api.census.gov/data/",
+    dataset: str = "acs/acs5/profile",
+    state: str = "*",
+) -> str:
+    """The reference's exact request-URL shape
+    (extractCensusACS5.py:13-27): one GET per year,
+    ``{base}{year}/{dataset}?get={columns}&for=state:{state}&key={key}``.
+    Split out so the URL construction is unit-testable without any
+    network (tests/test_sources.py asserts the loop + URL shape)."""
+    return f"{base_url}{year}/{dataset}?get={columns}&for=state:{state}&key={api_key}"
+
+
+def make_requests_fetcher(
+    api_key: str,
+    base_url: str = "https://api.census.gov/data/",
+    dataset: str = "acs/acs5/profile",
+    state: str = "*",
+    timeout_s: float = 30.0,
+) -> Fetcher:
+    """Production fetcher backed by ``requests`` — parity with the
+    reference's Lambda loop (extractCensusACS5.py:17-45): GET the
+    census JSON (a list of rows, row 0 = header) for one year.
+
+    NOT exercised in this container (no network, and ``requests`` may
+    be absent — it is imported lazily so merely constructing pipelines
+    never needs it). Usage::
+
+        fetcher = make_requests_fetcher(api_key=os.environ["API_KEY"])
+        df = extract_api(spark, COLUMNS, ["2016", "2021"], fetcher)
+    """
+
+    def fetch(columns: str, year: str) -> list[list[str]]:
+        import requests  # lazy: only needed when actually fetching
+
+        url = census_url(columns, year, api_key, base_url, dataset, state)
+        response = requests.get(url, timeout=timeout_s)
+        response.raise_for_status()
+        return response.json()
+
+    return fetch
+
+
 def extract_api(
     spark: SparkSession,
     columns: str,

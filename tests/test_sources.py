@@ -148,3 +148,59 @@ def test_csv_malformed_rows_dropped(spark, tmp_path):
     loose = read_csv(spark, str(p), schema=schema)
     assert loose.count() == 3
     assert loose.filter(F.col("k").isNull()).count() == 1
+
+
+def test_census_url_matches_reference_shape():
+    """URL construction parity with the reference Lambda
+    (extractCensusACS5.py:26): {base}{year}/{dataset}?get=...&for=state:*&key=..."""
+    from census_asc5_data_pipeline_spark.sources.api_source import census_url
+
+    url = census_url("NAME,DP03_0062E", "2016", api_key="SECRET")
+    assert url == (
+        "https://api.census.gov/data/2016/acs/acs5/profile"
+        "?get=NAME,DP03_0062E&for=state:*&key=SECRET"
+    )
+
+
+def test_extract_api_year_loop_and_url_shape(spark, monkeypatch):
+    """The requests fetcher drives one GET per year with the reference's
+    URL; a fake requests module records calls — no network involved."""
+    import sys
+    import types
+
+    from census_asc5_data_pipeline_spark.sources.api_source import (
+        extract_api,
+        make_requests_fetcher,
+    )
+
+    calls: list[str] = []
+
+    class FakeResponse:
+        def raise_for_status(self):
+            pass
+
+        def json(self):
+            year = calls[-1].split("/data/")[1].split("/")[0]
+            return [["NAME", "DP03_0062E", "state"], ["Alabama", "44758", "01"],
+                    ["Alaska", "74444", "02"]] if year else []
+
+    fake_requests = types.ModuleType("requests")
+
+    def fake_get(url, timeout=None):
+        calls.append(url)
+        assert timeout  # production fetcher must set a timeout
+        return FakeResponse()
+
+    fake_requests.get = fake_get
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+
+    fetcher = make_requests_fetcher(api_key="K")
+    df = extract_api(spark, "NAME,DP03_0062E", ["2016", "2021"], fetcher)
+    assert [c.split("?")[0] for c in calls] == [
+        "https://api.census.gov/data/2016/acs/acs5/profile",
+        "https://api.census.gov/data/2021/acs/acs5/profile",
+    ]
+    assert all("get=NAME,DP03_0062E" in c and "key=K" in c for c in calls)
+    rows = df.collect()
+    assert len(rows) == 4  # 2 states x 2 years, headers promoted not kept
+    assert {r.year for r in rows} == {2016, 2021}
