@@ -1,0 +1,76 @@
+"""The driver's correctness gate verifies the FIRST 50 registry
+entries per round, so the window membership is load-bearing: an
+innocent alphabetization or an insertion near the top would silently
+change which queries get driver-verified. This pin makes any reorder an
+explicit, reviewed decision (update the list here alongside the
+registry)."""
+
+from __future__ import annotations
+
+from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
+
+# round-3 window: every query whose code changed this round (LSH
+# embedding dedup, capped jaccard + consumers, scd1, in-plan scalars,
+# 32/8 minhash, ANN family) plus green sentinels.
+PINNED_FIRST_50 = [
+    "dedup_embedding_cosine",
+    "top_terms",
+    "pii_redact",
+    "train_split",
+    "tfidf_top_terms",
+    "repetition_ratio",
+    "quality_funnel",
+    "boilerplate_segments",
+    "decontaminate",
+    "curate_corpus",
+    "compression_ratio",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "cohort_retention",
+    "user_trend",
+    "stats_agg",
+    "ntile_quartiles",
+    "above_avg_orders",
+    "set_ops",
+    "gap_fill",
+    "funnel",
+    "fuzzy_match",
+    "salted_join_agg",
+    "histogram",
+    "monthly_revenue",
+    "range_frame",
+    "full_outer_balance",
+    "events_pivot",
+    "string_agg",
+    "argmax_agg",
+    "vector_stats",
+    "dow_seasonality",
+    "conditional_agg",
+    "scd1_upsert",
+    "scd2_history",
+    "dq_report",
+    "stratified_sample",
+    "grouping_sets",
+    "approx_quantiles",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "heavy_hitters",
+    "measure_view",
+    "fact_join",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+]
+
+
+def test_first_50_registry_entries_are_pinned():
+    assert list(QUERIES)[:50] == PINNED_FIRST_50
+
+
+def test_registry_has_no_duplicate_or_orphan_oracles():
+    # every oracle belongs to a registered query; registry keys unique
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(list(QUERIES)) == len(set(QUERIES))
