@@ -269,22 +269,23 @@ def decontaminate(
     tiny next to the corpus); the corpus side is one explode + one
     groupBy — never a corpus×benchmark pair join.
     """
-
-    def ngrams(col):
-        w = words(col)
-        return F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    # explode the RAW gram array and dedup via .distinct() — exploding
+    # array_distinct(<hof>) clones the whole array expression into the
+    # generator's null-check (see shingle_postings), 3-5x slower
+    def gram_rows(df):
+        toks = df.select("doc_id", words(F.col(text_col)).alias("__w")).filter(
+            F.size("__w") >= n
         )
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__w", i, n)),
+        )
+        return toks.select("doc_id", F.explode(grams).alias("gram"))
 
     bench = (
-        benchmark.select(F.explode(ngrams(F.col(text_col))).alias("gram"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+        gram_rows(benchmark).select("gram").distinct().withColumn("__hit", F.lit(1))
     )
-    corp = corpus.filter(F.size(words(F.col(text_col))) >= n).select(
-        "doc_id", F.explode(F.array_distinct(ngrams(F.col(text_col)))).alias("gram")
-    )
+    corp = gram_rows(corpus).distinct()
     joined = corp.join(F.broadcast(bench), "gram", "left")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
