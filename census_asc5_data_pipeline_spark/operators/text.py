@@ -319,3 +319,77 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.max(F.md5(F.col("shingle"))).alias("fp_max"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Sliding token-window chunking — the standard prep step that turns
+    variable-length documents into fixed-size training windows.
+
+    Emits (doc_id, chunk_id, n_tokens, chunk_text): windows of
+    ``chunk_tokens`` tokens every ``stride`` tokens (overlap =
+    chunk_tokens - stride). Window starts run to n - chunk_tokens + 1,
+    so only FULL windows are emitted, except that a document shorter
+    than one window yields its single partial chunk (so no document is
+    silently dropped). chunk_id = start // stride — deterministic,
+    engine-portable, no window function needed.
+
+    Scale shape: one narrow map + one generator per doc — output rows
+    ≈ n_tokens/stride per doc, no shuffle at all; writers typically
+    repartition by hash(doc_id, chunk_id) downstream.
+    """
+    toks = df.select("doc_id", words(F.col(text_col)).alias("__w")).filter(
+        F.size("__w") >= 1
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__w") - (chunk_tokens - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        toks.select("doc_id", "__w", F.explode(starts).alias("st"))
+        .select(
+            "doc_id",
+            ((F.col("st") - 1) / stride).cast("int").alias("chunk_id"),
+            F.size(F.slice("__w", F.col("st"), chunk_tokens))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.concat_ws(" ", F.slice("__w", F.col("st"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_ppm: int = 1000000,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the 'dataset mixture
+    weights' step of corpus assembly (downsample web, keep books, ...).
+
+    A doc is kept iff its salted-md5 bucket (ppm) < its source's rate.
+    Same content-independent hash family as ``hash_split``: stable
+    under re-runs and resharding, identically computable on any engine
+    with md5 — no RNG state anywhere.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(1000000))
+    rate = F.lit(default_ppm)
+    for src, ppm in sorted(rates_ppm.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(ppm)).otherwise(rate)
+    return df.withColumn("__bucket_ppm", bucket).withColumn(
+        "keep", F.col("__bucket_ppm") < rate
+    )

@@ -1514,9 +1514,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mirrors cosine_near_dup_pairs_lsh exactly: same md5-Rademacher planes
 # (flat plane index q = band*8 + p), same micro-quantized integer
 # projections, same multiprobe (hamming<=1) candidate join, same exact
-# cosine verification — bit-deterministic in both engines.
-SQL_EMB_COSINE_PAIRS = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+# cosine verification — bit-deterministic in both engines. The WITH body
+# is shared with the embedding-clusters oracle below.
+_SQL_EMB_LSH_BODY = """
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id,
              list_transform(e, x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS eq
       FROM v),
@@ -1537,17 +1538,127 @@ probe AS (SELECT vec_id, band,
           FROM buck, range(9) pr(p)),
 cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, p.vec_id AS vec_id_b
          FROM buck a JOIN probe p USING (band, bh)
-         WHERE a.vec_id < p.vec_id)
-SELECT c.vec_id_a, c.vec_id_b,
-       CAST(FLOOR(
-         (list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))))
-         * 1000000 + 0.5) AS BIGINT) AS cos_micro
-FROM cand c
-JOIN v va ON va.vec_id = c.vec_id_a
-JOIN v vb ON vb.vec_id = c.vec_id_b
-WHERE CAST(FLOOR(
-        (list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))))
-        * 1000000 + 0.5) AS BIGINT) >= 300000
+         WHERE a.vec_id < p.vec_id),
+lsh_pairs AS (
+  SELECT c.vec_id_a, c.vec_id_b,
+         CAST(FLOOR(
+           (list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))))
+           * 1000000 + 0.5) AS BIGINT) AS cos_micro
+  FROM cand c
+  JOIN v va ON va.vec_id = c.vec_id_a
+  JOIN v vb ON vb.vec_id = c.vec_id_b
+  WHERE CAST(FLOOR(
+          (list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))))
+          * 1000000 + 0.5) AS BIGINT) >= 300000
+)"""
+
+SQL_EMB_COSINE_PAIRS = (
+    "WITH " + _SQL_EMB_LSH_BODY + "\nSELECT vec_id_a, vec_id_b, cos_micro FROM lsh_pairs"
+)
+
+
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: LSH candidate pairs → alternating-
+    star connected components → every vector labeled (cluster id, size,
+    keeper flag) — the embedding-space twin of dedup_clusters, and the
+    step that turns pairwise near-dup evidence into per-item keep/drop
+    verdicts. Oracle: recursive-CTE transitive closure over the same
+    (bit-deterministic) LSH pair set."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs_lsh(
+        emb,
+        threshold_micro=300000,
+        bands=8,
+        planes_per_band=8,
+        dim=64,
+        seed=42,
+        multiprobe=True,
+    )
+    out = G.dedup_clusters(
+        emb, pairs, id_col="vec_id", pair_a="vec_id_a", pair_b="vec_id_b"
+    )
+    return out.withColumnRenamed("doc_id", "vec_id")
+
+
+SQL_EMB_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _SQL_EMB_LSH_BODY
+    + """,
+edges AS (
+  SELECT vec_id_a AS u, vec_id_b AS w FROM lsh_pairs
+  UNION SELECT vec_id_b, vec_id_a FROM lsh_pairs
+), reach AS (
+  SELECT vec_id AS node, vec_id AS root FROM embeddings
+  UNION
+  SELECT e.w AS node, r.root FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node AS vec_id, MIN(root) AS component FROM reach GROUP BY 1
+)
+SELECT vec_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       vec_id = component AS is_keeper
+FROM comp
+"""
+)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (64-token windows, stride 32) —
+    variable-length docs become fixed-size training windows."""
+    return TX.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=32
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 1
+), c AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(n - 63, 1), 32)) AS st FROM s
+)
+SELECT doc_id, CAST((st - 1) // 32 AS INT) AS chunk_id,
+       CAST(len(w[st:st+63]) AS BIGINT) AS n_tokens,
+       array_to_string(w[st:st+63], ' ') AS chunk_text
+FROM c
+"""
+
+# mixture policy for the registered query: downsample the first five
+# sources hard, the next five mildly, keep the rest
+_MIXTURE_RATES = {f"src{i}": 300000 for i in range(5)} | {
+    f"src{i}": 600000 for i in range(5, 10)
+}
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling rollup: how many docs
+    each source contributes after applying mixture weights (salted-md5
+    bucket < rate — rerun-stable, engine-portable, no RNG)."""
+    out = TX.mixture_sample(_t(spark, sf_dir, "documents"), _MIXTURE_RATES)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+SQL_SOURCE_MIXTURE = """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5('mix-v1' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS bucket
+  FROM documents
+), r AS (
+  SELECT source, bucket,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 300000
+              WHEN source IN ('src5','src6','src7','src8','src9') THEN 600000
+              ELSE 1000000 END AS rate
+  FROM b
+)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY 1
 """
 
 
@@ -2839,7 +2950,11 @@ FROM documents
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
-    # --- round-1 driver-unchecked (registry positions 51-88 then) ---
+    # --- new in round 3 (never driver-checked) ---
+    "dedup_embedding_clusters": q_dedup_embedding_clusters,
+    "chunk_documents": q_chunk_documents,
+    "source_mixture": q_source_mixture,
+    # --- code changed round 3 / round-1 driver-unchecked ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "top_terms": q_top_terms,
     "pii_redact": q_pii_redact,
@@ -2853,13 +2968,10 @@ QUERIES: dict[str, QueryFn] = {
     "compression_ratio": q_compression_ratio,
     "dedup_clusters": q_dedup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "cohort_retention": q_cohort_retention,
-    "user_trend": q_user_trend,
     "stats_agg": q_stats_agg,
     "ntile_quartiles": q_ntile_quartiles,
     "above_avg_orders": q_above_avg_orders,
     "set_ops": q_set_ops,
-    "gap_fill": q_gap_fill,
     "funnel": q_funnel,
     "fuzzy_match": q_fuzzy_match,
     "salted_join_agg": q_salted_join_agg,
@@ -2922,6 +3034,9 @@ QUERIES: dict[str, QueryFn] = {
     "cube_agg": q_cube_agg,
     "unpivot_long": q_unpivot_long,
     "lag_lead_delta": q_lag_lead_delta,
+    "cohort_retention": q_cohort_retention,
+    "user_trend": q_user_trend,
+    "gap_fill": q_gap_fill,
     "url_domains": q_url_domains,
     "prefix_dups": q_prefix_dups,
     "dedup_char_ngram": q_dedup_char_ngram,
@@ -2977,6 +3092,9 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL,
+    "dedup_embedding_clusters": SQL_EMB_CLUSTERS,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "source_mixture": SQL_SOURCE_MIXTURE,
     "dedup_embedding_cosine": SQL_EMB_COSINE_PAIRS,
     "top_terms": SQL_TOP_TERMS,
     "pii_redact": SQL_PII_REDACT,

@@ -13,6 +13,9 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # embedding dedup, capped jaccard + consumers, scd1, in-plan scalars,
 # 32/8 minhash, ANN family) plus green sentinels.
 PINNED_FIRST_50 = [
+    "dedup_embedding_clusters",
+    "chunk_documents",
+    "source_mixture",
     "dedup_embedding_cosine",
     "top_terms",
     "pii_redact",
@@ -26,13 +29,10 @@ PINNED_FIRST_50 = [
     "compression_ratio",
     "dedup_clusters",
     "ann_cosine_topk",
-    "cohort_retention",
-    "user_trend",
     "stats_agg",
     "ntile_quartiles",
     "above_avg_orders",
     "set_ops",
-    "gap_fill",
     "funnel",
     "fuzzy_match",
     "salted_join_agg",

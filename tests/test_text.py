@@ -178,3 +178,68 @@ def test_compression_ratio_matches_zlib(spark):
         assert out[i].compress_ppm == want
     # repetitive text compresses far better than natural text
     assert out[0].compress_ppm < out[1].compress_ppm
+
+
+# ------------------------------------------- chunking & mixture
+
+
+def test_chunk_documents_full_windows_and_short_doc(spark):
+    from census_asc5_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),  # shorter than one window
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=8, stride=4)
+    rows = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text) for r in out.collect()}
+    # doc 1: starts 1 (full window 8); start 5 would overrun (10-8+1=3 -> only start 1)
+    assert rows[(1, 0)][0] == 8
+    assert rows[(1, 0)][1] == "t0 t1 t2 t3 t4 t5 t6 t7"
+    assert (1, 1) not in rows
+    # doc 2 shorter than a window -> single partial chunk, nothing dropped
+    assert rows[(2, 0)] == (3, "only three tokens")
+
+
+def test_chunk_documents_overlap(spark):
+    from census_asc5_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=8, stride=4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts 1,5,9,13 (20-8+1=13): 4 overlapping full windows
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    assert all(r.n_tokens == 8 for r in out)
+    assert out[1].chunk_text.startswith("t4 t5")  # stride-4 overlap
+
+
+def test_mixture_sample_deterministic_and_rate_shaped(spark):
+    import hashlib
+
+    from census_asc5_data_pipeline_spark.operators.text import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "books", "x") for i in range(400)],
+        ["doc_id", "source", "text"],
+    )
+    out = mixture_sample(docs, {"web": 250000}, default_ppm=1000000)
+    rows = out.collect()
+    # exact per-row verification against python md5 (same bucket function)
+    for r in rows[:50]:
+        b = int(hashlib.md5(f"mix-v1{r.doc_id}".encode()).hexdigest()[:8], 16) % 1000000
+        assert r["__bucket_ppm"] == b
+        want = b < (250000 if r.source == "web" else 1000000)
+        assert r.keep == want
+    # books never dropped; web downsampled to roughly a quarter
+    kept_web = sum(1 for r in rows if r.source == "web" and r.keep)
+    assert all(r.keep for r in rows if r.source == "books")
+    assert 0.10 < kept_web / 200 < 0.45
+    # rerun → identical verdicts (no RNG)
+    again = {r.doc_id: r.keep for r in mixture_sample(docs, {"web": 250000}).collect()}
+    assert again == {r.doc_id: r.keep for r in rows}
