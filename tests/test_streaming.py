@@ -283,3 +283,43 @@ def test_stateful_sessionize_very_late_event_forms_own_session(spark, tmp_path):
         ).collect()
     }
     assert got <= batch
+
+
+def test_stateless_text_prep_runs_on_streams(spark, tmp_path):
+    """Stateless text ops (chunking) apply unchanged to readStream
+    sources — same operator function, same output as batch. This is the
+    streaming ingestion path for continuous corpus prep."""
+    from pyspark.sql import types as T
+
+    from census_asc5_data_pipeline_spark.operators.text import chunk_documents
+
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{k}" for k in range(100))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    docs.write.parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        chunk_documents(stream, chunk_tokens=32, stride=16)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chunk_stream_out")
+        .start()
+    )  # same operator function as batch — no streaming-specific code
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in spark.sql("SELECT * FROM chunk_stream_out").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in chunk_documents(
+            spark.read.parquet(src), chunk_tokens=32, stride=16
+        ).collect()
+    }
+    assert got == want and len(got) > 0
