@@ -220,13 +220,22 @@ def cosine_near_dup_pairs_lsh(
     SQL_EMB_COSINE_PAIRS in queries.py), which is what lets the driver
     hash-verify an LSH query instead of downgrading it to rows-only.
 
-    Scale shape: one narrow bucketing map over the corpus (the plane
-    matrix ships as literals), a self-equi-join on 10-byte
-    (band, bucket) keys — shuffle bounded by bucket sizes, never n² —
-    a distinct on candidate id pairs, then two id-joins to fetch
-    vectors only for candidates. ``multiprobe`` explodes the probe side
-    to all hamming-1 buckets: bands*(planes_per_band+1) rows per vector
-    instead of bands, corpus side untouched.
+    Scale shape: one narrow bucketing map over the corpus (vectorized
+    Arrow/numpy), a self-equi-join on 10-byte (band, bucket) keys —
+    shuffle bounded by bucket sizes, never n² — a distinct on candidate
+    id pairs, then two id-joins to fetch vectors only for candidates.
+    ``multiprobe`` explodes the probe side to all hamming-1 buckets:
+    bands*(planes_per_band+1) rows per vector instead of bands, corpus
+    side untouched.
+
+    SIZING AT SCALE: per-band bucket count is 2^planes_per_band, so
+    expected bucket size is n / 2^planes_per_band and the per-band join
+    emits O(n · bucket_size) candidates. The 8-bit default (256
+    buckets) suits corpora up to ~10⁵ vectors; at 10⁹ vectors use
+    planes_per_band ≈ log2(n) - 10 (e.g. 20 bits → ~1k-vector buckets)
+    and recover recall with more bands and/or ``multiprobe`` — the
+    OR-amplified recall is 1-(1-p^r)^b with p = 1-θ/π, so doubling
+    bands compensates one added plane per band near p≈0.9.
 
     ``dim`` defaults to the width of the first vector (one cheap
     head(1) job); pass it explicitly to skip that lookup. A mismatched
