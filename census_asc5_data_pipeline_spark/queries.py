@@ -767,6 +767,192 @@ GROUP BY 1, 2, 3
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of STANDARD-part
+    revenue sold to ASIA customers, per order year. A 6-way snowflake
+    (broadcast dims) feeding a conditional revenue-share ratio; the
+    share is exact-int division, micro-rounded (engine-portable)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    cust_asia = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), nation.n_regionkey == region.r_regionkey
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c")).otherwise(0)
+        ).alias("nation_rev_c"),
+        F.sum("rev_c").alias("total_rev_c"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev_c",
+        "total_rev_c",
+        F.floor(
+            F.col("nation_rev_c").cast("double")
+            * 1000000.0
+            / F.col("total_rev_c")
+            + F.lit(0.5)
+        ).cast("bigint").alias("share_ppm"),
+    )
+
+
+SQL_Q8 = """
+WITH j AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_c,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) AS BIGINT) AS nation_rev_c,
+       CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+       CAST(FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) AS DOUBLE)
+                  * 1000000.0 / SUM(rev_c) + 0.5) AS BIGINT) AS share_ppm
+FROM j GROUP BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-revenue supplier(s) of the latest ship
+    year — a revenue rollup compared against its own max, both scalars
+    folded in-plan as scalar subqueries (no driver collect)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    mx_year = li.groupBy().agg(F.max("l_year")).scalar()
+    rev = (
+        li.filter(F.col("l_year") == mx_year)
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_c").alias("total_rev_c"))
+    )
+    mx_rev = rev.groupBy().agg(F.max("total_rev_c")).scalar()
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.filter(F.col("total_rev_c") == mx_rev)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_c")
+    )
+
+
+SQL_Q15 = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_c
+  FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) = (SELECT MAX(EXTRACT(year FROM l_shipdate)) FROM lineitem)
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_rev_c
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM r)
+"""
+
+
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's columns): suppliers
+    who were the ONLY supplier with returned items on a multi-supplier
+    order — EXISTS + NOT EXISTS over a self-referencing fact,
+    decorrelated into two keyed aggregations + a join (the standard
+    scale-out rewrite; the DuckDB oracle keeps the literal correlated
+    EXISTS form). Top 20, deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_ret_supp"),
+    )
+    qual = (
+        per_os.filter(F.col("has_r") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    counts = (
+        qual.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("s_name", "numwait", "rank")
+    )
+
+
+SQL_Q21 = """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+q AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM l l1
+  WHERE l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM l l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+), c AS (
+  SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM q JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT s_name, numwait,
+       CAST(ROW_NUMBER() OVER (ORDER BY numwait DESC, s_name) AS INTEGER) AS rank
+FROM c QUALIFY rank <= 20
+"""
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
@@ -2954,6 +3140,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
     "chunk_documents": q_chunk_documents,
     "source_mixture": q_source_mixture,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_sole_returner": q21_sole_returner,
     # --- code changed round 3 / round-1 driver-unchecked ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "top_terms": q_top_terms,
@@ -2973,10 +3162,7 @@ QUERIES: dict[str, QueryFn] = {
     "above_avg_orders": q_above_avg_orders,
     "set_ops": q_set_ops,
     "funnel": q_funnel,
-    "fuzzy_match": q_fuzzy_match,
     "salted_join_agg": q_salted_join_agg,
-    "histogram": q_histogram,
-    "monthly_revenue": q_monthly_revenue,
     "range_frame": q_range_frame,
     "full_outer_balance": q_full_outer_balance,
     "events_pivot": q_events_pivot,
@@ -3037,6 +3223,9 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "user_trend": q_user_trend,
     "gap_fill": q_gap_fill,
+    "fuzzy_match": q_fuzzy_match,
+    "histogram": q_histogram,
+    "monthly_revenue": q_monthly_revenue,
     "url_domains": q_url_domains,
     "prefix_dups": q_prefix_dups,
     "dedup_char_ngram": q_dedup_char_ngram,
@@ -3095,6 +3284,9 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_clusters": SQL_EMB_CLUSTERS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "source_mixture": SQL_SOURCE_MIXTURE,
+    "q8_market_share": SQL_Q8,
+    "q15_top_supplier": SQL_Q15,
+    "q21_sole_returner": SQL_Q21,
     "dedup_embedding_cosine": SQL_EMB_COSINE_PAIRS,
     "top_terms": SQL_TOP_TERMS,
     "pii_redact": SQL_PII_REDACT,

@@ -16,6 +16,9 @@ PINNED_FIRST_50 = [
     "dedup_embedding_clusters",
     "chunk_documents",
     "source_mixture",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q21_sole_returner",
     "dedup_embedding_cosine",
     "top_terms",
     "pii_redact",
@@ -34,10 +37,7 @@ PINNED_FIRST_50 = [
     "above_avg_orders",
     "set_ops",
     "funnel",
-    "fuzzy_match",
     "salted_join_agg",
-    "histogram",
-    "monthly_revenue",
     "range_frame",
     "full_outer_balance",
     "events_pivot",
