@@ -1348,8 +1348,10 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard near-dup pairs — the tokenizer-free dedup
     path (CJK/no-whitespace text). Shingles with document frequency
     > 250 are dropped on BOTH engines (common substrings are stopwords
-    here; candidate recall is what a df-capped pass is for), so the
-    capped co-counts still hash-match exactly."""
+    here, and unlike the bigram path the CAP IS THE SEMANTICS: pairs
+    reflect rare-substring overlap, not boilerplate), so the capped
+    co-counts still hash-match exactly. The stop list is broadcast and
+    anti-joined — its complement is nearly the whole vocabulary."""
     from census_asc5_data_pipeline_spark.functions import char_shingles
 
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 5)
@@ -1365,7 +1367,12 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("bigint")
     )
     freq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    post = post.join(F.broadcast(freq.filter(F.col("df") <= 250)), "sh")
+    # Broadcast the STOP list (df > cap) and anti-join — its complement
+    # is nearly every distinct shingle in the corpus, unbroadcastable
+    # at scale (same fix as ngram_jaccard_pairs).
+    post = post.join(
+        F.broadcast(freq.filter(F.col("df") > 250).select("sh")), "sh", "left_anti"
+    )
     a = post.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh")
     b = post.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh")
     return (
