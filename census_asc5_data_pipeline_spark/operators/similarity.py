@@ -181,9 +181,15 @@ def _lsh_band_buckets(
                 bhs[:, b] |= bits[:, b * planes_per_band + p].astype(np.int64) << p
         return pd.Series(list(bhs))
 
+    # posexplode_outer, not posexplode: the non-outer Generate adds an
+    # implicit `size(__bhs)>0 AND isnotnull` filter that references the
+    # UDF output, and the optimizer then evaluates the ArrowEvalPython
+    # TWICE per row (once for the filter, once for the projection). The
+    # UDF always returns a length-`bands` array, so outer semantics are
+    # identical — and the plan keeps a single Python eval.
     return corpus.select(
         F.col(id_col).alias("vec_id"), band_hashes(F.col(vec_col)).alias("__bhs")
-    ).select("vec_id", F.posexplode("__bhs").alias("band", "bh"))
+    ).select("vec_id", F.posexplode_outer("__bhs").alias("band", "bh"))
 
 
 def cosine_near_dup_pairs_lsh(
@@ -250,9 +256,14 @@ def cosine_near_dup_pairs_lsh(
             )
         dim = first[0]["d"]
     hp = rademacher_planes(dim, bands * planes_per_band, seed)
+    # Persist the bucket table: it feeds BOTH join sides (a + probe), and
+    # without it each side re-runs the corpus scan + Arrow projection.
+    # Same precedent as the persisted jaccard postings — the cached rows
+    # are narrow (id + band + 8-byte bucket, n·bands rows), a rounding
+    # error next to the corpus at any scale.
     buckets = _lsh_band_buckets(
         corpus, hp, bands, planes_per_band, dim, vec_col, id_col
-    )
+    ).persist()
     a = buckets.select(F.col("vec_id").alias("vec_id_a"), "band", "bh")
     b = buckets
     if multiprobe:
