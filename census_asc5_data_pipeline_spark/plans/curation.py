@@ -42,7 +42,13 @@ def curate(
     exact_keep = quality.groupBy(F.md5(F.col("text")).alias("__h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    survivors = quality.join(exact_keep.select("doc_id"), "doc_id")
+    # Persist the quality+exact survivors: three downstream consumers
+    # (shingle postings, the cluster node set, the kept-join) would each
+    # otherwise re-scan the corpus and re-run the quality filter and the
+    # exact-dedup aggregation. This is the canonical materialization
+    # point of a curation pipeline — everything after it touches only
+    # survivors or pair-sized data.
+    survivors = quality.join(exact_keep.select("doc_id"), "doc_id").persist()
     # df_cap bounds the stop-shingle self-join blowup (one bigram shared
     # by k docs -> k² join rows); capped candidates are exactly
     # re-verified inside ngram_jaccard_pairs, so kept/dropped verdicts
