@@ -69,6 +69,12 @@ def main() -> None:
         .agg(F.sum("l_quantity"))
         .count()
     )
+    # Warm the Python/Arrow worker pool too: the first pandas_udf in a
+    # session pays worker spawn + Arrow init (~2-3s) that every later
+    # UDF query reuses (spark.python.worker.reuse). One trivial batch
+    # through a pandas_udf moves that one-time cost before the clock.
+    _warm = F.pandas_udf(lambda s: s, "bigint")
+    spark.range(4).select(_warm("id")).count()
 
     times: dict[str, float] = {}
     total = 0.0

@@ -393,3 +393,156 @@ def mixture_sample(
     return df.withColumn("__bucket_ppm", bucket).withColumn(
         "keep", F.col("__bucket_ppm") < rate
     )
+
+
+# Gopher quality-rule stopword probe (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1: "contains at least 2 of the
+# following English words" — the canonical 8-word list).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1),
+    each emitted as its own verdict column plus the conjunction —
+    the standard pre-training heuristic filter bundle.
+
+    Rules (thresholds are the published ones, word count bounds scaled
+    to this corpus's shorter synthetic docs):
+    - word count within [min_words, max_words]
+    - mean word length within [3, 10] characters
+    - symbol-to-word ratio (# and "..." occurrences / words) <= 0.1
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 hits from the 8-word Gopher stopword probe
+
+    All signals are integer counts; ratios compare cross-multiplied
+    integers (no division), so verdicts are bit-portable to any SQL
+    engine. One scan, pure ``F.*`` — full scan speed at 100 TB.
+    """
+    w = words(F.col(text_col))
+    n_words = F.size(w).cast("bigint")
+    # sum of token lengths via one fold — whitespace excluded exactly
+    word_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit(r"#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    ).cast("bigint")
+    n_alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    n_stop_hits = count_in_set(w, GOPHER_STOPWORDS).cast("bigint")
+
+    ok_words = (n_words >= 20) & (n_words <= 100000)
+    # 3 <= word_chars/n_words <= 10 as integer cross-multiplication
+    ok_awl = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+    ok_symbols = n_symbols * 10 <= n_words
+    ok_alpha = n_alpha_words * 5 >= n_words * 4
+    ok_stops = n_stop_hits >= 2
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_symbols.alias("n_symbols"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop_hits.alias("n_stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_awl.alias("ok_awl"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stops.alias("ok_stops"),
+        (ok_words & ok_awl & ok_symbols & ok_alpha & ok_stops).alias("pass_gopher"),
+    )
+
+
+# Script ranges as explicit codepoint classes — RE2-safe (no \p{...}
+# unicode properties, which java.util.regex and RE2 spell differently).
+SCRIPT_PATTERNS = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "cjk": "[一-鿿]",
+    "cyrillic": "[Ѐ-ӿ]",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document writing-script census: character counts per script
+    class plus the dominant script (deterministic priority tiebreak
+    latin > digit > cjk > cyrillic > other) — the multilingual-corpus
+    routing signal (script, not language: a CJK doc routes to a CJK
+    tokenizer regardless of which language it is).
+
+    Counts come from ``regexp_count`` over explicit codepoint ranges —
+    identical semantics in java.util.regex and RE2/DuckDB, one scan,
+    no Python.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("bigint")
+        for name, pat in SCRIPT_PATTERNS.items()
+    }
+    n_chars = F.length(t).cast("bigint")
+    classified = sum(list(counts.values()), F.lit(0).cast("bigint"))
+    other = (n_chars - classified).cast("bigint")
+    best = F.greatest(*counts.values(), other)
+    main = (
+        F.when(best <= 0, F.lit("empty"))
+        .when(counts["latin"] == best, "latin")
+        .when(counts["digit"] == best, "digit")
+        .when(counts["cjk"] == best, "cjk")
+        .when(counts["cyrillic"] == best, "cyrillic")
+        .otherwise("other")
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_txt"),
+        *[counts[n].alias(f"n_{n}") for n in SCRIPT_PATTERNS],
+        other.alias("n_other"),
+        main.alias("main_script"),
+    )
+
+
+def dup_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Within-document duplicated word-n-gram fraction (RefinedWeb /
+    MassiveText-style repetition signal, the n-gram generalization of
+    ``repetition_ratio``'s top-bigram share).
+
+    dup_ppm = 1e6 · (# n-gram occurrences whose n-gram occurs >= 2
+    times in the doc) / (total n-gram occurrences). Docs shorter than
+    ``n`` words emit no row (no n-gram exists — same convention as the
+    bigram operators).
+
+    Scale shape: explode positions → two-level groupBy, both keyed on
+    (doc_id[, gram]) — map-side combinable, shuffle rows bounded by
+    distinct grams per doc, never corpus-wide state.
+    """
+    w = words(F.col(text_col))
+    toks = df.select("doc_id", w.alias("__w")).filter(F.size("__w") >= n)
+    idx = F.sequence(F.lit(1), F.size("__w") - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
+        ),
+    )
+    per_gram = (
+        toks.select("doc_id", F.explode(gram).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_grams"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("dup_grams").cast("bigint").alias("dup_grams"),
+        F.floor(
+            F.col("dup_grams").cast("double") * 1000000.0 / F.col("n_grams") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )

@@ -1883,6 +1883,100 @@ FROM r GROUP BY 1
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle (Rae et al. 2021 §A1.1): per-doc
+    integer signals + per-rule verdicts + the conjunction. All ratios
+    compare cross-multiplied integers, so verdicts are bit-portable."""
+    return TX.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_RULES = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS word_chars,
+         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, word_chars, n_symbols, n_alpha_words, n_stop_hits,
+       (n_words >= 20 AND n_words <= 100000) AS ok_words,
+       (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS ok_awl,
+       (n_symbols * 10 <= n_words) AS ok_symbols,
+       (n_alpha_words * 5 >= n_words * 4) AS ok_alpha,
+       (n_stop_hits >= 2) AS ok_stops,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+        AND (n_symbols * 10 <= n_words)
+        AND (n_alpha_words * 5 >= n_words * 4)
+        AND (n_stop_hits >= 2)) AS pass_gopher
+FROM m
+"""
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc writing-script census (char counts per codepoint class +
+    dominant script) — multilingual-corpus routing signal."""
+    return TX.script_profile(_t(spark, sf_dir, "documents"))
+
+
+SQL_SCRIPT_PROFILE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars_txt,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+         CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic
+  FROM documents
+), o AS (
+  SELECT *, n_chars_txt - n_latin - n_digit - n_cjk - n_cyrillic AS n_other,
+         greatest(n_latin, n_digit, n_cjk, n_cyrillic,
+                  n_chars_txt - n_latin - n_digit - n_cjk - n_cyrillic) AS best
+  FROM m
+)
+SELECT doc_id, n_chars_txt, n_latin, n_digit, n_cjk, n_cyrillic, n_other,
+       CASE WHEN best <= 0 THEN 'empty'
+            WHEN n_latin = best THEN 'latin'
+            WHEN n_digit = best THEN 'digit'
+            WHEN n_cjk = best THEN 'cjk'
+            WHEN n_cyrillic = best THEN 'cyrillic'
+            ELSE 'other' END AS main_script
+FROM o
+"""
+
+
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicated 5-gram fraction (RefinedWeb-style
+    repetition signal, generalizing repetition_ratio's top bigram)."""
+    return TX.dup_ngram_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
+SQL_DUP_NGRAM_STATS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                 FOR i IN range(1, len(w) - 3)]) AS gram
+  FROM t WHERE len(w) >= 5
+), per AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, SUM(c) AS n_grams,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_grams
+  FROM per GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(dup_grams AS BIGINT) AS dup_grams,
+       CAST(FLOOR(CAST(dup_grams AS DOUBLE) * 1000000.0 / n_grams + 0.5) AS BIGINT) AS dup_ppm
+FROM agg
+"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, deterministic top-50."""
     docs = _t(spark, sf_dir, "documents")
@@ -3175,6 +3269,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
     "chunk_documents": q_chunk_documents,
     "source_mixture": q_source_mixture,
+    "gopher_rules": q_gopher_rules,
+    "script_profile": q_script_profile,
+    "dup_ngram_stats": q_dup_ngram_stats,
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q21_sole_returner": q21_sole_returner,
@@ -3220,12 +3317,12 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "heavy_hitters": q_heavy_hitters,
     # --- green sentinels for subsystems touched this round ---
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    # --- round-1+2 green (rotated behind the 50-entry window) ---
     "measure_view": q_measure_view,
     "fact_join": q_fact_join,
     "q1_pricing_summary": q1_pricing_summary,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    # --- round-1 green (rotated behind the 50-entry window) ---
     "dim_extract": q_dim_extract,
     "year_dim": q_year_dim,
     "multi_year_union": q_multi_year_union,
@@ -3319,6 +3416,9 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_clusters": SQL_EMB_CLUSTERS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "source_mixture": SQL_SOURCE_MIXTURE,
+    "gopher_rules": SQL_GOPHER_RULES,
+    "script_profile": SQL_SCRIPT_PROFILE,
+    "dup_ngram_stats": SQL_DUP_NGRAM_STATS,
     "q8_market_share": SQL_Q8,
     "q15_top_supplier": SQL_Q15,
     "q21_sole_returner": SQL_Q21,

@@ -16,6 +16,9 @@ PINNED_FIRST_50 = [
     "dedup_embedding_clusters",
     "chunk_documents",
     "source_mixture",
+    "gopher_rules",
+    "script_profile",
+    "dup_ngram_stats",
     "q8_market_share",
     "q15_top_supplier",
     "q21_sole_returner",
@@ -58,9 +61,6 @@ PINNED_FIRST_50 = [
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "heavy_hitters",
-    "measure_view",
-    "fact_join",
-    "q1_pricing_summary",
     "dedup_exact",
     "dedup_ngram_jaccard",
 ]

@@ -243,3 +243,83 @@ def test_mixture_sample_deterministic_and_rate_shaped(spark):
     # rerun → identical verdicts (no RNG)
     again = {r.doc_id: r.keep for r in mixture_sample(docs, {"web": 250000}).collect()}
     assert again == {r.doc_id: r.keep for r in rows}
+
+
+# --------------------------------------------------- gopher_rules
+
+
+def test_gopher_rules_planted_verdicts(spark):
+    from census_asc5_data_pipeline_spark.operators.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that "
+        "good dog have fun with friends in the warm sunny park today"
+    )  # 22 words, awl in range, no symbols, all alpha, many stopwords
+    short = "the cat and dog have fun with play"  # 8 words < 20
+    symbols = " ".join(["the of and that have with beep word"] * 3) + " # # # # # #"
+    no_stop = " ".join(["alpha beta gamma delta epsilon"] * 5)  # 0 stop hits
+    rows = {
+        r.doc_id: r
+        for r in gopher_rules(_df(spark, [good, short, symbols, no_stop])).collect()
+    }
+    assert rows[0].pass_gopher
+    assert not rows[1].ok_words and not rows[1].pass_gopher
+    assert not rows[2].ok_symbols and not rows[2].pass_gopher
+    assert not rows[3].ok_stops and not rows[3].pass_gopher
+    # integer signals match a python recount on the good doc
+    w = good.lower().split()
+    assert rows[0].n_words == len(w)
+    assert rows[0].word_chars == sum(len(x) for x in w)
+    assert rows[0].n_stop_hits == sum(
+        x in {"the", "be", "to", "of", "and", "that", "have", "with"} for x in w
+    )
+
+
+# ------------------------------------------------- script_profile
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from census_asc5_data_pipeline_spark.operators.text import script_profile
+
+    rows = {
+        r.doc_id: r
+        for r in script_profile(
+            _df(spark, ["abc XYZ 123", "你好世界 ab", "привет мир", "...!!!"])
+        ).collect()
+    }
+    r0 = rows[0]
+    assert (r0.n_latin, r0.n_digit, r0.n_cjk, r0.n_cyrillic) == (6, 3, 0, 0)
+    assert r0.main_script == "latin"
+    assert rows[1].n_cjk == 4 and rows[1].main_script == "cjk"
+    assert rows[2].n_cyrillic == 9 and rows[2].main_script == "cyrillic"
+    assert rows[3].main_script == "other"
+    # char classes + other partition the text exactly
+    for r in rows.values():
+        assert (
+            r.n_latin + r.n_digit + r.n_cjk + r.n_cyrillic + r.n_other == r.n_chars_txt
+        )
+
+
+# ------------------------------------------------ dup_ngram_stats
+
+
+def test_dup_ngram_stats_planted(spark):
+    from census_asc5_data_pipeline_spark.operators.text import dup_ngram_stats
+
+    # 'a b c d e' repeated: every 5-gram window recurs cyclically
+    looped = " ".join(["a b c d e"] * 4)  # 20 words -> 16 grams, 5 distinct cycles
+    unique = " ".join(f"w{i}" for i in range(20))  # all grams distinct
+    short = "only four words here"  # < 5 words -> no row
+    out = {r.doc_id: r for r in dup_ngram_stats(_df(spark, [looped, unique, short])).collect()}
+    assert set(out) == {0, 1}
+    assert out[1].dup_grams == 0 and out[1].dup_ppm == 0
+    # python recount of the looped doc
+    w = looped.lower().split()
+    grams = [" ".join(w[i : i + 5]) for i in range(len(w) - 4)]
+    from collections import Counter
+
+    c = Counter(grams)
+    dup = sum(v for v in c.values() if v >= 2)
+    assert out[0].n_grams == len(grams)
+    assert out[0].dup_grams == dup
+    assert out[0].dup_ppm == int(dup * 1000000.0 / len(grams) + 0.5)
