@@ -492,7 +492,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
@@ -504,7 +504,17 @@ def lsh_topk(
     equi-join on bucket id (shuffle bounded by bucket sizes, not n²).
     Recall < 1 by design — tested against ``cosine_topk`` recall.
     ``multiprobe`` additionally probes all hamming-1 buckets.
+
+    ``dim`` defaults to the width of the first corpus vector (one cheap
+    head(1) job). A too-large ``dim`` would make every unrolled dot
+    null (element_at past the end), silently hashing ALL vectors to
+    bucket 0 and degenerating the equi-join into O(n²) — so deriving it
+    from the data is the safe default; pass it to skip the lookup.
     """
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).head(1)
+        # empty corpus -> empty join output whatever dim says
+        dim = first[0]["d"] if first else 1
     hp = _hyperplanes(dim, planes, seed)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv")

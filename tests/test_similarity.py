@@ -228,3 +228,33 @@ def test_rademacher_planes_deterministic_and_balanced():
     assert set(flat) == {-1, 1}
     # md5 signs should be roughly balanced (binomial, 512 draws)
     assert 0.35 < flat.count(1) / len(flat) < 0.65
+
+
+def test_lsh_topk_derives_dim_from_data(spark):
+    """A fixed too-large dim default would null every unrolled dot and
+    hash all vectors into bucket 0 (silent O(n²) fallback). With dim
+    derived from the data, narrow vectors bucket normally and recall
+    against brute top-k stays high."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") < 3)
+    got = lsh_topk(df, qs, k=5, planes=4, multiprobe=True)
+    brute = cosine_topk(df, qs, k=5)
+    g = {(r.query_id, r.cand_id) for r in got.collect()}
+    b = {(r.query_id, r.cand_id) for r in brute.collect()}
+    assert len(g & b) >= int(0.5 * len(b))
+    # buckets are non-degenerate: more than one distinct bucket id
+    from census_asc5_data_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket,
+    )
+    hp = _hyperplanes(16, 4, 42)
+    nb = (
+        df.select(lsh_bucket(F.col("embedding"), hp).alias("b"))
+        .select(F.countDistinct("b").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert nb > 1
