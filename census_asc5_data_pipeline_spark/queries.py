@@ -1977,6 +1977,29 @@ FROM agg
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the first
+    10 learned merges over the corpus word-frequency table.
+
+    Rows-only by design: the merge loop is inherently iterative (each
+    merge rewrites the symbol table the next pair count scans), which
+    no single SQL statement expresses — tests/test_bpe.py verifies the
+    full merge sequence and final symbol table against a pure-python
+    reference implementation instead."""
+    from census_asc5_data_pipeline_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=10, checkpoint_every=5
+    )
+    return spark.createDataFrame(
+        [
+            (i, left, right, left + right, cnt)
+            for i, (left, right, cnt) in enumerate(merges)
+        ],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, deterministic top-50."""
     docs = _t(spark, sf_dir, "documents")
@@ -3272,6 +3295,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "script_profile": q_script_profile,
     "dup_ngram_stats": q_dup_ngram_stats,
+    "bpe_merges": q_bpe_merges,
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q21_sole_returner": q21_sole_returner,
@@ -3316,10 +3340,10 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf_topk": q_ann_ivf_topk,
     "heavy_hitters": q_heavy_hitters,
-    # --- green sentinels for subsystems touched this round ---
-    "dedup_exact": q_dedup_exact,
+    # --- green sentinel for the dedup subsystem touched this round ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     # --- round-1+2 green (rotated behind the 50-entry window) ---
+    "dedup_exact": q_dedup_exact,
     "measure_view": q_measure_view,
     "fact_join": q_fact_join,
     "q1_pricing_summary": q1_pricing_summary,

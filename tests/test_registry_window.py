@@ -19,6 +19,7 @@ PINNED_FIRST_50 = [
     "gopher_rules",
     "script_profile",
     "dup_ngram_stats",
+    "bpe_merges",
     "q8_market_share",
     "q15_top_supplier",
     "q21_sole_returner",
@@ -61,7 +62,6 @@ PINNED_FIRST_50 = [
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "heavy_hitters",
-    "dedup_exact",
     "dedup_ngram_jaccard",
 ]
 
