@@ -70,6 +70,11 @@ def connected_components(
     by edge-set fixpoint (count + sum-of-hashes — one cheap action, no
     collect of the edge list).
     """
+    # EAGER localCheckpoint on purpose: with eager=False the checkpoint
+    # only materializes inside whichever action touches it first, and
+    # the RDD that action materializes is NOT the one later rounds'
+    # plans reuse — every subsequent round then recomputes the whole
+    # star-chain from the source (measured 4.3s -> 45s at sf0.1).
     e = _canonical_edges(edges, src, dst).localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
