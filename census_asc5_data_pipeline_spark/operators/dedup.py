@@ -40,27 +40,35 @@ def shingle_postings(df: DataFrame, text_col: str = "text") -> DataFrame:
     token-bigram shingles.
 
     Shape notes: bigrams come from ``zip_with`` over two slices (one
-    cheap HOF), exploded BEFORE dedup — deduping via ``.distinct()``
-    and counting via a window keeps the per-row expressions tiny.
-    Building ``array_distinct(<hof>)`` arrays and exploding them is
-    3-5x slower because the optimizer clones the whole array
-    expression into the generator's null filter. The distinct and the
-    window are each one shuffle over the postings — both fully
-    distributed, no driver or broadcast bottleneck at corpus scale.
+    cheap HOF); per-doc dedup + count happen INSIDE the row via
+    ``array_distinct``/``size`` before a single ``posexplode_outer`` —
+    ZERO shuffles (the old distinct + count-window form paid two
+    corpus-wide shuffles for the same rows, ~7x slower cold at sf0.1).
+    ``posexplode_outer``, not ``posexplode``: the non-outer Generate
+    adds an implicit size>0 filter that clones the whole array
+    expression into the plan and evaluates it twice per row (same
+    finding as similarity.py's ``_lsh_band_buckets``). Everything is
+    per-row array math — no driver or broadcast bottleneck at corpus
+    scale, and one fewer shuffle stage to spill at 100 TB.
     """
-    from pyspark.sql import Window
-
     w = words(F.col(text_col))
     toks = df.select("doc_id", w.alias("__w")).filter(F.size("__w") >= 2)
-    bigrams = F.zip_with(
-        F.slice("__w", 1, F.size("__w") - 1),
-        F.slice("__w", 2, F.size("__w") - 1),
-        lambda x, y: F.concat_ws(" ", x, y),
+    bigrams = F.array_distinct(
+        F.zip_with(
+            F.slice("__w", 1, F.size("__w") - 1),
+            F.slice("__w", 2, F.size("__w") - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
     )
-    post = toks.select("doc_id", F.explode(bigrams).alias("shingle")).distinct()
-    return post.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("bigint")
-    ).select("doc_id", "n_sh", "shingle")
+    return (
+        toks.select(
+            "doc_id",
+            F.size(bigrams).cast("bigint").alias("n_sh"),
+            bigrams.alias("__b"),
+        )
+        .select("doc_id", "n_sh", F.posexplode_outer("__b").alias("__i", "shingle"))
+        .drop("__i")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -89,22 +97,49 @@ def ngram_jaccard_pairs(
     corpus-degenerate bigrams (tests/test_dedup.py plants exactly that
     corpus shape and asserts output identity + bounded join size).
     """
-    post = shingle_postings(df, text_col)
     # Join on a 64-bit hash of the shingle, not the string: the shuffle
     # carries 8 bytes instead of a variable-length string, and the
     # postings are persisted so shingle generation runs once, not twice.
     # A cross-shingle hash collision could miscount co by 1 — odds are
     # ~|shingles|²/2^64, negligible against corpus sizes.
-    post = post.select(
-        "doc_id", "n_sh", F.xxhash64(F.col("shingle")).alias("sh")
-    ).persist()
+    # The explicit repartition is LOAD-BEARING twice over:
+    # (1) shingle_postings is shuffle-free, so without it the postings
+    #     inherit the scan's partitioning and the whole pair pipeline
+    #     runs at scan parallelism;
+    # (2) the key must be doc_id, NOT the join key sh: the broadcast
+    #     self-join streams the probe side straight into the partial
+    #     pair-count aggregate, and doc_id clustering bounds each
+    #     task's group cardinality to (its docs × their neighbors) —
+    #     hashed by sh, every task sees nearly EVERY (doc_a, doc_b)
+    #     group and the partial hash maps blow past the in-memory
+    #     limit (measured +60% wall on a dense-vocabulary corpus).
+    post = (
+        shingle_postings(df, text_col)
+        .select("doc_id", "n_sh", F.xxhash64(F.col("shingle")).alias("sh"))
+        .repartition(F.col("doc_id"))
+        .persist()
+    )
     cand_post = post
     if df_cap is not None:
         freq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         # Broadcast the STOP list (df > cap), not its complement — the
         # sub-cap side is nearly every distinct shingle in the corpus.
-        stop = freq.filter(F.col("__df") > df_cap).select("sh")
-        cand_post = post.join(F.broadcast(stop), "sh", "left_anti")
+        # Persisted because the capped plan references it three times
+        # (two anti-joins + the stop-set correction), and each reference
+        # would otherwise recompute the frequency aggregate.
+        stop = freq.filter(F.col("__df") > df_cap).select("sh").persist()
+        if stop.isEmpty():
+            # Common case: no shingle exceeds the cap, so the capped
+            # plan would equal the uncapped one while still paying for
+            # the correction subtrees (two extra broadcast joins + two
+            # collect_list aggregates in the physical plan). One tiny
+            # job (limit-1 over the cached postings' frequency agg)
+            # collapses it — driver-side control flow on a scalar, the
+            # same contract as BPE's per-merge best-pair fetch.
+            stop.unpersist()
+            df_cap = None
+        else:
+            cand_post = post.join(F.broadcast(stop), "sh", "left_anti")
     a = cand_post.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh"
     )

@@ -244,9 +244,14 @@ def boilerplate_segments(
             " ", F.slice(w, i * seg_tokens + 1, seg_tokens)
         ),
     )
+    # posexplode_outer, not explode: the non-outer Generate clones the
+    # whole segs expression into its implicit size>0 null-filter and
+    # evaluates it twice per row (see shingle_postings)
     per_doc = (
         df.filter(F.size(words(F.col(text_col))) >= seg_tokens)
-        .select("doc_id", F.explode(F.array_distinct(segs)).alias("segment"))
+        .select("doc_id", F.array_distinct(segs).alias("__s"))
+        .select("doc_id", F.posexplode_outer("__s").alias("__i", "segment"))
+        .drop("__i")
     )
     return (
         per_doc.groupBy("segment")
@@ -269,23 +274,30 @@ def decontaminate(
     tiny next to the corpus); the corpus side is one explode + one
     groupBy — never a corpus×benchmark pair join.
     """
-    # explode the RAW gram array and dedup via .distinct() — exploding
-    # array_distinct(<hof>) clones the whole array expression into the
-    # generator's null-check (see shingle_postings), 3-5x slower
+    # per-doc gram dedup happens IN-ROW (array_distinct) and the single
+    # posexplode_outer avoids the non-outer Generate's cloned
+    # null-filter double-eval (see shingle_postings) — so the corpus
+    # side needs NO corpus-wide .distinct() shuffle at all
     def gram_rows(df):
         toks = df.select("doc_id", words(F.col(text_col)).alias("__w")).filter(
             F.size("__w") >= n
         )
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size("__w") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("__w", i, n)),
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__w", i, n)),
+            )
         )
-        return toks.select("doc_id", F.explode(grams).alias("gram"))
+        return (
+            toks.select("doc_id", grams.alias("__g"))
+            .select("doc_id", F.posexplode_outer("__g").alias("__i", "gram"))
+            .drop("__i")
+        )
 
     bench = (
         gram_rows(benchmark).select("gram").distinct().withColumn("__hit", F.lit(1))
     )
-    corp = gram_rows(corpus).distinct()
+    corp = gram_rows(corpus)
     joined = corp.join(F.broadcast(bench), "gram", "left")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
