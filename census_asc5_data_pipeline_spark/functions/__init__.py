@@ -36,6 +36,27 @@ def char_shingles(col: Column, k: int) -> Column:
     return F.transform(idx, lambda i: F.substring(s, i, k))  # noqa: B023
 
 
+def explode_computed(df, arr: Column, alias: str, keep: tuple[str, ...] = ("doc_id",)):
+    """Explode a COMPUTED array expression via ``posexplode_outer``.
+
+    The non-outer Generate adds an implicit ``size(arr)>0`` filter that
+    CLONES the whole array expression into the plan and evaluates it
+    twice per row — measured 35% slower warm and ~7x slower cold
+    (doubled codegen) for shingle-sized HOF arrays; for pandas_udf
+    arrays it doubles the Arrow eval (see similarity.py). Projecting
+    the array first does not help: CollapseProject inlines it back.
+
+    OUTER semantics: an empty/null array emits one row with a NULL
+    ``alias`` — callers must either guarantee non-empty arrays (e.g. a
+    ``size >= k`` pre-filter) or filter NULLs after.
+    """
+    return (
+        df.select(*keep, arr.alias("__arr"))
+        .select(*keep, F.posexplode_outer("__arr").alias("__pos", alias))
+        .drop("__pos")
+    )
+
+
 def count_in_set(w: Column, vocab: list[str]) -> Column:
     """Number of tokens of ``w`` contained in ``vocab`` (with repeats)."""
     arr = F.array(*[F.lit(v) for v in vocab])

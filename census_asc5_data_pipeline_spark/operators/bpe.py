@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from census_asc5_data_pipeline_spark.functions import words
+from census_asc5_data_pipeline_spark.functions import explode_computed, words
 
 END = "</w>"
 
@@ -38,7 +38,7 @@ END = "</w>"
 def _word_symbol_table(df: DataFrame, text_col: str) -> DataFrame:
     """(word, n, syms): corpus word frequencies with each word split
     into its initial character symbols + the end-of-word marker."""
-    toks = df.select(F.explode(words(F.col(text_col))).alias("word")).filter(
+    toks = explode_computed(df, words(F.col(text_col)), "word", keep=()).filter(
         F.length("word") > 0
     )
     wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from census_asc5_data_pipeline_spark.functions import words
+from census_asc5_data_pipeline_spark.functions import explode_computed, words
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -239,7 +239,7 @@ def minhash_signatures(
         F.slice("__w", 2, F.size("__w") - 1),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-    post = toks.select("doc_id", F.explode(bigrams).alias("shingle")).withColumn(
+    post = explode_computed(toks, bigrams, "shingle").withColumn(
         "__h", F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31))
     )
     # All num_hashes universal hashes land in ONE array column per row;
@@ -293,7 +293,7 @@ def minhash_lsh_pairs(
             ).alias("bh"),
         ),
     )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    buckets = explode_computed(sig, band_structs, "bb").select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bh")
@@ -369,7 +369,9 @@ def simhash_near_pairs(
         )
         for b in range(4)
     ]
-    buckets = sig.select("doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")).select(
+    buckets = explode_computed(
+        sig, F.array(*bands), "bb", keep=("doc_id", "simhash")
+    ).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     a = buckets.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bh")

@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from census_asc5_data_pipeline_spark.functions import count_in_set, token_bigrams, words
+from census_asc5_data_pipeline_spark.functions import (
+    count_in_set,
+    explode_computed,
+    token_bigrams,
+    words,
+)
 
 # Marker vocabularies for the n-gram/stopword language heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -169,9 +174,9 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     n_docs = df.groupBy().agg(F.count(F.lit(1)).cast("double")).scalar()
-    terms = df.select(
-        "doc_id", F.explode(words(F.col(text_col))).alias("term")
-    ).filter(F.length("term") >= 3)
+    terms = explode_computed(df, words(F.col(text_col)), "term").filter(
+        F.length("term") >= 3
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.floor(F.lit(1000000.0) * n_docs / F.col("df") + F.lit(0.5)).cast(
@@ -195,9 +200,7 @@ def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     docs = df.select("doc_id", words(F.col(text_col)).alias("__w")).filter(
         F.size("__w") >= 2
     )
-    big = docs.select(
-        "doc_id", F.explode(token_bigrams(F.col("__w"))).alias("bg")
-    )
+    big = explode_computed(docs, token_bigrams(F.col("__w")), "bg")
     per = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     agg = per.groupBy("doc_id").agg(
         F.max("c").alias("max_bg"), F.sum("c").alias("n_bg")
@@ -323,8 +326,8 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     w = words(F.col(text_col))
     docs = df.withColumn("__w", w).filter(F.size("__w") >= 2)
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(token_bigrams(F.col("__w")))).alias("shingle")
+    sh = explode_computed(
+        docs, F.array_distinct(token_bigrams(F.col("__w"))), "shingle"
     )
     return sh.groupBy("doc_id").agg(
         F.min(F.md5(F.col("shingle"))).alias("fp_min"),
@@ -538,7 +541,7 @@ def dup_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFr
         ),
     )
     per_gram = (
-        toks.select("doc_id", F.explode(gram).alias("gram"))
+        explode_computed(toks, gram, "gram")
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -1354,12 +1354,11 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joined — its complement is nearly the whole vocabulary."""
     from census_asc5_data_pipeline_spark.functions import char_shingles
 
+    from census_asc5_data_pipeline_spark.functions import explode_computed
+
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 5)
-    post = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(char_shingles(F.lower(F.col("text")), 5))
-        ).alias("sh"),
+    post = explode_computed(
+        docs, F.array_distinct(char_shingles(F.lower(F.col("text")), 5)), "sh"
     )
     from pyspark.sql import Window
 
@@ -1577,9 +1576,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``DataFrame.freqItems`` (rows-only; superset-of-true-heavy-hitters
     property pytest-verified)."""
     docs = _t(spark, sf_dir, "documents")
-    from census_asc5_data_pipeline_spark.functions import words
+    from census_asc5_data_pipeline_spark.functions import explode_computed, words
 
-    terms = docs.select(F.explode(words(F.col("text"))).alias("term"))
+    terms = explode_computed(docs, words(F.col("text")), "term", keep=())
     freq = terms.freqItems(["term"], support=0.01)
     return freq.select(
         F.explode(F.array_sort(F.col("term_freqItems"))).alias("term")
@@ -2003,9 +2002,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, deterministic top-50."""
     docs = _t(spark, sf_dir, "documents")
-    from census_asc5_data_pipeline_spark.functions import words
+    from census_asc5_data_pipeline_spark.functions import explode_computed, words
 
-    terms = docs.select(F.explode(words(F.col("text"))).alias("word"))
+    terms = explode_computed(docs, words(F.col("text")), "word", keep=())
     counts = terms.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("word"))
     return (
@@ -3160,9 +3159,14 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     url_re = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
-    urls = docs.select(
-        "doc_id", F.explode(F.regexp_extract_all(F.col("text"), F.lit(url_re), 0)).alias("url")
-    )
+    from census_asc5_data_pipeline_spark.functions import explode_computed
+
+    # outer explode emits a NULL row for URL-free docs (the non-outer
+    # form dropped them via its implicit — and double-evaluating —
+    # size>0 filter); filter the NULLs explicitly instead
+    urls = explode_computed(
+        docs, F.regexp_extract_all(F.col("text"), F.lit(url_re), 0), "url"
+    ).filter(F.col("url").isNotNull())
     domain = F.regexp_extract(F.col("url"), r"https?://([A-Za-z0-9.-]+)", 1)
     return (
         urls.withColumn("domain", domain)
