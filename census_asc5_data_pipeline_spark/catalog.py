@@ -47,6 +47,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Tz-naive parquet timestamps arrive as TIMESTAMP_NTZ (Spark 4
+    # infers NTZ by default). Normalize to TIMESTAMP: the session zone
+    # is pinned UTC above, so wall-clock values are preserved and
+    # unix_millis/window/watermark all work without per-call casts —
+    # same naive-as-UTC semantics DuckDB applies to the identical file.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, df[col].cast("timestamp"))
     return df
 
 

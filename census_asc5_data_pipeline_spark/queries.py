@@ -698,7 +698,7 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "event_id",
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_ms("ts").alias("ts_ms"),
         cents(F.col("value")).alias("value_c"),
     )
     return WOP.keep_first_per_key(
