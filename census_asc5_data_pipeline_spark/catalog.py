@@ -48,14 +48,45 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     # Tz-naive parquet timestamps arrive as TIMESTAMP_NTZ (Spark 4
-    # infers NTZ by default). Normalize to TIMESTAMP: the session zone
-    # is pinned UTC above, so wall-clock values are preserved and
-    # unix_millis/window/watermark all work without per-call casts —
-    # same naive-as-UTC semantics DuckDB applies to the identical file.
-    for col, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            df = df.withColumn(col, df[col].cast("timestamp"))
+    # infers NTZ by default). Normalize to TIMESTAMP with a plain CAST:
+    # the session zone is pinned UTC above, so wall-clock values are
+    # preserved — same naive-as-UTC semantics DuckDB applies to the
+    # identical file. CAST (not to_utc_timestamp) is deliberate:
+    # Catalyst's UnwrapCastInBinaryComparison rewrites
+    # `cast(col) <= lit` into a parquet-pushable filter on the raw
+    # column, while a to_utc_timestamp wrapper blocks predicate
+    # pushdown entirely (measured: q1's shipdate range filter fell off
+    # PushedFilters). The session-zone dependency this leaves behind is
+    # guarded by ``assert_utc`` — callers that compare epochs
+    # (oracle harness, bench) assert the zone right before acting.
+    # One select pass (not withColumn-per-column, which grows the
+    # analysis plan linearly) with backtick quoting so column names
+    # containing dots resolve as top-level columns.
+    from pyspark.sql import functions as F
+
+    ntz = {c for c, t in df.dtypes if t == "timestamp_ntz"}
+    if ntz:
+        df = df.select(
+            *[
+                F.col(f"`{c}`").cast("timestamp").alias(c)
+                if c in ntz
+                else F.col(f"`{c}`")
+                for c in df.columns
+            ]
+        )
     return df
+
+
+def assert_utc(spark: SparkSession) -> None:
+    """Loudly fail if the session zone drifted from UTC (ADVICE r3):
+    NTZ->TIMESTAMP casts resolve the zone at execution, so a non-UTC
+    session would silently shift epochs instead of erroring."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise AssertionError(
+            f"session timeZone is {tz!r}, not 'UTC' — NTZ casts would "
+            "shift epochs; call read_table (which pins UTC) or reset it"
+        )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -243,14 +243,22 @@ def minhash_signatures(
         "__h", F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE31))
     )
     # All num_hashes universal hashes land in ONE array column per row;
-    # the aggregates are then trivial `min(__ha[i])` updates. Inlining
-    # the pmod chain into each aggregate instead makes the generated
-    # agg-update method huge (~2.5s extra janino compile at 64 hashes).
-    ha = F.array(
+    # the aggregates are then trivial `min(__ha[i])` updates. The hash
+    # family is applied as a HOF transform over a LITERAL (a, b)
+    # parameter array — measured 5x faster cold than an unrolled
+    # F.array of num_hashes pmod expressions (0.65s vs 3.3s at sf0.1)
+    # and faster warm too: the fold runs one specialized loop per row
+    # while the unrolled form pays janino compile plus per-term
+    # overhead (same finding as similarity._norm_expr).
+    pstructs = F.array(
         *[
-            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in params
         ]
+    )
+    ha = F.transform(
+        pstructs,
+        lambda p: F.pmod(F.col("__h") * p["a"] + p["b"], F.lit(_MERSENNE31)),
     )
     post = post.withColumn("__ha", ha)
     aggs = [F.min(F.col("__ha")[i]).alias(f"h{i}") for i in range(num_hashes)]

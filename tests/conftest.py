@@ -35,8 +35,10 @@ def duck():
 def assert_oracle_match(spark, con, name: str, sf_dir: str = SF_SMALL) -> None:
     """Same comparison the driver applies: row count + column names +
     order-insensitive value equality."""
+    from census_asc5_data_pipeline_spark.catalog import assert_utc
     from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
+    assert_utc(spark)  # epoch comparisons below assume naive-as-UTC
     sdf = QUERIES[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     rel = con.sql(ORACLES[name])
