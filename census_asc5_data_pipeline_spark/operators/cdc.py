@@ -79,3 +79,45 @@ def scd2_from_snapshots(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(key, *payload_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an insert/update/delete changelog to a snapshot — the
+    table-format MERGE a CDC consumer runs (Debezium-style op streams).
+
+    Per key, the HIGHEST-``seq_col`` changelog row wins (one window
+    shuffle on the key); 'D' removes the key, 'I'/'U' upsert the
+    payload verbatim (explicit NULLs included — same matched-flag
+    discipline as ``scd1_upsert``). Keys untouched by the changelog
+    pass through. One window + one full-outer join, both keyed
+    shuffles — no driver state at any scale.
+    """
+    payload = [c for c in snapshot.columns if c != key]
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    latest = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key,
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__u_{c}") for c in payload],
+        )
+    )
+    out = snapshot.join(latest, key, "full_outer").filter(
+        F.col("__op").isNull() | (F.col("__op") != "D")
+    )
+    for c in payload:
+        out = out.withColumn(
+            c,
+            F.when(F.col("__op").isNotNull(), F.col(f"__u_{c}")).otherwise(
+                F.col(c)
+            ),
+        )
+    # a 'D' for an absent key must not resurrect it as an all-NULL row
+    return out.select(key, *payload)

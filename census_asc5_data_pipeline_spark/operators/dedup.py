@@ -393,3 +393,61 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def span_dedup_stats(
+    df: DataFrame, text_col: str = "text", span_words: int = 10
+) -> DataFrame:
+    """Fixed-window exact span dedup: slice each document into
+    non-overlapping ``span_words``-token spans, count how often each
+    span's text occurs ANYWHERE in the corpus, and report per document
+    how much of it is made of corpus-duplicated spans.
+
+    This is the span-granularity member of the dedup family (between
+    whole-document exact dedup and shingle Jaccard): training pipelines
+    use it to find boilerplate runs repeated across documents that
+    document-level dedup misses (the reference has no analog; standard
+    corpus-prep operator).
+
+    Scale shape: spans are built IN-ROW (one transform over the token
+    array, no corpus-wide distinct), exploded once; the occurrence
+    count is a groupBy on ``xxhash64(span)`` — an 8-byte shuffle key,
+    never the span text (the oracle groups by the raw span string; a
+    cross-span hash collision merging two counts has odds
+    ~|spans|²/2^64, negligible) — and the join back to spans is a
+    same-key equi-join. Everything is map-side-combinable aggregation;
+    no driver state.
+    """
+    w = words(F.col(text_col))
+    toks = df.select("doc_id", w.alias("__w")).filter(
+        F.size("__w") >= span_words
+    )
+    n_spans = F.floor(F.size("__w") / F.lit(span_words)).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(1), n_spans),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ", F.slice(F.col("__w"), (i - 1) * span_words + 1, span_words)
+            )
+        ),
+    )
+    spans = explode_computed(toks, spans_arr, "sh")
+    occ = spans.groupBy("sh").agg(F.count(F.lit(1)).alias("__occ"))
+    return (
+        spans.join(occ, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__occ") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.floor(
+                F.sum(F.when(F.col("__occ") > 1, 1).otherwise(0)).cast("double")
+                * 1000000.0
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup_span_ppm"),
+        )
+    )

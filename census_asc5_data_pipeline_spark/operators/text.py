@@ -561,3 +561,62 @@ def dup_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFr
         .cast("bigint")
         .alias("dup_ppm"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    ctx: int = 2048,
+    shard: int = 1024,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents are concatenated in
+    ``doc_id`` order into one global token stream and cut into
+    fixed-``ctx`` training sequences; each document reports the packs
+    it lands in. This is the standard GPT-style packing layout (no
+    padding, documents may straddle pack boundaries).
+
+    Scale shape: the global running token offset is computed as a
+    TWO-LEVEL cumulative sum — an intra-shard window (partitioned by
+    ``doc_id DIV shard``, fully parallel) plus per-shard offsets from a
+    tiny shard-total aggregate. The only single-partition window runs
+    over #shards rows (n/shard — e.g. 10⁶ rows for 10⁹ docs at the
+    default, and ``shard`` scales up freely), never over the corpus: a
+    naive ``Window.orderBy(doc_id)`` global cumsum would serialize the
+    whole table through one task. The shard-offset table is broadcast
+    back (one row per shard).
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(words(F.col(text_col))).cast("bigint")
+    base = df.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.floor(F.col("doc_id") / F.lit(shard)).cast("bigint").alias("__shard"),
+    )
+    w_intra = (
+        Window.partitionBy("__shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = base.withColumn("__cum", F.sum("n_tok").over(w_intra))
+    shard_tot = base.groupBy("__shard").agg(F.sum("n_tok").alias("__tot"))
+    w_shard = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = shard_tot.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_shard), F.lit(0)).cast("bigint")
+    ).select("__shard", "__off")
+    out = intra.join(F.broadcast(offs), "__shard")
+    tok_end = F.col("__off") + F.col("__cum")
+    tok_start = tok_end - F.col("n_tok")
+    return out.select(
+        "doc_id",
+        "n_tok",
+        tok_start.alias("tok_start"),
+        F.floor(tok_start / F.lit(ctx)).cast("bigint").alias("pack_first"),
+        F.floor((tok_end - 1) / F.lit(ctx)).cast("bigint").alias("pack_last"),
+        (
+            F.floor((tok_end - 1) / F.lit(ctx)) - F.floor(tok_start / F.lit(ctx)) + 1
+        ).cast("bigint").alias("n_packs"),
+    )

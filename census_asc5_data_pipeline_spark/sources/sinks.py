@@ -41,6 +41,21 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (built into Spark — no extra jars): same columnar
+    pushdown/pruning properties as parquet, for ecosystems standardized
+    on ORC (Hive warehouses). Read back with ``spark.read.orc``."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -66,3 +66,33 @@ def test_scd2_null_payload_transitions(spark):
     )
     # null==null is NOT a change (eqNullSafe); null→'a' is
     assert out == [(1, 3, None), (3, None, "a")]
+
+
+def test_cdc_apply_full_semantics(spark):
+    from census_asc5_data_pipeline_spark.operators.cdc import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, 100, "a"), (2, 200, "b"), (3, 300, "c"), (4, 400, "d")],
+        "k bigint, v bigint, s string",
+    )
+    # key 1: two updates, seq 20 wins; key 2: delete; key 3: untouched;
+    # key 5: insert of a NEW key; key 6: delete of an ABSENT key (noop);
+    # key 4: update to an explicit NULL payload (must land, not coalesce)
+    chg = spark.createDataFrame(
+        [
+            (1, 10, "U", 111, "x"),
+            (1, 20, "U", 122, "y"),
+            (2, 11, "D", None, None),
+            (5, 12, "I", 555, "new"),
+            (6, 13, "D", None, None),
+            (4, 14, "U", None, "kept-null-v"),
+        ],
+        "k bigint, seq bigint, op string, v bigint, s string",
+    )
+    got = {r.k: (r.v, r.s) for r in cdc_apply(snap, chg, "k").collect()}
+    assert got == {
+        1: (122, "y"),       # latest seq wins
+        3: (300, "c"),       # untouched passthrough
+        4: (None, "kept-null-v"),  # explicit NULL update applied
+        5: (555, "new"),     # insert
+    }  # 2 deleted, 6 never existed

@@ -165,3 +165,26 @@ def test_df_cap_bounds_candidate_join(stop_shingle_corpus):
     ).count()
     assert uncapped == n * (n - 1) / 2  # stop-shingles connect everything
     assert capped < 10  # only genuinely-overlapping pairs remain candidates
+
+
+def test_span_dedup_planted_duplicate_span(spark):
+    from census_asc5_data_pipeline_spark.operators.dedup import span_dedup_stats
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-token span
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " " + uniq(0)),   # spans: [boiler][uniq0]
+            (1, boiler + " " + uniq(1)),   # spans: [boiler][uniq1]
+            (2, uniq(2) + " " + uniq(3)),  # all unique
+            (3, "short doc"),              # < 10 tokens: excluded
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in span_dedup_stats(docs, span_words=10).collect()}
+    assert set(got) == {0, 1, 2}
+    for d in (0, 1):
+        assert got[d].n_spans == 2
+        assert got[d].n_dup_spans == 1  # the boilerplate span
+        assert got[d].dup_span_ppm == 500000
+    assert got[2].n_dup_spans == 0

@@ -9,11 +9,30 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-3 window: every query whose code changed this round (LSH
-# embedding dedup, capped jaccard + consumers, scd1, in-plan scalars,
-# 32/8 minhash, ANN family) plus green sentinels.
+# round-4 window: the eight queries NEW this round, the kernels the
+# HOF dot/norm rework CHANGED (ANN family, embedding dedup, minhash),
+# dedup-subsystem sentinels, round-3 additions held one more round,
+# then green fillers.
 PINNED_FIRST_50 = [
+    "span_dedup",
+    "pack_sequences",
+    "cdc_apply",
+    "domain_cap",
+    "attribution",
+    "q2_min_cost_supplier",
+    "q17_small_qty_revenue",
+    "q22_idle_customers",
+    "dedup_embedding_cosine",
     "dedup_embedding_clusters",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "curate_corpus",
     "chunk_documents",
     "source_mixture",
     "gopher_rules",
@@ -23,7 +42,7 @@ PINNED_FIRST_50 = [
     "q8_market_share",
     "q15_top_supplier",
     "q21_sole_returner",
-    "dedup_embedding_cosine",
+    "decontaminate",
     "top_terms",
     "pii_redact",
     "train_split",
@@ -31,11 +50,7 @@ PINNED_FIRST_50 = [
     "repetition_ratio",
     "quality_funnel",
     "boilerplate_segments",
-    "decontaminate",
-    "curate_corpus",
     "compression_ratio",
-    "dedup_clusters",
-    "ann_cosine_topk",
     "stats_agg",
     "ntile_quartiles",
     "above_avg_orders",
@@ -49,20 +64,6 @@ PINNED_FIRST_50 = [
     "argmax_agg",
     "vector_stats",
     "dow_seasonality",
-    "conditional_agg",
-    "scd1_upsert",
-    "scd2_history",
-    "dq_report",
-    "stratified_sample",
-    "grouping_sets",
-    "approx_quantiles",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
-    "heavy_hitters",
-    "dedup_ngram_jaccard",
 ]
 
 

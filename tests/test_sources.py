@@ -204,3 +204,23 @@ def test_extract_api_year_loop_and_url_shape(spark, monkeypatch):
     rows = df.collect()
     assert len(rows) == 4  # 2 states x 2 years, headers promoted not kept
     assert {r.year for r in rows} == {2016, 2021}
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from census_asc5_data_pipeline_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", i % 3) for i in range(30)], "id bigint, t string, p bigint"
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["p"])
+    back = spark.read.orc(out)
+    assert back.count() == 30
+    assert {r.id for r in back.filter(F.col("p") == 1).collect()} == {
+        i for i in range(30) if i % 3 == 1
+    }
+    # partition pruning: only the p=1 directory is scanned
+    plan = back.filter(F.col("p") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "(p" in plan

@@ -323,3 +323,24 @@ def test_dup_ngram_stats_planted(spark):
     assert out[0].n_grams == len(grams)
     assert out[0].dup_grams == dup
     assert out[0].dup_ppm == int(dup * 1000000.0 / len(grams) + 0.5)
+
+
+def test_pack_sequences_invariants_and_shard_independence(spark):
+    from census_asc5_data_pipeline_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + (i * 13) % 23))) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    a = pack_sequences(docs, ctx=16, shard=8).orderBy("doc_id").collect()
+    # offsets are contiguous: each doc starts where the previous ended
+    off = 0
+    for r in a:
+        assert r.tok_start == off
+        off += r.n_tok
+        assert r.pack_first == r.tok_start // 16
+        assert r.pack_last == (r.tok_start + r.n_tok - 1) // 16
+        assert r.n_packs == r.pack_last - r.pack_first + 1
+    # shard size is an implementation knob, not a semantic one
+    b = pack_sequences(docs, ctx=16, shard=3).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
