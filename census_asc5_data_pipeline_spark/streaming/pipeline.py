@@ -259,3 +259,104 @@ def write_idempotent_parquet(df: DataFrame, out_dir: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+RATE_CAP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+RATE_CAP_STATE_SCHEMA = T.StructType([T.StructField("admitted", T.LongType())])
+
+
+def stream_rate_cap(
+    events: DataFrame, cap: int = 100, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-key admission quota — the streaming twin of the batch
+    ``domain_cap`` query: each user admits at most ``cap`` events over
+    the stream's lifetime, later arrivals are dropped. The canonical
+    ingestion rate-limit / per-domain crawl-quota operator.
+
+    Custom stateful via ``applyInPandasWithState``: state is ONE long
+    per key (the admitted count), so state size is O(keys) regardless
+    of throughput. Admission order inside a micro-batch is (ts,
+    event_id) — deterministic under replay of the same batch
+    boundaries; cross-batch order is arrival order, which is the
+    contract a streaming quota means (first-come-first-admitted).
+    """
+
+    def _cap_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # no timeout configured, defensive only
+            state.remove()
+            return
+        admitted = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if admitted >= cap or pdf.empty:
+                continue
+            pdf = pdf.assign(ts_ms=pdf["ts"].astype("int64") // 1_000_000)
+            pdf = pdf.sort_values(["ts_ms", "event_id"]).head(cap - admitted)
+            admitted += len(pdf)
+            yield pdf[["event_id", "user_id", "ts_ms", "event_type"]]
+        state.update((admitted,))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cap_fn,
+            outputStructType=RATE_CAP_OUT_SCHEMA,
+            stateStructType=RATE_CAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def merge_cdc_stream(
+    changelog: DataFrame, snapshot_dir: str, key: str, checkpoint: str
+):
+    """Streaming MERGE: apply each micro-batch of an I/U/D changelog
+    stream onto a parquet snapshot via ``cdc_apply`` — the Structured
+    Streaming twin of a Debezium-consumer MERGE INTO. foreachBatch
+    re-reads the current snapshot, applies the batch, and swaps the
+    new snapshot in via rename (same crash-safe two-rename discipline
+    as ``sinks.compact_parquet``: either the old or the new snapshot is
+    fully present at every instant).
+
+    Restart semantics: the checkpoint replays the last uncommitted
+    batch; cdc_apply is idempotent for a replayed batch (same latest
+    op per key re-applied onto either pre- or post-swap snapshot yields
+    the same table) as long as batch boundaries are stable.
+    """
+    import os
+    import shutil
+
+    from census_asc5_data_pipeline_spark.operators.cdc import cdc_apply
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        snap = spark.read.parquet(snapshot_dir)
+        payload = [c for c in snap.columns]
+        merged = cdc_apply(snap, batch_df, key).select(*payload)
+        tmp = snapshot_dir.rstrip("/") + "__merge_tmp"
+        old = snapshot_dir.rstrip("/") + "__merge_old"
+        merged.write.mode("overwrite").parquet(tmp)
+        os.rename(snapshot_dir, old)
+        os.rename(tmp, snapshot_dir)
+        shutil.rmtree(old)
+
+    return (
+        changelog.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

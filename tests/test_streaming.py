@@ -323,3 +323,83 @@ def test_stateless_text_prep_runs_on_streams(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_rate_cap_matches_batch_quota(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_rate_cap,
+    )
+
+    # single parquet file -> one micro-batch -> admission order is the
+    # documented (ts, event_id) order, comparable to the batch quota
+    src = str(tmp_path / "ev")
+    read_table(spark, SF, "events").coalesce(1).write.parquet(src)
+    _run(stream_rate_cap(read_event_stream(spark, src), cap=3), "cap_out")
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.sql("SELECT * FROM cap_out").collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), F.col("event_id")
+    )
+    want = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(src)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_merge_cdc_stream_converges_to_batch_merge(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.operators.cdc import cdc_apply
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        merge_cdc_stream,
+    )
+
+    snap_dir = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, 100, "a"), (2, 200, "b"), (3, 300, "c")],
+        "k bigint, v bigint, s string",
+    ).write.parquet(snap_dir)
+
+    chg_schema = "k bigint, seq bigint, op string, v bigint, s string"
+    chg_dir = tmp_path / "chg"
+    chg_dir.mkdir()
+    batch1 = spark.createDataFrame(
+        [(1, 10, "U", 111, "x"), (2, 11, "D", None, None)], chg_schema
+    )
+    batch2 = spark.createDataFrame(
+        [(1, 20, "U", 122, "y"), (4, 21, "I", 444, "new")], chg_schema
+    )
+    batch1.coalesce(1).write.parquet(str(chg_dir / "b1"))
+    batch2.coalesce(1).write.parquet(str(chg_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema(chg_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chg_dir / "*"))
+    )
+    q = merge_cdc_stream(
+        stream, snap_dir, "k", str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(snap_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in cdc_apply(
+            spark.createDataFrame(
+                [(1, 100, "a"), (2, 200, "b"), (3, 300, "c")],
+                "k bigint, v bigint, s string",
+            ),
+            batch1.unionByName(batch2),
+            "k",
+        ).collect()
+    )
+    assert got == want
