@@ -3602,6 +3602,184 @@ GROUP BY 1
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): one tight scan-level
+    filter bundle (year range + discount band + quantity cap) feeding a
+    single global aggregate — the canonical predicate-pushdown probe.
+    The discount band compares CENTS integers (FLOOR(d*100+0.5)), not
+    raw doubles, so the boundary is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    d_c = cents(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & (d_c >= 5)
+            & (d_c <= 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("bigint")
+            .alias("forecast_rev_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS forecast_rev_c,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+  AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode priority census; the testdata has no
+    l_shipmode, so l_returnflag plays the mode): per flag, how many
+    1997-shipped items belong to urgent vs non-urgent orders — one
+    fact-fact join + conditional counts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    ).select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("n_urgent"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint").alias("n_normal"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_normal
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+GROUP BY 1
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    customer→orders (excluding low-priority orders), per-customer
+    count INCLUDING zero, then a histogram of those counts — the
+    double-aggregation + outer-join-counting idiom."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS n_custs FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '5-LOW'
+  GROUP BY 1
+) GROUP BY 1
+"""
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count per part attribute): distinct
+    shipped suppliers per (brand, size-bucket) for non-PROMO parts,
+    excluding negative-balance suppliers (the complaints NOT-IN
+    analog, done as a broadcast anti-join)."""
+    shipped = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO").select(
+        "p_partkey", "p_brand", (F.col("p_size") % 10).cast("bigint").alias("size_bucket")
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        shipped.join(
+            F.broadcast(bad_supp),
+            shipped.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "size_bucket")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, CAST(p_size % 10 AS BIGINT) AS size_bucket,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sh
+JOIN part ON sh.l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND sh.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock): suppliers whose
+    latest-year shipped quantity of SMALL-type parts exceeds a
+    threshold — per-supplier aggregate over a filtered fact⋈dim,
+    semi-joined back to the supplier dim; the latest year is an
+    in-plan scalar subquery."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity",
+        F.year("l_shipdate").alias("l_year"),
+    )
+    mx_year = li.groupBy().agg(F.max("l_year")).scalar()
+    small = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select(
+        "p_partkey"
+    )
+    heavy = (
+        li.filter(F.col("l_year") == mx_year)
+        .join(F.broadcast(small), li.l_partkey == small.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", cents(F.col("s_acctbal")).alias("s_bal_c")
+    )
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_bal_c")
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name,
+       CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS s_bal_c
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+    AND EXTRACT(year FROM l_shipdate) =
+        (SELECT MAX(EXTRACT(year FROM l_shipdate)) FROM lineitem)
+  GROUP BY 1
+  HAVING SUM(l_quantity) > 50
+)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3626,6 +3804,11 @@ QUERIES: dict[str, QueryFn] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q22_idle_customers": q22_idle_customers,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q16_supplier_count_by_part": q16_supplier_count_by_part,
+    "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
     # --- kernels changed round 4 (HOF dot/norm rework) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -3829,6 +4012,11 @@ ORACLES: dict[str, str] = {
     "q2_min_cost_supplier": SQL_Q2,
     "q17_small_qty_revenue": SQL_Q17,
     "q22_idle_customers": SQL_Q22,
+    "q6_forecast_revenue": SQL_Q6,
+    "q12_priority_by_returnflag": SQL_Q12,
+    "q13_order_count_distribution": SQL_Q13,
+    "q16_supplier_count_by_part": SQL_Q16,
+    "q20_excess_stock_suppliers": SQL_Q20,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

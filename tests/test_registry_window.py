@@ -22,6 +22,11 @@ PINNED_FIRST_50 = [
     "q2_min_cost_supplier",
     "q17_small_qty_revenue",
     "q22_idle_customers",
+    "q6_forecast_revenue",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q16_supplier_count_by_part",
+    "q20_excess_stock_suppliers",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",
@@ -59,11 +64,6 @@ PINNED_FIRST_50 = [
     "salted_join_agg",
     "range_frame",
     "full_outer_balance",
-    "events_pivot",
-    "string_agg",
-    "argmax_agg",
-    "vector_stats",
-    "dow_seasonality",
 ]
 
 
