@@ -3780,6 +3780,104 @@ WHERE s_suppkey IN (
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): profit
+    = revenue - supply cost per lineitem, rolled up by supplier nation
+    and order year. The testdata has no partsupp, so supply cost is
+    the deterministic 60%% of p_retailprice; the whole profit term is
+    one cents() fixed-point expression, identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey", "p_retailprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit_c = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.6
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(profit_c).cast("bigint").alias("profit_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(FLOOR(
+         (l_extendedprice * (1 - l_discount) - l_quantity * p_retailprice * 0.6)
+         * 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_c,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part
+    shipped value for NATION_1 suppliers, keeping parts whose value
+    exceeds 0.1%% of that nation's total — the group-vs-global-scalar
+    HAVING, with the global total folded in-plan as a scalar subquery
+    and the fraction compared in cross-multiplied integers."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        cents(F.col("l_extendedprice") * F.col("l_quantity")).alias("val_c"),
+    )
+    supp1 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(supp1), li.l_suppkey == supp1.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("val_c").cast("bigint").alias("value_c"))
+    )
+    total = vals.groupBy().agg(F.sum("value_c")).scalar()
+    return vals.filter(F.col("value_c") * 1000 > total).select(
+        "l_partkey", "value_c"
+    )
+
+
+SQL_Q11 = """
+WITH vals AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY 1
+)
+SELECT l_partkey, value_c FROM vals
+WHERE value_c * 1000 > (SELECT SUM(value_c) FROM vals)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3809,6 +3907,8 @@ QUERIES: dict[str, QueryFn] = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
     # --- kernels changed round 4 (HOF dot/norm rework) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -4017,6 +4117,8 @@ ORACLES: dict[str, str] = {
     "q13_order_count_distribution": SQL_Q13,
     "q16_supplier_count_by_part": SQL_Q16,
     "q20_excess_stock_suppliers": SQL_Q20,
+    "q9_product_profit": SQL_Q9,
+    "q11_important_stock": SQL_Q11,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

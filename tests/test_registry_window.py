@@ -27,6 +27,8 @@ PINNED_FIRST_50 = [
     "q13_order_count_distribution",
     "q16_supplier_count_by_part",
     "q20_excess_stock_suppliers",
+    "q9_product_profit",
+    "q11_important_stock",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",
@@ -62,8 +64,6 @@ PINNED_FIRST_50 = [
     "set_ops",
     "funnel",
     "salted_join_agg",
-    "range_frame",
-    "full_outer_balance",
 ]
 
 
