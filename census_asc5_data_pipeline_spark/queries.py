@@ -3834,7 +3834,8 @@ GROUP BY 1, 2
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): per-part
-    shipped value for NATION_1 suppliers, keeping parts whose value
+    shipped value for a supplier-nation group (nationkey %% 5 == 1 —
+    a single nation is empty at the smallest SF), keeping parts whose value
     exceeds 0.1%% of that nation's total — the group-vs-global-scalar
     HAVING, with the global total folded in-plan as a scalar subquery
     and the fraction compared in cross-multiplied integers."""
@@ -3844,12 +3845,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp1 = (
         _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
+        .filter(F.col("s_nationkey") % 5 == 1)
         .select("s_suppkey")
     )
     vals = (
@@ -3858,7 +3854,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("val_c").cast("bigint").alias("value_c"))
     )
     total = vals.groupBy().agg(F.sum("value_c")).scalar()
-    return vals.filter(F.col("value_c") * 1000 > total).select(
+    return vals.filter(F.col("value_c") * 10000 > total).select(
         "l_partkey", "value_c"
     )
 
@@ -3869,12 +3865,11 @@ WITH vals AS (
          CAST(SUM(CAST(FLOOR(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_1'
+  WHERE s_nationkey % 5 = 1
   GROUP BY 1
 )
 SELECT l_partkey, value_c FROM vals
-WHERE value_c * 1000 > (SELECT SUM(value_c) FROM vals)
+WHERE value_c * 10000 > (SELECT SUM(value_c) FROM vals)
 """
 
 
