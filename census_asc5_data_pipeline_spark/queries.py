@@ -3873,6 +3873,43 @@ WHERE value_c * 10000 > (SELECT SUM(value_c) FROM vals)
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov path analysis): for each
+    user's (ts, event_id)-ordered event stream, count adjacent
+    (prev_type → type) transitions corpus-wide. One lag window per
+    user + one map-side-combinable count — the standard clickstream
+    path-analysis shape."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", epoch_ms("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+  FROM events
+), lagged AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id) AS prev_type
+  FROM ev
+)
+SELECT prev_type, next_type, COUNT(*) AS n_transitions
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3904,6 +3941,7 @@ QUERIES: dict[str, QueryFn] = {
     "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
     "q9_product_profit": q9_product_profit,
     "q11_important_stock": q11_important_stock,
+    "event_transitions": q_event_transitions,
     # --- kernels changed round 4 (HOF dot/norm rework) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -4114,6 +4152,7 @@ ORACLES: dict[str, str] = {
     "q20_excess_stock_suppliers": SQL_Q20,
     "q9_product_profit": SQL_Q9,
     "q11_important_stock": SQL_Q11,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

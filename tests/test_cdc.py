@@ -96,3 +96,39 @@ def test_cdc_apply_full_semantics(spark):
         4: (None, "kept-null-v"),  # explicit NULL update applied
         5: (555, "new"),     # insert
     }  # 2 deleted, 6 never existed
+
+
+def test_cdc_apply_matches_replay_model(spark):
+    """Property test: cdc_apply == a sequential dict replay of the
+    changelog in seq order, on randomized op streams."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from census_asc5_data_pipeline_spark.operators.cdc import cdc_apply
+
+    op_st = st.tuples(
+        st.integers(0, 6),                      # key
+        st.sampled_from("IUD"),                 # op
+        st.one_of(st.none(), st.integers(0, 99)),  # payload v
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(op_st, min_size=0, max_size=12))
+    def check(ops):
+        snap_rows = [(k, k * 10) for k in range(4)]
+        chg_rows = [(k, seq, op, v) for seq, (k, op, v) in enumerate(ops)]
+        # model: replay in seq order over a dict
+        model = dict(snap_rows)
+        for k, _seq, op, v in sorted(chg_rows, key=lambda r: r[1]):
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        snap = spark.createDataFrame(snap_rows, "k bigint, v bigint")
+        chg = spark.createDataFrame(
+            chg_rows, "k bigint, seq bigint, op string, v bigint"
+        ) if chg_rows else spark.createDataFrame([], "k bigint, seq bigint, op string, v bigint")
+        got = {r.k: r.v for r in cdc_apply(snap, chg, "k").collect()}
+        assert got == model
+
+    check()

@@ -29,6 +29,7 @@ PINNED_FIRST_50 = [
     "q20_excess_stock_suppliers",
     "q9_product_profit",
     "q11_important_stock",
+    "event_transitions",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "above_avg_orders",
     "set_ops",
     "funnel",
-    "salted_join_agg",
 ]
 
 
