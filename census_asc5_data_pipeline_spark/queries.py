@@ -3910,6 +3910,138 @@ GROUP BY 1, 2
 """
 
 
+def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup keeper selection: cluster the corpus
+    (exact-Jaccard pairs → connected components) and keep each
+    cluster's LONGEST member (doc_id tiebreak) instead of the naive
+    min-id — what a curation pipeline actually wants (drop the
+    truncated copies, keep the fullest). One struct-MAX argmax per
+    component over the cluster labels."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=500000, df_cap=4096)
+    clusters = G.dedup_clusters(docs, pairs).select("doc_id", "component")
+    quality = docs.select("doc_id", F.length("text").alias("n_len"))
+    best = F.max(F.struct(F.col("n_len"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        clusters.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            (-best.getField("neg_id")).cast("bigint").alias("keep_doc_id"),
+            best.getField("n_len").cast("bigint").alias("keep_len"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )
+
+
+SQL_CLUSTER_BEST = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 500000
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM documents
+  UNION
+  SELECT e.v AS node, r.root FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY 1
+), q AS (
+  SELECT c.doc_id, c.component, CAST(LENGTH(t2.text) AS BIGINT) AS n_len
+  FROM comp c JOIN documents t2 ON c.doc_id = t2.doc_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                               ORDER BY n_len DESC, doc_id ASC) AS rn
+  FROM q
+)
+SELECT component,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       MAX(CASE WHEN rn = 1 THEN n_len END) AS keep_len,
+       COUNT(*) AS cluster_size
+FROM r GROUP BY 1
+"""
+
+
+def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary quality signal: share of each document's
+    tokens that fall outside the corpus's top-100 vocabulary (by
+    frequency, deterministic tiebreak) — high OOV share flags noisy /
+    machine-generated text. Vocabulary is a tiny broadcast; the corpus
+    side is one explode + one per-doc aggregate."""
+    from census_asc5_data_pipeline_spark.functions import explode_computed, words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = explode_computed(
+        docs.select("doc_id", words(F.col("text")).alias("__w")).filter(
+            F.size("__w") >= 1
+        ),
+        F.col("__w"),
+        "tok",
+    )
+    # top-K via orderBy+limit = TakeOrderedAndProject (per-partition
+    # top-K merged on the driver), NOT a global row_number window that
+    # would drag every distinct token through one task at scale
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok"))
+        .limit(100)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.floor(
+                F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                * 1000000.0
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("oov_ppm"),
+        )
+    )
+
+
+SQL_RARE_TOKEN = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rk
+    FROM toks GROUP BY tok
+  ) WHERE rk <= 100
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(FLOOR(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS oov_ppm
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3942,6 +4074,8 @@ QUERIES: dict[str, QueryFn] = {
     "q9_product_profit": q9_product_profit,
     "q11_important_stock": q11_important_stock,
     "event_transitions": q_event_transitions,
+    "cluster_best_doc": q_cluster_best_doc,
+    "rare_token_ratio": q_rare_token_ratio,
     # --- kernels changed round 4 (HOF dot/norm rework) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -4153,6 +4287,8 @@ ORACLES: dict[str, str] = {
     "q9_product_profit": SQL_Q9,
     "q11_important_stock": SQL_Q11,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "cluster_best_doc": SQL_CLUSTER_BEST,
+    "rare_token_ratio": SQL_RARE_TOKEN,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

@@ -30,6 +30,8 @@ PINNED_FIRST_50 = [
     "q9_product_profit",
     "q11_important_stock",
     "event_transitions",
+    "cluster_best_doc",
+    "rare_token_ratio",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",
@@ -62,8 +64,6 @@ PINNED_FIRST_50 = [
     "stats_agg",
     "ntile_quartiles",
     "above_avg_orders",
-    "set_ops",
-    "funnel",
 ]
 
 
