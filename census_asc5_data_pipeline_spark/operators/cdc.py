@@ -97,6 +97,10 @@ def cdc_apply(
     discipline as ``scd1_upsert``). Keys untouched by the changelog
     pass through. One window + one full-outer join, both keyed
     shuffles — no driver state at any scale.
+
+    ``seq_col`` must be unique per key (a CDC stream's LSN/offset is);
+    with duplicate (key, seq) pairs the winner among the tied rows is
+    partition-order-dependent.
     """
     payload = [c for c in snapshot.columns if c != key]
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
