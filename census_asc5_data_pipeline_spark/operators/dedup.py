@@ -432,6 +432,13 @@ def span_dedup_stats(
         ),
     )
     spans = explode_computed(toks, spans_arr, "sh")
+    # agg+join, NOT count().over(Window.partitionBy("sh")): the window
+    # form measured ~3x faster at sf0.1 (one shuffle fewer) but
+    # WindowExec buffers each partition whole and gets no AQE skew
+    # handling — a boilerplate mega-span repeated across millions of
+    # docs would pin its entire partition on one task. The aggregate
+    # keeps map-side combine and the join inherits AQE skew-join
+    # splitting, which is the shape that survives a degenerate corpus.
     occ = spans.groupBy("sh").agg(F.count(F.lit(1)).alias("__occ"))
     return (
         spans.join(occ, "sh")
