@@ -4042,6 +4042,68 @@ GROUP BY 1
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model: conditional P(w2 | w1) as exact
+    integer ppm (bigram count * 1e6 / unigram count), for bigrams seen
+    >= 50 times — the count-based LM table a data pipeline derives for
+    perplexity-style filtering. Two map-side-combinable aggregates and
+    one join on the 8-byte-hashable first token."""
+    from census_asc5_data_pipeline_spark.functions import explode_computed, words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    bigrams = F.zip_with(
+        F.slice("__w", 1, F.size("__w") - 1),
+        F.slice("__w", 2, F.size("__w") - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = explode_computed(toks, bigrams, "bg", keep=()).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    # unigram counts as FIRST-POSITION occurrences (denominator of the
+    # conditional): sum of bigram counts per w1 — derived from the
+    # bigram table itself, no second corpus scan
+    uni = bg_counts.groupBy("w1").agg(F.sum("n_bigram").alias("n_first"))
+    return (
+        bg_counts.filter(F.col("n_bigram") >= 50)
+        .join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            F.col("n_first").cast("bigint").alias("n_first"),
+            F.floor(
+                F.col("n_bigram").cast("double") * 1000000.0 / F.col("n_first")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cond_ppm"),
+        )
+    )
+
+
+SQL_BIGRAM_LM = """
+WITH t AS (
+  SELECT regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM t, UNNEST(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_first FROM bc GROUP BY 1
+)
+SELECT bc.w1, bc.w2, bc.n_bigram, uni.n_first,
+       CAST(FLOOR(CAST(bc.n_bigram AS DOUBLE) * 1000000.0 / uni.n_first + 0.5) AS BIGINT) AS cond_ppm
+FROM bc JOIN uni USING (w1)
+WHERE bc.n_bigram >= 50
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4076,6 +4138,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_transitions": q_event_transitions,
     "cluster_best_doc": q_cluster_best_doc,
     "rare_token_ratio": q_rare_token_ratio,
+    "bigram_lm": q_bigram_lm,
     # --- kernels changed round 4 (HOF dot/norm rework) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -4289,6 +4352,7 @@ ORACLES: dict[str, str] = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cluster_best_doc": SQL_CLUSTER_BEST,
     "rare_token_ratio": SQL_RARE_TOKEN,
+    "bigram_lm": SQL_BIGRAM_LM,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

@@ -32,6 +32,7 @@ PINNED_FIRST_50 = [
     "event_transitions",
     "cluster_best_doc",
     "rare_token_ratio",
+    "bigram_lm",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "compression_ratio",
     "stats_agg",
     "ntile_quartiles",
-    "above_avg_orders",
 ]
 
 
