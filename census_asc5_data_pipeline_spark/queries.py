@@ -4044,10 +4044,12 @@ GROUP BY 1
 
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram language model: conditional P(w2 | w1) as exact
-    integer ppm (bigram count * 1e6 / unigram count), for bigrams seen
-    >= 50 times — the count-based LM table a data pipeline derives for
-    perplexity-style filtering. Two map-side-combinable aggregates and
-    one join on the 8-byte-hashable first token."""
+    integer ppm (bigram count * 1e6 / unigram count), for the top-200
+    bigrams by count (deterministic (count, w1, w2) tiebreak;
+    orderBy+limit = TakeOrderedAndProject, so no global window and a
+    non-trivial answer at every scale) — the count-based LM table a
+    pipeline derives for perplexity-style filtering. Two map-side-
+    combinable aggregates and one join on the first token."""
     from census_asc5_data_pipeline_spark.functions import explode_computed, words
 
     docs = _t(spark, sf_dir, "documents")
@@ -4067,9 +4069,11 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional): sum of bigram counts per w1 — derived from the
     # bigram table itself, no second corpus scan
     uni = bg_counts.groupBy("w1").agg(F.sum("n_bigram").alias("n_first"))
+    top = bg_counts.orderBy(
+        F.col("n_bigram").desc(), F.col("w1"), F.col("w2")
+    ).limit(200)
     return (
-        bg_counts.filter(F.col("n_bigram") >= 50)
-        .join(uni, "w1")
+        top.join(uni, "w1")
         .select(
             "w1",
             "w2",
@@ -4096,11 +4100,12 @@ WITH t AS (
   SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2
 ), uni AS (
   SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_first FROM bc GROUP BY 1
+), top AS (
+  SELECT * FROM bc ORDER BY n_bigram DESC, w1, w2 LIMIT 200
 )
-SELECT bc.w1, bc.w2, bc.n_bigram, uni.n_first,
-       CAST(FLOOR(CAST(bc.n_bigram AS DOUBLE) * 1000000.0 / uni.n_first + 0.5) AS BIGINT) AS cond_ppm
-FROM bc JOIN uni USING (w1)
-WHERE bc.n_bigram >= 50
+SELECT top.w1, top.w2, top.n_bigram, uni.n_first,
+       CAST(FLOOR(CAST(top.n_bigram AS DOUBLE) * 1000000.0 / uni.n_first + 0.5) AS BIGINT) AS cond_ppm
+FROM top JOIN uni USING (w1)
 """
 
 
