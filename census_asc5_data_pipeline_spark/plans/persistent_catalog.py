@@ -73,3 +73,37 @@ def persist_census_catalog(
             )
     finally:
         spark.catalog.setCurrentDatabase(prev)
+
+
+def analyze_catalog(
+    spark: SparkSession, database: str = DEFAULT_DATABASE
+) -> dict[str, int]:
+    """Collect table + column statistics for every base table —
+    the metastore half of cost-based optimization.
+
+    At 100 TB the cost-based optimizer (join reordering,
+    broadcast-threshold decisions, ``spark.sql.cbo.enabled``) is only
+    as good as its statistics; a catalog without ANALYZE data falls
+    back to size-on-disk guesses. One ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR ALL COLUMNS`` per table writes rowCount/sizeInBytes
+    plus per-column NDV/min/max/null counts into the metastore — the
+    scan is one pass per table and runs fully distributed.
+
+    Returns {table: rowCount} as read back from the catalog, so
+    callers (and the test) can assert the stats actually landed.
+    """
+    out: dict[str, int] = {}
+    for name in _BASE_TABLES:
+        spark.sql(
+            f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {database}.{name}").collect()
+        stats = {r.col_name: r.data_type for r in desc}
+        # "Statistics" row shape: "<bytes> bytes, <rows> rows"
+        stat_line = stats.get("Statistics", "")
+        rows = 0
+        for tok_i, tok in enumerate(parts := stat_line.split()):
+            if tok.startswith("rows") and tok_i > 0:
+                rows = int(parts[tok_i - 1])
+        out[name] = rows
+    return out

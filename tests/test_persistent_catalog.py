@@ -81,3 +81,38 @@ def test_catalog_survives_a_fresh_session(tmp_path):
         assert t in r, r
     assert "FACT 104 52" in r
     assert "YEARS 2017:52,2018:52" in r
+
+
+def test_analyze_catalog_lands_cbo_stats(tmp_path):
+    """ANALYZE writes rowCount + column NDV stats the CBO can use."""
+    import pathlib
+
+    repo = str(pathlib.Path(__file__).resolve().parents[1])
+    wh = str(tmp_path / "wh_an")
+    derby = str(tmp_path / "derby_an")
+    code = _ANALYZER.format(repo=repo, wh=wh, derby=derby, csv=CSV_DIR)
+    out = _run(code)
+    assert "ROWS graduation_rates=104 median_household_incomes=104 states=104" in out, out
+    assert "NDV_OK" in out, out
+
+
+_ANALYZER = """
+import sys
+sys.path.insert(0, {repo!r})
+from census_asc5_data_pipeline_spark.plans.census import load_census_csvs
+from census_asc5_data_pipeline_spark.plans.persistent_catalog import (
+    durable_session, persist_census_catalog, analyze_catalog,
+)
+spark = durable_session({wh!r}, {derby!r}, app="catalog_analyzer")
+t = load_census_csvs(spark, {csv!r})
+persist_census_catalog(spark, t["states"], t["incomes"], t["grads"])
+rows = analyze_catalog(spark)
+print("ROWS " + " ".join(f"{{k}}={{v}}" for k, v in sorted(rows.items())))
+desc = spark.sql(
+    "DESCRIBE EXTENDED censusacs5data.states state_id"
+).collect()
+kv = {{r.info_name: r.info_value for r in desc}}
+if kv.get("distinct_count") not in (None, "NULL"):
+    print("NDV_OK", kv["distinct_count"])
+spark.stop()
+"""
