@@ -4109,6 +4109,52 @@ FROM top JOIN uni USING (w1)
 """
 
 
+def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup similarity graph (exact
+    Jaccard >= 0.3 edges): the canonical distributed graph-analytics
+    join — each triangle (u < v < w) found by a two-hop edge join plus
+    a closing-edge join, all equi-joins on doc ids (the standard
+    MapReduce triangle algorithm; ordering edges u < v bounds each
+    join's fan-out by out-degree, never counting a triangle twice).
+    Dense near-dup triangles flag template families that pairwise
+    dedup alone understates."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096).select(
+        "doc_a", "doc_b"
+    )
+    e1 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e2 = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
+    e3 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+    return (
+        e1.join(e2, "v")
+        .join(e3, ["u", "w"])
+        .select("u", "v", "w")
+    )
+
+
+SQL_NEAR_DUP_TRIANGLES = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 300000
+)
+SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
+FROM pairs e1
+JOIN pairs e2 ON e1.doc_b = e2.doc_a
+JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4144,6 +4190,7 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_best_doc": q_cluster_best_doc,
     "rare_token_ratio": q_rare_token_ratio,
     "bigram_lm": q_bigram_lm,
+    "near_dup_triangles": q_near_dup_triangles,
     # --- kernels changed round 4 (HOF dot/norm rework) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -4358,6 +4405,7 @@ ORACLES: dict[str, str] = {
     "cluster_best_doc": SQL_CLUSTER_BEST,
     "rare_token_ratio": SQL_RARE_TOKEN,
     "bigram_lm": SQL_BIGRAM_LM,
+    "near_dup_triangles": SQL_NEAR_DUP_TRIANGLES,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

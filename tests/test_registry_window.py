@@ -33,6 +33,7 @@ PINNED_FIRST_50 = [
     "cluster_best_doc",
     "rare_token_ratio",
     "bigram_lm",
+    "near_dup_triangles",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "boilerplate_segments",
     "compression_ratio",
     "stats_agg",
-    "ntile_quartiles",
 ]
 
 
