@@ -1,0 +1,169 @@
+"""Shuffle-budget regression pin: every registered query's physical
+plan has a maximum allowed number of Exchange operators, captured at
+the round-4 plan shapes. A future change that silently adds a shuffle
+(a lost broadcast hint, an accidental repartition, a window where an
+aggregate sufficed) fails here loudly instead of shipping as a 100 TB
+regression.
+
+The pin is an UPPER bound (``<=``): plan improvements that remove
+shuffles pass; update the budget downward when that happens. Counts
+are static (pre-AQE, pre-ReuseExchange) plan shapes at sf0.001 —
+deterministic for a fixed Spark version. Persisted-but-unmaterialized
+subtrees count at full lineage, so self-join reuse (e.g.
+near_dup_triangles) pins at its static, not runtime, exchange count.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from census_asc5_data_pipeline_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SHUFFLE_BUDGET = {
+    "span_dedup": 2,
+    "pack_sequences": 3,
+    "cdc_apply": 2,
+    "domain_cap": 1,
+    "attribution": 1,
+    "q2_min_cost_supplier": 2,
+    "q17_small_qty_revenue": 2,
+    "q22_idle_customers": 7,
+    "q6_forecast_revenue": 1,
+    "q12_priority_by_returnflag": 1,
+    "q13_order_count_distribution": 2,
+    "q16_supplier_count_by_part": 3,
+    "q20_excess_stock_suppliers": 3,
+    "q9_product_profit": 1,
+    "q11_important_stock": 3,
+    "event_transitions": 2,
+    "cluster_best_doc": 5,
+    "rare_token_ratio": 2,
+    "bigram_lm": 3,
+    "near_dup_triangles": 16,
+    "dedup_embedding_cosine": 1,
+    "dedup_embedding_clusters": 5,
+    "ann_cosine_topk": 1,
+    "ann_lsh_topk": 1,
+    "ann_lsh_multiprobe": 1,
+    "ann_ivf_topk": 1,
+    "dedup_minhash": 5,
+    "dedup_simhash": 3,
+    "dedup_ngram_jaccard": 4,
+    "dedup_clusters": 5,
+    "curate_corpus": 8,
+    "chunk_documents": 0,
+    "source_mixture": 1,
+    "gopher_rules": 0,
+    "script_profile": 0,
+    "dup_ngram_stats": 2,
+    "bpe_merges": 0,
+    "q8_market_share": 3,
+    "q15_top_supplier": 7,
+    "q21_sole_returner": 4,
+    "decontaminate": 2,
+    "top_terms": 1,
+    "pii_redact": 0,
+    "train_split": 1,
+    "tfidf_top_terms": 5,
+    "repetition_ratio": 2,
+    "quality_funnel": 1,
+    "boilerplate_segments": 1,
+    "compression_ratio": 0,
+    "stats_agg": 1,
+    "ntile_quartiles": 1,
+    "above_avg_orders": 1,
+    "set_ops": 18,
+    "funnel": 8,
+    "salted_join_agg": 1,
+    "range_frame": 1,
+    "full_outer_balance": 2,
+    "events_pivot": 2,
+    "string_agg": 1,
+    "argmax_agg": 1,
+    "vector_stats": 0,
+    "dow_seasonality": 1,
+    "conditional_agg": 1,
+    "scd1_upsert": 5,
+    "scd2_history": 2,
+    "dq_report": 7,
+    "stratified_sample": 1,
+    "grouping_sets": 1,
+    "approx_quantiles": 1,
+    "heavy_hitters": 1,
+    "dedup_exact": 1,
+    "measure_view": 1,
+    "fact_join": 3,
+    "q1_pricing_summary": 1,
+    "dim_extract": 1,
+    "year_dim": 1,
+    "multi_year_union": 3,
+    "serving_agg": 1,
+    "pivot_wide": 2,
+    "q3_top_unshipped": 1,
+    "q5_region_revenue": 1,
+    "q7_nation_volume": 1,
+    "q10_returned_items": 1,
+    "q18_large_orders": 1,
+    "q14_promo_share": 1,
+    "q19_disjunctive": 1,
+    "q4_late_shipments": 1,
+    "top_k_per_group": 1,
+    "running_agg": 1,
+    "moving_avg": 1,
+    "rollup_agg": 1,
+    "semi_join_exists": 1,
+    "anti_join_not_exists": 0,
+    "distinct_count": 2,
+    "events_json": 1,
+    "events_window": 1,
+    "sessionize": 1,
+    "events_dedup_latest": 1,
+    "asof_join": 1,
+    "group_median": 1,
+    "cube_agg": 1,
+    "unpivot_long": 1,
+    "lag_lead_delta": 1,
+    "cohort_retention": 4,
+    "user_trend": 1,
+    "gap_fill": 2,
+    "fuzzy_match": 0,
+    "histogram": 1,
+    "monthly_revenue": 1,
+    "url_domains": 2,
+    "prefix_dups": 1,
+    "dedup_char_ngram": 4,
+    "percent_rank": 1,
+    "lang_id": 0,
+    "text_quality": 0,
+    "token_count": 0,
+    "doc_fingerprint": 1,
+    "multimodal_meta": 0,
+}
+
+
+def test_budget_covers_every_registered_query():
+    assert set(SHUFFLE_BUDGET) == set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_count_within_budget(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    n = len(
+        [
+            l
+            for l in plan.splitlines()
+            if l.lstrip().startswith("Exchange (") or "- Exchange (" in l
+        ]
+    )
+    assert n <= SHUFFLE_BUDGET[name], (
+        f"{name}: {n} Exchanges > pinned {SHUFFLE_BUDGET[name]} — a shuffle "
+        "regressed; inspect the plan before raising the budget"
+    )
+    spark.catalog.clearCache()
