@@ -76,3 +76,45 @@ def curation_summary(docs: DataFrame, **kwargs) -> DataFrame:
             F.sum("clean_len").alias("total_chars"),
         )
     )
+
+
+def export_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    shards_per_split: int = 4,
+    **kwargs,
+) -> dict[str, int]:
+    """Last mile of the curation pipeline: materialize the curated
+    corpus as split-partitioned, sharded, compressed JSONL — the layout
+    a training job consumes (``out_dir/split=train/part-*.json.gz``).
+
+    The curation verdict joins back to the raw text (only KEPT docs are
+    rewritten), writes partition by ``split`` so a trainer reads one
+    directory per split with no filtering scan, and repartitions to a
+    fixed shard count per split so shard sizes are stable regardless of
+    upstream partitioning (downstream dataloaders shard by file). At
+    scale ``shards_per_split`` is sized to target file sizes (the same
+    small-files discipline as ``sinks.compact_parquet``).
+
+    Returns {split: n_docs} read back from the written dataset — the
+    write is verified, not assumed.
+    """
+    from pyspark.sql import functions as F
+
+    verdict = curate(docs, **kwargs)
+    kept = verdict.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "split", "text", "clean_len"
+    )
+    (
+        kept.repartition(shards_per_split, F.col("doc_id"))
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .option("compression", "gzip")
+        .json(out_dir)
+    )
+    spark = docs.sparkSession
+    back = spark.read.json(out_dir)
+    return {
+        r.split: r.n
+        for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }

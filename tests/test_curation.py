@@ -32,3 +32,29 @@ def test_curation_summary_accounts_for_all_kept(spark):
     summary = {r.split: (r.n_docs, r.total_chars) for r in curation_summary(_corpus(spark)).collect()}
     assert sum(n for n, _ in summary.values()) == len(per_doc)
     assert sum(c for _, c in summary.values()) == sum(r.clean_len for r in per_doc)
+
+
+def test_export_corpus_layout_and_roundtrip(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.catalog import read_table
+    from census_asc5_data_pipeline_spark.plans.curation import curate, export_corpus
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "corpus")
+    counts = export_corpus(docs, out, shards_per_split=2)
+    # written counts match the curation verdict split-for-split
+    want = {
+        r.split: r.n
+        for r in curate(docs).groupBy("split").count().withColumnRenamed("count", "n").collect()
+    }
+    assert counts == want and sum(counts.values()) > 0
+    # layout: one directory per split, gzipped json shards inside
+    import os
+
+    splits = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert splits == {f"split={s}" for s in counts}
+    some = os.listdir(os.path.join(out, next(iter(splits))))
+    assert any(f.endswith(".json.gz") for f in some), some
+    # a trainer can read one split directory directly
+    train = spark.read.json(os.path.join(out, "split=train"))
+    assert train.count() == counts.get("train", 0)
+    assert {"doc_id", "text", "clean_len"} <= set(train.columns)
