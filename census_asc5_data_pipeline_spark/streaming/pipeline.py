@@ -298,13 +298,19 @@ def stream_rate_cap(
             state.remove()
             return
         admitted = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if admitted >= cap or pdf.empty:
-                continue
-            pdf = pdf.assign(ts_ms=pdf["ts"].astype("int64") // 1_000_000)
-            pdf = pdf.sort_values(["ts_ms", "event_id"]).head(cap - admitted)
-            admitted += len(pdf)
-            yield pdf[["event_id", "user_id", "ts_ms", "event_type"]]
+        # Concatenate ALL of the group's batch chunks before sorting:
+        # Arrow may deliver one group as several frames, and sorting
+        # each chunk separately would admit in chunk order, breaking
+        # the documented (ts, event_id) batch-determinism. Buffering is
+        # bounded by the group's rows in one micro-batch (same contract
+        # as the sessionizer above).
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if frames and admitted < cap:
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch.assign(ts_ms=batch["ts"].astype("int64") // 1_000_000)
+            take = batch.sort_values(["ts_ms", "event_id"]).head(cap - admitted)
+            admitted += len(take)
+            yield take[["event_id", "user_id", "ts_ms", "event_type"]]
         state.update((admitted,))
 
     return (
