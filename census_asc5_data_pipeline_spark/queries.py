@@ -4160,6 +4160,51 @@ JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
 """
 
 
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: sensor-style gaps
+    (every 7th event's value nulled deterministically) forward-filled
+    per user in (ts, event_id) order via last_value(IGNORE NULLS) —
+    the standard time-series repair window, one shuffle on the key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_ms("ts").alias("ts_ms"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            cents(F.col("value"))
+        ).alias("value_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        "value_c",
+        F.last("value_c", ignorenulls=True).over(w).alias("value_c_filled"),
+    )
+
+
+SQL_LOCF = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS value_c
+  FROM events
+)
+SELECT user_id, event_id, ts_ms, value_c,
+       LAST_VALUE(value_c IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_ms, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_c_filled
+FROM ev
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4196,6 +4241,7 @@ QUERIES: dict[str, QueryFn] = {
     "rare_token_ratio": q_rare_token_ratio,
     "bigram_lm": q_bigram_lm,
     "near_dup_triangles": q_near_dup_triangles,
+    "locf_fill": q_locf_fill,
     # --- kernels changed round 4 (HOF dot/norm rework) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
@@ -4411,6 +4457,7 @@ ORACLES: dict[str, str] = {
     "rare_token_ratio": SQL_RARE_TOKEN,
     "bigram_lm": SQL_BIGRAM_LM,
     "near_dup_triangles": SQL_NEAR_DUP_TRIANGLES,
+    "locf_fill": SQL_LOCF,
     # rows-only (engine-specific hashing / randomized ANN):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }

@@ -34,6 +34,7 @@ PINNED_FIRST_50 = [
     "rare_token_ratio",
     "bigram_lm",
     "near_dup_triangles",
+    "locf_fill",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "quality_funnel",
     "boilerplate_segments",
     "compression_ratio",
-    "stats_agg",
 ]
 
 

@@ -22,6 +22,7 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    "locf_fill": 1,
     "span_dedup": 2,
     "pack_sequences": 3,
     "cdc_apply": 2,
