@@ -2977,24 +2977,25 @@ FROM spine s LEFT JOIN daily d USING (user_id, day)
 
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy string matching: part names paired within a
-    first-token block, kept when levenshtein ≤ 4 — the blocking join is
-    the scale path (never all-pairs; block key bounds the quadratic)."""
-    part = _t(spark, sf_dir, "part").select(
-        F.col("p_partkey"), F.col("p_name"), F.split("p_name", " ")[0].alias("blk")
-    )
-    a = part.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "blk"
-    )
-    b = part.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "blk"
-    )
-    return (
-        a.join(b, "blk")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
-        .filter(F.col("dist") <= 4)
-        .select("key_a", "key_b", "dist")
+    """Blocked fuzzy string matching: part-name pairs with identical
+    first token and levenshtein ≤ 4 — same result set as a first-token
+    block self-join, but candidates come from an EXACT q-gram count
+    filter (operators/fuzzy.py), so the ~90-word TPC-H first-token
+    vocabulary (blocks of n/90 rows → O(n²/90) pairs under the round-4
+    plan) no longer yields a quadratic join. stop_gram_cap=1024 is the
+    df_cap-style valve: block-local grams on >1024 rows are dropped
+    from candidate gen and each row's count-filter threshold is
+    re-derived from its kept grams, so capped output stays
+    bit-identical to uncapped (tests/test_fuzzy.py pins this)."""
+    from census_asc5_data_pipeline_spark.operators import fuzzy as FZ
+
+    return FZ.edit_distance_pairs(
+        _t(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        max_dist=4,
+        q=3,
+        stop_gram_cap=1024,
     )
 
 

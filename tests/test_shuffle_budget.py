@@ -129,7 +129,13 @@ SHUFFLE_BUDGET = {
     "cohort_retention": 4,
     "user_trend": 1,
     "gap_fill": 2,
-    "fuzzy_match": 0,
+    # r5: 0 -> 7. The round-4 plan was 0-Exchange only because the
+    # whole quadratic block self-join broadcast at sf0.001; the r5
+    # q-gram count-filter plan (operators/fuzzy.py) spends 7 bounded
+    # shuffles (posting freq, kept-count window, pair co-count,
+    # direct-path distinct, verify joins) to remove the O(n^2/90)
+    # block product — the right trade at 100 TB.
+    "fuzzy_match": 7,
     "histogram": 1,
     "monthly_revenue": 1,
     "url_domains": 2,
