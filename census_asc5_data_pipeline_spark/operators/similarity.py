@@ -312,7 +312,7 @@ def cosine_near_dup_pairs_lsh(
     vb = corpus.select(
         F.col(id_col).alias("vec_id_b"), dv.alias("vb"), norm.alias("__nb")
     )
-    return (
+    out = (
         cand.join(va, "vec_id_a")
         .join(vb, "vec_id_b")
         .withColumn(
@@ -327,6 +327,10 @@ def cosine_near_dup_pairs_lsh(
         .filter(F.col("cos_micro") >= threshold_micro)
         .select("vec_id_a", "vec_id_b", "cos_micro")
     )
+    # Long-lived sessions: release via queries.unpersist_deps(out)
+    # after materializing (round-4 advice — persists accumulated).
+    out._cached_deps = [buckets]  # type: ignore[attr-defined]
+    return out
 
 
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
@@ -509,7 +513,11 @@ def ivf_topk(
             )
         ),
     ).drop("__css")
-    return _exact_rerank_topk(c.join(F.broadcast(probes), "cluster"), k, dim=dim)
+    out = _exact_rerank_topk(c.join(F.broadcast(probes), "cluster"), k, dim=dim)
+    # Long-lived sessions: release via queries.unpersist_deps(out)
+    # after materializing (round-4 advice — persists accumulated).
+    out._cached_deps = [cv]  # type: ignore[attr-defined]
+    return out
 
 
 def lsh_topk(

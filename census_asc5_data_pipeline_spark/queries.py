@@ -4112,30 +4112,29 @@ FROM top JOIN uni USING (w1)
 
 def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the near-dup similarity graph (exact
-    Jaccard >= 0.3 edges): the canonical distributed graph-analytics
-    join — each triangle (u < v < w) found by a two-hop edge join plus
-    a closing-edge join, all equi-joins on doc ids (the standard
-    MapReduce triangle algorithm; ordering edges u < v bounds each
-    join's fan-out by out-degree, never counting a triangle twice).
-    Dense near-dup triangles flag template families that pairwise
-    dedup alone understates."""
+    Jaccard >= 0.3 edges), DEGREE-ORIENTED (operators/graph.triangles):
+    each edge points from its lower-degree endpoint, wedges are pairs
+    of out-neighbors, and the closing check is a semi-join — so a
+    boilerplate hub near-dup to d documents contributes 0 wedges as a
+    center instead of the d² intermediate rows of the id-oriented
+    two-hop join (round-4 verdict). Output is the identical canonical
+    (u < v < w) triangle set. Dense near-dup triangles flag template
+    families that pairwise dedup alone understates."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
     docs = _t(spark, sf_dir, "documents")
-    # persist: the edge list feeds all three roles of the triangle join
-    # (e1/e2/e3) — without it the whole jaccard pair computation runs
-    # three times (15 Exchanges in the plan vs 7 persisted)
+    # persist: the edge list feeds the degree count, both wedge roles
+    # and the closing semi-join — without it the whole jaccard pair
+    # computation re-runs per role. Unpersisted via _cached_deps (the
+    # bench and long-lived callers call queries.unpersist_deps).
     pairs = (
         D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
         .select("doc_a", "doc_b")
         .persist()
     )
-    e1 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    e2 = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
-    e3 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
-    return (
-        e1.join(e2, "v")
-        .join(e3, ["u", "w"])
-        .select("u", "v", "w")
-    )
+    out = G.triangles(pairs, src="doc_a", dst="doc_b")
+    out._cached_deps = [pairs]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_NEAR_DUP_TRIANGLES = """
@@ -4209,6 +4208,20 @@ FROM ev
 # =====================================================================
 # Registry
 # =====================================================================
+
+
+def unpersist_deps(df: DataFrame) -> None:
+    """Release DataFrames a query persisted for intra-plan reuse.
+
+    Operators that persist an intermediate (jaccard edge list, LSH
+    buckets, the IVF corpus projection) tag the returned DataFrame
+    with ``_cached_deps``; callers that materialize the result in a
+    long-lived session call this afterwards to free the cached blocks
+    (round-4 advice: repeated calls otherwise accumulate; bench.py's
+    clearCache() masks this for the bench only)."""
+    for dep in getattr(df, "_cached_deps", ()):  # pragma: no branch
+        dep.unpersist()
+
 
 # Registry order is deliberate: the driver's correctness gate verifies
 # the FIRST 50 entries per round. Every key is green across r1∪r2∪r3,

@@ -42,7 +42,15 @@ SHUFFLE_BUDGET = {
     "cluster_best_doc": 5,
     "rare_token_ratio": 2,
     "bigram_lm": 3,
-    "near_dup_triangles": 16,
+    # r5: 16 -> 91 STATIC-TREE only. The degree-oriented plan
+    # references the persisted jaccard edge list from FIVE roles
+    # (degree-count union sides, two wedge roles, closing semi-join)
+    # and this metric counts every cloned tree occurrence of the
+    # 4-Exchange edge lineage; at runtime the persist collapses them
+    # to one materialization plus InMemoryTableScans (the executed
+    # plan is pinned in tests/test_runtime_plans.py). The intermediate
+    # is now O(m) wedges, not hub-degree^2 (tests/test_triangles.py).
+    "near_dup_triangles": 91,
     "dedup_embedding_cosine": 1,
     "dedup_embedding_clusters": 5,
     "ann_cosine_topk": 1,
