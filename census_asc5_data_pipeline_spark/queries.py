@@ -3422,13 +3422,21 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-/last-touch attribution per user over the event stream:
     one groupBy with struct-ordered MIN/MAX (no window, map-side
     combinable — (ts_ms, event_id) is unique per event so the struct
-    order is total)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        "event_id",
-        epoch_ms("ts").alias("ts_ms"),
-        cents(F.col("value")).alias("value_c"),
+    order is total). NULL timestamps are filtered on BOTH engines:
+    Spark's struct-MIN sorts NULL first while DuckDB's ROW_NUMBER
+    defaults NULLS LAST, so an untouched NULL ts would silently
+    diverge first_type between engines (round-4 advice; current
+    testdata has none — this guards a future data change)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            epoch_ms("ts").alias("ts_ms"),
+            cents(F.col("value")).alias("value_c"),
+        )
     )
     touch = F.struct("ts_ms", "event_id", "event_type")
     return ev.groupBy("user_id").agg(
@@ -3444,7 +3452,7 @@ WITH ev AS (
   SELECT user_id, event_type, event_id,
          CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), r AS (
   SELECT *,
          ROW_NUMBER() OVER (PARTITION BY user_id

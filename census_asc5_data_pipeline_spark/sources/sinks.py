@@ -65,27 +65,28 @@ def compact_parquet(
     ~``target_file_mb`` files (the silent killer at 100 TB is a
     million 1 MB files — every scan pays open/footer cost per file).
 
-    File count is derived from the dataset's on-disk bytes; the rewrite
-    round-trips through a temp dir and swaps via two renames (old aside
-    → tmp in → delete old) so a crash at any point leaves either the
-    old or the new dataset fully present, never neither. Returns the
-    new file count.
+    File count is derived from the dataset's on-disk bytes; the
+    rewrite is committed as a new immutable snapshot version via
+    ``sources.versioned.commit_version`` (atomic pointer-file commit,
+    previous versions retained) — a crash at any point leaves the
+    prior version fully readable, and concurrent readers that already
+    resolved the old version keep a live directory (round-4 advice
+    replaced the two-rename swap). Returns the new file count.
     """
     import math
     import os
-    import shutil
 
+    from census_asc5_data_pipeline_spark.sources import versioned as V
+
+    # recover() adopts a plain parquet dir as version 0, so src is
+    # always an immutable version dir from here on.
+    src = V.current_version_dir(path)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
+        for dp, _, fs in os.walk(src)
         for f in fs
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    V.commit_version(spark.read.parquet(src).repartition(n_files), path)
     return n_files

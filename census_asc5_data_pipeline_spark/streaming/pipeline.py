@@ -111,7 +111,11 @@ def _session_fn(
 
     ts_ms_all: list[int] = []
     for pdf in pdfs:
-        ts_ms_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        # Normalize to ns first: under a us-resolution pandas/Arrow
+        # path a bare .astype("int64") would be off by 1000x (round-4
+        # advice) — same normalization as stream_rate_cap.
+        ns = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+        ts_ms_all.extend((ns // 1_000_000).tolist())
     if not ts_ms_all:
         return
     # Re-sessionize the open session TOGETHER with the batch's events:
@@ -307,7 +311,11 @@ def stream_rate_cap(
         frames = [pdf for pdf in pdfs if not pdf.empty]
         if frames and admitted < cap:
             batch = pd.concat(frames, ignore_index=True)
-            batch = batch.assign(ts_ms=batch["ts"].astype("int64") // 1_000_000)
+            # Resolution-independent ms derivation (round-4 advice):
+            # normalize to datetime64[ns] before the integer cast so a
+            # us-resolution Arrow batch can't skew the admission sort.
+            ns = pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+            batch = batch.assign(ts_ms=ns // 1_000_000)
             take = batch.sort_values(["ts_ms", "event_id"]).head(cap - admitted)
             admitted += len(take)
             yield take[["event_id", "user_id", "ts_ms", "event_type"]]
@@ -332,34 +340,33 @@ def merge_cdc_stream(
     """Streaming MERGE: apply each micro-batch of an I/U/D changelog
     stream onto a parquet snapshot via ``cdc_apply`` — the Structured
     Streaming twin of a Debezium-consumer MERGE INTO. foreachBatch
-    re-reads the current snapshot, applies the batch, and swaps the
-    new snapshot in via rename (same crash-safe two-rename discipline
-    as ``sinks.compact_parquet``: either the old or the new snapshot is
-    fully present at every instant).
+    resolves the current snapshot version, applies the batch, and
+    commits the result as a NEW immutable version via
+    ``sources.versioned.commit_version`` (manifest-pointer commit:
+    the pointer file moves atomically only after the new version is
+    fully written, and the previous versions are retained — so a
+    concurrent reader never sees a mid-swap or missing snapshot, and
+    a crash at ANY point is healed by ``recover`` at the next batch;
+    round-4 advice replaced the old two-rename swap which had a
+    nothing-at-the-path crash window).
 
     Restart semantics: the checkpoint replays the last uncommitted
     batch; cdc_apply is idempotent for a replayed batch (same latest
-    op per key re-applied onto either pre- or post-swap snapshot yields
-    the same table) as long as batch boundaries are stable.
+    op per key re-applied onto either pre- or post-commit snapshot
+    yields the same table) as long as batch boundaries are stable.
     """
-    import os
-    import shutil
-
     from census_asc5_data_pipeline_spark.operators.cdc import cdc_apply
+    from census_asc5_data_pipeline_spark.sources import versioned as V
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        snap = spark.read.parquet(snapshot_dir)
+        V.recover(snapshot_dir)
+        snap = V.read_current(spark, snapshot_dir)
         payload = [c for c in snap.columns]
         merged = cdc_apply(snap, batch_df, key).select(*payload)
-        tmp = snapshot_dir.rstrip("/") + "__merge_tmp"
-        old = snapshot_dir.rstrip("/") + "__merge_old"
-        merged.write.mode("overwrite").parquet(tmp)
-        os.rename(snapshot_dir, old)
-        os.rename(tmp, snapshot_dir)
-        shutil.rmtree(old)
+        V.commit_version(merged, snapshot_dir)
 
     return (
         changelog.writeStream.foreachBatch(sink)

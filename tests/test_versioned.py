@@ -1,0 +1,100 @@
+"""Crash-injection tests for sources/versioned.py — the
+manifest-pointer snapshot commit replacing the two-rename swap
+(round-4 verdict item 6 + the merge_cdc_stream crash-window advice).
+
+Each test simulates a kill between two steps of the commit protocol
+by invoking the module's internals partially, then asserts a reader
+still resolves a COMPLETE snapshot and a subsequent commit heals.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from census_asc5_data_pipeline_spark.sources import versioned as V
+
+
+def _mk(spark, vals):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v string")
+
+
+def _vals(spark, table):
+    return sorted(r.v for r in V.read_current(spark, table).collect())
+
+
+def test_adopts_legacy_plain_dir_and_commits(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, ["a", "b"]).write.parquet(table)  # legacy seed layout
+    assert _vals(spark, table) == ["a", "b"]  # adoption as v0
+    V.commit_version(_mk(spark, ["c"]), table)
+    assert _vals(spark, table) == ["c"]
+    # legacy readers on the published path still work (symlink view)
+    assert sorted(r.v for r in spark.read.parquet(table).collect()) == ["c"]
+
+
+def test_crash_after_version_write_before_pointer(spark, tmp_path):
+    """Kill between writing the new version dir and moving the
+    pointer: readers must still see the OLD snapshot; the orphan is
+    pruned by the next commit."""
+    table = str(tmp_path / "t")
+    V.commit_version(_mk(spark, ["old"]), table)
+    # simulate: new version fully written, pointer never moved
+    orphan = V._version_dir(table, 99)
+    _mk(spark, ["half"]).write.parquet(orphan)
+    assert _vals(spark, table) == ["old"]
+    V.commit_version(_mk(spark, ["new"]), table, keep=1)
+    assert _vals(spark, table) == ["new"]
+    assert not os.path.exists(orphan)  # pruned
+
+
+def test_crash_between_pointer_commit_and_symlink_flip(spark, tmp_path):
+    """Kill after the pointer moved but before the symlink flip: the
+    pointer is the commit point, so readers (and recover) must resolve
+    the NEW version; the stale symlink is healed."""
+    table = str(tmp_path / "t")
+    V.commit_version(_mk(spark, ["v0"]), table)
+    nxt = V._version_dir(table, 1)
+    _mk(spark, ["v1"]).write.parquet(nxt)
+    V._write_pointer(table, 1)
+    # symlink still points at v0 (simulated crash here)
+    assert os.path.realpath(table) == os.path.realpath(V._version_dir(table, 0))
+    assert _vals(spark, table) == ["v1"]  # pointer wins
+    V.recover(table)
+    assert os.path.realpath(table) == os.path.realpath(nxt)  # healed
+
+
+def test_lost_pointer_recovers_newest_complete_version(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.commit_version(_mk(spark, ["v0"]), table)
+    V.commit_version(_mk(spark, ["v1"]), table)
+    os.remove(V._pointer_path(table))
+    # incomplete junk must not win recovery
+    os.makedirs(V._version_dir(table, 7))
+    assert _vals(spark, table) == ["v1"]
+
+
+def test_old_versions_retained_then_pruned(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for i in range(5):
+        V.commit_version(_mk(spark, [f"v{i}"]), table, keep=3)
+    vs = V.list_versions(table)
+    assert len(vs) == 3 and vs[-1] == 4
+    # a reader that resolved the previous version still has a live dir
+    prev = V._version_dir(table, 3)
+    assert sorted(r.v for r in spark.read.parquet(prev).collect()) == ["v3"]
+
+
+def test_reader_always_complete_under_interleaved_commits(spark, tmp_path):
+    """The invariant the old two-rename swap violated: at EVERY point
+    during a commit sequence the published path and the pointer both
+    resolve to a complete dataset."""
+    table = str(tmp_path / "t")
+    V.commit_version(_mk(spark, ["a", "b", "c"]), table)
+    for i in range(3):
+        df = V.read_current(spark, table)
+        V.commit_version(df.withColumn("v", F.concat("v", F.lit("x"))), table)
+        got = _vals(spark, table)
+        assert got == sorted(w + "x" * (i + 1) for w in ["a", "b", "c"])
+        assert os.path.exists(os.path.join(os.path.realpath(table), "_SUCCESS"))
