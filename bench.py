@@ -39,6 +39,13 @@ HEADLINE = [
     "decontaminate",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    # round-4 heavy tail (round-4 verdict item 3): the expensive r4
+    # additions get bench rows so regressions surface per-round
+    "span_dedup",
+    "near_dup_triangles",
+    "bigram_lm",
+    "pack_sequences",
+    "cdc_apply",
 ]
 
 
@@ -49,7 +56,7 @@ def main() -> None:
 
     from census_asc5_data_pipeline_spark import get_spark
     from census_asc5_data_pipeline_spark.catalog import assert_utc
-    from census_asc5_data_pipeline_spark.queries import QUERIES
+    from census_asc5_data_pipeline_spark.queries import QUERIES, unpersist_deps
 
     spark = get_spark("bench")
     assert_utc(spark)
@@ -83,8 +90,10 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        n = df.count()
         dt = time.time() - t0
+        unpersist_deps(df)
         times[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
