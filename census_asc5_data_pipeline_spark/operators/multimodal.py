@@ -48,22 +48,60 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+try:  # optional real codec (round-4 verdict item 7): absent in the
+    # build container, used automatically by tests when importable
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    HAS_PIL = False
+
+
 def _fake_decode(payload: bytes | None) -> tuple[int, int, int, int]:
-    """STUB codec: real decode (PIL/ffmpeg) is unavailable in this
-    container. Dimensions are a deterministic function of byte length so
-    the pipeline is testable; swap this body for the real codec call."""
+    """STUB codec: dimensions are a deterministic function of byte
+    length so the pipeline is testable without image libraries; the
+    registered `multimodal_meta` query pins THIS codec so its DuckDB
+    oracle stays engine-independent."""
     if payload is None:
         return 0, 0, 0, 0
     n = len(payload)
     return n, 64 + n % 577, 64 + n % 479, 1 + n % 31
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """Decode payloads to typed metadata via Arrow-batched mapInPandas."""
+def _pil_decode(payload: bytes | None) -> tuple[int, int, int, int]:
+    """Real codec path (requires pillow): actual width/height/frames
+    from the byte stream; undecodable payloads yield zero dims — the
+    downstream schema and batch shape are identical to the stub's."""
+    if payload is None:
+        return 0, 0, 0, 0
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as img:
+            return len(payload), img.width, img.height, getattr(img, "n_frames", 1)
+    except Exception:
+        return len(payload), 0, 0, 0
+
+
+def decode_media(df: DataFrame, codec: str = "stub") -> DataFrame:
+    """Decode payloads to typed metadata via Arrow-batched mapInPandas.
+
+    ``codec="stub"`` (default) is the deterministic fake; ``"pil"``
+    decodes real bytes with pillow when importable (raises otherwise);
+    ``"auto"`` picks pil if available else stub. Either path emits
+    DECODED_SCHEMA — swapping codecs never changes the plan shape,
+    only the kernel body (tests/test_multimodal.py parametrizes over
+    whichever paths the environment supports)."""
+    if codec == "auto":
+        codec = "pil" if HAS_PIL else "stub"
+    if codec == "pil" and not HAS_PIL:
+        raise ImportError("codec='pil' requires pillow, which is not installed")
+    kernel = _pil_decode if codec == "pil" else _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [kernel(p) for p in pdf["payload"]]
             out = pd.DataFrame(decoded, columns=["n_bytes", "width", "height", "n_frames"])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out

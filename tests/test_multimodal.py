@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from census_asc5_data_pipeline_spark.operators.multimodal import (
     FEATURE_DIM,
     attach_binary,
@@ -74,3 +76,55 @@ def test_frame_sample_skips_zero_frame_media(spark):
     rows = frame_sample(decoded, every=1).collect()
     assert {r.doc_id for r in rows} == {2}
     assert sorted(r.frame_idx for r in rows) == [0, 1]
+
+
+def _codecs():
+    import census_asc5_data_pipeline_spark.operators.multimodal as M
+
+    return ["stub"] + (["pil"] if M.HAS_PIL else [])
+
+
+@pytest.mark.parametrize("codec", _codecs())
+def test_decode_media_codec_paths_share_schema(spark, codec):
+    """Stub and real codec must be plan-compatible: same schema, same
+    row set, non-null metadata for every non-null payload. With
+    pillow installed the pil path decodes REAL bytes (a generated
+    1-bit BMP); without it the stub path still pins the contract."""
+    import census_asc5_data_pipeline_spark.operators.multimodal as M
+
+    if codec == "pil":
+        # a real 2x3 image, round-tripped through an actual encoder
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (2, 3)).save(buf, format="BMP")
+        payload = buf.getvalue()
+        df = spark.createDataFrame(
+            [(1, payload, "image/bmp"), (2, b"not an image", "image/bmp"), (3, None, None)],
+            M.MEDIA_SCHEMA,
+        )
+        out = {r.doc_id: r for r in M.decode_media(df, codec="pil").collect()}
+        assert (out[1].width, out[1].height, out[1].n_frames) == (2, 3, 1)
+        assert (out[2].width, out[2].height) == (0, 0)  # undecodable
+        assert out[3].n_bytes == 0
+    else:
+        df = M.attach_binary(_docs(spark))
+        out = M.decode_media(df, codec="stub")
+        assert out.schema == M.DECODED_SCHEMA
+        rows = out.collect()
+        assert len(rows) == df.count()
+        assert all(r.width > 0 for r in rows)
+
+
+def test_decode_media_pil_codec_raises_cleanly_when_absent(spark):
+    import census_asc5_data_pipeline_spark.operators.multimodal as M
+
+    if M.HAS_PIL:
+        pytest.skip("pillow installed — covered by the pil param case")
+    df = M.attach_binary(_docs(spark))
+    with pytest.raises(ImportError):
+        M.decode_media(df, codec="pil")
+    # auto falls back to the stub silently
+    assert M.decode_media(df, codec="auto").count() == df.count()
