@@ -204,3 +204,65 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     return tri.select(
         F.col("t")[0].alias("u"), F.col("t")[1].alias("v"), F.col("t")[2].alias("w")
     )
+
+
+# -------------------------------------------------------- pagerank
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph (each edge walks both ways)
+    — ranks near-dup cluster centers above peripheral members, the
+    standard importance score for picking a canonical document.
+
+    Shape per iteration: one join (ranks ⋈ directed edges on the
+    8-byte node id) + one groupBy(dst) sum — both map-side-combinable
+    shuffles on fixed-width keys; lineage cut per round with an eager
+    localCheckpoint (same discipline and rationale as
+    ``connected_components``). Driver state is nothing — no collect
+    anywhere; undirected symmetrization means out-degree >= 1 for
+    every node, so the dangling-mass term vanishes.
+
+    Float caveat: iterative double sums are reduce-order dependent, so
+    ranks are NOT bit-stable across engines — the registered query is
+    rows-only by design with a pure-python fixture oracle in pytest
+    (tolerance compare), like the other approximate operators.
+    """
+    und = _canonical_edges(edges, src, dst)
+    directed = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    out_deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("odeg"))
+    nodes = out_deg.select(F.col("u").alias("node"))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank_ppb", F.lit(0).cast("bigint"))
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    ed = directed.join(out_deg, "u").localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            ranks.withColumnRenamed("node", "u")
+            .join(ed, "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("bigint").alias("rank_ppb")
+    )

@@ -130,3 +130,49 @@ def salted_join(
     )
     out = salted_l.join(salted_r, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Non-equi containment join (point BETWEEN start AND end) as a
+    bin-bucketed EQUI-join — the scalable range-join pattern.
+
+    A naive range join is a broadcast-nested-loop (fine only while one
+    side broadcasts) or a cartesian. Bucketing turns it into a shuffle
+    hash join: each point lands in ``floor(p / bin_width)``; each
+    interval replicates to every bin it overlaps (``(end - start) /
+    bin_width + 1`` rows — pick ``bin_width`` near the typical interval
+    length so replication is O(1)); the equi-join on the bin key does
+    the heavy lifting and the exact BETWEEN filter runs only within
+    co-bucketed rows. Both sides shuffle on an 8-byte bin id, skew
+    bounded by rows-per-bin, never all-pairs.
+
+    Columns from both inputs are preserved (callers project first to
+    avoid name clashes).
+    """
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )

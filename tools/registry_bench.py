@@ -1,0 +1,83 @@
+"""Registry-wide micro-bench sweep (round-4 verdict item 8).
+
+Times EVERY registered query once at sf0.01 (one warm session,
+cache cleared + persisted deps released between queries) and writes
+``tools/registry_bench_rN.json``; when a prior round's file exists it
+prints a regression diff so slowdowns OUTSIDE the 25-query headline
+bench surface per-round instead of hiding until a user hits them.
+
+This is a tripwire, not a benchmark: sf0.01 single-shot timings are
+noisy (JIT, GC), so the diff only flags queries that slowed by BOTH
+>1.6x and >0.75s — below that is jitter at this scale.
+
+Usage:
+    python tools/registry_bench.py <round> [sf_dir]
+    # e.g. python tools/registry_bench.py 5
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from census_asc5_data_pipeline_spark import get_spark
+    from census_asc5_data_pipeline_spark.queries import QUERIES, unpersist_deps
+
+    spark = get_spark("registry-bench")
+    # warm the JVM + python worker pool (same rationale as bench.py)
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(100).count()
+    _warm = F.pandas_udf(lambda s: s, "bigint")
+    spark.range(4).select(_warm("id")).count()
+
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        unpersist_deps(df)
+        spark.catalog.clearCache()
+        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, f"registry_bench_r{rnd}.json")
+    payload = {"round": rnd, "sf_dir": sf_dir, "n_queries": len(times), "times": times}
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(f"wrote {out_path} ({len(times)} queries, {sum(times.values()):.1f}s total)")
+
+    prior = sorted(
+        p
+        for p in glob.glob(os.path.join(here, "registry_bench_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p)) and int(m.group(1)) < rnd
+    )
+    if prior:
+        old = json.load(open(prior[-1]))["times"]
+        flagged = [
+            (k, old[k], v)
+            for k, v in times.items()
+            if k in old and v > old[k] * 1.6 and v - old[k] > 0.75
+        ]
+        if flagged:
+            print(f"REGRESSIONS vs {os.path.basename(prior[-1])}:")
+            for k, o, v in sorted(flagged, key=lambda t: t[1] - t[2]):
+                print(f"  {k}: {o:.2f}s -> {v:.2f}s")
+        else:
+            print(f"no regressions vs {os.path.basename(prior[-1])}")
+
+
+if __name__ == "__main__":
+    main()
