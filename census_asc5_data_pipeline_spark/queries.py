@@ -4213,6 +4213,311 @@ FROM ev
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment range join via the bin-bucketed equi-join operator
+    (operators/relational.interval_join): per-type launch windows
+    ([first event of the type, +3 days]) matched against EVERY event
+    by ts BETWEEN start AND end — a genuinely non-equi join expressed
+    as a shuffle hash join on day-bin ids (each interval replicates to
+    its ~4 covered bins; a naive range join would be nested-loop)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", epoch_ms("ts").alias("ts_ms")
+    )
+    day_ms = 86_400_000
+    iv = ev.groupBy(F.col("event_type").alias("window_type")).agg(
+        F.min("ts_ms").alias("start_ms"),
+        (F.min("ts_ms") + F.lit(3 * day_ms)).alias("end_ms"),
+    )
+    joined = R.interval_join(
+        ev, iv, point_col="ts_ms", start_col="start_ms", end_col="end_ms",
+        bin_width=day_ms,
+    )
+    return joined.groupBy("window_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH ev AS (
+  SELECT event_type, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+), iv AS (
+  SELECT event_type AS window_type, MIN(ts_ms) AS start_ms,
+         MIN(ts_ms) + 259200000 AS end_ms
+  FROM ev GROUP BY 1
+)
+SELECT iv.window_type, ev.event_type, COUNT(*) AS n_events
+FROM ev JOIN iv ON ev.ts_ms BETWEEN iv.start_ms AND iv.end_ms
+GROUP BY 1, 2
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorization of order value at the nearest-rank
+    P5/P95 — outlier clamping before training-statistics jobs. The
+    percentile is NEAREST-RANK (value at integer position
+    ceil(q*n), computed with pure integer arithmetic: (n+19)/20 and
+    (19n+19)/20) rather than interpolated, because interpolation mixes
+    double/decimal literal semantics across engines (0.05*n rounds
+    differently in Spark doubles vs DuckDB decimals) — the bounds join
+    back as a broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    w = Window.partitionBy("priority").orderBy("price_c", "o_orderkey")
+    ranked = o.select(
+        "priority",
+        "price_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+    k_lo = F.floor((F.col("n") + 19) / 20)
+    k_hi = F.floor((F.col("n") * 19 + 19) / 20)
+    bounds = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("rn") == k_lo, F.col("price_c"))).alias("lo_c"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("price_c"))).alias("hi_c"),
+    )
+    return o.join(F.broadcast(bounds), "priority").select(
+        "o_orderkey",
+        "priority",
+        "price_c",
+        F.least(F.greatest("price_c", "lo_c"), F.col("hi_c")).alias("price_w"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), r AS (
+  SELECT priority, price_c,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY price_c, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM o
+), b AS (
+  SELECT priority,
+         MAX(CASE WHEN rn = (n + 19) // 20 THEN price_c END) AS lo_c,
+         MAX(CASE WHEN rn = (n * 19 + 19) // 20 THEN price_c END) AS hi_c
+  FROM r GROUP BY 1
+)
+SELECT o.o_orderkey, o.priority, o.price_c,
+       LEAST(GREATEST(o.price_c, b.lo_c), b.hi_c) AS price_w
+FROM o JOIN b USING (priority)
+"""
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (crawl-frontier hygiene): synthetic
+    per-doc URLs with scheme/case/www/trailing-slash/query-string
+    variants collapse to one canonical form (lowercase, scheme +
+    www. + query + trailing / stripped); groups keyed by the canonical
+    URL. All regexes are ANCHORED single-occurrence so Spark's
+    replace-all and DuckDB's replace-first semantics agree."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+        F.lit("http://")
+    )
+    www = F.when(F.col("doc_id") % 4 < 2, F.lit("www.")).otherwise(F.lit(""))
+    site = F.concat(
+        F.lit("site"), (F.col("doc_id") % 23).cast("string"), F.lit(".example.com")
+    )
+    site_cased = F.when(F.col("doc_id") % 5 == 0, F.upper(site)).otherwise(site)
+    path = F.concat(F.lit("/p/"), (F.col("doc_id") % 97).cast("string"))
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("?utm=x"))
+    )
+    url = F.concat(scheme, www, site_cased, path, suffix)
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://", ""), r"^www\.", ""
+            ),
+            r"\?.*$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+SQL_URL_CANONICAL = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+         (CASE WHEN doc_id % 4 < 2 THEN 'www.' ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 0
+               THEN upper('site' || (doc_id % 23)::VARCHAR || '.example.com')
+               ELSE 'site' || (doc_id % 23)::VARCHAR || '.example.com' END) ||
+         '/p/' || (doc_id % 97)::VARCHAR ||
+         (CASE WHEN doc_id % 3 = 0 THEN ''
+               WHEN doc_id % 3 = 1 THEN '/' ELSE '?utm=x' END) AS url
+  FROM documents
+)
+SELECT regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url), '^https?://', ''),
+             '^www\\.', ''),
+           '\\?.*$', ''),
+         '/$', '') AS canonical_url,
+       COUNT(*) AS n_urls,
+       MIN(doc_id) AS keep_doc_id
+FROM u GROUP BY 1
+"""
+
+
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup similarity graph (exact
+    Jaccard >= 0.3 edges): how many documents have k near-duplicates —
+    the shape diagnostic behind the triangle/hub analysis (a heavy
+    tail here is the signal to check template families). Degrees via
+    one union + groupBy on 8-byte doc ids; histogram via a second
+    tiny groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096).select(
+        "doc_a", "doc_b"
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_GRAPH_DEGREE_STATS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 300000
+), deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b AS doc_id FROM pairs
+  ) GROUP BY 1
+)
+SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1
+"""
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own
+    add-one-smoothed bigram LM — the classic LM-based quality filter
+    (high surprisal = off-distribution text). All float math happens
+    PER-BIGRAM (cost = -ln((c(w1,w2)+1)/(c(w1·)+V)) scaled to integer
+    micro-nats), then the per-doc mean is an integer sum DIV count —
+    reduce-order independent, so the result is hash-stable across
+    engines despite the logs. V (bigram-head vocab) folds in as a
+    scalar subquery, same pattern as tf-idf's corpus count."""
+    docs = _t(spark, sf_dir, "documents")
+    from census_asc5_data_pipeline_spark.functions import (
+        explode_computed,
+        token_bigrams,
+        words,
+    )
+
+    toks = docs.select("doc_id", words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = explode_computed(toks, token_bigrams(F.col("w")), "bigram")
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    heads = bc.withColumn("w1", F.split("bigram", " ")[0])
+    uni = heads.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    v = uni.groupBy().agg(F.count(F.lit(1)).cast("double")).scalar()
+    cost = F.floor(
+        -F.log((F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(v))) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        heads.join(uni, "w1")
+        .select("bigram", cost.alias("cost_micro"))
+    )
+    return (
+        bg.join(scored, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # integral DIV, not double /: exact floor division on both
+            # engines (DuckDB //), immune to double-rounding at
+            # integer boundaries
+            F.expr("CAST(SUM(cost_micro) DIV COUNT(1) AS BIGINT)").alias(
+                "avg_cost_micro"
+            ),
+        )
+    )
+
+
+SQL_DOC_PERPLEXITY = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+  FROM t WHERE len(w) >= 2
+), bc AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1
+), heads AS (
+  SELECT bigram, c_bg, split_part(bigram, ' ', 1) AS w1 FROM bc
+), uni AS (
+  SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM heads GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+), scored AS (
+  SELECT heads.bigram,
+         CAST(FLOOR(-ln((c_bg + 1) / (c_w1 + v.v)) * 1000000 + 0.5) AS BIGINT)
+           AS cost_micro
+  FROM heads JOIN uni USING (w1) CROSS JOIN v
+)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(cost_micro) // COUNT(*) AS BIGINT) AS avg_cost_micro
+FROM bg JOIN scored USING (bigram)
+GROUP BY 1
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph (exact Jaccard >=
+    0.3 edges, walked both directions): ranks cluster centers above
+    peripheral members — the importance score for canonical-document
+    selection. Iterative (10 rounds, damping 0.85) with per-round
+    lineage checkpoints; ROWS-ONLY by design: iterative double sums
+    are reduce-order dependent, so the pytest oracle is a pure-python
+    reference with tolerance (tests/test_graph_pagerank.py), like the
+    other approximate operators."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    out = G.pagerank(pairs, src="doc_a", dst="doc_b", n_iter=10)
+    out._cached_deps = [pairs]  # type: ignore[attr-defined]
+    return out
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4232,17 +4537,26 @@ def unpersist_deps(df: DataFrame) -> None:
 
 
 # Registry order is deliberate: the driver's correctness gate verifies
-# the FIRST 50 entries per round. Every key is green across r1∪r2∪r3,
-# so the round-4 window leads with the queries NEW this round, then
-# queries whose kernels CHANGED this round (the HOF dot/norm rework:
-# ANN family + embedding dedup + minhash; the catalog NTZ single-pass
-# touches every query equally) plus sentinels; the stable remainder
-# rotates behind the window.
+# the FIRST 50 entries per round. Every key is green across r1∪…∪r4,
+# so the round-5 window leads with the queries NEW this round, then
+# the kernels that CHANGED this round (fuzzy_match's q-gram candidate
+# path, near_dup_triangles' degree orientation, attribution's NULL-ts
+# filter), then round-4 entries held one more round; the stable
+# remainder rotates behind the window.
 # tests/test_registry_window.py PINS the first-50 set — an innocent
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
-    # --- new in round 4 (never driver-checked) ---
+    # --- new in round 5 (never driver-checked) ---
+    "interval_join": q_interval_join,
+    "winsorize": q_winsorize,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "graph_degree_stats": q_graph_degree_stats,
+    "doc_perplexity": q_doc_perplexity,
+    "pagerank": q_pagerank,
+    # --- kernels changed round 5 ---
+    "fuzzy_match": q_fuzzy_match,
+    # --- round-4 additions, held in-window one more round ---
     "span_dedup": q_span_dedup,
     "pack_sequences": q_pack_sequences,
     "cdc_apply": q_cdc_apply,
@@ -4355,7 +4669,6 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "user_trend": q_user_trend,
     "gap_fill": q_gap_fill,
-    "fuzzy_match": q_fuzzy_match,
     "histogram": q_histogram,
     "monthly_revenue": q_monthly_revenue,
     "url_domains": q_url_domains,
@@ -4370,6 +4683,13 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    # --- new in round 5 (pagerank is rows-only by design: iterative
+    # double sums; see q_pagerank docstring) ---
+    "interval_join": SQL_INTERVAL_JOIN,
+    "winsorize": SQL_WINSORIZE,
+    "url_canonical_dedup": SQL_URL_CANONICAL,
+    "graph_degree_stats": SQL_GRAPH_DEGREE_STATS,
+    "doc_perplexity": SQL_DOC_PERPLEXITY,
     "dim_extract": SQL_DIM_EXTRACT,
     "year_dim": SQL_YEAR_DIM,
     "measure_view": SQL_MEASURE_VIEW,

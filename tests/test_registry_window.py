@@ -9,11 +9,19 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-4 window: the eight queries NEW this round, the kernels the
-# HOF dot/norm rework CHANGED (ANN family, embedding dedup, minhash),
-# dedup-subsystem sentinels, round-3 additions held one more round,
-# then green fillers.
+# round-5 window: the six queries NEW this round (five oracled + the
+# rows-only pagerank), the kernel CHANGED this round (fuzzy_match's
+# q-gram candidate path; near_dup_triangles' degree orientation and
+# attribution's NULL-ts filter were already in-window), then the
+# round-4 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
+    "interval_join",
+    "winsorize",
+    "url_canonical_dedup",
+    "graph_degree_stats",
+    "doc_perplexity",
+    "pagerank",
+    "fuzzy_match",
     "span_dedup",
     "pack_sequences",
     "cdc_apply",
@@ -57,13 +65,6 @@ PINNED_FIRST_50 = [
     "q21_sole_returner",
     "decontaminate",
     "top_terms",
-    "pii_redact",
-    "train_split",
-    "tfidf_top_terms",
-    "repetition_ratio",
-    "quality_funnel",
-    "boilerplate_segments",
-    "compression_ratio",
 ]
 
 

@@ -22,6 +22,16 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 5 ---
+    "interval_join": 2,
+    "winsorize": 1,
+    "url_canonical_dedup": 1,
+    # static tree re-renders the jaccard pair lineage per role (see
+    # the near_dup_triangles note); runtime is one materialization
+    "graph_degree_stats": 10,
+    "doc_perplexity": 6,
+    # returned lineage starts at the final localCheckpoint
+    "pagerank": 0,
     "locf_fill": 1,
     "span_dedup": 2,
     "pack_sequences": 3,
