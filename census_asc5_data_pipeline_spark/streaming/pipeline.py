@@ -373,3 +373,97 @@ def merge_cdc_stream(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+ZSCORE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("z_milli", T.LongType()),
+    ]
+)
+
+ZSCORE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+    ]
+)
+
+
+def stream_zscore_anomalies(
+    events: DataFrame,
+    threshold_milli: int = 3000,
+    min_history: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key streaming anomaly detector: emit events whose value is
+    more than ``threshold_milli``/1000 standard deviations from the
+    key's running mean — the canonical metrics-pipeline outlier
+    operator (fraud spikes, sensor faults, ingestion glitches).
+
+    Custom stateful via ``applyInPandasWithState`` with Welford's
+    online algorithm: state is THREE numbers per key (count, mean,
+    M2), so state size is O(keys) at any throughput and the update is
+    numerically stable (naive sum/sumsq cancels catastrophically once
+    mean^2 >> variance). Each event is scored against the statistics
+    of all events that PRECEDED it in (ts, event_id) order — the
+    prefix contract, replay-deterministic for stable batch boundaries
+    (same discipline as stream_rate_cap); the first ``min_history``
+    events per key only train.
+    """
+
+    def _z_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # no timeout configured, defensive only
+            state.remove()
+            return
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if not frames:
+            state.update((n, mean, m2))
+            return
+        batch = pd.concat(frames, ignore_index=True)
+        # Resolution-independent ms (same normalization as the
+        # sessionizer and rate cap above).
+        ns = pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+        batch = batch.assign(ts_ms=ns // 1_000_000).sort_values(["ts_ms", "event_id"])
+        out_rows = []
+        for r in batch.itertuples():
+            v = float(r.value)
+            if n >= min_history and m2 > 0.0:
+                sd = (m2 / n) ** 0.5
+                z = (v - mean) / sd
+                z_milli = int(z * 1000 + (0.5 if z >= 0 else -0.5))
+                if abs(z_milli) >= threshold_milli:
+                    out_rows.append(
+                        (key[0], r.event_id, r.ts_ms, v, z_milli)
+                    )
+            # Welford update AFTER scoring: prefix semantics
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["user_id", "event_id", "ts_ms", "value", "z_milli"]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _z_fn,
+            outputStructType=ZSCORE_OUT_SCHEMA,
+            stateStructType=ZSCORE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -403,3 +403,98 @@ def test_merge_cdc_stream_converges_to_batch_merge(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_zscore_matches_python_prefix_oracle(spark, tmp_path):
+    """Planted outliers: two keys with tight gaussian-ish values plus
+    huge spikes after the warm-up window. The stream (single
+    micro-batch => documented (ts, event_id) prefix order) must flag
+    exactly the events a pure-python Welford prefix scorer flags."""
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stream_zscore_anomalies,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        for i in range(120):
+            # deterministic pseudo-noise in [-5, 5] around 100
+            v = 100.0 + ((i * 37 + uid * 11) % 11) - 5.0
+            if i in (60, 100):
+                v = 100.0 + 80.0 * (1 if i == 60 else -1)  # planted spikes
+            rows.append((eid, t0 + dt.timedelta(seconds=i), uid, "m", v, "{}"))
+            eid += 1
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+
+    _run(
+        stream_zscore_anomalies(read_event_stream(spark, src), threshold_milli=3000),
+        "z_out",
+    )
+    got = {
+        (r.user_id, r.event_id): r.z_milli
+        for r in spark.sql("SELECT * FROM z_out").collect()
+    }
+
+    # pure-python prefix oracle (same Welford recurrence)
+    want = {}
+    by_user: dict[int, tuple[int, float, float]] = {}
+    for eid_, ts, uid, _t, v, _p in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        n, mean, m2 = by_user.get(uid, (0, 0.0, 0.0))
+        if n >= 30 and m2 > 0.0:
+            z = (v - mean) / ((m2 / n) ** 0.5)
+            z_milli = int(z * 1000 + (0.5 if z >= 0 else -0.5))
+            if abs(z_milli) >= 3000:
+                want[(uid, eid_)] = z_milli
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+        by_user[uid] = (n, mean, m2)
+
+    assert set(got) == set(want) and len(got) >= 4  # both spikes, both keys
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1, (k, got[k], want[k])
+
+
+def test_stream_zscore_state_survives_multiple_batches(spark, tmp_path):
+    """History accumulates ACROSS micro-batches: with maxFilesPerTrigger=1
+    and the training prefix in earlier files, a spike arriving in a
+    later file is still flagged against the accumulated state."""
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        stream_zscore_anomalies,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return [
+            (i, t0 + dt.timedelta(seconds=i), 7, "m", v, "{}") for i, v in rows
+        ]
+
+    chg = tmp_path / "ev2"
+    chg.mkdir()
+    train = [(i, 50.0 + (i * 13 % 7) - 3.0) for i in range(40)]
+    spark.createDataFrame(mk(train), EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(chg / "b1")
+    )
+    spark.createDataFrame(
+        mk([(100, 50.0), (101, 999.0)]), EVENT_SCHEMA
+    ).coalesce(1).write.parquet(str(chg / "b2"))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chg / "*"))
+    )
+    _run(stream_zscore_anomalies(stream, threshold_milli=3000), "z_out2")
+    got = [r.event_id for r in spark.sql("SELECT * FROM z_out2").collect()]
+    assert got == [101]
