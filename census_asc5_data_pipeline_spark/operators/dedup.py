@@ -146,10 +146,18 @@ def ngram_jaccard_pairs(
     b = cand_post.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh"
     )
+    # Length filter (exactness-preserving, r5): jaccard <= min/max of
+    # the set sizes, so J >= t forces min(n_a,n_b) >= t*max(n_a,n_b).
+    # Applying it IN the join prunes size-mismatched postings pairs
+    # before they reach the pair-count shuffle — the classic
+    # set-similarity-join size bound, zero effect on output.
+    ratio_ok = (
+        F.col("n_a") * 1000000 >= F.lit(threshold_ppm) * F.col("n_b")
+    ) & (F.col("n_b") * 1000000 >= F.lit(threshold_ppm) * F.col("n_a"))
     if df_cap is None:
         return (
             a.join(b, "sh")
-            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
             .groupBy("doc_a", "doc_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("co"))
             .withColumn(
@@ -179,7 +187,7 @@ def ngram_jaccard_pairs(
     )
     pairs_sub = (
         a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("co_sub"))
     )
