@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "commit_version",
     "read_current",
+    "read_version",
     "recover",
     "current_version_dir",
     "list_versions",
@@ -162,6 +163,19 @@ def read_current(spark: SparkSession, table: str) -> DataFrame:
     resolved version dir is immutable and retained for ``keep``
     generations)."""
     return spark.read.parquet(current_version_dir(table))
+
+
+def read_version(spark: SparkSession, table: str, n: int) -> DataFrame:
+    """Time travel: read a specific retained version (the last ``keep``
+    generations survive pruning). Raises FileNotFoundError for a
+    pruned/never-written version."""
+    vdir = _version_dir(table, n)
+    if not _is_complete(vdir):
+        raise FileNotFoundError(
+            f"version {n} of {table} is not present (pruned or incomplete); "
+            f"retained: {[v for v in list_versions(table) if _is_complete(_version_dir(table, v))]}"
+        )
+    return spark.read.parquet(vdir)
 
 
 def _prune(table: str, keep: int) -> None:

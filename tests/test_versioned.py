@@ -98,3 +98,18 @@ def test_reader_always_complete_under_interleaved_commits(spark, tmp_path):
         got = _vals(spark, table)
         assert got == sorted(w + "x" * (i + 1) for w in ["a", "b", "c"])
         assert os.path.exists(os.path.join(os.path.realpath(table), "_SUCCESS"))
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for i in range(4):
+        V.commit_version(_mk(spark, [f"v{i}"]), table, keep=3)
+    # current + two predecessors retained
+    assert sorted(r.v for r in V.read_version(spark, table, 2).collect()) == ["v2"]
+    assert sorted(r.v for r in V.read_version(spark, table, 3).collect()) == ["v3"]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        V.read_version(spark, table, 0)  # pruned
+    with _pytest.raises(FileNotFoundError):
+        V.read_version(spark, table, 99)  # never written
