@@ -4496,6 +4496,60 @@ GROUP BY 1
 """
 
 
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the
+    corpus-diversity diagnostic (a source whose entropy collapses is
+    boilerplate/templated; used to weight source_mixture decisions).
+    Float math confined per (source, token): term = floor(p*ln(1/p)
+    *1e9+0.5) nano-nats from that row's (c, n) alone, then the
+    per-source entropy is an order-independent integer SUM — same
+    hash-stability discipline as doc_perplexity."""
+    from census_asc5_data_pipeline_spark.functions import explode_computed, words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = explode_computed(
+        docs.select(F.col("source").alias("doc_id"), "text"),
+        words(F.col("text")),
+        "tok",
+    ).withColumnRenamed("doc_id", "source")
+    tc = toks.filter(F.length("tok") > 0).groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy("source"))
+    term = F.floor(
+        (F.col("c") / F.col("n")) * F.log(F.col("n") / F.col("c")) * 1e9 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        tc.withColumn("n", n)
+        .withColumn("term", term)
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("term").alias("entropy_nano"),
+        )
+    )
+
+
+SQL_SOURCE_ENTROPY = """
+WITH t AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t WHERE LENGTH(tok) > 0 GROUP BY 1, 2
+), tn AS (
+  SELECT source, tok, c, SUM(c) OVER (PARTITION BY source) AS n FROM tc
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CAST(FLOOR(
+         (c / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / c) * 1000000000 + 0.5
+       ) AS BIGINT)) AS BIGINT) AS entropy_nano
+FROM tn GROUP BY 1
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph (exact Jaccard >=
     0.3 edges, walked both directions): ranks cluster centers above
@@ -4553,6 +4607,7 @@ QUERIES: dict[str, QueryFn] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "graph_degree_stats": q_graph_degree_stats,
     "doc_perplexity": q_doc_perplexity,
+    "source_entropy": q_source_entropy,
     "pagerank": q_pagerank,
     # --- kernels changed round 5 ---
     "fuzzy_match": q_fuzzy_match,
@@ -4690,6 +4745,7 @@ ORACLES: dict[str, str] = {
     "url_canonical_dedup": SQL_URL_CANONICAL,
     "graph_degree_stats": SQL_GRAPH_DEGREE_STATS,
     "doc_perplexity": SQL_DOC_PERPLEXITY,
+    "source_entropy": SQL_SOURCE_ENTROPY,
     "dim_extract": SQL_DIM_EXTRACT,
     "year_dim": SQL_YEAR_DIM,
     "measure_view": SQL_MEASURE_VIEW,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the six queries NEW this round (five oracled + the
+# round-5 window: the seven queries NEW this round (six oracled + the
 # rows-only pagerank), the kernel CHANGED this round (fuzzy_match's
 # q-gram candidate path; near_dup_triangles' degree orientation and
 # attribution's NULL-ts filter were already in-window), then the
@@ -20,6 +20,7 @@ PINNED_FIRST_50 = [
     "url_canonical_dedup",
     "graph_degree_stats",
     "doc_perplexity",
+    "source_entropy",
     "pagerank",
     "fuzzy_match",
     "span_dedup",
@@ -64,7 +65,6 @@ PINNED_FIRST_50 = [
     "q15_top_supplier",
     "q21_sole_returner",
     "decontaminate",
-    "top_terms",
 ]
 
 

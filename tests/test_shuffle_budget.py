@@ -30,6 +30,7 @@ SHUFFLE_BUDGET = {
     # the near_dup_triangles note); runtime is one materialization
     "graph_degree_stats": 10,
     "doc_perplexity": 6,
+    "source_entropy": 2,
     # returned lineage starts at the final localCheckpoint
     "pagerank": 0,
     "locf_fill": 1,
