@@ -151,9 +151,14 @@ def ngram_jaccard_pairs(
     # Applying it IN the join prunes size-mismatched postings pairs
     # before they reach the pair-count shuffle — the classic
     # set-similarity-join size bound, zero effect on output.
+    # The output filter is on floor(J*1e6 + 0.5) >= t_ppm, which a
+    # true J as low as (t_ppm - 0.5)/1e6 can pass — so the bound gets
+    # the same half-ppm slack (2e6·min >= (2·t_ppm - 1)·max), or a
+    # pair in that rounding window would be pruned here yet kept by
+    # the oracle (code-review r5 finding).
     ratio_ok = (
-        F.col("n_a") * 1000000 >= F.lit(threshold_ppm) * F.col("n_b")
-    ) & (F.col("n_b") * 1000000 >= F.lit(threshold_ppm) * F.col("n_a"))
+        F.col("n_a") * 2000000 >= F.lit(2 * threshold_ppm - 1) * F.col("n_b")
+    ) & (F.col("n_b") * 2000000 >= F.lit(2 * threshold_ppm - 1) * F.col("n_a"))
     if df_cap is None:
         return (
             a.join(b, "sh")

@@ -97,10 +97,8 @@ def edit_distance_candidates(
     rows = _blocked_rows(df, key_col, name_col, q)
     small_floor = q * max_dist
 
-    post = (
-        rows.filter(F.col("n_g") > small_floor)
-        .select("k", "blk", F.explode("grams").alias("g"))
-    )
+    grammy = rows.filter(F.col("n_g") > small_floor)
+    post = grammy.select("k", "blk", F.explode("grams").alias("g"))
     if stop_gram_cap is not None:
         freq = post.groupBy("blk", "g").agg(F.count(F.lit(1)).alias("pf"))
         stop = freq.filter(F.col("pf") > stop_gram_cap).select("blk", "g")
@@ -115,7 +113,18 @@ def edit_distance_candidates(
         "n_kept", F.count(F.lit(1)).over(Window.partitionBy("k")).cast("int")
     )
 
-    demoted = post.filter(F.col("n_kept") <= small_floor).select("k").distinct()
+    # Demotion must start from the PRE-anti-join row set: a row whose
+    # grams are ALL stop-listed has no posting rows left, so deriving
+    # demotion from `post` alone would silently drop it from every
+    # path (and lose its pairs). Left-join the kept counts back onto
+    # the gram-bearing rows; absent => kept 0 => demoted.
+    kept = post.groupBy("k").agg(F.max("n_kept").alias("__nk"))
+    demoted = (
+        grammy.select("k")
+        .join(kept, "k", "left")
+        .filter(F.coalesce(F.col("__nk"), F.lit(0)) <= small_floor)
+        .select("k")
+    )
     live = post.filter(F.col("n_kept") > small_floor)
 
     a = live.select(F.col("k").alias("ka"), "blk", "g", F.col("n_kept").alias("na"))

@@ -224,9 +224,10 @@ def pagerank(
     8-byte node id) + one groupBy(dst) sum — both map-side-combinable
     shuffles on fixed-width keys; lineage cut per round with an eager
     localCheckpoint (same discipline and rationale as
-    ``connected_components``). Driver state is nothing — no collect
-    anywhere; undirected symmetrization means out-degree >= 1 for
-    every node, so the dangling-mass term vanishes.
+    ``connected_components``). Driver state is ONE scalar (the node
+    count, fetched once before the loop); undirected symmetrization
+    means out-degree >= 1 for every node, so the dangling-mass term
+    vanishes.
 
     Float caveat: iterative double sums are reduce-order dependent, so
     ranks are NOT bit-stable across engines — the registered query is

@@ -77,6 +77,11 @@ def _pil_decode(payload: bytes | None) -> tuple[int, int, int, int]:
         return 0, 0, 0, 0
     import io
 
+    if _PILImage is None:
+        # pillow importable on the driver but not this executor —
+        # fail LOUDLY (task error) instead of reporting every image
+        # as zero-dim undecodable (code-review r5 finding)
+        raise ImportError("pillow missing on executor for codec='pil'")
     try:
         with _PILImage.open(io.BytesIO(payload)) as img:
             return len(payload), img.width, img.height, getattr(img, "n_frames", 1)
@@ -95,6 +100,8 @@ def decode_media(df: DataFrame, codec: str = "stub") -> DataFrame:
     whichever paths the environment supports)."""
     if codec == "auto":
         codec = "pil" if HAS_PIL else "stub"
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"unknown codec {codec!r}: expected stub|pil|auto")
     if codec == "pil" and not HAS_PIL:
         raise ImportError("codec='pil' requires pillow, which is not installed")
     kernel = _pil_decode if codec == "pil" else _fake_decode

@@ -1798,8 +1798,13 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = G.dedup_clusters(
         emb, pairs, id_col="vec_id", pair_a="vec_id_a", pair_b="vec_id_b"
-    )
-    return out.withColumnRenamed("doc_id", "vec_id")
+    ).withColumnRenamed("doc_id", "vec_id")
+    # Re-tag: _cached_deps is a plain attribute, so any wrapping
+    # transformation sheds it — propagate the LSH operator's persisted
+    # bucket table to the RETURNED frame or unpersist_deps() is a
+    # silent no-op here (code-review r5 finding).
+    out._cached_deps = getattr(pairs, "_cached_deps", ())  # type: ignore[attr-defined]
+    return out
 
 
 SQL_EMB_CLUSTERS = (
@@ -4386,8 +4391,13 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one union + groupBy on 8-byte doc ids; histogram via a second
     tiny groupBy."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096).select(
-        "doc_a", "doc_b"
+    # persist: both unionAll branches reference the jaccard pair
+    # computation (same rationale as q_near_dup_triangles); released
+    # via unpersist_deps
+    pairs = (
+        D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -4395,7 +4405,9 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+    out = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+    out._cached_deps = [pairs]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_GRAPH_DEGREE_STATS = """

@@ -25,9 +25,13 @@ replaces it with the manifest-pointer discipline every table format
   the symlink is a local-filesystem convenience view.
 - ``recover()`` is called at every commit/read entry: a crash between
   pointer commit and symlink flip (or a missing symlink entirely) is
-  healed by re-pointing the symlink at the pointer's target; an orphan
-  version dir with no pointer (crash before commit) is invisible to
-  readers and pruned by the next commit.
+  healed by re-pointing the symlink at the pointer's target. Once a
+  pointer exists, orphan version dirs (crash before a later commit's
+  pointer move) are invisible to readers and pruned by the next
+  commit. The one exception is a table with NO pointer at all: a
+  complete orphan there is redo-adopted as current (first-commit
+  crash after a full write — surfacing a complete-but-unacknowledged
+  write is at-least-once redo, never a torn read).
 - ``keep`` old versions are retained so an in-flight reader that
   resolved the pointer just before a commit still finds its version
   directory (time-travel for free); older versions are pruned.
@@ -110,23 +114,28 @@ def _flip_symlink(table: str, target: str) -> None:
 
 
 def _adopt_legacy_dir(table: str) -> None:
-    """A plain parquet directory at ``table`` (pre-versioning layout,
-    e.g. a seed snapshot the caller wrote directly) becomes version 0.
-    The one-time adoption gap (between moving the dir and creating the
-    symlink) is healed by ``recover``; steady-state commits never
-    reopen it."""
+    """A plain parquet directory at ``table`` (pre-versioning layout:
+    a seed snapshot the caller wrote directly, or a legacy writer that
+    clobbered the symlink with a real directory later on) is adopted
+    as the NEXT free version — not hardcoded v0, which would collide
+    with existing versions and wedge the table on ENOTEMPTY
+    (code-review r5 finding). The one-time adoption gap (between
+    moving the dir and re-creating the symlink) is healed by
+    ``recover``; steady-state commits never reopen it."""
     table = table.rstrip("/")
     if os.path.islink(table) or not os.path.isdir(table):
         return
     root = _versions_root(table)
     os.makedirs(root, exist_ok=True)
-    v0 = _version_dir(table, 0)
-    os.rename(table, v0)
-    if not os.path.exists(os.path.join(v0, "_SUCCESS")):
+    versions = list_versions(table)
+    nxt = (versions[-1] + 1) if versions else 0
+    vdir = _version_dir(table, nxt)
+    os.rename(table, vdir)
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
         # seed dirs written by non-Spark tools may lack the marker
-        open(os.path.join(v0, "_SUCCESS"), "w").close()
-    _write_pointer(table, 0)
-    _flip_symlink(table, v0)
+        open(os.path.join(vdir, "_SUCCESS"), "w").close()
+    _write_pointer(table, nxt)
+    _flip_symlink(table, vdir)
 
 
 def recover(table: str) -> None:

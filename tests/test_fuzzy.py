@@ -121,3 +121,20 @@ def test_short_rest_rows_route_through_direct_path(spark):
         for r in FZ.edit_distance_pairs(df, "id", "name").collect()
     }
     assert got == _brute_pairs(rows)
+
+
+def test_rows_with_all_grams_stop_listed_are_not_dropped(spark):
+    """Code-review regression (r5): a block of identical long rests
+    makes EVERY gram exceed a tiny cap — rows then have zero kept
+    postings and must be demoted to the direct path, not silently
+    dropped with all their pairs."""
+    rows = [(i, "promo abcdefghijklmnop") for i in range(40)]
+    rows += [(100, "promo zzzzzzzzzzzzzzzzz"), (101, "promo zzzzzzzzzzzzzzzzz")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in FZ.edit_distance_pairs(df, "id", "name", stop_gram_cap=3).collect()
+    }
+    assert got == _brute_pairs(rows)
+    # sanity: the identical-rest block contributes C(40,2) zero-dist pairs
+    assert sum(1 for a, b, d in got if d == 0 and a < 100) == 40 * 39 // 2

@@ -113,3 +113,22 @@ def test_time_travel_reads_retained_versions(spark, tmp_path):
         V.read_version(spark, table, 0)  # pruned
     with _pytest.raises(FileNotFoundError):
         V.read_version(spark, table, 99)  # never written
+
+
+def test_legacy_writer_clobbering_symlink_is_adopted_not_wedged(spark, tmp_path):
+    """Code-review regression (r5): a legacy df.write.parquet(table)
+    replaces the symlink with a real directory AFTER versions exist;
+    adoption must take the next free version number (renaming onto an
+    existing v_000000 raises ENOTEMPTY and would wedge the table)."""
+    import shutil
+
+    table = str(tmp_path / "t")
+    V.commit_version(_mk(spark, ["v0"]), table)
+    V.commit_version(_mk(spark, ["v1"]), table)
+    # simulate the legacy writer: blow away the symlink, write a real dir
+    os.remove(table)
+    _mk(spark, ["legacy"]).write.parquet(table)
+    assert _vals(spark, table) == ["legacy"]  # adopted as v2, now current
+    assert V.list_versions(table)[-1] == 2
+    V.commit_version(_mk(spark, ["v3"]), table)
+    assert _vals(spark, table) == ["v3"]
