@@ -220,6 +220,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_ppm: int = 500000,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs over distinct token-bigram
+    shingle sets: containment = |A∩B| / min(|A|,|B|) — the overlap
+    coefficient. This catches the quote/excerpt/wrapper duplication
+    family Jaccard structurally misses: a 50-shingle doc fully embedded
+    in a 5000-shingle doc has containment 1.0 but Jaccard ~0.01, so no
+    Jaccard threshold can separate it from noise.
+
+    Mirrors ``ngram_jaccard_pairs``'s inverted-index structure (8-byte
+    hashed shingle keys, aggregate-key repartition, broadcast
+    stop-shingle cap with EXACT re-correction) but is kept separate
+    rather than factored: the exactness-preserving in-join pruning
+    differs (containment admits no symmetric length-ratio bound — a
+    tiny doc inside a huge one is precisely the target), and the hot,
+    measurement-tuned Jaccard path stays untouched. Same capped-path
+    caveat: a qualifying pair sharing *only* stop shingles is missed,
+    which at any real threshold requires a pair composed entirely of
+    corpus-degenerate bigrams; with df_cap above the corpus max-df the
+    empty-stop early-out makes the plans identical.
+    """
+    post = (
+        shingle_postings(df, text_col)
+        .select("doc_id", "n_sh", F.xxhash64(F.col("shingle")).alias("sh"))
+        .repartition(F.col("doc_id"))
+        .persist()
+    )
+    cand_post = post
+    stop = None
+    if df_cap is not None:
+        freq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        stop = freq.filter(F.col("__df") > df_cap).select("sh").persist()
+        if stop.isEmpty():
+            stop.unpersist()
+            stop = None
+        else:
+            cand_post = post.join(F.broadcast(stop), "sh", "left_anti")
+    a = cand_post.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh"
+    )
+    b = cand_post.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh"
+    )
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    if stop is not None:
+        # Exact correction, same split as the Jaccard capped path:
+        # co = co_sub + |stop(a) ∩ stop(b)| via tiny per-doc stop arrays.
+        stop_sets = (
+            post.join(F.broadcast(stop), "sh")
+            .groupBy("doc_id")
+            .agg(F.collect_list("sh").alias("ss"))
+        )
+        ssa = stop_sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a")
+        )
+        ssb = stop_sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b")
+        )
+        co_stop = F.when(
+            F.col("ss_a").isNotNull() & F.col("ss_b").isNotNull(),
+            F.size(F.array_intersect("ss_a", "ss_b")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        pairs = (
+            pairs.withColumnRenamed("co", "co_sub")
+            .join(ssa, "doc_a", "left")
+            .join(ssb, "doc_b", "left")
+            .withColumn("co", (F.col("co_sub") + co_stop).cast("bigint"))
+        )
+    return (
+        pairs.withColumn(
+            "containment_ppm",
+            F.floor(
+                F.col("co").cast("double")
+                * 1000000.0
+                / F.least("n_a", "n_b")
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "n_a", "n_b", "co", "containment_ppm")
+    )
+
+
 _MERSENNE31 = (1 << 31) - 1
 
 

@@ -132,6 +132,53 @@ def salted_join(
     return out.drop("__salt")
 
 
+def skyline_2d(df: DataFrame, cost: str, gain: str, bucket_width: int = 10000) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated on (minimize
+    ``cost``, maximize ``gain``). ``cost`` must be integer-typed (the
+    exact sweep uses a RANGE window frame).
+
+    Two-phase Spark-first plan:
+    1. Bucket pre-filter — per-``cost``-bucket max gain (a tiny
+       aggregate), whose strictly-prior running max provably dominates
+       every row it prunes (the dominator sits in a strictly lower
+       bucket, hence at strictly lower cost, with gain >= the row's),
+       so skyline ⊆ survivors. The running-max window runs over
+       #buckets rows and ships back as a broadcast join.
+    2. Exact O(n log n) sweep over the surviving sliver: dominated iff
+       a strictly cheaper survivor has gain >= mine (RANGE-to--1
+       window over the integer cost) or an equal-cost one has gain >
+       mine. Transitivity makes survivor-only checking sound: any
+       pruned dominator is itself dominated by a skyline row, which
+       survives phase 1 and screens the same rows.
+
+    The global-ORDER-BY windows in phase 2 never see the full table —
+    that is what keeps this safe at 100 TB, where the naive NOT-EXISTS
+    self-join is O(n²) and a full-table global window is
+    single-partition. Equal (cost, gain) ties all survive (neither
+    strictly better), matching the literal dominance definition.
+    """
+    b = df.withColumn("__bucket", F.floor(F.col(cost) / bucket_width))
+    bmax = b.groupBy("__bucket").agg(F.max(gain).alias("__bmax"))
+    run_lt = F.max("__bmax").over(
+        Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = bmax.select("__bucket", run_lt.alias("__run_lt"))
+    surv = b.join(F.broadcast(runs), "__bucket").filter(
+        F.col("__run_lt").isNull() | (F.col(gain) > F.col("__run_lt"))
+    )
+    w_lt = Window.orderBy(cost).rangeBetween(Window.unboundedPreceding, -1)
+    w_eq = Window.partitionBy(cost)
+    return (
+        surv.withColumn("__max_lt", F.max(gain).over(w_lt))
+        .withColumn("__max_eq", F.max(gain).over(w_eq))
+        .filter(
+            (F.col("__max_lt").isNull() | (F.col(gain) > F.col("__max_lt")))
+            & (F.col(gain) == F.col("__max_eq"))
+        )
+        .drop("__bucket", "__run_lt", "__max_lt", "__max_eq")
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -92,6 +92,43 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-reading-ease-style readability per document.
+
+    Sentences from punctuation runs (``[.!?]+``, min 1), syllables from
+    vowel-group runs (``[aeiouy]+`` — the standard cheap approximation),
+    words from non-empty whitespace tokens. All three inputs are exact
+    integer counts, so the one shared double expression (scaled to
+    milli-points via FLOOR(x*1000+0.5)) is bit-identical across
+    engines. Rows with zero words are dropped (score undefined).
+    """
+    n_w = F.size(
+        F.filter(words(F.col(text_col)), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    n_s = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_y = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+")).cast(
+        "bigint"
+    )
+    score = F.floor(
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (n_w.cast("double") / n_s.cast("double"))
+            - F.lit(84.6) * (n_y.cast("double") / n_w.cast("double"))
+        )
+        * 1000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return df.select(
+        "doc_id",
+        n_w.alias("n_words"),
+        n_s.alias("n_sentences"),
+        n_y.alias("n_syllables"),
+        score.alias("flesch_milli"),
+    ).filter(F.col("n_words") >= 1)
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count
     (letters-run | digit-run | single symbol)."""

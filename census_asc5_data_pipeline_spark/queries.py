@@ -4584,6 +4584,154 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs — catches the
+    quote/excerpt/wrapper family Jaccard structurally misses (a short
+    doc embedded in a long one has containment ~1.0 but Jaccard ~0).
+    Same df_cap=4096 stop-shingle valve discipline as the Jaccard
+    entry; above the corpus max-df, so the empty-stop early-out makes
+    the capped plan identical to the uncapped oracle."""
+    return D.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold_ppm=500000, df_cap=4096
+    )
+
+
+SQL_DEDUP_CONTAINMENT = (
+    _SQL_SHINGLES
+    + """
+SELECT doc_a, doc_b, n_a, n_b, co,
+       CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / LEAST(n_a, n_b) + 0.5) AS BIGINT)
+         AS containment_ppm
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / LEAST(n_a, n_b) + 0.5) AS BIGINT)
+      >= 500000
+"""
+)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-style readability score per document — the
+    classic heuristic quality signal alongside gopher_rules. Sentences
+    from punctuation runs, syllables from vowel-group runs; all three
+    inputs are exact integer counts, so the one shared double
+    expression (scaled to milli-points via FLOOR(x*1000+0.5)) is
+    bit-identical across engines."""
+    return TX.readability_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(FLOOR((206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                  * 1000 + 0.5) AS BIGINT) AS flesch_milli
+FROM c WHERE n_words >= 1
+"""
+
+
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize price, maximize size). Spark-first two-phase plan: a
+    distributed bucket pre-filter (per-price-bucket max sizes — a tiny
+    aggregate — whose strictly-prior running max provably dominates
+    everything it prunes, so skyline ⊆ survivors), then the exact
+    O(n log n) sweep (running-max window over price order) runs only
+    over the surviving sliver — the global-ORDER-BY window never sees
+    the full table, which is what makes this safe at 100 TB where the
+    naive NOT-EXISTS self-join is O(n²) and a full-table global window
+    is single-partition. The DuckDB oracle is the independent literal
+    NOT-EXISTS formulation."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        cents(F.col("p_retailprice")).alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return R.skyline_2d(p, cost="price_cents", gain="size").select(
+        "p_partkey", "price_cents", "size"
+    )
+
+
+SQL_SKYLINE_2D = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT p_partkey, price_cents, size FROM p r
+WHERE NOT EXISTS (
+  SELECT 1 FROM p s
+  WHERE s.price_cents <= r.price_cents AND s.size >= r.size
+    AND (s.price_cents < r.price_cents OR s.size > r.size)
+)
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (k=100 docs,
+    weight = n_chars) via the A-ES exponential-jump key: score =
+    -ln(u)/w with u drawn from a salted md5 of the doc id — the
+    standard one-pass distributed weighted-sampling reduction (top-k by
+    score, TakeOrderedAndProject — no global sort, no global window).
+    The md5-uniform makes the 'randomness' a pure function of the row,
+    so both engines rank the identical IEEE doubles and the sample is
+    reproducible run-to-run — the property a training-data pipeline
+    needs for auditable subsampling. Output columns are all integers;
+    the tiny row_number window runs over the k selected rows only."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws-v1"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    score = -F.log((u32 + 1) / F.lit(4294967296.0)) / F.col("n_chars").cast(
+        "double"
+    )
+    top = (
+        docs.withColumn("score", score)
+        .orderBy("score", "doc_id")
+        .limit(100)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("score", "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "doc_id",
+        "n_chars",
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         -ln((('0x' || substr(md5('ws-v1' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+             / 4294967296.0) / CAST(n_chars AS DOUBLE) AS score
+  FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT) AS rank,
+       doc_id, n_chars
+FROM s ORDER BY score, doc_id LIMIT 100
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4614,6 +4762,10 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 5 (never driver-checked) ---
+    "dedup_containment": q_dedup_containment,
+    "readability": q_readability,
+    "skyline_2d": q_skyline_2d,
+    "weighted_sample": q_weighted_sample,
     "interval_join": q_interval_join,
     "winsorize": q_winsorize,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -4752,6 +4904,10 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 5 (pagerank is rows-only by design: iterative
     # double sums; see q_pagerank docstring) ---
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "readability": SQL_READABILITY,
+    "skyline_2d": SQL_SKYLINE_2D,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "interval_join": SQL_INTERVAL_JOIN,
     "winsorize": SQL_WINSORIZE,
     "url_canonical_dedup": SQL_URL_CANONICAL,

@@ -188,3 +188,42 @@ def test_span_dedup_planted_duplicate_span(spark):
         assert got[d].n_dup_spans == 1  # the boilerplate span
         assert got[d].dup_span_ppm == 500000
     assert got[2].n_dup_spans == 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    from census_asc5_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    long = " ".join(f"tok{k}" for k in range(100))
+    short = " ".join(f"tok{k}" for k in range(10, 20))  # contiguous slice
+    df = spark.createDataFrame([(1, long), (2, short)], ["doc_id", "text"])
+    pairs = ngram_containment_pairs(df, threshold_ppm=900000).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_ppm == 1000000  # fully embedded
+    # the same pair is invisible to Jaccard (9 shared / 99 union ~ 9%)
+    assert ngram_jaccard_pairs(df, threshold_ppm=200000).collect() == []
+
+
+def test_containment_df_cap_identical_to_uncapped(stop_shingle_corpus):
+    from census_asc5_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    un = {
+        tuple(r)
+        for r in ngram_containment_pairs(
+            stop_shingle_corpus, threshold_ppm=600000, df_cap=None
+        ).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in ngram_containment_pairs(
+            stop_shingle_corpus, threshold_ppm=600000, df_cap=8
+        ).collect()
+    }
+    assert capped == un
+    # the planted pair survives with full containment of the smaller doc
+    assert any(r[0] == 500 and r[1] == 501 and r[5] == 1000000 for r in un)

@@ -9,12 +9,16 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the seven queries NEW this round (six oracled + the
+# round-5 window: the eleven queries NEW this round (ten oracled + the
 # rows-only pagerank), the kernel CHANGED this round (fuzzy_match's
 # q-gram candidate path; near_dup_triangles' degree orientation and
 # attribution's NULL-ts filter were already in-window), then the
 # round-4 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
+    "dedup_containment",
+    "readability",
+    "skyline_2d",
+    "weighted_sample",
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
@@ -61,10 +65,6 @@ PINNED_FIRST_50 = [
     "script_profile",
     "dup_ngram_stats",
     "bpe_merges",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q21_sole_returner",
-    "decontaminate",
 ]
 
 

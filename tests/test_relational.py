@@ -190,3 +190,52 @@ def test_group_trend_matches_numpy(spark):
         assert out[uid].intercept_c == int(b // 1)
         assert out[uid].n == 20
     assert out[3].slope_ppb == 0 and out[3].n == 1
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    # mixed frontier: duplicates on the frontier, dominated ties, a
+    # cross-bucket dominator (bucket_width=10 puts costs 5 and 95 in
+    # different buckets so the pre-filter actually fires)
+    rows = [
+        (1, 5, 50),
+        (2, 5, 50),   # exact tie with 1 -> both on the frontier
+        (3, 5, 40),   # equal cost, lower gain -> dominated
+        (4, 20, 60),
+        (5, 25, 60),  # same gain, higher cost -> dominated by 4
+        (6, 95, 70),
+        (7, 96, 55),  # dominated cross-bucket by 4 (cost 20, gain 60)
+        (8, 200, 80),
+    ]
+    from census_asc5_data_pipeline_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(rows, ["id", "cost", "gain"])
+    got = {r.id for r in skyline_2d(df, "cost", "gain", bucket_width=10).collect()}
+    expect = {
+        r[0]
+        for r in rows
+        if not any(
+            s[1] <= r[1] and s[2] >= r[2] and (s[1] < r[1] or s[2] > r[2])
+            for s in rows
+        )
+    }
+    assert got == expect == {1, 2, 4, 6, 8}
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from census_asc5_data_pipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["weighted_sample"](spark, sf).collect()
+    b = QUERIES["weighted_sample"](spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # reproducible
+    assert len(a) == 100 and len({r.doc_id for r in a}) == 100
+    # A-ES with weight=n_chars must skew the sample toward long docs:
+    # the sampled mean n_chars exceeds the corpus mean (size-biased
+    # sampling raises the expectation by the length-variance term).
+    corpus_mean = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r.n_chars for r in a) / len(a)
+    assert sample_mean > corpus_mean

@@ -23,6 +23,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 5 ---
+    # postings repartition + pair-count agg + the two cap-correction
+    # broadcast joins' build-side lineage
+    "dedup_containment": 4,
+    "readability": 0,
+    # bucket agg + the two survivor-sweep windows (the sliver)
+    "skyline_2d": 3,
+    # TakeOrderedAndProject top-k: no Exchange in the static plan
+    "weighted_sample": 0,
     "interval_join": 2,
     "winsorize": 1,
     "url_canonical_dedup": 1,

@@ -344,3 +344,19 @@ def test_pack_sequences_invariants_and_shard_independence(spark):
     # shard size is an implementation knob, not a semantic one
     b = pack_sequences(docs, ctx=16, shard=3).orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_readability_planted_counts(spark):
+    from census_asc5_data_pipeline_spark.operators.text import readability_scores
+
+    # "See the dog. It runs!" -> 5 words, 2 sentences,
+    # vowel-groups: ee, e, o, i, u (5 syllables)
+    df = spark.createDataFrame(
+        [(1, "See the dog. It runs!"), (2, "   ")], ["doc_id", "text"]
+    )
+    rows = readability_scores(df).collect()
+    assert len(rows) == 1  # whitespace-only doc dropped (zero words)
+    r = rows[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    expect = (206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)) * 1000
+    assert r.flesch_milli == int(expect + 0.5)
