@@ -520,6 +520,188 @@ def ivf_topk(
     return out
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "cv",
+    id_col: str = "cand_id",
+    sample: int = 256,
+    iterations: int = 4,
+) -> np.ndarray:
+    """Product-quantization codebooks: split the dim into ``m``
+    subspaces and k-means each one to ``n_codes`` centroids.
+
+    Training runs DRIVER-SIDE over a deterministic sample (the
+    ``sample`` lowest-id vectors — same seeding discipline as
+    ``ivf_centroids``): codebook fitting is O(sample·n_codes·iters)
+    numpy, and the resulting driver state is m × n_codes × (dim/m) =
+    n_codes × dim floats — the same footprint as the IVF centroid
+    table, independent of corpus size. Returns (m, n_codes, dim//m).
+    """
+    rows = (
+        corpus.select(to_double_array(vec_col).alias("v"), F.col(id_col))
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    X = np.asarray([list(r.v) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    S = X.reshape(len(X), m, dsub)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        Xj = S[:, j, :]
+        # deterministic init: first n_codes sample rows (wrap if short)
+        C = Xj[np.arange(n_codes) % len(Xj)].copy()
+        for _ in range(iterations):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC ANN top-k: product-quantize the corpus to ``m`` byte
+    codes per vector, score candidates by asymmetric-distance lookup
+    tables, exact-rerank a per-query shortlist.
+
+    The 100 TB rationale is BANDWIDTH, complementing IVF's candidate
+    pruning: the ADC scan streams m small ints + one norm per corpus
+    row instead of dim doubles (dim=64, m=8 → ~32× less data through
+    the scan), and per-candidate scoring is m table gathers instead of
+    dim multiply-adds. Scan structure:
+
+    1. Encode once — Arrow ``mapInPandas`` kernel emits (cand_id,
+       codes, exact norm); numpy argmin per subspace, no shuffle.
+    2. ADC scan — a second ``mapInPandas`` over the code table builds
+       each query's lookup table ONCE per task from the broadcast
+       query matrix (q × dim doubles — the same query-side-small
+       serving assumption as every ANN variant here), gather-sums
+       batch scores, and emits only the per-batch top-``shortlist``
+       rows per query: the standard partial-top-k reduction, so rows
+       leaving a task are bounded by q·shortlist, never batch×q.
+    3. Global per-query shortlist (window over q·shortlist·#tasks
+       rows), then the shared exact rerank — emitted cos_micro values
+       come from the same expression tree as the brute baseline, so
+       approximation affects WHICH candidates surface, never a score.
+
+    Recall < 1 by design; tested against ``cosine_topk``
+    (tests/test_similarity.py).
+    """
+    cv = corpus.select(
+        F.col(id_col).alias("cand_id"), to_double_array(vec_col).alias("cv")
+    ).persist()
+    books = pq_codebooks(cv, m=m, n_codes=n_codes)
+    dsub = books.shape[2]
+    dim = m * dsub
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            S = X.reshape(len(X), m, dsub)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                d2 = ((S[:, j, None, :] - books[None, j]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["cand_id"].to_numpy(),
+                    "codes": list(codes),
+                    "nc": np.sqrt((X * X).sum(axis=1)),
+                }
+            )
+
+    encoded = cv.mapInPandas(
+        encode, "cand_id bigint, codes array<int>, nc double"
+    )
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("pq_topk: empty query side")
+    qids = np.asarray([r.query_id for r in q_rows], dtype=np.int64)
+    Q = np.asarray([list(r.qv) for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    # LUT[qi, j, c] = <Q[qi] subspace j, codebook[j, c]>
+    LUT = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+
+    def adc_scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            num = np.zeros((len(qids), n), dtype=np.float64)
+            for j in range(m):
+                num += LUT[:, j, codes[:, j]]
+            approx = num / (qn[:, None] * pdf["nc"].to_numpy()[None, :])
+            top = min(shortlist, n)
+            cand = pdf["cand_id"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(qids)):
+                idx = np.argpartition(-approx[qi], top - 1)[:top]
+                out_q.append(np.full(top, qids[qi]))
+                out_c.append(cand[idx])
+                out_s.append(approx[qi, idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "approx": np.concatenate(out_s),
+                }
+            )
+
+    partial = encoded.mapInPandas(
+        adc_scan, "query_id bigint, cand_id bigint, approx double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("cand_id")
+    )
+    short = (
+        partial.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "cand_id")
+    )
+    c_side = cv.withColumn("__nc", _norm_expr(F.col("cv"), dim))
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("qv"),
+        _norm_expr(to_double_array(vec_col), dim).alias("__nq"),
+    )
+    matched = short.join(c_side, "cand_id").join(F.broadcast(q_side), "query_id")
+    out = _exact_rerank_topk(matched, k, dim=dim)
+    # Long-lived sessions: release via queries.unpersist_deps(out)
+    out._cached_deps = [cv]  # type: ignore[attr-defined]
+    return out
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1593,6 +1593,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN (rows-only oracle; recall pytest-verified vs brute —
+    iterative numpy codebook training makes the candidate set
+    non-SQL-expressible, but emitted scores are the exact rerank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, n_codes=16, shortlist=50
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.lang_id(_t(spark, sf_dir, "documents"))
     return out.select(
@@ -4766,6 +4776,7 @@ QUERIES: dict[str, QueryFn] = {
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
     "weighted_sample": q_weighted_sample,
+    "ann_pq_topk": q_ann_pq_topk,
     "interval_join": q_interval_join,
     "winsorize": q_winsorize,
     "url_canonical_dedup": q_url_canonical_dedup,

@@ -9,8 +9,9 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the eleven queries NEW this round (ten oracled + the
-# rows-only pagerank), the kernel CHANGED this round (fuzzy_match's
+# round-5 window: the twelve queries NEW this round (ten oracled plus
+# the rows-only-by-design pagerank and ann_pq_topk), the kernel
+# CHANGED this round (fuzzy_match's
 # q-gram candidate path; near_dup_triangles' degree orientation and
 # attribution's NULL-ts filter were already in-window), then the
 # round-4 window held one more round (its tail falls out).
@@ -19,6 +20,7 @@ PINNED_FIRST_50 = [
     "readability",
     "skyline_2d",
     "weighted_sample",
+    "ann_pq_topk",
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
@@ -64,7 +66,6 @@ PINNED_FIRST_50 = [
     "gopher_rules",
     "script_profile",
     "dup_ngram_stats",
-    "bpe_merges",
 ]
 
 

@@ -31,6 +31,9 @@ SHUFFLE_BUDGET = {
     "skyline_2d": 3,
     # TakeOrderedAndProject top-k: no Exchange in the static plan
     "weighted_sample": 0,
+    # shortlist window + candidate-vector re-join; the ADC scan and
+    # encode passes are narrow maps
+    "ann_pq_topk": 2,
     "interval_join": 2,
     "winsorize": 1,
     "url_canonical_dedup": 1,

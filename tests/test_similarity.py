@@ -258,3 +258,37 @@ def test_lsh_topk_derives_dim_from_data(spark):
         .collect()[0]["n"]
     )
     assert nb > 1
+
+
+def test_pq_topk_recall_of_planted_pair(emb):
+    from census_asc5_data_pipeline_spark.operators.similarity import pq_topk
+
+    out = pq_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, m=8, n_codes=16, shortlist=50
+    ).collect()
+    # the near-identical vector reconstructs to near-identical codes
+    assert any(r.cand_id == 100 for r in out)
+
+
+def test_pq_topk_recall_vs_brute_force(emb):
+    from census_asc5_data_pipeline_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        brute.setdefault(r.query_id, set()).add(r.cand_id)
+    approx = {}
+    scores = {}
+    for r in pq_topk(emb, queries, k=5, m=8, n_codes=16, shortlist=50).collect():
+        approx.setdefault(r.query_id, set()).add(r.cand_id)
+        scores[(r.query_id, r.cand_id)] = r.cos_micro
+    hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert hits / total >= 0.5  # 16-code/8-subspace ADC shortlist=50
+    # emitted scores are the EXACT rerank, never the ADC approximation
+    exact = {
+        (r.query_id, r.cand_id): r.cos_micro
+        for r in cosine_topk(emb, queries, k=200).collect()
+    }
+    for key, s in scores.items():
+        assert exact[key] == s
