@@ -467,3 +467,106 @@ def stream_zscore_anomalies(
             timeoutConf="NoTimeout",
         )
     )
+
+
+TOPK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("count_lb", T.LongType()),
+        T.StructField("decr", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("decr", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    capacity: int = 8,
+    nshards: int = 4,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming heavy hitters (frequent ``event_type`` values) with
+    hard-bounded state via sharded Misra-Gries summaries — the
+    streaming twin of the batch ``heavy_hitters`` sketch.
+
+    Items shard by ``xxhash64(event_type) % nshards``, so EVERY
+    occurrence of an item lands in exactly one shard and that shard's
+    Misra-Gries bound applies to the item's global count:
+    ``count_lb <= true <= count_lb + decr`` (``decr`` = the shard's
+    total decrement rounds). State is ``capacity`` counters per shard —
+    O(nshards·capacity) total regardless of throughput or key
+    cardinality, which is the whole point versus a groupBy count whose
+    state grows with distinct items. Shards also spread the update load
+    across tasks (one hot item saturates at most one shard).
+
+    Each batch appends the shard's full current summary tagged with the
+    shard's monotone ``n_seen`` version; append-mode sinks accumulate
+    history, so readers take the max-``n_seen`` snapshot per shard
+    (tests/test_streaming.py does exactly that). Inside a batch events
+    apply in (ts_ms, event_id) order — the same replay-deterministic
+    prefix contract as the sessionizer / rate cap / z-score operators.
+    """
+
+    def _mg_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # no timeout configured, defensive only
+            state.remove()
+            return
+        if state.exists:
+            items, counts, decr, n_seen = state.get
+            ctr = dict(zip(items, counts))
+        else:
+            ctr, decr, n_seen = {}, 0, 0
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if not frames:
+            state.update((list(ctr), list(ctr.values()), decr, n_seen))
+            return
+        batch = pd.concat(frames, ignore_index=True)
+        ns = pd.to_datetime(batch["ts"]).astype("datetime64[ns]").astype("int64")
+        batch = batch.assign(ts_ms=ns // 1_000_000).sort_values(
+            ["ts_ms", "event_id"]
+        )
+        for e in batch["event_type"]:
+            n_seen += 1
+            if e in ctr:
+                ctr[e] += 1
+            elif len(ctr) < capacity:
+                ctr[e] = 1
+            else:
+                # decrement round: the incoming item and every counter
+                # each give up one unit (the classic MG step)
+                decr += 1
+                for it in list(ctr):
+                    ctr[it] -= 1
+                    if ctr[it] == 0:
+                        del ctr[it]
+        state.update((list(ctr), list(ctr.values()), decr, n_seen))
+        if ctr:
+            yield pd.DataFrame(
+                [(key[0], it, c, decr, n_seen) for it, c in sorted(ctr.items())],
+                columns=["shard", "item", "count_lb", "decr", "n_seen"],
+            )
+
+    ev = events.withWatermark("ts", watermark).withColumn(
+        "shard", F.pmod(F.xxhash64("event_type"), F.lit(nshards)).cast("int")
+    )
+    return ev.groupBy("shard").applyInPandasWithState(
+        _mg_fn,
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

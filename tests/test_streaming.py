@@ -498,3 +498,56 @@ def test_stream_zscore_state_survives_multiple_batches(spark, tmp_path):
     _run(stream_zscore_anomalies(stream, threshold_milli=3000), "z_out2")
     got = [r.event_id for r in spark.sql("SELECT * FROM z_out2").collect()]
     assert got == [101]
+
+
+def test_stream_heavy_hitters_bound_and_bounded_state(spark, tmp_path):
+    """Planted Zipf-ish stream: one dominant item + a long unique tail.
+    The max-version snapshot must (a) keep at most nshards*capacity
+    counters, (b) contain the dominant item with its Misra-Gries
+    sandwich bound count_lb <= true <= count_lb + decr satisfied."""
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stream_heavy_hitters,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # deterministic interleave: every 2nd event is 'hot', tail unique
+    for i in range(600):
+        etype = "hot" if i % 2 == 0 else f"tail_{i}"
+        rows.append((eid, t0 + dt.timedelta(seconds=i), 1, etype, 1.0, "{}"))
+        eid += 1
+    src = str(tmp_path / "hh_ev")
+    # two files -> two micro-batches exercise state carry-over
+    spark.createDataFrame(rows[:300], EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[300:], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    _run(
+        stream_heavy_hitters(
+            read_event_stream(spark, src, max_files_per_trigger=1),
+            capacity=4,
+            nshards=2,
+        ),
+        "hh_out",
+    )
+    all_rows = spark.sql("SELECT * FROM hh_out").collect()
+    assert all_rows
+    # max-n_seen snapshot per shard (append sink keeps history)
+    latest = {}
+    for r in all_rows:
+        if r.shard not in latest or r.n_seen > latest[r.shard][0].n_seen:
+            latest[r.shard] = [r]
+        elif r.n_seen == latest[r.shard][0].n_seen:
+            latest[r.shard].append(r)
+    snapshot = [r for rs in latest.values() for r in rs]
+    assert len(snapshot) <= 2 * 4  # nshards * capacity counters max
+    hot = [r for r in snapshot if r.item == "hot"]
+    assert len(hot) == 1  # a 50% item always survives Misra-Gries
+    true_hot = sum(1 for r in rows if r[3] == "hot")
+    assert hot[0].count_lb <= true_hot <= hot[0].count_lb + hot[0].decr
