@@ -3408,6 +3408,71 @@ WHERE l.op IS NULL OR l.op <> 'D'
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-segment
+    (count, balance-sum) aggregate over the customer snapshot is
+    maintained under the same synthetic CDC changelog as cdc_apply via
+    retraction/insertion deltas — NEVER re-aggregated. The DuckDB
+    oracle IS the full re-aggregation of the applied table, so the
+    hash match proves the delta algebra reproduces a recompute."""
+    from census_asc5_data_pipeline_spark.operators import cdc as CDC
+
+    snap = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        cents(F.col("c_acctbal")).alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    base = snap.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal_c").alias("bal_sum"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    chg = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 7 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        cents(F.col("o_totalprice")).alias("bal_c"),
+        F.concat(F.lit("SEG-"), F.col("o_orderpriority")).alias("seg"),
+    )
+    return CDC.incremental_agg(
+        base, snap, chg, key="c_custkey", group_col="seg", value_col="bal_c"
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+WITH snap AS (
+  SELECT c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+         c_mktsegment AS seg
+  FROM customer
+), chg AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'D'
+              WHEN o_orderkey % 7 = 0 THEN 'I'
+              ELSE 'U' END AS op,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS bal_c,
+         'SEG-' || o_orderpriority AS seg
+  FROM orders
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM chg
+  ) WHERE rn = 1
+), applied AS (
+  SELECT COALESCE(s.c_custkey, l.c_custkey) AS c_custkey,
+         CASE WHEN l.op IS NOT NULL THEN l.bal_c ELSE s.bal_c END AS bal_c,
+         CASE WHEN l.op IS NOT NULL THEN l.seg ELSE s.seg END AS seg
+  FROM snap s FULL OUTER JOIN latest l ON s.c_custkey = l.c_custkey
+  WHERE l.op IS NULL OR l.op <> 'D'
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bal_c) AS BIGINT) AS bal_sum
+FROM applied GROUP BY seg
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document capping (domain balancing): keep at most 120
     lowest-id docs per source — the standard per-domain rate cap a
@@ -4777,6 +4842,7 @@ QUERIES: dict[str, QueryFn] = {
     "skyline_2d": q_skyline_2d,
     "weighted_sample": q_weighted_sample,
     "ann_pq_topk": q_ann_pq_topk,
+    "incremental_agg": q_incremental_agg,
     "interval_join": q_interval_join,
     "winsorize": q_winsorize,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -4919,6 +4985,7 @@ ORACLES: dict[str, str] = {
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
     "interval_join": SQL_INTERVAL_JOIN,
     "winsorize": SQL_WINSORIZE,
     "url_canonical_dedup": SQL_URL_CANONICAL,

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from census_asc5_data_pipeline_spark.operators.cdc import (
     scd1_upsert,
     scd2_from_snapshots,
@@ -132,3 +134,48 @@ def test_cdc_apply_matches_replay_model(spark):
         assert got == model
 
     check()
+
+
+def test_incremental_agg_matches_full_recompute(spark):
+    from census_asc5_data_pipeline_spark.operators.cdc import (
+        cdc_apply,
+        incremental_agg,
+    )
+
+    # snapshot: groups a(2 rows), b(1), c(1, will empty out), d untouched
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40), (5, "d", 50)],
+        ["k", "g", "v"],
+    )
+    base = snap.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("val_sum")
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, 1, "U", "a", 11),   # in-place value update
+            (2, 1, "U", "e", 21),   # group move a -> e (new group)
+            (4, 1, "D", None, None),  # empties group c entirely
+            (9, 1, "I", "b", 99),   # brand-new key into b
+            (99, 1, "D", None, None),  # delete of an absent key: no-op
+            (3, 1, "U", "b", 31),
+            (3, 2, "D", None, None),  # later seq wins: key 3 deleted
+        ],
+        ["k", "seq", "op", "g", "v"],
+    )
+    got = {
+        (r.g, r.n_rows, r.val_sum)
+        for r in incremental_agg(
+            base, snap, chg, key="k", group_col="g", value_col="v"
+        ).collect()
+    }
+    want = {
+        (r.g, r.n_rows, r.val_sum)
+        for r in cdc_apply(snap, chg, "k")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("val_sum"))
+        .collect()
+    }
+    assert got == want
+    gs = {g for g, _, _ in got}
+    assert "c" not in gs      # emptied group dropped
+    assert {"d", "e"} <= gs   # untouched group kept; moved-to group present

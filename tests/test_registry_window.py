@@ -9,8 +9,8 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the twelve queries NEW this round (ten oracled plus
-# the rows-only-by-design pagerank and ann_pq_topk), the kernel
+# round-5 window: the thirteen queries NEW this round (eleven oracled
+# plus the rows-only-by-design pagerank and ann_pq_topk), the kernel
 # CHANGED this round (fuzzy_match's
 # q-gram candidate path; near_dup_triangles' degree orientation and
 # attribution's NULL-ts filter were already in-window), then the
@@ -21,6 +21,7 @@ PINNED_FIRST_50 = [
     "skyline_2d",
     "weighted_sample",
     "ann_pq_topk",
+    "incremental_agg",
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
@@ -65,7 +66,6 @@ PINNED_FIRST_50 = [
     "source_mixture",
     "gopher_rules",
     "script_profile",
-    "dup_ngram_stats",
 ]
 
 

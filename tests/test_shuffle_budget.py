@@ -34,6 +34,8 @@ SHUFFLE_BUDGET = {
     # shortlist window + candidate-vector re-join; the ADC scan and
     # encode passes are narrow maps
     "ann_pq_topk": 2,
+    # base-agg groupBy + changelog window + delta agg + group merge
+    "incremental_agg": 4,
     "interval_join": 2,
     "winsorize": 1,
     "url_canonical_dedup": 1,
