@@ -46,6 +46,13 @@ HEADLINE = [
     "bigram_lm",
     "pack_sequences",
     "cdc_apply",
+    # round-5 heavy tail: the expensive r5 additions get bench rows so
+    # regressions surface per-round (same policy as the r4 tail)
+    "dedup_containment",
+    "ann_pq_topk",
+    "pagerank",
+    "doc_perplexity",
+    "incremental_agg",
 ]
 
 

@@ -3473,6 +3473,58 @@ FROM applied GROUP BY seg
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    bigram shingles whose FIRST corpus occurrence (min doc_id) is the
+    doc itself — the content-freshness curve curation uses to spot
+    boilerplate-recycling sources (novelty collapses) and to order
+    curriculum mixes. Same 8-byte hashed-shingle postings as the dedup
+    family: one min-aggregate per shingle (map-side combinable — no
+    stop-shingle quadratic risk, unlike pair joins), one join back,
+    one per-doc count. Hash-collision odds are the documented
+    ~|shingles|²/2⁶⁴ of ``ngram_jaccard_pairs``."""
+    post = D.shingle_postings(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_sh", F.xxhash64(F.col("shingle")).alias("sh")
+    )
+    first = post.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        post.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_sh").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.floor(
+                F.col("novel").cast("double") * 1000000.0 / F.col("n_sh")
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+
+
+SQL_NGRAM_NOVELTY = (
+    _SQL_SHINGLES
+    + """
+, f AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM p GROUP BY 1
+)
+SELECT p.doc_id, CAST(MIN(p.n_sh) AS BIGINT) AS n_sh,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel,
+       CAST(FLOOR(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                  * 1000000.0 / MIN(p.n_sh) + 0.5) AS BIGINT) AS novelty_ppm
+FROM p JOIN f USING (shingle)
+GROUP BY 1
+"""
+)
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document capping (domain balancing): keep at most 120
     lowest-id docs per source — the standard per-domain rate cap a
@@ -4843,6 +4895,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "ann_pq_topk": q_ann_pq_topk,
     "incremental_agg": q_incremental_agg,
+    "ngram_novelty": q_ngram_novelty,
     "interval_join": q_interval_join,
     "winsorize": q_winsorize,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -4986,6 +5039,7 @@ ORACLES: dict[str, str] = {
     "skyline_2d": SQL_SKYLINE_2D,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "interval_join": SQL_INTERVAL_JOIN,
     "winsorize": SQL_WINSORIZE,
     "url_canonical_dedup": SQL_URL_CANONICAL,

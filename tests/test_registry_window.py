@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the thirteen queries NEW this round (eleven oracled
+# round-5 window: the fourteen queries NEW this round (twelve oracled
 # plus the rows-only-by-design pagerank and ann_pq_topk), the kernel
 # CHANGED this round (fuzzy_match's
 # q-gram candidate path; near_dup_triangles' degree orientation and
@@ -22,6 +22,7 @@ PINNED_FIRST_50 = [
     "weighted_sample",
     "ann_pq_topk",
     "incremental_agg",
+    "ngram_novelty",
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
@@ -65,7 +66,6 @@ PINNED_FIRST_50 = [
     "chunk_documents",
     "source_mixture",
     "gopher_rules",
-    "script_profile",
 ]
 
 

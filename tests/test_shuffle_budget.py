@@ -36,6 +36,8 @@ SHUFFLE_BUDGET = {
     "ann_pq_topk": 2,
     # base-agg groupBy + changelog window + delta agg + group merge
     "incremental_agg": 4,
+    # first-occurrence min-agg + per-doc count
+    "ngram_novelty": 2,
     "interval_join": 2,
     "winsorize": 1,
     "url_canonical_dedup": 1,
