@@ -37,6 +37,18 @@ EXPECT = {
     "dedup_ngram_jaccard": (1, 0, False, 1),
     "near_dup_triangles": (1, 16, False, 1),
     "curate_corpus": (2, 2, True, 1),
+    # --- round-5 additions ---
+    # cap-correction joins stay broadcast; postings cache reused
+    "dedup_containment": (4, 0, False, 1),
+    # full-outer group merge + semi-join are legitimately SMJ (Spark
+    # cannot broadcast a full outer); anything beyond 4 is a regression
+    "incremental_agg": (1, 4, True, 0),
+    # the bucket pre-filter MUST stay broadcast and the exact sweep
+    # must never become a join — an SMJ here means the O(n log n)
+    # two-phase plan degenerated
+    "skyline_2d": (1, 0, True, 0),
+    # broadcast query side on the rerank; encoded-corpus cache reused
+    "ann_pq_topk": (1, 0, False, 1),
 }
 
 
