@@ -134,6 +134,8 @@ def incremental_agg(
     key: str,
     group_col: str,
     value_col: str,
+    count_col: str,
+    sum_col: str,
     seq_col: str = "seq",
     op_col: str = "op",
 ) -> DataFrame:
@@ -141,8 +143,9 @@ def incremental_agg(
     under a CDC changelog — classic incremental-view-maintenance delta
     algebra, instead of re-aggregating the fact table.
 
-    ``base_agg`` is the materialized ``group_col -> (n_rows, val_sum)``
-    over ``snapshot``. For each changed key the net effect of the batch
+    ``base_agg`` is the materialized ``group_col -> (count_col,
+    sum_col)`` over ``snapshot`` — both named explicitly because a
+    positional guess would silently swap same-typed count/sum columns. For each changed key the net effect of the batch
     is: retract the key's OLD (group, value) contribution if the key
     existed in the snapshot, and insert the NEW contribution from its
     highest-``seq_col`` op unless that op is a delete — exactly
@@ -188,7 +191,10 @@ def incremental_agg(
         .groupBy("__g")
         .agg(F.sum("__dn").alias("__dn"), F.sum("__dv").alias("__dv"))
     )
-    n_col, s_col = [c for c in base_agg.columns if c != group_col]
+    missing = {count_col, sum_col} - set(base_agg.columns)
+    if missing:
+        raise ValueError(f"incremental_agg: base_agg lacks columns {missing}")
+    n_col, s_col = count_col, sum_col
     merged = base_agg.join(
         deltas, base_agg[group_col] == deltas["__g"], "full_outer"
     )

@@ -297,7 +297,7 @@ def ngram_containment_pairs(
             .join(ssb, "doc_b", "left")
             .withColumn("co", (F.col("co_sub") + co_stop).cast("bigint"))
         )
-    return (
+    out = (
         pairs.withColumn(
             "containment_ppm",
             F.floor(
@@ -310,6 +310,9 @@ def ngram_containment_pairs(
         .filter(F.col("containment_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "n_a", "n_b", "co", "containment_ppm")
     )
+    # Long-lived sessions: release via queries.unpersist_deps(out)
+    out._cached_deps = [post] + ([stop] if stop is not None else [])  # type: ignore[attr-defined]
+    return out
 
 
 _MERSENNE31 = (1 << 31) - 1

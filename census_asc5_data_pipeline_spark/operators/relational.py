@@ -156,7 +156,13 @@ def skyline_2d(df: DataFrame, cost: str, gain: str, bucket_width: int = 10000) -
     self-join is O(n²) and a full-table global window is
     single-partition. Equal (cost, gain) ties all survive (neither
     strictly better), matching the literal dominance definition.
+
+    Rows with a NULL cost or gain are EXCLUDED up front: dominance is
+    undefined against NULL, and the literal NOT-EXISTS reading would
+    instead keep every such row — callers wanting that semantic must
+    handle NULLs before calling.
     """
+    df = df.filter(F.col(cost).isNotNull() & F.col(gain).isNotNull())
     b = df.withColumn("__bucket", F.floor(F.col(cost) / bucket_width))
     bmax = b.groupBy("__bucket").agg(F.max(gain).alias("__bmax"))
     run_lt = F.max("__bmax").over(

@@ -664,7 +664,11 @@ def pq_topk(
             cand = pdf["cand_id"].to_numpy()
             out_q, out_c, out_s = [], [], []
             for qi in range(len(qids)):
-                idx = np.argpartition(-approx[qi], top - 1)[:top]
+                # deterministic cut: (approx desc, cand_id asc) — a bare
+                # argpartition keeps ties at the boundary batch-shape-
+                # dependently, breaking the module-wide cand_id-tiebreak
+                # discipline the global shortlist window promises
+                idx = np.lexsort((cand, -approx[qi]))[:top]
                 out_q.append(np.full(top, qids[qi]))
                 out_c.append(cand[idx])
                 out_s.append(approx[qi, idx])

@@ -3438,7 +3438,14 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("SEG-"), F.col("o_orderpriority")).alias("seg"),
     )
     return CDC.incremental_agg(
-        base, snap, chg, key="c_custkey", group_col="seg", value_col="bal_c"
+        base,
+        snap,
+        chg,
+        key="c_custkey",
+        group_col="seg",
+        value_col="bal_c",
+        count_col="n_rows",
+        sum_col="bal_sum",
     )
 
 

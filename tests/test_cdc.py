@@ -165,7 +165,14 @@ def test_incremental_agg_matches_full_recompute(spark):
     got = {
         (r.g, r.n_rows, r.val_sum)
         for r in incremental_agg(
-            base, snap, chg, key="k", group_col="g", value_col="v"
+            base,
+            snap,
+            chg,
+            key="k",
+            group_col="g",
+            value_col="v",
+            count_col="n_rows",
+            sum_col="val_sum",
         ).collect()
     }
     want = {
