@@ -570,3 +570,104 @@ def stream_heavy_hitters(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+WSAMPLE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+WSAMPLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("scores", T.ArrayType(T.DoubleType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def stream_weighted_sample(
+    events: DataFrame,
+    k: int = 16,
+    nshards: int = 4,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming weighted sample without replacement — the
+    bounded-state twin of the batch ``weighted_sample`` query, same
+    A-ES reduction: each event gets the deterministic key
+    ``score = -ln(u)/w`` (``u`` from a salted md5 of the event id,
+    ``w = abs(value)+1``), and the weighted sample IS the k smallest
+    scores. The score is computed IN-PLAN (JVM expressions) before the
+    stateful operator; Python only maintains the per-shard reservoir.
+
+    State is the k best (score, id) pairs per shard — O(nshards·k)
+    regardless of throughput. Because A-ES top-k is a distributive
+    aggregate, per-shard reservoirs lose nothing: the global top-k is
+    exactly the top-k of the shard union, which readers take from the
+    max-``n_seen`` snapshot per shard (the same versioned-emission
+    contract as ``stream_heavy_hitters``). Determinism end to end: the
+    md5 key makes the sample a pure function of the data, so a replay
+    or a batch recomputation yields the identical sample — auditable
+    subsampling on a stream.
+    """
+
+    def _ws_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # no timeout configured, defensive only
+            state.remove()
+            return
+        if state.exists:
+            ids, scores, n_seen = state.get
+            pairs = list(zip(scores, ids))
+        else:
+            pairs, n_seen = [], 0
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if not frames:
+            state.update(
+                ([i for _, i in pairs], [s for s, _ in pairs], n_seen)
+            )
+            return
+        batch = pd.concat(frames, ignore_index=True)
+        n_seen += len(batch)
+        pairs.extend(zip(batch["score"], batch["event_id"]))
+        pairs.sort()  # (score asc, id asc) — deterministic reservoir cut
+        pairs = pairs[:k]
+        state.update(([i for _, i in pairs], [s for s, _ in pairs], n_seen))
+        yield pd.DataFrame(
+            [(key[0], i, s, n_seen) for s, i in pairs],
+            columns=["shard", "event_id", "score", "n_seen"],
+        )
+
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sws-v1"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    score = -F.log((u32 + 1) / F.lit(4294967296.0)) / (
+        F.abs(F.col("value")) + F.lit(1.0)
+    )
+    ev = (
+        events.withWatermark("ts", watermark)
+        .withColumn("score", score)
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("event_id"), F.lit(nshards)).cast("int")
+        )
+    )
+    return ev.groupBy("shard").applyInPandasWithState(
+        _ws_fn,
+        outputStructType=WSAMPLE_OUT_SCHEMA,
+        stateStructType=WSAMPLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -551,3 +551,73 @@ def test_stream_heavy_hitters_bound_and_bounded_state(spark, tmp_path):
     assert len(hot) == 1  # a 50% item always survives Misra-Gries
     true_hot = sum(1 for r in rows if r[3] == "hot")
     assert hot[0].count_lb <= true_hot <= hot[0].count_lb + hot[0].decr
+
+
+def test_stream_weighted_sample_matches_batch_replay(spark, tmp_path):
+    """The md5 A-ES key makes the sample a pure function of the data:
+    the streaming reservoir's final snapshot must equal a python
+    recomputation of the per-shard top-k over the same rows, across a
+    multi-batch run."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stream_weighted_sample,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "e", float((i * 7) % 50), "{}")
+        for i in range(500)
+    ]
+    src = str(tmp_path / "ws_ev")
+    spark.createDataFrame(rows[:250], EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[250:], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    _run(
+        stream_weighted_sample(
+            read_event_stream(spark, src, max_files_per_trigger=1), k=8, nshards=2
+        ),
+        "ws_out",
+    )
+    out = spark.sql("SELECT * FROM ws_out").collect()
+    latest = {}
+    for r in out:
+        latest.setdefault(r.shard, []).append(r)
+    got = {
+        (r.shard, r.event_id)
+        for rs in latest.values()
+        for r in rs
+        if r.n_seen == max(x.n_seen for x in rs)
+    }
+
+    # python replay of the identical A-ES key and sharding
+    def u32(eid):
+        return int(hashlib.md5(f"sws-v1{eid}".encode()).hexdigest()[:8], 16)
+
+    # xxhash64 sharding isn't reimplementable in pure python — compute
+    # every event's shard with a one-off batch expression instead
+    from pyspark.sql import functions as SF
+
+    shard_of = {
+        r.event_id: r.shard
+        for r in spark.createDataFrame([(r[0],) for r in rows], ["event_id"])
+        .withColumn(
+            "shard", SF.pmod(SF.xxhash64("event_id"), SF.lit(2)).cast("int")
+        )
+        .collect()
+    }
+    by_shard: dict[int, list] = {0: [], 1: []}
+    for eid, _ts, _u, _e, v, _p in rows:
+        s = (-math.log((u32(eid) + 1) / 4294967296.0)) / (abs(v) + 1.0)
+        by_shard[shard_of[eid]].append((s, eid))
+    want = set()
+    for sh, pairs in by_shard.items():
+        pairs.sort()
+        want |= {(sh, eid) for _s, eid in pairs[:8]}
+    assert got == want  # streamed reservoir == exact batch replay
