@@ -520,6 +520,34 @@ def ivf_topk(
     return out
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd k-means cluster assignment over an embedding
+    column — topic/segment clustering for corpus analysis, exposed on
+    top of the IVF coarse-quantizer machinery (deterministic lowest-id
+    seeds, per-iteration narrow assignment passes with broadcast
+    literal centroids, (cluster, dim) mean aggregation; only k×dim
+    rows ever reach the driver). Returns (``id_col``, cluster) with
+    the argmax-cosine assignment and the documented lowest-id
+    tiebreak, so output is deterministic run-to-run.
+    """
+    cv = corpus.select(
+        F.col(id_col), to_double_array(vec_col).alias("__v")
+    ).persist()
+    cents = ivf_centroids(cv, k, "__v", id_col, iterations=iterations)
+    out = _assign_clusters(cv, "__v", cents).select(
+        id_col, F.col("cluster").cast("int").alias("cluster")
+    )
+    # Long-lived sessions: release via queries.unpersist_deps(out)
+    out._cached_deps = [cv]  # type: ignore[attr-defined]
+    return out
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,

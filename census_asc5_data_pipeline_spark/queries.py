@@ -1593,6 +1593,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means topic clustering over the embeddings table (rows-only:
+    iterative float centroid means are reduce-order dependent; the
+    pytest oracle pins determinism and planted-structure recovery)."""
+    return S.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN (rows-only oracle; recall pytest-verified vs brute —
     iterative numpy codebook training makes the candidate set
@@ -4718,6 +4725,86 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median of order totals per customer — the
+    robust-smoothing counterpart of moving_avg (a median shrugs off
+    the spike a mean chases). Spark has no median window aggregate, so
+    the frame is collected, sorted in-row and indexed at the LOWER
+    median (n+1)//2 — an explicit formulation both engines evaluate
+    identically on exact integer cents, immune to the engine-specific
+    interpolation of built-in median/quantile. Frame width is a
+    constant 7, so the collected arrays are O(1) per row and the only
+    shuffle is the per-customer window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("ts_ms", "o_orderkey")
+    frame = w.rowsBetween(-6, 0)
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        epoch_ms("o_orderdate").alias("ts_ms"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    n = F.count(F.lit(1)).over(frame)
+    arr = F.array_sort(F.collect_list("price_c").over(frame))
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "ts_ms",
+        "price_c",
+        F.element_at(arr, ((n + 1) / 2).cast("int")).alias("med7_c"),
+    )
+
+
+SQL_ROLLING_QUANTILE = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_ms(o_orderdate) AS BIGINT) AS ts_ms,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), f AS (
+  SELECT o_custkey, o_orderkey, ts_ms, price_c,
+         list(price_c) OVER w AS lst,
+         COUNT(*) OVER w AS n
+  FROM base
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_ms, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey, ts_ms, price_c,
+       list_sort(lst)[CAST((n + 1) // 2 AS INT)] AS med7_c
+FROM f
+"""
+
+
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (most frequent, lexicographic-smallest
+    tie-break) with its count — deterministic mode, built from a
+    count aggregate + row_number rather than an engine mode() whose
+    tie-breaking is unspecified. Two keyed shuffles, both map-side
+    combinable."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
+SQL_MODE_AGG = """
+SELECT user_id, event_type AS mode_type, cnt FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-coefficient (containment) near-dup pairs — catches the
     quote/excerpt/wrapper family Jaccard structurally misses (a short
@@ -4903,6 +4990,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_pq_topk": q_ann_pq_topk,
     "incremental_agg": q_incremental_agg,
     "ngram_novelty": q_ngram_novelty,
+    "rolling_quantile": q_rolling_quantile,
+    "mode_agg": q_mode_agg,
+    "embedding_kmeans": q_embedding_kmeans,
     "interval_join": q_interval_join,
     "winsorize": q_winsorize,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -5047,6 +5137,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "rolling_quantile": SQL_ROLLING_QUANTILE,
+    "mode_agg": SQL_MODE_AGG,
     "interval_join": SQL_INTERVAL_JOIN,
     "winsorize": SQL_WINSORIZE,
     "url_canonical_dedup": SQL_URL_CANONICAL,

@@ -9,9 +9,9 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the fourteen queries NEW this round (twelve oracled
-# plus the rows-only-by-design pagerank and ann_pq_topk), the kernel
-# CHANGED this round (fuzzy_match's
+# round-5 window: the seventeen queries NEW this round (fourteen
+# oracled plus the rows-only-by-design pagerank, ann_pq_topk and
+# embedding_kmeans), the kernel CHANGED this round (fuzzy_match's
 # q-gram candidate path; near_dup_triangles' degree orientation and
 # attribution's NULL-ts filter were already in-window), then the
 # round-4 window held one more round (its tail falls out).
@@ -23,6 +23,9 @@ PINNED_FIRST_50 = [
     "ann_pq_topk",
     "incremental_agg",
     "ngram_novelty",
+    "rolling_quantile",
+    "mode_agg",
+    "embedding_kmeans",
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
@@ -63,9 +66,6 @@ PINNED_FIRST_50 = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "curate_corpus",
-    "chunk_documents",
-    "source_mixture",
-    "gopher_rules",
 ]
 
 

@@ -38,6 +38,12 @@ SHUFFLE_BUDGET = {
     "incremental_agg": 4,
     # first-occurrence min-agg + per-doc count
     "ngram_novelty": 2,
+    # single per-customer window
+    "rolling_quantile": 1,
+    # count agg + argmax window
+    "mode_agg": 2,
+    # narrow assignment passes over the cached projection
+    "embedding_kmeans": 0,
     "interval_join": 2,
     "winsorize": 1,
     "url_canonical_dedup": 1,

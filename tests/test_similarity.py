@@ -292,3 +292,15 @@ def test_pq_topk_recall_vs_brute_force(emb):
     }
     for key, s in scores.items():
         assert exact[key] == s
+
+
+def test_kmeans_assign_deterministic_and_recovers_planted_pair(emb):
+    from census_asc5_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    a = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=4).collect()}
+    b = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=4).collect()}
+    assert a == b  # deterministic seeds + tiebreak -> identical runs
+    assert set(a) == {r.vec_id for r in emb.select("vec_id").collect()}
+    assert all(0 <= c < 4 for c in a.values())
+    # the planted near-identical pair must share a cluster
+    assert a[0] == a[100]
