@@ -1593,6 +1593,37 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup: one Datasketches HLL sketch of
+    user_id per event_type (``hll_sketch_agg`` — map-side combinable,
+    fixed-size state), then the GLOBAL distinct estimate from
+    ``hll_union_agg`` over those same k sketch rows — the re-aggregable
+    pattern that lets a 100 TB pipeline maintain distinct counts per
+    cell and roll them up along any hierarchy without rescanning the
+    fact table (a plain approx_count_distinct scalar cannot be merged
+    upward). Rows-only: sketch estimates have no cross-engine oracle;
+    the pytest pins each estimate against the exact distinct within
+    the HLL error envelope."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    per = sk.select(
+        "event_type",
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("approx_users"),
+    )
+    total = (
+        sk.agg(F.expr("hll_union_agg(sk)").alias("u"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.expr("CAST(hll_sketch_estimate(u) AS BIGINT)").alias(
+                "approx_users"
+            ),
+        )
+    )
+    return per.unionByName(total)
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means topic clustering over the embeddings table (rows-only:
     iterative float centroid means are reduce-order dependent; the
@@ -4993,6 +5024,7 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_quantile": q_rolling_quantile,
     "mode_agg": q_mode_agg,
     "embedding_kmeans": q_embedding_kmeans,
+    "hll_rollup": q_hll_rollup,
     "interval_join": q_interval_join,
     "winsorize": q_winsorize,
     "url_canonical_dedup": q_url_canonical_dedup,

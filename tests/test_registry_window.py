@@ -9,9 +9,10 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the seventeen queries NEW this round (fourteen
-# oracled plus the rows-only-by-design pagerank, ann_pq_topk and
-# embedding_kmeans), the kernel CHANGED this round (fuzzy_match's
+# round-5 window: the eighteen queries NEW this round (fourteen
+# oracled plus the rows-only-by-design pagerank, ann_pq_topk,
+# embedding_kmeans and hll_rollup), the kernel CHANGED this round
+# (fuzzy_match's
 # q-gram candidate path; near_dup_triangles' degree orientation and
 # attribution's NULL-ts filter were already in-window), then the
 # round-4 window held one more round (its tail falls out).
@@ -26,6 +27,7 @@ PINNED_FIRST_50 = [
     "rolling_quantile",
     "mode_agg",
     "embedding_kmeans",
+    "hll_rollup",
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
@@ -65,7 +67,6 @@ PINNED_FIRST_50 = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "curate_corpus",
 ]
 
 

@@ -44,6 +44,9 @@ SHUFFLE_BUDGET = {
     "mode_agg": 2,
     # narrow assignment passes over the cached projection
     "embedding_kmeans": 0,
+    # per-type sketch agg + the union re-aggregate (static tree renders
+    # the sketch lineage under both the per-type and ALL branches)
+    "hll_rollup": 3,
     "interval_join": 2,
     "winsorize": 1,
     "url_canonical_dedup": 1,

@@ -73,3 +73,28 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n = compact_parquet(spark, path, target_file_mb=512)
     assert n == 1 and count_parts() == 1
     assert {r.id for r in spark.read.parquet(path).collect()} == before
+
+
+def test_hll_rollup_estimates_within_error_envelope(spark):
+    from census_asc5_data_pipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["hll_rollup"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        # default lgConfigK=12 -> ~1.6% relative standard error; 5% is
+        # a generous deterministic envelope at these cardinalities
+        assert abs(got[k] - n) <= max(1, int(0.05 * n)), (k, got[k], n)

@@ -224,3 +224,35 @@ def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
     # partition pruning: only the p=1 directory is scanned
     plan = back.filter(F.col("p") == 1)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "(p" in plan
+
+
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.operators.multimodal import decode_media
+    from census_asc5_data_pipeline_spark.sources.binary_source import (
+        read_binary_files,
+    )
+
+    d = tmp_path / "media"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.jpg").write_bytes(b"\xff\xd8fakejpegbytes")
+    (d / "b.png").write_bytes(b"\x89PNGfakebytes")
+    (d / "noext").write_bytes(b"rawbytes")
+    (d / "sub" / "c.jpg").write_bytes(b"\xff\xd8nested")
+
+    flat = read_binary_files(spark, str(d))
+    rows = {r.path.split("/")[-1]: r for r in flat.collect()}
+    assert set(rows) == {"a.jpg", "b.png", "noext"}  # non-recursive
+    assert rows["a.jpg"].media_type == "bin/jpg"
+    assert rows["noext"].media_type == "bin/raw"
+    assert bytes(rows["b.png"].payload) == b"\x89PNGfakebytes"
+    assert rows["a.jpg"].n_bytes == len(b"\xff\xd8fakejpegbytes")
+    assert len({r.doc_id for r in rows.values()}) == 3  # stable distinct ids
+
+    # glob pruning happens at listing time; recursive walks nested dirs
+    jpgs = read_binary_files(spark, str(d), glob="*.jpg", recursive=True)
+    assert {r.path.split("/")[-1] for r in jpgs.collect()} == {"a.jpg", "c.jpg"}
+
+    # the normalized frame feeds the multimodal decode kernels unchanged
+    decoded = {r.doc_id: r for r in decode_media(flat, codec="stub").collect()}
+    assert set(decoded) == {r.doc_id for r in rows.values()}
+    assert all(v.n_bytes > 0 for v in decoded.values())
