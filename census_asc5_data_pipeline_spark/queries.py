@@ -4836,6 +4836,73 @@ SELECT user_id, event_type AS mode_type, cnt FROM (
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier census via median absolute deviation —
+    the 3-MAD rule that, unlike the z-score, one extreme value cannot
+    drag (the batch complement of winsorize's rank clamp and the
+    streaming z-score detector). Everything stays exact integer:
+    medians of integer cents are x.0/x.5 exactly representable in
+    doubles, so med×2 and MAD-median×2 are exact BIGINTs and the flag
+    |x-med| > 3·MAD becomes the pure integer comparison
+    2·dev2 > 3·mad4 (dev2 = 2|x-med|, mad4 = 4·MAD) — no float
+    threshold to diverge between engines. Two grouped medians + one
+    conditional count, all keyed shuffles."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    med = orders.groupBy("priority").agg(
+        F.floor(F.median("price_c") * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("med2")
+    )
+    dev = orders.join(F.broadcast(med), "priority").withColumn(
+        "dev2", F.abs(2 * F.col("price_c") - F.col("med2"))
+    )
+    mad = dev.groupBy("priority").agg(
+        F.floor(F.median("dev2") * 2 + F.lit(0.5)).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("med2").alias("median_x2_c"),
+            F.max("mad4").alias("mad_x4_c"),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), med AS (
+  SELECT priority, CAST(FLOOR(median(price_c) * 2 + 0.5) AS BIGINT) AS med2
+  FROM o GROUP BY 1
+), dev AS (
+  SELECT o.priority, ABS(2 * price_c - med2) AS dev2, med2
+  FROM o JOIN med USING (priority)
+), mad AS (
+  SELECT priority, CAST(FLOOR(median(dev2) * 2 + 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT dev.priority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(MAX(med2) AS BIGINT) AS median_x2_c,
+       CAST(MAX(mad4) AS BIGINT) AS mad_x4_c
+FROM dev JOIN mad USING (priority)
+GROUP BY 1
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-coefficient (containment) near-dup pairs — catches the
     quote/excerpt/wrapper family Jaccard structurally misses (a short
@@ -5025,6 +5092,7 @@ QUERIES: dict[str, QueryFn] = {
     "mode_agg": q_mode_agg,
     "embedding_kmeans": q_embedding_kmeans,
     "hll_rollup": q_hll_rollup,
+    "mad_outliers": q_mad_outliers,
     "interval_join": q_interval_join,
     "winsorize": q_winsorize,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -5171,6 +5239,7 @@ ORACLES: dict[str, str] = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "rolling_quantile": SQL_ROLLING_QUANTILE,
     "mode_agg": SQL_MODE_AGG,
+    "mad_outliers": SQL_MAD_OUTLIERS,
     "interval_join": SQL_INTERVAL_JOIN,
     "winsorize": SQL_WINSORIZE,
     "url_canonical_dedup": SQL_URL_CANONICAL,

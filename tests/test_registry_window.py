@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the eighteen queries NEW this round (fourteen
+# round-5 window: the nineteen queries NEW this round (fifteen
 # oracled plus the rows-only-by-design pagerank, ann_pq_topk,
 # embedding_kmeans and hll_rollup), the kernel CHANGED this round
 # (fuzzy_match's
@@ -28,6 +28,7 @@ PINNED_FIRST_50 = [
     "mode_agg",
     "embedding_kmeans",
     "hll_rollup",
+    "mad_outliers",
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
 ]
 
 

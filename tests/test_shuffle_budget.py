@@ -47,6 +47,9 @@ SHUFFLE_BUDGET = {
     # per-type sketch agg + the union re-aggregate (static tree renders
     # the sketch lineage under both the per-type and ALL branches)
     "hll_rollup": 3,
+    # two grouped medians + the conditional-count agg (broadcast
+    # join-backs add the build-side lineage)
+    "mad_outliers": 4,
     "interval_join": 2,
     "winsorize": 1,
     "url_canonical_dedup": 1,
