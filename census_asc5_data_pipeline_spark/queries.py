@@ -4836,6 +4836,114 @@ SELECT user_id, event_type AS mode_type, cnt FROM (
 """
 
 
+def q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar documents per document by exact n-gram
+    Jaccard — the nearest-neighbor triage view a dedup reviewer works
+    from (for each doc: who are its closest relatives and how close).
+    Composition: the registered pair generator (df_cap'd inverted
+    index) symmetrized, then one row_number window per doc. Shares the
+    pair list's scale properties; the window adds one keyed shuffle."""
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_ppm=100000, df_cap=4096
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "jaccard_ppm",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "jaccard_ppm",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "neighbor_id", "jaccard_ppm")
+    )
+
+
+SQL_SIMILAR_DOCS_TOPK = (
+    _SQL_SHINGLES
+    + """
+, pairs AS (
+  SELECT doc_a, doc_b, co,
+         CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT)
+           AS jaccard_ppm
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 100000
+), sym AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard_ppm FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, jaccard_ppm FROM pairs
+)
+SELECT doc_id, rank, neighbor_id, jaccard_ppm FROM (
+  SELECT doc_id, neighbor_id, jaccard_ppm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY jaccard_ppm DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM sym
+) WHERE rank <= 3
+"""
+)
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral trigrams (3 consecutive event types per user
+    in (ts, event_id) order) — the sequence-mining step above
+    event_transitions' pair matrix: the dominant 3-step paths through
+    the product. Two lags in one window pass, one count aggregate, a
+    deterministic top-k."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_ms("ts").alias("ts_ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    tri = (
+        ev.withColumn("e2", F.lag("event_type", 1).over(w))
+        .withColumn("e1", F.lag("event_type", 2).over(w))
+        .filter(F.col("e1").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "event_type").alias("trigram")
+        )
+    )
+    counts = tri.groupBy("trigram").agg(F.count(F.lit(1)).alias("cnt"))
+    wk = Window.orderBy(F.col("cnt").desc(), F.col("trigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "trigram", "cnt")
+    )
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS e2,
+         LAG(event_type, 2) OVER w AS e1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), tri AS (
+  SELECT e1 || '>' || e2 || '>' || event_type AS trigram
+  FROM seq WHERE e1 IS NOT NULL
+), counts AS (
+  SELECT trigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM tri GROUP BY 1
+)
+SELECT rank, trigram, cnt FROM (
+  SELECT trigram, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, trigram) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 20
+"""
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier census via median absolute deviation —
     the 3-MAD rule that, unlike the z-score, one extreme value cannot
@@ -5093,6 +5201,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_kmeans": q_embedding_kmeans,
     "hll_rollup": q_hll_rollup,
     "mad_outliers": q_mad_outliers,
+    "similar_docs_topk": q_similar_docs_topk,
+    "event_trigrams": q_event_trigrams,
     "interval_join": q_interval_join,
     "winsorize": q_winsorize,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -5240,6 +5350,8 @@ ORACLES: dict[str, str] = {
     "rolling_quantile": SQL_ROLLING_QUANTILE,
     "mode_agg": SQL_MODE_AGG,
     "mad_outliers": SQL_MAD_OUTLIERS,
+    "similar_docs_topk": SQL_SIMILAR_DOCS_TOPK,
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
     "interval_join": SQL_INTERVAL_JOIN,
     "winsorize": SQL_WINSORIZE,
     "url_canonical_dedup": SQL_URL_CANONICAL,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the nineteen queries NEW this round (fifteen
+# round-5 window: the twenty-one queries NEW this round (seventeen
 # oracled plus the rows-only-by-design pagerank, ann_pq_topk,
 # embedding_kmeans and hll_rollup), the kernel CHANGED this round
 # (fuzzy_match's
@@ -29,6 +29,8 @@ PINNED_FIRST_50 = [
     "embedding_kmeans",
     "hll_rollup",
     "mad_outliers",
+    "similar_docs_topk",
+    "event_trigrams",
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
@@ -65,8 +67,6 @@ PINNED_FIRST_50 = [
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
 ]
 
 

@@ -50,6 +50,12 @@ SHUFFLE_BUDGET = {
     # two grouped medians + the conditional-count agg (broadcast
     # join-backs add the build-side lineage)
     "mad_outliers": 4,
+    # static tree renders the persisted pair lineage under BOTH union
+    # branches (same accounting as near_dup_triangles); runtime is one
+    # materialization + the per-doc window
+    "similar_docs_topk": 9,
+    # one sequence window + the trigram count agg
+    "event_trigrams": 2,
     "interval_join": 2,
     "winsorize": 1,
     "url_canonical_dedup": 1,
