@@ -49,6 +49,10 @@ EXPECT = {
     "skyline_2d": (1, 0, True, 0),
     # broadcast query side on the rerank; encoded-corpus cache reused
     "ann_pq_topk": (1, 0, False, 1),
+    # symmetrized pair list: postings cache reused under both branches
+    "similar_docs_topk": (1, 0, False, 1),
+    # the tiny median/MAD join-backs must stay broadcast
+    "mad_outliers": (2, 0, True, 0),
 }
 
 
