@@ -160,7 +160,7 @@ def ngram_jaccard_pairs(
         F.col("n_a") * 2000000 >= F.lit(2 * threshold_ppm - 1) * F.col("n_b")
     ) & (F.col("n_b") * 2000000 >= F.lit(2 * threshold_ppm - 1) * F.col("n_a"))
     if df_cap is None:
-        return (
+        out = (
             a.join(b, "sh")
             .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
             .groupBy("doc_a", "doc_b", "n_a", "n_b")
@@ -177,6 +177,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard_ppm") >= threshold_ppm)
             .select("doc_a", "doc_b", "co", "jaccard_ppm")
         )
+        # Long-lived sessions: release via queries.unpersist_deps(out);
+        # consumers that persist the pair list themselves must CARRY
+        # these deps forward (r5 code-review finding — the postings
+        # cache otherwise leaks behind every wrapper).
+        out._cached_deps = [post]  # type: ignore[attr-defined]
+        return out
     # Capped path: co splits exactly into
     #   co = co_sub (sub-cap shingles — counted by the SAME map-side-
     #        combinable join+groupBy as the uncapped path, just over the
@@ -202,7 +208,7 @@ def ngram_jaccard_pairs(
         F.col("ss_a").isNotNull() & F.col("ss_b").isNotNull(),
         F.size(F.array_intersect("ss_a", "ss_b")).cast("bigint"),
     ).otherwise(F.lit(0).cast("bigint"))
-    return (
+    out = (
         pairs_sub.join(ssa, "doc_a", "left")
         .join(ssb, "doc_b", "left")
         .withColumn("co", (F.col("co_sub") + co_stop).cast("bigint"))
@@ -218,6 +224,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "co", "jaccard_ppm")
     )
+    # Same release contract as the uncapped branch, plus the stop list.
+    out._cached_deps = [post, stop]  # type: ignore[attr-defined]
+    return out
 
 
 def ngram_containment_pairs(

@@ -63,7 +63,11 @@ def curate(
         id_col="doc_id",
         salt="split-v1",
     )
-    return split.select("doc_id", "split", F.col("clean_len").cast("bigint"))
+    out = split.select("doc_id", "split", F.col("clean_len").cast("bigint"))
+    # release contract: the persisted survivors frame + the pair
+    # generator's postings (queries.unpersist_deps walks this)
+    out._cached_deps = [survivors, *getattr(pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
+    return out
 
 
 def curation_summary(docs: DataFrame, **kwargs) -> DataFrame:

@@ -1448,7 +1448,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=500000, df_cap=4096)
-    return G.dedup_clusters(docs, pairs)
+    out = G.dedup_clusters(docs, pairs)
+    # carry the pair generator's persisted postings forward so
+    # unpersist_deps() can release them (code-review r5 finding)
+    out._cached_deps = list(getattr(pairs, "_cached_deps", ()))  # type: ignore[attr-defined]
+    return out
 
 
 SQL_DEDUP_CLUSTERS = """
@@ -4110,7 +4114,7 @@ def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = G.dedup_clusters(docs, pairs).select("doc_id", "component")
     quality = docs.select("doc_id", F.length("text").alias("n_len"))
     best = F.max(F.struct(F.col("n_len"), (-F.col("doc_id")).alias("neg_id")))
-    return (
+    out = (
         clusters.join(quality, "doc_id")
         .groupBy("component")
         .agg(
@@ -4119,6 +4123,8 @@ def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cluster_size"),
         )
     )
+    out._cached_deps = list(getattr(pairs, "_cached_deps", ()))  # type: ignore[attr-defined]
+    return out
 
 
 SQL_CLUSTER_BEST = """
@@ -4312,13 +4318,10 @@ def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the closing semi-join — without it the whole jaccard pair
     # computation re-runs per role. Unpersisted via _cached_deps (the
     # bench and long-lived callers call queries.unpersist_deps).
-    pairs = (
-        D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+    pairs = raw_pairs.select("doc_a", "doc_b").persist()
     out = G.triangles(pairs, src="doc_a", dst="doc_b")
-    out._cached_deps = [pairs]  # type: ignore[attr-defined]
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
     return out
 
 
@@ -4566,11 +4569,8 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: both unionAll branches reference the jaccard pair
     # computation (same rationale as q_near_dup_triangles); released
     # via unpersist_deps
-    pairs = (
-        D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+    pairs = raw_pairs.select("doc_a", "doc_b").persist()
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -4578,7 +4578,7 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     out = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
-    out._cached_deps = [pairs]  # type: ignore[attr-defined]
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
     return out
 
 
@@ -4746,13 +4746,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from census_asc5_data_pipeline_spark.operators import graph as G
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = (
-        D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+    pairs = raw_pairs.select("doc_a", "doc_b").persist()
     out = G.pagerank(pairs, src="doc_a", dst="doc_b", n_iter=10)
-    out._cached_deps = [pairs]  # type: ignore[attr-defined]
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
     return out
 
 
@@ -4811,8 +4808,14 @@ def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) with its count — deterministic mode, built from a
     count aggregate + row_number rather than an engine mode() whose
     tie-breaking is unspecified. Two keyed shuffles, both map-side
-    combinable."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    combinable. NULL event types are excluded on both engines — the
+    tie-break ORDER BY would otherwise diverge (Spark sorts NULLS
+    FIRST ascending, DuckDB NULLS LAST)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+    )
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -4831,7 +4834,7 @@ SELECT user_id, event_type AS mode_type, cnt FROM (
   SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY COUNT(*) DESC, event_type) AS rn
-  FROM events GROUP BY user_id, event_type
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id, event_type
 ) WHERE rn = 1
 """
 
@@ -4860,11 +4863,13 @@ def q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("jaccard_ppm").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "neighbor_id", "jaccard_ppm")
     )
+    out._cached_deps = list(getattr(pairs, "_cached_deps", ()))  # type: ignore[attr-defined]
+    return out
 
 
 SQL_SIMILAR_DOCS_TOPK = (
@@ -4902,8 +4907,14 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_transitions' pair matrix: the dominant 3-step paths through
     the product. Two lags in one window pass, one count aggregate, a
     deterministic top-k."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", epoch_ms("ts").alias("ts_ms"), "event_id"
+    # NULL event types are excluded on BOTH engines before the window:
+    # Spark's concat_ws would silently skip a NULL (emitting a 2-part
+    # trigram) while the oracle's || propagates it — the same class of
+    # latent divergence as attribution's NULL-ts filter.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "event_type", epoch_ms("ts").alias("ts_ms"), "event_id")
     )
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     tri = (
@@ -4929,6 +4940,7 @@ WITH seq AS (
          LAG(event_type, 1) OVER w AS e2,
          LAG(event_type, 2) OVER w AS e1
   FROM events
+  WHERE event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 ), tri AS (
   SELECT e1 || '>' || e2 || '>' || event_type AS trigram

@@ -42,9 +42,12 @@ def read_binary_files(
         reader = reader.option("recursiveFileLookup", "true")
     df = reader.load(path)
     base = F.element_at(F.split(F.col("path"), "/"), -1)
+    # extension = non-empty suffix after a non-leading dot; dotfiles
+    # (".env"), trailing dots ("archive.") and extension-less names all
+    # fall back to "raw" (code-review r5 finding)
     ext = F.when(
-        base.contains("."),
-        F.lower(F.element_at(F.split(base, r"\."), -1)),
+        base.rlike(r".\.[^.]+$"),
+        F.lower(F.regexp_extract(base, r"\.([^.]+)$", 1)),
     ).otherwise(F.lit("raw"))
     return df.select(
         F.xxhash64(F.col("path")).alias("doc_id"),

@@ -594,7 +594,6 @@ def stream_weighted_sample(
     events: DataFrame,
     k: int = 16,
     nshards: int = 4,
-    watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming weighted sample without replacement — the
     bounded-state twin of the batch ``weighted_sample`` query, same
@@ -613,6 +612,12 @@ def stream_weighted_sample(
     md5 key makes the sample a pure function of the data, so a replay
     or a batch recomputation yields the identical sample — auditable
     subsampling on a stream.
+
+    Deliberately NO watermark (unlike the other stateful operators): a
+    watermark would silently drop late events before they could enter
+    the reservoir, breaking the replay-equality guarantee above, and
+    it buys nothing here — state is already hard-bounded at
+    O(nshards·k) with NoTimeout, independent of event time.
     """
 
     def _ws_fn(
@@ -657,12 +662,8 @@ def stream_weighted_sample(
     score = -F.log((u32 + 1) / F.lit(4294967296.0)) / (
         F.abs(F.col("value")) + F.lit(1.0)
     )
-    ev = (
-        events.withWatermark("ts", watermark)
-        .withColumn("score", score)
-        .withColumn(
-            "shard", F.pmod(F.xxhash64("event_id"), F.lit(nshards)).cast("int")
-        )
+    ev = events.withColumn("score", score).withColumn(
+        "shard", F.pmod(F.xxhash64("event_id"), F.lit(nshards)).cast("int")
     )
     return ev.groupBy("shard").applyInPandasWithState(
         _ws_fn,

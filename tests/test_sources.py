@@ -256,3 +256,23 @@ def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     decoded = {r.doc_id: r for r in decode_media(flat, codec="stub").collect()}
     assert set(decoded) == {r.doc_id for r in rows.values()}
     assert all(v.n_bytes > 0 for v in decoded.values())
+
+
+def test_binary_file_source_extension_edge_cases(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.binary_source import (
+        read_binary_files,
+    )
+
+    d = tmp_path / "edge"
+    d.mkdir()
+    (d / "archive.").write_bytes(b"x")   # trailing dot -> raw
+    (d / ".env").write_bytes(b"x")       # hidden: Spark listings skip it
+    (d / "a.b.GZ").write_bytes(b"x")     # last suffix, lowercased
+    got = {
+        r.path.split("/")[-1]: r.media_type
+        for r in read_binary_files(spark, str(d)).collect()
+    }
+    # dotfiles never surface (Spark's file listing filters leading-dot
+    # and leading-underscore names); the regex still maps them to raw
+    # defensively if a future listing config admits them
+    assert got == {"archive.": "bin/raw", "a.b.GZ": "bin/gz"}
