@@ -4956,6 +4956,100 @@ SELECT rank, trigram, cnt FROM (
 """
 
 
+def q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key LINEAR interpolation of missing values between the
+    surrounding observations — the time-series imputation step beyond
+    locf_fill's step function. A deterministic 20% of readings
+    (event_id % 5 == 0) are masked as missing, then rebuilt as
+    prev + (next-prev)·(t-t_prev)/(t_next-t_prev).
+
+    Portability: the interpolation is EXACT INTEGER floor division —
+    fill = prev + (num - floormod(num, den)) DIV den with num =
+    dv·dt (int64-bounded: cents × ms-gaps ≪ 2⁶³), floormod spelled
+    pmod() in Spark and ((a%b+b)%b) in DuckDB — because Spark's DIV
+    truncates toward zero while DuckDB's // floors, and they disagree
+    on negative deltas unless the remainder is removed first. Edges:
+    missing before the first / after the last observation fall back to
+    nearest-observation fill; a zero time gap falls back to prev."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_ms("ts").alias("ts_ms"), "value"
+    )
+    v = cents(F.col("value"))
+    obs = F.when(F.col("event_id") % 5 != 0, v)
+    base = ev.select(
+        "user_id", "event_id", "ts_ms", obs.alias("v_obs")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v_obs").isNotNull(), F.col("ts_ms"))
+    d = (
+        base.withColumn("pv", F.last("v_obs", ignorenulls=True).over(w_prev))
+        .withColumn("pt", F.last(t_obs, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v_obs", ignorenulls=True).over(w_next))
+        .withColumn("nt", F.first(t_obs, ignorenulls=True).over(w_next))
+    )
+    den = F.col("nt") - F.col("pt")
+    interp = F.col("pv") + F.expr(
+        "CAST((((nv - pv) * (ts_ms - pt)) - pmod((nv - pv) * (ts_ms - pt), nt - pt)) DIV (nt - pt) AS BIGINT)"
+    )
+    filled = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(den == 0, F.col("pv"))
+        .otherwise(interp)
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.col("v_obs").alias("observed_c"),
+        filled.cast("bigint").alias("filled_c"),
+    )
+
+
+SQL_INTERP_FILL = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         CASE WHEN event_id % 5 <> 0
+              THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS v_obs
+  FROM events
+), d AS (
+  SELECT user_id, event_id, ts_ms, v_obs,
+         last_value(v_obs IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v_obs IS NOT NULL THEN ts_ms END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(v_obs IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v_obs IS NOT NULL THEN ts_ms END IGNORE NULLS)
+           OVER wn AS nt
+  FROM base
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id, ts_ms, v_obs AS observed_c,
+       CAST(CASE
+         WHEN v_obs IS NOT NULL THEN v_obs
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         WHEN nt - pt = 0 THEN pv
+         ELSE pv + (((nv - pv) * (ts_ms - pt))
+                    - ((((nv - pv) * (ts_ms - pt)) % (nt - pt) + (nt - pt))
+                       % (nt - pt))) // (nt - pt)
+       END AS BIGINT) AS filled_c
+FROM d
+"""
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier census via median absolute deviation —
     the 3-MAD rule that, unlike the z-score, one extreme value cannot
@@ -5213,6 +5307,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_kmeans": q_embedding_kmeans,
     "hll_rollup": q_hll_rollup,
     "mad_outliers": q_mad_outliers,
+    "interp_fill": q_interp_fill,
     "similar_docs_topk": q_similar_docs_topk,
     "event_trigrams": q_event_trigrams,
     "interval_join": q_interval_join,
@@ -5362,6 +5457,7 @@ ORACLES: dict[str, str] = {
     "rolling_quantile": SQL_ROLLING_QUANTILE,
     "mode_agg": SQL_MODE_AGG,
     "mad_outliers": SQL_MAD_OUTLIERS,
+    "interp_fill": SQL_INTERP_FILL,
     "similar_docs_topk": SQL_SIMILAR_DOCS_TOPK,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "interval_join": SQL_INTERVAL_JOIN,

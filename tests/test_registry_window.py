@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the twenty-one queries NEW this round (seventeen
+# round-5 window: the twenty-two queries NEW this round (eighteen
 # oracled plus the rows-only-by-design pagerank, ann_pq_topk,
 # embedding_kmeans and hll_rollup), the kernel CHANGED this round
 # (fuzzy_match's
@@ -29,6 +29,7 @@ PINNED_FIRST_50 = [
     "embedding_kmeans",
     "hll_rollup",
     "mad_outliers",
+    "interp_fill",
     "similar_docs_topk",
     "event_trigrams",
     "interval_join",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
-    "dedup_minhash",
 ]
 
 

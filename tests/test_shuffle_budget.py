@@ -50,6 +50,8 @@ SHUFFLE_BUDGET = {
     # two grouped medians + the conditional-count agg (broadcast
     # join-backs add the build-side lineage)
     "mad_outliers": 4,
+    # one per-user window pass (both frames share the sort)
+    "interp_fill": 1,
     # static tree renders the persisted pair lineage under BOTH union
     # branches (same accounting as near_dup_triangles); runtime is one
     # materialization + the per-doc window
