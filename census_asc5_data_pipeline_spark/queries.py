@@ -4971,8 +4971,15 @@ def q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     on negative deltas unless the remainder is removed first. Edges:
     missing before the first / after the last observation fall back to
     nearest-observation fill; a zero time gap falls back to prev."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", epoch_ms("ts").alias("ts_ms"), "value"
+    # NULL timestamps are filtered on BOTH engines before the window —
+    # Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST, so an
+    # unfiltered NULL ts would silently shift the pv/nv chains (same
+    # guard class as attribution's NULL-ts and event_trigrams'
+    # NULL-type filters).
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", epoch_ms("ts").alias("ts_ms"), "value")
     )
     v = cents(F.col("value"))
     obs = F.when(F.col("event_id") % 5 != 0, v)
@@ -4995,16 +5002,19 @@ def q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pt", F.last(t_obs, ignorenulls=True).over(w_prev))
         .withColumn("nv", F.first("v_obs", ignorenulls=True).over(w_next))
         .withColumn("nt", F.first(t_obs, ignorenulls=True).over(w_next))
+        # the gap is defined ONCE: the zero-gap guard below and the
+        # divisor inside the expr reference the same column, so they
+        # cannot drift apart under maintenance
+        .withColumn("den", F.col("nt") - F.col("pt"))
     )
-    den = F.col("nt") - F.col("pt")
     interp = F.col("pv") + F.expr(
-        "CAST((((nv - pv) * (ts_ms - pt)) - pmod((nv - pv) * (ts_ms - pt), nt - pt)) DIV (nt - pt) AS BIGINT)"
+        "CAST((((nv - pv) * (ts_ms - pt)) - pmod((nv - pv) * (ts_ms - pt), den)) DIV den AS BIGINT)"
     )
     filled = (
         F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
         .when(F.col("pv").isNull(), F.col("nv"))
         .when(F.col("nv").isNull(), F.col("pv"))
-        .when(den == 0, F.col("pv"))
+        .when(F.col("den") == 0, F.col("pv"))
         .otherwise(interp)
     )
     return d.select(
@@ -5021,7 +5031,7 @@ WITH base AS (
   SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
          CASE WHEN event_id % 5 <> 0
               THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS v_obs
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), d AS (
   SELECT user_id, event_id, ts_ms, v_obs,
          last_value(v_obs IGNORE NULLS) OVER wp AS pv,
