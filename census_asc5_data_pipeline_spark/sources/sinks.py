@@ -56,6 +56,25 @@ def write_orc(
     writer.orc(path)
 
 
+def read_parquet_evolving(spark, path: str) -> "DataFrame":
+    """Schema-evolution read: union the footer schemas of every file
+    under ``path`` (``mergeSchema``) so batches written before a column
+    was added read alongside batches written after — old rows surface
+    the new column as NULL, the standard append-only-ingest evolution
+    contract (an ingest pipeline adds fields over time; readers must
+    not break on either side of the change).
+
+    Spark's default reads ONE file's footer for the schema, so
+    whichever batch happens to be listed first silently decides the
+    visible columns — this forces the merge. Cost note: mergeSchema
+    reads every footer at planning time (footers only, not data); on
+    very large file counts prefer a declared schema via
+    ``spark.read.schema(...)``, which this helper intentionally does
+    not hide.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def compact_parquet(
     spark,
     path: str,

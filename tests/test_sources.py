@@ -276,3 +276,25 @@ def test_binary_file_source_extension_edge_cases(spark, tmp_path):
     # and leading-underscore names); the regex still maps them to raw
     # defensively if a future listing config admits them
     assert got == {"archive.": "bin/raw", "a.b.GZ": "bin/gz"}
+
+
+def test_parquet_schema_evolution_merged_read(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.sinks import (
+        read_parquet_evolving,
+        write_parquet,
+    )
+
+    out = str(tmp_path / "evolve")
+    # batch 1: pre-evolution schema
+    write_parquet(spark.createDataFrame([(1, "a")], "id LONG, v STRING"), out)
+    # batch 2 appends with an added column
+    write_parquet(
+        spark.createDataFrame([(2, "b", 9.5)], "id LONG, v STRING, score DOUBLE"),
+        out,
+        mode="append",
+    )
+    merged = read_parquet_evolving(spark, out)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None  # old rows surface the new column as NULL
+    assert rows[2].score == 9.5
