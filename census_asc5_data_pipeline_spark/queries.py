@@ -4907,13 +4907,15 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_transitions' pair matrix: the dominant 3-step paths through
     the product. Two lags in one window pass, one count aggregate, a
     deterministic top-k."""
-    # NULL event types are excluded on BOTH engines before the window:
-    # Spark's concat_ws would silently skip a NULL (emitting a 2-part
-    # trigram) while the oracle's || propagates it — the same class of
-    # latent divergence as attribution's NULL-ts filter.
+    # NULL event types AND NULL timestamps are excluded on BOTH engines
+    # before the window: Spark's concat_ws would silently skip a NULL
+    # type (emitting a 2-part trigram) while the oracle's || propagates
+    # it, and a NULL ts sorts NULLS-FIRST in Spark vs NULLS-LAST in
+    # DuckDB — either one silently reorders the sequences
+    # (tests/test_null_guards.py pins both on planted NULL data).
     ev = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isNotNull())
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "event_type", epoch_ms("ts").alias("ts_ms"), "event_id")
     )
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
@@ -4940,7 +4942,7 @@ WITH seq AS (
          LAG(event_type, 1) OVER w AS e2,
          LAG(event_type, 2) OVER w AS e1
   FROM events
-  WHERE event_type IS NOT NULL
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 ), tri AS (
   SELECT e1 || '>' || e2 || '>' || event_type AS trigram
