@@ -672,3 +672,55 @@ def stream_weighted_sample(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_distinct_sketch(
+    events: DataFrame,
+    table: str,
+    checkpoint: str,
+    value_col: str = "user_id",
+):
+    """Streaming distinct-count maintenance via mergeable HLL sketches
+    — the streaming twin of the batch ``hll_rollup``: each micro-batch
+    aggregates ITS OWN Datasketches sketch (``hll_sketch_agg``, fixed
+    size regardless of batch rows), and the sink merges it with the
+    stored sketch (``hll_union``) under the versioned-snapshot commit,
+    so the running estimate is maintained in O(sketch-bytes) work per
+    batch with no rescan of history and no per-key streaming state at
+    all.
+
+    Crash-safety falls out of the ALGEBRA, not bookkeeping: HLL union
+    is idempotent over re-merged element sets, so a batch replayed
+    after a crash (foreachBatch's at-least-once contract) unions the
+    same registers again and the estimate is unchanged — the property
+    tests/test_streaming.py pins by re-merging a batch on purpose.
+    Readers take ``versioned.read_current`` and
+    ``hll_sketch_estimate`` off the single stored row.
+    """
+    from census_asc5_data_pipeline_spark.sources import versioned
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # skip empty batches entirely: committing a version for zero
+        # rows would churn the retention window for nothing
+        if batch_df.isEmpty():
+            return
+        batch_sk = batch_df.groupBy().agg(
+            F.expr(f"hll_sketch_agg({value_col})").alias("sk")
+        )
+        spark = batch_df.sparkSession
+        try:
+            stored = versioned.read_current(spark, table)
+            merged = (
+                stored.unionByName(batch_sk)
+                .groupBy()
+                .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+            )
+        except FileNotFoundError:
+            merged = batch_sk
+        versioned.commit_version(merged, table)
+
+    return (
+        events.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )

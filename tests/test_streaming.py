@@ -621,3 +621,62 @@ def test_stream_weighted_sample_matches_batch_replay(spark, tmp_path):
         pairs.sort()
         want |= {(sh, eid) for _s, eid in pairs[:8]}
     assert got == want  # streamed reservoir == exact batch replay
+
+
+def test_stream_distinct_sketch_maintains_estimate_idempotently(spark, tmp_path):
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.sources import versioned
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stream_distinct_sketch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), i % 137, "e", 1.0, "{}")
+        for i in range(400)
+    ]
+    src = str(tmp_path / "sk_ev")
+    spark.createDataFrame(rows[:200], EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[200:], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    table = str(tmp_path / "sketch_table")
+
+    q = stream_distinct_sketch(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ckpt"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    est = versioned.read_current(spark, table).selectExpr(
+        "CAST(hll_sketch_estimate(sk) AS BIGINT) AS est"
+    ).first().est
+    exact = len({r[2] for r in rows})  # 137 distinct users
+    assert abs(est - exact) <= max(1, int(0.05 * exact))
+
+    # at-least-once replay: re-merging a batch's sketch must not move
+    # the estimate (HLL union is idempotent over re-merged elements)
+    from pyspark.sql import functions as F
+
+    replay = (
+        spark.read.parquet(src)
+        .limit(200)
+        .groupBy()
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    merged = (
+        versioned.read_current(spark, table)
+        .unionByName(replay)
+        .groupBy()
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    )
+    versioned.commit_version(merged, table)
+    est2 = versioned.read_current(spark, table).selectExpr(
+        "CAST(hll_sketch_estimate(sk) AS BIGINT) AS est"
+    ).first().est
+    assert est2 == est
