@@ -4839,6 +4839,108 @@ SELECT user_id, event_type AS mode_type, cnt FROM (
 """
 
 
+def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-100 part-BRAND pairs by lift
+    (P(a,b)/(P(a)P(b)) over orders) with support >= 5 — the classic
+    co-occurrence/recommendation analytic, computed at the brand level
+    so the co-occurrence matrix stays dense at every scale factor
+    (part-level pairs thin out as the catalog grows with SF). The
+    self-join is on the ORDER key, so fan-out per order is bounded by
+    its distinct-brand count (≤ its ~7 lineitems), never quadratic in
+    the catalog — the market-basket shape stays safe at 100×. Lift is
+    the pure integer floor division (co·N·10⁶) DIV (ca·cb): every
+    operand positive, where truncating and flooring division agree
+    across engines, and the product stays far inside int64.
+    Deterministic top-100 via distributed TakeOrderedAndProject + a
+    k-row rank window (the weighted_sample pattern — no global sort of
+    the full pair set); the brand dim ships broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    brands = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(
+            F.broadcast(brands), li["l_partkey"] == brands["p_partkey"]
+        )
+        .select("l_orderkey", F.col("p_brand").alias("l_partkey"))
+        .distinct()
+    )
+    # in-plan scalar subquery (the tf-idf corpus-count pattern) — no
+    # separate driver-side count job
+    n_orders = items.select(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n")
+    ).scalar()
+    part_cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p_a"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    ca = part_cnt.select(F.col("l_partkey").alias("p_a"), F.col("c").alias("ca"))
+    cb = part_cnt.select(F.col("l_partkey").alias("p_b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(ca, "p_a")
+        .join(cb, "p_b")
+        .withColumn("num", F.col("co") * n_orders * F.lit(1000000).cast("bigint"))
+        .withColumn("den", F.col("ca") * F.col("cb"))
+        .withColumn("lift_ppm", F.expr("CAST(num DIV den AS BIGINT)"))
+        .drop("num", "den")
+    )
+    top = scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("co").desc(), "p_a", "p_b"
+    ).limit(100)
+    return top.select(
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("lift_ppm").desc(), F.col("co").desc(), "p_a", "p_b"
+            )
+        )
+        .cast("bigint")
+        .alias("rank"),
+        F.col("p_a").alias("brand_a"),
+        F.col("p_b").alias("brand_b"),
+        "co",
+        "ca",
+        "cb",
+        "lift_ppm",
+    )
+
+
+SQL_ITEM_AFFINITY = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_brand AS l_partkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+), pc AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), scored AS (
+  SELECT p_a, p_b, co, ca.c AS ca, cb.c AS cb,
+         CAST((co * n.n_orders * 1000000) // (ca.c * cb.c) AS BIGINT)
+           AS lift_ppm
+  FROM pairs
+  JOIN pc ca ON ca.l_partkey = p_a
+  JOIN pc cb ON cb.l_partkey = p_b
+  CROSS JOIN n
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, co DESC, p_a, p_b)
+            AS BIGINT) AS rank,
+       p_a AS brand_a, p_b AS brand_b, co, ca, cb, lift_ppm
+FROM scored ORDER BY lift_ppm DESC, co DESC, p_a, p_b LIMIT 100
+"""
+
+
 def q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar documents per document by exact n-gram
     Jaccard — the nearest-neighbor triage view a dedup reviewer works
@@ -5320,6 +5422,7 @@ QUERIES: dict[str, QueryFn] = {
     "hll_rollup": q_hll_rollup,
     "mad_outliers": q_mad_outliers,
     "interp_fill": q_interp_fill,
+    "item_affinity": q_item_affinity,
     "similar_docs_topk": q_similar_docs_topk,
     "event_trigrams": q_event_trigrams,
     "interval_join": q_interval_join,
@@ -5470,6 +5573,7 @@ ORACLES: dict[str, str] = {
     "mode_agg": SQL_MODE_AGG,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "interp_fill": SQL_INTERP_FILL,
+    "item_affinity": SQL_ITEM_AFFINITY,
     "similar_docs_topk": SQL_SIMILAR_DOCS_TOPK,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "interval_join": SQL_INTERVAL_JOIN,

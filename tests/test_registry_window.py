@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the twenty-two queries NEW this round (eighteen
+# round-5 window: the twenty-three queries NEW this round (nineteen
 # oracled plus the rows-only-by-design pagerank, ann_pq_topk,
 # embedding_kmeans and hll_rollup), the kernel CHANGED this round
 # (fuzzy_match's
@@ -30,6 +30,7 @@ PINNED_FIRST_50 = [
     "hll_rollup",
     "mad_outliers",
     "interp_fill",
+    "item_affinity",
     "similar_docs_topk",
     "event_trigrams",
     "interval_join",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
-    "ann_ivf_topk",
 ]
 
 

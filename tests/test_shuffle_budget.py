@@ -52,6 +52,10 @@ SHUFFLE_BUDGET = {
     "mad_outliers": 4,
     # one per-user window pass (both frames share the sort)
     "interp_fill": 1,
+    # static tree re-renders the distinct-basket lineage under both
+    # self-join roles plus the part-count and scalar-subquery branches;
+    # runtime dedups via ReuseExchange
+    "item_affinity": 9,
     # static tree renders the persisted pair lineage under BOTH union
     # branches (same accounting as near_dup_triangles); runtime is one
     # materialization + the per-doc window
