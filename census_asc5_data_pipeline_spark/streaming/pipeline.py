@@ -724,3 +724,28 @@ def stream_distinct_sketch(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Approximate distinct users per tumbling window — the streaming
+    unique-visitors metric. ``approx_count_distinct`` keeps an
+    HLL++-style fixed-size register set per (window, event_type) group
+    instead of the unbounded user-id set an exact streaming distinct
+    would need, and the watermark closes windows — state is
+    O(open windows · sketch bytes), throughput-independent. The batch
+    twin (the same aggregate over the static frame) pins per-window
+    equality in tests/test_streaming.py: identical registers, so the
+    stream and batch ESTIMATES match exactly, not just approximately.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "approx_users",
+        )
+    )

@@ -680,3 +680,37 @@ def test_stream_distinct_sketch_maintains_estimate_idempotently(spark, tmp_path)
         "CAST(hll_sketch_estimate(sk) AS BIGINT) AS est"
     ).first().est
     assert est2 == est
+
+
+def test_windowed_distinct_users_matches_batch_estimate(spark, event_dir):
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        windowed_distinct_users,
+    )
+
+    ev = read_event_stream(spark, event_dir)
+    _run(windowed_distinct_users(ev), "wdu_out", mode="append")
+    got = {
+        (r.window_start_ms, r.event_type): r.approx_users
+        for r in spark.sql("SELECT * FROM wdu_out").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .select(F.unix_millis("w.start").alias("ms"), "event_type", "n")
+    )
+    want = {(r.ms, r.event_type): r.n for r in batch.collect()}
+    exact = {
+        (r.ms, r.event_type): r.n
+        for r in spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.unix_millis("w.start").alias("ms"), "event_type", "n")
+        .collect()
+    }
+    assert got
+    for k, v in got.items():
+        # same HLL registers stream/batch -> identical estimates
+        assert want[k] == v
+        # and the estimate is within the sketch's error envelope
+        assert abs(v - exact[k]) <= max(2, int(0.1 * exact[k]))
