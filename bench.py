@@ -53,6 +53,9 @@ HEADLINE = [
     "pagerank",
     "doc_perplexity",
     "incremental_agg",
+    "similar_docs_topk",
+    "item_affinity",
+    "embedding_kmeans",
 ]
 
 
