@@ -185,6 +185,95 @@ def skyline_2d(df: DataFrame, cost: str, gain: str, bucket_width: int = 10000) -
     )
 
 
+def bloom_filter_words(
+    keys: DataFrame, key_col: str, n_bits: int = 8192, n_hashes: int = 3
+) -> list[int]:
+    """Build a Bloom filter over a key column, returned as a dense
+    ``n_bits / 64`` word array (python ints) for broadcasting as a
+    literal.
+
+    Positions are ``pmod(xxhash64(key, seed), n_bits)`` for seeds
+    ``1..n_hashes``; words are OR-folded with a map-side-combinable
+    ``bit_or`` aggregate, so the only driver traffic is the fixed-size
+    word table (``n_bits/64`` longs — 1 KiB at the default), never the
+    keys. Size ``n_bits ≈ 10–16 bits per distinct key`` for a ~1% false
+    positive rate; at 100 TB a 10M-key build side is still a 20 MB
+    broadcast — far below the hash-relation a broadcast join would ship.
+    """
+    n_words = n_bits // 64
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(n_bits))
+        for seed in range(1, n_hashes + 1)
+    ]
+    exploded = keys.select(
+        F.explode(F.array(*pos_cols)).alias("__pos")
+    ).select(
+        (F.col("__pos") / 64).cast("long").alias("__word"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+        ).alias("__bit"),
+    )
+    rows = (
+        exploded.groupBy("__word")
+        .agg(F.expr("bit_or(__bit)").alias("__bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[int(r["__word"])] = int(r["__bits"])
+    return words
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], n_bits: int, n_hashes: int = 3
+) -> Column:
+    """Membership probe against a literal Bloom word table — pure
+    JVM-side bit math inside whole-stage codegen (no UDF, no join).
+    False positives possible (callers follow with the exact join);
+    false negatives impossible, so pre-filtering never drops a match.
+    """
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for seed in range(1, n_hashes + 1):
+        pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(n_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join reduction: pre-filter ``big`` through a broadcast
+    Bloom filter built from ``small``'s keys, then run the exact
+    broadcast semi-join on the survivors.
+
+    The result is EXACTLY the plain semi-join (the Bloom filter has no
+    false negatives; false positives are removed by the exact join) —
+    what changes is the data volume entering the join: at 100 TB the
+    probe-side filter runs at the scan (whole-stage codegen, no
+    shuffle) and drops the ~(1 - selectivity) of fact rows that would
+    otherwise flow into the join. This is the manual form of Spark's
+    runtime row-level bloom pruning, usable where that doesn't fire
+    (non-equi pre-aggregations, unions, streaming foreachBatch).
+    """
+    words = bloom_filter_words(small, small_key, n_bits, n_hashes)
+    pre = big.filter(bloom_might_contain(F.col(big_key), words, n_bits, n_hashes))
+    return pre.join(
+        F.broadcast(small.select(small_key).distinct()),
+        pre[big_key] == F.col(small_key),
+        "left_semi",
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -5379,6 +5379,104 @@ FROM s ORDER BY score, doc_id LIMIT 100
 """
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (relational.bloom_semi_join):
+    orders of high-balance customers, pre-filtered at the scan through
+    a broadcast Bloom word table built from the qualifying customer
+    keys, then exact broadcast semi-join + priority rollup.
+
+    Output is EXACTLY the plain semi-join aggregate (no false
+    negatives; false positives die in the exact join), which is what
+    the DuckDB oracle computes — the hash match proves the reduction
+    is transparent. At 100 TB the probe filter is pure codegen bit
+    math at the parquet scan: the ~72% of fact rows with no match
+    never reach the join."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000.0)
+        .select("c_custkey")
+    )
+    matched = R.bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+        .select("o_orderpriority", "n_orders", "revenue_cents")
+    )
+
+
+SQL_BLOOM_JOIN = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 7000.0)
+GROUP BY o_orderpriority
+"""
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert analytics (the funnel's missing axis): per
+    signup-day cohort, how many users converted (first purchase
+    strictly after first signup) and the exact median lag in seconds
+    (median of integers ×2 — exact in double space, the group_median
+    pattern). One groupBy(user) with conditional MINs replaces two
+    window passes; two keyed shuffles, both map-side combinable."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase") & F.col("ts").isNotNull()
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", epoch_ms("ts"))).alias(
+            "first_signup_ms"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", epoch_ms("ts"))).alias(
+            "first_purchase_ms"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_signup_ms").isNotNull()
+        & (F.col("first_purchase_ms") > F.col("first_signup_ms"))
+    ).select(
+        F.expr("first_signup_ms DIV 86400000").alias("cohort_day"),
+        F.expr("(first_purchase_ms - first_signup_ms) DIV 1000").alias("lag_s"),
+    )
+    return conv.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.floor(F.median("lag_s") * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("median_lag_2s"),
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'
+                  THEN CAST(epoch_ms(ts) AS BIGINT) END) AS first_signup_ms,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(epoch_ms(ts) AS BIGINT) END) AS first_purchase_ms
+  FROM events
+  WHERE event_type IN ('signup', 'purchase') AND ts IS NOT NULL
+  GROUP BY user_id
+), conv AS (
+  SELECT first_signup_ms // 86400000 AS cohort_day,
+         (first_purchase_ms - first_signup_ms) // 1000 AS lag_s
+  FROM firsts
+  WHERE first_signup_ms IS NOT NULL
+    AND first_purchase_ms > first_signup_ms
+)
+SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(FLOOR(median(lag_s) * 2 + 0.5) AS BIGINT) AS median_lag_2s
+FROM conv GROUP BY cohort_day
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5409,6 +5507,8 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 5 (never driver-checked) ---
+    "bloom_join": q_bloom_join,
+    "conversion_lag": q_conversion_lag,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -5563,6 +5663,8 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 5 (pagerank is rows-only by design: iterative
     # double sums; see q_pagerank docstring) ---
+    "bloom_join": SQL_BLOOM_JOIN,
+    "conversion_lag": SQL_CONVERSION_LAG,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

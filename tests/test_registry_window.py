@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the twenty-three queries NEW this round (nineteen
+# round-5 window: the twenty-five queries NEW this round (twenty-one
 # oracled plus the rows-only-by-design pagerank, ann_pq_topk,
 # embedding_kmeans and hll_rollup), the kernel CHANGED this round
 # (fuzzy_match's
@@ -17,6 +17,8 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # attribution's NULL-ts filter were already in-window), then the
 # round-4 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
+    "bloom_join",
+    "conversion_lag",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -65,8 +67,6 @@ PINNED_FIRST_50 = [
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
 ]
 
 

@@ -239,3 +239,42 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     )
     sample_mean = sum(r.n_chars for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Every built key must probe True (Bloom soundness); a filter this
+    oversized (8192 bits / 200 keys) must also reject most non-members."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 200).withColumnRenamed("id", "k")
+    words = bloom_filter_words(members, "k", n_bits=8192, n_hashes=3)
+    assert len(words) == 8192 // 64
+    probe = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        bloom_might_contain(F.col("id"), words, 8192, 3).alias("hit"),
+    )
+    rows = {r.k: r.hit for r in probe.collect()}
+    assert all(rows[k] for k in range(200)), "false negative — never allowed"
+    fp = sum(1 for k in range(200, 2000) if rows[k])
+    assert fp < 180, f"false-positive rate implausibly high: {fp}/1800"
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        bloom_semi_join,
+    )
+
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.range(0, 100).select((F.col("id") * 3).alias("sk"))
+    got = bloom_semi_join(big, small, "k", "sk")
+    plain = big.join(
+        small.distinct(), big["k"] == F.col("sk"), "left_semi"
+    )
+    assert sorted((r.k, r.payload) for r in got.collect()) == sorted(
+        (r.k, r.payload) for r in plain.collect()
+    )

@@ -23,6 +23,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 5 ---
+    # final priority rollup; the bloom word-table build is a separate
+    # (eager, metadata-scale) job, and the exact semi-join broadcasts
+    "bloom_join": 2,
+    # per-user conditional-MIN agg + cohort rollup
+    "conversion_lag": 2,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
