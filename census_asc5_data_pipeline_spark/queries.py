@@ -5477,6 +5477,238 @@ FROM conv GROUP BY cohort_day
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (tokenizer-sizing analytic): what
+    fraction of all corpus token OCCURRENCES the top-k most frequent
+    types cover, for k in {5, 10, 20, 30}. The cumulative sum runs
+    only over the TakeOrdered top-500 type slice (vocabulary-sized,
+    never corpus-sized — no global window over the data); the corpus
+    total folds in as an in-plan scalar subquery. Ties at the rank
+    boundary break lexicographically, so the curve is deterministic."""
+    from census_asc5_data_pipeline_spark.functions import (
+        explode_computed,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = explode_computed(
+        docs.select("doc_id", words(F.col("text")).alias("w")), F.col("w"), "tok"
+    ).filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.groupBy().agg(F.sum("c").cast("double")).scalar()
+    top = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(500)
+    w = Window.orderBy(F.col("c").desc(), F.col("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("rank"),
+        F.sum("c").over(w).alias("cum_c"),
+    )
+    return (
+        ranked.filter(F.col("rank").isin(5, 10, 20, 30))
+        .select(
+            F.col("rank").cast("bigint").alias("top_k"),
+            F.col("cum_c").cast("bigint").alias("covered_occurrences"),
+            F.floor(
+                F.col("cum_c").cast("double") * 1e6 / F.lit(total) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+  WHERE tok IS NOT NULL AND tok <> '' GROUP BY tok
+), top AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank,
+         SUM(c) OVER (ORDER BY c DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c
+  FROM top
+)
+SELECT CAST(rank AS BIGINT) AS top_k,
+       CAST(cum_c AS BIGINT) AS covered_occurrences,
+       CAST(FLOOR(CAST(cum_c AS DOUBLE) * 1e6
+                  / (SELECT CAST(SUM(c) AS DOUBLE) FROM counts) + 0.5)
+            AS BIGINT) AS coverage_ppm
+FROM ranked WHERE rank IN (5, 10, 20, 30)
+"""
+
+
+BM25_QUERY_TERMS = ("spark", "shuffle", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-20 documents for a fixed term query — the
+    classic lexical relevance scorer a curation pipeline uses for
+    targeted corpus slicing. Every float enters through ONE shared
+    per-(doc,term) expression over exact integers (tf, df, dl, and
+    avgdl/N as scalar subqueries), scaled to integer micro-points;
+    the per-doc score is then an exact integer SUM — reduce-order
+    independent, so the ranking hash-matches across engines despite
+    the logs. df join is a broadcast (|terms| rows); top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from census_asc5_data_pipeline_spark.functions import (
+        explode_computed,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id", "w", F.size("w").alias("dl")
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("double")).scalar()
+    avgdl = toks.groupBy().agg(F.avg(F.col("dl").cast("double"))).scalar()
+    hits = explode_computed(
+        toks, F.col("w"), "tok", keep=("doc_id", "dl")
+    ).filter(F.col("tok").isin(*BM25_QUERY_TERMS))
+    tf = hits.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    term_score = F.floor(idf * tf_d / denom * 1e6 + F.lit(0.5)).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .select("doc_id", term_score.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("s_micro").alias("bm25_micro"))
+    )
+    return (
+        scored.orderBy(F.col("bm25_micro").desc(), F.col("doc_id"))
+        .limit(20)
+        .select("doc_id", "bm25_micro")
+    )
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), dls AS (
+  SELECT doc_id, CAST(len(w) AS INT) AS dl, w FROM toks
+), hits AS (
+  SELECT doc_id, dl, unnest(w) AS tok FROM dls
+), tf AS (
+  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM hits
+  WHERE tok IN ('spark', 'shuffle', 'join') GROUP BY 1, 2, 3
+), dft AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(
+           ln(((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) - df + 0.5)
+              / (df + 0.5) + 1.0)
+           * CAST(tf AS DOUBLE)
+           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+              / (SELECT AVG(CAST(len(w) AS DOUBLE)) FROM toks)))
+           * 1e6 + 0.5) AS BIGINT) AS s_micro
+  FROM tf JOIN dft USING (tok)
+)
+SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
+FROM scored GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id LIMIT 20
+"""
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent token pairs by pointwise
+    mutual information (min support 5) — PMI over bigram-position
+    frequencies (head/tail marginals derived by re-aggregating the
+    bigram table itself, so the corpus is scanned ONCE; same trick as
+    doc_perplexity's unigram heads). The float enters through one
+    per-bigram expression over exact integer counts, scaled to
+    micro-nats, then ranked with an id tiebreak — deterministic and
+    engine-portable despite the log."""
+    from census_asc5_data_pipeline_spark.functions import (
+        explode_computed,
+        token_bigrams,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = explode_computed(toks, token_bigrams(F.col("w")), "bigram")
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    split = bc.select(
+        "bigram",
+        "c_bg",
+        F.split("bigram", " ")[0].alias("w1"),
+        F.split("bigram", " ")[1].alias("w2"),
+    )
+    heads = split.groupBy("w1").agg(F.sum("c_bg").alias("c1"))
+    tails = split.groupBy("w2").agg(F.sum("c_bg").alias("c2"))
+    n_bg = bc.groupBy().agg(F.sum("c_bg").cast("double")).scalar()
+    pmi = F.floor(
+        F.log(
+            F.lit(n_bg)
+            * F.col("c_bg").cast("double")
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        split.filter(F.col("c_bg") >= 5)
+        .join(heads, "w1")
+        .join(tails, "w2")
+        .select("bigram", "c_bg", pmi.alias("pmi_micro"))
+    )
+    return (
+        scored.orderBy(F.col("pmi_micro").desc(), F.col("bigram"))
+        .limit(50)
+        .select("bigram", "c_bg", "pmi_micro")
+    )
+
+
+SQL_TOKEN_PMI = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+  FROM t WHERE len(w) >= 2
+), bc AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1
+), split AS (
+  SELECT bigram, c_bg, split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM bc
+), heads AS (
+  SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c1 FROM split GROUP BY w1
+), tails AS (
+  SELECT w2, CAST(SUM(c_bg) AS BIGINT) AS c2 FROM split GROUP BY w2
+)
+SELECT bigram, c_bg,
+       CAST(FLOOR(ln((SELECT CAST(SUM(c_bg) AS DOUBLE) FROM bc)
+                     * CAST(c_bg AS DOUBLE)
+                     / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS pmi_micro
+FROM split JOIN heads USING (w1) JOIN tails USING (w2)
+WHERE c_bg >= 5
+ORDER BY pmi_micro DESC, bigram LIMIT 50
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5509,6 +5741,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- new in round 5 (never driver-checked) ---
     "bloom_join": q_bloom_join,
     "conversion_lag": q_conversion_lag,
+    "vocab_coverage": q_vocab_coverage,
+    "bm25_topk": q_bm25_topk,
+    "token_pmi": q_token_pmi,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -5665,6 +5900,9 @@ ORACLES: dict[str, str] = {
     # double sums; see q_pagerank docstring) ---
     "bloom_join": SQL_BLOOM_JOIN,
     "conversion_lag": SQL_CONVERSION_LAG,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "bm25_topk": SQL_BM25_TOPK,
+    "token_pmi": SQL_TOKEN_PMI,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

@@ -19,6 +19,9 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 PINNED_FIRST_50 = [
     "bloom_join",
     "conversion_lag",
+    "vocab_coverage",
+    "bm25_topk",
+    "token_pmi",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -64,9 +67,6 @@ PINNED_FIRST_50 = [
     "bigram_lm",
     "near_dup_triangles",
     "locf_fill",
-    "dedup_embedding_cosine",
-    "dedup_embedding_clusters",
-    "ann_cosine_topk",
 ]
 
 

@@ -28,6 +28,16 @@ SHUFFLE_BUDGET = {
     "bloom_join": 2,
     # per-user conditional-MIN agg + cohort rollup
     "conversion_lag": 2,
+    # type-count agg + the 500-row top-k sort + its bounded window;
+    # the scalar-subquery total re-renders the counts lineage
+    "vocab_coverage": 5,
+    # tf agg + tiny df agg + per-doc score agg (broadcast df join);
+    # the avgdl/N scalar subqueries render their own aggregate
+    # lineages in the static tree (runtime reuses the subquery result)
+    "bm25_topk": 7,
+    # bigram-count agg + head/tail marginal re-aggregates + joins;
+    # the n_bg scalar subquery re-renders the bigram lineage
+    "token_pmi": 7,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
