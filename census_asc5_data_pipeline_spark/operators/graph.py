@@ -267,3 +267,49 @@ def pagerank(
     return ranks.select(
         "node", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("bigint").alias("rank_ppb")
     )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "u", dst: str = "v", n_iter: int = 4
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each round it adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label — a
+    fully deterministic LPA variant (classic async LPA is run-order
+    dependent and unreproducible, useless for an auditable pipeline).
+
+    Communities differ from connected components: a bridge edge keeps
+    two dense near-dup families in one component, but LPA assigns them
+    separate labels — the right granularity for picking per-template
+    canonical documents.
+
+    Shape per round: one join (labels ⋈ directed edges on the 8-byte
+    node id) + one (node, label) count + one struct-MAX argmax — all
+    map-side-combinable shuffles on fixed-width keys; lineage cut per
+    round with eager localCheckpoint (the connected_components
+    discipline). Synchronous + deterministic tie-break means the
+    result is integer-exact and cross-engine reproducible (the oracle
+    unrolls the same rounds in SQL).
+    """
+    und = _canonical_edges(edges, src, dst)
+    directed = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = directed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        counted = (
+            labels.withColumnRenamed("node", "u")
+            .join(directed, "u")
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax with min-label tie-break: max(struct(c, -lbl))
+        labels = (
+            counted.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -5709,6 +5709,68 @@ ORDER BY pmi_micro DESC, bigram LIMIT 50
 """
 
 
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup similarity graph via
+    DETERMINISTIC synchronous label propagation (graph.
+    label_propagation: most-frequent neighbor label, smallest-label
+    tie-break, 4 rounds). Communities split what connected components
+    merge — a bridge edge keeps two template families in one
+    component, LPA separates them. Integer-exact and synchronous, so
+    the oracle unrolls the identical rounds in SQL and the assignment
+    hash-matches cross-engine — unlike pagerank there is no float
+    iteration to diverge."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+    pairs = raw_pairs.select("doc_a", "doc_b").persist()
+    out = G.label_propagation(pairs, src="doc_a", dst="doc_b", n_iter=4)
+    out = out.select(F.col("node").alias("doc_id"), "community")
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
+    return out
+
+
+_LPA_ROUND = """
+, s{i} AS (
+  SELECT e.v AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM directed e JOIN l{j} l ON l.node = e.u GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM s{i}
+  ) WHERE rn = 1
+)"""
+
+SQL_COMMUNITIES = (
+    """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 300000
+), directed AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS lbl FROM directed
+)"""
+    + "".join(_LPA_ROUND.format(i=i, j=i - 1) for i in range(1, 5))
+    + """
+SELECT node AS doc_id, lbl AS community FROM l4
+"""
+)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5744,6 +5806,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": q_vocab_coverage,
     "bm25_topk": q_bm25_topk,
     "token_pmi": q_token_pmi,
+    "communities": q_communities,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -5903,6 +5966,7 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "bm25_topk": SQL_BM25_TOPK,
     "token_pmi": SQL_TOKEN_PMI,
+    "communities": SQL_COMMUNITIES,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

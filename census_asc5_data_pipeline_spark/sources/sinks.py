@@ -56,6 +56,30 @@ def write_orc(
     writer.orc(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leave every other partition untouched — the idempotent
+    re-run primitive for partitioned ingest (re-processing one day must
+    not wipe the year; plain ``overwrite`` + ``partitionBy`` truncates
+    the whole table root).
+
+    Spark's STATIC overwrite mode (the default) deletes all matching
+    top-level partitions first; ``partitionOverwriteMode=dynamic``
+    defers the delete to commit time and scopes it to partitions the
+    job actually wrote. The option is set per-write (not on the
+    session) so concurrent writers with different semantics don't
+    interfere.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def read_parquet_evolving(spark, path: str) -> "DataFrame":
     """Schema-evolution read: union the footer schemas of every file
     under ``path`` (``mergeSchema``) so batches written before a column

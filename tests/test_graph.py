@@ -45,3 +45,26 @@ def test_dedup_clusters_labels_singletons(spark):
     assert not out[3].is_keeper and not out[5].is_keeper
     for i in (1, 2, 4):
         assert out[i].component == i and out[i].cluster_size == 1 and out[i].is_keeper
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: connected components
+    would merge them; deterministic LPA must keep two communities
+    (each clique's internal majority beats the single bridge vote),
+    and the run must be reproducible."""
+    from census_asc5_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4, 5]) + clique([11, 12, 13, 14, 15]) + [(5, 11)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    out = {r.node: r.community for r in label_propagation(df).collect()}
+    left = {out[n] for n in [1, 2, 3, 4, 5]}
+    right = {out[n] for n in [11, 12, 13, 14, 15]}
+    assert len(left) == 1 and len(right) == 1, (left, right, out)
+    assert left != right, "bridge edge must not merge the cliques"
+    out2 = {r.node: r.community for r in label_propagation(df).collect()}
+    assert out == out2, "deterministic LPA must be reproducible"

@@ -22,6 +22,7 @@ PINNED_FIRST_50 = [
     "vocab_coverage",
     "bm25_topk",
     "token_pmi",
+    "communities",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "rare_token_ratio",
     "bigram_lm",
     "near_dup_triangles",
-    "locf_fill",
 ]
 
 

@@ -38,6 +38,10 @@ SHUFFLE_BUDGET = {
     # bigram-count agg + head/tail marginal re-aggregates + joins;
     # the n_bg scalar subquery re-renders the bigram lineage
     "token_pmi": 7,
+    # static plan renders only up to the first localCheckpoint
+    # barrier (pair generation + the directed/labels prep); per-round
+    # exchanges happen in the eager checkpointed jobs
+    "communities": 8,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,

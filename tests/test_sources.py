@@ -298,3 +298,30 @@ def test_parquet_schema_evolution_merged_read(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None  # old rows surface the new column as NULL
     assert rows[2].score == 9.5
+
+
+def test_dynamic_partition_overwrite_replaces_only_written(spark, tmp_path):
+    """Re-running one day must replace that day only: static overwrite
+    wipes the table root; dynamic scopes the delete to the partitions
+    in the incoming frame."""
+    from census_asc5_data_pipeline_spark.sources.sinks import (
+        overwrite_partitions_dynamic,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), ("d2", 3, 30)], ["day", "id", "v"]
+    )
+    overwrite_partitions_dynamic(base, path, ["day"])
+    # rerun day d2 with corrected values; d1 must survive untouched
+    fix = spark.createDataFrame([("d2", 3, 99), ("d2", 4, 44)], ["day", "id", "v"])
+    overwrite_partitions_dynamic(fix, path, ["day"])
+    got = {
+        (r.day, r.id, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("d1", 1, 10), ("d1", 2, 20), ("d2", 3, 99), ("d2", 4, 44)}
+    # static overwrite for contrast: the whole root is truncated
+    fix.write.mode("overwrite").partitionBy("day").parquet(path)
+    assert {
+        (r.day, r.id, r.v) for r in spark.read.parquet(path).collect()
+    } == {("d2", 3, 99), ("d2", 4, 44)}
