@@ -5771,6 +5771,79 @@ SELECT node AS doc_id, lbl AS community FROM l4
 )
 
 
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus standardization (the feature-normalization
+    step before distance-based clustering): z-score each embedding
+    element against its DIMENSION's corpus mean/std. Cross-row float
+    sums are reduce-order dependent, so elements are quantized to
+    integer millis FIRST — the per-dim moments (n, Σx, Σx²) are then
+    exact BIGINTs and mean/var/z all derive from them through one
+    shared double expression, hash-stable across engines. The moment
+    aggregate has 64 groups (map-side combinable, ~nothing shuffles);
+    the stats join back is a broadcast of 64 rows. Output bounded to
+    the first 4 dimensions (the pattern is dimension-count invariant).
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    )
+    el = emb.select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("xm"),
+    )
+    stats = el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("s1"),
+        F.sum(F.col("xm") * F.col("xm")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / nd
+    z = F.when(
+        var > 0,
+        F.floor(
+            (F.col("xm").cast("double") - mean) / F.sqrt(var) * 1000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        el.filter(F.col("dim") <= 4)
+        .join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", z.alias("z_milli"))
+    )
+
+
+SQL_EMBEDDING_STANDARDIZE = """
+WITH el AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xm
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+  WHERE i <= len(embedding)
+), stats AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS BIGINT) AS s1,
+         CAST(SUM(xm * xm) AS BIGINT) AS s2
+  FROM el GROUP BY dim
+)
+SELECT vec_id, dim,
+       CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE) > 0
+            THEN CAST(FLOOR((CAST(xm AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                                   / CAST(n AS DOUBLE))
+                            * 1000 + 0.5) AS BIGINT)
+            ELSE 0 END AS z_milli
+FROM el JOIN stats USING (dim)
+WHERE dim <= 4
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5807,6 +5880,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_topk": q_bm25_topk,
     "token_pmi": q_token_pmi,
     "communities": q_communities,
+    "embedding_standardize": q_embedding_standardize,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -5967,6 +6041,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "token_pmi": SQL_TOKEN_PMI,
     "communities": SQL_COMMUNITIES,
+    "embedding_standardize": SQL_EMBEDDING_STANDARDIZE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

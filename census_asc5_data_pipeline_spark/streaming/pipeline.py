@@ -13,7 +13,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
@@ -748,4 +748,48 @@ def windowed_distinct_users(
             "event_type",
             "approx_users",
         )
+    )
+
+
+def stream_windowed_topk(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    k: int = 2,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Per-window top-k event types — the streaming leaderboard.
+
+    Built on the append-mode windowed aggregate: a window's grouped
+    rows are all emitted in the trigger where the watermark passes its
+    end, so ranking WITHIN the foreachBatch output batch sees every
+    group of each closed window exactly once — no cross-batch merge
+    state needed (state stays the windowed aggregate's own, watermark-
+    bounded). The rank window partitions by window_start (each
+    partition is |event types| rows), ties break lexicographically,
+    and the top-k rows append to the sink per batch.
+    """
+    counts = windowed_counts(events, window, watermark).select(
+        "window_start_ms", "event_type", "n"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("window_start_ms").orderBy(
+            F.col("n").desc(), F.col("event_type")
+        )
+        top = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("window_start_ms", "event_type", "n", "rn")
+        )
+        top.write.mode("append").parquet(out_dir)
+
+    return (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
     )

@@ -23,6 +23,7 @@ PINNED_FIRST_50 = [
     "bm25_topk",
     "token_pmi",
     "communities",
+    "embedding_standardize",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "cluster_best_doc",
     "rare_token_ratio",
     "bigram_lm",
-    "near_dup_triangles",
 ]
 
 

@@ -42,6 +42,9 @@ SHUFFLE_BUDGET = {
     # barrier (pair generation + the directed/labels prep); per-round
     # exchanges happen in the eager checkpointed jobs
     "communities": 8,
+    # one 64-group moment aggregate; its lineage renders again under
+    # the broadcast build side
+    "embedding_standardize": 2,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,

@@ -714,3 +714,44 @@ def test_windowed_distinct_users_matches_batch_estimate(spark, event_dir):
         assert want[k] == v
         # and the estimate is within the sketch's error envelope
         assert abs(v - exact[k]) <= max(2, int(0.1 * exact[k]))
+
+
+def test_stream_windowed_topk_matches_batch(spark, event_dir, tmp_path):
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        stream_windowed_topk,
+    )
+
+    out = str(tmp_path / "topk_out")
+    ckpt = str(tmp_path / "topk_ckpt")
+    ev = read_event_stream(spark, event_dir)
+    q = stream_windowed_topk(ev, out, ckpt, k=2)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start_ms, r.rn): (r.event_type, r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "watermark must have closed at least one window"
+    # batch twin: per-window top-2 with the same deterministic ordering
+    from pyspark.sql import Window as W
+
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ms"), "event_type", "n")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("ms").orderBy(F.col("n").desc(), F.col("event_type"))
+    )
+    want = {
+        (r.ms, r.rn): (r.event_type, r.n)
+        for r in batch.withColumn("rn", rn).filter(F.col("rn") <= 2).collect()
+    }
+    for key, v in got.items():
+        assert want[key] == v
+    # every emitted window carries its rank-1 row (rank 2 only exists
+    # for windows with >= 2 distinct event types)
+    windows = {ms for ms, _ in got}
+    for ms in windows:
+        assert (ms, 1) in got
