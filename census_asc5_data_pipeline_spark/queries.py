@@ -5844,6 +5844,149 @@ WHERE dim <= 4
 """
 
 
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic per-group sampling (balanced eval-set
+    construction): exactly min(k, |group|) documents per source,
+    selected by a salted-md5 order with a doc_id tiebreak — unlike the
+    rate-based stratified_sample, the output size per group is a hard
+    guarantee, and unlike orderBy(rand()) it is reproducible run to
+    run and engine to engine. One keyed window shuffle; the rank
+    order is a total order so no tie nondeterminism."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = F.md5(F.concat(F.lit("skg-v1"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(F.col("u"), F.col("doc_id"))
+    return (
+        docs.withColumn("u", u)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", F.col("rn").cast("bigint").alias("rn"), "doc_id")
+    )
+
+
+SQL_SAMPLE_K_PER_GROUP = """
+SELECT source, CAST(rn AS BIGINT) AS rn, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('skg-v1' || doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup: drop incoming documents that duplicate a
+    REFERENCE corpus (the new-crawl-vs-training-set sweep; decontaminate
+    is the n-gram-overlap cousin, this is the document-level one).
+    Reference = sources src0-src4, incoming = the rest. Two filters:
+    exact (md5 content anti-join on 16-byte keys) then near-dup
+    (shingle inverted-index join ACROSS the corpora — never within, so
+    the candidate space is |incoming postings| ⋈ |reference postings|,
+    and a doc pairs only with reference docs sharing a shingle);
+    survivors counted per source with the dropped split. At 100 TB the
+    reference postings build once and both probes are map-side
+    combinable."""
+    from census_asc5_data_pipeline_spark.operators.dedup import (
+        shingle_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_ref = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    ref = docs.filter(is_ref)
+    inc = docs.filter(~is_ref)
+    # exact content dup vs reference
+    ref_hash = ref.select(F.md5("text").alias("h")).distinct()
+    inc_h = inc.select("doc_id", "source", F.md5("text").alias("h"))
+    exact_dup = inc_h.join(ref_hash, "h", "left_semi").select("doc_id")
+    # near-dup vs reference: jaccard >= 0.5 across corpora
+    pi = shingle_postings(inc, "text").select(
+        "doc_id", "n_sh", F.xxhash64("shingle").alias("sh")
+    )
+    pr = shingle_postings(ref, "text").select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("n_sh").alias("n_r"),
+        F.xxhash64("shingle").alias("sh"),
+    )
+    near = (
+        pi.join(pr, "sh")
+        .groupBy("doc_id", "n_sh", "ref_id", "n_r")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(
+            F.floor(
+                F.col("co").cast("double")
+                * 1000000.0
+                / (F.col("n_sh") + F.col("n_r") - F.col("co"))
+                + F.lit(0.5)
+            )
+            >= 500000
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    dropped = exact_dup.unionAll(near).distinct()
+    return (
+        inc.join(dropped, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(
+            inc.groupBy("source").agg(F.count(F.lit(1)).alias("n_in")),
+            "source",
+        )
+        .select(
+            "source",
+            "n_in",
+            "n_kept",
+            (F.col("n_in") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
+
+
+SQL_DEDUP_AGAINST = """
+WITH ref AS (
+  SELECT * FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+), inc AS (
+  SELECT * FROM documents
+  WHERE source NOT IN ('src0','src1','src2','src3','src4')
+), exact_dup AS (
+  SELECT i.doc_id FROM inc i
+  WHERE EXISTS (SELECT 1 FROM ref r WHERE md5(r.text) = md5(i.text))
+), ti AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM inc
+), di AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM ti WHERE len(w) >= 2
+), p_i AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM di
+), tr AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM ref
+), dr AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM tr WHERE len(w) >= 2
+), p_r AS (
+  SELECT doc_id AS ref_id, CAST(len(sh) AS BIGINT) AS n_r, unnest(sh) AS shingle
+  FROM dr
+), near AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT i.doc_id, i.n_sh, r.ref_id, r.n_r, CAST(COUNT(*) AS BIGINT) AS co
+    FROM p_i i JOIN p_r r ON i.shingle = r.shingle
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000.0
+                     / (n_sh + n_r - co) + 0.5) AS BIGINT) >= 500000
+), dropped AS (
+  SELECT doc_id FROM exact_dup UNION SELECT doc_id FROM near
+)
+SELECT i.source, CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped
+FROM inc i LEFT JOIN dropped d ON i.doc_id = d.doc_id
+GROUP BY i.source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5881,6 +6024,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_pmi": q_token_pmi,
     "communities": q_communities,
     "embedding_standardize": q_embedding_standardize,
+    "sample_k_per_group": q_sample_k_per_group,
+    "dedup_against": q_dedup_against,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6042,6 +6187,8 @@ ORACLES: dict[str, str] = {
     "token_pmi": SQL_TOKEN_PMI,
     "communities": SQL_COMMUNITIES,
     "embedding_standardize": SQL_EMBEDDING_STANDARDIZE,
+    "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
+    "dedup_against": SQL_DEDUP_AGAINST,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

@@ -58,3 +58,26 @@ def test_export_corpus_layout_and_roundtrip(spark, tmp_path):
     train = spark.read.json(os.path.join(out, "split=train"))
     assert train.count() == counts.get("train", 0)
     assert {"doc_id", "text", "clean_len"} <= set(train.columns)
+
+
+def test_observed_quality_metrics_free_with_action(spark, tmp_path):
+    """observe() metrics must match explicit recomputation and cost no
+    extra scan (single action drives both output and metrics)."""
+    from census_asc5_data_pipeline_spark.plans.observability import (
+        observed_bounds,
+        observed_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")], ["id", "v"]
+    )
+    observed, obs = observed_quality(df, ["v", "id"])
+    out = str(tmp_path / "obs_out")
+    observed.write.mode("overwrite").parquet(out)  # the job's own action
+    got = obs.get
+    assert got["n_rows"] == 5
+    assert got["null_v"] == 2
+    assert got["null_id"] == 0
+    b, bobs = observed_bounds(df, "id")
+    b.count()
+    assert bobs.get == {"lo": 1, "hi": 5}

@@ -24,6 +24,8 @@ PINNED_FIRST_50 = [
     "token_pmi",
     "communities",
     "embedding_standardize",
+    "sample_k_per_group",
+    "dedup_against",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -65,8 +67,6 @@ PINNED_FIRST_50 = [
     "q11_important_stock",
     "event_transitions",
     "cluster_best_doc",
-    "rare_token_ratio",
-    "bigram_lm",
 ]
 
 

@@ -45,6 +45,11 @@ SHUFFLE_BUDGET = {
     # one 64-group moment aggregate; its lineage renders again under
     # the broadcast build side
     "embedding_standardize": 2,
+    # one keyed window shuffle
+    "sample_k_per_group": 1,
+    # cross-corpus postings join + pair agg + kept/in rollups; the
+    # exact-dup and near-dup anti-join branches render their lineages
+    "dedup_against": 8,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
