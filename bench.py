@@ -56,6 +56,11 @@ HEADLINE = [
     "similar_docs_topk",
     "item_affinity",
     "embedding_kmeans",
+    # round-5 continuation: the heavier new additions
+    "communities",
+    "dedup_against",
+    "bm25_topk",
+    "token_pmi",
 ]
 
 

@@ -109,3 +109,35 @@ def test_zorder_key_rejects_bit_overflow(spark):
 
     with _pytest.raises(ValueError):
         zorder_key(["a", "b", "c", "d", "e"], bits=16)  # 80 bit positions
+
+
+def test_zone_index_prunes_files_and_preserves_results(spark, tmp_path):
+    """Zone-map pruning must read fewer files for a selective range and
+    return exactly the full-scan filter result."""
+    from census_asc5_data_pipeline_spark.sources.stats_index import (
+        build_stats_index,
+        pruned_read,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    # 8 files, disjoint id ranges -> zones are genuinely selective
+    df = spark.range(0, 8000).withColumn("v", F.col("id") * 2)
+    df.repartitionByRange(8, "id").write.parquet(path)
+    idx = build_stats_index(spark, path, "id")
+    assert idx.count() == 8
+    out, picked, total = pruned_read(spark, path, "id", 1000, 1999)
+    assert total == 8
+    assert picked < 8, "selective range must prune files"
+    got = sorted((r.id, r.v) for r in out.collect())
+    want = sorted(
+        (r.id, r.v)
+        for r in spark.read.parquet(path)
+        .filter((F.col("id") >= 1000) & (F.col("id") <= 1999))
+        .collect()
+    )
+    assert got == want and len(got) == 1000
+    # out-of-range probe selects nothing but stays schema-stable
+    empty, p0, _ = pruned_read(spark, path, "id", 10**9, 2 * 10**9)
+    assert p0 == 0 and empty.count() == 0
+    assert empty.columns == spark.read.parquet(path).columns

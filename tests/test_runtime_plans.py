@@ -53,6 +53,16 @@ EXPECT = {
     "similar_docs_topk": (1, 0, False, 1),
     # the tiny median/MAD join-backs must stay broadcast
     "mad_outliers": (2, 0, True, 0),
+    # --- round-5 continuation ---
+    # the exact semi-join after the bloom pre-filter must stay
+    # broadcast — an SMJ here means the reduction shipped the fact
+    # table into a shuffle anyway
+    "bloom_join": (1, 0, True, 0),
+    # 64-row per-dim stats join-back must stay broadcast
+    "embedding_standardize": (1, 0, True, 0),
+    # cross-corpus postings join shuffles (both sides corpus-scale);
+    # the exact-dup reference-hash side must stay broadcast
+    "dedup_against": (1, 2, True, 0),
 }
 
 
