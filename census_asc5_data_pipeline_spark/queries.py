@@ -5987,6 +5987,144 @@ GROUP BY i.source
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic marketing cube): per
+    customer recency (latest order epoch-day), frequency (order
+    count), monetary (exact cents), each scored into quintiles by
+    ntile(5) over a TOTAL order (metric + custkey tiebreak — engine
+    ntile on ties is otherwise unspecified), emitted as the composed
+    ``rfm`` segment code plus per-segment census. One per-customer
+    agg + three window passes over the CUSTOMER-level frame
+    (n_customers rows, not the fact table). Scale note: exact ntile
+    needs a global sort of the dim; if the customer dim itself
+    outgrows a sort, swap the scorer for approx-percentile boundary
+    assignment (distributed, same output columns) — the exact form is
+    kept because it is the one the oracle can hash."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.expr("CAST(unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS BIGINT)")).alias(
+            "recency_day"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_c"),
+    )
+    wr = Window.orderBy(F.col("recency_day"), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency"), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary_c"), F.col("o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("segment"),
+            "n_customers",
+        )
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(CAST(epoch_ms(o_orderdate) AS BIGINT) // 86400000) AS recency_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         NTILE(5) OVER (ORDER BY recency_day, o_custkey) AS r,
+         NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f,
+         NTILE(5) OVER (ORDER BY monetary_c, o_custkey) AS m
+  FROM cust
+)
+SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY r, f, m
+"""
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware load analysis: for every (day-of-week, hour)
+    slot, the PEAK day's count against that slot's own history — a
+    Monday-9am spike is judged against Monday-9am history, not a
+    global mean. The peak is a struct-MAX argmax (count, then day —
+    deterministic tie-break); the load ratio peak/slot-average is the
+    exact integer floor-division n·1e6·slots DIV slot_total, so no
+    float threshold can diverge between engines. Two keyed aggs + a
+    broadcast join-back of the tiny (dow, hour) baseline; consumers
+    filter load_ratio_ppm at whatever alert level fits their data."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000 AS BIGINT)").alias(
+            "day"
+        ),
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1).alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+    )
+    buckets = ev.groupBy("day", "dow", "hr").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    baseline = buckets.groupBy("dow", "hr").agg(
+        F.sum("n").alias("slot_total"),
+        F.count(F.lit(1)).alias("slots"),
+    )
+    peak = buckets.groupBy("dow", "hr").agg(
+        F.max(F.struct(F.col("n"), F.col("day"))).alias("pk")
+    )
+    return (
+        peak.join(F.broadcast(baseline), ["dow", "hr"])
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("hr").cast("bigint").alias("hr"),
+            F.col("pk.day").alias("peak_day"),
+            F.col("pk.n").alias("peak_n"),
+            "slot_total",
+            F.col("slots").cast("bigint").alias("slots"),
+            F.expr("pk.n * 1000000 * slots DIV slot_total").alias(
+                "load_ratio_ppm"
+            ),
+        )
+    )
+
+
+SQL_SEASONAL_ANOMALY = """
+WITH ev AS (
+  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+         CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hr
+  FROM events
+), buckets AS (
+  SELECT day, dow, hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2, 3
+), baseline AS (
+  SELECT dow, hr, CAST(SUM(n) AS BIGINT) AS slot_total,
+         CAST(COUNT(*) AS BIGINT) AS slots
+  FROM buckets GROUP BY 1, 2
+)
+, peak AS (
+  SELECT dow, hr, day AS peak_day, n AS peak_n FROM (
+    SELECT dow, hr, day, n,
+           ROW_NUMBER() OVER (PARTITION BY dow, hr
+                              ORDER BY n DESC, day DESC) AS rn
+    FROM buckets
+  ) WHERE rn = 1
+)
+SELECT CAST(p.dow AS BIGINT) AS dow, CAST(p.hr AS BIGINT) AS hr,
+       peak_day, peak_n, slot_total, slots,
+       (peak_n * 1000000 * slots) // slot_total AS load_ratio_ppm
+FROM peak p JOIN baseline USING (dow, hr)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6026,6 +6164,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_standardize": q_embedding_standardize,
     "sample_k_per_group": q_sample_k_per_group,
     "dedup_against": q_dedup_against,
+    "rfm_segments": q_rfm_segments,
+    "seasonal_anomaly": q_seasonal_anomaly,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6189,6 +6329,8 @@ ORACLES: dict[str, str] = {
     "embedding_standardize": SQL_EMBEDDING_STANDARDIZE,
     "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
     "dedup_against": SQL_DEDUP_AGAINST,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

@@ -26,6 +26,8 @@ PINNED_FIRST_50 = [
     "embedding_standardize",
     "sample_k_per_group",
     "dedup_against",
+    "rfm_segments",
+    "seasonal_anomaly",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -65,8 +67,6 @@ PINNED_FIRST_50 = [
     "q20_excess_stock_suppliers",
     "q9_product_profit",
     "q11_important_stock",
-    "event_transitions",
-    "cluster_best_doc",
 ]
 
 

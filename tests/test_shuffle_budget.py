@@ -50,6 +50,11 @@ SHUFFLE_BUDGET = {
     # cross-corpus postings join + pair agg + kept/in rollups; the
     # exact-dup and near-dup anti-join branches render their lineages
     "dedup_against": 8,
+    # per-customer agg + three global ntile windows (customer-level
+    # frame) + the segment census
+    "rfm_segments": 5,
+    # bucket agg + tiny baseline agg (broadcast back)
+    "seasonal_anomaly": 3,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
