@@ -274,6 +274,40 @@ def bloom_semi_join(
     )
 
 
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: row-level diff of two keyed snapshots —
+    the CDC-validation primitive (did the applied changelog produce
+    exactly the expected table?). One full-outer join on the key;
+    status per row: ``added`` (old side null), ``removed`` (new side
+    null), ``changed`` (any compare column differs, null-safe), else
+    ``unchanged``. Null-safe equality (``eqNullSafe``) so a NULL→value
+    transition counts as a change, not a match. One shuffle on the
+    key; compare columns travel once per side.
+    """
+    o = old.select(key, *compare_cols)
+    n = new.select(key, *compare_cols)
+    on = [F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}"))]
+    j = o.alias("o").join(n.alias("n"), on, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        status.alias("diff_status"),
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -6125,6 +6125,55 @@ FROM peak p JOIN baseline USING (dow, hr)
 """
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation census (relational.table_diff): diff
+    two deterministic variants of the orders snapshot — the old side
+    misses keys ≡0 mod 89 (so the new side shows additions), the new
+    side misses keys ≡0 mod 101 (removals) and bumps price cents by
+    500 on keys ≡0 mod 97 (changes) — then count rows per diff
+    status. This is the CDC-validation primitive: after cdc_apply, a
+    diff against the expected snapshot must be all-unchanged. One
+    full-outer shuffle on the key."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    old = o.filter(F.col("o_orderkey") % 89 != 0)
+    new = o.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("price_c") + 500
+        )
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    d = R.table_diff(old, new, "o_orderkey", ["price_c"])
+    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+SQL_TABLE_DIFF = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), old AS (
+  SELECT * FROM base WHERE o_orderkey % 89 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN price_c + 500 ELSE price_c END
+           AS price_c
+  FROM base WHERE o_orderkey % 101 <> 0
+), d AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.price_c IS NOT DISTINCT FROM n.price_c THEN 'unchanged'
+              ELSE 'changed' END AS diff_status
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM d GROUP BY diff_status
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6166,6 +6215,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_against": q_dedup_against,
     "rfm_segments": q_rfm_segments,
     "seasonal_anomaly": q_seasonal_anomaly,
+    "table_diff": q_table_diff,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6331,6 +6381,7 @@ ORACLES: dict[str, str] = {
     "dedup_against": SQL_DEDUP_AGAINST,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
+    "table_diff": SQL_TABLE_DIFF,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

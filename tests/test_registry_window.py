@@ -28,6 +28,7 @@ PINNED_FIRST_50 = [
     "dedup_against",
     "rfm_segments",
     "seasonal_anomaly",
+    "table_diff",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "q16_supplier_count_by_part",
     "q20_excess_stock_suppliers",
     "q9_product_profit",
-    "q11_important_stock",
 ]
 
 

@@ -278,3 +278,24 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     assert sorted((r.k, r.payload) for r in got.collect()) == sorted(
         (r.k, r.payload) for r in plain.collect()
     )
+
+
+def test_table_diff_statuses(spark):
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 30), (5, 50)], ["k", "v"]
+    )
+    got = {r.k: r.diff_status for r in table_diff(old, new, "k", ["v"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL -> 30 is a change (null-safe compare)
+        4: "removed",
+        5: "added",
+    }

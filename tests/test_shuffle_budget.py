@@ -55,6 +55,8 @@ SHUFFLE_BUDGET = {
     "rfm_segments": 5,
     # bucket agg + tiny baseline agg (broadcast back)
     "seasonal_anomaly": 3,
+    # full-outer join (both sides shuffle) + status census
+    "table_diff": 3,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
