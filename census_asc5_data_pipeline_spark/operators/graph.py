@@ -313,3 +313,53 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def k_core(
+    edges: DataFrame, k: int, src: str = "u", dst: str = "v", max_iter: int = 50
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of
+    degree < k until a fixpoint — the classic dense-subgraph filter
+    (a near-dup cluster's k-core is its template heart; peripheral
+    one-edge members fall away). Returns the surviving nodes with
+    their within-core degree.
+
+    Shape per round: degree count (map-side combinable on 8-byte ids)
+    + semi-joins to drop edges touching peeled nodes; lineage cut per
+    round with eager localCheckpoint; the fixpoint probe is a 1-row
+    count (the connected_components discipline — the only collect).
+    Rounds are bounded by the peeling depth (<= max peel waves, far
+    below node count in practice; ``max_iter`` is the loud backstop —
+    raising past it means the graph is adversarially chained and the
+    caller should switch to an epoch-batched peel).
+
+    Deterministic (pure integer degree arithmetic), but the oracle
+    would need a recursive fixpoint SQL — registered rows-only with a
+    planted-graph pytest, like the other iterative operators.
+    """
+    e = _canonical_edges(edges, src, dst)
+    directed = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        n_nodes = deg.count()
+        n_keep = keep.count()
+        if n_keep == n_nodes:
+            return deg.filter(F.col("d") >= k).select(
+                F.col("u").alias("node"), F.col("d").alias("core_degree")
+            )
+        if n_keep == 0:
+            return deg.filter(F.lit(False)).select(
+                F.col("u").alias("node"), F.col("d").alias("core_degree")
+            )
+        directed = (
+            directed.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"k_core did not converge in {max_iter} peel rounds — "
+        "adversarially chained graph; use an epoch-batched peel"
+    )

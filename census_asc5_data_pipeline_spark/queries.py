@@ -6174,6 +6174,24 @@ FROM d GROUP BY diff_status
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup similarity graph (graph.k_core):
+    documents that remain after iteratively peeling single-edge
+    periphery — the dense template heart of each duplicate family
+    (complement of the degree histogram's tail). ROWS-ONLY: the peel
+    is an iterative fixpoint (no closed-form SQL); determinism +
+    peeling semantics pinned by the planted-graph pytest
+    (tests/test_graph.py)."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+    pairs = raw_pairs.select("doc_a", "doc_b").persist()
+    out = G.k_core(pairs, k=2, src="doc_a", dst="doc_b")
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
+    return out
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6216,6 +6234,7 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_segments": q_rfm_segments,
     "seasonal_anomaly": q_seasonal_anomaly,
     "table_diff": q_table_diff,
+    "k_core": q_k_core,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,

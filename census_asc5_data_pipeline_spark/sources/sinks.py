@@ -56,6 +56,35 @@ def write_orc(
     writer.orc(path)
 
 
+def schema_diff(spark, old_path: str, new_path: str) -> list[dict]:
+    """Schema drift report between two parquet datasets: added /
+    removed / retyped columns — the guardrail an append-only ingest
+    runs before ``read_parquet_evolving`` merges a new batch (silent
+    retypes are the case mergeSchema cannot reconcile; catching them
+    at ingest beats a mid-query AnalysisException at 100 TB).
+
+    Footer-only: reads both schemas (no data I/O), so it is metadata
+    cost regardless of table size.
+    """
+    old_s = {f.name: f.dataType.simpleString() for f in spark.read.parquet(old_path).schema}
+    new_s = {f.name: f.dataType.simpleString() for f in spark.read.parquet(new_path).schema}
+    out: list[dict] = []
+    for name in sorted(set(old_s) | set(new_s)):
+        if name not in old_s:
+            out.append({"column": name, "status": "added", "type": new_s[name]})
+        elif name not in new_s:
+            out.append({"column": name, "status": "removed", "type": old_s[name]})
+        elif old_s[name] != new_s[name]:
+            out.append(
+                {
+                    "column": name,
+                    "status": "retyped",
+                    "type": f"{old_s[name]} -> {new_s[name]}",
+                }
+            )
+    return out
+
+
 def overwrite_partitions_dynamic(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> None:

@@ -68,3 +68,21 @@ def test_label_propagation_splits_bridged_cliques(spark):
     assert left != right, "bridge edge must not merge the cliques"
     out2 = {r.node: r.community for r in label_propagation(df).collect()}
     assert out == out2, "deterministic LPA must be reproducible"
+
+
+def test_k_core_peels_periphery(spark):
+    """A 4-clique (3-core) with pendant nodes: k=3 keeps exactly the
+    clique; the pendant and its chain peel away — including the
+    cascade (node 6 only qualifies before 7 peels)."""
+    from census_asc5_data_pipeline_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in [1, 2, 3, 4] for b in [1, 2, 3, 4] if a < b]
+    # chain 4-6-7 and pendant 5: all must peel at k=3
+    edges = clique + [(4, 5), (4, 6), (6, 7), (7, 1), (6, 1)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r.node: r.core_degree for r in k_core(df, k=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == 3 and got[2] == 3 and got[3] == 3 and got[4] == 3
+    # k above the densest core -> empty, schema intact
+    empty = k_core(df, k=4)
+    assert empty.count() == 0 and empty.columns == ["node", "core_degree"]

@@ -29,6 +29,7 @@ PINNED_FIRST_50 = [
     "rfm_segments",
     "seasonal_anomaly",
     "table_diff",
+    "k_core",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "q13_order_count_distribution",
     "q16_supplier_count_by_part",
     "q20_excess_stock_suppliers",
-    "q9_product_profit",
 ]
 
 

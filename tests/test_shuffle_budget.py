@@ -57,6 +57,9 @@ SHUFFLE_BUDGET = {
     "seasonal_anomaly": 3,
     # full-outer join (both sides shuffle) + status census
     "table_diff": 3,
+    # static plan renders pair generation up to the first
+    # localCheckpoint barrier; per-round peels are eager jobs
+    "k_core": 8,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,

@@ -325,3 +325,19 @@ def test_dynamic_partition_overwrite_replaces_only_written(spark, tmp_path):
     assert {
         (r.day, r.id, r.v) for r in spark.read.parquet(path).collect()
     } == {("d2", 3, 99), ("d2", 4, 44)}
+
+
+def test_schema_diff_reports_drift(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.sinks import schema_diff
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame([(1, "a", 1.5)], ["id", "name", "score"]).write.parquet(old)
+    spark.createDataFrame(
+        [(1, "a", 2, "x")], ["id", "name", "score", "extra"]
+    ).write.parquet(new)
+    got = {d["column"]: d for d in schema_diff(spark, old, new)}
+    assert got["extra"]["status"] == "added"
+    assert got["score"]["status"] == "retyped"
+    assert "double" in got["score"]["type"] and "bigint" in got["score"]["type"]
+    assert "id" not in got and "name" not in got
