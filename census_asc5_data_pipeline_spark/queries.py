@@ -6192,6 +6192,71 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining (the Sankey feed): each user-day's first
+    five event types in exact time order, composed into a path string,
+    ranked by how many user-days follow it — the flow view that
+    event_transitions' pair matrix and event_trigrams' windows can't
+    give. Ordering is the total (ts_ms, event_id) so ties are pinned;
+    the path build is one keyed window + in-task sort of a ≤5-element
+    array; top-20 via TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        epoch_ms("ts").alias("ts_ms"),
+    )
+    ev = ev.withColumn("day", F.expr("ts_ms DIV 86400000"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts_ms", "event_id")
+    first5 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        first5.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+SQL_EVENT_PATHS = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+  FROM events
+), d AS (
+  SELECT user_id, event_type, event_id, ts_ms,
+         ts_ms // 86400000 AS day
+  FROM ev
+), r AS (
+  SELECT user_id, day, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts_ms, event_id) AS rn
+  FROM d
+), paths AS (
+  SELECT user_id, day,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY user_id, day
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM paths GROUP BY path
+ORDER BY n_user_days DESC, path LIMIT 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6235,6 +6300,7 @@ QUERIES: dict[str, QueryFn] = {
     "seasonal_anomaly": q_seasonal_anomaly,
     "table_diff": q_table_diff,
     "k_core": q_k_core,
+    "event_paths": q_event_paths,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6401,6 +6467,7 @@ ORACLES: dict[str, str] = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
     "table_diff": SQL_TABLE_DIFF,
+    "event_paths": SQL_EVENT_PATHS,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

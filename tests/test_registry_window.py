@@ -30,6 +30,7 @@ PINNED_FIRST_50 = [
     "seasonal_anomaly",
     "table_diff",
     "k_core",
+    "event_paths",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "q12_priority_by_returnflag",
     "q13_order_count_distribution",
     "q16_supplier_count_by_part",
-    "q20_excess_stock_suppliers",
 ]
 
 

@@ -60,6 +60,8 @@ SHUFFLE_BUDGET = {
     # static plan renders pair generation up to the first
     # localCheckpoint barrier; per-round peels are eager jobs
     "k_core": 8,
+    # one (user, day) window + path agg (same shuffle) + path census
+    "event_paths": 3,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,

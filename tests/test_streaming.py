@@ -755,3 +755,36 @@ def test_stream_windowed_topk_matches_batch(spark, event_dir, tmp_path):
     windows = {ms for ms, _ in got}
     for ms in windows:
         assert (ms, 1) in got
+
+
+def test_available_now_trigger_unified_backfill(spark, event_dir):
+    """Trigger.AvailableNow: the SAME streaming graph does a bounded
+    batch backfill — process everything currently available in rate-
+    limited micro-batches, then stop on its own. This is the unified
+    batch/stream path: one windowed_counts definition serves both the
+    live stream and the historical reprocess."""
+    ev = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    q = (
+        windowed_counts(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("an_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive, "availableNow must terminate after draining"
+    got = {
+        (r.window_start_ms, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM an_out").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ms"), "event_type", "n")
+    )
+    want = {(r.ms, r.event_type): r.n for r in batch.collect()}
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
