@@ -53,8 +53,9 @@ SHUFFLE_BUDGET = {
     # per-customer agg + three global ntile windows (customer-level
     # frame) + the segment census
     "rfm_segments": 5,
-    # bucket agg + tiny baseline agg (broadcast back)
-    "seasonal_anomaly": 3,
+    # bucket agg + peak argmax agg + baseline agg; the bucket lineage
+    # renders under both the peak and broadcast-baseline branches
+    "seasonal_anomaly": 4,
     # full-outer join (both sides shuffle) + status census
     "table_diff": 3,
     # static plan renders pair generation up to the first
