@@ -5907,8 +5907,16 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sh").alias("n_r"),
         F.xxhash64("shingle").alias("sh"),
     )
+    # Exactness-preserving size bound (same as the jaccard self-join's
+    # ratio_ok, half-ppm slack included): J >= t forces
+    # min(n_a,n_b) >= ~t*max(n_a,n_b), pruning size-mismatched
+    # postings pairs before the pair-count shuffle.
+    ratio_ok = (
+        F.col("n_sh") * 2000000 >= F.lit(2 * 500000 - 1) * F.col("n_r")
+    ) & (F.col("n_r") * 2000000 >= F.lit(2 * 500000 - 1) * F.col("n_sh"))
     near = (
         pi.join(pr, "sh")
+        .filter(ratio_ok)
         .groupBy("doc_id", "n_sh", "ref_id", "n_r")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(
