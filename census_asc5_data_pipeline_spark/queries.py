@@ -5931,20 +5931,23 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    dropped = exact_dup.unionAll(near).distinct()
+    dropped = exact_dup.unionAll(near).distinct().withColumn(
+        "is_dup", F.lit(1)
+    )
+    # single-pass census: left join the (small) dropped set and count
+    # kept/dropped conditionally — one scan of incoming, not three
     return (
-        inc.join(dropped, "doc_id", "left_anti")
+        inc.select("doc_id", "source")
+        .join(dropped, "doc_id", "left")
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .join(
-            inc.groupBy("source").agg(F.count(F.lit(1)).alias("n_in")),
-            "source",
-        )
-        .select(
-            "source",
-            "n_in",
-            "n_kept",
-            (F.col("n_in") - F.col("n_kept")).alias("n_dropped"),
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(
+                F.when(F.col("is_dup").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_dup").isNull(), 0).otherwise(1)
+            ).alias("n_dropped"),
         )
     )
 
