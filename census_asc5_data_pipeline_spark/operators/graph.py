@@ -342,21 +342,32 @@ def k_core(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
     for _ in range(max_iter):
-        deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("u")
-        n_nodes = deg.count()
-        n_keep = keep.count()
-        if n_keep == n_nodes:
-            return deg.filter(F.col("d") >= k).select(
+        # degree agg materialized ONCE per round (eager checkpoint);
+        # the convergence probe is one 1-row job over it, and the two
+        # semi-joins re-read the checkpointed degrees instead of
+        # recomputing the aggregate
+        deg = (
+            directed.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint()
+        )
+        probe = deg.groupBy().agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("d") >= k).cast("long")).alias("n_keep"),
+        ).collect()[0]
+        keep = deg.filter(F.col("d") >= k)
+        if probe["n_keep"] == probe["n_nodes"]:
+            return keep.select(
                 F.col("u").alias("node"), F.col("d").alias("core_degree")
             )
-        if n_keep == 0:
+        if not probe["n_keep"]:
             return deg.filter(F.lit(False)).select(
                 F.col("u").alias("node"), F.col("d").alias("core_degree")
             )
+        keep_u = keep.select("u")
         directed = (
-            directed.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            directed.join(keep_u, "u", "left_semi")
+            .join(keep_u.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint()
         )
     raise RuntimeError(

@@ -199,7 +199,16 @@ def bloom_filter_words(
     keys. Size ``n_bits ≈ 10–16 bits per distinct key`` for a ~1% false
     positive rate; at 100 TB a 10M-key build side is still a 20 MB
     broadcast — far below the hash-relation a broadcast join would ship.
+
+    TYPE CAVEAT (probe must hash the same bytes): ``xxhash64`` is
+    type-sensitive — xxhash64(5::INT) != xxhash64(5::BIGINT) — so the
+    build and probe keys must be hashed at the SAME type or equal
+    values miss (a silent false negative, which Bloom must never
+    have). ``bloom_semi_join`` normalizes both sides before hashing;
+    direct callers of this + ``bloom_might_contain`` must do the same.
     """
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
     n_words = n_bits // 64
     pos_cols = [
         F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(n_bits))
@@ -264,13 +273,33 @@ def bloom_semi_join(
     otherwise flow into the join. This is the manual form of Spark's
     runtime row-level bloom pruning, usable where that doesn't fire
     (non-equi pre-aggregations, unions, streaming foreachBatch).
+
+    Both keys are normalized to one hash type before the Bloom pass
+    (integrals widen to BIGINT, everything else hashes as STRING):
+    ``xxhash64`` is type-sensitive, so hashing an INT build key
+    against a BIGINT probe key would silently drop matches the exact
+    join's numeric widening would have found. The exact semi-join
+    still compares the ORIGINAL columns, so join semantics are
+    untouched. The small side's key is aliased internally, so
+    same-named keys on both sides (the common semi-join shape) don't
+    trip ambiguous-reference resolution.
     """
-    words = bloom_filter_words(small, small_key, n_bits, n_hashes)
-    pre = big.filter(bloom_might_contain(F.col(big_key), words, n_bits, n_hashes))
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    big_t = big.schema[big_key].dataType.simpleString()
+    small_t = small.schema[small_key].dataType.simpleString()
+    hash_t = (
+        "bigint" if big_t in integral and small_t in integral else "string"
+    )
+    build = small.select(F.col(small_key).cast(hash_t).alias("__bloom_key"))
+    words = bloom_filter_words(build, "__bloom_key", n_bits, n_hashes)
+    pre = big.filter(
+        bloom_might_contain(
+            F.col(big_key).cast(hash_t), words, n_bits, n_hashes
+        )
+    )
+    rhs = small.select(F.col(small_key).alias("__bloom_rhs")).distinct()
     return pre.join(
-        F.broadcast(small.select(small_key).distinct()),
-        pre[big_key] == F.col(small_key),
-        "left_semi",
+        F.broadcast(rhs), pre[big_key] == F.col("__bloom_rhs"), "left_semi"
     )
 
 

@@ -785,7 +785,11 @@ def stream_windowed_topk(
             .filter(F.col("rn") <= k)
             .select("window_start_ms", "event_type", "n", "rn")
         )
-        top.write.mode("append").parquet(out_dir)
+        # foreachBatch is at-least-once: an epoch replayed after a
+        # crash-before-checkpoint-commit must not duplicate its rows.
+        # Epoch-partitioned overwrite (the write_idempotent_parquet
+        # discipline) makes the replay rewrite the same partition.
+        top.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     return (
         counts.writeStream.outputMode("append")

@@ -299,3 +299,31 @@ def test_table_diff_statuses(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_bloom_semi_join_same_name_and_mixed_key_types(spark):
+    """Regression (code review): same-named keys must not trip
+    ambiguous resolution, and an INT build side against a BIGINT probe
+    side must not silently drop matches (xxhash64 is type-sensitive)."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        bloom_semi_join,
+    )
+
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))  # bigint
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 1000, 7)], "k int"  # int, same name
+    )
+    got = sorted(r.k for r in bloom_semi_join(big, small, "k", "k").collect())
+    want = sorted(range(0, 1000, 7))
+    assert got == want, "type-normalized bloom must keep every match"
+
+
+def test_bloom_filter_rejects_bad_n_bits(spark):
+    import pytest as _pytest
+
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        bloom_filter_words,
+    )
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter_words(spark.range(3), "id", n_bits=1000)
