@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_against",
     "bm25_topk",
     "token_pmi",
+    "k_core",
 ]
 
 

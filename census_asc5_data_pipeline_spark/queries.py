@@ -6268,6 +6268,111 @@ ORDER BY n_user_days DESC, path LIMIT 20
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the corpus-drift / class-separation diagnostic (two
+    labels whose centroids converge are collapsing topics). Same
+    exactness discipline as embedding_standardize: elements quantize
+    to integer millis, per-(label, dim) sums are exact BIGINTs, and
+    every cross-row float (the per-dim mean product and squared-mean
+    terms) is immediately re-quantized to integer millis so the final
+    per-pair reductions are exact integer SUMs — order-independent,
+    hash-stable despite the doubles. The centroid table is
+    |labels|×64 rows; the pair join is broadcast-tiny."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "x")
+    )
+    el = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("xm"),
+    )
+    cent = el.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xm").alias("s1")
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    cent = cent.select(
+        "label",
+        "dim",
+        mean.alias("m"),
+        F.floor(mean * mean * 1000 + F.lit(0.5)).cast("bigint").alias("m2_milli"),
+    )
+    norms = cent.groupBy("label").agg(F.sum("m2_milli").alias("n2_milli"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.floor(F.col("ma") * F.col("mb") * 1000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("t_milli"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum("t_milli").alias("dot_milli"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("n2_milli").alias("n2_a")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("n2_milli").alias("n2_b")
+    )
+    cos = F.floor(
+        F.col("dot_milli").cast("double")
+        / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double"))
+        * 1000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select("label_a", "label_b", "dot_milli", cos.alias("cos_milli"))
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH el AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xm
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+  WHERE i <= len(embedding)
+), cent0 AS (
+  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS BIGINT) AS s1
+  FROM el GROUP BY 1, 2
+), cent AS (
+  SELECT label, dim, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(FLOOR((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000 + 0.5) AS BIGINT) AS m2_milli
+  FROM cent0
+), norms AS (
+  SELECT label, CAST(SUM(m2_milli) AS BIGINT) AS n2 FROM cent GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(FLOOR(a.m * b.m * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS dot_milli
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, dot_milli,
+       CAST(FLOOR(CAST(dot_milli AS DOUBLE)
+                  / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                  * 1000 + 0.5) AS BIGINT) AS cos_milli
+FROM dots
+JOIN norms na ON na.label = dots.label_a
+JOIN norms nb ON nb.label = dots.label_b
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6312,6 +6417,7 @@ QUERIES: dict[str, QueryFn] = {
     "table_diff": q_table_diff,
     "k_core": q_k_core,
     "event_paths": q_event_paths,
+    "label_centroids": q_label_centroids,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6479,6 +6585,7 @@ ORACLES: dict[str, str] = {
     "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
     "table_diff": SQL_TABLE_DIFF,
     "event_paths": SQL_EVENT_PATHS,
+    "label_centroids": SQL_LABEL_CENTROIDS,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

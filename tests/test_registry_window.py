@@ -31,6 +31,7 @@ PINNED_FIRST_50 = [
     "table_diff",
     "k_core",
     "event_paths",
+    "label_centroids",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "q6_forecast_revenue",
     "q12_priority_by_returnflag",
     "q13_order_count_distribution",
-    "q16_supplier_count_by_part",
 ]
 
 

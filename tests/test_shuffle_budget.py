@@ -63,6 +63,10 @@ SHUFFLE_BUDGET = {
     "k_core": 8,
     # one (user, day) window + path agg (same shuffle) + path census
     "event_paths": 3,
+    # the (label, dim) centroid agg lineage renders under the dot
+    # self-join's both roles, the norm re-aggregate and its broadcast
+    # build sides; every frame past the first agg is |labels|x64 rows
+    "label_centroids": 7,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
