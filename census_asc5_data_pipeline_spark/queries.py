@@ -6373,6 +6373,107 @@ JOIN norms nb ON nb.label = dots.label_b
 """
 
 
+def q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side text vectorization via feature hashing (the
+    hashing-trick): each token maps to one of 64 dimensions through an
+    md5-derived bucket with an md5-derived ±1 sign, summed per (doc,
+    dim) — a deterministic sparse embedding with NO model artifact,
+    the classic bridge from raw text into the ANN/clustering machinery
+    when no trained encoder is available. md5 (not xxhash64) so the
+    DuckDB oracle reproduces buckets bit-for-bit; weights are exact
+    integer counts. One explode + one map-side-combinable (doc, dim)
+    aggregate; emitted long-form with the per-doc L1 mass."""
+    from census_asc5_data_pipeline_spark.functions import (
+        explode_computed,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = explode_computed(
+        docs.select("doc_id", words(F.col("text")).alias("w")), F.col("w"), "tok"
+    ).filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 9, 1), 16, 10).cast("bigint")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    hashed = toks.select(
+        "doc_id", F.pmod(h, F.lit(64)).alias("dim"), sign.alias("s")
+    )
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(
+            F.sum("s").cast("bigint").alias("weight"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .filter(F.col("weight") != 0)
+    )
+
+
+SQL_FEATURE_HASH_VECTORS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toks WHERE tok IS NOT NULL AND tok <> ''
+)
+SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM hashed GROUP BY doc_id, dim
+HAVING CAST(SUM(s) AS BIGINT) <> 0
+"""
+
+
+def q_jaccard_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-score distribution among candidate pairs (threshold
+    tuning for the dedup family): how many co-shingling pairs fall in
+    each 0.1-wide Jaccard band — the curve that tells you where to put
+    threshold_ppm before a 100 TB run. Reuses the inverted-index pair
+    machinery at threshold 0 (all co-shingling pairs), then one tiny
+    band census; band id is exact integer division of the ppm score."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = D.ngram_jaccard_pairs(docs, threshold_ppm=1, df_cap=4096)
+    out = (
+        raw.select(
+            F.expr("jaccard_ppm DIV 100000").cast("bigint").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    out._cached_deps = list(getattr(raw, "_cached_deps", ()))  # type: ignore[attr-defined]
+    return out
+
+
+SQL_JACCARD_BANDS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+), pairs AS (
+  SELECT CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5)
+              AS BIGINT) AS jaccard_ppm
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5)
+               AS BIGINT) >= 1
+)
+SELECT jaccard_ppm // 100000 AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6418,6 +6519,8 @@ QUERIES: dict[str, QueryFn] = {
     "k_core": q_k_core,
     "event_paths": q_event_paths,
     "label_centroids": q_label_centroids,
+    "feature_hash_vectors": q_feature_hash_vectors,
+    "jaccard_bands": q_jaccard_bands,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6586,6 +6689,8 @@ ORACLES: dict[str, str] = {
     "table_diff": SQL_TABLE_DIFF,
     "event_paths": SQL_EVENT_PATHS,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "feature_hash_vectors": SQL_FEATURE_HASH_VECTORS,
+    "jaccard_bands": SQL_JACCARD_BANDS,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

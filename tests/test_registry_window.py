@@ -32,6 +32,8 @@ PINNED_FIRST_50 = [
     "k_core",
     "event_paths",
     "label_centroids",
+    "feature_hash_vectors",
+    "jaccard_bands",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -65,8 +67,6 @@ PINNED_FIRST_50 = [
     "q17_small_qty_revenue",
     "q22_idle_customers",
     "q6_forecast_revenue",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
 ]
 
 

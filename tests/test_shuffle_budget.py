@@ -67,6 +67,11 @@ SHUFFLE_BUDGET = {
     # self-join's both roles, the norm re-aggregate and its broadcast
     # build sides; every frame past the first agg is |labels|x64 rows
     "label_centroids": 7,
+    # one (doc, dim) aggregate
+    "feature_hash_vectors": 1,
+    # the jaccard pair machinery (postings repartition + pair agg +
+    # cap-correction lineage) + the band census
+    "jaccard_bands": 5,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
