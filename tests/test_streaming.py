@@ -788,3 +788,26 @@ def test_available_now_trigger_unified_backfill(spark, event_dir):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_streaming_progress_metrics_exposed(spark, event_dir):
+    """Streaming observability: every micro-batch reports numInputRows
+    / batchId through StreamingQueryProgress — the monitoring surface a
+    production pipeline alerts on (no extra scan; the engine tracks it
+    as part of the run). Totals must reconcile with the source."""
+    ev = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    q = (
+        ev.select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("prog_out")
+        .start()
+    )
+    q.processAllAvailable()
+    progress = list(q.recentProgress)
+    q.stop()
+    assert progress, "at least one micro-batch must report progress"
+    seen = sum(p["numInputRows"] for p in progress)
+    assert seen == spark.read.parquet(event_dir).count()
+    batch_ids = [p["batchId"] for p in progress]
+    assert batch_ids == sorted(set(batch_ids)), "batch ids monotonic"
