@@ -6474,6 +6474,197 @@ FROM pairs GROUP BY 1
 """
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common neighbors over the brand
+    co-occurrence graph: take the top-100 strongest co-purchase edges
+    (support-ranked with a pair tiebreak — a FIXED-density graph at
+    every scale factor, unlike an absolute support cutoff), then rank
+    NON-adjacent brand pairs by how many shared neighbors they have —
+    "not bought together yet, but bought with the same things", the
+    classic recommendation candidate generator above item_affinity's
+    direct lift. The wedge fan-out is bounded by the top-K edge set
+    (degree <= 2K/|nodes| on average, <= K worst case), so the
+    common-neighbor join can never blow up regardless of corpus size;
+    every decision (edge rank, wedge order, score rank) is exact
+    integer, hence oracle-hash-stable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = baskets.select("ok", F.col("brand").alias("ba"))
+    b = baskets.select("ok", F.col("brand").alias("bb"))
+    support = (
+        a.join(b, "ok")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    edges = (
+        support.orderBy(F.col("support").desc(), "ba", "bb")
+        .limit(100)
+        .select("ba", "bb")
+        .persist()
+    )
+    directed = edges.unionAll(
+        edges.select(F.col("bb").alias("ba"), F.col("ba").alias("bb"))
+    )
+    w1 = directed.select(F.col("ba").alias("c"), F.col("bb").alias("a"))
+    w2 = directed.select(F.col("ba").alias("c"), F.col("bb").alias("b"))
+    cand = (
+        w1.join(w2, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    non_edges = cand.join(
+        edges.select(F.col("ba").alias("a"), F.col("bb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    out = (
+        non_edges.orderBy(
+            F.col("common_neighbors").desc(), F.col("a"), F.col("b")
+        )
+        .limit(20)
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            "common_neighbors",
+        )
+    )
+    out._cached_deps = [edges]  # type: ignore[attr-defined]
+    return out
+
+
+SQL_LINK_PREDICTION = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), support AS (
+  SELECT a.brand AS ba, b2.brand AS bb, CAST(COUNT(*) AS BIGINT) AS support
+  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.brand < b2.brand
+  GROUP BY 1, 2
+), edges AS (
+  SELECT ba, bb FROM support ORDER BY support DESC, ba, bb LIMIT 100
+), directed AS (
+  SELECT ba, bb FROM edges UNION ALL SELECT bb, ba FROM edges
+), cand AS (
+  SELECT w1.bb AS a, w2.bb AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM directed w1 JOIN directed w2 ON w1.ba = w2.ba
+  WHERE w1.bb < w2.bb
+  GROUP BY 1, 2
+)
+SELECT a AS brand_a, b AS brand_b, common_neighbors FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.ba = c.a AND e.bb = c.b)
+ORDER BY common_neighbors DESC, a, b LIMIT 20
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the term-frequency distribution: least-squares
+    slope of ln(count) against ln(rank) over the top-500 vocabulary
+    slice — the one-number corpus-naturalness diagnostic (natural text
+    sits near -1; templated corpora flatten). Per-term ln values are
+    quantized to integer micros FIRST, so the regression sums are
+    exact integers and the slope/intercept derive through one shared
+    double expression — deterministic cross-engine (the fit is over
+    the quantized points, documented)."""
+    from census_asc5_data_pipeline_spark.functions import (
+        explode_computed,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = explode_computed(
+        docs.select("doc_id", words(F.col("text")).alias("w")), F.col("w"), "tok"
+    ).filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(500)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("rank"),
+        "c",
+    )
+    x = F.floor(F.log(F.col("rank").cast("double")) * 1e6 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    y = F.floor(F.log(F.col("c").cast("double")) * 1e6 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    pts = ranked.select(
+        x.alias("xm"), y.alias("ym"), (x * y).alias("xym"), (x * x).alias("xxm")
+    )
+    s = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum("ym").alias("sy"),
+        F.sum("xym").alias("sxy"),
+        F.sum("xxm").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / (nd * F.lit(1e6))
+    return s.select(
+        "n",
+        F.floor(slope * 1e6 + F.lit(0.5)).cast("bigint").alias("slope_micro"),
+        F.floor(intercept * 1e6 + F.lit(0.5)).cast("bigint").alias(
+            "intercept_micro"
+        ),
+    )
+
+
+SQL_ZIPF_FIT = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+  WHERE tok IS NOT NULL AND tok <> '' GROUP BY tok
+), top AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank, c FROM top
+), pts AS (
+  SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xm,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS ym
+  FROM ranked
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+         CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+         CAST(SUM(xm * xm) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n,
+       CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS slope_micro,
+       CAST(FLOOR((CAST(sy AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * 1e6) * 1e6 + 0.5) AS BIGINT)
+         AS intercept_micro
+FROM s
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6521,6 +6712,8 @@ QUERIES: dict[str, QueryFn] = {
     "label_centroids": q_label_centroids,
     "feature_hash_vectors": q_feature_hash_vectors,
     "jaccard_bands": q_jaccard_bands,
+    "link_prediction": q_link_prediction,
+    "zipf_fit": q_zipf_fit,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6691,6 +6884,8 @@ ORACLES: dict[str, str] = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "feature_hash_vectors": SQL_FEATURE_HASH_VECTORS,
     "jaccard_bands": SQL_JACCARD_BANDS,
+    "link_prediction": SQL_LINK_PREDICTION,
+    "zipf_fit": SQL_ZIPF_FIT,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

@@ -39,8 +39,15 @@ def assert_oracle_match(spark, con, name: str, sf_dir: str = SF_SMALL) -> None:
     from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
     assert_utc(spark)  # epoch comparisons below assume naive-as-UTC
+    from census_asc5_data_pipeline_spark.queries import unpersist_deps
+
     sdf = QUERIES[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
+    # Release operator-persisted intermediates: Spark substitutes
+    # cached plans by logical-plan equality, so a leaked cache changes
+    # LATER tests' rendered plans (shuffle-budget counts) and
+    # accumulates blocks across the parametrized sweep.
+    unpersist_deps(sdf)
     rel = con.sql(ORACLES[name])
     drows = rel.fetchall()
     assert sorted(sdf.columns) == sorted(rel.columns), name

@@ -34,6 +34,8 @@ PINNED_FIRST_50 = [
     "label_centroids",
     "feature_hash_vectors",
     "jaccard_bands",
+    "link_prediction",
+    "zipf_fit",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -65,8 +67,6 @@ PINNED_FIRST_50 = [
     "attribution",
     "q2_min_cost_supplier",
     "q17_small_qty_revenue",
-    "q22_idle_customers",
-    "q6_forecast_revenue",
 ]
 
 

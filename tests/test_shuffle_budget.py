@@ -72,6 +72,12 @@ SHUFFLE_BUDGET = {
     # the jaccard pair machinery (postings repartition + pair agg +
     # cap-correction lineage) + the band census
     "jaccard_bands": 5,
+    # the persisted top-100 edge list's support lineage (basket join +
+    # support agg + top-k) re-renders under the directed union's both
+    # branches and the anti-join; runtime reuses the cache
+    "link_prediction": 16,
+    # type-count agg; the 500-row slice windows share one tiny sort
+    "zipf_fit": 4,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
