@@ -303,6 +303,30 @@ def bloom_semi_join(
     )
 
 
+def quantile_bins(
+    df: DataFrame, col: str, n_bins: int, out_col: str = "bin"
+) -> DataFrame:
+    """Distributed quantile binning — the scale path ntile cannot
+    take. Exact ntile needs one global sort; this computes the bin
+    BOUNDARIES with the Greenwald-Khanna sketch (``approxQuantile``,
+    one pass, mergeable, driver holds n_bins-1 doubles) and assigns
+    bins by broadcast comparison — fully parallel at any size. Bins
+    are 1..n_bins; rows equal to a boundary go to the lower bin
+    (half-open intervals), so the assignment is deterministic for a
+    fixed boundary list even though the boundaries themselves are
+    approximate (set ``relativeError`` via the sketch default 1e-3
+    here — tighten at the cost of sketch size).
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.approxQuantile(col, probs, 1e-3)
+    expr = F.lit(n_bins)
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(F.col(col) <= F.lit(bounds[i]), F.lit(i + 1)).otherwise(
+            expr
+        )
+    return df.withColumn(out_col, expr.cast("int"))
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

@@ -6435,8 +6435,13 @@ def q_jaccard_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuning for the dedup family): how many co-shingling pairs fall in
     each 0.1-wide Jaccard band — the curve that tells you where to put
     threshold_ppm before a 100 TB run. Reuses the inverted-index pair
-    machinery at threshold 0 (all co-shingling pairs), then one tiny
-    band census; band id is exact integer division of the ppm score."""
+    machinery at threshold ~0 (all co-shingling pairs), then one tiny
+    band census; band id is exact integer division of the ppm score.
+    Scale note: with no threshold the candidate set IS the full
+    co-shingling pair space (df_cap bounds per-shingle fan-out, the
+    ratio prune is inactive at t~0) — at 100 TB run this diagnostic
+    on a mixture_sample slice, not the full corpus; the curve shape
+    is what matters, and it is sampling-stable."""
     docs = _t(spark, sf_dir, "documents")
     raw = D.ngram_jaccard_pairs(docs, threshold_ppm=1, df_cap=4096)
     out = (

@@ -327,3 +327,33 @@ def test_bloom_filter_rejects_bad_n_bits(spark):
 
     with _pytest.raises(ValueError, match="multiple of 64"):
         bloom_filter_words(spark.range(3), "id", n_bits=1000)
+
+
+def test_quantile_bins_agrees_with_ntile(spark):
+    """The distributed binning (approx boundaries + comparison
+    assignment) must agree with exact ntile on the overwhelming
+    majority of rows — the documented RFM scale swap."""
+    from pyspark.sql import Window as W
+
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        quantile_bins,
+    )
+
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.xxhash64("id") % 100000).alias("v")
+    )
+    binned = quantile_bins(df, "v", 5)
+    exact = df.withColumn(
+        "nt", F.ntile(5).over(W.orderBy(F.col("v"), F.col("id")))
+    )
+    j = binned.join(exact, "id")
+    n = j.count()
+    agree = j.filter(F.col("bin") == F.col("nt")).count()
+    assert agree / n > 0.99, f"only {agree}/{n} rows agree"
+    # every bin is populated and ordered by value range
+    stats = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).orderBy("bin").collect()
+    assert len(stats) == 5
+    for a, b in zip(stats, stats[1:]):
+        assert a.hi <= b.lo or a.hi <= b.hi  # monotone ranges
