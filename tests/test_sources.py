@@ -341,3 +341,68 @@ def test_schema_diff_reports_drift(spark, tmp_path):
     assert got["score"]["status"] == "retyped"
     assert "double" in got["score"]["type"] and "bigint" in got["score"]["type"]
     assert "id" not in got and "name" not in got
+
+
+def test_python_datasource_batch_parallel_deterministic(spark):
+    """Spark 4 Python Data Source API: schema-declared, partitioned,
+    deterministic — and the rows feed the text operators unchanged."""
+    from census_asc5_data_pipeline_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text", "source"]
+    assert df.count() == 500
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .load()
+        .collect()
+    )
+    assert a == b, "two reads must be identical (deterministic source)"
+    assert len({r[0] for r in a}) == 500, "doc_ids unique across partitions"
+    # compose with an engine operator
+    from census_asc5_data_pipeline_spark.operators.text import token_counts
+
+    assert token_counts(df).count() == 500
+
+
+def test_python_datasource_streaming_resumes_exactly(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    out = []
+    q = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 50)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pyds_out")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM pyds_out").collect()[0].c
+            if n >= 100:
+                break
+            _t.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT doc_id FROM pyds_out").collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert len(ids) >= 100
+    assert ids == list(range(len(ids))), "contiguous ids, no gaps/dups"
