@@ -27,8 +27,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _WORDS = (
@@ -109,3 +111,89 @@ class SyntheticDocsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------- writer
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    """Transactional JSONL sink via the Python Data Source write
+    protocol: each task writes its partition to a uniquely-named part
+    file and returns a commit message; the DRIVER's ``commit`` then
+    writes the ``_manifest.json`` listing exactly the committed parts.
+    Readers that go through the manifest never see a torn write — a
+    failed/speculative task's orphan file is simply absent from the
+    manifest (and ``abort`` removes anything reported). This is the
+    same two-phase discipline as the versioned snapshot store, now at
+    the task level via Spark's own commit protocol.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_jsonl requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        parts = [
+            {"path": os.path.basename(m.path), "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        manifest = os.path.join(self.path, "_manifest.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"parts": parts, "n_rows": sum(p["n_rows"] for p in parts)}, f
+            )
+        os.replace(tmp, manifest)  # atomic publish
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ManifestJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "manifest_jsonl"
+
+    def schema(self):
+        return "doc_id bigint, text string, source string"
+
+    def writer(self, schema, overwrite):
+        return ManifestJsonlWriter(self.options, overwrite)
+
+
+def register_writer(spark) -> None:
+    spark.dataSource.register(ManifestJsonlDataSource)

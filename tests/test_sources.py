@@ -406,3 +406,39 @@ def test_python_datasource_streaming_resumes_exactly(spark, tmp_path):
     ids = sorted(r.doc_id for r in rows)
     assert len(ids) >= 100
     assert ids == list(range(len(ids))), "contiguous ids, no gaps/dups"
+
+
+def test_python_datasource_writer_manifest_commit(spark, tmp_path):
+    """Write path of the Python Data Source API: per-task part files +
+    driver-side manifest commit — readers through the manifest see
+    exactly the committed rows."""
+    import json
+    import os
+
+    from census_asc5_data_pipeline_spark.sources.python_datasource import (
+        register,
+        register_writer,
+    )
+
+    register(spark)
+    register_writer(spark)
+    out = str(tmp_path / "mjsonl")
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 300)
+        .option("partitions", 4)
+        .load()
+    )
+    df.write.format("manifest_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert manifest["n_rows"] == 300
+    assert len(manifest["parts"]) == 4
+    # read back exactly the manifested parts
+    rows = []
+    for part in manifest["parts"]:
+        with open(os.path.join(out, part["path"])) as f:
+            rows += [json.loads(line) for line in f]
+    assert len(rows) == 300
+    assert sorted(r["doc_id"] for r in rows) == list(range(300))
