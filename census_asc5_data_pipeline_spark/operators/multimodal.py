@@ -116,6 +116,44 @@ def decode_media(df: DataFrame, codec: str = "stub") -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def decode_media_arrow(df: DataFrame, codec: str = "stub") -> DataFrame:
+    """``mapInArrow`` twin of :func:`decode_media`: the kernel receives
+    raw ``pyarrow.RecordBatch`` objects, skipping the Arrow→pandas→
+    Arrow conversion layer mapInPandas pays on every batch (pandas
+    Series construction + block consolidation — pure overhead when the
+    kernel only touches the binary payload buffer). Same codecs, same
+    DECODED_SCHEMA, bit-identical output (pinned in
+    tests/test_multimodal.py) — use this form when the per-batch
+    Python work is small relative to the conversion cost."""
+    import pyarrow as pa
+
+    if codec == "auto":
+        codec = "pil" if HAS_PIL else "stub"
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"unknown codec {codec!r}: expected stub|pil|auto")
+    if codec == "pil" and not HAS_PIL:
+        raise ImportError("codec='pil' requires pillow, which is not installed")
+    kernel = _pil_decode if codec == "pil" else _fake_decode
+
+    def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in it:
+            payloads = rb.column(rb.schema.get_field_index("payload")).to_pylist()
+            decoded = [kernel(p) for p in payloads]
+            cols = list(zip(*decoded)) if decoded else [[], [], [], []]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pa.array(cols[0], type=pa.int64()),
+                    pa.array(cols[1], type=pa.int64()),
+                    pa.array(cols[2], type=pa.int64()),
+                    pa.array(cols[3], type=pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "width", "height", "n_frames"],
+            )
+
+    return df.mapInArrow(batches, DECODED_SCHEMA)
+
+
 def resize_meta(
     df: DataFrame, max_w: int = 224, max_h: int = 224
 ) -> DataFrame:

@@ -128,3 +128,21 @@ def test_decode_media_pil_codec_raises_cleanly_when_absent(spark):
         M.decode_media(df, codec="pil")
     # auto falls back to the stub silently
     assert M.decode_media(df, codec="auto").count() == df.count()
+
+
+def test_decode_media_arrow_matches_pandas_path(spark):
+    """mapInArrow twin must emit bit-identical rows to the mapInPandas
+    decode for the same codec (only the batch transport differs)."""
+    from census_asc5_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        decode_media,
+        decode_media_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, None)], ["doc_id", "text"]
+    )
+    media = attach_binary(docs)
+    a = sorted(tuple(r) for r in decode_media(media).collect())
+    b = sorted(tuple(r) for r in decode_media_arrow(media).collect())
+    assert a == b and a
