@@ -89,6 +89,19 @@ def _pil_decode(payload: bytes | None) -> tuple[int, int, int, int]:
         return len(payload), 0, 0, 0
 
 
+def _resolve_kernel(codec: str):
+    """Shared codec policy for the mapInPandas/mapInArrow twins — one
+    place for the auto fallback, the unknown-codec error and the
+    missing-pillow error, so the twins can never drift apart."""
+    if codec == "auto":
+        codec = "pil" if HAS_PIL else "stub"
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"unknown codec {codec!r}: expected stub|pil|auto")
+    if codec == "pil" and not HAS_PIL:
+        raise ImportError("codec='pil' requires pillow, which is not installed")
+    return _pil_decode if codec == "pil" else _fake_decode
+
+
 def decode_media(df: DataFrame, codec: str = "stub") -> DataFrame:
     """Decode payloads to typed metadata via Arrow-batched mapInPandas.
 
@@ -98,13 +111,7 @@ def decode_media(df: DataFrame, codec: str = "stub") -> DataFrame:
     DECODED_SCHEMA — swapping codecs never changes the plan shape,
     only the kernel body (tests/test_multimodal.py parametrizes over
     whichever paths the environment supports)."""
-    if codec == "auto":
-        codec = "pil" if HAS_PIL else "stub"
-    if codec not in ("stub", "pil"):
-        raise ValueError(f"unknown codec {codec!r}: expected stub|pil|auto")
-    if codec == "pil" and not HAS_PIL:
-        raise ImportError("codec='pil' requires pillow, which is not installed")
-    kernel = _pil_decode if codec == "pil" else _fake_decode
+    kernel = _resolve_kernel(codec)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -127,13 +134,7 @@ def decode_media_arrow(df: DataFrame, codec: str = "stub") -> DataFrame:
     Python work is small relative to the conversion cost."""
     import pyarrow as pa
 
-    if codec == "auto":
-        codec = "pil" if HAS_PIL else "stub"
-    if codec not in ("stub", "pil"):
-        raise ValueError(f"unknown codec {codec!r}: expected stub|pil|auto")
-    if codec == "pil" and not HAS_PIL:
-        raise ImportError("codec='pil' requires pillow, which is not installed")
-    kernel = _pil_decode if codec == "pil" else _fake_decode
+    kernel = _resolve_kernel(codec)
 
     def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for rb in it:

@@ -285,11 +285,26 @@ def bloom_semi_join(
     trip ambiguous-reference resolution.
     """
     integral = {"tinyint", "smallint", "int", "bigint"}
+    numeric = integral | {"float", "double"}
     big_t = big.schema[big_key].dataType.simpleString()
     small_t = small.schema[small_key].dataType.simpleString()
-    hash_t = (
-        "bigint" if big_t in integral and small_t in integral else "string"
-    )
+    if big_t == small_t:
+        hash_t = big_t
+    elif big_t in integral and small_t in integral:
+        hash_t = "bigint"
+    elif (big_t in numeric or big_t.startswith("decimal")) and (
+        small_t in numeric or small_t.startswith("decimal")
+    ):
+        # double is the one type every numeric widens to identically on
+        # both sides; precision collapse can only ADD bloom false
+        # positives (removed by the exact join), never false negatives
+        hash_t = "double"
+    else:
+        raise ValueError(
+            f"bloom_semi_join keys have incompatible types {big_t!r} vs "
+            f"{small_t!r}: cast them to a common type explicitly — a "
+            "string-vs-numeric bloom would silently drop matches"
+        )
     build = small.select(F.col(small_key).cast(hash_t).alias("__bloom_key"))
     words = bloom_filter_words(build, "__bloom_key", n_bits, n_hashes)
     pre = big.filter(
@@ -304,7 +319,11 @@ def bloom_semi_join(
 
 
 def quantile_bins(
-    df: DataFrame, col: str, n_bins: int, out_col: str = "bin"
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str = "bin",
+    relative_error: float = 1e-3,
 ) -> DataFrame:
     """Distributed quantile binning — the scale path ntile cannot
     take. Exact ntile needs one global sort; this computes the bin
@@ -314,16 +333,22 @@ def quantile_bins(
     are 1..n_bins; rows equal to a boundary go to the lower bin
     (half-open intervals), so the assignment is deterministic for a
     fixed boundary list even though the boundaries themselves are
-    approximate (set ``relativeError`` via the sketch default 1e-3
-    here — tighten at the cost of sketch size).
+    approximate (``relative_error`` trades sketch size for boundary
+    tightness). NULL values get a NULL bin — the sketch ignores them,
+    so letting them fall through the when-chain would silently score
+    them top-bin (an RFM customer with no spend must not rank as a
+    top-quintile spender).
     """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = df.approxQuantile(col, probs, 1e-3)
+    bounds = df.approxQuantile(col, probs, relative_error)
     expr = F.lit(n_bins)
     for i in range(len(bounds) - 1, -1, -1):
         expr = F.when(F.col(col) <= F.lit(bounds[i]), F.lit(i + 1)).otherwise(
             expr
         )
+    expr = F.when(F.col(col).isNull(), F.lit(None)).otherwise(expr)
     return df.withColumn(out_col, expr.cast("int"))
 
 

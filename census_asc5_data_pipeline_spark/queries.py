@@ -6443,7 +6443,14 @@ def q_jaccard_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a mixture_sample slice, not the full corpus; the curve shape
     is what matters, and it is sampling-stable."""
     docs = _t(spark, sf_dir, "documents")
-    raw = D.ngram_jaccard_pairs(docs, threshold_ppm=1, df_cap=4096)
+    # df_cap=None ON PURPOSE (review finding): the cap's exactness
+    # argument ("a qualifying pair sharing only stop-shingles must be
+    # degenerate") holds only for real thresholds — at t~0 ANY shared
+    # over-cap shingle qualifies a pair, so a capped Spark plan would
+    # diverge from the uncapped oracle the moment a stop-shingle
+    # appears. The unguarded join is exactly why the docstring says
+    # run this diagnostic on a sample at scale.
+    raw = D.ngram_jaccard_pairs(docs, threshold_ppm=1, df_cap=None)
     out = (
         raw.select(
             F.expr("jaccard_ppm DIV 100000").cast("bigint").alias("band")

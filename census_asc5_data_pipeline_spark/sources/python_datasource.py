@@ -130,7 +130,11 @@ class ManifestJsonlWriter(DataSourceWriter):
     failed/speculative task's orphan file is simply absent from the
     manifest (and ``abort`` removes anything reported). This is the
     same two-phase discipline as the versioned snapshot store, now at
-    the task level via Spark's own commit protocol.
+    the task level via Spark's own commit protocol. ``mode("append")``
+    unions the new parts into the existing manifest;
+    ``mode("overwrite")`` publishes a manifest of only the new parts,
+    then deletes the replaced part files (manifest first, so a crash
+    between the two leaves orphans, never a torn manifest).
     """
 
     def __init__(self, options, overwrite: bool):
@@ -168,12 +172,26 @@ class ManifestJsonlWriter(DataSourceWriter):
             if m is not None
         ]
         manifest = os.path.join(self.path, "_manifest.json")
+        stale: list[str] = []
+        if os.path.exists(manifest):
+            prior = json.load(open(manifest, encoding="utf-8"))["parts"]
+            if self.overwrite:
+                # replaced parts are deleted only AFTER the new
+                # manifest publishes — a crash in between leaves
+                # orphan files, never a torn manifest
+                stale = [p["path"] for p in prior]
+            else:
+                parts = prior + parts  # append: union of commits
         tmp = manifest + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(
                 {"parts": parts, "n_rows": sum(p["n_rows"] for p in parts)}, f
             )
         os.replace(tmp, manifest)  # atomic publish
+        for name in stale:
+            old = os.path.join(self.path, name)
+            if os.path.exists(old):
+                os.remove(old)
 
     def abort(self, messages):
         import os

@@ -768,7 +768,11 @@ def stream_windowed_topk(
     state needed (state stays the windowed aggregate's own, watermark-
     bounded). The rank window partitions by window_start (each
     partition is |event types| rows), ties break lexicographically,
-    and the top-k rows append to the sink per batch.
+    and each batch's top-k rows land in their own overwrite-on-replay
+    ``epoch=N`` partition, so at-least-once replays are idempotent.
+    READ CONTRACT: ``spark.read.parquet(out_dir)`` returns
+    (window_start_ms, event_type, n, rn) PLUS the ``epoch`` partition
+    column — consumers select by name.
     """
     counts = windowed_counts(events, window, watermark).select(
         "window_start_ms", "event_type", "n"
@@ -788,7 +792,9 @@ def stream_windowed_topk(
         # foreachBatch is at-least-once: an epoch replayed after a
         # crash-before-checkpoint-commit must not duplicate its rows.
         # Epoch-partitioned overwrite (the write_idempotent_parquet
-        # discipline) makes the replay rewrite the same partition.
+        # discipline) makes the replay rewrite the same partition, and
+        # the "epoch=" layout means a plain spark.read.parquet(out_dir)
+        # traverses every batch via partition discovery.
         top.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     return (

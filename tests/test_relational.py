@@ -356,4 +356,12 @@ def test_quantile_bins_agrees_with_ntile(spark):
     ).orderBy("bin").collect()
     assert len(stats) == 5
     for a, b in zip(stats, stats[1:]):
-        assert a.hi <= b.lo or a.hi <= b.hi  # monotone ranges
+        # half-open intervals: every value in bin i is <= its boundary,
+        # every value in bin i+1 is strictly above it
+        assert a.hi <= b.lo
+    # NULLs must get a NULL bin, never the top bin (review finding)
+    with_null = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    nb = {r.id: r.bin for r in quantile_bins(with_null, "v", 2).collect()}
+    assert nb[2] is None and nb[1] is not None

@@ -376,36 +376,63 @@ def test_python_datasource_batch_parallel_deterministic(spark):
 
 
 def test_python_datasource_streaming_resumes_exactly(spark, tmp_path):
+    """Stop the stream mid-flight and restart from the SAME checkpoint:
+    the counter-offset source plus a per-epoch idempotent sink must
+    yield every id exactly once — this drives BOTH
+    SimpleDataSourceStreamReader.read (live) and readBetweenOffsets
+    (the restart's replay of the last uncommitted batch)."""
+    import time as _t
+
     from census_asc5_data_pipeline_spark.sources.python_datasource import (
         register,
     )
 
     register(spark)
-    out = []
-    q = (
-        spark.readStream.format("synthetic_docs")
-        .option("rows_per_batch", 50)
-        .load()
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("pyds_out")
-        .start()
-    )
-    try:
-        import time as _t
+    out_dir = str(tmp_path / "pyds_out")
+    ckpt = str(tmp_path / "pyds_ckpt")
 
-        deadline = _t.time() + 60
-        while _t.time() < deadline:
-            n = spark.sql("SELECT count(*) c FROM pyds_out").collect()[0].c
-            if n >= 100:
-                break
-            _t.sleep(1)
-    finally:
-        q.stop()
-    rows = spark.sql("SELECT doc_id FROM pyds_out").collect()
-    ids = sorted(r.doc_id for r in rows)
-    assert len(ids) >= 100
-    assert ids == list(range(len(ids))), "contiguous ids, no gaps/dups"
+    def start():
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_{epoch_id:08d}"
+            )
+
+        return (
+            spark.readStream.format("synthetic_docs")
+            .option("rows_per_batch", 50)
+            .load()
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    schema = "doc_id long, text string, source string"
+
+    def rows_written():
+        try:
+            return spark.read.schema(schema).parquet(f"{out_dir}/batch_*").count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = _t.time() + 60
+    while _t.time() < deadline and rows_written() < 100:
+        _t.sleep(1)
+    q.stop()  # mid-flight kill; last batch may be uncommitted
+    q2 = start()  # same checkpoint -> replay via readBetweenOffsets
+    deadline = _t.time() + 60
+    n0 = rows_written()
+    while _t.time() < deadline and rows_written() < n0 + 100:
+        _t.sleep(1)
+    q2.stop()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.schema(schema).parquet(
+            f"{out_dir}/batch_*"
+        ).collect()
+    )
+    assert len(ids) >= 200
+    assert ids == list(range(len(ids))), "exactly-once across restart"
 
 
 def test_python_datasource_writer_manifest_commit(spark, tmp_path):
@@ -442,3 +469,16 @@ def test_python_datasource_writer_manifest_commit(spark, tmp_path):
             rows += [json.loads(line) for line in f]
     assert len(rows) == 300
     assert sorted(r["doc_id"] for r in rows) == list(range(300))
+    # append merges into the manifest; overwrite replaces and cleans up
+    df.write.format("manifest_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    m2 = json.load(open(os.path.join(out, "_manifest.json")))
+    assert m2["n_rows"] == 600 and len(m2["parts"]) == 8
+    df.write.format("manifest_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    m3 = json.load(open(os.path.join(out, "_manifest.json")))
+    assert m3["n_rows"] == 300 and len(m3["parts"]) == 4
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert on_disk == {p["path"] for p in m3["parts"]}, "stale parts removed"
