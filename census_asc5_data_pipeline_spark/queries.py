@@ -6677,6 +6677,82 @@ FROM s
 """
 
 
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture SOLVER + apply in one plan (source_mixture applies
+    FIXED weights; this derives them): given a uniform target share,
+    compute each source's sampling rate  rate_ppm = min(1e6,
+    floor(total·1e6 / (n_sources·count)))  from the per-source census
+    (exact integer floor division — under-represented sources cap at
+    keep-all, over-represented ones downsample toward the target),
+    broadcast the tiny rate table back, and apply it with the
+    deterministic salted-md5 bucket — the full rebalancing loop a
+    mixture pipeline runs per ingest, rerun-stable and hash-exact.
+    Output: per-source census with derived rate and actual kept
+    count."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.groupBy().agg(F.sum("n_docs")).scalar()
+    nsrc = counts.groupBy().agg(F.count(F.lit(1))).scalar()
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.least(
+                F.lit(1000000.0),
+                F.lit(total).cast("double")
+                * 1000000.0
+                / (F.lit(nsrc).cast("double") * F.col("n_docs").cast("double")),
+            )
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("reb-v1"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    applied = docs.select("source", bucket.alias("bucket")).join(
+        F.broadcast(rates), "source"
+    )
+    return applied.groupBy("source", "n_docs", "rate_ppm").agg(
+        F.sum(F.when(F.col("bucket") < F.col("rate_ppm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept")
+    )
+
+
+SQL_MIXTURE_REBALANCE = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), rates AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(LEAST(1000000.0,
+              (SELECT CAST(SUM(n_docs) AS DOUBLE) FROM counts) * 1000000.0
+              / ((SELECT CAST(COUNT(*) AS DOUBLE) FROM counts)
+                 * CAST(n_docs AS DOUBLE)))) AS BIGINT) AS rate_ppm
+  FROM counts
+), applied AS (
+  SELECT d.source,
+         ('0x' || substr(md5('reb-v1' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents d
+)
+SELECT a.source, r.n_docs, r.rate_ppm,
+       CAST(SUM(CASE WHEN a.bucket < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM applied a JOIN rates r ON a.source = r.source
+GROUP BY a.source, r.n_docs, r.rate_ppm
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6726,6 +6802,7 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_bands": q_jaccard_bands,
     "link_prediction": q_link_prediction,
     "zipf_fit": q_zipf_fit,
+    "mixture_rebalance": q_mixture_rebalance,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6898,6 +6975,7 @@ ORACLES: dict[str, str] = {
     "jaccard_bands": SQL_JACCARD_BANDS,
     "link_prediction": SQL_LINK_PREDICTION,
     "zipf_fit": SQL_ZIPF_FIT,
+    "mixture_rebalance": SQL_MIXTURE_REBALANCE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

@@ -36,6 +36,7 @@ PINNED_FIRST_50 = [
     "jaccard_bands",
     "link_prediction",
     "zipf_fit",
+    "mixture_rebalance",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "domain_cap",
     "attribution",
     "q2_min_cost_supplier",
-    "q17_small_qty_revenue",
 ]
 
 
