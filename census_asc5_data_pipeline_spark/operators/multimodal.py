@@ -143,7 +143,11 @@ def decode_media_arrow(df: DataFrame, codec: str = "stub") -> DataFrame:
             cols = list(zip(*decoded)) if decoded else [[], [], [], []]
             yield pa.RecordBatch.from_arrays(
                 [
-                    rb.column(rb.schema.get_field_index("doc_id")),
+                    # explicit int64: the pandas twin silently coerces a
+                    # narrower doc_id, the Arrow passthrough must too
+                    rb.column(rb.schema.get_field_index("doc_id")).cast(
+                        pa.int64()
+                    ),
                     pa.array(cols[0], type=pa.int64()),
                     pa.array(cols[1], type=pa.int64()),
                     pa.array(cols[2], type=pa.int64()),

@@ -341,6 +341,9 @@ def quantile_bins(
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if n_bins == 1:  # degenerate: one bin, no sketch to compute
+        one = F.when(F.col(col).isNull(), F.lit(None)).otherwise(F.lit(1))
+        return df.withColumn(out_col, one.cast("int"))
     probs = [i / n_bins for i in range(1, n_bins)]
     bounds = df.approxQuantile(col, probs, relative_error)
     expr = F.lit(n_bins)

@@ -6438,8 +6438,9 @@ def q_jaccard_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery at threshold ~0 (all co-shingling pairs), then one tiny
     band census; band id is exact integer division of the ppm score.
     Scale note: with no threshold the candidate set IS the full
-    co-shingling pair space (df_cap bounds per-shingle fan-out, the
-    ratio prune is inactive at t~0) — at 100 TB run this diagnostic
+    co-shingling pair space and the join is UNCAPPED (df_cap is off —
+    its exactness argument is void at t~0, see the inline comment; the
+    ratio prune is likewise inactive) — at 100 TB run this diagnostic
     on a mixture_sample slice, not the full corpus; the curve shape
     is what matters, and it is sampling-stable."""
     docs = _t(spark, sf_dir, "documents")
@@ -6681,31 +6682,27 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture SOLVER + apply in one plan (source_mixture applies
     FIXED weights; this derives them): given a uniform target share,
     compute each source's sampling rate  rate_ppm = min(1e6,
-    floor(total·1e6 / (n_sources·count)))  from the per-source census
-    (exact integer floor division — under-represented sources cap at
-    keep-all, over-represented ones downsample toward the target),
-    broadcast the tiny rate table back, and apply it with the
-    deterministic salted-md5 bucket — the full rebalancing loop a
-    mixture pipeline runs per ingest, rerun-stable and hash-exact.
-    Output: per-source census with derived rate and actual kept
-    count."""
+    (total·1e6) DIV (n_sources·count))  from the per-source census —
+    EXACT integer floor division (overflow-safe past the 2^53 doubles
+    lose exactness at; under-represented sources cap at keep-all,
+    over-represented ones downsample toward the target) — broadcast
+    the tiny rate table back, and apply it with the deterministic
+    salted-md5 bucket. The corpus totals come from an empty-frame
+    window OVER the census itself (|sources| rows — one census pass,
+    no scalar-subquery re-renders, and the single-partition window is
+    over the aggregate, never the corpus). Output: per-source census
+    with derived rate and actual kept count."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    total = counts.groupBy().agg(F.sum("n_docs")).scalar()
-    nsrc = counts.groupBy().agg(F.count(F.lit(1))).scalar()
     rates = counts.select(
         "source",
         "n_docs",
-        F.floor(
-            F.least(
-                F.lit(1000000.0),
-                F.lit(total).cast("double")
-                * 1000000.0
-                / (F.lit(nsrc).cast("double") * F.col("n_docs").cast("double")),
-            )
-        )
-        .cast("bigint")
-        .alias("rate_ppm"),
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr(
+                "(SUM(n_docs) OVER () * 1000000) DIV (COUNT(1) OVER () * n_docs)"
+            ),
+        ).alias("rate_ppm"),
     )
     bucket = (
         F.conv(
@@ -6734,10 +6731,9 @@ WITH counts AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
 ), rates AS (
   SELECT source, n_docs,
-         CAST(FLOOR(LEAST(1000000.0,
-              (SELECT CAST(SUM(n_docs) AS DOUBLE) FROM counts) * 1000000.0
-              / ((SELECT CAST(COUNT(*) AS DOUBLE) FROM counts)
-                 * CAST(n_docs AS DOUBLE)))) AS BIGINT) AS rate_ppm
+         LEAST(CAST(1000000 AS BIGINT),
+               (SUM(n_docs) OVER () * 1000000)
+               // (COUNT(*) OVER () * n_docs)) AS rate_ppm
   FROM counts
 ), applied AS (
   SELECT d.source,

@@ -146,3 +146,10 @@ def test_decode_media_arrow_matches_pandas_path(spark):
     a = sorted(tuple(r) for r in decode_media(media).collect())
     b = sorted(tuple(r) for r in decode_media_arrow(media).collect())
     assert a == b and a
+    # narrower doc_id (int32): the pandas twin coerces silently, the
+    # Arrow passthrough must cast too (review finding)
+    narrow = attach_binary(
+        docs.withColumn("doc_id", docs.doc_id.cast("int"))
+    )
+    c = sorted(tuple(r) for r in decode_media_arrow(narrow).collect())
+    assert c == a
