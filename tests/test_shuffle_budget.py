@@ -78,9 +78,9 @@ SHUFFLE_BUDGET = {
     "link_prediction": 16,
     # type-count agg; the 500-row slice windows share one tiny sort
     "zipf_fit": 4,
-    # source census (re-rendered under the two scalar subqueries and
-    # the broadcast rate build) + the final keep census
-    "mixture_rebalance": 6,
+    # source census + its single-partition totals window (census-sized
+    # frame) under the broadcast rate build + the final keep census
+    "mixture_rebalance": 3,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
