@@ -6749,6 +6749,50 @@ GROUP BY a.source, r.n_docs, r.rate_ppm
 """
 
 
+def q_source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile (the first chart of any
+    corpus audit): count, exact min/max, exact median and p90 of both
+    characters and whitespace tokens — median-of-integers ×2 (the
+    group_median pattern, exact in double space, engine-portable).
+    One map-side-combinable aggregate over the source key."""
+    from census_asc5_data_pipeline_spark.functions import words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.size(words(F.col("text"))).cast("bigint").alias("nt"),
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("nc").alias("min_chars"),
+        F.max("nc").alias("max_chars"),
+        F.floor(F.median("nc") * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("median_chars_x2"),
+        F.floor(F.percentile("nc", 0.9) * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("p90_chars_x2"),
+        F.floor(F.median("nt") * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("median_tokens_x2"),
+    )
+
+
+SQL_SOURCE_LENGTH_STATS = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS nc,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(nc) AS min_chars, MAX(nc) AS max_chars,
+       CAST(FLOOR(median(nc) * 2 + 0.5) AS BIGINT) AS median_chars_x2,
+       CAST(FLOOR(quantile_cont(nc, 0.9) * 2 + 0.5) AS BIGINT) AS p90_chars_x2,
+       CAST(FLOOR(median(nt) * 2 + 0.5) AS BIGINT) AS median_tokens_x2
+FROM d GROUP BY source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6799,6 +6843,7 @@ QUERIES: dict[str, QueryFn] = {
     "link_prediction": q_link_prediction,
     "zipf_fit": q_zipf_fit,
     "mixture_rebalance": q_mixture_rebalance,
+    "source_length_stats": q_source_length_stats,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -6972,6 +7017,7 @@ ORACLES: dict[str, str] = {
     "link_prediction": SQL_LINK_PREDICTION,
     "zipf_fit": SQL_ZIPF_FIT,
     "mixture_rebalance": SQL_MIXTURE_REBALANCE,
+    "source_length_stats": SQL_SOURCE_LENGTH_STATS,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

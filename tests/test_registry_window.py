@@ -37,6 +37,7 @@ PINNED_FIRST_50 = [
     "link_prediction",
     "zipf_fit",
     "mixture_rebalance",
+    "source_length_stats",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "cdc_apply",
     "domain_cap",
     "attribution",
-    "q2_min_cost_supplier",
 ]
 
 

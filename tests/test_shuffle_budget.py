@@ -81,6 +81,8 @@ SHUFFLE_BUDGET = {
     # source census + its single-partition totals window (census-sized
     # frame) under the broadcast rate build + the final keep census
     "mixture_rebalance": 3,
+    # one source-keyed aggregate
+    "source_length_stats": 1,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
