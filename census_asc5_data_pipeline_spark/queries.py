@@ -6793,6 +6793,58 @@ FROM d GROUP BY source
 """
 
 
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration (Herfindahl) index per part type: each
+    brand's revenue share in ppm (exact integer floor division of
+    exact cent sums), HHI = Σ share² — the concentration analytic
+    behind antitrust-style dashboards, and a corpus-diversity measure
+    when pointed at sources. All integer arithmetic end-to-end (share
+    truncation is part of the metric's definition here, identically on
+    both engines), so the index is hash-exact. One fact aggregate,
+    one per-type window for the total (|types|×|brands| frame), one
+    rollup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", cents(F.col("l_extendedprice")).alias("rev_c")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum("rev_c").alias("rev"))
+    )
+    share = rev.select(
+        "p_type",
+        F.expr(
+            "(rev * 1000000) DIV SUM(rev) OVER (PARTITION BY p_type)"
+        ).alias("share_ppm"),
+    )
+    return share.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.sum(F.col("share_ppm") * F.col("share_ppm"))
+        .cast("bigint")
+        .alias("hhi"),
+    )
+
+
+SQL_MARKET_CONCENTRATION = """
+WITH rev AS (
+  SELECT p_type, p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), share AS (
+  SELECT p_type,
+         (rev * 1000000) // SUM(rev) OVER (PARTITION BY p_type)
+           AS share_ppm
+  FROM rev
+)
+SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_brands,
+       CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi
+FROM share GROUP BY p_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6844,6 +6896,7 @@ QUERIES: dict[str, QueryFn] = {
     "zipf_fit": q_zipf_fit,
     "mixture_rebalance": q_mixture_rebalance,
     "source_length_stats": q_source_length_stats,
+    "market_concentration": q_market_concentration,
     "dedup_containment": q_dedup_containment,
     "readability": q_readability,
     "skyline_2d": q_skyline_2d,
@@ -7018,6 +7071,7 @@ ORACLES: dict[str, str] = {
     "zipf_fit": SQL_ZIPF_FIT,
     "mixture_rebalance": SQL_MIXTURE_REBALANCE,
     "source_length_stats": SQL_SOURCE_LENGTH_STATS,
+    "market_concentration": SQL_MARKET_CONCENTRATION,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "readability": SQL_READABILITY,
     "skyline_2d": SQL_SKYLINE_2D,

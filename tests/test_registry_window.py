@@ -38,6 +38,7 @@ PINNED_FIRST_50 = [
     "zipf_fit",
     "mixture_rebalance",
     "source_length_stats",
+    "market_concentration",
     "dedup_containment",
     "readability",
     "skyline_2d",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "pack_sequences",
     "cdc_apply",
     "domain_cap",
-    "attribution",
 ]
 
 

@@ -83,6 +83,8 @@ SHUFFLE_BUDGET = {
     "mixture_rebalance": 3,
     # one source-keyed aggregate
     "source_length_stats": 1,
+    # fact agg + per-type share window + HHI rollup
+    "market_concentration": 3,
     # postings repartition + pair-count agg + the two cap-correction
     # broadcast joins' build-side lineage
     "dedup_containment": 4,
