@@ -575,3 +575,128 @@ def span_dedup_stats(
             .alias("dup_span_ppm"),
         )
     )
+
+
+def cross_corpus_near_pairs(
+    inc: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    threshold_ppm: int = 500000,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Jaccard-similar (incoming, reference) pairs ACROSS two corpora —
+    the candidate space is |inc postings| ⋈ |ref postings| on shared
+    shingles, never a within-corpus self-join.  Output: (doc_id,
+    ref_id, co, jaccard_ppm) with true (uncapped) Jaccard values.
+
+    ``df_cap`` is the same 100 TB stop-shingle valve as
+    ``ngram_jaccard_pairs``: a boilerplate bigram occurring in k_inc
+    incoming × k_ref reference docs emits k_inc·k_ref join rows, so
+    document frequency is computed over the UNION of both postings
+    (a shingle degenerate in either corpus is degenerate for the
+    join), shingles past the cap are excluded from candidate
+    generation only (broadcast anti-join), and every surviving
+    candidate pair is corrected EXACTLY by adding back its
+    stop-shingle overlap (two cheap broadcast-built per-doc stop
+    arrays — each at most |stop list| long).  n_sh/n_r are counted
+    in-row before any pruning, so emitted scores are true Jaccard —
+    identical to the uncapped output unless a qualifying pair shares
+    *only* stop-shingles (tests/test_dedup.py plants exactly that
+    cross-corpus shape and asserts output identity + bounded join
+    rows).  Round-6 item: the r5 query relied on the size-ratio bound
+    alone, which does nothing against same-length boilerplate
+    blowups.
+    """
+    pi = (
+        shingle_postings(inc, text_col)
+        .select("doc_id", "n_sh", F.xxhash64(F.col("shingle")).alias("sh"))
+        .repartition(F.col("doc_id"))
+        .persist()
+    )
+    pr = (
+        shingle_postings(ref, text_col)
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            F.col("n_sh").alias("n_r"),
+            F.xxhash64(F.col("shingle")).alias("sh"),
+        )
+        .repartition(F.col("ref_id"))
+        .persist()
+    )
+    deps: list[DataFrame] = [pi, pr]
+    cand_i, cand_r = pi, pr
+    if df_cap is not None:
+        freq = (
+            pi.select("sh")
+            .unionAll(pr.select("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
+        stop = freq.filter(F.col("__df") > df_cap).select("sh").persist()
+        if stop.isEmpty():
+            # Same collapse as ngram_jaccard_pairs: no degenerate
+            # shingles → drop the correction subtrees entirely.
+            stop.unpersist()
+            df_cap = None
+        else:
+            deps.append(stop)
+            cand_i = pi.join(F.broadcast(stop), "sh", "left_anti")
+            cand_r = pr.join(F.broadcast(stop), "sh", "left_anti")
+    # Exactness-preserving size bound with the half-ppm slack (see
+    # ngram_jaccard_pairs): J >= t forces min >= ~t·max.
+    ratio_ok = (
+        F.col("n_sh") * 2000000 >= F.lit(2 * threshold_ppm - 1) * F.col("n_r")
+    ) & (
+        F.col("n_r") * 2000000 >= F.lit(2 * threshold_ppm - 1) * F.col("n_sh")
+    )
+
+    def _jac(co):  # fixed-point ppm, identical expression tree to SQL
+        return F.floor(
+            co.cast("double")
+            * 1000000.0
+            / (F.col("n_sh") + F.col("n_r") - co)
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    if df_cap is None:
+        out = (
+            cand_i.join(cand_r, "sh")
+            .filter(ratio_ok)
+            .groupBy("doc_id", "n_sh", "ref_id", "n_r")
+            .agg(F.count(F.lit(1)).alias("co"))
+            .withColumn("jaccard_ppm", _jac(F.col("co")))
+            .filter(F.col("jaccard_ppm") >= threshold_ppm)
+            .select("doc_id", "ref_id", "co", "jaccard_ppm")
+        )
+        out._cached_deps = deps  # type: ignore[attr-defined]
+        return out
+    stop_i = (
+        pi.join(F.broadcast(stop), "sh")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("ss_i"))
+    )
+    stop_r = (
+        pr.join(F.broadcast(stop), "sh")
+        .groupBy("ref_id")
+        .agg(F.collect_list("sh").alias("ss_r"))
+    )
+    pairs_sub = (
+        cand_i.join(cand_r, "sh")
+        .filter(ratio_ok)
+        .groupBy("doc_id", "n_sh", "ref_id", "n_r")
+        .agg(F.count(F.lit(1)).alias("co_sub"))
+    )
+    co_stop = F.when(
+        F.col("ss_i").isNotNull() & F.col("ss_r").isNotNull(),
+        F.size(F.array_intersect("ss_i", "ss_r")).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    out = (
+        pairs_sub.join(stop_i, "doc_id", "left")
+        .join(stop_r, "ref_id", "left")
+        .withColumn("co", (F.col("co_sub") + co_stop).cast("bigint"))
+        .withColumn("jaccard_ppm", _jac(F.col("co")))
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_id", "ref_id", "co", "jaccard_ppm")
+    )
+    out._cached_deps = deps  # type: ignore[attr-defined]
+    return out

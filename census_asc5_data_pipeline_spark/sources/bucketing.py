@@ -84,9 +84,9 @@ def write_zordered(
     key so row groups cover compact hyper-rectangles of the key space.
 
     ``n_files`` defaults to the session's shuffle width — a plan-level
-    setting, not ``df.rdd.getNumPartitions()`` (the repo's former one
-    .rdd access, round-4 verdict nit: touching .rdd forces RDD
-    conversion machinery for what is plan metadata)."""
+    setting, not the input's physical partition count (reading that
+    off the RDD handle forces RDD-conversion machinery for what is
+    plan metadata; the DataFrame API never needs it here)."""
     if n_files is None:
         n_files = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")

@@ -142,6 +142,7 @@ class ManifestJsonlWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("manifest_jsonl requires .option('path', ...)")
         self.overwrite = overwrite
+        self.lock_timeout = float(options.get("lock_timeout", "30"))
 
     def write(self, iterator):
         import json
@@ -163,35 +164,66 @@ class ManifestJsonlWriter(DataSourceWriter):
         return _PartFile(fname, n)
 
     def commit(self, messages):
+        """Driver-side publish. Append mode is a read-modify-write of
+        ``_manifest.json``, so the read→replace window is serialized
+        under an exclusive lock file (O_CREAT|O_EXCL — atomic on POSIX
+        and object-store-gateway filesystems alike): without it, two
+        concurrent append jobs both read the prior manifest and the
+        second ``os.replace`` silently drops the first job's parts
+        (advisor round-5 finding). The prior manifest is re-read
+        INSIDE the lock, the tmp-write + rename stays atomic for
+        readers, and a stale lock (crashed committer) times out with a
+        clear error rather than deadlocking."""
         import json
         import os
+        import time
 
-        parts = [
-            {"path": os.path.basename(m.path), "n_rows": m.n_rows}
-            for m in messages
-            if m is not None
-        ]
         manifest = os.path.join(self.path, "_manifest.json")
-        stale: list[str] = []
-        if os.path.exists(manifest):
-            prior = json.load(open(manifest, encoding="utf-8"))["parts"]
-            if self.overwrite:
-                # replaced parts are deleted only AFTER the new
-                # manifest publishes — a crash in between leaves
-                # orphan files, never a torn manifest
-                stale = [p["path"] for p in prior]
-            else:
-                parts = prior + parts  # append: union of commits
-        tmp = manifest + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(
-                {"parts": parts, "n_rows": sum(p["n_rows"] for p in parts)}, f
-            )
-        os.replace(tmp, manifest)  # atomic publish
-        for name in stale:
-            old = os.path.join(self.path, name)
-            if os.path.exists(old):
-                os.remove(old)
+        lock = manifest + ".lock"
+        deadline = time.time() + self.lock_timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock {lock!r} held for "
+                        f">{self.lock_timeout}s — a crashed committer "
+                        "leaves it behind; remove it manually after "
+                        "verifying no writer is live"
+                    )
+                time.sleep(0.05)
+        try:
+            parts = [
+                {"path": os.path.basename(m.path), "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ]
+            stale: list[str] = []
+            if os.path.exists(manifest):
+                prior = json.load(open(manifest, encoding="utf-8"))["parts"]
+                if self.overwrite:
+                    # replaced parts are deleted only AFTER the new
+                    # manifest publishes — a crash in between leaves
+                    # orphan files, never a torn manifest
+                    stale = [p["path"] for p in prior]
+                else:
+                    parts = prior + parts  # append: union of commits
+            tmp = manifest + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(
+                    {"parts": parts,
+                     "n_rows": sum(p["n_rows"] for p in parts)}, f
+                )
+            os.replace(tmp, manifest)  # atomic publish
+            for name in stale:
+                old = os.path.join(self.path, name)
+                if os.path.exists(old):
+                    os.remove(old)
+        finally:
+            os.remove(lock)
 
     def abort(self, messages):
         import os

@@ -14,11 +14,21 @@ plain parquet directories.
 The index build is itself distributed: one pass over the table grouped
 by ``input_file_name()`` (map-side combinable min/max per file, shuffle
 keyed on the file path — O(files) rows out).
+
+Correctness contract (advisor round-5 finding): the index records
+WHICH column it indexes and pruned_read validates it — pruning on a
+different column than the one indexed would silently drop matching
+files (wrong results, not over-selection). Staleness is likewise
+handled for correctness, not performance: data files present on disk
+but absent from the index (appended after the build) are read
+UNPRUNED and unioned in, so the result still equals the full-scan
+filter; only indexed files are ever skipped.
 """
 
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,12 +38,37 @@ def index_path(table_path: str) -> str:
     return os.path.join(table_path, "_zone_index")
 
 
+def _local_path(file_uri: str) -> str:
+    """Normalize ``input_file_name()`` URIs (file:///...) and plain
+    paths to one comparable absolute form."""
+    p = urlparse(file_uri)
+    return os.path.abspath(unquote(p.path)) if p.scheme else os.path.abspath(
+        file_uri
+    )
+
+
+def _data_files(table_path: str) -> list[str]:
+    """Driver-side listing of the table's parquet data files —
+    metastore-scale metadata (the same listing any manifest-less scan
+    needs), skipping underscore/dot dirs and files (_zone_index,
+    _SUCCESS, ...)."""
+    out = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.abspath(os.path.join(root, f)))
+    return out
+
+
 def build_stats_index(
     spark: SparkSession, table_path: str, col: str
 ) -> DataFrame:
     """Build/refresh the per-file min/max index for ``col``.
 
     Reads the data files (one distributed pass), never the index dir.
+    The indexed column name travels in the index itself so a reader
+    can never prune on stats for a different column.
     """
     df = spark.read.parquet(table_path)
     idx = (
@@ -44,6 +79,7 @@ def build_stats_index(
             F.min("c").alias("min_v"),
             F.max("c").alias("max_v"),
         )
+        .withColumn("indexed_col", F.lit(col))
     )
     idx.write.mode("overwrite").parquet(index_path(table_path))
     return spark.read.parquet(index_path(table_path))
@@ -58,21 +94,40 @@ def pruned_read(
 ) -> tuple[DataFrame, int, int]:
     """Read only files whose [min, max] zone overlaps [lo, hi], then
     apply the exact predicate. Returns (frame, n_files_selected,
-    n_files_total). Zone overlap can only over-select (never skips a
-    file containing matches), so the result equals the full-scan
-    filter — the exact filter still runs on the survivors.
+    n_files_total). The result equals the full-scan filter under ALL
+    conditions: zone overlap can only over-select on indexed files,
+    ``col`` is validated against the column the index was built on
+    (ValueError on mismatch — stats for another column must never
+    prune), and files on disk that the index doesn't know about
+    (appended after the build) are included unpruned.
 
-    The index read is driver-side metadata scale (O(files) tiny rows);
-    the file list goes back to Spark as an explicit multi-path load, so
-    task planning touches only the selected files.
+    The index read and the file listing are driver-side metadata scale
+    (O(files) tiny rows); the file list goes back to Spark as an
+    explicit multi-path load, so task planning touches only the
+    selected files.
     """
     idx = spark.read.parquet(index_path(table_path)).collect()
-    total = len(idx)
+    if idx and "indexed_col" not in idx[0].asDict():
+        raise ValueError(
+            f"zone index at {index_path(table_path)!r} predates the "
+            "indexed_col stamp — rebuild with build_stats_index before "
+            "pruning (an unverifiable index must not skip files)"
+        )
+    if idx and idx[0]["indexed_col"] != col:
+        raise ValueError(
+            f"zone index at {index_path(table_path)!r} was built on "
+            f"column {idx[0]['indexed_col']!r}, cannot prune on {col!r} "
+            "— rebuild with build_stats_index(col)"
+        )
+    indexed = {_local_path(r["file"]): r for r in idx}
+    on_disk = _data_files(table_path)
+    unindexed = [f for f in on_disk if f not in indexed]
     files = [
-        r["file"]
-        for r in idx
+        f
+        for f, r in indexed.items()
         if r["max_v"] is not None and r["max_v"] >= lo and r["min_v"] <= hi
-    ]
+    ] + unindexed  # staleness guard: unknown files are never skipped
+    total = len(indexed) + len(unindexed)
     if not files:
         empty = spark.read.parquet(table_path).filter(F.lit(False))
         return empty, 0, total

@@ -141,3 +141,54 @@ def test_zone_index_prunes_files_and_preserves_results(spark, tmp_path):
     empty, p0, _ = pruned_read(spark, path, "id", 10**9, 2 * 10**9)
     assert p0 == 0 and empty.count() == 0
     assert empty.columns == spark.read.parquet(path).columns
+
+
+def test_zone_index_rejects_column_mismatch(spark, tmp_path):
+    """Pruning on a column other than the indexed one must raise —
+    stats for 'id' say nothing about 'v', so silent pruning would drop
+    matching files (advisor round-5 finding)."""
+    import pytest as _pytest
+
+    from census_asc5_data_pipeline_spark.sources.stats_index import (
+        build_stats_index,
+        pruned_read,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).write.parquet(path)
+    build_stats_index(spark, path, "id")
+    with _pytest.raises(ValueError, match="built on column 'id'"):
+        pruned_read(spark, path, "v", 0, 10)
+
+
+def test_zone_index_stale_files_still_read(spark, tmp_path):
+    """Files appended AFTER the index build are unknown to the index —
+    they must be read unpruned, so the result still equals the
+    full-scan filter (advisor round-5 finding: correctness, not just
+    over-selection)."""
+    from census_asc5_data_pipeline_spark.sources.stats_index import (
+        build_stats_index,
+        pruned_read,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).withColumn("v", F.col("id") * 2)
+    df.repartitionByRange(4, "id").write.parquet(path)
+    build_stats_index(spark, path, "id")
+    # append rows IN the probe range after the build — stale index
+    spark.range(1500, 1600).withColumn("v", F.col("id") * 2).write.mode(
+        "append"
+    ).parquet(path)
+    out, picked, total = pruned_read(spark, path, "id", 1000, 1999)
+    want = sorted(
+        (r.id, r.v)
+        for r in spark.read.parquet(path)
+        .filter((F.col("id") >= 1000) & (F.col("id") <= 1999))
+        .collect()
+    )
+    got = sorted((r.id, r.v) for r in out.collect())
+    assert got == want  # includes the appended duplicates
+    assert total > 4  # the appended files are counted
+    assert picked < total  # out-of-range indexed files still pruned

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from census_asc5_data_pipeline_spark.operators.dedup import (
+    cross_corpus_near_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -165,6 +166,66 @@ def test_df_cap_bounds_candidate_join(stop_shingle_corpus):
     ).count()
     assert uncapped == n * (n - 1) / 2  # stop-shingles connect everything
     assert capped < 10  # only genuinely-overlapping pairs remain candidates
+
+
+# ------------------------------ df_cap: cross-corpus stop-shingle valve
+
+
+@pytest.fixture(scope="module")
+def cross_corpus(spark):
+    """30 incoming + 30 reference docs that ALL share a boilerplate
+    header (every header bigram has union-df=60 — the k_inc x k_ref
+    join-blowup factory) plus corpus-unique bodies; one planted
+    cross-corpus near-dup (900 incoming, 901 reference) sharing rare
+    shingles beyond the header."""
+    header = "copyright notice all rights reserved by the site owner"
+    inc_rows, ref_rows = [], []
+    for i in range(30):
+        inc_rows.append((i, header + " " + " ".join(f"i{i}x{k}" for k in range(10))))
+        ref_rows.append((100 + i, header + " " + " ".join(f"r{i}x{k}" for k in range(10))))
+    inc_rows.append((900, header + " shared rare tail about crimson albatross migration"))
+    ref_rows.append((901, header + " shared rare tail about crimson albatross migration today"))
+    inc = spark.createDataFrame(inc_rows, ["doc_id", "text"])
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    return inc, ref
+
+
+def test_cross_corpus_df_cap_identical_to_uncapped(cross_corpus):
+    inc, ref = cross_corpus
+    uncapped = {
+        (r.doc_id, r.ref_id, r.co, r.jaccard_ppm)
+        for r in cross_corpus_near_pairs(
+            inc, ref, threshold_ppm=400000, df_cap=None
+        ).collect()
+    }
+    capped = {
+        (r.doc_id, r.ref_id, r.co, r.jaccard_ppm)
+        for r in cross_corpus_near_pairs(
+            inc, ref, threshold_ppm=400000, df_cap=10
+        ).collect()
+    }
+    assert capped == uncapped
+    assert (900, 901) in {(a, b) for a, b, *_ in capped}  # planted pair
+    # emitted co is TRUE overlap (stop-shingle correction applied)
+    assert {(a, b): c for a, b, c, _ in capped} == {
+        (a, b): c for a, b, c, _ in uncapped
+    }
+
+
+def test_cross_corpus_df_cap_bounds_candidate_join(cross_corpus):
+    """With threshold ~0 every co-shingled cross pair is emitted:
+    uncapped, the shared header connects ALL n_inc x n_ref pairs;
+    capped, candidates collapse to pairs sharing a sub-cap shingle."""
+    inc, ref = cross_corpus
+    n_i, n_r = inc.count(), ref.count()
+    uncapped = cross_corpus_near_pairs(
+        inc, ref, threshold_ppm=1, df_cap=None
+    ).count()
+    capped = cross_corpus_near_pairs(
+        inc, ref, threshold_ppm=1, df_cap=10
+    ).count()
+    assert uncapped == n_i * n_r  # header connects every cross pair
+    assert capped < 10  # only genuinely-overlapping pairs remain
 
 
 def test_span_dedup_planted_duplicate_span(spark):

@@ -59,3 +59,28 @@ def test_pagerank_hub_outranks_spokes_and_sums_to_one(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "u long, v long")
     assert G.pagerank(df).count() == 0
+
+
+def test_pagerank_tol_converges_to_reference(spark):
+    """The early-exit path (registered query uses tol=1e-6) must land
+    within tolerance of the full-iteration python reference: a tol
+    small enough to never fire early changes nothing, and the
+    registered tol stops only once the remaining L1 drift is below
+    what a 10 ppb compare can see."""
+    df = spark.createDataFrame(EDGES, ["u", "v"])
+    want = {k: round(v * 1e9) for k, v in _ref_pagerank(EDGES).items()}
+    for tol in (1e-300, 1e-6):
+        got = {r.node: r.rank_ppb for r in G.pagerank(df, tol=tol).collect()}
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) <= 50, (tol, k, got[k], want[k])
+
+
+def test_pagerank_tol_early_exit_still_full_distribution(spark):
+    """A huge tol exits after round 1 yet still returns every node
+    with a valid distribution (ppb sums to ~1e9) — the exit breaks
+    the LOOP, never the output contract."""
+    df = spark.createDataFrame(EDGES, ["u", "v"])
+    got = {r.node: r.rank_ppb for r in G.pagerank(df, tol=1e9).collect()}
+    assert len(got) == 15
+    assert abs(sum(got.values()) - 1_000_000_000) < 100

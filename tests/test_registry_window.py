@@ -9,14 +9,22 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-5 window: the twenty-five queries NEW this round (twenty-one
-# oracled plus the rows-only-by-design pagerank, ann_pq_topk,
-# embedding_kmeans and hll_rollup), the kernel CHANGED this round
-# (fuzzy_match's
-# q-gram candidate path; near_dup_triangles' degree orientation and
-# attribution's NULL-ts filter were already in-window), then the
-# round-4 window held one more round (its tail falls out).
+# round-6 window: the query NEW this round (quantile_bins, oracled via
+# its exact-boundary mode), the round-5 RED row whose oracle was made
+# type-portable (mixture_rebalance — must re-verify through the
+# driver's gate), the kernels CHANGED this round (dedup_against's
+# cross-corpus df_cap valve, pagerank's convergence early-exit), the
+# r5 rewrites whose last driver rows predate their rewrites
+# (near_dup_triangles, dedup_ngram_jaccard, fuzzy_match), then the
+# round-5 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
+    "quantile_bins",
+    "mixture_rebalance",
+    "dedup_against",
+    "pagerank",
+    "near_dup_triangles",
+    "dedup_ngram_jaccard",
+    "fuzzy_match",
     "bloom_join",
     "conversion_lag",
     "vocab_coverage",
@@ -25,7 +33,6 @@ PINNED_FIRST_50 = [
     "communities",
     "embedding_standardize",
     "sample_k_per_group",
-    "dedup_against",
     "rfm_segments",
     "seasonal_anomaly",
     "table_diff",
@@ -36,7 +43,6 @@ PINNED_FIRST_50 = [
     "jaccard_bands",
     "link_prediction",
     "zipf_fit",
-    "mixture_rebalance",
     "source_length_stats",
     "market_concentration",
     "dedup_containment",
@@ -61,12 +67,7 @@ PINNED_FIRST_50 = [
     "graph_degree_stats",
     "doc_perplexity",
     "source_entropy",
-    "pagerank",
-    "fuzzy_match",
     "span_dedup",
-    "pack_sequences",
-    "cdc_apply",
-    "domain_cap",
 ]
 
 

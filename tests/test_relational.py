@@ -301,6 +301,33 @@ def test_table_diff_statuses(spark):
     }
 
 
+def test_table_diff_null_keys_match_across_snapshots(spark):
+    """NULL join keys are legal values under eqNullSafe, so presence
+    must come from per-side indicators, not key-nullness: a NULL-keyed
+    row equal in both snapshots is 'unchanged' (advisor round-5
+    finding: key-IS-NULL presence misreported it as 'added'), and a
+    NULL-keyed row only in old is 'removed'."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        table_diff,
+    )
+
+    # case 1: NULL key present and equal on both sides
+    old = spark.createDataFrame([(None, 10), (1, 11)], "k int, v int")
+    new = spark.createDataFrame([(None, 10), (1, 11)], "k int, v int")
+    got = {
+        r.k: r.diff_status for r in table_diff(old, new, "k", ["v"]).collect()
+    }
+    assert got == {None: "unchanged", 1: "unchanged"}
+    # case 2: NULL key only in old -> removed; changed value -> changed
+    old2 = spark.createDataFrame([(None, 10), (2, 20)], "k int, v int")
+    new2 = spark.createDataFrame([(2, 21)], "k int, v int")
+    got2 = {
+        r.k: r.diff_status
+        for r in table_diff(old2, new2, "k", ["v"]).collect()
+    }
+    assert got2 == {None: "removed", 2: "changed"}
+
+
 def test_bloom_semi_join_same_name_and_mixed_key_types(spark):
     """Regression (code review): same-named keys must not trip
     ambiguous resolution, and an INT build side against a BIGINT probe
@@ -365,3 +392,48 @@ def test_quantile_bins_agrees_with_ntile(spark):
     )
     nb = {r.id: r.bin for r in quantile_bins(with_null, "v", 2).collect()}
     assert nb[2] is None and nb[1] is not None
+
+
+def test_quantile_bins_exact_mode_discrete_quantiles(spark):
+    """exact=True uses discrete lower-quantile boundaries (MIN v with
+    rank >= ceil(i*n/k)) — on 0..99 with k=4 that's 24/49/74, 25 rows
+    per bin; a constant column collapses to one bin (every boundary
+    equals the value, rows on a boundary go low)."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        exact_quantile_bounds,
+        quantile_bins,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    assert exact_quantile_bounds(df, "v", 4) == [24, 49, 74]
+    counts = (
+        quantile_bins(df, "v", 4, exact=True)
+        .groupBy("bin")
+        .count()
+        .collect()
+    )
+    assert {r.bin: r["count"] for r in counts} == {1: 25, 2: 25, 3: 25, 4: 25}
+    const = spark.range(0, 10).select(F.lit(7).alias("v"))
+    got = quantile_bins(const, "v", 4, exact=True).select("bin").distinct()
+    assert [r.bin for r in got.collect()] == [1]
+
+
+def test_quantile_bins_nan_treated_like_null(spark):
+    """approxQuantile ignores NaN exactly like NULL, yet NaN fails
+    every <= bound compare — without the guard it silently scores
+    top-bin (advisor round-5 finding). NaN and NULL both bin NULL, on
+    the n_bins>1 and the degenerate n_bins=1 paths."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        quantile_bins,
+    )
+
+    rows = [(i, float(i)) for i in range(100)] + [
+        (100, float("nan")),
+        (101, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    b = {r.id: r.bin for r in quantile_bins(df, "v", 4).collect()}
+    assert b[100] is None and b[101] is None
+    assert b[0] == 1 and b[99] == 4
+    b1 = {r.id: r.bin for r in quantile_bins(df, "v", 1).collect()}
+    assert b1[100] is None and b1[101] is None and b1[0] == 1

@@ -22,6 +22,13 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 6 ---
+    # boundary computation runs EAGERLY at plan-construction time
+    # (groupBy(value) + global window + k-1-scalar agg, collected to
+    # driver literals), so the returned plan is scan → literal
+    # when-chain → one bin rollup; at sf0.001's single file the two
+    # HashAggregates fuse without an Exchange, 1 allows the split case
+    "quantile_bins": 1,
     # --- new in round 5 ---
     # final priority rollup; the bloom word-table build is a separate
     # (eager, metadata-scale) job, and the exact semi-join broadcasts

@@ -482,3 +482,48 @@ def test_python_datasource_writer_manifest_commit(spark, tmp_path):
     assert m3["n_rows"] == 300 and len(m3["parts"]) == 4
     on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
     assert on_disk == {p["path"] for p in m3["parts"]}, "stale parts removed"
+
+
+def test_manifest_commit_lock_serializes_appends(tmp_path):
+    """The append-mode manifest publish is a read-modify-write, so it
+    runs under an exclusive lock file (advisor round-5 finding: two
+    concurrent appends could drop the first job's parts). Unit-level:
+    a held lock blocks commit until released (parts from both commits
+    survive), and a stale lock times out with a clear error instead of
+    deadlocking."""
+    import json
+    import os
+    import threading
+    import time
+
+    from census_asc5_data_pipeline_spark.sources.python_datasource import (
+        ManifestJsonlWriter,
+        _PartFile,
+    )
+
+    import pytest as _pytest
+
+    out = str(tmp_path / "m")
+    os.makedirs(out)
+    lock = os.path.join(out, "_manifest.json.lock")
+
+    # stale lock -> TimeoutError, lock left for the operator to inspect
+    open(lock, "w").close()
+    w = ManifestJsonlWriter(
+        {"path": out, "lock_timeout": "0.2"}, overwrite=False
+    )
+    with _pytest.raises(TimeoutError, match="manifest lock"):
+        w.commit([_PartFile(os.path.join(out, "p0.jsonl"), 1)])
+    # held-then-released lock -> commit waits, then both appends land
+    w2 = ManifestJsonlWriter(
+        {"path": out, "lock_timeout": "5"}, overwrite=False
+    )
+    t = threading.Timer(0.3, os.remove, args=(lock,))
+    t.start()
+    w2.commit([_PartFile(os.path.join(out, "p1.jsonl"), 2)])
+    t.join()
+    w2.commit([_PartFile(os.path.join(out, "p2.jsonl"), 3)])
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    assert {p["path"] for p in m["parts"]} == {"p1.jsonl", "p2.jsonl"}
+    assert m["n_rows"] == 5
+    assert not os.path.exists(lock), "lock released after commit"

@@ -5,6 +5,16 @@ DuckDB at the given sf dir, and compares row count, schema (loose
 name-set match) and an order-insensitive value hash (columns sorted by
 name, rows sorted, floats pre-rounded by the queries themselves).
 
+DuckDB results are fetched THROUGH ARROW (``fetch_arrow_table()``), the
+same materialization path the driver uses.  This matters: DuckDB widens
+e.g. ``SUM(BIGINT)`` (plain or windowed) to HUGEINT, which ``fetchall()``
+surfaces as exact Python ints but Arrow materializes as float64 — so a
+``fetchall()``-based harness passes while the driver's hash fails
+(round-5 ``mixture_rebalance``).  On top of that, every oracle column's
+Arrow dtype is checked against the Spark schema: an integral Spark
+column whose oracle twin comes back floating (or vice versa) is a FAIL
+even when the values happen to hash equal.
+
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
@@ -15,6 +25,7 @@ import sys
 import time
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
@@ -57,6 +68,40 @@ def value_hash(rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+_SPARK_INTEGRAL = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+_SPARK_FLOATING = {"float", "double"}
+
+
+def dtype_mismatches(
+    spark_dtypes: list[tuple[str, str]], arrow_schema: pa.Schema
+) -> list[str]:
+    """Integral-vs-floating disagreements between the Spark result schema
+    and the oracle's Arrow schema.  This is the portability gap the value
+    hash rides on: the driver hashes ``repr`` of fetched values, so a
+    BIGINT 1000000 vs float64 1000000.0 mismatches even though DuckDB's
+    own ``fetchall()`` shows equal ints."""
+    spark_types = {name: t for name, t in spark_dtypes}
+    out = []
+    for field in arrow_schema:
+        st = spark_types.get(field.name)
+        if st is None:
+            continue
+        at = field.type
+        if st in _SPARK_INTEGRAL and (
+            pa.types.is_floating(at) or pa.types.is_decimal(at)
+        ):
+            out.append(f"{field.name}: spark {st} vs oracle {at}")
+        elif st in _SPARK_FLOATING and pa.types.is_integer(at):
+            out.append(f"{field.name}: spark {st} vs oracle {at}")
+    return out
+
+
+def arrow_rows(tbl: pa.Table) -> list[tuple]:
+    """Row tuples via Arrow→Python, the driver's materialization path."""
+    cols = [c.to_pylist() for c in tbl.columns]
+    return list(zip(*cols)) if cols else []
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -68,6 +113,7 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    results: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,6 +121,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
@@ -85,15 +132,19 @@ def main() -> int:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            tbl = con.sql(oracles[name]).fetch_arrow_table()
+            dcols = tbl.column_names
+            drows = arrow_rows(tbl)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures += 1
             continue
         ok = True
         msgs = []
+        bad_dtypes = dtype_mismatches(sdtypes, tbl.schema)
+        if bad_dtypes:
+            ok = False
+            msgs.append("dtype " + "; ".join(bad_dtypes))
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
@@ -112,11 +163,51 @@ def main() -> int:
                 msgs.append(f"hash {hs} != {hd}; first diffs: {diff}")
         if ok:
             print(f"PASS  {name}: {len(srows)} rows, {dt:.1f}s")
+            results[name] = "pass"
         else:
             print(f"FAIL  {name}: " + " | ".join(msgs))
+            results[name] = "fail: " + " | ".join(msgs)
             failures += 1
     print("failures:", failures)
+    _write_artifact(sf_dir, results, failures, full_sweep=not only)
     return 1 if failures else 0
+
+
+def _write_artifact(
+    sf_dir: str, results: dict[str, str], failures: int, full_sweep: bool
+) -> None:
+    """Persist the sweep bound to the exact commit it ran at (round-5
+    verdict item 5): a judge can verify sweep→source without
+    re-running. Full sweeps overwrite ``tools/oracle_check_last.json``;
+    partial (named-query) runs skip the artifact so a one-query spot
+    check can't masquerade as registry-wide coverage."""
+    if not full_sweep:
+        return
+    import json
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(here),
+        ).stdout.strip()
+    except OSError:
+        sha = "unknown"
+    payload = {
+        "git_sha": sha,
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "failures": failures,
+        "results": results,
+    }
+    out = os.path.join(here, "oracle_check_last.json")
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(f"wrote {out} (sha {sha[:12]}, {failures} failures)")
 
 
 if __name__ == "__main__":
