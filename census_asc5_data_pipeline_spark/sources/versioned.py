@@ -52,6 +52,9 @@ __all__ = [
     "commit_version",
     "read_current",
     "read_version",
+    "read_as_of",
+    "version_as_of_timestamp",
+    "register_versioned_views",
     "recover",
     "current_version_dir",
     "list_versions",
@@ -198,9 +201,20 @@ def _prune(table: str, keep: int) -> None:
             shutil.rmtree(_version_dir(table, n), ignore_errors=True)
 
 
-def commit_version(df: DataFrame, table: str, keep: int = 3) -> str:
+def commit_version(
+    df: DataFrame, table: str, keep: int = 3, commit_ts_ms: int | None = None
+) -> str:
     """Write ``df`` as the next immutable version and atomically move
-    the pointer to it. Returns the new version directory."""
+    the pointer to it. Returns the new version directory.
+
+    A ``_commit_meta.json`` (epoch-millis commit timestamp) is stamped
+    into the version dir BEFORE the pointer moves, so timestamp
+    time-travel (``read_as_of``/``version_as_of_timestamp``) resolves
+    from durable metadata, not file mtimes. ``commit_ts_ms`` exists
+    for deterministic tests; production callers omit it."""
+    import json
+    import time
+
     table = table.rstrip("/")
     recover(table)
     versions = list_versions(table)
@@ -208,7 +222,83 @@ def commit_version(df: DataFrame, table: str, keep: int = 3) -> str:
     vdir = _version_dir(table, nxt)
     os.makedirs(_versions_root(table), exist_ok=True)
     df.write.mode("overwrite").parquet(vdir)
+    ts = commit_ts_ms if commit_ts_ms is not None else int(time.time() * 1000)
+    with open(os.path.join(vdir, "_commit_meta.json"), "w") as fh:
+        json.dump({"version": nxt, "committed_at_ms": ts}, fh)
     _write_pointer(table, nxt)  # <- commit point
     _flip_symlink(table, vdir)
     _prune(table, keep)
     return vdir
+
+
+def _commit_ts_ms(table: str, n: int) -> int:
+    """Commit timestamp of a retained version; falls back to the
+    _SUCCESS mtime for versions committed before the meta stamp."""
+    import json
+
+    vdir = _version_dir(table, n)
+    meta = os.path.join(vdir, "_commit_meta.json")
+    if os.path.exists(meta):
+        return int(json.load(open(meta))["committed_at_ms"])
+    return int(os.path.getmtime(os.path.join(vdir, "_SUCCESS")) * 1000)
+
+
+def version_as_of_timestamp(table: str, ts_ms: int) -> int:
+    """Newest retained version committed at-or-before ``ts_ms`` — the
+    `TIMESTAMP AS OF` resolution rule every table format uses. Raises
+    if every retained version is newer (the history before that point
+    has been pruned or never existed)."""
+    table = table.rstrip("/")
+    candidates = [
+        n
+        for n in list_versions(table)
+        if _is_complete(_version_dir(table, n)) and _commit_ts_ms(table, n) <= ts_ms
+    ]
+    if not candidates:
+        raise FileNotFoundError(
+            f"no retained version of {table} committed at or before {ts_ms}"
+        )
+    return candidates[-1]
+
+
+def read_as_of(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Time travel: `VERSION AS OF` / `TIMESTAMP AS OF` reads over the
+    retained snapshots (exactly one selector must be given). Version
+    dirs are immutable, so the returned frame is stable no matter what
+    commits land afterwards."""
+    if (version is None) == (timestamp_ms is None):
+        raise ValueError("pass exactly one of version= or timestamp_ms=")
+    if timestamp_ms is not None:
+        version = version_as_of_timestamp(table, timestamp_ms)
+    return read_version(spark, table, version)
+
+
+def register_versioned_views(
+    spark: SparkSession, name: str, table: str
+) -> list[str]:
+    """SQL surface for time travel: registers ``name`` as the
+    pointer-resolved CURRENT snapshot plus one ``name__vN`` view per
+    retained version, so plain Spark SQL can query history::
+
+        spark.sql("SELECT * FROM docs__v3")
+
+    (Spark has no extensible `FOR VERSION AS OF` hook for path tables
+    and rejects ``@`` in view names, so the version is addressed in
+    the view NAME — the spirit of Delta's ``table@v3`` contract.) Views are re-registered on each
+    call; returns the registered names. Each view reads an immutable
+    version dir, so a concurrent commit never changes what a
+    registered view returns."""
+    table = table.rstrip("/")
+    out = [name]
+    read_current(spark, table).createOrReplaceTempView(name)
+    for n in list_versions(table):
+        if _is_complete(_version_dir(table, n)):
+            vname = f"{name}__v{n}"
+            read_version(spark, table, n).createOrReplaceTempView(vname)
+            out.append(vname)
+    return out

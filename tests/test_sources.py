@@ -527,3 +527,64 @@ def test_manifest_commit_lock_serializes_appends(tmp_path):
     assert {p["path"] for p in m["parts"]} == {"p1.jsonl", "p2.jsonl"}
     assert m["n_rows"] == 5
     assert not os.path.exists(lock), "lock released after commit"
+
+
+def test_avro_roundtrip_types_nulls_and_nan(spark, tmp_path):
+    """Avro container source/sink (pure-python codec in this container
+    — no spark-avro jar): full type surface round-trips through
+    task-parallel encode + file-parallel decode, with NULL kept
+    distinct from NaN in double columns (the mapInArrow rationale) and
+    binary/boolean/string/int/long/float/double all preserved."""
+    import math
+
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 1.5, 2.5, "alpha", True, bytearray(b"\x00\x01")),
+            (2, None, float("nan"), None, None, None, None),
+            (3, 30, None, 7.25, "beta", False, bytearray(b"xyz")),
+        ],
+        "k bigint, i int, d double, f float, s string, b boolean, raw binary",
+    ).repartition(2)
+    out = str(tmp_path / "avro")
+    n = write_avro(df, out, codec="deflate")
+    assert n == 3
+    got = {r.k: r for r in read_avro(spark, out).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert got[1].i == 10 and got[1].s == "alpha" and bytes(got[1].raw) == b"\x00\x01"
+    # NULL stays NULL; NaN stays NaN — not conflated
+    assert got[2].i is None and got[2].f is None and got[2].s is None
+    assert got[2].d is not None and math.isnan(got[2].d)
+    assert got[3].d is None and abs(got[3].f - 7.25) < 1e-6
+    assert got[3].b is False
+
+
+def test_avro_container_format_on_disk(spark, tmp_path):
+    """The files are real Avro object containers per the public spec:
+    magic Obj\\x01, avro.schema metadata with the record fields, sync
+    markers separating blocks — interchangeable with standard tools."""
+    import glob
+    import json as _json
+
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        _read_header,
+        write_avro,
+    )
+
+    df = spark.range(0, 50).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "avro")
+    write_avro(df, out, codec="null")
+    files = glob.glob(out + "/*.avro")
+    assert files
+    with open(files[0], "rb") as fh:
+        assert fh.read(4) == b"Obj\x01"
+        fh.seek(0)
+        schema, codec, sync = _read_header(fh)
+    assert codec == "null" and len(sync) == 16
+    assert [f["name"] for f in schema["fields"]] == ["id", "s"]
+    manifest = _json.load(open(out + "/_manifest.json"))
+    assert manifest["n_rows"] == 50

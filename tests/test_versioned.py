@@ -132,3 +132,46 @@ def test_legacy_writer_clobbering_symlink_is_adopted_not_wedged(spark, tmp_path)
     assert V.list_versions(table)[-1] == 2
     V.commit_version(_mk(spark, ["v3"]), table)
     assert _vals(spark, table) == ["v3"]
+
+
+def test_as_of_version_and_timestamp(spark, tmp_path):
+    """VERSION AS OF / TIMESTAMP AS OF resolution: timestamp picks the
+    newest version committed at-or-before it (from the durable
+    _commit_meta stamp, written before the pointer moves); exactly one
+    selector is required; a timestamp before all history raises."""
+    import pytest as _pytest
+
+    table = str(tmp_path / "t")
+    for i, ts in enumerate([1000, 2000, 3000]):
+        V.commit_version(_mk(spark, [f"v{i}"]), table, keep=5, commit_ts_ms=ts)
+    assert _df_vals(V.read_as_of(spark, table, version=1)) == ["v1"]
+    assert V.version_as_of_timestamp(table, 2500) == 1
+    assert _df_vals(V.read_as_of(spark, table, timestamp_ms=2500)) == ["v1"]
+    assert _df_vals(V.read_as_of(spark, table, timestamp_ms=3000)) == ["v2"]
+    with _pytest.raises(FileNotFoundError):
+        V.version_as_of_timestamp(table, 500)  # before all history
+    with _pytest.raises(ValueError):
+        V.read_as_of(spark, table)  # no selector
+    with _pytest.raises(ValueError):
+        V.read_as_of(spark, table, version=1, timestamp_ms=2500)  # both
+
+
+def test_register_versioned_views_sql_surface(spark, tmp_path):
+    """register_versioned_views exposes the current snapshot under
+    `name` and each retained version under `name__vN` — plain SQL time
+    travel; registered views stay pinned to their immutable version
+    dir even after a later commit."""
+    table = str(tmp_path / "t")
+    for i in range(3):
+        V.commit_version(_mk(spark, [f"v{i}"]), table, keep=5)
+    names = V.register_versioned_views(spark, "tt_tbl", table)
+    assert names == ["tt_tbl", "tt_tbl__v0", "tt_tbl__v1", "tt_tbl__v2"]
+    assert [r.v for r in spark.sql("SELECT v FROM tt_tbl__v0").collect()] == ["v0"]
+    assert [r.v for r in spark.sql("SELECT v FROM tt_tbl").collect()] == ["v2"]
+    # a later commit doesn't move an already-registered version view
+    V.commit_version(_mk(spark, ["v3"]), table, keep=5)
+    assert [r.v for r in spark.sql("SELECT v FROM tt_tbl__v1").collect()] == ["v1"]
+
+
+def _df_vals(df):
+    return sorted(r.v for r in df.collect())
