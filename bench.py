@@ -80,6 +80,14 @@ GROUPS: dict[str, list[str]] = {
         "token_pmi",
         "k_core",
     ],
+    # round-6 additions (same policy as the r4/r5 tails: the new
+    # queries get bench rows so regressions surface per-round)
+    "r6_tail": [
+        "quantile_bins",
+        "source_overlap",
+        "psi_drift",
+        "ks_drift",
+    ],
 }
 
 

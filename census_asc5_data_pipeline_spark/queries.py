@@ -6838,6 +6838,218 @@ FROM share GROUP BY p_type
 # =====================================================================
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level shingle-Jaccard matrix — the corpus-audit
+    chart answering "which of my data sources overlap, and how much?"
+    (dedup works doc-level; mixture decisions need the source-level
+    view). Per-source DISTINCT token-bigram sets (in-row array_distinct
+    then one source-level distinct — vocabulary-bounded, orders of
+    magnitude below corpus scale), sizes by one count, co-occurrence by
+    a shingle self-join (a shingle in k sources fans out k^2 <=
+    |sources|^2 pairs — bounded by the SOURCE count, never the corpus),
+    exact integer jaccard_ppm. The tiny size table broadcasts back.
+    Joins on the shingle STRING, not a hash: the oracle must count
+    identical distinct sets, and the source-level distinct already
+    collapsed the volume."""
+    from census_asc5_data_pipeline_spark.functions import token_bigrams, words
+
+    docs = _t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    sh = (
+        docs.select("source", w.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            "source",
+            F.explode(F.array_distinct(token_bigrams(F.col("__w")))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    co = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "co",
+            F.floor(
+                F.col("co").cast("double")
+                * 1000000.0
+                / (F.col("n_a") + F.col("n_b") - F.col("co"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+SQL_SOURCE_OVERLAP = """
+WITH t AS (
+  SELECT source, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS shingle
+  FROM t WHERE len(w) >= 2
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+), co AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS co
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT co.src_a, co.src_b, co.co,
+       CAST(FLOOR(CAST(co.co AS DOUBLE) * 1000000.0
+                  / (sa.n + sb.n - co.co) + 0.5) AS BIGINT) AS jaccard_ppm
+FROM co
+JOIN sizes sa ON sa.source = co.src_a
+JOIN sizes sb ON sb.source = co.src_b
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the order-priority mix between the
+    early and late halves of the order history — THE standard
+    distribution-drift score (PSI > 0.2 = retrain/investigate) a
+    training-data pipeline runs before mixing eras of a corpus.
+    Category proportions from two conditional counts in ONE map-side-
+    combinable aggregate; totals via an empty-frame window OVER the
+    5-row category table (aggregate-scale, never the fact table); the
+    per-category PSI term (p-q)·ln(p/q) lands as a FLOOR-scaled
+    integer — identical expression tree both engines, so the output
+    hash-matches exactly. Priorities are uniformly distributed at
+    every SF (both halves populated; ln never sees 0)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.year("o_orderdate") <= 1995, 1).otherwise(2).alias("g"),
+    )
+    counts = orders.groupBy("priority").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_early"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+    )
+    t1 = F.sum("n_early").over(Window.partitionBy())
+    t2 = F.sum("n_late").over(Window.partitionBy())
+    p = F.col("n_early").cast("double") / t1.cast("double")
+    q = F.col("n_late").cast("double") / t2.cast("double")
+    return counts.select(
+        "priority",
+        "n_early",
+        "n_late",
+        F.floor((p - q) * F.log(p / q) * 1000000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("psi_term_nano"),
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH counts AS (
+  SELECT o_orderpriority AS priority,
+         CAST(SUM(CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_early,
+         CAST(SUM(CASE WHEN year(o_orderdate) <= 1995 THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_late
+  FROM orders GROUP BY 1
+)
+SELECT priority, n_early, n_late,
+       CAST(FLOOR(
+         (CAST(n_early AS DOUBLE) / CAST(SUM(n_early) OVER () AS DOUBLE)
+          - CAST(n_late AS DOUBLE) / CAST(SUM(n_late) OVER () AS DOUBLE))
+         * ln((CAST(n_early AS DOUBLE) / CAST(SUM(n_early) OVER () AS DOUBLE))
+              / (CAST(n_late AS DOUBLE) / CAST(SUM(n_late) OVER () AS DOUBLE)))
+         * 1000000000.0 + 0.5) AS BIGINT) AS psi_term_nano
+FROM counts
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the document-
+    length distributions of the reference corpus (src0-src4, the
+    dedup_against split) and the rest — the nonparametric drift test
+    that catches shape changes a mean/variance check misses. Exact:
+    per-length conditional counts (one aggregate on a bounded key —
+    distinct lengths, not documents), cumulative F1/F2 via ONE ordered
+    window over that bounded table, D as the max FLOOR-scaled
+    |F1-F2| — every division expressed identically in both engines.
+    Output: one row (n_ref, n_inc, ks_d_ppm)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 1
+        )
+        .otherwise(2)
+        .alias("g"),
+        F.length("text").cast("bigint").alias("x"),
+    )
+    d = docs.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = d.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+    )
+    f1 = F.col("cum1").cast("double") / F.col("n1").cast("double")
+    f2 = F.col("cum2").cast("double") / F.col("n2").cast("double")
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n_ref"),
+        F.max("n2").cast("bigint").alias("n_inc"),
+        F.max(
+            F.floor(F.abs(f1 - f2) * 1000000.0 + F.lit(0.5)).cast("bigint")
+        ).alias("ks_d_ppm"),
+    )
+
+
+SQL_KS_DRIFT = """
+WITH l AS (
+  SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN 1 ELSE 2 END AS g,
+         CAST(LENGTH(text) AS BIGINT) AS x
+  FROM documents
+), d AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM l GROUP BY 1
+), cum AS (
+  SELECT SUM(c1) OVER (ORDER BY x) AS cum1,
+         SUM(c2) OVER (ORDER BY x) AS cum2,
+         SUM(c1) OVER () AS n1,
+         SUM(c2) OVER () AS n2
+  FROM d
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n_ref,
+       CAST(MAX(n2) AS BIGINT) AS n_inc,
+       CAST(MAX(CAST(FLOOR(
+         ABS(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 1000000.0 + 0.5
+       ) AS BIGINT)) AS BIGINT) AS ks_d_ppm
+FROM cum
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile-bin order totals (exact integer cents) and profile
     each bin: count, exact min/max — the distributed quantile-binning
@@ -6921,6 +7133,9 @@ def unpersist_deps(df: DataFrame) -> None:
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
     "quantile_bins": q_quantile_bins,
+    "source_overlap": q_source_overlap,
+    "psi_drift": q_psi_drift,
+    "ks_drift": q_ks_drift,
     # --- round-5 red row, oracle made type-portable in round 6; must
     # re-verify through the driver's gate ---
     "mixture_rebalance": q_mixture_rebalance,
@@ -7105,6 +7320,9 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
     "quantile_bins": SQL_QUANTILE_BINS,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "psi_drift": SQL_PSI_DRIFT,
+    "ks_drift": SQL_KS_DRIFT,
     # --- new in round 5 (pagerank is rows-only by design: iterative
     # double sums; see q_pagerank docstring) ---
     "bloom_join": SQL_BLOOM_JOIN,

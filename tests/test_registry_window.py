@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-6 window: the query NEW this round (quantile_bins, oracled via
+# round-6 window: the queries NEW this round (quantile_bins, source_overlap,
+# psi_drift, ks_drift, oracled via
 # its exact-boundary mode), the round-5 RED row whose oracle was made
 # type-portable (mixture_rebalance — must re-verify through the
 # driver's gate), the kernels CHANGED this round (dedup_against's
@@ -19,6 +20,9 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # round-5 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
     "quantile_bins",
+    "source_overlap",
+    "psi_drift",
+    "ks_drift",
     "mixture_rebalance",
     "dedup_against",
     "pagerank",
@@ -65,9 +69,6 @@ PINNED_FIRST_50 = [
     "winsorize",
     "url_canonical_dedup",
     "graph_degree_stats",
-    "doc_perplexity",
-    "source_entropy",
-    "span_dedup",
 ]
 
 

@@ -29,6 +29,15 @@ SHUFFLE_BUDGET = {
     # when-chain → one bin rollup; at sf0.001's single file the two
     # HashAggregates fuse without an Exchange, 1 allows the split case
     "quantile_bins": 1,
+    # the (source, shingle) distinct renders once per reference (a/b
+    # probe sides + the size census), the self-join re-keys both sides
+    # on shingle, plus the pair agg; broadcast size joins add none —
+    # runtime ReuseExchange collapses the repeated distinct lineages
+    "source_overlap": 7,
+    # one priority agg + the 5-row single-partition window
+    "psi_drift": 2,
+    # one length agg + the bounded ordered window + the 1-row max agg
+    "ks_drift": 2,
     # --- new in round 5 ---
     # final priority rollup; the bloom word-table build is a separate
     # (eager, metadata-scale) job, and the exact semi-join broadcasts
