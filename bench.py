@@ -160,6 +160,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     subtotals: dict[str, float] = {}
+    failed_groups: list[str] = []
     for group in GROUPS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--group", group],
@@ -169,8 +170,12 @@ def main() -> None:
         )
         sys.stderr.write(proc.stderr)
         if proc.returncode != 0:
+            # record loudly: a silently-dropped group would shrink the
+            # headline total and read as a phantom speedup to any
+            # round-over-round comparison (review finding)
             print(f"# group {group} FAILED rc={proc.returncode}",
                   file=sys.stderr)
+            failed_groups.append(group)
             continue
         payload = json.loads(proc.stdout.strip().splitlines()[-1])
         times.update(payload["queries"])
@@ -178,18 +183,19 @@ def main() -> None:
         print(f"# subtotal {group}: {subtotals[group]:.2f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "subtotals": subtotals,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "subtotals": subtotals,
+        "sf": sf,
+    }
+    if failed_groups:
+        payload["failed_groups"] = failed_groups
+    print(json.dumps(payload))
+    if failed_groups:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -342,21 +342,32 @@ def exact_quantile_bounds(
     null_like = c.isNull()
     if dict(df.dtypes).get(col) in ("float", "double"):
         null_like = null_like | F.isnan(c)
-    vals = df.select(c.alias("c")).filter(~null_like)
-    n = vals.count()
-    if n == 0 or n_bins < 2:
+    if n_bins < 2:
         return []
+    vals = df.select(c.alias("c")).filter(~null_like)
     d = vals.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus pass: the total rides along as a second window over
+    # the same single-partition frame instead of a separate count()
+    # scan (review finding), and the rank test uses the scan-free
+    # integer equivalence  cum >= ceil(i*n/k)  <=>  cum*k >= i*n.
     w = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
-    cum = d.withColumn("cum", F.sum("cnt").over(w))
-    targets = [(i * n + n_bins - 1) // n_bins for i in range(1, n_bins)]
+    cum = d.select(
+        "c",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
     row = cum.agg(
         *[
-            F.min(F.when(F.col("cum") >= t, F.col("c"))).alias(f"b{i}")
-            for i, t in enumerate(targets)
+            F.min(
+                F.when(
+                    F.col("cum") * n_bins >= i * F.col("n"), F.col("c")
+                )
+            ).alias(f"b{i}")
+            for i in range(1, n_bins)
         ]
     ).collect()[0]
-    return [row[f"b{i}"] for i in range(len(targets))]
+    # empty input: the agg row is all-NULL (no non-null rows to bound)
+    return [v for v in (row[f"b{i}"] for i in range(1, n_bins)) if v is not None]
 
 
 def quantile_bins(

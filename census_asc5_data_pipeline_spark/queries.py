@@ -5892,10 +5892,17 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference postings build once and both probes are map-side
     combinable. df_cap=4096 threads the stop-shingle valve through the
     cross-corpus postings join (round-6 item: the size-ratio bound
-    alone does nothing against same-length boilerplate blowups) — far
-    above any legitimate document frequency here, and capped
-    candidates are exactly corrected either way, so the output
-    hash-matches the uncapped DuckDB oracle at every SF."""
+    alone does nothing against same-length boilerplate blowups).
+    Exactness contract, same as dedup_ngram_jaccard's: surviving
+    candidates are corrected to TRUE jaccard, but a pair sharing ONLY
+    above-cap shingles never becomes a candidate — at J >= 0.5 that
+    needs a pair composed almost entirely of corpus-degenerate
+    bigrams. 4096 is far above any union document frequency in this
+    corpus (max 338 at sf0.1, and df grows sublinearly with SF here),
+    so the output hash-matches the uncapped DuckDB oracle at the
+    tested SFs; a corpus where boilerplate exceeds the cap should
+    raise df_cap or accept the documented stop-only blind spot
+    (tests/test_dedup.py plants both regimes)."""
     from census_asc5_data_pipeline_spark.operators.dedup import (
         cross_corpus_near_pairs,
     )

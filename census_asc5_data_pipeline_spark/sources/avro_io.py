@@ -310,11 +310,27 @@ def write_avro(
         df.write.mode(mode).option("compression", comp).format("avro").save(
             path
         )
-        return -1  # connector path: count not re-measured
+        # one extra count job keeps the documented row-count contract
+        # identical across the connector and fallback paths (callers
+        # reconcile on it; review finding: -1 here silently broke them
+        # exactly on the environments the JVM path targets)
+        return spark.read.format("avro").load(path).count()
     if mode not in ("overwrite", "error"):
         raise ValueError(f"unsupported mode {mode!r} (overwrite|error)")
-    if mode == "error" and os.path.exists(os.path.join(path, "_manifest.json")):
+    manifest_path = os.path.join(path, "_manifest.json")
+    if mode == "error" and os.path.exists(manifest_path):
         raise FileExistsError(path)
+    # overwrite: stale parts from the PRIOR manifest are deleted only
+    # AFTER the new manifest publishes (manifest-first, like
+    # ManifestJsonlWriter) — a crash in between leaves orphans, never a
+    # torn manifest; without this, old uuid-named parts accumulate and
+    # a manifest-less *.avro glob (the interchange contract) returns
+    # old rows mixed with new (review finding)
+    stale: list[str] = []
+    if os.path.exists(manifest_path):
+        stale = [
+            p["path"] for p in json.load(open(manifest_path))["parts"]
+        ]
     schema = _avro_schema(df)
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
@@ -369,6 +385,12 @@ def write_avro(
             fh,
         )
     os.replace(tmp, manifest)  # atomic publish
+    new_names = {f for f, _ in parts}
+    for name in stale:
+        if name not in new_names:
+            old = os.path.join(path, name)
+            if os.path.exists(old):
+                os.remove(old)
     return sum(n for _, n in parts)
 
 
@@ -381,11 +403,10 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     if _jvm_avro_available(spark):
         return spark.read.format("avro").load(path)
     manifest = os.path.join(path, "_manifest.json")
+    meta = None
     if os.path.exists(manifest):
-        files = [
-            os.path.join(path, p["path"])
-            for p in json.load(open(manifest))["parts"]
-        ]
+        meta = json.load(open(manifest))
+        files = [os.path.join(path, p["path"]) for p in meta["parts"]]
     else:
         files = sorted(
             os.path.join(path, f)
@@ -393,6 +414,12 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             if f.endswith(".avro")
         )
     if not files:
+        # an empty WRITE is a valid dataset: the manifest carries the
+        # Spark DDL precisely so a zero-part directory reads back as an
+        # empty frame with the right schema (review finding: raising
+        # here diverged from the JVM connector's empty round-trip)
+        if meta is not None and "spark_ddl" in meta:
+            return spark.createDataFrame([], meta["spark_ddl"])
         raise FileNotFoundError(f"no .avro files under {path!r}")
     with open(files[0], "rb") as fh:
         schema, _codec, _sync = _read_header(fh)

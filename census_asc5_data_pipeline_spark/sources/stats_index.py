@@ -40,11 +40,15 @@ def index_path(table_path: str) -> str:
 
 def _local_path(file_uri: str) -> str:
     """Normalize ``input_file_name()`` URIs (file:///...) and plain
-    paths to one comparable absolute form."""
+    paths to one comparable canonical form. ``realpath``, not
+    ``abspath``: if the table was indexed through a symlink (the
+    versioned store's layout) and later pruned through the resolved
+    path — or vice versa — abspath keys would never match, sending
+    every file down BOTH the indexed and unindexed branches and
+    silently duplicating rows (review finding)."""
     p = urlparse(file_uri)
-    return os.path.abspath(unquote(p.path)) if p.scheme else os.path.abspath(
-        file_uri
-    )
+    raw = unquote(p.path) if p.scheme else file_uri
+    return os.path.realpath(raw)
 
 
 def _data_files(table_path: str) -> list[str]:
@@ -53,11 +57,11 @@ def _data_files(table_path: str) -> list[str]:
     needs), skipping underscore/dot dirs and files (_zone_index,
     _SUCCESS, ...)."""
     out = []
-    for root, dirs, files in os.walk(table_path):
+    for root, dirs, files in os.walk(table_path, followlinks=True):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                out.append(os.path.abspath(os.path.join(root, f)))
+                out.append(os.path.realpath(os.path.join(root, f)))
     return out
 
 

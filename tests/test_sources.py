@@ -588,3 +588,48 @@ def test_avro_container_format_on_disk(spark, tmp_path):
     assert [f["name"] for f in schema["fields"]] == ["id", "s"]
     manifest = _json.load(open(out + "/_manifest.json"))
     assert manifest["n_rows"] == 50
+
+
+def test_avro_empty_write_reads_back_empty(spark, tmp_path):
+    """An empty write is a valid dataset: the manifest carries the
+    Spark DDL, so a zero-part directory reads back as an empty frame
+    with the right schema instead of raising (review finding — the JVM
+    connector round-trips empty frames, the fallback must too)."""
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.range(0).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "avro")
+    assert write_avro(df, out) == 0
+    back = read_avro(spark, out)
+    assert back.count() == 0
+    assert back.columns == ["id", "s"]
+
+
+def test_avro_overwrite_removes_stale_parts(spark, tmp_path):
+    """Overwrite deletes the PRIOR manifest's parts after the new
+    manifest publishes — otherwise old uuid-named files accumulate and
+    a manifest-less *.avro glob (the interchange contract) returns old
+    rows mixed with new (review finding)."""
+    import glob
+
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        read_avro,
+        write_avro,
+    )
+
+    out = str(tmp_path / "avro")
+    write_avro(spark.range(100).selectExpr("id"), out)
+    first = set(glob.glob(out + "/*.avro"))
+    assert first
+    write_avro(spark.range(7).selectExpr("id"), out, mode="overwrite")
+    second = set(glob.glob(out + "/*.avro"))
+    assert not (first & second), "stale parts removed"
+    assert read_avro(spark, out).count() == 7
+    # mode='error' refuses to clobber an existing dataset
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        write_avro(spark.range(1).selectExpr("id"), out, mode="error")

@@ -125,11 +125,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            results[name] = f"fail: spark error: {ex}"
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
+            results[name] = f"rows-only: {len(srows)} rows"
             continue
         try:
             tbl = con.sql(oracles[name]).fetch_arrow_table()
@@ -137,6 +139,7 @@ def main() -> int:
             drows = arrow_rows(tbl)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
+            results[name] = f"fail: duckdb error: {ex}"
             failures += 1
             continue
         ok = True
