@@ -803,3 +803,106 @@ def stream_windowed_topk(
         .foreachBatch(sink)
         .start()
     )
+
+
+def stream_mix_drift(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    baseline_ppm: dict[str, int],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Per-window category-mix drift monitor: the PSI of each closed
+    window's event-type distribution against a FIXED baseline mix —
+    the streaming twin of the batch ``psi_drift`` query (train the
+    baseline offline, watch every window of the live feed; PSI > 0.2
+    pages before a skewed era contaminates the corpus mix).
+
+    Built on the append-mode windowed aggregate like
+    ``stream_windowed_topk``: all of a window's category rows arrive
+    in the trigger where the watermark closes it, so PSI is computed
+    WHOLLY within the batch — no cross-batch merge state beyond the
+    windowed aggregate's own watermark-bounded state. Inside the sink
+    the per-window math is metadata-scale: a (closed windows x
+    baseline categories) grid (both tiny) left-joined with the
+    observed counts so categories MISSING from a window still
+    contribute drift; both proportions clamp at 1 ppm (PSI's standard
+    zero-guard — ln never sees 0); the per-category FLOOR-scaled nano
+    terms sum to an exact integer psi_nano. Epoch-partitioned
+    overwrite keeps at-least-once replays idempotent. READ CONTRACT:
+    ``spark.read.parquet(out_dir)`` → (window_start_ms, n_events,
+    psi_nano) + the epoch partition column.
+    """
+    counts = windowed_counts(events, window, watermark).select(
+        "window_start_ms", "event_type", "n"
+    )
+    base_rows = sorted(baseline_ppm.items())
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = spark.createDataFrame(
+            base_rows, "event_type string, base_ppm bigint"
+        )
+        tot = Window.partitionBy("window_start_ms")
+        obs = batch_df.withColumn("tot", F.sum("n").over(tot))
+        # category axis = baseline UNION observed: a category the
+        # baseline never saw still contributes drift (its q clamps to
+        # 1 ppm), and a baseline category absent from a window drifts
+        # through its clamped p — PSI over the union set, per the
+        # textbook definition
+        cats = (
+            base.join(
+                obs.select("event_type").distinct(), "event_type", "full_outer"
+            ).select(
+                "event_type",
+                F.coalesce("base_ppm", F.lit(0)).cast("bigint").alias(
+                    "base_ppm"
+                ),
+            )
+        )
+        grid = (
+            obs.select("window_start_ms", "tot").distinct().crossJoin(cats)
+        )
+        joined = grid.join(
+            obs.select("window_start_ms", "event_type", "n"),
+            ["window_start_ms", "event_type"],
+            "left",
+        )
+        p_ppm = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                * 1000000.0
+                / F.col("tot")
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        q_ppm = F.greatest(F.lit(1).cast("bigint"), F.col("base_ppm"))
+        p = p_ppm.cast("double") / 1000000.0
+        q = q_ppm.cast("double") / 1000000.0
+        term = F.floor(
+            (p - q) * F.log(p / q) * 1000000000.0 + F.lit(0.5)
+        ).cast("bigint")
+        out = (
+            joined.select(
+                "window_start_ms",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+                term.alias("term_nano"),
+            )
+            .groupBy("window_start_ms")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_events"),
+                F.sum("term_nano").cast("bigint").alias("psi_nano"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )

@@ -811,3 +811,74 @@ def test_streaming_progress_metrics_exposed(spark, event_dir):
     assert seen == spark.read.parquet(event_dir).count()
     batch_ids = [p["batchId"] for p in progress]
     assert batch_ids == sorted(set(batch_ids)), "batch ids monotonic"
+
+
+def test_stream_mix_drift_matches_python_psi(spark, event_dir, tmp_path):
+    """The streaming PSI monitor must agree exactly with a pure-python
+    PSI over the same closed windows: per-window counts from a batch
+    read, union-category axis, 1-ppm clamps, floor-scaled nano terms.
+    Also: a degenerate all-one-category baseline must show LARGE drift
+    on real multi-category windows."""
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        stream_mix_drift,
+    )
+
+    # baseline = the GLOBAL event-type mix (so per-window PSI is small
+    # but nonzero), in exact ppm
+    batch = spark.read.parquet(event_dir)
+    total = batch.count()
+    mix = {
+        r.event_type: int(r.c * 1_000_000 / total + 0.5)
+        for r in batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    out = str(tmp_path / "drift_out")
+    ckpt = str(tmp_path / "drift_ckpt")
+    ev = read_event_stream(spark, event_dir)
+    q = stream_mix_drift(ev, out, ckpt, baseline_ppm=mix)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.window_start_ms: (r.n_events, r.psi_nano)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "watermark must have closed at least one window"
+
+    # python twin over the SAME windows
+    import math
+
+    win_counts: dict[int, dict[str, int]] = {}
+    for r in (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ms"), "event_type", "n")
+        .collect()
+    ):
+        win_counts.setdefault(r.ms, {})[r.event_type] = r.n
+    for ms, (n_events, psi_nano) in got.items():
+        counts = win_counts[ms]
+        tot = sum(counts.values())
+        assert n_events == tot
+        cats = set(mix) | set(counts)
+        want = 0
+        for c in sorted(cats):
+            p_ppm = max(1, int(counts.get(c, 0) * 1_000_000 / tot + 0.5))
+            q_ppm = max(1, mix.get(c, 0))
+            p, qq = p_ppm / 1e6, q_ppm / 1e6
+            want += math.floor((p - qq) * math.log(p / qq) * 1e9 + 0.5)
+        assert psi_nano == want, (ms, psi_nano, want)
+
+    # degenerate baseline -> big drift on every window
+    out2 = str(tmp_path / "drift_out2")
+    ckpt2 = str(tmp_path / "drift_ckpt2")
+    q2 = stream_mix_drift(
+        read_event_stream(spark, event_dir),
+        out2,
+        ckpt2,
+        baseline_ppm={"only_this": 1_000_000},
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    drifts = [r.psi_nano for r in spark.read.parquet(out2).collect()]
+    assert drifts and all(d > 200_000_000 for d in drifts)  # PSI >> 0.2
