@@ -6845,6 +6845,110 @@ FROM share GROUP BY p_type
 # =====================================================================
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 DISTINCTIVE terms per source by Monroe-style log-odds
+    with a uniform Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words") — the corpus-comparison statistic that surfaces
+    what a source talks about MORE than the rest of the corpus, where
+    raw tf-idf surfaces what it merely contains. delta = ln((y_s+1)/
+    (n_s+V-y_s-1)) - ln((y_r+1)/(n_r+V-y_r-1)); var ~ 1/(y_s+1) +
+    1/(y_r+1); z floor-scaled to micro. One token-count aggregate,
+    per-source totals as a second tiny agg joined back, rest-counts by
+    subtraction from broadcast global totals (never a second corpus
+    pass), top-5 via a per-source row_number window on (z desc, tok) —
+    ties fully deterministic. All doubles flow through identical
+    expression trees in both engines."""
+    from census_asc5_data_pipeline_spark.functions import words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    sc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y_s")
+    )
+    gc = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y_g")
+    )
+    ns = sc.groupBy("source").agg(F.sum("y_s").cast("bigint").alias("n_s"))
+    # global scalars ride a 1-row broadcast frame (no scalar subquery
+    # re-render of the token lineage)
+    totals = gc.agg(
+        F.sum("y_g").cast("bigint").alias("n_g"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    j = (
+        sc.join(F.broadcast(gc), "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(totals))
+    )
+    y_s = F.col("y_s").cast("double")
+    y_r = (F.col("y_g") - F.col("y_s")).cast("double")
+    n_s = F.col("n_s").cast("double")
+    n_r = (F.col("n_g") - F.col("n_s")).cast("double")
+    v = F.col("v").cast("double")
+    delta = F.log((y_s + 1.0) / (n_s + v - y_s - 1.0)) - F.log(
+        (y_r + 1.0) / (n_r + v - y_r - 1.0)
+    )
+    var = 1.0 / (y_s + 1.0) + 1.0 / (y_r + 1.0)
+    z_micro = F.floor(delta / F.sqrt(var) * 1000000.0 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    ranked = j.select(
+        "source", "tok", F.col("y_s").alias("n_tok"), z_micro.alias("z_micro")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("z_micro").desc(), F.col("tok")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 5).select(
+        "source", "rn", "tok", "n_tok", "z_micro"
+    )
+
+
+SQL_DISTINCTIVE_TERMS = """
+WITH t AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), tok AS (
+  SELECT source, tok FROM t WHERE LENGTH(tok) > 0
+), sc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS y_s FROM tok GROUP BY 1, 2
+), gc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS y_g FROM tok GROUP BY 1
+), ns AS (
+  SELECT source, CAST(SUM(y_s) AS BIGINT) AS n_s FROM sc GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(y_g) AS BIGINT) AS n_g, CAST(COUNT(*) AS BIGINT) AS v
+  FROM gc
+), scored AS (
+  SELECT sc.source, sc.tok, sc.y_s AS n_tok,
+         CAST(FLOOR(
+           (ln((CAST(sc.y_s AS DOUBLE) + 1.0)
+               / (CAST(ns.n_s AS DOUBLE) + CAST(totals.v AS DOUBLE)
+                  - CAST(sc.y_s AS DOUBLE) - 1.0))
+            - ln((CAST(gc.y_g - sc.y_s AS DOUBLE) + 1.0)
+                 / (CAST(totals.n_g - ns.n_s AS DOUBLE)
+                    + CAST(totals.v AS DOUBLE)
+                    - CAST(gc.y_g - sc.y_s AS DOUBLE) - 1.0)))
+           / sqrt(1.0 / (CAST(sc.y_s AS DOUBLE) + 1.0)
+                  + 1.0 / (CAST(gc.y_g - sc.y_s AS DOUBLE) + 1.0))
+           * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+  FROM sc JOIN gc USING (tok) JOIN ns USING (source) CROSS JOIN totals
+)
+SELECT source, rn, tok, n_tok, z_micro FROM (
+  SELECT source, tok, n_tok, z_micro,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY z_micro DESC, tok
+         ) AS INT) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise SOURCE-level shingle-Jaccard matrix — the corpus-audit
     chart answering "which of my data sources overlap, and how much?"
@@ -7140,6 +7244,7 @@ def unpersist_deps(df: DataFrame) -> None:
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
     "quantile_bins": q_quantile_bins,
+    "distinctive_terms": q_distinctive_terms,
     "source_overlap": q_source_overlap,
     "psi_drift": q_psi_drift,
     "ks_drift": q_ks_drift,
@@ -7327,6 +7432,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
     "quantile_bins": SQL_QUANTILE_BINS,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "psi_drift": SQL_PSI_DRIFT,
     "ks_drift": SQL_KS_DRIFT,

