@@ -314,6 +314,15 @@ def label_propagation(
     discipline). Synchronous + deterministic tie-break means the
     result is integer-exact and cross-engine reproducible (the oracle
     unrolls the same rounds in SQL).
+
+    Fixpoint early-exit (round 6): a round where NO label changed is a
+    no-op — the next round is a pure function of an unchanged input —
+    so exiting early returns output IDENTICAL to running all
+    ``n_iter`` rounds (the unrolled oracle stays hash-exact; pytest
+    pins the equivalence). The probe is one 1-row anti-equality count
+    over the two checkpointed label frames per round; dense near-dup
+    communities typically stabilize in 2-3 of the registered 4 rounds,
+    and at 100 TB the saving is whole join+agg shuffle rounds.
     """
     und = _canonical_edges(edges, src, dst)
     directed = und.unionAll(
@@ -330,12 +339,22 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # argmax with min-label tie-break: max(struct(c, -lbl))
-        labels = (
+        new_labels = (
             counted.groupBy("node")
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
             .select("node", (-F.col("m.neg")).alias("lbl"))
             .localCheckpoint()
         )
+        changed = (
+            labels.select("node", F.col("lbl").alias("old"))
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels.select("node", F.col("lbl").alias("community"))
 
 

@@ -70,6 +70,29 @@ def test_label_propagation_splits_bridged_cliques(spark):
     assert out == out2, "deterministic LPA must be reproducible"
 
 
+def test_label_propagation_early_exit_equals_full_unroll(spark):
+    """The fixpoint early-exit must return output IDENTICAL to running
+    every round (a converged round is a no-op) — the invariant that
+    keeps the 4-round unrolled SQL oracle hash-exact. The cliques
+    converge well before 12 rounds, so a large n_iter exercises the
+    exit; n_iter=1 (no chance to exit) pins the probe changes nothing
+    on unconverged runs either."""
+    from census_asc5_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4, 5]) + clique([11, 12, 13, 14, 15]) + [(5, 11)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    four = {r.node: r.community for r in label_propagation(df, n_iter=4).collect()}
+    twelve = {r.node: r.community for r in label_propagation(df, n_iter=12).collect()}
+    assert four == twelve, "early-exit run must equal the full unroll"
+    one = {r.node: r.community for r in label_propagation(df, n_iter=1).collect()}
+    assert set(one) == set(four)
+
+
 def test_k_core_peels_periphery(spark):
     """A 4-clique (3-core) with pendant nodes: k=3 keeps exactly the
     clique; the pendant and its chain peel away — including the
