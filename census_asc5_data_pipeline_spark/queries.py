@@ -6959,9 +6959,11 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shingle self-join (a shingle in k sources fans out k^2 <=
     |sources|^2 pairs — bounded by the SOURCE count, never the corpus),
     exact integer jaccard_ppm. The tiny size table broadcasts back.
-    Joins on the shingle STRING, not a hash: the oracle must count
-    identical distinct sets, and the source-level distinct already
-    collapsed the volume."""
+    Distinct/join keys are xxhash64(shingle) — 8-byte shuffle rows
+    instead of variable-length strings, with the same
+    ~|shingles|^2/2^64 accepted collision odds as the jaccard pair
+    joins (a collision could merge two distinct shingles' source
+    sets; negligible against any real vocabulary)."""
     from census_asc5_data_pipeline_spark.functions import token_bigrams, words
 
     docs = _t(spark, sf_dir, "documents")
@@ -6972,9 +6974,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.explode(F.array_distinct(token_bigrams(F.col("__w")))).alias(
-                "shingle"
+                "__s"
             ),
         )
+        .select("source", F.xxhash64("__s").alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
