@@ -207,9 +207,16 @@ def _write_artifact(
         "failures": failures,
         "results": results,
     }
-    out = os.path.join(here, "oracle_check_last.json")
-    with open(out, "w") as fh:
-        json.dump(payload, fh, indent=1, sort_keys=True)
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    suffix = f"_sf{m.group(1)}" if m else ""
+    for out in (
+        os.path.join(here, "oracle_check_last.json"),
+        os.path.join(here, f"oracle_check{suffix}.json"),
+    ):
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
     print(f"wrote {out} (sha {sha[:12]}, {failures} failures)")
 
 

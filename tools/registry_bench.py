@@ -44,6 +44,18 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        # Warm-then-measure: the FIRST execution of a query pays
+        # position-dependent janino/JIT compilation (round 6: re-pinning
+        # queries to the front of the registry made the sweep flag them
+        # 2-3x "slower" with byte-identical source; isolated warm runs
+        # matched the prior round exactly). Timing the second
+        # back-to-back run measures the steady-state plan cost the
+        # tripwire is meant to compare round-over-round, independent of
+        # registry order.
+        df = fn(spark, sf_dir)
+        n = df.count()
+        unpersist_deps(df)
+        spark.catalog.clearCache()
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
