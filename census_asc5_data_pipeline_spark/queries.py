@@ -7164,6 +7164,127 @@ FROM cum
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every candidate
+    document by how target-like its hashed-unigram profile is —
+    log w(d) = sum_b c_db * (ln p_target[b] - ln p_raw[b]) over B=1024
+    hashed feature buckets with add-one smoothing. The standard
+    pretraining-data selection statistic: resample candidates by these
+    weights to tilt a raw crawl toward a high-quality target corpus.
+    Target = sources src0-3; candidates = the other 16 sources, which
+    also fit the raw distribution (DSIR fits raw on the corpus being
+    selected FROM). md5-derived buckets so the DuckDB oracle reproduces
+    them bit-for-bit; the per-bucket log-ratio is floor-scaled to an
+    integer ONCE, so the per-doc sum is an order-independent BIGINT sum
+    — exact under any partitioning. Plan: one token pass feeds both a
+    (doc, bucket) count and a B-row conditional bucket census; the
+    census (<= 1024 rows, data-size-independent) broadcasts back, so
+    scoring 100 TB of candidates is explode + two map-side-combinable
+    aggregates + a broadcast join — no all-to-all on anything wider
+    than the doc id."""
+    from census_asc5_data_pipeline_spark.functions import words
+
+    docs = _t(spark, sf_dir, "documents")
+    target = ("src0", "src1", "src2", "src3")
+    n_buckets = 1024
+    toks = docs.select(
+        "doc_id", "source", F.explode(words(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    tb = toks.select(
+        "doc_id",
+        "source",
+        bucket.alias("b"),
+        F.col("source").isin(*target).alias("is_t"),
+    )
+    dist = tb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("t_b"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("r_b"),
+    )
+    totals = dist.agg(
+        F.sum("t_b").cast("bigint").alias("t_tot"),
+        F.sum("r_b").cast("bigint").alias("r_tot"),
+    )
+    smooth = float(n_buckets)
+    lr_micro = F.floor(
+        (
+            F.log(
+                (F.col("t_b").cast("double") + 1.0)
+                / (F.col("t_tot").cast("double") + smooth)
+            )
+            - F.log(
+                (F.col("r_b").cast("double") + 1.0)
+                / (F.col("r_tot").cast("double") + smooth)
+            )
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "b", lr_micro.alias("lr_micro")
+    )
+    db = (
+        tb.filter(~F.col("is_t"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        db.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tok"),
+            F.sum(F.col("c") * F.col("lr_micro"))
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b,
+         source IN ('src0', 'src1', 'src2', 'src3') AS is_t
+  FROM toks WHERE tok IS NOT NULL AND tok <> ''
+), dist AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+         CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS r_b
+  FROM tb GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(t_b) AS BIGINT) AS t_tot,
+         CAST(SUM(r_b) AS BIGINT) AS r_tot
+  FROM dist
+), ratio AS (
+  SELECT b, CAST(FLOOR(
+      (ln((CAST(t_b AS DOUBLE) + 1.0) / (CAST(t_tot AS DOUBLE) + 1024.0))
+     - ln((CAST(r_b AS DOUBLE) + 1.0) / (CAST(r_tot AS DOUBLE) + 1024.0)))
+      * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+  FROM dist CROSS JOIN totals
+), db AS (
+  SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tb WHERE NOT is_t GROUP BY 1, 2, 3
+)
+SELECT db.doc_id, db.source,
+       CAST(SUM(c) AS BIGINT) AS n_tok,
+       CAST(SUM(c * lr_micro) AS BIGINT) AS weight_micro
+FROM db JOIN ratio USING (b)
+GROUP BY 1, 2
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile-bin order totals (exact integer cents) and profile
     each bin: count, exact min/max — the distributed quantile-binning
@@ -7246,6 +7367,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "dsir_weights": q_dsir_weights,
     "quantile_bins": q_quantile_bins,
     "distinctive_terms": q_distinctive_terms,
     "source_overlap": q_source_overlap,
@@ -7434,6 +7556,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "quantile_bins": SQL_QUANTILE_BINS,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "source_overlap": SQL_SOURCE_OVERLAP,

@@ -24,6 +24,9 @@ CROSS_JOIN_OK = {
     # re-render of the token lineage — a BroadcastNestedLoopJoin whose
     # build side is one row, not an accidental cartesian
     "distinctive_terms",
+    # same shape: the 1-row (t_tot, r_tot) totals frame broadcast-
+    # crossJoins onto the <=1024-row bucket census
+    "dsir_weights",
 }
 
 

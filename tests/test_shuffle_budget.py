@@ -23,6 +23,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 6 ---
+    # one token pass → bucket census (1) + its single-partition totals
+    # (1), (doc,bucket) counts (1), final per-doc rollup (1); the
+    # census lineage renders statically under both the broadcast-ratio
+    # subtree and totals (no ReuseExchange pre-AQE), so +1
+    "dsir_weights": 5,
     # boundary computation runs EAGERLY at plan-construction time
     # (groupBy(value) + global window + k-1-scalar agg, collected to
     # driver literals), so the returned plan is scan → literal
