@@ -751,6 +751,102 @@ def windowed_distinct_users(
     )
 
 
+def kll_fold_batch(
+    batch_df: DataFrame, epoch_id: int, table: str, value_col: str
+) -> bool:
+    """Fold one micro-batch into the stored KLL quantile sketch under
+    an EPOCH FENCE; returns True iff the batch was applied. Kept
+    module-level (not a closure) so the at-least-once replay contract
+    is directly testable: call it twice with the same epoch_id and the
+    second call must be a fenced no-op."""
+    from census_asc5_data_pipeline_spark.sources import versioned
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    batch_sk = (
+        batch_df.selectExpr(f"CAST({value_col} AS BIGINT) AS v")
+        .groupBy()
+        .agg(F.expr("kll_sketch_agg_bigint(v)").alias("sk"))
+        .select(
+            "sk", F.lit(int(epoch_id)).cast("bigint").alias("last_epoch")
+        )
+    )
+    try:
+        stored = versioned.read_current(spark, table)
+        # 1-row metadata fence read, not a data-scale collect
+        fence = stored.select("last_epoch").first()
+        if fence is not None and fence[0] >= int(epoch_id):
+            return False
+        merged = (
+            stored.unionByName(batch_sk)
+            .groupBy()
+            .agg(
+                F.expr("kll_merge_agg_bigint(sk)").alias("sk"),
+                F.max("last_epoch").cast("bigint").alias("last_epoch"),
+            )
+        )
+    except FileNotFoundError:
+        merged = batch_sk
+    versioned.commit_version(merged, table)
+    return True
+
+
+def stream_quantile_sketch(
+    events: DataFrame,
+    table: str,
+    checkpoint: str,
+    value_col: str = "value",
+):
+    """Streaming quantile maintenance via mergeable KLL sketches — the
+    quantile member of the streaming sketch family (distinct = HLL,
+    frequency = Misra-Gries, now rank/quantile = KLL): each micro-batch
+    aggregates its own fixed-size ``kll_sketch_agg_bigint`` and the
+    sink merges it into the stored sketch with ``kll_merge_agg_bigint``
+    under the versioned-snapshot commit, so running p50/p90/p99 are
+    maintained in O(sketch-bytes) work per batch with no rescan of
+    history and no per-key streaming state.
+
+    Unlike HLL union (idempotent over re-merged element SETS), KLL
+    merge is weight-additive: re-merging a replayed batch would
+    double-count its items. foreachBatch's at-least-once contract is
+    therefore hardened to exactly-once by an EPOCH FENCE — the stored
+    row carries ``last_epoch`` and a replay with epoch_id <=
+    last_epoch is a no-op (valid because epochs commit in order within
+    one query). tests/test_streaming.py replays a batch on purpose and
+    pins both the fence and sketch-vs-exact quantile agreement.
+    Readers take :func:`read_quantiles` off the single stored row.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        kll_fold_batch(batch_df, epoch_id, table, value_col)
+
+    return (
+        events.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )
+
+
+def read_quantiles(
+    spark: SparkSession, table: str, qs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Serve quantiles off the maintained KLL snapshot: one stored row,
+    O(sketch) work, no history rescan."""
+    from census_asc5_data_pipeline_spark.sources import versioned
+
+    exprs = [
+        "CAST(kll_sketch_get_quantile_bigint(sk, CAST("
+        f"{q!r} AS DOUBLE)) AS BIGINT) AS p{int(round(q * 100))}"
+        for q in qs
+    ]
+    return versioned.read_current(spark, table).selectExpr(
+        "CAST(kll_sketch_get_n_bigint(sk) AS BIGINT) AS n",
+        "last_epoch",
+        *exprs,
+    )
+
+
 def stream_windowed_topk(
     events: DataFrame,
     out_dir: str,

@@ -682,6 +682,63 @@ def test_stream_distinct_sketch_maintains_estimate_idempotently(spark, tmp_path)
     assert est2 == est
 
 
+def test_stream_quantile_sketch_maintains_quantiles_with_epoch_fence(
+    spark, tmp_path
+):
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        kll_fold_batch,
+        read_event_stream,
+        read_quantiles,
+        stream_quantile_sketch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), i % 137, "e", float(i), "{}")
+        for i in range(400)
+    ]
+    src = str(tmp_path / "kll_ev")
+    spark.createDataFrame(rows[:200], EVENT_SCHEMA).coalesce(1).write.parquet(
+        src
+    )
+    spark.createDataFrame(rows[200:], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    table = str(tmp_path / "kll_table")
+
+    q = stream_quantile_sketch(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        table,
+        str(tmp_path / "kll_ckpt"),
+        value_col="value",
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_quantiles(spark, table).first()
+    # n is exact in a KLL sketch; quantiles within rank error of the
+    # true value distribution 0..399
+    assert got.n == 400
+    assert abs(got.p50 - 200) <= 12
+    assert abs(got.p90 - 360) <= 12
+
+    # at-least-once replay: KLL merge is weight-additive (NOT
+    # idempotent like HLL union), so the epoch fence must reject a
+    # replayed batch outright
+    first_batch = spark.read.parquet(src).orderBy("event_id").limit(200)
+    assert kll_fold_batch(first_batch, 0, table, "value") is False
+    assert read_quantiles(spark, table).first().n == 400
+
+    # a genuinely new epoch folds in (weight accumulates by design)
+    assert kll_fold_batch(first_batch, 10_000, table, "value") is True
+    after = read_quantiles(spark, table).first()
+    assert after.n == 600
+    assert after.last_epoch == 10_000
+
+
 def test_windowed_distinct_users_matches_batch_estimate(spark, event_dir):
     from census_asc5_data_pipeline_spark.streaming.pipeline import (
         windowed_distinct_users,
