@@ -1628,6 +1628,45 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total)
 
 
+def q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-audience SET ALGEBRA via Datasketches theta sketches:
+    one sketch of user_id per event_type, then per type-pair the
+    estimated intersection / union / difference cardinalities — the
+    sketch family's unique capability (HLL unions but cannot
+    intersect), and the standard audience-overlap primitive: "how many
+    users did BOTH A and B" over 100 TB without ever shuffling user
+    sets — sketches are map-side-combinable fixed-size state, and the
+    pairwise algebra runs on the k-row sketch frame (broadcast, |types|
+    bounded). Rows-only: estimates have no cross-engine oracle; the
+    pytest pins every pair against exact intersection/union/difference
+    counts within the theta error envelope (exact below sketch
+    capacity)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.expr("CAST(theta_sketch_estimate(sk_a) AS BIGINT)").alias("users_a"),
+        F.expr("CAST(theta_sketch_estimate(sk_b) AS BIGINT)").alias("users_b"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_intersection(sk_a, sk_b))"
+            " AS BIGINT)"
+        ).alias("users_both"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_union(sk_a, sk_b)) AS BIGINT)"
+        ).alias("users_either"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_difference(sk_a, sk_b))"
+            " AS BIGINT)"
+        ).alias("users_only_a"),
+    )
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means topic clustering over the embeddings table (rows-only:
     iterative float centroid means are reduce-order dependent; the
@@ -7367,6 +7406,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "theta_audience": q_theta_audience,
     "dsir_weights": q_dsir_weights,
     "quantile_bins": q_quantile_bins,
     "distinctive_terms": q_distinctive_terms,

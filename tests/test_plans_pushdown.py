@@ -27,6 +27,10 @@ CROSS_JOIN_OK = {
     # same shape: the 1-row (t_tot, r_tot) totals frame broadcast-
     # crossJoins onto the <=1024-row bucket census
     "dsir_weights",
+    # deliberate |event_types|-row sketch-frame self-pairing
+    # (type_a < type_b) — a broadcast nested-loop over k rows of
+    # fixed-size sketches, never over data-scale rows
+    "theta_audience",
 }
 
 

@@ -23,6 +23,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 6 ---
+    # the sketch-census groupBy renders statically under BOTH pair
+    # sides (the broadcast subtree doesn't reuse under this fixture's
+    # session); runtime ReuseExchange collapses them to one
+    "theta_audience": 2,
     # one token pass → bucket census (1) + its single-partition totals
     # (1), (doc,bucket) counts (1), final per-doc rollup (1); the
     # census lineage renders statically under both the broadcast-ratio

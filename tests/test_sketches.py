@@ -98,3 +98,40 @@ def test_hll_rollup_estimates_within_error_envelope(spark):
         # default lgConfigK=12 -> ~1.6% relative standard error; 5% is
         # a generous deterministic envelope at these cardinalities
         assert abs(got[k] - n) <= max(1, int(0.05 * n)), (k, got[k], n)
+
+
+def test_theta_audience_matches_exact_set_algebra(spark):
+    """Every pairwise theta estimate (a, b, both, either, only_a) must
+    sit within the theta error envelope of the exact set-algebra
+    counts; below sketch capacity (sf0.001's user sets) estimates are
+    exact, so the envelope doubles as an exactness pin there."""
+    from census_asc5_data_pipeline_spark.catalog import read_table
+
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["theta_audience"](spark, SF).collect()
+    }
+    assert len(got) > 0
+    ev = read_table(spark, SF, "events").select("event_type", "user_id")
+    sets = {
+        r.event_type: set(r.us)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    # all unordered pairs must be present exactly once
+    names = sorted(sets)
+    want_pairs = {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    }
+    assert set(got) == want_pairs
+    for (ta, tb), r in got.items():
+        sa, sb = sets[ta], sets[tb]
+        for est, exact in [
+            (r.users_a, len(sa)),
+            (r.users_b, len(sb)),
+            (r.users_both, len(sa & sb)),
+            (r.users_either, len(sa | sb)),
+            (r.users_only_a, len(sa - sb)),
+        ]:
+            assert abs(est - exact) <= max(2, int(0.03 * exact))
