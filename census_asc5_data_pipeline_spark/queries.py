@@ -4387,6 +4387,95 @@ JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
 """
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the near-dup
+    similarity graph: 3·triangles / wedges — the one-number answer to
+    "is near-duplication CLIQUEY (template families) or chain-like
+    (drifting revisions)?" that the degree histogram and raw triangle
+    list bracket but don't summarize. Wedges = Σ_v C(d_v, 2) from the
+    same one-pass degree count; triangles from the degree-oriented
+    enumerator (operators/graph.triangles — hub-safe); the quotient is
+    exact BIGINT integer division to stay hash-portable. All three
+    aggregates are 1-row frames joined by broadcast — beyond the edge
+    build, O(|E|) work regardless of corpus size."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    # persist: degrees, wedge roles and the closing semi-join all
+    # reference the jaccard pair computation (released via
+    # unpersist_deps, same discipline as q_near_dup_triangles)
+    raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+    pairs = raw_pairs.select("doc_a", "doc_b").persist()
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("degree") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.expr("degree * (degree - 1) div 2"))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    tri = G.triangles(pairs, src="doc_a", dst="doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    out = base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") > 0, F.expr("(3 * n_triangles * 1000000) div n_wedges"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("transitivity_ppm"),
+    )
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
+    return out
+
+
+SQL_CLUSTERING_COEFF = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh
+  FROM t WHERE len(w) >= 2
+), p AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM d
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS co
+    FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5) AS BIGINT) >= 300000
+), deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+  ) GROUP BY 1
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(degree) // 2 AS BIGINT) AS n_edges,
+         CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST(CASE WHEN n_wedges > 0
+                 THEN (3 * n_triangles * 1000000) // n_wedges
+                 ELSE 0 END AS BIGINT) AS transitivity_ppm
+FROM base CROSS JOIN tri
+"""
+
+
 def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-observation-carried-forward imputation: sensor-style gaps
     (every 7th event's value nulled deterministically) forward-filled
@@ -7406,6 +7495,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "clustering_coeff": q_clustering_coeff,
     "theta_audience": q_theta_audience,
     "dsir_weights": q_dsir_weights,
     "quantile_bins": q_quantile_bins,
@@ -7596,6 +7686,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quantile_bins": SQL_QUANTILE_BINS,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,

@@ -31,6 +31,9 @@ CROSS_JOIN_OK = {
     # (type_a < type_b) — a broadcast nested-loop over k rows of
     # fixed-size sketches, never over data-scale rows
     "theta_audience",
+    # deliberate 1-row × 1-row summary join (degree aggregate ×
+    # triangle count)
+    "clustering_coeff",
 }
 
 

@@ -27,6 +27,11 @@ SHUFFLE_BUDGET = {
     # sides (the broadcast subtree doesn't reuse under this fixture's
     # session); runtime ReuseExchange collapses them to one
     "theta_audience": 2,
+    # near_dup_triangles' static shape (persisted-but-unmaterialized
+    # edge lineage renders at full depth under every role) + the
+    # degree/wedge aggregate lineage; runtime reuses the one persisted
+    # edge frame
+    "clustering_coeff": 105,
     # one token pass → bucket census (1) + its single-partition totals
     # (1), (doc,bucket) counts (1), final per-doc rollup (1); the
     # census lineage renders statically under both the broadcast-ratio
