@@ -417,3 +417,83 @@ def k_core(
         f"k_core did not converge in {max_iter} peel rounds — "
         "adversarially chained graph; use an epoch-batched peel"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    n_iter: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list: h(p) = Σ_{p→q} a(q), a(q) = Σ_{p→q} h(p), L2-normalized each
+    half-step — the link-analysis complement to :func:`pagerank`
+    (which ranks by stationary visitation, not by the hub/authority
+    duality a bipartite interaction graph actually has).
+
+    Shape per iteration: two (edges ⋈ scores) joins + two
+    map-side-combinable groupBy sums on 8-byte node ids, with lineage
+    cut per half-step by eager localCheckpoints (the
+    ``connected_components`` discipline). The L2 norm rides a 1-ROW
+    broadcast crossJoin — no driver collect, no scalar-subquery
+    re-render of the score lineage. Driver state: none.
+
+    Float caveat: iterative double sums are reduce-order dependent, so
+    scores are rows-only at the oracle gate; tests/test_graph.py pins
+    planted-structure recovery (the universal item is the top
+    authority, the omnivorous buyer the top hub) and the L2 invariant.
+
+    Returns (node, hub_micro, auth_micro) — floor-scaled micro units;
+    a node id appearing only as a source has auth_micro = 0 and vice
+    versa. Hub/authority coupling flows ONLY through edges, so shared
+    id spaces on a bipartite graph (customer ids vs supplier ids) stay
+    role-separated without re-keying.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub_nodes = e.select("u").distinct()
+    h = hub_nodes.withColumn("h", F.lit(1.0)).localCheckpoint()
+    a = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(h, "u")
+            .groupBy("v")
+            .agg(F.sum("h").alias("s"))
+        )
+        a_nrm = a_raw.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
+        )
+        a = (
+            a_raw.crossJoin(F.broadcast(a_nrm))
+            .select("v", (F.col("s") / F.col("nrm")).alias("a"))
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(a, "v")
+            .groupBy("u")
+            .agg(F.sum("a").alias("s"))
+        )
+        h_nrm = h_raw.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
+        )
+        h = (
+            h_raw.crossJoin(F.broadcast(h_nrm))
+            .select("u", (F.col("s") / F.col("nrm")).alias("h"))
+            .localCheckpoint()
+        )
+    return (
+        h.select(F.col("u").alias("node"), "h")
+        .join(a.select(F.col("v").alias("node"), "a"), "node", "full")
+        .select(
+            "node",
+            F.floor(F.coalesce(F.col("h"), F.lit(0.0)) * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("hub_micro"),
+            F.floor(F.coalesce(F.col("a"), F.lit(0.0)) * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("auth_micro"),
+        )
+    )

@@ -4886,6 +4886,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the customer→supplier purchase graph (edges =
+    distinct (o_custkey, l_suppkey) via the order join): hub score =
+    customers whose purchases concentrate on well-sourced suppliers,
+    authority = suppliers bought by the strongest hubs — the
+    link-analysis duality a bipartite interaction graph has that
+    PageRank's single stationary score flattens. 8 L2-normalized
+    power-iteration rounds (operators/graph.hits: per-round
+    checkpoints, 1-row broadcast norms, no driver state). ROWS-ONLY:
+    iterative double sums are reduce-order dependent; the pytest
+    oracle plants a universal supplier + an omnivorous buyer and pins
+    their top ranks (tests/test_graph.py)."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v")
+    )
+    return G.hits(edges, src="u", dst="v", n_iter=8)
+
+
 def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-row median of order totals per customer — the
     robust-smoothing counterpart of moving_avg (a median shrugs off
@@ -7495,6 +7519,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "purchase_hits": q_purchase_hits,
     "clustering_coeff": q_clustering_coeff,
     "theta_audience": q_theta_audience,
     "dsir_weights": q_dsir_weights,

@@ -109,3 +109,42 @@ def test_k_core_peels_periphery(spark):
     # k above the densest core -> empty, schema intact
     empty = k_core(df, k=4)
     assert empty.count() == 0 and empty.columns == ["node", "core_degree"]
+
+
+def test_hits_recovers_planted_hub_and_authority(spark):
+    from census_asc5_data_pipeline_spark.operators.graph import hits
+
+    # bipartite purchase graph: buyers 1..6 → items 101..105.
+    # item 101 is bought by EVERY buyer (planted authority); buyer 1
+    # buys EVERY item (planted hub); the rest each buy {101, one other}.
+    edges = [(b, 101) for b in range(1, 7)]
+    edges += [(1, i) for i in range(101, 106)]
+    edges += [(2, 102), (3, 103), (4, 104), (5, 105), (6, 102)]
+    got = hits(_edges(spark, edges), src="src", dst="dst").collect()
+    hub = {r.node: r.hub_micro for r in got if r.hub_micro > 0}
+    auth = {r.node: r.auth_micro for r in got if r.auth_micro > 0}
+    assert max(hub, key=hub.get) == 1
+    assert max(auth, key=auth.get) == 101
+    # role separation: buyers carry no authority, items no hub score
+    assert set(hub) == set(range(1, 7))
+    assert set(auth) == set(range(101, 106))
+    # L2 invariant: normalized scores sum-of-squares ~ 1 per role
+    for scores in (hub, auth):
+        ss = sum((s / 1e6) ** 2 for s in scores.values())
+        assert abs(ss - 1.0) < 0.01
+
+
+def test_hits_duplicate_edges_do_not_double_weight(spark):
+    from census_asc5_data_pipeline_spark.operators.graph import hits
+
+    base = [(1, 101), (1, 102), (2, 101)]
+    dup = base + base + [(1, 101)]
+    a = sorted(
+        (r.node, r.hub_micro, r.auth_micro)
+        for r in hits(_edges(spark, base), src="src", dst="dst").collect()
+    )
+    b = sorted(
+        (r.node, r.hub_micro, r.auth_micro)
+        for r in hits(_edges(spark, dup), src="src", dst="dst").collect()
+    )
+    assert a == b

@@ -32,6 +32,9 @@ SHUFFLE_BUDGET = {
     # degree/wedge aggregate lineage; runtime reuses the one persisted
     # edge frame
     "clustering_coeff": 105,
+    # iteration lineage is cut by eager localCheckpoints; the static
+    # plan is the final hub/authority full-join's two scan sides
+    "purchase_hits": 2,
     # one token pass → bucket census (1) + its single-partition totals
     # (1), (doc,bucket) counts (1), final per-doc rollup (1); the
     # census lineage renders statically under both the broadcast-ratio
