@@ -139,3 +139,109 @@ def pruned_read(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
     return out, len(files), total
+
+
+# --- Bloom file index: point-lookup pruning where zone maps can't ---
+
+
+def bloom_index_path(table_path: str) -> str:
+    return os.path.join(table_path, "_bloom_index")
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    n_bits: int = 1 << 16,
+) -> DataFrame:
+    """Per-file Bloom membership index for ``col`` — the pruning
+    complement to the zone map: a high-cardinality key UNSORTED across
+    files has every file's [min, max] spanning the whole domain, so
+    the zone index prunes nothing, while a point lookup needs exactly
+    the files whose SET of keys contains the probe.
+
+    The filter is k=2 seeded-``xxhash64`` bit positions modulo
+    ``n_bits``, stored as the per-file sorted set of SET positions
+    (map-side-combinable ``collect_set`` union — one distributed pass,
+    O(files) rows out, each bounded by min(2·distinct, n_bits)
+    integers). A probe key matches a file only if BOTH its positions
+    are present: false-positive rate ~ (2·n_distinct/n_bits)², false
+    negatives impossible — the pruning contract. xxhash64 is
+    TYPE-sensitive, so values are cast to BIGINT on build and probe
+    both (the bloom_semi_join lesson).
+
+    Positions-as-array trades the packed bitset's constant size for
+    zero serialization code; size the index with ``n_bits`` ≈ 20× the
+    expected per-file distinct count. At saturation the index stops
+    pruning but never lies.
+    """
+    df = spark.read.parquet(table_path)
+    c = F.col(col).cast("bigint")
+    pos = F.array(
+        F.pmod(F.xxhash64(F.lit(1), c), F.lit(n_bits)),
+        F.pmod(F.xxhash64(F.lit(2), c), F.lit(n_bits)),
+    )
+    idx = (
+        df.select(F.input_file_name().alias("file"), F.explode(pos).alias("p"))
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+        .withColumn("indexed_col", F.lit(col))
+        .withColumn("n_bits", F.lit(n_bits))
+    )
+    idx.write.mode("overwrite").parquet(bloom_index_path(table_path))
+    return spark.read.parquet(bloom_index_path(table_path))
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+) -> tuple[DataFrame, int, int]:
+    """Read only files whose Bloom filter might contain ``value``,
+    then apply the exact equality predicate. Returns (frame,
+    n_files_selected, n_files_total) with the same correctness
+    contract as :func:`pruned_read`: ``col`` is validated against the
+    stamp (ValueError on mismatch), unindexed files are read UNPRUNED
+    and unioned in, and Bloom false positives only over-select — the
+    exact filter on top makes the result equal the full-scan filter
+    under all conditions.
+
+    Membership evaluation runs IN SPARK over the index parquet (the
+    per-file bit arrays never ship to the driver); only the matching
+    file names — O(selected) strings — come back to plan the scan.
+    """
+    idxdf = spark.read.parquet(bloom_index_path(table_path))
+    head = idxdf.select("indexed_col", "n_bits").first()
+    if head is not None and head["indexed_col"] != col:
+        raise ValueError(
+            f"bloom index at {bloom_index_path(table_path)!r} was built "
+            f"on column {head['indexed_col']!r}, cannot prune on "
+            f"{col!r} — rebuild with build_bloom_index(col)"
+        )
+    v = F.lit(value).cast("bigint")
+    hit_rows = (
+        idxdf.filter(
+            F.array_contains(
+                "bits", F.pmod(F.xxhash64(F.lit(1), v), F.col("n_bits"))
+            )
+            & F.array_contains(
+                "bits", F.pmod(F.xxhash64(F.lit(2), v), F.col("n_bits"))
+            )
+        )
+        .select("file")
+        .collect()
+    )
+    indexed = {
+        _local_path(r["file"]) for r in idxdf.select("file").collect()
+    }
+    hits = [_local_path(r["file"]) for r in hit_rows]
+    on_disk = _data_files(table_path)
+    unindexed = [f for f in on_disk if f not in indexed]
+    files = hits + unindexed  # staleness guard: unknown files never skip
+    total = len(indexed) + len(unindexed)
+    if not files:
+        empty = spark.read.parquet(table_path).filter(F.lit(False))
+        return empty, 0, total
+    out = spark.read.parquet(*files).filter(F.col(col) == value)
+    return out, len(files), total

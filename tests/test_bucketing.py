@@ -192,3 +192,67 @@ def test_zone_index_stale_files_still_read(spark, tmp_path):
     assert got == want  # includes the appended duplicates
     assert total > 4  # the appended files are counted
     assert picked < total  # out-of-range indexed files still pruned
+
+
+def test_bloom_index_point_lookup_prunes_and_preserves_results(
+    spark, tmp_path
+):
+    """A high-cardinality key HASH-scattered across files defeats the
+    zone map (every file's [min,max] spans the domain) but the Bloom
+    index must still prune a point lookup to ~1 file and return
+    exactly the full-scan equality result."""
+    from census_asc5_data_pipeline_spark.sources.stats_index import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "bt")
+    # keys scattered by hash -> 8 files with interleaved ranges
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    df.repartition(8, "k").write.parquet(path)
+    idx = build_bloom_index(spark, path, "k")
+    assert idx.count() == 8
+    out, picked, total = bloom_pruned_read(spark, path, "k", 4242)
+    assert total == 8
+    # the true file plus possible bloom false positives; at n_bits
+    # 65536 vs ~1000 distinct per file the fp term is ~0.1%
+    assert picked <= 2
+    got = [(r.k, r.v) for r in out.collect()]
+    assert got == [(4242, 4242 * 3)]
+    # absent key: bloom may select 0 files; result must be empty and
+    # schema-stable either way
+    empty, p_absent, _ = bloom_pruned_read(spark, path, "k", 10**9)
+    assert empty.count() == 0
+    assert p_absent <= 1
+    assert empty.columns == ["k", "v"]
+
+
+def test_bloom_index_rejects_mismatch_and_reads_stale_unpruned(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    from census_asc5_data_pipeline_spark.sources.stats_index import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "bt2")
+    spark.range(0, 100).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(path)
+    build_bloom_index(spark, path, "k")
+    with _pytest.raises(ValueError, match="built\\s+on column"):
+        bloom_pruned_read(spark, path, "id", 5)
+    # append AFTER the build: the new file is unknown to the index and
+    # must be read unpruned — never silently skipped
+    spark.range(100, 200).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    out, picked, total = bloom_pruned_read(spark, path, "k", 150)
+    assert total == 2
+    assert [r.k for r in out.collect()] == [150]
