@@ -6940,6 +6940,106 @@ FROM d GROUP BY source
 """
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the ONE-ROW report to run before
+    keying a 100 TB shuffle on a column: group-size count / max /
+    exact median & p99 (×2 integer pattern), hottest-key share, and
+    the Gini coefficient of key load (0 = uniform, →1 = one key owns
+    the table), here over orders.o_custkey. Gini comes from the
+    DISTINCT-SIZE census, not a global rank: sizes collapse to few
+    distinct values, each size's keys contribute
+    s·(m·base + m(m+1)/2) with base = keys of smaller sizes — a
+    window over the tiny census frame, tie-invariant and exact in
+    BIGINTs, where a row_number over all keys would be a single-
+    partition sort of the full key set. Two 1-row summaries join by
+    broadcast."""
+    sizes = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.floor(F.median("n") * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("median_n_x2"),
+        F.floor(F.percentile("n", 0.99) * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("p99_n_x2"),
+    )
+    census = sizes.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    base = F.coalesce(
+        F.sum("m").over(
+            Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    gini_in = census.select(
+        (
+            F.col("n")
+            * (
+                F.col("m") * base
+                + F.expr("m * (m + 1) div 2")
+            )
+        )
+        .cast("bigint")
+        .alias("rn")
+    ).agg(F.sum("rn").cast("bigint").alias("rn_sum"))
+    return (
+        stats.crossJoin(F.broadcast(gini_in))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_n",
+            "median_n_x2",
+            "p99_n_x2",
+            F.expr("(max_n * 1000000) div n_rows").alias("top1_ppm"),
+            (
+                F.expr("(2000000 * rn_sum) div (n_keys * n_rows)")
+                - F.expr("(1000000 * (n_keys + 1)) div n_keys")
+            )
+            .cast("bigint")
+            .alias("gini_ppm"),
+        )
+    )
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH sizes AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_n,
+         CAST(FLOOR(median(n) * 2 + 0.5) AS BIGINT) AS median_n_x2,
+         CAST(FLOOR(quantile_cont(n, 0.99) * 2 + 0.5) AS BIGINT) AS p99_n_x2
+  FROM sizes
+), census AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS m FROM sizes GROUP BY 1
+), gini_in AS (
+  SELECT CAST(SUM(
+           n * (m * base + (m * (m + 1)) // 2)
+         ) AS BIGINT) AS rn_sum
+  FROM (
+    SELECT n, m,
+           CAST(COALESCE(SUM(m) OVER (
+             ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS base
+    FROM census
+  )
+)
+SELECT n_keys, n_rows, max_n, median_n_x2, p99_n_x2,
+       CAST((max_n * 1000000) // n_rows AS BIGINT) AS top1_ppm,
+       CAST((2000000 * rn_sum) // (n_keys * n_rows)
+            - (1000000 * (n_keys + 1)) // n_keys AS BIGINT) AS gini_ppm
+FROM stats CROSS JOIN gini_in
+"""
+
+
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration (Herfindahl) index per part type: each
     brand's revenue share in ppm (exact integer floor division of
@@ -7519,6 +7619,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "key_skew_report": q_key_skew_report,
     "purchase_hits": q_purchase_hits,
     "clustering_coeff": q_clustering_coeff,
     "theta_audience": q_theta_audience,
@@ -7711,6 +7812,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "key_skew_report": SQL_KEY_SKEW_REPORT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quantile_bins": SQL_QUANTILE_BINS,

@@ -34,6 +34,8 @@ CROSS_JOIN_OK = {
     # deliberate 1-row × 1-row summary join (degree aggregate ×
     # triangle count)
     "clustering_coeff",
+    # deliberate 1-row × 1-row summary join (size stats × gini sum)
+    "key_skew_report",
 }
 
 

@@ -19,6 +19,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # (near_dup_triangles, dedup_ngram_jaccard, fuzzy_match), then the
 # round-5 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
+    "key_skew_report",
     "purchase_hits",
     "clustering_coeff",
     "theta_audience",
@@ -68,7 +69,6 @@ PINNED_FIRST_50 = [
     "mad_outliers",
     "interp_fill",
     "item_affinity",
-    "similar_docs_topk",
 ]
 
 

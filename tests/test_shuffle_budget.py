@@ -35,6 +35,10 @@ SHUFFLE_BUDGET = {
     # iteration lineage is cut by eager localCheckpoints; the static
     # plan is the final hub/authority full-join's two scan sides
     "purchase_hits": 2,
+    # size groupBy renders under both 1-row summary sides (no static
+    # reuse), + the distinct-size census groupBy and its tiny
+    # single-partition window
+    "key_skew_report": 6,
     # one token pass → bucket census (1) + its single-partition totals
     # (1), (doc,bucket) counts (1), final per-doc rollup (1); the
     # census lineage renders statically under both the broadcast-ratio
