@@ -211,6 +211,41 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     return events.join(F.broadcast(dim), key, "left")
 
 
+def enrich_as_of(
+    events: DataFrame,
+    dim_history: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Stream-static TEMPORAL join: enrich each event with the
+    dimension version valid AT ITS EVENT TIME — ``[valid_from,
+    valid_to)`` interval semantics over an SCD2 history (the streaming
+    face of the batch ``scd2_from_snapshots`` + ``read_as_of`` pair).
+    ``enrich_with_dim`` answers "what is this user NOW"; replayed or
+    late events need "what was this user THEN", or a backfill rewrites
+    history with today's attributes.
+
+    Version resolution is a pure per-row predicate on the broadcast
+    static side — no streaming state, no watermark, and late data is
+    correct BY CONSTRUCTION rather than by state-retention tuning. An
+    open current version (``valid_to IS NULL``) matches everything
+    from its ``valid_from`` on; events before the key's first version
+    (or unknown keys) keep NULL attributes under the left join."""
+    cond = (
+        (events[key] == dim_history[key])
+        & (events[ts_col] >= dim_history[valid_from])
+        & (
+            dim_history[valid_to].isNull()
+            | (events[ts_col] < dim_history[valid_to])
+        )
+    )
+    return events.join(F.broadcast(dim_history), cond, "left").drop(
+        dim_history[key]
+    )
+
+
 def purchase_attribution(
     events: DataFrame, watermark: str = "2 hours", attribution_window: str = "1 hour"
 ) -> DataFrame:

@@ -939,3 +939,49 @@ def test_stream_mix_drift_matches_python_psi(spark, event_dir, tmp_path):
     q2.stop()
     drifts = [r.psi_nano for r in spark.read.parquet(out2).collect()]
     assert drifts and all(d > 200_000_000 for d in drifts)  # PSI >> 0.2
+
+
+def test_enrich_as_of_resolves_version_at_event_time(spark, tmp_path):
+    """Each event must pick up the SCD2 version valid at ITS event
+    time, not the current version: user 1 changes tier at t0+100s, so
+    events straddling the boundary resolve to different tiers; an
+    unknown user keeps NULL attributes under the left join."""
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        enrich_as_of,
+        read_event_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=50), 1, "e", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=150), 1, "e", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=150), 2, "e", 1.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=150), 99, "e", 1.0, "{}"),  # unknown
+        (5, t0 - dt.timedelta(seconds=10), 1, "e", 1.0, "{}"),  # pre-history
+    ]
+    src = str(tmp_path / "asof_ev")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", t0, t0 + dt.timedelta(seconds=100)),
+            (1, "gold", t0 + dt.timedelta(seconds=100), None),
+            (2, "silver", t0, None),
+        ],
+        "user_id LONG, tier STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    out = enrich_as_of(read_event_stream(spark, src), hist)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_id: r.tier for r in spark.sql("SELECT * FROM asof_out").collect()
+    }
+    assert got == {1: "bronze", 2: "gold", 3: "silver", 4: None, 5: None}
