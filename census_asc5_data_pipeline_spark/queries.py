@@ -4960,6 +4960,109 @@ FROM f
 """
 
 
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 20-event DISTINCT event-type count per user — the
+    behavioral-diversity window (1 = a bot hammering one action, high
+    = exploratory session). Spark has no COUNT(DISTINCT) OVER — the
+    engine supplies the missing window aggregate as
+    ``size(collect_set() OVER ...)``: set semantics make the result
+    permutation-invariant within the frame, so it is hash-exact
+    against DuckDB's native DISTINCT window aggregate. The collected
+    set is bounded by min(frame, |event types|) — O(1) per row here —
+    and the only shuffle is the per-user window sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_ms("ts").alias("ts_ms"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("distinct_types_20"),
+    )
+
+
+SQL_ROLLING_DISTINCT = """
+SELECT user_id, event_id,
+       CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       CAST(COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_types_20
+FROM events
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — "the
+    price of the median ITEM sold", where the unweighted median of
+    line rows over-weights small orders (the classic weighted-median
+    correction). Exact and distribution-safe: cumulative weight via a
+    RANGE window (ties share one cumulative value — permutation-
+    invariant, so the result is hash-exact without a total order),
+    then the weighted lower median is MIN(price | 2·cum >= total) in
+    one group aggregate. No sort-free shortcut exists for an exact
+    weighted median; the RANGE window IS the minimal global work, and
+    it parallelizes per group."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price_c",
+        "w",
+        F.sum("w").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("w").over(w_tot).cast("bigint").alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("tw").cast("bigint").alias("total_qty"),
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price_c"))
+        ).alias("wmedian_price_c"),
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, price_c, w,
+         CAST(SUM(w) OVER (
+           PARTITION BY l_returnflag ORDER BY price_c
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM li
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(tw) AS BIGINT) AS total_qty,
+       MIN(CASE WHEN cw * 2 >= tw THEN price_c END) AS wmedian_price_c
+FROM cum GROUP BY 1
+"""
+
+
 def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user modal event type (most frequent, lexicographic-smallest
     tie-break) with its count — deterministic mode, built from a
@@ -7619,6 +7722,8 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "rolling_distinct": q_rolling_distinct,
+    "weighted_median": q_weighted_median,
     "key_skew_report": q_key_skew_report,
     "purchase_hits": q_purchase_hits,
     "clustering_coeff": q_clustering_coeff,
@@ -7812,6 +7917,8 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "rolling_distinct": SQL_ROLLING_DISTINCT,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
     "key_skew_report": SQL_KEY_SKEW_REPORT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "dsir_weights": SQL_DSIR_WEIGHTS,

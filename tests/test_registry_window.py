@@ -19,6 +19,8 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # (near_dup_triangles, dedup_ngram_jaccard, fuzzy_match), then the
 # round-5 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
+    "rolling_distinct",
+    "weighted_median",
     "key_skew_report",
     "purchase_hits",
     "clustering_coeff",
@@ -67,8 +69,6 @@ PINNED_FIRST_50 = [
     "embedding_kmeans",
     "hll_rollup",
     "mad_outliers",
-    "interp_fill",
-    "item_affinity",
 ]
 
 

@@ -39,6 +39,11 @@ SHUFFLE_BUDGET = {
     # reuse), + the distinct-size census groupBy and its tiny
     # single-partition window
     "key_skew_report": 6,
+    # one per-user window sort
+    "rolling_distinct": 1,
+    # one l_returnflag partition shuffle shared by both windows and
+    # the final group aggregate
+    "weighted_median": 1,
     # one token pass → bucket census (1) + its single-partition totals
     # (1), (doc,bucket) counts (1), final per-doc rollup (1); the
     # census lineage renders statically under both the broadcast-ratio
