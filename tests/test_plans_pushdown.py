@@ -87,3 +87,36 @@ def test_fact_join_prunes_and_pushes(spark):
     # measure views aggregate BEFORE the fact join (partial agg exists)
     assert "HashAggregate" in plan
     assert "o_comment" not in plan  # never reads wide string cols
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, tmp_path
+):
+    """A fact partitioned on the join key, joined to a FILTERED dim,
+    must carry a dynamicpruning expression in its PartitionFilters —
+    the plan feature that turns a 100 TB full-fact scan into a scan of
+    the dim-selected partitions at runtime. Pin both the plan shape
+    and the result."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fact_part")
+    (
+        spark.range(0, 10_000)
+        .select(
+            F.col("id"), (F.col("id") % 10).alias("part_k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .write.partitionBy("part_k")
+        .parquet(path)
+    )
+    dim = (
+        spark.range(0, 10)
+        .select(F.col("id").alias("part_k"), F.concat(F.lit("n"), "id").alias("nm"))
+        .filter(F.col("part_k") == 3)
+    )
+    fact = spark.read.parquet(path)
+    joined = fact.join(dim, "part_k").select("part_k", "id", "v", "nm")
+    plan = _formatted_plan(spark, joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = joined.count()
+    assert got == 1000  # exactly partition 3's rows survive
