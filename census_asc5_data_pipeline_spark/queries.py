@@ -634,6 +634,48 @@ FROM (
 """
 
 
+def q_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT lane:
+    ``parse_json`` decodes each props payload ONCE into the binary
+    variant encoding, then every field access is a typed
+    ``variant_get`` path lookup — where `events_json`'s
+    get_json_object re-parses the JSON STRING on every access (the
+    difference that matters when a ragged payload is probed for many
+    fields over 100 TB). Profile per event type: payload count,
+    payloads carrying $.k, exact k sum, odd-k count — all BIGINT so
+    the DuckDB JSON oracle hashes identically."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_odd_k"),
+        )
+    )
+
+
+SQL_VARIANT_PROFILE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) GROUP BY 1
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window aggregate (batch twin of the
     streaming pipeline)."""
@@ -7722,6 +7764,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "variant_profile": q_variant_profile,
     "rolling_distinct": q_rolling_distinct,
     "weighted_median": q_weighted_median,
     "key_skew_report": q_key_skew_report,
@@ -7917,6 +7960,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "variant_profile": SQL_VARIANT_PROFILE,
     "rolling_distinct": SQL_ROLLING_DISTINCT,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "key_skew_report": SQL_KEY_SKEW_REPORT,

@@ -41,6 +41,8 @@ SHUFFLE_BUDGET = {
     "key_skew_report": 6,
     # one per-user window sort
     "rolling_distinct": 1,
+    # parse_json once, one keyed aggregate
+    "variant_profile": 1,
     # one l_returnflag partition shuffle shared by both windows and
     # the final group aggregate
     "weighted_median": 1,
