@@ -1037,3 +1037,66 @@ def stream_mix_drift(
         .foreachBatch(sink)
         .start()
     )
+
+
+def stream_user_activity(events: DataFrame) -> DataFrame:
+    """Per-user lifetime activity counter on Spark 4's
+    ``transformWithStateInPandas`` — the NEW arbitrary-state API
+    (typed ValueState handles, timer support, state-store-backed)
+    that succeeds ``applyInPandasWithState``'s single-tuple state.
+    The engine exercises BOTH: the sessionizer keeps the legacy API
+    (interval-merge semantics port 1:1), and this op pins the new
+    one — a running (n_events, last_seen_ms) per user, state read +
+    update once per key per batch, emitted in Update mode.
+
+    State is O(1) per user (two longs) and Arrow-batched per key —
+    the 100 TB shape for billions of keys. Requires the RocksDB state
+    store provider AND the ``protobuf`` package (the TWS state-server
+    wire protocol); this container ships neither protobuf nor pip, so
+    tests/test_streaming.py skips the runtime drive when protobuf is
+    absent and pins construction (unresolved plan) only — on a real
+    cluster the same test runs end-to-end. The applyInPandasWithState
+    sessionizer above remains the fully-tested stateful path here."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "acc", "n BIGINT, last_ms BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            last = 0
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    last = max(last, int(pdf["ts_ms"].max()))
+            if self._state.exists():
+                prev = self._state.get()
+                n += int(prev[0])
+                last = max(last, int(prev[1]))
+            self._state.update((n, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "last_ms": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events.select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType="user_id BIGINT, n_events BIGINT, last_ms BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -985,3 +985,110 @@ def test_enrich_as_of_resolves_version_at_event_time(spark, tmp_path):
         r.event_id: r.tier for r in spark.sql("SELECT * FROM asof_out").collect()
     }
     assert got == {1: "bronze", 2: "gold", 3: "silver", 4: None, 5: None}
+
+
+_HAVE_PROTOBUF = True
+try:  # the TWS state-server wire protocol needs protobuf
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+except ImportError:
+    _HAVE_PROTOBUF = False
+
+
+def test_stream_user_activity_builds_unresolved_plan(spark):
+    """Construction-time pin (runs everywhere): the new-API operator
+    must assemble a TransformWithStateInPySpark streaming plan over
+    the expected output schema."""
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_user_activity,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        out = stream_user_activity(read_event_stream(spark, d))
+        assert out.isStreaming
+        assert out.columns == ["user_id", "n_events", "last_ms"]
+
+
+@pytest.mark.skipif(
+    not _HAVE_PROTOBUF,
+    reason="transformWithState state server requires protobuf "
+    "(absent in this container; runs on a real cluster)",
+)
+def test_stream_user_activity_state_survives_batches(spark, tmp_path):
+    """transformWithStateInPandas: the per-user counter must ACCUMULATE
+    across micro-batches through the state store — batch 2's emission
+    reflects batch 1's events, and last_ms is the max over both."""
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stream_user_activity,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = [
+        (i, t0 + dt.timedelta(seconds=i), i % 3, "e", 1.0, "{}")
+        for i in range(30)
+    ]
+    b2 = [
+        (100 + i, t0 + dt.timedelta(seconds=600 + i), i % 3, "e", 1.0, "{}")
+        for i in range(15)
+    ]
+    src = str(tmp_path / "twspi_ev")
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # transformWithState requires the RocksDB state store provider
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stream_user_activity(
+                read_event_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("twspi_out")
+            .option("checkpointLocation", str(tmp_path / "twspi_ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # memory sink in update mode appends each emission; the LAST
+    # emission per user is the accumulated total
+    rows = spark.sql("SELECT * FROM twspi_out").collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.last_ms)
+    want_n = {u: sum(1 for x in b1 + b2 if x[2] == u) for u in (0, 1, 2)}
+    all_ms = {
+        u: max(
+            int(x[1].replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            for x in b1 + b2
+            if x[2] == u
+        )
+        for u in (0, 1, 2)
+    }
+    for u in (0, 1, 2):
+        n, last = final[u]
+        assert n == want_n[u], (u, n, want_n[u])
+        assert last == all_ms[u]
+    # cross-batch proof: some user must have emitted an intermediate
+    # (smaller) count before the final one
+    assert any(
+        r.n_events < final[r.user_id][0] for r in rows
+    ), "expected per-batch intermediate emissions"
