@@ -2210,6 +2210,89 @@ FROM d
 """
 
 
+def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure census — the privacy-audit rollup run
+    BEFORE a corpus release decides which sources need the redact pass
+    (pii_redact scrubs per-doc; this answers "where is the exposure
+    concentrated"). PII is planted deterministically on doc_id
+    residues (the synthetic corpus carries none — same fixture
+    discipline as the pii_redact oracle), counted with the identical
+    RE2-portable patterns, and rolled up per source: docs, docs with
+    any hit, per-type totals. One scan, one map-side-combinable
+    aggregate; exact BIGINTs."""
+    from census_asc5_data_pipeline_spark.operators.text import (
+        PII_EMAIL,
+        PII_PHONE,
+        PII_SSN,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit(" call 555-123-4567"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(t, F.lit(" ssn 987-65-4321"))
+    ).otherwise(t)
+    per = docs.select(
+        "source",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("e"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("p"),
+        F.regexp_count(t, F.lit(PII_SSN)).cast("bigint").alias("s"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("e") + F.col("p") + F.col("s") > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+        F.sum("s").cast("bigint").alias("n_ssns"),
+    )
+
+
+SQL_PII_CENSUS = """
+WITH planted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' reach user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 987-65-4321' ELSE '' END
+           AS t
+  FROM documents
+), per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+         CAST(len(regexp_extract_all(t,
+           '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS BIGINT) AS p,
+         CAST(len(regexp_extract_all(t,
+           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS s
+  FROM planted
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e + p + s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(SUM(e) AS BIGINT) AS n_emails,
+       CAST(SUM(p) AS BIGINT) AS n_phones,
+       CAST(SUM(s) AS BIGINT) AS n_ssns
+FROM per GROUP BY 1
+"""
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by salted md5 of the
     doc id — per-split doc counts and char volume."""
@@ -7764,6 +7847,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "pii_census": q_pii_census,
     "variant_profile": q_variant_profile,
     "rolling_distinct": q_rolling_distinct,
     "weighted_median": q_weighted_median,
@@ -7960,6 +8044,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "pii_census": SQL_PII_CENSUS,
     "variant_profile": SQL_VARIANT_PROFILE,
     "rolling_distinct": SQL_ROLLING_DISTINCT,
     "weighted_median": SQL_WEIGHTED_MEDIAN,

@@ -43,6 +43,8 @@ SHUFFLE_BUDGET = {
     "rolling_distinct": 1,
     # parse_json once, one keyed aggregate
     "variant_profile": 1,
+    # one scan + one keyed aggregate
+    "pii_census": 1,
     # one l_returnflag partition shuffle shared by both windows and
     # the final group aggregate
     "weighted_median": 1,
