@@ -66,27 +66,47 @@ def _data_files(table_path: str) -> list[str]:
 
 
 def build_stats_index(
-    spark: SparkSession, table_path: str, col: str
+    spark: SparkSession, table_path: str, cols: str | list[str]
 ) -> DataFrame:
-    """Build/refresh the per-file min/max index for ``col``.
-
-    Reads the data files (one distributed pass), never the index dir.
-    The indexed column name travels in the index itself so a reader
-    can never prune on stats for a different column.
+    """Build/refresh the per-file min/max index for one or MORE
+    columns — all columns' stats come from ONE distributed pass over
+    the data files (never the index dir), then land in one index
+    subdirectory per column (``_zone_index/<col>/``): per-column
+    storage keeps each column's min/max in its NATIVE type (a shared
+    long-format table would force lossy type unification between, say,
+    BIGINT and VARCHAR zones). The indexed column name additionally
+    travels inside each subdir so a reader can never prune on stats
+    for a different column. Returns the index frame for the first
+    column (single-column callers see the old contract unchanged).
     """
+    col_list = [cols] if isinstance(cols, str) else list(cols)
     df = spark.read.parquet(table_path)
-    idx = (
-        df.select(F.input_file_name().alias("file"), F.col(col).alias("c"))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in col_list:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    wide = (
+        df.select(F.input_file_name().alias("file"), *col_list)
         .groupBy("file")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("c").alias("min_v"),
-            F.max("c").alias("max_v"),
-        )
-        .withColumn("indexed_col", F.lit(col))
+        .agg(*aggs)
     )
-    idx.write.mode("overwrite").parquet(index_path(table_path))
-    return spark.read.parquet(index_path(table_path))
+    # one small O(files) frame per column — driver loops over columns,
+    # never over files
+    for c in col_list:
+        (
+            wide.select(
+                "file",
+                "n_rows",
+                F.col(f"__min_{c}").alias("min_v"),
+                F.col(f"__max_{c}").alias("max_v"),
+                F.lit(c).alias("indexed_col"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_path(table_path), c))
+        )
+    return spark.read.parquet(
+        os.path.join(index_path(table_path), col_list[0])
+    )
 
 
 def pruned_read(
@@ -110,18 +130,29 @@ def pruned_read(
     explicit multi-path load, so task planning touches only the
     selected files.
     """
-    idx = spark.read.parquet(index_path(table_path)).collect()
-    if idx and "indexed_col" not in idx[0].asDict():
-        raise ValueError(
-            f"zone index at {index_path(table_path)!r} predates the "
-            "indexed_col stamp — rebuild with build_stats_index before "
-            "pruning (an unverifiable index must not skip files)"
+    base = index_path(table_path)
+    col_dir = os.path.join(base, col)
+    if not os.path.isdir(col_dir):
+        built = sorted(
+            d
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if not d.startswith(("_", "."))
+            and os.path.isdir(os.path.join(base, d))
         )
+        if len(built) == 1:
+            built_desc = f"column {built[0]!r}"
+        else:
+            built_desc = f"columns {built!r}"
+        raise ValueError(
+            f"zone index at {base!r} was built on {built_desc}, cannot "
+            f"prune on {col!r} — rebuild with build_stats_index "
+            "including it (stats for another column must never prune)"
+        )
+    idx = spark.read.parquet(col_dir).collect()
     if idx and idx[0]["indexed_col"] != col:
         raise ValueError(
-            f"zone index at {index_path(table_path)!r} was built on "
-            f"column {idx[0]['indexed_col']!r}, cannot prune on {col!r} "
-            "— rebuild with build_stats_index(col)"
+            f"zone index subdir {col_dir!r} carries a stamp for "
+            f"{idx[0]['indexed_col']!r} — index dir corrupted, rebuild"
         )
     indexed = {_local_path(r["file"]): r for r in idx}
     on_disk = _data_files(table_path)

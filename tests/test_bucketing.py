@@ -256,3 +256,34 @@ def test_bloom_index_rejects_mismatch_and_reads_stale_unpruned(
     out, picked, total = bloom_pruned_read(spark, path, "k", 150)
     assert total == 2
     assert [r.k for r in out.collect()] == [150]
+
+
+def test_zone_index_multi_column_prunes_on_each(spark, tmp_path):
+    """A single build over TWO columns (one distributed pass) must
+    prune point/range reads on EITHER column, each against its
+    native-typed zones."""
+    from census_asc5_data_pipeline_spark.sources.stats_index import (
+        build_stats_index,
+        pruned_read,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "mt")
+    df = spark.range(0, 8000).withColumn("v", 20000 - F.col("id") * 2)
+    df.repartitionByRange(8, "id").write.parquet(path)
+    build_stats_index(spark, path, ["id", "v"])
+    out_id, picked_id, total = pruned_read(spark, path, "id", 1000, 1999)
+    assert total == 8 and picked_id < 8
+    assert out_id.count() == 1000
+    # v is anti-correlated with id: its zones are disjoint per file too
+    out_v, picked_v, _ = pruned_read(spark, path, "v", 4002, 6000)
+    assert picked_v < 8
+    want = spark.read.parquet(path).filter(
+        (F.col("v") >= 4002) & (F.col("v") <= 6000)
+    )
+    assert out_v.count() == want.count() > 0
+    # a column NOT in the build still refuses to prune
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot prune on 'nope'"):
+        pruned_read(spark, path, "nope", 0, 1)
