@@ -424,6 +424,7 @@ def hits(
     src: str = "u",
     dst: str = "v",
     n_iter: int = 8,
+    tol: float | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
     list: h(p) = Σ_{p→q} a(q), a(q) = Σ_{p→q} h(p), L2-normalized each
@@ -448,6 +449,13 @@ def hits(
     versa. Hub/authority coupling flows ONLY through edges, so shared
     id spaces on a bipartite graph (customer ids vs supplier ids) stay
     role-separated without re-keying.
+
+    ``tol``: convergence early-exit (the pagerank discipline) — stop
+    when the L1 hub-score delta of a round falls below ``tol``; the
+    probe is one 1-row aggregate joining two already-checkpointed
+    score frames, so it re-scans materialized RDDs, never lineage.
+    Power iteration on bipartite interaction graphs typically settles
+    in 3-5 rounds; ``n_iter`` stays the hard upper bound.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -479,11 +487,21 @@ def hits(
         h_nrm = h_raw.agg(
             F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
         )
+        h_prev = h
         h = (
             h_raw.crossJoin(F.broadcast(h_nrm))
             .select("u", (F.col("s") / F.col("nrm")).alias("h"))
             .localCheckpoint()
         )
+        if tol is not None:
+            delta = (
+                h_prev.select("u", F.col("h").alias("h_old"))
+                .join(h.select("u", F.col("h").alias("h_new")), "u")
+                .agg(F.sum(F.abs(F.col("h_new") - F.col("h_old"))).alias("d"))
+                .collect()[0][0]
+            )
+            if delta is not None and delta < tol:
+                break
     return (
         h.select(F.col("u").alias("node"), "h")
         .join(a.select(F.col("v").alias("node"), "a"), "node", "full")

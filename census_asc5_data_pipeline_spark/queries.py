@@ -5017,9 +5017,10 @@ def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers whose purchases concentrate on well-sourced suppliers,
     authority = suppliers bought by the strongest hubs — the
     link-analysis duality a bipartite interaction graph has that
-    PageRank's single stationary score flattens. 8 L2-normalized
-    power-iteration rounds (operators/graph.hits: per-round
-    checkpoints, 1-row broadcast norms, no driver state). ROWS-ONLY:
+    PageRank's single stationary score flattens. Up to 8 L2-normalized
+    power-iteration rounds with an L1-delta convergence early-exit
+    (operators/graph.hits: per-round checkpoints, 1-row broadcast
+    norms, 1-row delta probe — the pagerank discipline). ROWS-ONLY:
     iterative double sums are reduce-order dependent; the pytest
     oracle plants a universal supplier + an omnivorous buyer and pins
     their top ranks (tests/test_graph.py)."""
@@ -5032,7 +5033,7 @@ def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v")
     )
-    return G.hits(edges, src="u", dst="v", n_iter=8)
+    return G.hits(edges, src="u", dst="v", n_iter=8, tol=1e-6)
 
 
 def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:

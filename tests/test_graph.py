@@ -148,3 +148,25 @@ def test_hits_duplicate_edges_do_not_double_weight(spark):
         for r in hits(_edges(spark, dup), src="src", dst="dst").collect()
     )
     assert a == b
+
+
+def test_hits_early_exit_matches_full_iteration(spark):
+    from census_asc5_data_pipeline_spark.operators.graph import hits
+
+    edges = [(b, 101) for b in range(1, 7)]
+    edges += [(1, i) for i in range(101, 106)]
+    edges += [(2, 102), (3, 103), (4, 104), (5, 105), (6, 102)]
+    full = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in hits(_edges(spark, edges), src="src", dst="dst").collect()
+    }
+    early = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in hits(
+            _edges(spark, edges), src="src", dst="dst", tol=1e-7
+        ).collect()
+    }
+    assert set(full) == set(early)
+    for n in full:
+        assert abs(full[n][0] - early[n][0]) <= 5
+        assert abs(full[n][1] - early[n][1]) <= 5
