@@ -87,6 +87,10 @@ GROUPS: dict[str, list[str]] = {
         "source_overlap",
         "psi_drift",
         "ks_drift",
+        "dsir_weights",
+        "clustering_coeff",
+        "key_skew_report",
+        "purchase_hits",
     ],
 }
 
