@@ -2909,6 +2909,91 @@ GROUP BY 1
 """
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the MDM merge rule): collapse each
+    customer's order records into one profile where EVERY column
+    independently takes its most recent NON-NULL value — "latest
+    record wins" is wrong the moment the latest record has gaps, so
+    survivorship must reach back PER COLUMN. Sparsity is planted
+    deterministically (clerk nulled on orderkey%3, priority on %2, so
+    the latest row usually has a hole). Per column: one
+    non-null-filtered max of the scalar recency key (day·1e10 +
+    orderkey — unique, overflow-safe where a ms-resolution key is
+    not) + one equi-join back for the value; no struct-ordering
+    aggregates, whose NULL-skipping semantics differ across engines.
+    All joins key on the customer id — one partitioning end-to-end."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        epoch_ms("o_orderdate").alias("ts_ms"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    base = o.withColumn(
+        "rk",
+        F.expr("ts_ms div 86400000") * F.lit(10_000_000_000)
+        + F.col("o_orderkey"),
+    )
+
+    def latest(col: str, out: str) -> DataFrame:
+        nn = base.filter(F.col(col).isNotNull())
+        top = nn.groupBy("o_custkey").agg(F.max("rk").alias("rk"))
+        return top.join(nn.select("o_custkey", "rk", col), ["o_custkey", "rk"]).select(
+            "o_custkey", F.col(col).alias(out)
+        )
+
+    summary = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.max("rk").alias("last_rk"),
+    )
+    return (
+        summary.join(latest("status", "golden_status"), "o_custkey", "left")
+        .join(latest("prio", "golden_prio"), "o_custkey", "left")
+        .select(
+            "o_custkey", "n_records", "last_rk", "golden_status", "golden_prio"
+        )
+    )
+
+
+SQL_GOLDEN_RECORD = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_ms(o_orderdate) AS BIGINT) AS ts_ms,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END
+           AS status,
+         CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+           AS prio
+  FROM orders
+), base AS (
+  SELECT *, (ts_ms // 86400000) * 10000000000 + o_orderkey AS rk FROM o
+), status_top AS (
+  SELECT o_custkey, CAST(MAX(rk) AS BIGINT) AS rk FROM base
+  WHERE status IS NOT NULL GROUP BY 1
+), status_val AS (
+  SELECT b.o_custkey, b.status AS golden_status
+  FROM status_top t JOIN base b ON b.o_custkey = t.o_custkey AND b.rk = t.rk
+), prio_top AS (
+  SELECT o_custkey, CAST(MAX(rk) AS BIGINT) AS rk FROM base
+  WHERE prio IS NOT NULL GROUP BY 1
+), prio_val AS (
+  SELECT b.o_custkey, b.prio AS golden_prio
+  FROM prio_top t JOIN base b ON b.o_custkey = t.o_custkey AND b.rk = t.rk
+), summary AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_records,
+         CAST(MAX(rk) AS BIGINT) AS last_rk
+  FROM base GROUP BY 1
+)
+SELECT s.o_custkey, s.n_records, s.last_rk, c.golden_status, p.golden_prio
+FROM summary s
+LEFT JOIN status_val c USING (o_custkey)
+LEFT JOIN prio_val p USING (o_custkey)
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot events wide: one row per user, one count column per event
     type (explicit value list so the plan is single-pass, no distinct
@@ -4930,6 +5015,72 @@ SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(cost_micro) // COUNT(*) AS BIGINT) AS avg_cost_micro
 FROM bg JOIN scored USING (bigram)
 GROUP BY 1
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    each source's documents into head/middle/tail TERCILES of LM
+    surprisal — the canonical "keep head, sample middle, drop tail"
+    quality gate, bucketed PER SOURCE so one verbose source doesn't
+    absorb another's tail. Reuses doc_perplexity's integer micro-nat
+    scores; terciles via ntile(3) over the total order (cost, doc_id)
+    — identical rank semantics on both engines because the tie-break
+    totalizes the order. Output: per (source, bucket) doc count and
+    exact cost range."""
+    per_doc = q_doc_perplexity(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = per_doc.join(src, "doc_id")
+    bucket = F.ntile(3).over(
+        Window.partitionBy("source").orderBy("avg_cost_micro", "doc_id")
+    )
+    return (
+        j.select("source", "avg_cost_micro", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("avg_cost_micro").alias("min_cost_micro"),
+            F.max("avg_cost_micro").alias("max_cost_micro"),
+        )
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+  FROM t WHERE len(w) >= 2
+), bc AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1
+), heads AS (
+  SELECT bigram, c_bg, split_part(bigram, ' ', 1) AS w1 FROM bc
+), uni AS (
+  SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM heads GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+), scored AS (
+  SELECT heads.bigram,
+         CAST(FLOOR(-ln((c_bg + 1) / (c_w1 + v.v)) * 1000000 + 0.5) AS BIGINT)
+           AS cost_micro
+  FROM heads JOIN uni USING (w1) CROSS JOIN v
+), per_doc AS (
+  SELECT bg.doc_id,
+         CAST(SUM(cost_micro) // COUNT(*) AS BIGINT) AS avg_cost_micro
+  FROM bg JOIN scored USING (bigram)
+  GROUP BY 1
+), bucketed AS (
+  SELECT d.source, p.avg_cost_micro,
+         CAST(NTILE(3) OVER (
+           PARTITION BY d.source ORDER BY p.avg_cost_micro, p.doc_id
+         ) AS INT) AS bucket
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(avg_cost_micro) AS min_cost_micro,
+       MAX(avg_cost_micro) AS max_cost_micro
+FROM bucketed GROUP BY 1, 2
 """
 
 
@@ -7848,6 +7999,8 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "perplexity_buckets": q_perplexity_buckets,
+    "golden_record": q_golden_record,
     "pii_census": q_pii_census,
     "variant_profile": q_variant_profile,
     "rolling_distinct": q_rolling_distinct,
@@ -8045,6 +8198,8 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "golden_record": SQL_GOLDEN_RECORD,
     "pii_census": SQL_PII_CENSUS,
     "variant_profile": SQL_VARIANT_PROFILE,
     "rolling_distinct": SQL_ROLLING_DISTINCT,

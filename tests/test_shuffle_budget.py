@@ -45,6 +45,14 @@ SHUFFLE_BUDGET = {
     "variant_profile": 1,
     # one scan + one keyed aggregate
     "pii_census": 1,
+    # doc_perplexity's LM lineage (bigram counts, head marginals,
+    # scalar V, per-doc rollup) + the source join, per-source ntile
+    # window and bucket rollup
+    "perplexity_buckets": 7,
+    # everything keys on o_custkey: summary agg + the two per-column
+    # latest-value subtrees reuse one partitioning (AQE coalesces the
+    # equal-key joins)
+    "golden_record": 3,
     # one l_returnflag partition shuffle shared by both windows and
     # the final group aggregate
     "weighted_median": 1,
