@@ -3191,6 +3191,60 @@ FROM j GROUP BY 1
 """
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination rollup — the release-audit summary
+    over `decontaminate`'s per-doc 5-gram overlap: which SOURCES leak
+    benchmark text, how many docs are touched, and how bad the worst
+    case is (the doc-level op answers "drop this doc"; releases get
+    signed off per source). No absolute threshold — hit counts and
+    the max ppm are SF-stable where a cutoff is not. One extra
+    broadcast-side source join + one keyed rollup on top of the
+    decontaminate plan."""
+    per_doc = q_decontaminate(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_contaminated"),
+            F.sum("n_hit").cast("bigint").alias("total_hits"),
+            F.max("contam_ppm").cast("bigint").alias("max_contam_ppm"),
+        )
+    )
+
+
+SQL_CONTAMINATION_REPORT = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), bench AS (
+  SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS gram
+  FROM t WHERE doc_id < 50 AND len(w) >= 5
+), corp AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)])) AS gram
+  FROM t WHERE doc_id >= 50 AND len(w) >= 5
+), j AS (
+  SELECT c.doc_id, CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(hit) AS BIGINT) AS n_hit,
+         CAST(FLOOR(CAST(SUM(hit) AS DOUBLE) * 1000000.0 / COUNT(*) + 0.5)
+              AS BIGINT) AS contam_ppm
+  FROM j GROUP BY 1
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_contaminated,
+       CAST(SUM(p.n_hit) AS BIGINT) AS total_hits,
+       CAST(MAX(p.contam_ppm) AS BIGINT) AS max_contam_ppm
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → view → purchase: each stage
     counts users whose stage event strictly follows their previous
@@ -7999,6 +8053,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "contamination_report": q_contamination_report,
     "perplexity_buckets": q_perplexity_buckets,
     "golden_record": q_golden_record,
     "pii_census": q_pii_census,
@@ -8198,6 +8253,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "contamination_report": SQL_CONTAMINATION_REPORT,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "golden_record": SQL_GOLDEN_RECORD,
     "pii_census": SQL_PII_CENSUS,

@@ -53,6 +53,9 @@ SHUFFLE_BUDGET = {
     # latest-value subtrees reuse one partitioning (AQE coalesces the
     # equal-key joins)
     "golden_record": 3,
+    # decontaminate's per-doc rollup + the source join + source rollup
+    # (benchmark grams ride a broadcast)
+    "contamination_report": 3,
     # one l_returnflag partition shuffle shared by both windows and
     # the final group aggregate
     "weighted_median": 1,
