@@ -3191,6 +3191,56 @@ FROM j GROUP BY 1
 """
 
 
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user — the
+    gaps-and-islands aggregate (retention/habit metric) via the
+    constant-island trick: over distinct active days, day −
+    row_number(day order) is constant exactly within a consecutive
+    run, so streaks fall out of two keyed aggregates + one per-user
+    window — no self-join, no recursion. Day ids are exact integer
+    epoch-day divisions; every count is BIGINT."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS BIGINT)"
+        ).alias("d"),
+    )
+    days = ev.distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    islands = days.select(
+        "user_id", "d", (F.col("d") - rn).alias("island")
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+SQL_LONGEST_STREAK = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d
+  FROM events
+), islands AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM streaks GROUP BY 1
+"""
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source contamination rollup — the release-audit summary
     over `decontaminate`'s per-doc 5-gram overlap: which SOURCES leak
@@ -8053,6 +8103,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "longest_streak": q_longest_streak,
     "contamination_report": q_contamination_report,
     "perplexity_buckets": q_perplexity_buckets,
     "golden_record": q_golden_record,
@@ -8253,6 +8304,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "longest_streak": SQL_LONGEST_STREAK,
     "contamination_report": SQL_CONTAMINATION_REPORT,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "golden_record": SQL_GOLDEN_RECORD,

@@ -56,6 +56,9 @@ SHUFFLE_BUDGET = {
     # decontaminate's per-doc rollup + the source join + source rollup
     # (benchmark grams ride a broadcast)
     "contamination_report": 3,
+    # distinct-days shuffle + one user partitioning shared by the
+    # window and both rollups
+    "longest_streak": 2,
     # one l_returnflag partition shuffle shared by both windows and
     # the final group aggregate
     "weighted_median": 1,
