@@ -84,6 +84,15 @@ def main() -> None:
         "sf_dir": sf_dir,
         "git_sha": sha,
         "n_queries": len(times),
+        "note": (
+            "single shared JVM, all queries sequential: times are a "
+            "COVERAGE artifact, not isolated measurements — cross-round "
+            "per-query comparison inherits JVM pressure from every "
+            "query added since (the round-5 verdict's bench.py finding)."
+            " Isolated clean-JVM re-runs are the bar for any apparent "
+            "regression; bench.py's per-group subprocess JVMs are the "
+            "headline numbers."
+        ),
         "times": times,
     }
     with open(out_path, "w") as fh:
