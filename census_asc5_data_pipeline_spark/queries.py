@@ -2764,6 +2764,141 @@ FROM s WHERE bucket < 10 GROUP BY 1
 """
 
 
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling (variance-OPTIMAL where
+    `stratified_sample`'s flat rate is merely unbiased): a K=200 doc
+    budget is split across sources as n_h ∝ N_h·S_h, so high-variance
+    strata get the samples that shrink the estimator most — the
+    textbook survey-sampling allocation, run as a pure Spark plan.
+    Stddev comes from EXACT integer (Σx, Σx²) via identical
+    double-expression trees on both engines (never the builtin
+    stddev_samp, whose last-ulp rounding may straddle the floor);
+    the allocation itself is all-BIGINT: floor-scaled s_micro,
+    weight = N_h·s_micro, alloc = LEAST((K·w) // Σw, N_h). Membership
+    is the salted-md5 rank within each stratum — rerun-stable,
+    engine-portable. One stats aggregate, a 1-row weight total and the
+    ~|sources|-row allocation ride broadcasts; one per-source window
+    ranks the sample."""
+    k_budget = 200
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("nc")
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("sx"),
+        F.sum(F.col("nc") * F.col("nc")).cast("bigint").alias("sxx"),
+    )
+    var_num = (F.col("sxx") * F.col("n_docs") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var_den = (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double")
+    s_micro = F.when(
+        F.col("n_docs") > 1,
+        F.floor(F.sqrt(var_num / var_den) * 1000000.0 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0))
+    weighted = stats.select(
+        "source",
+        "n_docs",
+        s_micro.alias("s_micro"),
+        (F.col("n_docs") * s_micro).cast("bigint").alias("w"),
+    )
+    tot = weighted.agg(F.sum("w").cast("bigint").alias("tw"))
+    alloc = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "s_micro",
+            F.least(
+                F.expr(f"({k_budget} * w) div tw"), F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+    h = F.md5(
+        F.concat(F.lit("neyman-v1|"), F.col("doc_id").cast("string"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    )
+    ranked = docs.select("source", "doc_id", "nc", rn.alias("rn"))
+    sampled = (
+        ranked.join(F.broadcast(alloc.select("source", "alloc")), "source")
+        .filter(F.col("rn") <= F.col("alloc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("nc").cast("bigint").alias("sampled_chars"),
+        )
+    )
+    return (
+        alloc.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "s_micro",
+            "alloc",
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias(
+                "n_sampled"
+            ),
+            F.coalesce("sampled_chars", F.lit(0)).cast("bigint").alias(
+                "sampled_chars"
+            ),
+        )
+    )
+
+
+SQL_NEYMAN_SAMPLE = """
+WITH d AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS nc FROM documents
+), stats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS sx,
+         CAST(SUM(nc * nc) AS BIGINT) AS sxx
+  FROM d GROUP BY 1
+), weighted AS (
+  SELECT source, n_docs,
+         CASE WHEN n_docs > 1 THEN CAST(FLOOR(sqrt(
+             CAST(sxx * n_docs - sx * sx AS DOUBLE)
+             / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+           ) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS s_micro
+  FROM stats
+), w2 AS (
+  SELECT source, n_docs, s_micro,
+         CAST(n_docs * s_micro AS BIGINT) AS w
+  FROM weighted
+), tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w2
+), alloc AS (
+  SELECT source, n_docs, s_micro,
+         CAST(LEAST((200 * w) // tw, n_docs) AS BIGINT) AS alloc
+  FROM w2 CROSS JOIN tot
+), ranked AS (
+  SELECT source, doc_id, nc,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('neyman-v1|' || doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM d
+), sampled AS (
+  SELECT r.source,
+         CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(r.nc) AS BIGINT) AS sampled_chars
+  FROM ranked r JOIN alloc a USING (source)
+  WHERE r.rn <= a.alloc
+  GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.s_micro, a.alloc,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(s.sampled_chars, 0) AS BIGINT) AS sampled_chars
+FROM alloc a LEFT JOIN sampled s USING (source)
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (status), (priority), () — through the
     engine's SQL surface (distinct from CUBE/ROLLUP coverage)."""
@@ -8103,6 +8238,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "neyman_sample": q_neyman_sample,
     "longest_streak": q_longest_streak,
     "contamination_report": q_contamination_report,
     "perplexity_buckets": q_perplexity_buckets,
@@ -8304,6 +8440,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "neyman_sample": SQL_NEYMAN_SAMPLE,
     "longest_streak": SQL_LONGEST_STREAK,
     "contamination_report": SQL_CONTAMINATION_REPORT,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,

@@ -59,6 +59,9 @@ SHUFFLE_BUDGET = {
     # distinct-days shuffle + one user partitioning shared by the
     # window and both rollups
     "longest_streak": 2,
+    # stats agg renders under the alloc AND weight-total subtrees +
+    # the source window, sampled rollup and final assembly join
+    "neyman_sample": 7,
     # one l_returnflag partition shuffle shared by both windows and
     # the final group aggregate
     "weighted_median": 1,
