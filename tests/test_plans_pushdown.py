@@ -36,6 +36,9 @@ CROSS_JOIN_OK = {
     "clustering_coeff",
     # deliberate 1-row × 1-row summary join (size stats × gini sum)
     "key_skew_report",
+    # deliberate 1-row weight-total broadcast crossJoin onto the
+    # |sources|-row allocation frame
+    "neyman_sample",
 }
 
 
