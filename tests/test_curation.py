@@ -81,3 +81,31 @@ def test_observed_quality_metrics_free_with_action(spark, tmp_path):
     b, bobs = observed_bounds(df, "id")
     b.count()
     assert bobs.get == {"lo": 1, "hi": 5}
+
+
+def test_explain_summary_reports_plan_shape(spark):
+    """explain_summary must agree with the plan-shape suite's counting
+    convention: q5's snowflake join shows broadcast joins and pushed
+    scan evidence; a plain scan shows zero joins and zero exchanges."""
+    from census_asc5_data_pipeline_spark.plans.observability import (
+        explain_summary,
+    )
+    from census_asc5_data_pipeline_spark.queries import QUERIES
+
+    rep = explain_summary(
+        QUERIES["q5_region_revenue"](spark, "/root/testdata/sf0.001")
+    )
+    assert rep["n_broadcast_hash_joins"] >= 3  # region/nation/supplier dims
+    assert rep["n_exchanges"] >= 1
+    assert rep["scans"], "parquet scans must be reported"
+    assert any(s["pushed_filters"] > 0 for s in rep["scans"])
+    assert all(s["read_cols"] > 0 for s in rep["scans"])
+
+    from census_asc5_data_pipeline_spark.catalog import read_table
+
+    plain = explain_summary(
+        read_table(spark, "/root/testdata/sf0.001", "region")
+    )
+    assert plain["n_exchanges"] == 0
+    assert plain["n_broadcast_hash_joins"] == 0
+    assert plain["n_sort_merge_joins"] == 0
