@@ -2764,6 +2764,74 @@ FROM s WHERE bucket < 10 GROUP BY 1
 """
 
 
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE hierarchy walk — ``WITH RECURSIVE`` landed in
+    Spark 4 (SPARK-24497), closing the classic gap SQL engines had
+    over Spark for BOM/org-chart/graph-reachability queries, so the
+    engine exposes it as first-class SQL instead of a hand-rolled
+    iterative-join loop. The hierarchy is the deterministic 10-ary
+    tree over customer keys (parent = key DIV 10): each key walks
+    ancestors to its sub-10 root; the per-depth census (count,
+    key range, root mass) summarizes the closure. Catalyst executes
+    the recursion as iterative UnionLoop steps — the same shape as
+    the hand-written loops in operators/graph.py, but planned by the
+    engine; depth is log10(max key), so the loop count grows with the
+    KEY WIDTH, not the row count."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_rcte_src"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE up(node, anc, depth) AS (
+          SELECT CAST(c_custkey AS BIGINT),
+                 CAST(c_custkey DIV 10 AS BIGINT),
+                 CAST(1 AS BIGINT)
+          FROM customer_rcte_src
+          UNION ALL
+          SELECT node, CAST(anc DIV 10 AS BIGINT), depth + 1
+          FROM up WHERE anc >= 10
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node,
+               CAST(SUM(anc) AS BIGINT) AS sum_roots
+        FROM (
+          SELECT node, anc, depth,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY node ORDER BY depth DESC
+                 ) AS rn
+          FROM up
+        ) WHERE rn = 1
+        GROUP BY depth
+        """
+    )
+
+
+SQL_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE up(node, anc, depth) AS (
+  SELECT CAST(c_custkey AS BIGINT),
+         CAST(c_custkey // 10 AS BIGINT),
+         CAST(1 AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT node, CAST(anc // 10 AS BIGINT), depth + 1
+  FROM up WHERE anc >= 10
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node,
+       CAST(SUM(anc) AS BIGINT) AS sum_roots
+FROM (
+  SELECT node, anc, depth,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY depth DESC) AS rn
+  FROM up
+) WHERE rn = 1
+GROUP BY depth
+"""
+
+
 def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-allocation stratified sampling (variance-OPTIMAL where
     `stratified_sample`'s flat rate is merely unbiased): a K=200 doc
@@ -8238,6 +8306,7 @@ def unpersist_deps(df: DataFrame) -> None:
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 6 ---
+    "recursive_hierarchy": q_recursive_hierarchy,
     "neyman_sample": q_neyman_sample,
     "longest_streak": q_longest_streak,
     "contamination_report": q_contamination_report,
@@ -8440,6 +8509,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 6 ---
+    "recursive_hierarchy": SQL_RECURSIVE_HIERARCHY,
     "neyman_sample": SQL_NEYMAN_SAMPLE,
     "longest_streak": SQL_LONGEST_STREAK,
     "contamination_report": SQL_CONTAMINATION_REPORT,

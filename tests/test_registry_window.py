@@ -19,6 +19,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # (near_dup_triangles, dedup_ngram_jaccard, fuzzy_match), then the
 # round-5 window held one more round (its tail falls out).
 PINNED_FIRST_50 = [
+    "recursive_hierarchy",
     "neyman_sample",
     "longest_streak",
     "contamination_report",
@@ -68,7 +69,6 @@ PINNED_FIRST_50 = [
     "readability",
     "skyline_2d",
     "weighted_sample",
-    "ann_pq_topk",
 ]
 
 

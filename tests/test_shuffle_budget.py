@@ -62,6 +62,9 @@ SHUFFLE_BUDGET = {
     # stats agg renders under the alloc AND weight-total subtrees +
     # the source window, sampled rollup and final assembly join
     "neyman_sample": 7,
+    # UnionLoop recursion is iterative inside one stage; the static
+    # plan shows the per-node window partition + the depth rollup
+    "recursive_hierarchy": 2,
     # one l_returnflag partition shuffle shared by both windows and
     # the final group aggregate
     "weighted_median": 1,
