@@ -1100,3 +1100,105 @@ def stream_user_activity(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def bloom_dedup_fold(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table: str,
+    out_dir: str,
+    key_col: str = "event_id",
+    n_bits: int = 1 << 20,
+) -> int:
+    """Fold one micro-batch through the persistent Bloom dedup under
+    an epoch fence; returns rows emitted. Module-level for direct
+    replay testing (the kll_fold_batch pattern)."""
+    from census_asc5_data_pipeline_spark.sources import versioned
+
+    if batch_df.isEmpty():
+        return 0
+    spark = batch_df.sparkSession
+    k = F.col(key_col).cast("bigint")
+    pos = F.array(
+        F.pmod(F.xxhash64(F.lit(1), k), F.lit(n_bits)),
+        F.pmod(F.xxhash64(F.lit(2), k), F.lit(n_bits)),
+    )
+    try:
+        stored = versioned.read_current(spark, table)
+        fence = stored.select("last_epoch").first()
+        if fence is not None and fence[0] >= int(epoch_id):
+            return 0
+        bits = stored.select(F.explode("bits").alias("p"))
+    except FileNotFoundError:
+        stored = None
+        bits = spark.range(0).select(F.col("id").alias("p"))
+    bset = F.broadcast(bits.distinct())
+    probed = batch_df.withColumn("__pos", pos).withColumn(
+        "__p1", F.col("__pos")[0]
+    ).withColumn("__p2", F.col("__pos")[1])
+    hit1 = bset.select(F.col("p").alias("__p1")).withColumn(
+        "__h1", F.lit(1)
+    )
+    hit2 = bset.select(F.col("p").alias("__p2")).withColumn(
+        "__h2", F.lit(1)
+    )
+    fresh = (
+        probed.join(hit1, "__p1", "left")
+        .join(hit2, "__p2", "left")
+        .filter(F.col("__h1").isNull() | F.col("__h2").isNull())
+        .drop("__pos", "__p1", "__p2", "__h1", "__h2")
+    )
+    # first occurrence WITHIN the batch also dedups (the filter alone
+    # admits both copies when neither is in the filter yet)
+    fresh = fresh.dropDuplicates([key_col])
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(out_dir)
+    new_bits = (
+        batch_df.select(F.explode(pos).alias("p"))
+        .unionByName(bits)
+        .groupBy()
+        .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+        .select(
+            "bits", F.lit(int(epoch_id)).cast("bigint").alias("last_epoch")
+        )
+    )
+    versioned.commit_version(new_bits, table)
+    return n
+
+
+def stream_bloom_dedup(
+    events: DataFrame,
+    table: str,
+    out_dir: str,
+    checkpoint: str,
+    key_col: str = "event_id",
+    n_bits: int = 1 << 20,
+):
+    """GLOBAL streaming dedup with O(n_bits) state — the unbounded
+    complement of ``stream_dedup``, whose watermark forgets keys once
+    event time passes: corpus ingestion must drop a document re-sent
+    WEEKS later, and keeping every key forever is exactly the
+    unbounded-state trap. The persistent filter is the k=2
+    seeded-xxhash64 position set (the bloom file index design) stored
+    as a versioned snapshot: each batch drops rows whose BOTH
+    positions are already present (false positive = a lost unique at
+    ~(2n/n_bits)², never a duplicate emitted), appends survivors to
+    the parquet sink, then commits the union of positions under an
+    EPOCH FENCE — bit-set union is idempotent, but the sink append is
+    not, so the fence (not the algebra) is what makes at-least-once
+    replay exactly-once end-to-end. In-batch duplicates collapse via
+    dropDuplicates before emission. tests/test_streaming.py replays a
+    batch on purpose and pins cross-batch dropping, FP-free emission
+    on a planted key set, and the fence."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        bloom_dedup_fold(
+            batch_df, epoch_id, table, out_dir, key_col, n_bits
+        )
+
+    return (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )

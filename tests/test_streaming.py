@@ -1092,3 +1092,54 @@ def test_stream_user_activity_state_survives_batches(spark, tmp_path):
     assert any(
         r.n_events < final[r.user_id][0] for r in rows
     ), "expected per-batch intermediate emissions"
+
+
+def test_stream_bloom_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Global (NOT watermark-bounded) dedup: a key re-sent in a later
+    batch — arbitrarily far in event time — must be dropped; in-batch
+    duplicates collapse; a replayed epoch is fenced to a no-op so the
+    parquet append stays exactly-once."""
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        bloom_dedup_fold,
+        read_event_stream,
+        stream_bloom_dedup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # batch 1: keys 0..49 (key 7 sent twice in-batch)
+    b1 = [
+        (i, t0 + dt.timedelta(seconds=i), i, "e", 1.0, "{}")
+        for i in range(50)
+    ] + [(7, t0 + dt.timedelta(seconds=99), 7, "e", 1.0, "{}")]
+    # batch 2: keys 30..79 — 30..49 are WEEKS-later duplicates
+    b2 = [
+        (i, t0 + dt.timedelta(days=30, seconds=i), i, "e", 1.0, "{}")
+        for i in range(30, 80)
+    ]
+    src = str(tmp_path / "bd_ev")
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    table = str(tmp_path / "bd_bloom")
+    out = str(tmp_path / "bd_out")
+    q = stream_bloom_dedup(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        table,
+        out,
+        str(tmp_path / "bd_ck"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    # exactly keys 0..79 once each (bloom FP could only LOSE a unique,
+    # and at 80 keys / 2^20 bits the FP term is ~0)
+    assert got == list(range(80))
+
+    # fence: replaying batch 1 with a stale epoch must not append
+    first = spark.createDataFrame(b1, EVENT_SCHEMA)
+    assert bloom_dedup_fold(first, 0, table, out) == 0
+    assert spark.read.parquet(out).count() == 80
