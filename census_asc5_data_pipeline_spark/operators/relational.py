@@ -512,3 +512,67 @@ def interval_join(
         )
         .drop("__bin")
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    top_k: int = 32,
+) -> dict:
+    """Estimate the inner equi-join output size WITHOUT running the
+    join — the pre-flight check (with ``key_skew_report`` and
+    ``explain_summary``) before committing a 100 TB shuffle whose
+    output might be 100x its inputs. |A⋈B| = Σ_k n_a(k)·n_b(k), so:
+
+    - the TOP-``top_k`` heavy keys of each side are counted exactly
+      and their cross products summed over the intersection — skew,
+      the thing that actually explodes joins, is measured, not
+      modeled;
+    - the light tails use the uniform-within-tail estimate
+      tail_a·tail_b / max(d_a, d_b) (the textbook CBO formula, applied
+      only where it is defensible);
+    - ``upper_bound`` is the exact AGM-style bound
+      min(n_a·maxfreq_b, n_b·maxfreq_a) — never exceeded by any key
+      distribution.
+
+    Cost: per side one count/approx-distinct aggregate + one top-K
+    (groupBy + TakeOrdered) — metadata-scale collects (top_k rows),
+    no join executed. Returns {est_rows, upper_bound, n_a, n_b, d_a,
+    d_b, heavy_pairs_exact}.
+    """
+    key_b = key_b or key_a
+
+    def _side(df: DataFrame, key: str):
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(key, 0.02).alias("d"),
+        ).collect()[0]
+        top = (
+            df.groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("k"))
+            .limit(top_k)
+            .collect()
+        )
+        return int(stats["n"]), int(stats["d"]), {r["k"]: int(r["c"]) for r in top}
+
+    n_a, d_a, top_a = _side(a, key_a)
+    n_b, d_b, top_b = _side(b, key_b)
+    heavy = sum(top_a[k] * top_b[k] for k in top_a.keys() & top_b.keys())
+    tail_a = n_a - sum(top_a.values())
+    tail_b = n_b - sum(top_b.values())
+    d_tail = max(max(d_a - len(top_a), 1), max(d_b - len(top_b), 1))
+    est = heavy + (tail_a * tail_b) // d_tail if (tail_a and tail_b) else heavy
+    max_b = max(top_b.values(), default=1)
+    max_a = max(top_a.values(), default=1)
+    return {
+        "est_rows": int(est),
+        "upper_bound": int(min(n_a * max_b, n_b * max_a)),
+        "n_a": n_a,
+        "n_b": n_b,
+        "d_a": d_a,
+        "d_b": d_b,
+        "heavy_pairs_exact": int(heavy),
+    }

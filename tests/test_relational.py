@@ -437,3 +437,31 @@ def test_quantile_bins_nan_treated_like_null(spark):
     assert b[0] == 1 and b[99] == 4
     b1 = {r.id: r.bin for r in quantile_bins(df, "v", 1).collect()}
     assert b1[100] is None and b1[101] is None and b1[0] == 1
+
+
+def test_join_size_estimate_brackets_exact_and_catches_skew(spark):
+    """The estimate must land within a small factor of the true join
+    size on a skewed input (one hot key dominating), and the upper
+    bound must never be exceeded; heavy-key mass is counted exactly."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        join_size_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    # side A: hot key 0 with 2000 rows + 1000 light keys x 2
+    a = spark.range(2000).select(F.lit(0).alias("k")).unionAll(
+        spark.range(2000).select((F.col("id") % 1000 + 1).alias("k"))
+    )
+    # side B: hot key 0 x 500 + keys 1..500 x 1
+    b = spark.range(500).select(F.lit(0).alias("k")).unionAll(
+        spark.range(1, 501).select(F.col("id").alias("k"))
+    )
+    rep = join_size_estimate(a, b, "k")
+    exact = a.join(b, "k").count()  # 2000*500 + 500*2 = 1_001_000
+    assert exact == 1_001_000
+    # the hot key is in both top-K sets -> its mass is exact
+    assert rep["heavy_pairs_exact"] >= 1_000_000
+    assert rep["est_rows"] <= rep["upper_bound"]
+    assert exact <= rep["upper_bound"]
+    # estimate within 2x of truth on this shape
+    assert exact / 2 <= rep["est_rows"] <= exact * 2
