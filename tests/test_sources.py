@@ -731,3 +731,30 @@ def test_arrow_ipc_empty_and_overwrite_semantics(spark, tmp_path):
     assert read_arrow(spark, out).count() == 5
     # prior parts are gone — a *.arrow glob sees only the live dataset
     assert not (first_parts & set(glob.glob(out + "/*.arrow")))
+
+
+def test_arrow_ipc_crash_orphans_never_pollute_reads(spark, tmp_path):
+    """Manifest-first crash discipline: parts left by a crashed write
+    (an .inprogress temp AND a fully-written part that never made the
+    manifest) are invisible to read_arrow — the manifest, not the
+    directory listing, defines the dataset."""
+    import shutil
+
+    import pyarrow as pa
+
+    from census_asc5_data_pipeline_spark.sources.arrow_io import (
+        read_arrow,
+        write_arrow,
+    )
+
+    out = str(tmp_path / "arrow")
+    assert write_arrow(spark.range(0, 20).selectExpr("id"), out) == 20
+    # crash debris: a torn temp file and an orphaned complete part
+    with open(out + "/part-torn.arrow.inprogress", "wb") as fh:
+        fh.write(b"\x00" * 10)
+    t = pa.table({"id": pa.array([999], pa.int64())})
+    with pa.OSFile(out + "/part-orphan.arrow", "wb") as sink:
+        with pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+    got = sorted(r.id for r in read_arrow(spark, out).collect())
+    assert got == list(range(20))  # 999 and the torn file never appear
