@@ -758,3 +758,33 @@ def test_arrow_ipc_crash_orphans_never_pollute_reads(spark, tmp_path):
             w.write_table(t)
     got = sorted(r.id for r in read_arrow(spark, out).collect())
     assert got == list(range(20))  # 999 and the torn file never appear
+
+
+def test_csv_multiline_quoted_fields_roundtrip(spark, tmp_path):
+    """RFC-4180 hard cases through read_csv's option passthrough:
+    quoted fields containing embedded newlines, commas and escaped
+    quotes must parse as single rows with multiLine=true (the mode a
+    real scraped-text CSV ingest needs — without it the embedded
+    newline silently splits one record into two corrupt rows)."""
+    from census_asc5_data_pipeline_spark.sources.csv_source import read_csv
+
+    p = tmp_path / "ml.csv"
+    p.write_text(
+        'id,txt\n'
+        '1,"line one\nline two, still field"\n'
+        '2,"say ""hi"" twice"\n'
+        '3,plain\n'
+    )
+    df = read_csv(
+        spark,
+        str(p),
+        schema="id INT, txt STRING",
+        multiLine="true",
+        escape='"',
+    )
+    got = {r.id: r.txt for r in df.collect()}
+    assert got == {
+        1: "line one\nline two, still field",
+        2: 'say "hi" twice',
+        3: "plain",
+    }
