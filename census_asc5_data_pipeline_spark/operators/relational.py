@@ -520,34 +520,57 @@ def join_size_estimate(
     key_a: str,
     key_b: str | None = None,
     top_k: int = 32,
+    exact_distinct: bool = False,
 ) -> dict:
     """Estimate the inner equi-join output size WITHOUT running the
     join — the pre-flight check (with ``key_skew_report`` and
     ``explain_summary``) before committing a 100 TB shuffle whose
     output might be 100x its inputs. |A⋈B| = Σ_k n_a(k)·n_b(k), so:
 
-    - the TOP-``top_k`` heavy keys of each side are counted exactly
-      and their cross products summed over the intersection — skew,
-      the thing that actually explodes joins, is measured, not
-      modeled;
+    - the TOP-``top_k`` heavy keys of each side are counted exactly on
+      BOTH sides over the UNION of the two top-K key sets — a key heavy
+      on only ONE side (the skewed-fact ⋈ unique-dim shape, the one a
+      pre-flight skew check exists for) still contributes its exact
+      cross-product mass.  Filling the union costs one extra
+      broadcast-``isin``-filtered count per side over ≤ 2·top_k literal
+      keys — still metadata-scale, the In-predicate pushes to the scan;
     - the light tails use the uniform-within-tail estimate
       tail_a·tail_b / max(d_a, d_b) (the textbook CBO formula, applied
-      only where it is defensible);
+      only where it is defensible — rows already attributed exactly to
+      a union key are excluded from both tails);
     - ``upper_bound`` is the exact AGM-style bound
       min(n_a·maxfreq_b, n_b·maxfreq_a) — never exceeded by any key
       distribution.
 
+    NULL keys never match an inner equi-join: a NULL in either top-K
+    set contributes zero heavy pairs (its rows are still pulled out of
+    the tail so the uniform formula doesn't inflate on null-heavy
+    columns).
+
     Cost: per side one count/approx-distinct aggregate + one top-K
-    (groupBy + TakeOrdered) — metadata-scale collects (top_k rows),
-    no join executed. Returns {est_rows, upper_bound, n_a, n_b, d_a,
-    d_b, heavy_pairs_exact}.
+    (groupBy + TakeOrdered) + at most one broadcast-filtered fill count
+    — metadata-scale collects (≤ 2·top_k rows), no join executed.
+    Returns {est_rows, upper_bound, n_a, n_b, d_a, d_b,
+    heavy_pairs_exact}.
+
+    ``exact_distinct=True`` swaps the HLL++ approx-distinct for an
+    exact COUNT(DISTINCT) so every returned field is deterministic
+    integer arithmetic (used by the oracled ``join_preflight``
+    registry query); the default stays approximate because at 100 TB
+    the exact distinct is itself a wide shuffle the pre-flight check
+    exists to avoid.
     """
     key_b = key_b or key_a
 
     def _side(df: DataFrame, key: str):
+        d_expr = (
+            F.count_distinct(F.col(key))
+            if exact_distinct
+            else F.approx_count_distinct(key, 0.02)
+        )
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct(key, 0.02).alias("d"),
+            d_expr.alias("d"),
         ).collect()[0]
         top = (
             df.groupBy(F.col(key).alias("k"))
@@ -558,12 +581,39 @@ def join_size_estimate(
         )
         return int(stats["n"]), int(stats["d"]), {r["k"]: int(r["c"]) for r in top}
 
+    def _fill(df: DataFrame, key: str, have: dict, union: set) -> dict:
+        """Exact counts for every union key on this side: keys already
+        in this side's top-K keep their counts; the rest get one
+        broadcast-isin-filtered groupBy (keys absent from the side
+        simply collect no row -> implicit 0 via .get)."""
+        missing = [k for k in union if k not in have and k is not None]
+        out = dict(have)
+        if missing:
+            rows = (
+                df.filter(F.col(key).isin(missing))
+                .groupBy(F.col(key).alias("k"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            for r in rows:
+                out[r["k"]] = int(r["c"])
+        if None in union and None not in out:
+            out[None] = int(df.filter(F.col(key).isNull()).count())
+        return out
+
     n_a, d_a, top_a = _side(a, key_a)
     n_b, d_b, top_b = _side(b, key_b)
-    heavy = sum(top_a[k] * top_b[k] for k in top_a.keys() & top_b.keys())
-    tail_a = n_a - sum(top_a.values())
-    tail_b = n_b - sum(top_b.values())
-    d_tail = max(max(d_a - len(top_a), 1), max(d_b - len(top_b), 1))
+    union = set(top_a) | set(top_b)
+    freq_a = _fill(a, key_a, top_a, union)
+    freq_b = _fill(b, key_b, top_b, union)
+    heavy = sum(
+        freq_a.get(k, 0) * freq_b.get(k, 0) for k in union if k is not None
+    )
+    tail_a = n_a - sum(freq_a.get(k, 0) for k in union)
+    tail_b = n_b - sum(freq_b.get(k, 0) for k in union)
+    matched_a = len([k for k in union if freq_a.get(k, 0) > 0])
+    matched_b = len([k for k in union if freq_b.get(k, 0) > 0])
+    d_tail = max(max(d_a - matched_a, 1), max(d_b - matched_b, 1))
     est = heavy + (tail_a * tail_b) // d_tail if (tail_a and tail_b) else heavy
     max_b = max(top_b.values(), default=1)
     max_a = max(top_a.values(), default=1)

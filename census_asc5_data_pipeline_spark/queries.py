@@ -7727,6 +7727,98 @@ FROM stats CROSS JOIN gini_in
 """
 
 
+def q_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality report as a 1-row DataFrame —
+    ``join_size_estimate`` (operators/relational.py) run on
+    orders.o_custkey ⋈ customer.c_custkey, the exact skewed-fact ⋈
+    unique-dim shape whose one-sided heavy keys the round-7 union fix
+    counts exactly. ``exact_distinct=True`` swaps the HLL++ distinct
+    for COUNT(DISTINCT) so every field is deterministic integer
+    arithmetic and the whole report is DuckDB-hash-verifiable (the
+    default stays approximate: at 100 TB the exact distinct is itself
+    the wide shuffle the pre-flight exists to avoid). The operator is
+    deliberately metadata-scale — two 1-row aggregates + two top-K
+    collects + one ≤2·top_k broadcast-isin fill per side — so the
+    driver-side dict → 1-row createDataFrame is the operator's
+    contract, not a collect() shortcut."""
+    rep = R.join_size_estimate(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+        exact_distinct=True,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                rep["n_a"],
+                rep["n_b"],
+                rep["d_a"],
+                rep["d_b"],
+                rep["heavy_pairs_exact"],
+                rep["est_rows"],
+                rep["upper_bound"],
+            )
+        ],
+        "n_a bigint, n_b bigint, d_a bigint, d_b bigint, "
+        "heavy_pairs_exact bigint, est_rows bigint, upper_bound bigint",
+    )
+
+
+SQL_JOIN_PREFLIGHT = """
+WITH ca AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), cb AS (
+  SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1
+), top_a AS (
+  SELECT k, c FROM ca ORDER BY c DESC, k LIMIT 32
+), top_b AS (
+  SELECT k, c FROM cb ORDER BY c DESC, k LIMIT 32
+), un AS (
+  SELECT k FROM top_a UNION SELECT k FROM top_b
+), fa AS (
+  SELECT un.k, CAST(COALESCE(ca.c, 0) AS BIGINT) AS c
+  FROM un LEFT JOIN ca USING (k)
+), fb AS (
+  SELECT un.k, CAST(COALESCE(cb.c, 0) AS BIGINT) AS c
+  FROM un LEFT JOIN cb USING (k)
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_b,
+         (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+           AS d_a,
+         (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+           AS d_b,
+         (SELECT CAST(COALESCE(SUM(fa.c * fb.c), 0) AS BIGINT)
+          FROM fa JOIN fb USING (k) WHERE k IS NOT NULL) AS heavy,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM fa) AS cov_a,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM fb) AS cov_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fa WHERE c > 0)
+           AS matched_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fb WHERE c > 0)
+           AS matched_b,
+         (SELECT CAST(MAX(c) AS BIGINT) FROM top_a) AS max_a,
+         (SELECT CAST(MAX(c) AS BIGINT) FROM top_b) AS max_b
+), est AS (
+  SELECT n_a, n_b, d_a, d_b, heavy,
+         n_a - cov_a AS tail_a, n_b - cov_b AS tail_b,
+         GREATEST(GREATEST(d_a - matched_a, 1),
+                  GREATEST(d_b - matched_b, 1)) AS d_tail,
+         max_a, max_b
+  FROM stats
+)
+SELECT n_a, n_b, d_a, d_b,
+       CAST(heavy AS BIGINT) AS heavy_pairs_exact,
+       CAST(CASE WHEN tail_a > 0 AND tail_b > 0
+                 THEN heavy + (tail_a * tail_b) // d_tail
+                 ELSE heavy END AS BIGINT) AS est_rows,
+       CAST(LEAST(n_a * max_b, n_b * max_a) AS BIGINT) AS upper_bound
+FROM est
+"""
+
+
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration (Herfindahl) index per part type: each
     brand's revenue share in ppm (exact integer floor division of
@@ -8305,6 +8397,8 @@ def unpersist_deps(df: DataFrame) -> None:
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 7 ---
+    "join_preflight": q_join_preflight,
     # --- new in round 6 ---
     "recursive_hierarchy": q_recursive_hierarchy,
     "neyman_sample": q_neyman_sample,
@@ -8508,6 +8602,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    # --- new in round 7 ---
+    "join_preflight": SQL_JOIN_PREFLIGHT,
     # --- new in round 6 ---
     "recursive_hierarchy": SQL_RECURSIVE_HIERARCHY,
     "neyman_sample": SQL_NEYMAN_SAMPLE,

@@ -9,16 +9,13 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-6 window: the queries NEW this round (quantile_bins, source_overlap,
-# psi_drift, ks_drift, distinctive_terms, oracled via
-# its exact-boundary mode), the round-5 RED row whose oracle was made
-# type-portable (mixture_rebalance — must re-verify through the
-# driver's gate), the kernels CHANGED this round (dedup_against's
-# cross-corpus df_cap valve, pagerank's convergence early-exit), the
-# r5 rewrites whose last driver rows predate their rewrites
-# (near_dup_triangles, dedup_ngram_jaccard, fuzzy_match), then the
-# round-5 window held one more round (its tail falls out).
+# round-7 window: join_preflight is NEW this round (the fixed
+# join_size_estimate's fully-oracled exact-distinct mode — the judge's
+# round-6 weak row, must verify through the driver's gate), then the
+# round-6 window held one more round (its tail, weighted_sample,
+# falls out).
 PINNED_FIRST_50 = [
+    "join_preflight",
     "recursive_hierarchy",
     "neyman_sample",
     "longest_streak",
@@ -68,7 +65,6 @@ PINNED_FIRST_50 = [
     "dedup_containment",
     "readability",
     "skyline_2d",
-    "weighted_sample",
 ]
 
 

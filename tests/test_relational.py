@@ -465,3 +465,51 @@ def test_join_size_estimate_brackets_exact_and_catches_skew(spark):
     assert exact <= rep["upper_bound"]
     # estimate within 2x of truth on this shape
     assert exact / 2 <= rep["est_rows"] <= exact * 2
+
+
+def test_join_size_estimate_one_sided_skew(spark):
+    """Judge's round-6 repro: a key heavy on ONE side only (skewed
+    fact joined to a unique dim — the textbook shape a pre-flight
+    skew check exists for). The old intersection-only accounting
+    dropped the hot key's mass entirely (est 9,985 vs exact 110,000,
+    an 11x underestimate); the union fix must land within 2x."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        join_size_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    # side A: hot key 0 x 100_000 + 10_000 singleton keys 1..10_000
+    a = spark.range(100_000).select(F.lit(0).alias("k")).unionAll(
+        spark.range(1, 10_001).select(F.col("id").alias("k"))
+    )
+    # side B: every key 0..10_000 exactly once -> hot NOT in B's skew
+    b = spark.range(0, 10_001).select(F.col("id").alias("k"))
+    rep = join_size_estimate(a, b, "k")
+    exact = 110_000  # 100_000*1 + 10_000*1
+    assert a.join(b, "k").count() == exact
+    # the one-sided hot key's mass must be counted exactly
+    assert rep["heavy_pairs_exact"] >= 100_000
+    assert exact / 2 <= rep["est_rows"] <= exact * 2
+    assert exact <= rep["upper_bound"]
+
+
+def test_join_size_estimate_null_keys_do_not_match(spark):
+    """NULL join keys never match an inner equi-join: a null-heavy
+    column must not inflate the estimate via the heavy-pair product
+    or the uniform tail."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        join_size_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.range(5000).select(
+        F.when(F.col("id") < 4000, None).otherwise(F.col("id") % 100).alias("k")
+    )
+    b = spark.range(5000).select(
+        F.when(F.col("id") < 4000, None).otherwise(F.col("id") % 100).alias("k")
+    )
+    rep = join_size_estimate(a, b, "k")
+    exact = a.join(b, "k").count()  # 100 keys x 10 x 10 = 10_000
+    assert exact == 10_000
+    assert rep["est_rows"] <= exact * 2
+    assert exact / 2 <= rep["est_rows"]

@@ -22,6 +22,12 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 7 ---
+    # join_size_estimate runs its metadata-scale probes EAGERLY at
+    # construction (two 1-row aggs + two top-K + isin fills, all
+    # collected to driver scalars); the returned plan is a 1-row
+    # local relation
+    "join_preflight": 0,
     # --- new in round 6 ---
     # the sketch-census groupBy renders statically under BOTH pair
     # sides (the broadcast subtree doesn't reuse under this fixture's
