@@ -1153,7 +1153,16 @@ def bloom_dedup_fold(
     fresh = fresh.dropDuplicates([key_col])
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(out_dir)
+        # Epoch-partitioned overwrite, NOT append: a crash between this
+        # write and commit_version below replays the batch with the old
+        # fence, and the replay recomputes the identical survivor set
+        # (the bit-set is exactly the uncommitted one) — overwriting
+        # epoch=N replaces the debris instead of duplicating it. The
+        # fence alone can't close that window; the sink must be
+        # idempotent per epoch (the stream_windowed_topk discipline).
+        fresh.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}"
+        )
     new_bits = (
         batch_df.select(F.explode(pos).alias("p"))
         .unionByName(bits)
@@ -1183,14 +1192,21 @@ def stream_bloom_dedup(
     seeded-xxhash64 position set (the bloom file index design) stored
     as a versioned snapshot: each batch drops rows whose BOTH
     positions are already present (false positive = a lost unique at
-    ~(2n/n_bits)², never a duplicate emitted), appends survivors to
-    the parquet sink, then commits the union of positions under an
-    EPOCH FENCE — bit-set union is idempotent, but the sink append is
-    not, so the fence (not the algebra) is what makes at-least-once
-    replay exactly-once end-to-end. In-batch duplicates collapse via
-    dropDuplicates before emission. tests/test_streaming.py replays a
-    batch on purpose and pins cross-batch dropping, FP-free emission
-    on a planted key set, and the fence."""
+    ~(2n/n_bits)², never a duplicate emitted), writes survivors to an
+    overwrite-on-replay ``epoch=N`` sink partition, then commits the
+    union of positions under an EPOCH FENCE. Exactly-once needs BOTH
+    halves: the fence makes a replay AFTER a successful commit a
+    no-op, and the epoch-partitioned overwrite makes a replay in the
+    crash window BETWEEN sink write and fence commit rewrite the same
+    partition instead of re-appending (the replay recomputes the
+    identical survivor set, since the bit-set it probes is exactly the
+    one whose commit never landed). In-batch duplicates collapse via
+    dropDuplicates before emission. READ CONTRACT:
+    ``spark.read.parquet(out_dir)`` traverses every epoch via
+    partition discovery and carries an extra ``epoch`` column —
+    consumers select by name. tests/test_streaming.py replays a batch
+    on purpose, kills the fold INSIDE the crash window, and pins
+    cross-batch dropping, FP-free emission and zero duplicates."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         bloom_dedup_fold(
