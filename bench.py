@@ -16,6 +16,16 @@ Group isolation bounds that pressure to within a group; within a group
 every persisted RDD (localCheckpoints included) is unpersisted and the
 JVM GC'd between queries.  The ``shared20`` subtotal — the stable
 round-over-round comparison set — is printed as a first-class field.
+
+Measurement model (round-7 fix): each group's list runs TWICE in its
+child JVM and the SECOND (steady-state) pass is the headline number.
+The round-6 per-group isolation made every tail row a cold-start
+measurement — per-query codegen/Arrow warmup amortized over 5-8
+queries instead of 46, and r6 artifacts read 2-3x slower than r5 on
+byte-identical plans.  Pass 1 stays visible as ``cold_queries`` /
+``cold_subtotals`` so cold-path regressions (e.g. a janino compile
+blow-up) still surface, while the headline row measures the plan, not
+the JVM's first-five-minutes.
 """
 
 from __future__ import annotations
@@ -142,19 +152,27 @@ def run_group(group: str) -> None:
     _warm = F.pandas_udf(lambda s: s, "bigint")
     spark.range(4).select(_warm("id")).count()
 
-    times: dict[str, float] = {}
-    for name in GROUPS[group]:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        unpersist_deps(df)
-        times[name] = round(dt, 3)
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
-        _scrub_jvm(spark)
+    passes: list[dict[str, float]] = []
+    for pass_no in (1, 2):
+        times: dict[str, float] = {}
+        for name in GROUPS[group]:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            unpersist_deps(df)
+            times[name] = round(dt, 3)
+            print(
+                f"# [pass {pass_no}] {name}: {n} rows in {dt:.2f}s",
+                file=sys.stderr,
+            )
+            _scrub_jvm(spark)
+        passes.append(times)
 
-    print(json.dumps({"group": group, "queries": times}))
+    # pass 2 is the headline (steady-state); pass 1 rides along as
+    # "cold" so first-execution regressions still surface
+    print(json.dumps({"group": group, "queries": passes[1], "cold": passes[0]}))
 
 
 def main() -> None:
@@ -164,6 +182,8 @@ def main() -> None:
 
     times: dict[str, float] = {}
     subtotals: dict[str, float] = {}
+    cold_times: dict[str, float] = {}
+    cold_subtotals: dict[str, float] = {}
     failed_groups: list[str] = []
     for group in GROUPS:
         proc = subprocess.run(
@@ -184,7 +204,15 @@ def main() -> None:
         payload = json.loads(proc.stdout.strip().splitlines()[-1])
         times.update(payload["queries"])
         subtotals[group] = round(sum(payload["queries"].values()), 3)
-        print(f"# subtotal {group}: {subtotals[group]:.2f}s", file=sys.stderr)
+        cold_times.update(payload.get("cold", {}))
+        cold_subtotals[group] = round(
+            sum(payload.get("cold", {}).values()), 3
+        )
+        print(
+            f"# subtotal {group}: {subtotals[group]:.2f}s "
+            f"(cold {cold_subtotals[group]:.2f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -193,6 +221,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "subtotals": subtotals,
+        "cold_queries": cold_times,
+        "cold_subtotals": cold_subtotals,
         "sf": sf,
     }
     if failed_groups:

@@ -150,6 +150,18 @@ def test_hits_duplicate_edges_do_not_double_weight(spark):
     assert a == b
 
 
+def test_hits_rejects_zero_iterations(spark):
+    """n_iter=0 would leave the authority frame unbuilt and crash with
+    an AttributeError deep in plan assembly (advisor round-6 finding);
+    the guard must fail fast and explicitly."""
+    import pytest
+
+    from census_asc5_data_pipeline_spark.operators.graph import hits
+
+    with pytest.raises(ValueError, match="n_iter >= 1"):
+        hits(_edges(spark, [(1, 101)]), src="src", dst="dst", n_iter=0)
+
+
 def test_hits_early_exit_matches_full_iteration(spark):
     from census_asc5_data_pipeline_spark.operators.graph import hits
 
