@@ -67,7 +67,7 @@ def _spark_ddl_of_arrow(schema) -> str:
                 f"unsupported arrow type {f.type} for field {f.name!r} — "
                 "the interchange surface is flat primitives + timestamp"
             )
-        parts.append(f"`{f.name}` {ddl}")
+        parts.append(f"`{f.name.replace('`', '``')}` {ddl}")
     return ", ".join(parts)
 
 
@@ -93,10 +93,21 @@ def write_arrow(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     stale: list[str] = []
     if os.path.exists(manifest_path):
         stale = [p["path"] for p in json.load(open(manifest_path))["parts"]]
+    # quoted-DDL back-compat string: backticks in a name are escaped by
+    # doubling, per the Spark identifier grammar — otherwise the string
+    # is unparseable by the real DDL parser
     ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        f"`{f.name.replace('`', '``')}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
     )
     os.makedirs(path, exist_ok=True)
+
+    # pyspark's mapInArrow resolves every input column BY NAME
+    # (self[col]), which chokes on backtick-containing names — feed it
+    # positional placeholders and restore the real names inside the
+    # task so the IPC files carry the true schema
+    names = [f.name for f in df.schema.fields]
+    safe_df = df.toDF(*[f"c{i}" for i in range(len(names))])
 
     def _task(batches):
         import uuid
@@ -110,6 +121,7 @@ def write_arrow(df: DataFrame, path: str, mode: str = "overwrite") -> int:
         for b in batches:
             if not b.num_rows:
                 continue
+            b = pa.RecordBatch.from_arrays(list(b.columns), names)
             if writer is None:
                 sink = pa.OSFile(full + ".inprogress", "wb")
                 writer = pa.ipc.new_file(sink, b.schema)
@@ -129,15 +141,29 @@ def write_arrow(df: DataFrame, path: str, mode: str = "overwrite") -> int:
             ["file", "n_rows"],
         )
 
-    parts = df.mapInArrow(_task, "file string, n_rows bigint").collect()
+    parts = safe_df.mapInArrow(_task, "file string, n_rows bigint").collect()
     committed = [
         {"path": r["file"], "n_rows": r["n_rows"]} for r in parts if r["file"]
     ]
     total = sum(p["n_rows"] for p in committed)
     tmp = manifest_path + ".inprogress"
     with open(tmp, "w") as fh:
+        # "fields" is the authoritative schema: structured (name, type)
+        # pairs survive column names containing commas or backticks,
+        # which the quoted-DDL string (kept for interchange
+        # back-compat) cannot round-trip through a naive split
+        # (advisor round-6 finding)
         json.dump(
-            {"parts": committed, "spark_ddl": ddl, "n_rows": total}, fh
+            {
+                "parts": committed,
+                "spark_ddl": ddl,
+                "fields": [
+                    [f.name, f.dataType.simpleString()]
+                    for f in df.schema.fields
+                ],
+                "n_rows": total,
+            },
+            fh,
         )
     os.replace(tmp, manifest_path)
     for p in stale:
@@ -152,7 +178,17 @@ def write_arrow(df: DataFrame, path: str, mode: str = "overwrite") -> int:
 def read_arrow(spark: SparkSession, path: str) -> DataFrame:
     """Read Arrow IPC files under ``path``: schema from the manifest
     (or the first file's IPC footer — one tiny driver read), one decode
-    task per file, each yielding the file's record batches VERBATIM."""
+    task per file, each yielding the file's record batches VERBATIM.
+
+    The decode task receives the target schema as STRUCTURED (name,
+    type) pairs resolved on the driver — never by re-splitting the
+    manifest's quoted-DDL string, which a column name containing a
+    comma or backtick (legal in quoted DDL) would break (advisor
+    round-6 finding). Resolution order: manifest ``fields`` (written
+    by this sink) → manifest ``spark_ddl`` parsed with the real Spark
+    DDL parser → the first file's IPC footer."""
+    from pyspark.sql import types as T
+
     manifest = os.path.join(path, "_manifest.json")
     meta = None
     if os.path.exists(manifest):
@@ -164,17 +200,39 @@ def read_arrow(spark: SparkSession, path: str) -> DataFrame:
             for f in os.listdir(path)
             if f.endswith(".arrow")
         )
+
+    def _pairs_from_meta():
+        if meta is None:
+            return None
+        if "fields" in meta:
+            return [(n, t) for n, t in meta["fields"]]
+        if "spark_ddl" in meta:  # pre-r7 manifests: real parser, driver-side
+            st = T.StructType.fromDDL(meta["spark_ddl"])
+            return [(f.name, f.dataType.simpleString()) for f in st.fields]
+        return None
+
+    pairs = _pairs_from_meta()
     if not files:
-        if meta is not None and "spark_ddl" in meta:
-            return spark.createDataFrame([], meta["spark_ddl"])
+        if pairs is not None:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(n, T._parse_datatype_string(t))
+                        for n, t in pairs
+                    ]
+                ),
+            )
         raise FileNotFoundError(f"no .arrow files under {path!r}")
-    if meta is not None and "spark_ddl" in meta:
-        ddl = meta["spark_ddl"]
-    else:
+    if pairs is None:
         import pyarrow as pa
 
         with pa.ipc.open_file(files[0]) as rd:
-            ddl = _spark_ddl_of_arrow(rd.schema)
+            st = T.StructType.fromDDL(_spark_ddl_of_arrow(rd.schema))
+        pairs = [(f.name, f.dataType.simpleString()) for f in st.fields]
+    out_schema = T.StructType(
+        [T.StructField(n, T._parse_datatype_string(t)) for n, t in pairs]
+    )
 
     def _task(batches):
         import pyarrow as pa
@@ -189,13 +247,7 @@ def read_arrow(spark: SparkSession, path: str) -> DataFrame:
             "binary": pa.binary(),
             "timestamp": pa.timestamp("us", tz="UTC"),
         }
-        fields = [p.strip() for p in ddl.split(",")]
-        target = pa.schema(
-            [
-                pa.field(n.split("`")[1], inv[n.rsplit(" ", 1)[1]])
-                for n in fields
-            ]
-        )
+        target = pa.schema([pa.field(n, inv[t]) for n, t in pairs])
         for b in batches:
             for f in b.column(0).to_pylist():
                 with pa.ipc.open_file(f) as rd:
@@ -219,4 +271,4 @@ def read_arrow(spark: SparkSession, path: str) -> DataFrame:
     flist = spark.createDataFrame(
         [(f,) for f in files], "f string"
     ).repartition(len(files))
-    return flist.mapInArrow(_task, ddl)
+    return flist.mapInArrow(_task, out_schema)

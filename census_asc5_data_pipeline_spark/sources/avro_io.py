@@ -440,7 +440,26 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         }
         for b in batches:
             for f in b.column(0).to_pylist():
-                _schema, rows = _read_container(f)
+                fschema, rows = _read_container(f)
+                # the dataset schema comes from the FIRST file's header
+                # but each file decodes with its OWN embedded schema: a
+                # foreign-written directory with a different field
+                # ORDER would otherwise bind values to the wrong column
+                # names silently (advisor round-6 finding). Same
+                # (name, type, null) set in another order -> reorder by
+                # name; anything else -> loud error.
+                fplan = _field_plan(fschema)
+                if fplan != plan:
+                    if sorted(fplan) == sorted(plan):
+                        order = [fplan.index(p) for p in plan]
+                        rows = [tuple(r[i] for i in order) for r in rows]
+                    else:
+                        raise ValueError(
+                            f"avro file {f!r} field plan {fplan!r} does "
+                            f"not match the dataset plan {plan!r} taken "
+                            "from the first file — mixed-schema "
+                            "directory cannot decode safely"
+                        )
                 cols = list(zip(*rows)) if rows else [[] for _ in plan]
                 yield pa.RecordBatch.from_arrays(
                     [

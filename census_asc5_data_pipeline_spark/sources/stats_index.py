@@ -154,15 +154,23 @@ def pruned_read(
             f"zone index subdir {col_dir!r} carries a stamp for "
             f"{idx[0]['indexed_col']!r} — index dir corrupted, rebuild"
         )
-    indexed = {_local_path(r["file"]): r for r in idx}
     on_disk = _data_files(table_path)
+    # staleness guard, both directions: files ADDED after the build are
+    # read unpruned; files DELETED after the build (compaction/vacuum)
+    # drop out of the indexed set so the multi-path read never names a
+    # missing path (advisor round-6 finding)
+    indexed = {
+        f: r
+        for f, r in ((_local_path(r["file"]), r) for r in idx)
+        if f in set(on_disk)
+    }
     unindexed = [f for f in on_disk if f not in indexed]
     files = [
         f
         for f, r in indexed.items()
         if r["max_v"] is not None and r["max_v"] >= lo and r["min_v"] <= hi
-    ] + unindexed  # staleness guard: unknown files are never skipped
-    total = len(indexed) + len(unindexed)
+    ] + unindexed
+    total = len(on_disk)
     if not files:
         empty = spark.read.parquet(table_path).filter(F.lit(False))
         return empty, 0, total
@@ -263,14 +271,20 @@ def bloom_pruned_read(
         .select("file")
         .collect()
     )
+    on_disk = _data_files(table_path)
+    disk_set = set(on_disk)
+    # staleness guard, both directions (see pruned_read): added files
+    # read unpruned, deleted files drop out of the indexed set
     indexed = {
         _local_path(r["file"]) for r in idxdf.select("file").collect()
-    }
-    hits = [_local_path(r["file"]) for r in hit_rows]
-    on_disk = _data_files(table_path)
+    } & disk_set
+    hits = [
+        f for f in (_local_path(r["file"]) for r in hit_rows)
+        if f in disk_set
+    ]
     unindexed = [f for f in on_disk if f not in indexed]
-    files = hits + unindexed  # staleness guard: unknown files never skip
-    total = len(indexed) + len(unindexed)
+    files = hits + unindexed
+    total = len(on_disk)
     if not files:
         empty = spark.read.parquet(table_path).filter(F.lit(False))
         return empty, 0, total

@@ -194,6 +194,48 @@ def test_zone_index_stale_files_still_read(spark, tmp_path):
     assert picked < total  # out-of-range indexed files still pruned
 
 
+def test_zone_and_bloom_index_survive_deleted_files(spark, tmp_path):
+    """A file DELETED after the build (compaction/vacuum) must drop out
+    of the indexed set instead of surfacing as a missing path in the
+    explicit multi-path read (advisor round-6 finding); the result
+    equals the full-scan filter over the remaining files."""
+    import glob
+    import os
+
+    from census_asc5_data_pipeline_spark.sources.stats_index import (
+        bloom_pruned_read,
+        build_bloom_index,
+        build_stats_index,
+        pruned_read,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).withColumn("v", F.col("id") * 2)
+    df.repartitionByRange(4, "id").write.parquet(path)
+    build_stats_index(spark, path, "id")
+    build_bloom_index(spark, path, "id")
+    # vacuum one data file out from under both indexes
+    os.remove(sorted(glob.glob(os.path.join(path, "*.parquet")))[0])
+    want = sorted(
+        (r.id, r.v)
+        for r in spark.read.parquet(path)
+        .filter((F.col("id") >= 0) & (F.col("id") <= 3999))
+        .collect()
+    )
+    out, picked, total = pruned_read(spark, path, "id", 0, 3999)
+    assert total == 3 and picked <= 3
+    assert sorted((r.id, r.v) for r in out.collect()) == want
+    # bloom: probe a key from a SURVIVING file; must not name the
+    # deleted path
+    survivor = want[0][0]
+    bout, bpicked, btotal = bloom_pruned_read(spark, path, "id", survivor)
+    assert btotal == 3
+    assert [(r.id, r.v) for r in bout.collect()] == [
+        (survivor, survivor * 2)
+    ]
+
+
 def test_bloom_index_point_lookup_prunes_and_preserves_results(
     spark, tmp_path
 ):

@@ -608,6 +608,60 @@ def test_avro_empty_write_reads_back_empty(spark, tmp_path):
     assert back.columns == ["id", "s"]
 
 
+def test_avro_foreign_field_order_binds_by_name(spark, tmp_path):
+    """A foreign-written directory whose files carry the SAME fields in
+    a DIFFERENT order must bind values by NAME, not position — the
+    fallback takes the dataset schema from the first file but decodes
+    each file with its own embedded schema, so positional binding would
+    silently swap columns (advisor round-6 finding). An INCOMPATIBLE
+    plan (different type) must raise, not mis-decode."""
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        _write_container,
+        read_avro,
+    )
+
+    out = tmp_path / "avro"
+    out.mkdir()
+    sch_ab = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+        ],
+    }
+    sch_ba = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "b", "type": "string"},
+            {"name": "a", "type": "long"},
+        ],
+    }
+    with open(out / "0.avro", "wb") as fh:
+        _write_container(fh, sch_ab, [[(1, "x"), (2, "y")]], "null")
+    with open(out / "1.avro", "wb") as fh:
+        _write_container(fh, sch_ba, [[("z", 3)]], "null")
+    got = sorted((r.a, r.b) for r in read_avro(spark, str(out)).collect())
+    assert got == [(1, "x"), (2, "y"), (3, "z")]
+
+    # incompatible type -> loud error from the decode task
+    sch_bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "double"},
+            {"name": "b", "type": "string"},
+        ],
+    }
+    with open(out / "2.avro", "wb") as fh:
+        _write_container(fh, sch_bad, [[(1.5, "w")]], "null")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="field plan"):
+        read_avro(spark, str(out)).collect()
+
+
 def test_avro_overwrite_removes_stale_parts(spark, tmp_path):
     """Overwrite deletes the PRIOR manifest's parts after the new
     manifest publishes — otherwise old uuid-named files accumulate and
@@ -706,6 +760,41 @@ def test_arrow_ipc_interchanges_with_foreign_readers_and_writers(
             w.write_table(ft)
     back = read_arrow(spark, str(foreign))
     assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, None)}
+
+
+def test_arrow_ipc_hostile_column_names_round_trip(spark, tmp_path):
+    """Column names containing commas and backticks are legal in quoted
+    DDL; the decode task must take its schema from the manifest's
+    structured (name, type) pairs, not a naive DDL string-split that
+    such names break (advisor round-6 finding). Pre-r7 manifests
+    without 'fields' parse spark_ddl with the REAL Spark parser."""
+    import json as _json
+
+    from census_asc5_data_pipeline_spark.sources.arrow_io import (
+        read_arrow,
+        write_arrow,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "arrow")
+    df = spark.range(5).select(
+        F.col("id").alias("a,b"),
+        (F.col("id") * 2).alias("w`eird"),
+        F.lit("x").alias("plain"),
+    )
+    assert write_arrow(df, out) == 5
+    back = read_arrow(spark, out)
+    assert back.columns == ["a,b", "w`eird", "plain"]
+    assert sorted(r["a,b"] for r in back.collect()) == [0, 1, 2, 3, 4]
+
+    # pre-r7 manifest shape: strip 'fields', keep quoted spark_ddl
+    mpath = tmp_path / "arrow" / "_manifest.json"
+    meta = _json.load(open(mpath))
+    del meta["fields"]
+    _json.dump(meta, open(mpath, "w"))
+    legacy = read_arrow(spark, out)
+    assert legacy.columns == ["a,b", "w`eird", "plain"]
+    assert legacy.count() == 5
 
 
 def test_arrow_ipc_empty_and_overwrite_semantics(spark, tmp_path):
