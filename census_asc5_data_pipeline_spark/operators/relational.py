@@ -625,4 +625,78 @@ def join_size_estimate(
         "d_a": d_a,
         "d_b": d_b,
         "heavy_pairs_exact": int(heavy),
+        "max_freq_a": int(max_a),
+        "max_freq_b": int(max_b),
+        "top_a": dict(top_a),
+        "top_b": dict(top_b),
     }
+
+
+def join_strategy_preflight(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    top_k: int = 32,
+    broadcast_rows: int = 1_000_000,
+    skew_factor: int = 8,
+) -> dict:
+    """The TWO-sided pre-flight decision the one-key
+    ``key_skew_report`` and the cardinality-only
+    ``join_size_estimate`` each cover half of: given both join inputs,
+    recommend HOW to execute the join before committing a 100 TB
+    shuffle. Composes the (union-fixed) estimator's per-side frequency
+    profile into one of three strategies, in priority order:
+
+    - ``broadcast`` — one side fits the broadcast budget
+      (``broadcast_rows``, a row-count proxy for
+      spark.sql.autoBroadcastJoinThreshold). Broadcasting beats any
+      skew treatment outright: the hot key never shuffles at all, so
+      a skewed fact ⋈ small dim is a broadcast, not a salt.
+    - ``salted_shuffle`` — neither side broadcasts and at least one
+      side's hottest key carries ≥ ``skew_factor`` × its side's mean
+      key frequency (n/d): a plain hash join would put max_freq rows
+      of one key into one task. Reports the skewed side and its hot
+      keys (the salting key list for :func:`salted_join`, and the AQE
+      skew-join sanity check).
+    - ``shuffle`` — no skew signal: plain shuffle hash/sort-merge
+      join, sized by ``est_rows``.
+
+    All inputs come from ``join_size_estimate``'s metadata-scale
+    probes — no join executed, no extra distributed pass. Returns
+    {strategy, build_side, skewed_side, hot_keys, skew_ratio_a/b, and
+    every estimator field}.
+    """
+    key_b = key_b or key_a
+    rep = join_size_estimate(a, b, key_a, key_b, top_k=top_k)
+    mean_a = max(rep["n_a"] / max(rep["d_a"], 1), 1e-9)
+    mean_b = max(rep["n_b"] / max(rep["d_b"], 1), 1e-9)
+    ratio_a = rep["max_freq_a"] / mean_a
+    ratio_b = rep["max_freq_b"] / mean_b
+    skew_a = ratio_a >= skew_factor
+    skew_b = ratio_b >= skew_factor
+    out = dict(rep)
+    out["skew_ratio_a"] = round(ratio_a, 2)
+    out["skew_ratio_b"] = round(ratio_b, 2)
+    if min(rep["n_a"], rep["n_b"]) <= broadcast_rows:
+        out["strategy"] = "broadcast"
+        out["build_side"] = "a" if rep["n_a"] <= rep["n_b"] else "b"
+        out["skewed_side"] = None
+        out["hot_keys"] = []
+    elif skew_a or skew_b:
+        side = "a" if ratio_a >= ratio_b else "b"
+        top = rep["top_a"] if side == "a" else rep["top_b"]
+        mean = mean_a if side == "a" else mean_b
+        out["strategy"] = "salted_shuffle"
+        out["build_side"] = None
+        out["skewed_side"] = side
+        out["hot_keys"] = sorted(
+            k for k, c in top.items()
+            if k is not None and c >= skew_factor * mean
+        )
+    else:
+        out["strategy"] = "shuffle"
+        out["build_side"] = None
+        out["skewed_side"] = None
+        out["hot_keys"] = []
+    return out
