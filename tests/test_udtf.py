@@ -50,3 +50,67 @@ def test_text_chunks_udtf_short_and_empty_docs(spark):
         (1, 0): (3, "one two three"),
         (4, 0): (1, "solo"),
     }
+
+
+def test_json_fields_udtf_matches_fstar_twin_on_scalars(spark):
+    """The SQL-callable json_fields lateral must agree row-for-row
+    with the pure-F.* twin (posexplode over from_json map entries) on
+    scalar payloads — the events.props corpus is exactly that shape."""
+    register_udtfs(spark)
+    ev = read_table(spark, SF, "events").select("event_id", "props").limit(
+        200
+    )
+    ev.createOrReplaceTempView("udtf_ev")
+    got = {
+        (r.event_id, r.pos): (r.key, r.value)
+        for r in spark.sql(
+            "SELECT e.event_id, j.pos, j.key, j.value "
+            "FROM udtf_ev e, LATERAL json_fields(e.props) j"
+        ).collect()
+    }
+    want = {
+        (r.event_id, r.pos): (r.key, r.value)
+        for r in ev.select(
+            "event_id",
+            F.posexplode(
+                F.map_entries(F.from_json("props", "map<string,string>"))
+            ).alias("pos", "kv"),
+        )
+        .select(
+            "event_id",
+            "pos",
+            F.col("kv.key").alias("key"),
+            F.col("kv.value").alias("value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 200
+
+
+def test_json_fields_udtf_types_and_malformed(spark):
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [
+            (1, '{"s":"x","n":3,"f":1.5,"b":true,"z":null,'
+                '"o":{"a":1},"l":[1,2]}'),
+            (2, "not json"),
+            (3, None),
+            (4, "[1,2,3]"),
+        ],
+        ["id", "js"],
+    ).createOrReplaceTempView("udtf_js")
+    rows = spark.sql(
+        "SELECT d.id, j.pos, j.key, j.value, j.vtype "
+        "FROM udtf_js d, LATERAL json_fields(d.js) j"
+    ).collect()
+    assert {r.id for r in rows} == {1}  # malformed/null/non-object drop
+    got = {r.key: (r.pos, r.value, r.vtype) for r in rows}
+    assert got == {
+        "s": (0, "x", "string"),
+        "n": (1, "3", "number"),
+        "f": (2, "1.5", "number"),
+        "b": (3, "true", "boolean"),
+        "z": (4, None, "null"),
+        "o": (5, '{"a":1}', "object"),
+        "l": (6, "[1,2]", "array"),
+    }
