@@ -65,6 +65,8 @@ from pyspark.sql import types as T
 
 __all__ = [
     "read_delta",
+    "read_delta_changes",
+    "delta_tail_fold",
     "write_delta",
     "create_checkpoint",
     "delta_versions",
@@ -262,57 +264,161 @@ def read_delta(
         ]
     if not live:
         return spark.createDataFrame([], schema)
+    return _scan_adds(
+        spark, path, schema, pcols, [(None, a) for a in live]
+    )
+
+
+def _scan_adds(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    pcols: list[str],
+    tagged: list[tuple[int | None, dict]],
+    with_version: bool = False,
+) -> DataFrame:
+    """ONE multi-path scan over the given add actions, partition
+    columns re-attached from the LOG's partitionValues (not the paths,
+    per spec) by a broadcast ``input_file_name`` basename join; the
+    same join optionally tags each row with its commit version (the
+    CDF-lite path). Basename collisions with differing attribution
+    raise — a corrupt table must not mis-attribute rows."""
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
     files = [
-        os.path.join(path, urllib.parse.unquote(a["path"])) for a in live
+        os.path.join(path, urllib.parse.unquote(a["path"]))
+        for _v, a in tagged
     ]
     df = spark.read.schema(data_schema).parquet(*files)
-    if not pcols:
+    if not pcols and not with_version:
         return df.select([F.col(f.name) for f in schema.fields])
-    # partition values come from the LOG, not the paths: broadcast-join
-    # them onto the scan by file basename (Delta part names embed a
-    # uuid — a basename collision with differing partitionValues is a
-    # corrupt table and raises here rather than mis-attributing rows)
-    by_base: dict[str, dict] = {}
-    for a in live:
+    by_base: dict[str, tuple] = {}
+    for v, a in tagged:
         base = os.path.basename(urllib.parse.unquote(a["path"]))
-        pv = a.get("partitionValues") or {}
-        if base in by_base and by_base[base] != pv:
+        entry = (a.get("partitionValues") or {}, v)
+        if base in by_base and by_base[base] != entry:
             raise ValueError(
                 f"duplicate data-file basename {base!r} with differing "
-                "partitionValues — cannot attribute rows safely"
+                "partitionValues/version — cannot attribute rows safely"
             )
-        by_base[base] = pv
+        by_base[base] = entry
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     pv_rows = [
-        (base, *[pv.get(c) for c in pcols]) for base, pv in by_base.items()
+        (base, *[pv.get(c) for c in pcols], v)
+        for base, (pv, v) in by_base.items()
     ]
     pv_schema = T.StructType(
         [T.StructField("__base", T.StringType())]
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+        + [T.StructField("__cv", T.LongType())]
     )
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
-    out = (
+    cols = [
+        F.col(f.name)
+        if f.name not in pcols
+        else F.when(
+            F.col(f"__pv_{f.name}").isNull()
+            | (F.col(f"__pv_{f.name}") == _HIVE_NULL),
+            F.lit(None),
+        )
+        .otherwise(F.col(f"__pv_{f.name}"))
+        .cast(ptypes[f.name])
+        .alias(f.name)
+        for f in schema.fields
+    ]
+    if with_version:
+        cols.append(F.col("__cv").alias("_commit_version"))
+    return (
         df.withColumn(
             "__base", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
         .join(F.broadcast(pv_df), "__base")
-        .select(
-            *[
-                F.col(f.name)
-                if f.name not in pcols
-                else F.when(
-                    F.col(f"__pv_{f.name}").isNull()
-                    | (F.col(f"__pv_{f.name}") == _HIVE_NULL),
-                    F.lit(None),
-                )
-                .otherwise(F.col(f"__pv_{f.name}"))
-                .cast(ptypes[f.name])
-                .alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        .select(*cols)
     )
-    return out
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int = -1,
+    end_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """CDF-lite incremental tail: the rows ADDED by commits in
+    ``(since_version, end_version]``, each tagged with its
+    ``_commit_version`` — the change feed a downstream pipeline polls
+    instead of re-reading the table (the ``incremental.py`` idea keyed
+    on the transaction log rather than a directory listing, so it sees
+    exactly what each commit claimed, not what the filesystem happens
+    to contain).
+
+    Emits INSERTS only: an overwrite commit surfaces its new files as
+    that version's inserts and its tombstones are NOT emitted (this
+    writer never row-deletes; a full CDF with delete images is a
+    reader-v2+ feature out of scope for the spec-level reader). Needs
+    the JSON commits for the requested range on disk — per-commit
+    attribution cannot come from a checkpoint, so raise rather than
+    guess if the tail was vacuumed. Returns (frame, end_version)."""
+    versions = delta_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"empty Delta log at {path!r}")
+    last = max(versions) if end_version is None else end_version
+    _protocol, meta, _adds = _replay(spark, path, last)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    want = [v for v in range(since_version + 1, last + 1)]
+    missing = [v for v in want if v not in versions]
+    if missing:
+        raise FileNotFoundError(
+            f"commit JSON for version(s) {missing} not on disk — the "
+            "change feed needs per-commit attribution a checkpoint "
+            "cannot provide"
+        )
+    tagged: list[tuple[int | None, dict]] = []
+    for v in want:
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    tagged.append((v, action["add"]))
+    out_schema = T.StructType(
+        schema.fields + [T.StructField("_commit_version", T.LongType())]
+    )
+    if not tagged:
+        return spark.createDataFrame([], out_schema), last
+    return (
+        _scan_adds(spark, path, schema, pcols, tagged, with_version=True),
+        last,
+    )
+
+
+def delta_tail_fold(
+    spark: SparkSession, path: str, cursor_path: str, fn
+) -> tuple[int, int]:
+    """Exactly-once consumption of the Delta change tail: read the
+    commits after the cursor, hand them to ``fn(changes_df)``, and
+    advance the cursor ONLY after ``fn`` returns — the foreachBatch
+    commit discipline (at-least-once replay of ``fn`` on a crash
+    between fn and cursor write, so ``fn`` should be idempotent per
+    version, e.g. an epoch-partitioned overwrite keyed on
+    ``_commit_version``). The cursor is a one-line JSON file published
+    with write-temp + ``os.replace`` (atomic on POSIX). Returns
+    (versions_processed, new_cursor_version)."""
+    since = -1
+    if os.path.exists(cursor_path):
+        since = int(json.load(open(cursor_path))["version"])
+    changes, last = read_delta_changes(spark, path, since_version=since)
+    if last <= since:
+        return 0, since
+    fn(changes)
+    tmp = cursor_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": last}, fh)
+    os.replace(tmp, cursor_path)
+    return last - since, last
 
 
 def _put_if_absent_commit(path: str, version: int, lines: list[dict]) -> None:

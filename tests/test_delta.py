@@ -255,3 +255,96 @@ def test_delta_empty_write_and_schema_only_read(spark, tmp_path):
     back = read_delta(spark, path)
     assert back.count() == 0
     assert back.columns == ["id", "s"]
+
+
+def test_delta_changes_feed_attributes_versions(spark, tmp_path):
+    """read_delta_changes emits each commit's inserted rows tagged
+    with _commit_version; since_version slices the tail; an overwrite
+    commit surfaces its new files as inserts without re-emitting
+    history."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = str(tmp_path / "cf")
+    write_delta(_mk(spark, [(1,), (2,)], "id bigint"), path)
+    write_delta(_mk(spark, [(3,)], "id bigint"), path, mode="append")
+    write_delta(_mk(spark, [(9,)], "id bigint"), path, mode="overwrite")
+    full, last = read_delta_changes(spark, path)
+    assert last == 2
+    got = sorted((r.id, r._commit_version) for r in full.collect())
+    assert got == [(1, 0), (2, 0), (3, 1), (9, 2)]
+    tail, _ = read_delta_changes(spark, path, since_version=0)
+    assert sorted((r.id, r._commit_version) for r in tail.collect()) == [
+        (3, 1),
+        (9, 2),
+    ]
+    empty, _ = read_delta_changes(spark, path, since_version=2)
+    assert empty.count() == 0
+    assert "_commit_version" in empty.columns
+
+
+def test_delta_changes_partitioned_carries_partition_cols(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = str(tmp_path / "cfp")
+    write_delta(
+        _mk(spark, [(1, 2020), (2, 2021)], "id bigint, year int"),
+        path,
+        partition_by=["year"],
+    )
+    write_delta(
+        _mk(spark, [(3, 2021)], "id bigint, year int"),
+        path,
+        mode="append",
+    )
+    ch, last = read_delta_changes(spark, path, since_version=0)
+    assert last == 1
+    assert [(r.id, r.year, r._commit_version) for r in ch.collect()] == [
+        (3, 2021, 1)
+    ]
+
+
+def test_delta_tail_fold_exactly_once_cursor(spark, tmp_path):
+    """The fold advances the cursor only after fn succeeds: a crash in
+    fn leaves the cursor behind (replay = at-least-once into an
+    idempotent consumer); a clean pass advances it and the next poll
+    is a no-op."""
+    import pytest as _pt
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delta_tail_fold,
+        write_delta,
+    )
+
+    path = str(tmp_path / "tf")
+    cursor = str(tmp_path / "cursor.json")
+    write_delta(_mk(spark, [(1,)], "id bigint"), path)
+    write_delta(_mk(spark, [(2,)], "id bigint"), path, mode="append")
+
+    seen: list[list[tuple]] = []
+
+    def boom(df):
+        raise RuntimeError("consumer crash")
+
+    with _pt.raises(RuntimeError):
+        delta_tail_fold(spark, path, cursor, boom)
+    assert not os.path.exists(cursor)  # cursor did NOT advance
+
+    def consume(df):
+        seen.append(sorted((r.id, r._commit_version) for r in df.collect()))
+
+    n, v = delta_tail_fold(spark, path, cursor, consume)
+    assert (n, v) == (2, 1)
+    assert seen == [[(1, 0), (2, 1)]]
+    n2, v2 = delta_tail_fold(spark, path, cursor, consume)
+    assert (n2, v2) == (0, 1) and len(seen) == 1  # no-op poll
+    # a new commit is picked up from the cursor, alone
+    write_delta(_mk(spark, [(3,)], "id bigint"), path, mode="append")
+    n3, v3 = delta_tail_fold(spark, path, cursor, consume)
+    assert (n3, v3) == (1, 2)
+    assert seen[-1] == [(3, 2)]
