@@ -102,6 +102,10 @@ GROUPS: dict[str, list[str]] = {
         "key_skew_report",
         "purchase_hits",
     ],
+    # round-7 additions
+    "r7_tail": [
+        "join_preflight",
+    ],
 }
 
 

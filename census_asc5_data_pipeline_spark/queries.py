@@ -7819,6 +7819,403 @@ FROM est
 """
 
 
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year rank movement of part brands by exact cent
+    revenue — the movers-and-shakers leaderboard every BI layer ships.
+    One fact aggregate (lineitem ⋈ broadcast part), one row_number per
+    year partition (|years|×|brands| frame — the window sorts a tiny
+    aggregate, never fact rows), one self-join on (brand, year+1).
+    rank_delta > 0 = climbed. Integer-exact end to end; row_number
+    ties break on brand, so ranks are deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        cents(F.col("l_extendedprice")).alias("rev_c"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("yr", "p_brand")
+        .agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("rev_c").desc(), F.col("p_brand")
+    )
+    ranked = rev.select(
+        "yr", "p_brand", "rev_c",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+    prev = ranked.select(
+        (F.col("yr") + 1).alias("yr"),
+        "p_brand",
+        F.col("rnk").alias("rnk_prev"),
+        F.col("rev_c").alias("rev_prev_c"),
+    )
+    return ranked.join(prev, ["yr", "p_brand"]).select(
+        "yr",
+        "p_brand",
+        "rnk_prev",
+        F.col("rnk").alias("rnk_now"),
+        (F.col("rnk_prev") - F.col("rnk")).cast("bigint").alias("rank_delta"),
+        "rev_prev_c",
+        F.col("rev_c").alias("rev_now_c"),
+    )
+
+
+SQL_TOP_MOVERS = """
+WITH rev AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT yr, p_brand, rev_c,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY yr ORDER BY rev_c DESC, p_brand
+         ) AS BIGINT) AS rnk
+  FROM rev
+)
+SELECT r.yr, r.p_brand,
+       p.rnk AS rnk_prev, r.rnk AS rnk_now,
+       CAST(p.rnk - r.rnk AS BIGINT) AS rank_delta,
+       p.rev_c AS rev_prev_c, r.rev_c AS rev_now_c
+FROM ranked r
+JOIN ranked p ON p.p_brand = r.p_brand AND p.yr + 1 = r.yr
+"""
+
+
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue BRIDGE (waterfall decomposition) per
+    brand: ΔR splits into a volume effect (Δqty at the old average
+    price) and a price effect (new qty × Δavg price) — the
+    explain-the-delta analytic behind every revenue review. Average
+    prices are exact integer micro-cents-per-unit via floor division
+    ((rev_c · 1e6) DIV qty — the truncation IS the metric's published
+    definition, identical in both engines), so every output column is
+    BIGINT-exact. Same fact-aggregate + broadcast-dim + year-shift
+    self-join shape as top_movers; no window at all."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        cents(F.col("l_extendedprice")).alias("rev_c"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("yr", "p_brand")
+        .agg(
+            F.sum("rev_c").cast("bigint").alias("rev_c"),
+            F.sum("qty").cast("bigint").alias("qty"),
+        )
+    )
+    prev = agg.select(
+        (F.col("yr") + 1).alias("yr"),
+        "p_brand",
+        F.col("rev_c").alias("rev_prev_c"),
+        F.col("qty").alias("qty_prev"),
+    )
+    j = agg.join(prev, ["yr", "p_brand"]).filter(
+        (F.col("qty") > 0) & (F.col("qty_prev") > 0)
+    )
+    price_prev = F.expr("(rev_prev_c * 1000000) DIV qty_prev")
+    price_now = F.expr("(rev_c * 1000000) DIV qty")
+    return j.select(
+        "yr",
+        "p_brand",
+        "rev_prev_c",
+        F.col("rev_c").alias("rev_now_c"),
+        (F.col("rev_c") - F.col("rev_prev_c"))
+        .cast("bigint")
+        .alias("delta_c"),
+        ((F.col("qty") - F.col("qty_prev")) * price_prev)
+        .cast("bigint")
+        .alias("volume_eff_microc"),
+        (F.col("qty") * (price_now - price_prev))
+        .cast("bigint")
+        .alias("price_eff_microc"),
+    )
+
+
+SQL_REVENUE_BRIDGE = """
+WITH agg AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT n.yr, n.p_brand,
+       p.rev_c AS rev_prev_c,
+       n.rev_c AS rev_now_c,
+       CAST(n.rev_c - p.rev_c AS BIGINT) AS delta_c,
+       CAST((n.qty - p.qty) * ((p.rev_c * 1000000) // p.qty) AS BIGINT)
+         AS volume_eff_microc,
+       CAST(n.qty * ((n.rev_c * 1000000) // n.qty
+                     - (p.rev_c * 1000000) // p.qty) AS BIGINT)
+         AS price_eff_microc
+FROM agg n
+JOIN agg p ON p.p_brand = n.p_brand AND p.yr + 1 = n.yr
+WHERE n.qty > 0 AND p.qty > 0
+"""
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β over the
+    corpus in doc_id order — the companion diagnostic to
+    :func:`q_zipf_fit` (natural text: β ≈ 0.4-0.6; templated or
+    duplicated corpora flatten early). A naive cumulative-distinct is
+    a global single-partition window over every doc; instead the
+    curve is sampled at 64 doc_id CHECKPOINTS: tokens-per-doc and
+    each token's FIRST document (min doc_id — one map-side-combinable
+    aggregate each) bucket into 64 id-range cells via pure integer
+    arithmetic, cumulative sums run over the 64-row census (trivially
+    single-partition), and the log-log least squares uses the
+    zipf_fit discipline — per-point ln quantized to integer micros
+    first, so the regression sums are exact integers and the fit is
+    bit-deterministic cross-engine. Scales: two shuffles on token/doc
+    keys, everything downstream is O(64)."""
+    from census_asc5_data_pipeline_spark.functions import (
+        explode_computed,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = explode_computed(
+        docs.select("doc_id", words(F.col("text")).alias("w")),
+        F.col("w"),
+        "tok",
+    ).filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    bounds = F.broadcast(
+        docs.agg(
+            F.min("doc_id").alias("mn"),
+            (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
+        )
+    )
+    bucket = F.expr("least(((doc - mn) * 64) DIV span, 63)").cast("bigint")
+    tok_b = (
+        toks.groupBy(F.col("doc_id").alias("doc"))
+        .agg(F.count(F.lit(1)).alias("n_toks"))
+        .crossJoin(bounds)
+        .select(bucket.alias("b"), "n_toks")
+        .groupBy("b")
+        .agg(F.sum("n_toks").cast("bigint").alias("t"))
+    )
+    voc_b = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc"))
+        .crossJoin(bounds)
+        .select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    cells = tok_b.join(voc_b, "b", "full_outer").select(
+        "b",
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        F.coalesce(F.col("v"), F.lit(0)).alias("v"),
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        cells.select(
+            F.sum("t").over(wc).alias("cum_t"),
+            F.sum("v").over(wc).alias("cum_v"),
+        )
+        .filter((F.col("cum_t") > 0) & (F.col("cum_v") > 0))
+    )
+    x = F.floor(F.log(F.col("cum_t").cast("double")) * 1e6 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    y = F.floor(F.log(F.col("cum_v").cast("double")) * 1e6 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    s = (
+        pts.select(
+            x.alias("xm"), y.alias("ym"),
+            (x * y).alias("xym"), (x * x).alias("xxm"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xm").alias("sx"),
+            F.sum("ym").alias("sy"),
+            F.sum("xym").alias("sxy"),
+            F.sum("xxm").alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / (nd * F.lit(1e6))
+    return s.select(
+        "n",
+        F.floor(slope * 1e6 + F.lit(0.5)).cast("bigint").alias("beta_micro"),
+        F.floor(intercept * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("logk_micro"),
+    )
+
+
+SQL_HEAPS_LAW = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok IS NOT NULL AND tok <> ''
+), bounds AS (
+  SELECT MIN(doc_id) AS mn, MAX(doc_id) - MIN(doc_id) + 1 AS span
+  FROM documents
+), tok_b AS (
+  SELECT LEAST(((doc - mn) * 64) // span, 63) AS b,
+         CAST(SUM(n_toks) AS BIGINT) AS t
+  FROM (
+    SELECT doc_id AS doc, COUNT(*) AS n_toks FROM toks GROUP BY 1
+  ) CROSS JOIN bounds
+  GROUP BY 1
+), voc_b AS (
+  SELECT LEAST(((doc - mn) * 64) // span, 63) AS b,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM (
+    SELECT MIN(doc_id) AS doc FROM toks GROUP BY tok
+  ) CROSS JOIN bounds
+  GROUP BY 1
+), cells AS (
+  SELECT COALESCE(tok_b.b, voc_b.b) AS b,
+         COALESCE(t, 0) AS t, COALESCE(v, 0) AS v
+  FROM tok_b FULL OUTER JOIN voc_b ON tok_b.b = voc_b.b
+), pts AS (
+  SELECT CAST(FLOOR(LN(CAST(cum_t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS xm,
+         CAST(FLOOR(LN(CAST(cum_v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS ym
+  FROM (
+    SELECT SUM(t) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_t,
+           SUM(v) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_v
+    FROM cells
+  ) WHERE cum_t > 0 AND cum_v > 0
+), s AS (
+  SELECT COUNT(*) AS n, SUM(xm) AS sx, SUM(ym) AS sy,
+         SUM(xm * ym) AS sxy, SUM(xm * xm) AS sxx
+  FROM pts
+)
+SELECT n,
+       CAST(FLOOR(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000 + 0.5
+       ) AS BIGINT) AS beta_micro,
+       CAST(FLOOR(
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * 1000000) * 1000000 + 0.5
+       ) AS BIGINT) AS logk_micro
+FROM s
+"""
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a MAX-DELAY constraint: signup → view
+    within 7 days of the signup → purchase within 7 days of that view
+    — the time-boxed variant product analytics actually reports
+    (unbounded funnels overcount: a purchase a year later is not a
+    conversion). Same three keyed aggregations as :func:`q_funnel`
+    (each stage takes the user's FIRST qualifying event), with an
+    upper bound on each stage's window; no self-cross, no event-level
+    window function."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_ms("ts").alias("ts_ms")
+    )
+    week = 7 * 86400000
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t1"))
+            & (F.col("ts_ms") <= F.col("t1") + F.lit(week))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t2"))
+            & (F.col("ts_ms") <= F.col("t2") + F.lit(week))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("s1_signup").alias("stage"), "n")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+                F.lit("s2_view_7d").alias("stage"), "n"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+                F.lit("s3_purchase_7d").alias("stage"), "n"
+            )
+        )
+    )
+
+
+SQL_FUNNEL_WINDOWED = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+  FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_ms) AS t1 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT ev.user_id, MIN(ts_ms) AS t2
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+  WHERE event_type = 'view'
+    AND ts_ms > t1 AND ts_ms <= t1 + 604800000
+  GROUP BY 1
+), s3 AS (
+  SELECT ev.user_id, MIN(ts_ms) AS t3
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+  WHERE event_type = 'purchase'
+    AND ts_ms > t2 AND ts_ms <= t2 + 604800000
+  GROUP BY 1
+)
+SELECT 's1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM s1
+UNION ALL
+SELECT 's2_view_7d', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 's3_purchase_7d', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration (Herfindahl) index per part type: each
     brand's revenue share in ppm (exact integer floor division of
@@ -8399,6 +8796,10 @@ def unpersist_deps(df: DataFrame) -> None:
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 7 ---
     "join_preflight": q_join_preflight,
+    "top_movers": q_top_movers,
+    "revenue_bridge": q_revenue_bridge,
+    "heaps_law": q_heaps_law,
+    "funnel_windowed": q_funnel_windowed,
     # --- new in round 6 ---
     "recursive_hierarchy": q_recursive_hierarchy,
     "neyman_sample": q_neyman_sample,
@@ -8604,6 +9005,10 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 7 ---
     "join_preflight": SQL_JOIN_PREFLIGHT,
+    "top_movers": SQL_TOP_MOVERS,
+    "revenue_bridge": SQL_REVENUE_BRIDGE,
+    "heaps_law": SQL_HEAPS_LAW,
+    "funnel_windowed": SQL_FUNNEL_WINDOWED,
     # --- new in round 6 ---
     "recursive_hierarchy": SQL_RECURSIVE_HIERARCHY,
     "neyman_sample": SQL_NEYMAN_SAMPLE,

@@ -19,6 +19,10 @@ SF_DIR = "/root/testdata/sf0.001"
 # is covered by the no-cartesian assertion below.
 CROSS_JOIN_OK = {
     "ann_cosine_topk",
+    # deliberate 1-row (mn, span) bounds frame broadcast-crossJoined
+    # onto the per-doc and per-token aggregates to drive the integer
+    # bucket expression — one row, never data-scale
+    "heaps_law",
     # deliberate 1-ROW broadcast crossJoin: the global (n_g, v) totals
     # frame attaches to every scored row without a scalar-subquery
     # re-render of the token lineage — a BroadcastNestedLoopJoin whose

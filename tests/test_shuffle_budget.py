@@ -28,6 +28,19 @@ SHUFFLE_BUDGET = {
     # collected to driver scalars); the returned plan is a 1-row
     # local relation
     "join_preflight": 0,
+    # fact agg renders under both self-join sides (no static reuse,
+    # pre-AQE) + the per-year rank window partitioning on each side +
+    # the (yr, brand) join itself
+    "top_movers": 8,
+    # same two-sided fact-agg lineage without the rank windows
+    "revenue_bridge": 5,
+    # token pass -> per-doc counts (1) + per-token first-doc (1), the
+    # 64-cell census full-outer join + its tiny single-partition
+    # cumulative window + the 1-row fit aggregate
+    "heaps_law": 9,
+    # three stage aggregates, each keyed on user_id, joined pairwise;
+    # stage lineages render under every downstream side pre-AQE
+    "funnel_windowed": 11,
     # --- new in round 6 ---
     # the sketch-census groupBy renders statically under BOTH pair
     # sides (the broadcast subtree doesn't reuse under this fixture's
