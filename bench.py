@@ -105,6 +105,13 @@ GROUPS: dict[str, list[str]] = {
     # round-7 additions
     "r7_tail": [
         "join_preflight",
+        "top_movers",
+        "revenue_bridge",
+        "heaps_law",
+        "funnel_windowed",
+        "supplier_scorecard",
+        "customer_migration",
+        "order_cycle_time",
     ],
 }
 

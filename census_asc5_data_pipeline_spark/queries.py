@@ -8216,6 +8216,177 @@ SELECT 's3_purchase_7d', CAST(COUNT(*) AS BIGINT) FROM s3
 """
 
 
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite supplier KPI scorecard — the entity-level serving
+    rollup every vendor dashboard is: per supplier, line count, exact
+    cent revenue, return-rate ppm and average-discount ppm (both
+    integer floor divisions of exact per-row integer sums — the
+    truncation is the metric's definition, identical in both
+    engines). ONE fact aggregate keyed on the 8-byte suppkey + one
+    broadcast dim join for the name; at 100 TB the dim stays
+    broadcast-size and the fact agg is map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        cents(F.col("l_extendedprice")).alias("rev_c"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.floor(F.col("l_discount") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("disc_ppm"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    agg = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("rev_c").cast("bigint").alias("revenue_c"),
+        F.sum("ret").cast("bigint").alias("n_returned"),
+        F.sum("disc_ppm").cast("bigint").alias("disc_sum"),
+    )
+    return (
+        agg.join(F.broadcast(sup), agg.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+            "n_items",
+            "revenue_c",
+            F.expr("(n_returned * 1000000) DIV n_items").alias(
+                "return_ppm"
+            ),
+            F.expr("disc_sum DIV n_items").alias("avg_disc_ppm"),
+        )
+    )
+
+
+SQL_SUPPLIER_SCORECARD = """
+WITH agg AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_c,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned,
+         CAST(SUM(CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS disc_sum
+  FROM lineitem GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       n_items, revenue_c,
+       CAST((n_returned * 1000000) // n_items AS BIGINT) AS return_ppm,
+       CAST(disc_sum // n_items AS BIGINT) AS avg_disc_ppm
+FROM agg JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment MIGRATION matrix: customers ntile'd into spend
+    terciles per year, transitions counted between consecutive years
+    — the retention-marketing "who moved down a tier" analytic.
+    ntile runs over the (year → customers) partition with a custkey
+    tie-break so tier assignment is total-ordered and deterministic
+    cross-engine; the matrix join is on (custkey, year+1). Shape: one
+    fact agg, one per-year window over the customer-level frame, one
+    keyed self-join, one tiny matrix rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("bigint").alias("yr")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("spend_c"))
+    w = Window.partitionBy("yr").orderBy(
+        F.col("spend_c"), F.col("o_custkey")
+    )
+    tiered = spend.select(
+        "o_custkey", "yr", F.ntile(3).over(w).cast("bigint").alias("tier")
+    )
+    prev = tiered.select(
+        "o_custkey",
+        (F.col("yr") + 1).alias("yr"),
+        F.col("tier").alias("tier_from"),
+    )
+    return (
+        tiered.join(prev, ["o_custkey", "yr"])
+        .groupBy("yr", "tier_from", F.col("tier").alias("tier_to"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+SQL_CUSTOMER_MIGRATION = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_c
+  FROM orders GROUP BY 1, 2
+), tiered AS (
+  SELECT o_custkey, yr,
+         CAST(NTILE(3) OVER (
+           PARTITION BY yr ORDER BY spend_c, o_custkey
+         ) AS BIGINT) AS tier
+  FROM spend
+)
+SELECT n.yr, p.tier AS tier_from, n.tier AS tier_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM tiered n
+JOIN tiered p ON p.o_custkey = n.o_custkey AND p.yr + 1 = n.yr
+GROUP BY 1, 2, 3
+"""
+
+
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment cycle time percentiles per order
+    priority — the fulfillment-SLA report. Day difference is exact
+    integer arithmetic on epoch-millis (both engines' dates are
+    midnight timestamps, so the DIV is lossless); the exact median
+    and p90 ride the ×2 integer pattern (floor(2·percentile + 0.5)),
+    so .5 midpoints stay exact and the output is hash-stable. One
+    orders⋈lineitem join keyed on the 8-byte orderkey, one per-order
+    min, one per-priority rollup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", epoch_ms("l_shipdate").alias("ship_ms")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", epoch_ms("o_orderdate").alias("ord_ms")
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "ord_ms")
+        .agg(F.min("ship_ms").alias("ship_ms"))
+        .select(
+            "o_orderpriority",
+            F.expr("(ship_ms - ord_ms) DIV 86400000").alias("days"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.floor(F.median("days") * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("median_days_x2"),
+        F.floor(F.percentile("days", 0.9) * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("p90_days_x2"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+
+
+SQL_ORDER_CYCLE_TIME = """
+WITH per_order AS (
+  SELECT o_orderpriority,
+         (MIN(CAST(epoch_ms(l_shipdate) AS BIGINT))
+          - CAST(epoch_ms(o_orderdate) AS BIGINT)) // 86400000 AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority, o_orderdate
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(days) AS BIGINT) AS min_days,
+       CAST(FLOOR(median(days) * 2 + 0.5) AS BIGINT) AS median_days_x2,
+       CAST(FLOOR(quantile_cont(days, 0.9) * 2 + 0.5) AS BIGINT)
+         AS p90_days_x2,
+       CAST(MAX(days) AS BIGINT) AS max_days
+FROM per_order GROUP BY 1
+"""
+
+
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration (Herfindahl) index per part type: each
     brand's revenue share in ppm (exact integer floor division of
@@ -8800,6 +8971,9 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_bridge": q_revenue_bridge,
     "heaps_law": q_heaps_law,
     "funnel_windowed": q_funnel_windowed,
+    "supplier_scorecard": q_supplier_scorecard,
+    "customer_migration": q_customer_migration,
+    "order_cycle_time": q_order_cycle_time,
     # --- new in round 6 ---
     "recursive_hierarchy": q_recursive_hierarchy,
     "neyman_sample": q_neyman_sample,
@@ -9009,6 +9183,9 @@ ORACLES: dict[str, str] = {
     "revenue_bridge": SQL_REVENUE_BRIDGE,
     "heaps_law": SQL_HEAPS_LAW,
     "funnel_windowed": SQL_FUNNEL_WINDOWED,
+    "supplier_scorecard": SQL_SUPPLIER_SCORECARD,
+    "customer_migration": SQL_CUSTOMER_MIGRATION,
+    "order_cycle_time": SQL_ORDER_CYCLE_TIME,
     # --- new in round 6 ---
     "recursive_hierarchy": SQL_RECURSIVE_HIERARCHY,
     "neyman_sample": SQL_NEYMAN_SAMPLE,

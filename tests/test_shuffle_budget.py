@@ -41,6 +41,15 @@ SHUFFLE_BUDGET = {
     # three stage aggregates, each keyed on user_id, joined pairwise;
     # stage lineages render under every downstream side pre-AQE
     "funnel_windowed": 11,
+    # one fact agg on suppkey + the broadcast dim join's build side
+    "supplier_scorecard": 2,
+    # spend agg renders under both self-join sides + per-year ntile
+    # window partitioning on each + the tiny matrix rollup reuses the
+    # join partitioning
+    "customer_migration": 5,
+    # orderkey join + per-order min (shares the join partitioning) +
+    # the per-priority rollup
+    "order_cycle_time": 3,
     # --- new in round 6 ---
     # the sketch-census groupBy renders statically under BOTH pair
     # sides (the broadcast subtree doesn't reuse under this fixture's
