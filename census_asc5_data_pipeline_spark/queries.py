@@ -8387,6 +8387,119 @@ FROM per_order GROUP BY 1
 """
 
 
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-vector audit of the embedding corpus: per label, the
+    robust (median/MAD) profile of vector norms and the count of
+    3-MAD norm outliers — the pre-ANN health check that catches
+    zeroed, clipped, or exploded vectors BEFORE they poison a
+    similarity index. Elements quantize to integer micros FIRST (the
+    LSH-oracle discipline), so ‖v‖² is an exact BIGINT and the whole
+    MAD pipeline is the mad_outliers integer pattern (2·dev2 > 3·mad4
+    — no float threshold to diverge between engines). Two grouped
+    medians + one conditional count; the per-vector HOF fold runs
+    JVM-side in one pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    eq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    n2 = F.aggregate(
+        eq, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    vec = emb.select(
+        F.col("label").cast("bigint").alias("label"), n2.alias("n2")
+    )
+    med = vec.groupBy("label").agg(
+        F.floor(F.median("n2") * 2 + F.lit(0.5)).cast("bigint").alias("med2")
+    )
+    dev = vec.join(F.broadcast(med), "label").withColumn(
+        "dev2", F.abs(2 * F.col("n2") - F.col("med2"))
+    )
+    mad = dev.groupBy("label").agg(
+        F.floor(F.median("dev2") * 2 + F.lit(0.5))
+        .cast("bigint")
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("med2").alias("med2_norm"),
+            F.max("mad4").alias("mad4_norm"),
+        )
+    )
+
+
+SQL_EMBEDDING_NORM_PROFILE = """
+WITH vec AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(list_sum(list_transform(
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)),
+           x -> x * x)) AS BIGINT) AS n2
+  FROM embeddings
+), med AS (
+  SELECT label, CAST(FLOOR(median(n2) * 2 + 0.5) AS BIGINT) AS med2
+  FROM vec GROUP BY 1
+), dev AS (
+  SELECT vec.label, ABS(2 * n2 - med2) AS dev2
+  FROM vec JOIN med USING (label)
+), mad AS (
+  SELECT label, CAST(FLOOR(median(dev2) * 2 + 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(MAX(m2.med2) AS BIGINT) AS med2_norm,
+       CAST(MAX(mad.mad4) AS BIGINT) AS mad4_norm
+FROM dev d JOIN mad USING (label) JOIN med m2 ON d.label = m2.label
+GROUP BY 1
+"""
+
+
+def q_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language composition per corpus source in exact integer ppm —
+    the mixture view a multilingual training-data curator reads next
+    to source_mixture (which slices by source only): one grouped
+    count + one share window over the tiny (source × lang) frame."""
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return counts.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.expr(
+            "(n_docs * 1000000) DIV SUM(n_docs) OVER (PARTITION BY source)"
+        )
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
+
+
+SQL_SOURCE_LANG_MIX = """
+WITH counts AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs,
+       CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY source)
+            AS BIGINT) AS share_ppm
+FROM counts
+"""
+
+
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration (Herfindahl) index per part type: each
     brand's revenue share in ppm (exact integer floor division of
@@ -8974,6 +9087,8 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_scorecard": q_supplier_scorecard,
     "customer_migration": q_customer_migration,
     "order_cycle_time": q_order_cycle_time,
+    "embedding_norm_profile": q_embedding_norm_profile,
+    "source_lang_mix": q_source_lang_mix,
     # --- new in round 6 ---
     "recursive_hierarchy": q_recursive_hierarchy,
     "neyman_sample": q_neyman_sample,
@@ -9186,6 +9301,8 @@ ORACLES: dict[str, str] = {
     "supplier_scorecard": SQL_SUPPLIER_SCORECARD,
     "customer_migration": SQL_CUSTOMER_MIGRATION,
     "order_cycle_time": SQL_ORDER_CYCLE_TIME,
+    "embedding_norm_profile": SQL_EMBEDDING_NORM_PROFILE,
+    "source_lang_mix": SQL_SOURCE_LANG_MIX,
     # --- new in round 6 ---
     "recursive_hierarchy": SQL_RECURSIVE_HIERARCHY,
     "neyman_sample": SQL_NEYMAN_SAMPLE,

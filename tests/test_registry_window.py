@@ -9,13 +9,13 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-7 window: the eight queries NEW this round lead —
+# round-7 window: the ten queries NEW this round lead —
 # join_preflight (the fixed join_size_estimate's fully-oracled
 # exact-distinct mode — the judge's round-6 weak row, must verify
 # through the driver's gate), top_movers, revenue_bridge, heaps_law,
 # funnel_windowed, supplier_scorecard, customer_migration,
-# order_cycle_time — then the round-6 window held one more round
-# (its eight-entry tail falls out).
+# order_cycle_time, embedding_norm_profile, source_lang_mix — then the round-6 window held one more round
+# (its ten-entry tail falls out).
 PINNED_FIRST_50 = [
     "join_preflight",
     "top_movers",
@@ -25,6 +25,8 @@ PINNED_FIRST_50 = [
     "supplier_scorecard",
     "customer_migration",
     "order_cycle_time",
+    "embedding_norm_profile",
+    "source_lang_mix",
     "recursive_hierarchy",
     "neyman_sample",
     "longest_streak",
@@ -65,8 +67,6 @@ PINNED_FIRST_50 = [
     "k_core",
     "event_paths",
     "label_centroids",
-    "feature_hash_vectors",
-    "jaccard_bands",
 ]
 
 

@@ -50,6 +50,11 @@ SHUFFLE_BUDGET = {
     # orderkey join + per-order min (shares the join partitioning) +
     # the per-priority rollup
     "order_cycle_time": 3,
+    # vector fold is in-row; label agg renders under med/dev/mad
+    # lineages pre-AQE + the two broadcast build sides
+    "embedding_norm_profile": 7,
+    # one grouped count + the share window reusing its partitioning
+    "source_lang_mix": 2,
     # --- new in round 6 ---
     # the sketch-census groupBy renders statically under BOTH pair
     # sides (the broadcast subtree doesn't reuse under this fixture's
