@@ -69,6 +69,7 @@ __all__ = [
     "delta_tail_fold",
     "write_delta",
     "create_checkpoint",
+    "vacuum_delta",
     "delta_versions",
 ]
 
@@ -656,15 +657,17 @@ _CKPT_SCHEMA = T.StructType(
 )
 
 
-def create_checkpoint(spark: SparkSession, path: str) -> int:
-    """Compact the log at its latest version into
+def create_checkpoint(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Compact the log at ``version`` (default: latest) into
     ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` so readers
     replay only the JSON tail and pre-checkpoint commits become
     prunable. Returns the checkpointed version."""
     versions = delta_versions(path)
     if not versions:
         raise FileNotFoundError(f"nothing to checkpoint at {path!r}")
-    v = max(versions)
+    v = max(versions) if version is None else version
     protocol, meta, adds = _replay(spark, path, v)
     rows = [
         (
@@ -726,3 +729,78 @@ def create_checkpoint(spark: SparkSession, path: str) -> int:
         json.dump({"version": v, "size": len(rows)}, fh)
     os.replace(lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
     return v
+
+
+def vacuum_delta(
+    spark: SparkSession, path: str, keep_versions: int = 2
+) -> dict:
+    """Physically delete data files no version in the retention
+    window references, and prune log JSONs the latest checkpoint has
+    compacted — the storage-reclaim half of the table lifecycle
+    (overwrites tombstone files logically; the bytes stay until
+    vacuum). Retention is VERSION-count based (the last
+    ``keep_versions`` states stay fully readable for time travel and
+    in-flight readers), which is deterministic under test and at
+    parity with time-based retention for a log whose commit cadence
+    is known.
+
+    Safety invariants:
+    - the live set is the UNION of every retained version's file list
+      (replayed from the log, never a directory listing) — a file is
+      deleted only when NO retained version references it;
+    - log JSONs are pruned only BELOW the latest checkpoint (readers
+      replay checkpoint + tail; pre-checkpoint JSON is redundant),
+      and only when they are also below the retention window's oldest
+      version, so version-targeted time travel within retention keeps
+      working;
+    - staging/temp debris (``.staging-*``, ``.tmp-*``) older than the
+      current commit is removed.
+
+    Returns {data_files_removed, log_files_removed, retained_versions}.
+    """
+    versions = delta_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path!r}")
+    retained = versions[-keep_versions:]
+    live: set[str] = set()
+    for v in retained:
+        _p, _m, adds = _replay(spark, path, v)
+        live |= {
+            os.path.normpath(urllib.parse.unquote(a["path"]))
+            for a in adds.values()
+        }
+    data_removed = 0
+    for root, dirs, fnames in os.walk(path, topdown=True):
+        dirs[:] = [d for d in dirs if d != _LOG]
+        for f in fnames:
+            full = os.path.join(root, f)
+            rel = os.path.normpath(os.path.relpath(full, path))
+            if f.startswith(".tmp-") or "/.staging-" in full or rel.startswith(
+                ".staging-"
+            ):
+                os.remove(full)
+                data_removed += 1
+                continue
+            if not f.endswith(".parquet") or f.startswith("."):
+                continue
+            if rel not in live:
+                os.remove(full)
+                data_removed += 1
+    # prune empty partition dirs left behind
+    for root, dirs, fnames in os.walk(path, topdown=False):
+        if root != path and _LOG not in root and not dirs and not fnames:
+            os.rmdir(root)
+    # a checkpoint AT the retention window's oldest version makes every
+    # retained version reconstructible without pre-retention JSON —
+    # write it, then prune strictly below it
+    create_checkpoint(spark, path, version=retained[0])
+    log_removed = 0
+    for v in versions:
+        if v < retained[0]:
+            os.remove(_commit_file(path, v))
+            log_removed += 1
+    return {
+        "data_files_removed": data_removed,
+        "log_files_removed": log_removed,
+        "retained_versions": retained,
+    }

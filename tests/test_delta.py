@@ -348,3 +348,44 @@ def test_delta_tail_fold_exactly_once_cursor(spark, tmp_path):
     n3, v3 = delta_tail_fold(spark, path, cursor, consume)
     assert (n3, v3) == (1, 2)
     assert seen[-1] == [(3, 2)]
+
+
+def test_delta_vacuum_reclaims_tombstoned_files(spark, tmp_path):
+    """After an overwrite, the old files are logically dead but
+    physically present; vacuum with retention must keep every
+    retained version readable, delete files NO retained version
+    references, and prune only checkpoint-compacted log JSONs."""
+    import glob
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        create_checkpoint,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "v")
+    write_delta(_mk(spark, [(1,)], "id bigint"), path)          # v0
+    write_delta(_mk(spark, [(2,)], "id bigint"), path, "append")  # v1
+    write_delta(_mk(spark, [(9,)], "id bigint"), path, "overwrite")  # v2
+    write_delta(_mk(spark, [(10,)], "id bigint"), path, "append")  # v3
+    n_before = len(glob.glob(path + "/*.parquet"))
+    create_checkpoint(spark, path)
+    rep = vacuum_delta(spark, path, keep_versions=2)
+    # v2 and v3 stay readable (time travel within retention)
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == [9, 10]
+    assert [r.id for r in read_delta(spark, path, version=2).collect()] == [9]
+    # v0/v1's files (tombstoned at v2) are physically gone
+    assert rep["data_files_removed"] >= 2
+    assert len(glob.glob(path + "/*.parquet")) < n_before
+    assert rep["retained_versions"] == [2, 3]
+    # pre-checkpoint, pre-retention log JSONs pruned; retained remain
+    present = sorted(
+        int(f[:20])
+        for f in os.listdir(os.path.join(path, "_delta_log"))
+        if f.endswith(".json") and len(f) == 25
+    )
+    assert present == [2, 3]
+    # a version outside retention is gone from the log
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, path, version=1)
