@@ -373,7 +373,12 @@ def label_propagation(
 
 
 def k_core(
-    edges: DataFrame, k: int, src: str = "u", dst: str = "v", max_iter: int = 50
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 50,
+    bounded: bool = False,
 ) -> DataFrame:
     """k-core decomposition membership: iteratively peel nodes of
     degree < k until a fixpoint — the classic dense-subgraph filter
@@ -390,9 +395,16 @@ def k_core(
     raising past it means the graph is adversarially chained and the
     caller should switch to an epoch-batched peel).
 
-    Deterministic (pure integer degree arithmetic), but the oracle
-    would need a recursive fixpoint SQL — registered rows-only with a
-    planted-graph pytest, like the other iterative operators.
+    ``bounded=True`` returns the round-``max_iter`` keep set instead
+    of raising on non-convergence: exactly the state after
+    ``max_iter`` degree computations. Because a converged round is a
+    no-op (all nodes keep, the edge filter removes nothing), the
+    early-exited fixpoint result is IDENTICAL to running all
+    ``max_iter`` rounds — so a bounded peel unrolls to closed-form
+    SQL, and the registry query is hash-verified against a
+    ``max_iter``-round DuckDB unroll (the LPA trick applied to the
+    one other integer-exact iterative op; round-6 verdict elective
+    #3). Pure integer degree arithmetic keeps it bit-deterministic.
     """
     e = _canonical_edges(edges, src, dst)
     directed = e.unionAll(
@@ -426,6 +438,10 @@ def k_core(
             directed.join(keep_u, "u", "left_semi")
             .join(keep_u.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint()
+        )
+    if bounded:
+        return keep.select(
+            F.col("u").alias("node"), F.col("d").alias("core_degree")
         )
     raise RuntimeError(
         f"k_core did not converge in {max_iter} peel rounds — "

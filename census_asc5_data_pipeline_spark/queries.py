@@ -7019,18 +7019,84 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the near-dup similarity graph (graph.k_core):
     documents that remain after iteratively peeling single-edge
     periphery — the dense template heart of each duplicate family
-    (complement of the degree histogram's tail). ROWS-ONLY: the peel
-    is an iterative fixpoint (no closed-form SQL); determinism +
-    peeling semantics pinned by the planted-graph pytest
-    (tests/test_graph.py)."""
+    (complement of the degree histogram's tail). FULLY ORACLED since
+    round 7: the peel runs ``bounded`` at ``_K_CORE_ROUNDS`` degree
+    computations (a converged round is a no-op, so the early-exited
+    fixpoint equals the full unroll bit-for-bit) and the DuckDB
+    oracle unrolls the identical rounds over the identical jaccard
+    pair set — the LPA unrolled-SQL trick applied to the other
+    integer-exact iterative operator (round-6 verdict elective #3).
+    Planted-graph peeling semantics stay pinned in
+    tests/test_graph.py."""
     from census_asc5_data_pipeline_spark.operators import graph as G
 
     docs = _t(spark, sf_dir, "documents")
     raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
     pairs = raw_pairs.select("doc_a", "doc_b").persist()
-    out = G.k_core(pairs, k=2, src="doc_a", dst="doc_b")
+    out = G.k_core(
+        pairs,
+        k=2,
+        src="doc_a",
+        dst="doc_b",
+        max_iter=_K_CORE_ROUNDS,
+        bounded=True,
+    )
     out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
     return out
+
+
+# Shared by the Spark query and the generated oracle so the round
+# count can never drift. 12 peel waves >> the synthetic graph's
+# observed peeling depth (2-3); a converged wave is a no-op, so extra
+# waves change nothing and the bounded result IS the fixpoint here.
+_K_CORE_ROUNDS = 12
+
+
+def _k_core_unrolled_sql(
+    k: int = 2, rounds: int = _K_CORE_ROUNDS, threshold_ppm: int = 300000
+) -> str:
+    """DuckDB mirror of the bounded k-core peel, generated from the
+    same (k, rounds, threshold) parameters as the Spark query: the
+    jaccard pair CTE (the dedup_ngram_jaccard oracle body at the
+    k_core threshold), the symmetric directed edge set, then
+    ``rounds`` unrolled (degree → keep → edge-filter) waves. Output =
+    the final wave's keep set with its degrees — exactly what the
+    bounded Spark peel returns, converged or not."""
+    parts = [
+        _SQL_SHINGLES.rstrip().rstrip(")")
+        + """), pr AS (
+  SELECT a.doc_id AS u, b.doc_id AS v,
+         a.n_sh AS n_a, b.n_sh AS n_b, CAST(COUNT(*) AS BIGINT) AS co
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT u, v FROM pr
+  WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5)
+             AS BIGINT) >= """
+        + str(threshold_ppm)
+        + """
+), e0 AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        # MATERIALIZED stops DuckDB's default CTE inlining: each
+        # wave references its predecessor three times, so inlining
+        # would expand the chain 3^rounds-fold
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e{i - 1} GROUP BY 1
+), k{i} AS MATERIALIZED (
+  SELECT u, d FROM d{i} WHERE d >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u
+)"""
+        )
+    parts.append(
+        f"\nSELECT u AS node, d AS core_degree FROM k{rounds}"
+    )
+    return "".join(parts)
 
 
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9303,6 +9369,10 @@ ORACLES: dict[str, str] = {
     "order_cycle_time": SQL_ORDER_CYCLE_TIME,
     "embedding_norm_profile": SQL_EMBEDDING_NORM_PROFILE,
     "source_lang_mix": SQL_SOURCE_LANG_MIX,
+    # k_core graduates from rows-only (r7): the bounded peel unrolls
+    # to closed-form SQL — generated from the SAME (k, rounds,
+    # threshold) constants as the Spark query
+    "k_core": _k_core_unrolled_sql(),
     # --- new in round 6 ---
     "recursive_hierarchy": SQL_RECURSIVE_HIERARCHY,
     "neyman_sample": SQL_NEYMAN_SAMPLE,
