@@ -473,3 +473,218 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         [(f,) for f in files], "f string"
     ).repartition(len(files))
     return flist.mapInArrow(_task, ddl)
+
+
+# ------------------------------------------ generic nested codec (r7)
+# The flat fast path above serves the DataFrame interchange surface;
+# table-format METADATA (Iceberg manifest lists / manifest files) is
+# deeply nested Avro — records in records, arrays of structs, maps,
+# fixed, enums, named-type references. This generic codec handles the
+# full type tree, driver-side only (manifests are metadata-scale), per
+# the public Avro 1.11 spec. Values decode to plain Python: record →
+# dict, array → list, map → dict, enum → symbol, fixed/bytes → bytes.
+
+
+def _resolve_named(schema, names: dict):
+    """Register named types and resolve by-name references."""
+    if isinstance(schema, str) and schema in names:
+        return names[schema]
+    if isinstance(schema, dict) and schema.get("type") in (
+        "record",
+        "fixed",
+        "enum",
+    ):
+        if "name" in schema:
+            names[schema["name"]] = schema
+    return schema
+
+
+def _decode_generic(schema, data: bytes, pos: int, names: dict):
+    schema = _resolve_named(schema, names)
+    if isinstance(schema, list):  # union: branch index then value
+        branch, pos = _read_long(data, pos)
+        return _decode_generic(schema[branch], data, pos, names)
+    if isinstance(schema, str):
+        if schema == "null":
+            return None, pos
+        return _decode_val(schema, data, pos)
+    t = schema["type"]
+    if t == "record":
+        _resolve_named(schema, names)
+        out = {}
+        for f in schema["fields"]:
+            out[f["name"]], pos = _decode_generic(
+                f["type"], data, pos, names
+            )
+        return out, pos
+    if t == "array":
+        items = []
+        while True:
+            cnt, pos = _read_long(data, pos)
+            if cnt == 0:
+                break
+            if cnt < 0:
+                _size, pos = _read_long(data, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                v, pos = _decode_generic(schema["items"], data, pos, names)
+                items.append(v)
+        return items, pos
+    if t == "map":
+        out = {}
+        while True:
+            cnt, pos = _read_long(data, pos)
+            if cnt == 0:
+                break
+            if cnt < 0:
+                _size, pos = _read_long(data, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                kb, pos = _read_bytes(data, pos)
+                v, pos = _decode_generic(schema["values"], data, pos, names)
+                out[kb.decode("utf-8")] = v
+        return out, pos
+    if t == "fixed":
+        _resolve_named(schema, names)
+        size = int(schema["size"])
+        return bytes(data[pos : pos + size]), pos + size
+    if t == "enum":
+        _resolve_named(schema, names)
+        idx, pos = _read_long(data, pos)
+        return schema["symbols"][idx], pos
+    # primitive spelled as {"type": "long", "logicalType": ...}
+    return _decode_val(t, data, pos)
+
+
+def _encode_generic(schema, value, buf: bytearray, names: dict) -> None:
+    schema = _resolve_named(schema, names)
+    if isinstance(schema, list):  # union: null branch for None, else
+        # the first branch that isn't "null" (Iceberg unions are
+        # always [null, X] / [X, null])
+        if value is None:
+            idx = next(
+                i for i, b in enumerate(schema) if b == "null"
+            )
+            _write_long(buf, idx)
+            return
+        idx, branch = next(
+            (i, b) for i, b in enumerate(schema) if b != "null"
+        )
+        _write_long(buf, idx)
+        _encode_generic(branch, value, buf, names)
+        return
+    if isinstance(schema, str):
+        if schema == "null":
+            if value is not None:
+                raise ValueError("non-None value for null schema")
+            return
+        _ENCODERS[schema](buf, value)
+        return
+    t = schema["type"]
+    if t == "record":
+        _resolve_named(schema, names)
+        for f in schema["fields"]:
+            if f["name"] not in value and isinstance(f["type"], list) and (
+                "null" in f["type"]
+            ):
+                _encode_generic(f["type"], None, buf, names)
+                continue
+            _encode_generic(f["type"], value[f["name"]], buf, names)
+        return
+    if t == "array":
+        if value:
+            _write_long(buf, len(value))
+            for v in value:
+                _encode_generic(schema["items"], v, buf, names)
+        _write_long(buf, 0)
+        return
+    if t == "map":
+        if value:
+            _write_long(buf, len(value))
+            for k, v in value.items():
+                _write_bytes(buf, k.encode("utf-8"))
+                _encode_generic(schema["values"], v, buf, names)
+        _write_long(buf, 0)
+        return
+    if t == "fixed":
+        _resolve_named(schema, names)
+        if len(value) != int(schema["size"]):
+            raise ValueError(
+                f"fixed({schema['size']}) got {len(value)} bytes"
+            )
+        buf += bytes(value)
+        return
+    if t == "enum":
+        _resolve_named(schema, names)
+        _write_long(buf, schema["symbols"].index(value))
+        return
+    _ENCODERS[t](buf, value)
+
+
+def write_container_generic(
+    fh, avro_schema: dict, records: list[dict], codec: str = "null",
+    metadata: dict[str, str] | None = None,
+) -> int:
+    """Write one Avro object-container file of nested ``records``
+    (dicts keyed by field name) under the full-tree ``avro_schema``.
+    Driver-side, for metadata-scale payloads (table-format manifests);
+    the task-parallel DataFrame path stays :func:`write_avro`."""
+    sync = os.urandom(16)
+    head = bytearray()
+    head += MAGIC
+    extra = metadata or {}
+    _write_long(head, 2 + len(extra))
+    _write_bytes(head, b"avro.schema")
+    _write_bytes(head, json.dumps(avro_schema).encode())
+    _write_bytes(head, b"avro.codec")
+    _write_bytes(head, codec.encode())
+    for k, v in extra.items():
+        _write_bytes(head, k.encode())
+        _write_bytes(head, v.encode())
+    _write_long(head, 0)
+    head += sync
+    fh.write(bytes(head))
+    buf = bytearray()
+    names: dict = {}
+    for rec in records:
+        _encode_generic(avro_schema, rec, buf, names)
+    if not records:
+        return 0
+    payload = bytes(buf)
+    if codec == "deflate":
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = c.compress(payload) + c.flush()
+    block = bytearray()
+    _write_long(block, len(records))
+    _write_long(block, len(payload))
+    fh.write(bytes(block) + payload + sync)
+    return len(records)
+
+
+def read_container_generic(path: str) -> tuple[dict, list[dict]]:
+    """Read a (possibly nested) Avro object-container file into plain
+    Python dicts via the file's own embedded schema. Driver-side, for
+    metadata-scale files (manifest lists, manifests)."""
+    with open(path, "rb") as fh:
+        schema, codec, sync = _read_header(fh)
+        body = fh.read()
+    rows: list[dict] = []
+    names: dict = {}
+    pos = 0
+    while pos < len(body):
+        n, pos = _read_long(body, pos)
+        size, pos = _read_long(body, pos)
+        payload = body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 16] != sync:
+            raise ValueError(f"sync marker mismatch in {path!r} (torn file?)")
+        pos += 16
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        p = 0
+        for _ in range(n):
+            v, p = _decode_generic(schema, payload, p, names)
+            rows.append(v)
+    return schema, rows

@@ -1,0 +1,639 @@
+"""Spec-level Apache Iceberg table reader/writer over the PUBLIC
+Iceberg table spec (iceberg.apache.org/spec) — no runtime jar, no
+pyiceberg, pure metadata-JSON + Avro manifests + parquet, completing
+the open-table-format pair begun by ``delta_io`` (round-6 verdict
+elective #1; Delta shipped first, Iceberg rides the same discipline
+plus the r7 generic nested-Avro codec in ``avro_io``).
+
+What the metadata tree is (filesystem / "hadoop" table layout):
+
+- ``metadata/v<N>.metadata.json`` (+ ``version-hint.text`` naming the
+  current N): format-version, schemas (field ``id``/``name``/
+  ``required``/``type``), partition-specs (``transform``/
+  ``source-id``), snapshots — each snapshot points at a MANIFEST LIST.
+- Manifest list = Avro file of ``manifest_file`` records (path,
+  content 0=data/1=deletes, counts). Manifest = Avro file of
+  ``manifest_entry`` records (status 0 existing/1 added/2 deleted,
+  ``data_file`` struct: file_path, file_format, partition struct,
+  record_count, ...). Both are METADATA scale and decode driver-side
+  with :func:`avro_io.read_container_generic` — each file's own
+  embedded schema drives the decode, so foreign-written manifests
+  with extra stats fields parse fine.
+- Snapshot state = the union of its manifests' non-deleted entries.
+
+Spark mapping — scale notes:
+
+- Unlike Delta/Hive, Iceberg data files carry ALL columns (identity
+  partition sources included), so the read is ONE multi-path
+  ``spark.read.schema(...).parquet`` — no partition re-attachment
+  join at all, zero shuffles.
+- ``partition_filter`` prunes the manifest-derived FILE LIST before
+  Spark plans the scan (identity transforms; the stats_index
+  discipline).
+- Feature gates fail LOUDLY instead of mis-reading: format-version
+  > 2, delete manifests (``content=1``) / delete files (v2
+  merge-on-read), non-parquet data files, unsupported transforms in
+  a ``partition_filter``.
+
+Honest caveats (documented, not silent): columns resolve BY NAME
+(real Iceberg resolves by field id through parquet field-id metadata;
+a foreign table whose columns were RENAMED mid-history would need id
+resolution — detecting that history is possible from the schema log,
+so we gate: if any two schema versions disagree on the name of a
+field id, raise). The writer emits spec-SHAPED v2 metadata our reader
+(and any reader honoring embedded Avro schemas) round-trips;
+byte-level parity with the reference Java writer's full stats is out
+of scope.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from census_asc5_data_pipeline_spark.sources.avro_io import (
+    read_container_generic,
+    write_container_generic,
+)
+
+__all__ = [
+    "read_iceberg",
+    "write_iceberg",
+    "iceberg_snapshots",
+]
+
+_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "uuid": T.StringType(),
+}
+_SPARK_TO_ICE = {
+    "boolean": "boolean",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+}
+
+
+def _ice_type_to_spark(t) -> T.DataType:
+    if isinstance(t, str):
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        raise NotImplementedError(f"unsupported iceberg type {t!r}")
+    if t["type"] == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _ice_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in t["fields"]
+            ]
+        )
+    if t["type"] == "list":
+        return T.ArrayType(
+            _ice_type_to_spark(t["element"]),
+            not t.get("element-required", False),
+        )
+    if t["type"] == "map":
+        return T.MapType(
+            _ice_type_to_spark(t["key"]),
+            _ice_type_to_spark(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise NotImplementedError(f"unsupported iceberg type {t!r}")
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _metadata_files(path: str) -> list[tuple[int, str]]:
+    d = _meta_dir(path)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"not an Iceberg table (no metadata/) at {path!r}"
+        )
+    out = []
+    for f in os.listdir(d):
+        if not f.endswith(".metadata.json"):
+            continue
+        m = re.match(r"v?(\d+)", f)
+        if m:
+            out.append((int(m.group(1)), os.path.join(d, f)))
+    return sorted(out)
+
+
+def _current_metadata(path: str) -> tuple[int, dict]:
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    files = _metadata_files(path)
+    if os.path.exists(hint):
+        v = int(open(hint).read().strip())
+        match = [p for n, p in files if n == v]
+        if match:
+            return v, json.load(open(match[0]))
+    if not files:
+        raise FileNotFoundError(f"no metadata json under {path!r}")
+    v, p = files[-1]
+    return v, json.load(open(p))
+
+
+def _local(p: str) -> str:
+    if p.startswith("file://"):
+        p = urllib.parse.urlparse(p).path
+    return p
+
+
+def _schema_of(meta: dict) -> tuple[T.StructType, list[dict]]:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        schemas = meta["schemas"]
+        ice = next(s for s in schemas if s.get("schema-id", 0) == sid)
+    else:  # v1 single-schema form
+        ice = meta["schema"]
+        schemas = [ice]
+    # name-resolution gate: if any field id was RENAMED across schema
+    # versions, by-name parquet resolution would silently mis-bind
+    names_by_id: dict[int, set[str]] = {}
+    for s in schemas:
+        for f in s.get("fields", []):
+            names_by_id.setdefault(f["id"], set()).add(f["name"])
+    renamed = {i: n for i, n in names_by_id.items() if len(n) > 1}
+    if renamed:
+        raise NotImplementedError(
+            f"table has renamed columns across schema versions "
+            f"{renamed} — this spec-level reader resolves by NAME and "
+            "would mis-bind; full field-id resolution is out of scope"
+        )
+    spark_schema = T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                _ice_type_to_spark(f["type"]),
+                not f.get("required", False),
+            )
+            for f in ice["fields"]
+        ]
+    )
+    return spark_schema, ice["fields"]
+
+
+def iceberg_snapshots(path: str) -> list[dict]:
+    """The table's snapshot log: [{snapshot-id, timestamp-ms,
+    manifest-list, summary}, ...] ascending."""
+    _v, meta = _current_metadata(path)
+    return sorted(
+        meta.get("snapshots", []), key=lambda s: s["snapshot-id"]
+    )
+
+
+def _live_files(
+    path: str, meta: dict, snapshot_id: int | None
+) -> list[dict]:
+    """data_file dicts of the snapshot's non-deleted entries."""
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        return []
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            return []
+    snap = next(
+        (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table {path!r} "
+            f"(have {[s['snapshot-id'] for s in snaps]})"
+        )
+    if "manifest-list" in snap:
+        _sch, manifests = read_container_generic(
+            _local(snap["manifest-list"])
+        )
+        manifest_paths = []
+        for m in manifests:
+            if int(m.get("content", 0)) == 1:
+                raise NotImplementedError(
+                    "snapshot carries a DELETE manifest (v2 merge-on-"
+                    "read); applying delete files is out of scope — "
+                    "refusing rather than returning deleted rows"
+                )
+            manifest_paths.append(_local(m["manifest_path"]))
+    else:  # v1 inline manifest path list
+        manifest_paths = [_local(p) for p in snap.get("manifests", [])]
+    out = []
+    for mp in manifest_paths:
+        _sch, entries = read_container_generic(mp)
+        for e in entries:
+            if int(e.get("status", 1)) == 2:  # DELETED
+                continue
+            df_ = e["data_file"]
+            if int(df_.get("content", 0) or 0) != 0:
+                raise NotImplementedError(
+                    f"data_file {df_.get('file_path')!r} is a v2 "
+                    "delete file; merge-on-read is out of scope"
+                )
+            fmt = str(df_.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"data file format {fmt!r}; this reader supports "
+                    "PARQUET only"
+                )
+            out.append(df_)
+    return out
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read an Iceberg table (current snapshot, or AS OF
+    ``snapshot_id``). ``partition_filter`` is an exact-match
+    {identity_partition_col: string_value} pruning the file list
+    before the scan plans."""
+    _v, meta = _current_metadata(path)
+    fv = int(meta.get("format-version", 1))
+    if fv > 2:
+        raise NotImplementedError(
+            f"format-version {fv}; this spec-level reader supports "
+            "v1/v2 only"
+        )
+    schema, _fields = _schema_of(meta)
+    live = _live_files(path, meta, snapshot_id)
+    if partition_filter:
+        spec_id = meta.get("default-spec-id", 0)
+        specs = meta.get("partition-specs") or (
+            [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+        )
+        spec = next(
+            s for s in specs if s.get("spec-id", 0) == spec_id
+        )
+        by_name = {f["name"]: f for f in spec.get("fields", [])}
+        for k in partition_filter:
+            f = by_name.get(k)
+            if f is None:
+                raise ValueError(
+                    f"{k!r} is not a partition field "
+                    f"(have {sorted(by_name)})"
+                )
+            if f.get("transform", "identity") != "identity":
+                raise NotImplementedError(
+                    f"partition_filter on transform "
+                    f"{f['transform']!r}; identity only"
+                )
+        live = [
+            d
+            for d in live
+            if all(
+                str((d.get("partition") or {}).get(k)) == v
+                for k, v in partition_filter.items()
+            )
+        ]
+    if not live:
+        return spark.createDataFrame([], schema)
+    files = [_local(d["file_path"]) for d in live]
+    return spark.read.schema(schema).parquet(*files)
+
+
+# ----------------------------------------------------------- writer
+
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [],
+                    }},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+
+def _entry_schema_for(pcols: list[tuple[str, str]]) -> dict:
+    """manifest_entry schema with the table's partition struct
+    (identity fields, nullable)."""
+    sch = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    part = sch["fields"][2]["type"]["fields"][3]["type"]
+    part["fields"] = [
+        {"name": n, "type": ["null", t]} for n, t in pcols
+    ]
+    return sch
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as a new Iceberg v2 snapshot; returns the
+    snapshot id. ``append`` keeps prior manifests in the new
+    snapshot's manifest list; ``overwrite`` lists only the new one
+    (prior snapshots stay readable AS OF — the log is immutable).
+    Data files keep ALL columns (identity-partition sources included,
+    per spec): the partition layout is driven by a cloned staging
+    column so the real column stays in the parquet. Commit =
+    manifest avro → manifest-list avro → new ``v<N>.metadata.json`` →
+    ``version-hint.text`` atomic replace (readers resolve hint-first,
+    so a crash before the hint flip leaves the old version current —
+    the delta_io pointer discipline)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r} (append|overwrite)")
+    spark = df.sparkSession
+    pcols = list(partition_by or [])
+    for c in pcols:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in DataFrame")
+    ice_fields = []
+    pcol_ice: list[tuple[str, str]] = []
+    for i, f in enumerate(df.schema.fields):
+        t = _SPARK_TO_ICE.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                "iceberg writer supports flat primitives + timestamp; "
+                f"{f.name!r} is {f.dataType.simpleString()!r}"
+            )
+        ice_fields.append(
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": t,
+            }
+        )
+        if f.name in pcols:
+            pcol_ice.append((f.name, t))
+
+    exists = os.path.isdir(_meta_dir(path)) and _metadata_files(path)
+    if exists:
+        cur_v, meta = _current_metadata(path)
+        prev_schema, _ = _schema_of(meta)
+        prev_pcols = [
+            f["name"]
+            for s in (
+                meta.get("partition-specs")
+                or [{"fields": meta.get("partition-spec", [])}]
+            )[:1]
+            for f in s.get("fields", [])
+        ]
+        if partition_by is not None and pcols != prev_pcols:
+            raise ValueError(
+                f"partition_by {pcols} != table spec {prev_pcols}"
+            )
+        pcols = prev_pcols
+        pcol_ice = [
+            (n, t)
+            for n, t in (
+                (f["name"], f["type"]) for f in ice_fields
+            )
+            if n in pcols
+        ]
+    else:
+        cur_v, meta = 0, {}
+
+    # stage data files; clone partition sources so the parquet keeps
+    # every column (spec requirement delta/hive don't have)
+    from pyspark.sql import functions as F
+
+    staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
+    out_df = df
+    writer_cols = []
+    for c in pcols:
+        out_df = out_df.withColumn(f"__pt_{c}", F.col(c))
+        writer_cols.append(f"__pt_{c}")
+    w = out_df.write.mode("overwrite")
+    if writer_cols:
+        w = w.partitionBy(*writer_cols)
+    w.parquet(staging)
+
+    import pyarrow.parquet as pq
+
+    now_ms = int(time.time() * 1000)
+    data_files = []
+    try:
+        for root, _dirs, fnames in os.walk(staging):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet") or fn.startswith("."):
+                    continue
+                src = os.path.join(root, fn)
+                rel = os.path.relpath(src, staging)
+                pv: dict[str, str | None] = {}
+                for comp in rel.split(os.sep)[:-1]:
+                    if "=" in comp:
+                        k, _, v = comp.partition("=")
+                        v = urllib.parse.unquote(v)
+                        pv[k.removeprefix("__pt_")] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        )
+                dst_rel = rel.replace("__pt_", "")
+                dst = os.path.join(path, "data", dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                n_rows = pq.ParquetFile(dst).metadata.num_rows
+                part_rec = {}
+                for name, ice_t in pcol_ice:
+                    raw = pv.get(name)
+                    if raw is None:
+                        part_rec[name] = None
+                    elif ice_t in ("int", "long"):
+                        part_rec[name] = int(raw)
+                    else:
+                        part_rec[name] = raw
+                data_files.append(
+                    {
+                        "content": 0,
+                        "file_path": os.path.abspath(dst),
+                        "file_format": "PARQUET",
+                        "partition": part_rec,
+                        "record_count": int(n_rows),
+                        "file_size_in_bytes": os.path.getsize(dst),
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    new_v = (cur_v or 0) + 1
+    snap_id = new_v
+    seq = new_v
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    man_path = os.path.join(
+        _meta_dir(path), f"manifest-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    entry_schema = _entry_schema_for(pcol_ice)
+    with open(man_path, "wb") as fh:
+        write_container_generic(
+            fh,
+            entry_schema,
+            [
+                {"status": 1, "snapshot_id": snap_id, "data_file": d}
+                for d in data_files
+            ],
+        )
+    prev_manifests: list[dict] = []
+    if exists and mode == "append":
+        cur_snap_id = meta.get("current-snapshot-id")
+        snap = next(
+            (
+                s
+                for s in meta.get("snapshots", [])
+                if s["snapshot-id"] == cur_snap_id
+            ),
+            None,
+        )
+        if snap is not None and "manifest-list" in snap:
+            _s, prev_manifests = read_container_generic(
+                _local(snap["manifest-list"])
+            )
+    new_manifest = {
+        "manifest_path": os.path.abspath(man_path),
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(data_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(d["record_count"] for d in data_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(
+        _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    with open(ml_path, "wb") as fh:
+        write_container_generic(
+            fh,
+            _MANIFEST_FILE_SCHEMA,
+            [
+                {
+                    k: m.get(k, 0)
+                    for k in (
+                        f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]
+                    )
+                }
+                for m in prev_manifests
+            ]
+            + [new_manifest],
+        )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.abspath(ml_path),
+        "summary": {"operation": mode},
+        "schema-id": 0,
+    }
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": meta.get("table-uuid", str(uuid.uuid4())),
+        "location": os.path.abspath(path),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(ice_fields),
+        "current-schema-id": 0,
+        "schemas": [
+            {"schema-id": 0, "type": "struct", "fields": ice_fields}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": n,
+                        "transform": "identity",
+                        "source-id": next(
+                            f["id"] for f in ice_fields if f["name"] == n
+                        ),
+                        "field-id": 1000 + i,
+                    }
+                    for i, (n, _t) in enumerate(pcol_ice)
+                ],
+            }
+        ],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": meta.get("snapshots", []) + [snapshot],
+        "snapshot-log": meta.get("snapshot-log", [])
+        + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        "metadata-log": [],
+    }
+    meta_path = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, meta_path)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, hint)
+    return snap_id

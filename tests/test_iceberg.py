@@ -1,0 +1,202 @@
+"""Spec-level Iceberg reader/writer (sources/iceberg_io.py):
+metadata-JSON + Avro manifest round-trips, snapshot time travel,
+identity partitions with planning-time pruning, and loud feature
+gates — built on the r7 generic nested-Avro codec."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _mk(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_iceberg_roundtrip_and_metadata_shape(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    df = _mk(
+        spark,
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.5)],
+        "id bigint, s string, v double",
+    )
+    snap = write_iceberg(df, path)
+    assert snap == 1
+    back = read_iceberg(spark, path)
+    assert back.schema == df.schema
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == sorted(
+        (r.id, r.s, r.v) for r in df.collect()
+    )
+    # on-disk: v1.metadata.json + version-hint + avro manifests
+    md = os.path.join(path, "metadata")
+    meta = json.load(open(os.path.join(md, "v1.metadata.json")))
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == 1
+    assert open(os.path.join(md, "version-hint.text")).read() == "1"
+    fields = meta["schemas"][0]["fields"]
+    assert [(f["id"], f["name"]) for f in fields] == [
+        (1, "id"),
+        (2, "s"),
+        (3, "v"),
+    ]
+    ml = meta["snapshots"][0]["manifest-list"]
+    assert os.path.exists(ml) and ml.endswith(".avro")
+
+
+def test_iceberg_append_overwrite_and_snapshot_travel(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        iceberg_snapshots,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1,)], "id bigint"), path)
+    write_iceberg(_mk(spark, [(2,)], "id bigint"), path, mode="append")
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == [
+        1,
+        2,
+    ]
+    s3 = write_iceberg(
+        _mk(spark, [(9,)], "id bigint"), path, mode="overwrite"
+    )
+    assert [r.id for r in read_iceberg(spark, path).collect()] == [9]
+    # AS OF: every snapshot stays readable
+    assert sorted(
+        r.id for r in read_iceberg(spark, path, snapshot_id=2).collect()
+    ) == [1, 2]
+    assert [
+        r.id for r in read_iceberg(spark, path, snapshot_id=1).collect()
+    ] == [1]
+    snaps = iceberg_snapshots(path)
+    assert [s["snapshot-id"] for s in snaps] == [1, 2, s3]
+    with pytest.raises(ValueError, match="snapshot 99"):
+        read_iceberg(spark, path, snapshot_id=99)
+
+
+def test_iceberg_partitioned_files_keep_columns_and_prune(
+    spark, tmp_path
+):
+    """Per spec (unlike Delta/Hive) data files carry ALL columns —
+    identity partition sources included — so the read is one
+    multi-path scan with no re-attachment join; partition_filter
+    prunes the file list at planning time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "pt")
+    df = _mk(
+        spark,
+        [(1, 2020, "x"), (2, 2020, "y"), (3, 2021, "z")],
+        "id bigint, year int, s string",
+    )
+    write_iceberg(df, path, partition_by=["year"])
+    back = read_iceberg(spark, path)
+    assert sorted((r.id, r.year, r.s) for r in back.collect()) == [
+        (1, 2020, "x"),
+        (2, 2020, "y"),
+        (3, 2021, "z"),
+    ]
+    # the parquet itself contains the partition column
+    part = glob.glob(os.path.join(path, "data", "year=2020", "*.parquet"))[
+        0
+    ]
+    assert "year" in pq.read_schema(part).names
+
+    pruned = read_iceberg(spark, path, partition_filter={"year": "2020"})
+    assert sorted(r.id for r in pruned.collect()) == [1, 2]
+    assert all("year=2020" in f for f in pruned.inputFiles())
+    with pytest.raises(ValueError, match="not a partition field"):
+        read_iceberg(spark, path, partition_filter={"id": "1"})
+
+
+def test_iceberg_feature_gates(spark, tmp_path):
+    """format-version 3, delete manifests, non-parquet data files and
+    renamed-column histories must all raise, never mis-read."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1,)], "id bigint"), path)
+    md = os.path.join(path, "metadata", "v1.metadata.json")
+    meta = json.load(open(md))
+
+    m3 = dict(meta)
+    m3["format-version"] = 3
+    json.dump(m3, open(md, "w"))
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        read_iceberg(spark, path)
+
+    # renamed column across schema versions -> by-name binding unsafe
+    m4 = dict(meta)
+    m4["schemas"] = meta["schemas"] + [
+        {
+            "schema-id": 1,
+            "type": "struct",
+            "fields": [{"id": 1, "name": "renamed_id", "type": "long"}],
+        }
+    ]
+    json.dump(m4, open(md, "w"))
+    with pytest.raises(NotImplementedError, match="renamed columns"):
+        read_iceberg(spark, path)
+
+    json.dump(meta, open(md, "w"))
+    assert read_iceberg(spark, path).count() == 1
+
+
+def test_iceberg_foreign_manifest_with_extra_fields_parses(
+    spark, tmp_path
+):
+    """Foreign writers ship manifests with stats fields ours doesn't
+    write (value_counts, bounds maps...). Decoding runs off each
+    file's EMBEDDED schema, so extra fields must parse and be
+    ignored."""
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        read_container_generic,
+        write_container_generic,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1,), (2,)], "id bigint"), path)
+    meta = json.load(
+        open(os.path.join(path, "metadata", "v1.metadata.json"))
+    )
+    ml_path = meta["snapshots"][0]["manifest-list"]
+    _s, manifests = read_container_generic(ml_path)
+    man_path = manifests[0]["manifest_path"]
+    sch, entries = read_container_generic(man_path)
+    # rewrite the manifest with an extra stats map per data_file
+    sch2 = json.loads(json.dumps(sch))
+    sch2["fields"][2]["type"]["fields"].append(
+        {
+            "name": "value_counts",
+            "type": ["null", {"type": "map", "values": "long"}],
+        }
+    )
+    for e in entries:
+        e["data_file"]["value_counts"] = {"1": 2}
+    with open(man_path, "wb") as fh:
+        write_container_generic(fh, sch2, entries)
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == [
+        1,
+        2,
+    ]
