@@ -116,10 +116,11 @@ def _read_last_checkpoint(path: str) -> int | None:
 
 def _replay(
     spark: SparkSession, path: str, version: int | None
-) -> tuple[dict, dict, dict[str, dict]]:
-    """Reconstruct (protocol, metaData, live adds by path) at
-    ``version`` (None = latest). Checkpoint-first when one exists at
-    or below the target; JSON tail after. Driver-side, O(files)."""
+) -> tuple[dict, dict, dict[str, dict], dict[str, int]]:
+    """Reconstruct (protocol, metaData, live adds by path, txn
+    versions by appId) at ``version`` (None = latest).
+    Checkpoint-first when one exists at or below the target; JSON
+    tail after. Driver-side, O(files)."""
     versions = delta_versions(path)
     ckpt = _read_last_checkpoint(path)
     if version is None:
@@ -129,6 +130,7 @@ def _replay(
     protocol: dict = {}
     meta: dict = {}
     adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     start = 0
     if ckpt is not None and ckpt <= version and os.path.exists(
         _checkpoint_file(path, ckpt)
@@ -149,6 +151,11 @@ def _replay(
                 adds[a["path"]] = a
             if d.get("remove"):
                 adds.pop(d["remove"]["path"], None)
+            if d.get("txn"):
+                t = d["txn"]
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
         start = ckpt + 1
     missing = [v for v in range(start, version + 1) if v not in versions]
     if missing:
@@ -171,6 +178,11 @@ def _replay(
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
     if not meta:
         raise ValueError(f"Delta log at {path!r} has no metaData action")
     if int(protocol.get("minReaderVersion", 1)) > 1:
@@ -187,7 +199,7 @@ def _replay(
                 "applying DVs is a reader-v3 feature this spec-level "
                 "reader does not implement"
             )
-    return protocol, meta, adds
+    return protocol, meta, adds, txns
 
 
 def _partition_cast(value: str | None, dtype: T.DataType):
@@ -241,7 +253,7 @@ def read_delta(
         raise ValueError("pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
         version = version_as_of_timestamp_delta(path, timestamp_ms)
-    _protocol, meta, adds = _replay(spark, path, version)
+    _protocol, meta, adds, _txns = _replay(spark, path, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
     data_schema = T.StructType(
@@ -364,7 +376,7 @@ def read_delta_changes(
     if not versions:
         raise FileNotFoundError(f"empty Delta log at {path!r}")
     last = max(versions) if end_version is None else end_version
-    _protocol, meta, _adds = _replay(spark, path, last)
+    _protocol, meta, _adds, _txns = _replay(spark, path, last)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
     want = [v for v in range(since_version + 1, last + 1)]
@@ -466,6 +478,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -477,7 +490,14 @@ def write_delta(
     directory, and committed with add actions carrying exact size /
     modificationTime / partitionValues; the commit file is
     put-if-absent with retry, so concurrent writers serialize per the
-    protocol instead of clobbering."""
+    protocol instead of clobbering.
+
+    ``txn=(app_id, version)`` adds the protocol's application
+    transaction action to the SAME commit — the streaming-sink fence:
+    because the txn marker and the add actions commit atomically, a
+    replayed micro-batch whose version is already recorded
+    (``last_txn_version``) can be skipped with no crash window at
+    all."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r} (append|overwrite)")
     spark = df.sparkSession
@@ -490,7 +510,7 @@ def write_delta(
     )
     prev_meta: dict = {}
     if exists:
-        _p, prev_meta, _ = _replay(spark, path, None)
+        _p, prev_meta, _adds0, _tx0 = _replay(spark, path, None)
         prev_pcols = list(prev_meta.get("partitionColumns") or [])
         if partition_by is not None and pcols != prev_pcols:
             raise ValueError(
@@ -536,7 +556,7 @@ def write_delta(
         ckpt = _read_last_checkpoint(path)
         if versions or ckpt is not None:
             next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
-            _p, meta, adds = _replay(spark, path, None)
+            _p, meta, adds, _txs = _replay(spark, path, None)
         else:
             next_v = 0
             meta, adds = {}, {}
@@ -550,6 +570,16 @@ def write_delta(
                 }
             }
         ]
+        if txn is not None:
+            lines.append(
+                {
+                    "txn": {
+                        "appId": str(txn[0]),
+                        "version": int(txn[1]),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         if next_v == 0:
             lines.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -584,6 +614,20 @@ def write_delta(
             return next_v
         except FileExistsError:
             continue  # another writer claimed next_v: re-replay, retry
+
+
+def last_txn_version(
+    spark: SparkSession, path: str, app_id: str
+) -> int | None:
+    """Latest committed application-transaction version for
+    ``app_id`` (the protocol's ``txn`` action), or None — the check a
+    streaming sink runs before writing a micro-batch. Survives log
+    vacuum: checkpoints persist txn state."""
+    try:
+        _p, _m, _adds, txns = _replay(spark, path, None)
+    except FileNotFoundError:
+        return None
+    return txns.get(app_id)
 
 
 _CKPT_SCHEMA = T.StructType(
@@ -653,6 +697,16 @@ _CKPT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        T.StructField(
+            "txn",
+            T.StructType(
+                [
+                    T.StructField("appId", T.StringType()),
+                    T.StructField("version", T.LongType()),
+                    T.StructField("lastUpdated", T.LongType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -668,13 +722,14 @@ def create_checkpoint(
     if not versions:
         raise FileNotFoundError(f"nothing to checkpoint at {path!r}")
     v = max(versions) if version is None else version
-    protocol, meta, adds = _replay(spark, path, v)
+    protocol, meta, adds, txns = _replay(spark, path, v)
     rows = [
         (
             {
                 "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
                 "minWriterVersion": int(protocol.get("minWriterVersion", 2)),
             },
+            None,
             None,
             None,
             None,
@@ -694,6 +749,7 @@ def create_checkpoint(
             },
             None,
             None,
+            None,
         ),
     ] + [
         (
@@ -707,8 +763,16 @@ def create_checkpoint(
                 "dataChange": bool(a.get("dataChange", True)),
             },
             None,
+            None,
         )
         for a in adds.values()
+    ] + [
+        # txn fences persist through checkpoints: without these rows a
+        # vacuumed log would forget sink app versions and a replayed
+        # micro-batch would re-append
+        (None, None, None, None,
+         {"appId": app, "version": int(v), "lastUpdated": None})
+        for app, v in sorted(txns.items())
     ]
     tmp = _checkpoint_file(path, v) + f".tmp-{uuid.uuid4().hex}"
     (
@@ -764,7 +828,7 @@ def vacuum_delta(
     retained = versions[-keep_versions:]
     live: set[str] = set()
     for v in retained:
-        _p, _m, adds = _replay(spark, path, v)
+        _p, _m, adds, _tx = _replay(spark, path, v)
         live |= {
             os.path.normpath(urllib.parse.unquote(a["path"]))
             for a in adds.values()

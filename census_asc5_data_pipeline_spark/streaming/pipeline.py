@@ -1218,3 +1218,52 @@ def stream_bloom_dedup(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
     )
+
+
+def delta_sink_fold(
+    batch_df: DataFrame, epoch_id: int, table_path: str, app_id: str
+) -> int:
+    """Fold one micro-batch into a Delta table exactly-once via the
+    protocol's application-transaction fence: the ``txn`` action
+    commits ATOMICALLY with the batch's add actions (one put-if-absent
+    log file), so — unlike the bloom sink's two-phase write+fence —
+    there is NO crash window to close: a replayed epoch either finds
+    its version already recorded (skip) or the whole commit never
+    landed (clean rewrite). Module-level for direct replay testing.
+    Returns rows appended (0 for fenced replays/empty batches)."""
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    if batch_df.isEmpty():
+        return 0
+    last = delta_io.last_txn_version(
+        batch_df.sparkSession, table_path, app_id
+    )
+    if last is not None and last >= int(epoch_id):
+        return 0
+    n = batch_df.count()
+    delta_io.write_delta(
+        batch_df, table_path, mode="append",
+        txn=(app_id, int(epoch_id)),
+    )
+    return n
+
+
+def stream_to_delta(
+    events: DataFrame, table_path: str, checkpoint: str,
+    app_id: str = "stream_to_delta",
+):
+    """Streaming sink INTO a Delta table — foreachBatch +
+    :func:`delta_sink_fold`'s atomic txn fence make at-least-once
+    replays exactly-once end-to-end; every micro-batch becomes one
+    Delta commit, so downstream consumers can tail the table with
+    ``delta_io.read_delta_changes`` / ``delta_tail_fold`` (stream →
+    table → incremental consumer, all on the same log)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        delta_sink_fold(batch_df, epoch_id, table_path, app_id)
+
+    return (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )

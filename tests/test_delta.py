@@ -389,3 +389,81 @@ def test_delta_vacuum_reclaims_tombstoned_files(spark, tmp_path):
     # a version outside retention is gone from the log
     with pytest.raises(FileNotFoundError):
         read_delta(spark, path, version=1)
+
+
+def test_delta_txn_fence_makes_sink_exactly_once(spark, tmp_path):
+    """The txn action commits atomically with the adds, so a replayed
+    micro-batch is fenced with no crash window; the fence survives
+    checkpoint + log vacuum; independent app ids don't fence each
+    other."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        create_checkpoint,
+        last_txn_version,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        delta_sink_fold,
+    )
+
+    path = str(tmp_path / "t")
+    b0 = _mk(spark, [(1,), (2,)], "id bigint")
+    b1 = _mk(spark, [(3,)], "id bigint")
+    assert delta_sink_fold(b0, 0, path, "appA") == 2
+    assert delta_sink_fold(b0, 0, path, "appA") == 0  # replay fenced
+    assert delta_sink_fold(b1, 1, path, "appA") == 1
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == [
+        1,
+        2,
+        3,
+    ]
+    assert last_txn_version(spark, path, "appA") == 1
+    assert last_txn_version(spark, path, "appB") is None
+    # another app id at the same epoch is NOT fenced
+    assert delta_sink_fold(_mk(spark, [(9,)], "id bigint"), 0, path,
+                           "appB") == 1
+    # fence survives checkpoint + vacuumed log
+    write_delta(_mk(spark, [(10,)], "id bigint"), path, mode="append")
+    create_checkpoint(spark, path)
+    vacuum_delta(spark, path, keep_versions=1)
+    assert last_txn_version(spark, path, "appA") == 1
+    assert delta_sink_fold(b1, 1, path, "appA") == 0  # still fenced
+
+
+def test_stream_to_delta_end_to_end(spark, tmp_path):
+    """File-source micro-batches land as Delta commits; the table
+    reads back complete and the change feed sees per-epoch commits."""
+    import datetime as dt
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        read_delta_changes,
+    )
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stream_to_delta,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows1 = [(i, t0, i, "e", 1.0, "{}") for i in range(5)]
+    rows2 = [(i, t0, i, "e", 1.0, "{}") for i in range(5, 8)]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    table = str(tmp_path / "delta")
+    q = stream_to_delta(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ck"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.event_id for r in read_delta(spark, table).collect())
+    assert got == list(range(8))
+    ch, last = read_delta_changes(spark, table)
+    assert last >= 1  # one commit per non-empty micro-batch
+    assert ch.count() == 8
