@@ -8566,6 +8566,104 @@ FROM counts
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion test for an A/B experiment: users split
+    by id parity (the deterministic stand-in for an assignment
+    column), conversion = at least one purchase event, pooled
+    two-proportion z-score — the experimentation readout every
+    product analytics stack ships. Conversion = the user's FIRST
+    event (total order: ts, then event_id) is a purchase — a
+    fraction-of-users metric that stays strictly inside (0, 1) at any
+    SF, so the pooled variance never degenerates (every user
+    eventually purchases in this corpus, which would zero it). Counts
+    are exact integers (one per-user window + one 2-group aggregate +
+    one 1-row conditional pivot); the z derives from those integers
+    through ONE shared double expression tree quantized to micro
+    units, so both engines evaluate identical IEEE arithmetic (the
+    zipf_fit discipline) and the output is hash-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_ms("ts").alias("ts_ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    users = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+    )
+    per = users.groupBy(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("bigint").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    s = per.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c"))).alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("c"))).alias("c_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    z = ((ca / na) - (cb / nb)) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("c_b"),
+        F.expr("(c_a * 1000000) DIV n_a").alias("conv_a_ppm"),
+        F.expr("(c_b * 1000000) DIV n_b").alias("conv_b_ppm"),
+        F.floor(z * 1e6 + F.lit(0.5)).cast("bigint").alias("z_micro"),
+    )
+
+
+SQL_AB_TEST = """
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+), per AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM users GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c_b
+  FROM per
+)
+SELECT n_a, c_a, n_b, c_b,
+       CAST((c_a * 1000000) // n_a AS BIGINT) AS conv_a_ppm,
+       CAST((c_b * 1000000) // n_b AS BIGINT) AS conv_b_ppm,
+       CAST(FLOOR(
+         ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+          - (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+         / SQRT(
+             ((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+             * (1.0 - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+           ) * 1000000 + 0.5
+       ) AS BIGINT) AS z_micro
+FROM s
+"""
+
+
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration (Herfindahl) index per part type: each
     brand's revenue share in ppm (exact integer floor division of
@@ -9155,6 +9253,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_cycle_time": q_order_cycle_time,
     "embedding_norm_profile": q_embedding_norm_profile,
     "source_lang_mix": q_source_lang_mix,
+    "ab_test": q_ab_test,
     # --- new in round 6 ---
     "recursive_hierarchy": q_recursive_hierarchy,
     "neyman_sample": q_neyman_sample,
@@ -9369,6 +9468,7 @@ ORACLES: dict[str, str] = {
     "order_cycle_time": SQL_ORDER_CYCLE_TIME,
     "embedding_norm_profile": SQL_EMBEDDING_NORM_PROFILE,
     "source_lang_mix": SQL_SOURCE_LANG_MIX,
+    "ab_test": SQL_AB_TEST,
     # k_core graduates from rows-only (r7): the bounded peel unrolls
     # to closed-form SQL — generated from the SAME (k, rounds,
     # threshold) constants as the Spark query

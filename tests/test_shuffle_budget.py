@@ -55,6 +55,9 @@ SHUFFLE_BUDGET = {
     "embedding_norm_profile": 7,
     # one grouped count + the share window reusing its partitioning
     "source_lang_mix": 2,
+    # per-user conversion agg + the 2-row variant agg + the 1-row
+    # pivot; lineages render under the summary pre-AQE
+    "ab_test": 3,
     # --- new in round 6 ---
     # the sketch-census groupBy renders statically under BOTH pair
     # sides (the broadcast subtree doesn't reuse under this fixture's
