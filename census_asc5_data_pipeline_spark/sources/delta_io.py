@@ -68,8 +68,10 @@ __all__ = [
     "read_delta_changes",
     "delta_tail_fold",
     "write_delta",
+    "optimize_delta",
     "create_checkpoint",
     "vacuum_delta",
+    "last_txn_version",
     "delta_versions",
 ]
 
@@ -395,7 +397,14 @@ def read_delta_changes(
                 if not line:
                     continue
                 action = json.loads(line)
-                if "add" in action:
+                # dataChange=false adds are REARRANGEMENTS (OPTIMIZE
+                # compaction): the rows already flowed through an
+                # earlier commit — emitting them again would duplicate
+                # the change feed (the spec's CDF reads the flag the
+                # same way)
+                if "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
                     tagged.append((v, action["add"]))
     out_schema = T.StructType(
         schema.fields + [T.StructField("_commit_version", T.LongType())]
@@ -867,4 +876,141 @@ def vacuum_delta(
         "data_files_removed": data_removed,
         "log_files_removed": log_removed,
         "retained_versions": retained,
+    }
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Bin-packing compaction (the OPTIMIZE half of the lifecycle,
+    before :func:`vacuum_delta` reclaims): partitions whose live file
+    count exceeds their byte-size-implied target are rewritten into
+    ~``target_file_bytes`` files and swapped in ONE commit — adds and
+    removes both carry ``dataChange: false`` (the spec's rearrangement
+    marker), so the change feed emits nothing and older versions stay
+    byte-identical for time travel. Small-file debris is the #1 table
+    killer at scale: every micro-batch commit adds files, and scan
+    planning degrades O(files).
+
+    Concurrency: the rewrite is computed optimistically from the
+    current snapshot; at commit time the state is re-replayed and the
+    commit ABORTS (ValueError) if any file it would remove is no
+    longer live — the compactor never clobbers a concurrent
+    overwrite. Returns {partitions_compacted, files_before,
+    files_after, version} (version None = nothing to do)."""
+    _p, meta, adds, _tx = _replay(spark, path, None)
+    pcols = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds.values():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(a)
+    todo = {}
+    for key, files in groups.items():
+        total = sum(int(a.get("size", 0)) for a in files)
+        want_files = max(1, -(-total // target_file_bytes))
+        if len(files) > want_files:
+            todo[key] = (files, want_files)
+    if not todo:
+        return {
+            "partitions_compacted": 0,
+            "files_before": len(adds),
+            "files_after": len(adds),
+            "version": None,
+        }
+    now_ms = int(time.time() * 1000)
+    new_adds: list[dict] = []
+    removed_paths: list[str] = []
+    for key, (files, want_files) in sorted(todo.items()):
+        paths = [
+            os.path.join(path, urllib.parse.unquote(a["path"]))
+            for a in files
+        ]
+        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        (
+            spark.read.schema(data_schema)
+            .parquet(*paths)
+            .coalesce(int(want_files))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        pv = dict(zip(pcols, key))
+        subdir = "/".join(
+            f"{c}={urllib.parse.quote(str(pv[c]))}"
+            for c in pcols
+            if pv[c] is not None
+        )
+        try:
+            for fn in sorted(os.listdir(staging)):
+                if not fn.endswith(".parquet") or fn.startswith("."):
+                    continue
+                rel = os.path.join(subdir, fn) if subdir else fn
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(os.path.join(staging, fn), dst)
+                new_adds.append(
+                    {
+                        "add": {
+                            "path": urllib.parse.quote(rel),
+                            "partitionValues": pv,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        removed_paths.extend(a["path"] for a in files)
+
+    while True:
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        _p2, _m2, live_now, _t2 = _replay(spark, path, None)
+        gone = [p_ for p_ in removed_paths if p_ not in live_now]
+        if gone:
+            raise ValueError(
+                f"concurrent commit removed {len(gone)} file(s) this "
+                "OPTIMIZE would rewrite — aborting without committing "
+                "(re-run to compact the new state)"
+            )
+        lines: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetFileBytes": int(target_file_bytes)
+                    },
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
+            }
+        ]
+        for p_ in removed_paths:
+            lines.append(
+                {
+                    "remove": {
+                        "path": p_,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        lines.extend(new_adds)
+        try:
+            _put_if_absent_commit(path, next_v, lines)
+            break
+        except FileExistsError:
+            continue
+    return {
+        "partitions_compacted": len(todo),
+        "files_before": len(adds),
+        "files_after": len(adds) - len(removed_paths) + len(new_adds),
+        "version": next_v,
     }

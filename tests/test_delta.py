@@ -467,3 +467,96 @@ def test_stream_to_delta_end_to_end(spark, tmp_path):
     ch, last = read_delta_changes(spark, table)
     assert last >= 1  # one commit per non-empty micro-batch
     assert ch.count() == 8
+
+
+def test_delta_optimize_compacts_without_changing_data_or_feed(
+    spark, tmp_path
+):
+    """OPTIMIZE rewrites small files into few, in one dataChange=false
+    commit: rows identical, file count down, older versions intact,
+    and the change feed emits NOTHING for the rearrangement; vacuum
+    afterwards reclaims the small files."""
+    import glob
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        create_checkpoint,
+        optimize_delta,
+        read_delta,
+        read_delta_changes,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "o")
+    for i in range(5):  # five tiny commits -> many small files
+        write_delta(
+            _mk(spark, [(i * 10 + j,) for j in range(3)], "id bigint"),
+            path,
+            mode="append",
+        )
+    before_rows = sorted(r.id for r in read_delta(spark, path).collect())
+    ch_before, _ = read_delta_changes(spark, path)
+    n_changes = ch_before.count()
+    files_before = len(glob.glob(path + "/*.parquet"))
+
+    rep = optimize_delta(spark, path, target_file_bytes=1 << 30)
+    assert rep["partitions_compacted"] == 1
+    assert rep["files_after"] < rep["files_before"] == files_before
+    assert sorted(
+        r.id for r in read_delta(spark, path).collect()
+    ) == before_rows
+    # time travel to the pre-OPTIMIZE version still works
+    assert sorted(
+        r.id
+        for r in read_delta(spark, path, version=4).collect()
+    ) == before_rows
+    # the rearrangement emits nothing into the change feed
+    ch_after, last = read_delta_changes(spark, path)
+    assert last == rep["version"]
+    assert ch_after.count() == n_changes
+    # idempotent: a second optimize is a no-op
+    rep2 = optimize_delta(spark, path, target_file_bytes=1 << 30)
+    assert rep2["version"] is None
+    # vacuum reclaims the superseded small files
+    create_checkpoint(spark, path)
+    vacuum_delta(spark, path, keep_versions=1)
+    assert len(glob.glob(path + "/*.parquet")) == rep["files_after"] - (
+        rep["files_before"] - files_before
+    )
+    assert sorted(
+        r.id for r in read_delta(spark, path).collect()
+    ) == before_rows
+
+
+def test_delta_optimize_partitioned_keeps_partition_grouping(
+    spark, tmp_path
+):
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "op")
+    for i in range(3):
+        write_delta(
+            _mk(
+                spark,
+                [(i * 10, 2020), (i * 10 + 1, 2021)],
+                "id bigint, year int",
+            ),
+            path,
+            mode="append",
+            partition_by=["year"] if i == 0 else None,
+        )
+    before = sorted(
+        (r.id, r.year) for r in read_delta(spark, path).collect()
+    )
+    rep = optimize_delta(spark, path, target_file_bytes=1 << 30)
+    assert rep["partitions_compacted"] == 2
+    assert (
+        sorted((r.id, r.year) for r in read_delta(spark, path).collect())
+        == before
+    )
+    pruned = read_delta(spark, path, partition_filter={"year": "2020"})
+    assert sorted(r.id for r in pruned.collect()) == [0, 10, 20]
