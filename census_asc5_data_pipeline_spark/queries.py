@@ -8664,6 +8664,64 @@ FROM s
 """
 
 
+def q_id_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id ranges in a key sequence (here: orderkeys with NO
+    line items) — the classic islands-and-gaps data-quality report,
+    in its SCALABLE form: the textbook lag-over-global-ORDER-BY
+    window funnels the whole key set through ONE partition, so
+    instead the gap BOUNDARIES are found by two anti-joins (id+1
+    absent → a gap starts; id-1 absent → an island starts, both
+    map-side-combinable hash joins on the 8-byte key), and only the
+    tiny boundary frames — O(gaps), not O(ids) — meet in the pairing
+    join (each gap's end = the next island start - 1). Every count is
+    exact integer arithmetic."""
+    ids = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").cast("bigint").alias("id"))
+        .distinct()
+    )
+    bounds = F.broadcast(ids.agg(F.max("id").alias("mx")))
+    other = ids.select(F.col("id").alias("id2"))
+    gap_starts = (
+        ids.join(other, F.col("id") + 1 == F.col("id2"), "left_anti")
+        .crossJoin(bounds)
+        .filter(F.col("id") < F.col("mx"))
+        .select((F.col("id") + 1).alias("gs"))
+    )
+    island_starts = ids.join(
+        other, F.col("id") - 1 == F.col("id2"), "left_anti"
+    ).select(F.col("id").alias("isl"))
+    return (
+        gap_starts.join(island_starts, F.col("isl") > F.col("gs"))
+        .groupBy("gs")
+        .agg(F.min("isl").alias("nx"))
+        .select(
+            F.col("gs").alias("gap_start"),
+            (F.col("nx") - 1).alias("gap_end"),
+            (F.col("nx") - F.col("gs")).cast("bigint").alias("n_missing"),
+        )
+    )
+
+
+SQL_ID_GAP_REPORT = """
+WITH ids AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS id FROM lineitem
+), gap_starts AS (
+  SELECT a.id + 1 AS gs FROM ids a
+  WHERE NOT EXISTS (SELECT 1 FROM ids b WHERE b.id = a.id + 1)
+    AND a.id < (SELECT MAX(id) FROM ids)
+), island_starts AS (
+  SELECT a.id AS isl FROM ids a
+  WHERE NOT EXISTS (SELECT 1 FROM ids b WHERE b.id = a.id - 1)
+)
+SELECT gs AS gap_start,
+       MIN(isl) - 1 AS gap_end,
+       CAST(MIN(isl) - gs AS BIGINT) AS n_missing
+FROM gap_starts JOIN island_starts ON isl > gs
+GROUP BY gs
+"""
+
+
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration (Herfindahl) index per part type: each
     brand's revenue share in ppm (exact integer floor division of
@@ -9254,6 +9312,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_norm_profile": q_embedding_norm_profile,
     "source_lang_mix": q_source_lang_mix,
     "ab_test": q_ab_test,
+    "id_gap_report": q_id_gap_report,
     # --- new in round 6 ---
     "recursive_hierarchy": q_recursive_hierarchy,
     "neyman_sample": q_neyman_sample,
@@ -9469,6 +9528,7 @@ ORACLES: dict[str, str] = {
     "embedding_norm_profile": SQL_EMBEDDING_NORM_PROFILE,
     "source_lang_mix": SQL_SOURCE_LANG_MIX,
     "ab_test": SQL_AB_TEST,
+    "id_gap_report": SQL_ID_GAP_REPORT,
     # k_core graduates from rows-only (r7): the bounded peel unrolls
     # to closed-form SQL — generated from the SAME (k, rounds,
     # threshold) constants as the Spark query

@@ -9,13 +9,13 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-7 window: the eleven queries NEW this round lead —
+# round-7 window: the twelve queries NEW this round lead —
 # join_preflight (the fixed join_size_estimate's fully-oracled
 # exact-distinct mode — the judge's round-6 weak row, must verify
 # through the driver's gate), top_movers, revenue_bridge, heaps_law,
 # funnel_windowed, supplier_scorecard, customer_migration,
 # order_cycle_time, embedding_norm_profile, source_lang_mix — then the round-6 window held one more round
-# (its eleven-entry tail falls out).
+# (its twelve-entry tail falls out).
 PINNED_FIRST_50 = [
     "join_preflight",
     "top_movers",
@@ -28,6 +28,7 @@ PINNED_FIRST_50 = [
     "embedding_norm_profile",
     "source_lang_mix",
     "ab_test",
+    "id_gap_report",
     "recursive_hierarchy",
     "neyman_sample",
     "longest_streak",
@@ -66,7 +67,6 @@ PINNED_FIRST_50 = [
     "seasonal_anomaly",
     "table_diff",
     "k_core",
-    "event_paths",
 ]
 
 

@@ -58,6 +58,10 @@ SHUFFLE_BUDGET = {
     # per-user conversion agg + the 2-row variant agg + the 1-row
     # pivot; lineages render under the summary pre-AQE
     "ab_test": 3,
+    # the distinct renders under the boundary anti-join sides + the
+    # tiny pairing join/agg; runtime ReuseExchange collapses the
+    # repeated distinct lineages
+    "id_gap_report": 12,
     # --- new in round 6 ---
     # the sketch-census groupBy renders statically under BOTH pair
     # sides (the broadcast subtree doesn't reuse under this fixture's
