@@ -1,0 +1,228 @@
+"""Delta table as a REAL Structured Streaming source — the Spark 4
+Python Data Source API (``pyspark.sql.datasource``) over the
+``delta_io`` transaction log: ``spark.readStream.format("delta_tail")
+.option("path", ...)`` tails a Delta table commit-by-commit, closing
+the loop started by ``stream_to_delta`` (stream → Delta sink) and
+``delta_tail_fold`` (driver-side polling): stream → table → STREAM,
+all on one log, with Spark's own offset checkpointing providing the
+exactly-once replay contract.
+
+How it maps to the streaming engine:
+
+- OFFSET = the last processed commit version (``{"version": N}``) —
+  the same cursor ``delta_tail_fold`` keeps, but stored in Spark's
+  offset log so restarts resume exactly.
+- ``partitions(start, end)`` replays the commit JSONs in
+  ``(start, end]`` DRIVER-side (metadata scale) and emits ONE input
+  partition per added data file — executor parallelism = files per
+  batch, no driver row path. ``dataChange=false`` adds (OPTIMIZE
+  rearrangements) are skipped, like the change feed.
+- ``read(partition)`` opens the parquet with pyarrow IN THE EXECUTOR
+  and yields Arrow record batches directly (the zero-copy lane of the
+  Python source API); partition columns (absent from Delta data
+  files, per spec) and the ``_commit_version`` tag are appended as
+  constant Arrow arrays per file.
+- Replays are deterministic: the same offset range always lists the
+  same files (the log is immutable), so at-least-once engine retries
+  compose into exactly-once results with any idempotent sink.
+
+Gates: inserts only (this engine's writer never row-deletes); a
+vacuumed commit range raises rather than guessing (the
+``read_delta_changes`` contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _log_meta(path: str):
+    """(spark_schema_json_fields, partition_cols, ddl) from the log —
+    driver-side, no SparkSession needed (the data source API calls
+    schema() off-session)."""
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    versions = delta_io.delta_versions(path)
+    ckpt = delta_io._read_last_checkpoint(path)
+    meta: dict = {}
+    # scan the JSON tail for the newest metaData; a checkpointed table
+    # whose early JSON was vacuumed falls back to the checkpoint parquet
+    for v in versions:
+        with open(delta_io._commit_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+    if not meta and ckpt is not None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(delta_io._checkpoint_file(path, ckpt))
+        for row in t.to_pylist():
+            if row.get("metaData"):
+                meta = row["metaData"]
+    if not meta:
+        raise FileNotFoundError(f"no Delta metaData found at {path!r}")
+    schema = json.loads(meta["schemaString"])
+    pcols = list(meta.get("partitionColumns") or [])
+    return schema["fields"], pcols
+
+
+_SPARK_TO_PA = {
+    "long": "int64",
+    "integer": "int32",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool",
+    "binary": "binary",
+}
+
+
+class _FilePart(InputPartition):
+    def __init__(self, path, version, pv, pcols, fields):
+        self.path = path
+        self.version = version
+        self.pv = pv
+        self.pcols = pcols
+        self.fields = fields
+
+
+class DeltaTailStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_tail requires .option('path', ...)")
+        self.starting = int(options.get("startingversion", -1))
+        self.fields, self.pcols = _log_meta(self.path)
+
+    def initialOffset(self):
+        return {"version": self.starting}
+
+    def latestOffset(self):
+        from census_asc5_data_pipeline_spark.sources import delta_io
+
+        versions = delta_io.delta_versions(self.path)
+        return {"version": max(versions) if versions else self.starting}
+
+    def partitions(self, start, end):
+        from census_asc5_data_pipeline_spark.sources import delta_io
+
+        lo, hi = int(start["version"]), int(end["version"])
+        versions = set(delta_io.delta_versions(self.path))
+        want = [v for v in range(lo + 1, hi + 1)]
+        missing = [v for v in want if v not in versions]
+        if missing:
+            raise FileNotFoundError(
+                f"commit JSON for version(s) {missing} vacuumed — the "
+                "stream cannot attribute that range"
+            )
+        parts = []
+        for v in want:
+            with open(delta_io._commit_file(self.path, v)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        a = action["add"]
+                        parts.append(
+                            _FilePart(
+                                os.path.join(
+                                    self.path,
+                                    urllib.parse.unquote(a["path"]),
+                                ),
+                                v,
+                                a.get("partitionValues") or {},
+                                self.pcols,
+                                self.fields,
+                            )
+                        )
+        # the engine requires >= 1 partition per batch; an empty range
+        # (fence-only or metadata commits) yields one no-op partition
+        if not parts:
+            parts.append(_FilePart(None, hi, {}, self.pcols, self.fields))
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if partition.path is None:
+            return
+        pcols = partition.pcols
+        fields = partition.fields
+        types = {f["name"]: f["type"] for f in fields}
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            arrays = list(batch.columns)
+            names = list(batch.schema.names)
+            for c in pcols:
+                raw = partition.pv.get(c)
+                if raw is None or raw == _HIVE_NULL:
+                    val = None
+                else:
+                    t = types.get(c, "string")
+                    val = (
+                        int(raw)
+                        if t in ("long", "integer")
+                        else float(raw)
+                        if t in ("double", "float")
+                        else raw
+                    )
+                pa_t = pa.type_for_alias(
+                    _SPARK_TO_PA.get(types.get(c, "string"), "string")
+                )
+                arrays.append(pa.array([val] * n, pa_t))
+                names.append(c)
+            arrays.append(pa.array([partition.version] * n, pa.int64()))
+            names.append("_commit_version")
+            # emit in the declared schema order
+            order = [f["name"] for f in fields] + ["_commit_version"]
+            idx = {nm: i for i, nm in enumerate(names)}
+            yield pa.RecordBatch.from_arrays(
+                [arrays[idx[nm]] for nm in order], order
+            )
+
+    def commit(self, end):
+        pass
+
+
+class DeltaTailDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "delta_tail"
+
+    def schema(self):
+        fields, pcols = _log_meta(self.options.get("path"))
+        from pyspark.sql import types as T
+
+        st = T.StructType.fromJson(
+            {"type": "struct", "fields": fields}
+        )
+        return T.StructType(
+            st.fields + [T.StructField("_commit_version", T.LongType())]
+        )
+
+    def streamReader(self, schema):
+        return DeltaTailStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DeltaTailDataSource)

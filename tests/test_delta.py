@@ -560,3 +560,101 @@ def test_delta_optimize_partitioned_keeps_partition_grouping(
     )
     pruned = read_delta(spark, path, partition_filter={"year": "2020"})
     assert sorted(r.id for r in pruned.collect()) == [0, 10, 20]
+
+
+def test_delta_tail_stream_source_reads_commits_and_resumes(
+    spark, tmp_path
+):
+    """spark.readStream.format('delta_tail') tails the table: every
+    committed row arrives tagged with its commit version; a restart
+    from the same checkpoint resumes at the stored offset and emits
+    ONLY commits made while the stream was down (exactly-once via
+    Spark's offset log)."""
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+
+    delta_stream_source.register(spark)
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out: list = []
+
+    def sink(batch_df, epoch_id):
+        out.extend(
+            (r.id, r._commit_version) for r in batch_df.collect()
+        )
+
+    write_delta(_mk(spark, [(1,), (2,)], "id bigint"), table)
+    write_delta(_mk(spark, [(3,)], "id bigint"), table, mode="append")
+
+    stream = (
+        spark.readStream.format("delta_tail").option("path", table).load()
+    )
+    assert stream.columns == ["id", "_commit_version"]
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out) == [(1, 0), (2, 0), (3, 1)]
+
+    # commits while the stream is down; restart resumes from offset
+    write_delta(_mk(spark, [(4,)], "id bigint"), table, mode="append")
+    out.clear()
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", table)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out) == [(4, 2)]
+
+
+def test_delta_tail_stream_source_partitioned_attach(spark, tmp_path):
+    """Partition columns (absent from the data files per spec) are
+    re-attached as constant Arrow arrays per file, typed from the
+    table schema."""
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+
+    delta_stream_source.register(spark)
+    table = str(tmp_path / "pt")
+    write_delta(
+        _mk(spark, [(1, 2020), (2, 2021)], "id bigint, year int"),
+        table,
+        partition_by=["year"],
+    )
+    out: list = []
+
+    def sink(batch_df, epoch_id):
+        out.extend(
+            (r.id, r.year, r._commit_version) for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", table)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out) == [(1, 2020, 0), (2, 2021, 0)]
