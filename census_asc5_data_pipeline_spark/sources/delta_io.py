@@ -1014,3 +1014,37 @@ def optimize_delta(
         "files_after": len(adds) - len(removed_paths) + len(new_adds),
         "version": next_v,
     }
+
+
+def register_delta_views(
+    spark: SparkSession, name: str, path: str
+) -> list[str]:
+    """SQL surface for the Delta table: ``name`` = the current
+    snapshot, plus one ``name__vN`` view per version whose commit (or
+    covering checkpoint) is still on disk — the
+    ``versioned.register_versioned_views`` contract extended to the
+    real log format, so plain Spark SQL time-travels::
+
+        spark.sql("SELECT revenue FROM sales__v3")
+
+    Views re-register on each call; each reads an immutable version,
+    so a concurrent commit never changes a registered view. Returns
+    the registered names."""
+    out = [name]
+    read_delta(spark, path).createOrReplaceTempView(name)
+    ckpt = _read_last_checkpoint(path)
+    floor_v = 0
+    if ckpt is not None:
+        present = set(delta_versions(path))
+        # versions below the checkpoint need every JSON back to 0
+        floor_v = ckpt if any(v not in present for v in range(ckpt)) else 0
+    top = max(delta_versions(path), default=-1)
+    for v in range(floor_v, top + 1):
+        try:
+            df = read_delta(spark, path, version=v)
+        except FileNotFoundError:
+            continue
+        vname = f"{name}__v{v}"
+        df.createOrReplaceTempView(vname)
+        out.append(vname)
+    return out

@@ -637,3 +637,23 @@ def write_iceberg(
         fh.write(str(new_v))
     os.replace(tmp, hint)
     return snap_id
+
+
+def register_iceberg_views(
+    spark: SparkSession, name: str, path: str
+) -> list[str]:
+    """SQL surface for the Iceberg table: ``name`` = current snapshot
+    plus one ``name__s<id>`` view per snapshot in the log (snapshot
+    ids, not versions — Iceberg's own addressing), mirroring
+    ``delta_io.register_delta_views``. Returns the registered
+    names."""
+    out = [name]
+    read_iceberg(spark, path).createOrReplaceTempView(name)
+    for s in iceberg_snapshots(path):
+        sid = s["snapshot-id"]
+        vname = f"{name}__s{sid}"
+        read_iceberg(spark, path, snapshot_id=sid).createOrReplaceTempView(
+            vname
+        )
+        out.append(vname)
+    return out

@@ -658,3 +658,32 @@ def test_delta_tail_stream_source_partitioned_attach(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(out) == [(1, 2020, 0), (2, 2021, 0)]
+
+
+def test_register_delta_and_iceberg_sql_views(spark, tmp_path):
+    """Plain Spark SQL time-travels both table formats through
+    registered views (the versioned-views contract on real logs)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        register_delta_views,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        register_iceberg_views,
+        write_iceberg,
+    )
+
+    dp = str(tmp_path / "d")
+    write_delta(_mk(spark, [(1,)], "id bigint"), dp)
+    write_delta(_mk(spark, [(2,)], "id bigint"), dp, mode="append")
+    names = register_delta_views(spark, "dtab", dp)
+    assert names == ["dtab", "dtab__v0", "dtab__v1"]
+    assert spark.sql("SELECT COUNT(*) n FROM dtab").first().n == 2
+    assert spark.sql("SELECT COUNT(*) n FROM dtab__v0").first().n == 1
+
+    ip = str(tmp_path / "i")
+    write_iceberg(_mk(spark, [(1,)], "id bigint"), ip)
+    write_iceberg(_mk(spark, [(2,)], "id bigint"), ip, mode="append")
+    inames = register_iceberg_views(spark, "itab", ip)
+    assert inames == ["itab", "itab__s1", "itab__s2"]
+    assert spark.sql("SELECT COUNT(*) n FROM itab").first().n == 2
+    assert spark.sql("SELECT COUNT(*) n FROM itab__s1").first().n == 1
