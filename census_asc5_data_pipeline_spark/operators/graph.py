@@ -550,3 +550,58 @@ def hits(
             .alias("auth_micro"),
         )
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    rounds: int = 8,
+) -> DataFrame:
+    """PageRank in EXACT integer arithmetic — the hash-verifiable
+    twin of :func:`pagerank`: ranks live in parts-per-billion longs,
+    each round computes r'(v) = 0.15e9 + Σ_{u→v} (85·r(u)) DIV
+    (100·deg(u)) — every term is an exact integer function of
+    integers, so the map-side sum is reduce-order INDEPENDENT and a
+    fixed-``rounds`` run is bit-identical across engines (the DuckDB
+    oracle unrolls the same rounds; float PageRank can't do this —
+    its sums are order-dependent). The DIV truncation loses < 1 ppb
+    per edge per round relative to the float fixpoint: ranking
+    fidelity at ppb scale, determinism exact.
+
+    Same per-round shape as :func:`pagerank`: one join on the 8-byte
+    node id + one map-side-combinable sum, lineage cut per round with
+    eager localCheckpoint. Undirected interpretation (edges walked
+    both directions), so every node has in-edges and no dangling-mass
+    term is needed. Returns (node, rank_ppb)."""
+    e = _canonical_edges(edges, src, dst)
+    directed = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = (
+        directed.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint()
+    )
+    ranks = deg.select(
+        F.col("u").alias("node"),
+        F.lit(1_000_000_000).cast("bigint").alias("r"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        contrib = (
+            directed.join(
+                ranks.select(F.col("node").alias("u"), "r"), "u"
+            )
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("(85 * r) DIV (100 * d)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = contrib.select(
+            "node",
+            (F.lit(150_000_000) + F.col("s")).cast("bigint").alias("r"),
+        ).localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank_ppb"))

@@ -8722,6 +8722,71 @@ GROUP BY gs
 """
 
 
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph in EXACT ppb integers
+    (graph.pagerank_exact) — the hash-verifiable twin of the
+    rows-only float `pagerank`: every round's contribution
+    (85·r) DIV (100·deg) is an exact integer, the per-node sum is
+    reduce-order independent, and a fixed-round run unrolls to
+    closed-form SQL (the k_core trick; round-6 verdict elective #3,
+    second half). Ranking fidelity vs the float fixpoint is within
+    ppb truncation; determinism is exact."""
+    from census_asc5_data_pipeline_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=300000, df_cap=4096)
+    pairs = raw_pairs.select("doc_a", "doc_b").persist()
+    out = G.pagerank_exact(
+        pairs, src="doc_a", dst="doc_b", rounds=_PAGERANK_EXACT_ROUNDS
+    )
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
+    return out
+
+
+_PAGERANK_EXACT_ROUNDS = 8
+
+
+def _pagerank_exact_unrolled_sql(
+    rounds: int = _PAGERANK_EXACT_ROUNDS, threshold_ppm: int = 300000
+) -> str:
+    """DuckDB mirror of the integer-ppb PageRank, generated from the
+    same (rounds, threshold) constants: jaccard pair CTE → symmetric
+    edges → degree → ``rounds`` unrolled integer rank updates
+    (MATERIALIZED — each round re-reads e0/deg)."""
+    parts = [
+        _SQL_SHINGLES.rstrip().rstrip(")")
+        + """), pr AS (
+  SELECT a.doc_id AS u, b.doc_id AS v,
+         a.n_sh AS n_a, b.n_sh AS n_b, CAST(COUNT(*) AS BIGINT) AS co
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT u, v FROM pr
+  WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5)
+             AS BIGINT) >= """
+        + str(threshold_ppm)
+        + """
+), e0 AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), deg AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY 1
+), r0 AS MATERIALIZED (
+  SELECT u AS node, CAST(1000000000 AS BIGINT) AS r FROM deg
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT e.v AS node,
+         CAST(150000000 + SUM((85 * r.r) // (100 * d.d)) AS BIGINT) AS r
+  FROM e0 e JOIN r{i - 1} r ON e.u = r.node JOIN deg d ON e.u = d.u
+  GROUP BY 1
+)"""
+        )
+    parts.append(f"\nSELECT node, r AS rank_ppb FROM r{rounds}")
+    return "".join(parts)
+
+
 def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration (Herfindahl) index per part type: each
     brand's revenue share in ppm (exact integer floor division of
@@ -9313,6 +9378,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_mix": q_source_lang_mix,
     "ab_test": q_ab_test,
     "id_gap_report": q_id_gap_report,
+    "pagerank_exact": q_pagerank_exact,
     # --- new in round 6 ---
     "recursive_hierarchy": q_recursive_hierarchy,
     "neyman_sample": q_neyman_sample,
@@ -9529,6 +9595,9 @@ ORACLES: dict[str, str] = {
     "source_lang_mix": SQL_SOURCE_LANG_MIX,
     "ab_test": SQL_AB_TEST,
     "id_gap_report": SQL_ID_GAP_REPORT,
+    # float pagerank stays rows-only; its ppb-integer twin unrolls to
+    # SQL — generated from the SAME (rounds, threshold) constants
+    "pagerank_exact": _pagerank_exact_unrolled_sql(),
     # k_core graduates from rows-only (r7): the bounded peel unrolls
     # to closed-form SQL — generated from the SAME (k, rounds,
     # threshold) constants as the Spark query

@@ -62,6 +62,9 @@ SHUFFLE_BUDGET = {
     # tiny pairing join/agg; runtime ReuseExchange collapses the
     # repeated distinct lineages
     "id_gap_report": 12,
+    # iteration lineage cut by eager localCheckpoints; the static plan
+    # is the final checkpointed rank frame
+    "pagerank_exact": 0,
     # --- new in round 6 ---
     # the sketch-census groupBy renders statically under BOTH pair
     # sides (the broadcast subtree doesn't reuse under this fixture's
