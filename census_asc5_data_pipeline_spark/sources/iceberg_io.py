@@ -657,3 +657,121 @@ def register_iceberg_views(
         )
         out.append(vname)
     return out
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    since_snapshot_id: int | None = None,
+) -> tuple[DataFrame, int | None]:
+    """Incremental tail (the delta_io ``read_delta_changes`` contract
+    on Iceberg's log): rows ADDED by each snapshot after
+    ``since_snapshot_id``, tagged ``_snapshot_id``. Attribution comes
+    from the manifest LIST: a manifest belongs to the snapshot named
+    by its ``added_snapshot_id``, so a snapshot's inserts are the
+    ADDED (status=1) entries of exactly its own manifests — appended
+    snapshots re-list prior manifests, which are skipped by that
+    filter. Inserts only (an overwrite surfaces its new files; this
+    writer never row-deletes). Returns (frame, last_snapshot_id)."""
+    _v, meta = _current_metadata(path)
+    schema, _fields = _schema_of(meta)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s["snapshot-id"]
+    )
+    if not snaps:
+        out_schema = T.StructType(
+            schema.fields + [T.StructField("_snapshot_id", T.LongType())]
+        )
+        return spark.createDataFrame([], out_schema), since_snapshot_id
+    last = snaps[-1]["snapshot-id"]
+    want = [
+        s
+        for s in snaps
+        if since_snapshot_id is None or s["snapshot-id"] > since_snapshot_id
+    ]
+    per_file: list[tuple[str, int]] = []
+    for snap in want:
+        sid = snap["snapshot-id"]
+        _sch, manifests = read_container_generic(
+            _local(snap["manifest-list"])
+        )
+        for m in manifests:
+            if int(m.get("content", 0)) == 1:
+                raise NotImplementedError(
+                    "delete manifest in the change range; merge-on-read "
+                    "is out of scope"
+                )
+            if int(m.get("added_snapshot_id", sid)) != sid:
+                continue  # re-listed prior manifest: not this snapshot's
+            _s2, entries = read_container_generic(
+                _local(m["manifest_path"])
+            )
+            for e in entries:
+                if int(e.get("status", 1)) != 1:
+                    continue
+                per_file.append((_local(e["data_file"]["file_path"]), sid))
+    out_schema = T.StructType(
+        schema.fields + [T.StructField("_snapshot_id", T.LongType())]
+    )
+    if not per_file:
+        return spark.createDataFrame([], out_schema), last
+    from pyspark.sql import functions as F
+
+    files = [p_ for p_, _sid in per_file]
+    by_base: dict[str, int] = {}
+    for p_, sid in per_file:
+        base = os.path.basename(p_)
+        if base in by_base and by_base[base] != sid:
+            raise ValueError(
+                f"duplicate data-file basename {base!r} across "
+                "snapshots — cannot attribute rows safely"
+            )
+        by_base[base] = sid
+    sid_df = spark.createDataFrame(
+        [(b, v) for b, v in by_base.items()],
+        T.StructType(
+            [
+                T.StructField("__base", T.StringType()),
+                T.StructField("_snapshot_id", T.LongType()),
+            ]
+        ),
+    )
+    return (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .withColumn(
+            "__base", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .join(F.broadcast(sid_df), "__base")
+        .select([f.name for f in schema.fields] + ["_snapshot_id"]),
+        last,
+    )
+
+
+def iceberg_tail_fold(
+    spark: SparkSession, path: str, cursor_path: str, fn
+) -> tuple[int, int | None]:
+    """Exactly-once consumption of the Iceberg snapshot tail — the
+    ``delta_tail_fold`` discipline: ``fn(changes_df)`` first, the
+    atomic JSON cursor advances after (at-least-once into an
+    idempotent consumer on a crash between the two). Returns
+    (snapshots_processed, new_cursor)."""
+    since = None
+    if os.path.exists(cursor_path):
+        since = json.load(open(cursor_path)).get("snapshot_id")
+    changes, last = read_iceberg_changes(
+        spark, path, since_snapshot_id=since
+    )
+    if last is None or (since is not None and last <= since):
+        return 0, since
+    fn(changes)
+    tmp = cursor_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"snapshot_id": last}, fh)
+    os.replace(tmp, cursor_path)
+    done = (
+        last - since
+        if since is not None
+        else len(iceberg_snapshots(path))
+    )
+    return done, last

@@ -200,3 +200,54 @@ def test_iceberg_foreign_manifest_with_extra_fields_parses(
         1,
         2,
     ]
+
+
+def test_iceberg_changes_and_tail_fold(spark, tmp_path):
+    """Snapshot-diff change feed: each snapshot's inserts attribute
+    through added_snapshot_id (re-listed prior manifests skipped);
+    the fold advances its cursor only after the consumer succeeds."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        iceberg_tail_fold,
+        read_iceberg_changes,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "cf")
+    write_iceberg(_mk(spark, [(1,), (2,)], "id bigint"), path)
+    write_iceberg(_mk(spark, [(3,)], "id bigint"), path, mode="append")
+    write_iceberg(_mk(spark, [(9,)], "id bigint"), path, mode="overwrite")
+    full, last = read_iceberg_changes(spark, path)
+    assert last == 3
+    assert sorted((r.id, r._snapshot_id) for r in full.collect()) == [
+        (1, 1),
+        (2, 1),
+        (3, 2),
+        (9, 3),
+    ]
+    tail, _ = read_iceberg_changes(spark, path, since_snapshot_id=1)
+    assert sorted((r.id, r._snapshot_id) for r in tail.collect()) == [
+        (3, 2),
+        (9, 3),
+    ]
+
+    cursor = str(tmp_path / "cur.json")
+    seen: list = []
+
+    def boom(df):
+        raise RuntimeError("crash")
+
+    with pytest.raises(RuntimeError):
+        iceberg_tail_fold(spark, path, cursor, boom)
+    assert not os.path.exists(cursor)
+
+    def consume(df):
+        seen.append(sorted((r.id, r._snapshot_id) for r in df.collect()))
+
+    n, v = iceberg_tail_fold(spark, path, cursor, consume)
+    assert (n, v) == (3, 3) and len(seen) == 1
+    n2, v2 = iceberg_tail_fold(spark, path, cursor, consume)
+    assert (n2, v2) == (0, 3) and len(seen) == 1
+    write_iceberg(_mk(spark, [(10,)], "id bigint"), path, mode="append")
+    n3, v3 = iceberg_tail_fold(spark, path, cursor, consume)
+    assert (n3, v3) == (1, 4)
+    assert seen[-1] == [(10, 4)]
