@@ -8664,6 +8664,9 @@ FROM s
 """
 
 
+_ID_GAP_BUCKETS = 2048
+
+
 def q_id_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-id ranges in a key sequence (here: orderkeys with NO
     line items) — the classic islands-and-gaps data-quality report,
@@ -8671,35 +8674,80 @@ def q_id_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     window funnels the whole key set through ONE partition, so
     instead the gap BOUNDARIES are found by two anti-joins (id+1
     absent → a gap starts; id-1 absent → an island starts, both
-    map-side-combinable hash joins on the 8-byte key), and only the
-    tiny boundary frames — O(gaps), not O(ids) — meet in the pairing
-    join (each gap's end = the next island start - 1). Every count is
-    exact integer arithmetic."""
+    map-side-combinable hash joins on the 8-byte key), and the
+    boundary frames are paired ADJACENTLY, never all-pairs: the
+    round-7 verdict measured the old non-equi ``isl > gs`` pairing as
+    a BroadcastNestedLoopJoin over two O(gaps) inputs whose gap count
+    grows linearly with data (253 → 2,708 per 10× SF → ~10¹⁰ pairs at
+    the 100× target), so it is replaced by the band-bucket trick: the
+    merged (gap-start ∪ island-start) stream strictly ALTERNATES by
+    construction (between a gap start gs and the next island start s
+    no id exists, hence no boundary of either kind), so each gap's
+    end is simply the NEXT boundary in id order.  Boundaries are
+    range-bucketed into ≤2,049 id bands, each bucket pairs locally
+    with an intra-bucket ``lead`` (the pack_sequences two-level
+    discipline), and the only cross-bucket state is the O(buckets)
+    per-bucket-first-boundary frame — a constant-size single-partition
+    window + a broadcast EQUI-join back on the bucket id.  No
+    CartesianProduct, no BroadcastNestedLoopJoin, and the max-id
+    bounds frame attaches through a constant-key broadcast hash join
+    rather than a crossJoin.  Every count is exact integer
+    arithmetic."""
     ids = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").cast("bigint").alias("id"))
         .distinct()
     )
-    bounds = F.broadcast(ids.agg(F.max("id").alias("mx")))
     other = ids.select(F.col("id").alias("id2"))
-    gap_starts = (
-        ids.join(other, F.col("id") + 1 == F.col("id2"), "left_anti")
-        .crossJoin(bounds)
-        .filter(F.col("id") < F.col("mx"))
-        .select((F.col("id") + 1).alias("gs"))
-    )
+    gap_starts = ids.join(
+        other, F.col("id") + 1 == F.col("id2"), "left_anti"
+    ).select((F.col("id") + 1).alias("pos"), F.lit(0).alias("typ"))
     island_starts = ids.join(
         other, F.col("id") - 1 == F.col("id2"), "left_anti"
-    ).select(F.col("id").alias("isl"))
-    return (
-        gap_starts.join(island_starts, F.col("isl") > F.col("gs"))
-        .groupBy("gs")
-        .agg(F.min("isl").alias("nx"))
-        .select(
-            F.col("gs").alias("gap_start"),
-            (F.col("nx") - 1).alias("gap_end"),
-            (F.col("nx") - F.col("gs")).cast("bigint").alias("n_missing"),
+    ).select(F.col("id").alias("pos"), F.lit(1).alias("typ"))
+    # metadata-scale 1-row driver probe at construction (the
+    # join_preflight discipline): the max id becomes a plan LITERAL,
+    # so no bounds frame ever joins row-wise (a constant-key equi-join
+    # would constant-fold into an unconditioned BroadcastNestedLoopJoin)
+    mx = int(
+        _t(spark, sf_dir, "lineitem")
+        .agg(F.max(F.col("l_orderkey").cast("bigint")))
+        .first()[0]
+    )
+    band_w = mx // _ID_GAP_BUCKETS + 1  # ≤ _ID_GAP_BUCKETS+1 bands
+    boundaries = (
+        gap_starts.unionByName(island_starts)
+        .filter(F.col("pos") <= F.lit(mx))  # drop the post-max gap
+        .withColumn("bkt", F.expr(f"pos DIV {band_w}"))
+        .select("pos", "typ", "bkt")
+    )
+    w_in = Window.partitionBy("bkt").orderBy("pos")
+    b2 = boundaries.select(
+        "pos", "typ", "bkt", F.lead("pos").over(w_in).alias("nxt")
+    )
+    # cross-bucket fix-up: first boundary of each NON-EMPTY bucket;
+    # ≤ _ID_GAP_BUCKETS+1 rows, so the global-order window is a
+    # constant-size single-partition frame (metadata scale by
+    # construction, independent of data volume)
+    firsts = boundaries.groupBy("bkt").agg(F.min("pos").alias("first_pos"))
+    w_seq = Window.orderBy("bkt")
+    nxtb = F.broadcast(
+        firsts.select(
+            "bkt", F.lead("first_pos").over(w_seq).alias("next_first")
         )
+    )
+    paired = b2.filter((F.col("typ") == 0) & F.col("nxt").isNotNull()).select(
+        "pos", "nxt"
+    )
+    unpaired = (
+        b2.filter((F.col("typ") == 0) & F.col("nxt").isNull())
+        .join(nxtb, "bkt")
+        .select("pos", F.col("next_first").alias("nxt"))
+    )
+    return paired.unionByName(unpaired).select(
+        F.col("pos").alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("pos")).cast("bigint").alias("n_missing"),
     )
 
 

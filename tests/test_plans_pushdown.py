@@ -23,10 +23,6 @@ CROSS_JOIN_OK = {
     # onto the per-doc and per-token aggregates to drive the integer
     # bucket expression — one row, never data-scale
     "heaps_law",
-    # deliberate: a 1-row max-id bounds crossJoin + the non-equi
-    # boundary pairing join (isl > gs) — both over O(gaps) boundary
-    # frames, never the O(ids) key set
-    "id_gap_report",
     # deliberate 1-ROW broadcast crossJoin: the global (n_g, v) totals
     # frame attaches to every scored row without a scalar-subquery
     # re-render of the token lineage — a BroadcastNestedLoopJoin whose

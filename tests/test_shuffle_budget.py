@@ -58,10 +58,12 @@ SHUFFLE_BUDGET = {
     # per-user conversion agg + the 2-row variant agg + the 1-row
     # pivot; lineages render under the summary pre-AQE
     "ab_test": 3,
-    # the distinct renders under the boundary anti-join sides + the
-    # tiny pairing join/agg; runtime ReuseExchange collapses the
-    # repeated distinct lineages
-    "id_gap_report": 12,
+    # round-8 band-bucket rewrite (no BNLJ — covered by the generic
+    # no-cartesian pin): the distinct renders under the 4 boundary
+    # anti-join sides, then the per-band lead window + the constant-
+    # size firsts agg/window + the bucket equi-join; runtime
+    # ReuseExchange collapses the repeated distinct lineages
+    "id_gap_report": 16,
     # iteration lineage cut by eager localCheckpoints; the static plan
     # is the final checkpointed rank frame
     "pagerank_exact": 0,
