@@ -297,7 +297,15 @@ def _scan_adds(
     per spec) by a broadcast ``input_file_name`` basename join; the
     same join optionally tags each row with its commit version (the
     CDF-lite path). Basename collisions with differing attribution
-    raise — a corrupt table must not mis-attribute rows."""
+    raise — a corrupt table must not mis-attribute rows.
+
+    ``input_file_name()`` returns a URI-ENCODED path while the log
+    stores percent-DEcoded relative paths, so the scan-side basename
+    is url-decoded before the join ('+' is first protected to %2B:
+    ``url_decode`` is form-decoding, but URI encoding leaves literal
+    '+' alone) — and the join is a LEFT join with a raise_error guard,
+    so a foreign-written file whose name still fails to match fails
+    LOUDLY instead of silently dropping its rows."""
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in pcols]
     )
@@ -328,7 +336,9 @@ def _scan_adds(
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
         + [T.StructField("__cv", T.LongType())]
     )
-    pv_df = spark.createDataFrame(pv_rows, pv_schema)
+    pv_df = spark.createDataFrame(pv_rows, pv_schema).withColumn(
+        "__matched", F.lit(True)
+    )
     cols = [
         F.col(f.name)
         if f.name not in pcols
@@ -346,9 +356,30 @@ def _scan_adds(
         cols.append(F.col("__cv").alias("_commit_version"))
     return (
         df.withColumn(
-            "__base", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            "__base",
+            F.url_decode(
+                F.replace(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                    F.lit("+"),
+                    F.lit("%2B"),
+                )
+            ),
         )
-        .join(F.broadcast(pv_df), "__base")
+        .join(F.broadcast(pv_df), "__base", "left")
+        .where(
+            F.when(
+                F.col("__matched").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "delta_io: scanned file not attributable to a "
+                            "log add action (basename mismatch): "
+                        ),
+                        F.col("__base"),
+                    )
+                ),
+            ).otherwise(F.lit(True))
+        )
         .select(*cols)
     )
 
@@ -488,6 +519,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    overwrite_schema: bool = False,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -500,6 +532,15 @@ def write_delta(
     modificationTime / partitionValues; the commit file is
     put-if-absent with retry, so concurrent writers serialize per the
     protocol instead of clobbering.
+
+    Writes to an EXISTING table validate ``df``'s (name, type) field
+    signature against the table's current ``schemaString`` (nullability-
+    insensitive) and raise on drift — real Delta's schema enforcement;
+    without it an append with renamed/retyped columns commits files
+    whose columns silently read as null.  ``overwrite`` combined with
+    ``overwrite_schema=True`` mirrors delta-spark's ``overwriteSchema``
+    option: the same commit carries an updated ``metaData`` action
+    (same table id) so the replace is atomic.
 
     ``txn=(app_id, version)`` adds the protocol's application
     transaction action to the SAME commit — the streaming-sink fence:
@@ -569,6 +610,26 @@ def write_delta(
         else:
             next_v = 0
             meta, adds = {}, {}
+        schema_changed = False
+        if meta.get("schemaString"):
+            prev_fields = [
+                (f.name, f.dataType.simpleString())
+                for f in T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                ).fields
+            ]
+            new_fields = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ]
+            if new_fields != prev_fields:
+                if mode != "overwrite" or not overwrite_schema:
+                    raise ValueError(
+                        "schema mismatch vs table schemaString: "
+                        f"table={prev_fields} df={new_fields}; pass "
+                        "mode='overwrite', overwrite_schema=True to "
+                        "replace the schema atomically"
+                    )
+                schema_changed = True
         lines: list[dict] = [
             {
                 "commitInfo": {
@@ -593,16 +654,18 @@ def write_delta(
             lines.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-        if next_v == 0 or not meta:
+        if next_v == 0 or not meta or schema_changed:
             lines.append(
                 {
                     "metaData": {
-                        "id": str(uuid.uuid4()),
+                        # keep the table id stable across a schema
+                        # overwrite — it's the same table
+                        "id": meta.get("id") or str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": df.schema.json(),
                         "partitionColumns": pcols,
-                        "configuration": {},
-                        "createdTime": now_ms,
+                        "configuration": meta.get("configuration") or {},
+                        "createdTime": meta.get("createdTime") or now_ms,
                     }
                 }
             )
@@ -826,8 +889,15 @@ def vacuum_delta(
       and only when they are also below the retention window's oldest
       version, so version-targeted time travel within retention keeps
       working;
-    - staging/temp debris (``.staging-*``, ``.tmp-*``) older than the
-      current commit is removed.
+    - NOTHING with an mtime at/after the newest retained commit file
+      is touched — a concurrent write_delta stages and moves its data
+      files into the table BEFORE its put-if-absent commit lands, so
+      any file newer than the last known commit may belong to an
+      in-flight writer; deleting it would let that writer commit a
+      version referencing missing files (real VACUUM's retention-
+      window safety, version-deterministic here);
+    - staging/temp debris (``.staging-*``, ``.tmp-*``) is removed
+      under the same age guard.
 
     Returns {data_files_removed, log_files_removed, retained_versions}.
     """
@@ -835,6 +905,7 @@ def vacuum_delta(
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path!r}")
     retained = versions[-keep_versions:]
+    cutoff = os.path.getmtime(_commit_file(path, retained[-1]))
     live: set[str] = set()
     for v in retained:
         _p, _m, adds, _tx = _replay(spark, path, v)
@@ -848,6 +919,11 @@ def vacuum_delta(
         for f in fnames:
             full = os.path.join(root, f)
             rel = os.path.normpath(os.path.relpath(full, path))
+            try:
+                if os.path.getmtime(full) >= cutoff:
+                    continue  # possibly an in-flight writer's file
+            except OSError:
+                continue
             if f.startswith(".tmp-") or "/.staging-" in full or rel.startswith(
                 ".staging-"
             ):

@@ -83,12 +83,55 @@ def _log_meta(path: str):
 _SPARK_TO_PA = {
     "long": "int64",
     "integer": "int32",
+    "short": "int16",
+    "byte": "int8",
     "double": "float64",
     "float": "float32",
     "string": "string",
     "boolean": "bool",
     "binary": "binary",
+    "date": "date32",
+    "timestamp": "timestamp[us]",
+    "timestamp_ntz": "timestamp[us]",
 }
+
+
+def _pv_to_arrow(t_str: str, raw, n: int):
+    """One Hive-style partition VALUE (a string from the log's
+    partitionValues, per the Delta spec's serialization rules) →
+    an n-element Arrow array of the declared Spark type. Raises for
+    types outside the serialization table (interval, struct, …) —
+    loud beats a miscast batch."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+
+    if t_str.startswith("decimal("):
+        p, s = t_str[len("decimal(") : -1].split(",")
+        val = None if raw is None else decimal.Decimal(raw)
+        return pa.array([val] * n, pa.decimal128(int(p), int(s)))
+    if t_str not in _SPARK_TO_PA:
+        raise NotImplementedError(
+            f"delta_tail: unsupported partition-column type {t_str!r}"
+        )
+    pa_t = pa.type_for_alias(_SPARK_TO_PA[t_str])
+    if raw is None:
+        val = None
+    elif t_str in ("long", "integer", "short", "byte"):
+        val = int(raw)
+    elif t_str in ("double", "float"):
+        val = float(raw)
+    elif t_str == "boolean":
+        val = raw == "true"
+    elif t_str == "date":
+        val = datetime.date.fromisoformat(raw)
+    elif t_str in ("timestamp", "timestamp_ntz"):
+        # spec serialization: "yyyy-MM-dd HH:mm:ss[.S…]", no zone
+        val = datetime.datetime.fromisoformat(raw)
+    else:
+        val = raw
+    return pa.array([val] * n, pa_t)
 
 
 class _FilePart(InputPartition):
@@ -107,6 +150,18 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             raise ValueError("delta_tail requires .option('path', ...)")
         self.starting = int(options.get("startingversion", -1))
         self.fields, self.pcols = _log_meta(self.path)
+        # fail at construction, not per-batch, for partition-column
+        # types outside the spec's partition-value serialization table
+        for f in self.fields:
+            t = f["type"]
+            if f["name"] in self.pcols and not (
+                isinstance(t, str)
+                and (t in _SPARK_TO_PA or t.startswith("decimal("))
+            ):
+                raise NotImplementedError(
+                    f"delta_tail: unsupported partition-column type "
+                    f"{t!r} for {f['name']!r}"
+                )
 
     def initialOffset(self):
         return {"version": self.starting}
@@ -175,21 +230,11 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             names = list(batch.schema.names)
             for c in pcols:
                 raw = partition.pv.get(c)
-                if raw is None or raw == _HIVE_NULL:
-                    val = None
-                else:
-                    t = types.get(c, "string")
-                    val = (
-                        int(raw)
-                        if t in ("long", "integer")
-                        else float(raw)
-                        if t in ("double", "float")
-                        else raw
-                    )
-                pa_t = pa.type_for_alias(
-                    _SPARK_TO_PA.get(types.get(c, "string"), "string")
+                if raw == _HIVE_NULL:
+                    raw = None
+                arrays.append(
+                    _pv_to_arrow(types.get(c, "string"), raw, n)
                 )
-                arrays.append(pa.array([val] * n, pa_t))
                 names.append(c)
             arrays.append(pa.array([partition.version] * n, pa.int64()))
             names.append("_commit_version")

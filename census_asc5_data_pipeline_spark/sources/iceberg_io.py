@@ -429,9 +429,46 @@ def write_iceberg(
             pcol_ice.append((f.name, t))
 
     exists = os.path.isdir(_meta_dir(path)) and _metadata_files(path)
+    schema_changed = False
+    prev_schemas: list[dict] = []
+    prev_sid = 0
     if exists:
         cur_v, meta = _current_metadata(path)
-        prev_schema, _ = _schema_of(meta)
+        _prev_schema, prev_fields = _schema_of(meta)
+        prev_schemas = list(
+            meta.get("schemas") or ([meta["schema"]] if "schema" in meta else [])
+        )
+        prev_sid = meta.get("current-schema-id", 0)
+        # schema enforcement (round-7 ADVICE): an append whose (name,
+        # type) signature drifts from the current schema would rebind
+        # field ids and null old data on by-name reads — raise; an
+        # overwrite registers the new schema as a NEW schema-id with
+        # name-stable field ids, and the prior schemas list is carried
+        # forward so the _schema_of rename gate keeps seeing history
+        prev_sig = [(f["name"], f["type"]) for f in prev_fields]
+        new_sig = [(f["name"], f["type"]) for f in ice_fields]
+        if new_sig != prev_sig:
+            if mode != "overwrite":
+                raise ValueError(
+                    "schema mismatch vs table's current schema: "
+                    f"table={prev_sig} df={new_sig}; only "
+                    "mode='overwrite' may evolve the schema"
+                )
+            schema_changed = True
+            prev_by_name = {f["name"]: f["id"] for f in prev_fields}
+            next_id = max(
+                [meta.get("last-column-id", 0)]
+                + [f["id"] for s in prev_schemas for f in s.get("fields", [])]
+            )
+            for f in ice_fields:
+                if f["name"] in prev_by_name:
+                    f["id"] = prev_by_name[f["name"]]
+                else:
+                    next_id += 1
+                    f["id"] = next_id
+        else:
+            for f, pf in zip(ice_fields, prev_fields):
+                f["id"] = pf["id"]
         prev_pcols = [
             f["name"]
             for s in (
@@ -581,13 +618,28 @@ def write_iceberg(
             ]
             + [new_manifest],
         )
+    if not exists:
+        cur_sid = 0
+        schemas = [{"schema-id": 0, "type": "struct", "fields": ice_fields}]
+    elif schema_changed:
+        cur_sid = (
+            max(s.get("schema-id", 0) for s in prev_schemas) + 1
+            if prev_schemas
+            else prev_sid + 1
+        )
+        schemas = prev_schemas + [
+            {"schema-id": cur_sid, "type": "struct", "fields": ice_fields}
+        ]
+    else:
+        cur_sid = prev_sid
+        schemas = prev_schemas
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.abspath(ml_path),
         "summary": {"operation": mode},
-        "schema-id": 0,
+        "schema-id": cur_sid,
     }
     new_meta = {
         "format-version": 2,
@@ -595,11 +647,11 @@ def write_iceberg(
         "location": os.path.abspath(path),
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": len(ice_fields),
-        "current-schema-id": 0,
-        "schemas": [
-            {"schema-id": 0, "type": "struct", "fields": ice_fields}
-        ],
+        "last-column-id": max(
+            f["id"] for s in schemas for f in s.get("fields", [])
+        ),
+        "current-schema-id": cur_sid,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [
             {

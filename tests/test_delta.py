@@ -687,3 +687,153 @@ def test_register_delta_and_iceberg_sql_views(spark, tmp_path):
     assert inames == ["itab", "itab__s1", "itab__s2"]
     assert spark.sql("SELECT COUNT(*) n FROM itab").first().n == 2
     assert spark.sql("SELECT COUNT(*) n FROM itab__s1").first().n == 1
+
+
+def test_delta_write_schema_enforcement(spark, tmp_path):
+    """Round-7 ADVICE: an append whose (name, type) signature drifts
+    from the table's schemaString raises (real Delta's schema
+    enforcement); overwrite only replaces the schema when
+    overwrite_schema=True, and the commit's metaData keeps the same
+    table id (it's the same table)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        _replay,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(1, "a")], "id bigint, s string"), path)
+    _p, meta0, _a, _t = _replay(spark, path, None)
+
+    drifted = _mk(spark, [(2, 9)], "id bigint, s bigint")  # retyped
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(drifted, path, mode="append")
+    renamed = _mk(spark, [(2, "b")], "id bigint, t string")  # renamed
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(renamed, path, mode="append")
+    with pytest.raises(ValueError, match="overwrite_schema"):
+        write_delta(renamed, path, mode="overwrite")
+
+    # matching append still fine; nullability difference is ignored
+    write_delta(_mk(spark, [(3, "c")], "id bigint, s string"), path)
+    assert read_delta(spark, path).count() == 2
+
+    # sanctioned schema replace
+    v = write_delta(
+        renamed, path, mode="overwrite", overwrite_schema=True
+    )
+    back = read_delta(spark, path)
+    assert [f.name for f in back.schema.fields] == ["id", "t"]
+    assert back.collect()[0].t == "b"
+    _p, meta2, _a, _t = _replay(spark, path, None)
+    assert meta2["id"] == meta0["id"]  # table id stable
+    assert v == 2
+    # time travel to v1 still reads the OLD schema's data
+    old = read_delta(spark, path, version=1)
+    assert old.count() == 2 and "s" in old.columns
+
+
+def test_delta_vacuum_age_guard_spares_inflight_files(spark, tmp_path):
+    """Round-7 ADVICE: vacuum must not delete files newer than the
+    newest retained commit — they may belong to an in-flight writer
+    that has moved data into the table but not yet committed. Old
+    debris (mtime before the cutoff) still goes."""
+    import time as _time
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        _commit_file,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(1,)], "id bigint"), path)
+    write_delta(_mk(spark, [(2,)], "id bigint"), path, mode="overwrite")
+    write_delta(_mk(spark, [(3,)], "id bigint"), path, mode="overwrite")
+
+    # old debris: staged tmp file whose mtime predates the last commit
+    debris = os.path.join(path, ".tmp-old")
+    open(debris, "w").write("x")
+    past = os.path.getmtime(_commit_file(path, 2)) - 60
+    os.utime(debris, (past, past))
+
+    # in-flight writer: data file moved in AFTER the last commit
+    inflight = os.path.join(path, "part-inflight.parquet")
+    open(inflight, "wb").write(b"PAR1")
+    stats = vacuum_delta(spark, path, keep_versions=2)
+
+    assert not os.path.exists(debris)  # old debris removed
+    assert os.path.exists(inflight)  # in-flight file spared
+    assert stats["data_files_removed"] >= 2  # v0 file + debris
+    assert read_delta(spark, path).count() == 1
+
+
+def test_delta_tail_partition_value_types_and_gate():
+    """Round-7 ADVICE: the Hive-string partition values decode to
+    typed Arrow arrays (date/timestamp/decimal/short/byte included),
+    and unsupported types raise at the codec, not as a miscast
+    batch."""
+    import datetime
+
+    import pyarrow as pa
+
+    from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
+        _pv_to_arrow,
+    )
+
+    a = _pv_to_arrow("date", "2024-03-01", 2)
+    assert a.type == pa.date32()
+    assert a[0].as_py() == datetime.date(2024, 3, 1)
+    a = _pv_to_arrow("timestamp", "2024-03-01 12:30:45.5", 1)
+    assert a.type == pa.timestamp("us")
+    assert a[0].as_py() == datetime.datetime(2024, 3, 1, 12, 30, 45, 500000)
+    a = _pv_to_arrow("decimal(10,2)", "12.50", 1)
+    assert a.type == pa.decimal128(10, 2)
+    assert str(a[0].as_py()) == "12.50"
+    a = _pv_to_arrow("short", "7", 1)
+    assert a.type == pa.int16() and a[0].as_py() == 7
+    a = _pv_to_arrow("byte", None, 3)
+    assert a.type == pa.int8() and a[0].as_py() is None
+    a = _pv_to_arrow("boolean", "true", 1)
+    assert a[0].as_py() is True
+    with pytest.raises(NotImplementedError, match="partition-column"):
+        _pv_to_arrow("interval", "x", 1)
+
+
+def test_delta_tail_date_partitioned_stream(spark, tmp_path):
+    """A delta_tail stream over a DATE-partitioned table yields typed
+    date values (the round-7 ADVICE repro: previously a string array
+    met a DateType schema and every batch failed)."""
+    import datetime
+
+    from census_asc5_data_pipeline_spark.sources import delta_stream_source
+    from census_asc5_data_pipeline_spark.sources.delta_io import write_delta
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 1, 2))],
+        "id bigint, d date",
+    )
+    write_delta(df, path, partition_by=["d"])
+    delta_stream_source.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.d) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, datetime.date(2024, 1, 1)),
+        (2, datetime.date(2024, 1, 2)),
+    ]

@@ -251,3 +251,51 @@ def test_iceberg_changes_and_tail_fold(spark, tmp_path):
     n3, v3 = iceberg_tail_fold(spark, path, cursor, consume)
     assert (n3, v3) == (1, 4)
     assert seen[-1] == [(10, 4)]
+
+
+def test_iceberg_write_schema_enforcement_and_history(spark, tmp_path):
+    """Round-7 ADVICE: an append with drifted (name, type) fields
+    raises instead of silently rebinding field ids; an overwrite
+    registers the new schema as a NEW schema-id with name-stable
+    field ids and carries the prior schemas list forward, so schema
+    history survives in the metadata."""
+    import pytest as _pytest
+
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _current_metadata,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a")], "id bigint, s string"), path
+    )
+    drifted = spark.createDataFrame([(2, 9)], "id bigint, s bigint")
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(drifted, path, mode="append")
+
+    # matching append keeps schema-id and field ids
+    write_iceberg(
+        spark.createDataFrame([(2, "b")], "id bigint, s string"), path,
+        mode="append",
+    )
+    _v, meta = _current_metadata(path)
+    assert meta["current-schema-id"] == 0 and len(meta["schemas"]) == 1
+
+    # overwrite evolves: new schema-id, history preserved, id column
+    # keeps its field id, the new column gets a fresh one
+    evolved = spark.createDataFrame([(3, 1.5)], "id bigint, v double")
+    write_iceberg(evolved, path, mode="overwrite")
+    _v, meta = _current_metadata(path)
+    assert meta["current-schema-id"] == 1
+    sids = [s["schema-id"] for s in meta["schemas"]]
+    assert sids == [0, 1]
+    s0 = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    s1 = {f["name"]: f["id"] for f in meta["schemas"][1]["fields"]}
+    assert s1["id"] == s0["id"]  # name-stable field id
+    assert s1["v"] not in s0.values()  # fresh id, no rebind
+    assert meta["last-column-id"] == max(*s0.values(), *s1.values())
+    back = read_iceberg(spark, path)
+    assert [f.name for f in back.schema.fields] == ["id", "v"]
+    assert back.collect()[0].v == 1.5
