@@ -827,3 +827,333 @@ def iceberg_tail_fold(
         else len(iceberg_snapshots(path))
     )
     return done, last
+
+
+# ------------------------------------------------- lifecycle (r8)
+
+
+def _write_metadata_version(path: str, new_v: int, new_meta: dict) -> None:
+    """v<N>.metadata.json + version-hint atomic replace (the writer's
+    pointer discipline, shared by the lifecycle ops)."""
+    meta_path = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, meta_path)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, hint)
+
+
+def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
+    """Iceberg's ``expireSnapshots`` at spec level — the storage-
+    reclaim twin of :func:`delta_io.vacuum_delta` (round-7 verdict
+    elective #2): keep the last ``keep_snapshots`` snapshots fully
+    AS-OF readable, drop the rest from a NEW metadata version, and
+    physically delete everything only the expired snapshots
+    referenced.
+
+    Safety invariants (the vacuum_delta discipline):
+
+    - the live set is the UNION of every RETAINED snapshot's data
+      files plus their manifest / manifest-list avros — a file is
+      deleted only when NO retained snapshot references it;
+    - nothing with an mtime at/after the current metadata json is
+      touched (a concurrent write_iceberg stages data files and avros
+      BEFORE its hint flip — deleting them would corrupt its commit);
+    - old ``v<N>.metadata.json`` versions below the new one are
+      pruned (readers resolve hint-first; snapshot time travel goes
+      through the retained snapshots in the NEW metadata, exactly as
+      before).
+
+    Returns {data_files_removed, manifests_removed,
+    metadata_files_removed, retained_snapshot_ids}.
+    """
+    cur_v, meta = _current_metadata(path)
+    cur_meta_file = os.path.join(
+        _meta_dir(path), f"v{cur_v}.metadata.json"
+    )
+    cutoff = os.path.getmtime(cur_meta_file)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s["snapshot-id"]
+    )
+    retained = snaps[-keep_snapshots:] if keep_snapshots > 0 else []
+    retained_ids = {s["snapshot-id"] for s in retained}
+
+    keep_avros: set[str] = set()
+    live_data: set[str] = set()
+    for s in retained:
+        if "manifest-list" in s:
+            ml = os.path.abspath(_local(s["manifest-list"]))
+            keep_avros.add(ml)
+            _sch, manifests = read_container_generic(ml)
+            for m in manifests:
+                keep_avros.add(os.path.abspath(_local(m["manifest_path"])))
+        else:  # v1 inline manifests
+            keep_avros |= {
+                os.path.abspath(_local(p)) for p in s.get("manifests", [])
+            }
+        for d in _live_files(path, meta, s["snapshot-id"]):
+            live_data.add(os.path.abspath(_local(d["file_path"])))
+
+    new_v = cur_v + 1
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    new_meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e.get("snapshot-id") in retained_ids
+    ]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    if retained and meta.get("current-snapshot-id") not in retained_ids:
+        new_meta["current-snapshot-id"] = retained[-1]["snapshot-id"]
+    _write_metadata_version(path, new_v, new_meta)
+
+    def _old(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) < cutoff
+        except OSError:
+            return False
+
+    manifests_removed = 0
+    for f in os.listdir(_meta_dir(path)):
+        full = os.path.abspath(os.path.join(_meta_dir(path), f))
+        if (
+            f.endswith(".avro")
+            and full not in keep_avros
+            and _old(full)
+        ):
+            os.remove(full)
+            manifests_removed += 1
+    metadata_removed = 0
+    for n, p in _metadata_files(path):
+        if n < new_v and _old(p):
+            os.remove(p)
+            metadata_removed += 1
+    data_removed = 0
+    data_dir = os.path.join(path, "data")
+    for root, _dirs, fnames in os.walk(data_dir):
+        for f in fnames:
+            full = os.path.abspath(os.path.join(root, f))
+            if not f.endswith(".parquet") or f.startswith("."):
+                continue
+            if full not in live_data and _old(full):
+                os.remove(full)
+                data_removed += 1
+    for root, dirs, fnames in os.walk(data_dir, topdown=False):
+        if root != data_dir and not dirs and not fnames:
+            os.rmdir(root)
+    return {
+        "data_files_removed": data_removed,
+        "manifests_removed": manifests_removed,
+        "metadata_files_removed": metadata_removed,
+        "retained_snapshot_ids": sorted(retained_ids),
+    }
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Iceberg's ``rewriteDataFiles`` bin-packing compaction — the
+    :func:`delta_io.optimize_delta` twin (round-7 verdict elective
+    #2): partitions whose live file count exceeds their byte-size-
+    implied target are rewritten into ~``target_file_bytes`` files
+    and swapped in ONE new snapshot whose manifest lists every
+    post-compaction live file with status=0 (EXISTING) — the spec's
+    no-logical-change marker, so :func:`read_iceberg_changes` (which
+    attributes inserts by status=1 in the snapshot's own manifests)
+    emits NOTHING for a rewrite, exactly like Delta's
+    ``dataChange: false``. Prior snapshots stay byte-identical for
+    AS-OF reads until :func:`expire_snapshots` reclaims them.
+
+    Concurrency: computed optimistically from the current metadata
+    version; aborts (ValueError) if another commit lands before the
+    swap. Returns {partitions_compacted, files_before, files_after,
+    snapshot_id} (snapshot_id None = nothing to do)."""
+    cur_v, meta = _current_metadata(path)
+    schema, fields = _schema_of(meta)
+    specs = meta.get("partition-specs") or (
+        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    spec = next(
+        s
+        for s in specs
+        if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+    )
+    for f in spec.get("fields", []):
+        if f.get("transform", "identity") != "identity":
+            raise NotImplementedError(
+                f"rewrite over transform {f['transform']!r}; identity only"
+            )
+    by_id = {f["id"]: f for f in fields}
+    pcol_ice = [
+        (f["name"], by_id[f["source-id"]]["type"])
+        for f in spec.get("fields", [])
+    ]
+    pcols = [n for n, _t in pcol_ice]
+    live = _live_files(path, meta, None)
+    groups: dict[tuple, list[dict]] = {}
+    for d in live:
+        pv = d.get("partition") or {}
+        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(d)
+    todo = {}
+    for key, files in groups.items():
+        total = sum(int(d.get("file_size_in_bytes", 0)) for d in files)
+        want = max(1, -(-total // target_file_bytes))
+        if len(files) > want:
+            todo[key] = (files, want)
+    if not todo:
+        return {
+            "partitions_compacted": 0,
+            "files_before": len(live),
+            "files_after": len(live),
+            "snapshot_id": None,
+        }
+    compacted_paths = {
+        os.path.abspath(_local(d["file_path"]))
+        for files, _w in todo.values()
+        for d in files
+    }
+    new_files: list[dict] = []
+    for key, (files, want) in sorted(
+        todo.items(), key=lambda kv: repr(kv[0])
+    ):
+        paths = [_local(d["file_path"]) for d in files]
+        staging = os.path.join(
+            path, "data", f".staging-{uuid.uuid4().hex}"
+        )
+        (
+            spark.read.schema(schema)
+            .parquet(*paths)
+            .coalesce(int(want))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        pv = dict(zip(pcols, key))
+        subdir = "/".join(
+            f"{c}={urllib.parse.quote(str(pv[c]))}"
+            for c in pcols
+            if pv[c] is not None
+        )
+        import pyarrow.parquet as pq
+
+        try:
+            for fn in sorted(os.listdir(staging)):
+                if not fn.endswith(".parquet") or fn.startswith("."):
+                    continue
+                rel = os.path.join(subdir, fn) if subdir else fn
+                dst = os.path.join(path, "data", rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(os.path.join(staging, fn), dst)
+                new_files.append(
+                    {
+                        "content": 0,
+                        "file_path": os.path.abspath(dst),
+                        "file_format": "PARQUET",
+                        "partition": pv,
+                        "record_count": int(
+                            pq.ParquetFile(dst).metadata.num_rows
+                        ),
+                        "file_size_in_bytes": os.path.getsize(dst),
+                    }
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    if _current_metadata(path)[0] != cur_v:
+        raise ValueError(
+            "concurrent commit landed during rewrite — aborting without "
+            "committing (re-run to compact the new state)"
+        )
+    kept = [
+        {
+            "content": 0,
+            "file_path": os.path.abspath(_local(d["file_path"])),
+            "file_format": str(d.get("file_format", "PARQUET")).upper(),
+            "partition": {
+                c: (d.get("partition") or {}).get(c) for c in pcols
+            },
+            "record_count": int(d.get("record_count", 0)),
+            "file_size_in_bytes": int(d.get("file_size_in_bytes", 0)),
+        }
+        for d in live
+        if os.path.abspath(_local(d["file_path"])) not in compacted_paths
+    ]
+    now_ms = int(time.time() * 1000)
+    new_v = cur_v + 1
+    snap_id = new_v
+    seq = int(meta.get("last-sequence-number", cur_v)) + 1
+    man_path = os.path.join(
+        _meta_dir(path), f"manifest-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    all_files = kept + new_files
+    with open(man_path, "wb") as fh:
+        write_container_generic(
+            fh,
+            _entry_schema_for(pcol_ice),
+            [
+                # status=0 EXISTING: rearrangement, not new data
+                {"status": 0, "snapshot_id": snap_id, "data_file": d}
+                for d in all_files
+            ],
+        )
+    manifest = {
+        "manifest_path": os.path.abspath(man_path),
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": spec.get("spec-id", 0),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": 0,
+        "existing_files_count": len(all_files),
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": sum(
+            d["record_count"] for d in all_files
+        ),
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(
+        _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    with open(ml_path, "wb") as fh:
+        write_container_generic(
+            fh,
+            _MANIFEST_FILE_SCHEMA,
+            [
+                {
+                    k: manifest.get(k, 0)
+                    for k in (
+                        f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]
+                    )
+                }
+            ],
+        )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.abspath(ml_path),
+        "summary": {"operation": "replace"},
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    _write_metadata_version(path, new_v, new_meta)
+    return {
+        "partitions_compacted": len(todo),
+        "files_before": len(live),
+        "files_after": len(all_files),
+        "snapshot_id": snap_id,
+    }
