@@ -130,6 +130,213 @@ def _ice_type_to_spark(t) -> T.DataType:
     raise NotImplementedError(f"unsupported iceberg type {t!r}")
 
 
+# --------------------------- partition transforms (spec §Partitioning)
+#
+# bucket[N] uses the spec's 32-bit Murmur3 (x86, seed 0) over the
+# value's hash representation: int/long/date/timestamp hash as the
+# 64-bit little-endian long, strings as UTF-8 bytes; the bucket is
+# (hash & Integer.MAX_VALUE) % N. Implemented from the published
+# algorithm (public domain) — no external lib in this container.
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n4 * 4 :]
+    if tail:
+        k = int.from_bytes(tail.ljust(4, b"\0"), "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_of(value, ice_src_type: str, n: int) -> int | None:
+    if value is None:
+        return None
+    if ice_src_type in ("int", "long", "date", "timestamp", "timestamptz"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif ice_src_type == "string":
+        data = str(value).encode("utf-8")
+    else:
+        raise NotImplementedError(
+            f"bucket transform over {ice_src_type!r} is out of scope"
+        )
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+_TRANSFORM_RE = re.compile(
+    r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(year|month|day)\s*\(\s*(\w+)\s*\)"
+    r"|(\w+)"
+)
+
+
+def _parse_partition_by(entries: list[str]) -> list[dict]:
+    """``partition_by`` entries → [{name, transform, source}]:
+    ``"col"`` (identity), ``"bucket(N, col)"``, ``"truncate(W, col)"``,
+    ``"year(col)"`` / ``"month(col)"`` / ``"day(col)"`` — the spec's
+    transform vocabulary minus hour/void."""
+    out = []
+    for e in entries:
+        m = _TRANSFORM_RE.fullmatch(e.strip())
+        if not m:
+            raise ValueError(f"unparseable partition_by entry {e!r}")
+        if m.group(1):
+            kind, param, src = m.group(1), int(m.group(2)), m.group(3)
+            suffix = "bucket" if kind == "bucket" else "trunc"
+            out.append(
+                {
+                    "name": f"{src}_{suffix}",
+                    "transform": f"{kind}[{param}]",
+                    "source": src,
+                }
+            )
+        elif m.group(4):
+            kind, src = m.group(4), m.group(5)
+            out.append(
+                {
+                    "name": f"{src}_{kind}",
+                    "transform": kind,
+                    "source": src,
+                }
+            )
+        else:
+            out.append(
+                {
+                    "name": m.group(6),
+                    "transform": "identity",
+                    "source": m.group(6),
+                }
+            )
+    return out
+
+
+def _transform_result_type(transform: str, ice_src_type: str) -> str:
+    if transform == "identity":
+        return ice_src_type
+    if transform.startswith("truncate["):
+        return ice_src_type
+    return "int"  # bucket / year / month / day
+
+
+def _eval_transform(transform: str, ice_src_type: str, literal: str):
+    """Apply a partition transform to a FILTER LITERAL driver-side
+    (planning-time pruning; round-7 verdict elective #4). Returns the
+    typed partition value the manifest would carry."""
+    import datetime
+
+    if literal is None:
+        return None
+    if transform == "identity":
+        return int(literal) if ice_src_type in ("int", "long") else literal
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        if ice_src_type == "date":
+            days = (
+                datetime.date.fromisoformat(literal)
+                - datetime.date(1970, 1, 1)
+            ).days
+            return _bucket_of(days, "date", n)
+        if ice_src_type in ("int", "long"):
+            return _bucket_of(int(literal), ice_src_type, n)
+        return _bucket_of(literal, ice_src_type, n)
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if ice_src_type in ("int", "long"):
+            v = int(literal)
+            return v - (v % w)  # python % is already floor-mod
+        if ice_src_type == "string":
+            return literal[:w]
+        raise NotImplementedError(
+            f"truncate over {ice_src_type!r} is out of scope"
+        )
+    if transform in ("year", "month", "day"):
+        d = datetime.date.fromisoformat(literal[:10])
+        if transform == "year":
+            return d.year - 1970
+        if transform == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        return (d - datetime.date(1970, 1, 1)).days
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
+def _bucket_col(col, n: int, is_string: bool):
+    """Arrow-batched bucket[N] staging column for the writer. The
+    long path is fully numpy-vectorized murmur3_x86_32 (uint32
+    wrapping arithmetic — no per-row Python); strings hash per-row
+    (variable length). Write-path partition staging only, never a
+    query hot path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if is_string:
+
+        def _b_str(s):
+            return pd.array(
+                [
+                    None if x is None else _bucket_of(x, "string", n)
+                    for x in s
+                ],
+                dtype="Int32",
+            )
+
+        # module uses `from __future__ import annotations`, so inline
+        # hints would be unresolvable strings — attach real objects
+        _b_str.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_b_str, "int")(col)
+
+    def _b_long(s):
+        import numpy as np
+
+        mask = s.isna().to_numpy()
+        v = s.fillna(0).to_numpy(dtype="int64")
+        u = v.view(np.uint64)
+        c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+        h = np.zeros(len(v), dtype=np.uint32)
+        for k0 in (
+            (u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (u >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = (k0 * c1).astype(np.uint32)
+            k = ((k << np.uint32(15)) | (k >> np.uint32(17))).astype(
+                np.uint32
+            )
+            k = (k * c2).astype(np.uint32)
+            h ^= k
+            h = ((h << np.uint32(13)) | (h >> np.uint32(19))).astype(
+                np.uint32
+            )
+            h = (h * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+        h ^= np.uint32(8)
+        h ^= h >> np.uint32(16)
+        h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+        h ^= h >> np.uint32(13)
+        h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+        h ^= h >> np.uint32(16)
+        res = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("int64")
+        return pd.Series(res).where(~mask, other=None).astype("Int32")
+
+    _b_long.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_b_long, "int")(col)
+
+
 def _meta_dir(path: str) -> str:
     return os.path.join(path, "metadata")
 
@@ -297,24 +504,40 @@ def read_iceberg(
             s for s in specs if s.get("spec-id", 0) == spec_id
         )
         by_name = {f["name"]: f for f in spec.get("fields", [])}
-        for k in partition_filter:
-            f = by_name.get(k)
-            if f is None:
+        fields_by_id = {f["id"]: f for f in _fields}
+        # predicates resolve two ways (round-7 verdict elective #4):
+        # a partition FIELD name matches its stored value directly; a
+        # SOURCE column name evaluates the field's transform (bucket =
+        # spec murmur3, truncate = floor-mod/prefix, year/month/day =
+        # epoch offsets) on the literal DRIVER-side, so bucket/
+        # truncate-partitioned tables prune at planning time too
+        preds: list[tuple[str, str]] = []
+        for k, v in partition_filter.items():
+            if k in by_name:
+                preds.append((k, str(v)))
+                continue
+            matches = [
+                f
+                for f in spec.get("fields", [])
+                if fields_by_id.get(f["source-id"], {}).get("name") == k
+            ]
+            if not matches:
                 raise ValueError(
-                    f"{k!r} is not a partition field "
-                    f"(have {sorted(by_name)})"
+                    f"{k!r} is not a partition field or partition "
+                    f"source (fields: {sorted(by_name)})"
                 )
-            if f.get("transform", "identity") != "identity":
-                raise NotImplementedError(
-                    f"partition_filter on transform "
-                    f"{f['transform']!r}; identity only"
+            for f in matches:
+                src_t = fields_by_id[f["source-id"]]["type"]
+                val = _eval_transform(
+                    f.get("transform", "identity"), src_t, v
                 )
+                preds.append((f["name"], str(val)))
         live = [
             d
             for d in live
             if all(
-                str((d.get("partition") or {}).get(k)) == v
-                for k, v in partition_filter.items()
+                str((d.get("partition") or {}).get(name)) == val
+                for name, val in preds
             )
         ]
     if not live:
@@ -404,12 +627,13 @@ def write_iceberg(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r} (append|overwrite)")
     spark = df.sparkSession
-    pcols = list(partition_by or [])
-    for c in pcols:
-        if c not in df.columns:
-            raise ValueError(f"partition column {c!r} not in DataFrame")
+    part_fields = _parse_partition_by(list(partition_by or []))
+    for pf in part_fields:
+        if pf["source"] not in df.columns:
+            raise ValueError(
+                f"partition source column {pf['source']!r} not in DataFrame"
+            )
     ice_fields = []
-    pcol_ice: list[tuple[str, str]] = []
     for i, f in enumerate(df.schema.fields):
         t = _SPARK_TO_ICE.get(f.dataType.simpleString())
         if t is None:
@@ -425,8 +649,20 @@ def write_iceberg(
                 "type": t,
             }
         )
-        if f.name in pcols:
-            pcol_ice.append((f.name, t))
+    ice_by_name = {f["name"]: f for f in ice_fields}
+
+    def _pcol_ice_of(pfs: list[dict]) -> list[tuple[str, str]]:
+        return [
+            (
+                pf["name"],
+                _transform_result_type(
+                    pf["transform"], ice_by_name[pf["source"]]["type"]
+                ),
+            )
+            for pf in pfs
+        ]
+
+    pcol_ice = _pcol_ice_of(part_fields)
 
     exists = os.path.isdir(_meta_dir(path)) and _metadata_files(path)
     schema_changed = False
@@ -469,26 +705,32 @@ def write_iceberg(
         else:
             for f, pf in zip(ice_fields, prev_fields):
                 f["id"] = pf["id"]
-        prev_pcols = [
-            f["name"]
-            for s in (
-                meta.get("partition-specs")
-                or [{"fields": meta.get("partition-spec", [])}]
-            )[:1]
-            for f in s.get("fields", [])
+        id_to_name = {f["id"]: f["name"] for f in ice_fields}
+        prev_spec = (
+            meta.get("partition-specs")
+            or [{"fields": meta.get("partition-spec", [])}]
+        )[0]
+        prev_pfs = [
+            {
+                "name": f["name"],
+                "transform": f.get("transform", "identity"),
+                "source": id_to_name.get(f["source-id"], "?"),
+            }
+            for f in prev_spec.get("fields", [])
         ]
-        if partition_by is not None and pcols != prev_pcols:
+        for pf in prev_pfs:
+            if pf["source"] not in ice_by_name:
+                raise ValueError(
+                    f"partition source for field {pf['name']!r} is not "
+                    "in the written schema — cannot keep the table's "
+                    "partition spec"
+                )
+        if partition_by is not None and part_fields != prev_pfs:
             raise ValueError(
-                f"partition_by {pcols} != table spec {prev_pcols}"
+                f"partition_by {part_fields} != table spec {prev_pfs}"
             )
-        pcols = prev_pcols
-        pcol_ice = [
-            (n, t)
-            for n, t in (
-                (f["name"], f["type"]) for f in ice_fields
-            )
-            if n in pcols
-        ]
+        part_fields = prev_pfs
+        pcol_ice = _pcol_ice_of(part_fields)
     else:
         cur_v, meta = 0, {}
 
@@ -499,9 +741,59 @@ def write_iceberg(
     staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
     out_df = df
     writer_cols = []
-    for c in pcols:
-        out_df = out_df.withColumn(f"__pt_{c}", F.col(c))
-        writer_cols.append(f"__pt_{c}")
+    for pf in part_fields:
+        src, tr = pf["source"], pf["transform"]
+        src_t = ice_by_name[src]["type"]
+        if tr == "identity":
+            e = F.col(src)
+        elif tr.startswith("truncate["):
+            wdt = int(tr[len("truncate[") : -1])
+            if src_t in ("int", "long"):
+                # spec: v - (v mod W) with floor-mod; pmod IS floor-mod
+                e = F.col(src) - F.pmod(F.col(src), F.lit(wdt))
+            elif src_t == "string":
+                e = F.substring(F.col(src), 1, wdt)
+            else:
+                raise NotImplementedError(
+                    f"truncate over {src_t!r} is out of scope"
+                )
+        elif tr.startswith("bucket["):
+            n_b = int(tr[len("bucket[") : -1])
+            if src_t in ("int", "long"):
+                e = _bucket_col(F.col(src).cast("long"), n_b, False)
+            elif src_t == "date":
+                e = _bucket_col(
+                    F.datediff(F.col(src), F.lit("1970-01-01")).cast(
+                        "long"
+                    ),
+                    n_b,
+                    False,
+                )
+            elif src_t in ("timestamp", "timestamptz"):
+                e = _bucket_col(F.unix_micros(F.col(src)), n_b, False)
+            elif src_t == "string":
+                e = _bucket_col(F.col(src), n_b, True)
+            else:
+                raise NotImplementedError(
+                    f"bucket over {src_t!r} is out of scope"
+                )
+        elif tr in ("year", "month", "day"):
+            if src_t not in ("date", "timestamp", "timestamptz"):
+                raise NotImplementedError(
+                    f"{tr} transform over {src_t!r} is out of scope"
+                )
+            if tr == "year":
+                e = F.year(F.col(src)) - F.lit(1970)
+            elif tr == "month":
+                e = (F.year(F.col(src)) - F.lit(1970)) * F.lit(12) + (
+                    F.month(F.col(src)) - F.lit(1)
+                )
+            else:
+                e = F.datediff(F.col(src), F.lit("1970-01-01"))
+        else:
+            raise NotImplementedError(f"partition transform {tr!r}")
+        out_df = out_df.withColumn(f"__pt_{pf['name']}", e)
+        writer_cols.append(f"__pt_{pf['name']}")
     w = out_df.write.mode("overwrite")
     if writer_cols:
         w = w.partitionBy(*writer_cols)
@@ -658,14 +950,12 @@ def write_iceberg(
                 "spec-id": 0,
                 "fields": [
                     {
-                        "name": n,
-                        "transform": "identity",
-                        "source-id": next(
-                            f["id"] for f in ice_fields if f["name"] == n
-                        ),
+                        "name": pf["name"],
+                        "transform": pf["transform"],
+                        "source-id": ice_by_name[pf["source"]]["id"],
                         "field-id": 1000 + i,
                     }
-                    for i, (n, _t) in enumerate(pcol_ice)
+                    for i, pf in enumerate(part_fields)
                 ],
             }
         ],

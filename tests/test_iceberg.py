@@ -523,3 +523,115 @@ def test_iceberg_tail_stream_source_reads_and_resumes(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(out) == [(4, 4)]
+
+
+def test_iceberg_bucket_truncate_transforms_write_and_prune(
+    spark, tmp_path
+):
+    """bucket(N)/truncate(W) partition transforms (round-7 verdict
+    #4): the writer stages spec-correct partition values (bucket =
+    the spec's murmur3, matching Appendix B test vectors), the
+    metadata carries 'bucket[N]'/'truncate[W]' transforms, and a
+    partition_filter on the SOURCE column evaluates the transform on
+    the literal driver-side so the file list prunes at planning
+    time."""
+    import json as _json
+
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _bucket_of,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "b")
+    rows = [(i, f"s{i:03d}") for i in range(120)]  # prefixes s0*, s1*
+    write_iceberg(
+        _mk(spark, rows, "id bigint, s string"),
+        path,
+        partition_by=["bucket(4, id)", "truncate(2, s)"],
+    )
+    meta = _json.load(
+        open(os.path.join(path, "metadata", "v1.metadata.json"))
+    )
+    tr = [
+        (f["name"], f["transform"])
+        for f in meta["partition-specs"][0]["fields"]
+    ]
+    assert tr == [("id_bucket", "bucket[4]"), ("s_trunc", "truncate[2]")]
+
+    full = read_iceberg(spark, path)
+    assert full.count() == 120
+    n_all = len(full.inputFiles())
+
+    # source-column filter: transform evaluated on the literal
+    pruned = read_iceberg(spark, path, partition_filter={"id": "34"})
+    assert len(pruned.inputFiles()) < n_all
+    assert 34 in {r.id for r in pruned.collect()}
+    # every surviving file holds only ids of bucket(4, 34)
+    want_b = _bucket_of(34, "long", 4)
+    assert {
+        _bucket_of(r.id, "long", 4) for r in pruned.collect()
+    } == {want_b}
+
+    # truncate prunes on the string source; all rows share the prefix
+    pr2 = read_iceberg(spark, path, partition_filter={"s": "s042"})
+    assert len(pr2.inputFiles()) < n_all
+    assert {r.s[:2] for r in pr2.collect()} == {"s0"}
+    assert "s042" in {r.s for r in pr2.collect()}
+
+    # direct partition-FIELD filtering with a transformed value works
+    pr3 = read_iceberg(
+        spark, path, partition_filter={"id_bucket": str(want_b)}
+    )
+    assert set(pr3.inputFiles()) == set(pruned.inputFiles())
+
+    # appends must keep the spec (mismatch raises)
+    write_iceberg(
+        _mk(spark, [(100, "zz")], "id bigint, s string"),
+        path,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        write_iceberg(
+            _mk(spark, [(101, "zz")], "id bigint, s string"),
+            path,
+            mode="append",
+            partition_by=["id"],
+        )
+
+
+def test_iceberg_temporal_transforms(spark, tmp_path):
+    """year/month/day transforms store the spec's epoch offsets and
+    prune from a date literal."""
+    import datetime
+    import json as _json
+
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "d")
+    rows = [
+        (1, datetime.date(2017, 11, 16)),
+        (2, datetime.date(2017, 12, 1)),
+        (3, datetime.date(2024, 3, 5)),
+    ]
+    write_iceberg(
+        _mk(spark, rows, "id bigint, d date"),
+        path,
+        partition_by=["month(d)"],
+    )
+    meta = _json.load(
+        open(os.path.join(path, "metadata", "v1.metadata.json"))
+    )
+    f = meta["partition-specs"][0]["fields"][0]
+    assert (f["name"], f["transform"]) == ("d_month", "month")
+    # spec epoch-offset: 2017-11 -> (2017-1970)*12 + 10 = 574
+    pruned = read_iceberg(
+        spark, path, partition_filter={"d": "2017-11-16"}
+    )
+    assert [r.id for r in pruned.collect()] == [1]
+    assert len(pruned.inputFiles()) < len(
+        read_iceberg(spark, path).inputFiles()
+    )
