@@ -187,13 +187,27 @@ def _replay(
                     )
     if not meta:
         raise ValueError(f"Delta log at {path!r} has no metaData action")
-    if int(protocol.get("minReaderVersion", 1)) > 1:
-        raise NotImplementedError(
-            f"Delta table {path!r} requires reader version "
-            f"{protocol['minReaderVersion']} (column mapping / deletion "
-            "vectors / v2 features); this spec-level reader supports "
-            "reader version 1 only — refusing rather than mis-reading"
+    mr = int(protocol.get("minReaderVersion", 1))
+    if mr > 1:
+        # round-7 verdict #5: column mapping is READ-supported (the
+        # one reader-v2 feature current delta-spark defaults enable),
+        # so reader version 2 — and version 3 whose readerFeatures
+        # list nothing beyond columnMapping — pass the gate; anything
+        # else (deletion vectors, v2 checkpoints, ...) still raises
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
         )
+        feats = set(protocol.get("readerFeatures") or [])
+        cm_ok = cm_mode in ("name", "id") and (
+            mr == 2 or (mr == 3 and feats <= {"columnMapping"})
+        )
+        if not cm_ok:
+            raise NotImplementedError(
+                f"Delta table {path!r} requires reader version {mr} "
+                f"(readerFeatures={sorted(feats)}); beyond column "
+                "mapping this spec-level reader refuses rather than "
+                "mis-reading"
+            )
     for a in adds.values():
         if a.get("deletionVector"):
             raise NotImplementedError(
@@ -202,6 +216,48 @@ def _replay(
                 "reader does not implement"
             )
     return protocol, meta, adds, txns
+
+
+def _strip_meta(schema: T.StructType) -> T.StructType:
+    """Schema minus per-field metadata (column-mapping bookkeeping
+    stays in the log; surfaced DataFrames carry clean fields)."""
+    return T.StructType(
+        [
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """logical→physical column-name map when
+    ``delta.columnMapping.mode`` is ``name`` or ``id``, else None.
+    Physical names come from each schema field's
+    ``delta.columnMapping.physicalName`` metadata; data files (and
+    add-action ``partitionValues`` keys) use the PHYSICAL names.
+    Mode ``id`` also ships physical names in the schema metadata and
+    delta-spark writes them into the parquet, so by-physical-name
+    resolution covers both modes for delta-spark-written tables."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in (None, "", "none"):
+        return None
+    if mode not in ("name", "id"):
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={mode!r} is not a spec mode"
+        )
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise ValueError(
+                f"column mapping mode={mode!r} but field "
+                f"{f['name']!r} carries no physicalName metadata"
+            )
+        out[f["name"]] = phys
+    return out
 
 
 def _partition_cast(value: str | None, dtype: T.DataType):
@@ -258,9 +314,7 @@ def read_delta(
     _protocol, meta, adds, _txns = _replay(spark, path, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
-    )
+    physical_of = _column_mapping(meta)
     live = list(adds.values())
     if partition_filter:
         unknown = set(partition_filter) - set(pcols)
@@ -273,14 +327,22 @@ def read_delta(
             a
             for a in live
             if all(
-                (a.get("partitionValues") or {}).get(k) == v
+                (a.get("partitionValues") or {}).get(
+                    physical_of[k] if physical_of else k
+                )
+                == v
                 for k, v in partition_filter.items()
             )
         ]
     if not live:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], _strip_meta(schema))
     return _scan_adds(
-        spark, path, schema, pcols, [(None, a) for a in live]
+        spark,
+        path,
+        schema,
+        pcols,
+        [(None, a) for a in live],
+        physical_of=physical_of,
     )
 
 
@@ -291,6 +353,7 @@ def _scan_adds(
     pcols: list[str],
     tagged: list[tuple[int | None, dict]],
     with_version: bool = False,
+    physical_of: dict[str, str] | None = None,
 ) -> DataFrame:
     """ONE multi-path scan over the given add actions, partition
     columns re-attached from the LOG's partitionValues (not the paths,
@@ -306,16 +369,42 @@ def _scan_adds(
     '+' alone) — and the join is a LEFT join with a raise_error guard,
     so a foreign-written file whose name still fails to match fails
     LOUDLY instead of silently dropping its rows."""
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
-    )
+    data_fields = [f for f in schema.fields if f.name not in pcols]
     files = [
         os.path.join(path, urllib.parse.unquote(a["path"]))
         for _v, a in tagged
     ]
-    df = spark.read.schema(data_schema).parquet(*files)
+    if physical_of:
+        # column mapping: data files store PHYSICAL names — read the
+        # physical schema, then alias back to logical immediately so
+        # the rest of the pipeline is mapping-agnostic
+        phys_schema = T.StructType(
+            [
+                T.StructField(
+                    physical_of[f.name], f.dataType, f.nullable
+                )
+                for f in data_fields
+            ]
+        )
+        df = (
+            spark.read.schema(phys_schema)
+            .parquet(*files)
+            .select(
+                [
+                    F.col(physical_of[f.name]).alias(f.name)
+                    for f in data_fields
+                ]
+            )
+        )
+    else:
+        df = spark.read.schema(
+            _strip_meta(T.StructType(data_fields))
+        ).parquet(*files)
     if not pcols and not with_version:
         return df.select([F.col(f.name) for f in schema.fields])
+    def _pv_key(c: str) -> str:
+        return physical_of[c] if physical_of else c
+
     by_base: dict[str, tuple] = {}
     for v, a in tagged:
         base = os.path.basename(urllib.parse.unquote(a["path"]))
@@ -328,7 +417,7 @@ def _scan_adds(
         by_base[base] = entry
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     pv_rows = [
-        (base, *[pv.get(c) for c in pcols], v)
+        (base, *[pv.get(_pv_key(c)) for c in pcols], v)
         for base, (pv, v) in by_base.items()
     ]
     pv_schema = T.StructType(
@@ -438,12 +527,21 @@ def read_delta_changes(
                 ):
                     tagged.append((v, action["add"]))
     out_schema = T.StructType(
-        schema.fields + [T.StructField("_commit_version", T.LongType())]
+        _strip_meta(schema).fields
+        + [T.StructField("_commit_version", T.LongType())]
     )
     if not tagged:
         return spark.createDataFrame([], out_schema), last
     return (
-        _scan_adds(spark, path, schema, pcols, tagged, with_version=True),
+        _scan_adds(
+            spark,
+            path,
+            schema,
+            pcols,
+            tagged,
+            with_version=True,
+            physical_of=_column_mapping(meta),
+        ),
         last,
     )
 
@@ -611,6 +709,12 @@ def write_delta(
             next_v = 0
             meta, adds = {}, {}
         schema_changed = False
+        if _column_mapping(meta):
+            raise NotImplementedError(
+                "writing to a column-mapped table is out of scope — "
+                "this writer stages logical-named parquet, which a "
+                "mapped table's readers would not resolve"
+            )
         if meta.get("schemaString"):
             prev_fields = [
                 (f.name, f.dataType.simpleString())

@@ -75,6 +75,13 @@ def _log_meta(path: str):
                 meta = row["metaData"]
     if not meta:
         raise FileNotFoundError(f"no Delta metaData found at {path!r}")
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in (None, "", "none"):
+        raise NotImplementedError(
+            "delta_tail over a column-mapped table is out of scope "
+            "(physical-name resolution lives in delta_io.read_delta)"
+        )
     schema = json.loads(meta["schemaString"])
     pcols = list(meta.get("partitionColumns") or [])
     return schema["fields"], pcols

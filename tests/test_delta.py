@@ -837,3 +837,149 @@ def test_delta_tail_date_partitioned_stream(spark, tmp_path):
         (1, datetime.date(2024, 1, 1)),
         (2, datetime.date(2024, 1, 2)),
     ]
+
+
+def test_delta_column_mapping_read(spark, tmp_path):
+    """Round-7 verdict #5: a hand-written log with
+    delta.columnMapping.mode=name (minReaderVersion 2, physical
+    col-<uuid> names in the parquet and in partitionValues keys)
+    reads back under LOGICAL names, prunes partitions, and feeds the
+    change feed; reader v3 passes only when readerFeatures lists
+    nothing beyond columnMapping; writes to mapped tables raise."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = str(tmp_path / "cm")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    # physical-named data files
+    spark.createDataFrame(
+        [(1, "a")], "`col-11` bigint, `col-22` string"
+    ).coalesce(1).write.parquet(str(tmp_path / "s0"))
+    spark.createDataFrame(
+        [(2, "b")], "`col-11` bigint, `col-22` string"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    import glob
+    import shutil as _sh
+
+    names = []
+    for i in (0, 1):
+        src = glob.glob(str(tmp_path / f"s{i}") + "/part-*.parquet")[0]
+        dst_rel = f"g={'x' if i == 0 else 'y'}/f{i}.parquet"
+        dst = os.path.join(path, dst_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        _sh.copy(src, dst)
+        names.append(dst_rel)
+
+    sch = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-11",
+                },
+            },
+            {
+                "name": "s",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-22",
+                },
+            },
+            {
+                "name": "g",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-33",
+                },
+            },
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(sch),
+                "partitionColumns": ["g"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+        {
+            "add": {
+                "path": names[0],
+                # mapped tables key partitionValues by PHYSICAL name
+                "partitionValues": {"col-33": "x"},
+                "size": os.path.getsize(os.path.join(path, names[0])),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+        {
+            "add": {
+                "path": names[1],
+                "partitionValues": {"col-33": "y"},
+                "size": os.path.getsize(os.path.join(path, names[1])),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    back = read_delta(spark, path)
+    assert back.columns == ["id", "s", "g"]
+    assert sorted((r.id, r.s, r.g) for r in back.collect()) == [
+        (1, "a", "x"),
+        (2, "b", "y"),
+    ]
+    pruned = read_delta(spark, path, partition_filter={"g": "y"})
+    assert [(r.id, r.g) for r in pruned.collect()] == [(2, "y")]
+    ch, last = read_delta_changes(spark, path)
+    assert sorted((r.id, r._commit_version) for r in ch.collect()) == [
+        (1, 0),
+        (2, 0),
+    ]
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        write_delta(
+            spark.createDataFrame([(3, "c", "z")], "id bigint, s string, g string"),
+            path,
+            mode="append",
+        )
+
+    # reader v3 + an unknown feature must still gate
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(line) for line in open(log)]
+    lines[0] = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "deletionVectors"],
+        }
+    }
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="reader version 3"):
+        read_delta(spark, path)
+    # v3 with ONLY columnMapping passes
+    lines[0]["protocol"]["readerFeatures"] = ["columnMapping"]
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    assert read_delta(spark, path).count() == 2
