@@ -420,10 +420,82 @@ def iceberg_snapshots(path: str) -> list[dict]:
     )
 
 
-def _live_files(
-    path: str, meta: dict, snapshot_id: int | None
+# above this many manifests the Avro decode fans out to executors
+# (round-7 verdict #6): a 100 TB table has 10^6-10^7 data files across
+# thousands of manifests, and driver-side decode becomes the planning
+# bottleneck long before the scan starts. The file LIST still returns
+# to the driver (Spark's parquet reader takes paths there), but that
+# is O(files) strings vs O(files × entry-bytes) Avro parsing.
+_DIST_MANIFEST_THRESHOLD = 64
+
+
+def _decode_manifests_distributed(
+    spark: SparkSession, manifest_paths: list[str]
 ) -> list[dict]:
-    """data_file dicts of the snapshot's non-deleted entries."""
+    """Decode many manifest Avro files IN EXECUTORS (one decode task
+    per file via ``mapInArrow`` over the path-list frame — the
+    ``avro_io.read_avro`` discipline). Entries come back as JSON of
+    exactly the fields the planner uses (status / content /
+    data_file{content, file_path, file_format, partition,
+    record_count, file_size_in_bytes}), so foreign stats blobs
+    (possibly non-JSON bytes) never cross the wire."""
+
+    def _task(batches):
+        import json as _json
+
+        import pyarrow as pa
+
+        from census_asc5_data_pipeline_spark.sources.avro_io import (
+            read_container_generic,
+        )
+
+        for b in batches:
+            out = []
+            for p in b.column(0).to_pylist():
+                _s, entries = read_container_generic(p)
+                for e in entries:
+                    d = e.get("data_file") or {}
+                    out.append(
+                        _json.dumps(
+                            {
+                                "status": e.get("status", 1),
+                                "data_file": {
+                                    "content": d.get("content", 0),
+                                    "file_path": d.get("file_path"),
+                                    "file_format": d.get(
+                                        "file_format", "PARQUET"
+                                    ),
+                                    "partition": d.get("partition"),
+                                    "record_count": d.get(
+                                        "record_count", 0
+                                    ),
+                                    "file_size_in_bytes": d.get(
+                                        "file_size_in_bytes", 0
+                                    ),
+                                },
+                            }
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out, pa.string())], ["entry_json"]
+            )
+
+    flist = spark.createDataFrame(
+        [(p,) for p in manifest_paths], "mpath string"
+    ).repartition(min(len(manifest_paths), 256))
+    rows = flist.mapInArrow(_task, "entry_json string").collect()
+    return [json.loads(r.entry_json) for r in rows]
+
+
+def _live_files(
+    path: str,
+    meta: dict,
+    snapshot_id: int | None,
+    spark: SparkSession | None = None,
+) -> list[dict]:
+    """data_file dicts of the snapshot's non-deleted entries. With a
+    session and ≥ ``_DIST_MANIFEST_THRESHOLD`` manifests, the Avro
+    decode runs file-parallel in executors."""
     snaps = meta.get("snapshots", [])
     if not snaps:
         return []
@@ -454,25 +526,34 @@ def _live_files(
             manifest_paths.append(_local(m["manifest_path"]))
     else:  # v1 inline manifest path list
         manifest_paths = [_local(p) for p in snap.get("manifests", [])]
+    if (
+        spark is not None
+        and len(manifest_paths) >= _DIST_MANIFEST_THRESHOLD
+    ):
+        all_entries = _decode_manifests_distributed(spark, manifest_paths)
+    else:
+        all_entries = [
+            e
+            for mp in manifest_paths
+            for e in read_container_generic(mp)[1]
+        ]
     out = []
-    for mp in manifest_paths:
-        _sch, entries = read_container_generic(mp)
-        for e in entries:
-            if int(e.get("status", 1)) == 2:  # DELETED
-                continue
-            df_ = e["data_file"]
-            if int(df_.get("content", 0) or 0) != 0:
-                raise NotImplementedError(
-                    f"data_file {df_.get('file_path')!r} is a v2 "
-                    "delete file; merge-on-read is out of scope"
-                )
-            fmt = str(df_.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
-                raise NotImplementedError(
-                    f"data file format {fmt!r}; this reader supports "
-                    "PARQUET only"
-                )
-            out.append(df_)
+    for e in all_entries:
+        if int(e.get("status", 1)) == 2:  # DELETED
+            continue
+        df_ = e["data_file"]
+        if int(df_.get("content", 0) or 0) != 0:
+            raise NotImplementedError(
+                f"data_file {df_.get('file_path')!r} is a v2 "
+                "delete file; merge-on-read is out of scope"
+            )
+        fmt = str(df_.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise NotImplementedError(
+                f"data file format {fmt!r}; this reader supports "
+                "PARQUET only"
+            )
+        out.append(df_)
     return out
 
 
@@ -494,7 +575,7 @@ def read_iceberg(
             "v1/v2 only"
         )
     schema, _fields = _schema_of(meta)
-    live = _live_files(path, meta, snapshot_id)
+    live = _live_files(path, meta, snapshot_id, spark=spark)
     if partition_filter:
         spec_id = meta.get("default-spec-id", 0)
         specs = meta.get("partition-specs") or (
@@ -1285,7 +1366,7 @@ def rewrite_data_files(
         for f in spec.get("fields", [])
     ]
     pcols = [n for n, _t in pcol_ice]
-    live = _live_files(path, meta, None)
+    live = _live_files(path, meta, None, spark=spark)
     groups: dict[tuple, list[dict]] = {}
     for d in live:
         pv = d.get("partition") or {}

@@ -635,3 +635,41 @@ def test_iceberg_temporal_transforms(spark, tmp_path):
     assert len(pruned.inputFiles()) < len(
         read_iceberg(spark, path).inputFiles()
     )
+
+
+def test_iceberg_distributed_manifest_decode_same_results(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7 verdict #6: with the threshold forced to 1, manifest
+    Avro decodes in EXECUTORS (mapInArrow over the path list) and the
+    read results are identical to the driver-side decode — incl. a
+    partitioned table whose pruning consumes the decoded partition
+    structs."""
+    from census_asc5_data_pipeline_spark.sources import iceberg_io
+
+    path = str(tmp_path / "t")
+    for i in range(4):  # 4 appends -> 4 manifests in the list
+        iceberg_io.write_iceberg(
+            _mk(
+                spark,
+                [(i * 10 + j, ["x", "y"][j % 2]) for j in range(4)],
+                "id bigint, g string",
+            ),
+            path,
+            mode="append",
+            partition_by=["g"] if i == 0 else None,
+        )
+    driver_rows = sorted(
+        (r.id, r.g)
+        for r in iceberg_io.read_iceberg(spark, path).collect()
+    )
+    monkeypatch.setattr(iceberg_io, "_DIST_MANIFEST_THRESHOLD", 1)
+    dist = iceberg_io.read_iceberg(spark, path)
+    assert sorted((r.id, r.g) for r in dist.collect()) == driver_rows
+    pruned = iceberg_io.read_iceberg(
+        spark, path, partition_filter={"g": "x"}
+    )
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        i * 10 + j for i in range(4) for j in range(4) if j % 2 == 0
+    )
+    assert all("g=x" in f for f in pruned.inputFiles())
