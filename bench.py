@@ -113,6 +113,13 @@ GROUPS: dict[str, list[str]] = {
         "customer_migration",
         "order_cycle_time",
     ],
+    # round-8 additions (both are eager write→time-travel-read loops
+    # over small rollups; their cost is dominated by the table commits,
+    # not the plan)
+    "r8_tail": [
+        "delta_as_of",
+        "iceberg_as_of",
+    ],
 }
 
 
@@ -234,6 +241,12 @@ def main() -> None:
         "subtotals": subtotals,
         "cold_queries": cold_times,
         "cold_subtotals": cold_subtotals,
+        # ledger honesty across the r7 measurement-model change
+        # (round-7 verdict #8): steady rows compare to steady rows
+        "comparable_to": {
+            "queries": "BENCH_r07 'queries' (steady-state model, r7+)",
+            "cold_queries": "BENCH_r04-r06 headline rows (cold model)",
+        },
         "sf": sf,
     }
     if failed_groups:

@@ -9402,6 +9402,139 @@ def unpersist_deps(df: DataFrame) -> None:
         dep.unpersist()
 
 
+def q_delta_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta time travel through the registry gate (round-7 verdict
+    #7 — the open-table surface must face the driver's oracle, not
+    just pytest): materializes a deterministic 2-commit Delta table
+    from the orders parquet (v0 = pre-1998 priority rollup, then an
+    OVERWRITE with the full-range rollup), and reads BOTH states back
+    through the transaction log — v0 AS OF, current — so the DuckDB
+    oracle, recomputing the same rollups straight from parquet,
+    verifies the whole write→commit→tombstone→time-travel→read loop.
+    All money arithmetic is per-row FLOOR(x*100+0.5) integer cents
+    (the no-double-ROUND oracle discipline). The table rebuilds
+    idempotently under /tmp per (sf, pid) — construction is eager,
+    the join_preflight precedent."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_delta_as_of_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    v0 = delta_io.write_delta(
+        rollup(orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))),
+        base,
+    )
+    delta_io.write_delta(rollup(orders), base, mode="overwrite")
+    pre = delta_io.read_delta(spark, base, version=v0).withColumn(
+        "version_tag", F.lit("pre1998")
+    )
+    cur = delta_io.read_delta(spark, base).withColumn(
+        "version_tag", F.lit("all")
+    )
+    return pre.unionByName(cur).select(
+        "version_tag", "priority", "n_orders", "total_cents"
+    )
+
+
+SQL_DELTA_AS_OF = """
+WITH cents AS (
+  SELECT o_orderpriority AS priority, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+)
+SELECT 'pre1998' AS version_tag, priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(c) AS BIGINT) AS total_cents
+FROM cents WHERE o_orderdate < DATE '1998-01-01' GROUP BY priority
+UNION ALL
+SELECT 'all' AS version_tag, priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(c) AS BIGINT) AS total_cents
+FROM cents GROUP BY priority
+"""
+
+
+def q_iceberg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot travel through the registry gate — the
+    q_delta_as_of twin on the other table format: snapshot 1 = the
+    customer market-segment rollup restricted to nations < 12 (a
+    proportion-stable predicate, SF-robust), snapshot 2 = an
+    OVERWRITE with the full rollup; both snapshots read back through
+    metadata-JSON + Avro manifests and face the DuckDB oracle."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import iceberg_io
+
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("c_mktsegment").alias("segment")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(cents).cast("bigint").alias("bal_cents"),
+        )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_iceberg_as_of_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    s1 = iceberg_io.write_iceberg(
+        rollup(cust.filter(F.col("c_nationkey") < 12)), base
+    )
+    iceberg_io.write_iceberg(rollup(cust), base, mode="overwrite")
+    v0 = iceberg_io.read_iceberg(spark, base, snapshot_id=s1).withColumn(
+        "version_tag", F.lit("nation_lt12")
+    )
+    cur = iceberg_io.read_iceberg(spark, base).withColumn(
+        "version_tag", F.lit("all")
+    )
+    return v0.unionByName(cur).select(
+        "version_tag", "segment", "n_customers", "bal_cents"
+    )
+
+
+SQL_ICEBERG_AS_OF = """
+WITH cents AS (
+  SELECT c_mktsegment AS segment, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+  FROM customer
+)
+SELECT 'nation_lt12' AS version_tag, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(c) AS BIGINT) AS bal_cents
+FROM cents WHERE c_nationkey < 12 GROUP BY segment
+UNION ALL
+SELECT 'all' AS version_tag, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(c) AS BIGINT) AS bal_cents
+FROM cents GROUP BY segment
+"""
+
+
 # Registry order is deliberate: the driver's correctness gate verifies
 # the FIRST 50 entries per round. Every key is green across r1∪…∪r4,
 # so the round-5 window leads with the queries NEW this round, then
@@ -9413,6 +9546,9 @@ def unpersist_deps(df: DataFrame) -> None:
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 8 ---
+    "delta_as_of": q_delta_as_of,
+    "iceberg_as_of": q_iceberg_as_of,
     # --- new in round 7 ---
     "join_preflight": q_join_preflight,
     "top_movers": q_top_movers,
@@ -9630,6 +9766,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    # --- new in round 8 ---
+    "delta_as_of": SQL_DELTA_AS_OF,
+    "iceberg_as_of": SQL_ICEBERG_AS_OF,
     # --- new in round 7 ---
     "join_preflight": SQL_JOIN_PREFLIGHT,
     "top_movers": SQL_TOP_MOVERS,

