@@ -35,12 +35,14 @@ Spark mapping — scale notes:
   merge-on-read), non-parquet data files, unsupported transforms in
   a ``partition_filter``.
 
-Honest caveats (documented, not silent): columns resolve BY NAME
-(real Iceberg resolves by field id through parquet field-id metadata;
-a foreign table whose columns were RENAMED mid-history would need id
-resolution — detecting that history is possible from the schema log,
-so we gate: if any two schema versions disagree on the name of a
-field id, raise). The writer emits spec-SHAPED v2 metadata our reader
+Honest caveats (documented, not silent): columns resolve BY NAME on
+the fast path; a foreign table whose columns were RENAMED mid-history
+(schema log shows one field id under two names) switches
+``read_iceberg`` to parquet-footer FIELD-ID resolution
+(``_read_by_field_id`` — the spec's answer; r8), and files lacking
+``PARQUET:field_id`` stamps still raise rather than guess. Non-read
+surfaces (writer, change feed, streaming) keep the rename gate. The
+writer emits spec-SHAPED v2 metadata our reader
 (and any reader honoring embedded Avro schemas) round-trips;
 byte-level parity with the reference Java writer's full stats is out
 of scope.
@@ -377,7 +379,23 @@ def _local(p: str) -> str:
     return p
 
 
-def _schema_of(meta: dict) -> tuple[T.StructType, list[dict]]:
+def _renamed_ids(meta: dict) -> dict[int, set[str]]:
+    """Field ids that carry more than one name across the table's
+    schema history — the signal that by-name parquet resolution would
+    mis-bind and field-id resolution is required."""
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if "schema" in meta else []
+    )
+    names_by_id: dict[int, set[str]] = {}
+    for s in schemas:
+        for f in s.get("fields", []):
+            names_by_id.setdefault(f["id"], set()).add(f["name"])
+    return {i: n for i, n in names_by_id.items() if len(n) > 1}
+
+
+def _schema_of(
+    meta: dict, allow_renames: bool = False
+) -> tuple[T.StructType, list[dict]]:
     if "schemas" in meta:
         sid = meta.get("current-schema-id", 0)
         schemas = meta["schemas"]
@@ -386,17 +404,15 @@ def _schema_of(meta: dict) -> tuple[T.StructType, list[dict]]:
         ice = meta["schema"]
         schemas = [ice]
     # name-resolution gate: if any field id was RENAMED across schema
-    # versions, by-name parquet resolution would silently mis-bind
-    names_by_id: dict[int, set[str]] = {}
-    for s in schemas:
-        for f in s.get("fields", []):
-            names_by_id.setdefault(f["id"], set()).add(f["name"])
-    renamed = {i: n for i, n in names_by_id.items() if len(n) > 1}
-    if renamed:
+    # versions, by-name parquet resolution would silently mis-bind —
+    # read_iceberg handles this via parquet-footer field-id resolution
+    # (allow_renames=True); every other surface still gates
+    renamed = _renamed_ids(meta)
+    if renamed and not allow_renames:
         raise NotImplementedError(
             f"table has renamed columns across schema versions "
-            f"{renamed} — this spec-level reader resolves by NAME and "
-            "would mis-bind; full field-id resolution is out of scope"
+            f"{renamed} — this surface resolves by NAME and would "
+            "mis-bind; use read_iceberg (field-id resolution)"
         )
     spark_schema = T.StructType(
         [
@@ -557,6 +573,67 @@ def _live_files(
     return out
 
 
+def _read_by_field_id(
+    spark: SparkSession, files: list[str], fields: list[dict]
+) -> DataFrame:
+    """Scan path for RENAMED-column histories (round-7 verdict
+    elective #9, the spec's answer): real Iceberg writers stamp every
+    parquet column with its field id (``PARQUET:field_id`` footer
+    metadata), so each file's physical names are resolved to the
+    CURRENT schema by id, not name. Files are grouped by their
+    (id→physical-name) layout — at most one group per historical
+    schema version — each group is one multi-path Spark scan reading
+    the physical names and aliasing to current names (ids absent from
+    a file surface as typed nulls: columns added after the file was
+    written), and groups union. Footer reads are driver-side and
+    O(files) — the manifest-decode scale contract applies (distribute
+    above ~10⁵ files before this is the 100 TB path)."""
+    import pyarrow.parquet as pq
+
+    want = [
+        (f["id"], f["name"], _ice_type_to_spark(f["type"]))
+        for f in fields
+    ]
+    groups: dict[tuple, list[str]] = {}
+    for p in files:
+        pqs = pq.read_schema(p)
+        mapping: dict[int, str] = {}
+        for i in range(len(pqs.names)):
+            fld = pqs.field(i)
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                mapping[int(fid)] = fld.name
+        if not mapping:
+            raise NotImplementedError(
+                f"renamed-column table but data file {p!r} carries no "
+                "PARQUET:field_id metadata — cannot resolve safely"
+            )
+        groups.setdefault(tuple(sorted(mapping.items())), []).append(p)
+    from pyspark.sql import functions as F
+
+    parts = []
+    for key, paths in sorted(groups.items()):
+        phys_by_id = dict(key)
+        read_fields, sel = [], []
+        for fid, name, dtype in want:
+            if fid in phys_by_id:
+                read_fields.append(
+                    T.StructField(phys_by_id[fid], dtype, True)
+                )
+                sel.append(F.col(phys_by_id[fid]).alias(name))
+            else:
+                sel.append(F.lit(None).cast(dtype).alias(name))
+        parts.append(
+            spark.read.schema(T.StructType(read_fields))
+            .parquet(*paths)
+            .select(sel)
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -566,7 +643,8 @@ def read_iceberg(
     """Read an Iceberg table (current snapshot, or AS OF
     ``snapshot_id``). ``partition_filter`` is an exact-match
     {identity_partition_col: string_value} pruning the file list
-    before the scan plans."""
+    before the scan plans. Renamed-column histories resolve by
+    parquet field id (see :func:`_read_by_field_id`)."""
     _v, meta = _current_metadata(path)
     fv = int(meta.get("format-version", 1))
     if fv > 2:
@@ -574,7 +652,8 @@ def read_iceberg(
             f"format-version {fv}; this spec-level reader supports "
             "v1/v2 only"
         )
-    schema, _fields = _schema_of(meta)
+    renamed = _renamed_ids(meta)
+    schema, _fields = _schema_of(meta, allow_renames=bool(renamed))
     live = _live_files(path, meta, snapshot_id, spark=spark)
     if partition_filter:
         spec_id = meta.get("default-spec-id", 0)
@@ -624,6 +703,8 @@ def read_iceberg(
     if not live:
         return spark.createDataFrame([], schema)
     files = [_local(d["file_path"]) for d in live]
+    if renamed:
+        return _read_by_field_id(spark, files, _fields)
     return spark.read.schema(schema).parquet(*files)
 
 

@@ -152,8 +152,10 @@ def test_iceberg_feature_gates(spark, tmp_path):
         }
     ]
     json.dump(m4, open(md, "w"))
-    with pytest.raises(NotImplementedError, match="renamed columns"):
-        read_iceberg(spark, path)
+    # renamed history without parquet field ids (our writer doesn't
+    # stamp them) still gates — resolution would be a guess
+    with pytest.raises(NotImplementedError, match="PARQUET:field_id"):
+        read_iceberg(spark, path).collect()
 
     json.dump(meta, open(md, "w"))
     assert read_iceberg(spark, path).count() == 1
@@ -673,3 +675,84 @@ def test_iceberg_distributed_manifest_decode_same_results(
         i * 10 + j for i in range(4) for j in range(4) if j % 2 == 0
     )
     assert all("g=x" in f for f in pruned.inputFiles())
+
+
+def test_iceberg_renamed_history_resolves_by_field_id(spark, tmp_path):
+    """A foreign table whose column was RENAMED mid-history (same
+    field id, new name) reads correctly through parquet-footer
+    field-id resolution: pre-rename files bind their OLD physical
+    name to the current name, a column added after a file was written
+    surfaces as typed nulls, and mixed-layout file sets union."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(spark, [(1, "a"), (2, "b")], "id bigint, s string"), path
+    )  # s1 — physical names id/s
+    before = set(glob.glob(path + "/data/**/*.parquet", recursive=True))
+    write_iceberg(
+        _mk(spark, [(3, "c")], "id bigint, s string"), path, mode="append"
+    )  # s2 — will be rewritten as post-rename layout (txt)
+    after = set(glob.glob(path + "/data/**/*.parquet", recursive=True))
+
+    def restamp(fp, rename_s_to=None):
+        t = pq.read_table(fp)
+        cols, fields = [], []
+        for i, nm in enumerate(t.schema.names):
+            col = t.column(i)
+            fid = {"id": 1, "s": 2}[nm]
+            out_nm = (
+                rename_s_to if nm == "s" and rename_s_to else nm
+            )
+            fields.append(
+                pa.field(
+                    out_nm,
+                    t.schema.field(i).type,
+                    metadata={b"PARQUET:field_id": str(fid).encode()},
+                )
+            )
+            cols.append(col)
+        pq.write_table(pa.table(cols, schema=pa.schema(fields)), fp)
+
+    for fp in before:
+        restamp(fp)  # old layout: physical 's', field id 2
+    for fp in after - before:
+        restamp(fp, rename_s_to="txt")  # new layout: physical 'txt'
+
+    md = os.path.join(path, "metadata", "v2.metadata.json")
+    meta = json.load(open(md))
+    meta["schemas"] = meta["schemas"] + [
+        {
+            "schema-id": 1,
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "type": "long"},
+                {"id": 2, "name": "txt", "type": "string"},
+                # column added AFTER every existing file: all-null
+                {"id": 3, "name": "v", "type": "double"},
+            ],
+        }
+    ]
+    meta["current-schema-id"] = 1
+    json.dump(meta, open(md, "w"))
+
+    back = read_iceberg(spark, path)
+    assert back.columns == ["id", "txt", "v"]
+    rows = sorted((r.id, r.txt, r.v) for r in back.collect())
+    assert rows == [(1, "a", None), (2, "b", None), (3, "c", None)]
+    # non-read surfaces still gate on renamed histories
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        write_iceberg as wi,
+    )
+
+    with pytest.raises(NotImplementedError, match="read_iceberg"):
+        wi(_mk(spark, [(9, "z")], "id bigint, s string"), path,
+           mode="append")
