@@ -30,10 +30,15 @@ Spark mapping — scale notes:
 - ``partition_filter`` prunes the manifest-derived FILE LIST before
   Spark plans the scan (identity transforms; the stats_index
   discipline).
+- v2 MERGE-ON-READ (r8): ``read_iceberg`` applies position deletes
+  (anti-join on ``_metadata.row_index`` + file) and equality deletes
+  (null-safe anti-join on the equality columns, strict sequence
+  ordering), and ``delete_iceberg_where`` writes equality-delete
+  snapshots — row-level DELETE costs O(keys), never O(table).
 - Feature gates fail LOUDLY instead of mis-reading: format-version
-  > 2, delete manifests (``content=1``) / delete files (v2
-  merge-on-read), non-parquet data files, unsupported transforms in
-  a ``partition_filter``.
+  > 2, non-parquet data files, unsupported transforms in a
+  ``partition_filter``, deletes on surfaces that cannot apply them
+  (compaction, change feed, streaming).
 
 Honest caveats (documented, not silent): columns resolve BY NAME on
 the fast path; a foreign table whose columns were RENAMED mid-history
@@ -446,14 +451,15 @@ _DIST_MANIFEST_THRESHOLD = 64
 
 
 def _decode_manifests_distributed(
-    spark: SparkSession, manifest_paths: list[str]
+    spark: SparkSession, manifest_specs: list[tuple[str, int, int]]
 ) -> list[dict]:
     """Decode many manifest Avro files IN EXECUTORS (one decode task
-    per file via ``mapInArrow`` over the path-list frame — the
-    ``avro_io.read_avro`` discipline). Entries come back as JSON of
-    exactly the fields the planner uses (status / content /
-    data_file{content, file_path, file_format, partition,
-    record_count, file_size_in_bytes}), so foreign stats blobs
+    per file via ``mapInArrow`` over the (path, seq, content)-list
+    frame — the ``avro_io.read_avro`` discipline). Entries come back
+    as JSON of exactly the fields the planner uses (status, the
+    owning manifest's ``_seq``/``_manifest_content``, data_file
+    {content, file_path, file_format, partition, record_count,
+    file_size_in_bytes, equality_ids}), so foreign stats blobs
     (possibly non-JSON bytes) never cross the wire."""
 
     def _task(batches):
@@ -467,7 +473,11 @@ def _decode_manifests_distributed(
 
         for b in batches:
             out = []
-            for p in b.column(0).to_pylist():
+            for p, seq, content in zip(
+                b.column(0).to_pylist(),
+                b.column(1).to_pylist(),
+                b.column(2).to_pylist(),
+            ):
                 _s, entries = read_container_generic(p)
                 for e in entries:
                     d = e.get("data_file") or {}
@@ -475,6 +485,8 @@ def _decode_manifests_distributed(
                         _json.dumps(
                             {
                                 "status": e.get("status", 1),
+                                "_seq": seq,
+                                "_manifest_content": content,
                                 "data_file": {
                                     "content": d.get("content", 0),
                                     "file_path": d.get("file_path"),
@@ -488,6 +500,9 @@ def _decode_manifests_distributed(
                                     "file_size_in_bytes": d.get(
                                         "file_size_in_bytes", 0
                                     ),
+                                    "equality_ids": d.get(
+                                        "equality_ids"
+                                    ),
                                 },
                             }
                         )
@@ -497,28 +512,33 @@ def _decode_manifests_distributed(
             )
 
     flist = spark.createDataFrame(
-        [(p,) for p in manifest_paths], "mpath string"
-    ).repartition(min(len(manifest_paths), 256))
+        list(manifest_specs), "mpath string, mseq long, mcontent int"
+    ).repartition(min(len(manifest_specs), 256))
     rows = flist.mapInArrow(_task, "entry_json string").collect()
     return [json.loads(r.entry_json) for r in rows]
 
 
-def _live_files(
+def _snapshot_files(
     path: str,
     meta: dict,
     snapshot_id: int | None,
     spark: SparkSession | None = None,
-) -> list[dict]:
-    """data_file dicts of the snapshot's non-deleted entries. With a
-    session and ≥ ``_DIST_MANIFEST_THRESHOLD`` manifests, the Avro
-    decode runs file-parallel in executors."""
+) -> tuple[list[dict], list[dict]]:
+    """(data_files, delete_files) of the snapshot's non-deleted
+    entries. Every dict carries ``_seq`` — the owning manifest's
+    sequence number (the spec's inheritance rule) — which drives
+    merge-on-read applicability: a position delete applies to data
+    with ``data_seq <= delete_seq``, an equality delete to
+    ``data_seq < delete_seq``. With a session and ≥
+    ``_DIST_MANIFEST_THRESHOLD`` manifests, the Avro decode runs
+    file-parallel in executors."""
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return []
+        return [], []
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
         if snapshot_id in (None, -1):
-            return []
+            return [], []
     snap = next(
         (s for s in snaps if s["snapshot-id"] == snapshot_id), None
     )
@@ -527,50 +547,84 @@ def _live_files(
             f"snapshot {snapshot_id} not in table {path!r} "
             f"(have {[s['snapshot-id'] for s in snaps]})"
         )
+    manifest_specs: list[tuple[str, int, int]] = []  # (path, seq, content)
     if "manifest-list" in snap:
         _sch, manifests = read_container_generic(
             _local(snap["manifest-list"])
         )
-        manifest_paths = []
         for m in manifests:
-            if int(m.get("content", 0)) == 1:
-                raise NotImplementedError(
-                    "snapshot carries a DELETE manifest (v2 merge-on-"
-                    "read); applying delete files is out of scope — "
-                    "refusing rather than returning deleted rows"
+            manifest_specs.append(
+                (
+                    _local(m["manifest_path"]),
+                    int(m.get("sequence_number", 0) or 0),
+                    int(m.get("content", 0)),
                 )
-            manifest_paths.append(_local(m["manifest_path"]))
+            )
     else:  # v1 inline manifest path list
-        manifest_paths = [_local(p) for p in snap.get("manifests", [])]
+        manifest_specs = [
+            (_local(p), 0, 0) for p in snap.get("manifests", [])
+        ]
     if (
         spark is not None
-        and len(manifest_paths) >= _DIST_MANIFEST_THRESHOLD
+        and len(manifest_specs) >= _DIST_MANIFEST_THRESHOLD
     ):
-        all_entries = _decode_manifests_distributed(spark, manifest_paths)
+        all_entries = _decode_manifests_distributed(spark, manifest_specs)
     else:
-        all_entries = [
-            e
-            for mp in manifest_paths
-            for e in read_container_generic(mp)[1]
-        ]
-    out = []
+        all_entries = []
+        for mp, seq, content in manifest_specs:
+            for e in read_container_generic(mp)[1]:
+                e["_seq"] = seq
+                e["_manifest_content"] = content
+                all_entries.append(e)
+    data_out: list[dict] = []
+    del_out: list[dict] = []
     for e in all_entries:
         if int(e.get("status", 1)) == 2:  # DELETED
             continue
-        df_ = e["data_file"]
-        if int(df_.get("content", 0) or 0) != 0:
-            raise NotImplementedError(
-                f"data_file {df_.get('file_path')!r} is a v2 "
-                "delete file; merge-on-read is out of scope"
-            )
+        df_ = dict(e["data_file"])
+        df_["_seq"] = e["_seq"]
+        content = int(df_.get("content", 0) or 0)
+        if content == 0 and int(e.get("_manifest_content", 0)) == 1:
+            # some writers leave data_file.content at 0 inside delete
+            # manifests; the manifest-list content wins then
+            content = 1
         fmt = str(df_.get("file_format", "PARQUET")).upper()
         if fmt != "PARQUET":
             raise NotImplementedError(
                 f"data file format {fmt!r}; this reader supports "
                 "PARQUET only"
             )
-        out.append(df_)
-    return out
+        if content == 0:
+            data_out.append(df_)
+        elif content in (1, 2):
+            df_["content"] = content
+            del_out.append(df_)
+        else:
+            raise NotImplementedError(
+                f"data_file content {content!r} in "
+                f"{df_.get('file_path')!r}"
+            )
+    return data_out, del_out
+
+
+def _live_files(
+    path: str,
+    meta: dict,
+    snapshot_id: int | None,
+    spark: SparkSession | None = None,
+) -> list[dict]:
+    """data_file dicts of the snapshot — the deletes-incapable
+    surfaces' view (compaction, change feed fallback): raises if the
+    snapshot carries row-level delete files, because returning the
+    raw data rows would resurrect deleted rows. read_iceberg handles
+    deletes via :func:`_scan_with_deletes`."""
+    data, deletes = _snapshot_files(path, meta, snapshot_id, spark)
+    if deletes:
+        raise NotImplementedError(
+            "snapshot carries v2 row-level delete files; this surface "
+            "cannot apply them — use read_iceberg (merge-on-read)"
+        )
+    return data
 
 
 def _read_by_field_id(
@@ -644,7 +698,9 @@ def read_iceberg(
     ``snapshot_id``). ``partition_filter`` is an exact-match
     {identity_partition_col: string_value} pruning the file list
     before the scan plans. Renamed-column histories resolve by
-    parquet field id (see :func:`_read_by_field_id`)."""
+    parquet field id (see :func:`_read_by_field_id`); v2 row-level
+    deletes (position + equality) apply via anti-joins (see
+    :func:`_scan_with_deletes`)."""
     _v, meta = _current_metadata(path)
     fv = int(meta.get("format-version", 1))
     if fv > 2:
@@ -654,7 +710,12 @@ def read_iceberg(
         )
     renamed = _renamed_ids(meta)
     schema, _fields = _schema_of(meta, allow_renames=bool(renamed))
-    live = _live_files(path, meta, snapshot_id, spark=spark)
+    live, deletes = _snapshot_files(path, meta, snapshot_id, spark=spark)
+    if deletes and renamed:
+        raise NotImplementedError(
+            "row-level deletes on a renamed-column history — the "
+            "field-id scan and the delete scan don't compose yet"
+        )
     if partition_filter:
         spec_id = meta.get("default-spec-id", 0)
         specs = meta.get("partition-specs") or (
@@ -705,7 +766,137 @@ def read_iceberg(
     files = [_local(d["file_path"]) for d in live]
     if renamed:
         return _read_by_field_id(spark, files, _fields)
+    if deletes:
+        return _scan_with_deletes(spark, schema, _fields, live, deletes)
     return spark.read.schema(schema).parquet(*files)
+
+
+def _scan_with_deletes(
+    spark: SparkSession,
+    schema: T.StructType,
+    fields: list[dict],
+    data_files: list[dict],
+    delete_files: list[dict],
+) -> DataFrame:
+    """v2 MERGE-ON-READ: apply position (content=1) and equality
+    (content=2) delete files to the data scan with anti-joins — the
+    Spark-native form of the spec's delete semantics, no per-row
+    Python anywhere:
+
+    - the data scan rides ``_metadata.file_path`` / ``row_index``
+      (Spark's parquet metadata columns) plus each file's manifest
+      sequence number, attached by a broadcast basename join (the
+      delta_io discipline; basename collisions raise);
+    - POSITION deletes: ``left_anti`` on (file basename, pos) with
+      the residual ``delete_seq >= data_seq`` — equi keys keep it a
+      hash join, never a nested loop;
+    - EQUALITY deletes, grouped by their ``equality_ids`` set: rows
+      are removed when a delete row null-safe-equals on every
+      equality column AND ``delete_seq > data_seq`` (the spec's
+      strict ordering: an equality delete never affects data written
+      in the same or a later sequence). Each group's delete files
+      read once, distinct-ed, and anti-joined.
+
+    Both delete frames shuffle on their join keys — at 100 TB the
+    delete side is typically ≪ data side and AQE may broadcast it;
+    nothing here is driver-side except the O(files) seq map."""
+    from pyspark.sql import functions as F
+
+    files = [_local(d["file_path"]) for d in data_files]
+    by_base: dict[str, int] = {}
+    for d in data_files:
+        base = os.path.basename(_local(d["file_path"]))
+        if base in by_base and by_base[base] != int(d["_seq"]):
+            raise ValueError(
+                f"duplicate data-file basename {base!r} with differing "
+                "sequence numbers — cannot apply deletes safely"
+            )
+        by_base[base] = int(d["_seq"])
+    seq_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(by_base.items()), "__base string, __dseq long"
+        )
+    )
+    df = (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .withColumn(
+            "__base",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(seq_df, "__base")
+    )
+    pos_groups: dict[int, list[str]] = {}
+    eq_groups: dict[tuple, list[tuple[str, int]]] = {}
+    for d in delete_files:
+        if int(d["content"]) == 1:
+            pos_groups.setdefault(int(d["_seq"]), []).append(
+                _local(d["file_path"])
+            )
+        else:
+            ids = tuple(sorted(d.get("equality_ids") or ()))
+            if not ids:
+                raise ValueError(
+                    f"equality delete {d.get('file_path')!r} carries "
+                    "no equality_ids"
+                )
+            eq_groups.setdefault(ids, []).append(
+                (_local(d["file_path"]), int(d["_seq"]))
+            )
+    if pos_groups:
+        pos_parts = [
+            spark.read.schema("file_path string, pos long")
+            .parquet(*paths)
+            .select(
+                F.element_at(F.split("file_path", "/"), -1).alias(
+                    "__pbase"
+                ),
+                F.col("pos").alias("__pos"),
+                F.lit(seq).cast("long").alias("__pseq"),
+            )
+            for seq, paths in sorted(pos_groups.items())
+        ]
+        pos = pos_parts[0]
+        for p_ in pos_parts[1:]:
+            pos = pos.unionByName(p_)
+        df = df.join(
+            pos,
+            (F.col("__base") == F.col("__pbase"))
+            & (F.col("__ri") == F.col("__pos"))
+            & (F.col("__pseq") >= F.col("__dseq")),
+            "left_anti",
+        )
+    name_of_id = {f["id"]: f["name"] for f in fields}
+    type_of_name = {f.name: f.dataType for f in schema.fields}
+    for ids, file_seqs in sorted(eq_groups.items()):
+        cols = []
+        for fid in ids:
+            nm = name_of_id.get(fid)
+            if nm is None or nm not in type_of_name:
+                raise NotImplementedError(
+                    f"equality delete references field id {fid} not in "
+                    "the current schema"
+                )
+            cols.append(nm)
+        read_schema = T.StructType(
+            [T.StructField(c, type_of_name[c], True) for c in cols]
+        )
+        parts = [
+            spark.read.schema(read_schema)
+            .parquet(p_)
+            .withColumn("__eseq", F.lit(seq).cast("long"))
+            for p_, seq in sorted(file_seqs)
+        ]
+        eq = parts[0]
+        for p_ in parts[1:]:
+            eq = eq.unionByName(p_)
+        eq = eq.groupBy(cols).agg(F.max("__eseq").alias("__eseq"))
+        cond = F.col("__eseq") > F.col("__dseq")
+        for c in cols:
+            cond = cond & df[c].eqNullSafe(eq[c])
+        df = df.join(eq, cond, "left_anti")
+    return df.select([F.col(f.name) for f in schema.fields])
 
 
 # ----------------------------------------------------------- writer
@@ -1347,7 +1538,8 @@ def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
             keep_avros |= {
                 os.path.abspath(_local(p)) for p in s.get("manifests", [])
             }
-        for d in _live_files(path, meta, s["snapshot-id"]):
+        data_fs, delete_fs = _snapshot_files(path, meta, s["snapshot-id"])
+        for d in data_fs + delete_fs:  # delete files are live too
             live_data.add(os.path.abspath(_local(d["file_path"])))
 
     new_v = cur_v + 1
@@ -1609,3 +1801,163 @@ def rewrite_data_files(
         "files_after": len(all_files),
         "snapshot_id": snap_id,
     }
+
+
+def delete_iceberg_where(keys_df: DataFrame, path: str) -> int:
+    """Row-level DELETE as a v2 EQUALITY-DELETE snapshot (the
+    merge-on-read write half; :func:`_scan_with_deletes` is the read
+    half): ``keys_df``'s columns name the equality fields and its
+    rows the values to delete — ``DELETE FROM t WHERE (k1, k2) IN
+    (...)`` at spec level. The commit stages the keys as a parquet
+    delete file (content=2, ``equality_ids`` = the fields' ids in the
+    CURRENT schema), lists it in a content=1 delete manifest at a NEW
+    sequence number, and re-lists every prior manifest — so the spec's
+    strict ordering gives exactly the right semantics for free: data
+    at earlier sequence numbers is affected, data appended later is
+    not, and prior snapshots stay byte-identical for AS-OF reads.
+
+    No data file is rewritten (that's the point of merge-on-read at
+    100 TB: a delete touching 0.1% of rows costs O(delete keys), not
+    O(table)); :func:`expire_snapshots` retains delete files of
+    retained snapshots. Returns the snapshot id."""
+    spark = keys_df.sparkSession
+    cur_v, meta = _current_metadata(path)
+    _schema, fields = _schema_of(meta)  # rename gate applies
+    by_name = {f["name"]: f for f in fields}
+    eq_ids: list[int] = []
+    for c in keys_df.columns:
+        f = by_name.get(c)
+        if f is None:
+            raise ValueError(
+                f"delete key column {c!r} not in the table schema "
+                f"(have {sorted(by_name)})"
+            )
+        want = _SPARK_TO_ICE.get(
+            keys_df.schema[c].dataType.simpleString()
+        )
+        if want != f["type"]:
+            raise ValueError(
+                f"delete key {c!r} is {want!r} but the table column "
+                f"is {f['type']!r}"
+            )
+        eq_ids.append(f["id"])
+
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
+    keys_df.coalesce(1).write.mode("overwrite").parquet(staging)
+    now_ms = int(time.time() * 1000)
+    delete_files: list[dict] = []
+    try:
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet") or fn.startswith("."):
+                continue
+            dst = os.path.join(
+                path, "data", f"delete-{uuid.uuid4().hex}.parquet"
+            )
+            shutil.move(os.path.join(staging, fn), dst)
+            delete_files.append(
+                {
+                    "content": 2,
+                    "file_path": os.path.abspath(dst),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(
+                        pq.ParquetFile(dst).metadata.num_rows
+                    ),
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": eq_ids,
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    new_v = cur_v + 1
+    snap_id = new_v
+    seq = int(meta.get("last-sequence-number", cur_v)) + 1
+    entry_schema = _entry_schema_for([])
+    entry_schema["fields"][2]["type"]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+        }
+    )
+    man_path = os.path.join(
+        _meta_dir(path), f"manifest-del-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    with open(man_path, "wb") as fh:
+        write_container_generic(
+            fh,
+            entry_schema,
+            [
+                {"status": 1, "snapshot_id": snap_id, "data_file": d}
+                for d in delete_files
+            ],
+        )
+    cur_snap_id = meta.get("current-snapshot-id")
+    prev_manifests: list[dict] = []
+    snap = next(
+        (
+            s
+            for s in meta.get("snapshots", [])
+            if s["snapshot-id"] == cur_snap_id
+        ),
+        None,
+    )
+    if snap is not None and "manifest-list" in snap:
+        _s, prev_manifests = read_container_generic(
+            _local(snap["manifest-list"])
+        )
+    new_manifest = {
+        "manifest_path": os.path.abspath(man_path),
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 1,  # DELETE manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(delete_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(
+            d["record_count"] for d in delete_files
+        ),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(
+        _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    with open(ml_path, "wb") as fh:
+        write_container_generic(
+            fh,
+            _MANIFEST_FILE_SCHEMA,
+            [
+                {
+                    k: m.get(k, 0)
+                    for k in (
+                        f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]
+                    )
+                }
+                for m in prev_manifests
+            ]
+            + [new_manifest],
+        )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.abspath(ml_path),
+        "summary": {"operation": "delete"},
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    _write_metadata_version(path, new_v, new_meta)
+    return snap_id

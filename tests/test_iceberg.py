@@ -756,3 +756,183 @@ def test_iceberg_renamed_history_resolves_by_field_id(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="read_iceberg"):
         wi(_mk(spark, [(9, "z")], "id bigint, s string"), path,
            mode="append")
+
+
+def test_iceberg_equality_delete_merge_on_read(spark, tmp_path):
+    """Row-level DELETE end-to-end (v2 merge-on-read): the delete
+    commits O(keys) bytes, the read anti-joins it away, sequence
+    semantics hold (data appended AFTER the delete is unaffected),
+    AS-OF pre-delete still shows everything, and deletes-incapable
+    surfaces (compaction, change feed) gate loudly."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        delete_iceberg_where,
+        read_iceberg,
+        read_iceberg_changes,
+        rewrite_data_files,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(
+            spark,
+            [(i, f"u{i % 3}", float(i)) for i in range(12)],
+            "id bigint, user string, v double",
+        ),
+        path,
+    )  # s1, seq 1
+    # delete two ids + one whole user
+    s_del = delete_iceberg_where(
+        _mk(spark, [(3,), (7,)], "id bigint"), path
+    )  # s2, seq 2
+    delete_iceberg_where(_mk(spark, [("u0",)], "user string"), path)  # s3
+    # data appended AFTER the deletes: same ids/users must SURVIVE
+    write_iceberg(
+        _mk(spark, [(3, "u0", 99.0)], "id bigint, user string, v double"),
+        path,
+        mode="append",
+    )  # s4, seq 4
+
+    back = read_iceberg(spark, path)
+    got = sorted((r.id, r.user) for r in back.collect())
+    surviving_old = [
+        (i, f"u{i % 3}")
+        for i in range(12)
+        if i not in (3, 7) and i % 3 != 0
+    ]
+    assert got == sorted(surviving_old + [(3, "u0")])
+    # AS-OF: pre-delete snapshot shows all 12; post-id-delete snapshot
+    # shows 10 with u0 still present
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 12
+    as_of_2 = read_iceberg(spark, path, snapshot_id=s_del)
+    assert sorted(r.id for r in as_of_2.collect()) == [
+        i for i in range(12) if i not in (3, 7)
+    ]
+    # deletes-incapable surfaces gate
+    with pytest.raises(NotImplementedError, match="merge-on-read|delete"):
+        rewrite_data_files(spark, path)
+    with pytest.raises(NotImplementedError, match="delete manifest"):
+        read_iceberg_changes(spark, path)
+
+
+def test_iceberg_position_delete_foreign_file(spark, tmp_path):
+    """A foreign-written POSITION delete file (file_path, pos) drops
+    exactly the targeted row: pos deletes apply at delete_seq >=
+    data_seq, and rows of other files are untouched."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        write_container_generic,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _MANIFEST_FILE_SCHEMA,
+        _entry_schema_for,
+        read_container_generic,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(spark, [(1, "a"), (2, "b")], "id bigint, s string"), path
+    )
+    # find the data file holding id=2 and its row position
+    target, pos = None, None
+    for fp in glob.glob(path + "/data/**/*.parquet", recursive=True):
+        t = pq.read_table(fp)
+        ids = t.column("id").to_pylist()
+        if 2 in ids:
+            target, pos = fp, ids.index(2)
+    assert target is not None
+
+    # foreign position-delete file + delete manifest + new snapshot
+    del_fp = os.path.join(path, "data", "pos-delete.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [os.path.abspath(target)],
+                "pos": pa.array([pos], pa.int64()),
+            }
+        ),
+        del_fp,
+    )
+    md = os.path.join(path, "metadata", "v1.metadata.json")
+    meta = json.load(open(md))
+    man_path = os.path.join(path, "metadata", "manifest-posdel.avro")
+    with open(man_path, "wb") as fh:
+        write_container_generic(
+            fh,
+            _entry_schema_for([]),
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 2,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": os.path.abspath(del_fp),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(del_fp),
+                    },
+                }
+            ],
+        )
+    old_ml = meta["snapshots"][0]["manifest-list"]
+    _s, prev = read_container_generic(old_ml)
+    new_ml = os.path.join(path, "metadata", "snap-2-posdel.avro")
+    with open(new_ml, "wb") as fh:
+        write_container_generic(
+            fh,
+            _MANIFEST_FILE_SCHEMA,
+            [
+                {
+                    k: m.get(k, 0)
+                    for k in (
+                        f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]
+                    )
+                }
+                for m in prev
+            ]
+            + [
+                {
+                    "manifest_path": man_path,
+                    "manifest_length": os.path.getsize(man_path),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": 2,
+                    "min_sequence_number": 2,
+                    "added_snapshot_id": 2,
+                    "added_files_count": 1,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": 1,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+        )
+    meta["snapshots"].append(
+        {
+            "snapshot-id": 2,
+            "sequence-number": 2,
+            "timestamp-ms": 1,
+            "manifest-list": new_ml,
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+        }
+    )
+    meta["current-snapshot-id"] = 2
+    meta["last-sequence-number"] = 2
+    v2 = os.path.join(path, "metadata", "v2.metadata.json")
+    json.dump(meta, open(v2, "w"))
+    open(os.path.join(path, "metadata", "version-hint.text"), "w").write(
+        "2"
+    )
+
+    back = read_iceberg(spark, path)
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a")]
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 2
