@@ -119,6 +119,8 @@ GROUPS: dict[str, list[str]] = {
     "r8_tail": [
         "delta_as_of",
         "iceberg_as_of",
+        "ewma_smooth",
+        "benford_profile",
     ],
 }
 

@@ -9402,6 +9402,142 @@ def unpersist_deps(df: DataFrame) -> None:
         dep.unpersist()
 
 
+_EWMA_K = 8  # trailing window length; weights 2^(K-1-j), j=0 newest
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per
+    order priority — the classic smoother for monitoring a metric
+    stream — in EXACT integer arithmetic: alpha=1/2 makes the weights
+    powers of two (2^(K-1-j) for the j-th most recent of the trailing
+    K=8 days), so the smoothed value is one integer floor-division of
+    two exact BIGINT sums; missing leading days contribute zero
+    weight (a proper truncated-EWMA, not a null). The window is
+    PARTITIONED by priority (5 bounded series, never a global sort)
+    and each day is one pre-aggregated row, so the window input is
+    O(days), not O(orders). Output restricted to 1998 to keep the
+    verified frame compact."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(cents).alias("c"))
+    )
+    w = Window.partitionBy("priority").orderBy("d")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for j in range(_EWMA_K):
+        lagged = F.col("c") if j == 0 else F.lag("c", j).over(w)
+        weight = 1 << (_EWMA_K - 1 - j)
+        num = num + F.coalesce(lagged, F.lit(0)) * F.lit(weight)
+        den = den + F.when(
+            lagged.isNotNull(), F.lit(weight)
+        ).otherwise(F.lit(0))
+    return (
+        daily.withColumn("num", num)
+        .withColumn("den", den)
+        .filter(F.year("d") == 1998)
+        .select(
+            "priority",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("revenue_cents"),
+            F.expr("num DIV den").alias("ewma_cents"),
+        )
+    )
+
+
+def _ewma_sql(k: int = _EWMA_K) -> str:
+    num_terms, den_terms = [], []
+    for j in range(k):
+        lag = "c" if j == 0 else f"lag(c, {j}) OVER w"
+        weight = 1 << (k - 1 - j)
+        num_terms.append(f"COALESCE({lag}, 0) * {weight}")
+        den_terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {weight} ELSE 0 END"
+        )
+    return f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS day,
+       c AS revenue_cents,
+       CAST(({" + ".join(num_terms)})
+            // ({" + ".join(den_terms)}) AS BIGINT) AS ewma_cents
+FROM daily
+WINDOW w AS (PARTITION BY priority ORDER BY d)
+QUALIFY year(d) = 1998
+"""
+
+
+SQL_EWMA_SMOOTH = _ewma_sql()
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the standard
+    anomalous-data screen (fabricated or truncated numeric columns
+    drift from the log-distribution): observed first-digit counts in
+    ONE map-side-combinable aggregate, proportions and the Benford
+    expectation log10(1+1/d) both as FLOOR-scaled ppm integers with
+    identical expression trees in both engines, deviation =
+    obs - expected. 9 output rows; the only window runs over the
+    9-row digit frame."""
+    digits = _t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy())
+    d_dbl = F.col("digit").cast("double")
+    return counts.select(
+        "digit",
+        "n",
+        F.floor(
+            F.col("n").cast("double") * 1000000.0 / tot.cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("obs_ppm"),
+        F.floor(
+            F.log10(F.lit(1.0) + F.lit(1.0) / d_dbl) * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("benford_ppm"),
+    ).withColumn("dev_ppm", F.col("obs_ppm") - F.col("benford_ppm"))
+
+
+SQL_BENFORD_PROFILE = """
+WITH counts AS (
+  SELECT substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                   1, 1) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT digit, n,
+         CAST(FLOOR(CAST(n AS DOUBLE) * 1000000.0
+                    / CAST(SUM(n) OVER () AS DOUBLE) + 0.5)
+              AS BIGINT) AS obs_ppm,
+         CAST(FLOOR(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0
+                    + 0.5) AS BIGINT) AS benford_ppm
+  FROM counts
+)
+SELECT digit, n, obs_ppm, benford_ppm,
+       obs_ppm - benford_ppm AS dev_ppm
+FROM scored
+"""
+
+
 def q_delta_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta time travel through the registry gate (round-7 verdict
     #7 — the open-table surface must face the driver's oracle, not
@@ -9549,6 +9685,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- new in round 8 ---
     "delta_as_of": q_delta_as_of,
     "iceberg_as_of": q_iceberg_as_of,
+    "ewma_smooth": q_ewma_smooth,
+    "benford_profile": q_benford_profile,
     # --- new in round 7 ---
     "join_preflight": q_join_preflight,
     "top_movers": q_top_movers,
@@ -9769,6 +9907,8 @@ ORACLES: dict[str, str] = {
     # --- new in round 8 ---
     "delta_as_of": SQL_DELTA_AS_OF,
     "iceberg_as_of": SQL_ICEBERG_AS_OF,
+    "ewma_smooth": SQL_EWMA_SMOOTH,
+    "benford_profile": SQL_BENFORD_PROFILE,
     # --- new in round 7 ---
     "join_preflight": SQL_JOIN_PREFLIGHT,
     "top_movers": SQL_TOP_MOVERS,

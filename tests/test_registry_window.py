@@ -16,6 +16,8 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 PINNED_FIRST_50 = [
     "delta_as_of",
     "iceberg_as_of",
+    "ewma_smooth",
+    "benford_profile",
     "join_preflight",
     "top_movers",
     "revenue_bridge",
@@ -62,8 +64,6 @@ PINNED_FIRST_50 = [
     "token_pmi",
     "communities",
     "embedding_standardize",
-    "sample_k_per_group",
-    "rfm_segments",
 ]
 
 

@@ -28,6 +28,10 @@ SHUFFLE_BUDGET = {
     # zero shuffles by design
     "delta_as_of": 0,
     "iceberg_as_of": 0,
+    # daily pre-agg + the 5-partition priority window repartitioning
+    "ewma_smooth": 2,
+    # digit-count agg + the 9-row single-partition proportion window
+    "benford_profile": 2,
     # --- new in round 7 ---
     # join_size_estimate runs its metadata-scale probes EAGERLY at
     # construction (two 1-row aggs + two top-K + isin fills, all
