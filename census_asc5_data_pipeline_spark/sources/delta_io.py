@@ -1196,6 +1196,56 @@ def optimize_delta(
     }
 
 
+def restore_delta(
+    spark: SparkSession, path: str, version: int
+) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF`` at protocol level: a
+    NEW commit whose live set equals version N's — removes for every
+    currently-live file N doesn't list, adds (dataChange=true, per
+    delta-spark RESTORE: restored rows ARE a data change for the
+    change feed / streaming consumers) for every N file not currently
+    live. History is preserved — nothing is rewritten or deleted, the
+    restore is itself time-travelable and vacuum-safe (re-added files
+    are referenced by the new head, so retention keeps them). Returns
+    the new version."""
+    _p, _m, target_adds, _tx = _replay(spark, path, version)
+    now_ms = int(time.time() * 1000)
+    while True:
+        _p2, meta, cur_adds, _tx2 = _replay(spark, path, None)
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        lines: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": int(version)},
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
+            }
+        ]
+        for p_ in cur_adds:
+            if p_ not in target_adds:
+                lines.append(
+                    {
+                        "remove": {
+                            "path": p_,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        for p_, a in target_adds.items():
+            if p_ not in cur_adds:
+                lines.append({"add": dict(a)})
+        try:
+            _put_if_absent_commit(path, next_v, lines)
+            return next_v
+        except FileExistsError:
+            continue
+
+
 def register_delta_views(
     spark: SparkSession, name: str, path: str
 ) -> list[str]:

@@ -1961,3 +1961,30 @@ def delete_iceberg_where(keys_df: DataFrame, path: str) -> int:
     ]
     _write_metadata_version(path, new_v, new_meta)
     return snap_id
+
+
+def rollback_iceberg(path: str, snapshot_id: int) -> int:
+    """Iceberg's ``rollback_to_snapshot``: a NEW metadata version
+    whose current-snapshot-id points at the given (still-retained)
+    snapshot — no data or manifest is touched, the rolled-back state
+    is immediately current and every other snapshot stays AS-OF
+    readable. The snapshot-log records the rollback (same snapshot
+    id, new timestamp), so history shows it happened. Returns the new
+    metadata version."""
+    cur_v, meta = _current_metadata(path)
+    snaps = meta.get("snapshots", [])
+    if not any(s["snapshot-id"] == snapshot_id for s in snaps):
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table {path!r} "
+            f"(have {[s['snapshot-id'] for s in snaps]})"
+        )
+    new_v = cur_v + 1
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    _write_metadata_version(path, new_v, new_meta)
+    return new_v

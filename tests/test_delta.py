@@ -983,3 +983,42 @@ def test_delta_column_mapping_read(spark, tmp_path):
         for a in lines:
             fh.write(json.dumps(a) + "\n")
     assert read_delta(spark, path).count() == 2
+
+
+def test_delta_restore_to_version(spark, tmp_path):
+    """RESTORE commits a new version whose live set equals the target
+    version's — history preserved, the change feed sees the restored
+    rows as inserts (dataChange=true), and vacuum keeps the re-added
+    files because the new head references them."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        create_checkpoint,
+        read_delta,
+        read_delta_changes,
+        restore_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(1,), (2,)], "id bigint"), path)  # v0
+    write_delta(_mk(spark, [(9,)], "id bigint"), path, "overwrite")  # v1
+    write_delta(_mk(spark, [(10,)], "id bigint"), path, "append")  # v2
+
+    v = restore_delta(spark, path, 0)
+    assert v == 3
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == [1, 2]
+    # pre-restore states still time-travel
+    assert sorted(
+        r.id for r in read_delta(spark, path, version=2).collect()
+    ) == [9, 10]
+    # the restore's re-adds flow through the change feed as v3 inserts
+    ch, last = read_delta_changes(spark, path, since_version=2)
+    assert last == 3
+    assert sorted((r.id, r._commit_version) for r in ch.collect()) == [
+        (1, 3),
+        (2, 3),
+    ]
+    # vacuum with retention=1 keeps the restored (v0-era) files
+    create_checkpoint(spark, path)
+    vacuum_delta(spark, path, keep_versions=1)
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == [1, 2]

@@ -936,3 +936,39 @@ def test_iceberg_position_delete_foreign_file(spark, tmp_path):
     back = read_iceberg(spark, path)
     assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a")]
     assert read_iceberg(spark, path, snapshot_id=1).count() == 2
+
+
+def test_iceberg_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to_snapshot points the current metadata at an older
+    retained snapshot without touching data; the rollback itself is
+    recorded in the snapshot log and every snapshot stays AS-OF
+    readable."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1,), (2,)], "id bigint"), path)  # s1
+    write_iceberg(_mk(spark, [(9,)], "id bigint"), path, "overwrite")  # s2
+    assert [r.id for r in read_iceberg(spark, path).collect()] == [9]
+    v = rollback_iceberg(path, 1)
+    assert v == 3
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == [
+        1,
+        2,
+    ]
+    # s2 still AS-OF readable; bogus snapshot raises
+    assert [
+        r.id for r in read_iceberg(spark, path, snapshot_id=2).collect()
+    ] == [9]
+    with pytest.raises(ValueError, match="snapshot 99"):
+        rollback_iceberg(path, 99)
+    # a write after rollback appends on the rolled-back state
+    write_iceberg(_mk(spark, [(3,)], "id bigint"), path, mode="append")
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == [
+        1,
+        2,
+        3,
+    ]
