@@ -972,3 +972,31 @@ def test_iceberg_rollback_to_snapshot(spark, tmp_path):
         2,
         3,
     ]
+
+
+def test_iceberg_merge_on_read_plan_has_no_nested_loop(spark, tmp_path):
+    """The delete anti-joins carry equi keys (basename+pos / the
+    equality columns) with the sequence comparison as a RESIDUAL, so
+    the physical plan must stay hash/sort-merge — a
+    BroadcastNestedLoopJoin here would be O(data x deletes) at scale."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        delete_iceberg_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(spark, [(i, f"u{i}") for i in range(8)], "id bigint, s string"),
+        path,
+    )
+    delete_iceberg_where(_mk(spark, [(3,)], "id bigint"), path)
+    df = read_iceberg(spark, path)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert df.count() == 7
