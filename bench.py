@@ -121,6 +121,7 @@ GROUPS: dict[str, list[str]] = {
         "iceberg_as_of",
         "ewma_smooth",
         "benford_profile",
+        "tokenizer_fertility",
     ],
 }
 

@@ -9538,6 +9538,72 @@ FROM scored
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (tokens per byte) by detected language —
+    the budgeting metric for multilingual corpus mixing: a tokenizer
+    that fragments a language inflates its compute share, so mixture
+    planning wants tokens/byte per language up front. ONE pass over
+    documents (lang_id's marker scores + the BPE-ish regex token
+    count + octet_length ride the same projection — no joins), then a
+    map-side-combinable rollup; fertility = exact integer
+    tokens·10⁶ DIV bytes."""
+    scored = TX.lang_id(_t(spark, sf_dir, "documents"))
+    per = scored.select(
+        "pred_lang",
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        )
+        .cast("bigint")
+        .alias("toks"),
+        F.octet_length("text").cast("bigint").alias("nbytes"),
+    )
+    return (
+        per.groupBy("pred_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr("total_tokens * 1000000 DIV total_bytes"),
+        )
+    )
+
+
+SQL_TOKENIZER_FERTILITY = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks,
+         CAST(strlen(text) AS BIGINT) AS nbytes
+  FROM documents
+), s AS (
+  SELECT toks, nbytes,
+    CAST(len(list_filter(w, x -> x IN ('the','and','of','is','a'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(w, x -> x IN ('el','la','los','de','que'))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(w, x -> x IN ('le','les','des','et','une'))) AS BIGINT) AS s_fr,
+    CAST(len(list_filter(w, x -> x IN ('der','und','die','das','ein'))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[一-鿿]'))) AS BIGINT) AS s_zh
+  FROM t
+), p AS (
+  SELECT toks, nbytes,
+    CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'unknown'
+         WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+         WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+         ELSE 'zh' END AS pred_lang
+  FROM s
+)
+SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(toks) * 1000000 // SUM(nbytes) AS BIGINT) AS fertility_ppm
+FROM p GROUP BY 1
+"""
+
+
 def q_delta_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta time travel through the registry gate (round-7 verdict
     #7 — the open-table surface must face the driver's oracle, not
@@ -9687,6 +9753,7 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_as_of": q_iceberg_as_of,
     "ewma_smooth": q_ewma_smooth,
     "benford_profile": q_benford_profile,
+    "tokenizer_fertility": q_tokenizer_fertility,
     # --- new in round 7 ---
     "join_preflight": q_join_preflight,
     "top_movers": q_top_movers,
@@ -9909,6 +9976,7 @@ ORACLES: dict[str, str] = {
     "iceberg_as_of": SQL_ICEBERG_AS_OF,
     "ewma_smooth": SQL_EWMA_SMOOTH,
     "benford_profile": SQL_BENFORD_PROFILE,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     # --- new in round 7 ---
     "join_preflight": SQL_JOIN_PREFLIGHT,
     "top_movers": SQL_TOP_MOVERS,

@@ -18,6 +18,7 @@ PINNED_FIRST_50 = [
     "iceberg_as_of",
     "ewma_smooth",
     "benford_profile",
+    "tokenizer_fertility",
     "join_preflight",
     "top_movers",
     "revenue_bridge",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "bm25_topk",
     "token_pmi",
     "communities",
-    "embedding_standardize",
 ]
 
 

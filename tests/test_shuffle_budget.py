@@ -32,6 +32,9 @@ SHUFFLE_BUDGET = {
     "ewma_smooth": 2,
     # digit-count agg + the 9-row single-partition proportion window
     "benford_profile": 2,
+    # one map-side-combinable per-language rollup; lang scoring and
+    # token/byte counts ride the scan projection — zero joins
+    "tokenizer_fertility": 1,
     # --- new in round 7 ---
     # join_size_estimate runs its metadata-scale probes EAGERLY at
     # construction (two 1-row aggs + two top-K + isin fills, all
