@@ -122,6 +122,7 @@ GROUPS: dict[str, list[str]] = {
         "ewma_smooth",
         "benford_profile",
         "tokenizer_fertility",
+        "order_backlog",
     ],
 }
 

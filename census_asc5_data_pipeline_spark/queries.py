@@ -9538,6 +9538,83 @@ FROM scored
 """
 
 
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per priority per day — the concurrent-
+    intervals analytic (active sessions / WIP inventory / in-flight
+    jobs all reduce to it) in its SCALABLE form: each order becomes
+    two ±1 events (+1 at order date, −1 the day after its last
+    shipment), events pre-aggregate to one row per (priority, day) —
+    so the running-sum window consumes O(days), not O(orders) — and
+    the cumulative sum is exact integer arithmetic over a window
+    PARTITIONED by priority (5 bounded series, no global sort).
+    Completion comes from a map-side max over lineitem joined on the
+    8-byte orderkey; output restricted to 1997 for a compact verified
+    frame."""
+    done = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("done_d"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("start_d"),
+    )
+    j = o.join(done, "ok")
+    events = j.select(
+        "priority", F.col("start_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        j.select(
+            "priority",
+            F.date_add("done_d", 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = events.groupBy("priority", "d").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("backlog", F.sum("net").over(w))
+        .filter(F.year("d") == 1997)
+        .select(
+            "priority",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "net",
+            F.col("backlog").cast("bigint").alias("backlog"),
+        )
+    )
+
+
+SQL_ORDER_BACKLOG = """
+WITH done AS (
+  SELECT l_orderkey AS ok, MAX(CAST(l_shipdate AS DATE)) AS done_d
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(o.o_orderdate AS DATE) AS start_d, d.done_d
+  FROM orders o JOIN done d ON o.o_orderkey = d.ok
+), events AS (
+  SELECT priority, start_d AS d, 1 AS delta FROM j
+  UNION ALL
+  SELECT priority, done_d + INTERVAL 1 DAY, -1 FROM j
+), daily AS (
+  SELECT priority, CAST(d AS DATE) AS d,
+         CAST(SUM(delta) AS BIGINT) AS net
+  FROM events GROUP BY 1, 2
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS day, net,
+       CAST(SUM(net) OVER (PARTITION BY priority ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM daily
+QUALIFY year(d) = 1997
+"""
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility (tokens per byte) by detected language —
     the budgeting metric for multilingual corpus mixing: a tokenizer
@@ -9754,6 +9831,7 @@ QUERIES: dict[str, QueryFn] = {
     "ewma_smooth": q_ewma_smooth,
     "benford_profile": q_benford_profile,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "order_backlog": q_order_backlog,
     # --- new in round 7 ---
     "join_preflight": q_join_preflight,
     "top_movers": q_top_movers,
@@ -9977,6 +10055,7 @@ ORACLES: dict[str, str] = {
     "ewma_smooth": SQL_EWMA_SMOOTH,
     "benford_profile": SQL_BENFORD_PROFILE,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "order_backlog": SQL_ORDER_BACKLOG,
     # --- new in round 7 ---
     "join_preflight": SQL_JOIN_PREFLIGHT,
     "top_movers": SQL_TOP_MOVERS,

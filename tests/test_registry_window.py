@@ -19,6 +19,7 @@ PINNED_FIRST_50 = [
     "ewma_smooth",
     "benford_profile",
     "tokenizer_fertility",
+    "order_backlog",
     "join_preflight",
     "top_movers",
     "revenue_bridge",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "vocab_coverage",
     "bm25_topk",
     "token_pmi",
-    "communities",
 ]
 
 

@@ -35,6 +35,10 @@ SHUFFLE_BUDGET = {
     # one map-side-combinable per-language rollup; lang scoring and
     # token/byte counts ride the scan projection — zero joins
     "tokenizer_fertility": 1,
+    # per-order completion agg + orderkey join (lineages render under
+    # both union branches pre-AQE; runtime ReuseExchange collapses) +
+    # the (priority, day) pre-agg + the 5-partition running-sum window
+    "order_backlog": 4,
     # --- new in round 7 ---
     # join_size_estimate runs its metadata-scale probes EAGERLY at
     # construction (two 1-row aggs + two top-K + isin fills, all
