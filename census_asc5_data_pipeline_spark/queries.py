@@ -9538,6 +9538,75 @@ FROM scored
 """
 
 
+def q_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size per document over the near-dup
+    graph — the blast-radius metric for contamination triage (if this
+    doc is bad, how many docs are within two dedup hops?): symmetric
+    edges from the jaccard pair kernel, one keyed self-join on the
+    shared middle vertex (sum(deg²) intermediate — the same wedge
+    budget near_dup_triangles carries), distinct (u, w) union with
+    the 1-hop frame, one count per node. Every join/distinct keys on
+    the 8-byte doc id; the edge frame is persisted once and reused by
+    both join roles. Exact integers, fully DuckDB-oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    raw_pairs = D.ngram_jaccard_pairs(docs, threshold_ppm=400000, df_cap=4096)
+    pairs = raw_pairs.select("doc_a", "doc_b").persist()
+    e = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).toDF("u", "v")
+    two = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.v") == F.col("b.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("w"))
+        .filter(F.col("u") != F.col("w"))
+    )
+    out = (
+        e.select("u", F.col("v").alias("w"))
+        .unionByName(two)
+        .distinct()
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("reach2"))
+        .select(F.col("u").alias("doc_id"), "reach2")
+    )
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
+    return out
+
+
+def _graph_2hop_sql(threshold_ppm: int = 400000) -> str:
+    return (
+        _SQL_SHINGLES.rstrip().rstrip(")")
+        + """), pr AS (
+  SELECT a.doc_id AS u, b.doc_id AS v,
+         a.n_sh AS n_a, b.n_sh AS n_b, CAST(COUNT(*) AS BIGINT) AS co
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT u, v FROM pr
+  WHERE CAST(FLOOR(CAST(co AS DOUBLE) * 1000000 / (n_a + n_b - co) + 0.5)
+             AS BIGINT) >= """
+        + str(threshold_ppm)
+        + """
+), e0 AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), two AS (
+  SELECT a.u AS u, b.v AS w FROM e0 a JOIN e0 b ON a.v = b.u
+  WHERE a.u <> b.v
+), r AS (
+  SELECT DISTINCT u, w FROM (
+    SELECT u, v AS w FROM e0 UNION ALL SELECT u, w FROM two
+  )
+)
+SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS reach2
+FROM r GROUP BY 1
+"""
+    )
+
+
+SQL_GRAPH_2HOP_REACH = _graph_2hop_sql()
+
+
 def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order backlog per priority per day — the concurrent-
     intervals analytic (active sessions / WIP inventory / in-flight
@@ -9832,6 +9901,7 @@ QUERIES: dict[str, QueryFn] = {
     "benford_profile": q_benford_profile,
     "tokenizer_fertility": q_tokenizer_fertility,
     "order_backlog": q_order_backlog,
+    "graph_2hop_reach": q_graph_2hop_reach,
     # --- new in round 7 ---
     "join_preflight": q_join_preflight,
     "top_movers": q_top_movers,
@@ -10056,6 +10126,7 @@ ORACLES: dict[str, str] = {
     "benford_profile": SQL_BENFORD_PROFILE,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "order_backlog": SQL_ORDER_BACKLOG,
+    "graph_2hop_reach": SQL_GRAPH_2HOP_REACH,
     # --- new in round 7 ---
     "join_preflight": SQL_JOIN_PREFLIGHT,
     "top_movers": SQL_TOP_MOVERS,

@@ -20,6 +20,7 @@ PINNED_FIRST_50 = [
     "benford_profile",
     "tokenizer_fertility",
     "order_backlog",
+    "graph_2hop_reach",
     "join_preflight",
     "top_movers",
     "revenue_bridge",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "conversion_lag",
     "vocab_coverage",
     "bm25_topk",
-    "token_pmi",
 ]
 
 

@@ -39,6 +39,12 @@ SHUFFLE_BUDGET = {
     # both union branches pre-AQE; runtime ReuseExchange collapses) +
     # the (priority, day) pre-agg + the 5-partition running-sum window
     "order_backlog": 4,
+    # the persisted-but-unmaterialized jaccard pair lineage renders at
+    # full depth under BOTH self-join roles and both union branches
+    # (the near_dup_triangles static-shape effect) + the middle-vertex
+    # join, distinct and final count; runtime reuses the one persisted
+    # edge frame
+    "graph_2hop_reach": 28,
     # --- new in round 7 ---
     # join_size_estimate runs its metadata-scale probes EAGERLY at
     # construction (two 1-row aggs + two top-K + isin fills, all
