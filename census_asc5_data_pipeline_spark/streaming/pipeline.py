@@ -1039,6 +1039,53 @@ def stream_delta_drift(
     )
 
 
+def stream_iceberg_drift(
+    spark: SparkSession,
+    table_path: str,
+    out_dir: str,
+    checkpoint: str,
+    baseline_ppm: dict[str, int],
+    category_col: str,
+):
+    """The :func:`stream_delta_drift` twin on the other table format:
+    tails an Iceberg table through the ``iceberg_tail`` source and
+    scores each SNAPSHOT's category mix against the fixed baseline
+    with the shared :func:`_psi_score` kernel (attribution =
+    ``_snapshot_id``; ``rewrite_data_files`` compactions emit nothing
+    so they never score). Epoch-partitioned idempotent overwrite;
+    READ CONTRACT: ``spark.read.parquet(out_dir)`` →
+    (_snapshot_id, n_events, psi_nano) + the epoch partition."""
+    from census_asc5_data_pipeline_spark.sources import (
+        iceberg_stream_source,
+    )
+
+    iceberg_stream_source.register(spark)
+    base_rows = sorted(baseline_ppm.items())
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        base = sp.createDataFrame(
+            base_rows, f"{category_col} string, base_ppm bigint"
+        )
+        obs = batch_df.groupBy("_snapshot_id", category_col).agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        out = _psi_score(obs, "_snapshot_id", category_col, base)
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        spark.readStream.format("iceberg_tail")
+        .option("path", table_path)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def stream_mix_drift(
     events: DataFrame,
     out_dir: str,

@@ -1252,3 +1252,43 @@ def test_stream_delta_drift_scores_each_commit(spark, tmp_path):
     }
     assert set(got2) == {0, 1, 2}
     assert got2[2][0] == 50 and got2[2][1] > 200_000_000
+
+
+def test_stream_iceberg_drift_scores_snapshots(spark, tmp_path):
+    """The iceberg twin of stream_delta_drift: per-snapshot PSI, with
+    a rewrite_data_files compaction between snapshots emitting no
+    score row (status=0 entries never reach the stream)."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        rewrite_data_files,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        stream_iceberg_drift,
+    )
+
+    table = str(tmp_path / "t")
+    out = str(tmp_path / "drift")
+    ck = str(tmp_path / "ck")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, cat string")
+    write_iceberg(
+        mk([(i, "a" if i % 2 == 0 else "b") for i in range(100)]), table
+    )  # s1: exact baseline mix
+    write_iceberg(
+        mk([(100 + i, "a") for i in range(50)]), table, mode="append"
+    )  # s2: all-a
+    assert rewrite_data_files(
+        spark, table, target_file_bytes=1 << 30
+    )["snapshot_id"] == 3  # must not score
+
+    q = stream_iceberg_drift(
+        spark, table, out, ck, {"a": 500000, "b": 500000}, "cat"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r._snapshot_id: (r.n_events, r.psi_nano)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (100, 0)
+    assert got[2][0] == 50 and got[2][1] > 200_000_000
