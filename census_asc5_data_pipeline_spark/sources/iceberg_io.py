@@ -1314,23 +1314,14 @@ def write_iceberg(
         ],
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {},
+        "properties": meta.get("properties", {}),
         "current-snapshot-id": snap_id,
         "snapshots": meta.get("snapshots", []) + [snapshot],
         "snapshot-log": meta.get("snapshot-log", [])
         + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
-        "metadata-log": [],
+        "metadata-log": meta.get("metadata-log", []),
     }
-    meta_path = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
-    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    os.replace(tmp, meta_path)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write(str(new_v))
-    os.replace(tmp, hint)
+    _write_metadata_version(path, new_v, new_meta)
     return snap_id
 
 
@@ -1477,7 +1468,41 @@ def iceberg_tail_fold(
 
 def _write_metadata_version(path: str, new_v: int, new_meta: dict) -> None:
     """v<N>.metadata.json + version-hint atomic replace (the writer's
-    pointer discipline, shared by the lifecycle ops)."""
+    pointer discipline, shared by the lifecycle ops).
+
+    Maintains the spec's ``metadata-log``: every commit appends the
+    PREVIOUS metadata file's {timestamp-ms, metadata-file} entry, the
+    list is trimmed to the ``write.metadata.previous-versions-max``
+    table property (spec default 100), and when
+    ``write.metadata.delete-after-commit.enabled`` is ``"true"`` the
+    files that fell off the window are physically removed — Iceberg's
+    metadata-retention contract (reference: iceberg spec §"Table
+    Metadata Fields" metadata-log + TableProperties
+    METADATA_PREVIOUS_VERSIONS_MAX). Driver-side, O(1) per commit."""
+    props = new_meta.get("properties") or {}
+    entries = list(new_meta.get("metadata-log") or [])
+    prev = [(n, p) for n, p in _metadata_files(path) if n < new_v]
+    if prev:
+        _pn, pp = max(prev)
+        try:
+            with open(pp) as fh:
+                prev_ts = json.load(fh).get("last-updated-ms")
+        except (OSError, ValueError):
+            prev_ts = None
+        if prev_ts is None:
+            prev_ts = int(os.path.getmtime(pp) * 1000)
+        entries.append(
+            {
+                "timestamp-ms": int(prev_ts),
+                "metadata-file": os.path.abspath(pp),
+            }
+        )
+    try:
+        max_keep = int(props.get("write.metadata.previous-versions-max", 100))
+    except (TypeError, ValueError):
+        max_keep = 100
+    dropped = entries[:-max_keep] if len(entries) > max_keep else []
+    new_meta["metadata-log"] = entries[-max_keep:]
     meta_path = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
     tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -1488,6 +1513,40 @@ def _write_metadata_version(path: str, new_v: int, new_meta: dict) -> None:
     with open(tmp, "w") as fh:
         fh.write(str(new_v))
     os.replace(tmp, hint)
+    # delete-after-commit runs strictly AFTER the hint flip: a crash
+    # mid-commit never removes a file the current pointer still needs
+    if str(props.get(
+        "write.metadata.delete-after-commit.enabled", "false"
+    )).lower() == "true":
+        for e in dropped:
+            mf = e.get("metadata-file")
+            if mf and os.path.abspath(mf) != os.path.abspath(meta_path):
+                try:
+                    os.remove(mf)
+                except OSError:
+                    pass
+
+
+def set_iceberg_properties(path: str, props: dict[str, str]) -> int:
+    """Iceberg ``ALTER TABLE ... SET TBLPROPERTIES`` at spec level: a
+    NEW metadata version whose ``properties`` map merges ``props``
+    over the existing ones (a value of ``None`` unsets the key). No
+    snapshot is created — properties changes are metadata-only
+    commits, exactly as the reference engine's table-options DDL
+    behaves. Returns the new metadata version number."""
+    cur_v, meta = _current_metadata(path)
+    merged = dict(meta.get("properties") or {})
+    for k, v in props.items():
+        if v is None:
+            merged.pop(k, None)
+        else:
+            merged[k] = str(v)
+    new_v = cur_v + 1
+    new_meta = dict(meta)
+    new_meta["properties"] = merged
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(path, new_v, new_meta)
+    return new_v
 
 
 def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
@@ -1553,6 +1612,10 @@ def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     if retained and meta.get("current-snapshot-id") not in retained_ids:
         new_meta["current-snapshot-id"] = retained[-1]["snapshot-id"]
+    # metadata files below new_v are pruned below — drop their
+    # metadata-log entries so the log never points at deleted files
+    # (_write_metadata_version re-appends the surviving current file)
+    new_meta["metadata-log"] = []
     _write_metadata_version(path, new_v, new_meta)
 
     def _old(p: str) -> bool:

@@ -1000,3 +1000,74 @@ def test_iceberg_merge_on_read_plan_has_no_nested_loop(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert df.count() == 7
+
+
+def test_iceberg_metadata_log_and_retention(spark, tmp_path):
+    """Every commit appends the previous metadata file to
+    metadata-log; previous-versions-max trims the list; with
+    delete-after-commit enabled the trimmed files are physically
+    removed while the table stays fully readable."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        set_iceberg_properties,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    df = _mk(spark, [(1, "a")], "id bigint, s string")
+    write_iceberg(df, path)  # v1: no previous → empty log
+    md = os.path.join(path, "metadata")
+    meta = json.load(open(os.path.join(md, "v1.metadata.json")))
+    assert meta.get("metadata-log") == []
+
+    write_iceberg(df, path, mode="append")  # v2
+    write_iceberg(df, path, mode="append")  # v3
+    meta = json.load(open(os.path.join(md, "v3.metadata.json")))
+    log = meta["metadata-log"]
+    assert [os.path.basename(e["metadata-file"]) for e in log] == [
+        "v1.metadata.json",
+        "v2.metadata.json",
+    ]
+    assert all(e["timestamp-ms"] > 0 for e in log)
+    assert all(os.path.exists(e["metadata-file"]) for e in log)
+
+    # retention: keep at most 1 previous version, delete on commit
+    v = set_iceberg_properties(
+        path,
+        {
+            "write.metadata.previous-versions-max": "1",
+            "write.metadata.delete-after-commit.enabled": "true",
+        },
+    )
+    assert v == 4
+    write_iceberg(df, path, mode="append")  # v5: trims to [v4], drops v1-v3
+    meta = json.load(open(os.path.join(md, "v5.metadata.json")))
+    assert [os.path.basename(e["metadata-file"]) for e in meta["metadata-log"]] == [
+        "v4.metadata.json"
+    ]
+    gone = [f"v{i}.metadata.json" for i in (1, 2, 3)]
+    assert all(not os.path.exists(os.path.join(md, g)) for g in gone)
+    assert os.path.exists(os.path.join(md, "v4.metadata.json"))
+    # table still reads fine (4 appended copies of the row)
+    assert read_iceberg(spark, path).count() == 4
+
+
+def test_iceberg_expire_drops_dangling_metadata_log(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        expire_snapshots,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    df = _mk(spark, [(1, "a")], "id bigint, s string")
+    for _ in range(3):
+        write_iceberg(df, path, mode="append")
+    import time as _time
+
+    _time.sleep(0.05)  # ensure expired files are strictly older
+    expire_snapshots(path, keep_snapshots=1)
+    md = os.path.join(path, "metadata")
+    hint = int(open(os.path.join(md, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(md, f"v{hint}.metadata.json")))
+    for e in meta["metadata-log"]:
+        assert os.path.exists(e["metadata-file"]), e
