@@ -37,9 +37,15 @@ How this reader maps it to Spark — scale notes:
 - ``partition_filter`` prunes the FILE LIST before Spark plans the
   scan (the stats_index discipline): partition pruning happens at
   planning time, not as a post-scan filter.
-- Feature gates fail LOUDLY: ``minReaderVersion`` > 1 (column
-  mapping, deletion vectors, type widening...) and any ``add`` with a
-  ``deletionVector`` raise instead of silently mis-reading.
+- v2/v3 reader features: column mapping reads via physical-name
+  resolution; DELETION VECTORS (r9 — the default of current
+  delta-spark writes) apply as a position ``left_anti`` join on
+  (basename, ``_metadata.row_index``) with the DV roaring bitmaps
+  decoded by :mod:`deletion_vectors` (driver-side when small,
+  executor-fan-out above a cardinality threshold). Any OTHER reader
+  feature (v2 checkpoints, type widening...) still fails LOUDLY
+  instead of silently mis-reading. ``delete_delta_where`` writes
+  row-level deletes both ways: copy-on-write rewrite or a DV commit.
 
 The writer emits protocol (1, 2), metaData with the Spark schema
 JSON (Delta's ``schemaString`` IS Spark's ``StructType.json()``),
@@ -68,6 +74,7 @@ __all__ = [
     "read_delta_changes",
     "delta_tail_fold",
     "write_delta",
+    "delete_delta_where",
     "optimize_delta",
     "create_checkpoint",
     "vacuum_delta",
@@ -189,31 +196,30 @@ def _replay(
         raise ValueError(f"Delta log at {path!r} has no metaData action")
     mr = int(protocol.get("minReaderVersion", 1))
     if mr > 1:
-        # round-7 verdict #5: column mapping is READ-supported (the
-        # one reader-v2 feature current delta-spark defaults enable),
-        # so reader version 2 — and version 3 whose readerFeatures
-        # list nothing beyond columnMapping — pass the gate; anything
-        # else (deletion vectors, v2 checkpoints, ...) still raises
+        # reader-v2/v3 gate: column mapping (round-7 verdict #5) and
+        # deletion vectors (round-8 verdict #2 — current delta-spark
+        # writes DVs BY DEFAULT) are READ-supported; any OTHER
+        # readerFeature (v2 checkpoints, type widening, ...) still
+        # raises rather than mis-reading
         cm_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
         feats = set(protocol.get("readerFeatures") or [])
-        cm_ok = cm_mode in ("name", "id") and (
-            mr == 2 or (mr == 3 and feats <= {"columnMapping"})
-        )
-        if not cm_ok:
+        cm_ok = cm_mode in ("name", "id")
+        if mr == 2:
+            ok = cm_ok  # v2 == column mapping, no feature lists yet
+        elif mr == 3:
+            ok = feats <= {"columnMapping", "deletionVectors"} and (
+                "columnMapping" not in feats or cm_ok
+            )
+        else:
+            ok = False
+        if not ok:
             raise NotImplementedError(
                 f"Delta table {path!r} requires reader version {mr} "
                 f"(readerFeatures={sorted(feats)}); beyond column "
-                "mapping this spec-level reader refuses rather than "
-                "mis-reading"
-            )
-    for a in adds.values():
-        if a.get("deletionVector"):
-            raise NotImplementedError(
-                f"data file {a['path']!r} carries a deletion vector; "
-                "applying DVs is a reader-v3 feature this spec-level "
-                "reader does not implement"
+                "mapping and deletion vectors this spec-level reader "
+                "refuses rather than mis-reading"
             )
     return protocol, meta, adds, txns
 
@@ -346,6 +352,71 @@ def read_delta(
     )
 
 
+# above this many total deleted positions the DV decode fans out to
+# executors (the iceberg_io._DIST_MANIFEST_THRESHOLD discipline): a DV
+# is O(deleted rows per file), so a heavily-deleted 100 TB table's DVs
+# are far too big to materialize through a driver createDataFrame.
+_DV_DRIVER_POSITIONS = 100_000
+
+
+def _dv_positions_df(
+    spark: SparkSession, path: str, dv_by_base: dict[str, dict]
+) -> DataFrame:
+    """(__pbase, __pos) frame of every deleted row index. Small DV
+    sets decode driver-side; above ``_DV_DRIVER_POSITIONS`` total
+    cardinality the decode runs one-task-per-descriptor in executors
+    via ``mapInArrow`` (descriptors are O(files) metadata; only the
+    decoded positions are cluster-side)."""
+    from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+        read_dv_positions,
+    )
+
+    total = sum(
+        int(d.get("cardinality", 0) or 0) for d in dv_by_base.values()
+    )
+    if total <= _DV_DRIVER_POSITIONS:
+        rows = [
+            (base, int(p))
+            for base, desc in sorted(dv_by_base.items())
+            for p in read_dv_positions(path, desc)
+        ]
+        return spark.createDataFrame(
+            rows, "__pbase string, __pos long"
+        )
+    specs = [
+        (base, json.dumps(desc))
+        for base, desc in sorted(dv_by_base.items())
+    ]
+    table_path = path
+
+    def _task(batches):
+        import json as _json
+
+        import pyarrow as pa
+
+        from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+            read_dv_positions as _rdp,
+        )
+
+        for b in batches:
+            for base, dj in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist()
+            ):
+                pos = _rdp(table_path, _json.loads(dj))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([base] * len(pos), pa.string()),
+                        pa.array(pos, pa.int64()),
+                    ],
+                    ["__pbase", "__pos"],
+                )
+
+    flist = spark.createDataFrame(
+        specs, "b string, d string"
+    ).repartition(min(len(specs), 64))
+    return flist.mapInArrow(_task, "__pbase string, __pos long")
+
+
 def _scan_adds(
     spark: SparkSession,
     path: str,
@@ -354,6 +425,7 @@ def _scan_adds(
     tagged: list[tuple[int | None, dict]],
     with_version: bool = False,
     physical_of: dict[str, str] | None = None,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """ONE multi-path scan over the given add actions, partition
     columns re-attached from the LOG's partitionValues (not the paths,
@@ -361,6 +433,13 @@ def _scan_adds(
     same join optionally tags each row with its commit version (the
     CDF-lite path). Basename collisions with differing attribution
     raise — a corrupt table must not mis-attribute rows.
+
+    Adds carrying a ``deletionVector`` (reader-v3 merge-on-read;
+    round-8 verdict #2) have their deleted positions removed by a
+    ``left_anti`` hash join on (basename, ``_metadata.row_index``) —
+    the exact shape :func:`iceberg_io._scan_with_deletes` uses for
+    position deletes, pinned no-nested-loop by the same test
+    discipline.
 
     ``input_file_name()`` returns a URI-ENCODED path while the log
     stores percent-DEcoded relative paths, so the scan-side basename
@@ -370,6 +449,16 @@ def _scan_adds(
     so a foreign-written file whose name still fails to match fails
     LOUDLY instead of silently dropping its rows."""
     data_fields = [f for f in schema.fields if f.name not in pcols]
+    dv_by_base: dict[str, dict] = {}
+    for _v, a in tagged:
+        if a.get("deletionVector"):
+            base = os.path.basename(urllib.parse.unquote(a["path"]))
+            if base in dv_by_base:
+                raise ValueError(
+                    f"duplicate data-file basename {base!r} with "
+                    "deletion vectors — cannot apply DVs safely"
+                )
+            dv_by_base[base] = a["deletionVector"]
     files = [
         os.path.join(path, urllib.parse.unquote(a["path"]))
         for _v, a in tagged
@@ -400,8 +489,32 @@ def _scan_adds(
         df = spark.read.schema(
             _strip_meta(T.StructType(data_fields))
         ).parquet(*files)
+    base_expr = F.url_decode(
+        F.replace(
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            F.lit("+"),
+            F.lit("%2B"),
+        )
+    )
+    if dv_by_base or keep_pos:
+        df = df.withColumn("__base", base_expr).withColumn(
+            "__ri", F.col("_metadata.row_index")
+        )
+        if dv_by_base:
+            pos_df = _dv_positions_df(spark, path, dv_by_base)
+            df = df.join(
+                pos_df,
+                (F.col("__base") == F.col("__pbase"))
+                & (F.col("__ri") == F.col("__pos")),
+                "left_anti",
+            )
+    pos_cols = (
+        [F.col("__base"), F.col("__ri")] if keep_pos else []
+    )
     if not pcols and not with_version:
-        return df.select([F.col(f.name) for f in schema.fields])
+        return df.select(
+            [F.col(f.name) for f in schema.fields] + pos_cols
+        )
     def _pv_key(c: str) -> str:
         return physical_of[c] if physical_of else c
 
@@ -443,17 +556,13 @@ def _scan_adds(
     ]
     if with_version:
         cols.append(F.col("__cv").alias("_commit_version"))
+    cols.extend(pos_cols)
+    if "__base" not in df.columns:
+        # input_file_name() evaluates EMPTY after a join — when the DV
+        # anti-join already attached __base, reuse it, never recompute
+        df = df.withColumn("__base", base_expr)
     return (
-        df.withColumn(
-            "__base",
-            F.url_decode(
-                F.replace(
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
-                    F.lit("+"),
-                    F.lit("%2B"),
-                )
-            ),
-        )
+        df
         .join(F.broadcast(pv_df), "__base", "left")
         .where(
             F.when(
@@ -488,9 +597,16 @@ def read_delta_changes(
     to contain).
 
     Emits INSERTS only: an overwrite commit surfaces its new files as
-    that version's inserts and its tombstones are NOT emitted (this
-    writer never row-deletes; a full CDF with delete images is a
-    reader-v2+ feature out of scope for the spec-level reader). Needs
+    that version's inserts and its tombstones are NOT emitted (a full
+    CDF with per-row delete images is the ``cdc``-action feature, out
+    of scope for the spec-level reader). Row-level deletes ARE
+    reflected: a :func:`delete_delta_where` commit re-emits the
+    touched files' SURVIVING rows at the delete version (copy-on-write
+    re-adds survivor files; DV-mode adds carry a deletion vector the
+    scan applies) — a consumer folding "latest _commit_version wins
+    per file" sees exactly the post-delete state. A file re-added
+    within the range emits once per add, each with its own version
+    tag and DV state. Needs
     the JSON commits for the requested range on disk — per-commit
     attribution cannot come from a checkpoint, so raise rather than
     guess if the tail was vacuumed. Returns (frame, end_version)."""
@@ -532,18 +648,38 @@ def read_delta_changes(
     )
     if not tagged:
         return spark.createDataFrame([], out_schema), last
-    return (
+    # a file RE-ADDED within the range (DV delete re-commits the same
+    # path) must emit once per add with its own version/DV state; one
+    # scan can't yield the same physical file twice, so waves split on
+    # basename repeats and union — wave count = max re-add depth
+    waves: list[list[tuple[int | None, dict]]] = []
+    cur: list[tuple[int | None, dict]] = []
+    seen: set[str] = set()
+    for v, a in tagged:
+        base = os.path.basename(urllib.parse.unquote(a["path"]))
+        if base in seen:
+            waves.append(cur)
+            cur, seen = [], set()
+        cur.append((v, a))
+        seen.add(base)
+    waves.append(cur)
+    physical_of = _column_mapping(meta)
+    parts = [
         _scan_adds(
             spark,
             path,
             schema,
             pcols,
-            tagged,
+            w,
             with_version=True,
-            physical_of=_column_mapping(meta),
-        ),
-        last,
-    )
+            physical_of=physical_of,
+        )
+        for w in waves
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out, last
 
 
 def delta_tail_fold(
@@ -611,6 +747,48 @@ def _harvest_parts(staging: str) -> list[tuple[str, dict]]:
     return sorted(out)
 
 
+def _stage_adds(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
+    """Stage ``df`` as parquet parts under the table (ONE distributed
+    write, Hive-partitioned by ``pcols``) and return their add
+    actions (dataChange=true) — the write_delta staging block, shared
+    with :func:`delete_delta_where`'s copy-on-write rewrite."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    add_actions: list[dict] = []
+    now_ms = int(time.time() * 1000)
+    try:
+        os.makedirs(path, exist_ok=True)
+        for rel, pv in _harvest_parts(staging):
+            # re-name with a per-FILE uuid: one Spark task writing
+            # several Hive partitions reuses its (part-N, task-uuid)
+            # stem across partition dirs, and the read side's
+            # basename-attribution join requires global uniqueness
+            new_rel = os.path.join(
+                os.path.dirname(rel),
+                f"part-{uuid.uuid4().hex}.snappy.parquet",
+            )
+            dst = os.path.join(path, new_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(staging, rel), dst)
+            add_actions.append(
+                {
+                    "add": {
+                        "path": urllib.parse.quote(new_rel),
+                        "partitionValues": {k: pv.get(k) for k in pcols},
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return add_actions
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -667,35 +845,8 @@ def write_delta(
             )
         pcols = prev_pcols
 
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staging)
-    try:
-        parts = _harvest_parts(staging)
-        now_ms = int(time.time() * 1000)
-        add_actions = []
-        os.makedirs(path, exist_ok=True)
-        for rel, pv in parts:
-            dst = os.path.join(path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(staging, rel), dst)
-            add_actions.append(
-                {
-                    "add": {
-                        "path": urllib.parse.quote(rel),
-                        "partitionValues": {
-                            k: pv.get(k) for k in pcols
-                        },
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    add_actions = _stage_adds(df, path, pcols)
+    now_ms = int(time.time() * 1000)
 
     while True:
         versions = delta_versions(path) if os.path.isdir(
@@ -792,6 +943,204 @@ def write_delta(
             continue  # another writer claimed next_v: re-replay, retry
 
 
+def delete_delta_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    mode: str = "cow",
+) -> int | None:
+    """Row-level ``DELETE FROM <table> WHERE <predicate>`` — the
+    :func:`iceberg_io.delete_iceberg_where` twin, restoring write-
+    surface symmetry between the two formats (round-8 verdict #4).
+    ``predicate`` is a Spark SQL boolean expression over the table's
+    columns (partition columns included). Returns the committed
+    version, or None when nothing matched (no commit is written).
+
+    ``mode='cow'`` (copy-on-write, delta-spark's pre-DV DELETE): the
+    files containing matching rows are rewritten WITHOUT those rows
+    in ONE distributed job (survivors re-partitioned by the table's
+    partition columns), and the commit removes the touched files and
+    adds the rewrites atomically (``dataChange=true`` both ways).
+    Untouched files are never read or rewritten — the cost is
+    O(touched files), not O(table).
+
+    ``mode='dv'`` (merge-on-read, delta-spark's DEFAULT since DVs):
+    no data file is rewritten at all — matching row positions are
+    written to a deletion-vector sidecar (PROTOCOL.md §Deletion
+    Vectors: one ``deletion_vector_<uuid>.bin`` holding one
+    roaring-bitmap DV per touched file) and the commit re-adds each
+    touched file with its DV descriptor (merged with any existing DV)
+    after tombstoning the DV-less add. The same commit upgrades the
+    protocol to reader 3 / writer 7 with the ``deletionVectors``
+    feature when needed. Cost is O(matched rows); the read path
+    (:func:`_scan_adds`) applies DVs as a position anti-join.
+    Matched positions do pass through the driver to reach the single
+    sidecar writer — O(matched rows) driver memory, the documented
+    trade of DV-mode deletes at spec level (rewrite-heavy deletes
+    should use ``mode='cow'``, which stays fully distributed).
+
+    The change feed sees the delete as the touched files re-emitted
+    minus their deleted rows at the delete version (see
+    :func:`read_delta_changes`).
+    """
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
+    from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+        read_dv_positions,
+        write_dv_file,
+    )
+
+    protocol, meta, adds, _tx = _replay(spark, path, None)
+    if _column_mapping(meta):
+        raise NotImplementedError(
+            "DELETE on a column-mapped table is out of scope — the "
+            "rewrite would stage logical-named parquet"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    if not adds:
+        return None
+    scan = _scan_adds(
+        spark,
+        path,
+        schema,
+        pcols,
+        [(None, a) for a in adds.values()],
+        keep_pos=True,
+    )
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    adds_by_base = {
+        os.path.basename(urllib.parse.unquote(a["path"])): a
+        for a in adds.values()
+    }
+    now_ms = int(time.time() * 1000)
+    lines: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": predicate,
+                    "mode": mode,
+                },
+                "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+            }
+        }
+    ]
+    planned: dict[str, dict | None] = {}  # path -> expected current DV
+    if mode == "dv":
+        hits = (
+            scan.filter(pred)
+            .groupBy("__base")
+            .agg(F.collect_list("__ri").alias("pos"))
+            .collect()
+        )
+        if not hits:
+            return None
+        merged: dict[str, list[int]] = {}
+        for r in hits:
+            a = adds_by_base[r["__base"]]
+            prev = (
+                read_dv_positions(path, a["deletionVector"])
+                if a.get("deletionVector")
+                else []
+            )
+            merged[r["__base"]] = sorted(
+                set(prev) | {int(p) for p in r["pos"]}
+            )
+        descs = write_dv_file(path, merged)
+        feats_r = set(protocol.get("readerFeatures") or [])
+        feats_w = set(protocol.get("writerFeatures") or [])
+        if (
+            int(protocol.get("minReaderVersion", 1)) < 3
+            or "deletionVectors" not in feats_r
+        ):
+            # upgrading to the feature-list protocol must carry the
+            # features the old legacy versions implied (PROTOCOL.md
+            # §Protocol Evolution); this writer's legacy base is (1, 2)
+            lines.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            feats_r | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            feats_w
+                            | {"appendOnly", "invariants", "deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        for base in sorted(merged):
+            a = adds_by_base[base]
+            planned[a["path"]] = a.get("deletionVector")
+            lines.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            new_add = {
+                k: v
+                for k, v in a.items()
+                if k not in ("deletionVector",)
+            }
+            new_add["modificationTime"] = now_ms
+            new_add["dataChange"] = True
+            new_add["deletionVector"] = descs[base]
+            lines.append({"add": new_add})
+    else:  # copy-on-write
+        touched = [
+            r["__base"]
+            for r in scan.filter(pred).select("__base").distinct().collect()
+        ]
+        if not touched:
+            return None
+        survivors = (
+            scan.filter(F.col("__base").isin(touched))
+            .filter(~pred)
+            .select([F.col(f.name) for f in schema.fields])
+        )
+        new_adds = _stage_adds(survivors, path, pcols)
+        for base in sorted(touched):
+            a = adds_by_base[base]
+            planned[a["path"]] = a.get("deletionVector")
+            lines.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        lines.extend(new_adds)
+
+    while True:
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        _p2, _m2, live_now, _t2 = _replay(spark, path, None)
+        for p_, dv in planned.items():
+            cur = live_now.get(p_)
+            if cur is None or cur.get("deletionVector") != dv:
+                raise ValueError(
+                    f"concurrent commit changed {p_!r} since this "
+                    "DELETE was planned — aborting without committing "
+                    "(re-run against the new state)"
+                )
+        try:
+            _put_if_absent_commit(path, next_v, lines)
+            return next_v
+        except FileExistsError:
+            continue
+
+
 def last_txn_version(
     spark: SparkSession, path: str, app_id: str
 ) -> int | None:
@@ -814,6 +1163,12 @@ _CKPT_SCHEMA = T.StructType(
                 [
                     T.StructField("minReaderVersion", T.IntegerType()),
                     T.StructField("minWriterVersion", T.IntegerType()),
+                    T.StructField(
+                        "readerFeatures", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "writerFeatures", T.ArrayType(T.StringType())
+                    ),
                 ]
             ),
         ),
@@ -860,6 +1215,26 @@ _CKPT_SCHEMA = T.StructType(
                     T.StructField("size", T.LongType()),
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
+                    T.StructField(
+                        "deletionVector",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "storageType", T.StringType()
+                                ),
+                                T.StructField(
+                                    "pathOrInlineDv", T.StringType()
+                                ),
+                                T.StructField("offset", T.IntegerType()),
+                                T.StructField(
+                                    "sizeInBytes", T.IntegerType()
+                                ),
+                                T.StructField(
+                                    "cardinality", T.LongType()
+                                ),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -899,11 +1274,25 @@ def create_checkpoint(
         raise FileNotFoundError(f"nothing to checkpoint at {path!r}")
     v = max(versions) if version is None else version
     protocol, meta, adds, txns = _replay(spark, path, v)
+    def _dv_row(a: dict) -> dict | None:
+        dv = a.get("deletionVector")
+        if not dv:
+            return None
+        return {
+            "storageType": dv.get("storageType"),
+            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+            "offset": dv.get("offset"),
+            "sizeInBytes": dv.get("sizeInBytes"),
+            "cardinality": dv.get("cardinality"),
+        }
+
     rows = [
         (
             {
                 "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
                 "minWriterVersion": int(protocol.get("minWriterVersion", 2)),
+                "readerFeatures": protocol.get("readerFeatures"),
+                "writerFeatures": protocol.get("writerFeatures"),
             },
             None,
             None,
@@ -937,6 +1326,7 @@ def create_checkpoint(
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
+                "deletionVector": _dv_row(a),
             },
             None,
             None,
@@ -1010,13 +1400,30 @@ def vacuum_delta(
         raise FileNotFoundError(f"no Delta log at {path!r}")
     retained = versions[-keep_versions:]
     cutoff = os.path.getmtime(_commit_file(path, retained[-1]))
+    from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+        dv_relative_path,
+    )
+
     live: set[str] = set()
+    live_dv: set[str] = set()  # DV sidecars any retained version needs
     for v in retained:
         _p, _m, adds, _tx = _replay(spark, path, v)
-        live |= {
-            os.path.normpath(urllib.parse.unquote(a["path"]))
-            for a in adds.values()
-        }
+        for a in adds.values():
+            live.add(os.path.normpath(urllib.parse.unquote(a["path"])))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                live_dv.add(
+                    os.path.normpath(
+                        dv_relative_path(dv["pathOrInlineDv"])
+                    )
+                )
+            elif dv and dv.get("storageType") == "p":
+                ap = dv["pathOrInlineDv"]
+                if ap.startswith("file://"):
+                    ap = urllib.parse.urlparse(ap).path
+                live_dv.add(
+                    os.path.normpath(os.path.relpath(ap, path))
+                )
     data_removed = 0
     for root, dirs, fnames in os.walk(path, topdown=True):
         dirs[:] = [d for d in dirs if d != _LOG]
@@ -1033,6 +1440,13 @@ def vacuum_delta(
             ):
                 os.remove(full)
                 data_removed += 1
+                continue
+            if f.startswith("deletion_vector_") and f.endswith(".bin"):
+                # DV sidecars live exactly as long as a retained
+                # version's add references them
+                if rel not in live_dv:
+                    os.remove(full)
+                    data_removed += 1
                 continue
             if not f.endswith(".parquet") or f.startswith("."):
                 continue
@@ -1094,7 +1508,14 @@ def optimize_delta(
     for key, files in groups.items():
         total = sum(int(a.get("size", 0)) for a in files)
         want_files = max(1, -(-total // target_file_bytes))
-        if len(files) > want_files:
+        # a file carrying a deletion vector ALWAYS compacts: the
+        # rewrite applies the DV and retires it — the maintenance
+        # loop for a table taking merge-on-read deletes (round-8
+        # verdict #5); still dataChange=false, since DV'd rows were
+        # already logically deleted
+        if len(files) > want_files or any(
+            a.get("deletionVector") for a in files
+        ):
             todo[key] = (files, want_files)
     if not todo:
         return {
@@ -1106,16 +1527,47 @@ def optimize_delta(
     now_ms = int(time.time() * 1000)
     new_adds: list[dict] = []
     removed_paths: list[str] = []
+    planned_dv: dict[str, dict | None] = {}
     for key, (files, want_files) in sorted(todo.items()):
         paths = [
             os.path.join(path, urllib.parse.unquote(a["path"]))
             for a in files
         ]
+        src = spark.read.schema(data_schema).parquet(*paths)
+        dvb = {
+            os.path.basename(urllib.parse.unquote(a["path"])): a[
+                "deletionVector"
+            ]
+            for a in files
+            if a.get("deletionVector")
+        }
+        if dvb:
+            pos_df = _dv_positions_df(spark, path, dvb)
+            src = (
+                src.withColumn(
+                    "__base",
+                    F.url_decode(
+                        F.replace(
+                            F.element_at(
+                                F.split(F.input_file_name(), "/"), -1
+                            ),
+                            F.lit("+"),
+                            F.lit("%2B"),
+                        )
+                    ),
+                )
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(
+                    pos_df,
+                    (F.col("__base") == F.col("__pbase"))
+                    & (F.col("__ri") == F.col("__pos")),
+                    "left_anti",
+                )
+                .select([f.name for f in data_schema.fields])
+            )
         staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
         (
-            spark.read.schema(data_schema)
-            .parquet(*paths)
-            .coalesce(int(want_files))
+            src.coalesce(int(want_files))
             .write.mode("overwrite")
             .parquet(staging)
         )
@@ -1147,16 +1599,24 @@ def optimize_delta(
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         removed_paths.extend(a["path"] for a in files)
+        planned_dv.update(
+            {a["path"]: a.get("deletionVector") for a in files}
+        )
 
     while True:
         versions = delta_versions(path)
         ckpt = _read_last_checkpoint(path)
         next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
         _p2, _m2, live_now, _t2 = _replay(spark, path, None)
-        gone = [p_ for p_ in removed_paths if p_ not in live_now]
+        gone = [
+            p_
+            for p_ in removed_paths
+            if p_ not in live_now
+            or live_now[p_].get("deletionVector") != planned_dv.get(p_)
+        ]
         if gone:
             raise ValueError(
-                f"concurrent commit removed {len(gone)} file(s) this "
+                f"concurrent commit changed {len(gone)} file(s) this "
                 "OPTIMIZE would rewrite — aborting without committing "
                 "(re-run to compact the new state)"
             )
@@ -1237,7 +1697,14 @@ def restore_delta(
                     }
                 )
         for p_, a in target_adds.items():
-            if p_ not in cur_adds:
+            cur = cur_adds.get(p_)
+            # re-add when absent OR when the live add's deletion-vector
+            # state differs (a DV delete re-commits the same path; the
+            # restore must resurrect the target version's DV state —
+            # the last add per path wins on replay, no remove needed)
+            if cur is None or cur.get("deletionVector") != a.get(
+                "deletionVector"
+            ):
                 lines.append({"add": dict(a)})
         try:
             _put_if_absent_commit(path, next_v, lines)

@@ -26,8 +26,13 @@ How it maps to the streaming engine:
   same files (the log is immutable), so at-least-once engine retries
   compose into exactly-once results with any idempotent sink.
 
-Gates: inserts only (this engine's writer never row-deletes); a
-vacuumed commit range raises rather than guessing (the
+Row-level deletes surface the way ``read_delta_changes`` documents:
+a ``delete_delta_where`` commit re-adds the touched files, so the
+stream re-emits their SURVIVING rows at the delete version (an add
+carrying a deletion vector has its DV decoded in the executor and the
+deleted row indexes masked out batch-by-batch); a consumer folding
+"latest ``_commit_version`` wins per key" sees the post-delete state.
+A vacuumed commit range raises rather than guessing (the
 ``read_delta_changes`` contract).
 """
 
@@ -142,12 +147,14 @@ def _pv_to_arrow(t_str: str, raw, n: int):
 
 
 class _FilePart(InputPartition):
-    def __init__(self, path, version, pv, pcols, fields):
+    def __init__(self, path, version, pv, pcols, fields, table=None, dv=None):
         self.path = path
         self.version = version
         self.pv = pv
         self.pcols = pcols
         self.fields = fields
+        self.table = table
+        self.dv = dv
 
 
 class DeltaTailStreamReader(DataSourceStreamReader):
@@ -213,6 +220,8 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                                 a.get("partitionValues") or {},
                                 self.pcols,
                                 self.fields,
+                                table=self.path,
+                                dv=a.get("deletionVector"),
                             )
                         )
         # the engine requires >= 1 partition per batch; an empty range
@@ -230,8 +239,35 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         pcols = partition.pcols
         fields = partition.fields
         types = {f["name"]: f["type"] for f in fields}
+        deleted = None
+        if partition.dv:
+            import numpy as np
+
+            from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+                read_dv_positions,
+            )
+
+            deleted = np.asarray(
+                read_dv_positions(partition.table, partition.dv),
+                dtype="int64",
+            )
         pf = pq.ParquetFile(partition.path)
+        row_offset = 0
         for batch in pf.iter_batches():
+            if deleted is not None:
+                import numpy as np
+
+                idx = np.arange(
+                    row_offset, row_offset + batch.num_rows, dtype="int64"
+                )
+                row_offset += batch.num_rows
+                keep = idx[~np.isin(idx, deleted)] - (
+                    row_offset - batch.num_rows
+                )
+                if len(keep) < batch.num_rows:
+                    batch = batch.take(pa.array(keep, pa.int64()))
+                if batch.num_rows == 0:
+                    continue
             n = batch.num_rows
             arrays = list(batch.columns)
             names = list(batch.schema.names)

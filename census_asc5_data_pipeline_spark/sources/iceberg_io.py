@@ -441,6 +441,34 @@ def iceberg_snapshots(path: str) -> list[dict]:
     )
 
 
+def snapshot_as_of_timestamp_iceberg(path: str, ts_ms: int) -> int:
+    """Latest snapshot whose ``timestamp-ms`` is <= ``ts_ms`` — the
+    :func:`delta_io.version_as_of_timestamp_delta` twin (round-8
+    verdict #8), resolved through the spec's ``snapshot-log`` (every
+    entry carries {timestamp-ms, snapshot-id}; rollbacks append a new
+    entry for the restored snapshot, so 'the state AS OF t' honors
+    them), falling back to the snapshots' own timestamps for foreign
+    metadata without a log."""
+    _v, meta = _current_metadata(path)
+    entries = meta.get("snapshot-log") or [
+        {
+            "timestamp-ms": s.get("timestamp-ms", 0),
+            "snapshot-id": s["snapshot-id"],
+        }
+        for s in meta.get("snapshots", [])
+    ]
+    best = None
+    for e in sorted(entries, key=lambda e: int(e.get("timestamp-ms", 0))):
+        if int(e.get("timestamp-ms", 0)) <= ts_ms:
+            best = e["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"no Iceberg snapshot at or before timestamp {ts_ms} "
+            f"in {path!r}"
+        )
+    return best
+
+
 # above this many manifests the Avro decode fans out to executors
 # (round-7 verdict #6): a 100 TB table has 10^6-10^7 data files across
 # thousands of manifests, and driver-side decode becomes the planning
@@ -1171,7 +1199,14 @@ def write_iceberg(
                         pv[k.removeprefix("__pt_")] = (
                             None if v == "__HIVE_DEFAULT_PARTITION__" else v
                         )
-                dst_rel = rel.replace("__pt_", "")
+                # per-FILE uuid rename: one task writing several
+                # partition dirs reuses its part/task stem, and the
+                # merge-on-read + change-feed basename maps require
+                # global uniqueness (the delta_io._stage_adds rule)
+                dst_rel = os.path.join(
+                    os.path.dirname(rel.replace("__pt_", "")),
+                    f"part-{uuid.uuid4().hex}.parquet",
+                )
                 dst = os.path.join(path, "data", dst_rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 shutil.move(src, dst)

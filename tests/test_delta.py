@@ -183,12 +183,14 @@ def test_delta_checkpoint_compaction_and_tail_replay(spark, tmp_path):
     ]
 
 
-def test_delta_feature_gates_refuse_v2_and_deletion_vectors(
+def test_delta_feature_gates_refuse_unsupported_reader_features(
     spark, tmp_path
 ):
-    """A table demanding reader v2+ (column mapping etc) or carrying
-    deletion vectors must RAISE — mis-reading silently is the failure
-    mode the gate exists for."""
+    """A table demanding reader v2 without column mapping, or a v3
+    readerFeature beyond {columnMapping, deletionVectors}, must
+    RAISE — mis-reading silently is the failure mode the gate exists
+    for. (Deletion vectors themselves READ since round 9 —
+    tests/test_delta_dv.py.)"""
     from census_asc5_data_pipeline_spark.sources.delta_io import (
         read_delta,
         write_delta,
@@ -196,29 +198,33 @@ def test_delta_feature_gates_refuse_v2_and_deletion_vectors(
 
     path = str(tmp_path / "t")
     write_delta(_mk(spark, [(1,)], "id bigint"), path)
-    # forge a v2 protocol bump
+    # forge a v2 protocol bump (no columnMapping config → refuse)
     log = os.path.join(path, "_delta_log", f"{1:020d}.json")
     with open(log, "w") as fh:
         fh.write(json.dumps({"protocol": {"minReaderVersion": 2,
                                           "minWriterVersion": 5}}) + "\n")
     with pytest.raises(NotImplementedError, match="reader version 2"):
         read_delta(spark, path)
-    os.remove(log)
 
-    # forge a deletion vector on the add action
-    path2 = str(tmp_path / "t2")
-    write_delta(_mk(spark, [(1,)], "id bigint"), path2)
-    log0 = os.path.join(path2, "_delta_log", f"{0:020d}.json")
-    actions = [json.loads(line) for line in open(log0)]
-    for a in actions:
-        if "add" in a:
-            a["add"]["deletionVector"] = {"storageType": "u",
-                                          "pathOrInlineDv": "x"}
-    with open(log0, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        read_delta(spark, path2)
+    # forge a v3 feature this reader does not implement
+    with open(log, "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                        "writerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="reader version 3"):
+        read_delta(spark, path)
+    os.remove(log)
+    assert [r.id for r in read_delta(spark, path).collect()] == [1]
 
 
 def test_delta_optimistic_commit_collision_retries(spark, tmp_path):
@@ -969,7 +975,7 @@ def test_delta_column_mapping_read(spark, tmp_path):
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["columnMapping", "deletionVectors"],
+            "readerFeatures": ["columnMapping", "v2Checkpoint"],
         }
     }
     with open(log, "w") as fh:
@@ -977,8 +983,11 @@ def test_delta_column_mapping_read(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(NotImplementedError, match="reader version 3"):
         read_delta(spark, path)
-    # v3 with ONLY columnMapping passes
-    lines[0]["protocol"]["readerFeatures"] = ["columnMapping"]
+    # v3 with the two supported features passes (DVs read since r9)
+    lines[0]["protocol"]["readerFeatures"] = [
+        "columnMapping",
+        "deletionVectors",
+    ]
     with open(log, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")

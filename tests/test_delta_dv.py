@@ -1,0 +1,415 @@
+"""Delta deletion vectors (round-8 verdict #2/#4/#5): the
+deletion_vectors codec wired through delta_io — DV reads as position
+anti-joins, row-level DELETE in both copy-on-write and DV modes,
+checkpoint/vacuum/OPTIMIZE interplay, and the delta_tail stream's
+survivor re-emission. Formats per delta-io PROTOCOL.md §Deletion
+Vectors + the RoaringFormatSpec (see sources/deletion_vectors.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+
+def _mk(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def _log_actions(path, version):
+    log = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    return [json.loads(line) for line in open(log) if line.strip()]
+
+
+def _data_basenames(path):
+    out = set()
+    for root, _d, files in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        out |= {f for f in files if f.endswith(".parquet")}
+    return out
+
+
+def test_delete_dv_mode_reads_survivors_and_time_travels(spark, tmp_path):
+    """DV-mode DELETE: no data file is rewritten, the add re-commits
+    with a deletionVector descriptor, reads apply it as a position
+    anti-join, the protocol upgrades to (3,7)+deletionVectors, a
+    second DELETE merges bitmaps, and v0 stays byte-identical AS OF."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(i, i % 3) for i in range(100)], "id bigint, g bigint"),
+        path,
+    )
+    files_v0 = _data_basenames(path)
+    v1 = delete_delta_where(spark, path, "id % 10 = 0", mode="dv")
+    assert v1 == 1
+    assert _data_basenames(path) - files_v0 == set()  # no data rewrite
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+    # protocol upgraded in the same commit
+    protos = [
+        a["protocol"] for a in _log_actions(path, v1) if "protocol" in a
+    ]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    # second delete merges with the existing DV
+    delete_delta_where(spark, path, "id % 7 = 0", mode="dv")
+    got2 = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got2 == [
+        i for i in range(100) if i % 10 != 0 and i % 7 != 0
+    ]
+    # AS OF v0: the full data, DVs are version-scoped
+    assert read_delta(spark, path, version=0).count() == 100
+    assert read_delta(spark, path, version=1).count() == 90
+    # nothing matched → no commit
+    assert (
+        delete_delta_where(spark, path, "id = 12345", mode="dv") is None
+    )
+
+
+def test_delete_cow_mode_rewrites_only_touched_partition(spark, tmp_path):
+    """Copy-on-write DELETE on a partitioned table rewrites ONLY the
+    files holding matches; the untouched partition's physical files
+    survive by identity, and the change feed re-emits the touched
+    files' survivors at the delete version."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, "a" if i < 50 else "b") for i in range(100)]
+    write_delta(
+        _mk(spark, rows, "id bigint, p string").coalesce(1),
+        path,
+        partition_by=["p"],
+    )
+    before = {
+        f
+        for f in _data_basenames(path)
+    }
+    assert delete_delta_where(spark, path, "p = 'a' AND id < 10") == 1
+    after_all = read_delta(spark, path)
+    assert sorted(r.id for r in after_all.collect()) == list(range(10, 100))
+    # partition b's file untouched (still the same physical file)
+    import urllib.parse
+
+    acts = _log_actions(path, 1)
+    removed = [
+        urllib.parse.unquote(a["remove"]["path"])
+        for a in acts
+        if "remove" in a
+    ]
+    assert removed and all("p=a" in p for p in removed)
+    assert any(f in _data_basenames(path) for f in before)  # b's file kept
+    # change feed: delete version re-emits partition a's survivors
+    ch, _last = read_delta_changes(spark, path, since_version=0)
+    got = sorted((r.id, r._commit_version) for r in ch.collect())
+    assert got == [(i, 1) for i in range(10, 50)]
+    # predicate over partition column only → whole-partition delete
+    delete_delta_where(spark, path, "p = 'b'")
+    assert sorted(
+        r.id for r in read_delta(spark, path).collect()
+    ) == list(range(10, 50))
+
+
+def test_foreign_handwritten_dv_log_all_storage_types(spark, tmp_path):
+    """The verdict's hand-written-DV-log check: a log authored
+    byte-by-byte (not via delete_delta_where) with 'u' sidecar,
+    inline 'i', and absolute-path 'p' descriptors reads the correct
+    survivors — including two DVs packed into ONE sidecar at
+    different offsets."""
+    from census_asc5_data_pipeline_spark.sources import deletion_vectors as dvc
+    from census_asc5_data_pipeline_spark.sources.delta_io import read_delta
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    # three single-file parquets: f1 rows 0..9, f2 rows 10..19, f3 20..29
+    fnames = []
+    for lo in (0, 10, 20):
+        df = _mk(spark, [(i,) for i in range(lo, lo + 10)], "id bigint")
+        staging = str(tmp_path / f"stage{lo}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f
+            for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dst = f"part-f{lo}.parquet"
+        os.replace(os.path.join(staging, part), os.path.join(path, dst))
+        fnames.append(dst)
+    # one sidecar holding DVs for f1 (kill positions 0,1) and f2
+    # (kill position 9) at distinct offsets
+    descs = dvc.write_dv_file(path, {fnames[0]: [0, 1], fnames[1]: [9]})
+    # f3 gets an inline DV killing positions 2..4
+    inline = dvc.dv_descriptor_inline([2, 3, 4])
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "foreign-dv-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1,
+            }
+        },
+    ]
+    for fn in fnames:
+        add = {
+            "path": fn,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, fn)),
+            "modificationTime": 1,
+            "dataChange": True,
+        }
+        if fn == fnames[0]:
+            add["deletionVector"] = descs[fnames[0]]
+        elif fn == fnames[1]:
+            d = dict(descs[fnames[1]])
+            # exercise storageType='p' via the same sidecar file
+            rel = dvc.dv_relative_path(d["pathOrInlineDv"])
+            d["storageType"] = "p"
+            d["pathOrInlineDv"] = os.path.join(path, rel)
+            add["deletionVector"] = d
+        else:
+            add["deletionVector"] = inline
+        actions.append({"add": add})
+    with open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    want = sorted(
+        set(range(30)) - {0, 1} - {19} - {22, 23, 24}
+    )
+    assert got == want
+
+
+def test_dv_checkpoint_preserves_deletion_state(spark, tmp_path):
+    """A checkpoint written AFTER a DV delete must carry the DV
+    descriptors and protocol feature lists — replay from the
+    checkpoint alone (JSON tail pruned) still filters deleted rows."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        create_checkpoint,
+        delete_delta_where,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(i,) for i in range(20)], "id bigint"), path)
+    delete_delta_where(spark, path, "id >= 15", mode="dv")
+    create_checkpoint(spark, path)
+    # drop ALL commit JSONs: reader must reconstruct from checkpoint
+    for f in os.listdir(os.path.join(path, "_delta_log")):
+        if f.endswith(".json") and len(f) == 25:
+            os.remove(os.path.join(path, "_delta_log", f))
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == list(range(15))
+
+
+def test_dv_vacuum_keeps_live_sidecar_reclaims_superseded(
+    spark, tmp_path
+):
+    """vacuum: the sidecar the retained head references survives; a
+    superseded sidecar (first DV commit replaced by a merged one)
+    is reclaimed once it falls out of retention."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(i,) for i in range(30)], "id bigint"), path)
+    delete_delta_where(spark, path, "id = 0", mode="dv")
+    delete_delta_where(spark, path, "id = 1", mode="dv")
+
+    def _dvs():
+        return {
+            f
+            for f in os.listdir(path)
+            if f.startswith("deletion_vector_") and f.endswith(".bin")
+        }
+
+    assert len(_dvs()) == 2
+    time.sleep(1.1)  # age past the newest retained commit's mtime
+    os.utime(
+        os.path.join(path, "_delta_log", f"{2:020d}.json"), None
+    )
+    stats = vacuum_delta(spark, path, keep_versions=1)
+    assert stats["retained_versions"] == [2]
+    assert len(_dvs()) == 1  # superseded sidecar reclaimed
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == list(range(2, 30))
+
+
+def test_optimize_applies_and_retires_dvs(spark, tmp_path):
+    """OPTIMIZE over a DV'd table is the maintenance loop: the
+    rewrite physically drops DV'd rows, the new adds carry NO
+    deletionVector, rows are unchanged, and the change feed stays
+    silent (dataChange=false)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        optimize_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(i,) for i in range(40)], "id bigint"), path)
+    for i in range(3):
+        write_delta(
+            _mk(spark, [(100 + i,)], "id bigint"), path, mode="append"
+        )
+    delete_delta_where(spark, path, "id < 5", mode="dv")
+    before = sorted(r.id for r in read_delta(spark, path).collect())
+    stats = optimize_delta(spark, path)
+    assert stats["partitions_compacted"] == 1
+    after = sorted(r.id for r in read_delta(spark, path).collect())
+    assert after == before
+    acts = _log_actions(path, stats["version"])
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(not a.get("deletionVector") for a in adds)
+    assert all(a["dataChange"] is False for a in adds)
+    ch, _ = read_delta_changes(
+        spark, path, since_version=stats["version"] - 1
+    )
+    assert ch.count() == 0
+
+
+def test_read_delta_changes_emits_per_add_waves(spark, tmp_path):
+    """A range spanning the original add AND its DV re-add emits the
+    file once per add — full rows tagged v0, survivors tagged v1 —
+    so 'latest version wins' folding reproduces the head state."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(i,) for i in range(6)], "id bigint").coalesce(1),
+        path,
+    )
+    delete_delta_where(spark, path, "id >= 4", mode="dv")
+    ch, last = read_delta_changes(spark, path)
+    assert last == 1
+    got = sorted((r.id, r._commit_version) for r in ch.collect())
+    assert got == sorted(
+        [(i, 0) for i in range(6)] + [(i, 1) for i in range(4)]
+    )
+
+
+def test_delta_tail_stream_re_emits_survivors_after_dv_delete(
+    spark, tmp_path
+):
+    """delta_tail executor-side DV masking: after a DV delete the
+    stream re-emits the file's surviving rows at the delete version;
+    folding per-id max version yields the post-delete state."""
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        write_delta,
+    )
+
+    delta_stream_source.register(spark)
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    write_delta(
+        _mk(spark, [(i,) for i in range(5)], "id bigint").coalesce(1),
+        table,
+    )
+    delete_delta_where(spark, table, "id IN (1, 3)", mode="dv")
+    out: list = []
+
+    def sink(batch_df, _epoch):
+        out.extend(
+            (r.id, r._commit_version) for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", table)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out) == [
+        (0, 0),
+        (0, 1),
+        (1, 0),
+        (2, 0),
+        (2, 1),
+        (3, 0),
+        (4, 0),
+        (4, 1),
+    ]
+    # survivors-only at the head: fold latest version per id
+    latest: dict = {}
+    for i, v in sorted(out, key=lambda t: t[1]):
+        latest[i] = v
+    head = {i for i, v in latest.items() if v == 1}
+    assert head == {0, 2, 4}
+
+
+def test_dv_restore_resurrects_pre_delete_state(spark, tmp_path):
+    """RESTORE to the pre-delete version re-adds the DV-less file:
+    the deleted rows come back, and the restore itself is a new
+    commit (history preserved)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(i,) for i in range(8)], "id bigint"), path)
+    delete_delta_where(spark, path, "id < 3", mode="dv")
+    assert read_delta(spark, path).count() == 5
+    v = restore_delta(spark, path, 0)
+    assert v == 2
+    assert read_delta(spark, path).count() == 8
