@@ -805,6 +805,7 @@ def _scan_with_deletes(
     fields: list[dict],
     data_files: list[dict],
     delete_files: list[dict],
+    keep_pos: bool = False,
 ) -> DataFrame:
     """v2 MERGE-ON-READ: apply position (content=1) and equality
     (content=2) delete files to the data scan with anti-joins — the
@@ -924,7 +925,10 @@ def _scan_with_deletes(
         for c in cols:
             cond = cond & df[c].eqNullSafe(eq[c])
         df = df.join(eq, cond, "left_anti")
-    return df.select([F.col(f.name) for f in schema.fields])
+    sel = [F.col(f.name) for f in schema.fields]
+    if keep_pos:
+        sel += [F.col("__base"), F.col("__ri")]
+    return df.select(sel)
 
 
 # ----------------------------------------------------------- writer
@@ -1380,29 +1384,101 @@ def register_iceberg_views(
     return out
 
 
+def _changed_files_of_range(
+    path: str, snaps: list[dict]
+) -> tuple[
+    list[tuple[str, int]],
+    list[tuple[str, int]],
+    list[tuple[str, int, tuple]],
+]:
+    """(inserts, position_deletes, equality_deletes) added by exactly
+    the given snapshots. Attribution comes from the manifest LIST: a
+    manifest belongs to the snapshot named by its
+    ``added_snapshot_id``, so a snapshot's changes are the ADDED
+    (status=1) entries of exactly its own manifests — appended/delete
+    snapshots re-list prior manifests, which are skipped;
+    ``rewrite_data_files`` lists status=0 EXISTING entries, also
+    skipped (a compaction is not a logical change). Driver-side,
+    metadata scale. Tuples: (data_path, sid) / (delete_path, sid) /
+    (delete_path, sid, equality_ids)."""
+    inserts: list[tuple[str, int]] = []
+    pos_dels: list[tuple[str, int]] = []
+    eq_dels: list[tuple[str, int, tuple]] = []
+    for snap in snaps:
+        sid = snap["snapshot-id"]
+        _sch, manifests = read_container_generic(
+            _local(snap["manifest-list"])
+        )
+        for m in manifests:
+            if int(m.get("added_snapshot_id", sid)) != sid:
+                continue  # re-listed prior manifest: not this snapshot's
+            mcontent = int(m.get("content", 0))
+            _s2, entries = read_container_generic(
+                _local(m["manifest_path"])
+            )
+            for e in entries:
+                if int(e.get("status", 1)) != 1:
+                    continue
+                d = e["data_file"]
+                content = int(d.get("content", 0) or 0)
+                if content == 0 and mcontent == 1:
+                    content = 1  # delete manifest default (spec rule)
+                p_ = _local(d["file_path"])
+                if content == 0:
+                    inserts.append((p_, sid))
+                elif content == 1:
+                    pos_dels.append((p_, sid))
+                elif content == 2:
+                    eq_dels.append(
+                        (p_, sid, tuple(d.get("equality_ids") or ()))
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"data_file content {content!r} in {p_!r}"
+                    )
+    return inserts, pos_dels, eq_dels
+
+
 def read_iceberg_changes(
     spark: SparkSession,
     path: str,
     since_snapshot_id: int | None = None,
 ) -> tuple[DataFrame, int | None]:
     """Incremental tail (the delta_io ``read_delta_changes`` contract
-    on Iceberg's log): rows ADDED by each snapshot after
-    ``since_snapshot_id``, tagged ``_snapshot_id``. Attribution comes
-    from the manifest LIST: a manifest belongs to the snapshot named
-    by its ``added_snapshot_id``, so a snapshot's inserts are the
-    ADDED (status=1) entries of exactly its own manifests — appended
-    snapshots re-list prior manifests, which are skipped by that
-    filter. Inserts only (an overwrite surfaces its new files; this
-    writer never row-deletes). Returns (frame, last_snapshot_id)."""
+    on Iceberg's log): the rows CHANGED by each snapshot after
+    ``since_snapshot_id``, tagged ``_snapshot_id`` and
+    ``_change_type`` ('insert' | 'delete') — since round 9 a CDC
+    consumer can tail a table that :func:`delete_iceberg_where` /
+    :func:`delete_iceberg_positions` writes to (round-8 verdict #3)
+    instead of the old delete-manifest gate:
+
+    - inserts: the snapshot's own ADDED data files, full rows;
+    - POSITION deletes (content=1): the deleted rows' FULL images,
+      recovered by an inner hash join of the delete file's
+      (file basename, pos) pairs against a ``_metadata.row_index``
+      scan of exactly the referenced data files — O(referenced
+      files), never a table scan;
+    - EQUALITY deletes (content=2): key-only retraction rows — the
+      equality columns carry the deleted keys, every other column is
+      NULL (the delete file stores keys, not row images; emitting
+      keys is the spec-faithful retraction, same contract as Iceberg's
+      own changelog procedure for equality deletes).
+
+    ``rewrite_data_files`` compactions emit NOTHING (status=0
+    entries are skipped). Returns (frame, last_snapshot_id)."""
     _v, meta = _current_metadata(path)
-    schema, _fields = _schema_of(meta)
+    schema, fields = _schema_of(meta)
     snaps = sorted(
         meta.get("snapshots", []), key=lambda s: s["snapshot-id"]
     )
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
     if not snaps:
-        out_schema = T.StructType(
-            schema.fields + [T.StructField("_snapshot_id", T.LongType())]
-        )
         return spark.createDataFrame([], out_schema), since_snapshot_id
     last = snaps[-1]["snapshot-id"]
     want = [
@@ -1410,63 +1486,135 @@ def read_iceberg_changes(
         for s in snaps
         if since_snapshot_id is None or s["snapshot-id"] > since_snapshot_id
     ]
-    per_file: list[tuple[str, int]] = []
-    for snap in want:
-        sid = snap["snapshot-id"]
-        _sch, manifests = read_container_generic(
-            _local(snap["manifest-list"])
-        )
-        for m in manifests:
-            if int(m.get("content", 0)) == 1:
-                raise NotImplementedError(
-                    "delete manifest in the change range; merge-on-read "
-                    "is out of scope"
-                )
-            if int(m.get("added_snapshot_id", sid)) != sid:
-                continue  # re-listed prior manifest: not this snapshot's
-            _s2, entries = read_container_generic(
-                _local(m["manifest_path"])
-            )
-            for e in entries:
-                if int(e.get("status", 1)) != 1:
-                    continue
-                per_file.append((_local(e["data_file"]["file_path"]), sid))
-    out_schema = T.StructType(
-        schema.fields + [T.StructField("_snapshot_id", T.LongType())]
-    )
-    if not per_file:
-        return spark.createDataFrame([], out_schema), last
+    inserts, pos_dels, eq_dels = _changed_files_of_range(path, want)
     from pyspark.sql import functions as F
 
-    files = [p_ for p_, _sid in per_file]
-    by_base: dict[str, int] = {}
-    for p_, sid in per_file:
-        base = os.path.basename(p_)
-        if base in by_base and by_base[base] != sid:
-            raise ValueError(
-                f"duplicate data-file basename {base!r} across "
-                "snapshots — cannot attribute rows safely"
-            )
-        by_base[base] = sid
-    sid_df = spark.createDataFrame(
-        [(b, v) for b, v in by_base.items()],
-        T.StructType(
-            [
-                T.StructField("__base", T.StringType()),
-                T.StructField("_snapshot_id", T.LongType()),
-            ]
-        ),
-    )
-    return (
-        spark.read.schema(schema)
-        .parquet(*files)
-        .withColumn(
-            "__base", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    parts: list[DataFrame] = []
+    if inserts:
+        by_base: dict[str, int] = {}
+        for p_, sid in inserts:
+            base = os.path.basename(p_)
+            if base in by_base and by_base[base] != sid:
+                raise ValueError(
+                    f"duplicate data-file basename {base!r} across "
+                    "snapshots — cannot attribute rows safely"
+                )
+            by_base[base] = sid
+        sid_df = spark.createDataFrame(
+            sorted(by_base.items()), "__base string, _snapshot_id long"
         )
-        .join(F.broadcast(sid_df), "__base")
-        .select([f.name for f in schema.fields] + ["_snapshot_id"]),
-        last,
-    )
+        parts.append(
+            spark.read.schema(schema)
+            .parquet(*[p_ for p_, _sid in inserts])
+            .withColumn(
+                "__base",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            .join(F.broadcast(sid_df), "__base")
+            .select(
+                [F.col(f.name) for f in schema.fields]
+                + [
+                    F.lit("insert").alias("_change_type"),
+                    F.col("_snapshot_id"),
+                ]
+            )
+        )
+    if pos_dels:
+        # the delete files name which data files they touch; scan ONLY
+        # those with row_index and recover the deleted rows' images,
+        # resolved against the data files live AT the delete snapshot
+        for sid in sorted({s for _p, s in pos_dels}):
+            data_at, _dels = _snapshot_files(path, meta, sid)
+            abs_data = {
+                os.path.basename(_local(d["file_path"])): _local(
+                    d["file_path"]
+                )
+                for d in data_at
+            }
+            dpaths = [p_ for p_, s in pos_dels if s == sid]
+            pos = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(*dpaths)
+                .select(
+                    F.element_at(
+                        F.split("file_path", "/"), -1
+                    ).alias("__pbase"),
+                    F.col("pos").alias("__pos"),
+                )
+            )
+            ref_bases = [
+                r["__pbase"]
+                for r in pos.select("__pbase").distinct().collect()
+            ]
+            missing = [b for b in ref_bases if b not in abs_data]
+            if missing:
+                raise ValueError(
+                    f"position delete references data file(s) {missing} "
+                    "not live at the delete snapshot"
+                )
+            scan = (
+                spark.read.schema(schema)
+                .parquet(*[abs_data[b] for b in ref_bases])
+                .withColumn(
+                    "__base",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+                .withColumn("__ri", F.col("_metadata.row_index"))
+            )
+            parts.append(
+                scan.join(
+                    pos,
+                    (F.col("__base") == F.col("__pbase"))
+                    & (F.col("__ri") == F.col("__pos")),
+                    "inner",
+                ).select(
+                    [F.col(f.name) for f in schema.fields]
+                    + [
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(sid).cast("long").alias("_snapshot_id"),
+                    ]
+                )
+            )
+    if eq_dels:
+        name_of_id = {f["id"]: f["name"] for f in fields}
+        type_of_name = {f.name: f.dataType for f in schema.fields}
+        for p_, sid, ids in sorted(eq_dels):
+            cols = []
+            for fid in ids:
+                nm = name_of_id.get(fid)
+                if nm is None:
+                    raise NotImplementedError(
+                        f"equality delete references field id {fid} "
+                        "not in the current schema"
+                    )
+                cols.append(nm)
+            read_schema = T.StructType(
+                [T.StructField(c, type_of_name[c], True) for c in cols]
+            )
+            keys = spark.read.schema(read_schema).parquet(p_)
+            sel = [
+                F.col(f.name)
+                if f.name in cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            parts.append(
+                keys.select(
+                    sel
+                    + [
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(sid).cast("long").alias("_snapshot_id"),
+                    ]
+                )
+            )
+    if not parts:
+        return spark.createDataFrame([], out_schema), last
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out, last
 
 
 def iceberg_tail_fold(
@@ -1712,6 +1860,14 @@ def rewrite_data_files(
     ``dataChange: false``. Prior snapshots stay byte-identical for
     AS-OF reads until :func:`expire_snapshots` reclaims them.
 
+    A snapshot carrying row-level DELETE FILES triggers a MAJOR
+    compaction (round-8 verdict #5 — the maintenance loop for a table
+    taking merge-on-read deletes): every partition rewrites through
+    :func:`_scan_with_deletes`, so deleted rows are physically
+    dropped, and the new snapshot's manifest list carries NO delete
+    manifests — the delete files are retired at the new sequence
+    number and become reclaimable by :func:`expire_snapshots`.
+
     Concurrency: computed optimistically from the current metadata
     version; aborts (ValueError) if another commit lands before the
     swap. Returns {partitions_compacted, files_before, files_after,
@@ -1737,7 +1893,7 @@ def rewrite_data_files(
         for f in spec.get("fields", [])
     ]
     pcols = [n for n, _t in pcol_ice]
-    live = _live_files(path, meta, None, spark=spark)
+    live, delete_fs = _snapshot_files(path, meta, None, spark=spark)
     groups: dict[tuple, list[dict]] = {}
     for d in live:
         pv = d.get("partition") or {}
@@ -1746,7 +1902,10 @@ def rewrite_data_files(
     for key, files in groups.items():
         total = sum(int(d.get("file_size_in_bytes", 0)) for d in files)
         want = max(1, -(-total // target_file_bytes))
-        if len(files) > want:
+        # with live delete files EVERY partition rewrites (major
+        # compaction): retiring the delete manifests is only safe
+        # once no surviving data file has pending deletes
+        if len(files) > want or delete_fs:
             todo[key] = (files, want)
     if not todo:
         return {
@@ -1768,10 +1927,14 @@ def rewrite_data_files(
         staging = os.path.join(
             path, "data", f".staging-{uuid.uuid4().hex}"
         )
+        if delete_fs:
+            src = _scan_with_deletes(
+                spark, schema, fields, files, delete_fs
+            )
+        else:
+            src = spark.read.schema(schema).parquet(*paths)
         (
-            spark.read.schema(schema)
-            .parquet(*paths)
-            .coalesce(int(want))
+            src.coalesce(int(want))
             .write.mode("overwrite")
             .parquet(staging)
         )
