@@ -808,11 +808,41 @@ def test_iceberg_equality_delete_merge_on_read(spark, tmp_path):
     assert sorted(r.id for r in as_of_2.collect()) == [
         i for i in range(12) if i not in (3, 7)
     ]
-    # deletes-incapable surfaces gate
-    with pytest.raises(NotImplementedError, match="merge-on-read|delete"):
-        rewrite_data_files(spark, path)
-    with pytest.raises(NotImplementedError, match="delete manifest"):
-        read_iceberg_changes(spark, path)
+    # change feed over the whole history: 13 inserts (12 from s1, 1
+    # from s4); equality deletes retract as KEY-ONLY rows (s2: id=3/7
+    # with user/v NULL; s3: user='u0' with id/v NULL)
+    feed, _last = read_iceberg_changes(spark, path)
+    assert feed.where("_change_type = 'insert'").count() == 13
+    dels = feed.where("_change_type = 'delete'").collect()
+    assert sorted(
+        ((r.id, r.user, r.v) for r in dels), key=repr
+    ) == sorted(
+        [(3, None, None), (7, None, None), (None, "u0", None)], key=repr
+    )
+    assert len({r._snapshot_id for r in dels}) == 2  # s2 and s3
+    # delete-aware MAJOR compaction: identical rows, delete files
+    # retired, AS-OF pre-compaction intact, change feed SILENT for
+    # the rewrite snapshot
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _current_metadata,
+        _snapshot_files,
+        read_iceberg_changes as _ric,
+    )
+
+    stats = rewrite_data_files(spark, path)
+    assert stats["snapshot_id"] is not None
+    back2 = read_iceberg(spark, path)
+    assert sorted((r.id, r.user) for r in back2.collect()) == got
+    _v, meta = _current_metadata(path)
+    _live, delete_fs = _snapshot_files(path, meta, None)
+    assert delete_fs == []  # delete files retired at the new seq
+    assert read_iceberg(spark, path, snapshot_id=s_del).count() == 10
+    tail, _ = _ric(
+        spark, path, since_snapshot_id=stats["snapshot_id"] - 1
+    )
+    assert (
+        tail.where(f"_snapshot_id = {stats['snapshot_id']}").count() == 0
+    )
 
 
 def test_iceberg_position_delete_foreign_file(spark, tmp_path):
@@ -937,6 +967,115 @@ def test_iceberg_position_delete_foreign_file(spark, tmp_path):
     assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a")]
     assert read_iceberg(spark, path, snapshot_id=1).count() == 2
 
+    # change feed: POSITION deletes recover the deleted row's FULL
+    # image via the (basename, _metadata.row_index) join — unlike
+    # equality deletes' key-only retractions
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg_changes,
+    )
+
+    feed, last = read_iceberg_changes(spark, path)
+    assert last == 2
+    assert sorted(
+        (r.id, r.s)
+        for r in feed.where("_change_type = 'insert'").collect()
+    ) == [(1, "a"), (2, "b")]
+    dels = feed.where("_change_type = 'delete'").collect()
+    assert [(r.id, r.s, r._snapshot_id) for r in dels] == [(2, "b", 2)]
+    # incremental window starting after the delete is empty
+    tail, _ = read_iceberg_changes(spark, path, since_snapshot_id=2)
+    assert tail.count() == 0
+
+
+def test_iceberg_position_delete_writer_roundtrip(spark, tmp_path):
+    """delete_iceberg_positions writes a spec-shaped content=1
+    (file_path, pos) delete file: predicate rows vanish, data
+    appended after survives the same predicate, already-deleted rows
+    are not re-listed, AS-OF pre-delete intact, the change feed
+    recovers the FULL row images, and a no-match predicate commits
+    nothing (returns None)."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        delete_iceberg_positions,
+        read_iceberg,
+        read_iceberg_changes,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(
+            spark,
+            [(i, f"u{i % 2}", float(i)) for i in range(8)],
+            "id bigint, user string, v double",
+        ),
+        path,
+    )  # s1
+    s_del = delete_iceberg_positions(spark, path, "v < 3.0")  # s2
+    assert s_del == 2
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == [3, 4, 5, 6, 7]
+    # delete file on disk is sorted (file_path, pos) with exactly the
+    # 3 matched positions
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    dfp = _glob.glob(path + "/data/pos-delete-*.parquet")
+    assert len(dfp) == 1
+    t = pq.read_table(dfp[0])
+    assert t.schema.names == ["file_path", "pos"]
+    pairs = list(
+        zip(t.column("file_path").to_pylist(), t.column("pos").to_pylist())
+    )
+    assert pairs == sorted(pairs) and len(pairs) == 3
+    # append rows matching the same predicate AFTER the delete: survive
+    write_iceberg(
+        _mk(spark, [(100, "u0", 1.0)], "id bigint, user string, v double"),
+        path,
+        mode="append",
+    )  # s3
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == [3, 4, 5, 6, 7, 100]
+    # a second position delete over an overlapping predicate must NOT
+    # re-list the already-deleted rows (v<3 rows are gone from the
+    # live scan) — it deletes only the new matches
+    s_del2 = delete_iceberg_positions(spark, path, "v <= 4.0")
+    assert s_del2 is not None
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == [5, 6, 7]
+    second = [
+        p
+        for p in _glob.glob(path + "/data/pos-delete-*.parquet")
+        if p not in dfp
+    ]
+    assert len(second) == 1
+    # rows 3, 4 and the appended id=100 (v=1.0): 3 positions, none
+    # duplicating the first file's
+    assert pq.ParquetFile(second[0]).metadata.num_rows == 3
+    # AS-OF: pre-delete shows all 8; post-first-delete shows 5
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 8
+    assert read_iceberg(spark, path, snapshot_id=s_del).count() == 5
+    # change feed recovers FULL images of position-deleted rows
+    feed, _ = read_iceberg_changes(spark, path)
+    dels = feed.where(f"_change_type = 'delete' and _snapshot_id = {s_del}")
+    assert sorted((r.id, r.user, r.v) for r in dels.collect()) == [
+        (0, "u0", 0.0),
+        (1, "u1", 1.0),
+        (2, "u0", 2.0),
+    ]
+    # no-match predicate: no snapshot committed
+    before = open(
+        os.path.join(path, "metadata", "version-hint.text")
+    ).read()
+    assert delete_iceberg_positions(spark, path, "v > 1e9") is None
+    after = open(
+        os.path.join(path, "metadata", "version-hint.text")
+    ).read()
+    assert after == before
+
 
 def test_iceberg_rollback_to_snapshot(spark, tmp_path):
     """rollback_to_snapshot points the current metadata at an older
@@ -972,6 +1111,57 @@ def test_iceberg_rollback_to_snapshot(spark, tmp_path):
         2,
         3,
     ]
+
+
+def test_iceberg_snapshot_as_of_timestamp(spark, tmp_path):
+    """snapshot_as_of_timestamp_iceberg resolves through the
+    snapshot-log (latest entry <= ts): boundary-exact, rollbacks
+    append a log entry so AS-OF-after-rollback returns the restored
+    snapshot, too-early ts raises, and foreign metadata without a
+    snapshot-log falls back to the snapshots' own timestamps."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        rollback_iceberg,
+        snapshot_as_of_timestamp_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1,), (2,)], "id bigint"), path)  # s1
+    write_iceberg(_mk(spark, [(3,)], "id bigint"), path, "append")  # s2
+    rollback_iceberg(path, 1)  # appends a log entry for snapshot 1
+
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    v = int(open(hint).read())
+    md = os.path.join(path, "metadata", f"v{v}.metadata.json")
+    meta = json.load(open(md))
+    log = meta["snapshot-log"]
+    assert [e["snapshot-id"] for e in log] == [1, 2, 1]
+    for e, ts in zip(log, (1000, 2000, 3000)):
+        e["timestamp-ms"] = ts
+    json.dump(meta, open(md, "w"))
+
+    with pytest.raises(ValueError, match="no Iceberg snapshot"):
+        snapshot_as_of_timestamp_iceberg(path, 999)
+    assert snapshot_as_of_timestamp_iceberg(path, 1000) == 1
+    assert snapshot_as_of_timestamp_iceberg(path, 1999) == 1
+    assert snapshot_as_of_timestamp_iceberg(path, 2000) == 2
+    assert snapshot_as_of_timestamp_iceberg(path, 2999) == 2
+    # the rollback's log entry wins at/after its timestamp: 'the
+    # table AS OF t' honors the restore
+    assert snapshot_as_of_timestamp_iceberg(path, 3000) == 1
+    assert snapshot_as_of_timestamp_iceberg(path, 2**60) == 1
+    sid = snapshot_as_of_timestamp_iceberg(path, 2500)
+    assert sorted(
+        r.id for r in read_iceberg(spark, path, snapshot_id=sid).collect()
+    ) == [1, 2, 3]
+    # foreign metadata without a snapshot-log: snapshots' timestamps
+    del meta["snapshot-log"]
+    for s, ts in zip(meta["snapshots"], (100, 200)):
+        s["timestamp-ms"] = ts
+    json.dump(meta, open(md, "w"))
+    assert snapshot_as_of_timestamp_iceberg(path, 150) == 1
+    assert snapshot_as_of_timestamp_iceberg(path, 200) == 2
 
 
 def test_iceberg_merge_on_read_plan_has_no_nested_loop(spark, tmp_path):
