@@ -280,13 +280,14 @@ def dv_descriptor_inline(positions: list[int]) -> dict:
     """storageType='i' descriptor: the serialized bitmap itself rides
     in the log, Z85-encoded (pad to a 4-byte multiple with zero bytes
     — trailing pad decodes into bytes past sizeInBytes and is
-    ignored, mirroring how the spec's base85 codec aligns)."""
+    ignored, mirroring how the spec's base85 codec aligns). Per
+    PROTOCOL.md the ``offset`` field must be ABSENT for inline DVs
+    (not null — a null value trips strict foreign JSON parsers)."""
     data = serialize_roaring64(positions)
     padded = data + b"\0" * (-len(data) % 4)
     return {
         "storageType": "i",
         "pathOrInlineDv": z85_encode(padded),
-        "offset": None,
         "sizeInBytes": len(data),
         "cardinality": len(set(int(p) for p in positions)),
     }

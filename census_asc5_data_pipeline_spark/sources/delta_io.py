@@ -123,6 +123,54 @@ def _read_last_checkpoint(path: str) -> int | None:
         return None  # corrupt pointer: fall back to full JSON replay
 
 
+def _dv_uid(desc: dict | None) -> str | None:
+    """deletionVector uniqueId per PROTOCOL.md: storageType +
+    pathOrInlineDv (+ '@offset' when present) — the part of a logical
+    file's identity beyond its path. None for a DV-less file."""
+    if not desc:
+        return None
+    uid = f"{desc.get('storageType')}{desc.get('pathOrInlineDv')}"
+    off = desc.get("offset")
+    return uid if off is None else f"{uid}@{off}"
+
+
+def _remove_action(add: dict, now_ms: int, data_change: bool = True) -> dict:
+    """Spec-shaped remove for a live add: copies the add's CURRENT
+    deletionVector — reconciliation keys logical files by
+    (path, dv uniqueId), so a dv-less remove of a DV-carrying add
+    leaves the OLD logical file live in a spec-compliant reader
+    (duplicate rows cross-engine) — plus partitionValues and size,
+    which the spec recommends on removes."""
+    r = {
+        "path": add["path"],
+        "deletionTimestamp": now_ms,
+        "dataChange": data_change,
+    }
+    if add.get("partitionValues") is not None:
+        r["partitionValues"] = add["partitionValues"]
+    if add.get("size") is not None:
+        r["size"] = add["size"]
+    if add.get("deletionVector") is not None:
+        r["deletionVector"] = add["deletionVector"]
+    return r
+
+
+def _apply_remove(adds: dict[str, dict], rm: dict) -> None:
+    """Pop the logical file the remove names. A remove CARRYING a
+    deletionVector only removes the matching (path, dv uniqueId) —
+    if the live add has a different DV state, it is a different
+    logical file and stays (spec reconciliation). A dv-less remove
+    pops the path unconditionally (legacy writers omit DV state on
+    removes; strict keying would leak their files forever)."""
+    cur = adds.get(rm["path"])
+    if cur is None:
+        return
+    rm_uid = _dv_uid(rm.get("deletionVector"))
+    if rm_uid is not None and rm_uid != _dv_uid(cur.get("deletionVector")):
+        return
+    adds.pop(rm["path"], None)
+
+
 def _replay(
     spark: SparkSession, path: str, version: int | None
 ) -> tuple[dict, dict, dict[str, dict], dict[str, int]]:
@@ -145,6 +193,12 @@ def _replay(
         _checkpoint_file(path, ckpt)
     ):
         cp = spark.read.parquet(_checkpoint_file(path, ckpt)).collect()
+        # removes FIRST, adds after: a checkpoint's remove rows are
+        # expired-file tombstones, and a file removed then RE-ADDED
+        # within retention appears as both a tombstone and a live add
+        # — row order must not decide which wins
+        cp_removes: list[dict] = []
+        cp_adds: list[dict] = []
         for r in cp:
             d = r.asDict(recursive=True)
             if d.get("protocol"):
@@ -157,14 +211,24 @@ def _replay(
                 }
             if d.get("add"):
                 a = {k: v for k, v in d["add"].items() if v is not None}
-                adds[a["path"]] = a
+                cp_adds.append(a)
             if d.get("remove"):
-                adds.pop(d["remove"]["path"], None)
+                cp_removes.append(
+                    {
+                        k: v
+                        for k, v in d["remove"].items()
+                        if v is not None
+                    }
+                )
             if d.get("txn"):
                 t = d["txn"]
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
+        for rm in cp_removes:
+            _apply_remove(adds, rm)
+        for a in cp_adds:
+            adds[a["path"]] = a
         start = ckpt + 1
     missing = [v for v in range(start, version + 1) if v not in versions]
     if missing:
@@ -173,6 +237,13 @@ def _replay(
             f"needed to reconstruct version {version}"
         )
     for v in range(start, version + 1):
+        # buffer each commit and apply its removes BEFORE its adds:
+        # a foreign writer may list add(path, newDV) before
+        # remove(path, oldDV) in the same commit, and line order must
+        # not silently drop the fresh add (reconciliation is keyed by
+        # (path, dv uniqueId), see _apply_remove)
+        commit_removes: list[dict] = []
+        commit_adds: list[dict] = []
         with open(_commit_file(path, v)) as fh:
             for line in fh:
                 line = line.strip()
@@ -184,14 +255,18 @@ def _replay(
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    adds[action["add"]["path"]] = action["add"]
+                    commit_adds.append(action["add"])
                 elif "remove" in action:
-                    adds.pop(action["remove"]["path"], None)
+                    commit_removes.append(action["remove"])
                 elif "txn" in action:
                     t = action["txn"]
                     txns[t["appId"]] = max(
                         txns.get(t["appId"], -1), int(t["version"])
                     )
+        for rm in commit_removes:
+            _apply_remove(adds, rm)
+        for a in commit_adds:
+            adds[a["path"]] = a
     if not meta:
         raise ValueError(f"Delta log at {path!r} has no metaData action")
     mr = int(protocol.get("minReaderVersion", 1))
@@ -925,16 +1000,8 @@ def write_delta(
                 }
             )
         if mode == "overwrite":
-            for p in adds:
-                lines.append(
-                    {
-                        "remove": {
-                            "path": p,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
+            for p in sorted(adds):
+                lines.append({"remove": _remove_action(adds[p], now_ms)})
         lines.extend(add_actions)
         try:
             _put_if_absent_commit(path, next_v, lines)
@@ -1076,15 +1143,7 @@ def delete_delta_where(
         for base in sorted(merged):
             a = adds_by_base[base]
             planned[a["path"]] = a.get("deletionVector")
-            lines.append(
-                {
-                    "remove": {
-                        "path": a["path"],
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            lines.append({"remove": _remove_action(a, now_ms)})
             new_add = {
                 k: v
                 for k, v in a.items()
@@ -1110,15 +1169,7 @@ def delete_delta_where(
         for base in sorted(touched):
             a = adds_by_base[base]
             planned[a["path"]] = a.get("deletionVector")
-            lines.append(
-                {
-                    "remove": {
-                        "path": a["path"],
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            lines.append({"remove": _remove_action(a, now_ms)})
         lines.extend(new_adds)
 
     while True:
@@ -1527,6 +1578,7 @@ def optimize_delta(
     now_ms = int(time.time() * 1000)
     new_adds: list[dict] = []
     removed_paths: list[str] = []
+    removed_adds: dict[str, dict] = {}
     planned_dv: dict[str, dict | None] = {}
     for key, (files, want_files) in sorted(todo.items()):
         paths = [
@@ -1599,6 +1651,7 @@ def optimize_delta(
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         removed_paths.extend(a["path"] for a in files)
+        removed_adds.update({a["path"]: a for a in files})
         planned_dv.update(
             {a["path"]: a.get("deletionVector") for a in files}
         )
@@ -1635,11 +1688,9 @@ def optimize_delta(
         for p_ in removed_paths:
             lines.append(
                 {
-                    "remove": {
-                        "path": p_,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": False,
-                    }
+                    "remove": _remove_action(
+                        removed_adds[p_], now_ms, data_change=False
+                    )
                 }
             )
         lines.extend(new_adds)
@@ -1688,23 +1739,21 @@ def restore_delta(
         for p_ in cur_adds:
             if p_ not in target_adds:
                 lines.append(
-                    {
-                        "remove": {
-                            "path": p_,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }
+                    {"remove": _remove_action(cur_adds[p_], now_ms)}
                 )
         for p_, a in target_adds.items():
             cur = cur_adds.get(p_)
             # re-add when absent OR when the live add's deletion-vector
-            # state differs (a DV delete re-commits the same path; the
-            # restore must resurrect the target version's DV state —
-            # the last add per path wins on replay, no remove needed)
+            # state differs (a DV delete re-commits the same path). The
+            # restore must first REMOVE the live (path, dv uniqueId) —
+            # spec reconciliation keys logical files by that pair, so
+            # re-adding the target DV state without removing the live
+            # one would leave BOTH logical files live in a spec reader
             if cur is None or cur.get("deletionVector") != a.get(
                 "deletionVector"
             ):
+                if cur is not None:
+                    lines.append({"remove": _remove_action(cur, now_ms)})
                 lines.append({"add": dict(a)})
         try:
             _put_if_absent_commit(path, next_v, lines)

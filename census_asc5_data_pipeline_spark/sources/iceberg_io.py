@@ -1525,12 +1525,17 @@ def read_iceberg_changes(
         # resolved against the data files live AT the delete snapshot
         for sid in sorted({s for _p, s in pos_dels}):
             data_at, _dels = _snapshot_files(path, meta, sid)
-            abs_data = {
-                os.path.basename(_local(d["file_path"])): _local(
-                    d["file_path"]
-                )
-                for d in data_at
-            }
+            abs_data: dict[str, str] = {}
+            for d in data_at:
+                ap = _local(d["file_path"])
+                base = os.path.basename(ap)
+                if base in abs_data and abs_data[base] != ap:
+                    raise ValueError(
+                        f"duplicate data-file basename {base!r} at "
+                        f"snapshot {sid} — cannot attribute deleted-row "
+                        "images safely"
+                    )
+                abs_data[base] = ap
             dpaths = [p_ for p_, s in pos_dels if s == sid]
             pos = (
                 spark.read.schema("file_path string, pos long")

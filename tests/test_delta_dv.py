@@ -413,3 +413,104 @@ def test_dv_restore_resurrects_pre_delete_state(spark, tmp_path):
     v = restore_delta(spark, path, 0)
     assert v == 2
     assert read_delta(spark, path).count() == 8
+
+
+def test_remove_actions_carry_dv_state_spec_reconciliation(
+    spark, tmp_path
+):
+    """Spec reconciliation keys logical files by (path, dv uniqueId):
+    every remove this writer emits for a DV-carrying add copies that
+    add's CURRENT deletionVector (plus size), restore removes the
+    live (path, dv) before re-adding the target state, a foreign
+    commit listing add(path, newDV) BEFORE remove(path, oldDV) is
+    order-independent, and inline descriptors carry NO offset key."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+        dv_descriptor_inline,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(i,) for i in range(20)], "id bigint"), path
+    )  # v0
+    v1 = delete_delta_where(spark, path, "id < 3", mode="dv")  # v1
+    v2 = delete_delta_where(spark, path, "id >= 17", mode="dv")  # v2
+
+    def _dv_of_adds(v):
+        return {
+            a["add"]["path"]: a["add"].get("deletionVector")
+            for a in _log_actions(path, v)
+            if "add" in a
+        }
+
+    def _removes(v):
+        return [a["remove"] for a in _log_actions(path, v) if "remove" in a]
+
+    def _live_dv_at(*versions):
+        # fold adds in commit order: the live DV state per path
+        out = {}
+        for v in versions:
+            out.update(_dv_of_adds(v))
+        return out
+
+    live_at_v1 = _live_dv_at(0, v1)
+    # v2's removes retire the then-live logical files: each must carry
+    # the file's CURRENT DV descriptor (None-free for DV-less files)
+    # and the file size
+    rms = _removes(v2)
+    assert rms, "DV delete must remove the superseded logical file"
+    for rm in rms:
+        assert rm.get("deletionVector") == live_at_v1[rm["path"]]
+        assert rm.get("size") is not None
+    # no inline descriptor anywhere carries an offset key
+    for v in (v1, v2):
+        for a in _log_actions(path, v):
+            desc = (a.get("add") or a.get("remove") or {}).get(
+                "deletionVector"
+            )
+            if desc and desc["storageType"] == "i":
+                assert "offset" not in desc
+    # restore to v1: emits a remove of the LIVE (path, dv-at-v2)
+    # before re-adding the v1 DV state
+    v3 = restore_delta(spark, path, v1)
+    rms3 = _removes(v3)
+    live_at_v2 = _live_dv_at(0, v1, v2)
+    assert rms3 and all(
+        rm.get("deletionVector") == live_at_v2[rm["path"]] for rm in rms3
+    )
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == list(
+        range(3, 20)
+    )
+    # overwrite of a DV table: removes carry the live DV state
+    live_dv = _live_dv_at(0, v1, v2, v3)  # v3 restored v1's state
+    v4 = write_delta(
+        _mk(spark, [(99,)], "id bigint"), path, mode="overwrite"
+    )
+    rms4 = {rm["path"]: rm for rm in _removes(v4)}
+    for p, desc in live_dv.items():
+        assert rms4[p].get("deletionVector") == desc
+    # FOREIGN commit, adversarial order: add(path, newDV) listed
+    # BEFORE remove(path, oldDV). A path-only order-dependent replay
+    # would pop the fresh add and the rows would vanish.
+    path2 = str(tmp_path / "t2")
+    write_delta(_mk(spark, [(i,) for i in range(10)], "id bigint"), path2)
+    v1b = delete_delta_where(spark, path2, "id = 0", mode="dv")
+    acts = _log_actions(path2, v1b)
+    old_add = next(a["add"] for a in acts if "add" in a)
+    old_rm = next(a["remove"] for a in acts if "remove" in a)
+    new_desc = dv_descriptor_inline([0, 1])  # deletes ids 0 and 1
+    new_add = dict(old_add)
+    new_add["deletionVector"] = new_desc
+    rm_of_old = dict(old_rm)
+    rm_of_old["deletionVector"] = old_add["deletionVector"]
+    log2 = os.path.join(path2, "_delta_log", f"{v1b + 1:020d}.json")
+    with open(log2, "w") as fh:
+        fh.write(json.dumps({"add": new_add}) + "\n")  # add FIRST
+        fh.write(json.dumps({"remove": rm_of_old}) + "\n")
+    got = sorted(r.id for r in read_delta(spark, path2).collect())
+    assert got == list(range(2, 10))
