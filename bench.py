@@ -123,6 +123,12 @@ GROUPS: dict[str, list[str]] = {
         "benford_profile",
         "tokenizer_fertility",
         "order_backlog",
+        "graph_2hop_reach",
+    ],
+    # round-10 additions (eager write→delete→read loop; cost is the
+    # Delta commits + DV encode, not the plan)
+    "r10_tail": [
+        "delta_dv_delete",
     ],
 }
 

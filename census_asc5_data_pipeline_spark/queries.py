@@ -9821,6 +9821,75 @@ FROM cents GROUP BY priority
 """
 
 
+def q_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE through the registry gate (round-9
+    verdict #4 — the DV surface must face the driver's oracle, not
+    just pytest): materializes a ROW-LEVEL Delta table from the
+    customer parquet, row-deletes one market segment with
+    ``delete_delta_where(mode='dv')`` (merge-on-read: no data file is
+    rewritten, the commit re-adds each touched file with a roaring
+    deletion-vector sidecar), and aggregates BOTH states back through
+    the log — pre-delete AS OF v0 and the post-delete head, whose scan
+    applies the DV as a position anti-join — so the DuckDB oracle,
+    recomputing the same rollups straight from parquet, verifies the
+    whole delete→DV-encode→anti-join-read→time-travel loop. Money is
+    per-row FLOOR(x*100+0.5) integer cents; segments are
+    proportion-stable across SFs. Rebuilds idempotently under /tmp
+    per (sf, pid), the join_preflight precedent."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_delta_dv_delete_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    v0 = delta_io.write_delta(cust, base)
+    delta_io.delete_delta_where(
+        spark, base, "segment = 'BUILDING'", mode="dv"
+    )
+
+    def roll(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("segment").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents_sum"),
+        ).withColumn("version_tag", F.lit(tag))
+
+    pre = roll(delta_io.read_delta(spark, base, version=v0), "pre_delete")
+    post = roll(delta_io.read_delta(spark, base), "post_delete")
+    return pre.unionByName(post).select(
+        "version_tag", "segment", "n_rows", "bal_cents_sum"
+    )
+
+
+SQL_DELTA_DV_DELETE = """
+WITH cust AS (
+  SELECT c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+  FROM customer
+)
+SELECT 'pre_delete' AS version_tag, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c) AS BIGINT) AS bal_cents_sum
+FROM cust GROUP BY segment
+UNION ALL
+SELECT 'post_delete' AS version_tag, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c) AS BIGINT) AS bal_cents_sum
+FROM cust WHERE segment <> 'BUILDING' GROUP BY segment
+"""
+
+
 def q_iceberg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg snapshot travel through the registry gate — the
     q_delta_as_of twin on the other table format: snapshot 1 = the
@@ -9894,6 +9963,8 @@ FROM cents GROUP BY segment
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 10 ---
+    "delta_dv_delete": q_delta_dv_delete,
     # --- new in round 8 ---
     "delta_as_of": q_delta_as_of,
     "iceberg_as_of": q_iceberg_as_of,
@@ -10119,6 +10190,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    # --- new in round 10 ---
+    "delta_dv_delete": SQL_DELTA_DV_DELETE,
     # --- new in round 8 ---
     "delta_as_of": SQL_DELTA_AS_OF,
     "iceberg_as_of": SQL_ICEBERG_AS_OF,

@@ -26,6 +26,9 @@ SHUFFLE_BUDGET = {
     # construction is eager (write two commits of a 5-row rollup);
     # the RETURNED plan is a union of two log-planned parquet scans —
     # zero shuffles by design
+    # one partial/final agg pair per union branch; the post-delete
+    # branch's DV position anti-join broadcasts (tiny pos_df)
+    "delta_dv_delete": 4,
     "delta_as_of": 0,
     "iceberg_as_of": 0,
     # daily pre-agg + the 5-partition priority window repartitioning
