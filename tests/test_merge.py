@@ -1,0 +1,326 @@
+"""MERGE INTO over both table formats (sources/merge.py): ANSI clause
+ordering, cardinality violation, Delta copy-on-write commit shape +
+CDF change rows, Iceberg single-snapshot merge-on-read (position
+deletes + appends), and the SQL front-end's parse surface."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _mk(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def _log_actions(path, version):
+    log = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    return [json.loads(line) for line in open(log) if line.strip()]
+
+
+def test_merge_delta_update_delete_insert(spark, tmp_path):
+    """Functional MERGE on Delta: update + conditional delete +
+    insert in one commit; only touched files rewritten; AS-OF intact;
+    clause ORDER wins (delete-before-update consumes its rows)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(
+            spark,
+            [(i, float(i * 10)) for i in range(6)],
+            "id bigint, price double",
+        ),
+        path,
+    )  # v0
+    src = _mk(
+        spark,
+        [(0, 99.0, "U"), (1, 0.0, "D"), (7, 70.0, "I"), (8, 80.0, "I")],
+        "id bigint, price double, op string",
+    )
+    v = merge_into(
+        spark,
+        "delta",
+        path,
+        src,
+        "t.id = s.id",
+        matched=[
+            ("delete", "s.op = 'D'"),
+            ("update", None, {"price": "s.price"}),
+        ],
+        not_matched={"id": "s.id", "price": "s.price"},
+    )
+    assert v == 1
+    got = sorted((r.id, r.price) for r in read_delta(spark, path).collect())
+    assert got == [
+        (0, 99.0),  # updated
+        # id=1 deleted
+        (2, 20.0),
+        (3, 30.0),
+        (4, 40.0),
+        (5, 50.0),
+        (7, 70.0),  # inserted
+        (8, 80.0),
+    ]
+    # AS-OF v0 untouched
+    assert read_delta(spark, path, version=0).count() == 6
+    acts = _log_actions(path, v)
+    assert any("remove" in a for a in acts)
+    assert any("add" in a for a in acts)
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "MERGE" for a in acts
+    )
+
+
+def test_merge_delta_cardinality_violation_and_noop(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(1,)], "id bigint"), path)
+    dup_src = _mk(spark, [(1, "a"), (1, "b")], "id bigint, v string")
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(
+            spark,
+            "delta",
+            path,
+            dup_src,
+            "t.id = s.id",
+            matched=[("delete", None)],
+        )
+    # no rows hit any clause → no commit
+    miss = _mk(spark, [(9, "x")], "id bigint, v string")
+    assert (
+        merge_into(
+            spark,
+            "delta",
+            path,
+            miss,
+            "t.id = s.id",
+            matched=[("delete", None)],
+        )
+        is None
+    )
+
+
+def test_merge_delta_cdf_change_rows(spark, tmp_path):
+    """With CDF on, the MERGE commit stages delete / update_preimage /
+    update_postimage / insert change rows."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta_cdf,
+        set_delta_properties,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(1, 10.0), (2, 20.0)], "id bigint, price double"),
+        path,
+    )
+    set_delta_properties(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )
+    src = _mk(
+        spark,
+        [(1, 11.0, "U"), (2, 0.0, "D"), (3, 30.0, "I")],
+        "id bigint, price double, op string",
+    )
+    v = merge_into(
+        spark,
+        "delta",
+        path,
+        src,
+        "t.id = s.id",
+        matched=[
+            ("delete", "s.op = 'D'"),
+            ("update", None, {"price": "s.price"}),
+        ],
+        not_matched={"id": "s.id", "price": "s.price"},
+    )
+    feed, _ = read_delta_cdf(spark, path, since_version=v - 1)
+    rows = sorted(
+        (r.id, r.price, r._change_type) for r in feed.collect()
+    )
+    assert rows == [
+        (1, 10.0, "update_preimage"),
+        (1, 11.0, "update_postimage"),
+        (2, 20.0, "delete"),
+        (3, 30.0, "insert"),
+    ]
+
+
+def test_merge_iceberg_single_snapshot_mor(spark, tmp_path):
+    """Iceberg MERGE commits ONE snapshot: matched rows retired by a
+    position-delete file, update post-images + inserts appended; the
+    pre-merge snapshot stays AS-OF readable; the change feed shows
+    the merge as delete images + inserts."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        iceberg_snapshots,
+        read_iceberg,
+        read_iceberg_changes,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(
+            spark,
+            [(i, float(i * 10)) for i in range(6)],
+            "id bigint, price double",
+        ),
+        path,
+    )  # s1
+    src = _mk(
+        spark,
+        [(0, 99.0, "U"), (1, 0.0, "D"), (7, 70.0, "I")],
+        "id bigint, price double, op string",
+    )
+    sid = merge_into(
+        spark,
+        "iceberg",
+        path,
+        src,
+        "t.id = s.id",
+        matched=[
+            ("delete", "s.op = 'D'"),
+            ("update", None, {"price": "s.price"}),
+        ],
+        not_matched={"id": "s.id", "price": "s.price"},
+    )
+    assert sid is not None
+    assert len(iceberg_snapshots(path)) == 2  # ONE merge snapshot
+    got = sorted(
+        (r.id, r.price) for r in read_iceberg(spark, path).collect()
+    )
+    assert got == [
+        (0, 99.0),
+        (2, 20.0),
+        (3, 30.0),
+        (4, 40.0),
+        (5, 50.0),
+        (7, 70.0),
+    ]
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 6
+    feed, _ = read_iceberg_changes(spark, path, since_snapshot_id=1)
+    dels = sorted(
+        (r.id, r.price)
+        for r in feed.where("_change_type = 'delete'").collect()
+    )
+    ins = sorted(
+        (r.id, r.price)
+        for r in feed.where("_change_type = 'insert'").collect()
+    )
+    assert dels == [(0, 0.0), (1, 10.0)]  # full pre-merge images
+    assert ins == [(0, 99.0), (7, 70.0)]  # post-image + insert
+
+
+def test_merge_into_sql_front_end(spark, tmp_path):
+    """The SQL layer parses the ANSI statement, resolves the catalog,
+    rewrites arbitrary aliases, and supports UPDATE SET * / INSERT *."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into_sql,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(
+            spark,
+            [(1, 10.0), (2, 20.0), (3, 30.0)],
+            "id bigint, price double",
+        ),
+        path,
+    )
+    _mk(
+        spark,
+        [(1, 11.0), (2, 0.0), (9, 90.0)],
+        "id bigint, price double",
+    ).createOrReplaceTempView("updates_v")
+    v = merge_into_sql(
+        spark,
+        """
+        MERGE INTO sales AS tgt USING updates_v AS u
+        ON tgt.id = u.id
+        WHEN MATCHED AND u.price = 0.0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = u.price * 2
+        WHEN NOT MATCHED THEN INSERT (id, price) VALUES (u.id, u.price)
+        """,
+        {"sales": ("delta", path)},
+    )
+    assert v == 1
+    got = sorted((r.id, r.price) for r in read_delta(spark, path).collect())
+    assert got == [(1, 22.0), (3, 30.0), (9, 90.0)]
+    # UPDATE SET * / INSERT * shorthands over a subquery source
+    v2 = merge_into_sql(
+        spark,
+        "MERGE INTO sales t USING "
+        "(SELECT 3 AS id, CAST(33.0 AS DOUBLE) AS price) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"sales": ("delta", path)},
+    )
+    assert v2 == 2
+    got2 = sorted(
+        (r.id, r.price) for r in read_delta(spark, path).collect()
+    )
+    assert got2 == [(1, 22.0), (3, 33.0), (9, 90.0)]
+    # unknown table raises
+    with pytest.raises(ValueError, match="not in catalog"):
+        merge_into_sql(
+            spark,
+            "MERGE INTO nope USING updates_v s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE",
+            {"sales": ("delta", path)},
+        )
+
+
+def test_merge_iceberg_sql_and_partitioned_gate(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into_sql,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, "a"), (2, "b")], "id bigint, s string"), path)
+    _mk(spark, [(2, "B"), (4, "d")], "id bigint, s string").createOrReplaceTempView("ice_src")
+    merge_into_sql(
+        spark,
+        "MERGE INTO ice USING ice_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"ice": ("iceberg", path)},
+    )
+    assert sorted(
+        (r.id, r.s) for r in read_iceberg(spark, path).collect()
+    ) == [(1, "a"), (2, "B"), (4, "d")]
+    # partitioned gate
+    path2 = str(tmp_path / "tp")
+    write_iceberg(
+        _mk(spark, [(1, "a")], "id bigint, s string"),
+        path2,
+        partition_by=["s"],
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        merge_into_sql(
+            spark,
+            "MERGE INTO icep USING ice_src s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE",
+            {"icep": ("iceberg", path2)},
+        )
