@@ -129,6 +129,7 @@ GROUPS: dict[str, list[str]] = {
     # Delta commits + DV encode, not the plan)
     "r10_tail": [
         "delta_dv_delete",
+        "merge_upsert",
     ],
 }
 

@@ -9890,6 +9890,122 @@ FROM cust WHERE segment <> 'BUILDING' GROUP BY segment
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the registry gate (round-10: the new write
+    verb must face the driver's oracle like the AS-OF and DV loops):
+    materializes a row-level Delta table from the 1995 orders, MERGEs
+    a deterministic source — 1995 keys ≡0 (mod 3) update their cents
+    (+100), keys ≡1 delete, and 1996 keys ≡0 (mod 5) insert — through
+    ``merge_into`` (ordered WHEN MATCHED clauses, cow commit), then
+    aggregates the merged table by priority so DuckDB, reconstructing
+    the same final state arithmetically from parquet, hash-verifies
+    the whole plan→rewrite→commit→read loop. Orderkeys are unique in
+    orders (TESTDATA), so the ANSI cardinality check stays quiet.
+    Rebuilds idempotently under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_merge_upsert_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    delta_io.write_delta(
+        y95.select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            cents.alias("total_cents"),
+        ),
+        base,
+    )
+    source = (
+        y95.filter(F.col("o_orderkey") % 3 < 2)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            (cents + F.lit(100)).alias("new_cents"),
+            F.when(F.col("o_orderkey") % 3 == 1, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        .unionByName(
+            y96.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_orderpriority").alias("priority"),
+                cents.alias("new_cents"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    merge_into(
+        spark,
+        "delta",
+        base,
+        source,
+        "t.okey = s.okey",
+        matched=[
+            ("delete", "s.op = 'D'"),
+            ("update", None, {"total_cents": "s.new_cents"}),
+        ],
+        not_matched={
+            "okey": "s.okey",
+            "priority": "s.priority",
+            "total_cents": "s.new_cents",
+        },
+    )
+    return (
+        delta_io.read_delta(spark, base)
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("total_cents_sum"),
+        )
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH c AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT okey, priority,
+         CASE WHEN okey % 3 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM c
+  WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1996-01-01'
+    AND okey % 3 <> 1
+  UNION ALL
+  SELECT okey, priority, cents
+  FROM c
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1997-01-01'
+    AND okey % 5 = 0
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents_sum
+FROM final GROUP BY priority
+"""
+
+
 def q_iceberg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg snapshot travel through the registry gate — the
     q_delta_as_of twin on the other table format: snapshot 1 = the
@@ -9965,6 +10081,7 @@ FROM cents GROUP BY segment
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 10 ---
     "delta_dv_delete": q_delta_dv_delete,
+    "merge_upsert": q_merge_upsert,
     # --- new in round 8 ---
     "delta_as_of": q_delta_as_of,
     "iceberg_as_of": q_iceberg_as_of,
@@ -10192,6 +10309,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 10 ---
     "delta_dv_delete": SQL_DELTA_DV_DELETE,
+    "merge_upsert": SQL_MERGE_UPSERT,
     # --- new in round 8 ---
     "delta_as_of": SQL_DELTA_AS_OF,
     "iceberg_as_of": SQL_ICEBERG_AS_OF,

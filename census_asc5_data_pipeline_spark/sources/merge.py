@@ -62,20 +62,37 @@ MatchedClause = tuple
 
 
 def _clause_actions(
-    matched: list[MatchedClause],
-) -> tuple[list[tuple[str, object, dict | None]], None]:
+    clauses: list[MatchedClause], prefix: str = "m"
+) -> list[tuple[str, object, dict | None]]:
     out = []
-    for i, cl in enumerate(matched):
+    for i, cl in enumerate(clauses):
         kind = cl[0]
         if kind == "update":
             _k, cond, sets = cl
-            out.append((f"u{i}", cond, dict(sets)))
+            out.append((f"{prefix}u{i}", cond, dict(sets)))
         elif kind == "delete":
             cond = cl[1] if len(cl) > 1 else None
-            out.append((f"d{i}", cond, None))
+            out.append((f"{prefix}d{i}", cond, None))
         else:
-            raise ValueError(f"unknown matched clause kind {kind!r}")
-    return out, None
+            raise ValueError(f"unknown {prefix!r} clause kind {kind!r}")
+    return out
+
+
+def _all_clauses(
+    matched: list[MatchedClause], nmbs: list[MatchedClause]
+) -> list[tuple[str, object, dict | None]]:
+    return _clause_actions(matched, "m") + _clause_actions(nmbs, "n")
+
+
+def _chain(clauses: list[tuple[str, object, dict | None]]):
+    """WHEN chain in reverse so the FIRST clause wins (ANSI order)."""
+    chain = F.lit("keep")
+    for tag, cond, _sets in reversed(clauses):
+        hit = F.lit(True) if cond is None else F.coalesce(
+            F.expr(cond), F.lit(False)
+        )
+        chain = F.when(hit, F.lit(tag)).otherwise(chain)
+    return chain
 
 
 def _plan_merge(
@@ -83,18 +100,21 @@ def _plan_merge(
     source: DataFrame,
     on: str,
     matched: list[MatchedClause],
+    nmbs: list[MatchedClause],
     not_matched: dict | None,
     target_fields: list[T.StructField],
 ) -> tuple[DataFrame, DataFrame | None]:
     """Shared row semantics: returns (tagged, inserts).
 
     ``tagged`` = every target row of ``scan`` left-joined with the
-    source, carrying ``__action`` ('keep' | 'u<i>' | 'd<i>') chosen by
-    the FIRST matching WHEN MATCHED clause (ANSI order), plus
-    ``__base`` / ``__ri`` for position addressing. Raises if any
-    target row matches more than one source row (the standard's
-    cardinality violation). ``inserts`` = the NOT MATCHED source rows
-    projected to the target schema (None when no insert clause)."""
+    source, carrying ``__action`` ('keep' | 'm…' | 'n…') chosen by the
+    FIRST matching clause (ANSI order) — WHEN MATCHED clauses for
+    matched rows, WHEN NOT MATCHED BY SOURCE clauses (t.*-only
+    expressions) for source-absent target rows — plus ``__base`` /
+    ``__ri`` for position addressing. Raises if any target row matches
+    more than one source row (the standard's cardinality violation).
+    ``inserts`` = the NOT MATCHED [BY TARGET] source rows projected to
+    the target schema (None when no insert clause)."""
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
     j = scan.alias("t").join(src, F.expr(on), "left")
     # cardinality check: one job, O(matched) — a MERGE that silently
@@ -114,15 +134,9 @@ def _plan_merge(
             "than one source row"
         )
     is_matched = F.col("s.__s_matched").isNotNull()
-    clauses, _ = _clause_actions(matched)
-    # build WHEN chain in reverse so the FIRST clause wins
-    chain = F.lit("keep")
-    for tag, cond, _sets in reversed(clauses):
-        hit = F.lit(True) if cond is None else F.coalesce(
-            F.expr(cond), F.lit(False)
-        )
-        chain = F.when(hit, F.lit(tag)).otherwise(chain)
-    action = F.when(is_matched, chain).otherwise(F.lit("keep"))
+    action = F.when(
+        is_matched, _chain(_clause_actions(matched, "m"))
+    ).otherwise(_chain(_clause_actions(nmbs, "n")))
     tagged = j.withColumn("__action", action)
     inserts = None
     if not_matched is not None:
@@ -142,12 +156,14 @@ def _plan_merge(
 
 
 def _rewritten_cols(
-    matched: list[MatchedClause], target_fields: list[T.StructField]
+    matched: list[MatchedClause],
+    nmbs: list[MatchedClause],
+    target_fields: list[T.StructField],
 ):
     """Per-target-column expression applying the winning UPDATE
     clause's SET (rows whose action is a delete tag are filtered
     before this projection)."""
-    clauses, _ = _clause_actions(matched)
+    clauses = _all_clauses(matched, nmbs)
     cols = []
     for f in target_fields:
         expr = F.col(f"t.{f.name}")
@@ -161,14 +177,18 @@ def _rewritten_cols(
     return cols
 
 
-def _delete_tags(matched: list[MatchedClause]) -> list[str]:
-    clauses, _ = _clause_actions(matched)
-    return [t for t, _c, sets in clauses if sets is None]
+def _delete_tags(matched, nmbs) -> list[str]:
+    return [
+        t for t, _c, sets in _all_clauses(matched, nmbs) if sets is None
+    ]
 
 
-def _update_tags(matched: list[MatchedClause]) -> list[str]:
-    clauses, _ = _clause_actions(matched)
-    return [t for t, _c, sets in clauses if sets is not None]
+def _update_tags(matched, nmbs) -> list[str]:
+    return [
+        t
+        for t, _c, sets in _all_clauses(matched, nmbs)
+        if sets is not None
+    ]
 
 
 def merge_into(
@@ -179,29 +199,36 @@ def merge_into(
     on: str,
     matched: list[MatchedClause] | None = None,
     not_matched: dict | None = None,
+    not_matched_by_source: list[MatchedClause] | None = None,
 ) -> int | None:
     """Execute MERGE against a ``delta`` or ``iceberg`` table at
     ``path``. ``on`` / clause conditions / SET and VALUES expressions
     are Spark SQL over the aliases ``t`` (target) and ``s`` (source).
     ``matched`` is an ORDERED list of ``("update", cond|None, {col:
     expr})`` / ``("delete", cond|None)``; ``not_matched`` maps target
-    columns to insert expressions (missing columns insert NULL).
+    columns to insert expressions (missing columns insert NULL);
+    ``not_matched_by_source`` is the delta-spark extension — ordered
+    update/delete clauses applied to TARGET rows with no source match
+    (expressions may reference ``t.*`` only — there is no source row).
     Returns the committed version/snapshot id, or None when the merge
     is a no-op."""
     matched = matched or []
-    if not matched and not_matched is None:
+    nmbs = not_matched_by_source or []
+    if not matched and not nmbs and not_matched is None:
         raise ValueError("MERGE needs at least one WHEN clause")
     if fmt == "delta":
-        return _merge_delta(spark, path, source, on, matched, not_matched)
+        return _merge_delta(
+            spark, path, source, on, matched, nmbs, not_matched
+        )
     if fmt == "iceberg":
         return _merge_iceberg(
-            spark, path, source, on, matched, not_matched
+            spark, path, source, on, matched, nmbs, not_matched
         )
     raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
 
 
 def _merge_delta(
-    spark, path, source, on, matched, not_matched
+    spark, path, source, on, matched, nmbs, not_matched
 ) -> int | None:
     import json
 
@@ -235,10 +262,10 @@ def _merge_delta(
         ),
     )
     tagged, inserts = _plan_merge(
-        scan, source, on, matched, not_matched, list(schema.fields)
+        scan, source, on, matched, nmbs, not_matched, list(schema.fields)
     )
-    del_tags = _delete_tags(matched)
-    upd_tags = _update_tags(matched)
+    del_tags = _delete_tags(matched, nmbs)
+    upd_tags = _update_tags(matched, nmbs)
     act_tags = del_tags + upd_tags
     touched = (
         [
@@ -275,7 +302,7 @@ def _merge_delta(
         kept = tagged.where(
             F.col("t.__base").isin(touched)
             & ~F.col("__action").isin(del_tags)
-        ).select(_rewritten_cols(matched, list(schema.fields)))
+        ).select(_rewritten_cols(matched, nmbs, list(schema.fields)))
         staged_rows = kept
         for base in sorted(touched):
             a = adds_by_base[base]
@@ -311,7 +338,7 @@ def _merge_delta(
             )
             cdc_parts.append(
                 upd.select(
-                    _rewritten_cols(matched, list(schema.fields))
+                    _rewritten_cols(matched, nmbs, list(schema.fields))
                 ).withColumn("_change_type", F.lit("update_postimage"))
             )
         if inserts is not None and n_ins:
@@ -343,7 +370,7 @@ def _merge_delta(
 
 
 def _merge_iceberg(
-    spark, path, source, on, matched, not_matched
+    spark, path, source, on, matched, nmbs, not_matched
 ) -> int | None:
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
     from census_asc5_data_pipeline_spark.sources.avro_io import (
@@ -391,10 +418,10 @@ def _merge_iceberg(
             ),
         )
     tagged, inserts = _plan_merge(
-        scan, source, on, matched, not_matched, list(schema.fields)
+        scan, source, on, matched, nmbs, not_matched, list(schema.fields)
     )
-    del_tags = _delete_tags(matched)
-    upd_tags = _update_tags(matched)
+    del_tags = _delete_tags(matched, nmbs)
+    upd_tags = _update_tags(matched, nmbs)
     act_tags = del_tags + upd_tags
     # merge-on-read: retire EVERY acted-on row by position, append
     # update post-images + inserts as new data — one snapshot
@@ -404,7 +431,7 @@ def _merge_iceberg(
     new_rows: DataFrame | None = None
     if upd_tags:
         new_rows = tagged.where(F.col("__action").isin(upd_tags)).select(
-            _rewritten_cols(matched, list(schema.fields))
+            _rewritten_cols(matched, nmbs, list(schema.fields))
         )
     if inserts is not None:
         new_rows = (
@@ -601,7 +628,9 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?\s*"
+    r"(?:AND\s+(?P<cond>.*?))?\s*"
     r"THEN\s+(?P<act>UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)"
     r"(?=\s*WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -718,12 +747,44 @@ def merge_into_sql(
         _sch, ifields = ice._schema_of(imeta)
         tgt_cols = [f["name"] for f in ifields]
     matched: list[MatchedClause] = []
+    nmbs: list[MatchedClause] = []
     not_matched: dict | None = None
     for wm in _WHEN_RE.finditer(m.group("clauses")):
         cond = wm.group("cond")
         cond = _realias(cond.strip()) if cond else None
         act = wm.group("act").strip()
         up = act.upper()
+        by = (wm.group("by") or "").upper()
+        if wm.group("not") and by == "SOURCE":
+            # delta-spark extension: act on TARGET rows with no
+            # source match (expressions may reference t.* only)
+            if up.startswith("DELETE"):
+                nmbs.append(("delete", cond))
+            elif up.startswith("UPDATE"):
+                body = re.sub(
+                    r"^UPDATE\s+SET\s+", "", act, flags=re.IGNORECASE
+                ).strip()
+                if body == "*":
+                    raise ValueError(
+                        "UPDATE SET * is meaningless in WHEN NOT "
+                        "MATCHED BY SOURCE (no source row)"
+                    )
+                sets = {}
+                for item in _split_top(body):
+                    k, _, v = item.partition("=")
+                    col = re.sub(
+                        rf"^{re.escape(talias)}\.",
+                        "",
+                        k.strip(),
+                        flags=re.IGNORECASE,
+                    )
+                    sets[col] = _realias(v.strip())
+                nmbs.append(("update", cond, sets))
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE"
+                )
+            continue
         if wm.group("not"):
             if not up.startswith("INSERT"):
                 raise ValueError(
@@ -779,5 +840,12 @@ def merge_into_sql(
         else:
             raise ValueError(f"cannot parse WHEN clause action {act!r}")
     return merge_into(
-        spark, fmt, path, source, on, matched, not_matched
+        spark,
+        fmt,
+        path,
+        source,
+        on,
+        matched,
+        not_matched,
+        not_matched_by_source=nmbs,
     )

@@ -324,3 +324,70 @@ def test_merge_iceberg_sql_and_partitioned_gate(spark, tmp_path):
             "WHEN MATCHED THEN DELETE",
             {"icep": ("iceberg", path2)},
         )
+
+
+def test_merge_not_matched_by_source(spark, tmp_path):
+    """The delta-spark extension: WHEN NOT MATCHED BY SOURCE acts on
+    TARGET rows absent from the source — the full-sync shape (source
+    = the desired state; matched update + unmatched-insert +
+    source-absent delete converge the table in one MERGE)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into,
+        merge_into_sql,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(
+            spark,
+            [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+            "id bigint, price double",
+        ),
+        path,
+    )
+    src = _mk(spark, [(1, 11.0), (5, 50.0)], "id bigint, price double")
+    v = merge_into(
+        spark,
+        "delta",
+        path,
+        src,
+        "t.id = s.id",
+        matched=[("update", None, {"price": "s.price"})],
+        not_matched={"id": "s.id", "price": "s.price"},
+        not_matched_by_source=[
+            ("delete", "t.id >= 3"),
+            ("update", None, {"price": "t.price + 1.0"}),
+        ],
+    )
+    assert v == 1
+    got = sorted((r.id, r.price) for r in read_delta(spark, path).collect())
+    # 1 updated from source; 2 source-absent -> +1; 3,4 source-absent
+    # and id>=3 -> deleted (first clause wins); 5 inserted
+    assert got == [(1, 11.0), (2, 21.0), (5, 50.0)]
+    # SQL surface, on iceberg too
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path2 = str(tmp_path / "ti")
+    write_iceberg(
+        _mk(spark, [(1, "a"), (2, "b")], "id bigint, s string"), path2
+    )
+    _mk(spark, [(1, "A")], "id bigint, s string").createOrReplaceTempView(
+        "sync_src"
+    )
+    merge_into_sql(
+        spark,
+        "MERGE INTO ice USING sync_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        {"ice": ("iceberg", path2)},
+    )
+    assert sorted(
+        (r.id, r.s) for r in read_iceberg(spark, path2).collect()
+    ) == [(1, "A")]

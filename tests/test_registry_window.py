@@ -15,6 +15,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
     "delta_dv_delete",
+    "merge_upsert",
     "delta_as_of",
     "iceberg_as_of",
     "ewma_smooth",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "fuzzy_match",
     "bloom_join",
     "conversion_lag",
-    "vocab_coverage",
 ]
 
 

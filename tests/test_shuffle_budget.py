@@ -22,13 +22,17 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 10 ---
+    # one partial/final agg pair per union branch; the post-delete
+    # branch's DV position anti-join broadcasts (tiny pos_df)
+    "delta_dv_delete": 4,
+    # returned plan = one groupBy over the merged-table read (partial/
+    # final agg pair); the merge itself runs at construction time
+    "merge_upsert": 2,
     # --- new in round 8 ---
     # construction is eager (write two commits of a 5-row rollup);
     # the RETURNED plan is a union of two log-planned parquet scans —
     # zero shuffles by design
-    # one partial/final agg pair per union branch; the post-delete
-    # branch's DV position anti-join broadcasts (tiny pos_df)
-    "delta_dv_delete": 4,
     "delta_as_of": 0,
     "iceberg_as_of": 0,
     # daily pre-agg + the 5-partition priority window repartitioning
