@@ -312,5 +312,233 @@ class DeltaTailDataSource(DataSource):
         return DeltaTailStreamReader(self.options)
 
 
+class _CdfPart(InputPartition):
+    """One change-contributing file of one commit. ``kind``:
+    'cdc' (a spec change-data file — carries its own ``_change_type``
+    column), 'insert' (a dataChange add — live rows, DV masked), or
+    'delete' (a dataChange remove — the removed file's rows with the
+    REMOVE's recorded DV applied, i.e. the rows live at removal)."""
+
+    def __init__(self, path, version, pv, pcols, fields, kind,
+                 table=None, dv=None):
+        self.path = path
+        self.version = version
+        self.pv = pv
+        self.pcols = pcols
+        self.fields = fields
+        self.kind = kind
+        self.table = table
+        self.dv = dv
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("delta_cdf")`` — the STREAMING Change
+    Data Feed, the format-symmetry twin of the round-10 ``iceberg_tail``
+    retractions: every batch row carries ``_change_type`` (``insert`` /
+    ``delete`` / ``update_preimage`` / ``update_postimage``) +
+    ``_commit_version``. Per commit, the same sourcing rules as
+    :func:`delta_io.read_delta_cdf`: spec ``cdc`` actions are the ONLY
+    source when present; otherwise inserts derive from dataChange adds
+    (deletion vectors masked executor-side) and delete images from
+    dataChange removes (the remove's recorded DV applied). OPTIMIZE
+    emits nothing; a vacuumed range (commit JSON or a derived remove's
+    data file) raises rather than dropping changes."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_cdf requires .option('path', ...)")
+        self.starting = int(options.get("startingversion", -1))
+        self.fields, self.pcols = _log_meta(self.path)
+        for f in self.fields:
+            t = f["type"]
+            if f["name"] in self.pcols and not (
+                isinstance(t, str)
+                and (t in _SPARK_TO_PA or t.startswith("decimal("))
+            ):
+                raise NotImplementedError(
+                    f"delta_cdf: unsupported partition-column type "
+                    f"{t!r} for {f['name']!r}"
+                )
+
+    def initialOffset(self):
+        return {"version": self.starting}
+
+    def latestOffset(self):
+        from census_asc5_data_pipeline_spark.sources import delta_io
+
+        versions = delta_io.delta_versions(self.path)
+        return {"version": max(versions) if versions else self.starting}
+
+    def partitions(self, start, end):
+        from census_asc5_data_pipeline_spark.sources import delta_io
+
+        lo, hi = int(start["version"]), int(end["version"])
+        versions = set(delta_io.delta_versions(self.path))
+        want = [v for v in range(lo + 1, hi + 1)]
+        missing = [v for v in want if v not in versions]
+        if missing:
+            raise FileNotFoundError(
+                f"commit JSON for version(s) {missing} vacuumed — the "
+                "stream cannot attribute that range"
+            )
+        parts = []
+        for v in want:
+            cdcs, ins, dels = [], [], []
+            with open(delta_io._commit_file(self.path, v)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        cdcs.append(action["cdc"])
+                    elif "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        ins.append(action["add"])
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        dels.append(action["remove"])
+            if cdcs:
+                for a in cdcs:
+                    parts.append(
+                        _CdfPart(
+                            os.path.join(
+                                self.path,
+                                urllib.parse.unquote(a["path"]),
+                            ),
+                            v,
+                            a.get("partitionValues") or {},
+                            self.pcols,
+                            self.fields,
+                            "cdc",
+                        )
+                    )
+                continue  # cdc actions are the ONLY source (spec)
+            for kind, actions in (("insert", ins), ("delete", dels)):
+                for a in actions:
+                    fp = os.path.join(
+                        self.path, urllib.parse.unquote(a["path"])
+                    )
+                    if kind == "delete" and not os.path.exists(fp):
+                        raise FileNotFoundError(
+                            f"removed file {a['path']!r} vacuumed — "
+                            f"version {v}'s delete images cannot be "
+                            "derived (enable delta.enableChangeDataFeed)"
+                        )
+                    parts.append(
+                        _CdfPart(
+                            fp,
+                            v,
+                            a.get("partitionValues") or {},
+                            self.pcols,
+                            self.fields,
+                            kind,
+                            table=self.path,
+                            dv=a.get("deletionVector"),
+                        )
+                    )
+        if not parts:
+            parts.append(
+                _CdfPart(None, hi, {}, self.pcols, self.fields, "insert")
+            )
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if partition.path is None:
+            return
+        pcols = partition.pcols
+        fields = partition.fields
+        types = {f["name"]: f["type"] for f in fields}
+        deleted = None
+        if partition.dv:
+            import numpy as np
+
+            from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+                read_dv_positions,
+            )
+
+            deleted = np.asarray(
+                read_dv_positions(partition.table, partition.dv),
+                dtype="int64",
+            )
+        pf = pq.ParquetFile(partition.path)
+        row_offset = 0
+        order = (
+            [f["name"] for f in fields]
+            + ["_change_type", "_commit_version"]
+        )
+        for batch in pf.iter_batches():
+            if deleted is not None:
+                import numpy as np
+
+                idx = np.arange(
+                    row_offset, row_offset + batch.num_rows, dtype="int64"
+                )
+                row_offset += batch.num_rows
+                keep = idx[~np.isin(idx, deleted)] - (
+                    row_offset - batch.num_rows
+                )
+                if len(keep) < batch.num_rows:
+                    batch = batch.take(pa.array(keep, pa.int64()))
+                if batch.num_rows == 0:
+                    continue
+            n = batch.num_rows
+            arrays = list(batch.columns)
+            names = list(batch.schema.names)
+            for c in pcols:
+                raw = partition.pv.get(c)
+                if raw == _HIVE_NULL:
+                    raw = None
+                arrays.append(
+                    _pv_to_arrow(types.get(c, "string"), raw, n)
+                )
+                names.append(c)
+            if partition.kind != "cdc":
+                arrays.append(
+                    pa.array([partition.kind] * n, pa.string())
+                )
+                names.append("_change_type")
+            arrays.append(pa.array([partition.version] * n, pa.int64()))
+            names.append("_commit_version")
+            idx = {nm: i for i, nm in enumerate(names)}
+            yield pa.RecordBatch.from_arrays(
+                [arrays[idx[nm]] for nm in order], order
+            )
+
+    def commit(self, end):
+        pass
+
+
+class DeltaCdfDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "delta_cdf"
+
+    def schema(self):
+        fields, pcols = _log_meta(self.options.get("path"))
+        from pyspark.sql import types as T
+
+        st = T.StructType.fromJson(
+            {"type": "struct", "fields": fields}
+        )
+        return T.StructType(
+            st.fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+
+    def streamReader(self, schema):
+        return DeltaCdfStreamReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(DeltaTailDataSource)
+    spark.dataSource.register(DeltaCdfDataSource)

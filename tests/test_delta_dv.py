@@ -589,3 +589,102 @@ def test_delta_cdf_delete_images_and_derived_changes(spark, tmp_path):
     assert 0 in dels and 0 not in ins
     # net effect: survivors of the touched file re-inserted
     assert sorted(set(dels) - set(ins)) == [0]
+
+
+def test_delta_cdf_stream_source(spark, tmp_path):
+    """readStream.format('delta_cdf') streams per-row change images:
+    derived inserts for plain appends, cdc-file delete images for a
+    CDF-enabled DV delete, and after a restart a MERGE's
+    update_preimage/update_postimage/insert rows arrive with their
+    commit version — the streaming twin of read_delta_cdf and the
+    format-symmetry answer to iceberg_tail's retractions."""
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        set_delta_properties,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    delta_stream_source.register(spark)
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out: list = []
+
+    def sink(batch_df, epoch_id):
+        out.extend(
+            (r.id, r.price, r._change_type, r._commit_version)
+            for r in batch_df.collect()
+        )
+
+    write_delta(
+        _mk(
+            spark,
+            [(i, float(i * 10)) for i in range(4)],
+            "id bigint, price double",
+        ),
+        table,
+    )  # v0
+    set_delta_properties(
+        spark, table, {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    v2 = delete_delta_where(spark, table, "id = 0", mode="dv")
+
+    stream = (
+        spark.readStream.format("delta_cdf").option("path", table).load()
+    )
+    assert stream.columns == [
+        "id",
+        "price",
+        "_change_type",
+        "_commit_version",
+    ]
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out, key=repr) == sorted(
+        [(i, float(i * 10), "insert", 0) for i in range(4)]
+        + [(0, 0.0, "delete", v2)],
+        key=repr,
+    )
+
+    # while the stream is down: one MERGE (update + insert)
+    src = _mk(
+        spark, [(1, 99.0), (9, 90.0)], "id bigint, price double"
+    )
+    v3 = merge_into(
+        spark,
+        "delta",
+        table,
+        src,
+        "t.id = s.id",
+        matched=[("update", None, {"price": "s.price"})],
+        not_matched={"id": "s.id", "price": "s.price"},
+    )
+    out.clear()
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", table)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out, key=repr) == sorted(
+        [
+            (1, 10.0, "update_preimage", v3),
+            (1, 99.0, "update_postimage", v3),
+            (9, 90.0, "insert", v3),
+        ],
+        key=repr,
+    )
