@@ -1236,6 +1236,89 @@ def write_delta(
             continue  # another writer claimed next_v: re-replay, retry
 
 
+def _dv_retire(
+    spark: SparkSession,
+    path: str,
+    protocol: dict,
+    scan: DataFrame,
+    pred,
+    adds_by_base: dict[str, dict],
+    lines: list[dict],
+    planned: dict[str, dict | None],
+    now_ms: int,
+) -> bool:
+    """DV-retire every scan row matching ``pred``: write the merged
+    roaring sidecars, append the protocol-upgrade (when needed) and
+    the remove + DV-re-add actions to ``lines``, record the expected
+    pre-commit DV state in ``planned``. Shared by
+    :func:`delete_delta_where` (mode='dv') and
+    :func:`merge.update_where` (DV-mode UPDATE = retire old positions
+    + append updated rows in the same commit). Returns False when
+    nothing matched (caller skips the commit). Matched positions pass
+    through the driver — O(matched rows), the documented DV trade."""
+    from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+        read_dv_positions,
+        write_dv_file,
+    )
+
+    hits = (
+        scan.filter(pred)
+        .groupBy("__base")
+        .agg(F.collect_list("__ri").alias("pos"))
+        .collect()
+    )
+    if not hits:
+        return False
+    merged: dict[str, list[int]] = {}
+    for r in hits:
+        a = adds_by_base[r["__base"]]
+        prev = (
+            read_dv_positions(path, a["deletionVector"])
+            if a.get("deletionVector")
+            else []
+        )
+        merged[r["__base"]] = sorted(
+            set(prev) | {int(p) for p in r["pos"]}
+        )
+    descs = write_dv_file(path, merged)
+    feats_r = set(protocol.get("readerFeatures") or [])
+    feats_w = set(protocol.get("writerFeatures") or [])
+    if (
+        int(protocol.get("minReaderVersion", 1)) < 3
+        or "deletionVectors" not in feats_r
+    ):
+        # upgrading to the feature-list protocol must carry the
+        # features the old legacy versions implied (PROTOCOL.md
+        # §Protocol Evolution); this writer's legacy base is (1, 2)
+        lines.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        feats_r | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        feats_w
+                        | {"appendOnly", "invariants", "deletionVectors"}
+                    ),
+                }
+            }
+        )
+    for base in sorted(merged):
+        a = adds_by_base[base]
+        planned[a["path"]] = a.get("deletionVector")
+        lines.append({"remove": _remove_action(a, now_ms)})
+        new_add = {
+            k: v for k, v in a.items() if k not in ("deletionVector",)
+        }
+        new_add["modificationTime"] = now_ms
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = descs[base]
+        lines.append({"add": new_add})
+    return True
+
+
 def delete_delta_where(
     spark: SparkSession,
     path: str,
@@ -1278,11 +1361,6 @@ def delete_delta_where(
     """
     if mode not in ("cow", "dv"):
         raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
-    from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
-        read_dv_positions,
-        write_dv_file,
-    )
-
     protocol, meta, adds, _tx = _replay(spark, path, None)
     if _column_mapping(meta):
         raise NotImplementedError(
@@ -1322,63 +1400,11 @@ def delete_delta_where(
     ]
     planned: dict[str, dict | None] = {}  # path -> expected current DV
     if mode == "dv":
-        hits = (
-            scan.filter(pred)
-            .groupBy("__base")
-            .agg(F.collect_list("__ri").alias("pos"))
-            .collect()
-        )
-        if not hits:
-            return None
-        merged: dict[str, list[int]] = {}
-        for r in hits:
-            a = adds_by_base[r["__base"]]
-            prev = (
-                read_dv_positions(path, a["deletionVector"])
-                if a.get("deletionVector")
-                else []
-            )
-            merged[r["__base"]] = sorted(
-                set(prev) | {int(p) for p in r["pos"]}
-            )
-        descs = write_dv_file(path, merged)
-        feats_r = set(protocol.get("readerFeatures") or [])
-        feats_w = set(protocol.get("writerFeatures") or [])
-        if (
-            int(protocol.get("minReaderVersion", 1)) < 3
-            or "deletionVectors" not in feats_r
+        if not _dv_retire(
+            spark, path, protocol, scan, pred, adds_by_base, lines,
+            planned, now_ms,
         ):
-            # upgrading to the feature-list protocol must carry the
-            # features the old legacy versions implied (PROTOCOL.md
-            # §Protocol Evolution); this writer's legacy base is (1, 2)
-            lines.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": sorted(
-                            feats_r | {"deletionVectors"}
-                        ),
-                        "writerFeatures": sorted(
-                            feats_w
-                            | {"appendOnly", "invariants", "deletionVectors"}
-                        ),
-                    }
-                }
-            )
-        for base in sorted(merged):
-            a = adds_by_base[base]
-            planned[a["path"]] = a.get("deletionVector")
-            lines.append({"remove": _remove_action(a, now_ms)})
-            new_add = {
-                k: v
-                for k, v in a.items()
-                if k not in ("deletionVector",)
-            }
-            new_add["modificationTime"] = now_ms
-            new_add["dataChange"] = True
-            new_add["deletionVector"] = descs[base]
-            lines.append({"add": new_add})
+            return None
     else:  # copy-on-write
         touched = [
             r["__base"]

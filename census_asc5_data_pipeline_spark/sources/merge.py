@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["merge_into", "merge_into_sql"]
+__all__ = ["merge_into", "merge_into_sql", "update_where", "dml_sql"]
 
 # matched clause: ("update", cond_sql_or_None, {col: expr_sql}) or
 # ("delete", cond_sql_or_None); not_matched: {col: expr_sql} or None
@@ -438,32 +438,53 @@ def _merge_iceberg(
             inserts if new_rows is None else new_rows.unionByName(inserts)
         )
 
+    pos_df = None
+    if retired is not None:
+        base_df = F.broadcast(
+            spark.createDataFrame(
+                sorted(abs_of_base.items()),
+                "__base string, __abs string",
+            )
+        )
+        pos_df = (
+            retired.select(
+                F.col("t.__base").alias("__base"),
+                F.col("t.__ri").alias("__ri"),
+            )
+            .join(base_df, "__base")
+            .select(
+                F.col("__abs").alias("file_path"),
+                F.col("__ri").alias("pos"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("file_path", "pos")
+        )
+    return _commit_iceberg_mor(spark, path, cur_v, meta, pos_df, new_rows)
+
+
+def _commit_iceberg_mor(
+    spark, path, cur_v, meta, pos_df, new_rows
+) -> int | None:
+    """ONE merge-on-read Iceberg snapshot: ``pos_df`` (file_path, pos —
+    already sorted) stages as a content=1 position-delete file,
+    ``new_rows`` as new data files; both manifests share the new
+    sequence number (position deletes name explicit OLD paths, so the
+    same-sequence new data is untouched per the spec's
+    delete_seq >= data_seq rule). Shared by :func:`merge_into` and
+    :func:`update_where` on Iceberg. Returns the snapshot id, or None
+    when there is nothing to commit."""
+    from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        write_container_generic,
+    )
+
     import pyarrow.parquet as pq
 
     delete_files: list[dict] = []
     added_files: list[dict] = []
     staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
     try:
-        if retired is not None:
-            base_df = F.broadcast(
-                spark.createDataFrame(
-                    sorted(abs_of_base.items()),
-                    "__base string, __abs string",
-                )
-            )
-            pos_df = (
-                retired.select(
-                    F.col("t.__base").alias("__base"),
-                    F.col("t.__ri").alias("__ri"),
-                )
-                .join(base_df, "__base")
-                .select(
-                    F.col("__abs").alias("file_path"),
-                    F.col("__ri").alias("pos"),
-                )
-                .repartition(1)
-                .sortWithinPartitions("file_path", "pos")
-            )
+        if pos_df is not None:
             pos_df.write.mode("overwrite").parquet(staging)
             for fn in sorted(os.listdir(staging)):
                 if not fn.endswith(".parquet") or fn.startswith("."):
@@ -848,4 +869,271 @@ def merge_into_sql(
         matched,
         not_matched,
         not_matched_by_source=nmbs,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    predicate: str,
+    sets: dict[str, str],
+    mode: str = "cow",
+) -> int | None:
+    """Row-level ``UPDATE <table> SET ... WHERE <predicate>`` — the
+    third DML verb beside ``delete_*_where`` and :func:`merge_into`.
+    ``predicate`` and the SET expressions are Spark SQL over the
+    table's columns (no aliases; there is no source relation).
+
+    - **Delta** ``mode='cow'``: the files holding matches are
+      rewritten with the SET applied (untouched files never read);
+      ``mode='dv'`` (delta-spark's DV-era UPDATE shape): old positions
+      are DV-retired and the updated rows append as new files in the
+      SAME commit — O(matched rows), no file rewrite. With CDF on,
+      both modes stage update_preimage/update_postimage rows.
+    - **Iceberg**: merge-on-read — ONE snapshot carrying a position
+      delete of the matched rows + their updated images as new data
+      files (:func:`_commit_iceberg_mor`).
+
+    Returns the committed version/snapshot id, or None when nothing
+    matched."""
+    if fmt == "delta":
+        return _update_delta(spark, path, predicate, sets, mode)
+    if fmt == "iceberg":
+        if mode != "cow":
+            raise ValueError("iceberg UPDATE is always merge-on-read")
+        return _update_iceberg(spark, path, predicate, sets)
+    raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
+
+
+def _set_cols(sets, fields, pred=None):
+    """Per-column projection applying SET where ``pred`` holds (or
+    unconditionally when pred is None)."""
+    cols = []
+    for f in fields:
+        if f.name in sets:
+            e = F.expr(sets[f.name]).cast(f.dataType)
+            if pred is not None:
+                e = F.when(pred, e).otherwise(F.col(f.name))
+            cols.append(e.alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return cols
+
+
+def _update_delta(spark, path, predicate, sets, mode) -> int | None:
+    import json
+
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
+    protocol, meta, adds, _tx = d._replay(spark, path, None)
+    if d._column_mapping(meta):
+        raise NotImplementedError(
+            "UPDATE on a column-mapped table is out of scope"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    for c in sets:
+        if c not in schema.fieldNames():
+            raise ValueError(f"SET column {c!r} not in the table schema")
+    if not adds:
+        return None
+    scan = d._scan_adds(
+        spark,
+        path,
+        schema,
+        pcols,
+        [(None, a) for a in adds.values()],
+        keep_pos=True,
+    )
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    adds_by_base = {
+        os.path.basename(urllib.parse.unquote(a["path"])): a
+        for a in adds.values()
+    }
+    now_ms = int(time.time() * 1000)
+    lines: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+            }
+        }
+    ]
+    planned: dict[str, dict | None] = {}
+    updated = scan.filter(pred).select(
+        _set_cols(sets, schema.fields)
+    )
+    if mode == "dv":
+        # retire the old positions, append the updated images — the
+        # delta-spark DV UPDATE commit shape
+        if not d._dv_retire(
+            spark, path, protocol, scan, pred, adds_by_base, lines,
+            planned, now_ms,
+        ):
+            return None
+        lines.extend(d._stage_adds(updated, path, pcols))
+    else:
+        touched = [
+            r["__base"]
+            for r in scan.filter(pred)
+            .select("__base")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return None
+        rewritten = scan.filter(F.col("__base").isin(touched)).select(
+            _set_cols(sets, schema.fields, pred=pred)
+        )
+        lines.extend(d._stage_adds(rewritten, path, pcols))
+        for base in sorted(touched):
+            a = adds_by_base[base]
+            planned[a["path"]] = a.get("deletionVector")
+            lines.append({"remove": d._remove_action(a, now_ms)})
+    if (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true":
+        pre = scan.filter(pred).select(
+            [F.col(f.name) for f in schema.fields]
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        post = updated.withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        lines.extend(d._stage_cdc(pre.unionByName(post), path, pcols))
+    while True:
+        versions = d.delta_versions(path)
+        ckpt = d._read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        _p2, _m2, live_now, _t2 = d._replay(spark, path, None)
+        for p_, dv in planned.items():
+            cur = live_now.get(p_)
+            if cur is None or cur.get("deletionVector") != dv:
+                raise ValueError(
+                    f"concurrent commit changed {p_!r} since this "
+                    "UPDATE was planned — aborting without committing"
+                )
+        try:
+            d._put_if_absent_commit(path, next_v, lines)
+            return next_v
+        except FileExistsError:
+            continue
+
+
+def _update_iceberg(spark, path, predicate, sets) -> int | None:
+    from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
+
+    cur_v, meta = ice._current_metadata(path)
+    schema, fields = ice._schema_of(meta)
+    for c in sets:
+        if c not in schema.fieldNames():
+            raise ValueError(f"SET column {c!r} not in the table schema")
+    data_files, delete_fs = ice._snapshot_files(path, meta, None)
+    if not data_files:
+        return None
+    abs_of_base: dict[str, str] = {}
+    for dd in data_files:
+        ap = os.path.abspath(ice._local(dd["file_path"]))
+        base = os.path.basename(ap)
+        if base in abs_of_base and abs_of_base[base] != ap:
+            raise ValueError(
+                f"duplicate data-file basename {base!r} — cannot "
+                "address positions unambiguously"
+            )
+        abs_of_base[base] = ap
+    scan = ice._scan_with_deletes(
+        spark, schema, fields, data_files, delete_fs, keep_pos=True
+    )
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    matched = scan.filter(pred)
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(abs_of_base.items()), "__base string, __abs string"
+        )
+    )
+    pos_df = (
+        matched.select("__base", "__ri")
+        .join(base_df, "__base")
+        .select(
+            F.col("__abs").alias("file_path"),
+            F.col("__ri").alias("pos"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("file_path", "pos")
+    )
+    new_rows = matched.select(_set_cols(sets, schema.fields))
+    return _commit_iceberg_mor(spark, path, cur_v, meta, pos_df, new_rows)
+
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[\w.]+)\s+SET\s+(?P<sets>.*?)"
+    r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def dml_sql(
+    spark: SparkSession,
+    sql: str,
+    catalog: dict[str, tuple[str, str]],
+) -> int | None:
+    """One SQL entry point for the write-side verbs over both table
+    formats: routes ``MERGE INTO`` to :func:`merge_into_sql`,
+    ``UPDATE t SET ... [WHERE ...]`` to :func:`update_where`, and
+    ``DELETE FROM t [WHERE ...]`` to the native row-level deletes
+    (:func:`delta_io.delete_delta_where` /
+    :func:`iceberg_io.delete_iceberg_positions`). ``catalog`` maps
+    table names to ``(format, path)``. Returns the committed
+    version/snapshot id (None = no-op)."""
+    text = sql.strip().rstrip(";")
+    head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
+    if head == "MERGE":
+        return merge_into_sql(spark, text, catalog)
+
+    def _resolve(name):
+        if name not in catalog:
+            raise ValueError(
+                f"table {name!r} not in catalog (have {sorted(catalog)})"
+            )
+        return catalog[name]
+
+    if head == "UPDATE":
+        m = _UPDATE_RE.match(text)
+        if not m:
+            raise ValueError(f"cannot parse UPDATE statement: {sql!r}")
+        fmt, path = _resolve(m.group("target"))
+        sets = {}
+        for item in _split_top(m.group("sets")):
+            k, _, v = item.partition("=")
+            sets[k.strip()] = v.strip()
+        pred = m.group("pred") or "true"
+        return update_where(spark, fmt, path, pred, sets)
+    if head == "DELETE":
+        m = _DELETE_RE.match(text)
+        if not m:
+            raise ValueError(f"cannot parse DELETE statement: {sql!r}")
+        fmt, path = _resolve(m.group("target"))
+        pred = m.group("pred") or "true"
+        if fmt == "delta":
+            from census_asc5_data_pipeline_spark.sources.delta_io import (
+                delete_delta_where,
+            )
+
+            return delete_delta_where(spark, path, pred)
+        from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+            delete_iceberg_positions,
+        )
+
+        return delete_iceberg_positions(spark, path, pred)
+    raise ValueError(
+        f"unsupported DML statement {head!r} (MERGE|UPDATE|DELETE)"
     )

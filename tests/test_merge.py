@@ -391,3 +391,105 @@ def test_merge_not_matched_by_source(spark, tmp_path):
     assert sorted(
         (r.id, r.s) for r in read_iceberg(spark, path2).collect()
     ) == [(1, "A")]
+
+
+def test_update_where_both_formats_and_dml_sql(spark, tmp_path):
+    """UPDATE completes the DML triad: Delta cow rewrites only touched
+    files, Delta dv retires old positions + appends updated images in
+    one commit (CDF gets pre/postimage rows), Iceberg updates
+    merge-on-read in one snapshot; dml_sql routes
+    UPDATE/DELETE/MERGE statements to the native writers."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        read_delta_cdf,
+        set_delta_properties,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        iceberg_snapshots,
+        read_iceberg,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        dml_sql,
+        update_where,
+    )
+
+    # Delta cow
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(
+            spark,
+            [(i, float(i)) for i in range(6)],
+            "id bigint, price double",
+        ),
+        path,
+    )
+    v = update_where(
+        spark, "delta", path, "id < 2", {"price": "price + 100.0"}
+    )
+    assert v == 1
+    got = sorted((r.id, r.price) for r in read_delta(spark, path).collect())
+    assert got == [(0, 100.0), (1, 101.0)] + [
+        (i, float(i)) for i in range(2, 6)
+    ]
+    assert read_delta(spark, path, version=0).count() == 6
+    # no-match → no commit
+    assert (
+        update_where(spark, "delta", path, "id = 99", {"price": "0.0"})
+        is None
+    )
+
+    # Delta dv mode + CDF
+    path2 = str(tmp_path / "t2")
+    write_delta(
+        _mk(spark, [(1, 10.0), (2, 20.0)], "id bigint, price double"),
+        path2,
+    )
+    set_delta_properties(
+        spark, path2, {"delta.enableChangeDataFeed": "true"}
+    )
+    v2 = update_where(
+        spark, "delta", path2, "id = 1", {"price": "99.0"}, mode="dv"
+    )
+    got2 = sorted(
+        (r.id, r.price) for r in read_delta(spark, path2).collect()
+    )
+    assert got2 == [(1, 99.0), (2, 20.0)]
+    feed, _ = read_delta_cdf(spark, path2, since_version=v2 - 1)
+    assert sorted(
+        (r.id, r.price, r._change_type) for r in feed.collect()
+    ) == [(1, 10.0, "update_preimage"), (1, 99.0, "update_postimage")]
+
+    # Iceberg MoR update, one snapshot
+    path3 = str(tmp_path / "t3")
+    write_iceberg(
+        _mk(spark, [(1, "a"), (2, "b")], "id bigint, s string"), path3
+    )
+    sid = update_where(
+        spark, "iceberg", path3, "id = 2", {"s": "upper(s)"}
+    )
+    assert sid is not None and len(iceberg_snapshots(path3)) == 2
+    assert sorted(
+        (r.id, r.s) for r in read_iceberg(spark, path3).collect()
+    ) == [(1, "a"), (2, "B")]
+    assert read_iceberg(spark, path3, snapshot_id=1).count() == 2
+
+    # dml_sql routing: UPDATE + DELETE on both formats
+    cat = {"d": ("delta", path), "i": ("iceberg", path3)}
+    dml_sql(spark, "UPDATE d SET price = 0.0 WHERE id = 5", cat)
+    assert (5, 0.0) in {
+        (r.id, r.price) for r in read_delta(spark, path).collect()
+    }
+    dml_sql(spark, "DELETE FROM d WHERE id >= 4", cat)
+    assert sorted(
+        r.id for r in read_delta(spark, path).collect()
+    ) == [0, 1, 2, 3]
+    dml_sql(spark, "DELETE FROM i WHERE id = 1", cat)
+    assert [
+        (r.id, r.s) for r in read_iceberg(spark, path3).collect()
+    ] == [(2, "B")]
+    dml_sql(spark, "UPDATE i SET s = 'z'", cat)  # no WHERE = all rows
+    assert [r.s for r in read_iceberg(spark, path3).collect()] == ["z"]
+    with pytest.raises(ValueError, match="unsupported DML"):
+        dml_sql(spark, "TRUNCATE TABLE d", cat)
