@@ -369,6 +369,35 @@ def _merge_delta(
             continue
 
 
+def _identity_pcols(
+    meta: dict, fields: list[dict], verb: str
+) -> list[tuple[str, str, str]]:
+    """The default partition spec as [(partition_field_name,
+    source_column, ice_type)] — identity transforms only (bucket/
+    truncate/temporal rewrites under MERGE/UPDATE would need the
+    transform kernels in the staging path; loud gate instead)."""
+    specs = meta.get("partition-specs") or (
+        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    spec = next(
+        s
+        for s in specs
+        if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+    )
+    by_id = {f["id"]: f for f in fields}
+    out = []
+    for f in spec.get("fields", []):
+        tr = f.get("transform", "identity")
+        if tr != "identity":
+            raise NotImplementedError(
+                f"{verb} over partition transform {tr!r} is out of "
+                "scope (identity partitions supported)"
+            )
+        s_f = by_id[f["source-id"]]
+        out.append((f["name"], s_f["name"], s_f["type"]))
+    return out
+
+
 def _merge_iceberg(
     spark, path, source, on, matched, nmbs, not_matched
 ) -> int | None:
@@ -379,18 +408,7 @@ def _merge_iceberg(
 
     cur_v, meta = ice._current_metadata(path)
     schema, fields = ice._schema_of(meta)
-    specs = meta.get("partition-specs") or (
-        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
-    )
-    spec = next(
-        s
-        for s in specs
-        if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
-    )
-    if spec.get("fields"):
-        raise NotImplementedError(
-            "MERGE over a partitioned Iceberg table is out of scope"
-        )
+    pcols = _identity_pcols(meta, fields, "MERGE")
     data_files, delete_fs = ice._snapshot_files(path, meta, None)
     abs_of_base: dict[str, str] = {}
     for dd in data_files:
@@ -459,11 +477,13 @@ def _merge_iceberg(
             .repartition(1)
             .sortWithinPartitions("file_path", "pos")
         )
-    return _commit_iceberg_mor(spark, path, cur_v, meta, pos_df, new_rows)
+    return _commit_iceberg_mor(
+        spark, path, cur_v, meta, pos_df, new_rows, pcols
+    )
 
 
 def _commit_iceberg_mor(
-    spark, path, cur_v, meta, pos_df, new_rows
+    spark, path, cur_v, meta, pos_df, new_rows, pcols=None
 ) -> int | None:
     """ONE merge-on-read Iceberg snapshot: ``pos_df`` (file_path, pos —
     already sorted) stages as a content=1 position-delete file,
@@ -480,6 +500,7 @@ def _commit_iceberg_mor(
 
     import pyarrow.parquet as pq
 
+    pcols = pcols or []
     delete_files: list[dict] = []
     added_files: list[dict] = []
     staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
@@ -512,31 +533,64 @@ def _commit_iceberg_mor(
                 )
         if new_rows is not None:
             shutil.rmtree(staging, ignore_errors=True)
-            new_rows.write.mode("overwrite").parquet(staging)
-            for fn in sorted(os.listdir(staging)):
-                if not fn.endswith(".parquet") or fn.startswith("."):
-                    continue
-                nrows = int(
-                    pq.ParquetFile(
-                        os.path.join(staging, fn)
-                    ).metadata.num_rows
-                )
-                if not nrows:
-                    continue
-                dst = os.path.join(
-                    path, "data", f"part-{uuid.uuid4().hex}.parquet"
-                )
-                shutil.move(os.path.join(staging, fn), dst)
-                added_files.append(
-                    {
-                        "content": 0,
-                        "file_path": os.path.abspath(dst),
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": nrows,
-                        "file_size_in_bytes": os.path.getsize(dst),
-                    }
-                )
+            # identity-partition staging, the write_iceberg shape: a
+            # CLONED __pt_ column drives the layout so the source
+            # column stays IN the data file (iceberg files carry all
+            # columns per spec)
+            out_df = new_rows
+            writer_cols = []
+            for pname, srcc, _t in pcols:
+                out_df = out_df.withColumn(f"__pt_{pname}", F.col(srcc))
+                writer_cols.append(f"__pt_{pname}")
+            w = out_df.write.mode("overwrite")
+            if writer_cols:
+                w = w.partitionBy(*writer_cols)
+            w.parquet(staging)
+            for root, _dirs, fnames in os.walk(staging):
+                for fn in sorted(fnames):
+                    if not fn.endswith(".parquet") or fn.startswith("."):
+                        continue
+                    srcp = os.path.join(root, fn)
+                    nrows = int(pq.ParquetFile(srcp).metadata.num_rows)
+                    if not nrows:
+                        continue
+                    rel = os.path.relpath(srcp, staging)
+                    pv: dict[str, str | None] = {}
+                    for comp in rel.split(os.sep)[:-1]:
+                        if "=" in comp:
+                            k, _, v = comp.partition("=")
+                            v = urllib.parse.unquote(v)
+                            pv[k.removeprefix("__pt_")] = (
+                                None
+                                if v == "__HIVE_DEFAULT_PARTITION__"
+                                else v
+                            )
+                    dst_rel = os.path.join(
+                        os.path.dirname(rel.replace("__pt_", "")),
+                        f"part-{uuid.uuid4().hex}.parquet",
+                    )
+                    dst = os.path.join(path, "data", dst_rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.move(srcp, dst)
+                    part_rec: dict = {}
+                    for pname, _srcc, ice_t in pcols:
+                        raw = pv.get(pname)
+                        if raw is None:
+                            part_rec[pname] = None
+                        elif ice_t in ("int", "long"):
+                            part_rec[pname] = int(raw)
+                        else:
+                            part_rec[pname] = raw
+                    added_files.append(
+                        {
+                            "content": 0,
+                            "file_path": os.path.abspath(dst),
+                            "file_format": "PARQUET",
+                            "partition": part_rec,
+                            "record_count": nrows,
+                            "file_size_in_bytes": os.path.getsize(dst),
+                        }
+                    )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     if not delete_files and not added_files:
@@ -550,7 +604,31 @@ def _commit_iceberg_mor(
     new_v = cur_v + 1
     snap_id = new_v
     seq = int(meta.get("last-sequence-number", cur_v)) + 1
-    entry_schema = ice._entry_schema_for([])
+    specs = meta.get("partition-specs") or (
+        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    default_spec_id = meta.get("default-spec-id", 0)
+    # a position-delete file spanning partitions is GLOBAL per spec —
+    # it belongs to an unpartitioned spec; register one if the table
+    # only has partitioned specs
+    new_specs = list(specs)
+    delete_spec_id = default_spec_id
+    if delete_files and pcols:
+        unpart = next(
+            (s for s in specs if not s.get("fields")), None
+        )
+        if unpart is None:
+            unpart = {
+                "spec-id": max(s.get("spec-id", 0) for s in specs) + 1,
+                "fields": [],
+            }
+            new_specs = specs + [unpart]
+        delete_spec_id = unpart["spec-id"]
+    schemas_by_content = {
+        0: ice._entry_schema_for([(n, t) for n, _s, t in pcols]),
+        1: ice._entry_schema_for([]),
+    }
+    spec_by_content = {0: default_spec_id, 1: delete_spec_id}
     manifests: list[dict] = []
     for content, files_ in ((0, added_files), (1, delete_files)):
         if not files_:
@@ -562,7 +640,7 @@ def _commit_iceberg_mor(
         with open(man_path, "wb") as fh:
             write_container_generic(
                 fh,
-                entry_schema,
+                schemas_by_content[content],
                 [
                     {"status": 1, "snapshot_id": snap_id, "data_file": dd}
                     for dd in files_
@@ -572,7 +650,7 @@ def _commit_iceberg_mor(
             {
                 "manifest_path": os.path.abspath(man_path),
                 "manifest_length": os.path.getsize(man_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_by_content[content],
                 "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -636,6 +714,8 @@ def _commit_iceberg_mor(
     new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
+    if new_specs != specs:
+        new_meta["partition-specs"] = new_specs
     ice._write_metadata_version(path, new_v, new_meta)
     return snap_id
 
@@ -1029,6 +1109,7 @@ def _update_iceberg(spark, path, predicate, sets) -> int | None:
 
     cur_v, meta = ice._current_metadata(path)
     schema, fields = ice._schema_of(meta)
+    pcols = _identity_pcols(meta, fields, "UPDATE")
     for c in sets:
         if c not in schema.fieldNames():
             raise ValueError(f"SET column {c!r} not in the table schema")
@@ -1066,7 +1147,9 @@ def _update_iceberg(spark, path, predicate, sets) -> int | None:
         .sortWithinPartitions("file_path", "pos")
     )
     new_rows = matched.select(_set_cols(sets, schema.fields))
-    return _commit_iceberg_mor(spark, path, cur_v, meta, pos_df, new_rows)
+    return _commit_iceberg_mor(
+        spark, path, cur_v, meta, pos_df, new_rows, pcols
+    )
 
 
 _UPDATE_RE = re.compile(

@@ -310,19 +310,68 @@ def test_merge_iceberg_sql_and_partitioned_gate(spark, tmp_path):
     assert sorted(
         (r.id, r.s) for r in read_iceberg(spark, path).collect()
     ) == [(1, "a"), (2, "B"), (4, "d")]
-    # partitioned gate
+    # IDENTITY-partitioned MERGE: rows land in the right partition
+    # dirs with typed manifest partition values; the delete manifest
+    # registers/uses an UNPARTITIONED spec (global position deletes
+    # per spec); transforms still gate
     path2 = str(tmp_path / "tp")
     write_iceberg(
-        _mk(spark, [(1, "a")], "id bigint, s string"),
+        _mk(
+            spark,
+            [(1, "a", "g1"), (2, "b", "g2")],
+            "id bigint, s string, g string",
+        ),
         path2,
-        partition_by=["s"],
+        partition_by=["g"],
     )
-    with pytest.raises(NotImplementedError, match="partitioned"):
+    _mk(
+        spark,
+        [(2, "B", "g2"), (4, "d", "g1")],
+        "id bigint, s string, g string",
+    ).createOrReplaceTempView("ice_psrc")
+    merge_into_sql(
+        spark,
+        "MERGE INTO icep USING ice_psrc s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"icep": ("iceberg", path2)},
+    )
+    assert sorted(
+        (r.id, r.s, r.g) for r in read_iceberg(spark, path2).collect()
+    ) == [(1, "a", "g1"), (2, "B", "g2"), (4, "d", "g1")]
+    # new files landed under their hive partition dirs
+    import glob as _glob
+
+    assert _glob.glob(path2 + "/data/g=g1/*.parquet")
+    assert _glob.glob(path2 + "/data/g=g2/*.parquet")
+    # the metadata now carries an unpartitioned spec for the deletes
+    import json as _json
+
+    hint = open(path2 + "/metadata/version-hint.text").read()
+    meta = _json.load(
+        open(path2 + f"/metadata/v{hint}.metadata.json")
+    )
+    assert any(
+        not s.get("fields") for s in meta["partition-specs"]
+    )
+    # partition pruning still works on the merged table
+    pruned = read_iceberg(
+        spark, path2, partition_filter={"g": "g2"}
+    )
+    assert [(r.id, r.s) for r in pruned.collect()] == [(2, "B")]
+    # transform-partitioned tables still gate
+    path3 = str(tmp_path / "tb")
+    write_iceberg(
+        _mk(spark, [(1, "a")], "id bigint, s string"),
+        path3,
+        partition_by=["bucket(4,id)"],
+    )
+    with pytest.raises(NotImplementedError, match="transform"):
         merge_into_sql(
             spark,
-            "MERGE INTO icep USING ice_src s ON t.id = s.id "
+            "MERGE INTO iceb USING ice_psrc s ON t.id = s.id "
             "WHEN MATCHED THEN DELETE",
-            {"icep": ("iceberg", path2)},
+            {"iceb": ("iceberg", path3)},
         )
 
 
@@ -493,3 +542,42 @@ def test_update_where_both_formats_and_dml_sql(spark, tmp_path):
     assert [r.s for r in read_iceberg(spark, path3).collect()] == ["z"]
     with pytest.raises(ValueError, match="unsupported DML"):
         dml_sql(spark, "TRUNCATE TABLE d", cat)
+
+
+def test_update_iceberg_partitioned_row_migration(spark, tmp_path):
+    """UPDATE on an identity-partitioned Iceberg table: updating the
+    partition SOURCE column migrates the row to its new partition dir
+    (the staging derives layout from the UPDATED value), pruning stays
+    correct, and the pre-update snapshot is intact."""
+    import glob as _glob
+
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import update_where
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(
+            spark,
+            [(1, "g1"), (2, "g1"), (3, "g2")],
+            "id bigint, g string",
+        ),
+        path,
+        partition_by=["g"],
+    )
+    sid = update_where(spark, "iceberg", path, "id = 2", {"g": "'g2'"})
+    assert sid is not None
+    assert sorted(
+        (r.id, r.g) for r in read_iceberg(spark, path).collect()
+    ) == [(1, "g1"), (2, "g2"), (3, "g2")]
+    # the migrated row physically lives under g=g2 now
+    assert sorted(
+        r.id
+        for r in read_iceberg(
+            spark, path, partition_filter={"g": "g2"}
+        ).collect()
+    ) == [2, 3]
+    assert len(_glob.glob(path + "/data/g=g2/*.parquet")) >= 2
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 3
