@@ -200,6 +200,7 @@ def merge_into(
     matched: list[MatchedClause] | None = None,
     not_matched: dict | None = None,
     not_matched_by_source: list[MatchedClause] | None = None,
+    mode: str = "cow",
 ) -> int | None:
     """Execute MERGE against a ``delta`` or ``iceberg`` table at
     ``path``. ``on`` / clause conditions / SET and VALUES expressions
@@ -210,15 +211,21 @@ def merge_into(
     ``not_matched_by_source`` is the delta-spark extension — ordered
     update/delete clauses applied to TARGET rows with no source match
     (expressions may reference ``t.*`` only — there is no source row).
-    Returns the committed version/snapshot id, or None when the merge
-    is a no-op."""
+    Delta ``mode``: ``'cow'`` rewrites the matched files; ``'dv'``
+    retires acted-on rows via deletion vectors and appends update
+    post-images + inserts — no data file rewritten, O(acted + inserted
+    rows), the delta-spark DV-MERGE shape. Iceberg is always
+    merge-on-read. Returns the committed version/snapshot id, or None
+    when the merge is a no-op."""
     matched = matched or []
     nmbs = not_matched_by_source or []
     if not matched and not nmbs and not_matched is None:
         raise ValueError("MERGE needs at least one WHEN clause")
     if fmt == "delta":
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
         return _merge_delta(
-            spark, path, source, on, matched, nmbs, not_matched
+            spark, path, source, on, matched, nmbs, not_matched, mode
         )
     if fmt == "iceberg":
         return _merge_iceberg(
@@ -228,7 +235,7 @@ def merge_into(
 
 
 def _merge_delta(
-    spark, path, source, on, matched, nmbs, not_matched
+    spark, path, source, on, matched, nmbs, not_matched, mode="cow"
 ) -> int | None:
     import json
 
@@ -298,7 +305,26 @@ def _merge_delta(
     }
     planned: dict[str, dict | None] = {}
     staged_rows: DataFrame | None = None
-    if touched:
+    if mode == "dv":
+        # DV-retire every acted-on row (update pre-images AND deletes)
+        # and stage only the post-images — untouched rows of touched
+        # files stay in place behind the deletion vector
+        if touched:
+            acted = tagged.where(
+                F.col("__action").isin(act_tags)
+            ).select(
+                F.col("t.__base").alias("__base"),
+                F.col("t.__ri").alias("__ri"),
+            )
+            d._dv_retire(
+                spark, path, protocol, acted, F.lit(True),
+                adds_by_base, lines, planned, now_ms,
+            )
+        if upd_tags:
+            staged_rows = tagged.where(
+                F.col("__action").isin(upd_tags)
+            ).select(_rewritten_cols(matched, nmbs, list(schema.fields)))
+    elif touched:
         kept = tagged.where(
             F.col("t.__base").isin(touched)
             & ~F.col("__action").isin(del_tags)

@@ -581,3 +581,67 @@ def test_update_iceberg_partitioned_row_migration(spark, tmp_path):
     ) == [2, 3]
     assert len(_glob.glob(path + "/data/g=g2/*.parquet")) >= 2
     assert read_iceberg(spark, path, snapshot_id=1).count() == 3
+
+
+def test_merge_delta_dv_mode_no_rewrite(spark, tmp_path):
+    """mode='dv' MERGE: acted-on rows retire behind deletion vectors
+    (the original data files survive by identity — no rewrite),
+    update post-images + inserts append as new files, reads and AS-OF
+    stay correct."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(
+            spark,
+            [(i, float(i * 10)) for i in range(8)],
+            "id bigint, price double",
+        ),
+        path,
+    )
+    before = _data_basenames(path)
+    src = _mk(
+        spark,
+        [(0, 99.0, "U"), (1, 0.0, "D"), (9, 90.0, "I")],
+        "id bigint, price double, op string",
+    )
+    v = merge_into(
+        spark,
+        "delta",
+        path,
+        src,
+        "t.id = s.id",
+        matched=[
+            ("delete", "s.op = 'D'"),
+            ("update", None, {"price": "s.price"}),
+        ],
+        not_matched={"id": "s.id", "price": "s.price"},
+        mode="dv",
+    )
+    assert v == 1
+    # every pre-merge file still on disk (DV-retired, not rewritten)
+    assert before <= _data_basenames(path)
+    acts = _log_actions(path, v)
+    assert any(
+        a.get("add", {}).get("deletionVector") for a in acts
+    )
+    got = sorted((r.id, r.price) for r in read_delta(spark, path).collect())
+    assert got == [(0, 99.0)] + [
+        (i, float(i * 10)) for i in range(2, 8)
+    ] + [(9, 90.0)]
+    assert read_delta(spark, path, version=0).count() == 8
+
+
+def _data_basenames(path):
+    import os as _os
+
+    out = set()
+    for root, _d, files in _os.walk(path):
+        if "_delta_log" in root or "_change_data" in root:
+            continue
+        out |= {f for f in files if f.endswith(".parquet")}
+    return out
