@@ -2300,7 +2300,11 @@ def delete_iceberg_positions(
             F.col("__abs").alias("file_path"),
             F.col("__ri").alias("pos"),
         )
-        .repartition(1)
+        # range-partition + in-partition sort: each delete FILE stays
+        # sorted by (file_path, pos) per spec, a 100 TB-scale delete
+        # spreads over many files, and AQE coalesces a small delete
+        # back to one
+        .repartitionByRange("file_path", "pos")
         .sortWithinPartitions("file_path", "pos")
     )
 

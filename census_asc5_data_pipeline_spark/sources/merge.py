@@ -500,7 +500,9 @@ def _merge_iceberg(
                 F.col("__abs").alias("file_path"),
                 F.col("__ri").alias("pos"),
             )
-            .repartition(1)
+            # per-file sort per spec; range split scales, AQE
+            # coalesces small deletes to one file
+            .repartitionByRange("file_path", "pos")
             .sortWithinPartitions("file_path", "pos")
         )
     return _commit_iceberg_mor(
@@ -1169,7 +1171,11 @@ def _update_iceberg(spark, path, predicate, sets) -> int | None:
             F.col("__abs").alias("file_path"),
             F.col("__ri").alias("pos"),
         )
-        .repartition(1)
+        # range-partition + in-partition sort: each delete FILE stays
+        # sorted by (file_path, pos) per spec, a 100 TB-scale delete
+        # spreads over many files, and AQE coalesces a small delete
+        # back to one
+        .repartitionByRange("file_path", "pos")
         .sortWithinPartitions("file_path", "pos")
     )
     new_rows = matched.select(_set_cols(sets, schema.fields))
