@@ -157,6 +157,26 @@ def _remove_action(add: dict, now_ms: int, data_change: bool = True) -> dict:
     return r
 
 
+def _adds_by_base(adds: dict[str, dict]) -> dict[str, dict]:
+    """Live add actions keyed by data-file BASENAME, raising on a
+    collision (two live adds in different subdirectories sharing a
+    basename). Row-level DML addresses files by the scan's
+    ``input_file_name`` basename — a silent dict overwrite would
+    remove/rewrite the WRONG file (r10 ADVICE; the Iceberg DML paths
+    carry the same guard)."""
+    out: dict[str, dict] = {}
+    for a in adds.values():
+        base = os.path.basename(urllib.parse.unquote(a["path"]))
+        if base in out and out[base]["path"] != a["path"]:
+            raise ValueError(
+                f"duplicate data-file basename {base!r} across "
+                "directories — row-level DML cannot address files "
+                "unambiguously on this table"
+            )
+        out[base] = a
+    return out
+
+
 def _apply_remove(adds: dict[str, dict], rm: dict) -> None:
     """Pop the logical file the remove names. A remove CARRYING a
     deletionVector only removes the matching (path, dv uniqueId) —
@@ -798,8 +818,6 @@ def read_delta_cdf(
     last = max(versions) if end_version is None else end_version
     _protocol, meta, _adds, _txns = _replay(spark, path, last)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = list(meta.get("partitionColumns") or [])
-    physical_of = _column_mapping(meta)
     want = [v for v in range(since_version + 1, last + 1)]
     missing = [v for v in want if v not in versions]
     if missing:
@@ -808,27 +826,59 @@ def read_delta_cdf(
             "change feed needs per-commit attribution a checkpoint "
             "cannot provide"
         )
-    cdc_schema = T.StructType(
-        _strip_meta(schema).fields
-        + [T.StructField("_change_type", T.StringType())]
-    )
     out_schema = T.StructType(
-        cdc_schema.fields
-        + [T.StructField("_commit_version", T.LongType())]
+        _strip_meta(schema).fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
     )
     sel = [F.col(f.name) for f in out_schema.fields]
+    end_types = {f.name: f.dataType for f in schema.fields}
+
+    def _align(df: DataFrame, schema_v: T.StructType) -> DataFrame:
+        """Lift a version-schema scan to the range-end schema: columns
+        added later read NULL (additive evolution); a column the end
+        schema dropped or retyped raises — reading old files with the
+        new schema misattributes their columns (r10 ADVICE)."""
+        have = {f.name: f.dataType for f in schema_v.fields}
+        for name, dt in have.items():
+            if end_types.get(name) != dt:
+                raise ValueError(
+                    f"schema changed incompatibly mid-range: column "
+                    f"{name!r} ({dt.simpleString()}) at an earlier "
+                    "version is absent or retyped at the range end — "
+                    "split the CDF read at the schema change"
+                )
+        for f in schema.fields:
+            if f.name not in have:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
+    # schema IN FORCE per version: replay to the range start once,
+    # then fold each commit's metaData action forward — a range
+    # spanning a schema change must not read earlier files against
+    # the newer schema (r10 ADVICE)
+    cur_meta = (
+        meta
+        if not want or want[0] == last
+        else _replay(spark, path, want[0])[1]
+    )
     parts: list[DataFrame] = []
     for v in want:
         cdcs: list[dict] = []
         ins: list[dict] = []
         dels: list[dict] = []
+        md: dict | None = None
         with open(_commit_file(path, v)) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 action = json.loads(line)
-                if "cdc" in action:
+                if "metaData" in action:
+                    md = action["metaData"]
+                elif "cdc" in action:
                     cdcs.append(action["cdc"])
                 elif "add" in action and action["add"].get(
                     "dataChange", True
@@ -838,33 +888,52 @@ def read_delta_cdf(
                     "dataChange", True
                 ):
                     dels.append(action["remove"])
+        if md is not None:
+            # the commit's own actions are written under its metaData
+            # (atomic schema change + rewrite)
+            cur_meta = md
+        schema_v = T.StructType.fromJson(
+            json.loads(cur_meta["schemaString"])
+        )
+        pcols_v = list(cur_meta.get("partitionColumns") or [])
+        physical_v = _column_mapping(cur_meta)
+        cdc_schema_v = T.StructType(
+            _strip_meta(schema_v).fields
+            + [T.StructField("_change_type", T.StringType())]
+        )
         if cdcs:
             parts.append(
-                _scan_adds(
-                    spark,
-                    path,
-                    cdc_schema,
-                    pcols,
-                    [(v, c) for c in cdcs],
-                    with_version=True,
-                    physical_of=(
-                        dict(physical_of, _change_type="_change_type")
-                        if physical_of
-                        else None
+                _align(
+                    _scan_adds(
+                        spark,
+                        path,
+                        cdc_schema_v,
+                        pcols_v,
+                        [(v, c) for c in cdcs],
+                        with_version=True,
+                        physical_of=(
+                            dict(physical_v, _change_type="_change_type")
+                            if physical_v
+                            else None
+                        ),
                     ),
+                    schema_v,
                 ).select(sel)
             )
             continue
         if ins:
             parts.append(
-                _scan_adds(
-                    spark,
-                    path,
-                    schema,
-                    pcols,
-                    [(v, a) for a in ins],
-                    with_version=True,
-                    physical_of=physical_of,
+                _align(
+                    _scan_adds(
+                        spark,
+                        path,
+                        schema_v,
+                        pcols_v,
+                        [(v, a) for a in ins],
+                        with_version=True,
+                        physical_of=physical_v,
+                    ),
+                    schema_v,
                 )
                 .withColumn("_change_type", F.lit("insert"))
                 .select(sel)
@@ -883,15 +952,35 @@ def read_delta_cdf(
                     "delete images cannot be derived (enable "
                     "delta.enableChangeDataFeed to persist them)"
                 )
+            if pcols_v:
+                # partitionValues is spec-OPTIONAL on removes; deriving
+                # delete images without it would attach NULL partition
+                # columns (r10 ADVICE) — raise, same contract as the
+                # vacuumed-file gate
+                nopv = [
+                    rm["path"]
+                    for rm in dels
+                    if not rm.get("partitionValues")
+                ]
+                if nopv:
+                    raise ValueError(
+                        f"remove action(s) {nopv} at version {v} carry "
+                        "no partitionValues — delete images on a "
+                        "partitioned table cannot be derived (enable "
+                        "delta.enableChangeDataFeed to persist them)"
+                    )
             parts.append(
-                _scan_adds(
-                    spark,
-                    path,
-                    schema,
-                    pcols,
-                    [(v, rm) for rm in dels],
-                    with_version=True,
-                    physical_of=physical_of,
+                _align(
+                    _scan_adds(
+                        spark,
+                        path,
+                        schema_v,
+                        pcols_v,
+                        [(v, rm) for rm in dels],
+                        with_version=True,
+                        physical_of=physical_v,
+                    ),
+                    schema_v,
                 )
                 .withColumn("_change_type", F.lit("delete"))
                 .select(sel)
@@ -1380,10 +1469,7 @@ def delete_delta_where(
         keep_pos=True,
     )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    adds_by_base = {
-        os.path.basename(urllib.parse.unquote(a["path"])): a
-        for a in adds.values()
-    }
+    adds_by_base = _adds_by_base(adds)
     now_ms = int(time.time() * 1000)
     lines: list[dict] = [
         {

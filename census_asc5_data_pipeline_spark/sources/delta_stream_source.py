@@ -391,7 +391,22 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                     if not line:
                         continue
                     action = json.loads(line)
-                    if "cdc" in action:
+                    if "metaData" in action:
+                        md_fields = json.loads(
+                            action["metaData"]["schemaString"]
+                        )["fields"]
+                        if [
+                            (f["name"], f["type"]) for f in md_fields
+                        ] != [
+                            (f["name"], f["type"]) for f in self.fields
+                        ]:
+                            raise ValueError(
+                                f"version {v} changes the table schema "
+                                "mid-stream — this source reads with "
+                                "the construction-time schema; restart "
+                                "the query past the schema change"
+                            )
+                    elif "cdc" in action:
                         cdcs.append(action["cdc"])
                     elif "add" in action and action["add"].get(
                         "dataChange", True
@@ -401,6 +416,21 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                         "dataChange", True
                     ):
                         dels.append(action["remove"])
+            if not cdcs and dels and self.pcols:
+                # spec-optional partitionValues: deriving delete images
+                # without them would attach NULL partition columns
+                nopv = [
+                    rm["path"]
+                    for rm in dels
+                    if not rm.get("partitionValues")
+                ]
+                if nopv:
+                    raise ValueError(
+                        f"remove action(s) {nopv} at version {v} carry "
+                        "no partitionValues — delete images on a "
+                        "partitioned table cannot be derived (enable "
+                        "delta.enableChangeDataFeed)"
+                    )
             if cdcs:
                 for a in cdcs:
                     parts.append(

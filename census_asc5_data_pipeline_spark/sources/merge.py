@@ -115,24 +115,38 @@ def _plan_merge(
     more than one source row (the standard's cardinality violation).
     ``inserts`` = the NOT MATCHED [BY TARGET] source rows projected to
     the target schema (None when no insert clause)."""
+    reserved = {"__base", "__ri"} & set(source.columns)
+    if reserved:
+        raise ValueError(
+            f"MERGE source carries reserved column(s) {sorted(reserved)}"
+        )
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
     j = scan.alias("t").join(src, F.expr(on), "left")
-    # cardinality check: one job, O(matched) — a MERGE that silently
-    # picks an arbitrary source row corrupts the table
-    dup = (
-        scan.alias("t")
-        .join(src, F.expr(on), "inner")
-        .groupBy(F.col("t.__base"), F.col("t.__ri"))
-        .count()
-        .where("count > 1")
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "MERGE cardinality violation: a target row matches more "
-            "than one source row"
+    if matched:
+        # cardinality check: one job, O(matched) — a MERGE that
+        # silently picks an arbitrary source row to update/delete by
+        # corrupts the table (the standard's rule)
+        dup = (
+            scan.alias("t")
+            .join(src, F.expr(on), "inner")
+            .groupBy(F.col("t.__base"), F.col("t.__ri"))
+            .count()
+            .where("count > 1")
+            .limit(1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                "MERGE cardinality violation: a target row matches "
+                "more than one source row"
+            )
+    else:
+        # insert-only exemption (ANSI / delta-spark): with no WHEN
+        # MATCHED clause, multiple source matches are legal — but the
+        # left join still fans such target rows out, so collapse them.
+        # Exact: the matched-side action is uniformly 'keep' and NOT
+        # MATCHED BY SOURCE rows (source-absent) cannot be duplicated.
+        j = j.dropDuplicates(["__base", "__ri"])
     is_matched = F.col("s.__s_matched").isNotNull()
     action = F.when(
         is_matched, _chain(_clause_actions(matched, "m"))
@@ -299,10 +313,7 @@ def _merge_delta(
             }
         }
     ]
-    adds_by_base = {
-        os.path.basename(urllib.parse.unquote(a["path"])): a
-        for a in adds.values()
-    }
+    adds_by_base = d._adds_by_base(adds)
     planned: dict[str, dict | None] = {}
     staged_rows: DataFrame | None = None
     if mode == "dv":
@@ -846,14 +857,56 @@ def merge_into_sql(
         source = spark.table(src_ref)
     talias = m.group("talias") or "t"
     salias = m.group("salias") or "s"
+    if talias.lower() == salias.lower():
+        raise ValueError(
+            f"target and source aliases collide ({talias!r}) — "
+            "references cannot be attributed"
+        )
 
     def _realias(expr: str) -> str:
-        out = re.sub(
-            rf"\b{re.escape(talias)}\.", "t.", expr, flags=re.IGNORECASE
-        )
-        return re.sub(
-            rf"\b{re.escape(salias)}\.", "s.", out, flags=re.IGNORECASE
-        )
+        # ONE quote-aware pass rewriting both aliases simultaneously —
+        # sequential re.sub corrupts expressions when an alias collides
+        # with a canonical name (MERGE ... AS s USING ... AS t turned
+        # 's.id = t.id' into 's.id = s.id') and rewrote matches inside
+        # string literals (r10 ADVICE)
+        tl, sl = talias.lower(), salias.lower()
+        out: list[str] = []
+        i, n = 0, len(expr)
+        while i < n:
+            ch = expr[i]
+            if ch in "'\"":  # copy string literals verbatim
+                j = i + 1
+                while j < n and expr[j] != ch:
+                    j += 1
+                out.append(expr[i : j + 1])
+                i = j + 1
+                continue
+            m = re.match(r"\w+", expr[i:])
+            if m:
+                word = m.group(0)
+                j = i + len(word)
+                # alias position: followed by '.', not itself a field
+                # access (preceded by '.')
+                if (
+                    j < n
+                    and expr[j] == "."
+                    and (i == 0 or expr[i - 1] != ".")
+                ):
+                    lw = word.lower()
+                    if lw == tl:
+                        out.append("t.")
+                        i = j + 1
+                        continue
+                    if lw == sl:
+                        out.append("s.")
+                        i = j + 1
+                        continue
+                out.append(word)
+                i = j
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
 
     on = _realias(m.group("on").strip())
     # target schema for SET * / INSERT * expansion
@@ -1057,10 +1110,7 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         keep_pos=True,
     )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    adds_by_base = {
-        os.path.basename(urllib.parse.unquote(a["path"])): a
-        for a in adds.values()
-    }
+    adds_by_base = d._adds_by_base(adds)
     now_ms = int(time.time() * 1000)
     lines: list[dict] = [
         {

@@ -688,3 +688,106 @@ def test_delta_cdf_stream_source(spark, tmp_path):
         ],
         key=repr,
     )
+
+
+def test_cdf_partitioned_remove_without_pv_raises(spark, tmp_path):
+    """r10 ADVICE (medium): deriving delete images from a dataChange
+    remove that lacks partitionValues on a PARTITIONED table must
+    raise loudly — attaching NULL partition columns silently corrupts
+    the feed."""
+    import pytest
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta_cdf,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(1, "g1"), (2, "g2")], "id bigint, g string"),
+        path,
+        partition_by=["g"],
+    )
+    adds = [a["add"] for a in _log_actions(path, 0) if "add" in a]
+    # a path-only remove (spec-optional partitionValues omitted)
+    import json as _json
+    import os as _os
+
+    with open(
+        _os.path.join(path, "_delta_log", f"{1:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "remove": {
+                        "path": adds[0]["path"],
+                        "deletionTimestamp": 1,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="partitionValues"):
+        read_delta_cdf(spark, path)
+
+
+def test_cdf_schema_change_mid_range(spark, tmp_path):
+    """r10 ADVICE (low): a CDF range spanning a schema change scans
+    each version with the schema IN FORCE at that version — additive
+    evolution aligns older rows with NULL new columns; a retyped
+    column raises instead of misreading old files."""
+    import pytest
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(1, 10.0)], "id bigint, price double"), path)
+    # v1: overwrite with an ADDED column (atomic metaData + rewrite)
+    write_delta(
+        _mk(
+            spark,
+            [(1, 10.0, "x"), (2, 20.0, "y")],
+            "id bigint, price double, tag string",
+        ),
+        path,
+        mode="overwrite",
+        overwrite_schema=True,
+    )
+    feed, last = read_delta_cdf(spark, path)
+    assert last == 1
+    rows = sorted(
+        (
+            (r.id, r.price, r.tag, r._change_type, r._commit_version)
+            for r in feed.collect()
+        ),
+        key=repr,
+    )
+    # v0's insert AND v1's derived delete of the v0 file both carry
+    # tag=NULL (scanned with the schema in force / the old file), v1's
+    # inserts carry the new column
+    assert rows == sorted(
+        [
+            (1, 10.0, None, "delete", 1),
+            (1, 10.0, None, "insert", 0),
+            (1, 10.0, "x", "insert", 1),
+            (2, 20.0, "y", "insert", 1),
+        ],
+        key=repr,
+    )
+    # a RETYPED column cannot align — loud gate
+    path2 = str(tmp_path / "t2")
+    write_delta(_mk(spark, [(1, 10.0)], "id bigint, price double"), path2)
+    write_delta(
+        _mk(spark, [(1, "ten")], "id bigint, price string"),
+        path2,
+        mode="overwrite",
+        overwrite_schema=True,
+    )
+    assert read_delta(spark, path2).collect()[0].price == "ten"
+    with pytest.raises(ValueError, match="incompatibly"):
+        read_delta_cdf(spark, path2)

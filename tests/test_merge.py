@@ -645,3 +645,148 @@ def _data_basenames(path):
             continue
         out |= {f for f in files if f.endswith(".parquet")}
     return out
+
+
+def test_merge_insert_only_duplicate_source_exemption(spark, tmp_path):
+    """ANSI / delta-spark insert-only exemption (r10 ADVICE): with no
+    WHEN MATCHED clause, a target row matching multiple source rows is
+    LEGAL — the MERGE must neither raise nor duplicate the kept rows
+    when the matched file is rewritten by a NOT MATCHED BY SOURCE
+    clause."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(1, 10.0), (2, 20.0)], "id bigint, price double"),
+        path,
+    )
+    dup_src = _mk(
+        spark,
+        [(1, 101.0), (1, 102.0), (7, 70.0)],
+        "id bigint, price double",
+    )
+    # pure insert-only: duplicates tolerated, only the new key inserts
+    v = merge_into(
+        spark,
+        "delta",
+        path,
+        dup_src,
+        "t.id = s.id",
+        not_matched={"id": "s.id", "price": "s.price"},
+    )
+    assert v == 1
+    assert sorted(
+        (r.id, r.price) for r in read_delta(spark, path).collect()
+    ) == [(1, 10.0), (2, 20.0), (7, 70.0)]
+    # insert + NMBS: the cow rewrite of the touched file must keep the
+    # dup-matched row exactly ONCE
+    v2 = merge_into(
+        spark,
+        "delta",
+        path,
+        dup_src,
+        "t.id = s.id",
+        not_matched={"id": "s.id", "price": "s.price"},
+        not_matched_by_source=[("delete", "t.id = 2")],
+    )
+    assert v2 == 2
+    assert sorted(
+        (r.id, r.price) for r in read_delta(spark, path).collect()
+    ) == [(1, 10.0), (7, 70.0)]
+    # WITH a matched clause the standard's cardinality rule still bites
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(
+            spark,
+            "delta",
+            path,
+            dup_src,
+            "t.id = s.id",
+            matched=[("update", None, {"price": "s.price"})],
+        )
+
+
+def test_merge_sql_swapped_aliases_and_literals(spark, tmp_path):
+    """_realias (r10 ADVICE): aliases colliding with the canonical
+    t/s names rewrite correctly in one pass (AS s USING ... AS t must
+    not swap target/source references), and string literals are never
+    rewritten."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into_sql,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(
+            spark,
+            [(1, 10.0, "x"), (2, 20.0, "x")],
+            "id bigint, price double, tag string",
+        ),
+        path,
+    )
+    _mk(
+        spark, [(1, 100.0), (3, 300.0)], "id bigint, price double"
+    ).createOrReplaceTempView("swap_src")
+    # target aliased 's', source aliased 't' — the adversarial swap
+    merge_into_sql(
+        spark,
+        "MERGE INTO tbl AS s USING swap_src AS t ON s.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET price = s.price + t.price, "
+        "tag = 's.kept' "
+        "WHEN NOT MATCHED THEN INSERT (id, price, tag) "
+        "VALUES (t.id, t.price, 't.lit')",
+        {"tbl": ("delta", path)},
+    )
+    got = sorted(
+        (r.id, r.price, r.tag) for r in read_delta(spark, path).collect()
+    )
+    # target.price + source.price = 110; literals survive verbatim
+    assert got == [
+        (1, 110.0, "s.kept"),
+        (2, 20.0, "x"),
+        (3, 300.0, "t.lit"),
+    ]
+    # identical aliases are rejected loudly
+    with pytest.raises(ValueError, match="alias"):
+        merge_into_sql(
+            spark,
+            "MERGE INTO tbl AS x USING swap_src AS x ON x.id = x.id "
+            "WHEN MATCHED THEN DELETE",
+            {"tbl": ("delta", path)},
+        )
+
+
+def test_delete_duplicate_basename_guard(spark, tmp_path):
+    """Row-level Delta DML addresses files by scan basename; a foreign
+    log with two live adds sharing a basename in different directories
+    must raise, not rewrite the wrong file (r10 ADVICE)."""
+    import shutil
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_mk(spark, [(1,), (2,)], "id bigint"), path)
+    acts = _log_actions(path, 0)
+    add = next(a["add"] for a in acts if "add" in a)
+    base = os.path.basename(add["path"])
+    os.makedirs(os.path.join(path, "sub"), exist_ok=True)
+    shutil.copy(
+        os.path.join(path, add["path"]), os.path.join(path, "sub", base)
+    )
+    dup = dict(add, path=f"sub/{base}")
+    with open(
+        os.path.join(path, "_delta_log", f"{1:020d}.json"), "w"
+    ) as fh:
+        fh.write(json.dumps({"add": dup}) + "\n")
+    with pytest.raises(ValueError, match="duplicate data-file basename"):
+        delete_delta_where(spark, path, "id = 1")
