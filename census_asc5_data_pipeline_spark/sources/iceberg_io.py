@@ -284,6 +284,58 @@ def _eval_transform(transform: str, ice_src_type: str, literal: str):
     raise NotImplementedError(f"partition transform {transform!r}")
 
 
+def _stage_partition_expr(tr: str, src: str, src_t: str):
+    """The staging Column evaluating partition transform ``tr`` over
+    source column ``src`` (iceberg type ``src_t``) — the spec kernels
+    (bucket = murmur3_x86_32 per Appendix B, truncate = floor-mod /
+    prefix, year/month/day = epoch offsets). Shared by
+    :func:`write_iceberg`'s append staging and the row-level DML
+    staging in ``merge._commit_iceberg_mor`` (round-11: MERGE/UPDATE
+    over transform-partitioned tables)."""
+    from pyspark.sql import functions as F
+
+    if tr == "identity":
+        return F.col(src)
+    if tr.startswith("truncate["):
+        wdt = int(tr[len("truncate[") : -1])
+        if src_t in ("int", "long"):
+            # spec: v - (v mod W) with floor-mod; pmod IS floor-mod
+            return F.col(src) - F.pmod(F.col(src), F.lit(wdt))
+        if src_t == "string":
+            return F.substring(F.col(src), 1, wdt)
+        raise NotImplementedError(
+            f"truncate over {src_t!r} is out of scope"
+        )
+    if tr.startswith("bucket["):
+        n_b = int(tr[len("bucket[") : -1])
+        if src_t in ("int", "long"):
+            return _bucket_col(F.col(src).cast("long"), n_b, False)
+        if src_t == "date":
+            return _bucket_col(
+                F.datediff(F.col(src), F.lit("1970-01-01")).cast("long"),
+                n_b,
+                False,
+            )
+        if src_t in ("timestamp", "timestamptz"):
+            return _bucket_col(F.unix_micros(F.col(src)), n_b, False)
+        if src_t == "string":
+            return _bucket_col(F.col(src), n_b, True)
+        raise NotImplementedError(f"bucket over {src_t!r} is out of scope")
+    if tr in ("year", "month", "day"):
+        if src_t not in ("date", "timestamp", "timestamptz"):
+            raise NotImplementedError(
+                f"{tr} transform over {src_t!r} is out of scope"
+            )
+        if tr == "year":
+            return F.year(F.col(src)) - F.lit(1970)
+        if tr == "month":
+            return (F.year(F.col(src)) - F.lit(1970)) * F.lit(12) + (
+                F.month(F.col(src)) - F.lit(1)
+            )
+        return F.datediff(F.col(src), F.lit("1970-01-01"))
+    raise NotImplementedError(f"partition transform {tr!r}")
+
+
 def _bucket_col(col, n: int, is_string: bool):
     """Arrow-batched bucket[N] staging column for the writer. The
     long path is fully numpy-vectorized murmur3_x86_32 (uint32
@@ -1127,56 +1179,9 @@ def write_iceberg(
     out_df = df
     writer_cols = []
     for pf in part_fields:
-        src, tr = pf["source"], pf["transform"]
-        src_t = ice_by_name[src]["type"]
-        if tr == "identity":
-            e = F.col(src)
-        elif tr.startswith("truncate["):
-            wdt = int(tr[len("truncate[") : -1])
-            if src_t in ("int", "long"):
-                # spec: v - (v mod W) with floor-mod; pmod IS floor-mod
-                e = F.col(src) - F.pmod(F.col(src), F.lit(wdt))
-            elif src_t == "string":
-                e = F.substring(F.col(src), 1, wdt)
-            else:
-                raise NotImplementedError(
-                    f"truncate over {src_t!r} is out of scope"
-                )
-        elif tr.startswith("bucket["):
-            n_b = int(tr[len("bucket[") : -1])
-            if src_t in ("int", "long"):
-                e = _bucket_col(F.col(src).cast("long"), n_b, False)
-            elif src_t == "date":
-                e = _bucket_col(
-                    F.datediff(F.col(src), F.lit("1970-01-01")).cast(
-                        "long"
-                    ),
-                    n_b,
-                    False,
-                )
-            elif src_t in ("timestamp", "timestamptz"):
-                e = _bucket_col(F.unix_micros(F.col(src)), n_b, False)
-            elif src_t == "string":
-                e = _bucket_col(F.col(src), n_b, True)
-            else:
-                raise NotImplementedError(
-                    f"bucket over {src_t!r} is out of scope"
-                )
-        elif tr in ("year", "month", "day"):
-            if src_t not in ("date", "timestamp", "timestamptz"):
-                raise NotImplementedError(
-                    f"{tr} transform over {src_t!r} is out of scope"
-                )
-            if tr == "year":
-                e = F.year(F.col(src)) - F.lit(1970)
-            elif tr == "month":
-                e = (F.year(F.col(src)) - F.lit(1970)) * F.lit(12) + (
-                    F.month(F.col(src)) - F.lit(1)
-                )
-            else:
-                e = F.datediff(F.col(src), F.lit("1970-01-01"))
-        else:
-            raise NotImplementedError(f"partition transform {tr!r}")
+        e = _stage_partition_expr(
+            pf["transform"], pf["source"], ice_by_name[pf["source"]]["type"]
+        )
         out_df = out_df.withColumn(f"__pt_{pf['name']}", e)
         writer_cols.append(f"__pt_{pf['name']}")
     w = out_df.write.mode("overwrite")

@@ -406,13 +406,17 @@ def _merge_delta(
             continue
 
 
-def _identity_pcols(
-    meta: dict, fields: list[dict], verb: str
-) -> list[tuple[str, str, str]]:
-    """The default partition spec as [(partition_field_name,
-    source_column, ice_type)] — identity transforms only (bucket/
-    truncate/temporal rewrites under MERGE/UPDATE would need the
-    transform kernels in the staging path; loud gate instead)."""
+def _spec_pcols(meta: dict, fields: list[dict], verb: str) -> list[dict]:
+    """The default partition spec as [{name, source, transform,
+    src_type, result_type}] for the DML staging path. ALL spec
+    transforms the writer supports (identity, bucket[N], truncate[W],
+    year/month/day — round-11: the r10 identity-only gate lifted by
+    reusing :func:`iceberg_io._stage_partition_expr`'s kernels);
+    ``void``/``hour`` raise inside the kernel."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _transform_result_type,
+    )
+
     specs = meta.get("partition-specs") or (
         [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
     )
@@ -425,13 +429,16 @@ def _identity_pcols(
     out = []
     for f in spec.get("fields", []):
         tr = f.get("transform", "identity")
-        if tr != "identity":
-            raise NotImplementedError(
-                f"{verb} over partition transform {tr!r} is out of "
-                "scope (identity partitions supported)"
-            )
         s_f = by_id[f["source-id"]]
-        out.append((f["name"], s_f["name"], s_f["type"]))
+        out.append(
+            {
+                "name": f["name"],
+                "source": s_f["name"],
+                "transform": tr,
+                "src_type": s_f["type"],
+                "result_type": _transform_result_type(tr, s_f["type"]),
+            }
+        )
     return out
 
 
@@ -445,7 +452,7 @@ def _merge_iceberg(
 
     cur_v, meta = ice._current_metadata(path)
     schema, fields = ice._schema_of(meta)
-    pcols = _identity_pcols(meta, fields, "MERGE")
+    pcols = _spec_pcols(meta, fields, "MERGE")
     data_files, delete_fs = ice._snapshot_files(path, meta, None)
     abs_of_base: dict[str, str] = {}
     for dd in data_files:
@@ -572,15 +579,23 @@ def _commit_iceberg_mor(
                 )
         if new_rows is not None:
             shutil.rmtree(staging, ignore_errors=True)
-            # identity-partition staging, the write_iceberg shape: a
-            # CLONED __pt_ column drives the layout so the source
-            # column stays IN the data file (iceberg files carry all
-            # columns per spec)
+            # the write_iceberg staging shape: a DERIVED __pt_ column
+            # evaluates the spec field's transform (identity clone,
+            # bucket = spec murmur3, truncate, year/month/day) and
+            # drives the layout, so the source column stays IN the
+            # data file (iceberg files carry all columns per spec) and
+            # an update that moves a row across partitions lands it in
+            # the right directory automatically
             out_df = new_rows
             writer_cols = []
-            for pname, srcc, _t in pcols:
-                out_df = out_df.withColumn(f"__pt_{pname}", F.col(srcc))
-                writer_cols.append(f"__pt_{pname}")
+            for pf in pcols:
+                out_df = out_df.withColumn(
+                    f"__pt_{pf['name']}",
+                    ice._stage_partition_expr(
+                        pf["transform"], pf["source"], pf["src_type"]
+                    ),
+                )
+                writer_cols.append(f"__pt_{pf['name']}")
             w = out_df.write.mode("overwrite")
             if writer_cols:
                 w = w.partitionBy(*writer_cols)
@@ -612,14 +627,14 @@ def _commit_iceberg_mor(
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     shutil.move(srcp, dst)
                     part_rec: dict = {}
-                    for pname, _srcc, ice_t in pcols:
-                        raw = pv.get(pname)
+                    for pf in pcols:
+                        raw = pv.get(pf["name"])
                         if raw is None:
-                            part_rec[pname] = None
-                        elif ice_t in ("int", "long"):
-                            part_rec[pname] = int(raw)
+                            part_rec[pf["name"]] = None
+                        elif pf["result_type"] in ("int", "long"):
+                            part_rec[pf["name"]] = int(raw)
                         else:
-                            part_rec[pname] = raw
+                            part_rec[pf["name"]] = raw
                     added_files.append(
                         {
                             "content": 0,
@@ -664,7 +679,9 @@ def _commit_iceberg_mor(
             new_specs = specs + [unpart]
         delete_spec_id = unpart["spec-id"]
     schemas_by_content = {
-        0: ice._entry_schema_for([(n, t) for n, _s, t in pcols]),
+        0: ice._entry_schema_for(
+            [(pf["name"], pf["result_type"]) for pf in pcols]
+        ),
         1: ice._entry_schema_for([]),
     }
     spec_by_content = {0: default_spec_id, 1: delete_spec_id}
@@ -1187,7 +1204,7 @@ def _update_iceberg(spark, path, predicate, sets) -> int | None:
 
     cur_v, meta = ice._current_metadata(path)
     schema, fields = ice._schema_of(meta)
-    pcols = _identity_pcols(meta, fields, "UPDATE")
+    pcols = _spec_pcols(meta, fields, "UPDATE")
     for c in sets:
         if c not in schema.fieldNames():
             raise ValueError(f"SET column {c!r} not in the table schema")

@@ -359,20 +359,114 @@ def test_merge_iceberg_sql_and_partitioned_gate(spark, tmp_path):
         spark, path2, partition_filter={"g": "g2"}
     )
     assert [(r.id, r.s) for r in pruned.collect()] == [(2, "B")]
-    # transform-partitioned tables still gate
+    # transform-partitioned DML (round-11: the identity-only gate
+    # lifted): MERGE over a bucket(4,id) table retires + stages
+    # through the spec murmur3 kernel
     path3 = str(tmp_path / "tb")
     write_iceberg(
-        _mk(spark, [(1, "a")], "id bigint, s string"),
+        _mk(spark, [(1, "a"), (2, "b")], "id bigint, s string"),
         path3,
         partition_by=["bucket(4,id)"],
     )
-    with pytest.raises(NotImplementedError, match="transform"):
-        merge_into_sql(
-            spark,
-            "MERGE INTO iceb USING ice_psrc s ON t.id = s.id "
-            "WHEN MATCHED THEN DELETE",
-            {"iceb": ("iceberg", path3)},
-        )
+    _mk(
+        spark, [(2, "B2"), (5, "e")], "id bigint, s string"
+    ).createOrReplaceTempView("ice_bsrc")
+    merge_into_sql(
+        spark,
+        "MERGE INTO iceb USING ice_bsrc s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"iceb": ("iceberg", path3)},
+    )
+    assert sorted(
+        (r.id, r.s) for r in read_iceberg(spark, path3).collect()
+    ) == [(1, "a"), (2, "B2"), (5, "e")]
+    # new files landed under the SPEC murmur3 bucket dirs and the
+    # manifests carry the typed bucket partition values (pruning by
+    # the transform evaluates driver-side)
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _bucket_of,
+    )
+
+    import glob as _glob
+
+    for key in (2, 5):
+        b = _bucket_of(key, "long", 4)
+        assert _glob.glob(path3 + f"/data/id_bucket={b}/*.parquet")
+    pruned5 = read_iceberg(
+        spark,
+        path3,
+        partition_filter={"id_bucket": str(_bucket_of(5, "long", 4))},
+    )
+    assert (5, "e") in {(r.id, r.s) for r in pruned5.collect()}
+
+
+def test_merge_update_transform_partitioned_iceberg(spark, tmp_path):
+    """Row-level DML over truncate[W]- and month-partitioned tables
+    (round-11): updates that MOVE a row across transform partitions
+    re-stage it under the new derived directory, merge-on-read keeps
+    one snapshot, and the pre-DML snapshot stays AS-OF intact."""
+    import datetime
+    import glob as _glob
+
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into,
+        update_where,
+    )
+
+    # truncate[10] over long: value 23 lives in trunc dir 20
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(spark, [(23, "a"), (7, "b")], "id bigint, s string"),
+        path,
+        partition_by=["truncate(10,id)"],
+    )
+    # partition-moving UPDATE: id 23 -> 41 (trunc 20 -> 40)
+    sid = update_where(spark, "iceberg", path, "id = 23", {"id": "41"})
+    assert sid is not None
+    assert sorted(
+        (r.id, r.s) for r in read_iceberg(spark, path).collect()
+    ) == [(7, "b"), (41, "a")]
+    assert _glob.glob(path + "/data/id_trunc=40/*.parquet")
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 2
+
+    # month(d)-partitioned MERGE: insert + update in one MoR snapshot
+    path2 = str(tmp_path / "tm")
+    d1 = datetime.date(2024, 1, 15)
+    d2 = datetime.date(2024, 3, 2)
+    write_iceberg(
+        _mk(spark, [(1, d1), (2, d2)], "id bigint, d date"),
+        path2,
+        partition_by=["month(d)"],
+    )
+    src = _mk(
+        spark,
+        [(2, datetime.date(2024, 4, 9)), (3, d1)],
+        "id bigint, d date",
+    )
+    merge_into(
+        spark,
+        "iceberg",
+        path2,
+        src,
+        "t.id = s.id",
+        matched=[("update", None, {"d": "s.d"})],
+        not_matched={"id": "s.id", "d": "s.d"},
+    )
+    got = sorted(
+        (r.id, str(r.d)) for r in read_iceberg(spark, path2).collect()
+    )
+    assert got == [
+        (1, "2024-01-15"),
+        (2, "2024-04-09"),
+        (3, "2024-01-15"),
+    ]
+    # months since epoch: 2024-04 = (2024-1970)*12 + 3 = 651
+    assert _glob.glob(path2 + "/data/d_month=651/*.parquet")
 
 
 def test_merge_not_matched_by_source(spark, tmp_path):
