@@ -1256,6 +1256,70 @@ _UPDATE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>[\w.]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:SELECT|VALUES)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _insert_into(spark, fmt, path, cols_clause, body) -> int:
+    """``INSERT INTO t [(cols)] SELECT ...|VALUES ...`` — the fourth
+    DML verb (round-11): the body evaluates as a Spark SQL query, maps
+    POSITIONALLY onto the named columns (or the full target schema),
+    fills unnamed target columns with NULL, casts to the target types,
+    and appends through the native writer (one commit/snapshot)."""
+    if fmt == "delta":
+        import json as _json
+
+        from census_asc5_data_pipeline_spark.sources import delta_io as d
+
+        _p, meta, _a, _t = d._replay(spark, path, None)
+        schema = d._strip_meta(
+            T.StructType.fromJson(_json.loads(meta["schemaString"]))
+        )
+    else:
+        from census_asc5_data_pipeline_spark.sources import (
+            iceberg_io as ice,
+        )
+
+        _v, imeta = ice._current_metadata(path)
+        schema, _ifields = ice._schema_of(imeta)
+    df = spark.sql(body)
+    if cols_clause:
+        names = [c.strip() for c in cols_clause.split(",")]
+        unknown = [n for n in names if n not in schema.fieldNames()]
+        if unknown:
+            raise ValueError(
+                f"INSERT column(s) {unknown} not in the table schema"
+            )
+    else:
+        names = schema.fieldNames()
+    if len(df.columns) != len(names):
+        raise ValueError(
+            f"INSERT provides {len(df.columns)} column(s) for "
+            f"{len(names)} target column(s)"
+        )
+    by_target = dict(zip(names, df.columns))
+    out = df.select(
+        [
+            F.col(by_target[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in by_target
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    if fmt == "delta":
+        from census_asc5_data_pipeline_spark.sources.delta_io import (
+            write_delta,
+        )
+
+        return write_delta(out, path, mode="append")
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        write_iceberg,
+    )
+
+    return write_iceberg(out, path, mode="append")
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>[\w.]+)"
     r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*$",
@@ -1270,9 +1334,10 @@ def dml_sql(
 ) -> int | None:
     """One SQL entry point for the write-side verbs over both table
     formats: routes ``MERGE INTO`` to :func:`merge_into_sql`,
-    ``UPDATE t SET ... [WHERE ...]`` to :func:`update_where`, and
-    ``DELETE FROM t [WHERE ...]`` to the native row-level deletes
-    (:func:`delta_io.delete_delta_where` /
+    ``INSERT INTO t [(cols)] SELECT ...|VALUES ...`` to the append
+    writers (:func:`_insert_into`), ``UPDATE t SET ... [WHERE ...]``
+    to :func:`update_where`, and ``DELETE FROM t [WHERE ...]`` to the
+    native row-level deletes (:func:`delta_io.delete_delta_where` /
     :func:`iceberg_io.delete_iceberg_positions`). ``catalog`` maps
     table names to ``(format, path)``. Returns the committed
     version/snapshot id (None = no-op)."""
@@ -1288,6 +1353,17 @@ def dml_sql(
             )
         return catalog[name]
 
+    if head == "INSERT":
+        m = _INSERT_RE.match(text)
+        if not m:
+            raise ValueError(
+                f"cannot parse INSERT statement: {sql!r} (supported: "
+                "INSERT INTO t [(cols)] SELECT ...|VALUES ...)"
+            )
+        fmt, path = _resolve(m.group("target"))
+        return _insert_into(
+            spark, fmt, path, m.group("cols"), m.group("body")
+        )
     if head == "UPDATE":
         m = _UPDATE_RE.match(text)
         if not m:
@@ -1317,5 +1393,6 @@ def dml_sql(
 
         return delete_iceberg_positions(spark, path, pred)
     raise ValueError(
-        f"unsupported DML statement {head!r} (MERGE|UPDATE|DELETE)"
+        f"unsupported DML statement {head!r} "
+        "(MERGE|INSERT|UPDATE|DELETE)"
     )

@@ -637,6 +637,34 @@ def test_update_where_both_formats_and_dml_sql(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported DML"):
         dml_sql(spark, "TRUNCATE TABLE d", cat)
 
+    # INSERT INTO completes the verb set (round-11): VALUES with a
+    # column list (missing columns NULL, values cast to target types),
+    # and INSERT ... SELECT, on both formats
+    dml_sql(
+        spark,
+        "INSERT INTO d (id, price) VALUES (100, 1.5), (101, 2.5)",
+        cat,
+    )
+    assert {(100, 1.5), (101, 2.5)} <= {
+        (r.id, r.price) for r in read_delta(spark, path).collect()
+    }
+    dml_sql(spark, "INSERT INTO d (id) VALUES (102)", cat)
+    assert (102, None) in {
+        (r.id, r.price) for r in read_delta(spark, path).collect()
+    }
+    dml_sql(
+        spark,
+        "INSERT INTO i SELECT 7 AS a, 'ins' AS b",
+        cat,
+    )
+    assert (7, "ins") in {
+        (r.id, r.s) for r in read_iceberg(spark, path3).collect()
+    }
+    with pytest.raises(ValueError, match="not in the table schema"):
+        dml_sql(spark, "INSERT INTO d (nope) VALUES (1)", cat)
+    with pytest.raises(ValueError, match="column"):
+        dml_sql(spark, "INSERT INTO d VALUES (1)", cat)
+
 
 def test_update_iceberg_partitioned_row_migration(spark, tmp_path):
     """UPDATE on an identity-partitioned Iceberg table: updating the
