@@ -1139,6 +1139,42 @@ def _stage_adds(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
     return add_actions
 
 
+def _stage_adds_mapped(
+    df: DataFrame,
+    path: str,
+    pcols: list[str],
+    physical_of: dict[str, str] | None,
+) -> list[dict]:
+    """:func:`_stage_adds` under column mapping: the staged parquet's
+    columns and the add actions' partitionValues keys use PHYSICAL
+    names, per spec (round-11: row-level DML on mapped tables). The
+    caller works in logical names throughout; the rename happens only
+    here, at the file boundary."""
+    if physical_of:
+        df = df.select(
+            [F.col(c).alias(physical_of.get(c, c)) for c in df.columns]
+        )
+        pcols = [physical_of.get(c, c) for c in pcols]
+    return _stage_adds(df, path, pcols)
+
+
+def _stage_cdc_mapped(
+    df: DataFrame,
+    path: str,
+    pcols: list[str],
+    physical_of: dict[str, str] | None,
+) -> list[dict]:
+    """:func:`_stage_cdc` under column mapping — change-data files
+    follow the table's mapping (``_change_type`` maps to itself, the
+    read side's passthrough convention)."""
+    if physical_of:
+        df = df.select(
+            [F.col(c).alias(physical_of.get(c, c)) for c in df.columns]
+        )
+        pcols = [physical_of.get(c, c) for c in pcols]
+    return _stage_cdc(df, path, pcols)
+
+
 def _stage_cdc(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
     """Stage change-data rows (``df`` carries the spec's
     ``_change_type`` column) as parquet under ``_change_data/`` — a
@@ -1235,7 +1271,8 @@ def write_delta(
             )
         pcols = prev_pcols
 
-    add_actions = _stage_adds(df, path, pcols)
+    physical_of = _column_mapping(prev_meta) if prev_meta else None
+    add_actions = _stage_adds_mapped(df, path, pcols, physical_of)
     now_ms = int(time.time() * 1000)
 
     while True:
@@ -1250,11 +1287,13 @@ def write_delta(
             next_v = 0
             meta, adds = {}, {}
         schema_changed = False
-        if _column_mapping(meta):
-            raise NotImplementedError(
-                "writing to a column-mapped table is out of scope — "
-                "this writer stages logical-named parquet, which a "
-                "mapped table's readers would not resolve"
+        if (_column_mapping(meta) or None) != (physical_of or None):
+            # files were staged under the mapping read BEFORE the
+            # commit loop; a concurrent mapping change would make a
+            # mapped table's readers miss their columns
+            raise ValueError(
+                "table column mapping changed concurrently — staged "
+                "files no longer match; re-run the write"
             )
         if meta.get("schemaString"):
             prev_fields = [
@@ -1273,6 +1312,13 @@ def write_delta(
                         f"table={prev_fields} df={new_fields}; pass "
                         "mode='overwrite', overwrite_schema=True to "
                         "replace the schema atomically"
+                    )
+                if physical_of:
+                    raise NotImplementedError(
+                        "overwriteSchema on a column-mapped table is "
+                        "out of scope — the replacement schemaString "
+                        "would need fresh physicalName/columnMapping.id "
+                        "assignments"
                     )
                 schema_changed = True
         lines: list[dict] = [
@@ -1451,11 +1497,7 @@ def delete_delta_where(
     if mode not in ("cow", "dv"):
         raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
     protocol, meta, adds, _tx = _replay(spark, path, None)
-    if _column_mapping(meta):
-        raise NotImplementedError(
-            "DELETE on a column-mapped table is out of scope — the "
-            "rewrite would stage logical-named parquet"
-        )
+    physical_of = _column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
     if not adds:
@@ -1467,6 +1509,7 @@ def delete_delta_where(
         pcols,
         [(None, a) for a in adds.values()],
         keep_pos=True,
+        physical_of=physical_of,
     )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     adds_by_base = _adds_by_base(adds)
@@ -1503,7 +1546,7 @@ def delete_delta_where(
             .filter(~pred)
             .select([F.col(f.name) for f in schema.fields])
         )
-        new_adds = _stage_adds(survivors, path, pcols)
+        new_adds = _stage_adds_mapped(survivors, path, pcols, physical_of)
         for base in sorted(touched):
             a = adds_by_base[base]
             planned[a["path"]] = a.get("deletionVector")
@@ -1523,7 +1566,7 @@ def delete_delta_where(
             .select([F.col(f.name) for f in schema.fields])
             .withColumn("_change_type", F.lit("delete"))
         )
-        lines.extend(_stage_cdc(deleted, path, pcols))
+        lines.extend(_stage_cdc_mapped(deleted, path, pcols, physical_of))
 
     while True:
         versions = delta_versions(path)

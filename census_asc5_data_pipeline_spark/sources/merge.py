@@ -256,11 +256,7 @@ def _merge_delta(
     from census_asc5_data_pipeline_spark.sources import delta_io as d
 
     protocol, meta, adds, _tx = d._replay(spark, path, None)
-    if d._column_mapping(meta):
-        raise NotImplementedError(
-            "MERGE on a column-mapped table is out of scope — the "
-            "rewrite would stage logical-named parquet"
-        )
+    physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
     if not adds and not_matched is None:
@@ -272,6 +268,7 @@ def _merge_delta(
         pcols,
         [(None, a) for a in adds.values()],
         keep_pos=True,
+        physical_of=physical_of,
     ) if adds else spark.createDataFrame(
         [],
         T.StructType(
@@ -352,7 +349,9 @@ def _merge_delta(
             else staged_rows.unionByName(inserts)
         )
     if staged_rows is not None:
-        lines.extend(d._stage_adds(staged_rows, path, pcols))
+        lines.extend(
+            d._stage_adds_mapped(staged_rows, path, pcols, physical_of)
+        )
     if (meta.get("configuration") or {}).get(
         "delta.enableChangeDataFeed"
     ) == "true":
@@ -386,7 +385,9 @@ def _merge_delta(
             cdc = cdc_parts[0]
             for p_ in cdc_parts[1:]:
                 cdc = cdc.unionByName(p_)
-            lines.extend(d._stage_cdc(cdc, path, pcols))
+            lines.extend(
+                d._stage_cdc_mapped(cdc, path, pcols, physical_of)
+            )
     while True:
         versions = d.delta_versions(path)
         ckpt = d._read_last_checkpoint(path)
@@ -1107,10 +1108,7 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
     if mode not in ("cow", "dv"):
         raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
     protocol, meta, adds, _tx = d._replay(spark, path, None)
-    if d._column_mapping(meta):
-        raise NotImplementedError(
-            "UPDATE on a column-mapped table is out of scope"
-        )
+    physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
     for c in sets:
@@ -1125,6 +1123,7 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         pcols,
         [(None, a) for a in adds.values()],
         keep_pos=True,
+        physical_of=physical_of,
     )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     adds_by_base = d._adds_by_base(adds)
@@ -1151,7 +1150,9 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
             planned, now_ms,
         ):
             return None
-        lines.extend(d._stage_adds(updated, path, pcols))
+        lines.extend(
+            d._stage_adds_mapped(updated, path, pcols, physical_of)
+        )
     else:
         touched = [
             r["__base"]
@@ -1165,7 +1166,9 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         rewritten = scan.filter(F.col("__base").isin(touched)).select(
             _set_cols(sets, schema.fields, pred=pred)
         )
-        lines.extend(d._stage_adds(rewritten, path, pcols))
+        lines.extend(
+            d._stage_adds_mapped(rewritten, path, pcols, physical_of)
+        )
         for base in sorted(touched):
             a = adds_by_base[base]
             planned[a["path"]] = a.get("deletionVector")
@@ -1179,7 +1182,11 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         post = updated.withColumn(
             "_change_type", F.lit("update_postimage")
         )
-        lines.extend(d._stage_cdc(pre.unionByName(post), path, pcols))
+        lines.extend(
+            d._stage_cdc_mapped(
+                pre.unionByName(post), path, pcols, physical_of
+            )
+        )
     while True:
         versions = d.delta_versions(path)
         ckpt = d._read_last_checkpoint(path)

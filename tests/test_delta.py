@@ -961,12 +961,73 @@ def test_delta_column_mapping_read(spark, tmp_path):
         (1, 0),
         (2, 0),
     ]
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        write_delta(
-            spark.createDataFrame([(3, "c", "z")], "id bigint, s string, g string"),
-            path,
-            mode="append",
+    # round-11: appends + row-level DML on mapped tables stage under
+    # PHYSICAL names (the r10 gate lifted)
+    write_delta(
+        spark.createDataFrame(
+            [(3, "c", "z")], "id bigint, s string, g string"
+        ),
+        path,
+        mode="append",
+    )
+    assert sorted(
+        (r.id, r.s, r.g) for r in read_delta(spark, path).collect()
+    ) == [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]
+    # the new add keys partitionValues by the PHYSICAL partition name
+    # and its parquet stores physical column names
+    import pyarrow.parquet as _pq
+
+    v1 = [
+        json.loads(line)
+        for line in open(
+            os.path.join(path, "_delta_log", f"{1:020d}.json")
         )
+        if line.strip()
+    ]
+    new_add = next(a["add"] for a in v1 if "add" in a)
+    assert new_add["partitionValues"] == {"col-33": "z"}
+    import urllib.parse as _up
+
+    phys_cols = _pq.ParquetFile(
+        os.path.join(path, _up.unquote(new_add["path"]))
+    ).schema_arrow.names
+    assert "col-11" in phys_cols and "id" not in phys_cols
+
+    # row-level DML under mapping: UPDATE rewrites under physical
+    # names, MERGE + DELETE land correctly, logical reads throughout
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into,
+        update_where,
+    )
+
+    update_where(spark, "delta", path, "id = 3", {"s": "'C'"})
+    assert (3, "C", "z") in {
+        (r.id, r.s, r.g) for r in read_delta(spark, path).collect()
+    }
+    merge_into(
+        spark,
+        "delta",
+        path,
+        spark.createDataFrame(
+            [(1, "A", "x"), (9, "i", "w")], "id bigint, s string, g string"
+        ),
+        "t.id = s.id",
+        matched=[("update", None, {"s": "s.s"})],
+        not_matched={"id": "s.id", "s": "s.s", "g": "s.g"},
+    )
+    assert sorted(
+        (r.id, r.s, r.g) for r in read_delta(spark, path).collect()
+    ) == [(1, "A", "x"), (2, "b", "y"), (3, "C", "z"), (9, "i", "w")]
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+    )
+
+    delete_delta_where(spark, path, "g = 'w'")
+    assert sorted(
+        r.id for r in read_delta(spark, path).collect()
+    ) == [1, 2, 3]
+    pruned_z = read_delta(spark, path, partition_filter={"g": "z"})
+    assert [(r.id, r.s) for r in pruned_z.collect()] == [(3, "C")]
 
     # reader v3 + an unknown feature must still gate
     log = os.path.join(path, "_delta_log", f"{0:020d}.json")
@@ -991,7 +1052,7 @@ def test_delta_column_mapping_read(spark, tmp_path):
     with open(log, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
-    assert read_delta(spark, path).count() == 2
+    assert read_delta(spark, path).count() == 3
 
 
 def test_delta_restore_to_version(spark, tmp_path):
