@@ -120,6 +120,20 @@ def _plan_merge(
         raise ValueError(
             f"MERGE source carries reserved column(s) {sorted(reserved)}"
         )
+    tnames = {f.name for f in target_fields}
+    unknown = set(not_matched or {}) - tnames
+    if unknown:
+        raise ValueError(
+            f"INSERT column(s) {sorted(unknown)} not in the table "
+            "schema (pass evolve_schema=True to add source columns)"
+        )
+    for _tag, _cond, sets in _all_clauses(matched, nmbs):
+        bad = set(sets or {}) - tnames
+        if bad:
+            raise ValueError(
+                f"SET column(s) {sorted(bad)} not in the table schema "
+                "(pass evolve_schema=True to add source columns)"
+            )
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
     j = scan.alias("t").join(src, F.expr(on), "left")
     if matched:
@@ -215,6 +229,7 @@ def merge_into(
     not_matched: dict | None = None,
     not_matched_by_source: list[MatchedClause] | None = None,
     mode: str = "cow",
+    evolve_schema: bool = False,
 ) -> int | None:
     """Execute MERGE against a ``delta`` or ``iceberg`` table at
     ``path``. ``on`` / clause conditions / SET and VALUES expressions
@@ -229,8 +244,12 @@ def merge_into(
     retires acted-on rows via deletion vectors and appends update
     post-images + inserts — no data file rewritten, O(acted + inserted
     rows), the delta-spark DV-MERGE shape. Iceberg is always
-    merge-on-read. Returns the committed version/snapshot id, or None
-    when the merge is a no-op."""
+    merge-on-read. ``evolve_schema=True`` (delta-spark's
+    ``withSchemaEvolution()``, Delta only): source columns absent from
+    the target are ADDED to the table schema in the same commit
+    (nullable; pre-existing rows read NULL) — without it schema
+    enforcement keeps drift out. Returns the committed
+    version/snapshot id, or None when the merge is a no-op."""
     matched = matched or []
     nmbs = not_matched_by_source or []
     if not matched and not nmbs and not_matched is None:
@@ -239,9 +258,15 @@ def merge_into(
         if mode not in ("cow", "dv"):
             raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
         return _merge_delta(
-            spark, path, source, on, matched, nmbs, not_matched, mode
+            spark, path, source, on, matched, nmbs, not_matched, mode,
+            evolve_schema,
         )
     if fmt == "iceberg":
+        if evolve_schema:
+            raise NotImplementedError(
+                "evolve_schema is the delta-spark extension — Iceberg "
+                "MERGE keeps schema enforcement"
+            )
         return _merge_iceberg(
             spark, path, source, on, matched, nmbs, not_matched
         )
@@ -249,7 +274,8 @@ def merge_into(
 
 
 def _merge_delta(
-    spark, path, source, on, matched, nmbs, not_matched, mode="cow"
+    spark, path, source, on, matched, nmbs, not_matched, mode="cow",
+    evolve_schema=False,
 ) -> int | None:
     import json
 
@@ -259,6 +285,21 @@ def _merge_delta(
     physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
+    extra_fields: list[T.StructField] = []
+    if evolve_schema:
+        if physical_of:
+            raise NotImplementedError(
+                "evolve_schema on a column-mapped table is out of "
+                "scope — new columns would need fresh physicalName/"
+                "columnMapping.id assignments"
+            )
+        extra_fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name not in schema.fieldNames()
+        ]
+        if extra_fields:
+            schema = T.StructType(schema.fields + extra_fields)
     if not adds and not_matched is None:
         return None
     scan = d._scan_adds(
@@ -310,6 +351,13 @@ def _merge_delta(
             }
         }
     ]
+    if extra_fields:
+        # schema evolution commits atomically with the row changes:
+        # the same commit carries the widened metaData (old files'
+        # missing columns read NULL on scan)
+        lines.append(
+            {"metaData": dict(meta, schemaString=schema.json())}
+        )
     adds_by_base = d._adds_by_base(adds)
     planned: dict[str, dict | None] = {}
     staged_rows: DataFrame | None = None
@@ -827,6 +875,7 @@ def merge_into_sql(
     spark: SparkSession,
     sql: str,
     catalog: dict[str, tuple[str, str]],
+    evolve_schema: bool = False,
 ) -> int | None:
     """Parse and execute a constrained ANSI ``MERGE INTO`` statement.
     ``catalog`` maps table names to ``(format, path)``
@@ -835,7 +884,9 @@ def merge_into_sql(
     default to ``t`` / ``s`` and arbitrary aliases are rewritten to
     them. Supports ordered WHEN MATCHED [AND cond] THEN UPDATE SET
     (col=expr... or *) / DELETE and WHEN NOT MATCHED THEN INSERT
-    ((cols) VALUES (exprs) or *)."""
+    ((cols) VALUES (exprs) or *). ``evolve_schema=True`` widens the
+    ``SET *`` / ``INSERT *`` expansions (and the Delta table schema)
+    with source columns absent from the target."""
     text = sql.strip().rstrip(";")
     # lift a parenthesized USING subquery out before the regex (its
     # nested parens defeat a regex source matcher)
@@ -946,6 +997,11 @@ def merge_into_sql(
         _v, imeta = ice._current_metadata(path)
         _sch, ifields = ice._schema_of(imeta)
         tgt_cols = [f["name"] for f in ifields]
+    if evolve_schema:
+        tgt_cols = tgt_cols + [
+            c for c in source.columns if c not in tgt_cols
+        ]
+    star_extra = [c for c in source.columns if c not in tgt_cols]
     matched: list[MatchedClause] = []
     nmbs: list[MatchedClause] = []
     not_matched: dict | None = None
@@ -996,6 +1052,12 @@ def merge_into_sql(
                 )
             body = act[len("INSERT"):].strip()
             if body == "*":
+                if star_extra:
+                    raise ValueError(
+                        f"INSERT *: source column(s) {star_extra} are "
+                        "not in the target schema — pass "
+                        "evolve_schema=True to add them"
+                    )
                 not_matched = {c: f"s.{c}" for c in tgt_cols}
             else:
                 bm = re.match(
@@ -1023,6 +1085,12 @@ def merge_into_sql(
                 r"^UPDATE\s+SET\s+", "", act, flags=re.IGNORECASE
             ).strip()
             if body == "*":
+                if star_extra:
+                    raise ValueError(
+                        f"UPDATE SET *: source column(s) {star_extra} "
+                        "are not in the target schema — pass "
+                        "evolve_schema=True to add them"
+                    )
                 sets = {c: f"s.{c}" for c in tgt_cols}
             else:
                 sets = {}
@@ -1048,6 +1116,7 @@ def merge_into_sql(
         matched,
         not_matched,
         not_matched_by_source=nmbs,
+        evolve_schema=evolve_schema,
     )
 
 

@@ -912,3 +912,99 @@ def test_delete_duplicate_basename_guard(spark, tmp_path):
         fh.write(json.dumps({"add": dup}) + "\n")
     with pytest.raises(ValueError, match="duplicate data-file basename"):
         delete_delta_where(spark, path, "id = 1")
+
+
+def test_merge_schema_evolution_opt_in(spark, tmp_path):
+    """evolve_schema=True (delta-spark's withSchemaEvolution): source
+    columns absent from the target widen the Delta schema in the SAME
+    commit — INSERT */UPDATE SET * carry them, pre-existing rows read
+    NULL; without the opt-in, enforcement still raises; Iceberg gates."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into,
+        merge_into_sql,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(1, 10.0), (2, 20.0)], "id bigint, price double"),
+        path,
+    )
+    _mk(
+        spark,
+        [(2, 22.0, "eu"), (3, 30.0, "us")],
+        "id bigint, price double, region string",
+    ).createOrReplaceTempView("evo_src")
+    # default: enforcement — the drifted INSERT * raises (region is
+    # not a target column)
+    with pytest.raises(Exception, match="region"):
+        merge_into_sql(
+            spark,
+            "MERGE INTO t USING evo_src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"t": ("delta", path)},
+        )
+    # opt-in: the commit widens the schema atomically
+    v = merge_into_sql(
+        spark,
+        "MERGE INTO t USING evo_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": ("delta", path)},
+        evolve_schema=True,
+    )
+    assert v == 1
+    back = read_delta(spark, path)
+    assert back.columns == ["id", "price", "region"]
+    assert sorted(
+        ((r.id, r.price, r.region) for r in back.collect()), key=repr
+    ) == sorted(
+        [(1, 10.0, None), (2, 22.0, "eu"), (3, 30.0, "us")], key=repr
+    )
+    # the widened metaData landed in the SAME commit as the row changes
+    acts = _log_actions(path, v)
+    assert any("metaData" in a for a in acts)
+    assert any("add" in a for a in acts)
+    # AS-OF v0 still reads with the OLD schema
+    old = read_delta(spark, path, version=0)
+    assert old.columns == ["id", "price"]
+    # engine API twin: new column via the dict form, dv mode
+    v2 = merge_into(
+        spark,
+        "delta",
+        path,
+        _mk(spark, [(9, 90.0, "ap", True)],
+            "id bigint, price double, region string, vip boolean"),
+        "t.id = s.id",
+        not_matched={
+            "id": "s.id", "price": "s.price",
+            "region": "s.region", "vip": "s.vip",
+        },
+        mode="dv",
+        evolve_schema=True,
+    )
+    assert v2 == 2
+    assert (9, 90.0, "ap", True) in {
+        (r.id, r.price, r.region, r.vip)
+        for r in read_delta(spark, path).collect()
+    }
+    # Iceberg keeps enforcement
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        write_iceberg,
+    )
+
+    path2 = str(tmp_path / "ti")
+    write_iceberg(_mk(spark, [(1, "a")], "id bigint, s string"), path2)
+    with pytest.raises(NotImplementedError, match="evolve_schema"):
+        merge_into(
+            spark,
+            "iceberg",
+            path2,
+            _mk(spark, [(2, "b", 5)], "id bigint, s string, n bigint"),
+            "t.id = s.id",
+            not_matched={"id": "s.id", "s": "s.s", "n": "s.n"},
+            evolve_schema=True,
+        )
