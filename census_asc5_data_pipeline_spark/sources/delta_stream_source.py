@@ -157,12 +157,58 @@ class _FilePart(InputPartition):
         self.dv = dv
 
 
-class DeltaTailStreamReader(DataSourceStreamReader):
+class _RateLimitMixin:
+    """``.option('maxfilespertrigger', N)`` — admission control for
+    the Python data source API (which has no native ReadLimit): cap
+    each planned batch at the first commit where the cumulative
+    changed-FILE count reaches N, so a restart after long downtime (or
+    a backfill from version 0) catches up in bounded batches instead
+    of one giant one. Commits are atomic and never split, so a single
+    commit larger than N still lands whole.
+
+    The reader tracks its position itself: ``initialOffset`` /
+    ``partitions`` / ``commit`` all advance ``_pos`` (empirically the
+    engine replays the last logged batch via ``partitions`` BEFORE the
+    first post-restart ``latestOffset``, so ``_pos`` is known then);
+    if it ever is not, ``_probe`` ratchets forward by ≤N files per
+    trigger from ``starting``, which converges without ever exceeding
+    the cap and never skips data (offsets only ever extend)."""
+
+    def _rl_init(self, options):
+        self.max_files = int(options.get("maxfilespertrigger", 0))
+        self._pos: int | None = None
+        self._probe = self.starting
+        self._fcounts: dict[int, int] = {}
+
+    def _rl_advance(self, v: int) -> None:
+        if self._pos is None or v > self._pos:
+            self._pos = v
+
+    def _rl_cap(self, versions: list[int], last: int) -> int:
+        if self.max_files <= 0:
+            return last
+        base = self._pos if self._pos is not None else self._probe
+        end, files = base, 0
+        for v in sorted(versions):
+            if v <= base or v > last:
+                continue
+            if v not in self._fcounts:
+                self._fcounts[v] = self._count_files(v)
+            files += self._fcounts[v]
+            end = v
+            if files >= self.max_files:
+                break
+        self._probe = max(self._probe, end)
+        return end
+
+
+class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_tail requires .option('path', ...)")
         self.starting = int(options.get("startingversion", -1))
+        self._rl_init(options)
         self.fields, self.pcols = _log_meta(self.path)
         # fail at construction, not per-batch, for partition-column
         # types outside the spec's partition-value serialization table
@@ -178,18 +224,37 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 )
 
     def initialOffset(self):
+        self._rl_advance(self.starting)
         return {"version": self.starting}
+
+    def _count_files(self, v):
+        from census_asc5_data_pipeline_spark.sources import delta_io
+
+        n = 0
+        with open(delta_io._commit_file(self.path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    n += 1
+        return n
 
     def latestOffset(self):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         versions = delta_io.delta_versions(self.path)
-        return {"version": max(versions) if versions else self.starting}
+        last = max(versions) if versions else self.starting
+        return {"version": self._rl_cap(versions, last)}
 
     def partitions(self, start, end):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         lo, hi = int(start["version"]), int(end["version"])
+        self._rl_advance(hi)
         versions = set(delta_io.delta_versions(self.path))
         want = [v for v in range(lo + 1, hi + 1)]
         missing = [v for v in want if v not in versions]
@@ -289,7 +354,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end):
-        pass
+        self._rl_advance(int(end["version"]))
 
 
 class DeltaTailDataSource(DataSource):
@@ -331,7 +396,7 @@ class _CdfPart(InputPartition):
         self.dv = dv
 
 
-class DeltaCdfStreamReader(DataSourceStreamReader):
+class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
     """``spark.readStream.format("delta_cdf")`` — the STREAMING Change
     Data Feed, the format-symmetry twin of the round-10 ``iceberg_tail``
     retractions: every batch row carries ``_change_type`` (``insert`` /
@@ -349,6 +414,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("delta_cdf requires .option('path', ...)")
         self.starting = int(options.get("startingversion", -1))
+        self._rl_init(options)
         self.fields, self.pcols = _log_meta(self.path)
         for f in self.fields:
             t = f["type"]
@@ -362,18 +428,44 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                 )
 
     def initialOffset(self):
+        self._rl_advance(self.starting)
         return {"version": self.starting}
+
+    def _count_files(self, v):
+        from census_asc5_data_pipeline_spark.sources import delta_io
+
+        cdcs = adds = removes = 0
+        with open(delta_io._commit_file(self.path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdcs += 1
+                elif "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    adds += 1
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removes += 1
+        # cdc actions are the ONLY change source when present (spec)
+        return cdcs if cdcs else adds + removes
 
     def latestOffset(self):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         versions = delta_io.delta_versions(self.path)
-        return {"version": max(versions) if versions else self.starting}
+        last = max(versions) if versions else self.starting
+        return {"version": self._rl_cap(versions, last)}
 
     def partitions(self, start, end):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         lo, hi = int(start["version"]), int(end["version"])
+        self._rl_advance(hi)
         versions = set(delta_io.delta_versions(self.path))
         want = [v for v in range(lo + 1, hi + 1)]
         missing = [v for v in want if v not in versions]
@@ -542,7 +634,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end):
-        pass
+        self._rl_advance(int(end["version"]))
 
 
 class DeltaCdfDataSource(DataSource):

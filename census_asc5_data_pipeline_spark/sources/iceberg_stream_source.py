@@ -91,12 +91,18 @@ class _EqDeletePart(InputPartition):
         self.arrow_schema = arrow_schema
 
 
-class IcebergTailStreamReader(DataSourceStreamReader):
+from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
+    _RateLimitMixin,
+)
+
+
+class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("iceberg_tail requires .option('path', ...)")
         self.starting = int(options.get("startingsnapshotid", 0))
+        self._rl_init(options)
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from census_asc5_data_pipeline_spark.sources import iceberg_io
@@ -107,14 +113,36 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         self.arrow_schema = to_arrow_schema(schema)
 
     def initialOffset(self):
+        self._rl_advance(self.starting)
         return {"snapshot_id": self.starting}
+
+    def _count_files(self, sid):
+        from census_asc5_data_pipeline_spark.sources import iceberg_io
+
+        _v, meta = iceberg_io._current_metadata(self.path)
+        snap = next(
+            (
+                s
+                for s in meta.get("snapshots", [])
+                if s["snapshot-id"] == sid
+            ),
+            None,
+        )
+        if snap is None:
+            return 0
+        ins, pos_d, eq_d = iceberg_io._changed_files_of_range(
+            self.path, [snap]
+        )
+        return len(ins) + len(pos_d) + len(eq_d)
 
     def latestOffset(self):
         from census_asc5_data_pipeline_spark.sources import iceberg_io
 
         snaps = iceberg_io.iceberg_snapshots(self.path)
-        last = max((s["snapshot-id"] for s in snaps), default=self.starting)
-        return {"snapshot_id": max(last, self.starting)}
+        sids = [s["snapshot-id"] for s in snaps]
+        last = max(sids, default=self.starting)
+        last = max(last, self.starting)
+        return {"snapshot_id": self._rl_cap(sids, last)}
 
     def partitions(self, start, end):
         import os
@@ -124,6 +152,7 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         from census_asc5_data_pipeline_spark.sources import iceberg_io
 
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        self._rl_advance(hi)
         _v, meta = iceberg_io._current_metadata(self.path)
         by_id = {
             s["snapshot-id"]: s for s in meta.get("snapshots", [])
@@ -278,7 +307,7 @@ class IcebergTailStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end):
-        pass
+        self._rl_advance(int(end["snapshot_id"]))
 
 
 class IcebergTailDataSource(DataSource):

@@ -1,0 +1,190 @@
+"""maxFilesPerTrigger-style admission control for the three streaming
+sources (round-11 verdict #4): a catch-up over many commits splits
+into bounded batches — each planned batch stops at the first commit
+where the cumulative changed-file count reaches the cap — and a
+RESTART after commits landed while the stream was down also catches up
+in >1 batch with exactly-once totals."""
+
+from __future__ import annotations
+
+
+def _mk(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_delta_tail_max_files_per_trigger(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+
+    delta_stream_source.register(spark)
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    for i in range(4):  # 4 commits x 1 file x 2 rows
+        write_delta(
+            _mk(
+                spark,
+                [(i * 2, float(i)), (i * 2 + 1, float(i))],
+                "id bigint, v double",
+            ).coalesce(1),
+            table,
+        )
+    batches: list[tuple[int, list[int]]] = []
+
+    def sink(batch_df, epoch_id):
+        vs = [r._commit_version for r in batch_df.collect()]
+        if vs:
+            batches.append((epoch_id, vs))
+
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", table)
+        .option("maxfilespertrigger", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # one commit (= 1 file) per batch, 4 batches, every row exactly once
+    assert len(batches) == 4
+    assert all(len(set(vs)) == 1 for _e, vs in batches)
+    assert sum(len(vs) for _e, vs in batches) == 8
+
+    # stream down: 3 more commits land; the restart catches up in
+    # >1 bounded batch with exactly-once totals
+    for i in range(4, 7):
+        write_delta(
+            _mk(spark, [(i * 2, float(i))], "id bigint, v double")
+            .coalesce(1),
+            table,
+        )
+    batches.clear()
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", table)
+        .option("maxfilespertrigger", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) == 3  # NOT one giant catch-up batch
+    assert sorted(v for _e, vs in batches for v in vs) == [4, 5, 6]
+
+    # unbounded control: the same catch-up without the option is one
+    # batch (proves the cap, not the engine, split the batches)
+    ck2 = str(tmp_path / "ck2")
+    batches.clear()
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", table)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck2)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) == 1
+    assert sum(len(vs) for _e, vs in batches) == 11
+
+
+def test_delta_cdf_and_iceberg_tail_rate_limit(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+        iceberg_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        set_delta_properties,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        write_iceberg,
+    )
+
+    delta_stream_source.register(spark)
+    iceberg_stream_source.register(spark)
+
+    # delta_cdf: 2 appends + a CDF delete = 3 change-bearing commits
+    table = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(1, 1.0), (2, 2.0)], "id bigint, v double")
+        .coalesce(1),
+        table,
+    )
+    set_delta_properties(
+        spark, table, {"delta.enableChangeDataFeed": "true"}
+    )
+    write_delta(
+        _mk(spark, [(3, 3.0)], "id bigint, v double").coalesce(1),
+        table,
+    )
+    delete_delta_where(spark, table, "id = 1", mode="dv")
+    got: list[tuple[int, int, str]] = []
+    nbatches = [0]
+
+    def sink(batch_df, epoch_id):
+        rows = [(r.id, r._commit_version, r._change_type)
+                for r in batch_df.collect()]
+        if rows:
+            nbatches[0] += 1
+            got.extend(rows)
+
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", table)
+        .option("maxfilespertrigger", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert nbatches[0] == 3
+    assert sorted(t for _i, _v, t in got) == [
+        "delete", "insert", "insert", "insert"
+    ]
+
+    # iceberg_tail: 3 one-file snapshots, cap 1 → 3 batches
+    ice = str(tmp_path / "ice")
+    for i in range(3):
+        write_iceberg(
+            _mk(spark, [(i, f"s{i}")], "id bigint, s string").coalesce(1),
+            ice,
+        )
+    got.clear()
+    nbatches[0] = 0
+
+    def sink2(batch_df, epoch_id):
+        rows = [(r.id, r._snapshot_id) for r in batch_df.collect()]
+        if rows:
+            nbatches[0] += 1
+            got.extend(rows)
+
+    q = (
+        spark.readStream.format("iceberg_tail")
+        .option("path", ice)
+        .option("maxfilespertrigger", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ick"))
+        .foreachBatch(sink2)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert nbatches[0] == 3
+    assert sorted(i for i, _s in got) == [0, 1, 2]
