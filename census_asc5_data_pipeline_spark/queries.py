@@ -10068,6 +10068,142 @@ FROM cents GROUP BY segment
 """
 
 
+def q_iceberg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg merge-on-read MERGE through the registry gate (round-11
+    verdict #3 — the Delta ``merge_upsert`` twin, so the write side of
+    BOTH formats faces the driver's oracle): materializes a
+    ``bucket(8, okey)``-PARTITIONED Iceberg table from the 1994 orders
+    (the round-11 transform-DML staging path, spec murmur3 buckets),
+    MERGEs a deterministic source — 1994 keys ≡0 (mod 3) update their
+    cents (+100), keys ≡1 delete, and 1995 keys ≡0 (mod 5) insert — as
+    ONE merge-on-read snapshot (position-delete manifest + data
+    manifest sharing the sequence number), then reads BOTH states back
+    (snapshot 1 AS OF; the head through the position deletes) and
+    aggregates by priority, so DuckDB, reconstructing the same states
+    arithmetically from parquet, hash-verifies the whole
+    plan→retire→stage→commit→MoR-read loop. Money is per-row
+    FLOOR(x*100+0.5) integer cents; orderkeys are unique in orders
+    (TESTDATA) so the ANSI cardinality check stays quiet. Rebuilds
+    idempotently under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import iceberg_io
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    y94 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01"))
+    )
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_iceberg_merge_upsert_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    s1 = iceberg_io.write_iceberg(
+        y94.select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            cents.alias("total_cents"),
+        ),
+        base,
+        partition_by=["bucket(8,okey)"],
+    )
+    source = (
+        y94.filter(F.col("o_orderkey") % 3 < 2)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            (cents + F.lit(100)).alias("new_cents"),
+            F.when(F.col("o_orderkey") % 3 == 1, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        .unionByName(
+            y95.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_orderpriority").alias("priority"),
+                cents.alias("new_cents"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    merge_into(
+        spark,
+        "iceberg",
+        base,
+        source,
+        "t.okey = s.okey",
+        matched=[
+            ("delete", "s.op = 'D'"),
+            ("update", None, {"total_cents": "s.new_cents"}),
+        ],
+        not_matched={
+            "okey": "s.okey",
+            "priority": "s.priority",
+            "total_cents": "s.new_cents",
+        },
+    )
+
+    def roll(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("priority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("total_cents_sum"),
+        ).withColumn("version_tag", F.lit(tag))
+
+    pre = roll(
+        iceberg_io.read_iceberg(spark, base, snapshot_id=s1), "pre_merge"
+    )
+    post = roll(iceberg_io.read_iceberg(spark, base), "post_merge")
+    return pre.unionByName(post).select(
+        "version_tag", "priority", "n_orders", "total_cents_sum"
+    )
+
+
+SQL_ICEBERG_MERGE_UPSERT = """
+WITH c AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+y94 AS (
+  SELECT okey, priority, cents FROM c
+  WHERE o_orderdate >= DATE '1994-01-01'
+    AND o_orderdate < DATE '1995-01-01'
+),
+final AS (
+  SELECT okey, priority,
+         CASE WHEN okey % 3 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM y94
+  WHERE okey % 3 <> 1
+  UNION ALL
+  SELECT okey, priority, cents
+  FROM c
+  WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1996-01-01'
+    AND okey % 5 = 0
+)
+SELECT 'pre_merge' AS version_tag, priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents_sum
+FROM y94 GROUP BY priority
+UNION ALL
+SELECT 'post_merge' AS version_tag, priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents_sum
+FROM final GROUP BY priority
+"""
+
+
 # Registry order is deliberate: the driver's correctness gate verifies
 # the FIRST 50 entries per round. Every key is green across r1∪…∪r4,
 # so the round-5 window leads with the queries NEW this round, then
@@ -10079,6 +10215,8 @@ FROM cents GROUP BY segment
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 11 ---
+    "iceberg_merge_upsert": q_iceberg_merge_upsert,
     # --- new in round 10 ---
     "delta_dv_delete": q_delta_dv_delete,
     "merge_upsert": q_merge_upsert,
@@ -10307,6 +10445,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    # --- new in round 11 ---
+    "iceberg_merge_upsert": SQL_ICEBERG_MERGE_UPSERT,
     # --- new in round 10 ---
     "delta_dv_delete": SQL_DELTA_DV_DELETE,
     "merge_upsert": SQL_MERGE_UPSERT,

@@ -22,6 +22,12 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 11 ---
+    # returned plan = union of two 5-row rollups (partial/final agg
+    # pair each); the MoR position-delete anti-join broadcasts (tiny
+    # pos frame). Measured 2 with this counter; 4 = one agg pair per
+    # union branch if the broadcast ever degrades
+    "iceberg_merge_upsert": 4,
     # --- new in round 10 ---
     # one partial/final agg pair per union branch; the post-delete
     # branch's DV position anti-join broadcasts (tiny pos_df)
