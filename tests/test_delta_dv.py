@@ -791,3 +791,104 @@ def test_cdf_schema_change_mid_range(spark, tmp_path):
     assert read_delta(spark, path2).collect()[0].price == "ten"
     with pytest.raises(ValueError, match="incompatibly"):
         read_delta_cdf(spark, path2)
+
+
+def test_optimize_zorder_by_improves_file_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (round-11 elective): re-clustering on the
+    Morton interleave tightens per-file zone maps so a 2-D planted
+    predicate overlaps FEWER files than before — with identical table
+    content, dataChange=false rearrangement, and time travel intact."""
+    import os as _os
+    import urllib.parse as _up
+
+    import pyarrow.parquet as _pq
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        optimize_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    # x and y scattered so EVERY input file spans the full range of
+    # both -> zone maps skip nothing
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") * 7919) % 64).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    write_delta(df, path)
+
+    def _overlap_count(x_hi, y_hi):
+        """Files whose (min,max) zone maps overlap x<x_hi AND y<y_hi."""
+        from census_asc5_data_pipeline_spark.sources.delta_io import (
+            _replay,
+        )
+
+        _p, _m, adds, _t = _replay(spark, path, None)
+        hits = 0
+        for a in adds.values():
+            pf = _pq.ParquetFile(
+                _os.path.join(path, _up.unquote(a["path"]))
+            )
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(pf.metadata.num_row_groups):
+                for ci in range(pf.metadata.num_columns):
+                    col = pf.metadata.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = (
+                            st.min
+                            if mins[name] is None
+                            else min(mins[name], st.min)
+                        )
+                        maxs[name] = (
+                            st.max
+                            if maxs[name] is None
+                            else max(maxs[name], st.max)
+                        )
+            if mins["x"] is not None and mins["x"] < x_hi and (
+                mins["y"] is not None and mins["y"] < y_hi
+            ):
+                hits += 1
+        return hits
+
+    before_files = _overlap_count(8, 8)
+    assert before_files == 8  # scattered layout: every file overlaps
+    pre = sorted(
+        (r.x, r.y, r.payload) for r in read_delta(spark, path).collect()
+    )
+    res = optimize_delta(
+        spark, path, target_file_bytes=5_000, zorder_by=["x", "y"]
+    )
+    assert res["version"] is not None and res["files_after"] >= 4
+    after_files = _overlap_count(8, 8)
+    # compact hyper-rectangles: the corner predicate touches a strict
+    # minority of files now
+    assert after_files < before_files
+    assert after_files <= res["files_after"] // 2
+    # content identical, rearrangement invisible to the change feed,
+    # time travel intact
+    post = sorted(
+        (r.x, r.y, r.payload) for r in read_delta(spark, path).collect()
+    )
+    assert post == pre
+    feed, _ = read_delta_changes(
+        spark, path, since_version=res["version"] - 1
+    )
+    assert feed.count() == 0
+    assert read_delta(spark, path, version=0).count() == n
+    # unknown / non-numeric zorder columns gate loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zorder_by column"):
+        optimize_delta(spark, path, zorder_by=["nope"])
