@@ -158,13 +158,16 @@ class _FilePart(InputPartition):
 
 
 class _RateLimitMixin:
-    """``.option('maxfilespertrigger', N)`` — admission control for
-    the Python data source API (which has no native ReadLimit): cap
-    each planned batch at the first commit where the cumulative
-    changed-FILE count reaches N, so a restart after long downtime (or
-    a backfill from version 0) catches up in bounded batches instead
-    of one giant one. Commits are atomic and never split, so a single
-    commit larger than N still lands whole.
+    """``.option('maxfilespertrigger', N)`` /
+    ``.option('maxbytespertrigger', B)`` — admission control for the
+    Python data source API (which has no native ReadLimit): cap each
+    planned batch at the first commit where the cumulative changed-
+    FILE count reaches N or the cumulative changed-file BYTES reach B
+    (whichever limit is set trips first), so a restart after long
+    downtime (or a backfill from version 0) catches up in bounded
+    batches instead of one giant one. Commits are atomic and never
+    split, so a single commit larger than the budget still lands
+    whole.
 
     The reader tracks its position itself: ``initialOffset`` /
     ``partitions`` / ``commit`` all advance ``_pos`` (empirically the
@@ -176,27 +179,32 @@ class _RateLimitMixin:
 
     def _rl_init(self, options):
         self.max_files = int(options.get("maxfilespertrigger", 0))
+        self.max_bytes = int(options.get("maxbytespertrigger", 0))
         self._pos: int | None = None
         self._probe = self.starting
-        self._fcounts: dict[int, int] = {}
+        self._fcounts: dict[int, tuple[int, int]] = {}
 
     def _rl_advance(self, v: int) -> None:
         if self._pos is None or v > self._pos:
             self._pos = v
 
     def _rl_cap(self, versions: list[int], last: int) -> int:
-        if self.max_files <= 0:
+        if self.max_files <= 0 and self.max_bytes <= 0:
             return last
         base = self._pos if self._pos is not None else self._probe
-        end, files = base, 0
+        end, files, nbytes = base, 0, 0
         for v in sorted(versions):
             if v <= base or v > last:
                 continue
             if v not in self._fcounts:
                 self._fcounts[v] = self._count_files(v)
-            files += self._fcounts[v]
+            f, b = self._fcounts[v]
+            files += f
+            nbytes += b
             end = v
-            if files >= self.max_files:
+            if (self.max_files > 0 and files >= self.max_files) or (
+                self.max_bytes > 0 and nbytes >= self.max_bytes
+            ):
                 break
         self._probe = max(self._probe, end)
         return end
@@ -230,7 +238,7 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
     def _count_files(self, v):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
-        n = 0
+        n = b = 0
         with open(delta_io._commit_file(self.path, v)) as fh:
             for line in fh:
                 line = line.strip()
@@ -241,7 +249,8 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                     "dataChange", True
                 ):
                     n += 1
-        return n
+                    b += int(action["add"].get("size", 0))
+        return n, b
 
     def latestOffset(self):
         from census_asc5_data_pipeline_spark.sources import delta_io
@@ -435,6 +444,7 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         cdcs = adds = removes = 0
+        cdc_b = add_b = rm_b = 0
         with open(delta_io._commit_file(self.path, v)) as fh:
             for line in fh:
                 line = line.strip()
@@ -443,16 +453,22 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
                 action = json.loads(line)
                 if "cdc" in action:
                     cdcs += 1
+                    cdc_b += int(action["cdc"].get("size", 0))
                 elif "add" in action and action["add"].get(
                     "dataChange", True
                 ):
                     adds += 1
+                    add_b += int(action["add"].get("size", 0))
                 elif "remove" in action and action["remove"].get(
                     "dataChange", True
                 ):
                     removes += 1
+                    # size is spec-optional on removes
+                    rm_b += int(action["remove"].get("size") or 0)
         # cdc actions are the ONLY change source when present (spec)
-        return cdcs if cdcs else adds + removes
+        if cdcs:
+            return cdcs, cdc_b
+        return adds + removes, add_b + rm_b
 
     def latestOffset(self):
         from census_asc5_data_pipeline_spark.sources import delta_io

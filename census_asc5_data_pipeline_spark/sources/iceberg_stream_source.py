@@ -117,6 +117,8 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
         return {"snapshot_id": self.starting}
 
     def _count_files(self, sid):
+        import os
+
         from census_asc5_data_pipeline_spark.sources import iceberg_io
 
         _v, meta = iceberg_io._current_metadata(self.path)
@@ -129,11 +131,19 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
             None,
         )
         if snap is None:
-            return 0
+            return 0, 0
         ins, pos_d, eq_d = iceberg_io._changed_files_of_range(
             self.path, [snap]
         )
-        return len(ins) + len(pos_d) + len(eq_d)
+        paths = (
+            [p for p, _s in ins]
+            + [p for p, _s in pos_d]
+            + [p for p, _s, _ids in eq_d]
+        )
+        nbytes = sum(
+            os.path.getsize(p) for p in paths if os.path.exists(p)
+        )
+        return len(paths), nbytes
 
     def latestOffset(self):
         from census_asc5_data_pipeline_spark.sources import iceberg_io

@@ -114,19 +114,26 @@ def _plan_merge(
     ``__ri`` for position addressing. Raises if any target row matches
     more than one source row (the standard's cardinality violation).
     ``inserts`` = the NOT MATCHED [BY TARGET] source rows projected to
-    the target schema (None when no insert clause)."""
+    the target schema (None when no insert clause). ``not_matched``
+    is a {col: expr} dict (one unconditional INSERT) or an ORDERED
+    list of ``(cond_sql_or_None, {col: expr})`` — the ANSI
+    ``WHEN NOT MATCHED AND <cond> THEN INSERT`` surface, first
+    matching clause wins, rows matching none are skipped."""
     reserved = {"__base", "__ri"} & set(source.columns)
     if reserved:
         raise ValueError(
             f"MERGE source carries reserved column(s) {sorted(reserved)}"
         )
+    if isinstance(not_matched, dict):
+        not_matched = [(None, not_matched)]
     tnames = {f.name for f in target_fields}
-    unknown = set(not_matched or {}) - tnames
-    if unknown:
-        raise ValueError(
-            f"INSERT column(s) {sorted(unknown)} not in the table "
-            "schema (pass evolve_schema=True to add source columns)"
-        )
+    for _cond, vals in not_matched or []:
+        unknown = set(vals) - tnames
+        if unknown:
+            raise ValueError(
+                f"INSERT column(s) {sorted(unknown)} not in the table "
+                "schema (pass evolve_schema=True to add source columns)"
+            )
     for _tag, _cond, sets in _all_clauses(matched, nmbs):
         bad = set(sets or {}) - tnames
         if bad:
@@ -167,18 +174,33 @@ def _plan_merge(
     ).otherwise(_chain(_clause_actions(nmbs, "n")))
     tagged = j.withColumn("__action", action)
     inserts = None
-    if not_matched is not None:
+    if not_matched:
         anti = src.join(scan.alias("t"), F.expr(on), "left_anti")
+        # first insert clause wins (ANSI order); unmatched-by-every-
+        # condition rows are skipped
+        iclauses = [
+            (f"i{k}", cond, dict(vals))
+            for k, (cond, vals) in enumerate(not_matched)
+        ]
+        ichain = F.lit("skip")
+        for itag, cond, _vals in reversed(iclauses):
+            hit = F.lit(True) if cond is None else F.coalesce(
+                F.expr(cond), F.lit(False)
+            )
+            ichain = F.when(hit, F.lit(itag)).otherwise(ichain)
+        anti = anti.withColumn("__iaction", ichain).where(
+            F.col("__iaction") != "skip"
+        )
         cols = []
         for f in target_fields:
-            if f.name in not_matched:
-                cols.append(
-                    F.expr(not_matched[f.name])
-                    .cast(f.dataType)
-                    .alias(f.name)
-                )
-            else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            expr = F.lit(None).cast(f.dataType)
+            for itag, _cond, vals in reversed(iclauses):
+                if f.name in vals:
+                    expr = F.when(
+                        F.col("__iaction") == itag,
+                        F.expr(vals[f.name]).cast(f.dataType),
+                    ).otherwise(expr)
+            cols.append(expr.alias(f.name))
         inserts = anti.select(cols)
     return tagged, inserts
 
@@ -1004,7 +1026,7 @@ def merge_into_sql(
     star_extra = [c for c in source.columns if c not in tgt_cols]
     matched: list[MatchedClause] = []
     nmbs: list[MatchedClause] = []
-    not_matched: dict | None = None
+    not_matched: list[tuple] = []
     for wm in _WHEN_RE.finditer(m.group("clauses")):
         cond = wm.group("cond")
         cond = _realias(cond.strip()) if cond else None
@@ -1046,10 +1068,6 @@ def merge_into_sql(
                 raise ValueError(
                     "WHEN NOT MATCHED supports only INSERT"
                 )
-            if cond is not None:
-                raise NotImplementedError(
-                    "WHEN NOT MATCHED AND <cond> is out of scope"
-                )
             body = act[len("INSERT"):].strip()
             if body == "*":
                 if star_extra:
@@ -1058,7 +1076,9 @@ def merge_into_sql(
                         "not in the target schema — pass "
                         "evolve_schema=True to add them"
                     )
-                not_matched = {c: f"s.{c}" for c in tgt_cols}
+                not_matched.append(
+                    (cond, {c: f"s.{c}" for c in tgt_cols})
+                )
             else:
                 bm = re.match(
                     r"^\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)$",
@@ -1075,9 +1095,9 @@ def merge_into_sql(
                     raise ValueError(
                         "INSERT column/value count mismatch"
                     )
-                not_matched = {
-                    c: _realias(v) for c, v in zip(cols, vals)
-                }
+                not_matched.append(
+                    (cond, {c: _realias(v) for c, v in zip(cols, vals)})
+                )
         elif up.startswith("DELETE"):
             matched.append(("delete", cond))
         elif up.startswith("UPDATE"):
@@ -1114,7 +1134,7 @@ def merge_into_sql(
         source,
         on,
         matched,
-        not_matched,
+        not_matched or None,
         not_matched_by_source=nmbs,
         evolve_schema=evolve_schema,
     )
@@ -1333,18 +1353,20 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<target>[\w.]+)\s*"
+    r"^\s*INSERT\s+(?:(?P<into>INTO)|(?P<over>OVERWRITE))\s+"
+    r"(?:TABLE\s+)?(?P<target>[\w.]+)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:SELECT|VALUES)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
-def _insert_into(spark, fmt, path, cols_clause, body) -> int:
-    """``INSERT INTO t [(cols)] SELECT ...|VALUES ...`` — the fourth
-    DML verb (round-11): the body evaluates as a Spark SQL query, maps
-    POSITIONALLY onto the named columns (or the full target schema),
-    fills unnamed target columns with NULL, casts to the target types,
-    and appends through the native writer (one commit/snapshot)."""
+def _insert_into(spark, fmt, path, cols_clause, body, mode="append") -> int:
+    """``INSERT INTO|OVERWRITE t [(cols)] SELECT ...|VALUES ...`` —
+    the fourth DML verb (round-11): the body evaluates as a Spark SQL
+    query, maps POSITIONALLY onto the named columns (or the full
+    target schema), fills unnamed target columns with NULL, casts to
+    the target types, and appends (INTO) or replaces (OVERWRITE)
+    through the native writer in one commit/snapshot."""
     if fmt == "delta":
         import json as _json
 
@@ -1390,12 +1412,12 @@ def _insert_into(spark, fmt, path, cols_clause, body) -> int:
             write_delta,
         )
 
-        return write_delta(out, path, mode="append")
+        return write_delta(out, path, mode=mode)
     from census_asc5_data_pipeline_spark.sources.iceberg_io import (
         write_iceberg,
     )
 
-    return write_iceberg(out, path, mode="append")
+    return write_iceberg(out, path, mode=mode)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>[\w.]+)"
     r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*$",
@@ -1438,7 +1460,12 @@ def dml_sql(
             )
         fmt, path = _resolve(m.group("target"))
         return _insert_into(
-            spark, fmt, path, m.group("cols"), m.group("body")
+            spark,
+            fmt,
+            path,
+            m.group("cols"),
+            m.group("body"),
+            mode="overwrite" if m.group("over") else "append",
         )
     if head == "UPDATE":
         m = _UPDATE_RE.match(text)

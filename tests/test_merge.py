@@ -664,6 +664,20 @@ def test_update_where_both_formats_and_dml_sql(spark, tmp_path):
         dml_sql(spark, "INSERT INTO d (nope) VALUES (1)", cat)
     with pytest.raises(ValueError, match="column"):
         dml_sql(spark, "INSERT INTO d VALUES (1)", cat)
+    # INSERT OVERWRITE replaces the table contents atomically
+    dml_sql(
+        spark,
+        "INSERT OVERWRITE TABLE i VALUES "
+        "(CAST(1 AS BIGINT), 'only'), (CAST(2 AS BIGINT), 'rows')",
+        cat,
+    )
+    assert sorted(
+        (r.id, r.s) for r in read_iceberg(spark, path3).collect()
+    ) == [(1, "only"), (2, "rows")]
+    dml_sql(spark, "INSERT OVERWRITE d (id) SELECT CAST(42 AS BIGINT)", cat)
+    assert [(r.id, r.price) for r in read_delta(spark, path).collect()] == [
+        (42, None)
+    ]
 
 
 def test_update_iceberg_partitioned_row_migration(spark, tmp_path):
@@ -1008,3 +1022,64 @@ def test_merge_schema_evolution_opt_in(spark, tmp_path):
             not_matched={"id": "s.id", "s": "s.s", "n": "s.n"},
             evolve_schema=True,
         )
+
+
+def test_merge_conditional_insert_clauses(spark, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT (round-11): ordered
+    insert clauses, first match wins, rows matching no condition are
+    skipped — the ANSI surface the r10 parser still gated."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into,
+        merge_into_sql,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(1, 10.0, "x")], "id bigint, price double, tag string"),
+        path,
+    )
+    _mk(
+        spark,
+        [(2, 20.0, "gold"), (3, 30.0, "base"), (4, 0.0, "skip")],
+        "id bigint, price double, kind string",
+    ).createOrReplaceTempView("cond_src")
+    v = merge_into_sql(
+        spark,
+        "MERGE INTO t USING cond_src s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.kind = 'gold' THEN "
+        "INSERT (id, price, tag) VALUES (s.id, s.price * 2, 'premium') "
+        "WHEN NOT MATCHED AND s.kind = 'base' THEN "
+        "INSERT (id, price) VALUES (s.id, s.price)",
+        {"t": ("delta", path)},
+    )
+    assert v == 1
+    got = sorted(
+        ((r.id, r.price, r.tag) for r in read_delta(spark, path).collect()),
+        key=repr,
+    )
+    # gold doubled + tagged, base inserted with NULL tag, 'skip'
+    # matched no insert clause -> dropped
+    assert got == sorted(
+        [(1, 10.0, "x"), (2, 40.0, "premium"), (3, 30.0, None)], key=repr
+    )
+    # engine API: ordered list form, first clause wins on overlap
+    v2 = merge_into(
+        spark,
+        "delta",
+        path,
+        _mk(spark, [(9, 90.0, "gold")],
+            "id bigint, price double, kind string"),
+        "t.id = s.id",
+        not_matched=[
+            ("s.kind = 'gold'", {"id": "s.id", "tag": "'first'"}),
+            (None, {"id": "s.id", "tag": "'fallback'"}),
+        ],
+    )
+    assert v2 == 2
+    assert (9, None, "first") in {
+        (r.id, r.price, r.tag) for r in read_delta(spark, path).collect()
+    }

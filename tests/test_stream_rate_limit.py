@@ -188,3 +188,23 @@ def test_delta_cdf_and_iceberg_tail_rate_limit(spark, tmp_path):
     q.stop()
     assert nbatches[0] == 3
     assert sorted(i for i, _s in got) == [0, 1, 2]
+
+    # byte-based cap: 1 byte per trigger degenerates to one snapshot
+    # per batch too (every snapshot exceeds the budget, commits are
+    # never split)
+    got.clear()
+    nbatches[0] = 0
+    q = (
+        spark.readStream.format("iceberg_tail")
+        .option("path", ice)
+        .option("maxbytespertrigger", 1)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ick2"))
+        .foreachBatch(sink2)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert nbatches[0] == 3
+    assert sorted(i for i, _s in got) == [0, 1, 2]
