@@ -72,6 +72,47 @@ def zorder_key(cols: list, bits: int = 16):
     return key
 
 
+def zorder_cluster(df: DataFrame, zcols: list[str], n_files: int) -> DataFrame:
+    """Cluster ``df`` for a compaction rewrite: min/max-scale each
+    numeric ``zcols`` column into a bit lane, Morton-interleave
+    (:func:`zorder_key`), then range-partition into ``n_files`` and
+    sort within partitions — each output file covers a compact
+    hyper-rectangle of the key space so parquet zone maps skip on all
+    the named columns at once. Shared by ``optimize_delta(zorder_by=)``
+    and ``rewrite_data_files(zorder_by=)`` (round-11). One extra
+    min/max agg job over the files being rewritten — metadata-cheap
+    next to the rewrite itself."""
+    from pyspark.sql import functions as F
+
+    bits = min(16, 63 // len(zcols))
+    stats = df.agg(
+        *(
+            [F.min(c).alias(f"__mn{i}") for i, c in enumerate(zcols)]
+            + [F.max(c).alias(f"__mx{i}") for i, c in enumerate(zcols)]
+        )
+    ).first()
+    lanes = []
+    for i, c in enumerate(zcols):
+        mn, mx = stats[f"__mn{i}"], stats[f"__mx{i}"]
+        if mn is None or mx is None or mx == mn:
+            lanes.append(F.lit(0).cast("bigint"))
+        else:
+            span = float(mx) - float(mn)
+            lanes.append(
+                F.floor(
+                    (F.col(c).cast("double") - float(mn))
+                    / span
+                    * ((1 << bits) - 1)
+                ).cast("bigint")
+            )
+    return (
+        df.withColumn("__zk", zorder_key(lanes, bits))
+        .repartitionByRange(int(n_files), "__zk")
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

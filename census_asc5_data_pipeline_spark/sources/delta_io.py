@@ -2063,37 +2063,11 @@ def optimize_delta(
         staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
         if zorder_by:
             from census_asc5_data_pipeline_spark.sources.bucketing import (
-                zorder_key,
+                zorder_cluster,
             )
 
-            bits = min(16, 63 // len(zorder_by))
-            stats = src.agg(
-                *(
-                    [F.min(c).alias(f"__mn{i}") for i, c in
-                     enumerate(zorder_by)]
-                    + [F.max(c).alias(f"__mx{i}") for i, c in
-                       enumerate(zorder_by)]
-                )
-            ).first()
-            lanes = []
-            for i, c in enumerate(zorder_by):
-                mn, mx = stats[f"__mn{i}"], stats[f"__mx{i}"]
-                if mn is None or mx is None or mx == mn:
-                    lanes.append(F.lit(0).cast("bigint"))
-                else:
-                    span = float(mx) - float(mn)
-                    lanes.append(
-                        F.floor(
-                            (F.col(c).cast("double") - float(mn))
-                            / span
-                            * ((1 << bits) - 1)
-                        ).cast("bigint")
-                    )
             (
-                src.withColumn("__zk", zorder_key(lanes, bits))
-                .repartitionByRange(int(want_files), "__zk")
-                .sortWithinPartitions("__zk")
-                .drop("__zk")
+                zorder_cluster(src, list(zorder_by), int(want_files))
                 .write.mode("overwrite")
                 .parquet(staging)
             )

@@ -146,6 +146,52 @@ def _pv_to_arrow(t_str: str, raw, n: int):
     return pa.array([val] * n, pa_t)
 
 
+
+def _parse_ts_ms(raw: str) -> int:
+    """startingtimestamp option value → epoch millis: an integer is
+    taken as millis, anything else parses as an ISO date/datetime."""
+    raw = str(raw).strip()
+    try:
+        return int(raw)
+    except ValueError:
+        import datetime
+
+        return int(
+            datetime.datetime.fromisoformat(raw)
+            .replace(
+                tzinfo=datetime.timezone.utc
+                if datetime.datetime.fromisoformat(raw).tzinfo is None
+                else datetime.datetime.fromisoformat(raw).tzinfo
+            )
+            .timestamp()
+            * 1000
+        )
+
+
+def _starting_from_options(path: str, options) -> int:
+    """Resolve startingversion/startingtimestamp to the stream's
+    exclusive starting version: with a timestamp, commits stamped AT
+    or AFTER it are emitted (delta-spark's startingTimestamp
+    semantics) — i.e. starting = the newest version stamped strictly
+    before it (-1 when the table begins after it)."""
+    sv = options.get("startingversion")
+    st = options.get("startingtimestamp")
+    if sv is not None and st is not None:
+        raise ValueError(
+            "pass startingversion OR startingtimestamp, not both"
+        )
+    if st is None:
+        return int(sv) if sv is not None else -1
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    try:
+        return delta_io.version_as_of_timestamp_delta(
+            path, _parse_ts_ms(st) - 1
+        )
+    except ValueError:
+        return -1  # table begins after the timestamp: emit everything
+
+
 class _FilePart(InputPartition):
     def __init__(self, path, version, pv, pcols, fields, table=None, dv=None):
         self.path = path
@@ -215,7 +261,7 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_tail requires .option('path', ...)")
-        self.starting = int(options.get("startingversion", -1))
+        self.starting = _starting_from_options(self.path, options)
         self._rl_init(options)
         self.fields, self.pcols = _log_meta(self.path)
         # fail at construction, not per-batch, for partition-column
@@ -422,7 +468,7 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_cdf requires .option('path', ...)")
-        self.starting = int(options.get("startingversion", -1))
+        self.starting = _starting_from_options(self.path, options)
         self._rl_init(options)
         self.fields, self.pcols = _log_meta(self.path)
         for f in self.fields:

@@ -101,7 +101,28 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("iceberg_tail requires .option('path', ...)")
-        self.starting = int(options.get("startingsnapshotid", 0))
+        sv = options.get("startingsnapshotid")
+        st = options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass startingsnapshotid OR startingtimestamp, not both"
+            )
+        if st is not None:
+            from census_asc5_data_pipeline_spark.sources import (
+                delta_stream_source as _dss,
+                iceberg_io,
+            )
+
+            ts_ms = _dss._parse_ts_ms(st)
+            # snapshots stamped AT or AFTER the timestamp are emitted
+            before = [
+                s["snapshot-id"]
+                for s in iceberg_io.iceberg_snapshots(self.path)
+                if int(s.get("timestamp-ms", 0)) < ts_ms
+            ]
+            self.starting = max(before, default=0)
+        else:
+            self.starting = int(sv) if sv is not None else 0
         self._rl_init(options)
         from pyspark.sql.pandas.types import to_arrow_schema
 

@@ -1336,3 +1336,87 @@ def test_iceberg_expire_drops_dangling_metadata_log(spark, tmp_path):
     meta = json.load(open(os.path.join(md, f"v{hint}.metadata.json")))
     for e in meta["metadata-log"]:
         assert os.path.exists(e["metadata-file"]), e
+
+
+def test_rewrite_data_files_zorder(spark, tmp_path):
+    """rewrite_data_files(zorder_by=...) (round-11): the Iceberg twin
+    of OPTIMIZE ZORDER — re-clustering tightens per-file zone maps on
+    a 2-D planted predicate, content is unchanged, the change feed
+    stays silent (status=0 rewrite), prior snapshots intact."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _current_metadata,
+        _local,
+        _snapshot_files,
+        read_iceberg,
+        read_iceberg_changes,
+        rewrite_data_files,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") * 7919) % 64).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    write_iceberg(df, path)
+
+    def _overlap_count(x_hi, y_hi):
+        _v, meta = _current_metadata(path)
+        live, _dels = _snapshot_files(path, meta, None)
+        hits = 0
+        for d in live:
+            pf = _pq.ParquetFile(_os.path.abspath(_local(d["file_path"])))
+            mins = {"x": None, "y": None}
+            for rg in range(pf.metadata.num_row_groups):
+                for ci in range(pf.metadata.num_columns):
+                    col = pf.metadata.row_group(rg).column(ci)
+                    nm = col.path_in_schema
+                    if nm in mins and col.statistics is not None:
+                        st = col.statistics
+                        mins[nm] = (
+                            st.min
+                            if mins[nm] is None
+                            else min(mins[nm], st.min)
+                        )
+            if (
+                mins["x"] is not None
+                and mins["x"] < x_hi
+                and mins["y"] is not None
+                and mins["y"] < y_hi
+            ):
+                hits += 1
+        return hits
+
+    assert _overlap_count(8, 8) == 8  # scattered: every file overlaps
+    pre = sorted(
+        (r.x, r.y, r.payload) for r in read_iceberg(spark, path).collect()
+    )
+    res = rewrite_data_files(
+        spark, path, target_file_bytes=5_000, zorder_by=["x", "y"]
+    )
+    assert res["snapshot_id"] is not None and res["files_after"] >= 4
+    after = _overlap_count(8, 8)
+    assert after < 8 and after <= res["files_after"] // 2
+    post = sorted(
+        (r.x, r.y, r.payload) for r in read_iceberg(spark, path).collect()
+    )
+    assert post == pre
+    # pure rearrangement: the change feed emits nothing for the rewrite
+    feed, _ = read_iceberg_changes(spark, path, since_snapshot_id=1)
+    assert feed.count() == 0
+    assert read_iceberg(spark, path, snapshot_id=1).count() == n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zorder_by column"):
+        rewrite_data_files(spark, path, zorder_by=["nope"])

@@ -208,3 +208,96 @@ def test_delta_cdf_and_iceberg_tail_rate_limit(spark, tmp_path):
     q.stop()
     assert nbatches[0] == 3
     assert sorted(i for i, _s in got) == [0, 1, 2]
+
+
+def test_starting_timestamp_option(spark, tmp_path):
+    """startingtimestamp (round-11): commits/snapshots stamped AT or
+    AFTER the given epoch-millis (or ISO) timestamp stream; earlier
+    history is skipped — the time-travel twin of startingversion."""
+    import json
+    import os
+    import time
+
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+        iceberg_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        iceberg_snapshots,
+        write_iceberg,
+    )
+
+    delta_stream_source.register(spark)
+    iceberg_stream_source.register(spark)
+    table = str(tmp_path / "t")
+    write_delta(_mk(spark, [(1,)], "id bigint").coalesce(1), table)
+    time.sleep(0.05)
+    write_delta(_mk(spark, [(2,)], "id bigint").coalesce(1), table)
+    v1_ts = next(
+        json.loads(l)["commitInfo"]["timestamp"]
+        for l in open(
+            os.path.join(table, "_delta_log", f"{1:020d}.json")
+        )
+        if "commitInfo" in l
+    )
+    got: list[int] = []
+
+    def sink(batch_df, epoch_id):
+        got.extend(r.id for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", table)
+        .option("startingtimestamp", str(v1_ts))
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert got == [2]  # v0 (stamped before) skipped
+
+    # both options together is ambiguous (constructor-level check —
+    # stream-runner errors surface asynchronously)
+    import pytest
+
+    from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
+        DeltaTailStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="not both"):
+        DeltaTailStreamReader(
+            {
+                "path": table,
+                "startingversion": "0",
+                "startingtimestamp": str(v1_ts),
+            }
+        )
+
+    # iceberg twin
+    ice = str(tmp_path / "ice")
+    write_iceberg(_mk(spark, [(1,)], "id bigint").coalesce(1), ice)
+    time.sleep(0.05)
+    write_iceberg(_mk(spark, [(2,)], "id bigint").coalesce(1), ice)
+    s2_ts = max(
+        int(s["timestamp-ms"]) for s in iceberg_snapshots(ice)
+    )
+    got.clear()
+    q = (
+        spark.readStream.format("iceberg_tail")
+        .option("path", ice)
+        .option("startingtimestamp", str(s2_ts))
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ick"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert got == [2]
