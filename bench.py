@@ -136,6 +136,7 @@ GROUPS: dict[str, list[str]] = {
     # delete staging, not the returned plan)
     "r11_tail": [
         "iceberg_merge_upsert",
+        "cdf_replay",
     ],
 }
 

@@ -10204,6 +10204,112 @@ FROM final GROUP BY priority
 """
 
 
+def q_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta Change Data Feed through the registry gate (round-11:
+    the CDC read contract faces the driver's oracle, not just pytest):
+    materializes a row-level Delta table from customer with
+    ``delta.enableChangeDataFeed=true``, applies the full DML verb set
+    — an UPDATE (+100 cents for custkey ≡0 mod 7), a DV-mode DELETE
+    (the MACHINERY segment, with per-row cdc delete images), and a
+    MERGE insert ((-key-1) clones of custkey ≡0 mod 11, collision-free
+    by construction) — then
+    reads the ENTIRE change feed back with ``read_delta_cdf`` and
+    aggregates it by (_change_type, segment), so DuckDB, deriving the
+    same pre/post/delete/insert image sets arithmetically from
+    parquet, hash-verifies the spec's §Add CDC File staging + read
+    loop end-to-end. DML order matters and is encoded in the oracle:
+    the delete images carry the post-UPDATE values. Money is per-row
+    FLOOR(x*100+0.5) integer cents. Rebuilds idempotently under /tmp
+    per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into,
+        update_where,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_cdf_replay_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    delta_io.write_delta(cust, base)  # v0
+    v1 = delta_io.set_delta_properties(
+        spark, base, {"delta.enableChangeDataFeed": "true"}
+    )
+    update_where(
+        spark,
+        "delta",
+        base,
+        "c_custkey % 7 = 0",
+        {"bal_cents": "bal_cents + 100"},
+    )
+    delta_io.delete_delta_where(
+        spark, base, "segment = 'MACHINERY'", mode="dv"
+    )
+    merge_into(
+        spark,
+        "delta",
+        base,
+        cust.filter(F.col("c_custkey") % 11 == 0).select(
+            # -key - 1 so key 0's clone cannot collide with itself
+            (-F.col("c_custkey") - 1).alias("c_custkey"),
+            "segment",
+            "bal_cents",
+        ),
+        "t.c_custkey = s.c_custkey",
+        not_matched={
+            "c_custkey": "s.c_custkey",
+            "segment": "s.segment",
+            "bal_cents": "s.bal_cents",
+        },
+    )
+    feed, _last = delta_io.read_delta_cdf(spark, base, since_version=v1)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "segment"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("bal_cents").cast("bigint").alias("cents_sum"),
+    )
+
+
+SQL_CDF_REPLAY = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+changes AS (
+  SELECT 'update_preimage' AS change_type, segment, cents
+  FROM c WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT 'update_postimage', segment, cents + 100
+  FROM c WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT 'delete', segment,
+         CASE WHEN c_custkey % 7 = 0 THEN cents + 100 ELSE cents END
+  FROM c WHERE segment = 'MACHINERY'
+  UNION ALL
+  SELECT 'insert', segment, cents
+  FROM c WHERE c_custkey % 11 = 0
+)
+SELECT change_type, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM changes GROUP BY change_type, segment
+"""
+
+
 # Registry order is deliberate: the driver's correctness gate verifies
 # the FIRST 50 entries per round. Every key is green across r1∪…∪r4,
 # so the round-5 window leads with the queries NEW this round, then
@@ -10217,6 +10323,7 @@ FROM final GROUP BY priority
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 11 ---
     "iceberg_merge_upsert": q_iceberg_merge_upsert,
+    "cdf_replay": q_cdf_replay,
     # --- new in round 10 ---
     "delta_dv_delete": q_delta_dv_delete,
     "merge_upsert": q_merge_upsert,
@@ -10447,6 +10554,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 11 ---
     "iceberg_merge_upsert": SQL_ICEBERG_MERGE_UPSERT,
+    "cdf_replay": SQL_CDF_REPLAY,
     # --- new in round 10 ---
     "delta_dv_delete": SQL_DELTA_DV_DELETE,
     "merge_upsert": SQL_MERGE_UPSERT,

@@ -15,6 +15,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
     "iceberg_merge_upsert",
+    "cdf_replay",
     "delta_dv_delete",
     "merge_upsert",
     "delta_as_of",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "near_dup_triangles",
     "dedup_ngram_jaccard",
     "fuzzy_match",
-    "bloom_join",
 ]
 
 

@@ -23,6 +23,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 11 ---
+    # returned plan = one groupBy over the cdc-file scan union
+    # (partial/final agg pair measures 1 with this counter); 2 leaves
+    # room if the union branches ever stop coalescing
+    "cdf_replay": 2,
     # returned plan = union of two 5-row rollups (partial/final agg
     # pair each); the MoR position-delete anti-join broadcasts (tiny
     # pos frame). Measured 2 with this counter; 4 = one agg pair per
