@@ -52,9 +52,13 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _log_meta(path: str):
-    """(spark_schema_json_fields, partition_cols, ddl) from the log —
-    driver-side, no SparkSession needed (the data source API calls
-    schema() off-session)."""
+    """(spark_schema_json_fields, partition_cols, physical_of) from the
+    log — driver-side, no SparkSession needed (the data source API
+    calls schema() off-session). ``physical_of`` is the
+    logical→physical column map when delta.columnMapping.mode is
+    name/id (round-11: the stream gate lifted — data files and
+    partitionValues keys use PHYSICAL names; the reader remaps), else
+    None."""
     from census_asc5_data_pipeline_spark.sources import delta_io
 
     versions = delta_io.delta_versions(path)
@@ -80,16 +84,10 @@ def _log_meta(path: str):
                 meta = row["metaData"]
     if not meta:
         raise FileNotFoundError(f"no Delta metaData found at {path!r}")
-    if (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    ) not in (None, "", "none"):
-        raise NotImplementedError(
-            "delta_tail over a column-mapped table is out of scope "
-            "(physical-name resolution lives in delta_io.read_delta)"
-        )
+    physical_of = delta_io._column_mapping(meta)
     schema = json.loads(meta["schemaString"])
     pcols = list(meta.get("partitionColumns") or [])
-    return schema["fields"], pcols
+    return schema["fields"], pcols, physical_of
 
 
 _SPARK_TO_PA = {
@@ -193,7 +191,8 @@ def _starting_from_options(path: str, options) -> int:
 
 
 class _FilePart(InputPartition):
-    def __init__(self, path, version, pv, pcols, fields, table=None, dv=None):
+    def __init__(self, path, version, pv, pcols, fields, table=None,
+                 dv=None, phys=None):
         self.path = path
         self.version = version
         self.pv = pv
@@ -201,6 +200,7 @@ class _FilePart(InputPartition):
         self.fields = fields
         self.table = table
         self.dv = dv
+        self.phys = phys  # logical->physical map (column mapping)
 
 
 class _RateLimitMixin:
@@ -263,7 +263,7 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
             raise ValueError("delta_tail requires .option('path', ...)")
         self.starting = _starting_from_options(self.path, options)
         self._rl_init(options)
-        self.fields, self.pcols = _log_meta(self.path)
+        self.fields, self.pcols, self.physical_of = _log_meta(self.path)
         # fail at construction, not per-batch, for partition-column
         # types outside the spec's partition-value serialization table
         for f in self.fields:
@@ -342,6 +342,7 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                                 self.fields,
                                 table=self.path,
                                 dv=a.get("deletionVector"),
+                                phys=self.physical_of,
                             )
                         )
         # the engine requires >= 1 partition per batch; an empty range
@@ -390,9 +391,15 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                     continue
             n = batch.num_rows
             arrays = list(batch.columns)
-            names = list(batch.schema.names)
+            phys = partition.phys or {}
+            logical = {v: k for k, v in phys.items()}
+            # mapped tables store PHYSICAL column names in the parquet
+            # (and key partitionValues physically) — remap to logical
+            names = [
+                logical.get(nm, nm) for nm in batch.schema.names
+            ]
             for c in pcols:
-                raw = partition.pv.get(c)
+                raw = partition.pv.get(phys.get(c, c))
                 if raw == _HIVE_NULL:
                     raw = None
                 arrays.append(
@@ -418,7 +425,7 @@ class DeltaTailDataSource(DataSource):
         return "delta_tail"
 
     def schema(self):
-        fields, pcols = _log_meta(self.options.get("path"))
+        fields, pcols, _phys = _log_meta(self.options.get("path"))
         from pyspark.sql import types as T
 
         st = T.StructType.fromJson(
@@ -440,7 +447,7 @@ class _CdfPart(InputPartition):
     REMOVE's recorded DV applied, i.e. the rows live at removal)."""
 
     def __init__(self, path, version, pv, pcols, fields, kind,
-                 table=None, dv=None):
+                 table=None, dv=None, phys=None):
         self.path = path
         self.version = version
         self.pv = pv
@@ -449,6 +456,7 @@ class _CdfPart(InputPartition):
         self.kind = kind
         self.table = table
         self.dv = dv
+        self.phys = phys
 
 
 class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
@@ -470,7 +478,7 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
             raise ValueError("delta_cdf requires .option('path', ...)")
         self.starting = _starting_from_options(self.path, options)
         self._rl_init(options)
-        self.fields, self.pcols = _log_meta(self.path)
+        self.fields, self.pcols, self.physical_of = _log_meta(self.path)
         for f in self.fields:
             t = f["type"]
             if f["name"] in self.pcols and not (
@@ -598,6 +606,7 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
                             self.pcols,
                             self.fields,
                             "cdc",
+                            phys=self.physical_of,
                         )
                     )
                 continue  # cdc actions are the ONLY source (spec)
@@ -622,6 +631,7 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
                             kind,
                             table=self.path,
                             dv=a.get("deletionVector"),
+                            phys=self.physical_of,
                         )
                     )
         if not parts:
@@ -674,9 +684,13 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
                     continue
             n = batch.num_rows
             arrays = list(batch.columns)
-            names = list(batch.schema.names)
+            phys = partition.phys or {}
+            logical = {v: k for k, v in phys.items()}
+            names = [
+                logical.get(nm, nm) for nm in batch.schema.names
+            ]
             for c in pcols:
-                raw = partition.pv.get(c)
+                raw = partition.pv.get(phys.get(c, c))
                 if raw == _HIVE_NULL:
                     raw = None
                 arrays.append(
@@ -705,7 +719,7 @@ class DeltaCdfDataSource(DataSource):
         return "delta_cdf"
 
     def schema(self):
-        fields, pcols = _log_meta(self.options.get("path"))
+        fields, pcols, _phys = _log_meta(self.options.get("path"))
         from pyspark.sql import types as T
 
         st = T.StructType.fromJson(

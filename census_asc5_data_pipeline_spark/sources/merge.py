@@ -284,13 +284,9 @@ def merge_into(
             evolve_schema,
         )
     if fmt == "iceberg":
-        if evolve_schema:
-            raise NotImplementedError(
-                "evolve_schema is the delta-spark extension — Iceberg "
-                "MERGE keeps schema enforcement"
-            )
         return _merge_iceberg(
-            spark, path, source, on, matched, nmbs, not_matched
+            spark, path, source, on, matched, nmbs, not_matched,
+            evolve_schema,
         )
     raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
 
@@ -514,7 +510,8 @@ def _spec_pcols(meta: dict, fields: list[dict], verb: str) -> list[dict]:
 
 
 def _merge_iceberg(
-    spark, path, source, on, matched, nmbs, not_matched
+    spark, path, source, on, matched, nmbs, not_matched,
+    evolve_schema=False,
 ) -> int | None:
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
     from census_asc5_data_pipeline_spark.sources.avro_io import (
@@ -524,6 +521,43 @@ def _merge_iceberg(
     cur_v, meta = ice._current_metadata(path)
     schema, fields = ice._schema_of(meta)
     pcols = _spec_pcols(meta, fields, "MERGE")
+    evolved_fields = None
+    extra_sp: list[T.StructField] = []
+    if evolve_schema:
+        extra_sp = [
+            T.StructField(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name not in schema.fieldNames()
+        ]
+        if extra_sp:
+            # Iceberg schema evolution: register a NEW schema-id with
+            # name-stable old field ids + fresh ids for the additions
+            # (the write_iceberg overwrite discipline); old data files
+            # scan NULL for the new columns
+            next_id = max(
+                [int(meta.get("last-column-id", 0))]
+                + [f["id"] for f in fields]
+            )
+            new_ice = []
+            for f in extra_sp:
+                t = ice._SPARK_TO_ICE.get(f.dataType.simpleString())
+                if t is None:
+                    raise ValueError(
+                        "iceberg schema evolution supports flat "
+                        f"primitives + timestamp; {f.name!r} is "
+                        f"{f.dataType.simpleString()!r}"
+                    )
+                next_id += 1
+                new_ice.append(
+                    {
+                        "id": next_id,
+                        "name": f.name,
+                        "required": False,
+                        "type": t,
+                    }
+                )
+            evolved_fields = list(fields) + new_ice
+            schema = T.StructType(list(schema.fields) + extra_sp)
     data_files, delete_fs = ice._snapshot_files(path, meta, None)
     abs_of_base: dict[str, str] = {}
     for dd in data_files:
@@ -535,10 +569,19 @@ def _merge_iceberg(
                 "address positions unambiguously"
             )
         abs_of_base[base] = ap
+    old_schema = (
+        T.StructType(schema.fields[: len(fields)])
+        if evolved_fields
+        else schema
+    )
     if data_files:
         scan = ice._scan_with_deletes(
-            spark, schema, fields, data_files, delete_fs, keep_pos=True
+            spark, old_schema, fields, data_files, delete_fs,
+            keep_pos=True,
         )
+        for f in extra_sp:
+            # pre-evolution files scan NULL for the added columns
+            scan = scan.withColumn(f.name, F.lit(None).cast(f.dataType))
     else:
         scan = spark.createDataFrame(
             [],
@@ -595,12 +638,14 @@ def _merge_iceberg(
             .sortWithinPartitions("file_path", "pos")
         )
     return _commit_iceberg_mor(
-        spark, path, cur_v, meta, pos_df, new_rows, pcols
+        spark, path, cur_v, meta, pos_df, new_rows, pcols,
+        evolved_fields=evolved_fields,
     )
 
 
 def _commit_iceberg_mor(
-    spark, path, cur_v, meta, pos_df, new_rows, pcols=None
+    spark, path, cur_v, meta, pos_df, new_rows, pcols=None,
+    evolved_fields=None,
 ) -> int | None:
     """ONE merge-on-read Iceberg snapshot: ``pos_df`` (file_path, pos —
     already sorted) stages as a content=1 position-delete file,
@@ -825,15 +870,44 @@ def _commit_iceberg_mor(
             ]
             + manifests,
         )
+    new_sid = meta.get("current-schema-id", 0)
+    evolved_schemas = None
+    if evolved_fields is not None:
+        prev_schemas = meta.get("schemas") or (
+            [dict(meta["schema"], **{"schema-id": 0})]
+            if "schema" in meta
+            else []
+        )
+        new_sid = (
+            max((sc.get("schema-id", 0) for sc in prev_schemas), default=0)
+            + 1
+        )
+        evolved_schemas = prev_schemas + [
+            {
+                "type": "struct",
+                "schema-id": new_sid,
+                "fields": evolved_fields,
+            }
+        ]
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.abspath(ml_path),
         "summary": {"operation": "overwrite"},
-        "schema-id": meta.get("current-schema-id", 0),
+        "schema-id": new_sid,
     }
     new_meta = dict(meta)
+    if evolved_schemas is not None:
+        # the schema widens ATOMICALLY with the row changes (the
+        # Delta evolve_schema twin): new schema-id, name-stable old
+        # field ids, fresh ids for additions
+        new_meta["schemas"] = evolved_schemas
+        new_meta["current-schema-id"] = new_sid
+        new_meta["last-column-id"] = max(
+            f["id"] for f in evolved_fields
+        )
+        new_meta.pop("schema", None)
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snap_id

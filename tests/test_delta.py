@@ -1029,6 +1029,68 @@ def test_delta_column_mapping_read(spark, tmp_path):
     pruned_z = read_delta(spark, path, partition_filter={"g": "z"})
     assert [(r.id, r.s) for r in pruned_z.collect()] == [(3, "C")]
 
+    # round-11: the STREAMING sources read mapped tables too — data
+    # files carry physical names, the reader remaps to logical and
+    # resolves partitionValues by physical key
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+    )
+
+    delta_stream_source.register(spark)
+    got: list = []
+
+    def _sink(batch_df, epoch_id):
+        got.extend(
+            (r.id, r.s, r.g, r._commit_version)
+            for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", path)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cm_ck"))
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the append commit's row arrives under LOGICAL names with its
+    # partition value decoded from the physical pv key
+    assert (3, "c", "z", 1) in got
+    # fold latest-commit-wins per id: the stream converges to the
+    # table's final state
+    latest: dict = {}
+    for i, s_, g_, v_ in sorted(got, key=lambda t: t[3]):
+        latest[i] = (s_, g_)
+    final = {
+        r.id: (r.s, r.g) for r in read_delta(spark, path).collect()
+    }
+    assert {k: v for k, v in latest.items() if k in final} == final
+
+    got.clear()
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", path)
+        .option("startingversion", 2)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cm_ck2"))
+        .foreachBatch(
+            lambda b, e: got.extend(
+                (r.id, r.s, r.g, r._change_type) for r in b.collect()
+            )
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the delete commit (v5) derives per-row delete images; the merge
+    # insert (v4) derives an insert image — all under logical names
+    assert (9, "i", "w", "insert") in got
+    assert (9, "i", "w", "delete") in got
+
     # reader v3 + an unknown feature must still gate
     log = os.path.join(path, "_delta_log", f"{0:020d}.json")
     lines = [json.loads(line) for line in open(log)]

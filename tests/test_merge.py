@@ -1005,14 +1005,18 @@ def test_merge_schema_evolution_opt_in(spark, tmp_path):
         (r.id, r.price, r.region, r.vip)
         for r in read_delta(spark, path).collect()
     }
-    # Iceberg keeps enforcement
+    # Iceberg evolves too (round-11): a NEW schema-id with fresh
+    # field ids lands in the SAME metadata version as the MoR commit;
+    # pre-evolution rows read NULL, the pre-merge snapshot is intact
     from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
         write_iceberg,
     )
 
     path2 = str(tmp_path / "ti")
     write_iceberg(_mk(spark, [(1, "a")], "id bigint, s string"), path2)
-    with pytest.raises(NotImplementedError, match="evolve_schema"):
+    # without the opt-in, enforcement still raises
+    with pytest.raises(ValueError, match="not in the table schema"):
         merge_into(
             spark,
             "iceberg",
@@ -1020,8 +1024,35 @@ def test_merge_schema_evolution_opt_in(spark, tmp_path):
             _mk(spark, [(2, "b", 5)], "id bigint, s string, n bigint"),
             "t.id = s.id",
             not_matched={"id": "s.id", "s": "s.s", "n": "s.n"},
-            evolve_schema=True,
         )
+    sid = merge_into(
+        spark,
+        "iceberg",
+        path2,
+        _mk(spark, [(1, "A", 7), (2, "b", 5)],
+            "id bigint, s string, n bigint"),
+        "t.id = s.id",
+        matched=[("update", None, {"s": "s.s", "n": "s.n"})],
+        not_matched={"id": "s.id", "s": "s.s", "n": "s.n"},
+        evolve_schema=True,
+    )
+    assert sid is not None
+    back = read_iceberg(spark, path2)
+    assert back.columns == ["id", "s", "n"]
+    assert sorted(
+        ((r.id, r.s, r.n) for r in back.collect()), key=repr
+    ) == sorted([(1, "A", 7), (2, "b", 5)], key=repr)
+    # pre-merge snapshot reads with the OLD schema
+    old_snap = read_iceberg(spark, path2, snapshot_id=1)
+    assert [(r.id, r.s) for r in old_snap.collect()] == [(1, "a")]
+    # the new metadata registers a second schema-id
+    import json as _json
+
+    hint = open(path2 + "/metadata/version-hint.text").read()
+    imeta = _json.load(open(path2 + f"/metadata/v{hint}.metadata.json"))
+    assert len(imeta["schemas"]) == 2
+    assert imeta["current-schema-id"] == 1
+    assert imeta["last-column-id"] == 3
 
 
 def test_merge_conditional_insert_clauses(spark, tmp_path):
