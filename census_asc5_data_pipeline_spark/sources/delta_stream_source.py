@@ -326,6 +326,22 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                     if not line:
                         continue
                     action = json.loads(line)
+                    if "metaData" in action:
+                        md_fields = json.loads(
+                            action["metaData"]["schemaString"]
+                        )["fields"]
+                        if [
+                            (f["name"], f["type"]) for f in md_fields
+                        ] != [
+                            (f["name"], f["type"]) for f in self.fields
+                        ]:
+                            raise ValueError(
+                                f"version {v} changes the table schema "
+                                "mid-stream — this source reads with "
+                                "the construction-time schema; restart "
+                                "the query past the schema change"
+                            )
+                        continue
                     if "add" in action and action["add"].get(
                         "dataChange", True
                     ):

@@ -1434,6 +1434,117 @@ _INSERT_RE = re.compile(
 )
 
 
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<target>[\w.]+)\s*(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_TAIL_RE = re.compile(
+    r"^USING\s+(?P<fmt>\w+)\s*"
+    # one paren-nesting level inside PARTITIONED BY: transform
+    # entries like bucket(4, id)
+    r"(?:PARTITIONED\s+BY\s*\((?P<pby>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:LOCATION\s+'(?P<loc>[^']+)'\s*)?"
+    r"(?:AS\s+(?P<body>SELECT\b.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _create_table(
+    spark: SparkSession,
+    sql_text: str,
+    catalog: dict[str, tuple[str, str]],
+) -> int | None:
+    """``CREATE TABLE [IF NOT EXISTS] t (col TYPE, ...) USING
+    delta|iceberg [PARTITIONED BY (...)] LOCATION '<path>'`` — plus
+    the CTAS form (``... USING fmt [PARTITIONED BY ...] LOCATION
+    '<path>' AS SELECT ...``). The column list parses through Spark's
+    own DDL parser; PARTITIONED BY accepts the writers' vocabulary
+    (identity columns, and for Iceberg bucket/truncate/year/month/day
+    transforms). An empty CREATE commits version/snapshot 0 carrying
+    only the schema (zero data files); CTAS writes the query result.
+    The created table is registered into ``catalog`` under its name
+    so subsequent DML statements in the same session resolve it.
+    LOCATION is required (this engine is path-addressed — there is no
+    warehouse root). Returns the committed version/snapshot id, or
+    None when IF NOT EXISTS found an existing table."""
+    m = _CREATE_RE.match(sql_text)
+    if not m:
+        raise ValueError(f"cannot parse CREATE TABLE: {sql_text!r}")
+    name = m.group("target")
+    rest = m.group("rest").strip()
+    cols_ddl = None
+    if rest.startswith("("):
+        # balanced extraction: column defs may nest parens (DECIMAL(10,2))
+        depth = 0
+        for j, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise ValueError("unbalanced parentheses in column list")
+        cols_ddl = rest[1:j]
+        rest = rest[j + 1 :].strip()
+    tm = _CREATE_TAIL_RE.match(rest)
+    if not tm:
+        raise ValueError(
+            f"cannot parse CREATE TABLE tail: {rest!r} (supported: "
+            "USING delta|iceberg [PARTITIONED BY (...)] LOCATION "
+            "'<path>' [AS SELECT ...])"
+        )
+    fmt = tm.group("fmt").lower()
+    if fmt not in ("delta", "iceberg"):
+        raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
+    path = tm.group("loc")
+    if not path:
+        raise ValueError(
+            "CREATE TABLE requires LOCATION '<path>' — this engine is "
+            "path-addressed (no warehouse root)"
+        )
+    body = tm.group("body")
+    if cols_ddl is not None and body is not None:
+        raise ValueError("pass a column list OR AS SELECT, not both")
+    if cols_ddl is None and body is None:
+        raise ValueError("CREATE TABLE needs a column list or AS SELECT")
+    pby = [
+        p.strip()
+        for p in _split_top(tm.group("pby") or "")
+        if p.strip()
+    ]
+    exists = (
+        os.path.isdir(os.path.join(path, "_delta_log"))
+        if fmt == "delta"
+        else os.path.isdir(os.path.join(path, "metadata"))
+    )
+    if exists:
+        if m.group("ine"):
+            catalog[name] = (fmt, path)
+            return None
+        raise ValueError(f"table at {path!r} already exists")
+    df = (
+        spark.sql(body)
+        if body is not None
+        else spark.createDataFrame([], T.StructType.fromDDL(cols_ddl))
+    )
+    if fmt == "delta":
+        from census_asc5_data_pipeline_spark.sources.delta_io import (
+            write_delta,
+        )
+
+        v = write_delta(df, path, partition_by=pby or None)
+    else:
+        from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+            write_iceberg,
+        )
+
+        v = write_iceberg(df, path, partition_by=pby or None)
+    catalog[name] = (fmt, path)
+    return v
+
+
 def _insert_into(spark, fmt, path, cols_clause, body, mode="append") -> int:
     """``INSERT INTO|OVERWRITE t [(cols)] SELECT ...|VALUES ...`` —
     the fourth DML verb (round-11): the body evaluates as a Spark SQL
@@ -1517,6 +1628,8 @@ def dml_sql(
     head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
     if head == "MERGE":
         return merge_into_sql(spark, text, catalog)
+    if head == "CREATE":
+        return _create_table(spark, text, catalog)
 
     def _resolve(name):
         if name not in catalog:
@@ -1571,5 +1684,5 @@ def dml_sql(
         return delete_iceberg_positions(spark, path, pred)
     raise ValueError(
         f"unsupported DML statement {head!r} "
-        "(MERGE|INSERT|UPDATE|DELETE)"
+        "(CREATE|MERGE|INSERT|UPDATE|DELETE)"
     )

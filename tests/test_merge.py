@@ -1114,3 +1114,76 @@ def test_merge_conditional_insert_clauses(spark, tmp_path):
     assert (9, None, "first") in {
         (r.id, r.price, r.tag) for r in read_delta(spark, path).collect()
     }
+
+
+def test_create_table_ddl(spark, tmp_path):
+    """CREATE TABLE through dml_sql (round-11): empty-table DDL with a
+    column list (commit 0 carries only the schema), CTAS, PARTITIONED
+    BY (iceberg transforms included), IF NOT EXISTS, and catalog
+    registration so follow-up DML resolves the new name."""
+    import glob as _glob
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    cat: dict = {}
+    p1 = str(tmp_path / "t1")
+    v = dml_sql(
+        spark,
+        f"CREATE TABLE sales (id BIGINT, price DECIMAL(10,2), "
+        f"day DATE) USING delta LOCATION '{p1}'",
+        cat,
+    )
+    assert v == 0 and cat["sales"] == ("delta", p1)
+    empty = read_delta(spark, p1)
+    assert empty.count() == 0
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "bigint", "decimal(10,2)", "date",
+    ]
+    # the new name resolves for follow-up DML in the same catalog
+    dml_sql(
+        spark,
+        "INSERT INTO sales (id, price) VALUES (1, 9.99)",
+        cat,
+    )
+    assert [(r.id, str(r.price)) for r in read_delta(spark, p1).collect()] == [
+        (1, "9.99")
+    ]
+    # IF NOT EXISTS on an existing table: no-op, still registered
+    assert (
+        dml_sql(
+            spark,
+            f"CREATE TABLE IF NOT EXISTS sales (id BIGINT) "
+            f"USING delta LOCATION '{p1}'",
+            cat,
+        )
+        is None
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        dml_sql(
+            spark,
+            f"CREATE TABLE sales (id BIGINT) USING delta LOCATION '{p1}'",
+            cat,
+        )
+    # CTAS on iceberg with a bucket transform partition
+    p2 = str(tmp_path / "t2")
+    sid = dml_sql(
+        spark,
+        f"CREATE TABLE ice USING iceberg PARTITIONED BY (bucket(4,id)) "
+        f"LOCATION '{p2}' AS SELECT CAST(id AS BIGINT) AS id, "
+        f"CAST(id * 2 AS BIGINT) AS dbl FROM range(8)",
+        cat,
+    )
+    assert sid is not None and cat["ice"] == ("iceberg", p2)
+    assert sorted(
+        (r.id, r.dbl) for r in read_iceberg(spark, p2).collect()
+    ) == [(i, i * 2) for i in range(8)]
+    assert _glob.glob(p2 + "/data/id_bucket=*/*.parquet")
+    # missing LOCATION gates loudly
+    with pytest.raises(ValueError, match="LOCATION"):
+        dml_sql(spark, "CREATE TABLE nope (id BIGINT) USING delta", cat)
