@@ -115,6 +115,74 @@ SQL_FUNCTION_DDL: dict[str, str] = {
 }
 
 
+def table_changes(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    start: int,
+    end: int | None = None,
+) -> DataFrame:
+    """delta-spark's ``table_changes(name, start, end)`` TVF as an
+    engine function (round-12 verdict #7): the Change Data Feed rows
+    of a ``delta`` table for versions ``[start, end]`` (INCLUSIVE
+    start, delta-spark semantics; ``read_delta_cdf``'s cursor is
+    exclusive, so the translation happens here), or of an ``iceberg``
+    table for snapshots strictly after ``start`` (snapshot-id cursor —
+    Iceberg ids are not dense versions, so the start is the usual
+    exclusive cursor; pass 0/None-equivalent for the full history).
+    Columns = table schema + ``_change_type`` + the commit tag
+    (``_commit_version`` / ``_snapshot_id``)."""
+    if fmt == "delta":
+        from census_asc5_data_pipeline_spark.sources.delta_io import (
+            read_delta_cdf,
+        )
+
+        df, _last = read_delta_cdf(
+            spark, path, since_version=int(start) - 1, end_version=end
+        )
+        return df
+    if fmt == "iceberg":
+        from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+            read_iceberg_changes,
+        )
+
+        if end is not None:
+            raise ValueError(
+                "iceberg table_changes has no end cursor — snapshot "
+                "ids are not dense; read up to the current snapshot"
+            )
+        df, _last = read_iceberg_changes(
+            spark, path, since_snapshot_id=int(start) or None
+        )
+        return df
+    raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
+
+
+def register_table_changes_view(
+    spark: SparkSession,
+    name: str,
+    fmt: str,
+    path: str,
+    start: int,
+    end: int | None = None,
+) -> str:
+    """Register :func:`table_changes` output as a temp view
+    ``<name>__changes`` so the change feed is reachable from plain
+    SQL exactly like the AS-OF views (``register_delta_views`` /
+    ``register_iceberg_views`` twins)::
+
+        register_table_changes_view(spark, "sales", "delta", p, 1)
+        spark.sql("SELECT * FROM sales__changes WHERE _change_type = 'delete'")
+
+    The view reads an immutable version range, so concurrent commits
+    never change a registered view. Returns the view name."""
+    vname = f"{name}__changes"
+    table_changes(spark, fmt, path, start, end).createOrReplaceTempView(
+        vname
+    )
+    return vname
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Expose the engine's column helpers to SQL users as named scalar
     functions, so the Athena-style SQL surface can call the engine's

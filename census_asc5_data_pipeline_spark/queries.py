@@ -10006,6 +10006,96 @@ FROM final GROUP BY priority
 """
 
 
+def q_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL INSERT path through the registry gate (round-12
+    verdict #6 — the one r11 DML verb verified only by pytest):
+    ``dml_sql`` CREATEs a Delta table (column-list DDL, LOCATION
+    under /tmp), INSERT INTOs the 1995 order rollup, INSERT
+    OVERWRITEs it with the 1996 rollup (the replace must tombstone
+    EVERY 1995 file in one commit), then INSERT INTOs the even-keyed
+    1997 rollup (appends must stack on the overwritten state, not the
+    original). The final aggregate by priority hash-matches DuckDB's
+    arithmetic reconstruction — 1996 ∪ 1997-even only; any 1995
+    residue (overwrite failed) or missing 1997 rows (append clobbered)
+    flips the hash. Rebuilds idempotently under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    view = f"io_orders_{os.getpid()}"
+    orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.year("o_orderdate").alias("yr"),
+    ).createOrReplaceTempView(view)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_insert_overwrite_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    cat: dict = {}
+    dml_sql(
+        spark,
+        "CREATE TABLE io_t (okey BIGINT, priority STRING, "
+        f"total_cents BIGINT) USING delta LOCATION '{base}'",
+        cat,
+    )
+    dml_sql(
+        spark,
+        f"INSERT INTO io_t SELECT okey, priority, cents FROM {view} "
+        "WHERE yr = 1995",
+        cat,
+    )
+    dml_sql(
+        spark,
+        f"INSERT OVERWRITE io_t SELECT okey, priority, cents FROM {view} "
+        "WHERE yr = 1996",
+        cat,
+    )
+    dml_sql(
+        spark,
+        "INSERT INTO io_t (okey, priority, total_cents) "
+        f"SELECT okey, priority, cents FROM {view} "
+        "WHERE yr = 1997 AND okey % 2 = 0",
+        cat,
+    )
+    return (
+        delta_io.read_delta(spark, base)
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("total_cents_sum"),
+        )
+    )
+
+
+SQL_INSERT_OVERWRITE = """
+WITH c AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         EXTRACT(YEAR FROM o_orderdate) AS yr
+  FROM orders
+),
+final AS (
+  SELECT okey, priority, cents FROM c WHERE yr = 1996
+  UNION ALL
+  SELECT okey, priority, cents FROM c
+  WHERE yr = 1997 AND okey % 2 = 0
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents_sum
+FROM final GROUP BY priority
+"""
+
+
 def q_iceberg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg snapshot travel through the registry gate — the
     q_delta_as_of twin on the other table format: snapshot 1 = the
@@ -10321,6 +10411,8 @@ FROM changes GROUP BY change_type, segment
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 12 ---
+    "insert_overwrite": q_insert_overwrite,
     # --- new in round 11 ---
     "iceberg_merge_upsert": q_iceberg_merge_upsert,
     "cdf_replay": q_cdf_replay,
@@ -10561,6 +10653,7 @@ ORACLES: dict[str, str] = {
     # --- new in round 8 ---
     "delta_as_of": SQL_DELTA_AS_OF,
     "iceberg_as_of": SQL_ICEBERG_AS_OF,
+    "insert_overwrite": SQL_INSERT_OVERWRITE,
     "ewma_smooth": SQL_EWMA_SMOOTH,
     "benford_profile": SQL_BENFORD_PROFILE,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,

@@ -147,23 +147,39 @@ def _pv_to_arrow(t_str: str, raw, n: int):
 
 def _parse_ts_ms(raw: str) -> int:
     """startingtimestamp option value → epoch millis: an integer is
-    taken as millis, anything else parses as an ISO date/datetime."""
+    taken as millis, anything else parses as an ISO date/datetime.
+
+    A timezone-NAIVE timestamp resolves in the session timezone when
+    an active SparkSession is reachable (delta-spark resolves
+    startingTimestamp in ``spark.sql.session.timeZone``), else in the
+    system local zone — Spark's session default — so the same option
+    string picks the same starting version as the reference on
+    non-UTC sessions (r11 ADVICE). Zone-aware strings and integer
+    millis are timezone-independent and always preferred for
+    reproducibility."""
     raw = str(raw).strip()
     try:
         return int(raw)
     except ValueError:
         import datetime
 
-        return int(
-            datetime.datetime.fromisoformat(raw)
-            .replace(
-                tzinfo=datetime.timezone.utc
-                if datetime.datetime.fromisoformat(raw).tzinfo is None
-                else datetime.datetime.fromisoformat(raw).tzinfo
-            )
-            .timestamp()
-            * 1000
-        )
+        dt = datetime.datetime.fromisoformat(raw)
+        if dt.tzinfo is None:
+            tz = None  # system local — Spark's session-tz default
+            try:
+                from pyspark.sql import SparkSession
+
+                active = SparkSession.getActiveSession()
+                if active is not None:
+                    from zoneinfo import ZoneInfo
+
+                    tz = ZoneInfo(
+                        active.conf.get("spark.sql.session.timeZone")
+                    )
+            except Exception:
+                tz = None
+            dt = dt.replace(tzinfo=tz) if tz is not None else dt.astimezone()
+        return int(dt.timestamp() * 1000)
 
 
 def _starting_from_options(path: str, options) -> int:
@@ -216,12 +232,20 @@ class _RateLimitMixin:
     whole.
 
     The reader tracks its position itself: ``initialOffset`` /
-    ``partitions`` / ``commit`` all advance ``_pos`` (empirically the
-    engine replays the last logged batch via ``partitions`` BEFORE the
-    first post-restart ``latestOffset``, so ``_pos`` is known then);
-    if it ever is not, ``_probe`` ratchets forward by ≤N files per
-    trigger from ``starting``, which converges without ever exceeding
-    the cap and never skips data (offsets only ever extend)."""
+    ``partitions`` / ``commit`` all advance ``_pos``; when it is still
+    unknown (a fresh stream's first ``latestOffset``) the cap counts
+    from ``starting`` via the ``_probe`` ratchet, which converges
+    without exceeding the budget. Regression-proofing (r11 ADVICE —
+    the empirical call order must not be load-bearing for
+    exactly-once): the cap is MONOTONIC (never below any offset this
+    instance has returned or learned), ``partitions`` ratchets from
+    BOTH ends of the range, and a reversed range (end below start —
+    what the engine would plan if a restart ever called
+    ``latestOffset`` before revealing the checkpointed position and
+    got a sub-checkpoint cap back) raises LOUDLY instead of silently
+    re-planning already-emitted versions as duplicates; the ratchet
+    has already learned the true position from ``start`` by then, so
+    the next trigger caps correctly — loud once, then self-healed."""
 
     def _rl_init(self, options):
         self.max_files = int(options.get("maxfilespertrigger", 0))
@@ -233,6 +257,22 @@ class _RateLimitMixin:
     def _rl_advance(self, v: int) -> None:
         if self._pos is None or v > self._pos:
             self._pos = v
+        self._probe = max(self._probe, v)
+
+    def _rl_range_check(self, lo: int, hi: int) -> None:
+        """Called by ``partitions(start, end)`` with both range ends:
+        learn the true position from BOTH (a replayed batch's start
+        reveals the checkpoint floor even when its end is stale), then
+        refuse a reversed range — emitting it would duplicate rows."""
+        self._rl_advance(max(lo, hi))
+        if hi < lo:
+            raise ValueError(
+                f"stream offset regression: batch range end {hi} is "
+                f"below start {lo} — a rate-limit cap was computed "
+                "before the checkpointed position was known; the "
+                "position is now learned, so the next trigger resumes "
+                "correctly (no rows were duplicated)"
+            )
 
     def _rl_cap(self, versions: list[int], last: int) -> int:
         if self.max_files <= 0 and self.max_bytes <= 0:
@@ -309,7 +349,7 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         lo, hi = int(start["version"]), int(end["version"])
-        self._rl_advance(hi)
+        self._rl_range_check(lo, hi)
         versions = set(delta_io.delta_versions(self.path))
         want = [v for v in range(lo + 1, hi + 1)]
         missing = [v for v in want if v not in versions]
@@ -551,7 +591,7 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         lo, hi = int(start["version"]), int(end["version"])
-        self._rl_advance(hi)
+        self._rl_range_check(lo, hi)
         versions = set(delta_io.delta_versions(self.path))
         want = [v for v in range(lo + 1, hi + 1)]
         missing = [v for v in want if v not in versions]

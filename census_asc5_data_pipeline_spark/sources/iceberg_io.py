@@ -1742,6 +1742,67 @@ def set_iceberg_properties(path: str, props: dict[str, str]) -> int:
     return new_v
 
 
+def add_iceberg_columns(path: str, cols: str | T.StructType) -> int:
+    """``ALTER TABLE ... ADD COLUMN(S)`` at spec level (round-12
+    verdict #4): a NEW metadata version registering a NEW schema-id
+    whose fields = the current schema plus the additions — old field
+    ids name-stable, fresh ids for the new columns (from
+    ``last-column-id``), ``required=false`` (pre-existing data files
+    scan NULL). No snapshot is created — schema evolution is a
+    metadata-only commit, the same shape
+    :func:`merge._commit_iceberg_mor` writes when
+    ``evolve_schema=True`` widens during a MERGE. ``cols`` is a Spark
+    DDL string or StructType. Returns the new metadata version."""
+    new = T.StructType.fromDDL(cols) if isinstance(cols, str) else cols
+    if not new.fields:
+        raise ValueError("ADD COLUMNS needs at least one column")
+    cur_v, meta = _current_metadata(path)
+    _spark_schema, fields = _schema_of(meta)
+    existing = {f["name"] for f in fields}
+    dup = [f.name for f in new.fields if f.name in existing]
+    if dup:
+        raise ValueError(f"column(s) {dup} already exist")
+    next_id = max(
+        [int(meta.get("last-column-id", 0))] + [f["id"] for f in fields]
+    )
+    additions = []
+    for f in new.fields:
+        t = _SPARK_TO_ICE.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                "iceberg ADD COLUMNS supports flat primitives + "
+                f"timestamp; {f.name!r} is "
+                f"{f.dataType.simpleString()!r}"
+            )
+        next_id += 1
+        additions.append(
+            {"id": next_id, "name": f.name, "required": False, "type": t}
+        )
+    prev_schemas = meta.get("schemas") or (
+        [dict(meta["schema"], **{"schema-id": 0})]
+        if "schema" in meta
+        else []
+    )
+    new_sid = (
+        max((sc.get("schema-id", 0) for sc in prev_schemas), default=0) + 1
+    )
+    new_meta = dict(meta)
+    new_meta["schemas"] = prev_schemas + [
+        {
+            "type": "struct",
+            "schema-id": new_sid,
+            "fields": list(fields) + additions,
+        }
+    ]
+    new_meta["current-schema-id"] = new_sid
+    new_meta["last-column-id"] = next_id
+    new_meta.pop("schema", None)
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_v = cur_v + 1
+    _write_metadata_version(path, new_v, new_meta)
+    return new_v
+
+
 def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
     """Iceberg's ``expireSnapshots`` at spec level — the storage-
     reclaim twin of :func:`delta_io.vacuum_delta` (round-7 verdict

@@ -300,6 +300,12 @@ def _merge_delta(
     from census_asc5_data_pipeline_spark.sources import delta_io as d
 
     protocol, meta, adds, _tx = d._replay(spark, path, None)
+    # insert-only merges never remove or modify committed rows, so
+    # they remain legal on delta.appendOnly tables; anything with a
+    # MATCHED / NOT MATCHED BY SOURCE clause is a row modification
+    d._writer_gate(
+        protocol, meta, "MERGE" if (matched or nmbs) else "WRITE"
+    )
     physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
@@ -356,7 +362,12 @@ def _merge_delta(
         else []
     )
     n_ins = inserts.count() if inserts is not None else 0
-    if not touched and not n_ins:
+    if not touched and not n_ins and not extra_fields:
+        # row-level no-op AND no schema widening: nothing to commit.
+        # With evolve_schema extra columns the widened metaData still
+        # commits below (r11 ADVICE: a caller relying on the evolved
+        # schema for a follow-up write must not silently see the old
+        # one), just with no add/remove actions.
         return None
     now_ms = int(time.time() * 1000)
     lines: list[dict] = [
@@ -415,6 +426,7 @@ def _merge_delta(
             else staged_rows.unionByName(inserts)
         )
     if staged_rows is not None:
+        d._check_constraints(staged_rows, meta, "MERGE")
         lines.extend(
             d._stage_adds_mapped(staged_rows, path, pcols, physical_of)
         )
@@ -1035,37 +1047,76 @@ def merge_into_sql(
         # 's.id = t.id' into 's.id = s.id') and rewrote matches inside
         # string literals (r10 ADVICE)
         tl, sl = talias.lower(), salias.lower()
+
+        def _canon(word: str, at: int, after: int) -> str | None:
+            # alias position: followed by '.', not itself a field
+            # access (preceded by '.')
+            if (
+                after < len(expr)
+                and expr[after] == "."
+                and (at == 0 or expr[at - 1] != ".")
+            ):
+                lw = word.lower()
+                if lw == tl:
+                    return "t."
+                if lw == sl:
+                    return "s."
+            return None
+
         out: list[str] = []
         i, n = 0, len(expr)
         while i < n:
             ch = expr[i]
-            if ch in "'\"":  # copy string literals verbatim
+            if ch in "'\"":
+                # copy string literals verbatim, honoring BOTH escape
+                # forms Spark SQL accepts: backslash ('a\'b') and
+                # doubled quote ('a''b') — r11 ADVICE
                 j = i + 1
-                while j < n and expr[j] != ch:
+                while j < n:
+                    if expr[j] == "\\":
+                        j += 2
+                        continue
+                    if expr[j] == ch:
+                        if j + 1 < n and expr[j + 1] == ch:
+                            j += 2  # doubled quote stays inside
+                            continue
+                        break
                     j += 1
-                out.append(expr[i : j + 1])
+                out.append(expr[i : min(j + 1, n)])
+                i = j + 1
+                continue
+            if ch == "`":
+                # backtick-quoted identifier (`` escapes a literal
+                # backtick): an alias is an alias however it's quoted,
+                # so `s`.id rewrites like s.id — r11 ADVICE
+                j = i + 1
+                content: list[str] = []
+                while j < n:
+                    if expr[j] == "`":
+                        if j + 1 < n and expr[j + 1] == "`":
+                            content.append("`")
+                            j += 2
+                            continue
+                        break
+                    content.append(expr[j])
+                    j += 1
+                canon = _canon("".join(content), i, j + 1)
+                if canon is not None:
+                    out.append(canon)
+                    i = j + 2  # past closing backtick and the dot
+                    continue
+                out.append(expr[i : min(j + 1, n)])
                 i = j + 1
                 continue
             m = re.match(r"\w+", expr[i:])
             if m:
                 word = m.group(0)
                 j = i + len(word)
-                # alias position: followed by '.', not itself a field
-                # access (preceded by '.')
-                if (
-                    j < n
-                    and expr[j] == "."
-                    and (i == 0 or expr[i - 1] != ".")
-                ):
-                    lw = word.lower()
-                    if lw == tl:
-                        out.append("t.")
-                        i = j + 1
-                        continue
-                    if lw == sl:
-                        out.append("s.")
-                        i = j + 1
-                        continue
+                canon = _canon(word, i, j)
+                if canon is not None:
+                    out.append(canon)
+                    i = j + 1
+                    continue
                 out.append(word)
                 i = j
                 continue
@@ -1271,6 +1322,7 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
     if mode not in ("cow", "dv"):
         raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
     protocol, meta, adds, _tx = d._replay(spark, path, None)
+    d._writer_gate(protocol, meta, "UPDATE")
     physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
@@ -1305,6 +1357,7 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
     updated = scan.filter(pred).select(
         _set_cols(sets, schema.fields)
     )
+    d._check_constraints(updated, meta, "UPDATE")
     if mode == "dv":
         # retire the old positions, append the updated images — the
         # delta-spark DV UPDATE commit shape
@@ -1444,7 +1497,11 @@ _CREATE_TAIL_RE = re.compile(
     # one paren-nesting level inside PARTITIONED BY: transform
     # entries like bucket(4, id)
     r"(?:PARTITIONED\s+BY\s*\((?P<pby>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    # TBLPROPERTIES accepted on either side of LOCATION (Spark's
+    # grammar permits both orders)
+    r"(?:TBLPROPERTIES\s*\((?P<props1>[^)]*)\)\s*)?"
     r"(?:LOCATION\s+'(?P<loc>[^']+)'\s*)?"
+    r"(?:TBLPROPERTIES\s*\((?P<props2>[^)]*)\)\s*)?"
     r"(?:AS\s+(?P<body>SELECT\b.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1524,6 +1581,8 @@ def _create_table(
             catalog[name] = (fmt, path)
             return None
         raise ValueError(f"table at {path!r} already exists")
+    props_raw = tm.group("props1") or tm.group("props2")
+    props = _parse_props(props_raw) if props_raw else {}
     df = (
         spark.sql(body)
         if body is not None
@@ -1534,13 +1593,24 @@ def _create_table(
             write_delta,
         )
 
-        v = write_delta(df, path, partition_by=pby or None)
+        # configuration lands IN the version-0 metaData — CDF,
+        # column mapping, appendOnly, constraints are live from the
+        # very first commit (round-12 #4)
+        v = write_delta(
+            df, path, partition_by=pby or None,
+            configuration=props or None,
+        )
     else:
         from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+            set_iceberg_properties,
             write_iceberg,
         )
 
         v = write_iceberg(df, path, partition_by=pby or None)
+        if props:
+            # iceberg properties are a metadata-only follow-up commit
+            # (nothing in the staging path depends on them)
+            set_iceberg_properties(path, props)
     catalog[name] = (fmt, path)
     return v
 
@@ -1608,6 +1678,46 @@ _DELETE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD_COLS_RE = re.compile(
+    r"^ADD\s+COLUMNS?\s*(?:\((?P<pcols>(?:[^()]|\([^()]*\))*)\)"
+    r"|(?P<bcols>.+?))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SET_PROPS_RE = re.compile(
+    r"^SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>[\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s*\(?(?P<zcols>[\w.,\s]*?)\)?)?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<target>[\w.]+)"
+    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*$",
+    re.IGNORECASE,
+)
+_PROP_PAIR_RE = re.compile(r"'(?P<k>(?:[^'\\]|\\.)*)'\s*=\s*'(?P<v>(?:[^'\\]|\\.)*)'")
+
+
+def _parse_props(text: str) -> dict[str, str]:
+    """TBLPROPERTIES body: 'k'='v' [, ...] — quoted keys and values
+    only (the Spark SQL surface); anything unquoted raises."""
+    pairs = dict(
+        (m.group("k"), m.group("v"))
+        for m in _PROP_PAIR_RE.finditer(text)
+    )
+    leftover = _PROP_PAIR_RE.sub("", text).replace(",", "").strip()
+    if leftover or not pairs:
+        raise ValueError(
+            f"cannot parse TBLPROPERTIES body {text!r} "
+            "(expected 'key'='value', ...)"
+        )
+    return pairs
 
 
 def dml_sql(
@@ -1623,7 +1733,15 @@ def dml_sql(
     native row-level deletes (:func:`delta_io.delete_delta_where` /
     :func:`iceberg_io.delete_iceberg_positions`). ``catalog`` maps
     table names to ``(format, path)``. Returns the committed
-    version/snapshot id (None = no-op)."""
+    version/snapshot id (None = no-op).
+
+    Round-12 #4 completers: ``ALTER TABLE t ADD COLUMN(S) ...`` /
+    ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)`` /
+    ``OPTIMIZE t [ZORDER BY (c, ...)]`` / ``VACUUM t [RETAIN n
+    VERSIONS]`` (retention is version-count based in this engine —
+    documented divergence from delta-spark's RETAIN n HOURS), and
+    CREATE TABLE takes a TBLPROPERTIES clause (see
+    :func:`_create_table`)."""
     text = sql.strip().rstrip(";")
     head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
     if head == "MERGE":
@@ -1637,6 +1755,88 @@ def dml_sql(
                 f"table {name!r} not in catalog (have {sorted(catalog)})"
             )
         return catalog[name]
+
+    if head == "ALTER":
+        m = _ALTER_RE.match(text)
+        if not m:
+            raise ValueError(f"cannot parse ALTER TABLE: {sql!r}")
+        fmt, path = _resolve(m.group("target"))
+        rest = m.group("rest").strip()
+        am = _ADD_COLS_RE.match(rest)
+        if am:
+            cols = (am.group("pcols") or am.group("bcols")).strip()
+            if fmt == "delta":
+                from census_asc5_data_pipeline_spark.sources.delta_io import (
+                    add_delta_columns,
+                )
+
+                return add_delta_columns(spark, path, cols)
+            from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+                add_iceberg_columns,
+            )
+
+            return add_iceberg_columns(path, cols)
+        pm = _SET_PROPS_RE.match(rest)
+        if pm:
+            props = _parse_props(pm.group("props"))
+            if fmt == "delta":
+                from census_asc5_data_pipeline_spark.sources.delta_io import (
+                    set_delta_properties,
+                )
+
+                return set_delta_properties(spark, path, props)
+            from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+                set_iceberg_properties,
+            )
+
+            return set_iceberg_properties(path, props)
+        raise ValueError(
+            f"unsupported ALTER TABLE clause {rest!r} "
+            "(ADD COLUMN(S) | SET TBLPROPERTIES)"
+        )
+    if head == "OPTIMIZE":
+        m = _OPTIMIZE_RE.match(text)
+        if not m:
+            raise ValueError(f"cannot parse OPTIMIZE: {sql!r}")
+        fmt, path = _resolve(m.group("target"))
+        zcols = [
+            c.strip() for c in (m.group("zcols") or "").split(",")
+            if c.strip()
+        ]
+        if fmt == "delta":
+            from census_asc5_data_pipeline_spark.sources.delta_io import (
+                optimize_delta,
+            )
+
+            return optimize_delta(
+                spark, path, zorder_by=zcols or None
+            ).get("version")
+        from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+            rewrite_data_files,
+        )
+
+        return rewrite_data_files(
+            spark, path, zorder_by=zcols or None
+        ).get("snapshot_id")
+    if head == "VACUUM":
+        m = _VACUUM_RE.match(text)
+        if not m:
+            raise ValueError(f"cannot parse VACUUM: {sql!r}")
+        fmt, path = _resolve(m.group("target"))
+        keep = int(m.group("keep")) if m.group("keep") else 2
+        if fmt == "delta":
+            from census_asc5_data_pipeline_spark.sources.delta_io import (
+                vacuum_delta,
+            )
+
+            vacuum_delta(spark, path, keep_versions=keep)
+            return None
+        from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+            expire_snapshots,
+        )
+
+        expire_snapshots(path, keep_snapshots=keep)
+        return None
 
     if head == "INSERT":
         m = _INSERT_RE.match(text)
@@ -1684,5 +1884,5 @@ def dml_sql(
         return delete_iceberg_positions(spark, path, pred)
     raise ValueError(
         f"unsupported DML statement {head!r} "
-        "(CREATE|MERGE|INSERT|UPDATE|DELETE)"
+        "(CREATE|MERGE|INSERT|UPDATE|DELETE|ALTER|OPTIMIZE|VACUUM)"
     )

@@ -1187,3 +1187,89 @@ def test_create_table_ddl(spark, tmp_path):
     # missing LOCATION gates loudly
     with pytest.raises(ValueError, match="LOCATION"):
         dml_sql(spark, "CREATE TABLE nope (id BIGINT) USING delta", cat)
+
+
+def test_merge_sql_backtick_aliases_and_escaped_quotes(spark, tmp_path):
+    """_realias (r11 ADVICE): backtick-quoted alias references
+    (`s`.id) rewrite like bare ones, backtick-quoted NON-alias
+    identifiers pass through untouched, and string literals with
+    backslash-escaped or doubled quotes are copied verbatim (an
+    escaped quote must not end the literal early and expose its tail
+    to rewriting)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        merge_into_sql,
+    )
+
+    path = str(tmp_path / "bt")
+    write_delta(
+        _mk(
+            spark,
+            [(1, 10.0, "x"), (2, 20.0, "x")],
+            "id bigint, price double, tag string",
+        ),
+        path,
+    )
+    _mk(
+        spark, [(1, 100.0), (3, 300.0)], "id bigint, price double"
+    ).createOrReplaceTempView("bt_src")
+    merge_into_sql(
+        spark,
+        "MERGE INTO tbl AS tgt USING bt_src AS src "
+        "ON `tgt`.id = `src`.`id` "
+        "WHEN MATCHED THEN UPDATE SET "
+        "price = `tgt`.price + src.price, tag = 'src.q\\'uote' "
+        "WHEN NOT MATCHED THEN INSERT (id, price, tag) "
+        "VALUES (`src`.id, src.price, 'tgt.d''ouble')",
+        {"tbl": ("delta", path)},
+    )
+    got = sorted(
+        (r.id, r.price, r.tag) for r in read_delta(spark, path).collect()
+    )
+    assert got == [
+        (1, 110.0, "src.q'uote"),
+        (2, 20.0, "x"),
+        (3, 300.0, "tgt.d'ouble"),
+    ]
+
+
+def test_merge_evolve_schema_noop_still_widens(spark, tmp_path):
+    """merge_into(evolve_schema=True) whose row effect is a no-op must
+    still commit the widened metaData (r11 ADVICE: a follow-up write
+    relying on the evolved schema otherwise sees the old one with no
+    error)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    path = str(tmp_path / "ev")
+    write_delta(_mk(spark, [(1, 10)], "id bigint, v bigint"), path)
+    # source matches row 1 with an update that keeps values identical?
+    # No — make it a TRUE no-op: condition matches nothing, no insert
+    src = _mk(spark, [(1, 10, "n")], "id bigint, v bigint, note string")
+    ver = merge_into(
+        spark,
+        "delta",
+        path,
+        src,
+        on="t.id = s.id",
+        matched=[("update", "1 = 0", {"v": "s.v"})],
+        evolve_schema=True,
+    )
+    assert ver == 1  # metaData-only commit, not None
+    back = read_delta(spark, path)
+    assert "note" in back.columns
+    assert [(r.id, r.v, r.note) for r in back.collect()] == [(1, 10, None)]
+    # follow-up append in the evolved schema works
+    write_delta(
+        _mk(spark, [(2, 20, "x")], "id bigint, v bigint, note string"),
+        path,
+    )
+    assert sorted(
+        (r.id, r.v, r.note) for r in read_delta(spark, path).collect()
+    ) == [(1, 10, None), (2, 20, "x")]

@@ -22,6 +22,11 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 12 ---
+    # returned plan = one groupBy over the post-overwrite table read
+    # (partial/final agg pair measures 1 with this counter); the
+    # CREATE/INSERT/OVERWRITE statements run at construction time
+    "insert_overwrite": 2,
     # --- new in round 11 ---
     # returned plan = one groupBy over the cdc-file scan union
     # (partial/final agg pair measures 1 with this counter); 2 leaves

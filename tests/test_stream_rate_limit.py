@@ -301,3 +301,73 @@ def test_starting_timestamp_option(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert got == [2]
+
+
+def test_rate_limit_regression_proof(spark, tmp_path):
+    """r11 ADVICE: the cap must not depend on the engine's empirical
+    call order for exactly-once. A reversed batch range (what the
+    engine would plan if a restart ever asked latestOffset before
+    revealing the checkpointed position and got a sub-checkpoint cap
+    back) raises LOUDLY instead of silently re-planning
+    already-emitted versions — and partitions() learns the true
+    position from the range START, so the very next latestOffset caps
+    correctly (loud once, then self-healed, zero duplicates)."""
+    import pytest
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
+        DeltaTailStreamReader,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(6):
+        write_delta(
+            _mk(spark, [(i, float(i))], "id bigint, v double").coalesce(1),
+            table,
+        )
+    # fresh stream: the probe caps from `starting` (bounded backfill)
+    r = DeltaTailStreamReader({"path": table, "maxfilespertrigger": 1})
+    assert r.latestOffset() == {"version": 0}
+    # simulated bad restart: the engine's checkpoint is at version 4
+    # and it plans the reversed batch (4 -> 0) from that stale cap
+    with pytest.raises(ValueError, match="offset regression"):
+        r.partitions({"version": 4}, {"version": 0})
+    # the range start revealed the true position: capping resumes
+    # FROM it — versions 0-4 are never re-planned
+    assert r.latestOffset() == {"version": 5}
+    parts = r.partitions({"version": 4}, {"version": 5})
+    assert parts  # the one un-emitted commit
+    # and the cap is monotonic: it never returns below a learned floor
+    assert r.latestOffset() == {"version": 5}
+
+
+def test_starting_timestamp_session_timezone(spark):
+    """A timezone-NAIVE startingtimestamp resolves in the session
+    timezone (delta-spark semantics, r11 ADVICE); zone-aware strings
+    and integer millis are timezone-independent."""
+    import datetime
+
+    from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
+        _parse_ts_ms,
+    )
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # 2024-01-15 12:00 naive == 17:00 UTC in EST (UTC-5)
+        assert _parse_ts_ms("2024-01-15 12:00:00") == int(
+            datetime.datetime(
+                2024, 1, 15, 17, tzinfo=datetime.timezone.utc
+            ).timestamp() * 1000
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    # zone-aware and integer forms are unaffected by the session tz
+    assert _parse_ts_ms("2024-01-15T12:00:00+00:00") == int(
+        datetime.datetime(
+            2024, 1, 15, 12, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1000
+    )
+    assert _parse_ts_ms("1700000000000") == 1700000000000
