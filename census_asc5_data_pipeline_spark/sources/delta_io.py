@@ -126,6 +126,116 @@ def _read_last_checkpoint(path: str) -> int | None:
         return None  # corrupt pointer: fall back to full JSON replay
 
 
+def _resolve_checkpoint(
+    path: str, version: int
+) -> tuple[str, list[str]] | None:
+    """Find the checkpoint file(s) at exactly ``version``:
+    ``('classic', [file])`` for ``%020d.checkpoint.parquet``,
+    ``('multipart', [parts...])`` for the legacy
+    ``%020d.checkpoint.%010d.%010d.parquet`` form (parts validated
+    complete), or ``('v2', [manifest])`` for the UUID-named V2 form
+    ``%020d.checkpoint.<uuid>.json|parquet`` (PROTOCOL.md §V2
+    Checkpoint). None when no checkpoint exists at that version."""
+    d = _log_dir(path)
+    pref = f"{version:020d}.checkpoint"
+    classic = os.path.join(d, pref + ".parquet")
+    if os.path.exists(classic):
+        return ("classic", [classic])
+    parts: list[tuple[int, int, str]] = []
+    v2: list[str] = []
+    for f in sorted(os.listdir(d)):
+        if not f.startswith(pref + "."):
+            continue
+        bits = f[len(pref) + 1:].split(".")
+        if (
+            len(bits) == 3
+            and bits[2] == "parquet"
+            and bits[0].isdigit()
+            and bits[1].isdigit()
+        ):
+            parts.append((int(bits[0]), int(bits[1]), os.path.join(d, f)))
+        elif len(bits) == 2 and bits[1] in ("parquet", "json"):
+            v2.append(os.path.join(d, f))
+    if parts:
+        n = parts[0][1]
+        if len(parts) != n or sorted(p[0] for p in parts) != list(
+            range(1, n + 1)
+        ):
+            raise FileNotFoundError(
+                f"multipart checkpoint at version {version} is "
+                f"incomplete ({len(parts)} of {n} parts present)"
+            )
+        return ("multipart", [p for _i, _n, p in sorted(parts)])
+    if v2:
+        # multiple UUID manifests for one version are all equivalent
+        # complete checkpoints per spec — any one suffices
+        return ("v2", [v2[0]])
+    return None
+
+
+def _checkpoint_actions(
+    spark: SparkSession, path: str, version: int
+) -> list[dict] | None:
+    """Every action dict the checkpoint at ``version`` carries, with
+    V2 sidecars resolved: a V2 manifest (json or parquet) holds
+    protocol/metaData/txn inline plus ``sidecar`` actions pointing
+    into ``_delta_log/_sidecars/``; the sidecar parquets hold the
+    add/remove file actions (when any sidecar is present, ALL file
+    actions live in sidecars, per spec). Classic and multipart forms
+    return their rows directly. None = no checkpoint at ``version``
+    (corrupt/incomplete ones raise instead — a silently skipped
+    checkpoint would replay an incomplete history)."""
+    res = _resolve_checkpoint(path, version)
+    if res is None:
+        return None
+    kind, files = res
+    if kind == "v2" and files[0].endswith(".json"):
+        rows = [
+            json.loads(line)
+            for line in open(files[0])
+            if line.strip()
+        ]
+    else:
+        rows = [
+            r.asDict(recursive=True)
+            for r in spark.read.parquet(*files).collect()
+        ]
+    out: list[dict] = []
+    sidecars: list[str] = []
+    for d in rows:
+        sc = d.get("sidecar")
+        if sc:
+            p = sc.get("path") or ""
+            sidecars.append(
+                p
+                if os.path.isabs(p)
+                else os.path.join(
+                    _log_dir(path), "_sidecars", os.path.basename(p)
+                )
+            )
+        elif d.get("checkpointMetadata") is not None:
+            cm = d["checkpointMetadata"]
+            if cm and int(cm.get("version", version)) != version:
+                raise ValueError(
+                    f"v2 checkpoint manifest at version {version} "
+                    f"declares checkpointMetadata.version "
+                    f"{cm.get('version')} — corrupt checkpoint"
+                )
+        else:
+            out.append(d)
+    for s in sidecars:
+        if not os.path.exists(s):
+            raise FileNotFoundError(
+                f"v2 checkpoint sidecar missing: {s!r}"
+            )
+    if sidecars:
+        out.extend(
+            r.asDict(recursive=True)
+            for r in spark.read.parquet(*sidecars).collect()
+        )
+    return out
+
+
 def _dv_uid(desc: dict | None) -> str | None:
     """deletionVector uniqueId per PROTOCOL.md: storageType +
     pathOrInlineDv (+ '@offset' when present) — the part of a logical
@@ -212,18 +322,19 @@ def _replay(
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
     start = 0
-    if ckpt is not None and ckpt <= version and os.path.exists(
-        _checkpoint_file(path, ckpt)
-    ):
-        cp = spark.read.parquet(_checkpoint_file(path, ckpt)).collect()
+    cp = (
+        _checkpoint_actions(spark, path, ckpt)
+        if ckpt is not None and ckpt <= version
+        else None
+    )
+    if cp is not None:
         # removes FIRST, adds after: a checkpoint's remove rows are
         # expired-file tombstones, and a file removed then RE-ADDED
         # within retention appears as both a tombstone and a live add
         # — row order must not decide which wins
         cp_removes: list[dict] = []
         cp_adds: list[dict] = []
-        for r in cp:
-            d = r.asDict(recursive=True)
+        for d in cp:
             if d.get("protocol"):
                 protocol = {
                     k: v for k, v in d["protocol"].items() if v is not None
@@ -307,9 +418,11 @@ def _replay(
         if mr == 2:
             ok = cm_ok  # v2 == column mapping, no feature lists yet
         elif mr == 3:
-            ok = feats <= {"columnMapping", "deletionVectors"} and (
-                "columnMapping" not in feats or cm_ok
-            )
+            # v2Checkpoint is READ-supported since r12 (sidecar-aware
+            # _checkpoint_actions); writes stay classic
+            ok = feats <= {
+                "columnMapping", "deletionVectors", "v2Checkpoint"
+            } and ("columnMapping" not in feats or cm_ok)
         else:
             ok = False
         if not ok:

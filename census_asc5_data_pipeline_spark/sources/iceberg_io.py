@@ -768,20 +768,46 @@ def _read_by_field_id(
     return out
 
 
+def resolve_ref(meta: dict, ref: str) -> int:
+    """Snapshot id a ref (tag or branch name) points at, per the
+    table-spec ``refs`` map. ``main`` always resolves to the CURRENT
+    snapshot — the spec defines main as the table's current branch
+    head, and this engine's writers advance ``current-snapshot-id``
+    directly (a stale foreign ``refs.main`` entry must not win over
+    the hint-resolved head)."""
+    if ref == "main":
+        sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise ValueError("table has no current snapshot")
+        return int(sid)
+    refs = meta.get("refs") or {}
+    if ref not in refs:
+        raise ValueError(
+            f"unknown ref {ref!r} (refs: {sorted(refs) + ['main']})"
+        )
+    return int(refs[ref]["snapshot-id"])
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read an Iceberg table (current snapshot, or AS OF
-    ``snapshot_id``). ``partition_filter`` is an exact-match
-    {identity_partition_col: string_value} pruning the file list
-    before the scan plans. Renamed-column histories resolve by
-    parquet field id (see :func:`_read_by_field_id`); v2 row-level
+    """Read an Iceberg table (current snapshot, AS OF
+    ``snapshot_id``, or AS OF a named ``ref`` — tag or branch, spec
+    §refs; round-12 verdict #3). ``partition_filter`` is an
+    exact-match {identity_partition_col: string_value} pruning the
+    file list before the scan plans. Renamed-column histories resolve
+    by parquet field id (see :func:`_read_by_field_id`); v2 row-level
     deletes (position + equality) apply via anti-joins (see
     :func:`_scan_with_deletes`)."""
     _v, meta = _current_metadata(path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        snapshot_id = resolve_ref(meta, ref)
     fv = int(meta.get("format-version", 1))
     if fv > 2:
         raise NotImplementedError(
@@ -1742,6 +1768,110 @@ def set_iceberg_properties(path: str, props: dict[str, str]) -> int:
     return new_v
 
 
+def _set_ref(path: str, name: str, entry: dict | None) -> int:
+    """Commit a new metadata version whose ``refs[name]`` is
+    ``entry`` (None = drop the ref). Metadata-only — no snapshot."""
+    cur_v, meta = _current_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    if entry is None:
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        refs.pop(name)
+    else:
+        refs[name] = entry
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_v = cur_v + 1
+    _write_metadata_version(path, new_v, new_meta)
+    return new_v
+
+
+def _ref_entry(
+    meta: dict, kind: str, snapshot_id: int | None, **retention
+) -> dict:
+    sid = snapshot_id
+    if sid is None:
+        sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise ValueError("table has no current snapshot to reference")
+    known = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if int(sid) not in known:
+        raise ValueError(f"snapshot {sid} not in table (have {sorted(known)})")
+    entry = {"snapshot-id": int(sid), "type": kind}
+    for k, v in retention.items():
+        if v is not None:
+            entry[k.replace("_", "-")] = int(v)
+    return entry
+
+
+def tag_snapshot(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    max_ref_age_ms: int | None = None,
+) -> int:
+    """Create/replace a TAG ref (table-spec §refs; round-12 verdict
+    #3): a named immutable pointer at ``snapshot_id`` (default: the
+    current snapshot) committed as a new metadata version.
+    ``max_ref_age_ms`` is the spec's per-ref retention —
+    :func:`expire_snapshots` drops the tag (and then, if nothing else
+    retains it, its snapshot) once the referenced snapshot is older.
+    Read back with ``read_iceberg(..., ref=name)``."""
+    _v, meta = _current_metadata(path)
+    return _set_ref(
+        path,
+        name,
+        _ref_entry(meta, "tag", snapshot_id, max_ref_age_ms=max_ref_age_ms),
+    )
+
+
+def create_branch(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    min_snapshots_to_keep: int | None = None,
+    max_snapshot_age_ms: int | None = None,
+    max_ref_age_ms: int | None = None,
+) -> int:
+    """Create/replace a BRANCH ref (table-spec §refs): a named head
+    at ``snapshot_id`` (default current) with the spec's branch
+    retention knobs — ``min_snapshots_to_keep`` / ``max_snapshot_age_ms``
+    make :func:`expire_snapshots` retain that much of the branch's
+    history (ancestry approximated by commit timestamp order up to
+    the head, exact for this engine's monotonic snapshots);
+    ``max_ref_age_ms`` expires the branch itself. This engine's
+    writers always advance ``main`` (current-snapshot-id); branches
+    are readable pointers, not independent write heads — writing TO a
+    branch is out of scope and ``read_iceberg(ref=...)`` is the
+    consumption surface."""
+    _v, meta = _current_metadata(path)
+    return _set_ref(
+        path,
+        name,
+        _ref_entry(
+            meta,
+            "branch",
+            snapshot_id,
+            min_snapshots_to_keep=min_snapshots_to_keep,
+            max_snapshot_age_ms=max_snapshot_age_ms,
+            max_ref_age_ms=max_ref_age_ms,
+        ),
+    )
+
+
+def drop_ref(path: str, name: str) -> int:
+    """Remove a tag/branch ref in a new metadata version."""
+    return _set_ref(path, name, None)
+
+
+def iceberg_refs(path: str) -> dict[str, dict]:
+    """The table's ``refs`` map (name → {snapshot-id, type,
+    retention...}), foreign shapes included."""
+    _v, meta = _current_metadata(path)
+    return dict(meta.get("refs") or {})
+
+
 def add_iceberg_columns(path: str, cols: str | T.StructType) -> int:
     """``ALTER TABLE ... ADD COLUMN(S)`` at spec level (round-12
     verdict #4): a NEW metadata version registering a NEW schema-id
@@ -1824,6 +1954,16 @@ def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
       through the retained snapshots in the NEW metadata, exactly as
       before).
 
+    Ref retention (round-12 verdict #3, table-spec §refs): every
+    snapshot a LIVE tag/branch points at is retained beyond the
+    keep-N window; a branch additionally retains its last
+    ``min-snapshots-to-keep`` history snapshots and everything within
+    ``max-snapshot-age-ms`` of now (ancestry approximated by commit
+    timestamp order up to the head — exact for this engine's
+    monotonic snapshots); a ref whose referenced snapshot is older
+    than its ``max-ref-age-ms`` is itself EXPIRED and dropped from
+    the new metadata's refs (``main`` never expires, per spec).
+
     Returns {data_files_removed, manifests_removed,
     metadata_files_removed, retained_snapshot_ids}.
     """
@@ -1832,10 +1972,52 @@ def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
         _meta_dir(path), f"v{cur_v}.metadata.json"
     )
     cutoff = os.path.getmtime(cur_meta_file)
+    now_ms = int(time.time() * 1000)
     snaps = sorted(
-        meta.get("snapshots", []), key=lambda s: s["snapshot-id"]
+        meta.get("snapshots", []),
+        key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]),
     )
-    retained = snaps[-keep_snapshots:] if keep_snapshots > 0 else []
+    snaps_by_id = {s["snapshot-id"]: s for s in snaps}
+    live_refs: dict[str, dict] = {}
+    for rname, r in (meta.get("refs") or {}).items():
+        target = snaps_by_id.get(r.get("snapshot-id"))
+        if target is None:
+            continue  # dangling ref: drop with its snapshot already gone
+        cap = r.get("max-ref-age-ms")
+        if (
+            rname != "main"
+            and cap is not None
+            and now_ms - int(target.get("timestamp-ms", now_ms)) > int(cap)
+        ):
+            continue  # the ref itself expired
+        live_refs[rname] = r
+    retained_ids = {
+        s["snapshot-id"]
+        for s in (snaps[-keep_snapshots:] if keep_snapshots > 0 else [])
+    }
+    for r in live_refs.values():
+        head = snaps_by_id[r["snapshot-id"]]
+        retained_ids.add(head["snapshot-id"])
+        if r.get("type") == "branch":
+            hist = [
+                s
+                for s in snaps
+                if (s.get("timestamp-ms", 0), s["snapshot-id"])
+                <= (head.get("timestamp-ms", 0), head["snapshot-id"])
+            ]
+            k = r.get("min-snapshots-to-keep")
+            if k:
+                retained_ids |= {
+                    s["snapshot-id"] for s in hist[-int(k):]
+                }
+            age = r.get("max-snapshot-age-ms")
+            if age is not None:
+                retained_ids |= {
+                    s["snapshot-id"]
+                    for s in hist
+                    if now_ms - int(s.get("timestamp-ms", 0)) <= int(age)
+                }
+    retained = [s for s in snaps if s["snapshot-id"] in retained_ids]
     retained_ids = {s["snapshot-id"] for s in retained}
 
     keep_avros: set[str] = set()
@@ -1864,6 +2046,8 @@ def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
         if e.get("snapshot-id") in retained_ids
     ]
     new_meta["last-updated-ms"] = int(time.time() * 1000)
+    if meta.get("refs") is not None or live_refs:
+        new_meta["refs"] = live_refs  # expired refs drop with their snaps
     if retained and meta.get("current-snapshot-id") not in retained_ids:
         new_meta["current-snapshot-id"] = retained[-1]["snapshot-id"]
     # metadata files below new_v are pruned below — drop their
