@@ -138,6 +138,12 @@ GROUPS: dict[str, list[str]] = {
         "iceberg_merge_upsert",
         "cdf_replay",
     ],
+    # round-12 addition (eager CREATE + INSERT INTO/OVERWRITE loop
+    # through the SQL front-end; cost is the three Delta commits)
+    "r12_tail": [
+        "insert_overwrite",
+        "schema_evolution",
+    ],
 }
 
 

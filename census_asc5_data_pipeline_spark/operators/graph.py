@@ -254,19 +254,31 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank_ppb", F.lit(0).cast("bigint"))
+    # the rank frame is O(nodes); when broadcastable, hinting it keeps
+    # the (much larger) edge frame from re-shuffling EVERY round —
+    # checkpointed frames lose their partitioning metadata, so without
+    # the hint Catalyst re-plans a sort-merge per round. Gated on the
+    # node count already in hand (the hits() r12 discipline): a 100 TB
+    # graph's ranks don't fit an executor broadcast, so the big path
+    # keeps Catalyst's choice.
+    small = n_nodes <= _HITS_BROADCAST_NODES
+
+    def _score_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     ed = directed.join(out_deg, "u").localCheckpoint()
     for _ in range(n_iter):
         contrib = (
-            ranks.withColumnRenamed("node", "u")
+            _score_side(ranks.withColumnRenamed("node", "u"))
             .join(ed, "u")
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("odeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(_score_side(contrib), "node", "left")
             .select(
                 "node",
                 (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias(
@@ -335,9 +347,18 @@ def label_propagation(
     labels = directed.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint()
+    # label frames are O(nodes): broadcast-hint them when small so the
+    # edge frame never re-shuffles per round (the hits()/pagerank r12
+    # discipline; checkpointed frames lose partitioning metadata, so
+    # Catalyst would otherwise sort-merge every round)
+    small = labels.count() <= _HITS_BROADCAST_NODES
+
+    def _score_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(n_iter):
         counted = (
-            labels.withColumnRenamed("node", "u")
+            _score_side(labels.withColumnRenamed("node", "u"))
             .join(directed, "u")
             .groupBy(F.col("v").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -355,7 +376,10 @@ def label_propagation(
         obs = Observation()
         new_labels = (
             argmax.join(
-                labels.select("node", F.col("lbl").alias("__old")), "node"
+                _score_side(
+                    labels.select("node", F.col("lbl").alias("__old"))
+                ),
+                "node",
             )
             .observe(
                 obs,
@@ -433,10 +457,20 @@ def k_core(
             return deg.filter(F.lit(False)).select(
                 F.col("u").alias("node"), F.col("d").alias("core_degree")
             )
-        keep_u = keep.select("u")
+        # the survivor set is O(nodes) and already counted by the
+        # probe: broadcast it (each join role hinted separately) so
+        # the edge frame filters in place instead of re-shuffling
+        # both sides every peel round
+        small = probe["n_keep"] <= _HITS_BROADCAST_NODES
+
+        def _side(df):
+            return F.broadcast(df) if small else df
+
         directed = (
-            directed.join(keep_u, "u", "left_semi")
-            .join(keep_u.select(F.col("u").alias("v")), "v", "left_semi")
+            directed.join(_side(keep.select("u")), "u", "left_semi")
+            .join(
+                _side(keep.select(F.col("u").alias("v"))), "v", "left_semi"
+            )
             .localCheckpoint()
         )
     if bounded:
@@ -621,16 +655,30 @@ def pagerank_exact(
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         .localCheckpoint()
     )
-    ranks = deg.select(
+    # rank/degree frames are O(nodes): broadcast-hint them when small
+    # so the edge frame never re-shuffles per round (hits()/pagerank
+    # r12 discipline; the node count is one setup job over the
+    # checkpointed degree frame)
+    small = deg.count() <= _HITS_BROADCAST_NODES
+
+    def _score_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    # fuse rank and degree into ONE O(nodes) frame so each round is a
+    # single edge join instead of two
+    state = deg.select(
         F.col("u").alias("node"),
         F.lit(1_000_000_000).cast("bigint").alias("r"),
+        F.col("d"),
     ).localCheckpoint()
     for _ in range(rounds):
         contrib = (
             directed.join(
-                ranks.select(F.col("node").alias("u"), "r"), "u"
+                _score_side(
+                    state.select(F.col("node").alias("u"), "r", "d")
+                ),
+                "u",
             )
-            .join(deg, "u")
             .select(
                 F.col("v").alias("node"),
                 F.expr("(85 * r) DIV (100 * d)").alias("c"),
@@ -638,8 +686,16 @@ def pagerank_exact(
             .groupBy("node")
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
-        ranks = contrib.select(
-            "node",
-            (F.lit(150_000_000) + F.col("s")).cast("bigint").alias("r"),
-        ).localCheckpoint()
-    return ranks.select("node", F.col("r").alias("rank_ppb"))
+        state = (
+            _score_side(
+                contrib.select(
+                    "node",
+                    (F.lit(150_000_000) + F.col("s"))
+                    .cast("bigint")
+                    .alias("r"),
+                )
+            )
+            .join(deg.select(F.col("u").alias("node"), "d"), "node")
+            .localCheckpoint()
+        )
+    return state.select("node", F.col("r").alias("rank_ppb"))

@@ -10096,6 +10096,108 @@ FROM final GROUP BY priority
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS through the registry gate (round-12:
+    the new DDL verb must face the driver's oracle like INSERT did):
+    ``dml_sql`` CTAS-creates a Delta table from the EVEN-keyed
+    customers (3 columns), ALTERs two columns in (nation BIGINT,
+    flagged STRING), then INSERT INTOs the ODD-keyed customers WITH
+    the new columns populated. The read-back aggregate proves the
+    additive-evolution contract end-to-end: pre-evolution rows scan
+    NULL for the added columns (null_nation counts exactly the even
+    keys per segment), post-evolution rows carry real values
+    (nation_sum sums only odd keys' nationkeys) — a mis-bound column
+    or a dropped metaData commit flips the hash. Idempotent under
+    /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    cust = _t(spark, sf_dir, "customer")
+    view = f"se_cust_{os.getpid()}"
+    cust.select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_cents"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+    ).createOrReplaceTempView(view)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_schema_evolution_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    cat: dict = {}
+    dml_sql(
+        spark,
+        f"CREATE TABLE se_t USING delta LOCATION '{base}' AS "
+        f"SELECT ckey, segment, bal_cents FROM {view} "
+        "WHERE ckey % 2 = 0",
+        cat,
+    )
+    dml_sql(
+        spark,
+        "ALTER TABLE se_t ADD COLUMNS (nation BIGINT, flagged STRING)",
+        cat,
+    )
+    dml_sql(
+        spark,
+        "INSERT INTO se_t SELECT ckey, segment, bal_cents, nationkey, "
+        f"CASE WHEN bal_cents < 0 THEN 'neg' ELSE 'pos' END FROM {view} "
+        "WHERE ckey % 2 = 1",
+        cat,
+    )
+    return (
+        delta_io.read_delta(spark, base)
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents_sum"),
+            F.sum(F.when(F.col("nation").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("null_nation"),
+            F.sum(F.coalesce(F.col("nation"), F.lit(0)))
+            .cast("bigint")
+            .alias("nation_sum"),
+            F.sum(F.when(F.col("flagged") == "neg", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+    )
+
+
+SQL_SCHEMA_EVOLUTION = """
+WITH c AS (
+  SELECT c_custkey AS ckey, c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         CAST(c_nationkey AS BIGINT) AS nationkey
+  FROM customer
+),
+final AS (
+  SELECT ckey, segment, bal_cents,
+         CAST(NULL AS BIGINT) AS nation, CAST(NULL AS VARCHAR) AS flagged
+  FROM c WHERE ckey % 2 = 0
+  UNION ALL
+  SELECT ckey, segment, bal_cents, nationkey,
+         CASE WHEN bal_cents < 0 THEN 'neg' ELSE 'pos' END
+  FROM c WHERE ckey % 2 = 1
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum,
+       CAST(SUM(CASE WHEN nation IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_nation,
+       CAST(SUM(COALESCE(nation, 0)) AS BIGINT) AS nation_sum,
+       CAST(SUM(CASE WHEN flagged = 'neg' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neg
+FROM final GROUP BY segment
+"""
+
+
 def q_iceberg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg snapshot travel through the registry gate — the
     q_delta_as_of twin on the other table format: snapshot 1 = the
@@ -10412,6 +10514,7 @@ FROM changes GROUP BY change_type, segment
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 12 ---
+    "schema_evolution": q_schema_evolution,
     "insert_overwrite": q_insert_overwrite,
     # --- new in round 11 ---
     "iceberg_merge_upsert": q_iceberg_merge_upsert,
@@ -10654,6 +10757,7 @@ ORACLES: dict[str, str] = {
     "delta_as_of": SQL_DELTA_AS_OF,
     "iceberg_as_of": SQL_ICEBERG_AS_OF,
     "insert_overwrite": SQL_INSERT_OVERWRITE,
+    "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "ewma_smooth": SQL_EWMA_SMOOTH,
     "benford_profile": SQL_BENFORD_PROFILE,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,

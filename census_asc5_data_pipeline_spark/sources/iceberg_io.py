@@ -484,6 +484,41 @@ def _schema_of(
     return spark_schema, ice["fields"]
 
 
+def _check_required(df, fields: list[dict], operation: str) -> None:
+    """Iceberg's one row constraint: a ``required=true`` field must be
+    non-null (table spec §Schemas). Foreign tables declare these;
+    this writer validates the staged rows BEFORE any snapshot commits
+    (the :func:`delta_io._check_constraints` twin, r12). One
+    aggregate job, skipped when no required field exists; columns
+    Spark already types non-nullable are statically satisfied."""
+    from pyspark.sql import functions as F
+
+    req = [
+        f["name"]
+        for f in fields
+        if f.get("required")
+        and f["name"] in df.columns
+        and df.schema[f["name"]].nullable
+    ]
+    if not req:
+        return
+    row = df.agg(
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"__r{i}"
+            )
+            for i, c in enumerate(req)
+        ]
+    ).collect()[0]
+    for i, c in enumerate(req):
+        bad = int(row[f"__r{i}"] or 0)
+        if bad:
+            raise ValueError(
+                f"{operation} violates required (non-null) field "
+                f"{c!r}: {bad} row(s) are null — nothing was committed"
+            )
+
+
 def iceberg_snapshots(path: str) -> list[dict]:
     """The table's snapshot log: [{snapshot-id, timestamp-ms,
     manifest-list, summary}, ...] ascending."""
@@ -1146,6 +1181,12 @@ def write_iceberg(
         # forward so the _schema_of rename gate keeps seeing history
         prev_sig = [(f["name"], f["type"]) for f in prev_fields]
         new_sig = [(f["name"], f["type"]) for f in ice_fields]
+        if new_sig == prev_sig:
+            # a FOREIGN table may declare required=true fields; this
+            # writer validates them before the snapshot commits (a
+            # schema-replacing overwrite re-registers with this
+            # writer's all-optional fields, so no check there)
+            _check_required(df, prev_fields, mode.upper())
         if new_sig != prev_sig:
             if mode != "overwrite":
                 raise ValueError(

@@ -706,6 +706,16 @@ def _commit_iceberg_mor(
                     }
                 )
         if new_rows is not None:
+            # foreign required=true fields bind MERGE/UPDATE images
+            # too — validate before anything stages (r12, the
+            # delta-side _check_constraints twin)
+            ice._check_required(
+                new_rows,
+                evolved_fields
+                if evolved_fields is not None
+                else ice._schema_of(meta, allow_renames=True)[1],
+                "MERGE",
+            )
             shutil.rmtree(staging, ignore_errors=True)
             # the write_iceberg staging shape: a DERIVED __pt_ column
             # evaluates the spec field's transform (identity clone,

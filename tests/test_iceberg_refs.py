@@ -150,3 +150,50 @@ def test_branch_retention_and_ref_age_expiry(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown ref"):
         drop_ref(path, "nope")
+
+
+def test_required_field_enforced_on_write(spark, tmp_path):
+    """Iceberg's one row constraint (table spec §Schemas): a FOREIGN
+    table declaring required=true fields rejects null-bearing appends
+    and MERGE images BEFORE any snapshot commits; clean writes pass
+    (the delta_io constraint-enforcement twin, r12)."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _current_metadata,
+        _meta_dir,
+        iceberg_snapshots,
+        read_iceberg,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, "a")], "id bigint, s string"), path)
+    # foreign shape: hand-mark s as required in the current metadata
+    cur_v, meta = _current_metadata(path)
+    for sch in meta.get("schemas") or [meta.get("schema")]:
+        for f in sch["fields"]:
+            if f["name"] == "s":
+                f["required"] = True
+    with open(
+        os.path.join(_meta_dir(path), f"v{cur_v}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="required"):
+        write_iceberg(_mk(spark, [(2, None)], "id bigint, s string"), path)
+    src = _mk(spark, [(1, None)], "id bigint, s string")
+    with _pt.raises(ValueError, match="required"):
+        merge_into(
+            spark, "iceberg", path, src, on="t.id = s.id",
+            matched=[("update", None, {"s": "s.s"})],
+        )
+    n_before = len(iceberg_snapshots(path))
+    assert write_iceberg(
+        _mk(spark, [(2, "b")], "id bigint, s string"), path
+    ) is not None
+    assert len(iceberg_snapshots(path)) == n_before + 1
+    assert sorted(
+        (r.id, r.s) for r in read_iceberg(spark, path).collect()
+    ) == [(1, "a"), (2, "b")]

@@ -23,6 +23,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 12 ---
+    # returned plan = one groupBy over the evolved-table read (agg
+    # pair measures 1); CREATE/ALTER/INSERT run at construction
+    "schema_evolution": 2,
     # returned plan = one groupBy over the post-overwrite table read
     # (partial/final agg pair measures 1 with this counter); the
     # CREATE/INSERT/OVERWRITE statements run at construction time
