@@ -135,10 +135,24 @@ def _degree_directed(und: DataFrame) -> DataFrame:
         .unionAll(und.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
+    # the degree frame is O(nodes): broadcast-hint it when small so
+    # the edge frame isn't shuffled twice to attach endpoint degrees
+    # (hits/pagerank r12 discipline; the count probes the
+    # just-checkpointed frame)
+    small = deg.count() <= _HITS_BROADCAST_NODES
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     e = und.join(
-        deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u"
-    ).join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+        _side(deg.select(F.col("x").alias("u"), F.col("d").alias("du"))),
+        "u",
+    ).join(
+        _side(deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))),
+        "v",
+    )
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )

@@ -75,6 +75,8 @@ __all__ = [
     "read_delta_cdf",
     "set_delta_properties",
     "add_delta_columns",
+    "rename_delta_column",
+    "drop_delta_columns",
     "delta_tail_fold",
     "write_delta",
     "delete_delta_where",
@@ -503,6 +505,8 @@ _APPEND_ONLY_OK = {
     "OPTIMIZE",
     "SET TBLPROPERTIES",
     "ADD COLUMNS",
+    "RENAME COLUMN",
+    "DROP COLUMNS",
     "CHECKPOINT",
 }
 
@@ -1400,6 +1404,147 @@ def add_delta_columns(
             continue
 
 
+def _meta_only_commit(
+    spark: SparkSession, path: str, build, operation: str, params: dict
+) -> int:
+    """Commit a metaData-only change (the ADD/RENAME/DROP COLUMNS and
+    SET TBLPROPERTIES shape): one commitInfo + metaData commit at the
+    next version, put-if-absent. ``build(protocol, meta) -> new_meta``
+    re-runs against a FRESH replay on every collision retry, so a
+    concurrent property/schema commit is never clobbered with a
+    stale base."""
+    while True:
+        protocol, meta, _adds, _tx = _replay(spark, path, None)
+        new_meta = build(protocol, meta)
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        lines = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": operation,
+                    "operationParameters": params,
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
+            },
+            {"metaData": new_meta},
+        ]
+        try:
+            _put_if_absent_commit(path, next_v, lines)
+            return next_v
+        except FileExistsError:
+            continue
+
+
+def _constraint_references(meta: dict, col: str) -> list[str]:
+    """CHECK constraints whose expression mentions ``col`` as a word —
+    renaming/dropping a constrained column would orphan the
+    expression (delta-spark refuses too)."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b", _re.IGNORECASE)
+    return [
+        k
+        for k, v in sorted((meta.get("configuration") or {}).items())
+        if k.startswith("delta.constraints.") and pat.search(str(v))
+    ]
+
+
+def rename_delta_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` (round-12): requires column
+    mapping — data files resolve by PHYSICAL name, so a rename is a
+    pure metaData edit (the field keeps its physicalName + id and
+    every existing file keeps serving it); without mapping, by-name
+    parquet resolution would silently null the renamed column, so the
+    unmapped case raises (delta-spark requires
+    delta.columnMapping.mode=name for renames for the same reason).
+    partitionColumns entries rename in the same commit. Returns the
+    committed version."""
+
+    def build(protocol: dict, meta: dict) -> dict:
+        _writer_gate(protocol, meta, "RENAME COLUMN")
+        if _column_mapping(meta) is None:
+            raise NotImplementedError(
+                "RENAME COLUMN requires delta.columnMapping.mode=name "
+                "— unmapped data files resolve by column NAME and "
+                "would silently read null after a rename; create the "
+                "table with column mapping (or migrate it) first"
+            )
+        sj = json.loads(meta["schemaString"])
+        names = [f["name"] for f in sj["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        refs = _constraint_references(meta, old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by constraint(s) "
+                f"{refs} — drop the constraint(s) first"
+            )
+        for f in sj["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        new_meta = dict(meta, schemaString=json.dumps(sj))
+        pcols = list(meta.get("partitionColumns") or [])
+        if old in pcols:
+            new_meta["partitionColumns"] = [
+                new if c == old else c for c in pcols
+            ]
+        return new_meta
+
+    return _meta_only_commit(
+        spark, path, build, "RENAME COLUMN", {"from": old, "to": new}
+    )
+
+
+def drop_delta_columns(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """``ALTER TABLE ... DROP COLUMN(S)`` (round-12): requires column
+    mapping (same physical-name argument as rename — delta-spark's
+    rule); a metaData-only commit removing the fields. Data files
+    keep the physical column bytes (reclaimed only by a rewrite);
+    scans project it away. Partition columns and constraint-referenced
+    columns refuse. Returns the committed version."""
+
+    def build(protocol: dict, meta: dict) -> dict:
+        _writer_gate(protocol, meta, "DROP COLUMNS")
+        if _column_mapping(meta) is None:
+            raise NotImplementedError(
+                "DROP COLUMN requires delta.columnMapping.mode=name — "
+                "the remaining columns must resolve by PHYSICAL name "
+                "for old files to keep reading correctly"
+            )
+        sj = json.loads(meta["schemaString"])
+        names = [f["name"] for f in sj["fields"]]
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"no column(s) {missing} (have {names})")
+        if len(set(cols)) >= len(names):
+            raise ValueError("cannot drop every column")
+        pcols = set(meta.get("partitionColumns") or [])
+        part = [c for c in cols if c in pcols]
+        if part:
+            raise ValueError(f"cannot drop partition column(s) {part}")
+        for c in cols:
+            refs = _constraint_references(meta, c)
+            if refs:
+                raise ValueError(
+                    f"column {c!r} is referenced by constraint(s) "
+                    f"{refs} — drop the constraint(s) first"
+                )
+        sj["fields"] = [f for f in sj["fields"] if f["name"] not in cols]
+        return dict(meta, schemaString=json.dumps(sj))
+
+    return _meta_only_commit(
+        spark, path, build, "DROP COLUMNS", {"columns": list(cols)}
+    )
+
+
 def delta_tail_fold(
     spark: SparkSession, path: str, cursor_path: str, fn
 ) -> tuple[int, int]:
@@ -1424,6 +1569,27 @@ def delta_tail_fold(
         json.dump({"version": last}, fh)
     os.replace(tmp, cursor_path)
     return last - since, last
+
+
+def _maybe_auto_checkpoint(
+    spark: SparkSession, path: str, version: int, conf: dict | None
+) -> None:
+    """``delta.checkpointInterval`` (r12): after a successful commit
+    at a version divisible by the interval, write a classic
+    checkpoint — the delta-spark writer cadence that keeps log replay
+    O(tail) on long-lived tables (without it a 10k-commit table
+    replays 10k JSON files per read). Absent/invalid property → no-op;
+    a checkpoint failure never un-commits the data (it's a pure
+    optimization, retried at the next interval)."""
+    try:
+        interval = int((conf or {}).get("delta.checkpointInterval", 0))
+    except (TypeError, ValueError):
+        return
+    if interval > 0 and version > 0 and version % interval == 0:
+        try:
+            create_checkpoint(spark, path, version=version)
+        except Exception:
+            pass
 
 
 def _put_if_absent_commit(path: str, version: int, lines: list[dict]) -> None:
@@ -1838,6 +2004,10 @@ def write_delta(
         lines.extend(add_actions)
         try:
             _put_if_absent_commit(path, next_v, lines)
+            _maybe_auto_checkpoint(
+                spark, path, next_v,
+                meta.get("configuration") or create_conf,
+            )
             return next_v
         except FileExistsError:
             continue  # another writer claimed next_v: re-replay, retry
@@ -2056,6 +2226,9 @@ def delete_delta_where(
                 )
         try:
             _put_if_absent_commit(path, next_v, lines)
+            _maybe_auto_checkpoint(
+                spark, path, next_v, meta.get("configuration")
+            )
             return next_v
         except FileExistsError:
             continue

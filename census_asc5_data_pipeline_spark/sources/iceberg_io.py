@@ -519,6 +519,29 @@ def _check_required(df, fields: list[dict], operation: str) -> None:
             )
 
 
+def _with_field_ids(df, fields: list[dict]):
+    """Stamp each column with its Iceberg field id
+    (``parquet.field.id`` column metadata → PARQUET field_id in the
+    footer via Spark's native writer; spark.sql.parquet.fieldId.write
+    is on by default). The table spec REQUIRES field ids in data
+    files — they're what makes rename/drop resolution
+    (:func:`_read_by_field_id`) work on this engine's own files, not
+    just foreign ones (r12). Columns without a schema field (staging
+    ``__pt_`` clones — which Spark drops from the files anyway) pass
+    through unstamped."""
+    from pyspark.sql import functions as F
+
+    id_of = {f["name"]: int(f["id"]) for f in fields}
+    return df.select(
+        [
+            F.col(c).alias(c, metadata={"parquet.field.id": id_of[c]})
+            if c in id_of
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def iceberg_snapshots(path: str) -> list[dict]:
     """The table's snapshot log: [{snapshot-id, timestamp-ms,
     manifest-list, summary}, ...] ascending."""
@@ -1243,7 +1266,9 @@ def write_iceberg(
     from pyspark.sql import functions as F
 
     staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
-    out_df = df
+    # field-id stamps (spec requirement) make rename/drop resolution
+    # work on this engine's own files
+    out_df = _with_field_ids(df, ice_fields)
     writer_cols = []
     for pf in part_fields:
         e = _stage_partition_expr(
@@ -1974,6 +1999,97 @@ def add_iceberg_columns(path: str, cols: str | T.StructType) -> int:
     return new_v
 
 
+def _new_schema_version(path: str, mutate) -> int:
+    """Register a NEW schema-id whose fields = ``mutate(current
+    fields)`` (field ids stable) in a new metadata version — the
+    shared shape of ADD/RENAME/DROP COLUMNS. No snapshot."""
+    cur_v, meta = _current_metadata(path)
+    _s, fields = _schema_of(meta, allow_renames=True)
+    new_fields = mutate(meta, [dict(f) for f in fields])
+    prev_schemas = meta.get("schemas") or (
+        [dict(meta["schema"], **{"schema-id": 0})]
+        if "schema" in meta
+        else []
+    )
+    new_sid = (
+        max((sc.get("schema-id", 0) for sc in prev_schemas), default=0) + 1
+    )
+    new_meta = dict(meta)
+    new_meta["schemas"] = prev_schemas + [
+        {"type": "struct", "schema-id": new_sid, "fields": new_fields}
+    ]
+    new_meta["current-schema-id"] = new_sid
+    new_meta["last-column-id"] = max(
+        [int(meta.get("last-column-id", 0))]
+        + [f["id"] for f in new_fields]
+    )
+    new_meta.pop("schema", None)
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_v = cur_v + 1
+    _write_metadata_version(path, new_v, new_meta)
+    return new_v
+
+
+def _partition_source_ids(meta: dict) -> set[int]:
+    specs = meta.get("partition-specs") or (
+        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    return {
+        f["source-id"] for s in specs for f in s.get("fields", [])
+    }
+
+
+def rename_iceberg_column(path: str, old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` (round-12): a new schema-id
+    whose field keeps its ID under the new name — Iceberg's whole
+    point of field-id resolution. Old data files keep serving the
+    column: :func:`read_iceberg` resolves renamed histories through
+    the parquet footers' field ids (``_read_by_field_id``); surfaces
+    that resolve by name keep their existing loud rename gate.
+    Returns the new metadata version."""
+
+    def mutate(meta, fields):
+        names = [f["name"] for f in fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        return fields
+
+    return _new_schema_version(path, mutate)
+
+
+def drop_iceberg_columns(path: str, cols: list[str]) -> int:
+    """``ALTER TABLE ... DROP COLUMN(S)`` (round-12): a new schema-id
+    without the fields (remaining ids stable). Data files keep the
+    column bytes; scans project them away. Partition-spec source
+    columns refuse. Returns the new metadata version."""
+
+    def mutate(meta, fields):
+        names = [f["name"] for f in fields]
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"no column(s) {missing} (have {names})")
+        if len(set(cols)) >= len(fields):
+            raise ValueError("cannot drop every column")
+        src_ids = _partition_source_ids(meta)
+        part = [
+            f["name"]
+            for f in fields
+            if f["name"] in cols and f["id"] in src_ids
+        ]
+        if part:
+            raise ValueError(
+                f"cannot drop partition source column(s) {part}"
+            )
+        return [f for f in fields if f["name"] not in cols]
+
+    return _new_schema_version(path, mutate)
+
+
 def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
     """Iceberg's ``expireSnapshots`` at spec level — the storage-
     reclaim twin of :func:`delta_io.vacuum_delta` (round-7 verdict
@@ -2252,6 +2368,7 @@ def rewrite_data_files(
             )
         else:
             src = spark.read.schema(schema).parquet(*paths)
+        src = _with_field_ids(src, fields)
         if zorder_by:
             from census_asc5_data_pipeline_spark.sources.bucketing import (
                 zorder_cluster,

@@ -480,6 +480,9 @@ def _merge_delta(
                 )
         try:
             d._put_if_absent_commit(path, next_v, lines)
+            d._maybe_auto_checkpoint(
+                spark, path, next_v, meta.get("configuration")
+            )
             return next_v
         except FileExistsError:
             continue
@@ -724,7 +727,12 @@ def _commit_iceberg_mor(
             # data file (iceberg files carry all columns per spec) and
             # an update that moves a row across partitions lands it in
             # the right directory automatically
-            out_df = new_rows
+            out_df = ice._with_field_ids(
+                new_rows,
+                evolved_fields
+                if evolved_fields is not None
+                else ice._schema_of(meta, allow_renames=True)[1],
+            )
             writer_cols = []
             for pf in pcols:
                 out_df = out_df.withColumn(
@@ -1427,6 +1435,9 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
                 )
         try:
             d._put_if_absent_commit(path, next_v, lines)
+            d._maybe_auto_checkpoint(
+                spark, path, next_v, meta.get("configuration")
+            )
             return next_v
         except FileExistsError:
             continue
@@ -1701,6 +1712,14 @@ _SET_PROPS_RE = re.compile(
     r"^SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_RENAME_COL_RE = re.compile(
+    r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
+    re.IGNORECASE,
+)
+_DROP_COLS_RE = re.compile(
+    r"^DROP\s+COLUMNS?\s*(?:\((?P<pcols>[^)]*)\)|(?P<bcols>[\w,\s]+?))\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>[\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(?(?P<zcols>[\w.,\s]*?)\)?)?\s*$",
@@ -1800,9 +1819,45 @@ def dml_sql(
             )
 
             return set_iceberg_properties(path, props)
+        rm = _RENAME_COL_RE.match(rest)
+        if rm:
+            if fmt == "delta":
+                from census_asc5_data_pipeline_spark.sources.delta_io import (
+                    rename_delta_column,
+                )
+
+                return rename_delta_column(
+                    spark, path, rm.group("old"), rm.group("new")
+                )
+            from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+                rename_iceberg_column,
+            )
+
+            return rename_iceberg_column(
+                path, rm.group("old"), rm.group("new")
+            )
+        dm = _DROP_COLS_RE.match(rest)
+        if dm:
+            cols = [
+                c.strip()
+                for c in (dm.group("pcols") or dm.group("bcols")).split(",")
+                if c.strip()
+            ]
+            if fmt == "delta":
+                from census_asc5_data_pipeline_spark.sources.delta_io import (
+                    drop_delta_columns,
+                )
+
+                return drop_delta_columns(spark, path, cols)
+            from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+                drop_iceberg_columns,
+            )
+
+            return drop_iceberg_columns(path, cols)
         raise ValueError(
             f"unsupported ALTER TABLE clause {rest!r} "
-            "(ADD COLUMN(S) | SET TBLPROPERTIES)"
+            "(ADD COLUMN(S) | RENAME COLUMN | DROP COLUMN(S) | "
+            "SET TBLPROPERTIES)"
         )
     if head == "OPTIMIZE":
         m = _OPTIMIZE_RE.match(text)

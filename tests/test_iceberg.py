@@ -142,7 +142,9 @@ def test_iceberg_feature_gates(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="format-version 3"):
         read_iceberg(spark, path)
 
-    # renamed column across schema versions -> by-name binding unsafe
+    # renamed column across schema versions: since r12 this engine's
+    # own files carry PARQUET field ids, so the rename RESOLVES (by
+    # field id) instead of gating — values intact under the new name
     m4 = dict(meta)
     m4["schemas"] = meta["schemas"] + [
         {
@@ -151,9 +153,34 @@ def test_iceberg_feature_gates(spark, tmp_path):
             "fields": [{"id": 1, "name": "renamed_id", "type": "long"}],
         }
     ]
+    m4["current-schema-id"] = 1
     json.dump(m4, open(md, "w"))
-    # renamed history without parquet field ids (our writer doesn't
-    # stamp them) still gates — resolution would be a guess
+    got = read_iceberg(spark, path)
+    assert got.columns == ["renamed_id"]
+    assert [r.renamed_id for r in got.collect()] == [1]
+
+    # ...but a renamed history over UNSTAMPED files (a foreign writer
+    # without field ids) still gates — resolution would be a guess
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    f0 = next(
+        f
+        for f in _glob.glob(os.path.join(path, "data", "*.parquet"))
+        if _pq.ParquetFile(f).metadata.num_rows
+    )
+    spark.createDataFrame([(1,)], "id bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "plain"))
+    import shutil as _sh
+
+    plain = next(
+        f
+        for f in os.listdir(str(tmp_path / "plain"))
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    _sh.copy(os.path.join(str(tmp_path / "plain"), plain), f0)
     with pytest.raises(NotImplementedError, match="PARQUET:field_id"):
         read_iceberg(spark, path).collect()
 

@@ -367,3 +367,168 @@ def test_table_changes_sql_surface(spark, tmp_path):
     assert got_sql == [
         (1, "delete"), (1, "insert"), (2, "insert"), (3, "insert"),
     ]
+
+
+def test_rename_drop_columns_delta_mapped(spark, tmp_path):
+    """RENAME/DROP COLUMN on a column-mapped Delta table are pure
+    metaData commits: the field keeps its physical name (old files
+    keep serving a renamed column), a dropped column disappears from
+    scans, and RE-ADDING the same name mints a FRESH physical name so
+    old bytes stay hidden (NULL). Unmapped tables gate loudly."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    p = str(tmp_path / "m")
+    write_delta(
+        _mk(spark, [(1, 10.0, "x"), (2, 20.0, "y")],
+            "id bigint, v double, tag string"),
+        p,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    cat = {"t": ("delta", p)}
+    dml_sql(spark, "ALTER TABLE t RENAME COLUMN v TO price", cat)
+    back = read_delta(spark, p)
+    assert back.columns == ["id", "price", "tag"]
+    assert sorted((r.id, r.price) for r in back.collect()) == [
+        (1, 10.0), (2, 20.0),
+    ]
+    dml_sql(spark, "ALTER TABLE t DROP COLUMN tag", cat)
+    assert read_delta(spark, p).columns == ["id", "price"]
+    # re-add the dropped name: fresh physical name → old bytes hidden
+    dml_sql(spark, "ALTER TABLE t ADD COLUMNS (tag string)", cat)
+    got = sorted(
+        (r.id, r.price, r.tag) for r in read_delta(spark, p).collect()
+    )
+    assert got == [(1, 10.0, None), (2, 20.0, None)]
+    # appends in the renamed schema land correctly
+    write_delta(
+        _mk(spark, [(3, 30.0, "z")], "id bigint, price double, tag string"),
+        p,
+    )
+    assert sorted(
+        (r.id, r.price, r.tag) for r in read_delta(spark, p).collect()
+    ) == [(1, 10.0, None), (2, 20.0, None), (3, 30.0, "z")]
+
+    # unmapped tables refuse (by-name parquet resolution would null)
+    p2 = str(tmp_path / "u")
+    write_delta(_mk(spark, [(1, 1.0)], "id bigint, v double"), p2)
+    cat2 = {"u": ("delta", p2)}
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        dml_sql(spark, "ALTER TABLE u RENAME COLUMN v TO w", cat2)
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        dml_sql(spark, "ALTER TABLE u DROP COLUMN v", cat2)
+
+
+def test_rename_drop_columns_delta_constraint_guard(spark, tmp_path):
+    """Renaming/dropping a column a CHECK constraint references
+    refuses (the constraint expression would orphan)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    p = str(tmp_path / "c")
+    write_delta(
+        _mk(spark, [(1, 5.0)], "id bigint, v double"),
+        p,
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.constraints.pos": "v > 0",
+        },
+    )
+    cat = {"t": ("delta", p)}
+    with pytest.raises(ValueError, match="constraint"):
+        dml_sql(spark, "ALTER TABLE t RENAME COLUMN v TO w", cat)
+    with pytest.raises(ValueError, match="constraint"):
+        dml_sql(spark, "ALTER TABLE t DROP COLUMN v", cat)
+
+
+def test_rename_drop_columns_iceberg(spark, tmp_path):
+    """Iceberg RENAME keeps the field ID under the new name (old data
+    files serve it through parquet-footer field-id resolution); DROP
+    registers a schema without the field; partition sources refuse."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        read_iceberg,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    p = str(tmp_path / "i")
+    write_iceberg(
+        _mk(spark, [(1, 10.0, "x"), (2, 20.0, "y")],
+            "id bigint, v double, tag string"),
+        p,
+    )
+    cat = {"t": ("iceberg", p)}
+    dml_sql(spark, "ALTER TABLE t RENAME COLUMN v TO price", cat)
+    back = read_iceberg(spark, p)
+    assert back.columns == ["id", "price", "tag"]
+    assert sorted((r.id, r.price) for r in back.collect()) == [
+        (1, 10.0), (2, 20.0),
+    ]
+    dml_sql(spark, "ALTER TABLE t DROP COLUMN tag", cat)
+    assert read_iceberg(spark, p).columns == ["id", "price"]
+
+    # partition source columns refuse to drop
+    p2 = str(tmp_path / "ip")
+    write_iceberg(
+        _mk(spark, [(1, "a")], "id bigint, s string"),
+        p2,
+        partition_by=["s"],
+    )
+    cat2 = {"t2": ("iceberg", p2)}
+    with pytest.raises(ValueError, match="partition source"):
+        dml_sql(spark, "ALTER TABLE t2 DROP COLUMN s", cat2)
+
+
+def test_checkpoint_interval_auto_checkpoints(spark, tmp_path):
+    """delta.checkpointInterval: commits at versions divisible by the
+    interval auto-write a classic checkpoint + _last_checkpoint (the
+    delta-spark writer cadence) — log replay stays O(tail) without
+    manual create_checkpoint calls; DML verbs participate too."""
+    import os as _os
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        delete_delta_where,
+        read_delta,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    p = str(tmp_path / "t")
+    cat: dict = {}
+    dml_sql(
+        spark,
+        f"CREATE TABLE ci (id BIGINT, v DOUBLE) USING delta "
+        f"LOCATION '{p}' TBLPROPERTIES ('delta.checkpointInterval'='2')",
+        cat,
+    )
+    dml_sql(spark, "INSERT INTO ci VALUES (1, 1.0), (2, 2.0)", cat)  # v1
+    write_delta(
+        _mk(spark, [(3, 3.0)], "id bigint, v double"), p
+    )  # v2 → checkpoint
+    log = _os.path.join(p, "_delta_log")
+    assert _os.path.exists(
+        _os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    )
+    delete_delta_where(spark, p, "id = 1")  # v3: no checkpoint
+    assert not _os.path.exists(
+        _os.path.join(log, f"{3:020d}.checkpoint.parquet")
+    )
+    write_delta(
+        _mk(spark, [(4, 4.0)], "id bigint, v double"), p
+    )  # v4 → checkpoint
+    assert _os.path.exists(
+        _os.path.join(log, f"{4:020d}.checkpoint.parquet")
+    )
+    import json as _json
+
+    lc = _json.load(open(_os.path.join(log, "_last_checkpoint")))
+    assert lc["version"] == 4
+    # table reads fine through the auto-checkpoints
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [
+        2, 3, 4,
+    ]
