@@ -77,6 +77,8 @@ __all__ = [
     "add_delta_columns",
     "rename_delta_column",
     "drop_delta_columns",
+    "describe_history",
+    "describe_detail",
     "delta_tail_fold",
     "write_delta",
     "delete_delta_where",
@@ -2821,6 +2823,76 @@ def optimize_delta(
         "files_after": len(adds) - len(removed_paths) + len(new_adds),
         "version": next_v,
     }
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """delta-spark's ``DESCRIBE HISTORY`` as a DataFrame: one row per
+    commit still on disk (newest first) with version, commitInfo
+    timestamp (epoch millis), operation, operationParameters
+    (stringified map) and engineInfo. Driver-side O(commits) — the
+    log IS the history."""
+    rows = []
+    for v in delta_versions(path):
+        ci = {}
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    break
+        rows.append(
+            (
+                v,
+                int(ci.get("timestamp", 0) or 0),
+                ci.get("operation"),
+                {
+                    str(k): json.dumps(val)
+                    if isinstance(val, (dict, list))
+                    else (None if val is None else str(val))
+                    for k, val in (
+                        ci.get("operationParameters") or {}
+                    ).items()
+                },
+                ci.get("engineInfo"),
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows, reverse=True),
+        "version bigint, timestamp_ms bigint, operation string, "
+        "operation_parameters map<string,string>, engine_info string",
+    )
+
+
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """delta-spark's ``DESCRIBE DETAIL``: ONE row with the table's
+    id, location, partition columns, live file count/bytes, protocol
+    versions and properties — the snapshot-state summary an operator
+    checks before a migration."""
+    protocol, meta, adds, _tx = _replay(spark, path, None)
+    row = (
+        "delta",
+        meta.get("id"),
+        os.path.abspath(path),
+        list(meta.get("partitionColumns") or []),
+        len(adds),
+        int(sum(int(a.get("size", 0) or 0) for a in adds.values())),
+        {
+            str(k): str(v)
+            for k, v in (meta.get("configuration") or {}).items()
+        },
+        int(protocol.get("minReaderVersion", 1)),
+        int(protocol.get("minWriterVersion", 2)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, id string, location string, "
+        "partition_columns array<string>, num_files bigint, "
+        "size_in_bytes bigint, properties map<string,string>, "
+        "min_reader_version int, min_writer_version int",
+    )
 
 
 def restore_delta(

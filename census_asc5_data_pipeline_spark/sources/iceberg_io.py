@@ -2255,6 +2255,129 @@ def expire_snapshots(path: str, keep_snapshots: int = 2) -> dict:
     }
 
 
+def read_iceberg_meta(
+    spark: SparkSession, path: str, table: str
+) -> DataFrame:
+    """Iceberg's metadata tables (the ``db.table.snapshots`` /
+    ``.files`` / ``.history`` / ``.refs`` / ``.manifests`` surface a
+    catalog exposes) as DataFrames, straight off the metadata JSON +
+    manifest avros — driver-side metadata scale, zero data-file reads
+    except none at all (``files`` reads only manifests). Columns
+    follow the Iceberg spec's metadata-table shapes (epoch-millis
+    BIGINT timestamps — this engine's convention)."""
+    _v, meta = _current_metadata(path)
+    if table == "snapshots":
+        rows = [
+            (
+                int(s.get("timestamp-ms", 0)),
+                int(s["snapshot-id"]),
+                int(s["sequence-number"])
+                if s.get("sequence-number") is not None
+                else None,
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+            )
+            for s in sorted(
+                meta.get("snapshots", []),
+                key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]),
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "committed_at_ms bigint, snapshot_id bigint, "
+            "sequence_number bigint, operation string, "
+            "manifest_list string",
+        )
+    if table == "history":
+        cur = meta.get("current-snapshot-id")
+        rows = [
+            (
+                int(e.get("timestamp-ms", 0)),
+                int(e["snapshot-id"]),
+                e["snapshot-id"] == cur,
+            )
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms bigint, snapshot_id bigint, "
+            "is_current boolean",
+        )
+    if table == "refs":
+        rows = [
+            (
+                name,
+                r.get("type"),
+                int(r["snapshot-id"]),
+                r.get("max-ref-age-ms"),
+                r.get("min-snapshots-to-keep"),
+                r.get("max-snapshot-age-ms"),
+            )
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id bigint, "
+            "max_ref_age_ms bigint, min_snapshots_to_keep bigint, "
+            "max_snapshot_age_ms bigint",
+        )
+    if table == "files":
+        data, deletes = _snapshot_files(path, meta, None, spark=spark)
+        rows = [
+            (
+                int(d.get("content", 0) or 0),
+                d["file_path"],
+                d.get("file_format", "PARQUET"),
+                int(d.get("record_count", 0) or 0),
+                int(d.get("file_size_in_bytes", 0) or 0),
+                {
+                    str(k): (None if v is None else str(v))
+                    for k, v in (d.get("partition") or {}).items()
+                },
+            )
+            for d in data + deletes
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, "
+            "record_count bigint, file_size_in_bytes bigint, "
+            "partition map<string,string>",
+        )
+    if table == "manifests":
+        cur = meta.get("current-snapshot-id")
+        snap = next(
+            (
+                s
+                for s in meta.get("snapshots", [])
+                if s["snapshot-id"] == cur
+            ),
+            None,
+        )
+        rows = []
+        if snap is not None and "manifest-list" in snap:
+            _sch, manifests = read_container_generic(
+                _local(snap["manifest-list"])
+            )
+            rows = [
+                (
+                    m["manifest_path"],
+                    int(m.get("manifest_length", 0) or 0),
+                    int(m.get("added_snapshot_id", 0) or 0),
+                    int(m.get("content", 0) or 0),
+                )
+                for m in manifests
+            ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length bigint, added_snapshot_id bigint, "
+            "content int",
+        )
+    raise ValueError(
+        f"unknown metadata table {table!r} "
+        "(snapshots|history|refs|files|manifests)"
+    )
+
+
 def rewrite_data_files(
     spark: SparkSession,
     path: str,
