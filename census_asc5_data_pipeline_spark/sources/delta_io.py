@@ -1287,7 +1287,8 @@ def set_delta_properties(
         new_checks = [
             (k, str(v))
             for k, v in props.items()
-            if str(k).startswith("delta.constraints.")
+            if v is not None
+            and str(k).startswith("delta.constraints.")
             and (meta.get("configuration") or {}).get(str(k)) != str(v)
         ]
         if new_checks and _adds:
@@ -1302,10 +1303,13 @@ def set_delta_properties(
         next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
         now_ms = int(time.time() * 1000)
         new_meta = dict(meta)
-        new_meta["configuration"] = {
-            **(meta.get("configuration") or {}),
-            **{str(k): str(v) for k, v in props.items()},
-        }
+        merged = dict(meta.get("configuration") or {})
+        for k, v in props.items():
+            if v is None:  # UNSET TBLPROPERTIES (the iceberg twin)
+                merged.pop(str(k), None)
+            else:
+                merged[str(k)] = str(v)
+        new_meta["configuration"] = merged
         lines = [
             {
                 "commitInfo": {

@@ -76,12 +76,27 @@ def _log_meta(path: str):
                 if "metaData" in action:
                     meta = action["metaData"]
     if not meta and ckpt is not None:
+        # classic, multipart and V2 (sidecar) checkpoints all resolve
+        # through _resolve_checkpoint; metaData is always INLINE in a
+        # v2 manifest (spec), so sidecars never need opening here
         import pyarrow.parquet as pq
 
-        t = pq.read_table(delta_io._checkpoint_file(path, ckpt))
-        for row in t.to_pylist():
-            if row.get("metaData"):
-                meta = row["metaData"]
+        res = delta_io._resolve_checkpoint(path, ckpt)
+        if res is not None:
+            kind, files = res
+            if kind == "v2" and files[0].endswith(".json"):
+                rows = [
+                    json.loads(line)
+                    for line in open(files[0])
+                    if line.strip()
+                ]
+            else:
+                rows = []
+                for f in files:
+                    rows.extend(pq.read_table(f).to_pylist())
+            for row in rows:
+                if row.get("metaData"):
+                    meta = row["metaData"]
     if not meta:
         raise FileNotFoundError(f"no Delta metaData found at {path!r}")
     physical_of = delta_io._column_mapping(meta)

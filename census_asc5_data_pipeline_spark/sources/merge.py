@@ -1712,6 +1712,10 @@ _SET_PROPS_RE = re.compile(
     r"^SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UNSET_PROPS_RE = re.compile(
+    r"^UNSET\s+TBLPROPERTIES\s*\((?P<keys>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RENAME_COL_RE = re.compile(
     r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
     re.IGNORECASE,
@@ -1808,6 +1812,26 @@ def dml_sql(
         pm = _SET_PROPS_RE.match(rest)
         if pm:
             props = _parse_props(pm.group("props"))
+            if fmt == "delta":
+                from census_asc5_data_pipeline_spark.sources.delta_io import (
+                    set_delta_properties,
+                )
+
+                return set_delta_properties(spark, path, props)
+            from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+                set_iceberg_properties,
+            )
+
+            return set_iceberg_properties(path, props)
+        um = _UNSET_PROPS_RE.match(rest)
+        if um:
+            keys = re.findall(r"'((?:[^'\\]|\\.)*)'", um.group("keys"))
+            if not keys:
+                raise ValueError(
+                    f"cannot parse UNSET TBLPROPERTIES keys "
+                    f"{um.group('keys')!r}"
+                )
+            props = {k: None for k in keys}
             if fmt == "delta":
                 from census_asc5_data_pipeline_spark.sources.delta_io import (
                     set_delta_properties,

@@ -532,3 +532,77 @@ def test_checkpoint_interval_auto_checkpoints(spark, tmp_path):
     assert sorted(r.id for r in read_delta(spark, p).collect()) == [
         2, 3, 4,
     ]
+
+
+def test_unset_tblproperties_and_v2_stream_meta(spark, tmp_path):
+    """UNSET TBLPROPERTIES removes keys on both formats (a dropped
+    delta.appendOnly re-enables DML — the constraint-lifecycle
+    escape hatch), and the delta_tail stream resolves its schema
+    through a V2 checkpoint manifest when the JSON tail has no
+    metaData."""
+    import json as _json
+    import os as _os
+    import shutil as _sh
+    import uuid as _uuid
+
+    from census_asc5_data_pipeline_spark.sources import delta_stream_source
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        create_checkpoint,
+        delete_delta_where,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _current_metadata,
+        write_iceberg,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    dp = str(tmp_path / "d")
+    ip = str(tmp_path / "i")
+    write_delta(
+        _mk(spark, [(1, 1.0)], "id bigint, v double"), dp,
+        configuration={"delta.appendOnly": "true"},
+    )
+    write_iceberg(_mk(spark, [(1, 1.0)], "id bigint, v double"), ip)
+    cat = {"d": ("delta", dp), "i": ("iceberg", ip)}
+    dml_sql(
+        spark, "ALTER TABLE i SET TBLPROPERTIES ('owner'='x')", cat
+    )
+    with pytest.raises(ValueError, match="appendOnly"):
+        dml_sql(spark, "DELETE FROM d WHERE id = 1", cat)
+    dml_sql(spark, "ALTER TABLE d UNSET TBLPROPERTIES ('delta.appendOnly')", cat)
+    assert dml_sql(spark, "DELETE FROM d WHERE id = 1", cat) is not None
+    dml_sql(spark, "ALTER TABLE i UNSET TBLPROPERTIES ('owner')", cat)
+    _v, imeta = _current_metadata(ip)
+    assert "owner" not in (imeta.get("properties") or {})
+
+    # v2-manifest stream schema: convert the classic checkpoint to a
+    # UUID json manifest (metaData inline per spec), vacuum the JSON
+    # below it, and register the stream source fresh
+    import pyarrow.parquet as _pq
+
+    sp = str(tmp_path / "s")
+    write_delta(_mk(spark, [(1, 1.0)], "id bigint, v double"), sp)
+    write_delta(_mk(spark, [(2, 2.0)], "id bigint, v double"), sp)
+    create_checkpoint(spark, sp, version=0)
+    log = _os.path.join(sp, "_delta_log")
+    t = _pq.read_table(_os.path.join(log, f"{0:020d}.checkpoint.parquet"))
+    with open(
+        _os.path.join(log, f"{0:020d}.checkpoint.{_uuid.uuid4()}.json"),
+        "w",
+    ) as fh:
+        for r in t.to_pylist():
+            for k in ("protocol", "metaData", "add"):
+                if r.get(k):
+                    fh.write(_json.dumps({k: r[k]}) + "\n")
+    _os.remove(_os.path.join(log, f"{0:020d}.checkpoint.parquet"))
+    _os.remove(_os.path.join(log, f"{0:020d}.json"))
+    from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
+        _log_meta,
+    )
+
+    # JSON tail (v1) carries no metaData → must resolve via the v2
+    # manifest... v1 DOES carry none since only v0 wrote metaData
+    fields, pcols, phys = _log_meta(sp)
+    assert [f["name"] for f in fields] == ["id", "v"]
+    assert pcols == [] and phys is None
