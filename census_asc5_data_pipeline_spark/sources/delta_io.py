@@ -1304,7 +1304,25 @@ def set_delta_properties(
         now_ms = int(time.time() * 1000)
         new_meta = dict(meta)
         merged = dict(meta.get("configuration") or {})
+        cur_mode = merged.get("delta.columnMapping.mode", "none")
         for k, v in props.items():
+            if str(k) == "delta.columnMapping.mode" and (
+                "none" if v is None else str(v)
+            ) != str(cur_mode):
+                # the mapping mode is structural, not a knob: data
+                # files are written under the mode's naming — removing
+                # it from a mapped table makes readers resolve LOGICAL
+                # names against physical col-<uuid> files (silent
+                # nulls), and enabling it on an existing unmapped
+                # table leaves old files without physical names.
+                # Either direction needs a table migration, so refuse.
+                raise ValueError(
+                    "delta.columnMapping.mode cannot change on an "
+                    f"existing table ({cur_mode!r} -> {v!r}) — the "
+                    "data files are written under the current mode's "
+                    "naming; set it at CREATE TABLE "
+                    "(write_delta(configuration=...)) instead"
+                )
             if v is None:  # UNSET TBLPROPERTIES (the iceberg twin)
                 merged.pop(str(k), None)
             else:

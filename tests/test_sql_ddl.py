@@ -606,3 +606,48 @@ def test_unset_tblproperties_and_v2_stream_meta(spark, tmp_path):
     fields, pcols, phys = _log_meta(sp)
     assert [f["name"] for f in fields] == ["id", "v"]
     assert pcols == [] and phys is None
+
+
+def test_column_mapping_mode_is_immutable(spark, tmp_path):
+    """delta.columnMapping.mode is structural, not a knob: UNSETting
+    it on a mapped table (readers would resolve logical names against
+    physical col-<uuid> files — silent nulls) and SETting it on an
+    existing unmapped table (old files lack physical names) both
+    refuse; a same-value SET and unrelated property changes pass."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        set_delta_properties,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    mp = str(tmp_path / "m")
+    write_delta(
+        _mk(spark, [(1, 1.0)], "id bigint, v double"), mp,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    cat = {"m": ("delta", mp)}
+    with pytest.raises(ValueError, match="columnMapping.mode"):
+        dml_sql(
+            spark,
+            "ALTER TABLE m UNSET TBLPROPERTIES "
+            "('delta.columnMapping.mode')",
+            cat,
+        )
+    # same-value set and unrelated properties pass
+    set_delta_properties(
+        spark, mp,
+        {"delta.columnMapping.mode": "name", "owner": "x"},
+    )
+    assert [r.id for r in read_delta(spark, mp).collect()] == [1]
+
+    up = str(tmp_path / "u")
+    write_delta(_mk(spark, [(1, 1.0)], "id bigint, v double"), up)
+    with pytest.raises(ValueError, match="columnMapping.mode"):
+        set_delta_properties(
+            spark, up, {"delta.columnMapping.mode": "name"}
+        )
+    # unsetting a mode that is not set is a no-op, not an error
+    set_delta_properties(
+        spark, up, {"delta.columnMapping.mode": None, "owner": "y"}
+    )
