@@ -516,18 +516,20 @@ def hits(
     (which ranks by stationary visitation, not by the hub/authority
     duality a bipartite interaction graph actually has).
 
-    Shape per iteration (r12 verdict #8 rework): two (edges ⋈ scores)
-    joins + two map-side-combinable groupBy sums on 8-byte node ids —
-    the RAW half-step frames are checkpointed FIRST, then both L2
-    norms compute in ONE fused union-agg job over the materialized
-    frames (2 rows to the driver — metadata scale) and normalization
-    is a lazy literal division over the checkpointed parents. The old
-    shape normalized before checkpointing, so each half-step join ran
-    TWICE (once under the norm agg, once under the checkpoint) plus
-    two broadcast jobs; this runs each join exactly once. By
-    linearity the hub half-step may consume the UNNORMALIZED
-    authority frame (h's own normalization cancels a's scale), so
-    semantics are bit-compatible with normalize-each-half-step.
+    Shape per iteration (r12 verdict #8 rework + r13 bench
+    follow-up): two (edges ⋈ scores) joins + two map-side-combinable
+    groupBy sums on 8-byte node ids — the RAW half-step frames are
+    checkpointed FIRST and each L2 norm rides its OWN checkpoint job
+    as an ``observe()`` metric (1 scalar to the driver — metadata
+    scale, zero extra jobs), with normalization a lazy literal
+    division over the checkpointed parents. The pre-r12 shape
+    normalized before checkpointing, so each half-step join ran TWICE
+    plus two broadcast jobs; r12 ran each join once plus a third
+    union-agg norm job per round; this runs EXACTLY the two join
+    materializations per round. By linearity the hub half-step may
+    consume the UNNORMALIZED authority frame (h's own normalization
+    cancels a's scale), so semantics are bit-compatible with
+    normalize-each-half-step.
 
     Float caveat: iterative double sums are reduce-order dependent, so
     scores are rows-only at the oracle gate; tests/test_graph.py pins
@@ -578,39 +580,39 @@ def hits(
     def _score_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
+    from pyspark.sql import Observation
+
     hub_nodes = e.select("u").distinct()
     h = hub_nodes.withColumn("h", F.lit(1.0)).localCheckpoint()
     a = None
     for _ in range(n_iter):
+        # each half-step's L2 norm rides its OWN eager checkpoint job
+        # as an observe() metric (the LPA fixpoint-probe discipline) —
+        # zero extra jobs: round cost is exactly the two join+agg
+        # materializations (r12 bench follow-up; the previous shape
+        # paid a third union-agg job per round for the norms)
+        obs_a = Observation()
         a_raw = (
             e.join(_score_side(h), "u")
             .groupBy("v")
             .agg(F.sum("h").alias("s"))
+            .observe(obs_a, F.sum(F.col("s") * F.col("s")).alias("q"))
             .localCheckpoint()
         )
+        na = math.sqrt(obs_a.get["q"] or 0.0) or 1.0
         # by linearity the hub half-step consumes the UNNORMALIZED
         # authority frame — h's own normalization cancels a's scale
+        obs_h = Observation()
         h_raw = (
             e.join(
                 _score_side(a_raw.select("v", F.col("s").alias("a"))), "v"
             )
             .groupBy("u")
             .agg(F.sum("a").alias("s"))
+            .observe(obs_h, F.sum(F.col("s") * F.col("s")).alias("q"))
             .localCheckpoint()
         )
-        # ONE fused norm job over the two materialized frames; the
-        # 2-row result is metadata scale, applied as literal divisors
-        # (no broadcast join, no lineage re-render)
-        norms = dict(
-            (r["g"], r["q"])
-            for r in a_raw.select(F.lit(0).alias("g"), "s")
-            .unionAll(h_raw.select(F.lit(1).alias("g"), "s"))
-            .groupBy("g")
-            .agg(F.sum(F.col("s") * F.col("s")).alias("q"))
-            .collect()
-        )
-        na = math.sqrt(norms.get(0) or 0.0) or 1.0
-        nh = math.sqrt(norms.get(1) or 0.0) or 1.0
+        nh = math.sqrt(obs_h.get["q"] or 0.0) or 1.0
         a = a_raw.select("v", (F.col("s") / F.lit(na)).alias("a"))
         h_prev = h
         h = h_raw.select("u", (F.col("s") / F.lit(nh)).alias("h"))

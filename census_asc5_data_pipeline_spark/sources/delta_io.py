@@ -162,12 +162,20 @@ def _resolve_checkpoint(
             v2.append(os.path.join(d, f))
     if parts:
         n = parts[0][1]
-        if len(parts) != n or sorted(p[0] for p in parts) != list(
-            range(1, n + 1)
+        # every part must declare the SAME total: a mixed set like
+        # .0000000001.0000000002 + .0000000002.0000000003 has 2 files
+        # with indices 1..2 but is two different incomplete
+        # checkpoints, not one complete one (r12 ADVICE)
+        if (
+            any(p[1] != n for p in parts)
+            or len(parts) != n
+            or sorted(p[0] for p in parts) != list(range(1, n + 1))
         ):
             raise FileNotFoundError(
                 f"multipart checkpoint at version {version} is "
-                f"incomplete ({len(parts)} of {n} parts present)"
+                f"incomplete or inconsistent ({len(parts)} part(s) "
+                f"present, declared totals "
+                f"{sorted({p[1] for p in parts})})"
             )
         return ("multipart", [p for _i, _n, p in sorted(parts)])
     if v2:
@@ -496,6 +504,7 @@ _WRITER_FEATURES = {
     "changeDataFeed",
     "columnMapping",
     "deletionVectors",
+    "generatedColumns",
 }
 
 # operations legal on a delta.appendOnly=true table: appends, pure
@@ -520,9 +529,15 @@ def _writer_gate(protocol: dict, meta: dict, operation: str) -> None:
     - protocol lists an unimplemented writerFeature → the spec says
       don't write at all (any verb, ``operation`` included for the
       message only);
-    - the schema carries generated/identity-column metadata (implied
-      by legacy writer versions 4/6) → this writer cannot compute
-      those columns, so any data write would break them;
+    - the schema carries identity-column metadata (implied by legacy
+      writer version 6) → this writer cannot allocate those values;
+      generated columns (legacy writer v4) are SUPPORTED — the write
+      paths compute/validate them via :func:`_apply_generated`;
+    - generated/identity/invariant metadata on a NESTED struct field
+      → refuse every write: the top-level enforcement machinery
+      (:func:`_table_constraints`, :func:`_apply_generated`) never
+      sees nested fields, so writing would silently skip a guarantee
+      the table declares (r12 ADVICE);
     - ``delta.appendOnly=true`` → DELETE/UPDATE/MERGE/OVERWRITE/
       RESTORE raise (delta-spark's modifyAppendOnlyTable error);
       plain appends and dataChange=false rearrangement pass.
@@ -536,22 +551,18 @@ def _writer_gate(protocol: dict, meta: dict, operation: str) -> None:
             "(PROTOCOL.md: a writer must not write a table whose "
             "features it cannot enforce)"
         )
-    for f in json.loads(meta.get("schemaString") or '{"fields":[]}').get(
-        "fields", []
-    ):
+    schema_json = json.loads(
+        meta.get("schemaString") or '{"fields":[]}'
+    )
+    for f in schema_json.get("fields", []):
         md = f.get("metadata") or {}
-        if "delta.generationExpression" in md:
-            raise NotImplementedError(
-                f"column {f['name']!r} is a generated column "
-                "(delta.generationExpression) — this writer cannot "
-                f"compute it; refusing to {operation}"
-            )
         if any(k.startswith("delta.identity.") for k in md):
             raise NotImplementedError(
                 f"column {f['name']!r} is an identity column — this "
                 f"writer cannot allocate its values; refusing to "
                 f"{operation}"
             )
+        _nested_meta_gate(f.get("type"), f["name"], operation)
     conf = meta.get("configuration") or {}
     if (
         str(conf.get("delta.appendOnly", "")).lower() == "true"
@@ -562,6 +573,118 @@ def _writer_gate(protocol: dict, meta: dict, operation: str) -> None:
             "delete or modify committed rows — only appends (and "
             "dataChange=false OPTIMIZE) are allowed"
         )
+
+
+def _nested_meta_gate(dtype, path: str, operation: str) -> None:
+    """Refuse writes when a NESTED struct field carries
+    generated-column / identity / invariant metadata: Delta allows
+    ``delta.invariants`` at any depth and a foreign writer may have
+    stamped generation/identity metadata there too, but this engine's
+    enforcement scans only top-level fields — writing would silently
+    violate a declared guarantee (r12 ADVICE, delta_io nested-field
+    finding). ``dtype`` is a schemaString type node (str for
+    primitives, dict for struct/array/map)."""
+    if not isinstance(dtype, dict):
+        return
+    t = dtype.get("type")
+    if t == "struct":
+        for f in dtype.get("fields", []):
+            md = f.get("metadata") or {}
+            fp = f"{path}.{f['name']}"
+            hot = sorted(
+                k
+                for k in md
+                if k == "delta.generationExpression"
+                or k == "delta.invariants"
+                or k.startswith("delta.identity.")
+            )
+            if hot:
+                raise NotImplementedError(
+                    f"nested field {fp!r} carries {hot} — this writer "
+                    "enforces generated columns/invariants on "
+                    f"top-level fields only; refusing to {operation}"
+                )
+            _nested_meta_gate(f.get("type"), fp, operation)
+    elif t == "array":
+        _nested_meta_gate(dtype.get("elementType"), path + "[]", operation)
+    elif t == "map":
+        _nested_meta_gate(dtype.get("keyType"), path + "[key]", operation)
+        _nested_meta_gate(
+            dtype.get("valueType"), path + "[value]", operation
+        )
+
+
+def _generated_columns(meta: dict) -> list[tuple[str, str, T.DataType]]:
+    """Top-level generated columns as (name, generationExpression,
+    dataType) — PROTOCOL.md §Generated Columns: the expression is a
+    SQL string over the table's other columns, stored in the field's
+    ``delta.generationExpression`` metadata."""
+    out: list[tuple[str, str, T.DataType]] = []
+    schema_json = json.loads(
+        meta.get("schemaString") or '{"fields":[]}'
+    )
+    for f in schema_json.get("fields", []):
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr is not None:
+            dtype = T.StructType.fromJson(
+                {"type": "struct", "fields": [f]}
+            ).fields[0].dataType
+            out.append((f["name"], str(expr), dtype))
+    return out
+
+
+def _apply_generated(
+    df: DataFrame, meta: dict
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """The generatedColumns writer responsibility (PROTOCOL.md
+    §Writer Requirements for Generated Columns): columns MISSING from
+    ``df`` are materialized from their generation expression; columns
+    the caller supplied are VALIDATED against it — returns the
+    rewritten frame plus (name, check_sql) pairs for
+    :func:`_check_constraints`'s single pre-commit aggregate job
+    (null-safe ``<=>`` so a legitimately-NULL computed value passes).
+    When materialization completes the table's column set the frame
+    is re-ordered to the table schema, so the positional
+    schema-signature check downstream still holds."""
+    gens = _generated_columns(meta)
+    if not gens:
+        return df, []
+    checks: list[tuple[str, str]] = []
+    for name, expr, dtype in gens:
+        if name not in df.columns:
+            df = df.withColumn(
+                name, F.expr(expr).cast(dtype)
+            )
+        else:
+            checks.append(
+                (
+                    f"GENERATED {name}",
+                    f"`{name}` <=> CAST(({expr}) AS "
+                    f"{dtype.simpleString()})",
+                )
+            )
+    tbl_names = [
+        f["name"]
+        for f in json.loads(meta["schemaString"]).get("fields", [])
+    ]
+    if set(df.columns) == set(tbl_names):
+        df = df.select(*[F.col(f"`{n}`") for n in tbl_names])
+    return df, checks
+
+
+def _regenerate(
+    df: DataFrame, meta: dict, gens=None
+) -> DataFrame:
+    """Recompute every generated column from its expression — the
+    UPDATE/MERGE post-image rule (PROTOCOL.md: when a generated
+    column's inputs change the writer must refresh it; recomputing is
+    idempotent on rows whose inputs did not change, since the stored
+    value already equals the expression)."""
+    for name, expr, dtype in (
+        _generated_columns(meta) if gens is None else gens
+    ):
+        df = df.withColumn(name, F.expr(expr).cast(dtype))
+    return df
 
 
 def _table_constraints(meta: dict) -> list[tuple[str, str]]:
@@ -594,7 +717,12 @@ def _table_constraints(meta: dict) -> list[tuple[str, str]]:
     return out
 
 
-def _check_constraints(df: DataFrame, meta: dict, operation: str) -> None:
+def _check_constraints(
+    df: DataFrame,
+    meta: dict,
+    operation: str,
+    extra: list[tuple[str, str]] | None = None,
+) -> None:
     """Enforce the table's CHECK constraints / invariants / NOT NULL
     on the rows about to be written, BEFORE anything commits — the
     writer responsibility behind the ``invariants`` +
@@ -603,8 +731,10 @@ def _check_constraints(df: DataFrame, meta: dict, operation: str) -> None:
     expression is TRUE (NULL is a violation, delta-spark's
     CheckDeltaInvariant). ONE aggregate job over the staged rows,
     skipped entirely when the table declares no constraints; NOT NULL
-    checks whose column Spark already types non-nullable are free."""
-    constraints = _table_constraints(meta)
+    checks whose column Spark already types non-nullable are free.
+    ``extra`` folds caller checks (generated-column validations) into
+    the same single aggregate job."""
+    constraints = _table_constraints(meta) + list(extra or [])
     checks = []
     for name, expr in constraints:
         if name.startswith("NOT NULL "):
@@ -1873,12 +2003,45 @@ def write_delta(
             "WRITE" if mode == "append" else "OVERWRITE",
         )
         if not (mode == "overwrite" and overwrite_schema):
-            # constraints bind the CURRENT schema; an atomic schema
-            # replacement re-states them (the replacement metaData
-            # below carries the old configuration forward, so CHECK
-            # constraints over surviving columns still apply to the
-            # next write)
-            _check_constraints(df, prev_meta, mode.upper())
+            # generated columns: materialize the ones the caller left
+            # out, validate the ones supplied — the checks ride the
+            # same single aggregate job as the table's constraints
+            df, gen_checks = _apply_generated(df, prev_meta)
+            _check_constraints(
+                df, prev_meta, mode.upper(), extra=gen_checks
+            )
+        else:
+            # a schema replacement drops the schema-borne invariants /
+            # NOT NULL with the old schemaString, but configuration
+            # CHECK constraints ride the replacement metaData forward —
+            # so (r12 ADVICE) validate them against the replacement
+            # rows NOW, and refuse when a constraint references
+            # columns the new schema lacks: committing would leave the
+            # table unwritable (every later write fails at F.expr
+            # analysis) until the constraint is UNSET.
+            conf0 = prev_meta.get("configuration") or {}
+            for k, v in sorted(conf0.items()):
+                if not k.startswith("delta.constraints."):
+                    continue
+                cname = k[len("delta.constraints."):]
+                try:
+                    df.select(F.expr(v).cast("boolean"))
+                except Exception as e:
+                    raise ValueError(
+                        f"overwrite_schema: CHECK constraint "
+                        f"{cname!r} ({v!r}) does not analyze against "
+                        "the replacement schema — UNSET "
+                        f"TBLPROPERTIES ('delta.constraints.{cname}') "
+                        "first, or keep the referenced columns"
+                    ) from e
+            _check_constraints(
+                df,
+                {
+                    "configuration": conf0,
+                    "schemaString": '{"type":"struct","fields":[]}',
+                },
+                "OVERWRITE (schema replacement)",
+            )
         prev_pcols = list(prev_meta.get("partitionColumns") or [])
         if partition_by is not None and pcols != prev_pcols:
             raise ValueError(
@@ -1909,17 +2072,44 @@ def write_delta(
                 f"creation with delta.columnMapping.mode={cm_mode!r} is "
                 "out of scope (only 'name' mints physical names)"
             )
-        if any(
-            k.startswith("delta.constraints.") for k in create_conf
-        ):
-            _check_constraints(
-                df,
-                {
-                    "configuration": create_conf,
-                    "schemaString": '{"type":"struct","fields":[]}',
-                },
-                "CREATE",
-            )
+        create_meta = {
+            "configuration": create_conf,
+            "schemaString": df.schema.json(),
+        }
+        # creation supplies every column, so generation metadata in
+        # the creation schema VALIDATES the first rows; schema-borne
+        # invariants / NOT NULL bind from version 0 too
+        df, gen_checks = _apply_generated(df, create_meta)
+        if gen_checks or _table_constraints(create_meta):
+            _check_constraints(df, create_meta, "CREATE", extra=gen_checks)
+        if create_protocol is None:
+            # declare the protocol the interpreted configuration
+            # requires (r12 ADVICE): a legacy/foreign writer at the
+            # default (1,2) would legally append WITHOUT writing CDF
+            # files or checking constraints, breaking the table's
+            # declared guarantees. delta-spark's legacy versions:
+            # 3 = checkConstraints, 4 = changeDataFeed +
+            # generatedColumns (column mapping already declared (2,5)
+            # above, which implies all of these).
+            w = 2
+            if any(
+                k.startswith("delta.constraints.") for k in create_conf
+            ):
+                w = max(w, 3)
+            if (
+                str(
+                    create_conf.get("delta.enableChangeDataFeed", "")
+                ).lower()
+                == "true"
+            ):
+                w = max(w, 4)
+            if _generated_columns(create_meta):
+                w = max(w, 4)
+            if w > 2:
+                create_protocol = {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": w,
+                }
     add_actions = _stage_adds_mapped(df, path, pcols, physical_of)
     now_ms = int(time.time() * 1000)
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import urllib.parse
+import warnings
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -257,10 +258,13 @@ class _RateLimitMixin:
     BOTH ends of the range, and a reversed range (end below start —
     what the engine would plan if a restart ever called
     ``latestOffset`` before revealing the checkpointed position and
-    got a sub-checkpoint cap back) raises LOUDLY instead of silently
-    re-planning already-emitted versions as duplicates; the ratchet
-    has already learned the true position from ``start`` by then, so
-    the next trigger caps correctly — loud once, then self-healed."""
+    got a sub-checkpoint cap back) plans an EMPTY batch with a loud
+    warning instead of either re-planning already-emitted versions as
+    duplicates or killing the query (r12 ADVICE: the exclusive-start
+    range is empty of new versions, so emitting nothing is exact);
+    the ratchet has already learned the true position from ``start``
+    by then, so the next trigger caps correctly — warned once, then
+    self-healed."""
 
     def _rl_init(self, options):
         self.max_files = int(options.get("maxfilespertrigger", 0))
@@ -274,20 +278,31 @@ class _RateLimitMixin:
             self._pos = v
         self._probe = max(self._probe, v)
 
-    def _rl_range_check(self, lo: int, hi: int) -> None:
+    def _rl_range_check(self, lo: int, hi: int) -> int:
         """Called by ``partitions(start, end)`` with both range ends:
         learn the true position from BOTH (a replayed batch's start
-        reveals the checkpoint floor even when its end is stale), then
-        refuse a reversed range — emitting it would duplicate rows."""
+        reveals the checkpoint floor even when its end is stale) and
+        return the effective range end. A reversed range (end below
+        start — what the engine would plan if a restart ever asked
+        ``latestOffset`` before revealing the checkpointed position
+        and got a sub-checkpoint cap back) plans an EMPTY batch: the
+        exclusive-start range (lo, hi] is already empty of new
+        versions, so emitting nothing is duplicate-free, and killing
+        the query for a benign planner state would force a restart
+        (r12 ADVICE). The ratchet has learned the true position from
+        ``lo`` by then, so the next trigger caps correctly."""
         self._rl_advance(max(lo, hi))
         if hi < lo:
-            raise ValueError(
+            warnings.warn(
                 f"stream offset regression: batch range end {hi} is "
                 f"below start {lo} — a rate-limit cap was computed "
-                "before the checkpointed position was known; the "
-                "position is now learned, so the next trigger resumes "
-                "correctly (no rows were duplicated)"
+                "before the checkpointed position was known; planning "
+                "an empty batch (no rows duplicated), the position is "
+                "now learned and the next trigger resumes correctly",
+                stacklevel=3,
             )
+            return lo
+        return hi
 
     def _rl_cap(self, versions: list[int], last: int) -> int:
         if self.max_files <= 0 and self.max_bytes <= 0:
@@ -364,7 +379,7 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         lo, hi = int(start["version"]), int(end["version"])
-        self._rl_range_check(lo, hi)
+        hi = self._rl_range_check(lo, hi)
         versions = set(delta_io.delta_versions(self.path))
         want = [v for v in range(lo + 1, hi + 1)]
         missing = [v for v in want if v not in versions]
@@ -606,7 +621,7 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         lo, hi = int(start["version"]), int(end["version"])
-        self._rl_range_check(lo, hi)
+        hi = self._rl_range_check(lo, hi)
         versions = set(delta_io.delta_versions(self.path))
         want = [v for v in range(lo + 1, hi + 1)]
         missing = [v for v in want if v not in versions]

@@ -183,7 +183,7 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
         from census_asc5_data_pipeline_spark.sources import iceberg_io
 
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
-        self._rl_range_check(lo, hi)
+        hi = self._rl_range_check(lo, hi)
         _v, meta = iceberg_io._current_metadata(self.path)
         by_id = {
             s["snapshot-id"]: s for s in meta.get("snapshots", [])

@@ -306,6 +306,30 @@ def _merge_delta(
     d._writer_gate(
         protocol, meta, "MERGE" if (matched or nmbs) else "WRITE"
     )
+    gens = d._generated_columns(meta)
+    gen_names = {n for n, _e, _t in gens}
+    nm_list = (
+        [(None, not_matched)]
+        if isinstance(not_matched, dict)
+        else list(not_matched or [])
+    )
+    if gen_names:
+        for _tag, _cond, sets_ in _all_clauses(matched, nmbs):
+            bad = gen_names & set(sets_ or {})
+            if bad:
+                raise ValueError(
+                    f"cannot SET generated column(s) {sorted(bad)} — "
+                    "they are recomputed from their generation "
+                    "expression"
+                )
+        for name in sorted(gen_names):
+            supplied = [name in vals for _c, vals in nm_list]
+            if supplied and any(supplied) and not all(supplied):
+                raise ValueError(
+                    f"generated column {name!r} must be supplied by "
+                    "ALL insert clauses or NONE — mixed clauses would "
+                    "leave unsupplied rows NULL instead of computed"
+                )
     physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
@@ -406,19 +430,46 @@ def _merge_delta(
                 adds_by_base, lines, planned, now_ms,
             )
         if upd_tags:
-            staged_rows = tagged.where(
-                F.col("__action").isin(upd_tags)
-            ).select(_rewritten_cols(matched, nmbs, list(schema.fields)))
+            staged_rows = d._regenerate(
+                tagged.where(F.col("__action").isin(upd_tags)).select(
+                    _rewritten_cols(matched, nmbs, list(schema.fields))
+                ),
+                meta,
+                gens,
+            )
     elif touched:
-        kept = tagged.where(
-            F.col("t.__base").isin(touched)
-            & ~F.col("__action").isin(del_tags)
-        ).select(_rewritten_cols(matched, nmbs, list(schema.fields)))
+        kept = d._regenerate(
+            tagged.where(
+                F.col("t.__base").isin(touched)
+                & ~F.col("__action").isin(del_tags)
+            ).select(_rewritten_cols(matched, nmbs, list(schema.fields))),
+            meta,
+            gens,
+        )
         staged_rows = kept
         for base in sorted(touched):
             a = adds_by_base[base]
             planned[a["path"]] = a.get("deletionVector")
             lines.append({"remove": d._remove_action(a, now_ms)})
+    ins_checks: list[tuple[str, str]] = []
+    if inserts is not None and n_ins and gens:
+        # insert clauses that SUPPLY a generated column are validated
+        # (the check rides the constraint aggregate; regenerated
+        # post-images satisfy it by construction); unsupplied ones
+        # are computed from the generation expression
+        for name, expr, dtype in gens:
+            if any(name in vals for _c, vals in nm_list):
+                ins_checks.append(
+                    (
+                        f"GENERATED {name}",
+                        f"`{name}` <=> CAST(({expr}) AS "
+                        f"{dtype.simpleString()})",
+                    )
+                )
+            else:
+                inserts = inserts.withColumn(
+                    name, F.expr(expr).cast(dtype)
+                )
     if inserts is not None and n_ins:
         staged_rows = (
             inserts
@@ -426,7 +477,7 @@ def _merge_delta(
             else staged_rows.unionByName(inserts)
         )
     if staged_rows is not None:
-        d._check_constraints(staged_rows, meta, "MERGE")
+        d._check_constraints(staged_rows, meta, "MERGE", extra=ins_checks)
         lines.extend(
             d._stage_adds_mapped(staged_rows, path, pcols, physical_of)
         )
@@ -451,8 +502,14 @@ def _merge_delta(
                 )
             )
             cdc_parts.append(
-                upd.select(
-                    _rewritten_cols(matched, nmbs, list(schema.fields))
+                d._regenerate(
+                    upd.select(
+                        _rewritten_cols(
+                            matched, nmbs, list(schema.fields)
+                        )
+                    ),
+                    meta,
+                    gens,
                 ).withColumn("_change_type", F.lit("update_postimage"))
             )
         if inserts is not None and n_ins:
@@ -1344,6 +1401,13 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
     physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
+    gens = d._generated_columns(meta)
+    bad_gen = {n for n, _e, _t in gens} & set(sets)
+    if bad_gen:
+        raise ValueError(
+            f"cannot SET generated column(s) {sorted(bad_gen)} — they "
+            "are recomputed from their generation expression"
+        )
     for c in sets:
         if c not in schema.fieldNames():
             raise ValueError(f"SET column {c!r} not in the table schema")
@@ -1372,8 +1436,10 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         }
     ]
     planned: dict[str, dict | None] = {}
-    updated = scan.filter(pred).select(
-        _set_cols(sets, schema.fields)
+    updated = d._regenerate(
+        scan.filter(pred).select(_set_cols(sets, schema.fields)),
+        meta,
+        gens,
     )
     d._check_constraints(updated, meta, "UPDATE")
     if mode == "dv":
@@ -1397,8 +1463,12 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         ]
         if not touched:
             return None
-        rewritten = scan.filter(F.col("__base").isin(touched)).select(
-            _set_cols(sets, schema.fields, pred=pred)
+        rewritten = d._regenerate(
+            scan.filter(F.col("__base").isin(touched)).select(
+                _set_cols(sets, schema.fields, pred=pred)
+            ),
+            meta,
+            gens,
         )
         lines.extend(
             d._stage_adds_mapped(rewritten, path, pcols, physical_of)

@@ -199,6 +199,18 @@ def test_multipart_classic_checkpoint(spark, tmp_path):
     os.remove(p2)
     with pytest.raises(FileNotFoundError, match="incomplete"):
         read_delta(spark, path)
+    # r12 ADVICE: a MIXED set whose parts declare different totals
+    # (.0000000001.0000000002 + .0000000002.0000000003) has 2 files
+    # with indices 1..2 but is two different incomplete checkpoints —
+    # it must refuse, not silently replay a partial snapshot
+    pq.write_table(
+        t.slice(k),
+        os.path.join(
+            log, f"{1:020d}.checkpoint.{2:010d}.{3:010d}.parquet"
+        ),
+    )
+    with pytest.raises(FileNotFoundError, match="inconsistent"):
+        read_delta(spark, path)
 
 
 def test_v2_checkpoint_reader_feature_passes_gate(spark, tmp_path):

@@ -258,28 +258,181 @@ def test_unknown_writer_feature_refuses_all_writes(spark, tmp_path):
     assert _versions(path) == [0]
 
 
-def test_generated_and_identity_columns_gate(spark, tmp_path):
-    """Schema metadata this writer cannot honor (generated / identity
-    columns — implied by legacy writer versions 4/6) gates loudly on
-    USE, regardless of the protocol numbers."""
+def test_identity_columns_gate(spark, tmp_path):
+    """Schema metadata this writer cannot honor (identity columns —
+    implied by legacy writer version 6) gates loudly on USE,
+    regardless of the protocol numbers. (Generated columns — legacy
+    v4 — are SUPPORTED since round 13: tests/test_delta_generated.py.)"""
     from census_asc5_data_pipeline_spark.sources.delta_io import (
         write_delta,
     )
 
-    for md, msg in [
-        ({"delta.generationExpression": "id + 1"}, "generated column"),
-        ({"delta.identity.start": 1}, "identity column"),
+    md, msg = {"delta.identity.start": 1}, "identity column"
+    path = str(tmp_path / "gid")
+    _hand_table(
+        spark,
+        path,
+        [(1, 10)],
+        fields=[("id", "long", True, None), ("v", "long", True, md)],
+    )
+    df = spark.createDataFrame([(2, 20)], "id bigint, v bigint")
+    with pytest.raises(NotImplementedError, match=msg):
+        write_delta(df, path)
+
+
+def test_nested_field_metadata_gate(spark, tmp_path):
+    """r12 ADVICE: generated/identity/invariant metadata on a NESTED
+    struct field refuses every write — the top-level enforcement
+    machinery never sees nested fields, so writing would silently
+    skip a guarantee the table declares."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        _writer_gate,
+    )
+
+    for md in [
+        {"delta.generationExpression": "x + 1"},
+        {"delta.identity.start": 1},
+        {"delta.invariants": '{"expression":{"expression":"x > 0"}}'},
     ]:
-        path = str(tmp_path / f"g{msg[:3]}")
-        _hand_table(
-            spark,
-            path,
-            [(1, 10)],
-            fields=[("id", "long", True, None), ("v", "long", True, md)],
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "x", "type": "long",
+                             "nullable": True, "metadata": md}
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        }
+        with pytest.raises(NotImplementedError, match="nested field 's.x'"):
+            _writer_gate(
+                {"minReaderVersion": 1, "minWriterVersion": 2},
+                {"schemaString": json.dumps(schema)},
+                "WRITE",
+            )
+    # nested metadata inside ARRAY element structs gates too
+    deep = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "array",
+                    "elementType": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "y",
+                                "type": "long",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.invariants":
+                                        '{"expression":'
+                                        '{"expression":"y > 0"}}'
+                                },
+                            }
+                        ],
+                    },
+                    "containsNull": True,
+                },
+                "nullable": True,
+                "metadata": {},
+            }
+        ],
+    }
+    with pytest.raises(NotImplementedError, match="a\\[\\].y"):
+        _writer_gate(
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+            {"schemaString": json.dumps(deep)},
+            "WRITE",
         )
-        df = spark.createDataFrame([(2, 20)], "id bigint, v bigint")
-        with pytest.raises(NotImplementedError, match=msg):
-            write_delta(df, path)
+
+
+def test_create_tblproperties_declares_protocol(spark, tmp_path):
+    """r12 ADVICE: CREATE with interpreted TBLPROPERTIES declares the
+    protocol those properties require — delta.constraints.* needs
+    minWriterVersion>=3 and delta.enableChangeDataFeed>=4, else a
+    legacy foreign writer at (1,2) would legally append without
+    constraint checks or CDF files."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+
+    def _v0_protocol(path):
+        with open(
+            os.path.join(path, "_delta_log",
+                         "00000000000000000000.json")
+        ) as fh:
+            return next(
+                json.loads(x)["protocol"] for x in fh
+                if '"protocol"' in x
+            )
+
+    df = spark.createDataFrame([(1, 10)], "id bigint, v bigint")
+    p1 = str(tmp_path / "plain")
+    write_delta(df, p1)
+    assert _v0_protocol(p1) == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    p2 = str(tmp_path / "ck")
+    write_delta(df, p2, configuration={"delta.constraints.pos": "v > 0"})
+    assert _v0_protocol(p2) == {
+        "minReaderVersion": 1, "minWriterVersion": 3,
+    }
+    p3 = str(tmp_path / "cdf")
+    write_delta(
+        df, p3, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    assert _v0_protocol(p3) == {
+        "minReaderVersion": 1, "minWriterVersion": 4,
+    }
+
+
+def test_overwrite_schema_validates_surviving_constraints(spark, tmp_path):
+    """r12 ADVICE: overwrite_schema=True carries delta.constraints.*
+    forward in the replacement metaData, so the replacement rows must
+    satisfy them NOW — and a constraint referencing columns the new
+    schema drops refuses the overwrite (committing would leave every
+    later write failing at expression analysis)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10)], "id bigint, v bigint")
+    write_delta(df, path, configuration={"delta.constraints.pos": "v > 0"})
+    # replacement rows violating the surviving constraint refuse
+    bad = spark.createDataFrame(
+        [(1, -5, "x")], "id bigint, v bigint, w string"
+    )
+    with pytest.raises(ValueError, match="CHECK pos"):
+        write_delta(bad, path, mode="overwrite", overwrite_schema=True)
+    # a replacement schema DROPPING the referenced column refuses
+    nref = spark.createDataFrame([(1, "x")], "id bigint, w string")
+    with pytest.raises(ValueError, match="does not analyze"):
+        write_delta(nref, path, mode="overwrite", overwrite_schema=True)
+    # a valid replacement commits, and the constraint still binds
+    ok = spark.createDataFrame(
+        [(1, 5, "x")], "id bigint, v bigint, w string"
+    )
+    write_delta(ok, path, mode="overwrite", overwrite_schema=True)
+    assert [(r.id, r.v, r.w) for r in read_delta(spark, path).collect()] \
+        == [(1, 5, "x")]
+    nxt = spark.createDataFrame(
+        [(2, -1, "y")], "id bigint, v bigint, w string"
+    )
+    with pytest.raises(ValueError, match="CHECK pos"):
+        write_delta(nxt, path)
 
 
 def test_add_constraint_scans_existing_rows(spark, tmp_path):

@@ -308,10 +308,11 @@ def test_rate_limit_regression_proof(spark, tmp_path):
     call order for exactly-once. A reversed batch range (what the
     engine would plan if a restart ever asked latestOffset before
     revealing the checkpointed position and got a sub-checkpoint cap
-    back) raises LOUDLY instead of silently re-planning
-    already-emitted versions — and partitions() learns the true
-    position from the range START, so the very next latestOffset caps
-    correctly (loud once, then self-healed, zero duplicates)."""
+    back) plans an EMPTY batch with a warning (r12 ADVICE — the
+    exclusive-start range holds no new versions, so nothing is
+    duplicated and the query survives) — and partitions() learns the
+    true position from the range START, so the very next latestOffset
+    caps correctly (warned once, then self-healed, zero duplicates)."""
     import pytest
 
     from census_asc5_data_pipeline_spark.sources.delta_io import (
@@ -331,9 +332,11 @@ def test_rate_limit_regression_proof(spark, tmp_path):
     r = DeltaTailStreamReader({"path": table, "maxfilespertrigger": 1})
     assert r.latestOffset() == {"version": 0}
     # simulated bad restart: the engine's checkpoint is at version 4
-    # and it plans the reversed batch (4 -> 0) from that stale cap
-    with pytest.raises(ValueError, match="offset regression"):
-        r.partitions({"version": 4}, {"version": 0})
+    # and it plans the reversed batch (4 -> 0) from that stale cap —
+    # the batch is empty, warned, and the query keeps running
+    with pytest.warns(UserWarning, match="offset regression"):
+        parts0 = r.partitions({"version": 4}, {"version": 0})
+    assert [p.path for p in parts0] == [None]  # one no-op partition
     # the range start revealed the true position: capping resumes
     # FROM it — versions 0-4 are never re-planned
     assert r.latestOffset() == {"version": 5}
