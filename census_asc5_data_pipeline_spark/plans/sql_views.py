@@ -183,6 +183,55 @@ def register_table_changes_view(
     return vname
 
 
+def register_meta_views(
+    spark: SparkSession, name: str, fmt: str, path: str
+) -> list[str]:
+    """Expose a table's METADATA tables to plain SQL (round-13
+    verdict #6 — the sql_views twin of r12's ``table_changes``):
+
+    - delta: ``<name>__history`` (DESCRIBE HISTORY),
+      ``<name>__detail`` (DESCRIBE DETAIL), ``<name>__files``
+      (the live add-file set)
+    - iceberg: ``<name>__snapshots`` / ``__history`` / ``__refs`` /
+      ``__files`` / ``__manifests`` (the spec's metadata-table
+      surface, via :func:`iceberg_io.read_iceberg_meta`)
+
+    Each view captures the state AT registration (metadata-scale
+    DataFrames, not live subqueries) — re-register after commits, the
+    ``table_changes`` discipline. Returns the view names."""
+    out: list[str] = []
+    if fmt == "delta":
+        from census_asc5_data_pipeline_spark.sources.delta_io import (
+            delta_files_meta,
+            describe_detail,
+            describe_history,
+        )
+
+        for suffix, df in (
+            ("history", describe_history(spark, path)),
+            ("detail", describe_detail(spark, path)),
+            ("files", delta_files_meta(spark, path)),
+        ):
+            vname = f"{name}__{suffix}"
+            df.createOrReplaceTempView(vname)
+            out.append(vname)
+        return out
+    if fmt == "iceberg":
+        from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+            read_iceberg_meta,
+        )
+
+        for suffix in ("snapshots", "history", "refs", "files",
+                       "manifests"):
+            vname = f"{name}__{suffix}"
+            read_iceberg_meta(spark, path, suffix).createOrReplaceTempView(
+                vname
+            )
+            out.append(vname)
+        return out
+    raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Expose the engine's column helpers to SQL users as named scalar
     functions, so the Athena-style SQL surface can call the engine's

@@ -10198,6 +10198,111 @@ FROM final GROUP BY segment
 """
 
 
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg write-audit-publish through the registry gate
+    (round-13 verdict #3/#4/#8): build an Iceberg table from the 1995
+    order rollup (main), ``create_branch('audit')``, APPEND the 1996
+    rollup to the branch, run a branch-scoped MoR UPDATE (+1 cent on
+    every okey % 10 = 0 row — position deletes + new data on the
+    branch head), AUDIT the unpublished head through the SQL
+    time-travel front-end (``VERSION AS OF 'audit'`` — the
+    Spark-Iceberg quoted-ref spelling via ``query_sql``), then
+    ``fast_forward('main', 'audit')`` to publish. The result unions
+    three per-priority aggregates — ``pre_publish`` (main while the
+    branch was unpublished: 1995 only), ``audit`` (the branch head),
+    ``post_publish`` (main after the fast-forward) — so the DuckDB
+    arithmetic reconstruction hash-gates ALL THREE invariants: main
+    unmoved during audit, the branch seeing append+update, and
+    publish being exactly the audited state. Rebuilds idempotently
+    under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        query_sql,
+        update_where,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    rollup = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_wap_publish_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    ice.write_iceberg(rollup.filter("yr = 1995").drop("yr"), base)
+    ice.create_branch(base, "audit")
+    ice.write_iceberg(
+        rollup.filter("yr = 1996").drop("yr"), base, branch="audit"
+    )
+    update_where(
+        spark, "iceberg", base, "okey % 10 = 0",
+        {"cents": "cents + 1"}, branch="audit",
+    )
+    # file lists resolve at read-CALL time and data files are
+    # immutable, so `pre` stays the unpublished-main state even though
+    # it only executes after the fast-forward below
+    pre = ice.read_iceberg(spark, base)
+    audit = query_sql(
+        spark,
+        "SELECT * FROM wap_t VERSION AS OF 'audit'",
+        {"wap_t": ("iceberg", base)},
+    )
+    ice.fast_forward(base, "main", "audit")
+    post = ice.read_iceberg(spark, base)
+
+    def _agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("priority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return (
+        _agg(pre, "pre_publish")
+        .unionByName(_agg(audit, "audit"))
+        .unionByName(_agg(post, "post_publish"))
+    )
+
+
+SQL_WAP_PUBLISH = """
+WITH c AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         EXTRACT(YEAR FROM o_orderdate) AS yr
+  FROM orders
+),
+y95 AS (SELECT okey, priority, cents FROM c WHERE yr = 1995),
+branch AS (
+  SELECT okey, priority,
+         CASE WHEN okey % 10 = 0 THEN cents + 1 ELSE cents END AS cents
+  FROM (
+    SELECT okey, priority, cents FROM c WHERE yr IN (1995, 1996)
+  )
+)
+SELECT 'pre_publish' AS phase, priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM y95 GROUP BY priority
+UNION ALL
+SELECT 'audit', priority,
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM branch GROUP BY priority
+UNION ALL
+SELECT 'post_publish', priority,
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM branch GROUP BY priority
+"""
+
+
 def q_iceberg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg snapshot travel through the registry gate — the
     q_delta_as_of twin on the other table format: snapshot 1 = the
@@ -10513,6 +10618,8 @@ FROM changes GROUP BY change_type, segment
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 13 ---
+    "wap_publish": q_wap_publish,
     # --- new in round 12 ---
     "schema_evolution": q_schema_evolution,
     "insert_overwrite": q_insert_overwrite,
@@ -10747,6 +10854,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    # --- new in round 13 ---
+    "wap_publish": SQL_WAP_PUBLISH,
     # --- new in round 11 ---
     "iceberg_merge_upsert": SQL_ICEBERG_MERGE_UPSERT,
     "cdf_replay": SQL_CDF_REPLAY,

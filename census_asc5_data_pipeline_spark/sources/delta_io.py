@@ -3107,6 +3107,35 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def delta_files_meta(spark: SparkSession, path: str) -> DataFrame:
+    """The live add-file set as a DataFrame (the ``files`` metadata
+    table; iceberg's ``read_iceberg_meta(..., 'files')`` twin): one
+    row per live data file with its size, commit modificationTime,
+    partitionValues and whether a deletion vector masks it.
+    Driver-side metadata scale — the log replay this engine already
+    does for every read."""
+    _p, _meta, adds, _tx = _replay(spark, path, None)
+    rows = [
+        (
+            a["path"],
+            int(a.get("size", 0) or 0),
+            int(a.get("modificationTime", 0) or 0),
+            {
+                str(k): (None if v is None else str(v))
+                for k, v in (a.get("partitionValues") or {}).items()
+            },
+            a.get("deletionVector") is not None,
+        )
+        for a in sorted(adds.values(), key=lambda a: a["path"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, size_in_bytes bigint, modification_time_ms "
+        "bigint, partition_values map<string,string>, "
+        "has_deletion_vector boolean",
+    )
+
+
 def restore_delta(
     spark: SparkSession, path: str, version: int
 ) -> int:

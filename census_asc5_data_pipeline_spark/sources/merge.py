@@ -252,6 +252,7 @@ def merge_into(
     not_matched_by_source: list[MatchedClause] | None = None,
     mode: str = "cow",
     evolve_schema: bool = False,
+    branch: str | None = None,
 ) -> int | None:
     """Execute MERGE against a ``delta`` or ``iceberg`` table at
     ``path``. ``on`` / clause conditions / SET and VALUES expressions
@@ -276,6 +277,11 @@ def merge_into(
     nmbs = not_matched_by_source or []
     if not matched and not nmbs and not_matched is None:
         raise ValueError("MERGE needs at least one WHEN clause")
+    if branch is not None and fmt != "iceberg":
+        raise ValueError(
+            "branch writes are an Iceberg refs feature — Delta has "
+            "no branch refs"
+        )
     if fmt == "delta":
         if mode not in ("cow", "dv"):
             raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
@@ -286,7 +292,7 @@ def merge_into(
     if fmt == "iceberg":
         return _merge_iceberg(
             spark, path, source, on, matched, nmbs, not_matched,
-            evolve_schema,
+            evolve_schema, branch=branch,
         )
     raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
 
@@ -583,7 +589,7 @@ def _spec_pcols(meta: dict, fields: list[dict], verb: str) -> list[dict]:
 
 def _merge_iceberg(
     spark, path, source, on, matched, nmbs, not_matched,
-    evolve_schema=False,
+    evolve_schema=False, branch=None,
 ) -> int | None:
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
     from census_asc5_data_pipeline_spark.sources.avro_io import (
@@ -591,6 +597,7 @@ def _merge_iceberg(
     )
 
     cur_v, meta = ice._current_metadata(path)
+    branch_head = _branch_head(meta, branch)
     schema, fields = ice._schema_of(meta)
     pcols = _spec_pcols(meta, fields, "MERGE")
     evolved_fields = None
@@ -630,7 +637,7 @@ def _merge_iceberg(
                 )
             evolved_fields = list(fields) + new_ice
             schema = T.StructType(list(schema.fields) + extra_sp)
-    data_files, delete_fs = ice._snapshot_files(path, meta, None)
+    data_files, delete_fs = ice._snapshot_files(path, meta, branch_head)
     abs_of_base: dict[str, str] = {}
     for dd in data_files:
         ap = os.path.abspath(ice._local(dd["file_path"]))
@@ -711,13 +718,34 @@ def _merge_iceberg(
         )
     return _commit_iceberg_mor(
         spark, path, cur_v, meta, pos_df, new_rows, pcols,
-        evolved_fields=evolved_fields,
+        evolved_fields=evolved_fields, branch=branch,
     )
+
+
+def _branch_head(meta: dict, branch: str | None) -> int | None:
+    """Resolve a branch ref to its head snapshot id for DML scans
+    (None = main/current). Validation mirrors
+    :func:`_commit_iceberg_mor`'s, but the scan needs the head BEFORE
+    planning."""
+    if branch is None:
+        return None
+    bref = (meta.get("refs") or {}).get(branch)
+    if bref is None:
+        raise ValueError(
+            f"unknown branch {branch!r} — create_branch first "
+            f"(refs: {sorted(meta.get('refs') or {})})"
+        )
+    if bref.get("type") != "branch":
+        raise ValueError(
+            f"ref {branch!r} is a {bref.get('type')!r}, not a branch "
+            "— only branches accept writes"
+        )
+    return int(bref["snapshot-id"])
 
 
 def _commit_iceberg_mor(
     spark, path, cur_v, meta, pos_df, new_rows, pcols=None,
-    evolved_fields=None,
+    evolved_fields=None, branch=None,
 ) -> int | None:
     """ONE merge-on-read Iceberg snapshot: ``pos_df`` (file_path, pos —
     already sorted) stages as a content=1 position-delete file,
@@ -725,7 +753,10 @@ def _commit_iceberg_mor(
     sequence number (position deletes name explicit OLD paths, so the
     same-sequence new data is untouched per the spec's
     delete_seq >= data_seq rule). Shared by :func:`merge_into` and
-    :func:`update_where` on Iceberg. Returns the snapshot id, or None
+    :func:`update_where` on Iceberg. ``branch`` (round-13 WAP):
+    the snapshot's parent + inherited manifests come from the branch
+    head, ``refs[branch]`` advances, and main (current-snapshot-id /
+    snapshot-log) does not move. Returns the snapshot id, or None
     when there is nothing to commit."""
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
     from census_asc5_data_pipeline_spark.sources.avro_io import (
@@ -735,6 +766,25 @@ def _commit_iceberg_mor(
     import pyarrow.parquet as pq
 
     pcols = pcols or []
+    branch_base: int | None = None
+    if branch is not None:
+        if evolved_fields is not None:
+            raise NotImplementedError(
+                "schema evolution on a BRANCH write is out of scope — "
+                "current-schema-id is table-global"
+            )
+        bref = (meta.get("refs") or {}).get(branch)
+        if bref is None:
+            raise ValueError(
+                f"unknown branch {branch!r} — create_branch first "
+                f"(refs: {sorted(meta.get('refs') or {})})"
+            )
+        if bref.get("type") != "branch":
+            raise ValueError(
+                f"ref {branch!r} is a {bref.get('type')!r}, not a "
+                "branch — only branches accept writes"
+            )
+        branch_base = int(bref["snapshot-id"])
     delete_files: list[dict] = []
     added_files: list[dict] = []
     staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
@@ -924,7 +974,10 @@ def _commit_iceberg_mor(
                 "deleted_rows_count": 0,
             }
         )
-    cur_snap_id = meta.get("current-snapshot-id")
+    cur_snap_id = (
+        branch_base if branch is not None
+        else meta.get("current-snapshot-id")
+    )
     prev_manifests: list[dict] = []
     snap = next(
         (
@@ -984,6 +1037,8 @@ def _commit_iceberg_mor(
         "summary": {"operation": "overwrite"},
         "schema-id": new_sid,
     }
+    if cur_snap_id is not None and cur_snap_id != -1:
+        snapshot["parent-snapshot-id"] = int(cur_snap_id)
     new_meta = dict(meta)
     if evolved_schemas is not None:
         # the schema widens ATOMICALLY with the row changes (the
@@ -997,11 +1052,17 @@ def _commit_iceberg_mor(
         new_meta.pop("schema", None)
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
-    new_meta["current-snapshot-id"] = snap_id
     new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
-    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-    ]
+    if branch is not None:
+        # branch DML advances the ref only; main lineage stays put
+        new_refs = dict(meta.get("refs") or {})
+        new_refs[branch] = {**new_refs[branch], "snapshot-id": snap_id}
+        new_meta["refs"] = new_refs
+    else:
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        ]
     if new_specs != specs:
         new_meta["partition-specs"] = new_specs
     ice._write_metadata_version(path, new_v, new_meta)
@@ -1347,6 +1408,7 @@ def update_where(
     predicate: str,
     sets: dict[str, str],
     mode: str = "cow",
+    branch: str | None = None,
 ) -> int | None:
     """Row-level ``UPDATE <table> SET ... WHERE <predicate>`` — the
     third DML verb beside ``delete_*_where`` and :func:`merge_into`.
@@ -1365,12 +1427,17 @@ def update_where(
 
     Returns the committed version/snapshot id, or None when nothing
     matched."""
+    if branch is not None and fmt != "iceberg":
+        raise ValueError(
+            "branch writes are an Iceberg refs feature — Delta has "
+            "no branch refs"
+        )
     if fmt == "delta":
         return _update_delta(spark, path, predicate, sets, mode)
     if fmt == "iceberg":
         if mode != "cow":
             raise ValueError("iceberg UPDATE is always merge-on-read")
-        return _update_iceberg(spark, path, predicate, sets)
+        return _update_iceberg(spark, path, predicate, sets, branch=branch)
     raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
 
 
@@ -1513,16 +1580,17 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
             continue
 
 
-def _update_iceberg(spark, path, predicate, sets) -> int | None:
+def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
 
     cur_v, meta = ice._current_metadata(path)
+    branch_head = _branch_head(meta, branch)
     schema, fields = ice._schema_of(meta)
     pcols = _spec_pcols(meta, fields, "UPDATE")
     for c in sets:
         if c not in schema.fieldNames():
             raise ValueError(f"SET column {c!r} not in the table schema")
-    data_files, delete_fs = ice._snapshot_files(path, meta, None)
+    data_files, delete_fs = ice._snapshot_files(path, meta, branch_head)
     if not data_files:
         return None
     abs_of_base: dict[str, str] = {}
@@ -1561,7 +1629,8 @@ def _update_iceberg(spark, path, predicate, sets) -> int | None:
     )
     new_rows = matched.select(_set_cols(sets, schema.fields))
     return _commit_iceberg_mor(
-        spark, path, cur_v, meta, pos_df, new_rows, pcols
+        spark, path, cur_v, meta, pos_df, new_rows, pcols,
+        branch=branch,
     )
 
 
@@ -1821,6 +1890,107 @@ def _parse_props(text: str) -> dict[str, str]:
             "(expected 'key'='value', ...)"
         )
     return pairs
+
+
+_TT_SUFFIX = (
+    r"(?:"
+    r"\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(?P<sv>\d+|'[^']*')"
+    r"|\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<st>\d+|'[^']*')"
+    r"|\s+VERSION\s+AS\s+OF\s+(?P<v>\d+|'[^']*')"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<t>\d+|'[^']*')"
+    r")?"
+)
+
+
+def query_sql(
+    spark: SparkSession,
+    sql: str,
+    catalog: dict[str, tuple[str, str]],
+):
+    """The READ-side SQL router (round-13 verdict #4): run a SELECT
+    over catalog tables with the time-travel clauses lakehouse users
+    actually type —
+
+    - ``SELECT ... FROM t VERSION AS OF 3`` (delta-spark / Spark SQL)
+    - ``SELECT ... FROM t TIMESTAMP AS OF '2024-01-15 12:00:00'``
+      (naive strings resolve in the session timezone, the
+      delta-spark rule; integers are epoch millis)
+    - ``FROM t FOR SYSTEM_VERSION AS OF <snapshot-id>`` /
+      ``FOR SYSTEM_TIME AS OF ...`` (the Spark-Iceberg spelling)
+    - ``VERSION AS OF 'branch_or_tag'`` — a QUOTED version resolves
+      as an Iceberg ref name (Spark-Iceberg semantics), so the WAP
+      audit step is plain SQL.
+
+    Each time-traveled reference is resolved through the native
+    readers (``read_delta(version=/timestamp_ms=)`` /
+    ``read_iceberg(snapshot_id=/ref=)``), registered as an immutable
+    temp view, and the statement is rewritten to read the view; bare
+    catalog references register the CURRENT table under its own name.
+    Returns the result DataFrame. (The statement front-end twin of
+    :func:`dml_sql`, which keeps the write verbs.)"""
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+    from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
+    from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
+        _parse_ts_ms,
+    )
+
+    text = sql.strip().rstrip(";")
+
+    def _ts_ms(tok: str) -> int:
+        # naive strings resolve in the session timezone inside
+        # _parse_ts_ms (it reads the active session)
+        return _parse_ts_ms(tok[1:-1] if tok.startswith("'") else tok)
+
+    for name, (fmt, path) in catalog.items():
+        pat = re.compile(
+            rf"\b{re.escape(name)}\b" + _TT_SUFFIX, re.IGNORECASE
+        )
+
+        def _repl(m, fmt=fmt, path=path, name=name):
+            ver = m.group("sv") or m.group("v")
+            ts = m.group("st") or m.group("t")
+            if ver is None and ts is None:
+                if fmt == "delta":
+                    d.read_delta(spark, path).createOrReplaceTempView(name)
+                else:
+                    ice.read_iceberg(spark, path).createOrReplaceTempView(
+                        name
+                    )
+                return name
+            if ver is not None and ver.startswith("'"):
+                if fmt != "iceberg":
+                    raise ValueError(
+                        f"VERSION AS OF {ver} on {name!r}: named "
+                        "version refs are an Iceberg feature — Delta "
+                        "versions are integers"
+                    )
+                ref = ver[1:-1]
+                df = ice.read_iceberg(spark, path, ref=ref)
+                vname = f"{name}__asof_ref_{re.sub(r'[^A-Za-z0-9_]', '_', ref)}"
+            elif fmt == "delta":
+                if ver is not None:
+                    df = d.read_delta(spark, path, version=int(ver))
+                    vname = f"{name}__asof_v{ver}"
+                else:
+                    ms = _ts_ms(ts)
+                    df = d.read_delta(spark, path, timestamp_ms=ms)
+                    vname = f"{name}__asof_t{ms}"
+            else:
+                if ver is not None:
+                    df = ice.read_iceberg(
+                        spark, path, snapshot_id=int(ver)
+                    )
+                    vname = f"{name}__asof_v{ver}"
+                else:
+                    ms = _ts_ms(ts)
+                    sid = ice.snapshot_as_of_timestamp_iceberg(path, ms)
+                    df = ice.read_iceberg(spark, path, snapshot_id=sid)
+                    vname = f"{name}__asof_t{ms}"
+            df.createOrReplaceTempView(vname)
+            return vname
+
+        text = pat.sub(_repl, text)
+    return spark.sql(text)
 
 
 def dml_sql(

@@ -1,0 +1,193 @@
+"""Iceberg branch WRITES + write-audit-publish (round-13 verdict #3,
+table-spec §refs): write_iceberg(branch=)/MoR DML advance
+refs[branch] WITHOUT moving main, read_iceberg(ref=) audits the
+unpublished head, fast_forward publishes (ancestry-checked over
+parent-snapshot-id), expire_snapshots keeps the unpublished branch
+alive, and refs survive ordinary writes."""
+
+from __future__ import annotations
+
+import pytest
+
+from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+    create_branch,
+    drop_ref,
+    fast_forward,
+    iceberg_refs,
+    read_iceberg,
+    tag_snapshot,
+    write_iceberg,
+)
+from census_asc5_data_pipeline_spark.sources.merge import (
+    merge_into,
+    update_where,
+)
+
+
+def _mk(spark, rows, ddl="id bigint, v bigint"):
+    return spark.createDataFrame(rows, ddl)
+
+
+def _ids(spark, path, **kw):
+    return sorted(r.id for r in read_iceberg(spark, path, **kw).collect())
+
+
+def test_wap_write_audit_publish_roundtrip(spark, tmp_path):
+    """The flagship WAP flow: append onto a branch (main unmoved),
+    audit the branch head by ref, fast-forward main to publish, and
+    only then does main see the rows."""
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, 10)]), path)
+    create_branch(path, "audit")
+    write_iceberg(_mk(spark, [(2, 20)]), path, branch="audit")
+    # WRITE landed on the branch only
+    assert _ids(spark, path) == [1]
+    assert _ids(spark, path, ref="audit") == [1, 2]
+    # a second branch append stacks on the branch head
+    write_iceberg(_mk(spark, [(3, 30)]), path, branch="audit")
+    assert _ids(spark, path) == [1]
+    assert _ids(spark, path, ref="audit") == [1, 2, 3]
+    # AUDIT passed → PUBLISH
+    fast_forward(path, "main", "audit")
+    assert _ids(spark, path) == [1, 2, 3]
+    # the branch still points at the published head; drop closes out
+    assert iceberg_refs(path)["audit"]["snapshot-id"] == max(
+        s["snapshot-id"]
+        for s in __import__(
+            "census_asc5_data_pipeline_spark.sources.iceberg_io",
+            fromlist=["iceberg_snapshots"],
+        ).iceberg_snapshots(path)
+    )
+    drop_ref(path, "audit")
+    assert "audit" not in iceberg_refs(path)
+
+
+def test_branch_write_guards(spark, tmp_path):
+    """Unknown branches, tags, and fresh tables refuse branch
+    writes with actionable messages."""
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="existing table"):
+        write_iceberg(_mk(spark, [(1, 1)]), path, branch="b")
+    write_iceberg(_mk(spark, [(1, 10)]), path)
+    with pytest.raises(ValueError, match="unknown branch"):
+        write_iceberg(_mk(spark, [(2, 2)]), path, branch="nope")
+    tag_snapshot(path, "v1")
+    with pytest.raises(ValueError, match="not a branch"):
+        write_iceberg(_mk(spark, [(2, 2)]), path, branch="v1")
+    # Delta has no refs
+    with pytest.raises(ValueError, match="Iceberg refs feature"):
+        update_where(
+            spark, "delta", path, "id = 1", {"v": "0"}, branch="b"
+        )
+
+
+def test_refs_survive_main_writes(spark, tmp_path):
+    """Pre-r13 write_iceberg rebuilt the metadata without ``refs`` —
+    any ordinary write silently dropped every tag/branch. They must
+    survive now."""
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, 10)]), path)
+    tag_snapshot(path, "v1")
+    create_branch(path, "dev")
+    write_iceberg(_mk(spark, [(2, 20)]), path)  # ordinary main append
+    refs = iceberg_refs(path)
+    assert set(refs) == {"v1", "dev"}
+    # and the branch still reads its original head, not main's
+    assert _ids(spark, path, ref="dev") == [1]
+    assert _ids(spark, path) == [1, 2]
+
+
+def test_mor_dml_advances_branch_only(spark, tmp_path):
+    """MERGE and UPDATE with branch= scan the BRANCH head and advance
+    only the branch ref — main rows stay byte-identical until
+    publish."""
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, 10), (2, 20)]), path)
+    create_branch(path, "stage")
+    update_where(
+        spark, "iceberg", path, "id = 1", {"v": "v + 1"}, branch="stage"
+    )
+    merge_into(
+        spark, "iceberg", path,
+        _mk(spark, [(2, 99), (3, 30)]),
+        "t.id = s.id",
+        matched=[("update", None, {"v": "s.v"})],
+        not_matched={"id": "s.id", "v": "s.v"},
+        branch="stage",
+    )
+    main_rows = sorted(
+        (r.id, r.v) for r in read_iceberg(spark, path).collect()
+    )
+    stage_rows = sorted(
+        (r.id, r.v)
+        for r in read_iceberg(spark, path, ref="stage").collect()
+    )
+    assert main_rows == [(1, 10), (2, 20)]
+    assert stage_rows == [(1, 11), (2, 99), (3, 30)]
+    fast_forward(path, "main", "stage")
+    assert sorted(
+        (r.id, r.v) for r in read_iceberg(spark, path).collect()
+    ) == stage_rows
+
+
+def test_fast_forward_refuses_non_ancestor(spark, tmp_path):
+    """After main moves past the branch point, the branch head no
+    longer descends from main's head — fast_forward must refuse
+    (publishing would silently discard main's commit)."""
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, 10)]), path)
+    create_branch(path, "b")
+    write_iceberg(_mk(spark, [(2, 20)]), path, branch="b")
+    write_iceberg(_mk(spark, [(3, 30)]), path)  # main diverges
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward(path, "main", "b")
+    # and main kept its own line
+    assert _ids(spark, path) == [1, 3]
+
+
+def test_fast_forward_branch_target_and_noop(spark, tmp_path):
+    """fast_forward also moves branch targets (branch→branch publish)
+    and is a metadata no-op when already at the head; tags refuse."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        _current_metadata,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, 10)]), path)
+    create_branch(path, "dev")
+    create_branch(path, "release")
+    write_iceberg(_mk(spark, [(2, 20)]), path, branch="dev")
+    fast_forward(path, "release", "dev")
+    assert _ids(spark, path, ref="release") == [1, 2]
+    assert _ids(spark, path) == [1]
+    v_before = _current_metadata(path)[0]
+    assert fast_forward(path, "release", "dev") == v_before  # no-op
+    tag_snapshot(path, "v1")
+    with pytest.raises(ValueError, match="tags are immutable"):
+        fast_forward(path, "v1", "dev")
+
+
+def test_expire_keeps_unpublished_branch(spark, tmp_path):
+    """expire_snapshots retains the unpublished branch head (and its
+    data) even when the keep-N window would drop it."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        expire_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, 10)]), path)
+    create_branch(path, "wap")
+    write_iceberg(_mk(spark, [(2, 20)]), path, branch="wap")
+    for i in range(3, 6):  # main churns past the branch point
+        write_iceberg(_mk(spark, [(i, i * 10)]), path)
+    out = expire_snapshots(path, keep_snapshots=1)
+    refs = iceberg_refs(path)
+    assert "wap" in refs
+    assert refs["wap"]["snapshot-id"] in out["retained_snapshot_ids"]
+    # the unpublished head still reads in full (its inherited data
+    # files are live through the retained branch snapshot)
+    assert _ids(spark, path, ref="wap") == [1, 2]
+    # main diverged past the branch point, so publishing is rightly
+    # no longer a fast-forward
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward(path, "main", "wap")

@@ -14,6 +14,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # driver's oracle for the first time, verdict #7) — then the round-7
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
+    "wap_publish",
     "schema_evolution",
     "insert_overwrite",
     "iceberg_merge_upsert",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "mixture_rebalance",
     "dedup_against",
     "pagerank",
-    "near_dup_triangles",
 ]
 
 

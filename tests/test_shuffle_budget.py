@@ -22,6 +22,14 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 13 ---
+    # returned plan = union of three 5-row per-priority rollups (one
+    # partial/final agg pair each over fixed file-list scans; the
+    # audit branch adds the MoR position-delete anti-join, whose tiny
+    # pos frame broadcasts). WAP writes/UPDATE/fast_forward run at
+    # construction. Measured 7 with this counter; 8 leaves room if
+    # the delete anti-join broadcast ever degrades
+    "wap_publish": 8,
     # --- new in round 12 ---
     # returned plan = one groupBy over the evolved-table read (agg
     # pair measures 1); CREATE/ALTER/INSERT run at construction
