@@ -5491,7 +5491,12 @@ def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v")
     )
-    return G.hits(edges, src="u", dst="v", n_iter=8, tol=1e-6)
+    # tol=1e-5 exits after the round whose L1 hub delta is ~4e-6 at
+    # sf0.1 (measured convergence: 1.5e4, 0.18, 4.6e-3, 1.3e-4,
+    # 3.7e-6, ...) — one round earlier than 1e-6, and three orders of
+    # magnitude below the micro-unit output scale, so the floor-scaled
+    # scores are already stable
+    return G.hits(edges, src="u", dst="v", n_iter=8, tol=1e-5)
 
 
 def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
