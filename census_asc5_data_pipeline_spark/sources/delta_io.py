@@ -505,7 +505,36 @@ _WRITER_FEATURES = {
     "columnMapping",
     "deletionVectors",
     "generatedColumns",
+    "v2Checkpoint",
 }
+
+
+def _implied_features(protocol: dict) -> tuple[set[str], set[str]]:
+    """(readerFeatures, writerFeatures) a protocol ACTUALLY requires,
+    with legacy version numbers expanded to the features they imply
+    (PROTOCOL.md §Protocol Evolution) — the upgrade-to-(3,7) paths
+    must carry these forward or a feature the old version numbers
+    guaranteed (e.g. columnMapping on a (2,5) table) silently drops
+    out of the feature lists."""
+    r = set(protocol.get("readerFeatures") or [])
+    w = set(protocol.get("writerFeatures") or [])
+    mrv = int(protocol.get("minReaderVersion", 1))
+    mwv = int(protocol.get("minWriterVersion", 2))
+    if mrv >= 3 and mwv >= 7:
+        return r, w  # already feature-list form
+    if mrv >= 2:
+        r |= {"columnMapping"}
+    if mwv >= 2:
+        w |= {"appendOnly", "invariants"}
+    if mwv >= 3:
+        w |= {"checkConstraints"}
+    if mwv >= 4:
+        w |= {"changeDataFeed", "generatedColumns"}
+    if mwv >= 5:
+        w |= {"columnMapping"}
+    if mwv >= 6:
+        w |= {"identityColumns"}
+    return r, w
 
 # operations legal on a delta.appendOnly=true table: appends, pure
 # rearrangement (OPTIMIZE: dataChange=false both ways), metadata-only
@@ -1458,6 +1487,29 @@ def set_delta_properties(
             else:
                 merged[str(k)] = str(v)
         new_meta["configuration"] = merged
+        proto_line: dict | None = None
+        pol = props.get("delta.checkpointPolicy")
+        if pol is not None and str(pol) not in ("classic", "v2"):
+            raise ValueError(
+                f"delta.checkpointPolicy={pol!r} — classic|v2"
+            )
+        if str(pol or "") == "v2":
+            # v2 checkpoints are a reader+writer table feature
+            # (PROTOCOL.md §V2 Checkpoint): the SAME commit that sets
+            # the policy upgrades the protocol so legacy readers
+            # refuse instead of ignoring the UUID-named checkpoint
+            feats_r = set(_p.get("readerFeatures") or [])
+            feats_w = set(_p.get("writerFeatures") or [])
+            if "v2Checkpoint" not in feats_r or "v2Checkpoint" not in feats_w:
+                imp_r, imp_w = _implied_features(_p)
+                proto_line = {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(imp_r | {"v2Checkpoint"}),
+                        "writerFeatures": sorted(imp_w | {"v2Checkpoint"}),
+                    }
+                }
         lines = [
             {
                 "commitInfo": {
@@ -1469,6 +1521,7 @@ def set_delta_properties(
                     "engineInfo": "census_asc5_data_pipeline_spark delta_io",
                 }
             },
+            *([proto_line] if proto_line else []),
             {"metaData": new_meta},
         ]
         try:
@@ -2278,20 +2331,22 @@ def _dv_retire(
         int(protocol.get("minReaderVersion", 1)) < 3
         or "deletionVectors" not in feats_r
     ):
-        # upgrading to the feature-list protocol must carry the
-        # features the old legacy versions implied (PROTOCOL.md
-        # §Protocol Evolution); this writer's legacy base is (1, 2)
+        # upgrading to the feature-list protocol must carry EVERY
+        # feature the old legacy versions implied (PROTOCOL.md
+        # §Protocol Evolution) — e.g. a (2,5) column-mapped table's
+        # columnMapping must survive the upgrade or readers resolve
+        # logical names against physical files
+        imp_r, imp_w = _implied_features(protocol)
         lines.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
                     "readerFeatures": sorted(
-                        feats_r | {"deletionVectors"}
+                        imp_r | {"deletionVectors"}
                     ),
                     "writerFeatures": sorted(
-                        feats_w
-                        | {"appendOnly", "invariants", "deletionVectors"}
+                        imp_w | {"deletionVectors"}
                     ),
                 }
             }
@@ -2569,13 +2624,160 @@ _CKPT_SCHEMA = T.StructType(
 )
 
 
-def create_checkpoint(
-    spark: SparkSession, path: str, version: int | None = None
+def _create_checkpoint_v2(
+    spark: SparkSession,
+    path: str,
+    v: int,
+    protocol: dict,
+    meta: dict,
+    adds: dict,
+    txns: dict,
 ) -> int:
-    """Compact the log at ``version`` (default: latest) into
-    ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` so readers
-    replay only the JSON tail and pre-checkpoint commits become
-    prunable. Returns the checkpointed version."""
+    """The V2 checkpoint WRITE (PROTOCOL.md §V2 Checkpoint; the
+    mirror of :func:`_checkpoint_actions`' read path): the add
+    actions stage as ONE parquet sidecar under ``_delta_log/
+    _sidecars/`` and the UUID-named ``%020d.checkpoint.<uuid>.json``
+    manifest carries checkpointMetadata + protocol + metaData + txn
+    fences inline plus the sidecar pointer — per spec, when any
+    sidecar exists ALL file actions live in sidecars. Both files
+    write via tmp + atomic rename; ``_last_checkpoint`` flips last,
+    so a crash mid-write leaves the previous checkpoint current."""
+    side_dir = os.path.join(_log_dir(path), "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    add_field = next(f for f in _CKPT_SCHEMA.fields if f.name == "add")
+    side_rows = [
+        (
+            {
+                "path": a["path"],
+                "partitionValues": a.get("partitionValues") or {},
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": bool(a.get("dataChange", True)),
+                "deletionVector": (
+                    {
+                        "storageType": a["deletionVector"].get(
+                            "storageType"
+                        ),
+                        "pathOrInlineDv": a["deletionVector"].get(
+                            "pathOrInlineDv"
+                        ),
+                        "offset": a["deletionVector"].get("offset"),
+                        "sizeInBytes": a["deletionVector"].get(
+                            "sizeInBytes"
+                        ),
+                        "cardinality": a["deletionVector"].get(
+                            "cardinality"
+                        ),
+                    }
+                    if a.get("deletionVector")
+                    else None
+                ),
+            },
+        )
+        for a in sorted(adds.values(), key=lambda a: a["path"])
+    ]
+    tmp = os.path.join(side_dir, f".tmp-{uuid.uuid4().hex}")
+    (
+        spark.createDataFrame(side_rows, T.StructType([add_field]))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    part = next(
+        f
+        for f in os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    side_name = f"{uuid.uuid4().hex}.parquet"
+    side_path = os.path.join(side_dir, side_name)
+    os.replace(os.path.join(tmp, part), side_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    now_ms = int(time.time() * 1000)
+    lines: list[dict] = [
+        {"checkpointMetadata": {"version": v, "tags": {}}},
+        {
+            "protocol": {
+                "minReaderVersion": int(
+                    protocol.get("minReaderVersion", 1)
+                ),
+                "minWriterVersion": int(
+                    protocol.get("minWriterVersion", 2)
+                ),
+                **(
+                    {"readerFeatures": protocol["readerFeatures"]}
+                    if protocol.get("readerFeatures") is not None
+                    else {}
+                ),
+                **(
+                    {"writerFeatures": protocol["writerFeatures"]}
+                    if protocol.get("writerFeatures") is not None
+                    else {}
+                ),
+            }
+        },
+        {
+            "metaData": {
+                "id": meta.get("id"),
+                "format": meta.get("format")
+                or {"provider": "parquet", "options": {}},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": list(
+                    meta.get("partitionColumns") or []
+                ),
+                "configuration": meta.get("configuration") or {},
+                "createdTime": meta.get("createdTime"),
+            }
+        },
+    ] + [
+        {"txn": {"appId": app, "version": int(tv), "lastUpdated": None}}
+        for app, tv in sorted(txns.items())
+    ] + [
+        {
+            "sidecar": {
+                "path": side_name,
+                "sizeInBytes": os.path.getsize(side_path),
+                "modificationTime": now_ms,
+            }
+        }
+    ]
+    man_tmp = os.path.join(
+        _log_dir(path), f".tmp-ckpt-{uuid.uuid4().hex}.json"
+    )
+    with open(man_tmp, "w") as fh:
+        for obj in lines:
+            fh.write(json.dumps(obj, separators=(",", ":")) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(
+        man_tmp,
+        os.path.join(
+            _log_dir(path), f"{v:020d}.checkpoint.{uuid.uuid4()}.json"
+        ),
+    )
+    lc_tmp = os.path.join(_log_dir(path), f".lc-{uuid.uuid4().hex}")
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": v, "size": len(lines) + len(side_rows)}, fh)
+    os.replace(lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
+    return v
+
+
+def create_checkpoint(
+    spark: SparkSession, path: str, version: int | None = None,
+    policy: str | None = None,
+) -> int:
+    """Compact the log at ``version`` (default: latest) into a
+    checkpoint + ``_last_checkpoint`` so readers replay only the JSON
+    tail and pre-checkpoint commits become prunable. ``policy``
+    (default: the table's ``delta.checkpointPolicy``, else classic)
+    picks the form: ``classic`` = ``%020d.checkpoint.parquet``;
+    ``v2`` (round-13 — the WRITE half of r12's v2 READ support,
+    PROTOCOL.md §V2 Checkpoint) = a UUID-named JSON manifest holding
+    protocol/metaData/txn + ``checkpointMetadata`` inline with the
+    add actions in a ``_sidecars/`` parquet — requires the
+    ``v2Checkpoint`` table feature (SET TBLPROPERTIES
+    ('delta.checkpointPolicy'='v2') upgrades the protocol), so legacy
+    readers refuse instead of missing the checkpoint. Returns the
+    checkpointed version."""
     versions = delta_versions(path)
     if not versions:
         raise FileNotFoundError(f"nothing to checkpoint at {path!r}")
@@ -2585,6 +2787,22 @@ def create_checkpoint(
     # model (e.g. domainMetadata); a checkpoint written here would
     # silently drop them — same refusal as any other write
     _writer_gate(protocol, meta, "CHECKPOINT")
+    pol = policy or (meta.get("configuration") or {}).get(
+        "delta.checkpointPolicy", "classic"
+    )
+    if pol not in ("classic", "v2"):
+        raise ValueError(f"checkpoint policy {pol!r} — classic|v2")
+    if pol == "v2":
+        if "v2Checkpoint" not in set(
+            protocol.get("readerFeatures") or []
+        ):
+            raise ValueError(
+                "v2 checkpoints need the v2Checkpoint table feature — "
+                "SET TBLPROPERTIES ('delta.checkpointPolicy'='v2') "
+                "upgrades the protocol in the same commit"
+            )
+        return _create_checkpoint_v2(spark, path, v, protocol, meta,
+                                     adds, txns)
     def _dv_row(a: dict) -> dict | None:
         dv = a.get("deletionVector")
         if not dv:

@@ -1873,6 +1873,12 @@ _VACUUM_RE = re.compile(
     r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*$",
     re.IGNORECASE,
 )
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<target>[\w.]+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+|'[^']*'))\s*$",
+    re.IGNORECASE,
+)
 _PROP_PAIR_RE = re.compile(r"'(?P<k>(?:[^'\\]|\\.)*)'\s*=\s*'(?P<v>(?:[^'\\]|\\.)*)'")
 
 
@@ -2147,6 +2153,48 @@ def dml_sql(
         return rewrite_data_files(
             spark, path, zorder_by=zcols or None
         ).get("snapshot_id")
+    if head == "RESTORE":
+        # delta-spark's RESTORE TABLE t TO VERSION|TIMESTAMP AS OF —
+        # routed to restore_delta (new commit re-instating version N's
+        # live set, history preserved) / rollback_iceberg (metadata
+        # version moving current-snapshot-id back; r13)
+        m = _RESTORE_RE.match(text)
+        if not m:
+            raise ValueError(
+                f"cannot parse RESTORE: {sql!r} (supported: RESTORE "
+                "[TABLE] t TO VERSION AS OF n | TIMESTAMP AS OF ts)"
+            )
+        fmt, path = _resolve(m.group("target"))
+        ver, ts = m.group("ver"), m.group("ts")
+        if ts is not None:
+            from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
+                _parse_ts_ms,
+            )
+
+            ms = _parse_ts_ms(ts[1:-1] if ts.startswith("'") else ts)
+        if fmt == "delta":
+            from census_asc5_data_pipeline_spark.sources.delta_io import (
+                restore_delta,
+                version_as_of_timestamp_delta,
+            )
+
+            v = (
+                int(ver)
+                if ver is not None
+                else version_as_of_timestamp_delta(path, ms)
+            )
+            return restore_delta(spark, path, v)
+        from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+            rollback_iceberg,
+            snapshot_as_of_timestamp_iceberg,
+        )
+
+        sid = (
+            int(ver)
+            if ver is not None
+            else snapshot_as_of_timestamp_iceberg(path, ms)
+        )
+        return rollback_iceberg(path, sid)
     if head == "VACUUM":
         m = _VACUUM_RE.match(text)
         if not m:

@@ -1,9 +1,12 @@
-"""Delta V2 checkpoint READ (round-12 verdict #2 — PROTOCOL.md §V2
-Checkpoint): foreign tables whose history is only reachable through a
-UUID-named checkpoint manifest (json or parquet) with sidecar file
-actions now open; the legacy multipart classic form too. Writes stay
-classic. Every v2 log here is hand-constructed from a classic
-checkpoint's rows — the shapes modern delta-spark produces."""
+"""Delta V2 checkpoints (round-12 verdict #2 READ + round-13 WRITE —
+PROTOCOL.md §V2 Checkpoint): foreign tables whose history is only
+reachable through a UUID-named checkpoint manifest (json or parquet)
+with sidecar file actions open; the legacy multipart classic form
+too; and since r13 the engine WRITES the v2 form itself
+(delta.checkpointPolicy=v2 upgrades the protocol, create_checkpoint
+emits manifest + _sidecars parquet). Foreign v2 logs here are
+hand-constructed from a classic checkpoint's rows — the shapes modern
+delta-spark produces."""
 
 from __future__ import annotations
 
@@ -241,7 +244,131 @@ def test_v2_checkpoint_reader_feature_passes_gate(spark, tmp_path):
             + "\n"
         )
     assert [r.id for r in read_delta(spark, path).collect()] == [1]
-    # but WRITING stays refused: v2Checkpoint is not a writer feature
-    # this engine implements (checkpoints written here are classic)
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
-        write_delta(_mk(spark, [(2, 2.0)], "id bigint, v double"), path)
+    # and WRITING passes too since r13 (v2 checkpoints are now a
+    # writer capability — create_checkpoint(policy='v2')); a feature
+    # this engine genuinely lacks still refuses
+    write_delta(_mk(spark, [(2, 2.0)], "id bigint, v double"), path)
+    assert sorted(
+        r.id for r in read_delta(spark, path).collect()
+    ) == [1, 2]
+    with open(
+        os.path.join(path, "_delta_log", f"{3:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": [],
+                        "writerFeatures": ["typeWidening"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="typeWidening"):
+        write_delta(_mk(spark, [(3, 3.0)], "id bigint, v double"), path)
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """r13: the WRITE half of v2 checkpoints. SET TBLPROPERTIES
+    ('delta.checkpointPolicy'='v2') upgrades the protocol to (3,7)
+    with v2Checkpoint in BOTH feature lists in the SAME commit;
+    create_checkpoint then writes the UUID-named JSON manifest +
+    _sidecars parquet this engine's own reader resolves — identical
+    rows before and after the pre-checkpoint JSON tail is pruned."""
+    import glob
+    import json as _json
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        _replay,
+        create_checkpoint,
+        read_delta,
+        set_delta_properties,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    _build_table(spark, path)
+    # policy v2 without the feature refuses (checkpoint is not a
+    # commit — it cannot upgrade the protocol itself)
+    with pytest.raises(ValueError, match="v2Checkpoint table feature"):
+        create_checkpoint(spark, path, policy="v2")
+    v_set = set_delta_properties(
+        spark, path, {"delta.checkpointPolicy": "v2"}
+    )
+    protocol, meta, _adds, _tx = _replay(spark, path, None)
+    assert protocol["minReaderVersion"] == 3
+    assert "v2Checkpoint" in protocol["readerFeatures"]
+    assert "v2Checkpoint" in protocol["writerFeatures"]
+    full = sorted((r.id, r.v) for r in read_delta(spark, path).collect())
+    cv = create_checkpoint(spark, path)  # policy from table conf
+    manifests = glob.glob(
+        os.path.join(path, "_delta_log", f"{cv:020d}.checkpoint.*.json")
+    )
+    assert len(manifests) == 1
+    lines = [
+        _json.loads(x) for x in open(manifests[0]) if x.strip()
+    ]
+    kinds = [next(iter(d)) for d in lines]
+    assert kinds[0] == "checkpointMetadata"
+    assert "sidecar" in kinds and "protocol" in kinds
+    assert not any("add" in d for d in lines)  # files live in sidecars
+    side = [d for d in lines if "sidecar" in d][0]["sidecar"]
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", "_sidecars", side["path"])
+    )
+    _prune_pre_checkpoint(path, cv)
+    assert sorted(
+        (r.id, r.v) for r in read_delta(spark, path).collect()
+    ) == full
+    # and the table keeps working: append + auto re-replay through
+    # the v2 checkpoint + a fresh v2 checkpoint over the new state
+    write_delta(
+        _mk(spark, [(9, 9.0)], "id bigint, v double").coalesce(1), path
+    )
+    assert (9, 9.0) in {
+        (r.id, r.v) for r in read_delta(spark, path).collect()
+    }
+    cv2 = create_checkpoint(spark, path)
+    assert cv2 > cv
+
+
+def test_v2_checkpoint_auto_interval_and_txn_fence(spark, tmp_path):
+    """delta.checkpointInterval auto-checkpoints honor the v2 policy,
+    and txn fences survive a v2 checkpoint (they ride the manifest,
+    not the sidecar)."""
+    import glob
+
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        last_txn_version,
+        read_delta,
+        set_delta_properties,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _mk(spark, [(1, 1.0)], "id bigint, v double").coalesce(1),
+        path,
+        txn=("appA", 7),
+    )
+    set_delta_properties(
+        spark,
+        path,
+        {
+            "delta.checkpointPolicy": "v2",
+            "delta.checkpointInterval": "2",
+        },
+    )
+    write_delta(
+        _mk(spark, [(2, 2.0)], "id bigint, v double").coalesce(1), path
+    )  # v2 commit -> auto v2 checkpoint at version 2
+    manifests = glob.glob(
+        os.path.join(path, "_delta_log", "*.checkpoint.*.json")
+    )
+    assert manifests, "auto-checkpoint did not fire in v2 form"
+    _prune_pre_checkpoint(path, 2)
+    assert last_txn_version(spark, path, "appA") == 7
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == [1, 2]

@@ -274,3 +274,40 @@ def test_create_table_not_null_both_formats(spark, tmp_path):
             r.id
             for r in query_sql(spark, "SELECT id FROM nn", cat).collect()
         ) == [1]
+
+
+def test_restore_sql_both_formats(spark, tmp_path):
+    """RESTORE [TABLE] t TO VERSION AS OF n routes to restore_delta /
+    rollback_iceberg; the timestamp spelling resolves through the
+    same as-of rules as reads."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        iceberg_snapshots,
+    )
+
+    cat, _p = _setup_delta(spark, tmp_path)
+    dml_sql(spark, "RESTORE TABLE td TO VERSION AS OF 1", cat)
+    assert sorted(
+        r.id for r in query_sql(spark, "SELECT id FROM td", cat).collect()
+    ) == [1]
+    # history preserved: the pre-restore state is still travelable
+    assert sorted(
+        r.id
+        for r in query_sql(
+            spark, "SELECT id FROM td VERSION AS OF 2", cat
+        ).collect()
+    ) == [1, 2]
+
+    pi = str(tmp_path / "ti")
+    dml_sql(
+        spark,
+        f"CREATE TABLE ti (id BIGINT, v BIGINT) USING iceberg "
+        f"LOCATION '{pi}'",
+        cat,
+    )
+    dml_sql(spark, "INSERT INTO ti VALUES (1, 10)", cat)
+    dml_sql(spark, "INSERT INTO ti VALUES (2, 20)", cat)
+    first_ins = iceberg_snapshots(pi)[1]["snapshot-id"]
+    dml_sql(spark, f"RESTORE ti TO VERSION AS OF {first_ins}", cat)
+    assert sorted(
+        r.id for r in query_sql(spark, "SELECT id FROM ti", cat).collect()
+    ) == [1]
