@@ -250,14 +250,16 @@ def pagerank(
     (tolerance compare), like the other approximate operators.
 
     ``tol`` (round-6 item): convergence early-exit — stop when the L1
-    rank delta of a round falls below ``tol``.  The probe is one extra
-    1-row aggregate joining the OLD and NEW rank frames, both already
-    localCheckpointed, so it re-scans two materialized RDDs, never the
-    lineage; ``n_iter`` stays the hard upper bound.  Near-dup graphs
-    are mostly small dense clusters that converge in 3-5 rounds, so
-    this halves the sf0.1 wall and — more importantly at 100 TB —
-    bounds iterations ADAPTIVELY instead of always paying the
-    worst-case 10 sequential shuffles.
+    rank delta of a round falls below ``tol``. r13: the probe rides
+    the round's OWN checkpoint job as an ``observe()`` metric — the
+    base side of the rank update is the previous rank frame itself
+    (same node set as ``nodes``), so ``|new - old|`` sums during
+    materialization and a tol round costs exactly ONE job, not two;
+    ``n_iter`` stays the hard upper bound. Near-dup graphs are mostly
+    small dense clusters that converge in 3-5 rounds, so this halves
+    the sf0.1 wall and — more importantly at 100 TB — bounds
+    iterations ADAPTIVELY instead of always paying the worst-case 10
+    sequential shuffles.
     """
     und = _canonical_edges(edges, src, dst)
     directed = und.unionAll(
@@ -283,6 +285,8 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     ed = directed.join(out_deg, "u").localCheckpoint()
+    from pyspark.sql import Observation
+
     for _ in range(n_iter):
         contrib = (
             _score_side(ranks.withColumnRenamed("node", "u"))
@@ -291,29 +295,32 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        new_ranks = (
-            nodes.join(_score_side(contrib), "node", "left")
+        # base side = the previous rank frame (same node set as
+        # `nodes`) so the L1 delta can ride the checkpoint job as an
+        # observe() metric — a tol round is ONE job (r13; previously
+        # a separate probe job re-scanned both materialized frames)
+        new_full = (
+            ranks.select("node", F.col("rank").alias("r_old"))
+            .join(_score_side(contrib), "node", "left")
             .select(
                 "node",
+                "r_old",
                 (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias(
                     "rank"
                 ),
             )
-            .localCheckpoint()
         )
+        obs = None
         if tol is not None:
-            # 1-row L1 probe over the two materialized rank RDDs
-            delta = (
-                ranks.select("node", F.col("rank").alias("r_old"))
-                .join(new_ranks.select("node", F.col("rank").alias("r_new")), "node")
-                .agg(F.sum(F.abs(F.col("r_new") - F.col("r_old"))).alias("d"))
-                .collect()[0][0]
+            obs = Observation()
+            new_full = new_full.observe(
+                obs, F.sum(F.abs(F.col("rank") - F.col("r_old"))).alias("d")
             )
-            ranks = new_ranks
+        ranks = new_full.select("node", "rank").localCheckpoint()
+        if obs is not None:
+            delta = obs.get["d"]
             if delta is not None and delta < tol:
                 break
-        else:
-            ranks = new_ranks
     return ranks.select(
         "node", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("bigint").alias("rank_ppb")
     )

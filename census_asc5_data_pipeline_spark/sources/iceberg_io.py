@@ -2835,7 +2835,9 @@ def rewrite_data_files(
     }
 
 
-def delete_iceberg_where(keys_df: DataFrame, path: str) -> int:
+def delete_iceberg_where(
+    keys_df: DataFrame, path: str, branch: str | None = None
+) -> int:
     """Row-level DELETE as a v2 EQUALITY-DELETE snapshot (the
     merge-on-read write half; :func:`_scan_with_deletes` is the read
     half): ``keys_df``'s columns name the equality fields and its
@@ -2912,7 +2914,7 @@ def delete_iceberg_where(keys_df: DataFrame, path: str) -> int:
         }
     )
     return _commit_delete_snapshot(
-        path, meta, cur_v, delete_files, entry_schema
+        path, meta, cur_v, delete_files, entry_schema, branch=branch
     )
 
 
@@ -2922,13 +2924,30 @@ def _commit_delete_snapshot(
     cur_v: int,
     delete_files: list[dict],
     entry_schema: dict,
+    branch: str | None = None,
 ) -> int:
     """Shared commit tail of :func:`delete_iceberg_where` /
     :func:`delete_iceberg_positions`: list the staged delete files in
     a content=1 DELETE manifest at a NEW sequence number, re-list
     every prior manifest (the spec's strict ordering does the rest:
     earlier-sequence data is affected, later appends are not), append
-    the snapshot, bump the metadata version. Returns the snapshot id."""
+    the snapshot, bump the metadata version. ``branch`` (r13 WAP):
+    inherit from and advance the branch head instead of main.
+    Returns the snapshot id."""
+    branch_base: int | None = None
+    if branch is not None:
+        bref = (meta.get("refs") or {}).get(branch)
+        if bref is None:
+            raise ValueError(
+                f"unknown branch {branch!r} — create_branch first "
+                f"(refs: {sorted(meta.get('refs') or {})})"
+            )
+        if bref.get("type") != "branch":
+            raise ValueError(
+                f"ref {branch!r} is a {bref.get('type')!r}, not a "
+                "branch — only branches accept writes"
+            )
+        branch_base = int(bref["snapshot-id"])
     now_ms = int(time.time() * 1000)
     new_v = cur_v + 1
     snap_id = new_v
@@ -2945,7 +2964,10 @@ def _commit_delete_snapshot(
                 for d in delete_files
             ],
         )
-    cur_snap_id = meta.get("current-snapshot-id")
+    cur_snap_id = (
+        branch_base if branch is not None
+        else meta.get("current-snapshot-id")
+    )
     prev_manifests: list[dict] = []
     snap = next(
         (
@@ -3002,20 +3024,28 @@ def _commit_delete_snapshot(
         "summary": {"operation": "delete"},
         "schema-id": meta.get("current-schema-id", 0),
     }
+    if cur_snap_id is not None and cur_snap_id != -1:
+        snapshot["parent-snapshot-id"] = int(cur_snap_id)
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
-    new_meta["current-snapshot-id"] = snap_id
     new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
-    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-    ]
+    if branch is not None:
+        new_refs = dict(meta.get("refs") or {})
+        new_refs[branch] = {**new_refs[branch], "snapshot-id": snap_id}
+        new_meta["refs"] = new_refs
+    else:
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        ]
     _write_metadata_version(path, new_v, new_meta)
     return snap_id
 
 
 def delete_iceberg_positions(
-    spark: SparkSession, path: str, where: str
+    spark: SparkSession, path: str, where: str,
+    branch: str | None = None,
 ) -> int | None:
     """Row-level DELETE as a v2 POSITION-DELETE snapshot — the other
     merge-on-read write mode (:func:`delete_iceberg_where` writes
@@ -3037,8 +3067,17 @@ def delete_iceberg_positions(
     from pyspark.sql import functions as F
 
     cur_v, meta = _current_metadata(path)
+    branch_head = None
+    if branch is not None:
+        bref = (meta.get("refs") or {}).get(branch)
+        if bref is None or bref.get("type") != "branch":
+            raise ValueError(
+                f"unknown or non-branch ref {branch!r} "
+                f"(refs: {sorted(meta.get('refs') or {})})"
+            )
+        branch_head = int(bref["snapshot-id"])
     schema, fields = _schema_of(meta)
-    data_files, delete_fs = _snapshot_files(path, meta, None)
+    data_files, delete_fs = _snapshot_files(path, meta, branch_head)
     if not data_files:
         return None
     abs_of_base: dict[str, str] = {}
@@ -3112,7 +3151,8 @@ def delete_iceberg_positions(
             "aborting without committing (positions may be stale)"
         )
     return _commit_delete_snapshot(
-        path, meta, cur_v, delete_files, _entry_schema_for([])
+        path, meta, cur_v, delete_files, _entry_schema_for([]),
+        branch=branch
     )
 
 

@@ -191,3 +191,24 @@ def test_expire_keeps_unpublished_branch(spark, tmp_path):
     # no longer a fast-forward
     with pytest.raises(ValueError, match="not an ancestor"):
         fast_forward(path, "main", "wap")
+
+
+def test_branch_deletes_advance_branch_only(spark, tmp_path):
+    """Both delete modes (equality + position) accept branch= and
+    advance only the ref — the full DML verb set works unpublished."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        delete_iceberg_positions,
+        delete_iceberg_where,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, 10), (2, 20), (3, 30)]), path)
+    create_branch(path, "b")
+    delete_iceberg_positions(spark, path, "id = 1", branch="b")
+    delete_iceberg_where(
+        spark.createDataFrame([(2,)], "id bigint"), path, branch="b"
+    )
+    assert _ids(spark, path) == [1, 2, 3]
+    assert _ids(spark, path, ref="b") == [3]
+    fast_forward(path, "main", "b")
+    assert _ids(spark, path) == [3]
