@@ -144,6 +144,12 @@ GROUPS: dict[str, list[str]] = {
         "insert_overwrite",
         "schema_evolution",
     ],
+    # round-13 addition (eager Iceberg write-audit-publish loop:
+    # branch append + MoR branch UPDATE + fast-forward; cost is the
+    # snapshot commits, not the returned union-of-rollups plan)
+    "r13_tail": [
+        "wap_publish",
+    ],
 }
 
 

@@ -433,8 +433,9 @@ def k_core(
 
     Shape per round: degree count (map-side combinable on 8-byte ids)
     + semi-joins to drop edges touching peeled nodes; lineage cut per
-    round with eager localCheckpoint; the fixpoint probe is a 1-row
-    count (the connected_components discipline — the only collect).
+    round with eager localCheckpoint; the fixpoint probe rides the
+    degree checkpoint as an ``observe()`` metric (r13 — zero extra
+    jobs, the LPA discipline).
     Rounds are bounded by the peeling depth (<= max peel waves, far
     below node count in practice; ``max_iter`` is the loud backstop —
     raising past it means the graph is adversarially chained and the
@@ -455,20 +456,26 @@ def k_core(
     directed = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # degree agg materialized ONCE per round (eager checkpoint);
-        # the convergence probe is one 1-row job over it, and the two
-        # semi-joins re-read the checkpointed degrees instead of
+        # the convergence probe rides THAT job as an observe() metric
+        # (r13 — previously a separate 1-row job per round), and the
+        # two semi-joins re-read the checkpointed degrees instead of
         # recomputing the aggregate
+        obs = Observation()
         deg = (
             directed.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.sum((F.col("d") >= k).cast("long")).alias("n_keep"),
+            )
             .localCheckpoint()
         )
-        probe = deg.groupBy().agg(
-            F.count(F.lit(1)).alias("n_nodes"),
-            F.sum((F.col("d") >= k).cast("long")).alias("n_keep"),
-        ).collect()[0]
+        probe = obs.get
         keep = deg.filter(F.col("d") >= k)
         if probe["n_keep"] == probe["n_nodes"]:
             return keep.select(

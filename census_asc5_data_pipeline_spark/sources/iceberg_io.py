@@ -1693,11 +1693,24 @@ def read_iceberg_changes(
     )
     if not snaps:
         return spark.createDataFrame([], out_schema), since_snapshot_id
-    last = snaps[-1]["snapshot-id"]
+    # cursor stops at the MAIN head (r13): unpublished WAP-branch
+    # snapshots are not main changes — a fast_forward publish moves
+    # the head past them, so they surface exactly at publish time
+    head = meta.get("current-snapshot-id")
+    if head in (None, -1):
+        head = snaps[-1]["snapshot-id"]
+    last = max(
+        int(head),
+        since_snapshot_id if since_snapshot_id is not None else int(head),
+    )
     want = [
         s
         for s in snaps
-        if since_snapshot_id is None or s["snapshot-id"] > since_snapshot_id
+        if (
+            since_snapshot_id is None
+            or s["snapshot-id"] > since_snapshot_id
+        )
+        and s["snapshot-id"] <= int(head)
     ]
     inserts, pos_dels, eq_dels = _changed_files_of_range(path, want)
     from pyspark.sql import functions as F

@@ -169,11 +169,19 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
     def latestOffset(self):
         from census_asc5_data_pipeline_spark.sources import iceberg_io
 
-        snaps = iceberg_io.iceberg_snapshots(self.path)
-        sids = [s["snapshot-id"] for s in snaps]
-        last = max(sids, default=self.starting)
-        last = max(last, self.starting)
-        return {"snapshot_id": self._rl_cap(sids, last)}
+        # cap at the MAIN head (r13): unpublished WAP-branch snapshots
+        # must not leak into a main-tailing stream — a fast_forward
+        # publish moves the head past them, so they replay in id
+        # order exactly at publish time
+        _v, meta = iceberg_io._current_metadata(self.path)
+        head = meta.get("current-snapshot-id")
+        head = int(head) if head not in (None, -1) else self.starting
+        sids = [
+            s["snapshot-id"]
+            for s in meta.get("snapshots", [])
+            if s["snapshot-id"] <= head
+        ]
+        return {"snapshot_id": self._rl_cap(sids, max(head, self.starting))}
 
     def partitions(self, start, end):
         import os

@@ -212,3 +212,43 @@ def test_branch_deletes_advance_branch_only(spark, tmp_path):
     assert _ids(spark, path, ref="b") == [3]
     fast_forward(path, "main", "b")
     assert _ids(spark, path) == [3]
+
+
+def test_branch_commits_invisible_to_streams_until_publish(spark, tmp_path):
+    """WAP isolation for consumers: the iceberg_tail stream's offset
+    and the batch change feed stop at the MAIN head — unpublished
+    branch snapshots never leak; a fast_forward publish moves the head
+    past them so they replay, in id order, exactly at publish time."""
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        iceberg_snapshots,
+        read_iceberg_changes,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_stream_source import (
+        IcebergTailStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_mk(spark, [(1, 10)]), path)
+    main_head = iceberg_snapshots(path)[-1]["snapshot-id"]
+    create_branch(path, "b")
+    write_iceberg(_mk(spark, [(2, 20)]), path, branch="b")
+    write_iceberg(_mk(spark, [(3, 30)]), path, branch="b")
+
+    r = IcebergTailStreamReader({"path": path})
+    assert r.latestOffset() == {"snapshot_id": main_head}
+    # batch change feed: cursor parks at main's head, no branch rows
+    df, last = read_iceberg_changes(
+        spark, path, since_snapshot_id=main_head
+    )
+    assert last == main_head and df.count() == 0
+
+    fast_forward(path, "main", "b")
+    new_head = iceberg_snapshots(path)[-1]["snapshot-id"]
+    assert r.latestOffset() == {"snapshot_id": new_head}
+    df2, last2 = read_iceberg_changes(
+        spark, path, since_snapshot_id=main_head
+    )
+    assert last2 == new_head
+    assert sorted(
+        (x.id, x._change_type) for x in df2.collect()
+    ) == [(2, "insert"), (3, "insert")]
