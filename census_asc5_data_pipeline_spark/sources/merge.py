@@ -1814,12 +1814,21 @@ def _insert_into(spark, fmt, path, cols_clause, body, mode="append") -> int:
             f"{len(names)} target column(s)"
         )
     by_target = dict(zip(names, df.columns))
+    gen_unnamed: set[str] = set()
+    if fmt == "delta":
+        # generated columns the INSERT does not name are left OUT of
+        # the frame (not NULL-filled) so write_delta COMPUTES them
+        # from their generation expression; named ones validate
+        gen_unnamed = {
+            n for n, _e, _t in d._generated_columns(meta)
+        } - set(by_target)
     out = df.select(
         [
             F.col(by_target[f.name]).cast(f.dataType).alias(f.name)
             if f.name in by_target
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema.fields
+            if f.name not in gen_unnamed
         ]
     )
     if fmt == "delta":

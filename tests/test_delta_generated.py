@@ -244,3 +244,19 @@ def test_creation_validates_and_declares_protocol(spark, tmp_path):
         spark.createDataFrame([(2, 5)], "id bigint, v bigint"), path
     )
     assert _rows(spark, path) == [(1, 10, 20), (2, 5, 10)]
+
+
+def test_sql_insert_computes_unnamed_generated(spark, tmp_path):
+    """INSERT INTO t (cols...) that omits the generated column
+    computes it (not NULL-fills it); naming it validates the value."""
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    path = str(tmp_path / "t")
+    _gen_table(path, pcols=())
+    cat = {"t": ("delta", path)}
+    dml_sql(spark, "INSERT INTO t (id, v) VALUES (1, 10)", cat)
+    assert _rows(spark, path) == [(1, 10, 20)]
+    dml_sql(spark, "INSERT INTO t (id, v, g) VALUES (2, 5, 10)", cat)
+    assert _rows(spark, path) == [(1, 10, 20), (2, 5, 10)]
+    with pytest.raises(ValueError, match="GENERATED g"):
+        dml_sql(spark, "INSERT INTO t (id, v, g) VALUES (3, 5, 11)", cat)
