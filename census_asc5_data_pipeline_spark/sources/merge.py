@@ -1882,6 +1882,10 @@ _VACUUM_RE = re.compile(
     r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*$",
     re.IGNORECASE,
 )
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?:[\w]+\.)*(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<target>[\w.]+)\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
@@ -2268,7 +2272,63 @@ def dml_sql(
         )
 
         return delete_iceberg_positions(spark, path, pred)
+    if head == "CALL":
+        # the Iceberg stored-procedure spellings for the ref
+        # lifecycle (r13 — Spark-Iceberg's CALL catalog.system.*):
+        # CALL create_branch(t, 'name'[, snapshot_id]) /
+        # create_tag(t, 'name'[, snapshot_id]) / drop_ref(t, 'name') /
+        # fast_forward(t, 'target', 'source') — the WAP flow is now
+        # SQL end-to-end (audit reads via VERSION AS OF 'name')
+        m = _CALL_RE.match(text)
+        if not m:
+            raise ValueError(
+                f"cannot parse CALL: {sql!r} (supported: CALL "
+                "[catalog.][system.]create_branch|create_tag|"
+                "drop_ref|fast_forward(table, args...))"
+            )
+        proc = m.group("proc").lower()
+        args = [
+            a.strip() for a in _split_top(m.group("args")) if a.strip()
+        ]
+        if not args:
+            raise ValueError("CALL needs at least the table argument")
+        fmt, path = _resolve(args[0].strip("'\""))
+        if fmt != "iceberg":
+            raise ValueError(
+                f"CALL {proc} targets Iceberg tables — {args[0]!r} is "
+                f"{fmt}"
+            )
+
+        def _lit(s: str) -> str:
+            s = s.strip()
+            return s[1:-1] if s and s[0] in "'\"" else s
+
+        from census_asc5_data_pipeline_spark.sources import (
+            iceberg_io as ice,
+        )
+
+        if proc == "create_branch":
+            return ice.create_branch(
+                path,
+                _lit(args[1]),
+                snapshot_id=int(args[2]) if len(args) > 2 else None,
+            )
+        if proc == "create_tag":
+            return ice.tag_snapshot(
+                path,
+                _lit(args[1]),
+                snapshot_id=int(args[2]) if len(args) > 2 else None,
+            )
+        if proc == "drop_ref":
+            return ice.drop_ref(path, _lit(args[1]))
+        if proc == "fast_forward":
+            return ice.fast_forward(path, _lit(args[1]), _lit(args[2]))
+        raise ValueError(
+            f"unknown procedure {proc!r} "
+            "(create_branch|create_tag|drop_ref|fast_forward)"
+        )
     raise ValueError(
         f"unsupported DML statement {head!r} "
-        "(CREATE|MERGE|INSERT|UPDATE|DELETE|ALTER|OPTIMIZE|VACUUM)"
+        "(CREATE|MERGE|INSERT|UPDATE|DELETE|ALTER|OPTIMIZE|VACUUM|"
+        "RESTORE|CALL)"
     )

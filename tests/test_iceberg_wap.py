@@ -252,3 +252,43 @@ def test_branch_commits_invisible_to_streams_until_publish(spark, tmp_path):
     assert sorted(
         (x.id, x._change_type) for x in df2.collect()
     ) == [(2, "insert"), (3, "insert")]
+
+
+def test_wap_flow_entirely_in_sql(spark, tmp_path):
+    """The WAP flow with NOTHING but SQL statements: CREATE TABLE →
+    INSERT → CALL create_branch → (branch write via Python — INSERT
+    has no branch syntax) → audit via VERSION AS OF 'name' → CALL
+    fast_forward → CALL drop_ref."""
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        dml_sql,
+        query_sql,
+    )
+
+    cat: dict = {}
+    p = str(tmp_path / "t")
+    dml_sql(
+        spark,
+        f"CREATE TABLE t (id BIGINT, v BIGINT) USING iceberg "
+        f"LOCATION '{p}'",
+        cat,
+    )
+    dml_sql(spark, "INSERT INTO t VALUES (1, 10)", cat)
+    dml_sql(spark, "CALL system.create_branch(t, 'audit')", cat)
+    write_iceberg(_mk(spark, [(2, 20)]), p, branch="audit")
+    assert sorted(
+        r.id
+        for r in query_sql(
+            spark, "SELECT id FROM t VERSION AS OF 'audit'", cat
+        ).collect()
+    ) == [1, 2]
+    assert sorted(
+        r.id for r in query_sql(spark, "SELECT id FROM t", cat).collect()
+    ) == [1]
+    dml_sql(spark, "CALL fast_forward(t, 'main', 'audit')", cat)
+    assert sorted(
+        r.id for r in query_sql(spark, "SELECT id FROM t", cat).collect()
+    ) == [1, 2]
+    dml_sql(spark, "CALL drop_ref(t, 'audit')", cat)
+    assert iceberg_refs(p) == {}
+    dml_sql(spark, "CALL create_tag(t, 'v1')", cat)
+    assert iceberg_refs(p)["v1"]["type"] == "tag"
