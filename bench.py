@@ -149,6 +149,7 @@ GROUPS: dict[str, list[str]] = {
     # snapshot commits, not the returned union-of-rollups plan)
     "r13_tail": [
         "wap_publish",
+        "time_travel_sql",
     ],
 }
 

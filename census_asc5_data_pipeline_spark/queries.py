@@ -10308,6 +10308,112 @@ FROM branch GROUP BY priority
 """
 
 
+def q_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL statement front-end's time-travel + RESTORE verbs
+    through the registry gate (round-13 verdict #4): ``dml_sql``
+    CREATEs a Delta table, INSERTs the even-keyed customer balance
+    rollup (v1) then the odd-keyed rest (v2), UPDATEs (+100 cents on
+    every ckey % 10 = 0 row, v3), and ``RESTORE TABLE ... TO VERSION
+    AS OF 2`` (v4 — a new commit re-instating v2's live set). The
+    result unions three per-segment aggregates computed ENTIRELY by
+    ``query_sql`` statements — ``VERSION AS OF 1`` (even keys only),
+    ``VERSION AS OF 3`` (all keys, bumped), and the current table
+    (post-RESTORE ≡ v2: all keys, unbumped) — so DuckDB's arithmetic
+    reconstruction hash-gates version resolution, the update's
+    post-image, AND the restore's exactness. Rebuilds idempotently
+    under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        dml_sql,
+        query_sql,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    view = f"tt_cust_{os.getpid()}"
+    cust.select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal"),
+    ).createOrReplaceTempView(view)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_time_travel_sql_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    cat: dict = {}
+    dml_sql(
+        spark,
+        "CREATE TABLE tt_t (ckey BIGINT, segment STRING, "
+        f"bal_cents BIGINT) USING delta LOCATION '{base}'",
+        cat,
+    )
+    dml_sql(
+        spark,
+        f"INSERT INTO tt_t SELECT ckey, segment, bal FROM {view} "
+        "WHERE ckey % 2 = 0",
+        cat,
+    )
+    dml_sql(
+        spark,
+        f"INSERT INTO tt_t SELECT ckey, segment, bal FROM {view} "
+        "WHERE ckey % 2 = 1",
+        cat,
+    )
+    dml_sql(
+        spark,
+        "UPDATE tt_t SET bal_cents = bal_cents + 100 "
+        "WHERE ckey % 10 = 0",
+        cat,
+    )
+    dml_sql(spark, "RESTORE TABLE tt_t TO VERSION AS OF 2", cat)
+
+    def _agg(phase: str, suffix: str) -> DataFrame:
+        return query_sql(
+            spark,
+            "SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum "
+            f"FROM tt_t{suffix} GROUP BY segment",
+            cat,
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return (
+        _agg("v1", " VERSION AS OF 1")
+        .unionByName(_agg("v3", " VERSION AS OF 3"))
+        .unionByName(_agg("current", ""))
+    )
+
+
+SQL_TIME_TRAVEL_SQL = """
+WITH c AS (
+  SELECT c_custkey AS ckey, c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer
+),
+bumped AS (
+  SELECT ckey, segment,
+         bal + CASE WHEN ckey % 10 = 0 THEN 100 ELSE 0 END AS bal
+  FROM c
+)
+SELECT 'v1' AS phase, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bal) AS BIGINT) AS bal_cents_sum
+FROM c WHERE ckey % 2 = 0 GROUP BY segment
+UNION ALL
+SELECT 'v3', segment,
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS BIGINT)
+FROM bumped GROUP BY segment
+UNION ALL
+SELECT 'current', segment,
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS BIGINT)
+FROM c GROUP BY segment
+"""
+
+
 def q_iceberg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg snapshot travel through the registry gate — the
     q_delta_as_of twin on the other table format: snapshot 1 = the
@@ -10625,6 +10731,7 @@ FROM changes GROUP BY change_type, segment
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 13 ---
     "wap_publish": q_wap_publish,
+    "time_travel_sql": q_time_travel_sql,
     # --- new in round 12 ---
     "schema_evolution": q_schema_evolution,
     "insert_overwrite": q_insert_overwrite,
@@ -10861,6 +10968,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 13 ---
     "wap_publish": SQL_WAP_PUBLISH,
+    "time_travel_sql": SQL_TIME_TRAVEL_SQL,
     # --- new in round 11 ---
     "iceberg_merge_upsert": SQL_ICEBERG_MERGE_UPSERT,
     "cdf_replay": SQL_CDF_REPLAY,

@@ -30,6 +30,11 @@ SHUFFLE_BUDGET = {
     # construction. Measured 7 with this counter; 8 leaves room if
     # the delete anti-join broadcast ever degrades
     "wap_publish": 8,
+    # returned plan = union of three per-segment rollups over the
+    # as-of / current file-list scans (one partial/final agg pair
+    # each). CREATE/INSERT/UPDATE/RESTORE run at construction.
+    # Measured 3; 4 leaves room for an AQE re-plan
+    "time_travel_sql": 4,
     # --- new in round 12 ---
     # returned plan = one groupBy over the evolved-table read (agg
     # pair measures 1); CREATE/ALTER/INSERT run at construction
