@@ -260,3 +260,43 @@ def test_sql_insert_computes_unnamed_generated(spark, tmp_path):
     assert _rows(spark, path) == [(1, 10, 20), (2, 5, 10)]
     with pytest.raises(ValueError, match="GENERATED g"):
         dml_sql(spark, "INSERT INTO t (id, v, g) VALUES (3, 5, 11)", cat)
+
+
+def test_cdf_postimages_regenerate(spark, tmp_path):
+    """On a CDF-enabled generated table, MERGE/UPDATE change-feed
+    post-images carry the RECOMPUTED generated value (a stale g in
+    the feed would corrupt every downstream CDC consumer)."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta_cdf,
+        set_delta_properties,
+    )
+
+    path = str(tmp_path / "t")
+    _gen_table(path, pcols=())
+    set_delta_properties(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id bigint, v bigint"), path
+    )
+    v = update_where(spark, "delta", path, "id = 1", {"v": "v + 5"})
+    cdf, _last = read_delta_cdf(spark, path, since_version=v - 1)
+    post = [
+        (r.id, r.v, r.g)
+        for r in cdf.collect()
+        if r._change_type == "update_postimage"
+    ]
+    assert post == [(1, 15, 30)]
+    v2 = merge_into(
+        spark, "delta", path,
+        spark.createDataFrame([(1, 50)], "id bigint, v bigint"),
+        "t.id = s.id",
+        matched=[("update", None, {"v": "s.v"})],
+    )
+    cdf2, _l2 = read_delta_cdf(spark, path, since_version=v2 - 1)
+    post2 = [
+        (r.id, r.v, r.g)
+        for r in cdf2.collect()
+        if r._change_type == "update_postimage"
+    ]
+    assert post2 == [(1, 50, 100)]

@@ -292,3 +292,43 @@ def test_wap_flow_entirely_in_sql(spark, tmp_path):
     assert iceberg_refs(p) == {}
     dml_sql(spark, "CALL create_tag(t, 'v1')", cat)
     assert iceberg_refs(p)["v1"]["type"] == "tag"
+
+
+def test_branch_write_on_partitioned_table(spark, tmp_path):
+    """Branch appends on a transform-partitioned table stage through
+    the table's spec exactly like main appends (partition dirs +
+    typed manifest values), and publish carries them to main."""
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(spark, [(1, 10), (12, 20)]), path,
+        partition_by=["bucket(4, id)"],
+    )
+    create_branch(path, "b")
+    write_iceberg(_mk(spark, [(3, 30), (14, 40)]), path, branch="b")
+    assert _ids(spark, path, ref="b") == [1, 3, 12, 14]
+    assert _ids(spark, path) == [1, 12]
+    # partition pruning still works on the branch read after publish
+    fast_forward(path, "main", "b")
+    assert _ids(spark, path) == [1, 3, 12, 14]
+
+
+def test_branch_merge_cdf_and_update_images(spark, tmp_path):
+    """Branch MoR UPDATE post-images land under the table's partition
+    spec (identity) and read back correctly with the position deletes
+    applied at the branch head."""
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _mk(spark, [(1, 10), (2, 20)]), path, partition_by=["v"]
+    )
+    create_branch(path, "b")
+    update_where(
+        spark, "iceberg", path, "id = 1", {"v": "99"}, branch="b"
+    )
+    got = sorted(
+        (r.id, r.v)
+        for r in read_iceberg(spark, path, ref="b").collect()
+    )
+    assert got == [(1, 99), (2, 20)]
+    assert sorted(
+        (r.id, r.v) for r in read_iceberg(spark, path).collect()
+    ) == [(1, 10), (2, 20)]
