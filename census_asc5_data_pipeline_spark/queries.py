@@ -10203,6 +10203,94 @@ FROM final GROUP BY segment
 """
 
 
+def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping through the registry gate (round-13
+    — delta_stats): build a Delta table from the order rollup
+    bucketed by ``floor(okey / 2048)`` (each data file holds a TIGHT
+    okey range, so min/max stats actually bite), read it back with
+    ``read_delta(predicate=...)`` — the range predicate prunes every
+    non-overlapping file BEFORE Spark plans the scan, and the same
+    evaluator then prunes the candidate files of a stats-guarded
+    ``DELETE WHERE`` — and aggregate per priority in two phases:
+    ``initial`` (the skipping read: okey < 4096, urgent+high only)
+    and ``after_delete`` (the same read after DELETE okey < 2048).
+    DuckDB reconstructs both phases arithmetically, so a file wrongly
+    skipped (rows missing) or a delete that touched the wrong files
+    flips the hash. Exactness holds by construction — skipping only
+    drops files PROVEN matchless and the full predicate still applies
+    row-wise — and THIS query watches the prune logic with real data
+    at all three SFs. Rebuilds idempotently under /tmp per (sf, pid).
+    """
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_data_skipping_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.floor(F.col("o_orderkey") / 2048).cast("bigint").alias("kb"),
+    )
+    delta_io.write_delta(staged, base, partition_by=["kb"])
+    pred = (
+        "okey < 4096 AND priority IN ('1-URGENT', '2-HIGH') "
+        "AND okey >= 0"
+    )
+
+    def _phase(tag: str) -> DataFrame:
+        return (
+            delta_io.read_delta(spark, base, predicate=pred)
+            .groupBy("priority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents_sum"),
+                F.min("okey").cast("bigint").alias("okey_min"),
+                F.max("okey").cast("bigint").alias("okey_max"),
+            )
+            .withColumn("phase", F.lit(tag))
+        )
+
+    initial = _phase("initial").localCheckpoint(eager=True)
+    delta_io.delete_delta_where(spark, base, "okey < 2048")
+    return initial.unionByName(_phase("after_delete"))
+
+
+SQL_DATA_SKIPPING = """
+WITH c AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT * FROM c
+  WHERE okey < 4096 AND priority IN ('1-URGENT', '2-HIGH')
+    AND okey >= 0
+),
+phased AS (
+  SELECT 'initial' AS phase, * FROM m
+  UNION ALL
+  SELECT 'after_delete' AS phase, * FROM m WHERE okey >= 2048
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(MIN(okey) AS BIGINT) AS okey_min,
+       CAST(MAX(okey) AS BIGINT) AS okey_max,
+       phase
+FROM phased GROUP BY priority, phase
+"""
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg write-audit-publish through the registry gate
     (round-13 verdict #3/#4/#8): build an Iceberg table from the 1995
@@ -10730,6 +10818,7 @@ FROM changes GROUP BY change_type, segment
 # driver verifies.
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 13 ---
+    "data_skipping": q_data_skipping,
     "wap_publish": q_wap_publish,
     "time_travel_sql": q_time_travel_sql,
     # --- new in round 12 ---
@@ -10967,6 +11056,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 13 ---
+    "data_skipping": SQL_DATA_SKIPPING,
     "wap_publish": SQL_WAP_PUBLISH,
     "time_travel_sql": SQL_TIME_TRAVEL_SQL,
     # --- new in round 11 ---

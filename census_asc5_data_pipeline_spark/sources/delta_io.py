@@ -69,6 +69,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from census_asc5_data_pipeline_spark.sources import delta_stats
+
 __all__ = [
     "read_delta",
     "read_delta_changes",
@@ -839,11 +841,20 @@ def read_delta(
     version: int | None = None,
     timestamp_ms: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Read a Delta table from its transaction log. ``version`` /
     ``timestamp_ms`` time-travel (AS OF); ``partition_filter`` is an
     exact-match {partition_col: string_value} that prunes the file
-    list BEFORE Spark plans the scan."""
+    list BEFORE Spark plans the scan.
+
+    ``predicate`` (r13 — data skipping): a SQL boolean over the
+    table's columns; files whose add-action ``stats`` (min/max/null
+    counts) PROVE no match are dropped from the scan plan, and the
+    full predicate is then applied as a Spark filter so results are
+    exact regardless of how conservative the stats evaluator is
+    (:mod:`delta_stats`). Partition columns prune through the same
+    predicate (partitionValues as point intervals)."""
     if version is not None and timestamp_ms is not None:
         raise ValueError("pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
@@ -871,9 +882,23 @@ def read_delta(
                 for k, v in partition_filter.items()
             )
         ]
+    if predicate:
+        atoms = delta_stats.parse_skip_predicate(predicate)
+        if atoms is not None:
+            live = delta_stats.skip_files(
+                live,
+                atoms,
+                schema,
+                pcols,
+                physical_of,
+                session_tz=spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                ),
+            )
     if not live:
-        return spark.createDataFrame([], _strip_meta(schema))
-    return _scan_adds(
+        out = spark.createDataFrame([], _strip_meta(schema))
+        return out.filter(F.expr(predicate)) if predicate else out
+    out = _scan_adds(
         spark,
         path,
         schema,
@@ -881,6 +906,9 @@ def read_delta(
         [(None, a) for a in live],
         physical_of=physical_of,
     )
+    # the residual filter keeps semantics exact: skipping only prunes
+    # files PROVEN matchless, everything else still filters row-wise
+    return out.filter(F.expr(predicate)) if predicate else out
 
 
 # above this many total deleted positions the DV decode fans out to
@@ -1864,6 +1892,10 @@ def _stage_adds(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
             dst = os.path.join(path, new_rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(os.path.join(staging, rel), dst)
+            # per-file column statistics from the parquet FOOTER (a
+            # metadata read, r13: delta_stats) — read_delta(predicate=)
+            # and row-level DML prune files on these before planning
+            stats = delta_stats.file_stats_json(dst)
             add_actions.append(
                 {
                     "add": {
@@ -1872,6 +1904,7 @@ def _stage_adds(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
                         "dataChange": True,
+                        **({"stats": stats} if stats else {}),
                     }
                 }
             )
@@ -2414,12 +2447,27 @@ def delete_delta_where(
     pcols = list(meta.get("partitionColumns") or [])
     if not adds:
         return None
+    # stats-based candidate pruning (r13): files whose min/max/null
+    # stats PROVE no row matches cannot be touched — they are neither
+    # read nor rewritten, so the delete's cost is O(candidate files),
+    # not O(table), exactly like delta-spark's data-skipping DML
+    cand = list(adds.values())
+    atoms = delta_stats.parse_skip_predicate(predicate)
+    if atoms is not None:
+        cand = delta_stats.skip_files(
+            cand, atoms, schema, pcols, physical_of,
+            session_tz=spark.conf.get(
+                "spark.sql.session.timeZone", "UTC"
+            ),
+        )
+    if not cand:
+        return None
     scan = _scan_adds(
         spark,
         path,
         schema,
         pcols,
-        [(None, a) for a in adds.values()],
+        [(None, a) for a in cand],
         keep_pos=True,
         physical_of=physical_of,
     )
@@ -2577,6 +2625,9 @@ _CKPT_SCHEMA = T.StructType(
                     T.StructField("size", T.LongType()),
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
+                    # per-file statistics survive checkpointing, or a
+                    # vacuumed log would silently lose data skipping
+                    T.StructField("stats", T.StringType()),
                     T.StructField(
                         "deletionVector",
                         T.StructType(
@@ -2653,6 +2704,7 @@ def _create_checkpoint_v2(
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
+                "stats": a.get("stats"),
                 "deletionVector": (
                     {
                         "storageType": a["deletionVector"].get(
@@ -2855,6 +2907,7 @@ def create_checkpoint(
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
+                "stats": a.get("stats"),
                 "deletionVector": _dv_row(a),
             },
             None,

@@ -1480,12 +1480,28 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
             raise ValueError(f"SET column {c!r} not in the table schema")
     if not adds:
         return None
+    # stats-based candidate pruning (r13, the delete_delta_where
+    # discipline): files whose stats prove the WHERE matches nothing
+    # are neither read nor rewritten
+    from census_asc5_data_pipeline_spark.sources import delta_stats
+
+    cand = list(adds.values())
+    atoms = delta_stats.parse_skip_predicate(predicate)
+    if atoms is not None:
+        cand = delta_stats.skip_files(
+            cand, atoms, schema, pcols, physical_of,
+            session_tz=spark.conf.get(
+                "spark.sql.session.timeZone", "UTC"
+            ),
+        )
+    if not cand:
+        return None
     scan = d._scan_adds(
         spark,
         path,
         schema,
         pcols,
-        [(None, a) for a in adds.values()],
+        [(None, a) for a in cand],
         keep_pos=True,
         physical_of=physical_of,
     )

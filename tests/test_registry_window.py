@@ -14,6 +14,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # driver's oracle for the first time, verdict #7) — then the round-7
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
+    "data_skipping",
     "wap_publish",
     "time_travel_sql",
     "schema_evolution",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "psi_drift",
     "ks_drift",
     "mixture_rebalance",
-    "dedup_against",
 ]
 
 

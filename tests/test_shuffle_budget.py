@@ -23,6 +23,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 13 ---
+    # returned plan = the localCheckpointed 'initial' rollup (already
+    # materialized, zero exchanges) unioned with the post-delete
+    # phase's one partial/final agg pair over the stats-pruned
+    # file-list scan. Measured 1; 2 leaves room for an AQE re-plan
+    "data_skipping": 2,
     # returned plan = union of three 5-row per-priority rollups (one
     # partial/final agg pair each over fixed file-list scans; the
     # audit branch adds the MoR position-delete anti-join, whose tiny
