@@ -10291,6 +10291,92 @@ FROM phased GROUP BY priority, phase
 """
 
 
+def q_iceberg_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg manifest-bounds skipping through the registry gate
+    (round-13 — iceberg_bounds, the Iceberg twin of `data_skipping`):
+    an Iceberg table identity-partitioned by ``floor(okey / 2048)``
+    (per-file Appendix-D lower/upper bounds stay tight),
+    ``read_iceberg(predicate=...)`` prunes data files via the decoded
+    bounds BEFORE Spark plans the scan, then a bounds-guarded MoR
+    ``UPDATE WHERE okey < 2048`` (+1 cent — candidate files pruned
+    the same way, position deletes + post-image files committed) and
+    a re-read through the SAME predicate, now composing bounds
+    skipping WITH the merge-on-read position anti-join. DuckDB
+    reconstructs both phases arithmetically — a wrongly-skipped file,
+    a lost post-image, or an un-anti-joined stale row flips the hash
+    at all three SFs. Rebuilds idempotently under /tmp per (sf, pid).
+    """
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import iceberg_io
+    from census_asc5_data_pipeline_spark.sources.merge import update_where
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_iceberg_skipping_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.floor(F.col("o_orderkey") / 2048).cast("bigint").alias("kb"),
+    )
+    iceberg_io.write_iceberg(staged, base, partition_by=["kb"])
+    pred = "okey < 4096 AND priority IN ('1-URGENT', '2-HIGH')"
+
+    def _phase(tag: str) -> DataFrame:
+        return (
+            iceberg_io.read_iceberg(spark, base, predicate=pred)
+            .groupBy("priority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents_sum"),
+                F.min("okey").cast("bigint").alias("okey_min"),
+                F.max("okey").cast("bigint").alias("okey_max"),
+            )
+            .withColumn("phase", F.lit(tag))
+        )
+
+    initial = _phase("initial").localCheckpoint(eager=True)
+    update_where(
+        spark, "iceberg", base, "okey < 2048", {"cents": "cents + 1"}
+    )
+    return initial.unionByName(_phase("after_update"))
+
+
+SQL_ICEBERG_SKIPPING = """
+WITH c AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT * FROM c
+  WHERE okey < 4096 AND priority IN ('1-URGENT', '2-HIGH')
+),
+phased AS (
+  SELECT 'initial' AS phase, okey, priority, cents FROM m
+  UNION ALL
+  SELECT 'after_update' AS phase, okey, priority,
+         CASE WHEN okey < 2048 THEN cents + 1 ELSE cents END AS cents
+  FROM m
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(MIN(okey) AS BIGINT) AS okey_min,
+       CAST(MAX(okey) AS BIGINT) AS okey_max,
+       phase
+FROM phased GROUP BY priority, phase
+"""
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg write-audit-publish through the registry gate
     (round-13 verdict #3/#4/#8): build an Iceberg table from the 1995
@@ -10819,6 +10905,7 @@ FROM changes GROUP BY change_type, segment
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 13 ---
     "data_skipping": q_data_skipping,
+    "iceberg_skipping": q_iceberg_skipping,
     "wap_publish": q_wap_publish,
     "time_travel_sql": q_time_travel_sql,
     # --- new in round 12 ---
@@ -11057,6 +11144,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     # --- new in round 13 ---
     "data_skipping": SQL_DATA_SKIPPING,
+    "iceberg_skipping": SQL_ICEBERG_SKIPPING,
     "wap_publish": SQL_WAP_PUBLISH,
     "time_travel_sql": SQL_TIME_TRAVEL_SQL,
     # --- new in round 11 ---

@@ -66,6 +66,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from census_asc5_data_pipeline_spark.sources import iceberg_bounds
 from census_asc5_data_pipeline_spark.sources.avro_io import (
     read_container_generic,
     write_container_generic,
@@ -891,12 +892,99 @@ def resolve_ref(meta: dict, ref: str) -> int:
     return int(refs[ref]["snapshot-id"])
 
 
+def _skip_by_bounds(
+    live: list[dict],
+    atoms: list[tuple],
+    fields: list[dict],
+    meta: dict,
+    session_tz: str = "UTC",
+) -> list[dict]:
+    """Prune data_file entries whose manifest column metrics
+    (lower/upper bounds + null/value counts, decoded per Appendix D)
+    PROVE no row matches the parsed predicate atoms — the
+    :func:`delta_stats.skip_files` evaluator over Iceberg metadata
+    (r13). Identity-transform partition values fold in as point
+    intervals, so one predicate drives partition and bounds pruning
+    uniformly. Conservative: any decode surprise keeps the file."""
+    from census_asc5_data_pipeline_spark.sources import delta_stats as dsk
+
+    dtypes = {
+        f["name"]: _ice_type_to_spark(f["type"]) for f in fields
+    }
+    fields_by_id = {f["id"]: f for f in fields}
+    specs = meta.get("partition-specs") or (
+        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    # identity partition field name -> source column name, per spec
+    ident_of: dict[str, str] = {}
+    for s in specs:
+        for pf in s.get("fields", []):
+            if pf.get("transform", "identity") == "identity":
+                src = fields_by_id.get(pf["source-id"])
+                if src is not None:
+                    ident_of[pf["name"]] = src["name"]
+    lits: list[tuple] = []
+    for col, op, v in atoms:
+        if col not in dtypes:
+            continue
+        try:
+            if op == "in":
+                v = [
+                    dsk._coerce_lit(x, dtypes[col], session_tz)
+                    for x in v
+                ]
+            elif v is not None:
+                v = dsk._coerce_lit(v, dtypes[col], session_tz)
+        except (TypeError, ValueError, ArithmeticError):
+            continue
+        lits.append((col, op, v))
+    if not lits:
+        return live
+    kept: list[dict] = []
+    for d in live:
+        try:
+            iv = iceberg_bounds.file_intervals(d, fields)
+        except Exception:
+            iv = {}
+        nrec = d.get("record_count")
+        for pname, raw in (d.get("partition") or {}).items():
+            src = ident_of.get(pname)
+            if src is None or src not in dtypes:
+                continue
+            try:
+                if raw is None:
+                    iv[src] = (None, None, 1, 1)
+                else:
+                    pv = dsk._decode(raw, dtypes[src])
+                    iv[src] = (pv, pv, 0, nrec or 1)
+            except (TypeError, ValueError, ArithmeticError):
+                continue
+        ok = True
+        for col, op, v in lits:
+            got = iv.get(col)
+            if got is None:
+                continue
+            lo, hi, nc, vc = got
+            try:
+                if not dsk._atom_allows(
+                    (col, op, v), lo, hi, nc, vc if vc is not None else nrec
+                ):
+                    ok = False
+                    break
+            except (TypeError, ValueError, ArithmeticError):
+                continue
+        if ok:
+            kept.append(d)
+    return kept
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict[str, str] | None = None,
     ref: str | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table (current snapshot, AS OF
     ``snapshot_id``, or AS OF a named ``ref`` — tag or branch, spec
@@ -905,7 +993,14 @@ def read_iceberg(
     file list before the scan plans. Renamed-column histories resolve
     by parquet field id (see :func:`_read_by_field_id`); v2 row-level
     deletes (position + equality) apply via anti-joins (see
-    :func:`_scan_with_deletes`)."""
+    :func:`_scan_with_deletes`).
+
+    ``predicate`` (r13 — bounds-based skipping): a SQL boolean over
+    the table's columns; data files whose manifest column metrics
+    PROVE no match are dropped before Spark plans the scan
+    (:func:`_skip_by_bounds`), and the full predicate then applies as
+    a Spark filter so results stay exact regardless of how
+    conservative the evaluator is."""
     _v, meta = _current_metadata(path)
     if ref is not None:
         if snapshot_id is not None:
@@ -970,16 +1065,41 @@ def read_iceberg(
                 for name, val in preds
             )
         ]
+    residual = None
+    if predicate:
+        from pyspark.sql import functions as F
+
+        from census_asc5_data_pipeline_spark.sources import (
+            delta_stats as _dsk,
+        )
+
+        residual = F.expr(predicate)
+        atoms = _dsk.parse_skip_predicate(predicate)
+        if atoms is not None:
+            live = _skip_by_bounds(
+                live,
+                atoms,
+                _fields,
+                meta,
+                session_tz=spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                ),
+            )
     if not live:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        return out.filter(residual) if residual is not None else out
     files = [_local(d["file_path"]) for d in live]
     if renamed:
-        return _read_by_field_id(
+        out = _read_by_field_id(
             spark, files, _fields, name_mapping=_parse_name_mapping(meta)
         )
-    if deletes:
-        return _scan_with_deletes(spark, schema, _fields, live, deletes)
-    return spark.read.schema(schema).parquet(*files)
+    elif deletes:
+        out = _scan_with_deletes(spark, schema, _fields, live, deletes)
+    else:
+        out = spark.read.schema(schema).parquet(*files)
+    # skipping only prunes files PROVEN matchless; the row-wise
+    # filter keeps the semantics exact
+    return out.filter(residual) if residual is not None else out
 
 
 def _scan_with_deletes(
@@ -1117,6 +1237,27 @@ def _scan_with_deletes(
 # ----------------------------------------------------------- writer
 
 
+def _KV_MAP(name: str, value_type: str) -> list:
+    """The spec's optional map<int, value> avro shape: a nullable
+    array of {key:int, value:<t>} records (Avro maps key by string,
+    so Iceberg maps with int keys use this k/v-array form)."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": value_type},
+                ],
+            },
+        },
+    ]
+
+
 _MANIFEST_ENTRY_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -1137,6 +1278,30 @@ _MANIFEST_ENTRY_SCHEMA = {
                     }},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # per-file column metrics (table-spec §Manifests,
+                    # r13): map<int,…> in the spec's k/v-array avro
+                    # encoding, keyed by field id — read_iceberg's
+                    # predicate pruning decodes these (Appendix D)
+                    {
+                        "name": "value_counts",
+                        "type": _KV_MAP("k119_v120", "long"),
+                        "default": None,
+                    },
+                    {
+                        "name": "null_value_counts",
+                        "type": _KV_MAP("k121_v122", "long"),
+                        "default": None,
+                    },
+                    {
+                        "name": "lower_bounds",
+                        "type": _KV_MAP("k126_v127", "bytes"),
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": _KV_MAP("k129_v130", "bytes"),
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -1412,6 +1577,11 @@ def write_iceberg(
                         "partition": part_rec,
                         "record_count": int(n_rows),
                         "file_size_in_bytes": os.path.getsize(dst),
+                        # column metrics from the footer (r13): value/
+                        # null counts + Appendix-D bounds by field id
+                        **iceberg_bounds.file_column_metrics(
+                            dst, ice_fields
+                        ),
                     }
                 )
     finally:
@@ -2748,6 +2918,7 @@ def rewrite_data_files(
                             pq.ParquetFile(dst).metadata.num_rows
                         ),
                         "file_size_in_bytes": os.path.getsize(dst),
+                        **iceberg_bounds.file_column_metrics(dst, fields),
                     }
                 )
         finally:
@@ -2768,6 +2939,18 @@ def rewrite_data_files(
             },
             "record_count": int(d.get("record_count", 0)),
             "file_size_in_bytes": int(d.get("file_size_in_bytes", 0)),
+            # carry the untouched files' column metrics forward — a
+            # compaction must not silently lose bounds-based skipping
+            **{
+                k: d[k]
+                for k in (
+                    "value_counts",
+                    "null_value_counts",
+                    "lower_bounds",
+                    "upper_bounds",
+                )
+                if d.get(k) is not None
+            },
         }
         for d in live
         if os.path.abspath(_local(d["file_path"])) not in compacted_paths

@@ -896,6 +896,11 @@ def _commit_iceberg_mor(
                             "partition": part_rec,
                             "record_count": nrows,
                             "file_size_in_bytes": os.path.getsize(dst),
+                            **ice.iceberg_bounds.file_column_metrics(
+                                dst,
+                                evolved_fields
+                                or ice._schema_of(meta)[1],
+                            ),
                         }
                     )
     finally:
@@ -1607,6 +1612,21 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
         if c not in schema.fieldNames():
             raise ValueError(f"SET column {c!r} not in the table schema")
     data_files, delete_fs = ice._snapshot_files(path, meta, branch_head)
+    if not data_files:
+        return None
+    # bounds-based candidate pruning (r13, the _update_delta
+    # discipline): files whose manifest metrics prove the WHERE
+    # matches nothing are neither scanned nor position-deleted
+    from census_asc5_data_pipeline_spark.sources import delta_stats as dsk
+
+    atoms = dsk.parse_skip_predicate(predicate)
+    if atoms is not None:
+        data_files = ice._skip_by_bounds(
+            data_files, atoms, fields, meta,
+            session_tz=spark.conf.get(
+                "spark.sql.session.timeZone", "UTC"
+            ),
+        )
     if not data_files:
         return None
     abs_of_base: dict[str, str] = {}

@@ -215,14 +215,17 @@ def test_iceberg_foreign_manifest_with_extra_fields_parses(
     sch, entries = read_container_generic(man_path)
     # rewrite the manifest with an extra stats map per data_file
     sch2 = json.loads(json.dumps(sch))
+    # column_sizes: a stats field this engine's writer does NOT emit
+    # (value_counts/bounds are native since r13, so they no longer
+    # exercise the foreign-extra-field path)
     sch2["fields"][2]["type"]["fields"].append(
         {
-            "name": "value_counts",
+            "name": "column_sizes",
             "type": ["null", {"type": "map", "values": "long"}],
         }
     )
     for e in entries:
-        e["data_file"]["value_counts"] = {"1": 2}
+        e["data_file"]["column_sizes"] = {"1": 2}
     with open(man_path, "wb") as fh:
         write_container_generic(fh, sch2, entries)
     assert sorted(r.id for r in read_iceberg(spark, path).collect()) == [

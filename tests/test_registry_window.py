@@ -15,6 +15,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
     "data_skipping",
+    "iceberg_skipping",
     "wap_publish",
     "time_travel_sql",
     "schema_evolution",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "source_overlap",
     "psi_drift",
     "ks_drift",
-    "mixture_rebalance",
 ]
 
 

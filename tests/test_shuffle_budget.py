@@ -28,6 +28,10 @@ SHUFFLE_BUDGET = {
     # phase's one partial/final agg pair over the stats-pruned
     # file-list scan. Measured 1; 2 leaves room for an AQE re-plan
     "data_skipping": 2,
+    # same shape over the Iceberg reader; the post-update phase adds
+    # the MoR position-delete anti-join, whose tiny pos frame
+    # broadcasts. Measured 1; 3 if that broadcast ever degrades
+    "iceberg_skipping": 3,
     # returned plan = union of three 5-row per-priority rollups (one
     # partial/final agg pair each over fixed file-list scans; the
     # audit branch adds the MoR position-delete anti-join, whose tiny
