@@ -10377,6 +10377,93 @@ FROM phased GROUP BY priority, phase
 """
 
 
+def q_identity_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta identity-column allocation through the registry gate
+    (round-13 — the write path the old gate refused): CREATE TABLE
+    with ``id BIGINT GENERATED ALWAYS AS IDENTITY`` → INSERT the 1995
+    orders (ids 1..N₁, allocated by the localCheckpoint + count-job +
+    mapInPandas discipline — exact and contiguous regardless of
+    partitioning) → INSERT the 1996 orders (ids N₁+1..N₁+N₂; the high
+    water mark ratcheted in the first commit's metaData makes the
+    second allocation start exactly after the first). Per-year
+    count/min/max/SUM of the allocated ids hash-match DuckDB's
+    closed-form reconstruction (arithmetic series over the year
+    counts) — an id gap, overlap, or a lost high water mark flips
+    every aggregate. Value-order independence is the point: the SET
+    of allocated ids is deterministic even though which row gets
+    which id depends on partitioning. Rebuilds under /tmp per
+    (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    view = f"ident_orders_{os.getpid()}"
+    orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.year("o_orderdate").alias("yr"),
+    ).createOrReplaceTempView(view)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_identity_insert_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    cat: dict = {}
+    dml_sql(
+        spark,
+        "CREATE TABLE ident_t (id BIGINT GENERATED ALWAYS AS "
+        "IDENTITY, okey BIGINT, yr INT) USING delta "
+        f"LOCATION '{base}'",
+        cat,
+    )
+    dml_sql(
+        spark,
+        f"INSERT INTO ident_t (okey, yr) SELECT okey, yr FROM {view} "
+        "WHERE yr = 1995",
+        cat,
+    )
+    dml_sql(
+        spark,
+        f"INSERT INTO ident_t (okey, yr) SELECT okey, yr FROM {view} "
+        "WHERE yr = 1996",
+        cat,
+    )
+    return (
+        delta_io.read_delta(spark, base)
+        .groupBy("yr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("id").cast("bigint").alias("id_min"),
+            F.max("id").cast("bigint").alias("id_max"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+SQL_IDENTITY_INSERT = """
+WITH n AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1995)
+         AS BIGINT) AS n1,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+         AS BIGINT) AS n2
+  FROM orders
+)
+SELECT 1995 AS yr, n1 AS n_rows,
+       CAST(1 AS BIGINT) AS id_min, n1 AS id_max,
+       n1 * (n1 + 1) // 2 AS id_sum
+FROM n
+UNION ALL
+SELECT 1996 AS yr, n2 AS n_rows,
+       n1 + 1 AS id_min, n1 + n2 AS id_max,
+       (n1 + n2) * (n1 + n2 + 1) // 2 - n1 * (n1 + 1) // 2 AS id_sum
+FROM n
+"""
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg write-audit-publish through the registry gate
     (round-13 verdict #3/#4/#8): build an Iceberg table from the 1995
@@ -10906,6 +10993,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- new in round 13 ---
     "data_skipping": q_data_skipping,
     "iceberg_skipping": q_iceberg_skipping,
+    "identity_insert": q_identity_insert,
     "wap_publish": q_wap_publish,
     "time_travel_sql": q_time_travel_sql,
     # --- new in round 12 ---
@@ -11145,6 +11233,7 @@ ORACLES: dict[str, str] = {
     # --- new in round 13 ---
     "data_skipping": SQL_DATA_SKIPPING,
     "iceberg_skipping": SQL_ICEBERG_SKIPPING,
+    "identity_insert": SQL_IDENTITY_INSERT,
     "wap_publish": SQL_WAP_PUBLISH,
     "time_travel_sql": SQL_TIME_TRAVEL_SQL,
     # --- new in round 11 ---

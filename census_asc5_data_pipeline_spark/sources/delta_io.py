@@ -507,6 +507,7 @@ _WRITER_FEATURES = {
     "columnMapping",
     "deletionVectors",
     "generatedColumns",
+    "identityColumns",
     "v2Checkpoint",
 }
 
@@ -588,11 +589,19 @@ def _writer_gate(protocol: dict, meta: dict, operation: str) -> None:
     for f in schema_json.get("fields", []):
         md = f.get("metadata") or {}
         if any(k.startswith("delta.identity.") for k in md):
-            raise NotImplementedError(
-                f"column {f['name']!r} is an identity column — this "
-                f"writer cannot allocate its values; refusing to "
-                f"{operation}"
-            )
+            # identity allocation is SUPPORTED on the append/INSERT/
+            # OVERWRITE paths (r13 — _apply_identity allocates and
+            # ratchets the high water mark in the same commit) and
+            # harmless for row-removal/maintenance verbs; MERGE still
+            # refuses: its insert clauses would need per-clause
+            # allocation + hwm accounting this engine doesn't do yet
+            if operation == "MERGE":
+                raise NotImplementedError(
+                    f"column {f['name']!r} is an identity column — "
+                    "MERGE insert clauses cannot allocate its values "
+                    "yet; refusing to MERGE (append/INSERT/UPDATE/"
+                    "DELETE are supported)"
+                )
         _nested_meta_gate(f.get("type"), f["name"], operation)
     conf = meta.get("configuration") or {}
     if (
@@ -716,6 +725,172 @@ def _regenerate(
     ):
         df = df.withColumn(name, F.expr(expr).cast(dtype))
     return df
+
+
+def _identity_columns(
+    meta: dict,
+) -> list[tuple[str, T.DataType, int, int, int | None, bool]]:
+    """Top-level identity columns as (name, dataType, start, step,
+    highWaterMark, allowExplicitInsert) — PROTOCOL.md §Identity
+    Columns: ``delta.identity.start`` (default 1), ``.step`` (≠ 0,
+    default 1), ``.highWaterMark`` (absent until first allocation),
+    ``.allowExplicitInsert`` (GENERATED BY DEFAULT vs ALWAYS)."""
+    out: list[tuple] = []
+    schema_json = json.loads(
+        meta.get("schemaString") or '{"fields":[]}'
+    )
+    for f in schema_json.get("fields", []):
+        md = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise ValueError(
+                f"identity column {f['name']!r} declares step 0"
+            )
+        hwm = md.get("delta.identity.highWaterMark")
+        dtype = T.StructType.fromJson(
+            {"type": "struct", "fields": [f]}
+        ).fields[0].dataType
+        out.append(
+            (
+                f["name"],
+                dtype,
+                int(md.get("delta.identity.start", 1)),
+                step,
+                int(hwm) if hwm is not None else None,
+                str(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ).lower()
+                == "true",
+            )
+        )
+    return out
+
+
+def _apply_identity(
+    df: DataFrame, meta: dict, operation: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """The identityColumns writer responsibility (PROTOCOL.md
+    §Writer Requirements for Identity Columns; r13 — replaces the
+    old blanket write refusal): identity columns MISSING from ``df``
+    are allocated ``highWaterMark + step, +2·step, …`` (``start`` on
+    first use) and the returned {column: new_highWaterMark} must be
+    stamped into the SAME commit's metaData; supplied values refuse
+    unless ``allowExplicitInsert`` (GENERATED BY DEFAULT), where the
+    high water mark ratchets over the supplied maximum (minimum for
+    negative step) so later allocations never collide.
+
+    Allocation is exact and contiguous: the frame is localCheckpoint-
+    ed (pinning its partitioning), ONE O(partitions) count job sizes
+    per-partition offsets, and an Arrow ``mapInPandas`` assigns
+    ``base + i·step`` with ``TaskContext.partitionId()`` indexing the
+    offsets — no shuffle of the data, no driver row traffic, and the
+    new high water mark is ``base + (N-1)·step`` with zero gaps
+    (the spec allows gaps; this writer simply doesn't need them).
+    The one extra materialization is the price of exactness — the
+    same lineage cut the iterative graph ops already pay per round."""
+    idents = _identity_columns(meta)
+    if not idents:
+        return df, {}
+    updates: dict[str, int] = {}
+    supplied = [i for i in idents if i[0] in df.columns]
+    missing = [i for i in idents if i[0] not in df.columns]
+    if supplied:
+        # one tiny agg job ratchets the high water mark over the
+        # explicit values (max for positive step, min for negative);
+        # the GENERATED ALWAYS refusal keys on actual VALUES, so an
+        # empty CREATE frame carrying the column passes
+        aggs = [
+            (
+                F.max(F.col(name)) if step > 0 else F.min(F.col(name))
+            ).alias(name)
+            for name, _dt, _s, step, _h, _a in supplied
+        ]
+        row = df.agg(*aggs).first()
+        for name, _dt, start, step, hwm, allow in supplied:
+            mx = row[name]
+            if mx is None:
+                continue
+            if not allow:
+                raise ValueError(
+                    f"identity column {name!r} is GENERATED ALWAYS — "
+                    f"explicit values are not accepted on {operation} "
+                    "(delta.identity.allowExplicitInsert=false)"
+                )
+            mx = int(mx)
+            basis = hwm if hwm is not None else start - step
+            if (step > 0 and mx > basis) or (step < 0 and mx < basis):
+                updates[name] = mx
+    if missing:
+        spark = df.sparkSession
+        df = df.localCheckpoint(eager=True)
+        counts = {
+            r["__pid"]: r["count"]
+            for r in df.groupBy(
+                F.spark_partition_id().alias("__pid")
+            )
+            .count()
+            .collect()
+        }
+        total = sum(counts.values())
+        if total:
+            offs: dict[int, int] = {}
+            acc = 0
+            for pid in sorted(counts):
+                offs[pid] = acc
+                acc += counts[pid]
+            plan = []  # (name, base, step, spark type ddl)
+            out_schema = T.StructType(list(df.schema.fields))
+            for name, dtype, start, step, hwm, _a in missing:
+                base = start if hwm is None else hwm + step
+                plan.append((name, base, step))
+                updates[name] = base + (total - 1) * step
+                out_schema = out_schema.add(name, dtype, False)
+
+            def _assign(iterator, _offs=offs, _plan=plan):
+                from pyspark import TaskContext
+
+                import numpy as np
+
+                pid = TaskContext.get().partitionId()
+                i0 = _offs.get(pid, 0)
+                seen = 0
+                for pdf in iterator:
+                    n = len(pdf)
+                    idx = np.arange(i0 + seen, i0 + seen + n)
+                    for name, base, step in _plan:
+                        pdf[name] = base + idx * step
+                    seen += n
+                    yield pdf
+
+            df = df.mapInPandas(_assign, out_schema)
+        else:
+            for name, dtype, _s, _st, _h, _a in missing:
+                df = df.withColumn(name, F.lit(None).cast(dtype))
+    tbl_names = [
+        f["name"]
+        for f in json.loads(meta["schemaString"]).get("fields", [])
+    ]
+    if set(df.columns) == set(tbl_names):
+        df = df.select(*[F.col(f"`{n}`") for n in tbl_names])
+    return df, updates
+
+
+def _stamp_identity_hwm(meta: dict, updates: dict[str, int]) -> dict:
+    """The table's metaData with ``delta.identity.highWaterMark``
+    advanced per ``updates`` — emitted in the SAME commit as the
+    allocated rows, per spec."""
+    schema_json = json.loads(meta["schemaString"])
+    for f in schema_json.get("fields", []):
+        if f["name"] in updates:
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                "delta.identity.highWaterMark": int(
+                    updates[f["name"]]
+                ),
+            }
+    return {**meta, "schemaString": json.dumps(schema_json)}
 
 
 def _table_constraints(meta: dict) -> list[tuple[str, str]]:
@@ -2076,6 +2251,8 @@ def write_delta(
         delta_versions(path) or _read_last_checkpoint(path) is not None
     )
     prev_meta: dict = {}
+    identity_updates: dict[str, int] = {}
+    identity_basis: dict[str, int | None] = {}
     if exists:
         if configuration:
             raise ValueError(
@@ -2089,9 +2266,19 @@ def write_delta(
             "WRITE" if mode == "append" else "OVERWRITE",
         )
         if not (mode == "overwrite" and overwrite_schema):
-            # generated columns: materialize the ones the caller left
-            # out, validate the ones supplied — the checks ride the
-            # same single aggregate job as the table's constraints
+            # identity first (generated expressions may reference the
+            # identity column), then generated: materialize what the
+            # caller left out, validate what was supplied — the
+            # checks ride one single aggregate job
+            df, identity_updates = _apply_identity(
+                df, prev_meta, mode.upper()
+            )
+            identity_basis = {
+                n: h
+                for n, _d, _s, _st, h, _a in _identity_columns(
+                    prev_meta
+                )
+            }
             df, gen_checks = _apply_generated(df, prev_meta)
             _check_constraints(
                 df, prev_meta, mode.upper(), extra=gen_checks
@@ -2152,7 +2339,18 @@ def write_delta(
             )
             create_conf = {**create_conf, **cm_conf}
             # delta-spark's legacy column-mapping protocol versions
-            create_protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+            # (writer 6 when the schema also declares identity
+            # columns — v6 implies both, per _implied_features)
+            create_protocol = {
+                "minReaderVersion": 2,
+                "minWriterVersion": 6
+                if any(
+                    k.startswith("delta.identity.")
+                    for f in df.schema.fields
+                    for k in (f.metadata or {})
+                )
+                else 5,
+            }
         elif cm_mode not in ("none",):
             raise NotImplementedError(
                 f"creation with delta.columnMapping.mode={cm_mode!r} is "
@@ -2164,7 +2362,12 @@ def write_delta(
         }
         # creation supplies every column, so generation metadata in
         # the creation schema VALIDATES the first rows; schema-borne
-        # invariants / NOT NULL bind from version 0 too
+        # invariants / NOT NULL bind from version 0 too. Identity
+        # metadata in the creation schema (the fromDDL GENERATED …
+        # AS IDENTITY path) passes through _apply_identity so a
+        # GENERATED ALWAYS column with explicit first rows refuses —
+        # the empty CREATE frame has no values and passes
+        df, identity_updates = _apply_identity(df, create_meta, "CREATE")
         df, gen_checks = _apply_generated(df, create_meta)
         if gen_checks or _table_constraints(create_meta):
             _check_constraints(df, create_meta, "CREATE", extra=gen_checks)
@@ -2191,6 +2394,9 @@ def write_delta(
                 w = max(w, 4)
             if _generated_columns(create_meta):
                 w = max(w, 4)
+            if _identity_columns(create_meta):
+                # legacy writer v6 = identityColumns
+                w = max(w, 6)
             if w > 2:
                 create_protocol = {
                     "minReaderVersion": 1,
@@ -2277,7 +2483,32 @@ def write_delta(
                     or {"minReaderVersion": 1, "minWriterVersion": 2}
                 }
             )
+        if identity_updates and meta:
+            # another writer may have allocated identity values since
+            # this write was planned — committing ours would reuse
+            # the same range (duplicate keys); abort instead
+            cur_basis = {
+                n: h
+                for n, _d, _s, _st, h, _a in _identity_columns(meta)
+            }
+            if cur_basis != identity_basis:
+                raise ValueError(
+                    "concurrent identity allocation detected (high "
+                    "water mark moved since this write was planned) "
+                    "— re-run the write"
+                )
         if next_v == 0 or not meta or schema_changed:
+            s_json = (
+                json.dumps(create_schema_json)
+                if create_schema_json is not None and next_v == 0
+                else df.schema.json()
+            )
+            if identity_updates:
+                # first rows written AT creation already allocated or
+                # ratcheted — the v0 metaData must carry the mark
+                s_json = _stamp_identity_hwm(
+                    {"schemaString": s_json}, identity_updates
+                )["schemaString"]
             lines.append(
                 {
                     "metaData": {
@@ -2285,16 +2516,32 @@ def write_delta(
                         # overwrite — it's the same table
                         "id": meta.get("id") or str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": (
-                            json.dumps(create_schema_json)
-                            if create_schema_json is not None
-                            and next_v == 0
-                            else df.schema.json()
-                        ),
+                        "schemaString": s_json,
                         "partitionColumns": pcols,
                         "configuration": meta.get("configuration")
                         or create_conf,
                         "createdTime": meta.get("createdTime") or now_ms,
+                    }
+                }
+            )
+        elif identity_updates:
+            # identity allocation advances delta.identity.
+            # highWaterMark in the SAME commit as the rows (spec
+            # writer requirement)
+            stamped = _stamp_identity_hwm(meta, identity_updates)
+            lines.append(
+                {
+                    "metaData": {
+                        "id": stamped.get("id"),
+                        "format": stamped.get("format")
+                        or {"provider": "parquet", "options": {}},
+                        "schemaString": stamped["schemaString"],
+                        "partitionColumns": list(
+                            stamped.get("partitionColumns") or []
+                        ),
+                        "configuration": stamped.get("configuration")
+                        or {},
+                        "createdTime": stamped.get("createdTime"),
                     }
                 }
             )

@@ -1480,6 +1480,14 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
             f"cannot SET generated column(s) {sorted(bad_gen)} — they "
             "are recomputed from their generation expression"
         )
+    bad_ident = {
+        n for n, _d, _s, _st, _h, _a in d._identity_columns(meta)
+    } & set(sets)
+    if bad_ident:
+        raise ValueError(
+            f"cannot SET identity column(s) {sorted(bad_ident)} — "
+            "their values are writer-allocated"
+        )
     for c in sets:
         if c not in schema.fieldNames():
             raise ValueError(f"SET column {c!r} not in the table schema")
@@ -1779,11 +1787,39 @@ def _create_table(
         raise ValueError(f"table at {path!r} already exists")
     props_raw = tm.group("props1") or tm.group("props2")
     props = _parse_props(props_raw) if props_raw else {}
-    df = (
-        spark.sql(body)
-        if body is not None
-        else spark.createDataFrame([], T.StructType.fromDDL(cols_ddl))
-    )
+    ident_meta: dict[str, dict] = {}
+    if cols_ddl is not None:
+        cols_ddl, ident_meta = _extract_identity(cols_ddl)
+        if ident_meta and fmt != "delta":
+            raise ValueError(
+                "GENERATED … AS IDENTITY is a Delta feature "
+                "(delta.identity.* column metadata)"
+            )
+    if body is not None:
+        df = spark.sql(body)
+    else:
+        schema = T.StructType.fromDDL(cols_ddl)
+        if ident_meta:
+            schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        ident_meta.get(f.name, f.metadata),
+                    )
+                    for f in schema.fields
+                ]
+            )
+            for icol in ident_meta:
+                if not isinstance(
+                    schema[icol].dataType, (T.LongType, T.IntegerType)
+                ):
+                    raise ValueError(
+                        f"identity column {icol!r} must be BIGINT or "
+                        f"INT, not {schema[icol].dataType.simpleString()}"
+                    )
+        df = spark.createDataFrame([], schema)
     if fmt == "delta":
         from census_asc5_data_pipeline_spark.sources.delta_io import (
             write_delta,
@@ -1852,12 +1888,19 @@ def _insert_into(spark, fmt, path, cols_clause, body, mode="append") -> int:
     by_target = dict(zip(names, df.columns))
     gen_unnamed: set[str] = set()
     if fmt == "delta":
-        # generated columns the INSERT does not name are left OUT of
-        # the frame (not NULL-filled) so write_delta COMPUTES them
-        # from their generation expression; named ones validate
-        gen_unnamed = {
-            n for n, _e, _t in d._generated_columns(meta)
-        } - set(by_target)
+        # generated/identity columns the INSERT does not name are
+        # left OUT of the frame (not NULL-filled) so write_delta
+        # COMPUTES/ALLOCATES them; named ones validate (generated) or
+        # ratchet the high water mark (identity, BY DEFAULT only)
+        gen_unnamed = (
+            {n for n, _e, _t in d._generated_columns(meta)}
+            | {
+                n
+                for n, _d, _s, _st, _h, _a in d._identity_columns(
+                    meta
+                )
+            }
+        ) - set(by_target)
     out = df.select(
         [
             F.col(by_target[f.name]).cast(f.dataType).alias(f.name)
@@ -1929,6 +1972,50 @@ _RESTORE_RE = re.compile(
     re.IGNORECASE,
 )
 _PROP_PAIR_RE = re.compile(r"'(?P<k>(?:[^'\\]|\\.)*)'\s*=\s*'(?P<v>(?:[^'\\]|\\.)*)'")
+
+
+_IDENTITY_CLAUSE_RE = re.compile(
+    r"\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*(?:START\s+WITH\s+(-?\d+)\s*)?"
+    r"(?:INCREMENT\s+BY\s+(-?\d+)\s*)?\))?",
+    re.IGNORECASE,
+)
+
+
+def _extract_identity(
+    cols_ddl: str,
+) -> tuple[str, dict[str, dict]]:
+    """Pre-parse ``col BIGINT GENERATED ALWAYS|BY DEFAULT AS IDENTITY
+    [(START WITH n [INCREMENT BY k])]`` out of the CREATE column list
+    (delta-spark's identity DDL; Spark's own DDL parser doesn't know
+    the clause) → (cleaned ddl, {col: delta.identity.* metadata}).
+    ALWAYS refuses explicit inserts; BY DEFAULT accepts them and
+    ratchets the high water mark (delta_io._apply_identity)."""
+    out_cols: list[str] = []
+    meta: dict[str, dict] = {}
+    for chunk in _split_top(cols_ddl):
+        m = _IDENTITY_CLAUSE_RE.search(chunk)
+        if not m:
+            out_cols.append(chunk)
+            continue
+        cleaned = (
+            chunk[: m.start()] + chunk[m.end() :]
+        ).strip()
+        name = cleaned.split()[0].strip("`")
+        step = int(m.group(3) or 1)
+        if step == 0:
+            raise ValueError(
+                f"identity column {name!r}: INCREMENT BY 0"
+            )
+        meta[name] = {
+            "delta.identity.start": int(m.group(2) or 1),
+            "delta.identity.step": step,
+            "delta.identity.allowExplicitInsert": (
+                m.group(1).upper() != "ALWAYS"
+            ),
+        }
+        out_cols.append(cleaned)
+    return ", ".join(c.strip() for c in out_cols), meta
 
 
 def _parse_props(text: str) -> dict[str, str]:

@@ -259,15 +259,18 @@ def test_unknown_writer_feature_refuses_all_writes(spark, tmp_path):
 
 
 def test_identity_columns_gate(spark, tmp_path):
-    """Schema metadata this writer cannot honor (identity columns —
-    implied by legacy writer version 6) gates loudly on USE,
-    regardless of the protocol numbers. (Generated columns — legacy
-    v4 — are SUPPORTED since round 13: tests/test_delta_generated.py.)"""
+    """Identity columns are allocation-SUPPORTED since r13
+    (tests/test_delta_identity.py); what still gates: explicit
+    values into a GENERATED ALWAYS column (ValueError, spec writer
+    requirement) and MERGE on an identity table (NotImplementedError
+    — per-clause allocation is out of scope)."""
     from census_asc5_data_pipeline_spark.sources.delta_io import (
+        read_delta,
         write_delta,
     )
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
 
-    md, msg = {"delta.identity.start": 1}, "identity column"
+    md = {"delta.identity.start": 1}
     path = str(tmp_path / "gid")
     _hand_table(
         spark,
@@ -276,8 +279,24 @@ def test_identity_columns_gate(spark, tmp_path):
         fields=[("id", "long", True, None), ("v", "long", True, md)],
     )
     df = spark.createDataFrame([(2, 20)], "id bigint, v bigint")
-    with pytest.raises(NotImplementedError, match=msg):
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         write_delta(df, path)
+    with pytest.raises(NotImplementedError, match="identity"):
+        merge_into(
+            spark,
+            "delta",
+            path,
+            spark.createDataFrame([(1, 9)], "id long, x long"),
+            on="t.id = s.id",
+            matched=[("delete", None)],
+        )
+    # an append WITHOUT the identity column allocates it — this
+    # foreign table never stamped a highWaterMark, so allocation
+    # starts at `start` (the spec's rule; a conforming foreign writer
+    # would have stamped the mark for its own explicit rows)
+    write_delta(spark.createDataFrame([(7,)], "id bigint"), path)
+    rows = sorted((r.id, r.v) for r in read_delta(spark, path).collect())
+    assert rows == [(1, 10), (7, 1)]
 
 
 def test_nested_field_metadata_gate(spark, tmp_path):

@@ -16,6 +16,7 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 PINNED_FIRST_50 = [
     "data_skipping",
     "iceberg_skipping",
+    "identity_insert",
     "wap_publish",
     "time_travel_sql",
     "schema_evolution",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "distinctive_terms",
     "source_overlap",
     "psi_drift",
-    "ks_drift",
 ]
 
 

@@ -32,6 +32,10 @@ SHUFFLE_BUDGET = {
     # the MoR position-delete anti-join, whose tiny pos frame
     # broadcasts. Measured 1; 3 if that broadcast ever degrades
     "iceberg_skipping": 3,
+    # returned plan = one groupBy over the identity table read
+    # (partial/final agg pair measures 1); the CREATE/INSERTs and the
+    # allocation's count job run at construction. 2 = AQE headroom
+    "identity_insert": 2,
     # returned plan = union of three 5-row per-priority rollups (one
     # partial/final agg pair each over fixed file-list scans; the
     # audit branch adds the MoR position-delete anti-join, whose tiny
