@@ -10464,6 +10464,83 @@ FROM n
 """
 
 
+def q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE isolation through the registry gate (round-13 —
+    `clone_delta` / the `CREATE TABLE … SHALLOW CLONE` DDL): Delta
+    source from the order rollup → metadata-only clone (v0 references
+    the source's files by ABSOLUTE path, zero bytes copied) → DELETE
+    the even keys on the CLONE (copy-on-write: new files under the
+    clone, removes naming the absolute source paths) → one more
+    append to the SOURCE (odd-millikey rows). The result unions
+    per-priority aggregates for `source` (must show the post-append
+    state, untouched by the clone's delete) and `clone` (must show
+    the deletion but NOT the source's later append) — DuckDB's
+    arithmetic reconstruction hash-gates isolation in BOTH
+    directions. Rebuilds under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_shallow_clone_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    dst = os.path.join(root, "clone")
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    delta_io.write_delta(
+        staged.filter(F.col("okey") % 1000 != 1), src
+    )
+    delta_io.clone_delta(spark, src, dst, shallow=True)
+    delta_io.delete_delta_where(spark, dst, "okey % 2 = 0")
+    delta_io.write_delta(
+        staged.filter(F.col("okey") % 1000 == 1), src
+    )
+
+    def _side(path: str, tag: str) -> DataFrame:
+        return (
+            delta_io.read_delta(spark, path)
+            .groupBy("priority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("cents_sum"),
+            )
+            .withColumn("side", F.lit(tag))
+        )
+
+    return _side(src, "source").unionByName(_side(dst, "clone"))
+
+
+SQL_SHALLOW_CLONE = """
+WITH c AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+sides AS (
+  SELECT 'source' AS side, * FROM c
+  UNION ALL
+  SELECT 'clone' AS side, * FROM c
+  WHERE okey % 1000 != 1 AND okey % 2 != 0
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       side
+FROM sides GROUP BY priority, side
+"""
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg write-audit-publish through the registry gate
     (round-13 verdict #3/#4/#8): build an Iceberg table from the 1995
@@ -10994,6 +11071,7 @@ QUERIES: dict[str, QueryFn] = {
     "data_skipping": q_data_skipping,
     "iceberg_skipping": q_iceberg_skipping,
     "identity_insert": q_identity_insert,
+    "shallow_clone": q_shallow_clone,
     "wap_publish": q_wap_publish,
     "time_travel_sql": q_time_travel_sql,
     # --- new in round 12 ---
@@ -11234,6 +11312,7 @@ ORACLES: dict[str, str] = {
     "data_skipping": SQL_DATA_SKIPPING,
     "iceberg_skipping": SQL_ICEBERG_SKIPPING,
     "identity_insert": SQL_IDENTITY_INSERT,
+    "shallow_clone": SQL_SHALLOW_CLONE,
     "wap_publish": SQL_WAP_PUBLISH,
     "time_travel_sql": SQL_TIME_TRAVEL_SQL,
     # --- new in round 11 ---

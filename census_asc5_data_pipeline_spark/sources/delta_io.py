@@ -250,6 +250,18 @@ def _checkpoint_actions(
     return out
 
 
+def _data_file_path(table_path: str, raw_path: str) -> str:
+    """Resolve an add/remove action's ``path`` to a filesystem path.
+    Per spec it is either RELATIVE to the table root or an ABSOLUTE
+    URI/path — absolute is how SHALLOW CLONE references the source
+    table's files (r13). URL-decoded; ``file:`` URIs strip to the
+    plain path."""
+    p = urllib.parse.unquote(raw_path)
+    if p.startswith("file:"):
+        p = urllib.parse.urlparse(p).path
+    return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+
 def _dv_uid(desc: dict | None) -> str | None:
     """deletionVector uniqueId per PROTOCOL.md: storageType +
     pathOrInlineDv (+ '@offset' when present) — the part of a logical
@@ -1193,10 +1205,7 @@ def _scan_adds(
                     "deletion vectors — cannot apply DVs safely"
                 )
             dv_by_base[base] = a["deletionVector"]
-    files = [
-        os.path.join(path, urllib.parse.unquote(a["path"]))
-        for _v, a in tagged
-    ]
+    files = [_data_file_path(path, a["path"]) for _v, a in tagged]
     if physical_of:
         # column mapping: data files store PHYSICAL names — read the
         # physical schema, then alias back to logical immediately so
@@ -1580,7 +1589,7 @@ def read_delta_cdf(
                 rm["path"]
                 for rm in dels
                 if not os.path.exists(
-                    os.path.join(path, urllib.parse.unquote(rm["path"]))
+                    _data_file_path(path, rm["path"])
                 )
             ]
             if gone:
@@ -3407,10 +3416,7 @@ def optimize_delta(
     removed_adds: dict[str, dict] = {}
     planned_dv: dict[str, dict | None] = {}
     for key, (files, want_files) in sorted(todo.items()):
-        paths = [
-            os.path.join(path, urllib.parse.unquote(a["path"]))
-            for a in files
-        ]
+        paths = [_data_file_path(path, a["path"]) for a in files]
         src = spark.read.schema(data_schema).parquet(*paths)
         dvb = {
             os.path.basename(urllib.parse.unquote(a["path"])): a[
@@ -3652,6 +3658,133 @@ def delta_files_meta(spark: SparkSession, path: str) -> DataFrame:
         "bigint, partition_values map<string,string>, "
         "has_deletion_vector boolean",
     )
+
+
+def clone_delta(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    shallow: bool = True,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """CLONE (delta-spark's ``CREATE TABLE … [SHALLOW] CLONE src``,
+    r13): create an independent table at ``dst`` whose version 0
+    carries the source's live state AS OF ``version``/
+    ``timestamp_ms`` (default: latest).
+
+    ``shallow=True`` — a METADATA-only commit: the new log's add
+    actions reference the source's data files by ABSOLUTE path (the
+    spec's other allowed form; :func:`_data_file_path` resolves both)
+    and ``storageType='u'`` deletion vectors convert to ``'p'``
+    absolute descriptors, so zero bytes copy no matter the table
+    size. The clone is a real independent table: appends/DML commit
+    NEW files under ``dst`` and remove actions name the absolute
+    source paths they supersede — the source never changes, and
+    vacuum on the clone only ever deletes files under the clone
+    (external absolute paths are outside its walk by construction).
+    VACUUM ON THE SOURCE is the standing caveat, exactly as in
+    delta-spark: it cannot see the clone's references, so retiring
+    source versions can break a shallow clone that still points at
+    them.
+
+    ``shallow=False`` (deep) — copies every referenced data file
+    under ``dst`` and commits relative paths; DVs stay relative
+    (their sidecars copy too). O(data) but self-contained.
+
+    The clone's metaData keeps schema/partitionColumns/configuration
+    and mints a NEW table id (it is a different table); the protocol
+    is copied so a feature-gated source stays gated in the clone.
+    ``stats`` come along on every add, so data skipping works on the
+    clone from birth. Returns the committed version (always 0)."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version OR timestamp_ms, not both")
+    if timestamp_ms is not None:
+        version = version_as_of_timestamp_delta(src, timestamp_ms)
+    protocol, meta, adds, _txns = _replay(spark, src, version)
+    if os.path.isdir(_log_dir(dst)) and (
+        delta_versions(dst) or _read_last_checkpoint(dst) is not None
+    ):
+        raise ValueError(f"CLONE target {dst!r} already exists")
+    now_ms = int(time.time() * 1000)
+    out_adds: list[dict] = []
+    for a in sorted(adds.values(), key=lambda a: a["path"]):
+        a = dict(a)
+        src_fp = _data_file_path(src, a["path"])
+        if shallow:
+            a["path"] = urllib.parse.quote(os.path.abspath(src_fp))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                from census_asc5_data_pipeline_spark.sources.deletion_vectors import (  # noqa: E501
+                    dv_relative_path,
+                )
+
+                a["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(
+                        os.path.join(
+                            src, dv_relative_path(dv["pathOrInlineDv"])
+                        )
+                    ),
+                }
+        else:
+            rel = os.path.relpath(src_fp, src) if not os.path.isabs(
+                urllib.parse.unquote(a["path"])
+            ) else os.path.basename(src_fp)
+            dst_fp = os.path.join(dst, rel)
+            os.makedirs(os.path.dirname(dst_fp), exist_ok=True)
+            shutil.copy2(src_fp, dst_fp)
+            a["path"] = urllib.parse.quote(rel)
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                from census_asc5_data_pipeline_spark.sources.deletion_vectors import (  # noqa: E501
+                    dv_relative_path,
+                )
+
+                dv_rel = dv_relative_path(dv["pathOrInlineDv"])
+                dv_dst = os.path.join(dst, dv_rel)
+                if not os.path.exists(dv_dst):
+                    os.makedirs(
+                        os.path.dirname(dv_dst) or dst, exist_ok=True
+                    )
+                    shutil.copy2(os.path.join(src, dv_rel), dv_dst)
+        out_adds.append({"add": a})
+    lines: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": os.path.abspath(src),
+                    "shallow": bool(shallow),
+                    **(
+                        {"sourceVersion": int(version)}
+                        if version is not None
+                        else {}
+                    ),
+                },
+                "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+            }
+        },
+        {"protocol": dict(protocol)},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),  # a different table
+                "format": meta.get("format")
+                or {"provider": "parquet", "options": {}},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": list(
+                    meta.get("partitionColumns") or []
+                ),
+                "configuration": meta.get("configuration") or {},
+                "createdTime": now_ms,
+            }
+        },
+    ] + out_adds
+    os.makedirs(dst, exist_ok=True)
+    _put_if_absent_commit(dst, 0, lines)
+    return 0
 
 
 def restore_delta(

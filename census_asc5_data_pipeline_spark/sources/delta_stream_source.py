@@ -418,9 +418,8 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                         a = action["add"]
                         parts.append(
                             _FilePart(
-                                os.path.join(
-                                    self.path,
-                                    urllib.parse.unquote(a["path"]),
+                                delta_io._data_file_path(
+                                    self.path, a["path"]
                                 ),
                                 v,
                                 a.get("partitionValues") or {},
@@ -683,9 +682,8 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
                 for a in cdcs:
                     parts.append(
                         _CdfPart(
-                            os.path.join(
-                                self.path,
-                                urllib.parse.unquote(a["path"]),
+                            delta_io._data_file_path(
+                                self.path, a["path"]
                             ),
                             v,
                             a.get("partitionValues") or {},
@@ -698,8 +696,8 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
                 continue  # cdc actions are the ONLY source (spec)
             for kind, actions in (("insert", ins), ("delete", dels)):
                 for a in actions:
-                    fp = os.path.join(
-                        self.path, urllib.parse.unquote(a["path"])
+                    fp = delta_io._data_file_path(
+                        self.path, a["path"]
                     )
                     if kind == "delete" and not os.path.exists(fp):
                         raise FileNotFoundError(

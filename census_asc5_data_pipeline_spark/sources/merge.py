@@ -1729,6 +1729,56 @@ def _create_table(
     LOCATION is required (this engine is path-addressed — there is no
     warehouse root). Returns the committed version/snapshot id, or
     None when IF NOT EXISTS found an existing table."""
+    cm = _CLONE_RE.match(sql_text)
+    if cm:
+        # CREATE TABLE t [SHALLOW|DEEP] CLONE s (delta-spark's clone
+        # DDL, r13) — metadata-only (shallow, the default spelling
+        # includes the keyword) or file-copying (deep); optional
+        # VERSION/TIMESTAMP AS OF clones a historical state
+        from census_asc5_data_pipeline_spark.sources.delta_io import (
+            clone_delta,
+        )
+
+        src_name = cm.group("src")
+        if src_name not in catalog:
+            raise ValueError(
+                f"CLONE source {src_name!r} not in catalog "
+                f"(have {sorted(catalog)})"
+            )
+        sfmt, spath = catalog[src_name]
+        if sfmt != "delta":
+            raise ValueError(
+                "CLONE is a Delta verb in this engine — source "
+                f"{src_name!r} is {sfmt}"
+            )
+        dpath = cm.group("loc")
+        exists = os.path.isdir(os.path.join(dpath, "_delta_log"))
+        if exists and cm.group("ine"):
+            catalog[cm.group("target")] = ("delta", dpath)
+            return None
+        ver = cm.group("ver")
+        ts = cm.group("ts")
+        ts_ms = None
+        if ts is not None:
+            import datetime as _dt
+
+            ts_ms = int(
+                _dt.datetime.fromisoformat(
+                    ts.replace("Z", "+00:00")
+                ).timestamp()
+                * 1000
+            ) if not ts.isdigit() else int(ts)
+        v = clone_delta(
+            spark,
+            spath,
+            dpath,
+            shallow=(cm.group("kind") or "SHALLOW").upper()
+            != "DEEP",
+            version=int(ver) if ver is not None else None,
+            timestamp_ms=ts_ms,
+        )
+        catalog[cm.group("target")] = ("delta", dpath)
+        return v
     m = _CREATE_RE.match(sql_text)
     if not m:
         raise ValueError(f"cannot parse CREATE TABLE: {sql_text!r}")
@@ -1973,6 +2023,16 @@ _RESTORE_RE = re.compile(
 )
 _PROP_PAIR_RE = re.compile(r"'(?P<k>(?:[^'\\]|\\.)*)'\s*=\s*'(?P<v>(?:[^'\\]|\\.)*)'")
 
+
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<target>[\w.]+)\s+(?:(?P<kind>SHALLOW|DEEP)\s+)?CLONE\s+"
+    r"(?P<src>[\w.]+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?"
+    r"\s+LOCATION\s+'(?P<loc>[^']+)'\s*$",
+    re.IGNORECASE,
+)
 
 _IDENTITY_CLAUSE_RE = re.compile(
     r"\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"

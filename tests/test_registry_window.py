@@ -17,6 +17,7 @@ PINNED_FIRST_50 = [
     "data_skipping",
     "iceberg_skipping",
     "identity_insert",
+    "shallow_clone",
     "wap_publish",
     "time_travel_sql",
     "schema_evolution",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "quantile_bins",
     "distinctive_terms",
     "source_overlap",
-    "psi_drift",
 ]
 
 

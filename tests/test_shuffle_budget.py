@@ -36,6 +36,10 @@ SHUFFLE_BUDGET = {
     # (partial/final agg pair measures 1); the CREATE/INSERTs and the
     # allocation's count job run at construction. 2 = AQE headroom
     "identity_insert": 2,
+    # union of two per-priority rollups (one partial/final agg pair
+    # each) over the source / clone file-list scans; clone + DML run
+    # at construction. Measured 2; 3 = AQE headroom
+    "shallow_clone": 3,
     # returned plan = union of three 5-row per-priority rollups (one
     # partial/final agg pair each over fixed file-list scans; the
     # audit branch adds the MoR position-delete anti-join, whose tiny
