@@ -10541,6 +10541,79 @@ FROM sides GROUP BY priority, side
 """
 
 
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition-spec evolution through the registry gate
+    (round-13 — `update_partition_spec`): the 1995 order rollup
+    writes UNPARTITIONED (spec 0) → the spec evolves to identity-
+    partition by priority (metadata-only, files stay put) → the 1996
+    rollup appends under the NEW layout → a bounds-guarded MoR
+    `UPDATE WHERE okey % 10 = 0` (+1 cent) touches rows in BOTH
+    specs' files → one predicate read (`priority IN (…)`) spans the
+    mixed-spec file set (pre-evolution files prune by SOURCE-column
+    stats, post-evolution ones by their partition point intervals).
+    Per-(priority, yr) aggregates hash-match DuckDB's arithmetic
+    reconstruction — a mis-read spec, a lost pre-evolution file, or
+    an un-applied cross-spec position delete flips the hash at all
+    three SFs. Rebuilds under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import iceberg_io
+    from census_asc5_data_pipeline_spark.sources.merge import update_where
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_partition_evolution_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    iceberg_io.write_iceberg(staged.filter(F.col("yr") == 1995), base)
+    iceberg_io.update_partition_spec(base, ["priority"])
+    iceberg_io.write_iceberg(
+        staged.filter(F.col("yr") == 1996), base, mode="append"
+    )
+    update_where(
+        spark, "iceberg", base, "okey % 10 = 0", {"cents": "cents + 1"}
+    )
+    return (
+        iceberg_io.read_iceberg(
+            spark, base, predicate="priority IN ('1-URGENT', '2-HIGH')"
+        )
+        .groupBy("priority", "yr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        )
+    )
+
+
+SQL_PARTITION_EVOLUTION = """
+WITH c AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS cents,
+         EXTRACT(YEAR FROM o_orderdate) AS yr
+  FROM orders
+)
+SELECT priority, yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM c
+WHERE yr IN (1995, 1996)
+  AND priority IN ('1-URGENT', '2-HIGH')
+GROUP BY priority, yr
+"""
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg write-audit-publish through the registry gate
     (round-13 verdict #3/#4/#8): build an Iceberg table from the 1995
@@ -11072,6 +11145,7 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_skipping": q_iceberg_skipping,
     "identity_insert": q_identity_insert,
     "shallow_clone": q_shallow_clone,
+    "partition_evolution": q_partition_evolution,
     "wap_publish": q_wap_publish,
     "time_travel_sql": q_time_travel_sql,
     # --- new in round 12 ---
@@ -11313,6 +11387,7 @@ ORACLES: dict[str, str] = {
     "iceberg_skipping": SQL_ICEBERG_SKIPPING,
     "identity_insert": SQL_IDENTITY_INSERT,
     "shallow_clone": SQL_SHALLOW_CLONE,
+    "partition_evolution": SQL_PARTITION_EVOLUTION,
     "wap_publish": SQL_WAP_PUBLISH,
     "time_travel_sql": SQL_TIME_TRAVEL_SQL,
     # --- new in round 11 ---

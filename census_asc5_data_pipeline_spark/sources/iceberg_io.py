@@ -1021,48 +1021,58 @@ def read_iceberg(
             "field-id scan and the delete scan don't compose yet"
         )
     if partition_filter:
-        spec_id = meta.get("default-spec-id", 0)
         specs = meta.get("partition-specs") or (
             [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
         )
-        spec = next(
-            s for s in specs if s.get("spec-id", 0) == spec_id
-        )
-        by_name = {f["name"]: f for f in spec.get("fields", [])}
+        all_names = {
+            f["name"] for s in specs for f in s.get("fields", [])
+        }
         fields_by_id = {f["id"]: f for f in _fields}
         # predicates resolve two ways (round-7 verdict elective #4):
         # a partition FIELD name matches its stored value directly; a
         # SOURCE column name evaluates the field's transform (bucket =
         # spec murmur3, truncate = floor-mod/prefix, year/month/day =
         # epoch offsets) on the literal DRIVER-side, so bucket/
-        # truncate-partitioned tables prune at planning time too
-        preds: list[tuple[str, str]] = []
+        # truncate-partitioned tables prune at planning time too.
+        # Under partition EVOLUTION (r13) every spec contributes its
+        # expected value for the fields it defines, and a file whose
+        # partition record never CARRIED a predicated field (written
+        # before the evolution) is KEPT — pruning it would drop rows
+        # the caller asked for; bounds skipping handles those files
+        # by source-column metrics instead.
+        expected: dict[str, set[str]] = {}
         for k, v in partition_filter.items():
-            if k in by_name:
-                preds.append((k, str(v)))
-                continue
-            matches = [
-                f
-                for f in spec.get("fields", [])
-                if fields_by_id.get(f["source-id"], {}).get("name") == k
-            ]
-            if not matches:
+            found = False
+            for s in specs:
+                for f in s.get("fields", []):
+                    if f["name"] == k:
+                        expected.setdefault(k, set()).add(str(v))
+                        found = True
+                    elif (
+                        fields_by_id.get(f["source-id"], {}).get("name")
+                        == k
+                    ):
+                        src_t = fields_by_id[f["source-id"]]["type"]
+                        val = _eval_transform(
+                            f.get("transform", "identity"), src_t, v
+                        )
+                        expected.setdefault(f["name"], set()).add(
+                            str(val)
+                        )
+                        found = True
+            if not found:
                 raise ValueError(
                     f"{k!r} is not a partition field or partition "
-                    f"source (fields: {sorted(by_name)})"
+                    f"source in any spec "
+                    f"(fields: {sorted(all_names)})"
                 )
-            for f in matches:
-                src_t = fields_by_id[f["source-id"]]["type"]
-                val = _eval_transform(
-                    f.get("transform", "identity"), src_t, v
-                )
-                preds.append((f["name"], str(val)))
         live = [
             d
             for d in live
             if all(
-                str((d.get("partition") or {}).get(name)) == val
-                for name, val in preds
+                name not in (d.get("partition") or {})
+                or str(d["partition"][name]) in vals
+                for name, vals in expected.items()
             )
         ]
     residual = None
@@ -1481,10 +1491,17 @@ def write_iceberg(
             for f, pf in zip(ice_fields, prev_fields):
                 f["id"] = pf["id"]
         id_to_name = {f["id"]: f["name"] for f in ice_fields}
-        prev_spec = (
-            meta.get("partition-specs")
-            or [{"fields": meta.get("partition-spec", [])}]
-        )[0]
+        # writes follow the table's DEFAULT spec (r13 partition
+        # evolution: older specs remain in partition-specs for their
+        # files; new data lays out under default-spec-id)
+        _specs_all = meta.get("partition-specs") or [
+            {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+        ]
+        prev_spec = next(
+            s
+            for s in _specs_all
+            if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+        )
         prev_pfs = [
             {
                 "name": f["name"],
@@ -1628,7 +1645,9 @@ def write_iceberg(
     new_manifest = {
         "manifest_path": os.path.abspath(man_path),
         "manifest_length": os.path.getsize(man_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": (
+            int(meta.get("default-spec-id", 0)) if exists else 0
+        ),
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -1706,21 +1725,30 @@ def write_iceberg(
         ),
         "current-schema-id": cur_sid,
         "schemas": schemas,
-        "default-spec-id": 0,
-        "partition-specs": [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {
-                        "name": pf["name"],
-                        "transform": pf["transform"],
-                        "source-id": ice_by_name[pf["source"]]["id"],
-                        "field-id": 1000 + i,
-                    }
-                    for i, pf in enumerate(part_fields)
-                ],
-            }
-        ],
+        # an existing table's spec HISTORY survives the write (r13
+        # partition evolution — pre-r13 this rebuild clobbered every
+        # non-default spec); creation mints spec 0
+        "default-spec-id": (
+            int(meta.get("default-spec-id", 0)) if exists else 0
+        ),
+        "partition-specs": (
+            meta["partition-specs"]
+            if exists and meta.get("partition-specs")
+            else [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": pf["name"],
+                            "transform": pf["transform"],
+                            "source-id": ice_by_name[pf["source"]]["id"],
+                            "field-id": 1000 + i,
+                        }
+                        for i, pf in enumerate(part_fields)
+                    ],
+                }
+            ]
+        ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": meta.get("properties", {}),
@@ -2129,6 +2157,121 @@ def set_iceberg_properties(path: str, props: dict[str, str]) -> int:
     new_meta = dict(meta)
     new_meta["properties"] = merged
     new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(path, new_v, new_meta)
+    return new_v
+
+
+def partition_by_entries(meta: dict) -> list[str]:
+    """The DEFAULT spec's fields spelled back as ``partition_by``
+    entry strings (``col`` / ``bucket(N, col)`` / ``truncate(W,
+    col)`` / ``year(col)``…) — the inverse of
+    :func:`_parse_partition_by`, so the ALTER … PARTITION FIELD DDL
+    can compose incremental changes over the current spec."""
+    _schema, fields = _schema_of(meta)
+    by_id = {f["id"]: f for f in fields}
+    specs = meta.get("partition-specs") or (
+        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    spec = next(
+        s
+        for s in specs
+        if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+    )
+    out: list[str] = []
+    for f in spec.get("fields", []):
+        src = by_id[f["source-id"]]["name"]
+        tr = f.get("transform", "identity")
+        if tr == "identity":
+            out.append(src)
+        elif tr.startswith("bucket["):
+            out.append(f"bucket({tr[7:-1]}, {src})")
+        elif tr.startswith("truncate["):
+            out.append(f"truncate({tr[9:-1]}, {src})")
+        else:
+            out.append(f"{tr}({src})")
+    return out
+
+
+def update_partition_spec(
+    path: str, partition_by: list[str]
+) -> int:
+    """Partition-spec EVOLUTION (table-spec §Partition Evolution,
+    r13): register ``partition_by`` (the writers' transform
+    vocabulary — identity / bucket(N, col) / truncate(W, col) /
+    year/month/day) as a NEW spec with a fresh spec-id and make it
+    the default. Metadata-only — no snapshot, no data movement: files
+    already written keep their original spec (the spec's whole
+    point), later writes lay out under the new one, and readers
+    handle both (partition_filter keeps pre-evolution files whose
+    manifests never carried the field; bounds/stats skipping prunes
+    them by SOURCE-column metrics instead). Partition field-ids
+    continue from the table-wide maximum so ids never collide across
+    specs. An identical field list is a no-op returning the current
+    metadata version. Returns the new metadata version."""
+    cur_v, meta = _current_metadata(path)
+    _schema, fields = _schema_of(meta)
+    by_name = {f["name"]: f for f in fields}
+    parsed = _parse_partition_by(list(partition_by))
+    for pf in parsed:
+        if pf["source"] not in by_name:
+            raise ValueError(
+                f"partition source column {pf['source']!r} not in the "
+                f"table schema (have {sorted(by_name)})"
+            )
+    specs = list(
+        meta.get("partition-specs")
+        or [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    cur_spec = next(
+        s
+        for s in specs
+        if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+    )
+    next_field_id = max(
+        [999]
+        + [
+            int(f.get("field-id", 999))
+            for s in specs
+            for f in s.get("fields", [])
+        ]
+    )
+    new_fields = []
+    cur_by_key = {
+        (f.get("transform", "identity"), f["source-id"]): f
+        for f in cur_spec.get("fields", [])
+    }
+    for pf in parsed:
+        src_id = by_name[pf["source"]]["id"]
+        prev = cur_by_key.get((pf["transform"], src_id))
+        if prev is not None:
+            # the same (transform, source) keeps its field-id and
+            # name across specs, per the spec's evolution rules
+            new_fields.append(dict(prev))
+            continue
+        next_field_id += 1
+        new_fields.append(
+            {
+                "name": pf["name"],
+                "transform": pf["transform"],
+                "source-id": src_id,
+                "field-id": next_field_id,
+            }
+        )
+    if [
+        (f["transform"], f["source-id"]) for f in new_fields
+    ] == [
+        (f.get("transform", "identity"), f["source-id"])
+        for f in cur_spec.get("fields", [])
+    ]:
+        return cur_v  # no-op: the default spec already matches
+    new_spec_id = max(s.get("spec-id", 0) for s in specs) + 1
+    specs.append({"spec-id": new_spec_id, "fields": new_fields})
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = specs
+    new_meta["default-spec-id"] = new_spec_id
+    new_meta.pop("partition-spec", None)  # the legacy single-spec key
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_v = cur_v + 1
     _write_metadata_version(path, new_v, new_meta)
     return new_v
 
@@ -2832,6 +2975,22 @@ def rewrite_data_files(
                     "scope (numeric columns only)"
                 )
     live, delete_fs = _snapshot_files(path, meta, None, spark=spark)
+    want_keys = set(pcols)
+    for d in live:
+        have = set((d.get("partition") or {}).keys())
+        if have != want_keys:
+            # a pre-evolution file: its partition record follows an
+            # OLDER spec, so grouping it by the default spec's fields
+            # would misfile its rows under a null partition. Rewriting
+            # across specs needs transform re-evaluation this
+            # compactor doesn't do — refuse loudly (r13 partition
+            # evolution; reads handle mixed specs fine)
+            raise NotImplementedError(
+                "live files span partition specs (file "
+                f"{os.path.basename(d['file_path'])!r} carries "
+                f"{sorted(have)}, default spec is {sorted(want_keys)})"
+                " — rewrite across partition evolution is out of scope"
+            )
     groups: dict[tuple, list[dict]] = {}
     for d in live:
         pv = d.get("partition") or {}
@@ -3180,7 +3339,7 @@ def _commit_delete_snapshot(
     new_manifest = {
         "manifest_path": os.path.abspath(man_path),
         "manifest_length": os.path.getsize(man_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": int(meta.get("default-spec-id", 0)),
         "content": 1,  # DELETE manifest
         "sequence_number": seq,
         "min_sequence_number": seq,

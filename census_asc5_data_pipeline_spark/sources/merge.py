@@ -1993,6 +1993,10 @@ _UNSET_PROPS_RE = re.compile(
     r"^UNSET\s+TBLPROPERTIES\s*\((?P<keys>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_PARTITION_FIELD_RE = re.compile(
+    r"^(?P<verb>ADD|DROP)\s+PARTITION\s+FIELD\s+(?P<field>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RENAME_COL_RE = re.compile(
     r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
     re.IGNORECASE,
@@ -2285,6 +2289,55 @@ def dml_sql(
             )
 
             return set_iceberg_properties(path, props)
+        pfm = _PARTITION_FIELD_RE.match(rest)
+        if pfm:
+            # ALTER TABLE t ADD|DROP PARTITION FIELD <transform> —
+            # Spark-Iceberg's partition-evolution DDL (r13): compose
+            # the default spec's entries +/- the named field and
+            # register the result as a new default spec
+            if fmt != "delta" and fmt != "iceberg":
+                raise ValueError(f"unknown format {fmt!r}")
+            if fmt == "delta":
+                raise ValueError(
+                    "partition evolution is an Iceberg feature — "
+                    "Delta partitioning is fixed at creation"
+                )
+            from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+                _current_metadata,
+                _schema_of,
+                partition_by_entries,
+                update_partition_spec,
+            )
+
+            _v, imeta = _current_metadata(path)
+            entries = partition_by_entries(imeta)
+            token = pfm.group("field").strip()
+            if pfm.group("verb").upper() == "ADD":
+                entries = entries + [token]
+            else:
+                _s, ifields = _schema_of(imeta)
+                from census_asc5_data_pipeline_spark.sources.iceberg_io import (  # noqa: E501
+                    _parse_partition_by,
+                )
+
+                want = _parse_partition_by([token])[0]
+                before = len(entries)
+                kept_entries = []
+                for e in entries:
+                    p = _parse_partition_by([e])[0]
+                    if (
+                        p["transform"] == want["transform"]
+                        and p["source"] == want["source"]
+                    ):
+                        continue
+                    kept_entries.append(e)
+                if len(kept_entries) == before:
+                    raise ValueError(
+                        f"DROP PARTITION FIELD {token!r}: no matching "
+                        f"field in the default spec ({entries})"
+                    )
+                entries = kept_entries
+            return update_partition_spec(path, entries)
         rm = _RENAME_COL_RE.match(rest)
         if rm:
             if fmt == "delta":

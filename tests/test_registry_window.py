@@ -18,6 +18,7 @@ PINNED_FIRST_50 = [
     "iceberg_skipping",
     "identity_insert",
     "shallow_clone",
+    "partition_evolution",
     "wap_publish",
     "time_travel_sql",
     "schema_evolution",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "dsir_weights",
     "quantile_bins",
     "distinctive_terms",
-    "source_overlap",
 ]
 
 

@@ -40,6 +40,10 @@ SHUFFLE_BUDGET = {
     # each) over the source / clone file-list scans; clone + DML run
     # at construction. Measured 2; 3 = AQE headroom
     "shallow_clone": 3,
+    # one (priority, yr) agg pair over the mixed-spec scan; the MoR
+    # position anti-join's tiny pos frame broadcasts. Measured 1;
+    # 3 if that broadcast ever degrades
+    "partition_evolution": 3,
     # returned plan = union of three 5-row per-priority rollups (one
     # partial/final agg pair each over fixed file-list scans; the
     # audit branch adds the MoR position-delete anti-join, whose tiny
