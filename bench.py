@@ -150,6 +150,11 @@ GROUPS: dict[str, list[str]] = {
     "r13_tail": [
         "wap_publish",
         "time_travel_sql",
+        "data_skipping",
+        "iceberg_skipping",
+        "identity_insert",
+        "shallow_clone",
+        "partition_evolution",
     ],
 }
 
