@@ -2050,11 +2050,34 @@ def _harvest_parts(staging: str) -> list[tuple[str, dict]]:
     return sorted(out)
 
 
-def _stage_adds(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
+def _stats_cols_of(meta: dict | None) -> int:
+    """``delta.dataSkippingNumIndexedCols`` (delta-spark's knob for
+    how many leading columns get per-file stats; default 32, -1 =
+    all) read from the table configuration."""
+    raw = ((meta or {}).get("configuration") or {}).get(
+        "delta.dataSkippingNumIndexedCols"
+    )
+    if raw is None:
+        return delta_stats.DEFAULT_INDEXED_COLS
+    try:
+        n = int(raw)
+    except (TypeError, ValueError):
+        return delta_stats.DEFAULT_INDEXED_COLS
+    return (1 << 30) if n < 0 else n
+
+
+def _stage_adds(
+    df: DataFrame,
+    path: str,
+    pcols: list[str],
+    stats_cols: int = delta_stats.DEFAULT_INDEXED_COLS,
+) -> list[dict]:
     """Stage ``df`` as parquet parts under the table (ONE distributed
     write, Hive-partitioned by ``pcols``) and return their add
     actions (dataChange=true) — the write_delta staging block, shared
-    with :func:`delete_delta_where`'s copy-on-write rewrite."""
+    with :func:`delete_delta_where`'s copy-on-write rewrite.
+    ``stats_cols`` = the table's delta.dataSkippingNumIndexedCols
+    (:func:`_stats_cols_of`); 0 disables stats stamping."""
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if pcols:
@@ -2079,7 +2102,11 @@ def _stage_adds(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
             # per-file column statistics from the parquet FOOTER (a
             # metadata read, r13: delta_stats) — read_delta(predicate=)
             # and row-level DML prune files on these before planning
-            stats = delta_stats.file_stats_json(dst)
+            stats = (
+                delta_stats.file_stats_json(dst, n_cols=stats_cols)
+                if stats_cols > 0
+                else None
+            )
             add_actions.append(
                 {
                     "add": {
@@ -2102,6 +2129,7 @@ def _stage_adds_mapped(
     path: str,
     pcols: list[str],
     physical_of: dict[str, str] | None,
+    stats_cols: int = delta_stats.DEFAULT_INDEXED_COLS,
 ) -> list[dict]:
     """:func:`_stage_adds` under column mapping: the staged parquet's
     columns and the add actions' partitionValues keys use PHYSICAL
@@ -2113,7 +2141,7 @@ def _stage_adds_mapped(
             [F.col(c).alias(physical_of.get(c, c)) for c in df.columns]
         )
         pcols = [physical_of.get(c, c) for c in pcols]
-    return _stage_adds(df, path, pcols)
+    return _stage_adds(df, path, pcols, stats_cols=stats_cols)
 
 
 def _stage_cdc_mapped(
@@ -2411,7 +2439,15 @@ def write_delta(
                     "minReaderVersion": 1,
                     "minWriterVersion": w,
                 }
-    add_actions = _stage_adds_mapped(df, path, pcols, physical_of)
+    add_actions = _stage_adds_mapped(
+        df,
+        path,
+        pcols,
+        physical_of,
+        stats_cols=_stats_cols_of(prev_meta if exists else {
+            "configuration": create_conf
+        }),
+    )
     now_ms = int(time.time() * 1000)
 
     while True:
@@ -2762,7 +2798,10 @@ def delete_delta_where(
             .filter(~pred)
             .select([F.col(f.name) for f in schema.fields])
         )
-        new_adds = _stage_adds_mapped(survivors, path, pcols, physical_of)
+        new_adds = _stage_adds_mapped(
+            survivors, path, pcols, physical_of,
+            stats_cols=_stats_cols_of(meta),
+        )
         for base in sorted(touched):
             a = adds_by_base[base]
             planned[a["path"]] = a.get("deletionVector")

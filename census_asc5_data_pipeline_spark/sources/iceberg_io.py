@@ -191,7 +191,7 @@ def _bucket_of(value, ice_src_type: str, n: int) -> int | None:
 
 _TRANSFORM_RE = re.compile(
     r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
-    r"|(year|month|day)\s*\(\s*(\w+)\s*\)"
+    r"|(year|month|day|hour|void)\s*\(\s*(\w+)\s*\)"
     r"|(\w+)"
 )
 
@@ -199,8 +199,9 @@ _TRANSFORM_RE = re.compile(
 def _parse_partition_by(entries: list[str]) -> list[dict]:
     """``partition_by`` entries → [{name, transform, source}]:
     ``"col"`` (identity), ``"bucket(N, col)"``, ``"truncate(W, col)"``,
-    ``"year(col)"`` / ``"month(col)"`` / ``"day(col)"`` — the spec's
-    transform vocabulary minus hour/void."""
+    ``"year(col)"`` / ``"month(col)"`` / ``"day(col)"`` /
+    ``"hour(col)"`` / ``"void(col)"`` — the spec's full transform
+    vocabulary (r13 completes hour + void)."""
     out = []
     for e in entries:
         m = _TRANSFORM_RE.fullmatch(e.strip())
@@ -282,6 +283,17 @@ def _eval_transform(transform: str, ice_src_type: str, literal: str):
         if transform == "month":
             return (d.year - 1970) * 12 + d.month - 1
         return (d - datetime.date(1970, 1, 1)).days
+    if transform == "hour":
+        ts = datetime.datetime.fromisoformat(
+            str(literal).replace("Z", "+00:00")
+        )
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return int(
+            (ts - datetime.datetime(1970, 1, 1)).total_seconds() // 3600
+        )
+    if transform == "void":
+        return None  # every void partition value is null
     raise NotImplementedError(f"partition transform {transform!r}")
 
 
@@ -334,6 +346,17 @@ def _stage_partition_expr(tr: str, src: str, src_t: str):
                 F.month(F.col(src)) - F.lit(1)
             )
         return F.datediff(F.col(src), F.lit("1970-01-01"))
+    if tr == "hour":
+        if src_t not in ("timestamp", "timestamptz"):
+            raise NotImplementedError(
+                f"hour transform over {src_t!r} is out of scope"
+            )
+        # hours from epoch; floor division keeps pre-1970 correct
+        return F.floor(
+            F.unix_micros(F.col(src)) / F.lit(3_600_000_000)
+        ).cast("int")
+    if tr == "void":
+        return F.lit(None).cast("int")
     raise NotImplementedError(f"partition transform {tr!r}")
 
 

@@ -485,7 +485,10 @@ def _merge_delta(
     if staged_rows is not None:
         d._check_constraints(staged_rows, meta, "MERGE", extra=ins_checks)
         lines.extend(
-            d._stage_adds_mapped(staged_rows, path, pcols, physical_of)
+            d._stage_adds_mapped(
+                staged_rows, path, pcols, physical_of,
+                stats_cols=d._stats_cols_of(meta),
+            )
         )
     if (meta.get("configuration") or {}).get(
         "delta.enableChangeDataFeed"
@@ -557,7 +560,7 @@ def _spec_pcols(meta: dict, fields: list[dict], verb: str) -> list[dict]:
     transforms the writer supports (identity, bucket[N], truncate[W],
     year/month/day — round-11: the r10 identity-only gate lifted by
     reusing :func:`iceberg_io._stage_partition_expr`'s kernels);
-    ``void``/``hour`` raise inside the kernel."""
+    ``hour``/``void`` complete the vocabulary in r13."""
     from census_asc5_data_pipeline_spark.sources.iceberg_io import (
         _transform_result_type,
     )
@@ -1547,7 +1550,10 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         ):
             return None
         lines.extend(
-            d._stage_adds_mapped(updated, path, pcols, physical_of)
+            d._stage_adds_mapped(
+                updated, path, pcols, physical_of,
+                stats_cols=d._stats_cols_of(meta),
+            )
         )
     else:
         touched = [
@@ -1567,7 +1573,10 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
             gens,
         )
         lines.extend(
-            d._stage_adds_mapped(rewritten, path, pcols, physical_of)
+            d._stage_adds_mapped(
+                rewritten, path, pcols, physical_of,
+                stats_cols=d._stats_cols_of(meta),
+            )
         )
         for base in sorted(touched):
             a = adds_by_base[base]

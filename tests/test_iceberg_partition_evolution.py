@@ -158,3 +158,41 @@ def test_unknown_source_column_refuses(spark, tmp_path):
     ice.write_iceberg(_mk(spark, 0, 5).coalesce(1), path)
     with pytest.raises(ValueError, match="not in the table schema"):
         ice.update_partition_spec(path, ["nope"])
+
+
+def test_hour_and_void_transforms(spark, tmp_path):
+    """r13 completes the transform vocabulary: hour(ts) = hours from
+    epoch (writes lay out by hour, source-literal filters prune at
+    planning time), void(col) = always-null partition values."""
+    import datetime as dt
+
+    path = str(tmp_path / "hourly")
+    rows = [
+        (i, dt.datetime(2024, 1, 1, h, 30)) for i, h in enumerate([0, 0, 1, 2])
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    ice.write_iceberg(df, path, partition_by=["hour(ts)"])
+    _v, meta = ice._current_metadata(path)
+    data, _dels = ice._snapshot_files(path, meta, None, spark=spark)
+    hour0 = int(
+        (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).total_seconds()
+        // 3600
+    )
+    assert sorted({d["partition"]["ts_hour"] for d in data}) == [
+        hour0,
+        hour0 + 1,
+        hour0 + 2,
+    ]
+    # a source-column literal prunes through the transform
+    got = ice.read_iceberg(
+        spark, path, partition_filter={"ts": "2024-01-01 00:30:00"}
+    )
+    assert sorted(r.k for r in got.collect()) == [0, 1]
+    assert ice.read_iceberg(spark, path).count() == 4
+
+    vpath = str(tmp_path / "voidt")
+    ice.write_iceberg(df, vpath, partition_by=["void(k)"])
+    _v, vmeta = ice._current_metadata(vpath)
+    vdata, _ = ice._snapshot_files(vpath, vmeta, None, spark=spark)
+    assert all(d["partition"]["k_void"] is None for d in vdata)
+    assert ice.read_iceberg(spark, vpath).count() == 4
