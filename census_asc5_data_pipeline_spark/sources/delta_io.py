@@ -3533,6 +3533,23 @@ def optimize_delta(
                             "size": os.path.getsize(dst),
                             "modificationTime": now_ms,
                             "dataChange": False,
+                            # compaction must not silently destroy
+                            # data skipping (r13): rewritten files
+                            # re-stamp their footer stats
+                            **(
+                                {"stats": _st}
+                                if (
+                                    _st := (
+                                        delta_stats.file_stats_json(
+                                            dst,
+                                            n_cols=_stats_cols_of(meta),
+                                        )
+                                        if _stats_cols_of(meta) > 0
+                                        else None
+                                    )
+                                )
+                                else {}
+                            ),
                         }
                     }
                 )

@@ -315,3 +315,25 @@ def test_parser_shapes():
     assert p("f(a) = 1") is None
     assert p("a = b") is None
     assert p("upper(s) = 'X'") is None
+
+
+def test_optimize_restamps_stats(spark, tmp_path):
+    """Compaction must not destroy data skipping: OPTIMIZE's
+    rewritten (dataChange=false) files carry fresh footer stats."""
+    path = str(tmp_path / "opt")
+    for lo in (0, 100, 200, 300):
+        d.write_delta(
+            spark.createDataFrame(
+                [(i, i % 5) for i in range(lo, lo + 100)], "k long, g int"
+            ).coalesce(1),
+            path,
+        )
+    res = d.optimize_delta(spark, path, target_file_bytes=1 << 30)
+    assert res["files_after"] < res["files_before"]
+    _meta, schema, adds = _live(spark, path)
+    assert all(a.get("stats") for a in adds)
+    kept = ds.skip_files(
+        adds, ds.parse_skip_predicate("k = 17"), schema, [], None
+    )
+    assert d.read_delta(spark, path, predicate="k = 17").count() == 1
+    assert len(kept) >= 1
