@@ -1335,6 +1335,13 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "type": _KV_MAP("k129_v130", "bytes"),
                         "default": None,
                     },
+                    # the sort order the file was written under
+                    # (spec data_file field 140; 0/absent = unsorted)
+                    {
+                        "name": "sort_order_id",
+                        "type": ["null", "int"],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -1564,6 +1571,16 @@ def write_iceberg(
         )
         out_df = out_df.withColumn(f"__pt_{pf['name']}", e)
         writer_cols.append(f"__pt_{pf['name']}")
+    # the table's DEFAULT sort order (r13, spec §Sorting): a local
+    # in-task sort clusters rows so every file's column bounds are
+    # tight — write-side clustering composes with manifest-bounds
+    # skipping at zero shuffle cost (sortWithinPartitions is narrow)
+    sort_exprs = _sort_order_exprs(meta, ice_fields) if exists else []
+    _so_id = (
+        _default_sort_order(meta)[0] if exists and sort_exprs else 0
+    )
+    if sort_exprs:
+        out_df = out_df.sortWithinPartitions(*sort_exprs)
     w = out_df.write.mode("overwrite")
     if writer_cols:
         w = w.partitionBy(*writer_cols)
@@ -1621,6 +1638,11 @@ def write_iceberg(
                         # null counts + Appendix-D bounds by field id
                         **iceberg_bounds.file_column_metrics(
                             dst, ice_fields
+                        ),
+                        **(
+                            {"sort_order_id": _so_id}
+                            if _so_id
+                            else {}
                         ),
                     }
                 )
@@ -1772,8 +1794,15 @@ def write_iceberg(
                 }
             ]
         ),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        # sort-order declarations survive writes too (r13)
+        "default-sort-order-id": (
+            int(meta.get("default-sort-order-id", 0)) if exists else 0
+        ),
+        "sort-orders": (
+            meta["sort-orders"]
+            if exists and meta.get("sort-orders")
+            else [{"order-id": 0, "fields": []}]
+        ),
         "properties": meta.get("properties", {}),
         # a branch write does NOT move main: current-snapshot-id and
         # snapshot-log (the main lineage, per spec) stay put
@@ -2180,6 +2209,108 @@ def set_iceberg_properties(path: str, props: dict[str, str]) -> int:
     new_meta = dict(meta)
     new_meta["properties"] = merged
     new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(path, new_v, new_meta)
+    return new_v
+
+
+def _default_sort_order(meta: dict) -> tuple[int, list[dict]]:
+    """(order-id, fields) of the table's default sort order — order 0
+    with no fields = unsorted, the spec's default."""
+    oid = int(meta.get("default-sort-order-id", 0))
+    for o in meta.get("sort-orders") or []:
+        if int(o.get("order-id", 0)) == oid:
+            return oid, list(o.get("fields") or [])
+    return 0, []
+
+
+def _sort_order_exprs(meta: dict, ice_fields: list[dict]) -> list:
+    """Spark sort Columns realizing the default sort order's
+    identity-transform fields (direction + null-order honored);
+    transforms other than identity are skipped conservatively (the
+    sort is a clustering OPTIMIZATION — skipping a field can never
+    corrupt data, it only loosens file bounds)."""
+    from pyspark.sql import functions as F
+
+    _oid, fields = _default_sort_order(meta)
+    by_id = {f["id"]: f["name"] for f in ice_fields}
+    out = []
+    for f in fields:
+        if f.get("transform", "identity") != "identity":
+            continue
+        name = by_id.get(int(f.get("source-id", -1)))
+        if name is None:
+            continue
+        col = F.col(name)
+        desc = str(f.get("direction", "asc")).lower() == "desc"
+        nf = str(f.get("null-order", "nulls-first")).lower() in (
+            "nulls-first",
+            "nulls_first",
+        )
+        if desc:
+            col = col.desc_nulls_first() if nf else col.desc_nulls_last()
+        else:
+            col = col.asc_nulls_first() if nf else col.asc_nulls_last()
+        out.append(col)
+    return out
+
+
+def update_sort_order(path: str, order_by: list[str]) -> int:
+    """``ALTER TABLE … WRITE ORDERED BY`` (table-spec §Sorting, r13):
+    register ``order_by`` entries — ``"col"``, ``"col DESC"``,
+    ``"col ASC NULLS LAST"`` … — as a NEW sort order and make it the
+    default. Metadata-only; subsequent writes cluster rows with a
+    zero-shuffle in-task sort (:func:`_sort_order_exprs`), which
+    tightens every staged file's manifest bounds — the declared-order
+    half of the clustering story ``rewrite_data_files(zorder_by=)``
+    provides after the fact. ``[]`` resets to unsorted (order 0).
+    Returns the new metadata version."""
+    cur_v, meta = _current_metadata(path)
+    _schema, fields = _schema_of(meta)
+    by_name = {f["name"]: f for f in fields}
+    parsed: list[dict] = []
+    for e in order_by:
+        toks = e.split()
+        name = toks[0].strip("`")
+        if name not in by_name:
+            raise ValueError(
+                f"sort column {name!r} not in the table schema "
+                f"(have {sorted(by_name)})"
+            )
+        rest = " ".join(toks[1:]).upper()
+        direction = "desc" if "DESC" in rest.split() else "asc"
+        if "NULLS LAST" in rest:
+            null_order = "nulls-last"
+        elif "NULLS FIRST" in rest:
+            null_order = "nulls-first"
+        else:
+            # spec defaults: ASC sorts nulls first, DESC nulls last
+            null_order = (
+                "nulls-first" if direction == "asc" else "nulls-last"
+            )
+        parsed.append(
+            {
+                "transform": "identity",
+                "source-id": by_name[name]["id"],
+                "direction": direction,
+                "null-order": null_order,
+            }
+        )
+    orders = list(
+        meta.get("sort-orders") or [{"order-id": 0, "fields": []}]
+    )
+    _oid, cur_fields = _default_sort_order(meta)
+    if parsed == cur_fields:
+        return cur_v  # no-op
+    if not parsed:
+        new_id = 0
+    else:
+        new_id = max(int(o.get("order-id", 0)) for o in orders) + 1
+        orders.append({"order-id": new_id, "fields": parsed})
+    new_meta = dict(meta)
+    new_meta["sort-orders"] = orders
+    new_meta["default-sort-order-id"] = new_id
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_v = cur_v + 1
     _write_metadata_version(path, new_v, new_meta)
     return new_v
 

@@ -2002,6 +2002,11 @@ _UNSET_PROPS_RE = re.compile(
     r"^UNSET\s+TBLPROPERTIES\s*\((?P<keys>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_WRITE_ORDERED_RE = re.compile(
+    r"^WRITE\s+(?:(?P<unordered>UNORDERED)"
+    r"|ORDERED\s+BY\s*\(\s*(?P<cols>.+?)\s*\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _PARTITION_FIELD_RE = re.compile(
     r"^(?P<verb>ADD|DROP)\s+PARTITION\s+FIELD\s+(?P<field>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -2298,6 +2303,28 @@ def dml_sql(
             )
 
             return set_iceberg_properties(path, props)
+        wom = _WRITE_ORDERED_RE.match(rest)
+        if wom:
+            # ALTER TABLE t WRITE ORDERED BY (c [ASC|DESC] [NULLS
+            # FIRST|LAST], ...) | WRITE UNORDERED — the Spark-Iceberg
+            # sort-order DDL (r13)
+            if fmt != "iceberg":
+                raise ValueError(
+                    "WRITE ORDERED BY is an Iceberg sort-order "
+                    "feature"
+                )
+            from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+                update_sort_order,
+            )
+
+            if wom.group("unordered"):
+                return update_sort_order(path, [])
+            entries = [
+                e.strip()
+                for e in _split_top(wom.group("cols"))
+                if e.strip()
+            ]
+            return update_sort_order(path, entries)
         pfm = _PARTITION_FIELD_RE.match(rest)
         if pfm:
             # ALTER TABLE t ADD|DROP PARTITION FIELD <transform> —
