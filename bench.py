@@ -155,6 +155,7 @@ GROUPS: dict[str, list[str]] = {
         "identity_insert",
         "shallow_clone",
         "partition_evolution",
+        "copy_into",
     ],
 }
 

@@ -10614,6 +10614,81 @@ GROUP BY priority, yr
 """
 
 
+def q_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO through the registry gate (round-13 — the
+    idempotent bulk loader): land the 1995 order rollup as parquet
+    under a landing dir → COPY INTO a Delta table → COPY AGAIN (the
+    commit-log ledger must make it a no-op — a double-load would
+    double every 1995 aggregate) → land the 1996 batch → COPY (only
+    the NEW files read). Per-(priority, yr) aggregates hash-match
+    DuckDB's 1995 ∪ 1996 reconstruction at all three SFs; any
+    re-loaded file flips the counts. Rebuilds under /tmp per
+    (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_copy_into_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(root, ignore_errors=True)
+    base = os.path.join(root, "t")
+    land = os.path.join(root, "landing")
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    staged.filter(F.col("yr") == 1995).write.parquet(
+        os.path.join(land, "b1995")
+    )
+    cat: dict = {}
+    dml_sql(
+        spark,
+        "CREATE TABLE cp_t (okey BIGINT, priority STRING, cents "
+        f"BIGINT, yr INT) USING delta LOCATION '{base}'",
+        cat,
+    )
+    sql = f"COPY INTO cp_t FROM '{land}' FILEFORMAT = PARQUET"
+    dml_sql(spark, sql, cat)
+    dml_sql(spark, sql, cat)  # MUST no-op (ledger idempotency)
+    staged.filter(F.col("yr") == 1996).write.parquet(
+        os.path.join(land, "b1996")
+    )
+    dml_sql(spark, sql, cat)  # loads ONLY the new batch
+    return (
+        delta_io.read_delta(spark, base)
+        .groupBy("priority", "yr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        )
+    )
+
+
+SQL_COPY_INTO = """
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr
+  FROM orders
+)
+SELECT priority, yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM c WHERE yr IN (1995, 1996)
+GROUP BY priority, yr
+"""
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg write-audit-publish through the registry gate
     (round-13 verdict #3/#4/#8): build an Iceberg table from the 1995
@@ -11146,6 +11221,7 @@ QUERIES: dict[str, QueryFn] = {
     "identity_insert": q_identity_insert,
     "shallow_clone": q_shallow_clone,
     "partition_evolution": q_partition_evolution,
+    "copy_into": q_copy_into,
     "wap_publish": q_wap_publish,
     "time_travel_sql": q_time_travel_sql,
     # --- new in round 12 ---
@@ -11388,6 +11464,7 @@ ORACLES: dict[str, str] = {
     "identity_insert": SQL_IDENTITY_INSERT,
     "shallow_clone": SQL_SHALLOW_CLONE,
     "partition_evolution": SQL_PARTITION_EVOLUTION,
+    "copy_into": SQL_COPY_INTO,
     "wap_publish": SQL_WAP_PUBLISH,
     "time_travel_sql": SQL_TIME_TRAVEL_SQL,
     # --- new in round 11 ---

@@ -2239,6 +2239,8 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     overwrite_schema: bool = False,
     configuration: dict[str, str] | None = None,
+    commit_operation: str = "WRITE",
+    commit_params: dict | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -2505,8 +2507,14 @@ def write_delta(
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "WRITE",
-                    "operationParameters": {"mode": mode.upper()},
+                    # COPY INTO rides this writer with its own
+                    # operation tag + loaded-file list (r13): the
+                    # commitInfo record IS its idempotency ledger
+                    "operation": commit_operation,
+                    "operationParameters": {
+                        "mode": mode.upper(),
+                        **(commit_params or {}),
+                    },
                     "engineInfo": "census_asc5_data_pipeline_spark delta_io",
                 }
             }

@@ -2002,6 +2002,118 @@ _UNSET_PROPS_RE = re.compile(
     r"^UNSET\s+TBLPROPERTIES\s*\((?P<keys>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_COPY_INTO_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<target>[\w.]+)\s+"
+    r"FROM\s+'(?P<src>[^']+)'\s+"
+    r"FILEFORMAT\s*=\s*(?P<fmt>PARQUET|CSV|JSON)"
+    r"(?:\s+PATTERN\s*=\s*'(?P<pattern>[^']+)')?"
+    r"(?:\s+FORMAT_OPTIONS\s*\(\s*(?P<fopts>[^)]*)\)\s*)?"
+    r"(?:\s+COPY_OPTIONS\s*\(\s*(?P<copts>[^)]*)\)\s*)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def copy_into(
+    spark: SparkSession,
+    path: str,
+    src: str,
+    fileformat: str,
+    pattern: str | None = None,
+    format_options: dict[str, str] | None = None,
+    force: bool = False,
+) -> int | None:
+    """delta-spark's ``COPY INTO`` (r13): IDEMPOTENT bulk file
+    loading — each run lists the files under ``src`` (``pattern`` is
+    an fnmatch glob over the src-relative path), subtracts every file
+    a prior COPY INTO commit already recorded, reads only the NEW
+    ones with the table's schema, and appends them in one commit
+    whose commitInfo carries the loaded-file list — the commit log IS
+    the idempotency ledger, so re-running after a crash or on a
+    schedule never double-loads (``force=True`` reloads everything).
+    Returns the committed version, or None when there is nothing new.
+
+    Scale notes: the ledger replay is O(commits) driver-side metadata
+    (the describe_history loop); the data read is one multi-path
+    Spark scan over exactly the new files."""
+    import fnmatch
+    import glob as _glob
+    import json
+
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+
+    fileformat = fileformat.lower()
+    if fileformat not in ("parquet", "csv", "json"):
+        raise ValueError(
+            f"FILEFORMAT {fileformat!r} (parquet|csv|json)"
+        )
+    _p, meta, _adds, _tx = d._replay(spark, path, None)
+    d._writer_gate(_p, meta, "WRITE")
+    schema = d._strip_meta(
+        T.StructType.fromJson(json.loads(meta["schemaString"]))
+    )
+    loaded: set[str] = set()
+    if not force:
+        for v in d.delta_versions(path):
+            with open(d._commit_file(path, v)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    ci = action.get("commitInfo")
+                    if ci is None:
+                        continue
+                    if ci.get("operation") == "COPY INTO":
+                        try:
+                            loaded.update(
+                                json.loads(
+                                    (ci.get("operationParameters") or {})
+                                    .get("files", "[]")
+                                )
+                            )
+                        except (TypeError, ValueError):
+                            pass
+                    break
+    src = os.path.abspath(src)
+    cands = sorted(
+        p
+        for p in _glob.glob(os.path.join(src, "**"), recursive=True)
+        if os.path.isfile(p)
+        and not os.path.basename(p).startswith((".", "_"))
+        and (
+            pattern is None
+            or fnmatch.fnmatch(os.path.relpath(p, src), pattern)
+        )
+    )
+    new = [p for p in cands if os.path.abspath(p) not in loaded]
+    if not new:
+        return None
+    reader = spark.read.format(fileformat)
+    for k, v in (format_options or {}).items():
+        reader = reader.option(k, v)
+    if fileformat in ("csv", "json"):
+        reader = reader.schema(schema)
+    df = reader.load(new)
+    out = df.select(
+        [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    return d.write_delta(
+        out,
+        path,
+        commit_operation="COPY INTO",
+        commit_params={
+            "files": json.dumps(
+                sorted(os.path.abspath(p) for p in new)
+            ),
+            "source": src,
+            "fileformat": fileformat,
+        },
+    )
+
+
 _WRITE_ORDERED_RE = re.compile(
     r"^WRITE\s+(?:(?P<unordered>UNORDERED)"
     r"|ORDERED\s+BY\s*\(\s*(?P<cols>.+?)\s*\))\s*$",
@@ -2241,6 +2353,37 @@ def dml_sql(
         return merge_into_sql(spark, text, catalog)
     if head == "CREATE":
         return _create_table(spark, text, catalog)
+    if head == "COPY":
+        cm = _COPY_INTO_RE.match(text)
+        if not cm:
+            raise ValueError(f"cannot parse COPY INTO: {sql!r}")
+        name = cm.group("target")
+        if name not in catalog:
+            raise ValueError(
+                f"table {name!r} not in catalog (have {sorted(catalog)})"
+            )
+        fmt, path = catalog[name]
+        if fmt != "delta":
+            raise ValueError(
+                "COPY INTO is a Delta verb in this engine — "
+                f"{name!r} is {fmt}"
+            )
+        copts = (
+            _parse_props(cm.group("copts")) if cm.group("copts") else {}
+        )
+        return copy_into(
+            spark,
+            path,
+            cm.group("src"),
+            cm.group("fmt"),
+            pattern=cm.group("pattern"),
+            format_options=(
+                _parse_props(cm.group("fopts"))
+                if cm.group("fopts")
+                else None
+            ),
+            force=str(copts.get("force", "")).lower() == "true",
+        )
 
     def _resolve(name):
         if name not in catalog:

@@ -19,6 +19,7 @@ PINNED_FIRST_50 = [
     "identity_insert",
     "shallow_clone",
     "partition_evolution",
+    "copy_into",
     "wap_publish",
     "time_travel_sql",
     "schema_evolution",
@@ -63,7 +64,6 @@ PINNED_FIRST_50 = [
     "theta_audience",
     "dsir_weights",
     "quantile_bins",
-    "distinctive_terms",
 ]
 
 

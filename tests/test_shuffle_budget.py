@@ -44,6 +44,9 @@ SHUFFLE_BUDGET = {
     # position anti-join's tiny pos frame broadcasts. Measured 1;
     # 3 if that broadcast ever degrades
     "partition_evolution": 3,
+    # one (priority, yr) agg pair over the loaded table's scan; the
+    # landing writes + three COPY INTOs run at construction
+    "copy_into": 2,
     # returned plan = union of three 5-row per-priority rollups (one
     # partial/final agg pair each over fixed file-list scans; the
     # audit branch adds the MoR position-delete anti-join, whose tiny
