@@ -253,7 +253,24 @@ def parse_skip_predicate(predicate: str) -> list[tuple] | None:
             r"\bOR\b|\bNOT\s+[^N]|\(|\)", without_in, re.IGNORECASE
         ):
             return None
-    pred = _BETWEEN.sub(r"\1 >= \2 AND \1 <= \3", predicate)
+    # mask quoted literals FIRST so the BETWEEN rewrite can never
+    # touch text inside a string (e.g. name = 'x BETWEEN 1 AND 2');
+    # placeholders stay quoted-string-shaped so BETWEEN bounds that
+    # ARE string literals still rewrite, then restore per-chunk
+    _masked: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        _masked.append(m.group(0))
+        return f"'\x00{len(_masked) - 1}\x00'"
+
+    pred = re.sub(r"'(?:[^']|'')*'", _mask, predicate)
+    pred = _BETWEEN.sub(r"\1 >= \2 AND \1 <= \3", pred)
+
+    def _unmask(chunk: str) -> str:
+        return re.sub(
+            "'\x00(\\d+)\x00'", lambda m: _masked[int(m.group(1))], chunk
+        )
+
     # split on ANDs OUTSIDE quoted strings: replace literals with
     # placeholders, split, then map chunks back by position
     chunks: list[str] = []
@@ -298,6 +315,7 @@ def parse_skip_predicate(predicate: str) -> list[tuple] | None:
 
     atoms: list[tuple] = []
     for ch in chunks:
+        ch = _unmask(ch)
         m = _ATOM_CMP.match(ch)
         if m:
             try:
@@ -400,6 +418,37 @@ def _coerce_lit(v, dtype: T.DataType, tz: str):
         if isinstance(v, str):
             return _dt.date.fromisoformat(v)
         raise TypeError(f"date atom vs {type(v)}")
+    if isinstance(dtype, T.BooleanType):
+        if isinstance(v, bool):
+            return v
+        raise TypeError(f"boolean atom vs {type(v)}")
+    if isinstance(
+        dtype,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    ):
+        # Keep the literal AS-IS: Python int/float/Decimal
+        # cross-compare exactly, so `x < 1.5` on an int column prunes
+        # soundly without ever truncating the literal.  A non-numeric
+        # literal (string/bool/date) proves nothing about a numeric
+        # column — raise so the atom is dropped and the file kept.
+        if isinstance(v, bool) or not isinstance(v, (int, float, Decimal)):
+            raise TypeError(f"numeric atom vs {type(v)}")
+        return v
+    if isinstance(dtype, T.StringType):
+        # Spark compares `string_col > 5` numerically (casting the
+        # column); a lexicographic min/max compare is unsound — only
+        # string literals may face string stats.
+        if not isinstance(v, str):
+            raise TypeError(f"string atom vs {type(v)}")
+        return v
     return _decode(v, dtype)
 
 

@@ -337,3 +337,87 @@ def test_optimize_restamps_stats(spark, tmp_path):
     )
     assert d.read_delta(spark, path, predicate="k = 17").count() == 1
     assert len(kept) >= 1
+
+
+def test_fractional_literal_never_truncates(spark):
+    """r13 ADVICE (high): int(1.5) truncation made `x < 1.5` prune a
+    file whose rows are all x=1 — the literal must compare as-is."""
+    add = {
+        "path": "x.parquet",
+        "partitionValues": {},
+        "stats": json.dumps(
+            {
+                "numRecords": 3,
+                "minValues": {"x": 1},
+                "maxValues": {"x": 1},
+                "nullCount": {"x": 0},
+            }
+        ),
+    }
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    for pred in ("x < 1.5", "x != 1.5", "x <= 1.2", "x BETWEEN 0.5 AND 1.5"):
+        kept = ds.skip_files(
+            [add], ds.parse_skip_predicate(pred), schema, [], None
+        )
+        assert kept == [add], pred
+    # and pruning still happens when provably matchless
+    for pred in ("x > 1.5", "x = 1.5", "x < 0.5"):
+        kept = ds.skip_files(
+            [add], ds.parse_skip_predicate(pred), schema, [], None
+        )
+        assert kept == [], pred
+
+
+def test_numeric_literal_vs_string_column_keeps_file(spark):
+    """r13 ADVICE (high): Spark evaluates `s > 5` by CASTING the
+    string column to a number — lexicographic min/max ('10' < '5')
+    must never prune; the kind-mismatch atom proves nothing."""
+    add = {
+        "path": "x.parquet",
+        "partitionValues": {},
+        "stats": json.dumps(
+            {
+                "numRecords": 2,
+                "minValues": {"s": "10"},
+                "maxValues": {"s": "19"},
+                "nullCount": {"s": 0},
+            }
+        ),
+    }
+    schema = T.StructType([T.StructField("s", T.StringType())])
+    kept = ds.skip_files(
+        [add], ds.parse_skip_predicate("s > 5"), schema, [], None
+    )
+    assert kept == [add]
+    # string-literal atoms still prune string stats
+    kept = ds.skip_files(
+        [add], ds.parse_skip_predicate("s > '2'"), schema, [], None
+    )
+    assert kept == []
+
+
+def test_numeric_vs_string_column_end_to_end(spark, tmp_path):
+    """The CAST semantics survive the full read path: a numeric
+    predicate over a string column returns Spark's answer."""
+    path = str(tmp_path / "s_cast")
+    df = spark.createDataFrame([("10",), ("19",)], "s string")
+    d.write_delta(df.coalesce(1), path)
+    assert d.read_delta(spark, path, predicate="s > 5").count() == 2
+
+
+def test_between_inside_quoted_literal(spark):
+    """r13 ADVICE (low): the BETWEEN rewrite must not fire inside a
+    quoted string literal."""
+    atoms = ds.parse_skip_predicate(
+        "note = 'x BETWEEN 1 AND 2' AND k BETWEEN 3 AND 4"
+    )
+    assert atoms == [
+        ("note", "=", "x BETWEEN 1 AND 2"),
+        ("k", ">=", 3),
+        ("k", "<=", 4),
+    ]
+    # string-literal BETWEEN bounds still rewrite
+    assert ds.parse_skip_predicate("s BETWEEN 'a' AND 'b'") == [
+        ("s", ">=", "a"),
+        ("s", "<=", "b"),
+    ]
