@@ -58,6 +58,7 @@ can be vacuumed.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -3772,6 +3773,7 @@ def clone_delta(
         raise ValueError(f"CLONE target {dst!r} already exists")
     now_ms = int(time.time() * 1000)
     out_adds: list[dict] = []
+    used_rel: set[str] = set()  # deep-copy destinations claimed so far
     for a in sorted(adds.values(), key=lambda a: a["path"]):
         a = dict(a)
         src_fp = _data_file_path(src, a["path"])
@@ -3796,6 +3798,20 @@ def clone_delta(
             rel = os.path.relpath(src_fp, src) if not os.path.isabs(
                 urllib.parse.unquote(a["path"])
             ) else os.path.basename(src_fp)
+            if rel in used_rel:
+                # two distinct absolute-path sources sharing a
+                # basename (e.g. deep-cloning a table that shallow-
+                # cloned multiple tables) must not overwrite each
+                # other — hash-prefix the collision with the source
+                # path's digest (r13 ADVICE)
+                digest = hashlib.md5(
+                    os.path.abspath(src_fp).encode()
+                ).hexdigest()[:8]
+                rel = os.path.join(
+                    os.path.dirname(rel),
+                    f"{digest}-{os.path.basename(rel)}",
+                )
+            used_rel.add(rel)
             dst_fp = os.path.join(dst, rel)
             os.makedirs(os.path.dirname(dst_fp), exist_ok=True)
             shutil.copy2(src_fp, dst_fp)

@@ -2032,6 +2032,16 @@ def copy_into(
     schedule never double-loads (``force=True`` reloads everything).
     Returns the committed version, or None when there is nothing new.
 
+    Durability (r13 ADVICE): checkpoints don't retain commitInfo and
+    ``vacuum_delta`` prunes log JSONs below the latest checkpoint, so
+    the log alone forgets old loads.  Every successful COPY INTO also
+    folds the full loaded-file set into a sidecar ledger
+    (``_delta_log/_copy_into_ledger.json``, atomic-rename write) that
+    vacuum never touches; the replay below takes the UNION of ledger
+    + surviving commitInfo lines, so a crash between commit and
+    ledger write self-heals on the next run from the still-unpruned
+    log JSON.
+
     Scale notes: the ledger replay is O(commits) driver-side metadata
     (the describe_history loop); the data read is one multi-path
     Spark scan over exactly the new files."""
@@ -2051,29 +2061,36 @@ def copy_into(
     schema = d._strip_meta(
         T.StructType.fromJson(json.loads(meta["schemaString"]))
     )
+    ledger_fp = os.path.join(path, "_delta_log", "_copy_into_ledger.json")
     loaded: set[str] = set()
-    if not force:
-        for v in d.delta_versions(path):
-            with open(d._commit_file(path, v)) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    ci = action.get("commitInfo")
-                    if ci is None:
-                        continue
-                    if ci.get("operation") == "COPY INTO":
-                        try:
-                            loaded.update(
-                                json.loads(
-                                    (ci.get("operationParameters") or {})
-                                    .get("files", "[]")
-                                )
+    try:
+        with open(ledger_fp) as fh:
+            prior = json.load(fh).get("files", [])
+        if isinstance(prior, list):
+            loaded.update(str(p) for p in prior)
+    except (OSError, ValueError, TypeError):
+        pass
+    for v in d.delta_versions(path):
+        with open(d._commit_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                ci = action.get("commitInfo")
+                if ci is None:
+                    continue
+                if ci.get("operation") == "COPY INTO":
+                    try:
+                        loaded.update(
+                            json.loads(
+                                (ci.get("operationParameters") or {})
+                                .get("files", "[]")
                             )
-                        except (TypeError, ValueError):
-                            pass
-                    break
+                        )
+                    except (TypeError, ValueError):
+                        pass
+                break
     src = os.path.abspath(src)
     cands = sorted(
         p
@@ -2085,7 +2102,11 @@ def copy_into(
             or fnmatch.fnmatch(os.path.relpath(p, src), pattern)
         )
     )
-    new = [p for p in cands if os.path.abspath(p) not in loaded]
+    new = [
+        p
+        for p in cands
+        if force or os.path.abspath(p) not in loaded
+    ]
     if not new:
         return None
     reader = spark.read.format(fileformat)
@@ -2100,7 +2121,7 @@ def copy_into(
             for f in schema.fields
         ]
     )
-    return d.write_delta(
+    version = d.write_delta(
         out,
         path,
         commit_operation="COPY INTO",
@@ -2112,6 +2133,24 @@ def copy_into(
             "fileformat": fileformat,
         },
     )
+    # fold the union into the vacuum-proof sidecar ledger; a failure
+    # here is safe — the just-committed JSON still carries the list
+    # and the next run re-merges it
+    try:
+        tmp = f"{ledger_fp}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "files": sorted(
+                        loaded | {os.path.abspath(p) for p in new}
+                    )
+                },
+                fh,
+            )
+        os.replace(tmp, ledger_fp)
+    except OSError:
+        pass
+    return version
 
 
 _WRITE_ORDERED_RE = re.compile(

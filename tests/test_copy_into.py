@@ -149,3 +149,50 @@ def test_iceberg_target_refuses(spark, tmp_path):
             f"COPY INTO it FROM '{tmp_path}' FILEFORMAT = PARQUET",
             {"it": ("iceberg", ipath)},
         )
+
+
+def test_ledger_survives_checkpoint_and_vacuum(spark, tmp_path, table):
+    """r13 ADVICE (medium): vacuum prunes log JSONs below the latest
+    checkpoint and checkpoints don't retain commitInfo — the sidecar
+    ledger must keep the loaded-file set so a scheduled rerun after
+    checkpoint+vacuum never double-loads."""
+    path, cat = table
+    land = str(tmp_path / "landing")
+    _land(spark, land, "b1", [(1, "a"), (2, "b")])
+    dml_sql(spark, f"COPY INTO ct FROM '{land}' FILEFORMAT = PARQUET", cat)
+    # push the COPY INTO commit below the retention window: several
+    # later commits, then checkpoint + vacuum prunes its JSON
+    for i in range(4):
+        d.write_delta(
+            spark.createDataFrame([(100 + i, "x")], "k long, v string"),
+            path,
+        )
+    import time
+
+    time.sleep(1.1)  # vacuum's mtime age guard
+    res = d.vacuum_delta(spark, path, keep_versions=2)
+    assert res["log_files_removed"] > 0
+    ledger = os.path.join(path, "_delta_log", "_copy_into_ledger.json")
+    assert os.path.exists(ledger)
+    # the COPY INTO commitInfo is gone from the surviving log tail
+    surviving = d.delta_versions(path)
+    assert 1 not in surviving  # v1 was the COPY INTO commit
+    # rerun: still nothing new — the ledger remembers
+    assert (
+        dml_sql(
+            spark, f"COPY INTO ct FROM '{land}' FILEFORMAT = PARQUET", cat
+        )
+        is None
+    )
+    # a genuinely new file still loads exactly once
+    _land(spark, land, "b2", [(3, "c")])
+    assert (
+        dml_sql(
+            spark, f"COPY INTO ct FROM '{land}' FILEFORMAT = PARQUET", cat
+        )
+        is not None
+    )
+    rows = sorted(
+        r.k for r in d.read_delta(spark, path).collect() if r.k < 100
+    )
+    assert rows == [1, 2, 3]

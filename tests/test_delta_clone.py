@@ -202,3 +202,60 @@ def test_shallow_clone_streams_as_source(spark, tmp_path, src_table):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT COUNT(*) c FROM clone_stream").first().c == 500
+
+
+def test_deep_clone_disambiguates_basename_collisions(spark, tmp_path):
+    """r13 ADVICE (low): two absolute-path adds sharing a basename
+    (e.g. deep-cloning a table that shallow-cloned several sources)
+    must not overwrite each other at the destination."""
+    a_dir = str(tmp_path / "src_a")
+    b_dir = str(tmp_path / "src_b")
+    spark.createDataFrame([(1, "a")], "k long, v string").coalesce(
+        1
+    ).write.parquet(a_dir)
+    spark.createDataFrame([(2, "b")], "k long, v string").coalesce(
+        1
+    ).write.parquet(b_dir)
+    # same basename, different directories + contents
+    fa = os.path.join(a_dir, "part-clash.parquet")
+    fb = os.path.join(b_dir, "part-clash.parquet")
+    os.rename(_parquet_files(a_dir)[0], fa)
+    os.rename(_parquet_files(b_dir)[0], fb)
+    # a table whose log references both by ABSOLUTE path
+    t = str(tmp_path / "t")
+    seed = spark.createDataFrame([(0, "z")], "k long, v string")
+    d.write_delta(seed.coalesce(1), t)
+    import time as _time
+    import urllib.parse as _up
+
+    lines = [
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "WRITE",
+            }
+        },
+    ]
+    for fp in (fa, fb):
+        lines.append(
+            {
+                "add": {
+                    "path": _up.quote(os.path.abspath(fp)),
+                    "partitionValues": {},
+                    "size": os.path.getsize(fp),
+                    "modificationTime": int(os.path.getmtime(fp) * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    d._put_if_absent_commit(t, 1, lines)
+    assert sorted(r.k for r in d.read_delta(spark, t).collect()) == [0, 1, 2]
+    dst = str(tmp_path / "deep")
+    d.clone_delta(spark, t, dst, shallow=False)
+    # every row survives the copy — no silent overwrite
+    assert sorted(r.k for r in d.read_delta(spark, dst).collect()) == [
+        0,
+        1,
+        2,
+    ]
+    assert len(_parquet_files(dst)) == 3
