@@ -430,6 +430,13 @@ def _replay(
             adds[a["path"]] = a
     if not meta:
         raise ValueError(f"Delta log at {path!r} has no metaData action")
+    _reader_gate(protocol, meta, path)
+    return protocol, meta, adds, txns
+
+
+def _reader_gate(protocol: dict, meta: dict, path: str) -> None:
+    """The minReaderVersion / readerFeatures refusal shared by the
+    driver replay and the distributed pruned replay."""
     mr = int(protocol.get("minReaderVersion", 1))
     if mr > 1:
         # reader-v2/v3 gate: column mapping (round-7 verdict #5) and
@@ -459,7 +466,339 @@ def _replay(
                 "mapping and deletion vectors this spec-level reader "
                 "refuses rather than mis-reading"
             )
-    return protocol, meta, adds, txns
+
+
+# Above this many checkpoint actions, read-time file pruning runs IN
+# SPARK over the checkpoint parquet instead of the driver-side Python
+# loop over add dicts (_replay + delta_stats.skip_files). delta-spark
+# distributes checkpoint/stats evaluation the same way; at 100 TB a
+# million-add table's pruning loop would otherwise be minutes of
+# single-threaded driver time per read. Tests force the path with 0
+# (module global or the env override).
+_SPARK_PRUNE_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_DELTA_SPARK_PRUNE_THRESHOLD", "10000")
+)
+
+
+def _last_checkpoint_size(path: str) -> int | None:
+    """The action count the ``_last_checkpoint`` pointer declares
+    (delta-spark stamps ``size``); fallback: sum of the checkpoint
+    parquets' footer row counts (a metadata read)."""
+    p = os.path.join(_log_dir(path), "_last_checkpoint")
+    try:
+        doc = json.load(open(p))
+        if doc.get("size") is not None:
+            return int(doc["size"])
+        version = int(doc["version"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
+    res = _resolve_checkpoint(path, version)
+    if res is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in res[1]
+            if f.endswith(".parquet")
+        )
+    except Exception:
+        return None
+
+
+def _ckpt_file_action_plan(
+    spark: SparkSession, path: str, version: int
+) -> tuple[list[dict] | None, list[str]] | None:
+    """(driver-held non-file action dicts | None, parquet files
+    holding the checkpoint's file actions) for the DISTRIBUTED
+    replay. ``None`` overall = no form this path handles (caller
+    falls back to :func:`_replay`). Classic/multipart: the parquet(s)
+    themselves (non-file actions are a tiny filtered scan over the
+    same files). V2: the manifest's inline protocol/metaData/txn rows
+    plus its sidecar parquets; a sidecar-less V2 manifest falls back
+    (its file actions are inline and already driver-sized)."""
+    res = _resolve_checkpoint(path, version)
+    if res is None:
+        return None
+    kind, files = res
+    if kind in ("classic", "multipart"):
+        return None, files
+    if files[0].endswith(".json"):
+        rows = [
+            json.loads(line) for line in open(files[0]) if line.strip()
+        ]
+    else:
+        rows = [
+            r.asDict(recursive=True)
+            for r in spark.read.parquet(*files).collect()
+        ]
+    sidecars: list[str] = []
+    metas: list[dict] = []
+    for d in rows:
+        sc = d.get("sidecar")
+        if sc:
+            p = sc.get("path") or ""
+            sidecars.append(
+                p
+                if os.path.isabs(p)
+                else os.path.join(
+                    _log_dir(path), "_sidecars", os.path.basename(p)
+                )
+            )
+        elif d.get("checkpointMetadata") is not None:
+            cm = d["checkpointMetadata"]
+            if cm and int(cm.get("version", version)) != version:
+                raise ValueError(
+                    f"v2 checkpoint manifest at version {version} "
+                    f"declares checkpointMetadata.version "
+                    f"{cm.get('version')} — corrupt checkpoint"
+                )
+        else:
+            metas.append(d)
+    if not sidecars:
+        return None
+    for s in sidecars:
+        if not os.path.exists(s):
+            raise FileNotFoundError(
+                f"v2 checkpoint sidecar missing: {s!r}"
+            )
+    return metas, sidecars
+
+
+def _replay_pruned_spark(
+    spark: SparkSession,
+    path: str,
+    version: int | None,
+    partition_filter: dict[str, str] | None,
+    predicate: str | None,
+) -> tuple[dict, dict, list[dict], dict[str, int]] | None:
+    """The DISTRIBUTED metadata plane (r13 verdict #1): reconstruct
+    (protocol, metaData, PRUNED live adds, txns) without ever
+    materializing the checkpoint's add set in the driver. The JSON
+    tail after the checkpoint replays driver-side (it is small by the
+    checkpointing contract); checkpoint adds stream through a Spark
+    scan whose mapInPandas mask runs the EXACT same per-add evaluator
+    (:func:`delta_stats.add_survives`) in executors, so the prune set
+    is identical to the driver path by construction — only surviving
+    adds are collected. Returns None whenever the path doesn't apply
+    (no checkpoint at/below the target, fewer actions than
+    ``_SPARK_PRUNE_THRESHOLD``, nothing prunable) and the caller
+    falls back to :func:`_replay` + :func:`delta_stats.skip_files`.
+    """
+    ckpt = _read_last_checkpoint(path)
+    if ckpt is None:
+        return None
+    versions = delta_versions(path)
+    target = (
+        version
+        if version is not None
+        else (max(versions) if versions else ckpt)
+    )
+    if ckpt > target:
+        return None
+    n_actions = _last_checkpoint_size(path)
+    if n_actions is None or n_actions < _SPARK_PRUNE_THRESHOLD:
+        return None
+    plan = _ckpt_file_action_plan(spark, path, ckpt)
+    if plan is None:
+        return None
+    meta_rows, add_files = plan
+
+    # ---- JSON tail, driver-side (small): protocol/meta overrides,
+    # txn fences, and per-commit (removes, adds) buffers in order
+    missing = [v for v in range(ckpt + 1, target + 1) if v not in versions]
+    if missing:
+        raise FileNotFoundError(
+            f"Delta log at {path!r} is missing commit(s) {missing} "
+            f"needed to reconstruct version {target}"
+        )
+    tail_proto: dict = {}
+    tail_meta: dict = {}
+    txns: dict[str, int] = {}
+    tail_commits: list[tuple[list[dict], list[dict]]] = []
+    for v in range(ckpt + 1, target + 1):
+        commit_removes: list[dict] = []
+        commit_adds: list[dict] = []
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    tail_proto = action["protocol"]
+                elif "metaData" in action:
+                    tail_meta = action["metaData"]
+                elif "add" in action:
+                    commit_adds.append(action["add"])
+                elif "remove" in action:
+                    commit_removes.append(action["remove"])
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
+        tail_commits.append((commit_removes, commit_adds))
+
+    # ---- checkpoint-side protocol/metaData/txn (tiny filtered scan
+    # for classic/multipart; inline manifest rows for V2)
+    if meta_rows is None:
+        meta_rows = [
+            r.asDict(recursive=True)
+            for r in spark.read.parquet(*add_files)
+            .where("add IS NULL AND remove IS NULL")
+            .collect()
+        ]
+    protocol: dict = {}
+    meta: dict = {}
+    for d in meta_rows:
+        if d.get("protocol"):
+            protocol = {
+                k: v for k, v in d["protocol"].items() if v is not None
+            }
+        if d.get("metaData"):
+            meta = {
+                k: v for k, v in d["metaData"].items() if v is not None
+            }
+        if d.get("txn"):
+            t = d["txn"]
+            txns[t["appId"]] = max(
+                txns.get(t["appId"], -1), int(t["version"])
+            )
+    if tail_proto:
+        protocol = tail_proto
+    if tail_meta:
+        meta = tail_meta
+    if not meta:
+        raise ValueError(f"Delta log at {path!r} has no metaData action")
+    _reader_gate(protocol, meta, path)
+
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    physical_of = _column_mapping(meta)
+    if partition_filter:
+        unknown = set(partition_filter) - set(pcols)
+        if unknown:
+            raise ValueError(
+                f"partition_filter keys {sorted(unknown)} are not "
+                f"partition columns {pcols}"
+            )
+    lits = None
+    if predicate:
+        atoms = delta_stats.parse_skip_predicate(predicate)
+        if atoms is not None:
+            lits = delta_stats.prep_atoms(
+                atoms,
+                schema,
+                session_tz=spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                ),
+            )
+    if lits is None and not partition_filter:
+        return None  # nothing prunes — the driver path costs the same
+
+    # ---- overlay: paths the tail touches replay driver-side over
+    # their checkpoint base rows (exact _replay semantics)
+    touched: set[str] = set()
+    for removes, adds_ in tail_commits:
+        touched.update(r["path"] for r in removes if "path" in r)
+        touched.update(a["path"] for a in adds_)
+    adds_df = (
+        spark.read.parquet(*add_files)
+        .where("add IS NOT NULL")
+        .select("add.*")
+    )
+    overlay: dict[str, dict] = {}
+    if touched:
+        tl = sorted(touched)
+        for r in adds_df.where(F.col("path").isin(tl)).collect():
+            a = {
+                k: v
+                for k, v in r.asDict(recursive=True).items()
+                if v is not None
+            }
+            overlay[a["path"]] = a
+    for removes, adds_ in tail_commits:
+        for rm in removes:
+            _apply_remove(overlay, rm)
+        for a in adds_:
+            overlay[a["path"]] = a
+
+    # ---- distributed prune of the untouched checkpoint adds: the
+    # SAME evaluator, running in executors over Arrow batches
+    remaining = (
+        adds_df.where(~F.col("path").isin(sorted(touched)))
+        if touched
+        else adds_df
+    )
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    pf_phys = (
+        {
+            (physical_of[k] if physical_of else k): v
+            for k, v in partition_filter.items()
+        }
+        if partition_filter
+        else None
+    )
+    _lits, _pcols, _phys = lits, pcols, physical_of
+
+    def _mask(batches):
+        for pdf in batches:
+            keep = []
+            pv_col = pdf["partitionValues"]
+            st_col = pdf["stats"] if "stats" in pdf.columns else None
+            for i in range(len(pdf)):
+                pv = pv_col.iloc[i]
+                # Arrow map columns surface as lists of (k, v) pairs
+                if pv is not None and not isinstance(pv, dict):
+                    pv = dict(pv)
+                ok = True
+                if pf_phys is not None:
+                    ok = all(
+                        (pv or {}).get(k) == v
+                        for k, v in pf_phys.items()
+                    )
+                if ok and _lits is not None:
+                    a = {
+                        "partitionValues": pv,
+                        "stats": None
+                        if st_col is None
+                        else st_col.iloc[i],
+                    }
+                    ok = delta_stats.add_survives(
+                        a, _lits, dtypes, _pcols, _phys
+                    )
+                keep.append(ok)
+            yield pdf[keep]
+
+    survivors = [
+        {
+            k: v
+            for k, v in r.asDict(recursive=True).items()
+            if v is not None
+        }
+        for r in remaining.mapInPandas(_mask, remaining.schema).collect()
+    ]
+
+    # ---- overlay survivors prune driver-side (they are O(tail))
+    live = list(overlay.values())
+    if pf_phys is not None:
+        live = [
+            a
+            for a in live
+            if all(
+                (a.get("partitionValues") or {}).get(k) == v
+                for k, v in pf_phys.items()
+            )
+        ]
+    if lits is not None:
+        live = [
+            a
+            for a in live
+            if delta_stats.add_survives(a, lits, dtypes, pcols, physical_of)
+        ]
+    return protocol, meta, survivors + live, txns
 
 
 def _strip_meta(schema: T.StructType) -> T.StructType:
@@ -1047,6 +1386,33 @@ def read_delta(
         raise ValueError("pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
         version = version_as_of_timestamp_delta(path, timestamp_ms)
+    pruned = (
+        _replay_pruned_spark(
+            spark, path, version, partition_filter, predicate
+        )
+        if (predicate or partition_filter)
+        else None
+    )
+    if pruned is not None:
+        # the distributed plane already applied partition_filter +
+        # stats skipping in executors; only the residual row filter
+        # remains
+        _protocol, meta, live, _txns = pruned
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns") or [])
+        physical_of = _column_mapping(meta)
+        if not live:
+            out = spark.createDataFrame([], _strip_meta(schema))
+            return out.filter(F.expr(predicate)) if predicate else out
+        out = _scan_adds(
+            spark,
+            path,
+            schema,
+            pcols,
+            [(None, a) for a in live],
+            physical_of=physical_of,
+        )
+        return out.filter(F.expr(predicate)) if predicate else out
     _protocol, meta, adds, _txns = _replay(spark, path, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])

@@ -54,6 +54,8 @@ from pyspark.sql import types as T
 DEFAULT_INDEXED_COLS = 32
 
 __all__ = [
+    "add_survives",
+    "prep_atoms",
     "DEFAULT_INDEXED_COLS",
     "file_stats_json",
     "parse_skip_predicate",
@@ -505,10 +507,29 @@ def skip_files(
     columns evaluate against partitionValues (min = max = value);
     data columns against the add's ``stats`` JSON. Any decode/coerce
     surprise keeps the file — conservative by construction."""
+    lits = prep_atoms(atoms, schema, session_tz)
+    if lits is None:
+        return adds
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    return [
+        a
+        for a in adds
+        if add_survives(a, lits, dtypes, pcols, physical_of)
+    ]
+
+
+def prep_atoms(
+    atoms: list[tuple],
+    schema: T.StructType,
+    session_tz: str = "UTC",
+) -> list[tuple] | None:
+    """Coerce parsed atoms' literals into the comparable domain of
+    their column's type. Uncoercible atoms (kind mismatches) are
+    dropped — they prove nothing. None = nothing prunable."""
     dtypes = {f.name: f.dataType for f in schema.fields}
     rel = [a for a in atoms if a[0] in dtypes]
     if not rel:
-        return adds
+        return None
     lits: list[tuple] = []
     for col, op, v in rel:
         try:
@@ -519,46 +540,52 @@ def skip_files(
         except (TypeError, ValueError, ArithmeticError):
             continue  # uncoercible atom proves nothing
         lits.append((col, op, v))
-    if not lits:
-        return adds
-    kept: list[dict] = []
-    for a in adds:
-        st = a.get("stats")
-        if isinstance(st, str):
-            try:
-                st = json.loads(st)
-            except (ValueError, TypeError):
-                st = None
-        st = st if isinstance(st, dict) else {}
-        nrec = st.get("numRecords")
-        pv = a.get("partitionValues") or {}
-        ok = True
-        for col, op, v in lits:
-            phys = physical_of.get(col, col) if physical_of else col
-            try:
-                if col in pcols:
-                    raw = pv.get(phys)
-                    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
-                        lo = hi = None
-                        nc, n = 1, 1  # all-null partition value
-                    else:
-                        lo = hi = _decode(raw, dtypes[col])
-                        nc, n = 0, nrec if nrec is not None else 1
-                        n = n or 1
-                    if not _atom_allows((col, op, v), lo, hi, nc, n):
-                        ok = False
-                        break
-                    continue
-                mv = (st.get("minValues") or {}).get(phys)
-                xv = (st.get("maxValues") or {}).get(phys)
-                nc = (st.get("nullCount") or {}).get(phys)
-                lo = _decode(mv, dtypes[col]) if mv is not None else None
-                hi = _decode(xv, dtypes[col]) if xv is not None else None
-                if not _atom_allows((col, op, v), lo, hi, nc, nrec):
-                    ok = False
-                    break
-            except (TypeError, ValueError, ArithmeticError):
+    return lits or None
+
+
+def add_survives(
+    a: dict,
+    lits: list[tuple],
+    dtypes: dict[str, T.DataType],
+    pcols: list[str],
+    physical_of: dict[str, str] | None,
+) -> bool:
+    """True unless the add's stats/partitionValues PROVE the
+    conjunction matches no row. Shared verbatim by the driver-side
+    loop (:func:`skip_files`) and the distributed mapInPandas path
+    (``delta_io._pruned_ckpt_adds``) so both paths prune
+    identically by construction."""
+    st = a.get("stats")
+    if isinstance(st, str):
+        try:
+            st = json.loads(st)
+        except (ValueError, TypeError):
+            st = None
+    st = st if isinstance(st, dict) else {}
+    nrec = st.get("numRecords")
+    pv = a.get("partitionValues") or {}
+    for col, op, v in lits:
+        phys = physical_of.get(col, col) if physical_of else col
+        try:
+            if col in pcols:
+                raw = pv.get(phys)
+                if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                    lo = hi = None
+                    nc, n = 1, 1  # all-null partition value
+                else:
+                    lo = hi = _decode(raw, dtypes[col])
+                    nc, n = 0, nrec if nrec is not None else 1
+                    n = n or 1
+                if not _atom_allows((col, op, v), lo, hi, nc, n):
+                    return False
                 continue
-        if ok:
-            kept.append(a)
-    return kept
+            mv = (st.get("minValues") or {}).get(phys)
+            xv = (st.get("maxValues") or {}).get(phys)
+            nc = (st.get("nullCount") or {}).get(phys)
+            lo = _decode(mv, dtypes[col]) if mv is not None else None
+            hi = _decode(xv, dtypes[col]) if xv is not None else None
+            if not _atom_allows((col, op, v), lo, hi, nc, nrec):
+                return False
+        except (TypeError, ValueError, ArithmeticError):
+            continue
+    return True
