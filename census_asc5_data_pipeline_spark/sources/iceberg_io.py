@@ -685,6 +685,7 @@ def _snapshot_files(
     meta: dict,
     snapshot_id: int | None,
     spark: SparkSession | None = None,
+    manifest_pruner=None,
 ) -> tuple[list[dict], list[dict]]:
     """(data_files, delete_files) of the snapshot's non-deleted
     entries. Every dict carries ``_seq`` — the owning manifest's
@@ -715,6 +716,17 @@ def _snapshot_files(
             _local(snap["manifest-list"])
         )
         for m in manifests:
+            # manifest-list partition field summaries (spec field
+            # 508, r14): a DATA manifest whose summaries PROVE no
+            # partition can match is skipped before its Avro ever
+            # decodes. DELETE manifests always decode — a position/
+            # equality delete may target files in surviving manifests
+            if (
+                manifest_pruner is not None
+                and int(m.get("content", 0) or 0) == 0
+                and not manifest_pruner(m)
+            ):
+                continue
             manifest_specs.append(
                 (
                     _local(m["manifest_path"]),
@@ -915,6 +927,89 @@ def resolve_ref(meta: dict, ref: str) -> int:
     return int(refs[ref]["snapshot-id"])
 
 
+def _manifest_summary_pruner(
+    meta: dict,
+    fields: list[dict],
+    atoms: list[tuple],
+    session_tz: str = "UTC",
+):
+    """Build the manifest-level keep-callable from manifest-list
+    partition field summaries (spec field 508, r14): for each
+    IDENTITY partition field whose SOURCE column the predicate
+    constrains, decode the summary's Appendix-D bounds and evaluate
+    the same conservative ``_atom_allows`` interval logic — a
+    manifest is dropped only when a summary PROVES no file in it can
+    match. Non-identity transforms, missing/undecodable summaries and
+    unknown specs all keep the manifest. None = nothing evaluable."""
+    from census_asc5_data_pipeline_spark.sources import delta_stats as dsk
+
+    dtypes = {f["name"]: _ice_type_to_spark(f["type"]) for f in fields}
+    fields_by_id = {f["id"]: f for f in fields}
+    specs = meta.get("partition-specs") or (
+        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    specs_by_id = {int(s.get("spec-id", 0)): s for s in specs}
+    lits_by_col: dict[str, list[tuple]] = {}
+    for col, op, v in atoms:
+        if col not in dtypes:
+            continue
+        try:
+            if op == "in":
+                v = [
+                    dsk._coerce_lit(x, dtypes[col], session_tz)
+                    for x in v
+                ]
+            elif v is not None:
+                v = dsk._coerce_lit(v, dtypes[col], session_tz)
+        except (TypeError, ValueError, ArithmeticError):
+            continue
+        lits_by_col.setdefault(col, []).append((col, op, v))
+    if not lits_by_col:
+        return None
+
+    def keep(m: dict) -> bool:
+        sums = m.get("partitions")
+        if not sums:
+            return True
+        spec = specs_by_id.get(int(m.get("partition_spec_id", 0) or 0))
+        if spec is None:
+            return True
+        for s, pf in zip(sums, spec.get("fields", [])):
+            if not isinstance(s, dict):
+                continue
+            if pf.get("transform", "identity") != "identity":
+                continue
+            src = fields_by_id.get(pf["source-id"])
+            if src is None:
+                continue
+            col = src["name"]
+            lits = lits_by_col.get(col)
+            if not lits:
+                continue
+            ice_t = str(src["type"])
+            lo = hi = None
+            try:
+                lb, ub = s.get("lower_bound"), s.get("upper_bound")
+                if lb is not None:
+                    lo = iceberg_bounds.decode_bound(ice_t, bytes(lb))
+                if ub is not None:
+                    hi = iceberg_bounds.decode_bound(ice_t, bytes(ub))
+            except Exception:
+                lo = hi = None
+            nc = 1 if s.get("contains_null") else 0
+            for atom in lits:
+                try:
+                    # nrec = nc + 2 so the all-null proof never fires
+                    # (summaries can't prove it) — conservative
+                    if not dsk._atom_allows(atom, lo, hi, nc, nc + 2):
+                        return False
+                except (TypeError, ValueError, ArithmeticError):
+                    continue
+        return True
+
+    return keep
+
+
 def _skip_by_bounds(
     live: list[dict],
     atoms: list[tuple],
@@ -1037,7 +1132,26 @@ def read_iceberg(
         )
     renamed = _renamed_ids(meta)
     schema, _fields = _schema_of(meta, allow_renames=bool(renamed))
-    live, deletes = _snapshot_files(path, meta, snapshot_id, spark=spark)
+    atoms = None
+    pruner = None
+    if predicate:
+        from census_asc5_data_pipeline_spark.sources import (
+            delta_stats as _dsk,
+        )
+
+        atoms = _dsk.parse_skip_predicate(predicate)
+        if atoms is not None:
+            pruner = _manifest_summary_pruner(
+                meta,
+                _fields,
+                atoms,
+                session_tz=spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                ),
+            )
+    live, deletes = _snapshot_files(
+        path, meta, snapshot_id, spark=spark, manifest_pruner=pruner
+    )
     if deletes and renamed:
         raise NotImplementedError(
             "row-level deletes on a renamed-column history — the "
@@ -1102,12 +1216,7 @@ def read_iceberg(
     if predicate:
         from pyspark.sql import functions as F
 
-        from census_asc5_data_pipeline_spark.sources import (
-            delta_stats as _dsk,
-        )
-
         residual = F.expr(predicate)
-        atoms = _dsk.parse_skip_predicate(predicate)
         if atoms is not None:
             live = _skip_by_bounds(
                 live,
@@ -1365,8 +1474,129 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long"},
         {"name": "existing_rows_count", "type": "long"},
         {"name": "deleted_rows_count", "type": "long"},
+        # table-spec §Manifest Lists field 508: per-partition-field
+        # summaries (positional by the manifest's spec fields) — at
+        # 100 TB these skip WHOLE manifests for partition predicates
+        # before any manifest Avro decodes (r14, r13 verdict #2)
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
     ],
 }
+
+
+def _ml_row(m: dict) -> dict:
+    """Normalize a manifest_file dict (ours or a foreign decode) to
+    exactly the manifest-list schema's fields — carried-forward
+    entries must keep their partition summaries, never default them
+    to a type-invalid 0."""
+    row = {
+        k: m.get(k, 0)
+        for k in (f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"])
+        if k != "partitions"
+    }
+    sums = m.get("partitions")
+    row["partitions"] = (
+        [
+            {
+                "contains_null": bool(s.get("contains_null", False)),
+                "contains_nan": s.get("contains_nan"),
+                "lower_bound": s.get("lower_bound"),
+                "upper_bound": s.get("upper_bound"),
+            }
+            for s in sums
+        ]
+        if sums
+        else None
+    )
+    return row
+
+
+def _partition_summaries(
+    files: list[dict], pcol_ice: list[tuple[str, str]]
+) -> list[dict] | None:
+    """field_summary per partition field (spec field 508) from the
+    manifest's data_file partition structs: contains_null + Appendix-D
+    lower/upper bounds in the field's RESULT type. A field whose
+    values don't bound (encode returns None) gets a null-bounds
+    summary — contains_null stays trustworthy, bounds just don't
+    prune."""
+    if not pcol_ice or not files:
+        return None
+    out: list[dict] = []
+    for name, ice_t in pcol_ice:
+        contains_null = False
+        unbounded = False
+        lo = hi = None
+        for d in files:
+            v = (d.get("partition") or {}).get(name)
+            if v is None:
+                # keep scanning ALL files for nulls even when bounds
+                # fail — an under-reported contains_null would let an
+                # IS NULL predicate prune a manifest wrongly
+                contains_null = True
+                continue
+            if unbounded:
+                continue
+            try:
+                if lo is None or v < lo:
+                    lo = v
+                if hi is None or hi < v:
+                    hi = v
+            except TypeError:
+                unbounded = True
+                lo = hi = None
+        lb = (
+            iceberg_bounds.encode_bound(ice_t, lo)
+            if lo is not None
+            else None
+        )
+        ub = (
+            iceberg_bounds.encode_bound(ice_t, hi)
+            if hi is not None
+            else None
+        )
+        out.append(
+            {
+                "contains_null": contains_null,
+                "contains_nan": None,
+                "lower_bound": lb,
+                "upper_bound": ub if lb is not None else None,
+            }
+        )
+    return out
 
 
 def _entry_schema_for(pcols: list[tuple[str, str]]) -> dict:
@@ -1703,6 +1933,7 @@ def write_iceberg(
         "added_rows_count": sum(d["record_count"] for d in data_files),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
+        "partitions": _partition_summaries(data_files, pcol_ice),
     }
     ml_path = os.path.join(
         _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
@@ -1711,16 +1942,7 @@ def write_iceberg(
         write_container_generic(
             fh,
             _MANIFEST_FILE_SCHEMA,
-            [
-                {
-                    k: m.get(k, 0)
-                    for k in (
-                        f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]
-                    )
-                }
-                for m in prev_manifests
-            ]
-            + [new_manifest],
+            [_ml_row(m) for m in prev_manifests] + [_ml_row(new_manifest)],
         )
     if not exists:
         cur_sid = 0
@@ -3302,6 +3524,7 @@ def rewrite_data_files(
             d["record_count"] for d in all_files
         ),
         "deleted_rows_count": 0,
+        "partitions": _partition_summaries(all_files, pcol_ice),
     }
     ml_path = os.path.join(
         _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
@@ -3310,14 +3533,7 @@ def rewrite_data_files(
         write_container_generic(
             fh,
             _MANIFEST_FILE_SCHEMA,
-            [
-                {
-                    k: manifest.get(k, 0)
-                    for k in (
-                        f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]
-                    )
-                }
-            ],
+            [_ml_row(manifest)],
         )
     snapshot = {
         "snapshot-id": snap_id,
@@ -3427,6 +3643,41 @@ def delete_iceberg_where(
     )
 
 
+def _default_spec_pcol_ice(meta: dict) -> list[tuple[str, str]]:
+    """(partition field name, result ice type) pairs of the table's
+    default spec — the summary-computation shape. Empty on any
+    metadata surprise (summaries are optional)."""
+    try:
+        _sch, fields = _schema_of(meta, allow_renames=True)
+        by_id = {f["id"]: f for f in fields}
+        specs = meta.get("partition-specs") or [
+            {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+        ]
+        sid = int(meta.get("default-spec-id", 0))
+        spec = next(
+            (s for s in specs if int(s.get("spec-id", 0)) == sid), None
+        )
+        if spec is None:
+            return []
+        out = []
+        for pf in spec.get("fields", []):
+            src = by_id.get(pf["source-id"])
+            if src is None:
+                return []
+            out.append(
+                (
+                    pf["name"],
+                    _transform_result_type(
+                        pf.get("transform", "identity"),
+                        str(src["type"]),
+                    ),
+                )
+            )
+        return out
+    except Exception:
+        return []
+
+
 def _commit_delete_snapshot(
     path: str,
     meta: dict,
@@ -3506,6 +3757,9 @@ def _commit_delete_snapshot(
         ),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
+        "partitions": _partition_summaries(
+            delete_files, _default_spec_pcol_ice(meta)
+        ),
     }
     ml_path = os.path.join(
         _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
@@ -3514,16 +3768,7 @@ def _commit_delete_snapshot(
         write_container_generic(
             fh,
             _MANIFEST_FILE_SCHEMA,
-            [
-                {
-                    k: m.get(k, 0)
-                    for k in (
-                        f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]
-                    )
-                }
-                for m in prev_manifests
-            ]
-            + [new_manifest],
+            [_ml_row(m) for m in prev_manifests] + [_ml_row(new_manifest)],
         )
     snapshot = {
         "snapshot-id": snap_id,
