@@ -10385,7 +10385,12 @@ def q_identity_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas discipline — exact and contiguous regardless of
     partitioning) → INSERT the 1996 orders (ids N₁+1..N₁+N₂; the high
     water mark ratcheted in the first commit's metaData makes the
-    second allocation start exactly after the first). Per-year
+    second allocation start exactly after the first) → MERGE (r14)
+    upserting the 1995+1997 orders: matched 1995 rows take a no-op
+    okey update (their post-images must PRESERVE the allocated ids —
+    any reallocation flips the 1995 aggregates), unmatched 1997 rows
+    flow through the insert clause and allocate ids N₁+N₂+1..N₁+N₂+N₃
+    via the same kernel, hwm stamped in the same commit. Per-year
     count/min/max/SUM of the allocated ids hash-match DuckDB's
     closed-form reconstruction (arithmetic series over the year
     counts) — an id gap, overlap, or a lost high water mark flips
@@ -10431,6 +10436,14 @@ def q_identity_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE yr = 1996",
         cat,
     )
+    dml_sql(
+        spark,
+        f"MERGE INTO ident_t t USING (SELECT okey, yr FROM {view} "
+        "WHERE yr IN (1995, 1997)) s ON t.okey = s.okey "
+        "WHEN MATCHED THEN UPDATE SET okey = s.okey "
+        "WHEN NOT MATCHED THEN INSERT (okey, yr) VALUES (s.okey, s.yr)",
+        cat,
+    )
     return (
         delta_io.read_delta(spark, base)
         .groupBy("yr")
@@ -10449,7 +10462,9 @@ WITH n AS (
     CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1995)
          AS BIGINT) AS n1,
     CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
-         AS BIGINT) AS n2
+         AS BIGINT) AS n2,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1997)
+         AS BIGINT) AS n3
   FROM orders
 )
 SELECT 1995 AS yr, n1 AS n_rows,
@@ -10460,6 +10475,12 @@ UNION ALL
 SELECT 1996 AS yr, n2 AS n_rows,
        n1 + 1 AS id_min, n1 + n2 AS id_max,
        (n1 + n2) * (n1 + n2 + 1) // 2 - n1 * (n1 + 1) // 2 AS id_sum
+FROM n
+UNION ALL
+SELECT 1997 AS yr, n3 AS n_rows,
+       n1 + n2 + 1 AS id_min, n1 + n2 + n3 AS id_max,
+       (n1 + n2 + n3) * (n1 + n2 + n3 + 1) // 2
+         - (n1 + n2) * (n1 + n2 + 1) // 2 AS id_sum
 FROM n
 """
 

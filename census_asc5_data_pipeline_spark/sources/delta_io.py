@@ -913,10 +913,10 @@ def _writer_gate(protocol: dict, meta: dict, operation: str) -> None:
     - protocol lists an unimplemented writerFeature → the spec says
       don't write at all (any verb, ``operation`` included for the
       message only);
-    - the schema carries identity-column metadata (implied by legacy
-      writer version 6) → this writer cannot allocate those values;
-      generated columns (legacy writer v4) are SUPPORTED — the write
-      paths compute/validate them via :func:`_apply_generated`;
+    - generated columns (legacy writer v4) and identity columns
+      (legacy writer v6) are SUPPORTED — the write paths compute/
+      validate/allocate via :func:`_apply_generated` /
+      :func:`_apply_identity` (MERGE included since r14);
     - generated/identity/invariant metadata on a NESTED struct field
       → refuse every write: the top-level enforcement machinery
       (:func:`_table_constraints`, :func:`_apply_generated`) never
@@ -939,21 +939,12 @@ def _writer_gate(protocol: dict, meta: dict, operation: str) -> None:
         meta.get("schemaString") or '{"fields":[]}'
     )
     for f in schema_json.get("fields", []):
-        md = f.get("metadata") or {}
-        if any(k.startswith("delta.identity.") for k in md):
-            # identity allocation is SUPPORTED on the append/INSERT/
-            # OVERWRITE paths (r13 — _apply_identity allocates and
-            # ratchets the high water mark in the same commit) and
-            # harmless for row-removal/maintenance verbs; MERGE still
-            # refuses: its insert clauses would need per-clause
-            # allocation + hwm accounting this engine doesn't do yet
-            if operation == "MERGE":
-                raise NotImplementedError(
-                    f"column {f['name']!r} is an identity column — "
-                    "MERGE insert clauses cannot allocate its values "
-                    "yet; refusing to MERGE (append/INSERT/UPDATE/"
-                    "DELETE are supported)"
-                )
+        # identity allocation is SUPPORTED on every DML verb since
+        # r14: append/INSERT/OVERWRITE allocate via _apply_identity
+        # (r13), MERGE routes its insert-clause rows through the same
+        # kernel with the hwm stamped in the same commit, and
+        # UPDATE/DELETE never touch the column (SET on identity
+        # refuses at the statement layer)
         _nested_meta_gate(f.get("type"), f["name"], operation)
     conf = meta.get("configuration") or {}
     if (

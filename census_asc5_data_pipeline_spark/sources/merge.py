@@ -319,6 +319,30 @@ def _merge_delta(
         if isinstance(not_matched, dict)
         else list(not_matched or [])
     )
+    idents = d._identity_columns(meta)
+    ident_names = {i[0] for i in idents}
+    identity_basis = {n: h for n, _d, _s, _st, h, _a in idents}
+    if ident_names:
+        # r14 (r13 verdict #3): MERGE supports identity tables —
+        # insert-clause rows flow through _apply_identity's
+        # checkpoint+count+mapInPandas kernel below; SET on the
+        # identity column keeps refusing (system-allocated values)
+        for _tag, _cond, sets_ in _all_clauses(matched, nmbs):
+            bad = ident_names & set(sets_ or {})
+            if bad:
+                raise ValueError(
+                    f"cannot SET identity column(s) {sorted(bad)} — "
+                    "identity values are system-allocated"
+                )
+        for name in sorted(ident_names):
+            supplied = [name in vals for _c, vals in nm_list]
+            if supplied and any(supplied) and not all(supplied):
+                raise ValueError(
+                    f"identity column {name!r} must be supplied by "
+                    "ALL insert clauses or NONE — mixed clauses "
+                    "would interleave explicit values with "
+                    "allocation"
+                )
     if gen_names:
         for _tag, _cond, sets_ in _all_clauses(matched, nmbs):
             bad = gen_names & set(sets_ or {})
@@ -399,6 +423,27 @@ def _merge_delta(
         # schema for a follow-up write must not silently see the old
         # one), just with no add/remove actions.
         return None
+    identity_updates: dict[str, int] = {}
+    if inserts is not None and n_ins and ident_names:
+        # insert-clause allocation (r14): clauses that DON'T name the
+        # identity column projected it as NULL — drop it so
+        # _apply_identity sees it missing and allocates gap-free;
+        # clauses that DO name it pass explicit values through the
+        # same ALWAYS-refusal / BY DEFAULT hwm-ratchet rules as
+        # INSERT. Update post-images keep their existing values (SET
+        # refused above), so only inserts allocate.
+        unsupplied = [
+            n
+            for n in sorted(ident_names)
+            if not any(n in vals for _c, vals in nm_list)
+        ]
+        alloc_src = inserts.drop(*unsupplied) if unsupplied else inserts
+        alloc_out, identity_updates = d._apply_identity(
+            alloc_src, meta, "MERGE"
+        )
+        inserts = alloc_out.select(
+            [F.col(f"`{f.name}`") for f in schema.fields]
+        )
     now_ms = int(time.time() * 1000)
     lines: list[dict] = [
         {
@@ -410,13 +455,21 @@ def _merge_delta(
             }
         }
     ]
-    if extra_fields:
-        # schema evolution commits atomically with the row changes:
-        # the same commit carries the widened metaData (old files'
-        # missing columns read NULL on scan)
-        lines.append(
-            {"metaData": dict(meta, schemaString=schema.json())}
+    if extra_fields or identity_updates:
+        # schema evolution and/or the advanced identity high water
+        # mark commit atomically with the row changes in ONE metaData
+        # action (old files' missing columns read NULL on scan; the
+        # hwm must land with its allocated rows, per spec)
+        meta_commit = (
+            dict(meta, schemaString=schema.json())
+            if extra_fields
+            else dict(meta)
         )
+        if identity_updates:
+            meta_commit = d._stamp_identity_hwm(
+                meta_commit, identity_updates
+            )
+        lines.append({"metaData": meta_commit})
     adds_by_base = d._adds_by_base(adds)
     planned: dict[str, dict | None] = {}
     staged_rows: DataFrame | None = None
@@ -543,6 +596,20 @@ def _merge_delta(
                 raise ValueError(
                     f"concurrent commit changed {p_!r} since this MERGE "
                     "was planned — aborting without committing"
+                )
+        if identity_updates:
+            # the write_delta concurrent-allocation abort, verbatim:
+            # committing a range another writer also allocated would
+            # duplicate keys
+            cur_basis = {
+                n: h
+                for n, _d, _s, _st, h, _a in d._identity_columns(_m2)
+            }
+            if cur_basis != identity_basis:
+                raise ValueError(
+                    "concurrent identity allocation detected (high "
+                    "water mark moved since this MERGE was planned) "
+                    "— re-run the merge"
                 )
         try:
             d._put_if_absent_commit(path, next_v, lines)
