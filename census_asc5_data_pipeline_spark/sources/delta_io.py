@@ -1326,25 +1326,31 @@ def _partition_cast(value: str | None, dtype: T.DataType):
     return F.lit(value).cast(dtype)
 
 
+def _commit_timestamp_ms(path: str, v: int) -> int:
+    """A commit's timestamp: commitInfo.timestamp, falling back to
+    the commit file's mtime — original Delta behavior."""
+    stamp = None
+    with open(_commit_file(path, v)) as fh:
+        for line in fh:
+            try:
+                action = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "commitInfo" in action:
+                stamp = action["commitInfo"].get("timestamp")
+                break
+    if stamp is None:
+        stamp = int(os.path.getmtime(_commit_file(path, v)) * 1000)
+    return int(stamp)
+
+
 def version_as_of_timestamp_delta(path: str, ts_ms: int) -> int:
     """Latest version whose commit timestamp (commitInfo.timestamp,
     falling back to the commit file's mtime — original Delta
     behavior) is <= ``ts_ms``."""
     best = None
     for v in delta_versions(path):
-        stamp = None
-        with open(_commit_file(path, v)) as fh:
-            for line in fh:
-                try:
-                    action = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if "commitInfo" in action:
-                    stamp = action["commitInfo"].get("timestamp")
-                    break
-        if stamp is None:
-            stamp = int(os.path.getmtime(_commit_file(path, v)) * 1000)
-        if stamp <= ts_ms:
+        if _commit_timestamp_ms(path, v) <= ts_ms:
             best = v
     if best is None:
         raise ValueError(
@@ -3605,17 +3611,24 @@ def create_checkpoint(
 
 
 def vacuum_delta(
-    spark: SparkSession, path: str, keep_versions: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 2,
+    retain_ms: int | None = None,
 ) -> dict:
     """Physically delete data files no version in the retention
     window references, and prune log JSONs the latest checkpoint has
     compacted — the storage-reclaim half of the table lifecycle
     (overwrites tombstone files logically; the bytes stay until
-    vacuum). Retention is VERSION-count based (the last
+    vacuum). Retention is VERSION-count based by default (the last
     ``keep_versions`` states stay fully readable for time travel and
-    in-flight readers), which is deterministic under test and at
-    parity with time-based retention for a log whose commit cadence
-    is known.
+    in-flight readers — deterministic under test), or TIME-based
+    (r14, delta-spark's ``VACUUM … RETAIN n HOURS``): with
+    ``retain_ms`` set, every version whose commit timestamp
+    (commitInfo.timestamp, mtime fallback) is AT or after
+    ``now - retain_ms`` is retained — the boundary version exactly at
+    the cutoff stays readable — plus always the latest version, and
+    ``keep_versions`` is ignored.
 
     Safety invariants:
     - the live set is the UNION of every retained version's file list
@@ -3641,7 +3654,22 @@ def vacuum_delta(
     versions = delta_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path!r}")
-    retained = versions[-keep_versions:]
+    if retain_ms is not None:
+        ts_cut = int(time.time() * 1000) - int(retain_ms)
+        retained = [
+            v
+            for v in versions
+            if _commit_timestamp_ms(path, v) >= ts_cut
+        ]
+        if not retained or retained[-1] != versions[-1]:
+            retained = retained + [versions[-1]]
+        # log pruning below keeps only a SUFFIX of versions readable;
+        # a timestamp gap inside the window would strand later
+        # versions, so retain the contiguous suffix from the oldest
+        # in-window version (conservative: only ever keeps MORE)
+        retained = [v for v in versions if v >= retained[0]]
+    else:
+        retained = versions[-keep_versions:]
     cutoff = os.path.getmtime(_commit_file(path, retained[-1]))
     from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
         dv_relative_path,

@@ -2244,7 +2244,7 @@ _OPTIMIZE_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<target>[\w.]+)"
-    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*$",
+    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+(?P<unit>VERSIONS|HOURS))?\s*$",
     re.IGNORECASE,
 )
 _CALL_RE = re.compile(
@@ -2449,10 +2449,11 @@ def dml_sql(
     Round-12 #4 completers: ``ALTER TABLE t ADD COLUMN(S) ...`` /
     ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)`` /
     ``OPTIMIZE t [ZORDER BY (c, ...)]`` / ``VACUUM t [RETAIN n
-    VERSIONS]`` (retention is version-count based in this engine —
-    documented divergence from delta-spark's RETAIN n HOURS), and
-    CREATE TABLE takes a TBLPROPERTIES clause (see
-    :func:`_create_table`)."""
+    VERSIONS | RETAIN n HOURS]`` (version-count retention stays the
+    deterministic test surface; RETAIN n HOURS is delta-spark's
+    time-based retention — r14 — resolving versions/snapshots by
+    commit timestamp, boundary-at-cutoff retained), and CREATE TABLE
+    takes a TBLPROPERTIES clause (see :func:`_create_table`)."""
     text = sql.strip().rstrip(";")
     head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
     if head == "MERGE":
@@ -2735,18 +2736,26 @@ def dml_sql(
             raise ValueError(f"cannot parse VACUUM: {sql!r}")
         fmt, path = _resolve(m.group("target"))
         keep = int(m.group("keep")) if m.group("keep") else 2
+        hours = (m.group("unit") or "").upper() == "HOURS"
+        retain_ms = keep * 3_600_000 if hours else None
         if fmt == "delta":
             from census_asc5_data_pipeline_spark.sources.delta_io import (
                 vacuum_delta,
             )
 
-            vacuum_delta(spark, path, keep_versions=keep)
+            if hours:
+                vacuum_delta(spark, path, retain_ms=retain_ms)
+            else:
+                vacuum_delta(spark, path, keep_versions=keep)
             return None
         from census_asc5_data_pipeline_spark.sources.iceberg_io import (
             expire_snapshots,
         )
 
-        expire_snapshots(path, keep_snapshots=keep)
+        if hours:
+            expire_snapshots(path, older_than_ms=retain_ms)
+        else:
+            expire_snapshots(path, keep_snapshots=keep)
         return None
 
     if head == "INSERT":
