@@ -453,9 +453,17 @@ def _reader_gate(protocol: dict, meta: dict, path: str) -> None:
             ok = cm_ok  # v2 == column mapping, no feature lists yet
         elif mr == 3:
             # v2Checkpoint is READ-supported since r12 (sidecar-aware
-            # _checkpoint_actions); writes stay classic
+            # _checkpoint_actions); typeWidening since r14 — the scan
+            # reads older narrow-typed parquet under the schema's
+            # widened types (Spark's vectorized reader performs the
+            # int→long / float→double / int→double / decimal-precision
+            # promotions natively, PROTOCOL.md §Type Widening's
+            # supported pairs); writes of both stay gated
             ok = feats <= {
-                "columnMapping", "deletionVectors", "v2Checkpoint"
+                "columnMapping",
+                "deletionVectors",
+                "v2Checkpoint",
+                "typeWidening",
             } and ("columnMapping" not in feats or cm_ok)
         else:
             ok = False

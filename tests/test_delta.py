@@ -214,8 +214,8 @@ def test_delta_feature_gates_refuse_unsupported_reader_features(
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["typeWidening"],
-                        "writerFeatures": ["typeWidening"],
+                        "readerFeatures": ["variantType"],
+                        "writerFeatures": ["variantType"],
                     }
                 }
             )
@@ -1098,7 +1098,7 @@ def test_delta_column_mapping_read(spark, tmp_path):
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["columnMapping", "typeWidening"],
+            "readerFeatures": ["columnMapping", "variantType"],
         }
     }
     with open(log, "w") as fh:
