@@ -2340,6 +2340,169 @@ _TT_SUFFIX = (
 )
 
 
+def _view_cycle_check(
+    name: str,
+    catalog: dict[str, tuple[str, str]],
+    _stack: tuple = (),
+) -> None:
+    """Refuse view definitions whose reference graph cycles — a pure
+    textual DFS BEFORE any evaluation, because evaluation re-enters
+    :func:`query_sql` with a fresh stack."""
+    if name in _stack:
+        raise ValueError(
+            f"view {name!r} participates in a reference cycle "
+            f"({' -> '.join(_stack + (name,))})"
+        )
+    body = catalog[name][1]
+    for vname, entry in list(catalog.items()):
+        if entry[0] == "view" and re.search(
+            rf"\b{re.escape(vname)}\b", body, re.IGNORECASE
+        ):
+            _view_cycle_check(vname, catalog, _stack + (name,))
+
+
+def _expand_view(
+    spark: SparkSession,
+    name: str,
+    catalog: dict[str, tuple[str, str]],
+) -> None:
+    """Evaluate a stored CREATE VIEW definition and register it as a
+    temp view under its own name (recursive — a view may reference
+    other views/tables; cycles refuse up front)."""
+    _view_cycle_check(name, catalog)
+    query_sql(spark, catalog[name][1], catalog).createOrReplaceTempView(
+        name
+    )
+
+
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?P<name>[\w.]+)\s+AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+(?P<kind>TABLE|VIEW)\s+(?P<ine>IF\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*(?P<purge>PURGE)?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:(?P<kind>HISTORY|DETAIL|TABLE)\s+)?"
+    r"(?P<target>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _describe_sql(
+    spark: SparkSession,
+    text: str,
+    catalog: dict[str, tuple[str, str]],
+):
+    """DESCRIBE [TABLE] / DESCRIBE HISTORY / DESCRIBE DETAIL over the
+    statement catalog (r14)."""
+    import json as _json
+
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+    from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
+
+    m = _DESCRIBE_RE.match(text)
+    if not m:
+        raise ValueError(f"cannot parse DESCRIBE statement: {text!r}")
+    name = m.group("target")
+    if name not in catalog:
+        raise ValueError(
+            f"table {name!r} not in catalog (have {sorted(catalog)})"
+        )
+    fmt, path = catalog[name]
+    kind = (m.group("kind") or "TABLE").upper()
+    if fmt == "view":
+        if kind != "TABLE":
+            raise ValueError(f"{name!r} is a view — DESCRIBE {name} only")
+        _expand_view(spark, name, catalog)
+        df = spark.table(name)
+        return spark.createDataFrame(
+            [
+                (f.name, f.dataType.simpleString(), f.nullable, False)
+                for f in df.schema.fields
+            ],
+            "col_name string, data_type string, nullable boolean, "
+            "is_partition boolean",
+        )
+    if kind == "HISTORY":
+        if fmt == "delta":
+            return d.describe_history(spark, path)
+        return ice.read_iceberg_meta(spark, path, "history")
+    if kind == "DETAIL":
+        if fmt == "delta":
+            return d.describe_detail(spark, path)
+        cur_v, meta = ice._current_metadata(path)
+        _sch, fields = ice._schema_of(meta, allow_renames=True)
+        specs = meta.get("partition-specs") or (
+            [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+        )
+        sid = int(meta.get("default-spec-id", 0))
+        spec = next(
+            (s for s in specs if int(s.get("spec-id", 0)) == sid),
+            {"fields": []},
+        )
+        row = (
+            "iceberg",
+            str(meta.get("table-uuid") or ""),
+            os.path.abspath(path),
+            [f["name"] for f in spec.get("fields", [])],
+            len(meta.get("snapshots", [])),
+            int(meta.get("current-snapshot-id") or -1),
+            {
+                str(k): str(v)
+                for k, v in (meta.get("properties") or {}).items()
+            },
+            int(meta.get("format-version", 1)),
+        )
+        return spark.createDataFrame(
+            [row],
+            "format string, id string, location string, "
+            "partition_columns array<string>, num_snapshots bigint, "
+            "current_snapshot_id bigint, properties map<string,string>, "
+            "format_version int",
+        )
+    # DESCRIBE [TABLE]: columns + partition flags off the metadata
+    if fmt == "delta":
+        _p, meta, _adds, _tx = d._replay(spark, path, None)
+        schema = T.StructType.fromJson(_json.loads(meta["schemaString"]))
+        pcols = set(meta.get("partitionColumns") or [])
+        rows = [
+            (f.name, f.dataType.simpleString(), f.nullable, f.name in pcols)
+            for f in schema.fields
+        ]
+    else:
+        _v, meta = ice._current_metadata(path)
+        _sch, fields = ice._schema_of(meta, allow_renames=True)
+        by_id = {f["id"]: f for f in fields}
+        specs = meta.get("partition-specs") or (
+            [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+        )
+        psrc = {
+            by_id[pf["source-id"]]["name"]
+            for s in specs
+            for pf in s.get("fields", [])
+            if pf.get("transform", "identity") == "identity"
+            and pf["source-id"] in by_id
+        }
+        rows = [
+            (
+                f["name"],
+                str(f["type"]),
+                not f.get("required", False),
+                f["name"] in psrc,
+            )
+            for f in fields
+        ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, data_type string, nullable boolean, "
+        "is_partition boolean",
+    )
+
+
 def query_sql(
     spark: SparkSession,
     sql: str,
@@ -2365,7 +2528,17 @@ def query_sql(
     temp view, and the statement is rewritten to read the view; bare
     catalog references register the CURRENT table under its own name.
     Returns the result DataFrame. (The statement front-end twin of
-    :func:`dml_sql`, which keeps the write verbs.)"""
+    :func:`dml_sql`, which keeps the write verbs.)
+
+    Catalog introspection verbs (r14 — r13 verdict #6, the SQL
+    surface users previously had to drop to Python for):
+    ``SHOW TABLES [LIKE 'pat']`` (name/format/location over the
+    catalog, views included), ``DESCRIBE [TABLE] t`` (columns +
+    partition flags), ``DESCRIBE HISTORY t`` (Delta commit history /
+    Iceberg snapshot-log), ``DESCRIBE DETAIL t`` (one-row state
+    summary, both formats). ``CREATE VIEW`` definitions (stored in
+    the catalog by :func:`dml_sql`) expand recursively on
+    reference."""
     from census_asc5_data_pipeline_spark.sources import delta_io as d
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
     from census_asc5_data_pipeline_spark.sources.delta_stream_source import (
@@ -2373,6 +2546,33 @@ def query_sql(
     )
 
     text = sql.strip().rstrip(";")
+    head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
+    if head == "SHOW":
+        m = re.match(
+            r"^\s*SHOW\s+TABLES\s*(?:LIKE\s+'(?P<pat>[^']*)')?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHOW statement: {sql!r}")
+        import fnmatch
+
+        pat = m.group("pat")
+        rows = [
+            (n, fmt, "" if fmt == "view" else loc)
+            for n, (fmt, loc) in sorted(catalog.items())
+            if pat is None or fnmatch.fnmatch(n, pat)
+        ]
+        return spark.createDataFrame(
+            rows, "table_name string, format string, location string"
+        )
+    if head in ("DESCRIBE", "DESC"):
+        return _describe_sql(spark, text, catalog)
+    for vname, entry in list(catalog.items()):
+        if entry[0] == "view" and re.search(
+            rf"\b{re.escape(vname)}\b", text, re.IGNORECASE
+        ):
+            _expand_view(spark, vname, catalog)
 
     def _ts_ms(tok: str) -> int:
         # naive strings resolve in the session timezone inside
@@ -2380,6 +2580,8 @@ def query_sql(
         return _parse_ts_ms(tok[1:-1] if tok.startswith("'") else tok)
 
     for name, (fmt, path) in catalog.items():
+        if fmt == "view":
+            continue  # already registered by _expand_view above
         pat = re.compile(
             rf"\b{re.escape(name)}\b" + _TT_SUFFIX, re.IGNORECASE
         )
@@ -2459,7 +2661,60 @@ def dml_sql(
     if head == "MERGE":
         return merge_into_sql(spark, text, catalog)
     if head == "CREATE":
+        vm = _CREATE_VIEW_RE.match(text)
+        if vm:
+            name = vm.group("name")
+            exists = catalog.get(name)
+            if exists is not None and not vm.group("replace"):
+                raise ValueError(
+                    f"{name!r} already exists "
+                    f"({exists[0]}) — use CREATE OR REPLACE VIEW"
+                )
+            if exists is not None and exists[0] != "view":
+                raise ValueError(
+                    f"cannot replace {exists[0]} table {name!r} with a "
+                    "view"
+                )
+            body = vm.group("body").strip()
+            catalog[name] = ("view", body)
+            # validate eagerly (plan only, no job): a broken
+            # definition should fail at CREATE, not first SELECT
+            try:
+                _expand_view(spark, name, catalog)
+            except Exception:
+                del catalog[name]
+                raise
+            return None
         return _create_table(spark, text, catalog)
+    if head == "DROP":
+        dm = _DROP_RE.match(text)
+        if not dm:
+            raise ValueError(f"cannot parse DROP statement: {sql!r}")
+        name = dm.group("name")
+        want_view = dm.group("kind").upper() == "VIEW"
+        entry = catalog.get(name)
+        if entry is None:
+            if dm.group("ine"):
+                return None
+            raise ValueError(
+                f"{'view' if want_view else 'table'} {name!r} not in "
+                f"catalog (have {sorted(catalog)})"
+            )
+        is_view = entry[0] == "view"
+        if is_view != want_view:
+            raise ValueError(
+                f"{name!r} is a {'view' if is_view else 'table'} — use "
+                f"DROP {'VIEW' if is_view else 'TABLE'}"
+            )
+        del catalog[name]
+        spark.catalog.dropTempView(name)
+        if dm.group("purge"):
+            if is_view:
+                raise ValueError("PURGE applies to tables, not views")
+            import shutil as _sh
+
+            _sh.rmtree(entry[1], ignore_errors=True)
+        return None
     if head == "COPY":
         cm = _COPY_INTO_RE.match(text)
         if not cm:
@@ -2496,6 +2751,10 @@ def dml_sql(
         if name not in catalog:
             raise ValueError(
                 f"table {name!r} not in catalog (have {sorted(catalog)})"
+            )
+        if catalog[name][0] == "view":
+            raise ValueError(
+                f"{name!r} is a view — write verbs need a table"
             )
         return catalog[name]
 
