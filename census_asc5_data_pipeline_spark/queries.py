@@ -11235,7 +11235,122 @@ FROM changes GROUP BY change_type, segment
 # tests/test_registry_window.py PINS the first-50 set — an innocent
 # alphabetization or top-insertion would silently change what the
 # driver verifies.
+def q_stream_sink_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming loop facing the oracle end-to-end (round-14 —
+    r13 verdict #7, the one §2.4 surface with no oracle-faced row):
+    orders land in a SOURCE Delta table across three commits →
+    ``spark.readStream.format('delta_tail')`` tails the commit log in
+    rate-capped micro-batches (``maxfilespertrigger``, the admission
+    control) under ``Trigger.AvailableNow`` → a streaming filter/
+    projection → :func:`streaming.pipeline.stream_to_delta`'s
+    foreachBatch sink, where every micro-batch folds into the TARGET
+    Delta table with the protocol's application-transaction fence
+    (txn action atomic with the adds — exactly-once under replay).
+    After the drain, a poison replay probe re-folds a fabricated row
+    at the LAST epoch id: a working fence makes it a no-op; a broken
+    fence appends the row and flips every aggregate below, so the
+    ORACLE ITSELF verifies exactly-once. The result is the per-status
+    count/sum fold of the target table — micro-batch-split invariant,
+    so DuckDB reconstructs it from raw orders with the same filter.
+    Rebuilds under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_io,
+        delta_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        delta_sink_fold,
+        stream_to_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_sink_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    tgt = os.path.join(base, "tgt")
+    ck = os.path.join(base, "ck")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    # three commits = a real log to tail; orderkey-modulo buckets
+    # cover every row at every SF (no data-distribution assumptions)
+    for bucket in (0, 1, 2):
+        delta_io.write_delta(
+            o.where(F.col("o_orderkey") % 3 == bucket).repartition(4),
+            src,
+        )
+    delta_stream_source.register(spark)
+    app_id = "stream_sink_fold"
+    stream = (
+        spark.readStream.format("delta_tail")
+        .option("path", src)
+        .option("maxfilespertrigger", 4)
+        .load()
+        .where(F.col("price_c") > 10_000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "price_c")
+    )
+    q = (
+        stream_to_delta(stream, tgt, ck, app_id=app_id)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # poison replay probe: re-fold a fabricated batch at the LAST
+    # fenced epoch — exactly-once means zero rows land
+    last = delta_io.last_txn_version(spark, tgt, app_id)
+    poison = spark.createDataFrame(
+        [(999_999_999, -1, "X", 777_777_777)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "price_c bigint",
+    )
+    delta_sink_fold(poison, int(last), tgt, app_id)
+    return (
+        delta_io.read_delta(spark, tgt)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("price_c").cast("bigint").alias("sum_price_c"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+        )
+    )
+
+
+SQL_STREAM_SINK_FOLD = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_price_c,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders
+WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) > 10000
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 14 ---
+    "stream_sink_fold": q_stream_sink_fold,
+    # --- r14 driver-window rotation (r13 verdict #8): veterans the
+    # driver oracle last touched in r4-r6 rotate back in; the five
+    # r11-r12 tail entries (all judge-sweep green every round) fall
+    # out to the registry tail ---
+    "k_core": q_k_core,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q9_product_profit": q9_product_profit,
+    "q21_sole_returner": q21_sole_returner,
     # --- new in round 13 ---
     "data_skipping": q_data_skipping,
     "iceberg_skipping": q_iceberg_skipping,
@@ -11322,7 +11437,6 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_segments": q_rfm_segments,
     "seasonal_anomaly": q_seasonal_anomaly,
     "table_diff": q_table_diff,
-    "k_core": q_k_core,
     "event_paths": q_event_paths,
     "label_centroids": q_label_centroids,
     "feature_hash_vectors": q_feature_hash_vectors,
@@ -11368,7 +11482,6 @@ QUERIES: dict[str, QueryFn] = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q16_supplier_count_by_part": q16_supplier_count_by_part,
     "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
-    "q9_product_profit": q9_product_profit,
     "q11_important_stock": q11_important_stock,
     "event_transitions": q_event_transitions,
     "cluster_best_doc": q_cluster_best_doc,
@@ -11396,7 +11509,6 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_merges": q_bpe_merges,
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
-    "q21_sole_returner": q21_sole_returner,
     "decontaminate": q_decontaminate,
     # --- green fillers to round the window out to 50 ---
     "top_terms": q_top_terms,
@@ -11432,7 +11544,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "measure_view": q_measure_view,
     "fact_join": q_fact_join,
-    "q1_pricing_summary": q1_pricing_summary,
     "dim_extract": q_dim_extract,
     "year_dim": q_year_dim,
     "multi_year_union": q_multi_year_union,
@@ -11479,6 +11590,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_sink_fold": SQL_STREAM_SINK_FOLD,
     # --- new in round 13 ---
     "data_skipping": SQL_DATA_SKIPPING,
     "iceberg_skipping": SQL_ICEBERG_SKIPPING,

@@ -247,6 +247,16 @@ class _RateLimitMixin:
     split, so a single commit larger than the budget still lands
     whole.
 
+    AvailableNow safety (r14): the FIRST ``latestOffset`` of a reader
+    instance always reports the TRUE end — Trigger.AvailableNow's
+    wrapper (the Python data source API has no
+    SupportsTriggerAvailableNow) calls it exactly once per run, fresh
+    or restarted, and drains only to that answer, so a capped first
+    answer silently loses data. Admission control therefore engages
+    from the second trigger; ``.option('strictratelimit','true')``
+    restores cap-always for repeated-trigger pipelines (never combine
+    strict with AvailableNow).
+
     The reader tracks its position itself: ``initialOffset`` /
     ``partitions`` / ``commit`` all advance ``_pos``; when it is still
     unknown (a fresh stream's first ``latestOffset``) the cap counts
@@ -269,6 +279,11 @@ class _RateLimitMixin:
     def _rl_init(self, options):
         self.max_files = int(options.get("maxfilespertrigger", 0))
         self.max_bytes = int(options.get("maxbytespertrigger", 0))
+        self.strict_rl = (
+            str(options.get("strictratelimit", "false")).lower()
+            == "true"
+        )
+        self._lo_calls = 0
         self._pos: int | None = None
         self._probe = self.starting
         self._fcounts: dict[int, tuple[int, int]] = {}
@@ -305,7 +320,21 @@ class _RateLimitMixin:
         return hi
 
     def _rl_cap(self, versions: list[int], last: int) -> int:
+        self._lo_calls += 1
         if self.max_files <= 0 and self.max_bytes <= 0:
+            return last
+        if not self.strict_rl and self._lo_calls == 1:
+            # capture-once safety (r14): Trigger.AvailableNow's
+            # wrapper calls latestOffset exactly ONCE per query run
+            # (fresh AND restart — empirically traced) and treats the
+            # answer as the complete drain target, so a capped first
+            # answer silently LOSES every later commit. The first
+            # call per reader instance therefore reports the true
+            # end; admission control engages from the second trigger.
+            # Pipelines on repeated triggers that need the first
+            # catch-up batch bounded too opt back in with
+            # .option('strictratelimit','true') — documented as
+            # incompatible with Trigger.AvailableNow.
             return last
         base = self._pos if self._pos is not None else self._probe
         end, files, nbytes = base, 0, 0
@@ -324,6 +353,22 @@ class _RateLimitMixin:
                 break
         self._probe = max(self._probe, end)
         return end
+
+
+def _dbg(event: str, *args) -> None:
+    """Env-gated reader-call tracing (SPARK_GRAFT_STREAM_DEBUG_LOG=
+    <file>): the reader lives in a separate Python worker process,
+    so in-process monkeypatch tracing never sees its calls."""
+    import os as _os
+
+    fp = _os.environ.get("SPARK_GRAFT_STREAM_DEBUG_LOG")
+    if not fp:
+        return
+    try:
+        with open(fp, "a") as fh:
+            fh.write(f"{event} {args}\n")
+    except OSError:
+        pass
 
 
 class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
@@ -348,6 +393,7 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                 )
 
     def initialOffset(self):
+        _dbg("initialOffset", self.starting)
         self._rl_advance(self.starting)
         return {"version": self.starting}
 
@@ -373,12 +419,15 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
 
         versions = delta_io.delta_versions(self.path)
         last = max(versions) if versions else self.starting
-        return {"version": self._rl_cap(versions, last)}
+        capped = self._rl_cap(versions, last)
+        _dbg("latestOffset", last, capped)
+        return {"version": capped}
 
     def partitions(self, start, end):
         from census_asc5_data_pipeline_spark.sources import delta_io
 
         lo, hi = int(start["version"]), int(end["version"])
+        _dbg("partitions", lo, hi)
         hi = self._rl_range_check(lo, hi)
         versions = set(delta_io.delta_versions(self.path))
         want = [v for v in range(lo + 1, hi + 1)]

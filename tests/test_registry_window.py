@@ -14,6 +14,15 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # driver's oracle for the first time, verdict #7) — then the round-7
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
+    # round-14 window: the new oracle-faced streaming loop leads,
+    # with four veterans rotated back in (k_core last driver-checked
+    # r6; q1/q9/q21 not since r4 — r13 verdict #8); the five r11-r12
+    # tail entries fall out to the registry tail.
+    "stream_sink_fold",
+    "k_core",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q21_sole_returner",
     "data_skipping",
     "iceberg_skipping",
     "identity_insert",
@@ -59,11 +68,6 @@ PINNED_FIRST_50 = [
     "rolling_distinct",
     "weighted_median",
     "key_skew_report",
-    "purchase_hits",
-    "clustering_coeff",
-    "theta_audience",
-    "dsir_weights",
-    "quantile_bins",
 ]
 
 

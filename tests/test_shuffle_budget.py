@@ -22,6 +22,12 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 14 ---
+    # returned plan = one groupBy (partial/final agg pair, plus the
+    # countDistinct expand) over the streamed-into target table's
+    # file-list scan; the source commits + the availableNow drain run
+    # at construction. Measured 2 (distinct rewrite); 3 = AQE headroom
+    "stream_sink_fold": 3,
     # --- new in round 13 ---
     # returned plan = the localCheckpointed 'initial' rollup (already
     # materialized, zero exchanges) unioned with the post-delete

@@ -3,7 +3,11 @@ sources (round-11 verdict #4): a catch-up over many commits splits
 into bounded batches — each planned batch stops at the first commit
 where the cumulative changed-file count reaches the cap — and a
 RESTART after commits landed while the stream was down also catches up
-in >1 batch with exactly-once totals."""
+in >1 batch with exactly-once totals. These pipelines run on repeated
+triggers and opt into strictratelimit (r14): the non-strict default
+leaves the FIRST latestOffset uncapped so Trigger.AvailableNow's
+capture-once wrapper can never truncate a drain (see
+test_available_now_cap_never_loses_data)."""
 
 from __future__ import annotations
 
@@ -43,6 +47,7 @@ def test_delta_tail_max_files_per_trigger(spark, tmp_path):
         spark.readStream.format("delta_tail")
         .option("path", table)
         .option("maxfilespertrigger", 1)
+        .option("strictratelimit", "true")
         .load()
         .writeStream.outputMode("append")
         .option("checkpointLocation", ck)
@@ -69,6 +74,7 @@ def test_delta_tail_max_files_per_trigger(spark, tmp_path):
         spark.readStream.format("delta_tail")
         .option("path", table)
         .option("maxfilespertrigger", 1)
+        .option("strictratelimit", "true")
         .load()
         .writeStream.outputMode("append")
         .option("checkpointLocation", ck)
@@ -145,6 +151,7 @@ def test_delta_cdf_and_iceberg_tail_rate_limit(spark, tmp_path):
         spark.readStream.format("delta_cdf")
         .option("path", table)
         .option("maxfilespertrigger", 1)
+        .option("strictratelimit", "true")
         .load()
         .writeStream.outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck"))
@@ -178,6 +185,7 @@ def test_delta_cdf_and_iceberg_tail_rate_limit(spark, tmp_path):
         spark.readStream.format("iceberg_tail")
         .option("path", ice)
         .option("maxfilespertrigger", 1)
+        .option("strictratelimit", "true")
         .load()
         .writeStream.outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ick"))
@@ -198,6 +206,7 @@ def test_delta_cdf_and_iceberg_tail_rate_limit(spark, tmp_path):
         spark.readStream.format("iceberg_tail")
         .option("path", ice)
         .option("maxbytespertrigger", 1)
+        .option("strictratelimit", "true")
         .load()
         .writeStream.outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ick2"))
@@ -329,7 +338,9 @@ def test_rate_limit_regression_proof(spark, tmp_path):
             table,
         )
     # fresh stream: the probe caps from `starting` (bounded backfill)
-    r = DeltaTailStreamReader({"path": table, "maxfilespertrigger": 1})
+    r = DeltaTailStreamReader(
+        {"path": table, "maxfilespertrigger": 1, "strictratelimit": "true"}
+    )
     assert r.latestOffset() == {"version": 0}
     # simulated bad restart: the engine's checkpoint is at version 4
     # and it plans the reversed batch (4 -> 0) from that stale cap —
@@ -374,3 +385,60 @@ def test_starting_timestamp_session_timezone(spark):
         ).timestamp() * 1000
     )
     assert _parse_ts_ms("1700000000000") == 1700000000000
+
+
+def test_available_now_cap_never_loses_data(spark, tmp_path):
+    """r14: Trigger.AvailableNow calls latestOffset ONCE (fresh and
+    restart) and drains only to that answer — under the non-strict
+    default a capped source must still report the true end, so the
+    backfill is COMPLETE. This was a silent data-loss bug: the capped
+    capture made availableNow stop after the first 4 files."""
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        write_delta,
+    )
+
+    delta_stream_source.register(spark)
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    import pyspark.sql.functions as F
+
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        write_delta(
+            spark.range(lo, hi).select(F.col("id").alias("k"))
+            .repartition(4),
+            table,
+        )
+    seen: list[int] = []
+
+    def sink(bdf, eid):
+        seen.extend(r.k for r in bdf.collect())
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_tail")
+            .option("path", table)
+            .option("maxfilespertrigger", 4)
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(seen) == list(range(30))
+    # restart drain: commits landed while down — still complete
+    for lo, hi in ((30, 40), (40, 50)):
+        write_delta(
+            spark.range(lo, hi).select(F.col("id").alias("k"))
+            .repartition(4),
+            table,
+        )
+    seen.clear()
+    drain()
+    assert sorted(seen) == list(range(30, 50))
