@@ -157,6 +157,12 @@ GROUPS: dict[str, list[str]] = {
         "partition_evolution",
         "copy_into",
     ],
+    # round-14 addition (eager source-table build + availableNow
+    # delta_tail drain into the txn-fenced sink; cost is the Delta
+    # commits + the streaming machinery, not the returned fold plan)
+    "r14_tail": [
+        "stream_sink_fold",
+    ],
 }
 
 
