@@ -459,11 +459,21 @@ def _reader_gate(protocol: dict, meta: dict, path: str) -> None:
             # int→long / float→double / int→double / decimal-precision
             # promotions natively, PROTOCOL.md §Type Widening's
             # supported pairs); writes of both stay gated
+            # timestampNtz (r14): schemaString's timestamp_ntz maps
+            # straight onto Spark's TimestampNTZType — the scan reads
+            # the parquet isAdjustedToUTC=false values natively.
+            # vacuumProtocolCheck (r14): a READ is unaffected — the
+            # feature constrains VACUUM-performing writers, and this
+            # engine's writer gate already refuses any write (vacuum
+            # included) to tables listing writerFeatures it doesn't
+            # implement.
             ok = feats <= {
                 "columnMapping",
                 "deletionVectors",
                 "v2Checkpoint",
                 "typeWidening",
+                "timestampNtz",
+                "vacuumProtocolCheck",
             } and ("columnMapping" not in feats or cm_ok)
         else:
             ok = False
@@ -911,6 +921,9 @@ _APPEND_ONLY_OK = {
     "RENAME COLUMN",
     "DROP COLUMNS",
     "CHECKPOINT",
+    # storage reclaim never logically deletes a committed row — every
+    # retained version stays byte-identical
+    "VACUUM",
 }
 
 
@@ -3662,6 +3675,12 @@ def vacuum_delta(
     versions = delta_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path!r}")
+    # gate BEFORE any file is deleted (r14): the checkpoint this
+    # vacuum writes at the end would refuse on unimplemented
+    # writerFeatures anyway (vacuumProtocolCheck's exact demand), but
+    # refusing after deletions is the wrong half of the spec
+    _pg, _mg, _ag, _tg = _replay(spark, path, None)
+    _writer_gate(_pg, _mg, "VACUUM")
     if retain_ms is not None:
         ts_cut = int(time.time() * 1000) - int(retain_ms)
         retained = [

@@ -259,11 +259,11 @@ def test_unknown_writer_feature_refuses_all_writes(spark, tmp_path):
 
 
 def test_identity_columns_gate(spark, tmp_path):
-    """Identity columns are allocation-SUPPORTED since r13
-    (tests/test_delta_identity.py); what still gates: explicit
-    values into a GENERATED ALWAYS column (ValueError, spec writer
-    requirement) and MERGE on an identity table (NotImplementedError
-    — per-clause allocation is out of scope)."""
+    """Identity columns are allocation-SUPPORTED since r13, MERGE
+    included since r14 (tests/test_delta_identity.py); what still
+    gates: explicit values into a GENERATED ALWAYS column
+    (ValueError, spec writer requirement) and SET on the identity
+    column through any update path."""
     from census_asc5_data_pipeline_spark.sources.delta_io import (
         read_delta,
         write_delta,
@@ -281,22 +281,33 @@ def test_identity_columns_gate(spark, tmp_path):
     df = spark.createDataFrame([(2, 20)], "id bigint, v bigint")
     with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         write_delta(df, path)
-    with pytest.raises(NotImplementedError, match="identity"):
+    # SET on the identity column refuses through MERGE
+    with pytest.raises(ValueError, match="identity"):
         merge_into(
             spark,
             "delta",
             path,
             spark.createDataFrame([(1, 9)], "id long, x long"),
             on="t.id = s.id",
-            matched=[("delete", None)],
+            matched=[("update", None, {"v": "s.x"})],
         )
+    # a delete-clause MERGE works on an identity table (r14)
+    merge_into(
+        spark,
+        "delta",
+        path,
+        spark.createDataFrame([(1, 9)], "id long, x long"),
+        on="t.id = s.id",
+        matched=[("delete", None)],
+    )
+    assert read_delta(spark, path).count() == 0
     # an append WITHOUT the identity column allocates it — this
     # foreign table never stamped a highWaterMark, so allocation
     # starts at `start` (the spec's rule; a conforming foreign writer
     # would have stamped the mark for its own explicit rows)
     write_delta(spark.createDataFrame([(7,)], "id bigint"), path)
     rows = sorted((r.id, r.v) for r in read_delta(spark, path).collect())
-    assert rows == [(1, 10), (7, 1)]
+    assert rows == [(7, 1)]
 
 
 def test_nested_field_metadata_gate(spark, tmp_path):

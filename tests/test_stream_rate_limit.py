@@ -442,3 +442,72 @@ def test_available_now_cap_never_loses_data(spark, tmp_path):
     seen.clear()
     drain()
     assert sorted(seen) == list(range(30, 50))
+
+
+def test_available_now_complete_on_cdf_and_iceberg(spark, tmp_path):
+    """The capture-once safety lives in the shared mixin — pin it on
+    the other two table sources too."""
+    import pyspark.sql.functions as F
+
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stream_source,
+        iceberg_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        set_delta_properties,
+        write_delta,
+    )
+    from census_asc5_data_pipeline_spark.sources.iceberg_io import (
+        write_iceberg,
+    )
+
+    delta_stream_source.register(spark)
+    iceberg_stream_source.register(spark)
+    # delta_cdf
+    dt = str(tmp_path / "cdf_t")
+    write_delta(
+        spark.range(0, 5).select(F.col("id").alias("k")).coalesce(1),
+        dt,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    for lo, hi in ((5, 10), (10, 15)):
+        write_delta(
+            spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(1),
+            dt,
+        )
+    seen: list[int] = []
+
+    def sink(bdf, eid):
+        seen.extend(r.k for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", dt)
+        .option("maxfilespertrigger", 1)
+        .load()
+        .writeStream.option("checkpointLocation", str(tmp_path / "ck1"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == list(range(15))
+    # iceberg_tail
+    it = str(tmp_path / "ice_t")
+    for lo, hi in ((0, 5), (5, 10), (10, 15)):
+        write_iceberg(
+            spark.range(lo, hi).select(F.col("id").alias("k")), it
+        )
+    seen.clear()
+    q = (
+        spark.readStream.format("iceberg_tail")
+        .option("path", it)
+        .option("maxfilespertrigger", 1)
+        .load()
+        .writeStream.option("checkpointLocation", str(tmp_path / "ck2"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == list(range(15))
