@@ -590,6 +590,7 @@ def _replay_pruned_spark(
     version: int | None,
     partition_filter: dict[str, str] | None,
     predicate: str | None,
+    keep_paths: frozenset | None = None,
 ) -> tuple[dict, dict, list[dict], dict[str, int]] | None:
     """The DISTRIBUTED metadata plane (r13 verdict #1): reconstruct
     (protocol, metaData, PRUNED live adds, txns) without ever
@@ -603,6 +604,12 @@ def _replay_pruned_spark(
     (no checkpoint at/below the target, fewer actions than
     ``_SPARK_PRUNE_THRESHOLD``, nothing prunable) and the caller
     falls back to :func:`_replay` + :func:`delta_stats.skip_files`.
+
+    ``keep_paths`` (r14, the DML twin): restrict the live set to
+    exactly these add paths instead of (or in addition to) the
+    predicate atoms — the commit-time concurrency re-check and the
+    DML candidate plane fetch only the adds they will act on, never
+    the whole million-add table.
     """
     ckpt = _read_last_checkpoint(path)
     if ckpt is None:
@@ -713,7 +720,7 @@ def _replay_pruned_spark(
                     "spark.sql.session.timeZone", "UTC"
                 ),
             )
-    if lits is None and not partition_filter:
+    if lits is None and not partition_filter and keep_paths is None:
         return None  # nothing prunes — the driver path costs the same
 
     # ---- overlay: paths the tail touches replay driver-side over
@@ -750,6 +757,11 @@ def _replay_pruned_spark(
         if touched
         else adds_df
     )
+    if keep_paths is not None:
+        # path-set restriction pushes into the checkpoint scan
+        remaining = remaining.where(
+            F.col("path").isin(sorted(keep_paths))
+        )
     dtypes = {f.name: f.dataType for f in schema.fields}
     pf_phys = (
         {
@@ -790,17 +802,24 @@ def _replay_pruned_spark(
                 keep.append(ok)
             yield pdf[keep]
 
+    masked = (
+        remaining
+        if lits is None and pf_phys is None
+        else remaining.mapInPandas(_mask, remaining.schema)
+    )
     survivors = [
         {
             k: v
             for k, v in r.asDict(recursive=True).items()
             if v is not None
         }
-        for r in remaining.mapInPandas(_mask, remaining.schema).collect()
+        for r in masked.collect()
     ]
 
     # ---- overlay survivors prune driver-side (they are O(tail))
     live = list(overlay.values())
+    if keep_paths is not None:
+        live = [a for a in live if a["path"] in keep_paths]
     if pf_phys is not None:
         live = [
             a
@@ -817,6 +836,25 @@ def _replay_pruned_spark(
             if delta_stats.add_survives(a, lits, dtypes, pcols, physical_of)
         ]
     return protocol, meta, survivors + live, txns
+
+
+def _live_subset(
+    spark: SparkSession, path: str, paths: frozenset
+) -> dict[str, dict]:
+    """The CURRENT live adds restricted to ``paths`` — the DML
+    commit-time concurrency re-check's view. Distributed above the
+    checkpoint threshold (only the requested adds ever reach the
+    driver); full driver replay below it. Empty ``paths`` (insert-
+    only commits) never replays at all."""
+    if not paths:
+        return {}
+    res = _replay_pruned_spark(
+        spark, path, None, None, None, keep_paths=paths
+    )
+    if res is not None:
+        return {a["path"]: a for a in res[2]}
+    _p, _m, adds, _tx = _replay(spark, path, None)
+    return {p: a for p, a in adds.items() if p in paths}
 
 
 def _strip_meta(schema: T.StructType) -> T.StructType:
@@ -3125,26 +3163,40 @@ def delete_delta_where(
     """
     if mode not in ("cow", "dv"):
         raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
-    protocol, meta, adds, _tx = _replay(spark, path, None)
-    _writer_gate(protocol, meta, "DELETE")
-    physical_of = _column_mapping(meta)
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = list(meta.get("partitionColumns") or [])
-    if not adds:
-        return None
     # stats-based candidate pruning (r13): files whose min/max/null
     # stats PROVE no row matches cannot be touched — they are neither
     # read nor rewritten, so the delete's cost is O(candidate files),
-    # not O(table), exactly like delta-spark's data-skipping DML
-    cand = list(adds.values())
-    atoms = delta_stats.parse_skip_predicate(predicate)
-    if atoms is not None:
-        cand = delta_stats.skip_files(
-            cand, atoms, schema, pcols, physical_of,
-            session_tz=spark.conf.get(
-                "spark.sql.session.timeZone", "UTC"
-            ),
-        )
+    # not O(table), exactly like delta-spark's data-skipping DML.
+    # Above _SPARK_PRUNE_THRESHOLD the candidates come from the
+    # DISTRIBUTED plane (r14): only surviving adds ever reach the
+    # driver — a point delete on a million-add table collects a
+    # handful of dicts, and every downstream structure
+    # (adds_by_base, removes, planned) is candidate-sized
+    pruned = _replay_pruned_spark(spark, path, None, None, predicate)
+    if pruned is not None:
+        protocol, meta, cand, _tx = pruned
+        _writer_gate(protocol, meta, "DELETE")
+        physical_of = _column_mapping(meta)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns") or [])
+        adds = {a["path"]: a for a in cand}
+    else:
+        protocol, meta, adds, _tx = _replay(spark, path, None)
+        _writer_gate(protocol, meta, "DELETE")
+        physical_of = _column_mapping(meta)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns") or [])
+        if not adds:
+            return None
+        cand = list(adds.values())
+        atoms = delta_stats.parse_skip_predicate(predicate)
+        if atoms is not None:
+            cand = delta_stats.skip_files(
+                cand, atoms, schema, pcols, physical_of,
+                session_tz=spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                ),
+            )
     if not cand:
         return None
     scan = _scan_adds(
@@ -3220,7 +3272,7 @@ def delete_delta_where(
         versions = delta_versions(path)
         ckpt = _read_last_checkpoint(path)
         next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
-        _p2, _m2, live_now, _t2 = _replay(spark, path, None)
+        live_now = _live_subset(spark, path, frozenset(planned))
         for p_, dv in planned.items():
             cur = live_now.get(p_)
             if cur is None or cur.get("deletionVector") != dv:

@@ -589,7 +589,13 @@ def _merge_delta(
         versions = d.delta_versions(path)
         ckpt = d._read_last_checkpoint(path)
         next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
-        _p2, _m2, live_now, _t2 = d._replay(spark, path, None)
+        if identity_updates:
+            # the hwm comparison needs the CURRENT metaData — full
+            # replay here; the non-identity path fetches only the
+            # planned adds
+            _p2, _m2, live_now, _t2 = d._replay(spark, path, None)
+        else:
+            live_now = d._live_subset(spark, path, frozenset(planned))
         for p_, dv in planned.items():
             cur = live_now.get(p_)
             if cur is None or cur.get("deletionVector") != dv:
@@ -1538,7 +1544,15 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
 
     if mode not in ("cow", "dv"):
         raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
-    protocol, meta, adds, _tx = d._replay(spark, path, None)
+    # candidate selection through the distributed plane above the
+    # checkpoint threshold (r14, the delete_delta_where discipline):
+    # only stats-surviving adds reach the driver
+    pruned = d._replay_pruned_spark(spark, path, None, None, predicate)
+    if pruned is not None:
+        protocol, meta, _cand_list, _tx = pruned
+        adds = {a["path"]: a for a in _cand_list}
+    else:
+        protocol, meta, adds, _tx = d._replay(spark, path, None)
     d._writer_gate(protocol, meta, "UPDATE")
     physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1561,22 +1575,24 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
     for c in sets:
         if c not in schema.fieldNames():
             raise ValueError(f"SET column {c!r} not in the table schema")
-    if not adds:
+    if not adds and pruned is None:
         return None
     # stats-based candidate pruning (r13, the delete_delta_where
     # discipline): files whose stats prove the WHERE matches nothing
-    # are neither read nor rewritten
+    # are neither read nor rewritten; the distributed plane (r14)
+    # already pruned when it engaged
     from census_asc5_data_pipeline_spark.sources import delta_stats
 
     cand = list(adds.values())
-    atoms = delta_stats.parse_skip_predicate(predicate)
-    if atoms is not None:
-        cand = delta_stats.skip_files(
-            cand, atoms, schema, pcols, physical_of,
-            session_tz=spark.conf.get(
-                "spark.sql.session.timeZone", "UTC"
-            ),
-        )
+    if pruned is None:
+        atoms = delta_stats.parse_skip_predicate(predicate)
+        if atoms is not None:
+            cand = delta_stats.skip_files(
+                cand, atoms, schema, pcols, physical_of,
+                session_tz=spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                ),
+            )
     if not cand:
         return None
     scan = d._scan_adds(
@@ -1667,7 +1683,7 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         versions = d.delta_versions(path)
         ckpt = d._read_last_checkpoint(path)
         next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
-        _p2, _m2, live_now, _t2 = d._replay(spark, path, None)
+        live_now = d._live_subset(spark, path, frozenset(planned))
         for p_, dv in planned.items():
             cur = live_now.get(p_)
             if cur is None or cur.get("deletionVector") != dv:

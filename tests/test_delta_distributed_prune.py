@@ -249,3 +249,83 @@ def test_unparseable_predicate_falls_back(
         spark, path, predicate="o_orderkey = 1 OR o_orderkey = 2"
     )
     assert got.count() >= 2
+
+
+def _twin_tables(spark, tmp_path, n=300):
+    """Two identical checkpointed tables for path-parity DML runs."""
+    paths = []
+    for tag in ("a", "b"):
+        p = str(tmp_path / f"twin_{tag}")
+        df = spark.createDataFrame(
+            [(i, i % 5, float(i)) for i in range(n)],
+            "k long, g int, v double",
+        )
+        d.write_delta(df.repartition(6, "k"), p)
+        d.create_checkpoint(spark, p)
+        d.write_delta(
+            spark.createDataFrame(
+                [(n + 1, 9, -1.0)], "k long, g int, v double"
+            ),
+            p,
+        )
+        paths.append(p)
+    return paths
+
+
+@pytest.mark.parametrize("mode", ["cow", "dv"])
+def test_dml_candidates_via_spark_plane_match_driver(
+    spark, tmp_path, mode
+):
+    """DELETE/UPDATE candidate pruning through the distributed plane
+    produces byte-identical tables vs the driver path (r14)."""
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        update_where,
+    )
+
+    a, b = _twin_tables(spark, tmp_path)
+    orig = d._SPARK_PRUNE_THRESHOLD
+    try:
+        d._SPARK_PRUNE_THRESHOLD = 0  # plane engages on `a`
+        d.delete_delta_where(spark, a, "k BETWEEN 40 AND 60", mode=mode)
+        update_where(
+            spark, "delta", a, "k >= 250", {"v": "v + 1000"}, mode=mode
+        )
+        d._SPARK_PRUNE_THRESHOLD = 1 << 60  # driver path on `b`
+        d.delete_delta_where(spark, b, "k BETWEEN 40 AND 60", mode=mode)
+        update_where(
+            spark, "delta", b, "k >= 250", {"v": "v + 1000"}, mode=mode
+        )
+    finally:
+        d._SPARK_PRUNE_THRESHOLD = orig
+    got = sorted(map(tuple, d.read_delta(spark, a).collect()))
+    want = sorted(map(tuple, d.read_delta(spark, b).collect()))
+    assert got == want
+
+
+def test_dml_concurrency_abort_still_fires(spark, tmp_path, force_spark_path):
+    """The commit-time re-check now fetches only the planned adds —
+    a concurrent change to one of them must still abort."""
+    path = str(tmp_path / "race")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    )
+    d.write_delta(df.coalesce(2), path)
+    d.create_checkpoint(spark, path)
+
+    # simulate a concurrent writer landing between planning and
+    # commit: monkey-wrap _put_if_absent_commit to sneak a commit in
+    real_put = d._put_if_absent_commit
+    state = {"raced": False}
+
+    def racing_put(p, v, lines):
+        if not state["raced"] and any("remove" in a for a in lines):
+            state["raced"] = True
+            d.delete_delta_where(spark, path, "k = 1", mode="cow")
+        return real_put(p, v, lines)
+
+    d._put_if_absent_commit = racing_put
+    try:
+        with pytest.raises(ValueError, match="concurrent"):
+            d.delete_delta_where(spark, path, "k <= 10", mode="cow")
+    finally:
+        d._put_if_absent_commit = real_put
