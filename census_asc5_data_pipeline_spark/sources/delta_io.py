@@ -838,6 +838,212 @@ def _replay_pruned_spark(
     return protocol, meta, survivors + live, txns
 
 
+_ADD_STRUCT = None  # _CKPT_SCHEMA's add struct, resolved lazily
+
+
+def _add_struct_type() -> T.StructType:
+    global _ADD_STRUCT
+    if _ADD_STRUCT is None:
+        _ADD_STRUCT = next(
+            f.dataType for f in _CKPT_SCHEMA.fields if f.name == "add"
+        )
+    return _ADD_STRUCT
+
+
+def _normalize_add_df(adds_df: DataFrame) -> DataFrame:
+    """Project a (possibly foreign) checkpoint's ``add.*`` frame onto
+    this engine's checkpoint add struct columns — missing fields read
+    NULL, extra fields (tags, stats_parsed, ...) drop, deletionVector
+    rebuilds from whichever subfields exist."""
+    target = _add_struct_type()
+    cols = []
+    have = set(adds_df.columns)
+    for f in target.fields:
+        if f.name == "deletionVector":
+            if "deletionVector" in have:
+                sub = {
+                    sf.name
+                    for sf in adds_df.schema["deletionVector"].dataType.fields
+                }
+                dv_fields = []
+                for sf in f.dataType.fields:
+                    dv_fields.append(
+                        (
+                            F.col(f"deletionVector.{sf.name}")
+                            if sf.name in sub
+                            else F.lit(None)
+                        )
+                        .cast(sf.dataType)
+                        .alias(sf.name)
+                    )
+                # a NULL descriptor must stay NULL, not a struct of
+                # nulls (readers key DV presence on the struct itself)
+                cols.append(
+                    F.when(
+                        F.col("deletionVector").isNotNull(),
+                        F.struct(*dv_fields),
+                    ).alias("deletionVector")
+                )
+            else:
+                cols.append(
+                    F.lit(None).cast(f.dataType).alias("deletionVector")
+                )
+        elif f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return adds_df.select(cols)
+
+
+def _live_adds_df(
+    spark: SparkSession, path: str, target: int
+) -> tuple[dict, dict, dict[str, int], DataFrame] | None:
+    """(protocol, metaData, txns, live-adds DataFrame) at ``target``
+    WITHOUT materializing the prior checkpoint's add set in the
+    driver — the WRITE half of the distributed metadata plane (r14):
+    checkpoint compaction of a million-add table streams prior adds
+    from parquet to parquet; only tail-touched paths (exact
+    ``_replay`` overlay semantics) and the tiny protocol/meta/txn
+    rows pass through Python. None = no prior checkpoint /below
+    threshold / unhandled form — caller uses the driver path."""
+    ckpt = _read_last_checkpoint(path)
+    if ckpt is None or ckpt > target:
+        return None
+    n_actions = _last_checkpoint_size(path)
+    if n_actions is None or n_actions < _SPARK_PRUNE_THRESHOLD:
+        return None
+    plan = _ckpt_file_action_plan(spark, path, ckpt)
+    if plan is None:
+        return None
+    meta_rows, add_files = plan
+    versions = delta_versions(path)
+    missing = [
+        v for v in range(ckpt + 1, target + 1) if v not in versions
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"Delta log at {path!r} is missing commit(s) {missing} "
+            f"needed to reconstruct version {target}"
+        )
+    tail_proto: dict = {}
+    tail_meta: dict = {}
+    txns: dict[str, int] = {}
+    tail_commits: list[tuple[list[dict], list[dict]]] = []
+    for v in range(ckpt + 1, target + 1):
+        commit_removes: list[dict] = []
+        commit_adds: list[dict] = []
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    tail_proto = action["protocol"]
+                elif "metaData" in action:
+                    tail_meta = action["metaData"]
+                elif "add" in action:
+                    commit_adds.append(action["add"])
+                elif "remove" in action:
+                    commit_removes.append(action["remove"])
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
+        tail_commits.append((commit_removes, commit_adds))
+    if meta_rows is None:
+        meta_rows = [
+            r.asDict(recursive=True)
+            for r in spark.read.parquet(*add_files)
+            .where("add IS NULL AND remove IS NULL")
+            .collect()
+        ]
+    protocol: dict = {}
+    meta: dict = {}
+    for mrow in meta_rows:
+        if mrow.get("protocol"):
+            protocol = {
+                k: v for k, v in mrow["protocol"].items() if v is not None
+            }
+        if mrow.get("metaData"):
+            meta = {
+                k: v for k, v in mrow["metaData"].items() if v is not None
+            }
+        if mrow.get("txn"):
+            t = mrow["txn"]
+            txns[t["appId"]] = max(
+                txns.get(t["appId"], -1), int(t["version"])
+            )
+    if tail_proto:
+        protocol = tail_proto
+    if tail_meta:
+        meta = tail_meta
+    if not meta:
+        raise ValueError(f"Delta log at {path!r} has no metaData action")
+
+    touched: set[str] = set()
+    for removes, adds_ in tail_commits:
+        touched.update(r["path"] for r in removes if "path" in r)
+        touched.update(a["path"] for a in adds_)
+    adds_df = _normalize_add_df(
+        spark.read.parquet(*add_files)
+        .where("add IS NOT NULL")
+        .select("add.*")
+    )
+    overlay: dict[str, dict] = {}
+    if touched:
+        tl = sorted(touched)
+        for r in adds_df.where(F.col("path").isin(tl)).collect():
+            a = {
+                k: v
+                for k, v in r.asDict(recursive=True).items()
+                if v is not None
+            }
+            overlay[a["path"]] = a
+    for removes, adds_ in tail_commits:
+        for rm in removes:
+            _apply_remove(overlay, rm)
+        for a in adds_:
+            overlay[a["path"]] = a
+    live_df = (
+        adds_df.where(~F.col("path").isin(sorted(touched)))
+        if touched
+        else adds_df
+    )
+    if overlay:
+        add_t = _add_struct_type()
+
+        def _dv_tuple(a):
+            dv = a.get("deletionVector")
+            if not dv:
+                return None
+            return (
+                dv.get("storageType"),
+                dv.get("pathOrInlineDv"),
+                dv.get("offset"),
+                dv.get("sizeInBytes"),
+                dv.get("cardinality"),
+            )
+
+        rows = [
+            (
+                a["path"],
+                a.get("partitionValues") or {},
+                a.get("size"),
+                a.get("modificationTime"),
+                bool(a.get("dataChange", True)),
+                a.get("stats"),
+                _dv_tuple(a),
+            )
+            for a in overlay.values()
+        ]
+        live_df = live_df.unionByName(
+            spark.createDataFrame(rows, add_t)
+        )
+    return protocol, meta, txns, live_df
+
+
 def _live_subset(
     spark: SparkSession, path: str, paths: frozenset
 ) -> dict[str, dict]:
@@ -3415,6 +3621,122 @@ _CKPT_SCHEMA = T.StructType(
 )
 
 
+# target action rows per multipart checkpoint part file
+_CKPT_PART_ROWS = 100_000
+
+
+def _write_checkpoint_multipart(
+    spark: SparkSession,
+    path: str,
+    v: int,
+    protocol: dict,
+    meta: dict,
+    txns: dict[str, int],
+    live_df: DataFrame,
+) -> int:
+    """Classic MULTIPART checkpoint (%020d.checkpoint.%010d.%010d.
+    parquet) written DISTRIBUTED: the add rows stream from the prior
+    checkpoint's parquet into the new parts without ever becoming
+    driver dicts; protocol/metaData/txn rows ride in the first
+    part's partition. `_last_checkpoint` carries version/size/parts
+    (delta-spark's pointer shape; `_resolve_checkpoint` validates the
+    part set on read)."""
+    n_adds = live_df.count()
+    header_rows = [
+        (
+            {
+                "minReaderVersion": int(
+                    protocol.get("minReaderVersion", 1)
+                ),
+                "minWriterVersion": int(
+                    protocol.get("minWriterVersion", 2)
+                ),
+                "readerFeatures": protocol.get("readerFeatures"),
+                "writerFeatures": protocol.get("writerFeatures"),
+            },
+            None,
+            None,
+            None,
+            None,
+        ),
+        (
+            None,
+            {
+                "id": meta.get("id"),
+                "format": meta.get("format")
+                or {"provider": "parquet", "options": {}},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": list(
+                    meta.get("partitionColumns") or []
+                ),
+                "configuration": meta.get("configuration") or {},
+                "createdTime": meta.get("createdTime"),
+            },
+            None,
+            None,
+            None,
+        ),
+    ] + [
+        (None, None, None, None,
+         {"appId": app, "version": int(tv), "lastUpdated": None})
+        for app, tv in sorted(txns.items())
+    ]
+    header_df = spark.createDataFrame(header_rows, _CKPT_SCHEMA)
+    null_of = {
+        f.name: F.lit(None).cast(f.dataType).alias(f.name)
+        for f in _CKPT_SCHEMA.fields
+    }
+    full_adds = live_df.select(
+        null_of["protocol"],
+        null_of["metaData"],
+        F.struct(
+            *[
+                F.col(sf.name)
+                for sf in _add_struct_type().fields
+            ]
+        ).alias("add"),
+        null_of["remove"],
+        null_of["txn"],
+    )
+    nparts = max(1, min(64, (n_adds // _CKPT_PART_ROWS) + 1))
+    tmp = _checkpoint_file(path, v) + f".mp-tmp-{uuid.uuid4().hex}"
+    (
+        header_df.unionByName(full_adds)
+        .repartition(nparts)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    parts = sorted(
+        f
+        for f in os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    total = len(parts)
+    for idx, part in enumerate(parts, start=1):
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(
+                _log_dir(path),
+                f"{v:020d}.checkpoint.{idx:010d}.{total:010d}.parquet",
+            ),
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+    lc_tmp = os.path.join(_log_dir(path), f".lc-{uuid.uuid4().hex}")
+    with open(lc_tmp, "w") as fh:
+        json.dump(
+            {
+                "version": v,
+                "size": int(n_adds) + len(header_rows),
+                "parts": total,
+            },
+            fh,
+        )
+    os.replace(
+        lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint")
+    )
+    return v
+
+
 def _create_checkpoint_v2(
     spark: SparkSession,
     path: str,
@@ -3574,6 +3896,22 @@ def create_checkpoint(
     if not versions:
         raise FileNotFoundError(f"nothing to checkpoint at {path!r}")
     v = max(versions) if version is None else version
+    if policy in (None, "classic"):
+        # WRITE half of the distributed metadata plane (r14): above
+        # the threshold, compact prior-checkpoint + tail into a
+        # MULTIPART classic checkpoint with the adds streaming
+        # parquet→parquet — never through the driver
+        dist = _live_adds_df(spark, path, v)
+        if dist is not None:
+            protocol, meta, txns, live_df = dist
+            _writer_gate(protocol, meta, "CHECKPOINT")
+            pol = policy or (meta.get("configuration") or {}).get(
+                "delta.checkpointPolicy", "classic"
+            )
+            if pol == "classic":
+                return _write_checkpoint_multipart(
+                    spark, path, v, protocol, meta, txns, live_df
+                )
     protocol, meta, adds, txns = _replay(spark, path, v)
     # unknown writerFeatures may imply log actions _replay does not
     # model (e.g. domainMetadata); a checkpoint written here would
