@@ -2993,6 +2993,7 @@ def expire_snapshots(
     path: str,
     keep_snapshots: int = 2,
     older_than_ms: int | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Iceberg's ``expireSnapshots`` at spec level — the storage-
     reclaim twin of :func:`delta_io.vacuum_delta` (round-7 verdict
@@ -3030,6 +3031,10 @@ def expire_snapshots(
     than its ``max-ref-age-ms`` is itself EXPIRED and dropped from
     the new metadata's refs (``main`` never expires, per spec).
 
+    ``spark`` (r14, optional): with a session the retained
+    snapshots' manifest walks distribute above the >64-manifest
+    threshold like every read — a thousands-of-manifests table
+    expires at executor parallelism instead of a driver Avro loop.
     Returns {data_files_removed, manifests_removed,
     metadata_files_removed, retained_snapshot_ids}.
     """
@@ -3114,7 +3119,9 @@ def expire_snapshots(
             keep_avros |= {
                 os.path.abspath(_local(p)) for p in s.get("manifests", [])
             }
-        data_fs, delete_fs = _snapshot_files(path, meta, s["snapshot-id"])
+        data_fs, delete_fs = _snapshot_files(
+            path, meta, s["snapshot-id"], spark=spark
+        )
         for d in data_fs + delete_fs:  # delete files are live too
             live_data.add(os.path.abspath(_local(d["file_path"])))
 

@@ -2408,6 +2408,88 @@ _DESCRIBE_RE = re.compile(
 )
 
 
+def _show_create_table(
+    spark: SparkSession,
+    name: str,
+    catalog: dict[str, tuple[str, str]],
+):
+    """``SHOW CREATE TABLE t`` (r14): reconstruct a runnable
+    :func:`dml_sql` CREATE statement from the live metadata — column
+    list with NOT NULL, PARTITIONED BY (Iceberg specs render their
+    transforms back to the DDL vocabulary), LOCATION, TBLPROPERTIES.
+    Views render their stored definition."""
+    import json as _json
+
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+    from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
+
+    if name not in catalog:
+        raise ValueError(
+            f"table {name!r} not in catalog (have {sorted(catalog)})"
+        )
+    fmt, path = catalog[name]
+    if fmt == "view":
+        stmt = f"CREATE VIEW {name} AS {path}"
+        return spark.createDataFrame(
+            [(stmt,)], "createtab_stmt string"
+        )
+    if fmt == "delta":
+        _p, meta, _adds, _tx = d._replay(spark, path, None)
+        schema = T.StructType.fromJson(
+            _json.loads(meta["schemaString"])
+        )
+        cols = [
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        ]
+        pby = list(meta.get("partitionColumns") or [])
+        props = dict(meta.get("configuration") or {})
+    else:
+        _v, meta = ice._current_metadata(path)
+        _sch, fields = ice._schema_of(meta, allow_renames=True)
+        by_id = {f["id"]: f for f in fields}
+        cols = [
+            f"{f['name']} {str(f['type']).upper()}"
+            + (" NOT NULL" if f.get("required") else "")
+            for f in fields
+        ]
+        specs = meta.get("partition-specs") or (
+            [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+        )
+        sid = int(meta.get("default-spec-id", 0))
+        spec = next(
+            (s for s in specs if int(s.get("spec-id", 0)) == sid),
+            {"fields": []},
+        )
+        pby = []
+        for pf in spec.get("fields", []):
+            src = by_id.get(pf["source-id"], {}).get(
+                "name", pf["name"]
+            )
+            tr = pf.get("transform", "identity")
+            if tr == "identity":
+                pby.append(src)
+            elif tr.startswith("bucket["):
+                pby.append(f"bucket({tr[7:-1]}, {src})")
+            elif tr.startswith("truncate["):
+                pby.append(f"truncate({tr[9:-1]}, {src})")
+            elif tr != "void":
+                pby.append(f"{tr}({src})")
+        props = dict(meta.get("properties") or {})
+    stmt = f"CREATE TABLE {name} (\n  " + ",\n  ".join(cols) + "\n)"
+    stmt += f"\nUSING {fmt}"
+    if pby:
+        stmt += f"\nPARTITIONED BY ({', '.join(pby)})"
+    stmt += f"\nLOCATION '{os.path.abspath(path)}'"
+    if props:
+        kv = ", ".join(
+            f"'{k}'='{v}'" for k, v in sorted(props.items())
+        )
+        stmt += f"\nTBLPROPERTIES ({kv})"
+    return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
+
 def _describe_sql(
     spark: SparkSession,
     text: str,
@@ -2564,6 +2646,15 @@ def query_sql(
     text = sql.strip().rstrip(";")
     head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
     if head == "SHOW":
+        cm = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<target>[\w.]+)\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if cm:
+            return _show_create_table(
+                spark, cm.group("target"), catalog
+            )
         m = re.match(
             r"^\s*SHOW\s+TABLES\s*(?:LIKE\s+'(?P<pat>[^']*)')?\s*$",
             text,
@@ -3028,9 +3119,9 @@ def dml_sql(
         )
 
         if hours:
-            expire_snapshots(path, older_than_ms=retain_ms)
+            expire_snapshots(path, older_than_ms=retain_ms, spark=spark)
         else:
-            expire_snapshots(path, keep_snapshots=keep)
+            expire_snapshots(path, keep_snapshots=keep, spark=spark)
         return None
 
     if head == "INSERT":

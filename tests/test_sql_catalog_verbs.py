@@ -155,3 +155,44 @@ def test_view_cycle_refuses(spark, cat):
     cat["loop_v"] = ("view", "SELECT * FROM loop_v")
     with pytest.raises(ValueError, match="cycle"):
         query_sql(spark, "SELECT * FROM loop_v", cat)
+
+
+def test_show_create_table_round_trips(spark, cat, tmp_path):
+    """r14: SHOW CREATE TABLE reconstructs a runnable dml_sql CREATE
+    — fed back through the router it recreates an equivalent table."""
+    stmt = query_sql(spark, "SHOW CREATE TABLE dt", cat).first(
+    ).createtab_stmt
+    assert "USING delta" in stmt and "PARTITIONED BY (g)" in stmt
+    # runnable: re-create at a new location under a new name
+    clone_stmt = stmt.replace(
+        f"LOCATION '{cat['dt'][1]}'",
+        f"LOCATION '{tmp_path / 'dt2'}'",
+    ).replace("CREATE TABLE dt (", "CREATE TABLE dt2 (", 1)
+    dml_sql(spark, clone_stmt, cat)
+    assert cat["dt2"][0] == "delta"
+    desc = {
+        (r.col_name, r.data_type, r.is_partition)
+        for r in query_sql(spark, "DESCRIBE dt2", cat).collect()
+    }
+    want = {
+        (r.col_name, r.data_type, r.is_partition)
+        for r in query_sql(spark, "DESCRIBE dt", cat).collect()
+    }
+    assert desc == want
+    # iceberg with a transform renders the DDL vocabulary back
+    dml_sql(
+        spark,
+        "CREATE TABLE bt (k BIGINT, s STRING) USING iceberg "
+        "PARTITIONED BY (bucket(4, k)) "
+        f"LOCATION '{tmp_path / 'bt'}'",
+        cat,
+    )
+    istmt = query_sql(spark, "SHOW CREATE TABLE bt", cat).first(
+    ).createtab_stmt
+    assert "USING iceberg" in istmt
+    assert "bucket(4, k)" in istmt
+    # views render their stored definition
+    dml_sql(spark, "CREATE VIEW sv AS SELECT k FROM dt", cat)
+    vstmt = query_sql(spark, "SHOW CREATE TABLE sv", cat).first(
+    ).createtab_stmt
+    assert vstmt == "CREATE VIEW sv AS SELECT k FROM dt"
