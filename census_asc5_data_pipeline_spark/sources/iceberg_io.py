@@ -3863,7 +3863,29 @@ def delete_iceberg_positions(
             )
         branch_head = int(bref["snapshot-id"])
     schema, fields = _schema_of(meta)
-    data_files, delete_fs = _snapshot_files(path, meta, branch_head)
+    # candidate pruning (r14, the _update_iceberg discipline):
+    # partition atoms skip whole data manifests via the manifest-list
+    # summaries, bounds skip files — already-matchless files are
+    # never scanned or position-addressed; the full predicate still
+    # applies row-wise so results are exact
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_stats as _dsk,
+    )
+
+    atoms = _dsk.parse_skip_predicate(where)
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    pruner = (
+        _manifest_summary_pruner(meta, fields, atoms, session_tz=tz)
+        if atoms is not None
+        else None
+    )
+    data_files, delete_fs = _snapshot_files(
+        path, meta, branch_head, spark=spark, manifest_pruner=pruner
+    )
+    if atoms is not None and data_files:
+        data_files = _skip_by_bounds(
+            data_files, atoms, fields, meta, session_tz=tz
+        )
     if not data_files:
         return None
     abs_of_base: dict[str, str] = {}

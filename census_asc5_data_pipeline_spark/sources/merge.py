@@ -1711,21 +1711,29 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
     for c in sets:
         if c not in schema.fieldNames():
             raise ValueError(f"SET column {c!r} not in the table schema")
-    data_files, delete_fs = ice._snapshot_files(path, meta, branch_head)
-    if not data_files:
-        return None
     # bounds-based candidate pruning (r13, the _update_delta
     # discipline): files whose manifest metrics prove the WHERE
-    # matches nothing are neither scanned nor position-deleted
+    # matches nothing are neither scanned nor position-deleted;
+    # r14: partition-predicate atoms additionally skip WHOLE DATA
+    # MANIFESTS via the manifest-list field summaries before any
+    # Avro decodes (delete manifests always decode)
     from census_asc5_data_pipeline_spark.sources import delta_stats as dsk
 
     atoms = dsk.parse_skip_predicate(predicate)
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    pruner = (
+        ice._manifest_summary_pruner(meta, fields, atoms, session_tz=tz)
+        if atoms is not None
+        else None
+    )
+    data_files, delete_fs = ice._snapshot_files(
+        path, meta, branch_head, spark=spark, manifest_pruner=pruner
+    )
+    if not data_files:
+        return None
     if atoms is not None:
         data_files = ice._skip_by_bounds(
-            data_files, atoms, fields, meta,
-            session_tz=spark.conf.get(
-                "spark.sql.session.timeZone", "UTC"
-            ),
+            data_files, atoms, fields, meta, session_tz=tz
         )
     if not data_files:
         return None
