@@ -4068,9 +4068,15 @@ def vacuum_delta(
     # gate BEFORE any file is deleted (r14): the checkpoint this
     # vacuum writes at the end would refuse on unimplemented
     # writerFeatures anyway (vacuumProtocolCheck's exact demand), but
-    # refusing after deletions is the wrong half of the spec
-    _pg, _mg, _ag, _tg = _replay(spark, path, None)
-    _writer_gate(_pg, _mg, "VACUUM")
+    # refusing after deletions is the wrong half of the spec. Above
+    # the threshold the protocol/meta come off the distributed plane
+    # (no add materialization just for the gate)
+    _gate_dist = _live_adds_df(spark, path, max(versions))
+    if _gate_dist is not None:
+        _writer_gate(_gate_dist[0], _gate_dist[1], "VACUUM")
+    else:
+        _pg, _mg, _ag, _tg = _replay(spark, path, None)
+        _writer_gate(_pg, _mg, "VACUUM")
     if retain_ms is not None:
         ts_cut = int(time.time() * 1000) - int(retain_ms)
         retained = [
@@ -4095,8 +4101,28 @@ def vacuum_delta(
     live: set[str] = set()
     live_dv: set[str] = set()  # DV sidecars any retained version needs
     for v in retained:
-        _p, _m, adds, _tx = _replay(spark, path, v)
-        for a in adds.values():
+        # r14: above the checkpoint threshold the per-version live
+        # walk rides the distributed plane — only (path, DV
+        # descriptor) pairs collect, never the full add dicts
+        dist = _live_adds_df(spark, path, v)
+        if dist is not None:
+            version_adds = [
+                {
+                    "path": r["path"],
+                    "deletionVector": (
+                        r["deletionVector"].asDict()
+                        if r["deletionVector"] is not None
+                        else None
+                    ),
+                }
+                for r in dist[3]
+                .select("path", "deletionVector")
+                .collect()
+            ]
+        else:
+            _p, _m, adds, _tx = _replay(spark, path, v)
+            version_adds = list(adds.values())
+        for a in version_adds:
             live.add(os.path.normpath(urllib.parse.unquote(a["path"])))
             dv = a.get("deletionVector")
             if dv and dv.get("storageType") == "u":
@@ -4207,10 +4233,96 @@ def optimize_delta(
     commit ABORTS (ValueError) if any file it would remove is no
     longer live — the compactor never clobbers a concurrent
     overwrite. Returns {partitions_compacted, files_before,
-    files_after, version} (version None = nothing to do)."""
-    _p, meta, adds, _tx = _replay(spark, path, None)
-    _writer_gate(_p, meta, "OPTIMIZE")
-    pcols = list(meta.get("partitionColumns") or [])
+    files_after, version} (version None = nothing to do).
+
+    r14: above the checkpoint threshold, PLANNING is distributed —
+    the per-partition (files, bytes, any-DV) profile aggregates over
+    the metadata plane's live-adds DataFrame and only the partitions
+    that actually compact collect their add dicts; a
+    mostly-compacted million-add table plans in one metadata-scale
+    Spark job instead of a driver loop over every add."""
+    dist = _live_adds_df(
+        spark, path, max(delta_versions(path) or [0])
+    )
+    files_total: int | None = None
+    if dist is not None:
+        _p, meta, _txns_d, live_df = dist
+        _writer_gate(_p, meta, "OPTIMIZE")
+        pcols = list(meta.get("partitionColumns") or [])
+        kcols = [
+            F.col("partitionValues").getItem(c).alias(f"__k{i}")
+            for i, c in enumerate(pcols)
+        ]
+        aggs = [
+            F.count("*").alias("__n"),
+            F.sum(F.coalesce(F.col("size"), F.lit(0))).alias("__b"),
+            F.max(
+                F.col("deletionVector").isNotNull().cast("int")
+            ).alias("__dv"),
+        ]
+        prof = (
+            live_df.groupBy(*kcols).agg(*aggs).collect()
+            if pcols
+            else live_df.agg(*aggs).collect()
+        )
+        files_total = sum(r["__n"] for r in prof)
+        todo_keys = []
+        for r in prof:
+            want = max(
+                1, -(-int(r["__b"] or 0) // int(target_file_bytes))
+            )
+            if (
+                zorder_by
+                or int(r["__n"]) > want
+                or int(r["__dv"] or 0)
+            ):
+                todo_keys.append(
+                    tuple(r[f"__k{i}"] for i in range(len(pcols)))
+                )
+        if not todo_keys:
+            return {
+                "partitions_compacted": 0,
+                "files_before": files_total,
+                "files_after": files_total,
+                "version": None,
+            }
+        if pcols:
+            keys_df = spark.createDataFrame(
+                todo_keys,
+                T.StructType(
+                    [
+                        T.StructField(f"__k{i}", T.StringType())
+                        for i in range(len(pcols))
+                    ]
+                ),
+            )
+            cond = None
+            for i, c in enumerate(pcols):
+                piece = F.col("partitionValues").getItem(c).eqNullSafe(
+                    F.col(f"__k{i}")
+                )
+                cond = piece if cond is None else (cond & piece)
+            cand_df = live_df.join(
+                F.broadcast(keys_df), cond, "left_semi"
+            )
+        else:
+            cand_df = live_df
+        adds = {
+            a["path"]: a
+            for a in (
+                {
+                    k: v
+                    for k, v in r.asDict(recursive=True).items()
+                    if v is not None
+                }
+                for r in cand_df.collect()
+            )
+        }
+    else:
+        _p, meta, adds, _tx = _replay(spark, path, None)
+        _writer_gate(_p, meta, "OPTIMIZE")
+        pcols = list(meta.get("partitionColumns") or [])
+        files_total = len(adds)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in pcols]
@@ -4256,8 +4368,8 @@ def optimize_delta(
     if not todo:
         return {
             "partitions_compacted": 0,
-            "files_before": len(adds),
-            "files_after": len(adds),
+            "files_before": files_total,
+            "files_after": files_total,
             "version": None,
         }
     now_ms = int(time.time() * 1000)
@@ -4376,7 +4488,7 @@ def optimize_delta(
         versions = delta_versions(path)
         ckpt = _read_last_checkpoint(path)
         next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
-        _p2, _m2, live_now, _t2 = _replay(spark, path, None)
+        live_now = _live_subset(spark, path, frozenset(removed_paths))
         gone = [
             p_
             for p_ in removed_paths
@@ -4422,8 +4534,8 @@ def optimize_delta(
             continue
     return {
         "partitions_compacted": len(todo),
-        "files_before": len(adds),
-        "files_after": len(adds) - len(removed_paths) + len(new_adds),
+        "files_before": files_total,
+        "files_after": files_total - len(removed_paths) + len(new_adds),
         "version": next_v,
     }
 

@@ -329,3 +329,53 @@ def test_dml_concurrency_abort_still_fires(spark, tmp_path, force_spark_path):
             d.delete_delta_where(spark, path, "k <= 10", mode="cow")
     finally:
         d._put_if_absent_commit = real_put
+
+
+def test_optimize_and_vacuum_via_plane_match_driver(spark, tmp_path):
+    """r14: OPTIMIZE planning and vacuum's live-set walk ride the
+    plane — twin tables compact/reclaim byte-identically either way."""
+    import time as _time
+
+    paths = []
+    for tag in ("pa", "pb"):
+        p = str(tmp_path / tag)
+        for lo in (0, 60, 120, 180):
+            d.write_delta(
+                spark.createDataFrame(
+                    [(i, i % 3) for i in range(lo, lo + 60)],
+                    "k long, g int",
+                ).repartition(3),
+                p,
+                partition_by=["g"],
+            )
+        d.create_checkpoint(spark, p)
+        d.delete_delta_where(spark, p, "k < 5", mode="dv")
+        paths.append(p)
+    a, b = paths
+    orig = d._SPARK_PRUNE_THRESHOLD
+    try:
+        d._SPARK_PRUNE_THRESHOLD = 0
+        ra = d.optimize_delta(spark, a, target_file_bytes=1 << 30)
+        d._SPARK_PRUNE_THRESHOLD = 1 << 60
+        rb = d.optimize_delta(spark, b, target_file_bytes=1 << 30)
+    finally:
+        d._SPARK_PRUNE_THRESHOLD = orig
+    assert ra["partitions_compacted"] == rb["partitions_compacted"] > 0
+    assert ra["files_before"] == rb["files_before"]
+    assert ra["files_after"] == rb["files_after"]
+    assert sorted(map(tuple, d.read_delta(spark, a).collect())) == sorted(
+        map(tuple, d.read_delta(spark, b).collect())
+    )
+    # vacuum over the plane: same survivors, same reclaim
+    _time.sleep(1.1)
+    try:
+        d._SPARK_PRUNE_THRESHOLD = 0
+        va = d.vacuum_delta(spark, a, keep_versions=1)
+        d._SPARK_PRUNE_THRESHOLD = 1 << 60
+        vb = d.vacuum_delta(spark, b, keep_versions=1)
+    finally:
+        d._SPARK_PRUNE_THRESHOLD = orig
+    assert va["data_files_removed"] == vb["data_files_removed"]
+    assert sorted(map(tuple, d.read_delta(spark, a).collect())) == sorted(
+        map(tuple, d.read_delta(spark, b).collect())
+    )
