@@ -2750,6 +2750,105 @@ def drop_ref(path: str, name: str) -> int:
     return _set_ref(path, name, None)
 
 
+def remove_orphan_files(
+    path: str,
+    older_than_ms: int = 3 * 24 * 3_600_000,
+    spark: SparkSession | None = None,
+) -> dict:
+    """Iceberg's ``remove_orphan_files`` maintenance procedure (r14):
+    physically delete files under the table location that NO metadata
+    version on disk references — the debris a crashed writer leaves
+    behind (staged data files whose snapshot never committed, torn
+    manifest avros). Safety:
+
+    - referenced = the union over EVERY ``v*.metadata.json`` still on
+      disk of its metadata file, every snapshot's manifest-list +
+      manifest avros, and every listed data/delete file (snapshots
+      whose avros were already expired contribute nothing — they are
+      unreadable either way);
+    - only files with mtime STRICTLY older than ``now −
+      older_than_ms`` are touched (Iceberg's default 3 days) — an
+      in-flight writer's fresh staging never qualifies;
+    - ``version-hint.text`` and the metadata jsons themselves are
+      never candidates.
+
+    ``spark`` distributes the per-snapshot manifest walks above the
+    >64-manifest threshold. Returns {orphans_removed, bytes_removed,
+    files_scanned}."""
+    md = _meta_dir(path)
+    if not os.path.isdir(md):
+        raise FileNotFoundError(f"not an Iceberg table at {path!r}")
+    cutoff = time.time() - older_than_ms / 1000.0
+    referenced: set[str] = set()
+    for fn in sorted(os.listdir(md)):
+        if not (fn.startswith("v") and fn.endswith(".metadata.json")):
+            continue
+        fp = os.path.join(md, fn)
+        referenced.add(os.path.abspath(fp))
+        try:
+            meta = json.load(open(fp))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for snap in meta.get("snapshots", []):
+            try:
+                if "manifest-list" in snap:
+                    ml = os.path.abspath(_local(snap["manifest-list"]))
+                    referenced.add(ml)
+                    _s, manifests = read_container_generic(ml)
+                    for m in manifests:
+                        referenced.add(
+                            os.path.abspath(
+                                _local(m["manifest_path"])
+                            )
+                        )
+                else:
+                    referenced.update(
+                        os.path.abspath(_local(p))
+                        for p in snap.get("manifests", [])
+                    )
+                data_fs, delete_fs = _snapshot_files(
+                    path, meta, snap["snapshot-id"], spark=spark
+                )
+                for df_ in data_fs + delete_fs:
+                    referenced.add(
+                        os.path.abspath(_local(df_["file_path"]))
+                    )
+            except (OSError, KeyError, ValueError, FileNotFoundError):
+                # an expired/torn snapshot can't mark references —
+                # it is unreadable either way; the mtime guard still
+                # protects anything fresh
+                continue
+    removed = 0
+    nbytes = 0
+    scanned = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            fp = os.path.abspath(os.path.join(root, fn))
+            in_meta = root.startswith(os.path.abspath(md))
+            if in_meta and (
+                fn == "version-hint.text"
+                or fn.endswith(".metadata.json")
+            ):
+                continue
+            scanned += 1
+            if fp in referenced:
+                continue
+            try:
+                if os.path.getmtime(fp) >= cutoff:
+                    continue
+                sz = os.path.getsize(fp)
+                os.remove(fp)
+            except OSError:
+                continue
+            removed += 1
+            nbytes += sz
+    return {
+        "orphans_removed": removed,
+        "bytes_removed": nbytes,
+        "files_scanned": scanned,
+    }
+
+
 def fast_forward(path: str, target: str, source: str) -> int:
     """Publish: fast-forward ``target`` (``'main'`` or a branch ref)
     to ``source``'s head snapshot — the write-audit-publish closing

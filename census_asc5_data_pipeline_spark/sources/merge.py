@@ -3227,9 +3227,21 @@ def dml_sql(
             return ice.drop_ref(path, _lit(args[1]))
         if proc == "fast_forward":
             return ice.fast_forward(path, _lit(args[1]), _lit(args[2]))
+        if proc == "remove_orphan_files":
+            res = ice.remove_orphan_files(
+                path,
+                **(
+                    {"older_than_ms": int(_lit(args[1]))}
+                    if len(args) > 1
+                    else {}
+                ),
+                spark=spark,
+            )
+            return res["orphans_removed"]
         raise ValueError(
             f"unknown procedure {proc!r} "
-            "(create_branch|create_tag|drop_ref|fast_forward)"
+            "(create_branch|create_tag|drop_ref|fast_forward|"
+            "remove_orphan_files)"
         )
     raise ValueError(
         f"unsupported DML statement {head!r} "
