@@ -35,9 +35,25 @@ SCHEMA = T.StructType(
 )
 
 _int = st.integers(min_value=-50, max_value=50)
-_str = st.text(
-    alphabet="abcXYZ", min_size=0, max_size=4
-).filter(lambda s: True)
+# r14: fractional literals against the integer column pin the
+# no-truncation fix (int(1.5) made `a < 1.5` lossy)
+_frac = st.integers(min_value=-100, max_value=100).map(lambda n: n / 2)
+# r14: hostile string literals pin the BETWEEN/AND masking — a
+# literal containing operator keywords must never corrupt parsing
+_hostile = st.sampled_from(
+    [
+        "x AND y",
+        "a BETWEEN 1 AND 2",
+        "OR",
+        "it's",
+        "s > 5",
+        "IN (1,2)",
+        "' AND a = 1 AND s = '",
+    ]
+)
+_str = st.one_of(
+    st.text(alphabet="abcXYZ", min_size=0, max_size=4), _hostile
+)
 _row = st.fixed_dictionaries(
     {
         "a": st.one_of(st.none(), _int),
@@ -58,6 +74,7 @@ def _lit_sql(v):
 
 _atom = st.one_of(
     st.tuples(st.just("a"), _cmp_op, _int),
+    st.tuples(st.just("a"), _cmp_op, _frac),
     st.tuples(st.just("s"), _cmp_op, _str),
     st.tuples(
         st.just("a"), st.just("in"), st.lists(_int, min_size=1, max_size=3)
