@@ -11340,7 +11340,225 @@ GROUP BY o_orderstatus
 """
 
 
+def q_history_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta commitInfo ``operationMetrics`` through the registry
+    gate (round-15 verdict #1): CREATE → INSERT 1995 orders → INSERT
+    1996 → DELETE (CoW) a deterministic 1995 slice → MERGE (update/
+    delete matched 1996 by key parity, insert 1997). The result is
+    DESCRIBE HISTORY's metrics map exploded to (version, operation,
+    metric, value) rows, restricted to the PURELY DATA-DETERMINED
+    row metrics (numOutputRows / numDeletedRows /
+    numTargetRows{Inserted,Updated,Deleted}) — file-count metrics
+    depend on partitioning and stay pytest-verified. DuckDB
+    reconstructs every value as a COUNT over orders, so a metric
+    stamped from the wrong side of a commit (or an extra/lost row in
+    any DML path) flips the hash. Rebuilds under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    view = f"hm_orders_{os.getpid()}"
+    orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.year("o_orderdate").alias("yr"),
+    ).createOrReplaceTempView(view)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_history_metrics_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    cat: dict = {}
+    dml_sql(
+        spark,
+        f"CREATE TABLE hm_t (okey BIGINT, yr INT) USING delta "
+        f"LOCATION '{base}'",
+        cat,
+    )
+    for yr in (1995, 1996):
+        dml_sql(
+            spark,
+            f"INSERT INTO hm_t SELECT okey, yr FROM {view} "
+            f"WHERE yr = {yr}",
+            cat,
+        )
+    dml_sql(
+        spark, "DELETE FROM hm_t WHERE yr = 1995 AND okey % 10 < 3", cat
+    )
+    dml_sql(
+        spark,
+        f"MERGE INTO hm_t t USING (SELECT okey, yr FROM {view} "
+        "WHERE yr IN (1996, 1997)) s ON t.okey = s.okey "
+        "WHEN MATCHED AND t.okey % 2 = 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET okey = s.okey "
+        "WHEN NOT MATCHED THEN INSERT (okey, yr) VALUES (s.okey, s.yr)",
+        cat,
+    )
+    hist = delta_io.describe_history(spark, base)
+    # (operation, metric) pairs whose values are purely
+    # data-determined — MERGE's numOutputRows includes CoW
+    # copied-through rows, which depend on file boundaries
+    keep = F.col("metric").isin(
+        "numDeletedRows",
+        "numTargetRowsInserted",
+        "numTargetRowsUpdated",
+        "numTargetRowsDeleted",
+    ) | (
+        (F.col("operation") == "WRITE")
+        & (F.col("metric") == "numOutputRows")
+    )
+    return (
+        hist.select(
+            F.col("version"),
+            F.col("operation"),
+            F.explode(F.col("operation_metrics")).alias(
+                "metric", "sval"
+            ),
+        )
+        .filter(keep)
+        .select(
+            F.col("version").cast("bigint").alias("version"),
+            F.col("operation"),
+            F.col("metric"),
+            F.col("sval").cast("bigint").alias("value"),
+        )
+    )
+
+
+SQL_HISTORY_METRICS = """
+WITH n AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1995)
+         AS BIGINT) AS n95,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+         AS BIGINT) AS n96,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1997)
+         AS BIGINT) AS n97,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+                            AND o_orderkey % 10 < 3)
+         AS BIGINT) AS ndel,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+                            AND o_orderkey % 2 = 0)
+         AS BIGINT) AS n96even,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+                            AND o_orderkey % 2 <> 0)
+         AS BIGINT) AS n96odd
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS version, 'WRITE' AS operation,
+       'numOutputRows' AS metric, CAST(0 AS BIGINT) AS value FROM n
+UNION ALL
+SELECT 1, 'WRITE', 'numOutputRows', n95 FROM n
+UNION ALL
+SELECT 2, 'WRITE', 'numOutputRows', n96 FROM n
+UNION ALL
+SELECT 3, 'DELETE', 'numDeletedRows', ndel FROM n
+UNION ALL
+SELECT 4, 'MERGE', 'numTargetRowsInserted', n97 FROM n
+UNION ALL
+SELECT 4, 'MERGE', 'numTargetRowsUpdated', n96odd FROM n
+UNION ALL
+SELECT 4, 'MERGE', 'numTargetRowsDeleted', n96even FROM n
+"""
+
+
+def q_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot ``summary`` fields through the registry gate
+    (round-15 verdict #9 — the Delta operationMetrics twin): append
+    the 1995 orders → append 1996 → position-delete a deterministic
+    1995 slice (merge-on-read). Each snapshot's summary must carry
+    the spec's row accounting — added-records / deleted-records
+    deltas and exact total-records / total-position-deletes
+    recomputed from the manifest list — all COUNT-reconstructable in
+    DuckDB (file counts vary with partitioning and stay
+    pytest-verified). A summary stamped from the wrong manifest set
+    flips the hash. Rebuilds under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import iceberg_io
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_snapshot_summary_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    iceberg_io.write_iceberg(staged.filter("yr = 1995"), base)
+    iceberg_io.write_iceberg(staged.filter("yr = 1996"), base)
+    iceberg_io.delete_iceberg_positions(
+        spark, base, "yr = 1995 AND okey % 10 < 3"
+    )
+    snaps = iceberg_io.read_iceberg_meta(spark, base, "snapshots")
+    zero = F.lit(0).cast("bigint")
+    return snaps.select(
+        F.col("snapshot_id").cast("bigint").alias("snapshot_id"),
+        F.col("operation"),
+        F.coalesce(
+            F.element_at(F.col("summary"), "added-records").cast(
+                "bigint"
+            ),
+            zero,
+        ).alias("added_records"),
+        F.coalesce(
+            F.element_at(F.col("summary"), "deleted-records").cast(
+                "bigint"
+            ),
+            zero,
+        ).alias("deleted_records"),
+        F.element_at(F.col("summary"), "total-records")
+        .cast("bigint")
+        .alias("total_records"),
+        F.element_at(F.col("summary"), "total-position-deletes")
+        .cast("bigint")
+        .alias("total_position_deletes"),
+    )
+
+
+SQL_SNAPSHOT_SUMMARY = """
+WITH n AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1995)
+         AS BIGINT) AS n95,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+         AS BIGINT) AS n96,
+    CAST(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+                            AND o_orderkey % 10 < 3)
+         AS BIGINT) AS ndel
+  FROM orders
+)
+SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+       n95 AS added_records, CAST(0 AS BIGINT) AS deleted_records,
+       n95 AS total_records,
+       CAST(0 AS BIGINT) AS total_position_deletes
+FROM n
+UNION ALL
+SELECT 2, 'append', n96, 0, n95 + n96, 0 FROM n
+UNION ALL
+SELECT 3, 'delete', 0, ndel, n95 + n96, ndel FROM n
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 15 (verdict #1/#9: the observability metrics
+    # rows) ---
+    "history_metrics": q_history_metrics,
+    "snapshot_summary": q_snapshot_summary,
+    # --- r15 driver-window rotation (r14 verdict #7): five veterans
+    # never driver-windowed before rotate in ---
+    "fuzzy_match": q_fuzzy_match,
+    "near_dup_triangles": q_near_dup_triangles,
+    "scd2_history": q_scd2_history,
+    "asof_join": q_asof_join,
+    "cohort_retention": q_cohort_retention,
     # --- new in round 14 ---
     "stream_sink_fold": q_stream_sink_fold,
     # --- r14 driver-window rotation (r13 verdict #8): veterans the
@@ -11422,9 +11640,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- r5 rewrites whose last driver rows predate the rewrite
     # (degree-oriented wedges / length-filtered jaccard; judge's HEAD
     # sweep covered them, a driver row closes the loop) ---
-    "near_dup_triangles": q_near_dup_triangles,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "fuzzy_match": q_fuzzy_match,
     # --- new in round 5 (never driver-checked) ---
     "bloom_join": q_bloom_join,
     "conversion_lag": q_conversion_lag,
@@ -11535,7 +11751,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- green, rotated behind the 50-entry window ---
     "conditional_agg": q_conditional_agg,
     "scd1_upsert": q_scd1_upsert,
-    "scd2_history": q_scd2_history,
     "dq_report": q_dq_report,
     "stratified_sample": q_stratified_sample,
     "grouping_sets": q_grouping_sets,
@@ -11568,12 +11783,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "events_dedup_latest": q_events_dedup,
-    "asof_join": q_asof_join,
     "group_median": q_group_median,
     "cube_agg": q_cube_agg,
     "unpivot_long": q_unpivot_long,
     "lag_lead_delta": q_lag_lead_delta,
-    "cohort_retention": q_cohort_retention,
     "user_trend": q_user_trend,
     "gap_fill": q_gap_fill,
     "histogram": q_histogram,
@@ -11590,6 +11803,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    # --- new in round 15 ---
+    "history_metrics": SQL_HISTORY_METRICS,
+    "snapshot_summary": SQL_SNAPSHOT_SUMMARY,
     "stream_sink_fold": SQL_STREAM_SINK_FOLD,
     # --- new in round 13 ---
     "data_skipping": SQL_DATA_SKIPPING,

@@ -295,6 +295,76 @@ def _remove_action(add: dict, now_ms: int, data_change: bool = True) -> dict:
     return r
 
 
+def _commit_counts(lines: list[dict]) -> dict:
+    """File-level tallies over a commit's fully-assembled action
+    list — the raw material for commitInfo ``operationMetrics``
+    (delta-spark's DESCRIBE HISTORY observability; r15 verdict #1).
+    Derived entirely from the actions themselves: add/remove counts
+    and byte totals from the actions, row totals from the add
+    actions' ``stats.numRecords``. NO extra Spark job runs — when any
+    add lacks stats (delta.dataSkippingNumIndexedCols=0 disables
+    stamping), ``add_rows`` is None and row metrics are simply
+    omitted rather than recounted."""
+    adds = removes = cdc = dv_adds = 0
+    add_bytes = remove_bytes = 0
+    add_rows: int | None = 0
+    for ln in lines:
+        if "add" in ln:
+            a = ln["add"]
+            adds += 1
+            add_bytes += int(a.get("size", 0) or 0)
+            if a.get("deletionVector"):
+                # a DV re-add is the same data file behind a new
+                # mask — its stats.numRecords describes the PHYSICAL
+                # file, not rows this commit wrote, so it never
+                # contributes to add_rows
+                dv_adds += 1
+                continue
+            nrec = None
+            if a.get("stats"):
+                try:
+                    nrec = json.loads(a["stats"]).get("numRecords")
+                except (ValueError, TypeError):
+                    nrec = None
+            if nrec is None:
+                add_rows = None
+            elif add_rows is not None:
+                add_rows += int(nrec)
+        elif "remove" in ln:
+            removes += 1
+            remove_bytes += int(ln["remove"].get("size", 0) or 0)
+        elif "cdc" in ln:
+            cdc += 1
+    return {
+        "adds": adds,
+        "add_bytes": add_bytes,
+        "add_rows": add_rows,
+        "dv_adds": dv_adds,
+        "removes": removes,
+        "remove_bytes": remove_bytes,
+        "cdc": cdc,
+    }
+
+
+def _stamp_op_metrics(lines: list[dict], **metrics) -> None:
+    """Record ``operationMetrics`` on the commit's commitInfo action
+    (delta-spark serializes every value as a string in a
+    map<string,string>; DESCRIBE HISTORY surfaces the map verbatim).
+    None values are dropped — a metric the engine can't derive
+    without an extra job is omitted, never guessed."""
+    for ln in lines:
+        ci = ln.get("commitInfo")
+        if ci is not None:
+            m = {
+                k: str(int(v))
+                for k, v in metrics.items()
+                if v is not None
+            }
+            if m:
+                ci["operationMetrics"] = m
+            return
+
+
 def _adds_by_base(adds: dict[str, dict]) -> dict[str, dict]:
     """Live add actions keyed by data-file BASENAME, raising on a
     collision (two live adds in different subdirectories sharing a
@@ -1034,6 +1104,8 @@ def _live_adds_df(
                 a.get("modificationTime"),
                 bool(a.get("dataChange", True)),
                 a.get("stats"),
+                a.get("baseRowId"),
+                a.get("defaultRowCommitVersion"),
                 _dv_tuple(a),
             )
             for a in overlay.values()
@@ -1103,6 +1175,63 @@ def _column_mapping(meta: dict) -> dict[str, str] | None:
             )
         out[f["name"]] = phys
     return out
+
+
+def _mapping_ids(meta: dict) -> dict[str, int]:
+    """logical name → ``delta.columnMapping.id`` for a mapped table
+    ({} when unmapped). The id is the rename-stable identity a CDF
+    range walk binds columns by (r15 verdict #6): a RENAME COLUMN
+    changes names only — the id and physical name stay."""
+    if _column_mapping(meta) is None:
+        return {}
+    out: dict[str, int] = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        cid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if cid is not None:
+            out[f["name"]] = int(cid)
+    return out
+
+
+def _rebind_by_field_id(
+    schema_v: T.StructType,
+    pcols_v: list[str],
+    physical_v: dict[str, str] | None,
+    meta_v: dict,
+    end_meta: dict,
+) -> tuple[T.StructType, list[str], dict[str, str] | None]:
+    """Rename a version's schema/pcols/mapping to the RANGE-END
+    logical names by ``delta.columnMapping.id`` (r15 verdict #6): a
+    mid-range RENAME COLUMN keeps every field's id and physical name,
+    so binding by id lets the CDF walk emit the whole range under the
+    end names instead of refusing. Fields whose id the end schema no
+    longer carries (a DROP) keep their old name — the downstream
+    align check still refuses, since emitting a dropped column would
+    invent data. No-op for unmapped tables."""
+    ids_v = _mapping_ids(meta_v)
+    if not ids_v:
+        return schema_v, pcols_v, physical_v
+    end_name_by_id = {i: n for n, i in _mapping_ids(end_meta).items()}
+    new_name = {
+        n: end_name_by_id.get(i, n) for n, i in ids_v.items()
+    }
+    fields = [
+        T.StructField(
+            new_name.get(f.name, f.name),
+            f.dataType,
+            f.nullable,
+            f.metadata,
+        )
+        for f in schema_v.fields
+    ]
+    return (
+        T.StructType(fields),
+        [new_name.get(c, c) for c in pcols_v],
+        (
+            {new_name.get(n, n): p for n, p in physical_v.items()}
+            if physical_v
+            else physical_v
+        ),
+    )
 
 
 # writer features this engine implements end-to-end. PROTOCOL.md
@@ -1631,6 +1760,7 @@ def read_delta(
     timestamp_ms: int | None = None,
     partition_filter: dict[str, str] | None = None,
     predicate: str | None = None,
+    row_tracking: bool = False,
 ) -> DataFrame:
     """Read a Delta table from its transaction log. ``version`` /
     ``timestamp_ms`` time-travel (AS OF); ``partition_filter`` is an
@@ -1643,7 +1773,20 @@ def read_delta(
     full predicate is then applied as a Spark filter so results are
     exact regardless of how conservative the stats evaluator is
     (:mod:`delta_stats`). Partition columns prune through the same
-    predicate (partitionValues as point intervals)."""
+    predicate (partitionValues as point intervals).
+
+    ``row_tracking=True`` (r15 verdict #4 — READ-through of the
+    delta-spark 4.x ``rowTracking`` writer feature): the result
+    carries ``_row_id`` / ``_row_commit_version`` metadata columns,
+    per PROTOCOL.md §Row Tracking — a row's id is the MATERIALIZED
+    row-id column when the file carries one (rows copied by
+    UPDATE/MERGE keep their stable id that way), else the add
+    action's ``baseRowId`` + the row's position; commit versions
+    resolve the same way from ``defaultRowCommitVersion``. Reading
+    ids requires ``delta.enableRowTracking=true`` (ids exist and are
+    stable only from then on — delta-spark refuses the same way).
+    WRITES to rowTracking tables stay gated: this writer cannot
+    assign fresh row ids."""
     if version is not None and timestamp_ms is not None:
         raise ValueError("pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
@@ -1665,14 +1808,26 @@ def read_delta(
         physical_of = _column_mapping(meta)
         if not live:
             out = spark.createDataFrame([], _strip_meta(schema))
+            if row_tracking:
+                out = out.withColumn(
+                    "_row_id", F.lit(None).cast("long")
+                ).withColumn(
+                    "_row_commit_version", F.lit(None).cast("long")
+                )
             return out.filter(F.expr(predicate)) if predicate else out
-        out = _scan_adds(
-            spark,
-            path,
-            schema,
-            pcols,
-            [(None, a) for a in live],
-            physical_of=physical_of,
+        out = (
+            _row_tracking_scan(
+                spark, path, schema, pcols, live, meta, physical_of
+            )
+            if row_tracking
+            else _scan_adds(
+                spark,
+                path,
+                schema,
+                pcols,
+                [(None, a) for a in live],
+                physical_of=physical_of,
+            )
         )
         return out.filter(F.expr(predicate)) if predicate else out
     _protocol, meta, adds, _txns = _replay(spark, path, version)
@@ -1713,18 +1868,121 @@ def read_delta(
             )
     if not live:
         out = spark.createDataFrame([], _strip_meta(schema))
+        if row_tracking:
+            out = out.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn(
+                "_row_commit_version", F.lit(None).cast("long")
+            )
         return out.filter(F.expr(predicate)) if predicate else out
-    out = _scan_adds(
+    out = (
+        _row_tracking_scan(
+            spark, path, schema, pcols, live, meta, physical_of
+        )
+        if row_tracking
+        else _scan_adds(
+            spark,
+            path,
+            schema,
+            pcols,
+            [(None, a) for a in live],
+            physical_of=physical_of,
+        )
+    )
+    # the residual filter keeps semantics exact: skipping only prunes
+    # files PROVEN matchless, everything else still filters row-wise
+    return out.filter(F.expr(predicate)) if predicate else out
+
+
+def _row_tracking_scan(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    pcols: list[str],
+    live: list[dict],
+    meta: dict,
+    physical_of: dict[str, str] | None,
+) -> DataFrame:
+    """The rowTracking READ-through scan (r15 verdict #4): data
+    columns + ``_row_id`` / ``_row_commit_version``.
+
+    Per PROTOCOL.md §Row Tracking: fresh rows take
+    ``baseRowId + position``; rows REWRITTEN by a tracking writer
+    carry their stable id in the table's materialized row-id column
+    (a hidden physical column named by
+    ``delta.rowTracking.materializedRowIdColumnName``, outside the
+    schema and the column mapping) — the materialized value, when
+    non-null, wins. Commit versions resolve identically from
+    ``defaultRowCommitVersion`` / the materialized
+    row-commit-version column. The base→(baseRowId, defaultRCV) map
+    is O(live files) metadata riding the same broadcast-basename
+    join discipline as partition-value attribution; positions come
+    from the scan's ``_metadata.row_index`` (DV-masked rows are
+    already anti-joined away, and their ids are simply absent —
+    row ids survive deletes without renumbering, the feature's
+    point)."""
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.enableRowTracking", "")).lower() != "true":
+        raise ValueError(
+            "row_tracking=True needs delta.enableRowTracking=true — "
+            "ids are not stable (or not assigned) before the property "
+            "is enabled, so materializing them would fabricate values"
+        )
+    missing = sorted(
+        a["path"] for a in live if a.get("baseRowId") is None
+    )
+    if missing:
+        raise ValueError(
+            f"{len(missing)} live file(s) carry no baseRowId (e.g. "
+            f"{missing[0]!r}) — row ids cannot be materialized for "
+            "them; backfill the table with a tracking writer first"
+        )
+    mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_cv = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    extra = [c for c in (mat_id, mat_cv) if c]
+    scan = _scan_adds(
         spark,
         path,
         schema,
         pcols,
         [(None, a) for a in live],
         physical_of=physical_of,
+        keep_pos=True,
+        extra_long_cols=extra,
     )
-    # the residual filter keeps semantics exact: skipping only prunes
-    # files PROVEN matchless, everything else still filters row-wise
-    return out.filter(F.expr(predicate)) if predicate else out
+    rt_rows = [
+        (
+            os.path.basename(urllib.parse.unquote(a["path"])),
+            int(a["baseRowId"]),
+            int(a["defaultRowCommitVersion"])
+            if a.get("defaultRowCommitVersion") is not None
+            else None,
+        )
+        for a in live
+    ]
+    rt_df = spark.createDataFrame(
+        rt_rows, "__rtbase string, __brid long, __drcv long"
+    )
+    out = scan.join(
+        F.broadcast(rt_df),
+        scan["__base"] == rt_df["__rtbase"],
+        "left",
+    )
+    row_id = F.col("__brid") + F.col("__ri")
+    rcv = F.col("__drcv")
+    if mat_id:
+        row_id = F.coalesce(F.col(f"`{mat_id}`"), row_id)
+    if mat_cv:
+        rcv = F.coalesce(F.col(f"`{mat_cv}`"), rcv)
+    return out.select(
+        [F.col(f.name) for f in schema.fields]
+        + [
+            row_id.cast("long").alias("_row_id"),
+            rcv.cast("long").alias("_row_commit_version"),
+        ]
+    )
 
 
 # above this many total deleted positions the DV decode fans out to
@@ -1801,6 +2059,7 @@ def _scan_adds(
     with_version: bool = False,
     physical_of: dict[str, str] | None = None,
     keep_pos: bool = False,
+    extra_long_cols: list[str] | None = None,
 ) -> DataFrame:
     """ONE multi-path scan over the given add actions, partition
     columns re-attached from the LOG's partitionValues (not the paths,
@@ -1822,7 +2081,18 @@ def _scan_adds(
     ``url_decode`` is form-decoding, but URI encoding leaves literal
     '+' alone) — and the join is a LEFT join with a raise_error guard,
     so a foreign-written file whose name still fails to match fails
-    LOUDLY instead of silently dropping its rows."""
+    LOUDLY instead of silently dropping its rows.
+
+    ``extra_long_cols`` (r15 — row tracking): additional PHYSICAL
+    long columns to read alongside the schema, by their exact
+    physical names (materialized row-id/commit-version columns are
+    hidden physical columns OUTSIDE the table schema and column
+    mapping); files lacking the column read NULL. They pass through
+    the final projection unchanged."""
+    extra_fields = [
+        T.StructField(c, T.LongType(), True)
+        for c in (extra_long_cols or [])
+    ]
     data_fields = [f for f in schema.fields if f.name not in pcols]
     dv_by_base: dict[str, dict] = {}
     for _v, a in tagged:
@@ -1846,6 +2116,7 @@ def _scan_adds(
                 )
                 for f in data_fields
             ]
+            + extra_fields
         )
         df = (
             spark.read.schema(phys_schema)
@@ -1855,11 +2126,15 @@ def _scan_adds(
                     F.col(physical_of[f.name]).alias(f.name)
                     for f in data_fields
                 ]
+                + [F.col(f.name) for f in extra_fields]
             )
         )
     else:
         df = spark.read.schema(
-            _strip_meta(T.StructType(data_fields))
+            T.StructType(
+                _strip_meta(T.StructType(data_fields)).fields
+                + extra_fields
+            )
         ).parquet(*files)
     base_expr = F.url_decode(
         F.replace(
@@ -1885,7 +2160,9 @@ def _scan_adds(
     )
     if not pcols and not with_version:
         return df.select(
-            [F.col(f.name) for f in schema.fields] + pos_cols
+            [F.col(f.name) for f in schema.fields]
+            + [F.col(f.name) for f in extra_fields]
+            + pos_cols
         )
     def _pv_key(c: str) -> str:
         return physical_of[c] if physical_of else c
@@ -1928,6 +2205,7 @@ def _scan_adds(
     ]
     if with_version:
         cols.append(F.col("__cv").alias("_commit_version"))
+    cols.extend(F.col(f.name) for f in extra_fields)
     cols.extend(pos_cols)
     if "__base" not in df.columns:
         # input_file_name() evaluates EMPTY after a join — when the DV
@@ -2172,6 +2450,11 @@ def read_delta_cdf(
         )
         pcols_v = list(cur_meta.get("partitionColumns") or [])
         physical_v = _column_mapping(cur_meta)
+        # mapped tables bind columns by columnMapping.id across the
+        # range (r15): a mid-range RENAME emits under the END names
+        schema_v, pcols_v, physical_v = _rebind_by_field_id(
+            schema_v, pcols_v, physical_v, cur_meta, meta
+        )
         cdc_schema_v = T.StructType(
             _strip_meta(schema_v).fields
             + [T.StructField("_change_type", T.StringType())]
@@ -3231,6 +3514,21 @@ def write_delta(
             for p in sorted(adds):
                 lines.append({"remove": _remove_action(adds[p], now_ms)})
         lines.extend(add_actions)
+        c = _commit_counts(lines)
+        _stamp_op_metrics(
+            lines,
+            numFiles=c["adds"],
+            numOutputBytes=c["add_bytes"],
+            numOutputRows=c["add_rows"],
+            **(
+                {
+                    "numRemovedFiles": c["removes"],
+                    "numRemovedBytes": c["remove_bytes"],
+                }
+                if mode == "overwrite"
+                else {}
+            ),
+        )
         try:
             _put_if_absent_commit(path, next_v, lines)
             _maybe_auto_checkpoint(
@@ -3252,16 +3550,19 @@ def _dv_retire(
     lines: list[dict],
     planned: dict[str, dict | None],
     now_ms: int,
-) -> bool:
+) -> int:
     """DV-retire every scan row matching ``pred``: write the merged
     roaring sidecars, append the protocol-upgrade (when needed) and
     the remove + DV-re-add actions to ``lines``, record the expected
     pre-commit DV state in ``planned``. Shared by
     :func:`delete_delta_where` (mode='dv') and
     :func:`merge.update_where` (DV-mode UPDATE = retire old positions
-    + append updated rows in the same commit). Returns False when
-    nothing matched (caller skips the commit). Matched positions pass
-    through the driver — O(matched rows), the documented DV trade."""
+    + append updated rows in the same commit). Returns the number of
+    retired rows — 0 (falsy) when nothing matched, so callers skip
+    the commit; the count feeds operationMetrics (numDeletedRows /
+    numUpdatedRows) with no extra job, since the scan already passes
+    matched positions through the driver — O(matched rows), the
+    documented DV trade."""
     from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
         read_dv_positions,
         write_dv_file,
@@ -3274,7 +3575,7 @@ def _dv_retire(
         .collect()
     )
     if not hits:
-        return False
+        return 0
     merged: dict[str, list[int]] = {}
     for r in hits:
         a = adds_by_base[r["__base"]]
@@ -3324,7 +3625,7 @@ def _dv_retire(
         new_add["dataChange"] = True
         new_add["deletionVector"] = descs[base]
         lines.append({"add": new_add})
-    return True
+    return sum(len(r["pos"]) for r in hits)
 
 
 def delete_delta_where(
@@ -3432,18 +3733,27 @@ def delete_delta_where(
     ]
     planned: dict[str, dict | None] = {}  # path -> expected current DV
     if mode == "dv":
-        if not _dv_retire(
+        n_deleted = _dv_retire(
             spark, path, protocol, scan, pred, adds_by_base, lines,
             planned, now_ms,
-        ):
+        )
+        if not n_deleted:
             return None
     else:  # copy-on-write
-        touched = [
-            r["__base"]
-            for r in scan.filter(pred).select("__base").distinct().collect()
-        ]
+        # per-file matched-row counts ride the SAME shuffle the old
+        # distinct() took (r15: operationMetrics) — touched files AND
+        # numDeletedRows from one job
+        hit_counts = {
+            r["__base"]: int(r["n"])
+            for r in scan.filter(pred)
+            .groupBy("__base")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        touched = sorted(hit_counts)
         if not touched:
             return None
+        n_deleted = sum(hit_counts.values())
         survivors = (
             scan.filter(F.col("__base").isin(touched))
             .filter(~pred)
@@ -3474,6 +3784,20 @@ def delete_delta_where(
         )
         lines.extend(_stage_cdc_mapped(deleted, path, pcols, physical_of))
 
+    c = _commit_counts(lines)
+    _stamp_op_metrics(
+        lines,
+        # a DV remove+re-add pair masks rows in the SAME data file —
+        # delta-spark counts neither side as a file added/removed
+        numRemovedFiles=c["removes"] - (c["dv_adds"] if mode == "dv" else 0),
+        numAddedFiles=c["adds"] - (c["dv_adds"] if mode == "dv" else 0),
+        numDeletedRows=n_deleted,
+        # CoW rewrites carry the survivors — those ARE the copied
+        # rows; DV mode copies nothing (positions masked in place)
+        numCopiedRows=c["add_rows"] if mode == "cow" else 0,
+        numDeletionVectorsAdded=c["dv_adds"] if mode == "dv" else None,
+        numAddedChangeFiles=c["cdc"],
+    )
     while True:
         versions = delta_versions(path)
         ckpt = _read_last_checkpoint(path)
@@ -3574,6 +3898,13 @@ _CKPT_SCHEMA = T.StructType(
                     # per-file statistics survive checkpointing, or a
                     # vacuumed log would silently lose data skipping
                     T.StructField("stats", T.StringType()),
+                    # rowTracking READ-through (r15): a foreign
+                    # checkpoint is the only surviving copy of these
+                    # once the JSON commits are vacuumed
+                    T.StructField("baseRowId", T.LongType()),
+                    T.StructField(
+                        "defaultRowCommitVersion", T.LongType()
+                    ),
                     T.StructField(
                         "deletionVector",
                         T.StructType(
@@ -3743,68 +4074,98 @@ def _create_checkpoint_v2(
     v: int,
     protocol: dict,
     meta: dict,
-    adds: dict,
+    adds: dict | None,
     txns: dict,
+    live_df: DataFrame | None = None,
 ) -> int:
     """The V2 checkpoint WRITE (PROTOCOL.md §V2 Checkpoint; the
     mirror of :func:`_checkpoint_actions`' read path): the add
-    actions stage as ONE parquet sidecar under ``_delta_log/
+    actions stage as parquet sidecar(s) under ``_delta_log/
     _sidecars/`` and the UUID-named ``%020d.checkpoint.<uuid>.json``
     manifest carries checkpointMetadata + protocol + metaData + txn
-    fences inline plus the sidecar pointer — per spec, when any
-    sidecar exists ALL file actions live in sidecars. Both files
-    write via tmp + atomic rename; ``_last_checkpoint`` flips last,
-    so a crash mid-write leaves the previous checkpoint current."""
+    fences inline plus one sidecar pointer per shard — per spec,
+    when any sidecar exists ALL file actions live in sidecars. All
+    files write via tmp + atomic rename; ``_last_checkpoint`` flips
+    last, so a crash mid-write leaves the previous checkpoint
+    current.
+
+    Sharding (r15 verdict #5): above ``_CKPT_PART_ROWS`` adds the
+    sidecar splits into multiple parquets — one file per ~100k adds,
+    capped at 64 — so a 100 TB table's checkpoint is neither a
+    single-writer nor a single-reader bottleneck (the read path
+    already scans all sidecars as one multi-path parquet load).
+    ``live_df`` (the distributed plane, r14): the adds stream from
+    the PRIOR checkpoint's parquet straight into the shards — the
+    multipart classic writer's parquet→parquet kernel — and never
+    become driver dicts."""
     side_dir = os.path.join(_log_dir(path), "_sidecars")
     os.makedirs(side_dir, exist_ok=True)
     add_field = next(f for f in _CKPT_SCHEMA.fields if f.name == "add")
-    side_rows = [
-        (
-            {
-                "path": a["path"],
-                "partitionValues": a.get("partitionValues") or {},
-                "size": a.get("size"),
-                "modificationTime": a.get("modificationTime"),
-                "dataChange": bool(a.get("dataChange", True)),
-                "stats": a.get("stats"),
-                "deletionVector": (
-                    {
-                        "storageType": a["deletionVector"].get(
-                            "storageType"
-                        ),
-                        "pathOrInlineDv": a["deletionVector"].get(
-                            "pathOrInlineDv"
-                        ),
-                        "offset": a["deletionVector"].get("offset"),
-                        "sizeInBytes": a["deletionVector"].get(
-                            "sizeInBytes"
-                        ),
-                        "cardinality": a["deletionVector"].get(
-                            "cardinality"
-                        ),
-                    }
-                    if a.get("deletionVector")
-                    else None
-                ),
-            },
+    if live_df is not None:
+        n_adds = live_df.count()
+        side_src = live_df.select(
+            F.struct(
+                *[F.col(sf.name) for sf in _add_struct_type().fields]
+            ).alias("add")
         )
-        for a in sorted(adds.values(), key=lambda a: a["path"])
-    ]
+    else:
+        side_rows = [
+            (
+                {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "dataChange": bool(a.get("dataChange", True)),
+                    "stats": a.get("stats"),
+                    "baseRowId": a.get("baseRowId"),
+                    "defaultRowCommitVersion": a.get(
+                        "defaultRowCommitVersion"
+                    ),
+                    "deletionVector": (
+                        {
+                            "storageType": a["deletionVector"].get(
+                                "storageType"
+                            ),
+                            "pathOrInlineDv": a["deletionVector"].get(
+                                "pathOrInlineDv"
+                            ),
+                            "offset": a["deletionVector"].get("offset"),
+                            "sizeInBytes": a["deletionVector"].get(
+                                "sizeInBytes"
+                            ),
+                            "cardinality": a["deletionVector"].get(
+                                "cardinality"
+                            ),
+                        }
+                        if a.get("deletionVector")
+                        else None
+                    ),
+                },
+            )
+            for a in sorted(adds.values(), key=lambda a: a["path"])
+        ]
+        n_adds = len(side_rows)
+        side_src = spark.createDataFrame(
+            side_rows, T.StructType([add_field])
+        )
+    nparts = max(1, min(64, (n_adds // _CKPT_PART_ROWS) + 1))
     tmp = os.path.join(side_dir, f".tmp-{uuid.uuid4().hex}")
     (
-        spark.createDataFrame(side_rows, T.StructType([add_field]))
-        .coalesce(1)
+        side_src.repartition(nparts)
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    part = next(
+    side_files: list[tuple[str, str]] = []  # (name, full path)
+    for part in sorted(
         f
         for f in os.listdir(tmp)
         if f.endswith(".parquet") and not f.startswith(".")
-    )
-    side_name = f"{uuid.uuid4().hex}.parquet"
-    side_path = os.path.join(side_dir, side_name)
-    os.replace(os.path.join(tmp, part), side_path)
+    ):
+        side_name = f"{uuid.uuid4().hex}.parquet"
+        side_path = os.path.join(side_dir, side_name)
+        os.replace(os.path.join(tmp, part), side_path)
+        side_files.append((side_name, side_path))
     shutil.rmtree(tmp, ignore_errors=True)
     now_ms = int(time.time() * 1000)
     lines: list[dict] = [
@@ -3853,6 +4214,7 @@ def _create_checkpoint_v2(
                 "modificationTime": now_ms,
             }
         }
+        for side_name, side_path in side_files
     ]
     man_tmp = os.path.join(
         _log_dir(path), f".tmp-ckpt-{uuid.uuid4().hex}.json"
@@ -3870,7 +4232,7 @@ def _create_checkpoint_v2(
     )
     lc_tmp = os.path.join(_log_dir(path), f".lc-{uuid.uuid4().hex}")
     with open(lc_tmp, "w") as fh:
-        json.dump({"version": v, "size": len(lines) + len(side_rows)}, fh)
+        json.dump({"version": v, "size": len(lines) + int(n_adds)}, fh)
     os.replace(lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
     return v
 
@@ -3896,11 +4258,11 @@ def create_checkpoint(
     if not versions:
         raise FileNotFoundError(f"nothing to checkpoint at {path!r}")
     v = max(versions) if version is None else version
-    if policy in (None, "classic"):
+    if policy in (None, "classic", "v2"):
         # WRITE half of the distributed metadata plane (r14): above
-        # the threshold, compact prior-checkpoint + tail into a
-        # MULTIPART classic checkpoint with the adds streaming
-        # parquet→parquet — never through the driver
+        # the threshold, compact prior-checkpoint + tail with the
+        # adds streaming parquet→parquet — never through the driver
+        # (classic → multipart; v2 → sharded sidecars, r15)
         dist = _live_adds_df(spark, path, v)
         if dist is not None:
             protocol, meta, txns, live_df = dist
@@ -3911,6 +4273,22 @@ def create_checkpoint(
             if pol == "classic":
                 return _write_checkpoint_multipart(
                     spark, path, v, protocol, meta, txns, live_df
+                )
+            if pol == "v2":
+                # sharded sidecars stream from the prior checkpoint's
+                # parquet without driver dicts (r15 verdict #5)
+                if "v2Checkpoint" not in set(
+                    protocol.get("readerFeatures") or []
+                ):
+                    raise ValueError(
+                        "v2 checkpoints need the v2Checkpoint table "
+                        "feature — SET TBLPROPERTIES "
+                        "('delta.checkpointPolicy'='v2') upgrades the "
+                        "protocol in the same commit"
+                    )
+                return _create_checkpoint_v2(
+                    spark, path, v, protocol, meta, None, txns,
+                    live_df=live_df,
                 )
     protocol, meta, adds, txns = _replay(spark, path, v)
     # unknown writerFeatures may imply log actions _replay does not
@@ -4527,6 +4905,14 @@ def optimize_delta(
                 }
             )
         lines.extend(new_adds)
+        c = _commit_counts(lines)
+        _stamp_op_metrics(
+            lines,
+            numAddedFiles=c["adds"],
+            numRemovedFiles=c["removes"],
+            numAddedBytes=c["add_bytes"],
+            numRemovedBytes=c["remove_bytes"],
+        )
         try:
             _put_if_absent_commit(path, next_v, lines)
             break
@@ -4544,8 +4930,11 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     """delta-spark's ``DESCRIBE HISTORY`` as a DataFrame: one row per
     commit still on disk (newest first) with version, commitInfo
     timestamp (epoch millis), operation, operationParameters
-    (stringified map) and engineInfo. Driver-side O(commits) — the
-    log IS the history."""
+    (stringified map), operationMetrics (map<string,string>, r15 —
+    numFiles/numOutputRows/numTargetRows{Inserted,Updated,Deleted}/…
+    stamped by every engine commit site; empty for foreign commits
+    that omit it) and engineInfo. Driver-side O(commits) — the log
+    IS the history."""
     rows = []
     for v in delta_versions(path):
         ci = {}
@@ -4571,13 +4960,20 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
                         ci.get("operationParameters") or {}
                     ).items()
                 },
+                {
+                    str(k): str(val)
+                    for k, val in (
+                        ci.get("operationMetrics") or {}
+                    ).items()
+                },
                 ci.get("engineInfo"),
             )
         )
     return spark.createDataFrame(
         sorted(rows, reverse=True),
         "version bigint, timestamp_ms bigint, operation string, "
-        "operation_parameters map<string,string>, engine_info string",
+        "operation_parameters map<string,string>, "
+        "operation_metrics map<string,string>, engine_info string",
     )
 
 
@@ -4776,6 +5172,13 @@ def clone_delta(
             }
         },
     ] + out_adds
+    c = _commit_counts(lines)
+    _stamp_op_metrics(
+        lines,
+        sourceNumOfFiles=c["adds"],
+        sourceTableSize=c["add_bytes"],
+        numCopiedFiles=0 if shallow else c["adds"],
+    )
     os.makedirs(dst, exist_ok=True)
     _put_if_absent_commit(dst, 0, lines)
     return 0
@@ -4830,6 +5233,17 @@ def restore_delta(
                 if cur is not None:
                     lines.append({"remove": _remove_action(cur, now_ms)})
                 lines.append({"add": dict(a)})
+        c = _commit_counts(lines)
+        _stamp_op_metrics(
+            lines,
+            numRestoredFiles=c["adds"],
+            numRemovedFiles=c["removes"],
+            restoredFilesSize=c["add_bytes"],
+            numOfFilesAfterRestore=len(target_adds),
+            tableSizeAfterRestore=sum(
+                int(a.get("size", 0) or 0) for a in target_adds.values()
+            ),
+        )
         try:
             _put_if_absent_commit(path, next_v, lines)
             return next_v

@@ -52,6 +52,20 @@ from pyspark.sql.datasource import (
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _id_type_sig(fields: list[dict]) -> list[tuple[int, str]] | None:
+    """The rename-stable signature of a mapped schema: sorted
+    (columnMapping.id, type) pairs — identical across RENAME COLUMN
+    (ids and types survive, only names change). None when any field
+    lacks an id (unmapped/foreign-partial schemas can't bind by id)."""
+    sig = []
+    for f in fields:
+        cid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if cid is None:
+            return None
+        sig.append((int(cid), json.dumps(f["type"], sort_keys=True)))
+    return sorted(sig)
+
+
 def _log_meta(path: str):
     """(spark_schema_json_fields, partition_cols, physical_of) from the
     log — driver-side, no SparkSession needed (the data source API
@@ -391,6 +405,10 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                     f"delta_tail: unsupported partition-column type "
                     f"{t!r} for {f['name']!r}"
                 )
+        # see DeltaCdfStreamReader: rename-stable field-id signature
+        self._id_sig = (
+            _id_type_sig(self.fields) if self.physical_of else None
+        )
 
     def initialOffset(self):
         _dbg("initialOffset", self.starting)
@@ -453,12 +471,21 @@ class DeltaTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                             (f["name"], f["type"]) for f in md_fields
                         ] != [
                             (f["name"], f["type"]) for f in self.fields
-                        ]:
+                        ] and (
+                            # a PURE RENAME on a mapped table keeps
+                            # every (columnMapping.id, type) — the
+                            # physical binding is untouched, so the
+                            # stream continues under its
+                            # construction-time names (r15)
+                            self._id_sig is None
+                            or _id_type_sig(md_fields) != self._id_sig
+                        ):
                             raise ValueError(
                                 f"version {v} changes the table schema "
-                                "mid-stream — this source reads with "
-                                "the construction-time schema; restart "
-                                "the query past the schema change"
+                                "mid-stream (not a pure rename) — this "
+                                "source reads with the construction-"
+                                "time schema; restart the query past "
+                                "the schema change"
                             )
                         continue
                     if "add" in action and action["add"].get(
@@ -623,6 +650,15 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
                     f"delta_cdf: unsupported partition-column type "
                     f"{t!r} for {f['name']!r}"
                 )
+        # rename-stable identity (r15 verdict #6): on a column-mapped
+        # table a mid-range RENAME COLUMN keeps every field's
+        # columnMapping.id + physical name, so the stream keeps
+        # reading (output stays under the construction-time names —
+        # a stream's schema is fixed at start). Only meaningful when
+        # EVERY field carries an id.
+        self._id_sig = (
+            _id_type_sig(self.fields) if self.physical_of else None
+        )
 
     def initialOffset(self):
         self._rl_advance(self.starting)
@@ -695,12 +731,21 @@ class DeltaCdfStreamReader(_RateLimitMixin, DataSourceStreamReader):
                             (f["name"], f["type"]) for f in md_fields
                         ] != [
                             (f["name"], f["type"]) for f in self.fields
-                        ]:
+                        ] and (
+                            # a PURE RENAME on a mapped table keeps
+                            # every (columnMapping.id, type) — the
+                            # physical binding is untouched, so the
+                            # stream continues under its
+                            # construction-time names (r15)
+                            self._id_sig is None
+                            or _id_type_sig(md_fields) != self._id_sig
+                        ):
                             raise ValueError(
                                 f"version {v} changes the table schema "
-                                "mid-stream — this source reads with "
-                                "the construction-time schema; restart "
-                                "the query past the schema change"
+                                "mid-stream (not a pure rename) — this "
+                                "source reads with the construction-"
+                                "time schema; restart the query past "
+                                "the schema change"
                             )
                     elif "cdc" in action:
                         cdcs.append(action["cdc"])

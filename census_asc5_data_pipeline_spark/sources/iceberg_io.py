@@ -1544,6 +1544,231 @@ def _ml_row(m: dict) -> dict:
     return row
 
 
+def _ml_totals(ml_rows: list[dict]) -> tuple[int, int, int, int]:
+    """(total data files, total data records, total delete files,
+    total delete records) over a manifest list's rows. Entries a
+    manifest lists as ADDED or EXISTING are live; DELETED ones are
+    not — so live counts are added + existing per manifest, summed.
+    Metadata-plane arithmetic over the rows each commit already
+    writes; no file scan."""
+    df = dr = delf = delr = 0
+    for m in ml_rows:
+        files = int(m.get("added_files_count", 0) or 0) + int(
+            m.get("existing_files_count", 0) or 0
+        )
+        rows = int(m.get("added_rows_count", 0) or 0) + int(
+            m.get("existing_rows_count", 0) or 0
+        )
+        if int(m.get("content", 0) or 0) == 1:
+            delf += files
+            delr += rows
+        else:
+            df += files
+            dr += rows
+    return df, dr, delf, delr
+
+
+def _snapshot_summary(
+    operation: str,
+    ml_rows: list[dict],
+    parent_summary: dict | None,
+    **deltas,
+) -> dict[str, str]:
+    """The spec's snapshot ``summary`` map (r15 verdict #9 — the
+    Delta operationMetrics twin): ``operation`` plus the
+    added/deleted per-commit deltas the caller supplies
+    (added-data-files, added-records, added-files-size,
+    deleted-data-files, deleted-records, removed-files-size,
+    added-delete-files, added-position-deletes — zero/None deltas are
+    omitted, the spark-iceberg convention) and exact
+    total-data-files / total-records / total-delete-files /
+    total-position-deletes recomputed from the NEW manifest list's
+    own rows. ``total-files-size`` chains through the parent
+    snapshot's summary (parent total + added - removed) and is
+    omitted when a foreign parent never stamped it — never guessed.
+    Every value serializes as a string, per spec
+    (map<string, string>)."""
+    out: dict[str, str] = {"operation": operation}
+    for k in (
+        "added-data-files",
+        "added-records",
+        "added-files-size",
+        "deleted-data-files",
+        "deleted-records",
+        "removed-files-size",
+        "added-delete-files",
+        "added-position-deletes",
+    ):
+        v = deltas.get(k.replace("-", "_"))
+        if v:
+            out[k] = str(int(v))
+    tdf, tdr, tdelf, tdelr = _ml_totals(ml_rows)
+    out["total-data-files"] = str(tdf)
+    out["total-records"] = str(tdr)
+    out["total-delete-files"] = str(tdelf)
+    out["total-position-deletes"] = str(tdelr)
+    added_sz = int(deltas.get("added_files_size") or 0)
+    removed_sz = int(deltas.get("removed_files_size") or 0)
+    if deltas.get("total_files_size") is not None:
+        # the caller knows the live byte total outright (overwrite:
+        # the new files ARE the table) — no chaining needed
+        out["total-files-size"] = str(int(deltas["total_files_size"]))
+    elif parent_summary is None:
+        out["total-files-size"] = str(added_sz)
+    elif "total-files-size" in parent_summary:
+        out["total-files-size"] = str(
+            max(
+                0,
+                int(parent_summary["total-files-size"])
+                + added_sz
+                - removed_sz,
+            )
+        )
+    return out
+
+
+def _parent_summary(meta: dict, parent_id) -> dict | None:
+    """The parent snapshot's summary map, or None when this commit
+    has no parent (table creation / overwrite of an empty table)."""
+    if parent_id is None or parent_id == -1:
+        return None
+    snap = next(
+        (
+            s
+            for s in meta.get("snapshots", [])
+            if s["snapshot-id"] == parent_id
+        ),
+        None,
+    )
+    return (snap or {}).get("summary") or {}
+
+
+def iceberg_ndv(path: str, snapshot_id: int | None = None) -> dict[str, int]:
+    """column name → distinct-count (ndv) from the table's Puffin
+    statistics files (r15 verdict #3 — the spec's CBO sidecar; the
+    ``statistics`` metadata field was previously ignored).
+
+    Resolution follows spark-iceberg's ComputeTableStats consumption:
+    the ``statistics`` entry whose ``snapshot-id`` matches the
+    requested (default: current) snapshot wins; with no exact match
+    the entry for the nearest ANCESTOR of the requested snapshot is
+    used (stale ndv beats no ndv for a CBO — the estimate degrades
+    gracefully as the table drifts from the analyzed snapshot).
+    Per-field ndv comes from the entry's ``blob-metadata``
+    ``properties.ndv`` (spec-required on
+    apache-datasketches-theta-v1 blobs), falling back to reading the
+    Puffin file's footer when a foreign writer embedded bare
+    blob-metadata. Field ids bind to CURRENT column names via the
+    schema, so renames stay correct. Returns {} when the table
+    carries no statistics — callers fall through to computing their
+    own distincts."""
+    from census_asc5_data_pipeline_spark.sources import puffin
+
+    _v, meta = _current_metadata(path)
+    stats = meta.get("statistics") or []
+    if not stats:
+        return {}
+    target = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if target is None or target == -1:
+        return {}
+    by_snap = {int(s["snapshot-id"]): s for s in stats}
+    entry = by_snap.get(int(target))
+    if entry is None:
+        # walk the ancestry for the nearest analyzed ancestor
+        snaps = {
+            int(s["snapshot-id"]): s for s in meta.get("snapshots", [])
+        }
+        cur = snaps.get(int(target))
+        while cur is not None:
+            parent = cur.get("parent-snapshot-id")
+            if parent is None:
+                break
+            if int(parent) in by_snap:
+                entry = by_snap[int(parent)]
+                break
+            cur = snaps.get(int(parent))
+    if entry is None:
+        return {}
+    ndv_by_id: dict[int, int] = {}
+    missing_props = False
+    for blob in entry.get("blob-metadata") or []:
+        if blob.get("type") != "apache-datasketches-theta-v1":
+            continue
+        fields = blob.get("fields") or []
+        ndv = (blob.get("properties") or {}).get("ndv")
+        if len(fields) != 1:
+            continue
+        if ndv is None:
+            missing_props = True
+        else:
+            ndv_by_id[int(fields[0])] = int(ndv)
+    if missing_props or not (entry.get("blob-metadata")):
+        sp = _local(entry["statistics-path"])
+        if os.path.exists(sp):
+            for fid, v in puffin.puffin_ndv(sp).items():
+                ndv_by_id.setdefault(fid, v)
+    _schema, fields = _schema_of(meta, allow_renames=True)
+    name_of = {int(f["id"]): f["name"] for f in fields}
+    return {
+        name_of[fid]: v
+        for fid, v in sorted(ndv_by_id.items())
+        if fid in name_of
+    }
+
+
+def attach_statistics(
+    path: str,
+    statistics_path: str,
+    blob_metadata: list[dict] | None = None,
+    snapshot_id: int | None = None,
+) -> int:
+    """Register a Puffin statistics file in the table metadata's
+    ``statistics`` field (the spec's SetStatistics update): one new
+    metadata version whose entry replaces any existing entry for the
+    same snapshot (the spec allows at most one statistics file per
+    snapshot). ``blob_metadata`` defaults to the Puffin footer's own
+    blob list. Returns the new metadata version."""
+    from census_asc5_data_pipeline_spark.sources import puffin
+
+    cur_v, meta = _current_metadata(path)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if sid is None or sid == -1:
+        raise ValueError("table has no snapshot to attach statistics to")
+    footer_size = None
+    if blob_metadata is None:
+        blob_metadata = puffin.read_puffin_footer(statistics_path).get(
+            "blobs", []
+        )
+    entry = {
+        "snapshot-id": int(sid),
+        "statistics-path": os.path.abspath(statistics_path),
+        "file-size-in-bytes": os.path.getsize(statistics_path),
+        **(
+            {"file-footer-size-in-bytes": footer_size}
+            if footer_size is not None
+            else {}
+        ),
+        "blob-metadata": blob_metadata,
+    }
+    new_meta = dict(meta)
+    new_meta["statistics"] = [
+        s
+        for s in (meta.get("statistics") or [])
+        if int(s["snapshot-id"]) != int(sid)
+    ] + [entry]
+    new_v = cur_v + 1
+    _write_metadata_version(path, new_v, new_meta)
+    return new_v
+
+
 def _partition_summaries(
     files: list[dict], pcol_ice: list[tuple[str, str]]
 ) -> list[dict] | None:
@@ -1938,12 +2163,11 @@ def write_iceberg(
     ml_path = os.path.join(
         _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
+    ml_rows = [_ml_row(m) for m in prev_manifests] + [
+        _ml_row(new_manifest)
+    ]
     with open(ml_path, "wb") as fh:
-        write_container_generic(
-            fh,
-            _MANIFEST_FILE_SCHEMA,
-            [_ml_row(m) for m in prev_manifests] + [_ml_row(new_manifest)],
-        )
+        write_container_generic(fh, _MANIFEST_FILE_SCHEMA, ml_rows)
     if not exists:
         cur_sid = 0
         schemas = [{"schema-id": 0, "type": "struct", "fields": ice_fields}]
@@ -1959,19 +2183,53 @@ def write_iceberg(
     else:
         cur_sid = prev_sid
         schemas = prev_schemas
-    snapshot = {
-        "snapshot-id": snap_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": os.path.abspath(ml_path),
-        "summary": {"operation": mode},
-        "schema-id": cur_sid,
-    }
     parent = (
         branch_base
         if branch is not None
         else meta.get("current-snapshot-id")
     )
+    psum = _parent_summary(meta, parent if exists else None)
+    deleted_kw: dict = {}
+    if mode == "overwrite" and exists and psum:
+        # overwrite logically drops the parent's whole live set; its
+        # summary totals (stamped by every engine commit) ARE the
+        # deleted deltas — foreign parents without totals just omit
+        if "total-data-files" in psum:
+            deleted_kw["deleted_data_files"] = int(
+                psum["total-data-files"]
+            )
+        if "total-records" in psum:
+            deleted_kw["deleted_records"] = int(psum["total-records"])
+        if "total-files-size" in psum:
+            deleted_kw["removed_files_size"] = int(
+                psum["total-files-size"]
+            )
+    if mode == "overwrite":
+        # after a replace the new files ARE the table, whatever the
+        # parent knew about its own byte total
+        deleted_kw["total_files_size"] = sum(
+            int(d.get("file_size_in_bytes", 0) or 0)
+            for d in data_files
+        )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.abspath(ml_path),
+        "summary": _snapshot_summary(
+            mode,
+            ml_rows,
+            psum,
+            added_data_files=len(data_files),
+            added_records=sum(d["record_count"] for d in data_files),
+            added_files_size=sum(
+                int(d.get("file_size_in_bytes", 0) or 0)
+                for d in data_files
+            ),
+            **deleted_kw,
+        ),
+        "schema-id": cur_sid,
+    }
     if parent is not None and parent != -1:
         # spec §snapshots: parent-snapshot-id makes branch ancestry
         # (fast_forward's is-ancestor check) exact instead of
@@ -2045,6 +2303,12 @@ def write_iceberg(
     if refs_out or meta.get("refs") is not None:
         # refs survive every write (pre-r13 this writer dropped them)
         new_meta["refs"] = refs_out
+    if meta.get("statistics"):
+        # Puffin statistics registrations survive writes too (r15 —
+        # this rebuild would otherwise drop the field, exactly the
+        # refs clobber class): the ndv reader walks the ancestry to
+        # the nearest analyzed snapshot
+        new_meta["statistics"] = meta["statistics"]
     _write_metadata_version(path, new_v, new_meta)
     return snap_id
 
@@ -3232,6 +3496,15 @@ def expire_snapshots(
         for e in meta.get("snapshot-log", [])
         if e.get("snapshot-id") in retained_ids
     ]
+    if meta.get("statistics"):
+        # the spec pairs snapshot expiry with RemoveStatistics: an
+        # entry for an expired snapshot points at a Puffin file whose
+        # snapshot no longer exists (r15)
+        new_meta["statistics"] = [
+            s
+            for s in meta["statistics"]
+            if int(s["snapshot-id"]) in retained_ids
+        ]
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     if meta.get("refs") is not None or live_refs:
         new_meta["refs"] = live_refs  # expired refs drop with their snaps
@@ -3306,6 +3579,11 @@ def read_iceberg_meta(
                 else None,
                 (s.get("summary") or {}).get("operation"),
                 s.get("manifest-list"),
+                {
+                    str(k): str(v)
+                    for k, v in (s.get("summary") or {}).items()
+                    if k != "operation"
+                },
             )
             for s in sorted(
                 meta.get("snapshots", []),
@@ -3316,7 +3594,7 @@ def read_iceberg_meta(
             rows,
             "committed_at_ms bigint, snapshot_id bigint, "
             "sequence_number bigint, operation string, "
-            "manifest_list string",
+            "manifest_list string, summary map<string,string>",
         )
     if table == "history":
         cur = meta.get("current-snapshot-id")
@@ -3660,18 +3938,45 @@ def rewrite_data_files(
     ml_path = os.path.join(
         _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
+    ml_rows = [_ml_row(manifest)]
     with open(ml_path, "wb") as fh:
-        write_container_generic(
-            fh,
-            _MANIFEST_FILE_SCHEMA,
-            [_ml_row(manifest)],
-        )
+        write_container_generic(fh, _MANIFEST_FILE_SCHEMA, ml_rows)
+    replaced = [
+        d
+        for d in live
+        if os.path.abspath(_local(d["file_path"])) in compacted_paths
+    ]
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.abspath(ml_path),
-        "summary": {"operation": "replace"},
+        "summary": _snapshot_summary(
+            "replace",
+            ml_rows,
+            _parent_summary(meta, meta.get("current-snapshot-id")),
+            added_data_files=len(new_files),
+            added_records=sum(
+                int(d["record_count"]) for d in new_files
+            ),
+            added_files_size=sum(
+                int(d.get("file_size_in_bytes", 0) or 0)
+                for d in new_files
+            ),
+            deleted_data_files=len(replaced),
+            deleted_records=sum(
+                int(d["record_count"]) for d in replaced
+            ),
+            removed_files_size=sum(
+                int(d.get("file_size_in_bytes", 0) or 0)
+                for d in replaced
+            ),
+            # the post-compaction live set is fully in hand
+            total_files_size=sum(
+                int(d.get("file_size_in_bytes", 0) or 0)
+                for d in all_files
+            ),
+        ),
         "schema-id": meta.get("current-schema-id", 0),
     }
     new_meta = dict(meta)
@@ -3895,18 +4200,32 @@ def _commit_delete_snapshot(
     ml_path = os.path.join(
         _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
+    ml_rows = [_ml_row(m) for m in prev_manifests] + [
+        _ml_row(new_manifest)
+    ]
     with open(ml_path, "wb") as fh:
-        write_container_generic(
-            fh,
-            _MANIFEST_FILE_SCHEMA,
-            [_ml_row(m) for m in prev_manifests] + [_ml_row(new_manifest)],
-        )
+        write_container_generic(fh, _MANIFEST_FILE_SCHEMA, ml_rows)
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.abspath(ml_path),
-        "summary": {"operation": "delete"},
+        "summary": _snapshot_summary(
+            "delete",
+            ml_rows,
+            _parent_summary(meta, cur_snap_id),
+            added_delete_files=len(delete_files),
+            added_position_deletes=sum(
+                int(d["record_count"]) for d in delete_files
+            ),
+            deleted_records=sum(
+                int(d["record_count"]) for d in delete_files
+            ),
+            added_files_size=sum(
+                int(d.get("file_size_in_bytes", 0) or 0)
+                for d in delete_files
+            ),
+        ),
         "schema-id": meta.get("current-schema-id", 0),
     }
     if cur_snap_id is not None and cur_snap_id != -1:

@@ -404,17 +404,22 @@ def _merge_delta(
     del_tags = _delete_tags(matched, nmbs)
     upd_tags = _update_tags(matched, nmbs)
     act_tags = del_tags + upd_tags
-    touched = (
-        [
-            r["__base"]
-            for r in tagged.where(F.col("__action").isin(act_tags))
-            .select(F.col("t.__base").alias("__base"))
-            .distinct()
-            .collect()
-        ]
+    # per-(action, file) matched-row counts ride the SAME shuffle the
+    # old distinct() took (r15: operationMetrics) — touched files AND
+    # numTargetRowsUpdated/Deleted from one job
+    act_rows = (
+        tagged.where(F.col("__action").isin(act_tags))
+        .groupBy(
+            F.col("__action"), F.col("t.__base").alias("__base")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
         if act_tags
         else []
     )
+    touched = sorted({r["__base"] for r in act_rows})
+    n_upd = sum(int(r["n"]) for r in act_rows if r["__action"] in upd_tags)
+    n_del = sum(int(r["n"]) for r in act_rows if r["__action"] in del_tags)
     n_ins = inserts.count() if inserts is not None else 0
     if not touched and not n_ins and not extra_fields:
         # row-level no-op AND no schema widening: nothing to commit.
@@ -585,6 +590,32 @@ def _merge_delta(
             lines.extend(
                 d._stage_cdc_mapped(cdc, path, pcols, physical_of)
             )
+    c = d._commit_counts(lines)
+    dv_pairs = c["dv_adds"] if mode == "dv" else 0
+    copied = None
+    if c["add_rows"] is not None:
+        # CoW rewrites carry kept + updated + inserted rows; what's
+        # neither updated nor inserted was copied through. DV mode
+        # stages only post-images + inserts — nothing is copied.
+        copied = (
+            max(0, c["add_rows"] - n_upd - n_ins)
+            if mode == "cow"
+            else 0
+        )
+    d._stamp_op_metrics(
+        lines,
+        numTargetRowsInserted=n_ins,
+        numTargetRowsUpdated=n_upd,
+        numTargetRowsDeleted=n_del,
+        numTargetRowsCopied=copied,
+        numOutputRows=c["add_rows"],
+        # a DV remove+re-add pair masks rows in the same data file —
+        # neither side counts as a file added/removed (delta-spark)
+        numTargetFilesAdded=c["adds"] - dv_pairs,
+        numTargetFilesRemoved=c["removes"] - dv_pairs,
+        numTargetDeletionVectorsAdded=dv_pairs if mode == "dv" else None,
+        numTargetChangeFilesAdded=c["cdc"],
+    )
     while True:
         versions = d.delta_versions(path)
         ckpt = d._read_last_checkpoint(path)
@@ -1075,21 +1106,19 @@ def _commit_iceberg_mor(
     ml_path = os.path.join(
         ice._meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
+    ml_rows = [
+        {
+            k: m.get(k, 0)
+            for k in (
+                f["name"]
+                for f in ice._MANIFEST_FILE_SCHEMA["fields"]
+            )
+        }
+        for m in prev_manifests
+    ] + manifests
     with open(ml_path, "wb") as fh:
         write_container_generic(
-            fh,
-            ice._MANIFEST_FILE_SCHEMA,
-            [
-                {
-                    k: m.get(k, 0)
-                    for k in (
-                        f["name"]
-                        for f in ice._MANIFEST_FILE_SCHEMA["fields"]
-                    )
-                }
-                for m in prev_manifests
-            ]
-            + manifests,
+            fh, ice._MANIFEST_FILE_SCHEMA, ml_rows
         )
     new_sid = meta.get("current-schema-id", 0)
     evolved_schemas = None
@@ -1115,7 +1144,23 @@ def _commit_iceberg_mor(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.abspath(ml_path),
-        "summary": {"operation": "overwrite"},
+        "summary": ice._snapshot_summary(
+            "overwrite",
+            ml_rows,
+            ice._parent_summary(meta, cur_snap_id),
+            added_data_files=len(added_files),
+            added_records=sum(
+                int(dd["record_count"]) for dd in added_files
+            ),
+            added_delete_files=len(delete_files),
+            added_position_deletes=sum(
+                int(dd["record_count"]) for dd in delete_files
+            ),
+            added_files_size=sum(
+                int(dd.get("file_size_in_bytes", 0) or 0)
+                for dd in added_files + delete_files
+            ),
+        ),
         "schema-id": new_sid,
     }
     if cur_snap_id is not None and cur_snap_id != -1:
@@ -1627,10 +1672,11 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
     if mode == "dv":
         # retire the old positions, append the updated images — the
         # delta-spark DV UPDATE commit shape
-        if not d._dv_retire(
+        n_upd = d._dv_retire(
             spark, path, protocol, scan, pred, adds_by_base, lines,
             planned, now_ms,
-        ):
+        )
+        if not n_upd:
             return None
         lines.extend(
             d._stage_adds_mapped(
@@ -1639,15 +1685,19 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
             )
         )
     else:
-        touched = [
-            r["__base"]
+        # per-file matched-row counts ride the SAME shuffle the old
+        # distinct() took (r15: operationMetrics)
+        hit_counts = {
+            r["__base"]: int(r["n"])
             for r in scan.filter(pred)
-            .select("__base")
-            .distinct()
+            .groupBy("__base")
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        ]
+        }
+        touched = sorted(hit_counts)
         if not touched:
             return None
+        n_upd = sum(hit_counts.values())
         rewritten = d._regenerate(
             scan.filter(F.col("__base").isin(touched)).select(
                 _set_cols(sets, schema.fields, pred=pred)
@@ -1679,6 +1729,21 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
                 pre.unionByName(post), path, pcols, physical_of
             )
         )
+    c = d._commit_counts(lines)
+    dv_pairs = c["dv_adds"] if mode == "dv" else 0
+    d._stamp_op_metrics(
+        lines,
+        numUpdatedRows=n_upd,
+        numCopiedRows=(
+            max(0, c["add_rows"] - n_upd)
+            if mode == "cow" and c["add_rows"] is not None
+            else (0 if mode == "dv" else None)
+        ),
+        numAddedFiles=c["adds"] - dv_pairs,
+        numRemovedFiles=c["removes"] - dv_pairs,
+        numDeletionVectorsAdded=dv_pairs if mode == "dv" else None,
+        numAddedChangeFiles=c["cdc"],
+    )
     while True:
         versions = d.delta_versions(path)
         ckpt = d._read_last_checkpoint(path)

@@ -1,0 +1,130 @@
+"""Puffin statistics-file codec (r15 verdict #3) — spec-level, pure
+python, the same discipline as the avro container codec: no
+datasketches/iceberg jar required.
+
+Puffin is Iceberg's statistics sidecar format (the spec lives in the
+Iceberg docs, "Puffin file format"): a magic-framed blob container
+whose FOOTER carries a JSON payload describing each blob —
+
+    Magic Blob1 ... BlobN Footer
+    Footer = Magic | payload(JSON) | payload_size(int32 LE)
+             | flags(4 bytes) | Magic
+
+Each blob-metadata entry records ``type``, ``fields`` (source field
+ids), ``snapshot-id``, ``sequence-number``, ``offset``, ``length``
+and free-form ``properties``. For the one standardized statistic —
+``apache-datasketches-theta-v1`` distinct-count sketches — the spec
+REQUIRES the blob's ``properties`` to carry ``ndv`` ("estimate of
+number of distinct values, derived from the sketch"), so consuming
+ndv needs only the footer JSON: the sketch bytes themselves exist
+for cross-file merging, which a reader feeding a CBO never does.
+:func:`puffin_ndv` therefore reads ONE footer — O(statistics), zero
+data-file or sketch decoding.
+
+The writer exists for round-tripping and for hand-building test
+fixtures the way a foreign engine (spark-iceberg's ANALYZE /
+ComputeTableStats action) would; blob payload bytes are opaque here.
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+MAGIC = b"PFA1"
+#: footer flags: 4 bytes, little-endian; bit 0 of byte 0 = footer
+#: payload is lz4-compressed (unsupported here — refuse loudly)
+_FLAG_FOOTER_COMPRESSED = 0x01
+
+
+def write_puffin(
+    path: str,
+    blobs: list[tuple[bytes, dict]],
+    properties: dict | None = None,
+) -> list[dict]:
+    """Write a Puffin file of ``(payload_bytes, blob_meta)`` pairs.
+
+    ``blob_meta`` supplies the spec's descriptive keys (``type``,
+    ``fields``, ``snapshot-id``, ``sequence-number``,
+    ``properties``); ``offset``/``length`` are computed here. Returns
+    the completed blob-metadata list — exactly what the table
+    metadata's ``statistics[].blob-metadata`` field embeds."""
+    out_meta: list[dict] = []
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        for payload, meta in blobs:
+            off = fh.tell()
+            fh.write(payload)
+            m = dict(meta)
+            m["offset"] = off
+            m["length"] = len(payload)
+            m.setdefault("compression-codec", None)
+            out_meta.append(m)
+        footer = {
+            "blobs": out_meta,
+            **({"properties": properties} if properties else {}),
+        }
+        payload = json.dumps(footer).encode("utf-8")
+        fh.write(MAGIC)
+        fh.write(payload)
+        fh.write(struct.pack("<i", len(payload)))
+        fh.write(struct.pack("<I", 0))  # flags: uncompressed
+        fh.write(MAGIC)
+    return out_meta
+
+
+def read_puffin_footer(path: str) -> dict:
+    """Parse a Puffin file's footer JSON ({"blobs": [...],
+    "properties": {...}}). Validates both magics and refuses
+    lz4-compressed footers (out of scope, loud)."""
+    size = os.path.getsize(path)
+    if size < 4 + 4 + 4 + 4 + 4:
+        raise ValueError(f"{path}: too small to be a Puffin file")
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"{path}: bad Puffin head magic")
+        fh.seek(size - 12)
+        payload_size = struct.unpack("<i", fh.read(4))[0]
+        flags = struct.unpack("<I", fh.read(4))[0]
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"{path}: bad Puffin tail magic")
+        if flags & _FLAG_FOOTER_COMPRESSED:
+            raise NotImplementedError(
+                f"{path}: lz4-compressed Puffin footer is out of scope"
+            )
+        if payload_size < 0 or 12 + payload_size + 4 > size:
+            raise ValueError(
+                f"{path}: footer payload size {payload_size} is "
+                "inconsistent with the file size"
+            )
+        fh.seek(size - 12 - payload_size)
+        payload = fh.read(payload_size)
+        # the footer opens with its own magic, right before the payload
+        fh.seek(size - 12 - payload_size - 4)
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"{path}: bad Puffin footer magic")
+    return json.loads(payload.decode("utf-8"))
+
+
+def read_puffin_blob(path: str, blob_meta: dict) -> bytes:
+    """The raw payload bytes of one blob (offset/length from its
+    metadata entry) — sketch merging, not needed for ndv."""
+    with open(path, "rb") as fh:
+        fh.seek(int(blob_meta["offset"]))
+        return fh.read(int(blob_meta["length"]))
+
+
+def puffin_ndv(path: str) -> dict[int, int]:
+    """field-id → ndv from a Puffin file's
+    ``apache-datasketches-theta-v1`` blobs, via the spec-required
+    ``ndv`` property. Multi-field sketches (distinct over a tuple)
+    are skipped — a tuple ndv is not a per-column ndv."""
+    out: dict[int, int] = {}
+    for blob in read_puffin_footer(path).get("blobs", []):
+        if blob.get("type") != "apache-datasketches-theta-v1":
+            continue
+        fields = blob.get("fields") or []
+        ndv = (blob.get("properties") or {}).get("ndv")
+        if len(fields) == 1 and ndv is not None:
+            out[int(fields[0])] = int(ndv)
+    return out

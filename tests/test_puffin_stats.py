@@ -1,0 +1,230 @@
+"""Puffin statistics READ (r15 verdict #3): the spec-level codec, the
+``statistics`` table-metadata field, and ndv feeding the CBO
+pre-flight (join_size_estimate)."""
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
+from census_asc5_data_pipeline_spark.sources import puffin
+
+
+def test_puffin_round_trip(tmp_path):
+    p = str(tmp_path / "stats.puffin")
+    blobs = [
+        (
+            b"\x01\x02\x03sketch-bytes",
+            {
+                "type": "apache-datasketches-theta-v1",
+                "fields": [1],
+                "snapshot-id": 7,
+                "sequence-number": 7,
+                "properties": {"ndv": "123"},
+            },
+        ),
+        (
+            b"other-blob",
+            {
+                "type": "some-future-stat",
+                "fields": [2],
+                "snapshot-id": 7,
+                "sequence-number": 7,
+                "properties": {},
+            },
+        ),
+    ]
+    meta = puffin.write_puffin(p, blobs, properties={"created-by": "t"})
+    footer = puffin.read_puffin_footer(p)
+    assert footer["properties"] == {"created-by": "t"}
+    assert [b["type"] for b in footer["blobs"]] == [
+        "apache-datasketches-theta-v1",
+        "some-future-stat",
+    ]
+    assert puffin.read_puffin_blob(p, meta[0]) == b"\x01\x02\x03sketch-bytes"
+    assert puffin.read_puffin_blob(p, meta[1]) == b"other-blob"
+    assert puffin.puffin_ndv(p) == {1: 123}
+
+
+def test_puffin_bad_magic_and_compressed_refuse(tmp_path):
+    p = str(tmp_path / "bad.puffin")
+    with open(p, "wb") as fh:
+        fh.write(b"NOPE" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="magic"):
+        puffin.read_puffin_footer(p)
+    # compressed-footer flag set -> loud refusal, not a mis-parse
+    import struct
+
+    p2 = str(tmp_path / "cmp.puffin")
+    payload = json.dumps({"blobs": []}).encode()
+    with open(p2, "wb") as fh:
+        fh.write(puffin.MAGIC + puffin.MAGIC + payload)
+        fh.write(struct.pack("<i", len(payload)))
+        fh.write(struct.pack("<I", 1))
+        fh.write(puffin.MAGIC)
+    with pytest.raises(NotImplementedError, match="lz4"):
+        puffin.read_puffin_footer(p2)
+
+
+def _mk_table(spark, path: str, n: int = 100):
+    ice.write_iceberg(
+        spark.range(n)
+        .coalesce(1)
+        .select(F.col("id"), (F.col("id") % 10).alias("k")),
+        path,
+    )
+
+
+def _field_ids(path: str) -> dict[str, int]:
+    _v, meta = ice._current_metadata(path)
+    _s, fields = ice._schema_of(meta)
+    return {f["name"]: int(f["id"]) for f in fields}
+
+
+def test_iceberg_ndv_from_statistics_field(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk_table(spark, t, n=100)
+    ids = _field_ids(t)
+    sp = str(tmp_path / "t-stats.puffin")
+    puffin.write_puffin(
+        sp,
+        [
+            (
+                b"sketch",
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [ids["k"]],
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "properties": {"ndv": "10"},
+                },
+            ),
+            (
+                b"sketch2",
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [ids["id"]],
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "properties": {"ndv": "100"},
+                },
+            ),
+        ],
+    )
+    ice.attach_statistics(t, sp)
+    assert ice.iceberg_ndv(t) == {"id": 100, "k": 10}
+    # no statistics for a snapshot with no analyzed ancestor
+    assert ice.iceberg_ndv(str(tmp_path / "t"), snapshot_id=999) == {}
+
+
+def test_iceberg_ndv_ancestor_fallback(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk_table(spark, t, n=50)
+    ids = _field_ids(t)
+    sp = str(tmp_path / "s.puffin")
+    puffin.write_puffin(
+        sp,
+        [
+            (
+                b"s",
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [ids["k"]],
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "properties": {"ndv": "10"},
+                },
+            )
+        ],
+    )
+    ice.attach_statistics(t, sp)
+    # a later un-analyzed append: the analyzed ancestor's ndv still
+    # serves (stale beats absent for a CBO)
+    ice.write_iceberg(
+        spark.range(50, 60)
+        .coalesce(1)
+        .select(F.col("id"), (F.col("id") % 10).alias("k")),
+        t,
+    )
+    assert ice.iceberg_ndv(t) == {"k": 10}
+
+
+def test_iceberg_ndv_footer_fallback(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk_table(spark, t, n=30)
+    ids = _field_ids(t)
+    sp = str(tmp_path / "s.puffin")
+    puffin.write_puffin(
+        sp,
+        [
+            (
+                b"s",
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [ids["k"]],
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "properties": {"ndv": "10"},
+                },
+            )
+        ],
+    )
+    # a foreign writer that embedded blob-metadata WITHOUT the ndv
+    # property: the reader opens the Puffin footer instead
+    ice.attach_statistics(
+        t,
+        sp,
+        blob_metadata=[
+            {
+                "type": "apache-datasketches-theta-v1",
+                "fields": [ids["k"]],
+                "snapshot-id": 1,
+                "sequence-number": 1,
+            }
+        ],
+    )
+    assert ice.iceberg_ndv(t) == {"k": 10}
+
+
+def test_join_size_estimate_uses_catalog_ndv(spark, tmp_path):
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        join_size_estimate,
+    )
+
+    t = str(tmp_path / "t")
+    _mk_table(spark, t, n=200)
+    ids = _field_ids(t)
+    sp = str(tmp_path / "s.puffin")
+    puffin.write_puffin(
+        sp,
+        [
+            (
+                b"s",
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [ids["k"]],
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "properties": {"ndv": "10"},
+                },
+            )
+        ],
+    )
+    ice.attach_statistics(t, sp)
+    ndv = ice.iceberg_ndv(t)
+    a = ice.read_iceberg(spark, t)
+    b = spark.range(40).select((F.col("id") % 10).alias("k"))
+    # the catalog ndv REPLACES the computed distinct for that side
+    est = join_size_estimate(a, b, "k", ndv_a=ndv["k"], top_k=4)
+    base = join_size_estimate(a, b, "k", exact_distinct=True, top_k=4)
+    assert est["d_a"] == 10 == base["d_a"]
+    assert est["n_a"] == base["n_a"] == 200
+    assert est["est_rows"] == base["est_rows"]  # same arithmetic
+    # a deliberately wrong catalog ndv visibly changes the estimate —
+    # proof the provided value is what the estimator consumed
+    skew = join_size_estimate(a, b, "k", ndv_a=1000, top_k=0)
+    assert skew["d_a"] == 1000
+    assert skew["est_rows"] < base["est_rows"]

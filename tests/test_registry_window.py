@@ -14,10 +14,18 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # driver's oracle for the first time, verdict #7) — then the round-7
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
-    # round-14 window: the new oracle-faced streaming loop leads,
-    # with four veterans rotated back in (k_core last driver-checked
-    # r6; q1/q9/q21 not since r4 — r13 verdict #8); the five r11-r12
-    # tail entries fall out to the registry tail.
+    # round-15 window: the two new observability-metrics rows lead
+    # (operationMetrics / snapshot summary, verdict #1/#9) with five
+    # NEVER-windowed veterans rotated in (verdict #7: fuzzy_match,
+    # near_dup_triangles, scd2_history, asof_join, cohort_retention);
+    # seven r6-r8 rows fall back to the registry tail.
+    "history_metrics",
+    "snapshot_summary",
+    "fuzzy_match",
+    "near_dup_triangles",
+    "scd2_history",
+    "asof_join",
+    "cohort_retention",
     "stream_sink_fold",
     "k_core",
     "q1_pricing_summary",
@@ -61,13 +69,6 @@ PINNED_FIRST_50 = [
     "neyman_sample",
     "longest_streak",
     "contamination_report",
-    "perplexity_buckets",
-    "golden_record",
-    "pii_census",
-    "variant_profile",
-    "rolling_distinct",
-    "weighted_median",
-    "key_skew_report",
 ]
 
 

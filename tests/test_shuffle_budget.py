@@ -22,6 +22,14 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 15 ---
+    # returned plan = a filter/explode over DESCRIBE HISTORY's
+    # driver-built rows (the DML pipeline runs at construction).
+    # Measured 0; 1 = headroom
+    "history_metrics": 1,
+    # returned plan = a projection over the snapshots metadata
+    # table's driver-built rows. Measured 0; 1 = headroom
+    "snapshot_summary": 1,
     # --- new in round 14 ---
     # returned plan = one groupBy (partial/final agg pair, plus the
     # countDistinct expand) over the streamed-into target table's
