@@ -504,6 +504,164 @@ def _replay(
     return protocol, meta, adds, txns
 
 
+def replay_domains(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict[str, str]:
+    """domain → configuration for every LIVE ``domainMetadata`` domain
+    at ``version`` (PROTOCOL.md §Domain Metadata; r15 — previously
+    the action was opaque to the engine and its presence as a
+    writerFeature refused every write). Reconciliation is per-domain
+    latest-wins; ``removed: true`` tombstones the domain. Checkpoint
+    rows load via a domainMetadata-column-only pyarrow read (a
+    column-chunk read, even on a 100 TB table's multipart
+    checkpoint), the JSON tail replays after — the same
+    checkpoint-then-tail discipline as :func:`_replay` without
+    materializing any file action."""
+    import pyarrow.parquet as pq
+
+    versions = delta_versions(path)
+    ckpt = _read_last_checkpoint(path)
+    if version is None:
+        if not versions and ckpt is None:
+            raise FileNotFoundError(f"empty Delta log at {path!r}")
+        version = max(versions) if versions else ckpt
+    domains: dict[str, dict] = {}
+
+    def _apply(d: dict | None) -> None:
+        if not d or d.get("domain") is None:
+            return
+        if d.get("removed"):
+            domains.pop(d["domain"], None)
+        else:
+            domains[d["domain"]] = d
+
+    start = 0
+    if ckpt is not None and ckpt <= version:
+        res = _resolve_checkpoint(path, ckpt)
+        if res is not None:
+            kind, files = res
+            rows: list[dict] = []
+            if kind == "v2" and files[0].endswith(".json"):
+                # domainMetadata is a non-file action: INLINE in a v2
+                # manifest, never in sidecars (spec)
+                rows = [
+                    json.loads(line)
+                    for line in open(files[0])
+                    if line.strip()
+                ]
+            else:
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    pf = pq.ParquetFile(f)
+                    if "domainMetadata" not in pf.schema_arrow.names:
+                        continue
+                    for d in (
+                        pf.read(columns=["domainMetadata"])
+                        .column(0)
+                        .to_pylist()
+                    ):
+                        rows.append({"domainMetadata": d})
+            for r in rows:
+                _apply(r.get("domainMetadata"))
+        start = ckpt + 1
+    missing = [v for v in range(start, version + 1) if v not in versions]
+    if missing:
+        raise FileNotFoundError(
+            f"Delta log at {path!r} is missing commit(s) {missing} "
+            f"needed to reconstruct domain metadata at {version}"
+        )
+    for v in range(start, version + 1):
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "domainMetadata" in action:
+                    _apply(action["domainMetadata"])
+    return {
+        d: str(v.get("configuration") or "")
+        for d, v in sorted(domains.items())
+    }
+
+
+def set_domain_metadata(
+    spark: SparkSession,
+    path: str,
+    domain: str,
+    configuration: str,
+    removed: bool = False,
+) -> int:
+    """Commit one ``domainMetadata`` action (spec §Domain Metadata
+    writer surface, r15): sets (or, ``removed=True``, tombstones) the
+    domain's configuration string in a metadata-only commit. The
+    SAME commit upgrades the protocol to writer 7 with the
+    ``domainMetadata`` feature when the table doesn't declare it yet
+    — legacy writers must not be allowed to checkpoint the table
+    without preserving domains. System-controlled domains
+    (``delta.*``) refuse: the spec reserves them for the features
+    that own them (this engine owns none)."""
+    if domain.startswith("delta."):
+        raise ValueError(
+            f"domain {domain!r} is system-controlled (delta.*) — "
+            "only the owning feature's writer may modify it"
+        )
+    now_ms = int(time.time() * 1000)
+    while True:
+        protocol, meta, _adds, _tx = _replay(spark, path, None)
+        _writer_gate(protocol, meta, "SET DOMAIN METADATA")
+        feats_w = set(protocol.get("writerFeatures") or [])
+        proto_line: dict | None = None
+        if "domainMetadata" not in feats_w:
+            imp_r, imp_w = _implied_features(protocol)
+            proto_line = {
+                "protocol": {
+                    "minReaderVersion": max(
+                        int(protocol.get("minReaderVersion", 1)), 1
+                    ),
+                    "minWriterVersion": 7,
+                    **(
+                        {"readerFeatures": sorted(imp_r)}
+                        if int(protocol.get("minReaderVersion", 1)) >= 3
+                        else {}
+                    ),
+                    "writerFeatures": sorted(
+                        imp_w | {"domainMetadata"}
+                    ),
+                }
+            }
+        lines = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET DOMAIN METADATA",
+                    "operationParameters": {
+                        "domain": domain,
+                        "removed": removed,
+                    },
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
+            },
+            *([proto_line] if proto_line else []),
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": str(configuration),
+                    "removed": bool(removed),
+                }
+            },
+        ]
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        try:
+            _put_if_absent_commit(path, next_v, lines)
+            return next_v
+        except FileExistsError:
+            continue
+
+
 def _reader_gate(protocol: dict, meta: dict, path: str) -> None:
     """The minReaderVersion / readerFeatures refusal shared by the
     driver replay and the distributed pruned replay."""
@@ -1252,7 +1410,22 @@ _WRITER_FEATURES = {
     "generatedColumns",
     "identityColumns",
     "v2Checkpoint",
+    # r15: every engine write preserves domains by construction (the
+    # log is append-only — ordinary commits never touch another
+    # writer's domainMetadata actions) and every checkpoint form now
+    # carries the live domains; the engine writes only domains it
+    # owns (set_domain_metadata refuses delta.* system domains)
+    "domainMetadata",
 }
+
+# features a CHECKPOINT (and only a checkpoint) may ignore even
+# though ordinary writes refuse them: checkpointing assigns nothing —
+# it only needs to PRESERVE state, and since r15 the checkpoint add
+# struct round-trips baseRowId/defaultRowCommitVersion and every
+# checkpoint form carries domainMetadata, so a rowTracking table's
+# checkpoint is lossless while writes (which would have to assign
+# fresh row ids) stay refused
+_CHECKPOINT_SAFE_FEATURES = {"rowTracking"}
 
 
 def _implied_features(protocol: dict) -> tuple[set[str], set[str]]:
@@ -1322,6 +1495,8 @@ def _writer_gate(protocol: dict, meta: dict, operation: str) -> None:
     """
     feats_w = set(protocol.get("writerFeatures") or [])
     unknown = feats_w - _WRITER_FEATURES
+    if operation == "CHECKPOINT":
+        unknown -= _CHECKPOINT_SAFE_FEATURES
     if unknown:
         raise NotImplementedError(
             f"table requires writerFeatures {sorted(unknown)} this "
@@ -3948,6 +4123,19 @@ _CKPT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # domain metadata survives checkpointing (r15 — spec writer
+        # requirement: a checkpoint without the live domains loses
+        # them once vacuum prunes the JSON commits that set them)
+        T.StructField(
+            "domainMetadata",
+            T.StructType(
+                [
+                    T.StructField("domain", T.StringType()),
+                    T.StructField("configuration", T.StringType()),
+                    T.StructField("removed", T.BooleanType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -3964,6 +4152,7 @@ def _write_checkpoint_multipart(
     meta: dict,
     txns: dict[str, int],
     live_df: DataFrame,
+    domains: dict[str, str] | None = None,
 ) -> int:
     """Classic MULTIPART checkpoint (%020d.checkpoint.%010d.%010d.
     parquet) written DISTRIBUTED: the add rows stream from the prior
@@ -3989,6 +4178,7 @@ def _write_checkpoint_multipart(
             None,
             None,
             None,
+            None,
         ),
         (
             None,
@@ -4006,11 +4196,17 @@ def _write_checkpoint_multipart(
             None,
             None,
             None,
+            None,
         ),
     ] + [
         (None, None, None, None,
-         {"appId": app, "version": int(tv), "lastUpdated": None})
+         {"appId": app, "version": int(tv), "lastUpdated": None},
+         None)
         for app, tv in sorted(txns.items())
+    ] + [
+        (None, None, None, None, None,
+         {"domain": dom, "configuration": conf, "removed": False})
+        for dom, conf in sorted((domains or {}).items())
     ]
     header_df = spark.createDataFrame(header_rows, _CKPT_SCHEMA)
     null_of = {
@@ -4028,6 +4224,7 @@ def _write_checkpoint_multipart(
         ).alias("add"),
         null_of["remove"],
         null_of["txn"],
+        null_of["domainMetadata"],
     )
     nparts = max(1, min(64, (n_adds // _CKPT_PART_ROWS) + 1))
     tmp = _checkpoint_file(path, v) + f".mp-tmp-{uuid.uuid4().hex}"
@@ -4077,6 +4274,7 @@ def _create_checkpoint_v2(
     adds: dict | None,
     txns: dict,
     live_df: DataFrame | None = None,
+    domains: dict[str, str] | None = None,
 ) -> int:
     """The V2 checkpoint WRITE (PROTOCOL.md §V2 Checkpoint; the
     mirror of :func:`_checkpoint_actions`' read path): the add
@@ -4207,6 +4405,17 @@ def _create_checkpoint_v2(
         {"txn": {"appId": app, "version": int(tv), "lastUpdated": None}}
         for app, tv in sorted(txns.items())
     ] + [
+        # non-file actions stay INLINE in the manifest (spec);
+        # domains must survive the checkpoint or vacuum loses them
+        {
+            "domainMetadata": {
+                "domain": dom,
+                "configuration": conf,
+                "removed": False,
+            }
+        }
+        for dom, conf in sorted((domains or {}).items())
+    ] + [
         {
             "sidecar": {
                 "path": side_name,
@@ -4267,12 +4476,14 @@ def create_checkpoint(
         if dist is not None:
             protocol, meta, txns, live_df = dist
             _writer_gate(protocol, meta, "CHECKPOINT")
+            domains = replay_domains(spark, path, v)
             pol = policy or (meta.get("configuration") or {}).get(
                 "delta.checkpointPolicy", "classic"
             )
             if pol == "classic":
                 return _write_checkpoint_multipart(
-                    spark, path, v, protocol, meta, txns, live_df
+                    spark, path, v, protocol, meta, txns, live_df,
+                    domains=domains,
                 )
             if pol == "v2":
                 # sharded sidecars stream from the prior checkpoint's
@@ -4288,13 +4499,17 @@ def create_checkpoint(
                     )
                 return _create_checkpoint_v2(
                     spark, path, v, protocol, meta, None, txns,
-                    live_df=live_df,
+                    live_df=live_df, domains=domains,
                 )
     protocol, meta, adds, txns = _replay(spark, path, v)
     # unknown writerFeatures may imply log actions _replay does not
-    # model (e.g. domainMetadata); a checkpoint written here would
-    # silently drop them — same refusal as any other write
+    # model; a checkpoint written here would silently drop them —
+    # same refusal as any other write. domainMetadata itself and
+    # rowTracking are checkpoint-safe since r15: domains and
+    # baseRowId/defaultRowCommitVersion round-trip through every
+    # checkpoint form (a checkpoint assigns nothing)
     _writer_gate(protocol, meta, "CHECKPOINT")
+    domains = replay_domains(spark, path, v)
     pol = policy or (meta.get("configuration") or {}).get(
         "delta.checkpointPolicy", "classic"
     )
@@ -4310,7 +4525,7 @@ def create_checkpoint(
                 "upgrades the protocol in the same commit"
             )
         return _create_checkpoint_v2(spark, path, v, protocol, meta,
-                                     adds, txns)
+                                     adds, txns, domains=domains)
     def _dv_row(a: dict) -> dict | None:
         dv = a.get("deletionVector")
         if not dv:
@@ -4335,6 +4550,7 @@ def create_checkpoint(
             None,
             None,
             None,
+            None,
         ),
         (
             None,
@@ -4352,6 +4568,7 @@ def create_checkpoint(
             None,
             None,
             None,
+            None,
         ),
     ] + [
         (
@@ -4364,8 +4581,13 @@ def create_checkpoint(
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
                 "stats": a.get("stats"),
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get(
+                    "defaultRowCommitVersion"
+                ),
                 "deletionVector": _dv_row(a),
             },
+            None,
             None,
             None,
         )
@@ -4375,8 +4597,15 @@ def create_checkpoint(
         # vacuumed log would forget sink app versions and a replayed
         # micro-batch would re-append
         (None, None, None, None,
-         {"appId": app, "version": int(v), "lastUpdated": None})
+         {"appId": app, "version": int(v), "lastUpdated": None},
+         None)
         for app, v in sorted(txns.items())
+    ] + [
+        # live domains persist too (r15 — spec: a checkpoint must
+        # preserve domain metadata)
+        (None, None, None, None, None,
+         {"domain": dom, "configuration": conf, "removed": False})
+        for dom, conf in sorted(domains.items())
     ]
     tmp = _checkpoint_file(path, v) + f".tmp-{uuid.uuid4().hex}"
     (

@@ -1696,7 +1696,7 @@ def iceberg_ndv(path: str, snapshot_id: int | None = None) -> dict[str, int]:
     ndv_by_id: dict[int, int] = {}
     missing_props = False
     for blob in entry.get("blob-metadata") or []:
-        if blob.get("type") != "apache-datasketches-theta-v1":
+        if blob.get("type") not in puffin.NDV_BLOB_TYPES:
             continue
         fields = blob.get("fields") or []
         ndv = (blob.get("properties") or {}).get("ndv")
@@ -1767,6 +1767,89 @@ def attach_statistics(
     new_v = cur_v + 1
     _write_metadata_version(path, new_v, new_meta)
     return new_v
+
+
+def analyze_iceberg_ndv(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    exact: bool = False,
+) -> int:
+    """ANALYZE for the CBO sidecar (r15 — the WRITE half of the
+    Puffin ndv READ; spark-iceberg's ComputeTableStats analog):
+    compute per-column distinct counts over the CURRENT snapshot in
+    ONE distributed aggregate (HLL++ ``approx_count_distinct`` by
+    default — at 100 TB an exact distinct per column is a wide
+    shuffle; ``exact=True`` for deterministic tests), write them as a
+    Puffin statistics file under ``metadata/`` and register it via
+    :func:`attach_statistics`. Blobs use the engine's honest
+    ``census-asc5-ndv-v1`` type (payload = self-describing JSON, the
+    spec-shaped ``ndv`` property carries the value) — NOT the theta
+    type, whose payload must be a real DataSketches sketch for
+    foreign merges; :func:`iceberg_ndv` and spark's own property
+    readers consume the ndv either way, unknown readers skip the
+    blob per Puffin's contract. Returns the new metadata version."""
+    cur_v, meta = _current_metadata(path)
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id is None or snap_id == -1:
+        raise ValueError("table has no snapshot to analyze")
+    snap = next(
+        s
+        for s in meta.get("snapshots", [])
+        if s["snapshot-id"] == snap_id
+    )
+    from pyspark.sql import functions as F
+
+    _schema, fields = _schema_of(meta, allow_renames=True)
+    id_of = {f["name"]: int(f["id"]) for f in fields}
+    cols = list(columns) if columns else [f["name"] for f in fields]
+    unknown = [c for c in cols if c not in id_of]
+    if unknown:
+        raise ValueError(f"columns {unknown} not in the table schema")
+    df = read_iceberg(spark, path)
+    aggs = [
+        (
+            F.count_distinct(F.col(f"`{c}`"))
+            if exact
+            else F.approx_count_distinct(f"`{c}`", 0.02)
+        ).alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    from census_asc5_data_pipeline_spark.sources import puffin
+
+    seq = int(snap.get("sequence-number", 0) or 0)
+    blobs = []
+    for c in cols:
+        ndv = int(row[c])
+        blobs.append(
+            (
+                json.dumps(
+                    {"ndv": ndv, "column": c, "field-id": id_of[c]}
+                ).encode("utf-8"),
+                {
+                    "type": "census-asc5-ndv-v1",
+                    "fields": [id_of[c]],
+                    "snapshot-id": int(snap_id),
+                    "sequence-number": seq,
+                    "properties": {"ndv": str(ndv)},
+                },
+            )
+        )
+    sp = os.path.join(
+        _meta_dir(path),
+        f"stats-{snap_id}-{uuid.uuid4().hex}.puffin",
+    )
+    blob_meta = puffin.write_puffin(
+        sp,
+        blobs,
+        properties={
+            "created-by": "census_asc5_data_pipeline_spark analyze"
+        },
+    )
+    return attach_statistics(
+        path, sp, blob_metadata=blob_meta, snapshot_id=int(snap_id)
+    )
 
 
 def _partition_summaries(

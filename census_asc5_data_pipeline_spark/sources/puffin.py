@@ -114,14 +114,22 @@ def read_puffin_blob(path: str, blob_meta: dict) -> bytes:
         return fh.read(int(blob_meta["length"]))
 
 
+#: blob types whose ``ndv`` property this engine consumes: the spec's
+#: standardized theta sketches, plus the engine's own ANALYZE output
+#: (an honest custom type — writing fake bytes under the theta type
+#: would corrupt a foreign engine's sketch merges; Puffin explicitly
+#: allows engine-specific blob types, which unknown readers skip)
+NDV_BLOB_TYPES = ("apache-datasketches-theta-v1", "census-asc5-ndv-v1")
+
+
 def puffin_ndv(path: str) -> dict[int, int]:
-    """field-id → ndv from a Puffin file's
-    ``apache-datasketches-theta-v1`` blobs, via the spec-required
-    ``ndv`` property. Multi-field sketches (distinct over a tuple)
-    are skipped — a tuple ndv is not a per-column ndv."""
+    """field-id → ndv from a Puffin file's distinct-count blobs
+    (:data:`NDV_BLOB_TYPES`), via the spec-required ``ndv`` property.
+    Multi-field sketches (distinct over a tuple) are skipped — a
+    tuple ndv is not a per-column ndv."""
     out: dict[int, int] = {}
     for blob in read_puffin_footer(path).get("blobs", []):
-        if blob.get("type") != "apache-datasketches-theta-v1":
+        if blob.get("type") not in NDV_BLOB_TYPES:
             continue
         fields = blob.get("fields") or []
         ndv = (blob.get("properties") or {}).get("ndv")

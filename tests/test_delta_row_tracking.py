@@ -217,15 +217,30 @@ def test_requires_enablement_and_base_row_ids(spark, tmp_path):
         d.read_delta(spark, t, row_tracking=True)
 
 
+def test_row_ids_survive_engine_checkpoint(spark, tmp_path):
+    """r15: the ENGINE may checkpoint a rowTracking table — a
+    checkpoint assigns nothing, and the add struct + domainMetadata
+    rows round-trip everything the feature needs (writes stay
+    refused, see test_writes_stay_refused). After pruning the JSON
+    history, ids AND the row-id high-water-mark domain survive."""
+    t = str(tmp_path / "t")
+    _mk_foreign(spark, t)
+    cv = d.create_checkpoint(spark, t)
+    log = os.path.join(t, "_delta_log", f"{cv:020d}.json")
+    os.remove(log)  # checkpoint is now the only history
+    out = d.read_delta(spark, t, row_tracking=True)
+    got = {r.id: r._row_id for r in out.collect()}
+    assert got == {i: i for i in range(8)}
+    # the foreign writer's domain (rowIdHighWaterMark) survived
+    doms = d.replay_domains(spark, t)
+    assert json.loads(doms["delta.rowTracking"]) == {
+        "rowIdHighWaterMark": 7
+    }
+
+
 def test_row_ids_survive_foreign_checkpoint(spark, tmp_path):
     t = str(tmp_path / "t")
     _mk_foreign(spark, t)
-    # the ENGINE refuses to checkpoint a rowTracking table — its
-    # checkpoint writer cannot represent domainMetadata (the row-id
-    # high-water-mark domain), and a checkpoint that drops actions is
-    # data loss (pinned refusal)
-    with pytest.raises(NotImplementedError, match="rowTracking"):
-        d.create_checkpoint(spark, t)
     # a FOREIGN tracking writer checkpoints it; replay then comes
     # from the checkpoint parquet — baseRowId/defaultRowCommitVersion
     # must survive (checkpoints don't retain commitInfo; the
@@ -234,7 +249,7 @@ def test_row_ids_survive_foreign_checkpoint(spark, tmp_path):
     acts = [json.loads(x) for x in open(log) if x.strip()]
     rows = []
     for a in acts:
-        if "commitInfo" in a or "domainMetadata" in a:
+        if "commitInfo" in a:
             continue
         rows.append(a)
     spark.createDataFrame(rows, d._CKPT_SCHEMA).coalesce(1).write.mode(

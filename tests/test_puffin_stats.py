@@ -228,3 +228,48 @@ def test_join_size_estimate_uses_catalog_ndv(spark, tmp_path):
     skew = join_size_estimate(a, b, "k", ndv_a=1000, top_k=0)
     assert skew["d_a"] == 1000
     assert skew["est_rows"] < base["est_rows"]
+
+
+def test_analyze_iceberg_ndv_closes_the_loop(spark, tmp_path):
+    """r15 ANALYZE (the WRITE half): one distributed aggregate →
+    Puffin file under metadata/ → statistics entry → iceberg_ndv
+    reads back the exact distinct counts — and the estimator
+    consumes them without its own distinct pass."""
+    from census_asc5_data_pipeline_spark.operators.relational import (
+        join_size_estimate,
+    )
+
+    t = str(tmp_path / "t")
+    _mk_table(spark, t, n=200)  # k has 10 distincts, id 200
+    ice.analyze_iceberg_ndv(spark, t, exact=True)
+    ndv = ice.iceberg_ndv(t)
+    assert ndv == {"id": 200, "k": 10}
+    # the stats file lives under metadata/ and is a valid Puffin
+    _v, meta = ice._current_metadata(t)
+    sp = meta["statistics"][0]["statistics-path"]
+    assert os.path.dirname(sp).endswith("metadata")
+    ids = _field_ids(t)
+    assert puffin.puffin_ndv(sp) == {ids["id"]: 200, ids["k"]: 10}
+    b = spark.range(40).select((F.col("id") % 10).alias("k"))
+    est = join_size_estimate(
+        ice.read_iceberg(spark, t), b, "k", ndv_a=ndv["k"], top_k=4
+    )
+    assert est["d_a"] == 10
+    # column subset + approx path still lands in sane bounds
+    ice.write_iceberg(
+        spark.range(200, 210)
+        .coalesce(1)
+        .select(F.col("id"), (F.col("id") % 10).alias("k")),
+        t,
+    )
+    ice.analyze_iceberg_ndv(spark, t, columns=["k"])
+    ndv2 = ice.iceberg_ndv(t)
+    assert set(ndv2) == {"k"}  # fresh entry replaces; only k analyzed
+    assert 9 <= ndv2["k"] <= 11  # HLL++ rsd 0.02 on 10 distincts
+
+
+def test_analyze_unknown_column_refuses(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk_table(spark, t, n=10)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        ice.analyze_iceberg_ndv(spark, t, columns=["nope"])
