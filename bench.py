@@ -169,6 +169,7 @@ GROUPS: dict[str, list[str]] = {
     "r15_tail": [
         "history_metrics",
         "snapshot_summary",
+        "stream_cdf_rename",
     ],
 }
 

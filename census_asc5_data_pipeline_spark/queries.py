@@ -11340,6 +11340,129 @@ GROUP BY o_orderstatus
 """
 
 
+def q_stream_cdf_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Change Data Feed replaying ACROSS a RENAME
+    COLUMN boundary, end-to-end against the oracle (round-15 verdict
+    #6 made oracle-faced): a column-mapped CDF-enabled Delta table
+    takes INSERT 1995 → UPDATE (+1 cent on okey % 10 = 0, emitting
+    pre/post images) → ALTER TABLE RENAME cents → price_c → INSERT
+    1996; ``spark.readStream.format('delta_cdf')`` then drains the
+    WHOLE feed under Trigger.AvailableNow in rate-capped
+    micro-batches into a txn-fenced target table. The stream is
+    constructed POST-rename, so every pre-rename commit must bind to
+    the renamed schema by ``delta.columnMapping.id`` — a misbound
+    column NULLs (or misnames) the value and flips the per-change-
+    type aggregates DuckDB reconstructs from raw orders. Rebuilds
+    under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import (
+        delta_io,
+        delta_stream_source,
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        stream_to_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    view = f"scr_orders_{os.getpid()}"
+    orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).createOrReplaceTempView(view)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_cdf_rename_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    tgt = os.path.join(base, "tgt")
+    ck = os.path.join(base, "ck")
+    cat: dict = {}
+    dml_sql(
+        spark,
+        "CREATE TABLE scr_t (okey BIGINT, yr INT, cents BIGINT) "
+        f"USING delta LOCATION '{src}' TBLPROPERTIES "
+        "('delta.columnMapping.mode'='name', "
+        "'delta.enableChangeDataFeed'='true')",
+        cat,
+    )
+    dml_sql(
+        spark,
+        f"INSERT INTO scr_t SELECT okey, yr, cents FROM {view} "
+        "WHERE yr = 1995",
+        cat,
+    )
+    dml_sql(
+        spark,
+        "UPDATE scr_t SET cents = cents + 1 WHERE okey % 10 = 0",
+        cat,
+    )
+    dml_sql(spark, "ALTER TABLE scr_t RENAME COLUMN cents TO price_c", cat)
+    dml_sql(
+        spark,
+        f"INSERT INTO scr_t SELECT okey, yr, cents AS price_c "
+        f"FROM {view} WHERE yr = 1996",
+        cat,
+    )
+    delta_stream_source.register(spark)
+    stream = (
+        spark.readStream.format("delta_cdf")
+        .option("path", src)
+        .option("maxfilespertrigger", 4)
+        .load()
+        .select("okey", "yr", "price_c", "_change_type")
+    )
+    q = (
+        stream_to_delta(stream, tgt, ck, app_id="stream_cdf_rename")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        delta_io.read_delta(spark, tgt)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("okey").cast("bigint").alias("sum_key"),
+            F.sum("price_c").cast("bigint").alias("sum_price_c"),
+        )
+    )
+
+
+SQL_STREAM_CDF_RENAME = """
+WITH o AS (
+  SELECT o_orderkey AS okey,
+         EXTRACT(YEAR FROM o_orderdate) AS yr,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'insert' AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(okey) AS BIGINT) AS sum_key,
+       CAST(SUM(cents) AS BIGINT) AS sum_price_c
+FROM o WHERE yr IN (1995, 1996)
+UNION ALL
+SELECT 'update_preimage',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(okey) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM o WHERE yr = 1995 AND okey % 10 = 0
+UNION ALL
+SELECT 'update_postimage',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(okey) AS BIGINT),
+       CAST(SUM(cents + 1) AS BIGINT)
+FROM o WHERE yr = 1995 AND okey % 10 = 0
+"""
+
+
 def q_history_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta commitInfo ``operationMetrics`` through the registry
     gate (round-15 verdict #1): CREATE → INSERT 1995 orders → INSERT
@@ -11549,7 +11672,8 @@ SELECT 3, 'delete', 0, ndel, n95 + n96, ndel FROM n
 
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 15 (verdict #1/#9: the observability metrics
-    # rows) ---
+    # rows; #6: streaming CDF across a rename, oracle-faced) ---
+    "stream_cdf_rename": q_stream_cdf_rename,
     "history_metrics": q_history_metrics,
     "snapshot_summary": q_snapshot_summary,
     # --- r15 driver-window rotation (r14 verdict #7): five veterans
@@ -11804,6 +11928,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 15 ---
+    "stream_cdf_rename": SQL_STREAM_CDF_RENAME,
     "history_metrics": SQL_HISTORY_METRICS,
     "snapshot_summary": SQL_SNAPSHOT_SUMMARY,
     "stream_sink_fold": SQL_STREAM_SINK_FOLD,

@@ -662,6 +662,37 @@ def set_domain_metadata(
             continue
 
 
+def clustering_columns(spark: SparkSession, path: str) -> list[str]:
+    """The table's liquid-clustering columns (r15 — delta-spark's
+    ``clusterBy``): read from the system-controlled
+    ``delta.clustering`` domain, whose configuration carries
+    ``clusteringColumns`` as a list of column-name paths. Stored
+    names are PHYSICAL on column-mapped tables (the domain is written
+    by the clustering feature against the files), so they map back to
+    logical names here. [] when the table isn't clustered. READ-side
+    only: the ``clusteringW`` writer feature stays refused — this
+    writer cannot maintain clustering on ingest, and writing
+    unclustered files while the table declares clustering would
+    silently degrade every reader's skipping assumptions."""
+    doms = replay_domains(spark, path)
+    raw = doms.get("delta.clustering")
+    if not raw:
+        return []
+    try:
+        cols = json.loads(raw).get("clusteringColumns") or []
+    except (ValueError, TypeError):
+        return []
+    names = [
+        ".".join(c) if isinstance(c, list) else str(c) for c in cols
+    ]
+    _p, meta, _a, _t = _replay(spark, path, None)
+    physical_of = _column_mapping(meta)
+    if physical_of:
+        logical_of = {p: l for l, p in physical_of.items()}
+        names = [logical_of.get(n, n) for n in names]
+    return names
+
+
 def _reader_gate(protocol: dict, meta: dict, path: str) -> None:
     """The minReaderVersion / readerFeatures refusal shared by the
     driver replay and the distributed pruned replay."""
@@ -1424,8 +1455,11 @@ _WRITER_FEATURES = {
 # struct round-trips baseRowId/defaultRowCommitVersion and every
 # checkpoint form carries domainMetadata, so a rowTracking table's
 # checkpoint is lossless while writes (which would have to assign
-# fresh row ids) stay refused
-_CHECKPOINT_SAFE_FEATURES = {"rowTracking"}
+# fresh row ids / maintain clustering) stay refused. Both spellings
+# of the liquid-clustering writer feature qualify for the same
+# reason: its state is the delta.clustering domain + file layout,
+# and a checkpoint changes neither
+_CHECKPOINT_SAFE_FEATURES = {"rowTracking", "clustering", "clusteringW"}
 
 
 def _implied_features(protocol: dict) -> tuple[set[str], set[str]]:
@@ -3113,6 +3147,129 @@ def _put_if_absent_commit(path: str, version: int, lines: list[dict]) -> None:
         os.link(tmp, _commit_file(path, version))
     finally:
         os.remove(tmp)
+    _write_crc(path, version, lines)
+
+
+def _crc_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.crc")
+
+
+def _write_crc(path: str, version: int, lines: list[dict]) -> None:
+    """Version-checksum sidecar (r15 — delta-spark writes a
+    ``<version>.crc`` beside every commit): tableSizeBytes / numFiles
+    plus the version's protocol and metaData, derived INCREMENTALLY
+    from the previous version's checksum and this commit's own
+    add/remove actions — O(commit), never a state replay. Best
+    effort by design: chaining stops (no file written) when the
+    previous checksum is absent (foreign table mid-history — use
+    :func:`compute_crc` to re-seed) or a remove omits its
+    spec-optional ``size``; a wrong checksum is worse than a missing
+    one. :func:`verify_crc` is the read-side audit."""
+    try:
+        if version == 0:
+            prev = {"tableSizeBytes": 0, "numFiles": 0}
+        else:
+            pf = _crc_file(path, version - 1)
+            if not os.path.exists(pf):
+                return
+            prev = json.load(open(pf))
+        size = int(prev["tableSizeBytes"])
+        files = int(prev["numFiles"])
+        protocol = prev.get("protocol")
+        metadata = prev.get("metadata")
+        for ln in lines:
+            if "add" in ln:
+                a = ln["add"]
+                if a.get("size") is None:
+                    return
+                size += int(a["size"])
+                files += 1
+            elif "remove" in ln:
+                r = ln["remove"]
+                if r.get("size") is None:
+                    return
+                size -= int(r["size"])
+                files -= 1
+            elif "protocol" in ln:
+                protocol = ln["protocol"]
+            elif "metaData" in ln:
+                metadata = ln["metaData"]
+        doc = {
+            "tableSizeBytes": int(size),
+            "numFiles": int(files),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            **({"protocol": protocol} if protocol else {}),
+            **({"metadata": metadata} if metadata else {}),
+        }
+        tmp = os.path.join(
+            _log_dir(path), f".crc-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, separators=(",", ":"))
+        os.replace(tmp, _crc_file(path, version))
+    except OSError:
+        # the checksum is an audit sidecar, never load-bearing: a
+        # failed write must not fail the already-durable commit
+        return
+
+
+def compute_crc(spark: SparkSession, path: str, version: int | None = None) -> str:
+    """Full-state (re)seed of the version checksum: replay to
+    ``version`` and write its ``.crc`` — the entry point for foreign
+    tables whose history predates checksum chaining. Returns the
+    file path."""
+    versions = delta_versions(path)
+    if version is None:
+        version = max(versions)
+    protocol, meta, adds, _tx = _replay(spark, path, version)
+    doc = {
+        "tableSizeBytes": int(
+            sum(int(a.get("size", 0) or 0) for a in adds.values())
+        ),
+        "numFiles": len(adds),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "protocol": protocol,
+        "metadata": meta,
+    }
+    tmp = os.path.join(_log_dir(path), f".crc-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, separators=(",", ":"))
+    out = _crc_file(path, version)
+    os.replace(tmp, out)
+    return out
+
+
+def verify_crc(spark: SparkSession, path: str, version: int | None = None) -> dict:
+    """Audit a version's checksum against a fresh replay (the
+    delta-spark state-validation use): raises ValueError on
+    tableSizeBytes/numFiles divergence (a torn log, a manually
+    deleted data-file action, an incremental-chain bug), returns the
+    verified doc. FileNotFoundError when no checksum exists at
+    ``version``."""
+    versions = delta_versions(path)
+    if version is None:
+        version = max(versions)
+    f = _crc_file(path, version)
+    if not os.path.exists(f):
+        raise FileNotFoundError(f"no checksum at version {version}")
+    doc = json.load(open(f))
+    _p, _m, adds, _tx = _replay(spark, path, version)
+    actual_size = int(
+        sum(int(a.get("size", 0) or 0) for a in adds.values())
+    )
+    if (
+        int(doc.get("numFiles", -1)) != len(adds)
+        or int(doc.get("tableSizeBytes", -1)) != actual_size
+    ):
+        raise ValueError(
+            f"version {version} checksum mismatch: crc says "
+            f"{doc.get('numFiles')} files / "
+            f"{doc.get('tableSizeBytes')} bytes, replay says "
+            f"{len(adds)} / {actual_size}"
+        )
+    return doc
 
 
 def _harvest_parts(staging: str) -> list[tuple[str, dict]]:
@@ -4802,6 +4959,9 @@ def vacuum_delta(
     for v in versions:
         if v < retained[0]:
             os.remove(_commit_file(path, v))
+            # the version's checksum sidecar goes with its commit
+            if os.path.exists(_crc_file(path, v)):
+                os.remove(_crc_file(path, v))
             log_removed += 1
     return {
         "data_files_removed": data_removed,
@@ -5217,6 +5377,9 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
         meta.get("id"),
         os.path.abspath(path),
         list(meta.get("partitionColumns") or []),
+        # liquid-clustering columns from the delta.clustering domain
+        # (r15; [] when unclustered) — the delta-spark DETAIL column
+        clustering_columns(spark, path),
         len(adds),
         int(sum(int(a.get("size", 0) or 0) for a in adds.values())),
         {
@@ -5229,7 +5392,8 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         [row],
         "format string, id string, location string, "
-        "partition_columns array<string>, num_files bigint, "
+        "partition_columns array<string>, "
+        "clustering_columns array<string>, num_files bigint, "
         "size_in_bytes bigint, properties map<string,string>, "
         "min_reader_version int, min_writer_version int",
     )

@@ -19,6 +19,7 @@ PINNED_FIRST_50 = [
     # NEVER-windowed veterans rotated in (verdict #7: fuzzy_match,
     # near_dup_triangles, scd2_history, asof_join, cohort_retention);
     # seven r6-r8 rows fall back to the registry tail.
+    "stream_cdf_rename",
     "history_metrics",
     "snapshot_summary",
     "fuzzy_match",
@@ -68,7 +69,6 @@ PINNED_FIRST_50 = [
     "recursive_hierarchy",
     "neyman_sample",
     "longest_streak",
-    "contamination_report",
 ]
 
 

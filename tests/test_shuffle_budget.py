@@ -23,6 +23,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 15 ---
+    # returned plan = one groupBy (partial/final agg pair) over the
+    # drained target table's file-list scan; the CDF pipeline + the
+    # availableNow drain run at construction. Measured 1; 2 = AQE
+    # headroom
+    "stream_cdf_rename": 2,
     # returned plan = a filter/explode over DESCRIBE HISTORY's
     # driver-built rows (the DML pipeline runs at construction).
     # Measured 0; 1 = headroom
