@@ -301,10 +301,11 @@ def _commit_counts(lines: list[dict]) -> dict:
     (delta-spark's DESCRIBE HISTORY observability; r15 verdict #1).
     Derived entirely from the actions themselves: add/remove counts
     and byte totals from the actions, row totals from the add
-    actions' ``stats.numRecords``. NO extra Spark job runs — when any
-    add lacks stats (delta.dataSkippingNumIndexedCols=0 disables
-    stamping), ``add_rows`` is None and row metrics are simply
-    omitted rather than recounted."""
+    actions' ``stats.numRecords`` (always stamped since r15 — even
+    dataSkippingNumIndexedCols=0 keeps numRecords-only stats). NO
+    extra Spark job runs — when an add still lacks stats (unreadable
+    footer, foreign writers), ``add_rows`` is None and row metrics
+    are simply omitted rather than recounted."""
     adds = removes = cdc = dv_adds = 0
     add_bytes = remove_bytes = 0
     add_rows: int | None = 0
@@ -3321,7 +3322,8 @@ def _stage_adds(
     actions (dataChange=true) — the write_delta staging block, shared
     with :func:`delete_delta_where`'s copy-on-write rewrite.
     ``stats_cols`` = the table's delta.dataSkippingNumIndexedCols
-    (:func:`_stats_cols_of`); 0 disables stats stamping."""
+    (:func:`_stats_cols_of`); 0 stamps numRecords-only stats (no
+    indexed columns — delta-spark's semantics)."""
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if pcols:
@@ -3345,11 +3347,13 @@ def _stage_adds(
             shutil.move(os.path.join(staging, rel), dst)
             # per-file column statistics from the parquet FOOTER (a
             # metadata read, r13: delta_stats) — read_delta(predicate=)
-            # and row-level DML prune files on these before planning
-            stats = (
-                delta_stats.file_stats_json(dst, n_cols=stats_cols)
-                if stats_cols > 0
-                else None
+            # and row-level DML prune files on these before planning.
+            # dataSkippingNumIndexedCols=0 still stamps a
+            # numRecords-only stats string (r15, delta-spark's
+            # behavior: the knob controls INDEXED columns, not row
+            # accounting — operationMetrics keeps numOutputRows)
+            stats = delta_stats.file_stats_json(
+                dst, n_cols=max(0, stats_cols)
             )
             add_actions.append(
                 {

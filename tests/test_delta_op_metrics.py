@@ -200,7 +200,11 @@ def test_clone_metrics(spark, tmp_path):
     assert int(m["numCopiedFiles"]) == int(m["sourceNumOfFiles"])
 
 
-def test_stats_disabled_omits_row_metrics(spark, tmp_path):
+def test_stats_cols_zero_keeps_num_records(spark, tmp_path):
+    """dataSkippingNumIndexedCols=0 disables INDEXED columns, not row
+    accounting (delta-spark semantics, r15): adds carry
+    numRecords-only stats, so operationMetrics keeps numOutputRows
+    while no min/max is stamped."""
     p = str(tmp_path / "t")
     d.write_delta(
         spark.range(5).select(F.col("id")),
@@ -208,8 +212,43 @@ def test_stats_disabled_omits_row_metrics(spark, tmp_path):
         configuration={"delta.dataSkippingNumIndexedCols": "0"},
     )
     m = _metrics(spark, p)
-    assert "numOutputRows" not in m  # unknown without stats — omitted
-    assert int(m["numFiles"]) >= 1  # file metrics still exact
+    assert int(m["numOutputRows"]) == 5
+    assert int(m["numFiles"]) >= 1
+    _p, _meta, adds, _t = d._replay(spark, p, None)
+    st = json.loads(next(iter(adds.values()))["stats"])
+    assert st["numRecords"] >= 1
+    assert st["minValues"] == {} and st["maxValues"] == {}
+
+
+def test_foreign_add_without_stats_omits_row_metrics(spark, tmp_path):
+    """An add carrying NO stats at all (foreign writer) omits the
+    row metrics rather than guessing."""
+    p = str(tmp_path / "t")
+    _mk(spark, p, n=3)
+    cf = d._commit_file(p, 0)
+    out = []
+    with open(cf) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                a["add"].pop("stats", None)
+            out.append(json.dumps(a))
+    with open(cf, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    # a follow-up overwrite reads the stat-less adds for its removes;
+    # its OWN adds carry stats, so numOutputRows stays exact while
+    # nothing is guessed about the foreign rows
+    d.write_delta(
+        spark.range(2).coalesce(1).select(
+            F.col("id"), (F.col("id") % 3).alias("k")
+        ),
+        p,
+        mode="overwrite",
+    )
+    m = _metrics(spark, p)
+    assert int(m["numOutputRows"]) == 2
 
 
 def test_foreign_commit_without_metrics_reads_empty(spark, tmp_path):
