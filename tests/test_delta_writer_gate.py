@@ -225,9 +225,12 @@ def test_not_null_and_legacy_invariants(spark, tmp_path):
 
 def test_unknown_writer_feature_refuses_all_writes(spark, tmp_path):
     """A foreign table listing a writerFeature this engine does not
-    implement (domainMetadata) still READS fine but refuses every
-    write — PROTOCOL.md: a writer must not write a table whose
-    features it cannot enforce."""
+    implement (icebergCompatV2 here; domainMetadata became SUPPORTED
+    in r15) still READS fine but refuses every write — PROTOCOL.md:
+    a writer must not write a table whose features it cannot
+    enforce. rowTracking-style checkpoint-safe features are the
+    DELIBERATE exception for CHECKPOINT only (see
+    test_delta_row_tracking); anything else refuses checkpoints too."""
     from census_asc5_data_pipeline_spark.sources.delta_io import (
         create_checkpoint,
         delete_delta_where,
@@ -243,17 +246,18 @@ def test_unknown_writer_feature_refuses_all_writes(spark, tmp_path):
         protocol={
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["appendOnly", "domainMetadata"],
+            "writerFeatures": ["appendOnly", "icebergCompatV2"],
         },
     )
     assert [r.id for r in read_delta(spark, path).collect()] == [1]
     df = spark.createDataFrame([(2, 20)], "id bigint, v bigint")
-    with pytest.raises(NotImplementedError, match="domainMetadata"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         write_delta(df, path)
-    with pytest.raises(NotImplementedError, match="domainMetadata"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         delete_delta_where(spark, path, "id = 1")
-    # a checkpoint written here would DROP the domain-metadata actions
-    with pytest.raises(NotImplementedError, match="domainMetadata"):
+    # a checkpoint written here could drop actions the unknown
+    # feature relies on
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         create_checkpoint(spark, path)
     assert _versions(path) == [0]
 
