@@ -3292,6 +3292,15 @@ def dml_sql(
             return ice.drop_ref(path, _lit(args[1]))
         if proc == "fast_forward":
             return ice.fast_forward(path, _lit(args[1]), _lit(args[2]))
+        if proc == "compute_table_stats":
+            # Spark-Iceberg's ComputeTableStats procedure (r15): one
+            # distributed distinct aggregate → Puffin ndv sidecar →
+            # statistics registration (analyze_iceberg_ndv)
+            return ice.analyze_iceberg_ndv(
+                spark,
+                path,
+                columns=[_lit(a) for a in args[1:]] or None,
+            )
         if proc == "remove_orphan_files":
             res = ice.remove_orphan_files(
                 path,
@@ -3306,7 +3315,7 @@ def dml_sql(
         raise ValueError(
             f"unknown procedure {proc!r} "
             "(create_branch|create_tag|drop_ref|fast_forward|"
-            "remove_orphan_files)"
+            "compute_table_stats|remove_orphan_files)"
         )
     raise ValueError(
         f"unsupported DML statement {head!r} "

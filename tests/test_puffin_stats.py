@@ -273,3 +273,16 @@ def test_analyze_unknown_column_refuses(spark, tmp_path):
     _mk_table(spark, t, n=10)
     with pytest.raises(ValueError, match="not in the table schema"):
         ice.analyze_iceberg_ndv(spark, t, columns=["nope"])
+
+
+def test_call_compute_table_stats_sql(spark, tmp_path):
+    """The Spark-Iceberg procedure spelling routes analyze (r15)."""
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    t = str(tmp_path / "t")
+    _mk_table(spark, t, n=60)
+    cat = {"it": ("iceberg", t)}
+    dml_sql(spark, "CALL system.compute_table_stats(it, 'k')", cat)
+    ndv = ice.iceberg_ndv(t)
+    assert set(ndv) == {"k"}
+    assert 9 <= ndv["k"] <= 11
