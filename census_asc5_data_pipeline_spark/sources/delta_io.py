@@ -1448,6 +1448,12 @@ _WRITER_FEATURES = {
     # carries the live domains; the engine writes only domains it
     # owns (set_domain_metadata refuses delta.* system domains)
     "domainMetadata",
+    # r15: every commit path chains a monotonic
+    # commitInfo.inCommitTimestamp through the central
+    # _put_if_absent_commit hook once the table enables it, and the
+    # timestamp readers (_commit_timestamp_ms: time travel,
+    # retention, history) prefer it — the spec's full writer duty
+    "inCommitTimestamp",
 }
 
 # features a CHECKPOINT (and only a checkpoint) may ignore even
@@ -1931,8 +1937,12 @@ def _partition_cast(value: str | None, dtype: T.DataType):
 
 
 def _commit_timestamp_ms(path: str, v: int) -> int:
-    """A commit's timestamp: commitInfo.timestamp, falling back to
-    the commit file's mtime — original Delta behavior."""
+    """A commit's timestamp: ``commitInfo.inCommitTimestamp`` when
+    the table stamps it (r15 — PROTOCOL.md §In-Commit Timestamps:
+    once enabled, the ICT IS the commit time for time travel,
+    retention and history; it is monotonic where wall clocks and
+    file mtimes are not), else ``commitInfo.timestamp``, else the
+    commit file's mtime — original Delta behavior."""
     stamp = None
     with open(_commit_file(path, v)) as fh:
         for line in fh:
@@ -1941,7 +1951,8 @@ def _commit_timestamp_ms(path: str, v: int) -> int:
             except json.JSONDecodeError:
                 continue
             if "commitInfo" in action:
-                stamp = action["commitInfo"].get("timestamp")
+                ci = action["commitInfo"]
+                stamp = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 break
     if stamp is None:
         stamp = int(os.path.getmtime(_commit_file(path, v)) * 1000)
@@ -2844,6 +2855,47 @@ def set_delta_properties(
                         "writerFeatures": sorted(imp_w | {"v2Checkpoint"}),
                     }
                 }
+        ict_on = (
+            str(props.get("delta.enableInCommitTimestamps", "")).lower()
+            == "true"
+            and str(
+                (meta.get("configuration") or {}).get(
+                    "delta.enableInCommitTimestamps", ""
+                )
+            ).lower()
+            != "true"
+        )
+        if ict_on:
+            # enablement commit (PROTOCOL.md §In-Commit Timestamps):
+            # the SAME commit declares the writer feature (legacy
+            # writers must not commit without stamping) and the
+            # provenance properties naming where the clock switched —
+            # time travel below the enablement version keeps using
+            # file timestamps, per spec
+            merged["delta.inCommitTimestampEnablementVersion"] = str(
+                next_v
+            )
+            merged["delta.inCommitTimestampEnablementTimestamp"] = str(
+                now_ms
+            )
+            feats_w = set(_p.get("writerFeatures") or [])
+            if "inCommitTimestamp" not in feats_w and proto_line is None:
+                imp_r, imp_w = _implied_features(_p)
+                mr = int(_p.get("minReaderVersion", 1))
+                proto_line = {
+                    "protocol": {
+                        "minReaderVersion": mr,
+                        "minWriterVersion": 7,
+                        **(
+                            {"readerFeatures": sorted(imp_r)}
+                            if mr >= 3
+                            else {}
+                        ),
+                        "writerFeatures": sorted(
+                            imp_w | {"inCommitTimestamp"}
+                        ),
+                    }
+                }
         lines = [
             {
                 "commitInfo": {
@@ -3133,10 +3185,73 @@ def _maybe_auto_checkpoint(
             pass
 
 
+def _ict_of_commit(path: str, version: int) -> int | None:
+    """commitInfo.inCommitTimestamp of an on-disk commit, or None.
+    Scans only the head of the file: the ICT spec requires commitInfo
+    be the commit's FIRST action once the feature is enabled, so a
+    bounded scan keeps this hook O(1) even against a 100k-action
+    foreign commit that carries no commitInfo at all."""
+    try:
+        with open(_commit_file(path, version)) as fh:
+            for _i, line in zip(range(8), fh):
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    v = action["commitInfo"].get("inCommitTimestamp")
+                    return int(v) if v is not None else None
+    except (OSError, ValueError):
+        return None
+    return None
+
+
+def _stamp_ict(path: str, version: int, lines: list[dict]) -> None:
+    """In-commit timestamps (r15 — PROTOCOL.md §In-Commit
+    Timestamps, the delta-spark 3.3+ ``inCommitTimestamp`` feature):
+    when the table has ICT enabled — the previous commit carries one,
+    or THIS commit's metaData sets
+    ``delta.enableInCommitTimestamps=true`` — stamp
+    ``commitInfo.inCommitTimestamp = max(now, prev + 1)``, the spec's
+    monotonicity rule (file mtimes can go backwards across writers;
+    ICT cannot). Centralized here so every commit site — writes, DML,
+    OPTIMIZE, RESTORE, property/schema commits, domain commits —
+    chains without per-site code. The previous commit's JSON is
+    always on disk (vacuum never prunes the latest), so the chain
+    never breaks."""
+    ci = next(
+        (ln["commitInfo"] for ln in lines if "commitInfo" in ln), None
+    )
+    if ci is None:
+        return
+    # always recompute — a collision retry re-enters with the FAILED
+    # attempt's stamp still on the dict, and the new predecessor's
+    # ICT may be higher (monotonicity must hold against the commit
+    # that actually precedes us)
+    ci.pop("inCommitTimestamp", None)
+    prev_ict = _ict_of_commit(path, version - 1) if version > 0 else None
+    if prev_ict is None:
+        enabled = any(
+            str(
+                ((ln.get("metaData") or {}).get("configuration") or {})
+                .get("delta.enableInCommitTimestamps", "")
+            ).lower()
+            == "true"
+            for ln in lines
+        )
+        if not enabled:
+            return
+    now_ms = int(time.time() * 1000)
+    ci["inCommitTimestamp"] = (
+        max(now_ms, prev_ict + 1) if prev_ict is not None else now_ms
+    )
+
+
 def _put_if_absent_commit(path: str, version: int, lines: list[dict]) -> None:
     """The protocol's optimistic-concurrency primitive: version N's
     commit file must be created exactly once. os.link fails with
     EEXIST if another writer won the race — callers retry at N+1."""
+    _stamp_ict(path, version, lines)
     os.makedirs(_log_dir(path), exist_ok=True)
     tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -3684,7 +3799,26 @@ def write_delta(
             if _identity_columns(create_meta):
                 # legacy writer v6 = identityColumns
                 w = max(w, 6)
-            if w > 2:
+            if (
+                str(
+                    create_conf.get("delta.enableInCommitTimestamps", "")
+                ).lower()
+                == "true"
+            ):
+                # ICT is a true table feature (no legacy version):
+                # creation declares the feature-list protocol with
+                # the legacy requirements expanded (r15; provenance
+                # properties are omitted — enablement IS version 0)
+                legacy = {"minReaderVersion": 1, "minWriterVersion": w}
+                _ir, iw = _implied_features(legacy)
+                create_protocol = {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(
+                        iw | {"inCommitTimestamp"}
+                    ),
+                }
+            elif w > 2:
                 create_protocol = {
                     "minReaderVersion": 1,
                     "minWriterVersion": w,
@@ -5343,7 +5477,12 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
         rows.append(
             (
                 v,
-                int(ci.get("timestamp", 0) or 0),
+                # ICT-enabled tables: the in-commit timestamp IS the
+                # commit time history shows (r15)
+                int(
+                    ci.get("inCommitTimestamp", ci.get("timestamp", 0))
+                    or 0
+                ),
                 ci.get("operation"),
                 {
                     str(k): json.dumps(val)
