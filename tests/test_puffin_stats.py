@@ -286,3 +286,78 @@ def test_call_compute_table_stats_sql(spark, tmp_path):
     ndv = ice.iceberg_ndv(t)
     assert set(ndv) == {"k"}
     assert 9 <= ndv["k"] <= 11
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _blob = st.tuples(
+        st.binary(min_size=0, max_size=64),
+        st.fixed_dictionaries(
+            {
+                "type": st.sampled_from(
+                    [
+                        "apache-datasketches-theta-v1",
+                        "census-asc5-ndv-v1",
+                        "some-unknown-stat",
+                    ]
+                ),
+                "fields": st.lists(
+                    st.integers(min_value=1, max_value=50),
+                    min_size=1,
+                    max_size=3,
+                ),
+                "snapshot-id": st.integers(min_value=1, max_value=99),
+                "sequence-number": st.integers(min_value=1, max_value=99),
+                "properties": st.one_of(
+                    st.just({}),
+                    st.fixed_dictionaries(
+                        {
+                            "ndv": st.integers(
+                                min_value=0, max_value=10**12
+                            ).map(str)
+                        }
+                    ),
+                ),
+            }
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(blobs=st.lists(_blob, min_size=0, max_size=6))
+    def test_puffin_codec_round_trip_property(blobs, tmp_path_factory):
+        """Property (r15): write_puffin → read_puffin_footer /
+        read_puffin_blob is the identity on arbitrary blob payloads +
+        metadata, and puffin_ndv returns exactly the single-field ndv
+        blobs of the consumable types."""
+        import uuid as _uuid
+
+        p = str(
+            tmp_path_factory.mktemp("puffin") / f"{_uuid.uuid4().hex}.puf"
+        )
+        meta = puffin.write_puffin(p, blobs, properties={"p": "1"})
+        footer = puffin.read_puffin_footer(p)
+        assert footer["properties"] == {"p": "1"}
+        assert len(footer["blobs"]) == len(blobs)
+        for (payload, bm), out in zip(blobs, footer["blobs"]):
+            for k, v in bm.items():
+                assert out[k] == v, k
+            assert out["length"] == len(payload)
+        for (payload, _bm), m in zip(blobs, meta):
+            assert puffin.read_puffin_blob(p, m) == payload
+        want = {
+            int(bm["fields"][0]): int(bm["properties"]["ndv"])
+            for _pl, bm in blobs
+            if bm["type"] in puffin.NDV_BLOB_TYPES
+            and len(bm["fields"]) == 1
+            and bm["properties"].get("ndv") is not None
+        }
+        # duplicate field ids: the LAST blob wins, in both the
+        # expectation comprehension and puffin_ndv's fold
+        assert puffin.puffin_ndv(p) == want
