@@ -11593,8 +11593,9 @@ def q_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-15 verdict #9 — the Delta operationMetrics twin): append
     the 1995 orders → append 1996 → position-delete a deterministic
     1995 slice (merge-on-read). Each snapshot's summary must carry
-    the spec's row accounting — added-records / deleted-records
-    deltas and exact total-records / total-position-deletes
+    the spec's row accounting — added-records /
+    added-position-deletes deltas and exact total-records /
+    total-position-deletes
     recomputed from the manifest list — all COUNT-reconstructable in
     DuckDB (file counts vary with partitioning and stay
     pytest-verified). A summary stamped from the wrong manifest set
@@ -11631,12 +11632,15 @@ def q_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             zero,
         ).alias("added_records"),
+        # a MoR position delete stamps added-position-deletes, never
+        # deleted-records (reserved for removed DATA files — r15
+        # ADVICE, spark-iceberg SnapshotSummary parity)
         F.coalesce(
-            F.element_at(F.col("summary"), "deleted-records").cast(
-                "bigint"
-            ),
+            F.element_at(
+                F.col("summary"), "added-position-deletes"
+            ).cast("bigint"),
             zero,
-        ).alias("deleted_records"),
+        ).alias("added_position_deletes"),
         F.element_at(F.col("summary"), "total-records")
         .cast("bigint")
         .alias("total_records"),
@@ -11659,7 +11663,8 @@ WITH n AS (
   FROM orders
 )
 SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
-       n95 AS added_records, CAST(0 AS BIGINT) AS deleted_records,
+       n95 AS added_records,
+       CAST(0 AS BIGINT) AS added_position_deletes,
        n95 AS total_records,
        CAST(0 AS BIGINT) AS total_position_deletes
 FROM n

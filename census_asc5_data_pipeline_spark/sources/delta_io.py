@@ -3324,9 +3324,13 @@ def _write_crc(path: str, version: int, lines: list[dict]) -> None:
         with open(tmp, "w") as fh:
             json.dump(doc, fh, separators=(",", ":"))
         os.replace(tmp, _crc_file(path, version))
-    except OSError:
-        # the checksum is an audit sidecar, never load-bearing: a
-        # failed write must not fail the already-durable commit
+    except Exception:
+        # the checksum is an audit sidecar, never load-bearing: by the
+        # time this runs os.link has made the commit durable, so NO
+        # failure here (I/O, a torn or foreign previous .crc raising
+        # JSONDecodeError/KeyError/TypeError, ...) may propagate —
+        # callers catch only FileExistsError, and surfacing an error
+        # for a committed write invites a duplicate-data retry
         return
 
 

@@ -1742,7 +1742,11 @@ def attach_statistics(
     )
     if sid is None or sid == -1:
         raise ValueError("table has no snapshot to attach statistics to")
-    footer_size = None
+    # the spec marks file-footer-size-in-bytes REQUIRED on the
+    # statistics-file struct (Java's StatisticsFileParser rejects
+    # metadata without it, r15 ADVICE) — derive it from the Puffin
+    # framing itself, never guessed
+    footer_size = puffin.puffin_footer_size(statistics_path)
     if blob_metadata is None:
         blob_metadata = puffin.read_puffin_footer(statistics_path).get(
             "blobs", []
@@ -1751,11 +1755,7 @@ def attach_statistics(
         "snapshot-id": int(sid),
         "statistics-path": os.path.abspath(statistics_path),
         "file-size-in-bytes": os.path.getsize(statistics_path),
-        **(
-            {"file-footer-size-in-bytes": footer_size}
-            if footer_size is not None
-            else {}
-        ),
+        "file-footer-size-in-bytes": int(footer_size),
         "blob-metadata": blob_metadata,
     }
     new_meta = dict(meta)
@@ -4301,9 +4301,13 @@ def _commit_delete_snapshot(
             added_position_deletes=sum(
                 int(d["record_count"]) for d in delete_files
             ),
-            deleted_records=sum(
-                int(d["record_count"]) for d in delete_files
-            ),
+            # NO deleted-records: the spec reserves that key for
+            # records in removed DATA files; a MoR position delete
+            # removes no data file, and stamping the logical count
+            # here double-counts for consumers aggregating
+            # deleted-records (r15 ADVICE — matches spark-iceberg's
+            # SnapshotSummary, which reports only
+            # added-delete-files / added-position-deletes)
             added_files_size=sum(
                 int(d.get("file_size_in_bytes", 0) or 0)
                 for d in delete_files

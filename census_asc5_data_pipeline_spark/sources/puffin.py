@@ -92,7 +92,13 @@ def read_puffin_footer(path: str) -> dict:
             raise NotImplementedError(
                 f"{path}: lz4-compressed Puffin footer is out of scope"
             )
-        if payload_size < 0 or 12 + payload_size + 4 > size:
+        # the file is at minimum head-magic(4) + footer-magic(4) +
+        # payload + 12-byte tail struct: a payload_size of size-16
+        # would put the "footer magic" read at offset 0, where the
+        # HEAD magic sits, accepting a malformed file only for
+        # json.loads to fail with a confusing error — so require the
+        # full 20 framing bytes, not 16 (r15 ADVICE)
+        if payload_size < 0 or payload_size + 20 > size:
             raise ValueError(
                 f"{path}: footer payload size {payload_size} is "
                 "inconsistent with the file size"
@@ -104,6 +110,21 @@ def read_puffin_footer(path: str) -> dict:
         if fh.read(4) != MAGIC:
             raise ValueError(f"{path}: bad Puffin footer magic")
     return json.loads(payload.decode("utf-8"))
+
+
+def puffin_footer_size(path: str) -> int:
+    """Byte length of the file's Footer struct (footer magic +
+    payload + payload_size + flags + tail magic = payload + 16) —
+    what the Iceberg table-metadata statistics entry's required
+    ``footer-size-in-bytes`` field records, letting a reader fetch
+    the whole footer in one ranged read. Validates the framing the
+    same way :func:`read_puffin_footer` does."""
+    size = os.path.getsize(path)
+    read_puffin_footer(path)  # full magic/bounds validation
+    with open(path, "rb") as fh:
+        fh.seek(size - 12)
+        payload_size = struct.unpack("<i", fh.read(4))[0]
+    return payload_size + 16
 
 
 def read_puffin_blob(path: str, blob_meta: dict) -> bytes:

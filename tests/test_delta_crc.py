@@ -98,3 +98,25 @@ def test_vacuum_prunes_crc_with_commits(spark, tmp_path):
         cf = os.path.join(p, "_delta_log", f"{v:020d}.json")
         assert os.path.exists(cf) == os.path.exists(d._crc_file(p, v)), v
     d.verify_crc(spark, p, max(d.delta_versions(p)))
+
+
+def test_torn_prev_crc_never_fails_a_durable_commit(spark, tmp_path):
+    """r15 ADVICE: _write_crc runs AFTER os.link makes the commit
+    durable; a torn/foreign previous .crc (JSONDecodeError, missing
+    keys) must be swallowed, not surface as a commit failure."""
+    import os
+
+    p = str(tmp_path / "t")
+    df = spark.range(4).select(F.col("id"), (F.col("id") % 2).alias("k"))
+    d.write_delta(df, p)
+    # tear version 0's checksum: invalid JSON, then wrong shape
+    crc0 = os.path.join(p, "_delta_log", f"{0:020d}.crc")
+    with open(crc0, "w") as fh:
+        fh.write("{torn")
+    d.write_delta(df, p)  # must not raise
+    assert len(d.delta_versions(p)) == 2
+    with open(crc0, "w") as fh:
+        fh.write('{"unexpected": "shape"}')
+    d.write_delta(df, p)  # KeyError path — must not raise either
+    assert len(d.delta_versions(p)) == 3
+    assert d.read_delta(spark, p).count() == 12

@@ -89,7 +89,9 @@ def test_position_delete_summary(spark, tmp_path):
     assert s["operation"] == "delete"
     assert int(s["added-delete-files"]) >= 1
     assert int(s["added-position-deletes"]) == 3
-    assert int(s["deleted-records"]) == 3
+    # deleted-records is reserved for records in removed DATA files;
+    # a MoR position delete must NOT stamp it (spark-iceberg parity)
+    assert "deleted-records" not in s
     assert int(s["total-position-deletes"]) == 3
     assert int(s["total-delete-files"]) >= 1
     # data files untouched (merge-on-read)

@@ -361,3 +361,64 @@ if _HYP:
         # duplicate field ids: the LAST blob wins, in both the
         # expectation comprehension and puffin_ndv's fold
         assert puffin.puffin_ndv(p) == want
+
+
+def test_puffin_footer_size_and_statistics_stamp(spark, tmp_path):
+    """r15 ADVICE: the statistics entry carries the spec-required
+    file-footer-size-in-bytes, derived from the Puffin framing."""
+    p = str(tmp_path / "stats.puffin")
+    puffin.write_puffin(
+        p,
+        [
+            (
+                b"sk",
+                {
+                    "type": "census-asc5-ndv-v1",
+                    "fields": [1],
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "properties": {"ndv": "9"},
+                },
+            )
+        ],
+    )
+    fsz = puffin.puffin_footer_size(p)
+    # footer = magic(4) + payload + size(4) + flags(4) + magic(4):
+    # reading the last fsz bytes must start exactly at the footer magic
+    total = os.path.getsize(p)
+    with open(p, "rb") as fh:
+        fh.seek(total - fsz)
+        assert fh.read(4) == puffin.MAGIC
+    t = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.range(3).select(F.col("id"), (F.col("id") % 2).alias("k")),
+        t,
+    )
+    ice.attach_statistics(t, p)
+    _v, meta = ice._current_metadata(t)
+    entry = meta["statistics"][0]
+    assert entry["file-footer-size-in-bytes"] == fsz
+    assert entry["file-size-in-bytes"] == total
+
+
+def test_puffin_payload_size_cannot_alias_head_magic(tmp_path):
+    """r15 ADVICE: payload_size == size-16 used to pass the bounds
+    check and read the HEAD magic as the footer magic; now the full
+    20 framing bytes are required, refusing before json.loads."""
+    import struct
+
+    p = str(tmp_path / "evil.puffin")
+    # size = payload_size + 16 exactly: head magic + payload + 12-byte
+    # tail, NO footer magic — the footer-magic seek lands at offset 0
+    # where the HEAD magic sits, so the old <= size-16 bound accepted
+    # this malformed file (valid JSON would even parse silently)
+    payload = b'{"blobs": []}'
+    with open(p, "wb") as fh:
+        fh.write(puffin.MAGIC)
+        fh.write(payload)
+        fh.write(struct.pack("<i", len(payload)))
+        fh.write(struct.pack("<I", 0))
+        fh.write(puffin.MAGIC)
+    assert os.path.getsize(p) == len(payload) + 16
+    with pytest.raises(ValueError, match="inconsistent"):
+        puffin.read_puffin_footer(p)
