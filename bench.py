@@ -171,6 +171,12 @@ GROUPS: dict[str, list[str]] = {
         "snapshot_summary",
         "stream_cdf_rename",
     ],
+    # round-16 additions (eager clustered-table lifecycle: CREATE
+    # CLUSTER BY + append + ALTER + Morton-recluster OPTIMIZE at
+    # construction; the returned plan is one skipping-read agg)
+    "r16_tail": [
+        "liquid_cluster",
+    ],
 }
 
 

@@ -11675,7 +11675,80 @@ SELECT 3, 'delete', 0, ndel, n95 + n96, ndel FROM n
 """
 
 
+def q_liquid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta liquid clustering WRITE through the registry gate (r16
+    verdict #1): CREATE the order rollup CLUSTER BY (prio, yr) —
+    version 0 carries the ``clustering`` + ``domainMetadata`` writer
+    features and the ``delta.clustering`` domain — append the
+    later years unclustered (the spec allows it; the domain must
+    survive the DML), ALTER ... CLUSTER BY to (yr, prio), then
+    OPTIMIZE, which reclusters on the ALTERED columns via the Morton
+    kernel (string + numeric lanes). The result reads back a planted
+    yr slice through ``read_delta(predicate=...)`` — file skipping
+    over the re-clustered layout — and stamps the live clustering
+    columns into every row, so a lost/mis-stamped domain or a
+    recluster that dropped rows flips the hash. DuckDB reconstructs
+    the aggregate arithmetically. Rebuilds under /tmp per (sf, pid).
+    """
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_liquid_cluster_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    delta_io.write_delta(
+        staged.filter("yr <= 1997"), base, cluster_by=["prio", "yr"]
+    )
+    delta_io.write_delta(staged.filter("yr >= 1998"), base)
+    delta_io.set_clustering_columns(spark, base, ["yr", "prio"])
+    delta_io.optimize_delta(spark, base, target_file_bytes=256_000)
+    ccols = ",".join(delta_io.clustering_columns(spark, base))
+    return (
+        delta_io.read_delta(
+            spark, base, predicate="yr = 1996 AND okey >= 0"
+        )
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+            F.min("okey").cast("bigint").alias("okey_min"),
+            F.max("okey").cast("bigint").alias("okey_max"),
+        )
+        .withColumn("cluster_cols", F.lit(ccols))
+    )
+
+
+SQL_LIQUID_CLUSTER = """
+SELECT o_orderpriority AS prio,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents_sum,
+       CAST(MIN(o_orderkey) AS BIGINT) AS okey_min,
+       CAST(MAX(o_orderkey) AS BIGINT) AS okey_max,
+       'yr,prio' AS cluster_cols
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND o_orderkey >= 0
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    # --- new in round 16 (verdict #1: liquid clustering WRITE) ---
+    "liquid_cluster": q_liquid_cluster,
     # --- new in round 15 (verdict #1/#9: the observability metrics
     # rows; #6: streaming CDF across a rename, oracle-faced) ---
     "stream_cdf_rename": q_stream_cdf_rename,
@@ -11935,6 +12008,7 @@ ORACLES: dict[str, str] = {
     # --- new in round 15 ---
     "stream_cdf_rename": SQL_STREAM_CDF_RENAME,
     "history_metrics": SQL_HISTORY_METRICS,
+    "liquid_cluster": SQL_LIQUID_CLUSTER,
     "snapshot_summary": SQL_SNAPSHOT_SUMMARY,
     "stream_sink_fold": SQL_STREAM_SINK_FOLD,
     # --- new in round 13 ---

@@ -72,39 +72,161 @@ def zorder_key(cols: list, bits: int = 16):
     return key
 
 
+#: widest UTF-8 prefix that still fits a SIGNED 64-bit integer as a
+#: big-endian value: 7 bytes = 56 bits
+_ZORDER_STR_PREFIX_BYTES = 7
+
+
+def _zorder_str_int(s: str | bytes | None, skip: int) -> int:
+    """Big-endian integer of ``s``'s UTF-8 bytes after dropping the
+    first ``skip`` (the columns' longest common prefix), truncated to
+    :data:`_ZORDER_STR_PREFIX_BYTES` and zero-padded — the same
+    monotone string→int map the Column expression below computes, for
+    deriving the scaling bounds from the min/max STRINGS driver-side
+    (one stats job total, no second pass over the converted values)."""
+    if s is None:
+        return 0
+    b = (s if isinstance(s, bytes) else str(s).encode("utf-8"))[skip:]
+    b = b[:_ZORDER_STR_PREFIX_BYTES]
+    return int.from_bytes(
+        b + b"\x00" * (_ZORDER_STR_PREFIX_BYTES - len(b)), "big"
+    )
+
+
+def _zorder_numeric_expr(c: str, dtype):
+    """``c`` as an order-preserving NUMERIC Column for a Morton lane.
+    Numerics cast double; dates map to epoch DAYS and timestamps
+    (both tz flavors) to epoch micros (r15 verdict #3 — real
+    clustering keys are mostly identifiers and dates, a numeric-only
+    kernel forces those tables back to unclustered compaction);
+    booleans to 0/1. Strings are handled separately (the prefix map
+    needs the min/max strings)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DateType):
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    if isinstance(dtype, T.BooleanType):
+        return F.col(c).cast("int").cast("double")
+    return F.col(c).cast("double")
+
+
+def zorder_lane_types(schema, zcols: list[str]) -> None:
+    """Refuse (loudly, before any rewrite I/O) when a requested
+    Z-order column's type has no order-preserving lane map."""
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in schema.fields}
+    for c in zcols:
+        if c not in by_name:
+            raise ValueError(
+                f"zorder_by column {c!r} is not a data column "
+                f"(data columns: {sorted(by_name)})"
+            )
+        dt = by_name[c].dataType
+        if not isinstance(
+            dt,
+            (T.NumericType, T.StringType, T.DateType,
+             T.TimestampType, T.TimestampNTZType, T.BooleanType),
+        ):
+            raise NotImplementedError(
+                f"zorder over {dt.simpleString()} is out of scope "
+                "(numeric/string/date/timestamp/boolean columns only)"
+            )
+
+
 def zorder_cluster(df: DataFrame, zcols: list[str], n_files: int) -> DataFrame:
     """Cluster ``df`` for a compaction rewrite: min/max-scale each
-    numeric ``zcols`` column into a bit lane, Morton-interleave
+    ``zcols`` column into a bit lane, Morton-interleave
     (:func:`zorder_key`), then range-partition into ``n_files`` and
     sort within partitions — each output file covers a compact
     hyper-rectangle of the key space so parquet zone maps skip on all
     the named columns at once. Shared by ``optimize_delta(zorder_by=)``
-    and ``rewrite_data_files(zorder_by=)`` (round-11). One extra
-    min/max agg job over the files being rewritten — metadata-cheap
-    next to the rewrite itself."""
-    from pyspark.sql import functions as F
+    and ``rewrite_data_files(zorder_by=)`` (round-11) and the liquid
+    clustering OPTIMIZE path (round-16). One extra min/max agg job
+    over the files being rewritten — metadata-cheap next to the
+    rewrite itself.
 
+    Lane maps by type: numerics cast double; dates/timestamps map to
+    epoch days/seconds; STRINGS (round-16) map their UTF-8 bytes to a
+    big-endian 7-byte integer AFTER stripping the column's longest
+    common prefix — computed from the min/max strings of the same
+    stats job, so shared key prefixes (``Customer#000…``) don't
+    collapse every row into one lane value. The byte map is monotone
+    w.r.t. the string sort order, so min/max scaling uses the
+    converted bounds of the min/max strings directly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    zorder_lane_types(df.schema, zcols)
+    dtype_of = {f.name: f.dataType for f in df.schema.fields}
     bits = min(16, 63 // len(zcols))
-    stats = df.agg(
-        *(
-            [F.min(c).alias(f"__mn{i}") for i, c in enumerate(zcols)]
-            + [F.max(c).alias(f"__mx{i}") for i, c in enumerate(zcols)]
+    # ONE stats job: strings aggregate their RAW min/max (the lane
+    # expression needs the longest-common-prefix, and the byte map is
+    # monotone so the converted bounds derive from the bound strings
+    # driver-side); every other type aggregates its CONVERTED
+    # expression, so the driver never re-implements a tz-sensitive map
+    aggs = []
+    for i, c in enumerate(zcols):
+        probe = (
+            F.col(c)
+            if isinstance(dtype_of[c], T.StringType)
+            else _zorder_numeric_expr(c, dtype_of[c])
         )
-    ).first()
+        aggs += [
+            F.min(probe).alias(f"__mn{i}"),
+            F.max(probe).alias(f"__mx{i}"),
+        ]
+    stats = df.agg(*aggs).first()
     lanes = []
     for i, c in enumerate(zcols):
         mn, mx = stats[f"__mn{i}"], stats[f"__mx{i}"]
         if mn is None or mx is None or mx == mn:
             lanes.append(F.lit(0).cast("bigint"))
+            continue
+        if isinstance(dtype_of[c], T.StringType):
+            mnb = str(mn).encode("utf-8")
+            mxb = str(mx).encode("utf-8")
+            lcp = 0
+            while (
+                lcp < len(mnb)
+                and lcp < len(mxb)
+                and mnb[lcp] == mxb[lcp]
+            ):
+                lcp += 1
+            lo_f = float(_zorder_str_int(mn, lcp))
+            hi_f = float(_zorder_str_int(mx, lcp))
+            # hex() of the zero-padded prefix bytes, parsed base-16:
+            # the same monotone map as _zorder_str_int, JVM-side
+            raw = F.conv(
+                F.hex(
+                    F.rpad(
+                        F.substring(
+                            F.encode(F.col(c), "utf-8"),
+                            lcp + 1,
+                            _ZORDER_STR_PREFIX_BYTES,
+                        ),
+                        _ZORDER_STR_PREFIX_BYTES,
+                        bytes([0]),
+                    )
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            num = F.coalesce(raw, F.lit(0)).cast("double")
         else:
-            span = float(mx) - float(mn)
-            lanes.append(
-                F.floor(
-                    (F.col(c).cast("double") - float(mn))
-                    / span
-                    * ((1 << bits) - 1)
-                ).cast("bigint")
-            )
+            num = _zorder_numeric_expr(c, dtype_of[c])
+            lo_f, hi_f = float(mn), float(mx)
+        if hi_f == lo_f:
+            lanes.append(F.lit(0).cast("bigint"))
+            continue
+        lanes.append(
+            F.floor(
+                (num - lo_f) / (hi_f - lo_f) * ((1 << bits) - 1)
+            ).cast("bigint")
+        )
     return (
         df.withColumn("__zk", zorder_key(lanes, bits))
         .repartitionByRange(int(n_files), "__zk")

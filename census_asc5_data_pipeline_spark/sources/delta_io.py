@@ -414,7 +414,10 @@ def _replay(
     if version is None:
         if not versions and ckpt is None:
             raise FileNotFoundError(f"empty Delta log at {path!r}")
-        version = max(versions) if versions else ckpt
+        # the checkpoint can be NEWER than every surviving json (its
+        # own commit json expired): latest = max of BOTH, not
+        # max(jsons) — else the read silently time-travels (r16)
+        version = max(versions + ([ckpt] if ckpt is not None else []))
     protocol: dict = {}
     meta: dict = {}
     adds: dict[str, dict] = {}
@@ -525,7 +528,10 @@ def replay_domains(
     if version is None:
         if not versions and ckpt is None:
             raise FileNotFoundError(f"empty Delta log at {path!r}")
-        version = max(versions) if versions else ckpt
+        # the checkpoint can be NEWER than every surviving json (its
+        # own commit json expired): latest = max of BOTH, not
+        # max(jsons) — else the read silently time-travels (r16)
+        version = max(versions + ([ckpt] if ckpt is not None else []))
     domains: dict[str, dict] = {}
 
     def _apply(d: dict | None) -> None:
@@ -664,17 +670,17 @@ def set_domain_metadata(
 
 
 def clustering_columns(spark: SparkSession, path: str) -> list[str]:
-    """The table's liquid-clustering columns (r15 — delta-spark's
-    ``clusterBy``): read from the system-controlled
+    """The table's liquid-clustering columns (r15 READ, r16 WRITE —
+    delta-spark's ``clusterBy``): read from the system-controlled
     ``delta.clustering`` domain, whose configuration carries
     ``clusteringColumns`` as a list of column-name paths. Stored
     names are PHYSICAL on column-mapped tables (the domain is written
     by the clustering feature against the files), so they map back to
-    logical names here. [] when the table isn't clustered. READ-side
-    only: the ``clusteringW`` writer feature stays refused — this
-    writer cannot maintain clustering on ingest, and writing
-    unclustered files while the table declares clustering would
-    silently degrade every reader's skipping assumptions."""
+    logical names here. [] when the table isn't clustered. The WRITE
+    side: :func:`write_delta(cluster_by=)` stamps the domain at
+    creation, :func:`set_clustering_columns` is ALTER ... CLUSTER BY,
+    ordinary DML preserves the domain by log construction, and
+    :func:`optimize_delta` reclusters on these columns by default."""
     doms = replay_domains(spark, path)
     raw = doms.get("delta.clustering")
     if not raw:
@@ -692,6 +698,116 @@ def clustering_columns(spark: SparkSession, path: str) -> list[str]:
         logical_of = {p: l for l, p in physical_of.items()}
         names = [logical_of.get(n, n) for n in names]
     return names
+
+
+def _clustering_domain_action(cols_physical: list[str]) -> dict:
+    """The ``delta.clustering`` domainMetadata action for the given
+    (already physical-named) clustering columns — delta-spark's
+    configuration shape: ``clusteringColumns`` as a list of
+    column-name PATHS (each a list of parts)."""
+    return {
+        "domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [[c] for c in cols_physical]}
+            ),
+            "removed": False,
+        }
+    }
+
+
+def _validate_cluster_by(
+    cols: list[str], schema: T.StructType, pcols: list[str]
+) -> list[str]:
+    """CLUSTER BY validation shared by creation and ALTER: 1-4
+    lane-typed top-level data columns, disjoint from partitioning
+    (delta-spark: clustered tables are unpartitioned)."""
+    from census_asc5_data_pipeline_spark.sources.bucketing import (
+        zorder_lane_types,
+    )
+
+    cols = [str(c) for c in cols]
+    if not 1 <= len(cols) <= 4:
+        raise ValueError(
+            f"CLUSTER BY takes 1-4 columns, got {len(cols)}"
+        )
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"CLUSTER BY columns repeat: {cols}")
+    if pcols:
+        raise ValueError(
+            "a clustered table cannot also be partitioned "
+            f"(partitionColumns {pcols}) — delta-spark forbids "
+            "CLUSTER BY + PARTITIONED BY"
+        )
+    zorder_lane_types(schema, cols)
+    return cols
+
+
+def set_clustering_columns(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """ALTER TABLE ... CLUSTER BY (r16 — the clustering feature's
+    writer surface on an EXISTING table): validate the new clustering
+    columns against the current schema, upgrade the protocol to
+    writer 7 with ``clustering`` + ``domainMetadata`` when the table
+    doesn't declare them yet (same commit — legacy writers must not
+    checkpoint the table without preserving the domain), and re-stamp
+    the ``delta.clustering`` domain with PHYSICAL names on
+    column-mapped tables. Existing files stay as-is (the spec allows
+    unclustered data); the next :func:`optimize_delta` reclusters on
+    the new columns. Returns the committed version."""
+    now_ms = int(time.time() * 1000)
+    while True:
+        protocol, meta, _adds, _tx = _replay(spark, path, None)
+        _writer_gate(protocol, meta, "CLUSTER BY")
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns") or [])
+        cols_l = _validate_cluster_by(cols, schema, pcols)
+        physical_of = _column_mapping(meta) or {}
+        cols_p = [physical_of.get(c, c) for c in cols_l]
+        feats_w = set(protocol.get("writerFeatures") or [])
+        proto_line: dict | None = None
+        if not ({"clustering", "clusteringW"} & feats_w) or (
+            "domainMetadata" not in feats_w
+        ):
+            imp_r, imp_w = _implied_features(protocol)
+            mrv = max(int(protocol.get("minReaderVersion", 1)), 1)
+            proto_line = {
+                "protocol": {
+                    "minReaderVersion": mrv,
+                    "minWriterVersion": 7,
+                    **(
+                        {"readerFeatures": sorted(imp_r)}
+                        if mrv >= 3
+                        else {}
+                    ),
+                    "writerFeatures": sorted(
+                        imp_w | {"clustering", "domainMetadata"}
+                    ),
+                }
+            }
+        lines = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLUSTER BY",
+                    "operationParameters": {
+                        "clusterBy": json.dumps(cols_l)
+                    },
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
+            },
+            *([proto_line] if proto_line else []),
+            _clustering_domain_action(cols_p),
+        ]
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        try:
+            _put_if_absent_commit(path, next_v, lines)
+            return next_v
+        except FileExistsError:
+            continue
 
 
 def _reader_gate(protocol: dict, meta: dict, path: str) -> None:
@@ -1454,6 +1570,15 @@ _WRITER_FEATURES = {
     # timestamp readers (_commit_timestamp_ms: time travel,
     # retention, history) prefer it — the spec's full writer duty
     "inCommitTimestamp",
+    # r16: liquid clustering WRITE — the engine maintains the
+    # delta.clustering domain (creation CLUSTER BY, ALTER ... CLUSTER
+    # BY re-stamp, log append-only preservation on every DML) and
+    # OPTIMIZE reclusters via the Morton kernel over the declared
+    # columns; the spec's writer duty is domain preservation — data
+    # files MAY land unclustered between OPTIMIZEs. Both observed
+    # spellings of the feature name are accepted.
+    "clustering",
+    "clusteringW",
 }
 
 # features a CHECKPOINT (and only a checkpoint) may ignore even
@@ -1462,11 +1587,9 @@ _WRITER_FEATURES = {
 # struct round-trips baseRowId/defaultRowCommitVersion and every
 # checkpoint form carries domainMetadata, so a rowTracking table's
 # checkpoint is lossless while writes (which would have to assign
-# fresh row ids / maintain clustering) stay refused. Both spellings
-# of the liquid-clustering writer feature qualify for the same
-# reason: its state is the delta.clustering domain + file layout,
-# and a checkpoint changes neither
-_CHECKPOINT_SAFE_FEATURES = {"rowTracking", "clustering", "clusteringW"}
+# fresh row ids) stay refused. (The clustering spellings moved to
+# _WRITER_FEATURES in r16 — fully writable now.)
+_CHECKPOINT_SAFE_FEATURES = {"rowTracking"}
 
 
 def _implied_features(protocol: dict) -> tuple[set[str], set[str]]:
@@ -3608,8 +3731,18 @@ def write_delta(
     configuration: dict[str, str] | None = None,
     commit_operation: str = "WRITE",
     commit_params: dict | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
+
+    ``cluster_by`` (table CREATION only, r16 — delta-spark's CREATE
+    ... CLUSTER BY): declares 1-4 liquid-clustering columns. Version
+    0 carries a writer-7 protocol with the ``clustering`` +
+    ``domainMetadata`` features and the ``delta.clustering`` domain
+    (PHYSICAL names on column-mapped tables). Per spec, ingested
+    files MAY be unclustered — :func:`optimize_delta` is the
+    clustering pass (it defaults its Z-order to these columns);
+    :func:`set_clustering_columns` is the ALTER surface.
 
     ``configuration`` (table CREATION only — existing tables change
     properties through :func:`set_delta_properties`) lands in the
@@ -3659,6 +3792,14 @@ def write_delta(
     prev_meta: dict = {}
     identity_updates: dict[str, int] = {}
     identity_basis: dict[str, int | None] = {}
+    if cluster_by is not None:
+        if exists:
+            raise ValueError(
+                "cluster_by applies at table creation only — use "
+                "set_clustering_columns (ALTER ... CLUSTER BY) on an "
+                "existing table"
+            )
+        cluster_by = _validate_cluster_by(cluster_by, df.schema, pcols)
     if exists:
         if configuration:
             raise ValueError(
@@ -3827,6 +3968,33 @@ def write_delta(
                     "minReaderVersion": 1,
                     "minWriterVersion": w,
                 }
+        if cluster_by:
+            # clustering is a true table feature: expand whatever
+            # protocol the other interpreted configuration produced
+            # into feature-list form and add clustering +
+            # domainMetadata (the domain IS the feature's state)
+            legacy = create_protocol or {
+                "minReaderVersion": 1,
+                "minWriterVersion": 2,
+            }
+            if "writerFeatures" in legacy:
+                rfeats = set(legacy.get("readerFeatures") or [])
+                wfeats = set(legacy["writerFeatures"])
+            else:
+                rfeats, wfeats = _implied_features(legacy)
+            mrv = int(legacy.get("minReaderVersion", 1))
+            create_protocol = {
+                "minReaderVersion": mrv,
+                "minWriterVersion": 7,
+                **(
+                    {"readerFeatures": sorted(rfeats)}
+                    if mrv >= 3
+                    else {}
+                ),
+                "writerFeatures": sorted(
+                    wfeats | {"clustering", "domainMetadata"}
+                ),
+            }
     add_actions = _stage_adds_mapped(
         df,
         path,
@@ -3922,6 +4090,15 @@ def write_delta(
                     or {"minReaderVersion": 1, "minWriterVersion": 2}
                 }
             )
+            if cluster_by:
+                lines.append(
+                    _clustering_domain_action(
+                        [
+                            (physical_of or {}).get(c, c)
+                            for c in cluster_by
+                        ]
+                    )
+                )
         if identity_updates and meta:
             # another writer may have allocated identity values since
             # this write was planned — committing ours would reuse
@@ -5149,7 +5326,17 @@ def optimize_delta(
     the metadata plane's live-adds DataFrame and only the partitions
     that actually compact collect their add dicts; a
     mostly-compacted million-add table plans in one metadata-scale
-    Spark job instead of a driver loop over every add."""
+    Spark job instead of a driver loop over every add.
+
+    r16: on a LIQUID-CLUSTERED table (``delta.clustering`` domain
+    set) OPTIMIZE with no explicit ``zorder_by`` reclusters on the
+    declared clustering columns — delta-spark's OPTIMIZE-on-clustered
+    behavior, and the write half of the r15 clustering READ."""
+    cluster_mode = False
+    if zorder_by is None:
+        ccols = clustering_columns(spark, path)
+        if ccols:
+            zorder_by, cluster_mode = ccols, True
     dist = _live_adds_df(
         spark, path, max(delta_versions(path) or [0])
     )
@@ -5237,22 +5424,14 @@ def optimize_delta(
         [f for f in schema.fields if f.name not in pcols]
     )
     if zorder_by:
-        numeric = (
-            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-            T.FloatType, T.DoubleType, T.DecimalType,
+        from census_asc5_data_pipeline_spark.sources.bucketing import (
+            zorder_lane_types,
         )
-        by_name = {f.name: f for f in data_schema.fields}
-        for c in zorder_by:
-            if c not in by_name:
-                raise ValueError(
-                    f"zorder_by column {c!r} is not a data column "
-                    f"(data columns: {sorted(by_name)})"
-                )
-            if not isinstance(by_name[c].dataType, numeric):
-                raise NotImplementedError(
-                    f"zorder_by over {by_name[c].dataType.simpleString()} "
-                    "is out of scope (numeric columns only)"
-                )
+
+        # numeric/string/date/timestamp/boolean all have lane maps
+        # since r16 (strings via LCP-stripped UTF-8 prefix, dates via
+        # epoch days) — anything else refuses before any rewrite I/O
+        zorder_lane_types(data_schema, zorder_by)
     groups: dict[tuple, list[dict]] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
@@ -5418,7 +5597,11 @@ def optimize_delta(
                     "operationParameters": {
                         "targetFileBytes": int(target_file_bytes),
                         **(
-                            {"zOrderBy": json.dumps(list(zorder_by))}
+                            (
+                                {"clusterBy": json.dumps(list(zorder_by))}
+                                if cluster_mode
+                                else {"zOrderBy": json.dumps(list(zorder_by))}
+                            )
                             if zorder_by
                             else {}
                         ),

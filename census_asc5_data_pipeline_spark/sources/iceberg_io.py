@@ -3828,19 +3828,25 @@ def rewrite_data_files(
     ]
     pcols = [n for n, _t in pcol_ice]
     if zorder_by:
-        numeric_ice = ("int", "long", "float", "double")
+        # every type with a Morton lane map since r16: numerics,
+        # strings (LCP-stripped UTF-8 prefix), date/timestamp(tz),
+        # boolean — mirrors delta's OPTIMIZE ZORDER gate
+        lane_ice = (
+            "int", "long", "float", "double",
+            "string", "date", "timestamp", "timestamptz", "boolean",
+        )
         f_by_name = {f["name"]: f for f in fields}
         for c in zorder_by:
             if c not in f_by_name:
                 raise ValueError(
                     f"zorder_by column {c!r} is not a table column"
                 )
-            if f_by_name[c]["type"] not in numeric_ice and not str(
+            if f_by_name[c]["type"] not in lane_ice and not str(
                 f_by_name[c]["type"]
             ).startswith("decimal"):
                 raise NotImplementedError(
                     f"zorder_by over {f_by_name[c]['type']!r} is out of "
-                    "scope (numeric columns only)"
+                    "scope (no order-preserving Morton lane map)"
                 )
     live, delete_fs = _snapshot_files(path, meta, None, spark=spark)
     want_keys = set(pcols)

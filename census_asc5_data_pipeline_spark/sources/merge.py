@@ -1866,6 +1866,9 @@ _CREATE_TAIL_RE = re.compile(
     # one paren-nesting level inside PARTITIONED BY: transform
     # entries like bucket(4, id)
     r"(?:PARTITIONED\s+BY\s*\((?P<pby>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    # liquid clustering (r16, Delta only — mutually exclusive with
+    # PARTITIONED BY, enforced by the writer)
+    r"(?:CLUSTER\s+BY\s*\((?P<cby>[^)]*)\)\s*)?"
     # TBLPROPERTIES accepted on either side of LOCATION (Spark's
     # grammar permits both orders)
     r"(?:TBLPROPERTIES\s*\((?P<props1>[^)]*)\)\s*)?"
@@ -1990,6 +1993,16 @@ def _create_table(
         for p in _split_top(tm.group("pby") or "")
         if p.strip()
     ]
+    cby = [
+        c.strip()
+        for c in (tm.group("cby") or "").split(",")
+        if c.strip()
+    ]
+    if cby and fmt != "delta":
+        raise ValueError(
+            "CLUSTER BY is Delta liquid clustering in this engine — "
+            "use WRITE ORDERED BY (sort orders) for Iceberg"
+        )
     exists = (
         os.path.isdir(os.path.join(path, "_delta_log"))
         if fmt == "delta"
@@ -2046,6 +2059,7 @@ def _create_table(
         v = write_delta(
             df, path, partition_by=pby or None,
             configuration=props or None,
+            cluster_by=cby or None,
         )
     else:
         from census_asc5_data_pipeline_spark.sources.iceberg_io import (
@@ -2992,6 +3006,29 @@ def dml_sql(
             )
 
             return set_iceberg_properties(path, props)
+        cbm = re.match(
+            r"^CLUSTER\s+BY\s*\((?P<cols>[^)]*)\)\s*$",
+            rest,
+            re.IGNORECASE,
+        )
+        if cbm:
+            # ALTER TABLE t CLUSTER BY (c1, c2) — re-stamp the
+            # delta.clustering domain (r16 liquid clustering WRITE)
+            if fmt != "delta":
+                raise ValueError(
+                    "CLUSTER BY is Delta liquid clustering in this "
+                    "engine — use WRITE ORDERED BY for Iceberg"
+                )
+            from census_asc5_data_pipeline_spark.sources.delta_io import (
+                set_clustering_columns,
+            )
+
+            cols = [
+                c.strip()
+                for c in cbm.group("cols").split(",")
+                if c.strip()
+            ]
+            return set_clustering_columns(spark, path, cols)
         wom = _WRITE_ORDERED_RE.match(rest)
         if wom:
             # ALTER TABLE t WRITE ORDERED BY (c [ASC|DESC] [NULLS

@@ -2,8 +2,9 @@
 delta-spark clustered table (clusteringW/domainMetadata writer
 features + the system delta.clustering domain) reads, exposes its
 clustering columns (physical names mapped back to logical on mapped
-tables), and stays write-refused — this writer cannot maintain
-clustering on ingest."""
+tables), and — since r16 — ACCEPTS DML: the engine maintains the
+domain and OPTIMIZE reclusters (write-side pins live in
+test_delta_clustering_write.py)."""
 from __future__ import annotations
 
 import json
@@ -85,19 +86,22 @@ def test_clustered_table_reads_and_exposes_columns(spark, tmp_path):
     assert d.describe_detail(spark, p2).collect()[0].clustering_columns == []
 
 
-def test_clustered_table_writes_refuse(spark, tmp_path):
+def test_foreign_clustered_table_accepts_dml(spark, tmp_path):
+    """r16 (the r15 verdict's top item): the clusteringW spelling is
+    a WRITABLE feature now — a foreign clustered log takes appends,
+    the domain survives, and checkpointing stays lossless."""
     t = str(tmp_path / "t")
     _mk_clustered(spark, t)
-    with pytest.raises(NotImplementedError, match="clusteringW"):
-        d.write_delta(
-            spark.range(2).select(
-                F.col("id"), (F.col("id") % 2).alias("bucket")
-            ),
-            t,
-        )
-    # but checkpointing it is LOSSLESS (domains + adds round-trip):
-    # clusteringW is checkpoint-safe like rowTracking
+    d.write_delta(
+        spark.range(2).select(
+            F.col("id"), (F.col("id") % 2).alias("bucket")
+        ),
+        t,
+    )
+    assert d.read_delta(spark, t).count() == 8
+    assert d.clustering_columns(spark, t) == ["bucket", "id"]
+    # checkpointing is LOSSLESS (domains + adds round-trip)
     cv = d.create_checkpoint(spark, t)
     os.remove(os.path.join(t, "_delta_log", f"{cv:020d}.json"))
-    assert d.read_delta(spark, t).count() == 6
+    assert d.read_delta(spark, t).count() == 8
     assert d.clustering_columns(spark, t) == ["bucket", "id"]

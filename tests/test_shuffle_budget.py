@@ -22,6 +22,12 @@ from census_asc5_data_pipeline_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
+    # --- new in round 16 ---
+    # returned plan = one groupBy (partial/final agg pair) over the
+    # re-clustered table's skipping read; the clustered CREATE +
+    # append + ALTER + OPTIMIZE recluster run at construction.
+    # Measured 1; 2 = AQE headroom
+    "liquid_cluster": 2,
     # --- new in round 15 ---
     # returned plan = one groupBy (partial/final agg pair) over the
     # drained target table's file-list scan; the CDF pipeline + the
