@@ -176,6 +176,7 @@ GROUPS: dict[str, list[str]] = {
     # construction; the returned plan is one skipping-read agg)
     "r16_tail": [
         "liquid_cluster",
+        "row_tracking",
     ],
 }
 

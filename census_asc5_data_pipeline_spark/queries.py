@@ -11746,9 +11746,107 @@ GROUP BY o_orderpriority
 """
 
 
+def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta row-tracking WRITE through the registry gate (r16
+    verdict #2): CREATE the 1995 order rollup with
+    ``delta.enableRowTracking=true`` as ONE okey-sorted file (so
+    every fresh ``_row_id`` equals the row's okey rank — DuckDB can
+    reconstruct ids arithmetically), append 1996 the same way (ids
+    continue at n95), then CoW DELETE a keyed slice and CoW UPDATE
+    another: survivors and updated rows must keep their STABLE ids
+    through both rewrites (materialized columns), copied rows keep
+    their ORIGINAL commit version while updated rows take the
+    UPDATE's. The result groups (prio, _row_commit_version) with
+    count / cents / row-id sums — a fabricated id, a lost
+    materialization, or a wrong commit-version fallback flips the
+    hash. Rebuilds under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import delta_io
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_row_tracking_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    delta_io.write_delta(
+        staged.filter("yr = 1995").orderBy("okey").coalesce(1),
+        base,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    delta_io.write_delta(
+        staged.filter("yr = 1996").orderBy("okey").coalesce(1), base
+    )
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        update_where,
+    )
+
+    delta_io.delete_delta_where(spark, base, "okey % 10 < 2", mode="cow")
+    update_where(
+        spark, "delta", base, "okey % 10 = 5", {"cents": "cents + 1"}
+    )
+    return (
+        delta_io.read_delta(spark, base, row_tracking=True)
+        .groupBy("prio", F.col("_row_commit_version").alias("cv"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+            F.sum("_row_id").cast("bigint").alias("rid_sum"),
+        )
+    )
+
+
+SQL_ROW_TRACKING = """
+WITH o95 AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+           AS rid
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+),
+o96 AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST((SELECT COUNT(*) FROM o95)
+              + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+           AS rid
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+),
+base AS (
+  SELECT okey, prio, cents, rid, CAST(0 AS BIGINT) AS cv0 FROM o95
+  UNION ALL
+  SELECT okey, prio, cents, rid, CAST(1 AS BIGINT) FROM o96
+),
+fin AS (
+  SELECT prio, rid,
+         CASE WHEN okey % 10 = 5 THEN cents + 1 ELSE cents END AS cents,
+         CASE WHEN okey % 10 = 5 THEN CAST(3 AS BIGINT) ELSE cv0 END
+           AS cv
+  FROM base WHERE okey % 10 >= 2
+)
+SELECT prio, cv, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(SUM(rid) AS BIGINT) AS rid_sum
+FROM fin GROUP BY prio, cv
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
-    # --- new in round 16 (verdict #1: liquid clustering WRITE) ---
+    # --- new in round 16 (verdict #1/#2: liquid clustering WRITE,
+    # row tracking WRITE) ---
     "liquid_cluster": q_liquid_cluster,
+    "row_tracking": q_row_tracking,
     # --- new in round 15 (verdict #1/#9: the observability metrics
     # rows; #6: streaming CDF across a rename, oracle-faced) ---
     "stream_cdf_rename": q_stream_cdf_rename,
@@ -12009,6 +12107,7 @@ ORACLES: dict[str, str] = {
     "stream_cdf_rename": SQL_STREAM_CDF_RENAME,
     "history_metrics": SQL_HISTORY_METRICS,
     "liquid_cluster": SQL_LIQUID_CLUSTER,
+    "row_tracking": SQL_ROW_TRACKING,
     "snapshot_summary": SQL_SNAPSHOT_SUMMARY,
     "stream_sink_fold": SQL_STREAM_SINK_FOLD,
     # --- new in round 13 ---

@@ -810,6 +810,126 @@ def set_clustering_columns(
             continue
 
 
+def enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """Enable row tracking on an EXISTING table (r16 — delta-spark's
+    ALTER TABLE SET TBLPROPERTIES ('delta.enableRowTracking'='true')
+    backfill): ONE commit that upgrades the protocol to writer 7 with
+    ``rowTracking`` + ``domainMetadata``, re-adds every live file
+    that lacks a ``baseRowId`` with fresh contiguous ids
+    (dataChange=false both ways — pure metadata assignment, the
+    change feed stays silent and time travel is untouched), mints the
+    materialized row-id/commit-version column names, sets
+    ``delta.enableRowTracking=true`` and stamps the
+    ``delta.rowTracking`` high-water mark. Ids are stable from this
+    commit on. Returns the committed version (or the current one
+    when tracking is already enabled)."""
+    now_ms = int(time.time() * 1000)
+    while True:
+        protocol, meta, adds, _tx = _replay(spark, path, None)
+        _writer_gate(protocol, meta, "ENABLE ROW TRACKING")
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        cur_v = max(versions + ([ckpt] if ckpt is not None else []))
+        if _rt_supported(protocol) and _rt_enabled(meta):
+            return cur_v
+        conf2, _id_col, _cv_col = _rt_mint_conf(
+            meta.get("configuration") or {}
+        )
+        conf2["delta.enableRowTracking"] = "true"
+        feats_w = set(protocol.get("writerFeatures") or [])
+        proto_line: dict | None = None
+        if not ({"rowTracking", "domainMetadata"} <= feats_w):
+            imp_r, imp_w = _implied_features(protocol)
+            mrv = max(int(protocol.get("minReaderVersion", 1)), 1)
+            proto_line = {
+                "protocol": {
+                    "minReaderVersion": mrv,
+                    "minWriterVersion": 7,
+                    **(
+                        {"readerFeatures": sorted(imp_r)}
+                        if mrv >= 3
+                        else {}
+                    ),
+                    "writerFeatures": sorted(
+                        imp_w | {"rowTracking", "domainMetadata"}
+                    ),
+                }
+            }
+        doms = replay_domains(spark, path)
+        hwm = -1
+        raw = doms.get("delta.rowTracking")
+        if raw:
+            try:
+                hwm = int(json.loads(raw).get("rowIdHighWaterMark", -1))
+            except (ValueError, TypeError):
+                pass
+        lines: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ENABLE ROW TRACKING",
+                    "operationParameters": {},
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
+            },
+            *([proto_line] if proto_line else []),
+            {
+                "metaData": {
+                    "id": meta.get("id"),
+                    "format": meta.get("format")
+                    or {"provider": "parquet", "options": {}},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or []
+                    ),
+                    "configuration": conf2,
+                    "createdTime": meta.get("createdTime"),
+                }
+            },
+        ]
+        for p_ in sorted(adds):
+            a = adds[p_]
+            if a.get("baseRowId") is not None:
+                hwm = max(
+                    hwm,
+                    int(a["baseRowId"])
+                    + _rt_add_num_records(path, a)
+                    - 1,
+                )
+                continue
+            n = _rt_add_num_records(path, a)
+            lines.append(
+                {"remove": _remove_action(a, now_ms, data_change=False)}
+            )
+            new_add = dict(a)
+            new_add["modificationTime"] = now_ms
+            new_add["dataChange"] = False
+            new_add["baseRowId"] = hwm + 1
+            # the rows were WRITTEN by their original commit; the
+            # backfill only names them — but the original version is
+            # unknowable from the add alone, so the spec lets the
+            # assigning commit stand in
+            new_add["defaultRowCommitVersion"] = cur_v + 1
+            hwm += n
+            lines.append({"add": new_add})
+        lines.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": int(hwm)}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        try:
+            _put_if_absent_commit(path, cur_v + 1, lines)
+            return cur_v + 1
+        except FileExistsError:
+            continue
+
+
 def _reader_gate(protocol: dict, meta: dict, path: str) -> None:
     """The minReaderVersion / readerFeatures refusal shared by the
     driver replay and the distributed pruned replay."""
@@ -1579,17 +1699,21 @@ _WRITER_FEATURES = {
     # spellings of the feature name are accepted.
     "clustering",
     "clusteringW",
+    # r16: row tracking WRITE — every add-creating commit assigns
+    # baseRowId/defaultRowCommitVersion above the delta.rowTracking
+    # domain's high-water mark and advances it in the same commit
+    # (_stamp_row_tracking); once delta.enableRowTracking=true,
+    # rewrites (OPTIMIZE / CoW DELETE / UPDATE / MERGE) PRESERVE
+    # stable ids through the materialized row-id/commit-version
+    # columns; DV retire / RESTORE / CLONE preserve by add-dict copy
+    "rowTracking",
 }
 
 # features a CHECKPOINT (and only a checkpoint) may ignore even
-# though ordinary writes refuse them: checkpointing assigns nothing —
-# it only needs to PRESERVE state, and since r15 the checkpoint add
-# struct round-trips baseRowId/defaultRowCommitVersion and every
-# checkpoint form carries domainMetadata, so a rowTracking table's
-# checkpoint is lossless while writes (which would have to assign
-# fresh row ids) stay refused. (The clustering spellings moved to
-# _WRITER_FEATURES in r16 — fully writable now.)
-_CHECKPOINT_SAFE_FEATURES = {"rowTracking"}
+# though ordinary writes refuse them. Empty since r16: rowTracking
+# and both clustering spellings graduated to _WRITER_FEATURES (fully
+# writable); the mechanism stays for the next preserve-only feature.
+_CHECKPOINT_SAFE_FEATURES: set[str] = set()
 
 
 def _implied_features(protocol: dict) -> tuple[set[str], set[str]]:
@@ -2129,8 +2253,9 @@ def read_delta(
     resolve the same way from ``defaultRowCommitVersion``. Reading
     ids requires ``delta.enableRowTracking=true`` (ids exist and are
     stable only from then on — delta-spark refuses the same way).
-    WRITES to rowTracking tables stay gated: this writer cannot
-    assign fresh row ids."""
+    WRITES assign fresh ids and preserve stable ones since r16
+    (:func:`_stamp_row_tracking`, the materialized-column rewrites,
+    :func:`enable_row_tracking`)."""
     if version is not None and timestamp_ms is not None:
         raise ValueError("pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
@@ -2327,6 +2452,207 @@ def _row_tracking_scan(
             rcv.cast("long").alias("_row_commit_version"),
         ]
     )
+
+
+def _rt_supported(protocol: dict) -> bool:
+    """The table declares the ``rowTracking`` writer feature — every
+    commit adding files must then assign baseRowId /
+    defaultRowCommitVersion and advance the high-water mark."""
+    return "rowTracking" in (protocol.get("writerFeatures") or [])
+
+
+def _rt_enabled(meta: dict) -> bool:
+    """``delta.enableRowTracking=true`` — ids are STABLE from here on,
+    so rewrites must additionally PRESERVE them (materialized
+    columns); supported-but-not-enabled tables only assign."""
+    return (
+        str(
+            (meta.get("configuration") or {}).get(
+                "delta.enableRowTracking", ""
+            )
+        ).lower()
+        == "true"
+    )
+
+
+def _rt_mat_names(meta: dict) -> tuple[str | None, str | None]:
+    conf = meta.get("configuration") or {}
+    return (
+        conf.get("delta.rowTracking.materializedRowIdColumnName"),
+        conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ),
+    )
+
+
+def _rt_mint_conf(conf: dict) -> tuple[dict, str, str]:
+    """Configuration with the materialized row-id / row-commit-version
+    column names minted (delta-spark's ``_row-id-col-<uuid>`` shape) —
+    the hidden PHYSICAL columns rewrites materialize stable ids into;
+    no-op when both names exist. Returns (new_conf, id_col, cv_col)."""
+    conf = dict(conf)
+    id_col = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    cv_col = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not id_col:
+        id_col = f"_row-id-col-{uuid.uuid4().hex}"
+        conf["delta.rowTracking.materializedRowIdColumnName"] = id_col
+    if not cv_col:
+        cv_col = f"_row-commit-version-col-{uuid.uuid4().hex}"
+        conf[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ] = cv_col
+    return conf, id_col, cv_col
+
+
+def _rt_add_num_records(path: str, add: dict) -> int:
+    """An add action's row count — from its ``stats`` when present,
+    else the staged file's parquet footer (stats-disabled tables):
+    the spec needs exact counts to hand out contiguous fresh ids."""
+    st = add.get("stats")
+    if st:
+        try:
+            n = json.loads(st).get("numRecords")
+            if n is not None:
+                return int(n)
+        except (ValueError, TypeError):
+            pass
+    import pyarrow.parquet as pq
+
+    return int(
+        pq.ParquetFile(
+            _data_file_path(path, add["path"])
+        ).metadata.num_rows
+    )
+
+
+def _stamp_row_tracking(
+    spark: SparkSession,
+    path: str,
+    protocol: dict,
+    lines: list[dict],
+    fresh_adds: list[dict],
+    next_v: int,
+) -> None:
+    """Row-tracking WRITE duty (r16, r15 verdict #2 — PROTOCOL.md
+    §Row Tracking writer requirements): assign every FRESH add action
+    a contiguous ``baseRowId`` block above the ``delta.rowTracking``
+    domain's high-water mark, stamp ``defaultRowCommitVersion`` with
+    the version being committed, and advance the domain in the SAME
+    commit. ``fresh_adds`` are the add LINES the caller staged new —
+    preserved re-adds (DV retire, RESTORE, shallow clone) keep their
+    ids by dict copy and are never passed. Re-entrant under the
+    put-if-absent retry: the stamp recomputes from the hwm that
+    actually precedes the commit. No-op unless the protocol (the
+    lines' own protocol action wins — creation/backfill) declares
+    rowTracking."""
+    proto = next(
+        (ln["protocol"] for ln in lines if "protocol" in ln), protocol
+    )
+    if not _rt_supported(proto or {}):
+        return
+    hwm = -1
+    if next_v > 0:
+        doms = replay_domains(spark, path)
+        raw = doms.get("delta.rowTracking")
+        if raw:
+            try:
+                hwm = int(json.loads(raw).get("rowIdHighWaterMark", -1))
+            except (ValueError, TypeError):
+                hwm = -1
+    # a pre-seeded domain action in this commit (backfill) wins
+    for ln in lines:
+        dm = ln.get("domainMetadata")
+        if dm and dm.get("domain") == "delta.rowTracking" and not dm.get(
+            "removed"
+        ):
+            try:
+                hwm = max(
+                    hwm,
+                    int(
+                        json.loads(dm["configuration"]).get(
+                            "rowIdHighWaterMark", -1
+                        )
+                    ),
+                )
+            except (ValueError, TypeError):
+                pass
+    if not fresh_adds:
+        return
+    for ln in fresh_adds:
+        a = ln["add"]
+        n = _rt_add_num_records(path, a)
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = int(next_v)
+        hwm += n
+    # one domain action carrying the final hwm (replace any pre-seed)
+    lines[:] = [
+        ln
+        for ln in lines
+        if (ln.get("domainMetadata") or {}).get("domain")
+        != "delta.rowTracking"
+    ]
+    lines.append(
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": int(hwm)}
+                ),
+                "removed": False,
+            }
+        }
+    )
+
+
+def _rt_stable_cols(
+    spark: SparkSession, scan: DataFrame, cand: list[dict], meta: dict
+) -> DataFrame:
+    """Attach ``_row_id`` / ``__rt_cv`` (stable id, ORIGINAL commit
+    version) to a keep_pos rewrite scan over ``cand`` — materialized
+    column wins, else baseRowId + position; the same resolution as
+    the read path, kept joinable so DML predicates and MERGE
+    conditions can reference ``_row_id`` and rewrites can preserve
+    it. Raises when a live candidate lacks baseRowId (enabled-table
+    invariant, mirrors :func:`_row_tracking_scan`)."""
+    missing = sorted(
+        a["path"] for a in cand if a.get("baseRowId") is None
+    )
+    if missing:
+        raise ValueError(
+            f"{len(missing)} live file(s) carry no baseRowId (e.g. "
+            f"{missing[0]!r}) — stable row ids cannot be preserved; "
+            "backfill with enable_row_tracking first"
+        )
+    mat_id, mat_cv = _rt_mat_names(meta)
+    rt_rows = [
+        (
+            os.path.basename(urllib.parse.unquote(a["path"])),
+            int(a["baseRowId"]),
+            int(a["defaultRowCommitVersion"])
+            if a.get("defaultRowCommitVersion") is not None
+            else None,
+        )
+        for a in cand
+    ]
+    rt_df = spark.createDataFrame(
+        rt_rows, "__rtbase string, __brid long, __drcv long"
+    )
+    out = scan.join(
+        F.broadcast(rt_df),
+        scan["__base"] == rt_df["__rtbase"],
+        "left",
+    )
+    row_id = F.col("__brid") + F.col("__ri")
+    rcv = F.col("__drcv")
+    if mat_id and mat_id in scan.columns:
+        row_id = F.coalesce(F.col(f"`{mat_id}`"), row_id)
+    if mat_cv and mat_cv in scan.columns:
+        rcv = F.coalesce(F.col(f"`{mat_cv}`"), rcv)
+    return out.withColumn(
+        "_row_id", row_id.cast("long")
+    ).withColumn("__rt_cv", rcv.cast("long"))
 
 
 # above this many total deleted positions the DV decode fans out to
@@ -2911,6 +3237,20 @@ def set_delta_properties(
     while True:
         _p, meta, _adds, _tx = _replay(spark, path, None)
         _writer_gate(_p, meta, "SET TBLPROPERTIES")
+        if (
+            str(
+                props.get("delta.enableRowTracking", "")
+            ).lower()
+            == "true"
+            and not _rt_enabled(meta)
+        ):
+            # enablement is a BACKFILL, not a property flip: live
+            # files need baseRowIds assigned in the same commit
+            raise ValueError(
+                "delta.enableRowTracking=true on an existing table "
+                "requires the row-id backfill — call "
+                "enable_row_tracking(spark, path) instead"
+            )
         new_checks = [
             (k, str(v))
             for k, v in props.items()
@@ -3968,11 +4308,28 @@ def write_delta(
                     "minReaderVersion": 1,
                     "minWriterVersion": w,
                 }
+        feature_adds: set[str] = set()
         if cluster_by:
-            # clustering is a true table feature: expand whatever
-            # protocol the other interpreted configuration produced
-            # into feature-list form and add clustering +
-            # domainMetadata (the domain IS the feature's state)
+            # clustering is a true table feature whose state is the
+            # delta.clustering domain
+            feature_adds |= {"clustering", "domainMetadata"}
+        if (
+            str(
+                create_conf.get("delta.enableRowTracking", "")
+            ).lower()
+            == "true"
+        ):
+            # row tracking from birth (r16): mint the materialized
+            # row-id/commit-version column names NOW so every later
+            # rewrite can preserve stable ids without a metaData
+            # side-commit; v0's adds get base ids in the commit loop
+            create_conf, _rtid, _rtcv = _rt_mint_conf(create_conf)
+            create_meta["configuration"] = create_conf
+            feature_adds |= {"rowTracking", "domainMetadata"}
+        if feature_adds:
+            # expand whatever protocol the other interpreted
+            # configuration produced into feature-list form and add
+            # the true table features on top
             legacy = create_protocol or {
                 "minReaderVersion": 1,
                 "minWriterVersion": 2,
@@ -3991,9 +4348,7 @@ def write_delta(
                     if mrv >= 3
                     else {}
                 ),
-                "writerFeatures": sorted(
-                    wfeats | {"clustering", "domainMetadata"}
-                ),
+                "writerFeatures": sorted(wfeats | feature_adds),
             }
     add_actions = _stage_adds_mapped(
         df,
@@ -4165,6 +4520,15 @@ def write_delta(
             for p in sorted(adds):
                 lines.append({"remove": _remove_action(adds[p], now_ms)})
         lines.extend(add_actions)
+        _stamp_row_tracking(
+            spark,
+            path,
+            (_p if (versions or ckpt is not None) else create_protocol)
+            or {},
+            lines,
+            add_actions,
+            next_v,
+        )
         c = _commit_counts(lines)
         _stamp_op_metrics(
             lines,
@@ -4357,6 +4721,31 @@ def delete_delta_where(
             )
     if not cand:
         return None
+    # row tracking (r16): on an ENABLED table the rewrite preserves
+    # every survivor's stable id/commit-version via the materialized
+    # columns, and the scan exposes ``_row_id`` so the DELETE
+    # predicate itself may target stable ids
+    rt_preserve = _rt_supported(protocol) and _rt_enabled(meta)
+    rt_meta_line: dict | None = None
+    mat_id = mat_cv = None
+    rt_extra: list[str] = []
+    if rt_preserve:
+        conf0 = meta.get("configuration") or {}
+        conf2, mat_id, mat_cv = _rt_mint_conf(conf0)
+        if conf2 != conf0:
+            meta = dict(meta, configuration=conf2)
+            rt_meta_line = {
+                "metaData": {
+                    "id": meta.get("id"),
+                    "format": meta.get("format")
+                    or {"provider": "parquet", "options": {}},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": pcols,
+                    "configuration": conf2,
+                    "createdTime": meta.get("createdTime"),
+                }
+            }
+        rt_extra = [mat_id, mat_cv]
     scan = _scan_adds(
         spark,
         path,
@@ -4365,7 +4754,10 @@ def delete_delta_where(
         [(None, a) for a in cand],
         keep_pos=True,
         physical_of=physical_of,
+        extra_long_cols=rt_extra,
     )
+    if rt_preserve:
+        scan = _rt_stable_cols(spark, scan, cand, meta)
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     adds_by_base = _adds_by_base(adds)
     now_ms = int(time.time() * 1000)
@@ -4382,7 +4774,10 @@ def delete_delta_where(
             }
         }
     ]
+    if rt_meta_line:
+        lines.append(rt_meta_line)
     planned: dict[str, dict | None] = {}  # path -> expected current DV
+    new_adds: list[dict] = []
     if mode == "dv":
         n_deleted = _dv_retire(
             spark, path, protocol, scan, pred, adds_by_base, lines,
@@ -4408,7 +4803,17 @@ def delete_delta_where(
         survivors = (
             scan.filter(F.col("__base").isin(touched))
             .filter(~pred)
-            .select([F.col(f.name) for f in schema.fields])
+            .select(
+                [F.col(f.name) for f in schema.fields]
+                + (
+                    [
+                        F.col("_row_id").alias(mat_id),
+                        F.col("__rt_cv").alias(mat_cv),
+                    ]
+                    if rt_preserve
+                    else []
+                )
+            )
         )
         new_adds = _stage_adds_mapped(
             survivors, path, pcols, physical_of,
@@ -4462,6 +4867,9 @@ def delete_delta_where(
                     "DELETE was planned — aborting without committing "
                     "(re-run against the new state)"
                 )
+        _stamp_row_tracking(
+            spark, path, protocol, lines, new_adds, next_v
+        )
         try:
             _put_if_absent_commit(path, next_v, lines)
             _maybe_auto_checkpoint(
@@ -4980,10 +5388,9 @@ def create_checkpoint(
     protocol, meta, adds, txns = _replay(spark, path, v)
     # unknown writerFeatures may imply log actions _replay does not
     # model; a checkpoint written here would silently drop them —
-    # same refusal as any other write. domainMetadata itself and
-    # rowTracking are checkpoint-safe since r15: domains and
-    # baseRowId/defaultRowCommitVersion round-trip through every
-    # checkpoint form (a checkpoint assigns nothing)
+    # same refusal as any other write (domains and baseRowId/
+    # defaultRowCommitVersion round-trip through every checkpoint
+    # form; rowTracking/clustering are fully writable since r16)
     _writer_gate(protocol, meta, "CHECKPOINT")
     domains = replay_domains(spark, path, v)
     pol = policy or (meta.get("configuration") or {}).get(
@@ -5432,6 +5839,50 @@ def optimize_delta(
         # since r16 (strings via LCP-stripped UTF-8 prefix, dates via
         # epoch days) — anything else refuses before any rewrite I/O
         zorder_lane_types(data_schema, zorder_by)
+    # row tracking PRESERVATION (r16): once ids are stable, a
+    # compaction must carry every surviving row's id/commit-version
+    # into the rewritten files via the materialized columns — the
+    # read path coalesces them over the new files' fresh base ids
+    rt_preserve = _rt_supported(_p) and _rt_enabled(meta)
+    rt_meta_line: dict | None = None
+    mat_id = mat_cv = None
+    read_schema = data_schema
+    if rt_preserve:
+        conf0 = meta.get("configuration") or {}
+        conf2, mat_id, mat_cv = _rt_mint_conf(conf0)
+        if conf2 != conf0:
+            # a foreign enabled table without materialized names:
+            # mint them in the SAME commit (delta-spark behavior)
+            meta = dict(meta, configuration=conf2)
+            rt_meta_line = {
+                "metaData": {
+                    "id": meta.get("id"),
+                    "format": meta.get("format")
+                    or {"provider": "parquet", "options": {}},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": pcols,
+                    "configuration": conf2,
+                    "createdTime": meta.get("createdTime"),
+                }
+            }
+        missing_rt = sorted(
+            a["path"]
+            for a in adds.values()
+            if a.get("baseRowId") is None
+        )
+        if missing_rt:
+            raise ValueError(
+                f"{len(missing_rt)} live file(s) carry no baseRowId "
+                f"(e.g. {missing_rt[0]!r}) — OPTIMIZE cannot preserve "
+                "stable row ids; run enable_row_tracking first"
+            )
+        read_schema = T.StructType(
+            data_schema.fields
+            + [
+                T.StructField(mat_id, T.LongType(), True),
+                T.StructField(mat_cv, T.LongType(), True),
+            ]
+        )
     groups: dict[tuple, list[dict]] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
@@ -5467,7 +5918,7 @@ def optimize_delta(
     planned_dv: dict[str, dict | None] = {}
     for key, (files, want_files) in sorted(todo.items()):
         paths = [_data_file_path(path, a["path"]) for a in files]
-        src = spark.read.schema(data_schema).parquet(*paths)
+        src = spark.read.schema(read_schema).parquet(*paths)
         dvb = {
             os.path.basename(urllib.parse.unquote(a["path"])): a[
                 "deletionVector"
@@ -5475,30 +5926,63 @@ def optimize_delta(
             for a in files
             if a.get("deletionVector")
         }
+        if dvb or rt_preserve:
+            src = src.withColumn(
+                "__base",
+                F.url_decode(
+                    F.replace(
+                        F.element_at(
+                            F.split(F.input_file_name(), "/"), -1
+                        ),
+                        F.lit("+"),
+                        F.lit("%2B"),
+                    )
+                ),
+            ).withColumn("__ri", F.col("_metadata.row_index"))
         if dvb:
             pos_df = _dv_positions_df(spark, path, dvb)
-            src = (
-                src.withColumn(
-                    "__base",
-                    F.url_decode(
-                        F.replace(
-                            F.element_at(
-                                F.split(F.input_file_name(), "/"), -1
-                            ),
-                            F.lit("+"),
-                            F.lit("%2B"),
-                        )
-                    ),
-                )
-                .withColumn("__ri", F.col("_metadata.row_index"))
-                .join(
-                    pos_df,
-                    (F.col("__base") == F.col("__pbase"))
-                    & (F.col("__ri") == F.col("__pos")),
-                    "left_anti",
-                )
-                .select([f.name for f in data_schema.fields])
+            src = src.join(
+                pos_df,
+                (F.col("__base") == F.col("__pbase"))
+                & (F.col("__ri") == F.col("__pos")),
+                "left_anti",
             )
+        if rt_preserve:
+            rt_rows = [
+                (
+                    os.path.basename(
+                        urllib.parse.unquote(a["path"])
+                    ),
+                    int(a["baseRowId"]),
+                    int(a["defaultRowCommitVersion"])
+                    if a.get("defaultRowCommitVersion") is not None
+                    else None,
+                )
+                for a in files
+            ]
+            rt_df = spark.createDataFrame(
+                rt_rows, "__rtbase string, __brid long, __drcv long"
+            )
+            src = src.join(
+                F.broadcast(rt_df),
+                F.col("__base") == F.col("__rtbase"),
+                "left",
+            ).select(
+                [F.col(f"`{f.name}`") for f in data_schema.fields]
+                + [
+                    F.coalesce(
+                        F.col(f"`{mat_id}`"),
+                        F.col("__brid") + F.col("__ri"),
+                    )
+                    .cast("long")
+                    .alias(mat_id),
+                    F.coalesce(F.col(f"`{mat_cv}`"), F.col("__drcv"))
+                    .cast("long")
+                    .alias(mat_cv),
+                ]
+            )
+        elif dvb:
+            src = src.select([f.name for f in data_schema.fields])
         staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
         if zorder_by:
             from census_asc5_data_pipeline_spark.sources.bucketing import (
@@ -5610,6 +6094,8 @@ def optimize_delta(
                 }
             }
         ]
+        if rt_meta_line:
+            lines.append(rt_meta_line)
         for p_ in removed_paths:
             lines.append(
                 {
@@ -5619,6 +6105,7 @@ def optimize_delta(
                 }
             )
         lines.extend(new_adds)
+        _stamp_row_tracking(spark, path, _p, lines, new_adds, next_v)
         c = _commit_counts(lines)
         _stamp_op_metrics(
             lines,

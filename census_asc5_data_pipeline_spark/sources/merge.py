@@ -363,6 +363,22 @@ def _merge_delta(
     physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
+    # row tracking (r16): on an ENABLED table the target scan exposes
+    # ``_row_id`` (so ON / clause conditions may join on stable ids —
+    # the foreign-tracking-table merge case) and every rewritten or
+    # updated row carries its id forward through the materialized
+    # columns; inserts materialize NULL and take fresh base ids
+    rt_preserve = d._rt_supported(protocol) and d._rt_enabled(meta)
+    rt_conf_changed = False
+    mat_id = mat_cv = None
+    rt_extra: list[str] = []
+    if rt_preserve:
+        conf0 = meta.get("configuration") or {}
+        conf2, mat_id, mat_cv = d._rt_mint_conf(conf0)
+        if conf2 != conf0:
+            meta = dict(meta, configuration=conf2)
+            rt_conf_changed = True
+        rt_extra = [mat_id, mat_cv]
     extra_fields: list[T.StructField] = []
     if evolve_schema:
         if physical_of:
@@ -388,6 +404,7 @@ def _merge_delta(
         [(None, a) for a in adds.values()],
         keep_pos=True,
         physical_of=physical_of,
+        extra_long_cols=rt_extra,
     ) if adds else spark.createDataFrame(
         [],
         T.StructType(
@@ -398,6 +415,14 @@ def _merge_delta(
             ]
         ),
     )
+    if rt_preserve:
+        scan = (
+            d._rt_stable_cols(spark, scan, list(adds.values()), meta)
+            if adds
+            else scan.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn("__rt_cv", F.lit(None).cast("long"))
+        )
     tagged, inserts = _plan_merge(
         scan, source, on, matched, nmbs, not_matched, list(schema.fields)
     )
@@ -460,9 +485,10 @@ def _merge_delta(
             }
         }
     ]
-    if extra_fields or identity_updates:
-        # schema evolution and/or the advanced identity high water
-        # mark commit atomically with the row changes in ONE metaData
+    if extra_fields or identity_updates or rt_conf_changed:
+        # schema evolution, the advanced identity high water mark
+        # and/or freshly-minted materialized row-id column names
+        # commit atomically with the row changes in ONE metaData
         # action (old files' missing columns read NULL on scan; the
         # hwm must land with its allocated rows, per spec)
         meta_commit = (
@@ -494,9 +520,20 @@ def _merge_delta(
                 adds_by_base, lines, planned, now_ms,
             )
         if upd_tags:
+            # updated post-images keep their stable id; the commit
+            # version resets to THIS commit (null materialized value
+            # → the new file's defaultRowCommitVersion on read)
             staged_rows = d._regenerate(
                 tagged.where(F.col("__action").isin(upd_tags)).select(
                     _rewritten_cols(matched, nmbs, list(schema.fields))
+                    + (
+                        [
+                            F.col("t._row_id").alias(mat_id),
+                            F.lit(None).cast("long").alias(mat_cv),
+                        ]
+                        if rt_preserve
+                        else []
+                    )
                 ),
                 meta,
                 gens,
@@ -506,7 +543,25 @@ def _merge_delta(
             tagged.where(
                 F.col("t.__base").isin(touched)
                 & ~F.col("__action").isin(del_tags)
-            ).select(_rewritten_cols(matched, nmbs, list(schema.fields))),
+            ).select(
+                _rewritten_cols(matched, nmbs, list(schema.fields))
+                + (
+                    [
+                        F.col("t._row_id").alias(mat_id),
+                        # copied rows keep id AND original commit
+                        # version; updated rows keep id, new version
+                        F.when(
+                            F.col("__action").isin(upd_tags),
+                            F.lit(None).cast("long"),
+                        )
+                        .otherwise(F.col("t.__rt_cv"))
+                        .cast("long")
+                        .alias(mat_cv),
+                    ]
+                    if rt_preserve
+                    else []
+                )
+            ),
             meta,
             gens,
         )
@@ -535,19 +590,26 @@ def _merge_delta(
                     name, F.expr(expr).cast(dtype)
                 )
     if inserts is not None and n_ins:
+        staged_ins = inserts
+        if rt_preserve:
+            # fresh rows materialize NULL — they take the new file's
+            # baseRowId + position on read (kept off the CDF images)
+            staged_ins = staged_ins.withColumn(
+                mat_id, F.lit(None).cast("long")
+            ).withColumn(mat_cv, F.lit(None).cast("long"))
         staged_rows = (
-            inserts
+            staged_ins
             if staged_rows is None
-            else staged_rows.unionByName(inserts)
+            else staged_rows.unionByName(staged_ins)
         )
+    staged_add_lines: list[dict] = []
     if staged_rows is not None:
         d._check_constraints(staged_rows, meta, "MERGE", extra=ins_checks)
-        lines.extend(
-            d._stage_adds_mapped(
-                staged_rows, path, pcols, physical_of,
-                stats_cols=d._stats_cols_of(meta),
-            )
+        staged_add_lines = d._stage_adds_mapped(
+            staged_rows, path, pcols, physical_of,
+            stats_cols=d._stats_cols_of(meta),
         )
+        lines.extend(staged_add_lines)
     if (meta.get("configuration") or {}).get(
         "delta.enableChangeDataFeed"
     ) == "true":
@@ -648,6 +710,9 @@ def _merge_delta(
                     "water mark moved since this MERGE was planned) "
                     "— re-run the merge"
                 )
+        d._stamp_row_tracking(
+            spark, path, protocol, lines, staged_add_lines, next_v
+        )
         try:
             d._put_if_absent_commit(path, next_v, lines)
             d._maybe_auto_checkpoint(
@@ -1602,6 +1667,29 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
     physical_of = d._column_mapping(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
+    # row tracking (r16): preserve stable ids through the rewrite and
+    # expose _row_id to the WHERE predicate (the _merge_delta shape)
+    rt_preserve = d._rt_supported(protocol) and d._rt_enabled(meta)
+    rt_meta_line = None
+    mat_id = mat_cv = None
+    rt_extra: list[str] = []
+    if rt_preserve:
+        conf0 = meta.get("configuration") or {}
+        conf2, mat_id, mat_cv = d._rt_mint_conf(conf0)
+        if conf2 != conf0:
+            meta = dict(meta, configuration=conf2)
+            rt_meta_line = {
+                "metaData": {
+                    "id": meta.get("id"),
+                    "format": meta.get("format")
+                    or {"provider": "parquet", "options": {}},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": pcols,
+                    "configuration": conf2,
+                    "createdTime": meta.get("createdTime"),
+                }
+            }
+        rt_extra = [mat_id, mat_cv]
     gens = d._generated_columns(meta)
     bad_gen = {n for n, _e, _t in gens} & set(sets)
     if bad_gen:
@@ -1648,7 +1736,10 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         [(None, a) for a in cand],
         keep_pos=True,
         physical_of=physical_of,
+        extra_long_cols=rt_extra,
     )
+    if rt_preserve:
+        scan = d._rt_stable_cols(spark, scan, cand, meta)
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     adds_by_base = d._adds_by_base(adds)
     now_ms = int(time.time() * 1000)
@@ -1662,9 +1753,22 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
             }
         }
     ]
+    if rt_meta_line:
+        lines.append(rt_meta_line)
     planned: dict[str, dict | None] = {}
+    staged_add_lines: list[dict] = []
     updated = d._regenerate(
-        scan.filter(pred).select(_set_cols(sets, schema.fields)),
+        scan.filter(pred).select(
+            _set_cols(sets, schema.fields)
+            + (
+                [
+                    F.col("_row_id").alias(mat_id),
+                    F.lit(None).cast("long").alias(mat_cv),
+                ]
+                if rt_preserve
+                else []
+            )
+        ),
         meta,
         gens,
     )
@@ -1678,12 +1782,11 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         )
         if not n_upd:
             return None
-        lines.extend(
-            d._stage_adds_mapped(
-                updated, path, pcols, physical_of,
-                stats_cols=d._stats_cols_of(meta),
-            )
+        staged_add_lines = d._stage_adds_mapped(
+            updated, path, pcols, physical_of,
+            stats_cols=d._stats_cols_of(meta),
         )
+        lines.extend(staged_add_lines)
     else:
         # per-file matched-row counts ride the SAME shuffle the old
         # distinct() took (r15: operationMetrics)
@@ -1701,16 +1804,29 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         rewritten = d._regenerate(
             scan.filter(F.col("__base").isin(touched)).select(
                 _set_cols(sets, schema.fields, pred=pred)
+                + (
+                    [
+                        F.col("_row_id").alias(mat_id),
+                        # updated rows reset to the new commit
+                        # version (null materialized); copied rows
+                        # keep their original
+                        F.when(pred, F.lit(None).cast("long"))
+                        .otherwise(F.col("__rt_cv"))
+                        .cast("long")
+                        .alias(mat_cv),
+                    ]
+                    if rt_preserve
+                    else []
+                )
             ),
             meta,
             gens,
         )
-        lines.extend(
-            d._stage_adds_mapped(
-                rewritten, path, pcols, physical_of,
-                stats_cols=d._stats_cols_of(meta),
-            )
+        staged_add_lines = d._stage_adds_mapped(
+            rewritten, path, pcols, physical_of,
+            stats_cols=d._stats_cols_of(meta),
         )
+        lines.extend(staged_add_lines)
         for base in sorted(touched):
             a = adds_by_base[base]
             planned[a["path"]] = a.get("deletionVector")
@@ -1721,9 +1837,9 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         pre = scan.filter(pred).select(
             [F.col(f.name) for f in schema.fields]
         ).withColumn("_change_type", F.lit("update_preimage"))
-        post = updated.withColumn(
-            "_change_type", F.lit("update_postimage")
-        )
+        post = updated.select(
+            [F.col(f"`{f.name}`") for f in schema.fields]
+        ).withColumn("_change_type", F.lit("update_postimage"))
         lines.extend(
             d._stage_cdc_mapped(
                 pre.unionByName(post), path, pcols, physical_of
@@ -1756,6 +1872,9 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
                     f"concurrent commit changed {p_!r} since this "
                     "UPDATE was planned — aborting without committing"
                 )
+        d._stamp_row_tracking(
+            spark, path, protocol, lines, staged_add_lines, next_v
+        )
         try:
             d._put_if_absent_commit(path, next_v, lines)
             d._maybe_auto_checkpoint(

@@ -6,7 +6,9 @@ delta.enableRowTracking=true, adds carrying baseRowId /
 defaultRowCommitVersion, a materialized row-id column on rewritten
 files) reads back with ``_row_id`` / ``_row_commit_version``
 materialized per PROTOCOL.md §Row Tracking — materialized column
-wins, else baseRowId + position. Writes stay refused."""
+wins, else baseRowId + position. Since r16 foreign tracking logs
+also ACCEPT DML (the engine-write pins live in
+test_delta_row_tracking_write.py)."""
 from __future__ import annotations
 
 import json
@@ -180,14 +182,34 @@ def test_materialized_row_id_wins(spark, tmp_path):
     assert "_tracked_id_col" not in out.columns
 
 
-def test_writes_stay_refused(spark, tmp_path):
+def test_foreign_tracking_table_accepts_dml(spark, tmp_path):
+    """r16 (r15 verdict #2): rowTracking is a WRITABLE feature now —
+    a foreign tracking log takes appends (fresh contiguous ids above
+    the foreign high-water mark) and deletes (survivor ids stable)."""
     t = str(tmp_path / "t")
     _mk_foreign(spark, t)
-    src = spark.range(2).select(F.col("id"), F.lit("x").alias("v"))
-    with pytest.raises(NotImplementedError, match="rowTracking"):
-        d.write_delta(src, t)
-    with pytest.raises(NotImplementedError, match="rowTracking"):
-        d.delete_delta_where(spark, t, "id = 1")
+    src = spark.range(100, 102).coalesce(1).select(
+        F.col("id"), F.lit("x").alias("v")
+    )
+    d.write_delta(src, t)
+    out = {
+        r.id: r._row_id
+        for r in d.read_delta(spark, t, row_tracking=True).collect()
+    }
+    # foreign hwm was 7: the two appended rows took 8 and 9
+    assert sorted(out.values()) == list(range(10))
+    assert {out[100], out[101]} == {8, 9}
+    doms = d.replay_domains(spark, t)
+    assert json.loads(doms["delta.rowTracking"]) == {
+        "rowIdHighWaterMark": 9
+    }
+    d.delete_delta_where(spark, t, "id = 5", mode="cow")
+    after = {
+        r.id: r._row_id
+        for r in d.read_delta(spark, t, row_tracking=True).collect()
+    }
+    assert 5 not in after
+    assert all(after[k] == out[k] for k in after)
 
 
 def test_requires_enablement_and_base_row_ids(spark, tmp_path):

@@ -14,9 +14,11 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # driver's oracle for the first time, verdict #7) — then the round-7
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
-    # round-16 window: the new liquid-clustering WRITE row leads
-    # (r15 verdict #1); the r15 head holds; the tail pops to keep 50.
+    # round-16 window: the new liquid-clustering and row-tracking
+    # WRITE rows lead (r15 verdict #1/#2); the r15 head holds; the
+    # tail pops to keep 50.
     "liquid_cluster",
+    "row_tracking",
     # round-15 window: the two new observability-metrics rows lead
     # (operationMetrics / snapshot summary, verdict #1/#9) with five
     # NEVER-windowed veterans rotated in (verdict #7: fuzzy_match,
@@ -70,7 +72,6 @@ PINNED_FIRST_50 = [
     "id_gap_report",
     "pagerank_exact",
     "recursive_hierarchy",
-    "neyman_sample",
 ]
 
 

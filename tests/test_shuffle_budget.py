@@ -28,6 +28,11 @@ SHUFFLE_BUDGET = {
     # append + ALTER + OPTIMIZE recluster run at construction.
     # Measured 1; 2 = AQE headroom
     "liquid_cluster": 2,
+    # returned plan = one groupBy over the tracking read's
+    # broadcast-joined scan (the rt map join is broadcast, no
+    # exchange); the create/append/DELETE/UPDATE lifecycle runs at
+    # construction. Measured 2 (agg pair); 3 = AQE headroom
+    "row_tracking": 3,
     # --- new in round 15 ---
     # returned plan = one groupBy (partial/final agg pair) over the
     # drained target table's file-list scan; the CDF pipeline + the
