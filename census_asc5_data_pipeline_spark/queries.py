@@ -11847,6 +11847,13 @@ QUERIES: dict[str, QueryFn] = {
     # row tracking WRITE) ---
     "liquid_cluster": q_liquid_cluster,
     "row_tracking": q_row_tracking,
+    # --- r16 driver-window rotation (r15 verdict #8): five veterans
+    # the driver oracle has NEVER windowed rotate in ---
+    "pagerank": q_pagerank,
+    "communities": q_communities,
+    "bm25_topk": q_bm25_topk,
+    "gopher_rules": q_gopher_rules,
+    "pack_sequences": q_pack_sequences,
     # --- new in round 15 (verdict #1/#9: the observability metrics
     # rows; #6: streaming CDF across a rename, oracle-faced) ---
     "stream_cdf_rename": q_stream_cdf_rename,
@@ -11936,7 +11943,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- kernels changed in round 6 (dedup_against's cross-corpus
     # df_cap valve; pagerank's convergence early-exit) ---
     "dedup_against": q_dedup_against,
-    "pagerank": q_pagerank,
     # --- r5 rewrites whose last driver rows predate the rewrite
     # (degree-oriented wedges / length-filtered jaccard; judge's HEAD
     # sweep covered them, a driver row closes the loop) ---
@@ -11945,9 +11951,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_join": q_bloom_join,
     "conversion_lag": q_conversion_lag,
     "vocab_coverage": q_vocab_coverage,
-    "bm25_topk": q_bm25_topk,
     "token_pmi": q_token_pmi,
-    "communities": q_communities,
     "embedding_standardize": q_embedding_standardize,
     "sample_k_per_group": q_sample_k_per_group,
     "rfm_segments": q_rfm_segments,
@@ -11986,7 +11990,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- kernels changed round 5 ---
     # --- round-4 additions, held in-window one more round ---
     "span_dedup": q_span_dedup,
-    "pack_sequences": q_pack_sequences,
     "cdc_apply": q_cdc_apply,
     "domain_cap": q_domain_cap,
     "attribution": q_attribution,
@@ -12019,7 +12022,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- round-3 additions, kept in-window one more round ---
     "chunk_documents": q_chunk_documents,
     "source_mixture": q_source_mixture,
-    "gopher_rules": q_gopher_rules,
     "script_profile": q_script_profile,
     "dup_ngram_stats": q_dup_ngram_stats,
     "bpe_merges": q_bpe_merges,

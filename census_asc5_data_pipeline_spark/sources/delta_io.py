@@ -4032,7 +4032,7 @@ def _stage_cdc(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
 
 
 def _mint_column_mapping(
-    schema: T.StructType, pcols: list[str]
+    schema: T.StructType, pcols: list[str], start_id: int = 0
 ) -> tuple[dict, dict[str, str], dict[str, str]]:
     """Writer-side column-mapping table CREATION (round-12 verdict
     #5): mint the spec's per-field bookkeeping — sequential
@@ -4041,10 +4041,15 @@ def _mint_column_mapping(
     logical→physical map, configuration entries). Data files and
     add-action partitionValues keys then use the physical names
     (:func:`_stage_adds_mapped`); readers resolve by physical name
-    exactly as they do for delta-spark-originated mapped tables."""
+    exactly as they do for delta-spark-originated mapped tables.
+
+    ``start_id`` (r16 — overwriteSchema on mapped tables): ids mint
+    ABOVE it, so a schema REPLACEMENT never reuses an id the old
+    schema handed out (the spec's maxColumnId monotonicity — a
+    reused id would alias old physical bytes onto a new column)."""
     fields = []
     physical_of: dict[str, str] = {}
-    for i, f in enumerate(schema.fields, start=1):
+    for i, f in enumerate(schema.fields, start=int(start_id) + 1):
         phys = f"col-{uuid.uuid4()}"
         physical_of[f.name] = phys
         fd = f.jsonValue()
@@ -4056,7 +4061,9 @@ def _mint_column_mapping(
         fields.append(fd)
     conf = {
         "delta.columnMapping.mode": "name",
-        "delta.columnMapping.maxColumnId": str(len(fields)),
+        "delta.columnMapping.maxColumnId": str(
+            int(start_id) + len(fields)
+        ),
     }
     return {"type": "struct", "fields": fields}, physical_of, conf
 
@@ -4215,8 +4222,50 @@ def write_delta(
     }
     create_schema_json: dict | None = None
     create_protocol: dict | None = None
+    replace_schema_json: dict | None = None
+    replace_conf: dict[str, str] | None = None
     if exists:
         physical_of = _column_mapping(prev_meta)
+        expected_mapping = physical_of
+        if (
+            mode == "overwrite"
+            and overwrite_schema
+            and physical_of
+        ):
+            prev_sig = [
+                (f.name, f.dataType.simpleString())
+                for f in T.StructType.fromJson(
+                    json.loads(prev_meta["schemaString"])
+                ).fields
+            ]
+            new_sig = [
+                (f.name, f.dataType.simpleString())
+                for f in df.schema.fields
+            ]
+            if new_sig != prev_sig:
+                # overwriteSchema on a MAPPED table (r16, r15 verdict
+                # #4): every replacement field gets a FRESH
+                # physicalName + columnMapping.id minted ABOVE the old
+                # maxColumnId — ids are never reused, so the old
+                # files' physical bytes stay hidden behind names no
+                # current field carries (and time travel still reads
+                # them through the old metaData). Staging writes
+                # under the NEW physical names.
+                start = int(
+                    (prev_meta.get("configuration") or {}).get(
+                        "delta.columnMapping.maxColumnId", "0"
+                    )
+                    or 0
+                )
+                replace_schema_json, physical_of, cm_conf = (
+                    _mint_column_mapping(
+                        df.schema, pcols, start_id=start
+                    )
+                )
+                replace_conf = {
+                    **(prev_meta.get("configuration") or {}),
+                    **cm_conf,
+                }
     else:
         cm_mode = create_conf.get("delta.columnMapping.mode", "none")
         physical_of = None
@@ -4243,6 +4292,7 @@ def write_delta(
                 f"creation with delta.columnMapping.mode={cm_mode!r} is "
                 "out of scope (only 'name' mints physical names)"
             )
+        expected_mapping = physical_of
         create_meta = {
             "configuration": create_conf,
             "schemaString": df.schema.json(),
@@ -4374,7 +4424,7 @@ def write_delta(
             meta, adds = {}, {}
         schema_changed = False
         if meta and (_column_mapping(meta) or None) != (
-            physical_of or None
+            expected_mapping or None
         ):
             # files were staged under the mapping read BEFORE the
             # commit loop; a concurrent mapping change (or a racing
@@ -4404,12 +4454,13 @@ def write_delta(
                         "mode='overwrite', overwrite_schema=True to "
                         "replace the schema atomically"
                     )
-                if physical_of:
+                if expected_mapping and replace_schema_json is None:
+                    # staged under the OLD mapping but the fields
+                    # changed without a remint — unreachable via the
+                    # public surface, refuse rather than mis-bind
                     raise NotImplementedError(
-                        "overwriteSchema on a column-mapped table is "
-                        "out of scope — the replacement schemaString "
-                        "would need fresh physicalName/columnMapping.id "
-                        "assignments"
+                        "mapped-table schema replacement without "
+                        "fresh column-mapping assignments"
                     )
                 schema_changed = True
         lines: list[dict] = [
@@ -4469,11 +4520,12 @@ def write_delta(
                     "— re-run the write"
                 )
         if next_v == 0 or not meta or schema_changed:
-            s_json = (
-                json.dumps(create_schema_json)
-                if create_schema_json is not None and next_v == 0
-                else df.schema.json()
-            )
+            if create_schema_json is not None and next_v == 0:
+                s_json = json.dumps(create_schema_json)
+            elif schema_changed and replace_schema_json is not None:
+                s_json = json.dumps(replace_schema_json)
+            else:
+                s_json = df.schema.json()
             if identity_updates:
                 # first rows written AT creation already allocated or
                 # ratcheted — the v0 metaData must carry the mark
@@ -4489,8 +4541,11 @@ def write_delta(
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": s_json,
                         "partitionColumns": pcols,
-                        "configuration": meta.get("configuration")
-                        or create_conf,
+                        "configuration": (
+                            replace_conf
+                            if schema_changed and replace_conf
+                            else meta.get("configuration") or create_conf
+                        ),
                         "createdTime": meta.get("createdTime") or now_ms,
                     }
                 }

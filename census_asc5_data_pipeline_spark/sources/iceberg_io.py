@@ -474,6 +474,114 @@ def _renamed_ids(meta: dict) -> dict[int, set[str]]:
     return {i: n for i, n in names_by_id.items() if len(n) > 1}
 
 
+#: v3 column types with no v2-compatible Spark mapping — reading them
+#: needs codecs (variant binary layout, geo WKB semantics, ns
+#: timestamps) this engine does not implement
+_V3_UNSUPPORTED_TYPES = (
+    "variant",
+    "geometry",
+    "geography",
+    "timestamp_ns",
+    "timestamptz_ns",
+    "unknown",
+)
+
+
+def _format_version_gate(
+    meta: dict, operation: str, write: bool = False
+) -> int:
+    """Per-feature format-version gate (r16, r15 verdict #5 — the
+    v1/v2 blanket refusal split). v1/v2 pass. v3 metadata PARSES and
+    READS when only v2-compatible features are in play; each
+    unsupported feature refuses BY NAME:
+
+    - WRITES to v3 refuse outright: the spec makes row lineage
+      mandatory for v3 writers (``next-row-id`` on metadata,
+      ``first-row-id`` on snapshots/manifests), which this writer
+      does not maintain — and the metadata rebuild would otherwise
+      silently DOWNGRADE the table to format-version 2;
+    - schema fields typed ``variant``/``geometry``/``geography``/
+      ``timestamp_ns``/``timestamptz_ns``/``unknown`` refuse (no
+      v2-compatible mapping);
+    - fields with a non-null ``initial-default`` refuse: a reader
+      ignoring it would surface NULL where the spec says the default
+      — wrong data, not a missing feature;
+    - ``encryption-keys`` refuses (encrypted bytes);
+    - v3 DELETION VECTORS refuse at scan time (the delete-file
+      entries carry ``referenced_data_file``/``content_offset`` —
+      see the read path), while v2-style position/equality delete
+      FILES keep reading.
+
+    Row-lineage METADATA (``next-row-id``, ``first-row-id``) is
+    read-harmless — lineage fields are reader-optional — so its
+    presence alone never refuses a read."""
+    fv = int(meta.get("format-version", 1))
+    if fv <= 2:
+        return fv
+    if fv > 3:
+        raise NotImplementedError(
+            f"format-version {fv}: this spec-level engine knows "
+            "v1/v2 (full) and v3 (read-only, per-feature)"
+        )
+    if write:
+        raise NotImplementedError(
+            f"{operation} on a format-version 3 table: v3 writers "
+            "must maintain row lineage (next-row-id / first-row-id), "
+            "which this writer does not implement — and rewriting "
+            "the metadata would downgrade the table"
+        )
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    sid = meta.get("current-schema-id", 0)
+    cur = next(
+        (s for s in schemas if s.get("schema-id", 0) == sid), None
+    )
+    for f in (cur or {}).get("fields", []):
+        t = f.get("type")
+        t_name = t if isinstance(t, str) else (t or {}).get("type", "")
+        if str(t_name) in _V3_UNSUPPORTED_TYPES or str(
+            t_name
+        ).startswith(("geometry(", "geography(")):
+            raise NotImplementedError(
+                f"v3 column {f.get('name')!r} has type {t_name!r} — "
+                "no v2-compatible mapping in this reader"
+            )
+        if f.get("initial-default") is not None:
+            raise NotImplementedError(
+                f"v3 column {f.get('name')!r} declares an "
+                "initial-default — reading files that predate the "
+                "column would need default materialization this "
+                "reader does not implement (NULL would be wrong data)"
+            )
+    if meta.get("encryption-keys"):
+        raise NotImplementedError(
+            "v3 table declares encryption-keys — encrypted data "
+            "files are out of scope"
+        )
+    return fv
+
+
+def _gate_v3_deletes(deletes: list[dict]) -> None:
+    """Refuse v3 deletion vectors by name: a DV delete-file entry
+    references a Puffin blob (``referenced_data_file`` +
+    ``content_offset``/``content_size_in_bytes``) instead of being a
+    parquet file of (file_path, pos) rows — applying it as a v2
+    position-delete scan would silently delete nothing."""
+    for d in deletes:
+        if (
+            d.get("referenced_data_file") is not None
+            or d.get("content_offset") is not None
+            or str(d.get("file_format", "")).upper() == "PUFFIN"
+        ):
+            raise NotImplementedError(
+                "table carries v3 deletion vectors (delete file "
+                f"{os.path.basename(str(d.get('file_path')))!r} "
+                "references a Puffin DV blob) — v2-style position/"
+                "equality delete files read fine; DVs do not"
+            )
+
+
 def _schema_of(
     meta: dict, allow_renames: bool = False
 ) -> tuple[T.StructType, list[dict]]:
@@ -1124,12 +1232,7 @@ def read_iceberg(
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = resolve_ref(meta, ref)
-    fv = int(meta.get("format-version", 1))
-    if fv > 2:
-        raise NotImplementedError(
-            f"format-version {fv}; this spec-level reader supports "
-            "v1/v2 only"
-        )
+    fv = _format_version_gate(meta, "read")
     renamed = _renamed_ids(meta)
     schema, _fields = _schema_of(meta, allow_renames=bool(renamed))
     atoms = None
@@ -1152,6 +1255,8 @@ def read_iceberg(
     live, deletes = _snapshot_files(
         path, meta, snapshot_id, spark=spark, manifest_pruner=pruner
     )
+    if fv >= 3 and deletes:
+        _gate_v3_deletes(deletes)
     if deletes and renamed:
         raise NotImplementedError(
             "row-level deletes on a renamed-column history — the "
@@ -1998,6 +2103,7 @@ def write_iceberg(
         )
     if exists:
         cur_v, meta = _current_metadata(path)
+        _format_version_gate(meta, "write_iceberg", write=True)
         if branch is not None:
             bref = (meta.get("refs") or {}).get(branch)
             if bref is None:
@@ -2499,6 +2605,7 @@ def read_iceberg_changes(
     ``rewrite_data_files`` compactions emit NOTHING (status=0
     entries are skipped). Returns (frame, last_snapshot_id)."""
     _v, meta = _current_metadata(path)
+    _format_version_gate(meta, "read_iceberg_changes", write=False)
     schema, fields = _schema_of(meta)
     snaps = sorted(
         meta.get("snapshots", []), key=lambda s: s["snapshot-id"]
@@ -2768,6 +2875,7 @@ def set_iceberg_properties(path: str, props: dict[str, str]) -> int:
     commits, exactly as the reference engine's table-options DDL
     behaves. Returns the new metadata version number."""
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "SET TBLPROPERTIES", write=True)
     merged = dict(meta.get("properties") or {})
     for k, v in props.items():
         if v is None:
@@ -2834,6 +2942,7 @@ def update_sort_order(path: str, order_by: list[str]) -> int:
     provides after the fact. ``[]`` resets to unsorted (order 0).
     Returns the new metadata version."""
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "WRITE ORDERED BY", write=True)
     _schema, fields = _schema_of(meta)
     by_name = {f["name"]: f for f in fields}
     parsed: list[dict] = []
@@ -2932,6 +3041,7 @@ def update_partition_spec(
     specs. An identical field list is a no-op returning the current
     metadata version. Returns the new metadata version."""
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "partition spec update", write=True)
     _schema, fields = _schema_of(meta)
     by_name = {f["name"]: f for f in fields}
     parsed = _parse_partition_by(list(partition_by))
@@ -3003,6 +3113,7 @@ def _set_ref(path: str, name: str, entry: dict | None) -> int:
     """Commit a new metadata version whose ``refs[name]`` is
     ``entry`` (None = drop the ref). Metadata-only — no snapshot."""
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "ref update", write=True)
     refs = dict(meta.get("refs") or {})
     if entry is None:
         if name not in refs:
@@ -3210,6 +3321,7 @@ def fast_forward(path: str, target: str, source: str) -> int:
     branch ref keeps pointing at the (now-published) head — drop it
     with :func:`drop_ref` when the audit cycle is done."""
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "fast_forward", write=True)
     refs = meta.get("refs") or {}
     if target == source:
         raise ValueError("fast_forward target and source are the same ref")
@@ -3349,6 +3461,7 @@ def _new_schema_version(path: str, mutate) -> int:
     fields)`` (field ids stable) in a new metadata version — the
     shared shape of ADD/RENAME/DROP COLUMNS. No snapshot."""
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "schema change", write=True)
     _s, fields = _schema_of(meta, allow_renames=True)
     new_fields = mutate(meta, [dict(f) for f in fields])
     prev_schemas = meta.get("schemas") or (
@@ -3485,6 +3598,7 @@ def expire_snapshots(
     metadata_files_removed, retained_snapshot_ids}.
     """
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "expire_snapshots", write=True)
     cur_meta_file = os.path.join(
         _meta_dir(path), f"v{cur_v}.metadata.json"
     )
@@ -3652,6 +3766,7 @@ def read_iceberg_meta(
     follow the Iceberg spec's metadata-table shapes (epoch-millis
     BIGINT timestamps — this engine's convention)."""
     _v, meta = _current_metadata(path)
+    _format_version_gate(meta, "read_iceberg_meta", write=False)
     if table == "snapshots":
         rows = [
             (
@@ -3807,6 +3922,7 @@ def rewrite_data_files(
     swap. Returns {partitions_compacted, files_before, files_after,
     snapshot_id} (snapshot_id None = nothing to do)."""
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "rewrite_data_files", write=True)
     schema, fields = _schema_of(meta)
     specs = meta.get("partition-specs") or (
         [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
@@ -4106,6 +4222,7 @@ def delete_iceberg_where(
     retained snapshots. Returns the snapshot id."""
     spark = keys_df.sparkSession
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "DELETE", write=True)
     _schema, fields = _schema_of(meta)  # rename gate applies
     by_name = {f["name"]: f for f in fields}
     eq_ids: list[int] = []
@@ -4364,6 +4481,7 @@ def delete_iceberg_positions(
     from pyspark.sql import functions as F
 
     cur_v, meta = _current_metadata(path)
+    _format_version_gate(meta, "DELETE", write=True)
     branch_head = None
     if branch is not None:
         bref = (meta.get("refs") or {}).get(branch)

@@ -769,6 +769,7 @@ def _merge_iceberg(
     )
 
     cur_v, meta = ice._current_metadata(path)
+    ice._format_version_gate(meta, "MERGE", write=True)
     branch_head = _branch_head(meta, branch)
     schema, fields = ice._schema_of(meta)
     pcols = _spec_pcols(meta, fields, "MERGE")
@@ -1889,6 +1890,7 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
 
     cur_v, meta = ice._current_metadata(path)
+    ice._format_version_gate(meta, "UPDATE", write=True)
     branch_head = _branch_head(meta, branch)
     schema, fields = ice._schema_of(meta)
     pcols = _spec_pcols(meta, fields, "UPDATE")

@@ -143,17 +143,85 @@ def read_puffin_blob(path: str, blob_meta: dict) -> bytes:
 NDV_BLOB_TYPES = ("apache-datasketches-theta-v1", "census-asc5-ndv-v1")
 
 
+#: java Long.MAX_VALUE — theta sketches express theta as a fraction
+#: of it (theta_long / LONG_MAX = the sampling probability)
+_THETA_LONG_MAX = (1 << 63) - 1
+_THETA_FLAG_EMPTY = 0x04
+
+
+def theta_ndv(blob: bytes) -> int:
+    """Distinct-count estimate from a serialized COMPACT theta sketch
+    (r16, r15 verdict #6 — the Apache DataSketches
+    ``apache-datasketches-theta-v1`` wire format, serial version 3,
+    public spec): ``estimate = retained_entries / theta``. Enough of
+    the preamble is parsed to cover every compact layout a foreign
+    ANALYZE writes —
+
+    - 8-byte EMPTY preamble (1 preamble long, empty flag) → 0;
+    - 16-byte SINGLE-ITEM form (1 preamble long + one hash) → 1;
+    - exact-mode compact (2 preamble longs: entry count + p; theta
+      implicitly 1.0) → the entry count;
+    - estimation-mode compact (3 preamble longs: + theta as a
+      fraction of Long.MAX) → count / theta, rounded.
+
+    The hash values themselves never need decoding for an estimate —
+    they exist for cross-sketch set operations. Raises ValueError on
+    non-theta / non-v3 / big-endian payloads (never guesses)."""
+    if len(blob) < 8:
+        raise ValueError(f"theta sketch too short ({len(blob)} bytes)")
+    pre_longs = blob[0] & 0x3F
+    ser_ver = blob[1]
+    family = blob[2]
+    flags = blob[5]
+    if ser_ver != 3:
+        raise ValueError(f"theta sketch serial version {ser_ver} != 3")
+    if family != 3:
+        raise ValueError(
+            f"sketch family {family} is not COMPACT theta (3)"
+        )
+    if flags & 0x01:
+        raise ValueError("big-endian theta sketch is out of scope")
+    if flags & _THETA_FLAG_EMPTY:
+        return 0
+    if pre_longs == 1:
+        # single-item form: preamble long + exactly one hash value
+        if len(blob) >= 16:
+            return 1
+        raise ValueError("non-empty 1-preamble sketch without an item")
+    if pre_longs not in (2, 3):
+        raise ValueError(f"theta preamble longs {pre_longs} not in 1-3")
+    cur_count = struct.unpack_from("<i", blob, 8)[0]
+    if pre_longs == 2:
+        return int(cur_count)  # exact mode: theta == 1.0
+    theta_long = struct.unpack_from("<q", blob, 16)[0]
+    if theta_long <= 0:
+        raise ValueError(f"non-positive theta {theta_long}")
+    return int(round(cur_count * _THETA_LONG_MAX / theta_long))
+
+
 def puffin_ndv(path: str) -> dict[int, int]:
     """field-id → ndv from a Puffin file's distinct-count blobs
-    (:data:`NDV_BLOB_TYPES`), via the spec-required ``ndv`` property.
-    Multi-field sketches (distinct over a tuple) are skipped — a
-    tuple ndv is not a per-column ndv."""
+    (:data:`NDV_BLOB_TYPES`): the spec-required ``ndv`` property when
+    present, else (r16) the REAL theta-sketch decode of the blob
+    payload — foreign writers that skip the property still feed the
+    CBO. Multi-field sketches (distinct over a tuple) are skipped — a
+    tuple ndv is not a per-column ndv; undecodable payloads are
+    skipped too (an absent estimate beats a fabricated one)."""
     out: dict[int, int] = {}
     for blob in read_puffin_footer(path).get("blobs", []):
         if blob.get("type") not in NDV_BLOB_TYPES:
             continue
         fields = blob.get("fields") or []
+        if len(fields) != 1:
+            continue
         ndv = (blob.get("properties") or {}).get("ndv")
-        if len(fields) == 1 and ndv is not None:
+        if ndv is not None:
             out[int(fields[0])] = int(ndv)
+        elif blob.get("type") == "apache-datasketches-theta-v1":
+            try:
+                out[int(fields[0])] = theta_ndv(
+                    read_puffin_blob(path, blob)
+                )
+            except (ValueError, KeyError, struct.error):
+                continue
     return out

@@ -136,11 +136,18 @@ def test_iceberg_feature_gates(spark, tmp_path):
     md = os.path.join(path, "metadata", "v1.metadata.json")
     meta = json.load(open(md))
 
+    # r16: v3 with only v2-compatible features READS (per-feature
+    # gate, see test_iceberg_v3_gate.py); unknown versions still
+    # blanket-refuse
     m3 = dict(meta)
     m3["format-version"] = 3
     json.dump(m3, open(md, "w"))
-    with pytest.raises(NotImplementedError, match="format-version 3"):
+    assert read_iceberg(spark, path).count() == 1
+    m3["format-version"] = 4
+    json.dump(m3, open(md, "w"))
+    with pytest.raises(NotImplementedError, match="format-version 4"):
         read_iceberg(spark, path)
+    json.dump(meta, open(md, "w"))
 
     # renamed column across schema versions: since r12 this engine's
     # own files carry PARQUET field ids, so the rename RESOLVES (by

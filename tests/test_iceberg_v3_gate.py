@@ -1,0 +1,139 @@
+"""Iceberg v3 per-feature gate (r16, r15 verdict #5): v3 metadata
+PARSES, and tables using only v2-compatible features READ; each
+unsupported feature refuses BY NAME instead of the old v1/v2 blanket
+refusal. Writes to v3 refuse outright (row lineage is a mandatory v3
+writer duty, and the metadata rebuild would downgrade the table)."""
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
+from census_asc5_data_pipeline_spark.sources.merge import (
+    merge_into,
+    update_where,
+)
+
+
+def _mk_v3(spark, path: str, mutate=None) -> None:
+    """A v2-written table re-stamped as format-version 3 with the
+    row-lineage metadata fields a real v3 writer adds; ``mutate``
+    edits the metadata dict further (fixture per refused feature)."""
+    ice.write_iceberg(
+        spark.range(6)
+        .coalesce(1)
+        .select(F.col("id"), (F.col("id") % 3).alias("k")),
+        path,
+    )
+    cur_v, meta = ice._current_metadata(path)
+    meta = dict(meta)
+    meta["format-version"] = 3
+    meta["next-row-id"] = 6  # row lineage metadata: read-harmless
+    for s in meta.get("snapshots", []):
+        s["first-row-id"] = 0
+    if mutate:
+        mutate(meta)
+    ice._write_metadata_version(path, cur_v + 1, meta)
+
+
+def test_v3_with_v2_features_reads(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk_v3(spark, p)
+    out = ice.read_iceberg(spark, p)
+    assert out.count() == 6
+    assert sorted(r.id for r in out.collect()) == list(range(6))
+    # metadata tables read too (snapshots/files/history)
+    assert ice.read_iceberg_meta(spark, p, "snapshots").count() >= 1
+
+
+def test_v3_writes_refuse_by_name(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk_v3(spark, p)
+    df = spark.range(2).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        ice.write_iceberg(df, p)
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        ice.delete_iceberg_positions(spark, p, "id = 1")
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        ice.rewrite_data_files(spark, p)
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        update_where(spark, "iceberg", p, "id = 1", {"k": "k + 1"})
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        merge_into(
+            spark, "iceberg", p, df, "t.id = s.id",
+            matched=[("delete", None)],
+        )
+
+
+def test_v3_unsupported_types_refuse_by_name(spark, tmp_path):
+    p = str(tmp_path / "t")
+
+    def add_variant(meta):
+        sid = meta.get("current-schema-id", 0)
+        sch = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+        )
+        sch["fields"] = sch["fields"] + [
+            {"id": 99, "name": "payload", "required": False,
+             "type": "variant"}
+        ]
+
+    _mk_v3(spark, p, add_variant)
+    with pytest.raises(NotImplementedError, match="variant"):
+        ice.read_iceberg(spark, p)
+
+
+def test_v3_initial_default_and_encryption_refuse(spark, tmp_path):
+    p = str(tmp_path / "t")
+
+    def add_default(meta):
+        sid = meta.get("current-schema-id", 0)
+        sch = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+        )
+        sch["fields"] = sch["fields"] + [
+            {"id": 99, "name": "tag", "required": False,
+             "type": "string", "initial-default": "legacy"}
+        ]
+
+    _mk_v3(spark, p, add_default)
+    with pytest.raises(NotImplementedError, match="initial-default"):
+        ice.read_iceberg(spark, p)
+    p2 = str(tmp_path / "t2")
+    _mk_v3(
+        spark,
+        p2,
+        lambda m: m.update(
+            {"encryption-keys": [{"key-id": "k1", "encrypted-key": "x"}]}
+        ),
+    )
+    with pytest.raises(NotImplementedError, match="encryption-keys"):
+        ice.read_iceberg(spark, p2)
+
+
+def test_v3_deletion_vector_entries_refuse_by_name():
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        ice._gate_v3_deletes(
+            [
+                {
+                    "file_path": "/t/data/dv.puffin",
+                    "content": 1,
+                    "file_format": "PUFFIN",
+                    "referenced_data_file": "/t/data/f1.parquet",
+                    "content_offset": 4,
+                    "content_size_in_bytes": 40,
+                }
+            ]
+        )
+    # v2-style position-delete entries pass untouched
+    ice._gate_v3_deletes(
+        [{"file_path": "/t/data/del.parquet", "content": 1,
+          "file_format": "PARQUET"}]
+    )
+
+
+def test_v4_still_blanket_refuses(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk_v3(spark, p, lambda m: m.update({"format-version": 4}))
+    with pytest.raises(NotImplementedError, match="format-version 4"):
+        ice.read_iceberg(spark, p)

@@ -422,3 +422,82 @@ def test_puffin_payload_size_cannot_alias_head_magic(tmp_path):
     assert os.path.getsize(p) == len(payload) + 16
     with pytest.raises(ValueError, match="inconsistent"):
         puffin.read_puffin_footer(p)
+
+
+def _theta_blob(
+    pre_longs: int,
+    flags: int,
+    cur_count: int = 0,
+    theta_frac: float = 1.0,
+    n_hashes: int = 0,
+) -> bytes:
+    """Spec-conformant compact theta sketch bytes (serial version 3,
+    family 3, little-endian) — what a foreign DataSketches ANALYZE
+    serializes."""
+    import struct as _st
+
+    out = bytes([pre_longs, 3, 3, 12, 13, flags]) + _st.pack(
+        "<H", 0x93CC
+    )
+    if pre_longs >= 2:
+        out += _st.pack("<i", cur_count) + _st.pack("<f", 1.0)
+    if pre_longs >= 3:
+        out += _st.pack("<q", int(((1 << 63) - 1) * theta_frac))
+    for i in range(n_hashes):
+        out += _st.pack("<q", 1000 + i)
+    return out
+
+
+def test_theta_sketch_decode(spark):
+    """r16 (r15 verdict #6): real theta decode — empty, single-item,
+    exact and estimation layouts; loud refusal on foreign framing."""
+    # READ_ONLY|COMPACT|ORDERED = 0x1A; +EMPTY = 0x1E
+    assert puffin.theta_ndv(_theta_blob(1, 0x1E)) == 0
+    assert puffin.theta_ndv(_theta_blob(1, 0x1A, n_hashes=1)) == 1
+    assert puffin.theta_ndv(_theta_blob(2, 0x1A, cur_count=42)) == 42
+    est = puffin.theta_ndv(
+        _theta_blob(3, 0x1A, cur_count=500, theta_frac=0.5, n_hashes=500)
+    )
+    assert est == 1000
+    with pytest.raises(ValueError, match="serial version"):
+        puffin.theta_ndv(bytes([3, 2, 3, 0, 0, 0x1A, 0, 0]))
+    with pytest.raises(ValueError, match="family"):
+        puffin.theta_ndv(bytes([3, 3, 5, 0, 0, 0x1A, 0, 0]))
+    with pytest.raises(ValueError, match="big-endian"):
+        puffin.theta_ndv(bytes([3, 3, 3, 0, 0, 0x1B, 0, 0]))
+
+
+def test_puffin_ndv_decodes_theta_without_property(spark, tmp_path):
+    """A foreign statistics file whose theta blob OMITS the ndv
+    property still yields an estimate — decoded from the sketch
+    bytes — and join_preflight's catalog consumes it."""
+    p = str(tmp_path / "stats.puffin")
+    payload = _theta_blob(
+        3, 0x1A, cur_count=250, theta_frac=0.25, n_hashes=250
+    )
+    puffin.write_puffin(
+        p,
+        [
+            (
+                payload,
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [1],
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    # NO ndv property — the spec requires it, but
+                    # the decode covers writers that skip it
+                    "properties": {},
+                },
+            )
+        ],
+    )
+    assert puffin.puffin_ndv(p) == {1: 1000}
+    t = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.range(5).coalesce(1).select(F.col("id"),
+                                          (F.col("id") % 2).alias("k")),
+        t,
+    )
+    ice.attach_statistics(t, p)
+    assert ice.iceberg_ndv(t) == {"id": 1000}

@@ -19,6 +19,12 @@ PINNED_FIRST_50 = [
     # tail pops to keep 50.
     "liquid_cluster",
     "row_tracking",
+    # r16 rotation (r15 verdict #8): five never-windowed veterans
+    "pagerank",
+    "communities",
+    "bm25_topk",
+    "gopher_rules",
+    "pack_sequences",
     # round-15 window: the two new observability-metrics rows lead
     # (operationMetrics / snapshot summary, verdict #1/#9) with five
     # NEVER-windowed veterans rotated in (verdict #7: fuzzy_match,
@@ -67,11 +73,6 @@ PINNED_FIRST_50 = [
     "customer_migration",
     "order_cycle_time",
     "embedding_norm_profile",
-    "source_lang_mix",
-    "ab_test",
-    "id_gap_report",
-    "pagerank_exact",
-    "recursive_hierarchy",
 ]
 
 
