@@ -335,3 +335,58 @@ def read_dv_positions(table_path: str, desc: dict) -> list[int]:
     if crc != (zlib.crc32(data) & 0xFFFFFFFF):
         raise ValueError(f"DV checksum mismatch in {full!r}")
     return deserialize_roaring64(data)
+
+
+def read_iceberg_dv(
+    path: str, content_offset: int, content_size: int
+) -> list[int]:
+    """Iceberg v3 deletion-vector blob (table spec §Deletion vectors;
+    Puffin blob type ``deletion-vector-v1``): the blob at
+    ``content_offset`` is
+
+        [4-byte BE length of (magic + vector)]
+        [magic 0xD1 0x33 0x39 0x64 — the SAME little-endian
+         1681511377 as Delta's RoaringBitmapArray]
+        [the vector: the portable 64-bit roaring bitmap]
+        [4-byte BE CRC-32 of (magic + vector)]
+
+    so (magic + vector) is byte-identical to Delta's
+    :func:`serialize_roaring64` output and decodes through the same
+    codec. ``content_size`` is the manifest entry's
+    ``content-size-in-bytes`` (the full framed blob); both it and the
+    CRC are verified before any position is trusted. Returns the
+    sorted deleted row indexes of the referenced data file."""
+    with open(path, "rb") as fh:
+        fh.seek(int(content_offset))
+        raw = fh.read(int(content_size))
+    if len(raw) < 12:
+        raise ValueError(
+            f"iceberg DV blob at {path}:{content_offset} truncated "
+            f"({len(raw)} bytes)"
+        )
+    (ln,) = struct.unpack_from(">i", raw, 0)
+    if ln <= 0 or 4 + ln + 4 > len(raw):
+        raise ValueError(
+            f"iceberg DV blob length {ln} inconsistent with "
+            f"content-size {content_size}"
+        )
+    data = raw[4 : 4 + ln]
+    (crc,) = struct.unpack_from(">I", raw, 4 + ln)
+    if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+        raise ValueError(
+            f"iceberg DV checksum mismatch at {path}:{content_offset}"
+        )
+    return deserialize_roaring64(data)
+
+
+def write_iceberg_dv_blob(positions: list[int]) -> bytes:
+    """The framed ``deletion-vector-v1`` blob payload for
+    ``positions`` — the exact bytes a v3 writer puts in a Puffin file
+    (and the round-trip fixture builder for :func:`read_iceberg_dv`
+    tests)."""
+    data = serialize_roaring64(positions)
+    return (
+        struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )

@@ -61,6 +61,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 import time
 import urllib.parse
@@ -1699,6 +1700,12 @@ _WRITER_FEATURES = {
     # spellings of the feature name are accepted.
     "clustering",
     "clusteringW",
+    # r16: type widening WRITE — ALTER COLUMN TYPE records the spec's
+    # delta.typeChanges field metadata and upgrades the protocol;
+    # appends afterwards carry the widened type by ordinary schema
+    # enforcement (old narrow files read via Spark's native parquet
+    # type promotion, the r14 READ half)
+    "typeWidening",
     # r16: row tracking WRITE — every add-creating commit assigns
     # baseRowId/defaultRowCommitVersion above the delta.rowTracking
     # domain's high-water mark and advances it in the same commit
@@ -3219,6 +3226,143 @@ def read_delta_cdf(
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out, last
+
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+
+#: PROTOCOL.md §Type Widening — the supported widenings for
+#: non-decimal types (delta schemaString type names)
+_WIDENING_OK: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+    "date": {"timestamp_ntz"},
+}
+
+
+def _widening_allowed(old_t: str, new_t: str) -> bool:
+    if new_t in _WIDENING_OK.get(old_t, ()):
+        return True
+    mo, mn = _DECIMAL_RE.match(old_t), _DECIMAL_RE.match(new_t)
+    if mo and mn:
+        po, so = int(mo.group(1)), int(mo.group(2))
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        # scale may grow only if the integral capacity never shrinks
+        return sn >= so and (pn - sn) >= (po - so) and pn >= po
+    if mn and old_t in ("byte", "short", "integer", "long"):
+        # integral → decimal wide enough to hold every value
+        need = {"byte": 3, "short": 5, "integer": 10, "long": 20}[old_t]
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        return (pn - sn) >= need
+    return False
+
+
+def alter_delta_column_type(
+    spark: SparkSession, path: str, column: str, new_type: str
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN c TYPE <wider>`` — the WRITE
+    half of type widening (r16; READ landed r14): ONE metadata-only
+    commit that widens the field's ``schemaString`` type, appends the
+    spec's ``delta.typeChanges`` entry ({fromType, toType}) to the
+    field metadata, sets ``delta.enableTypeWidening=true`` and
+    upgrades the protocol to reader 3 / writer 7 with the
+    ``typeWidening`` feature (both sides, per spec) in the SAME
+    commit. Only PROTOCOL.md §Type Widening's supported pairs pass
+    (byte/short/int up-chain, float→double, date→timestamp_ntz,
+    capacity-preserving decimal growth, integral→decimal); anything
+    else refuses — a non-promotable change would make every old file
+    unreadable. Existing narrow-typed files keep reading through
+    Spark's native parquet type promotion. Returns the version."""
+    new_dt = T.StructType.fromDDL(f"x {new_type}").fields[0].dataType
+    new_t = new_dt.jsonValue()
+    if not isinstance(new_t, str):
+        raise NotImplementedError(
+            f"ALTER COLUMN TYPE to nested type {new_type!r} is out "
+            "of scope"
+        )
+    while True:
+        protocol, meta, _adds, _tx = _replay(spark, path, None)
+        _writer_gate(protocol, meta, "ALTER COLUMN TYPE")
+        sj = json.loads(meta["schemaString"])
+        field = next(
+            (f for f in sj["fields"] if f["name"] == column), None
+        )
+        if field is None:
+            raise ValueError(
+                f"column {column!r} not in the table schema "
+                f"({[f['name'] for f in sj['fields']]})"
+            )
+        old_t = field["type"]
+        if not isinstance(old_t, str):
+            raise NotImplementedError(
+                f"ALTER COLUMN TYPE on nested column {column!r} is "
+                "out of scope"
+            )
+        if old_t == new_t:
+            raise ValueError(f"{column!r} already has type {new_t!r}")
+        if column in (meta.get("partitionColumns") or []):
+            raise ValueError(
+                f"cannot widen partition column {column!r} — its "
+                "serialized partitionValues would re-parse under a "
+                "different type"
+            )
+        if not _widening_allowed(old_t, new_t):
+            raise NotImplementedError(
+                f"type change {old_t!r} → {new_t!r} is not in the "
+                "spec's supported widenings — old files would not "
+                "read under the new type"
+            )
+        md = dict(field.get("metadata") or {})
+        md["delta.typeChanges"] = list(
+            md.get("delta.typeChanges") or []
+        ) + [{"fromType": old_t, "toType": new_t}]
+        field["type"] = new_t
+        field["metadata"] = md
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.enableTypeWidening"] = "true"
+        feats_r = set(protocol.get("readerFeatures") or [])
+        feats_w = set(protocol.get("writerFeatures") or [])
+        proto_line: dict | None = None
+        if "typeWidening" not in feats_w or "typeWidening" not in feats_r:
+            imp_r, imp_w = _implied_features(protocol)
+            proto_line = {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(imp_r | {"typeWidening"}),
+                    "writerFeatures": sorted(imp_w | {"typeWidening"}),
+                }
+            }
+        new_meta = dict(
+            meta,
+            schemaString=json.dumps(sj),
+            configuration=conf,
+        )
+        versions = delta_versions(path)
+        ckpt = _read_last_checkpoint(path)
+        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+        lines = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "ALTER COLUMN TYPE",
+                    "operationParameters": {
+                        "column": column,
+                        "fromType": old_t,
+                        "toType": new_t,
+                    },
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
+            },
+            *([proto_line] if proto_line else []),
+            {"metaData": new_meta},
+        ]
+        try:
+            _put_if_absent_commit(path, next_v, lines)
+            return next_v
+        except FileExistsError:
+            continue
 
 
 def set_delta_properties(

@@ -507,10 +507,11 @@ def _format_version_gate(
       ignoring it would surface NULL where the spec says the default
       — wrong data, not a missing feature;
     - ``encryption-keys`` refuses (encrypted bytes);
-    - v3 DELETION VECTORS refuse at scan time (the delete-file
-      entries carry ``referenced_data_file``/``content_offset`` —
-      see the read path), while v2-style position/equality delete
-      FILES keep reading.
+    - v3 DELETION VECTORS READ on the scan path (r16 — the Puffin
+      blob decodes through the shared roaring codec,
+      :func:`_dv_positions_frame`); surfaces that recover per-row
+      delete images from parquet delete files (the change feed)
+      still refuse them by name.
 
     Row-lineage METADATA (``next-row-id``, ``first-row-id``) is
     read-harmless — lineage fields are reader-optional — so its
@@ -562,24 +563,105 @@ def _format_version_gate(
     return fv
 
 
+def _is_dv_entry(d: dict) -> bool:
+    """A v3 deletion-vector delete-file entry: it references a Puffin
+    blob (``referenced_data_file`` + ``content_offset``/
+    ``content_size_in_bytes``) instead of being a parquet file of
+    (file_path, pos) rows."""
+    return (
+        d.get("referenced_data_file") is not None
+        or d.get("content_offset") is not None
+        or str(d.get("file_format", "")).upper() == "PUFFIN"
+    )
+
+
 def _gate_v3_deletes(deletes: list[dict]) -> None:
-    """Refuse v3 deletion vectors by name: a DV delete-file entry
-    references a Puffin blob (``referenced_data_file`` +
-    ``content_offset``/``content_size_in_bytes``) instead of being a
-    parquet file of (file_path, pos) rows — applying it as a v2
-    position-delete scan would silently delete nothing."""
+    """Refuse v3 deletion vectors by name on surfaces that read
+    delete files AS parquet (the change feed's row-image recovery) —
+    the main scan DECODES them since r16 (:func:`_dv_positions_frame`)."""
     for d in deletes:
-        if (
-            d.get("referenced_data_file") is not None
-            or d.get("content_offset") is not None
-            or str(d.get("file_format", "")).upper() == "PUFFIN"
-        ):
+        if _is_dv_entry(d):
             raise NotImplementedError(
-                "table carries v3 deletion vectors (delete file "
+                "v3 deletion vectors (delete file "
                 f"{os.path.basename(str(d.get('file_path')))!r} "
-                "references a Puffin DV blob) — v2-style position/"
-                "equality delete files read fine; DVs do not"
+                "references a Puffin DV blob) are READ-supported on "
+                "the scan path only — this surface recovers per-row "
+                "delete images from parquet delete files"
             )
+
+
+#: above this many total deleted positions (the DV entries' manifest
+#: record_count) the blob decode fans out to executors — a
+#: heavily-deleted 100 TB table's DVs are too big to materialize
+#: through a driver createDataFrame (the delta_io threshold)
+_ICE_DV_DRIVER_POSITIONS = 100_000
+
+
+def _dv_positions_frame(
+    spark: SparkSession, dv_entries: list[dict]
+) -> DataFrame:
+    """(__pbase, __pos, __pseq) frame of every v3-DV-deleted row
+    index: each entry's Puffin blob decodes through the shared
+    roaring codec (:func:`deletion_vectors.read_iceberg_dv`),
+    keyed to the basename of its ``referenced_data_file``. Small DV
+    sets decode driver-side; above
+    :data:`_ICE_DV_DRIVER_POSITIONS` the decode runs
+    one-task-per-blob in executors via ``mapInArrow`` (descriptors
+    are O(files) metadata; only decoded positions go cluster-side)."""
+    from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+        read_iceberg_dv,
+    )
+
+    specs = [
+        (
+            os.path.basename(_local(d["referenced_data_file"])),
+            _local(d["file_path"]),
+            int(d["content_offset"]),
+            int(d["content_size_in_bytes"]),
+            int(d["_seq"]),
+        )
+        for d in dv_entries
+    ]
+    total = sum(
+        int(d.get("record_count", 0) or 0) for d in dv_entries
+    )
+    if total <= _ICE_DV_DRIVER_POSITIONS:
+        rows = [
+            (base, int(p), seq)
+            for base, fp, off, sz, seq in sorted(specs)
+            for p in read_iceberg_dv(fp, off, sz)
+        ]
+        return spark.createDataFrame(
+            rows, "__pbase string, __pos long, __pseq long"
+        )
+
+    def _task(batches):
+        import pyarrow as pa
+
+        from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+            read_iceberg_dv as _rdv,
+        )
+
+        for b in batches:
+            for base, fp, off, sz, seq in zip(
+                *(b.column(i).to_pylist() for i in range(5))
+            ):
+                pos = _rdv(fp, off, sz)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([base] * len(pos), pa.string()),
+                        pa.array(pos, pa.int64()),
+                        pa.array([seq] * len(pos), pa.int64()),
+                    ],
+                    ["__pbase", "__pos", "__pseq"],
+                )
+
+    flist = spark.createDataFrame(
+        specs, "b string, f string, o long, s long, q long"
+    ).repartition(min(len(specs), 64))
+    return flist.mapInArrow(
+        _task, "__pbase string, __pos long, __pseq long"
+    )
 
 
 def _schema_of(
@@ -773,6 +855,19 @@ def _decode_manifests_distributed(
                                     "equality_ids": d.get(
                                         "equality_ids"
                                     ),
+                                    # v3 deletion-vector fields (r16)
+                                    # — dropped here and a DV would
+                                    # silently read as an empty
+                                    # parquet position-delete
+                                    "referenced_data_file": d.get(
+                                        "referenced_data_file"
+                                    ),
+                                    "content_offset": d.get(
+                                        "content_offset"
+                                    ),
+                                    "content_size_in_bytes": d.get(
+                                        "content_size_in_bytes"
+                                    ),
                                 },
                             }
                         )
@@ -871,7 +966,11 @@ def _snapshot_files(
             # manifests; the manifest-list content wins then
             content = 1
         fmt = str(df_.get("file_format", "PARQUET")).upper()
-        if fmt != "PARQUET":
+        if fmt == "PUFFIN" and content == 1:
+            # v3 deletion vector (r16): not a data file at all — the
+            # scan decodes its blob through the roaring codec
+            pass
+        elif fmt != "PARQUET":
             raise NotImplementedError(
                 f"data file format {fmt!r}; this reader supports "
                 "PARQUET only"
@@ -1255,8 +1354,6 @@ def read_iceberg(
     live, deletes = _snapshot_files(
         path, meta, snapshot_id, spark=spark, manifest_pruner=pruner
     )
-    if fv >= 3 and deletes:
-        _gate_v3_deletes(deletes)
     if deletes and renamed:
         raise NotImplementedError(
             "row-level deletes on a renamed-column history — the "
@@ -1408,7 +1505,16 @@ def _scan_with_deletes(
     )
     pos_groups: dict[int, list[str]] = {}
     eq_groups: dict[tuple, list[tuple[str, int]]] = {}
+    dv_entries: list[dict] = []
     for d in delete_files:
+        if _is_dv_entry(d):
+            # v3 deletion vector: positions live in a Puffin blob
+            # keyed to ONE referenced data file (r16 — decoded below
+            # through the shared roaring codec; union with v2-style
+            # position deletes is safe, the spec's upgrade rule makes
+            # a DV a superset of the positions it replaced)
+            dv_entries.append(d)
+            continue
         if int(d["content"]) == 1:
             pos_groups.setdefault(int(d["_seq"]), []).append(
                 _local(d["file_path"])
@@ -1423,7 +1529,7 @@ def _scan_with_deletes(
             eq_groups.setdefault(ids, []).append(
                 (_local(d["file_path"]), int(d["_seq"]))
             )
-    if pos_groups:
+    if pos_groups or dv_entries:
         pos_parts = [
             spark.read.schema("file_path string, pos long")
             .parquet(*paths)
@@ -1436,6 +1542,8 @@ def _scan_with_deletes(
             )
             for seq, paths in sorted(pos_groups.items())
         ]
+        if dv_entries:
+            pos_parts.append(_dv_positions_frame(spark, dv_entries))
         pos = pos_parts[0]
         for p_ in pos_parts[1:]:
             pos = pos.unionByName(p_)
@@ -2565,6 +2673,10 @@ def _changed_files_of_range(
                 if content == 0:
                     inserts.append((p_, sid))
                 elif content == 1:
+                    # the change feed recovers row images by reading
+                    # the delete file as parquet — a v3 DV blob can't
+                    # feed that, refuse by name (scan path reads DVs)
+                    _gate_v3_deletes([d])
                     pos_dels.append((p_, sid))
                 elif content == 2:
                     eq_dels.append(

@@ -380,18 +380,52 @@ def _merge_delta(
             rt_conf_changed = True
         rt_extra = [mat_id, mat_cv]
     extra_fields: list[T.StructField] = []
+    evolve_conf: dict[str, str] | None = None
     if evolve_schema:
-        if physical_of:
-            raise NotImplementedError(
-                "evolve_schema on a column-mapped table is out of "
-                "scope — new columns would need fresh physicalName/"
-                "columnMapping.id assignments"
-            )
-        extra_fields = [
-            T.StructField(f.name, f.dataType, True)
+        new_srcs = [
+            f
             for f in source.schema.fields
             if f.name not in schema.fieldNames()
         ]
+        if new_srcs and physical_of:
+            # column-mapped evolution (r16 — the overwriteSchema
+            # remint's additive twin): each NEW column mints a fresh
+            # physicalName + columnMapping.id ABOVE maxColumnId (ids
+            # never reused), maxColumnId bumps in the same commit,
+            # and staging maps the new logical names through the
+            # extended mapping
+            conf0 = meta.get("configuration") or {}
+            next_id = int(
+                conf0.get("delta.columnMapping.maxColumnId", "0") or 0
+            )
+            physical_of = dict(physical_of)
+            for f in new_srcs:
+                import uuid as _uuid
+
+                next_id += 1
+                phys = f"col-{_uuid.uuid4()}"
+                physical_of[f.name] = phys
+                extra_fields.append(
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        {
+                            "delta.columnMapping.id": next_id,
+                            "delta.columnMapping.physicalName": phys,
+                        },
+                    )
+                )
+            evolve_conf = {
+                **conf0,
+                "delta.columnMapping.maxColumnId": str(next_id),
+            }
+            meta = dict(meta, configuration=evolve_conf)
+        else:
+            extra_fields = [
+                T.StructField(f.name, f.dataType, True)
+                for f in new_srcs
+            ]
         if extra_fields:
             schema = T.StructType(schema.fields + extra_fields)
     if not adds and not_matched is None:
@@ -3127,6 +3161,28 @@ def dml_sql(
             )
 
             return set_iceberg_properties(path, props)
+        actm = re.match(
+            r"^ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+"
+            r"(?P<typ>[\w()\s,]+?)\s*$",
+            rest,
+            re.IGNORECASE,
+        )
+        if actm:
+            # ALTER TABLE t ALTER COLUMN c TYPE <wider> — Delta type
+            # widening WRITE (r16)
+            if fmt != "delta":
+                raise NotImplementedError(
+                    "ALTER COLUMN TYPE is implemented for Delta "
+                    "(type widening); Iceberg type promotion is out "
+                    "of scope"
+                )
+            from census_asc5_data_pipeline_spark.sources.delta_io import (
+                alter_delta_column_type,
+            )
+
+            return alter_delta_column_type(
+                spark, path, actm.group("col"), actm.group("typ")
+            )
         cbm = re.match(
             r"^CLUSTER\s+BY\s*\((?P<cols>[^)]*)\)\s*$",
             rest,

@@ -139,13 +139,17 @@ def test_widened_table_predicate_skipping_sound(spark, tmp_path):
     assert dict(v0.dtypes) == {"k": "int", "v": "float"}
 
 
-def test_widened_table_writes_still_refuse(spark, tmp_path):
+def test_widened_foreign_table_accepts_appends(spark, tmp_path):
+    """r16: typeWidening is a WRITABLE feature now — a foreign
+    widened table takes appends carrying the (widened) current
+    schema; the narrow generation keeps reading."""
     path = str(tmp_path / "wgate")
     _plant_widened(spark, path)
-    with pytest.raises(NotImplementedError, match="typeWidening"):
-        d.write_delta(
-            spark.createDataFrame([(9, 9.0)], "k long, v double"), path
-        )
+    d.write_delta(
+        spark.createDataFrame([(9, 9.0)], "k long, v double"), path
+    )
+    rows = sorted((r.k, r.v) for r in d.read_delta(spark, path).collect())
+    assert rows == [(1, 1.5), (2, 2.5), (9, 9.0), (3_000_000_000, 3.5)]
 
 
 def test_unknown_reader_feature_still_refuses(spark, tmp_path):

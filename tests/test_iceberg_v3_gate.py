@@ -137,3 +137,98 @@ def test_v4_still_blanket_refuses(spark, tmp_path):
     _mk_v3(spark, p, lambda m: m.update({"format-version": 4}))
     with pytest.raises(NotImplementedError, match="format-version 4"):
         ice.read_iceberg(spark, p)
+
+
+def _mk_v3_dv_table(spark, path: str):
+    """A v3 table whose delete snapshot is a real DELETION VECTOR:
+    one data file of ids 0..9, a Puffin deletion-vector-v1 blob
+    masking row positions 1 and 3, committed through a delete
+    manifest carrying the v3 DV fields."""
+    import copy
+    import os
+
+    from census_asc5_data_pipeline_spark.sources import (
+        deletion_vectors as dvm,
+    )
+    from census_asc5_data_pipeline_spark.sources import puffin
+
+    ice.write_iceberg(
+        spark.range(10)
+        .coalesce(1)
+        .select(F.col("id"), (F.col("id") % 3).alias("k")),
+        path,
+    )
+    cur_v, meta = ice._current_metadata(path)
+    data_file = next(
+        d["file_path"]
+        for d in ice._snapshot_files(path, meta, None)[0]
+    )
+    pf = os.path.join(ice._meta_dir(path), "dv-00001.puffin")
+    payload = dvm.write_iceberg_dv_blob([1, 3])
+    (blob_meta,) = puffin.write_puffin(
+        pf,
+        [
+            (
+                payload,
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [2147483546],
+                    "snapshot-id": -1,
+                    "sequence-number": -1,
+                    "properties": {
+                        "referenced-data-file": data_file,
+                        "cardinality": "2",
+                    },
+                },
+            )
+        ],
+    )
+    schema = copy.deepcopy(ice._MANIFEST_ENTRY_SCHEMA)
+    schema["fields"][2]["type"]["fields"] += [
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "default": None},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None},
+        {"name": "content_size_in_bytes", "type": ["null", "long"],
+         "default": None},
+    ]
+    dv_entry = {
+        "content": 1,
+        "file_path": os.path.abspath(pf),
+        "file_format": "PUFFIN",
+        "partition": {},
+        "record_count": 2,
+        "file_size_in_bytes": os.path.getsize(pf),
+        "value_counts": None,
+        "null_value_counts": None,
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "sort_order_id": None,
+        "referenced_data_file": data_file,
+        "content_offset": int(blob_meta["offset"]),
+        "content_size_in_bytes": int(blob_meta["length"]),
+    }
+    ice._commit_delete_snapshot(path, meta, cur_v, [dv_entry], schema)
+    cur_v2, meta2 = ice._current_metadata(path)
+    meta3 = dict(meta2)
+    meta3["format-version"] = 3
+    meta3["next-row-id"] = 10
+    ice._write_metadata_version(path, cur_v2 + 1, meta3)
+
+
+def test_v3_deletion_vectors_read_on_scan_path(spark, tmp_path):
+    """r16 elective on top of verdict #5: the scan DECODES v3 DVs
+    through the shared roaring codec instead of refusing — the two
+    masked positions vanish, everything else survives."""
+    p = str(tmp_path / "t")
+    _mk_v3_dv_table(spark, p)
+    out = ice.read_iceberg(spark, p)
+    assert sorted(r.id for r in out.collect()) == [
+        0, 2, 4, 5, 6, 7, 8, 9,
+    ]
+    # predicate composition still exact over the DV-masked scan
+    assert ice.read_iceberg(spark, p, predicate="id >= 4").count() == 6
+    # the change feed recovers row images from parquet delete files —
+    # a DV cannot feed that; refuse BY NAME, never silently empty
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        ice.read_iceberg_changes(spark, p)

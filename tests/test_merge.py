@@ -1273,3 +1273,73 @@ def test_merge_evolve_schema_noop_still_widens(spark, tmp_path):
     assert sorted(
         (r.id, r.v, r.note) for r in read_delta(spark, path).collect()
     ) == [(1, 10, None), (2, 20, "x")]
+
+
+def test_merge_evolve_schema_on_column_mapped_table(spark, tmp_path):
+    """r16 (the overwriteSchema remint's additive twin): MERGE
+    withSchemaEvolution on a MAPPED table mints fresh
+    physicalName/columnMapping.id per NEW column above maxColumnId,
+    bumps it in the same commit, and stages under the extended
+    mapping — old rows read NULL, follow-up DML green."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+    from census_asc5_data_pipeline_spark.sources.merge import merge_into
+
+    t = str(tmp_path / "t")
+    d.write_delta(
+        spark.range(4)
+        .coalesce(1)
+        .select(F.col("id"), F.lit("a").alias("v")),
+        t,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 9.5), (10, "new", 1.5)],
+        "id long, v string, score double",
+    )
+    merge_into(
+        spark,
+        "delta",
+        t,
+        src,
+        "t.id = s.id",
+        matched=[("update", None, {"v": "s.v", "score": "s.score"})],
+        not_matched={"id": "s.id", "v": "s.v", "score": "s.score"},
+        evolve_schema=True,
+    )
+    out = d.read_delta(spark, t)
+    assert out.columns == ["id", "v", "score"]
+    assert sorted((r.id, r.v, r.score) for r in out.collect()) == [
+        (0, "a", None),
+        (1, "a", None),
+        (2, "B", 9.5),
+        (3, "a", None),
+        (10, "new", 1.5),
+    ]
+    _p, meta, adds, _tx = d._replay(spark, t, None)
+    sch = _json.loads(meta["schemaString"])
+    new_f = sch["fields"][-1]
+    assert new_f["name"] == "score"
+    assert new_f["metadata"]["delta.columnMapping.id"] == 3
+    phys = new_f["metadata"]["delta.columnMapping.physicalName"]
+    assert phys.startswith("col-")
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    # the staged rewrite carries the NEW physical column name
+    import os as _os
+    import urllib.parse as _up
+
+    import pyarrow.parquet as _pq
+
+    assert any(
+        phys
+        in _pq.ParquetFile(
+            _os.path.join(t, _up.unquote(a["path"]))
+        ).schema_arrow.names
+        for a in adds.values()
+    )
+    # follow-up DML over the evolved mapped schema
+    d.delete_delta_where(spark, t, "id = 10", mode="cow")
+    assert d.read_delta(spark, t).count() == 4
