@@ -1700,6 +1700,11 @@ _WRITER_FEATURES = {
     # spellings of the feature name are accepted.
     "clustering",
     "clusteringW",
+    # r16: vacuumProtocolCheck's whole writer demand is "check the
+    # protocol BEFORE vacuum deletes anything" — vacuum_delta has
+    # gated before deletions since r14, so the feature is satisfied
+    # by construction; ordinary writes have no extra duty
+    "vacuumProtocolCheck",
     # r16: type widening WRITE — ALTER COLUMN TYPE records the spec's
     # delta.typeChanges field metadata and upgrades the protocol;
     # appends afterwards carry the widened type by ordinary schema

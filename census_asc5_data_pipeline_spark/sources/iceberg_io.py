@@ -855,6 +855,10 @@ def _decode_manifests_distributed(
                                     "equality_ids": d.get(
                                         "equality_ids"
                                     ),
+                                    # v3 row-lineage field (r16)
+                                    "first_row_id": d.get(
+                                        "first_row_id"
+                                    ),
                                     # v3 deletion-vector fields (r16)
                                     # — dropped here and a DV would
                                     # silently read as an empty
@@ -1310,6 +1314,7 @@ def read_iceberg(
     partition_filter: dict[str, str] | None = None,
     ref: str | None = None,
     predicate: str | None = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table (current snapshot, AS OF
     ``snapshot_id``, or AS OF a named ``ref`` — tag or branch, spec
@@ -1325,7 +1330,17 @@ def read_iceberg(
     PROVE no match are dropped before Spark plans the scan
     (:func:`_skip_by_bounds`), and the full predicate then applies as
     a Spark filter so results stay exact regardless of how
-    conservative the evaluator is."""
+    conservative the evaluator is.
+
+    ``row_lineage=True`` (r16 — the v3 spec\'s Row Lineage, the
+    delta rowTracking READ twin): the result carries ``_row_id`` /
+    ``_last_updated_sequence_number`` — the file\'s MATERIALIZED
+    lineage columns when present (rows carried through a compaction
+    keep their identity that way), else the manifest entry\'s
+    ``first_row_id`` + the row\'s position / the file\'s data
+    sequence number. Requires format-version 3 with every live data
+    file carrying ``first_row_id`` (loud refusal — lineage ids are
+    never fabricated)."""
     _v, meta = _current_metadata(path)
     if ref is not None:
         if snapshot_id is not None:
@@ -1429,10 +1444,93 @@ def read_iceberg(
                     "spark.sql.session.timeZone", "UTC"
                 ),
             )
+    if row_lineage:
+        if fv < 3:
+            raise ValueError(
+                "row_lineage=True needs format-version 3 — row "
+                "lineage does not exist before v3, so materializing "
+                "ids would fabricate values"
+            )
+        if renamed:
+            raise NotImplementedError(
+                "row_lineage over a renamed-column history — the "
+                "field-id scan and the lineage scan don\'t compose"
+            )
     if not live:
         out = spark.createDataFrame([], schema)
+        if row_lineage:
+            from pyspark.sql import functions as F
+
+            out = out.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn(
+                "_last_updated_sequence_number",
+                F.lit(None).cast("long"),
+            )
         return out.filter(residual) if residual is not None else out
     files = [_local(d["file_path"]) for d in live]
+    if row_lineage:
+        from pyspark.sql import functions as F
+
+        missing = sorted(
+            os.path.basename(_local(d["file_path"]))
+            for d in live
+            if d.get("first_row_id") is None
+        )
+        if missing:
+            raise ValueError(
+                f"{len(missing)} live data file(s) carry no "
+                f"first_row_id (e.g. {missing[0]!r}) — lineage ids "
+                "cannot be materialized for them"
+            )
+        # read the materialized lineage columns alongside the schema
+        # (files without them fill null; materialized wins) and keep
+        # positions through the delete-aware scan
+        lineage_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField(
+                    "_last_updated_sequence_number", T.LongType(), True
+                ),
+            ]
+        )
+        scan = _scan_with_deletes(
+            spark, lineage_schema, _fields, live, deletes,
+            keep_pos=True,
+        )
+        fr_rows = [
+            (
+                os.path.basename(_local(d["file_path"])),
+                int(d["first_row_id"]),
+                int(d["_seq"]),
+            )
+            for d in live
+        ]
+        fr_df = spark.createDataFrame(
+            fr_rows, "__frbase string, __fr long, __fseq long"
+        )
+        out = scan.join(
+            F.broadcast(fr_df),
+            scan["__base"] == fr_df["__frbase"],
+            "left",
+        ).select(
+            [F.col(f.name) for f in schema.fields]
+            + [
+                F.coalesce(
+                    F.col("_row_id"), F.col("__fr") + F.col("__ri")
+                )
+                .cast("long")
+                .alias("_row_id"),
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"),
+                    F.col("__fseq"),
+                )
+                .cast("long")
+                .alias("_last_updated_sequence_number"),
+            ]
+        )
+        return out.filter(residual) if residual is not None else out
     if renamed:
         out = _read_by_field_id(
             spark, files, _fields, name_mapping=_parse_name_mapping(meta)

@@ -3161,6 +3161,45 @@ def dml_sql(
             )
 
             return set_iceberg_properties(path, props)
+        acm = re.match(
+            r"^ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+CHECK\s*"
+            r"\((?P<expr>.+)\)\s*$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        dcm = re.match(
+            r"^DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
+            rest,
+            re.IGNORECASE,
+        )
+        if acm or dcm:
+            # ALTER TABLE t ADD CONSTRAINT n CHECK (...) / DROP
+            # CONSTRAINT n — delta-spark's CHECK-constraint DDL
+            # (r16): sugar over the delta.constraints.* property
+            # route, which validates existing rows on ADD
+            if fmt != "delta":
+                raise ValueError(
+                    "CHECK constraints are a Delta feature "
+                    "(delta.constraints.* table properties)"
+                )
+            from census_asc5_data_pipeline_spark.sources.delta_io import (
+                set_delta_properties,
+            )
+
+            if acm:
+                return set_delta_properties(
+                    spark,
+                    path,
+                    {
+                        f"delta.constraints.{acm.group('name').lower()}":
+                            acm.group("expr").strip()
+                    },
+                )
+            return set_delta_properties(
+                spark,
+                path,
+                {f"delta.constraints.{dcm.group('name').lower()}": None},
+            )
         actm = re.match(
             r"^ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+"
             r"(?P<typ>[\w()\s,]+?)\s*$",

@@ -232,3 +232,139 @@ def test_v3_deletion_vectors_read_on_scan_path(spark, tmp_path):
     # a DV cannot feed that; refuse BY NAME, never silently empty
     with pytest.raises(NotImplementedError, match="deletion vector"):
         ice.read_iceberg_changes(spark, p)
+
+
+def _mk_v3_lineage_table(spark, path: str, materialized: bool = False):
+    """A v3 table with row lineage: one data file of ids 0..5 whose
+    manifest entry carries first_row_id=100; with ``materialized``,
+    a second file carries explicit _row_id/_last_updated_sequence_
+    number columns (a compaction's carried rows)."""
+    import copy
+    import os
+
+    from census_asc5_data_pipeline_spark.sources.avro_io import (
+        read_container_generic,
+        write_container_generic,
+    )
+
+    ice.write_iceberg(
+        spark.range(6).coalesce(1).select(F.col("id")), path
+    )
+    if materialized:
+        df2 = spark.range(6, 9).select(
+            F.col("id"),
+            (F.col("id") + 900).alias("_row_id"),
+            F.lit(1).cast("long").alias(
+                "_last_updated_sequence_number"
+            ),
+        )
+        # plant as a plain parquet data file appended via a second
+        # engine write of the id column only, then swap the file
+        ice.write_iceberg(
+            spark.range(6, 9).coalesce(1).select(F.col("id")), path
+        )
+        staging = os.path.join(path, ".stage")
+        df2.coalesce(1).write.mode("overwrite").parquet(staging)
+        src = next(
+            f
+            for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        cur_v, meta = ice._current_metadata(path)
+        live, _dels = ice._snapshot_files(path, meta, None)
+        tgt = next(
+            d["file_path"]
+            for d in live
+            if d.get("record_count") == 3
+        )
+        os.replace(os.path.join(staging, src), ice._local(tgt))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+    # rewrite every manifest with first_row_id stamped
+    cur_v, meta = ice._current_metadata(path)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, ml_rows = read_container_generic(
+        ice._local(snap["manifest-list"])
+    )
+    schema = copy.deepcopy(ice._MANIFEST_ENTRY_SCHEMA)
+    schema["fields"][2]["type"]["fields"] += [
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None},
+    ]
+    first = 100
+    for m in ml_rows:
+        mp = ice._local(m["manifest_path"])
+        _es, entries = read_container_generic(mp)
+        for e in entries:
+            d = dict(e["data_file"])
+            d.setdefault("value_counts", None)
+            d.setdefault("null_value_counts", None)
+            d.setdefault("lower_bounds", None)
+            d.setdefault("upper_bounds", None)
+            d.setdefault("sort_order_id", None)
+            d["first_row_id"] = first
+            first += int(d.get("record_count", 0) or 0)
+            e["data_file"] = d
+        new_mp = mp + ".v3.avro"
+        with open(new_mp, "wb") as fh:
+            write_container_generic(fh, schema, entries)
+        m["manifest_path"] = new_mp
+        m["manifest_length"] = os.path.getsize(new_mp)
+    new_ml = ice._local(snap["manifest-list"]) + ".v3.avro"
+    with open(new_ml, "wb") as fh:
+        write_container_generic(
+            fh,
+            ice._MANIFEST_FILE_SCHEMA,
+            [ice._ml_row(m) for m in ml_rows],
+        )
+    meta2 = dict(meta)
+    meta2["format-version"] = 3
+    meta2["next-row-id"] = first
+    snaps = []
+    for s in meta["snapshots"]:
+        s = dict(s)
+        if s["snapshot-id"] == meta["current-snapshot-id"]:
+            s["manifest-list"] = new_ml
+            s["first-row-id"] = 100
+        snaps.append(s)
+    meta2["snapshots"] = snaps
+    ice._write_metadata_version(path, cur_v + 1, meta2)
+
+
+def test_v3_row_lineage_read_through(spark, tmp_path):
+    """r16 elective: _row_id/_last_updated_sequence_number from
+    first_row_id + position — the delta rowTracking READ twin."""
+    p = str(tmp_path / "t")
+    _mk_v3_lineage_table(spark, p)
+    out = ice.read_iceberg(spark, p, row_lineage=True)
+    rows = {r.id: (r._row_id, r._last_updated_sequence_number)
+            for r in out.collect()}
+    assert rows == {i: (100 + i, 1) for i in range(6)}
+    # plain read unaffected
+    assert ice.read_iceberg(spark, p).columns == ["id"]
+    # v2 tables refuse (lineage does not exist before v3)
+    p2 = str(tmp_path / "v2")
+    ice.write_iceberg(spark.range(3).select(F.col("id")), p2)
+    with pytest.raises(ValueError, match="format-version 3"):
+        ice.read_iceberg(spark, p2, row_lineage=True)
+
+
+def test_v3_row_lineage_materialized_wins(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk_v3_lineage_table(spark, p, materialized=True)
+    out = ice.read_iceberg(spark, p, row_lineage=True)
+    rows = {r.id: r._row_id for r in out.collect()}
+    # file 1: fresh ids off first_row_id; file 2: materialized wins
+    assert {k: v for k, v in rows.items() if k < 6} == {
+        i: 100 + i for i in range(6)
+    }
+    assert {k: v for k, v in rows.items() if k >= 6} == {
+        i: i + 900 for i in range(6, 9)
+    }
+    # hidden lineage columns never leak into a plain read
+    assert ice.read_iceberg(spark, p).columns == ["id"]

@@ -651,3 +651,73 @@ def test_column_mapping_mode_is_immutable(spark, tmp_path):
     set_delta_properties(
         spark, up, {"delta.columnMapping.mode": None, "owner": "y"}
     )
+
+
+def test_add_drop_constraint_sql(spark, tmp_path):
+    """r16: ALTER TABLE ADD/DROP CONSTRAINT — sugar over the
+    delta.constraints.* property route (ADD validates existing rows;
+    a violated ADD refuses; DROP re-opens the gate)."""
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+    from census_asc5_data_pipeline_spark.sources.merge import dml_sql
+
+    p = str(tmp_path / "t")
+    cat: dict = {}
+    dml_sql(
+        spark,
+        f"CREATE TABLE t (k bigint, v bigint) USING delta "
+        f"LOCATION '{p}'",
+        cat,
+    )
+    dml_sql(spark, "INSERT INTO t VALUES (1, 10), (2, 20)", cat)
+    dml_sql(
+        spark, "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)", cat
+    )
+    _pr, meta, _a, _t = d._replay(spark, p, None)
+    assert meta["configuration"]["delta.constraints.v_pos"] == "v > 0"
+    with pytest.raises(ValueError, match="v_pos"):
+        dml_sql(spark, "INSERT INTO t VALUES (3, -1)", cat)
+    # an ADD the existing rows violate refuses (delta-spark behavior)
+    with pytest.raises(ValueError, match="k_big"):
+        dml_sql(
+            spark,
+            "ALTER TABLE t ADD CONSTRAINT k_big CHECK (k > 100)",
+            cat,
+        )
+    dml_sql(spark, "ALTER TABLE t DROP CONSTRAINT v_pos", cat)
+    dml_sql(spark, "INSERT INTO t VALUES (3, -1)", cat)
+    assert d.read_delta(spark, p).count() == 3
+
+
+def test_vacuum_protocol_check_feature_accepted(spark, tmp_path):
+    """r16: vacuumProtocolCheck joins the writable features — vacuum
+    has gated the protocol BEFORE deleting anything since r14, which
+    is the feature's entire writer demand."""
+    import json as _json
+    import os as _os
+
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "t")
+    d.write_delta(
+        spark.range(4).coalesce(1).select(F.col("id")), p
+    )
+    # foreign protocol listing the feature
+    log = _os.path.join(p, "_delta_log", f"{0:020d}.json")
+    lines = [_json.loads(x) for x in open(log) if x.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["vacuumProtocolCheck"],
+                "writerFeatures": ["vacuumProtocolCheck"],
+            }
+    with open(log, "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in lines) + "\n")
+    d.write_delta(spark.range(4, 6).coalesce(1).select(F.col("id")), p)
+    assert d.read_delta(spark, p).count() == 6
+    res = d.vacuum_delta(spark, p, keep_versions=1)
+    assert res["retained_versions"] == [1]
+    assert d.read_delta(spark, p).count() == 6
