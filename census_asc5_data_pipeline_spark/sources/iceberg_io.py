@@ -488,7 +488,8 @@ _V3_UNSUPPORTED_TYPES = (
 
 
 def _format_version_gate(
-    meta: dict, operation: str, write: bool = False
+    meta: dict, operation: str, write: bool = False,
+    v3_write_ok: bool = False,
 ) -> int:
     """Per-feature format-version gate (r16, r15 verdict #5 — the
     v1/v2 blanket refusal split). v1/v2 pass. v3 metadata PARSES and
@@ -524,12 +525,11 @@ def _format_version_gate(
             f"format-version {fv}: this spec-level engine knows "
             "v1/v2 (full) and v3 (read-only, per-feature)"
         )
-    if write:
+    if write and not v3_write_ok:
         raise NotImplementedError(
-            f"{operation} on a format-version 3 table: v3 writers "
-            "must maintain row lineage (next-row-id / first-row-id), "
-            "which this writer does not implement — and rewriting "
-            "the metadata would downgrade the table"
+            f"{operation} on a format-version 3 table: this verb "
+            "does not maintain the v3 writer duties (row lineage on "
+            "rewrites) — append and DV DELETE do (r16)"
         )
     schemas = meta.get("schemas") or (
         [meta["schema"]] if meta.get("schema") else []
@@ -2309,7 +2309,9 @@ def write_iceberg(
         )
     if exists:
         cur_v, meta = _current_metadata(path)
-        _format_version_gate(meta, "write_iceberg", write=True)
+        _format_version_gate(
+            meta, "write_iceberg", write=True, v3_write_ok=True
+        )
         if branch is not None:
             bref = (meta.get("refs") or {}).get(branch)
             if bref is None:
@@ -2502,11 +2504,30 @@ def write_iceberg(
     new_v = (cur_v or 0) + 1
     snap_id = new_v
     seq = new_v
+    # v3 ROW LINEAGE maintenance (r16 — the spec's mandatory v3
+    # writer duty): every new data file takes an explicit
+    # first_row_id block above the table's next-row-id, the snapshot
+    # records its first-row-id, and next-row-id advances in the same
+    # commit — fresh-row identity without any data rewrite
+    fv_tbl = int(meta.get("format-version", 2)) if exists else 2
+    lineage_first: int | None = None
+    lineage_next: int | None = None
+    if fv_tbl >= 3:
+        lineage_first = int(meta.get("next-row-id", 0) or 0)
+        lineage_next = lineage_first
+        for d in data_files:
+            d["first_row_id"] = lineage_next
+            lineage_next += int(d["record_count"])
     os.makedirs(_meta_dir(path), exist_ok=True)
     man_path = os.path.join(
         _meta_dir(path), f"manifest-{snap_id}-{uuid.uuid4().hex}.avro"
     )
     entry_schema = _entry_schema_for(pcol_ice)
+    if fv_tbl >= 3:
+        entry_schema["fields"][2]["type"]["fields"].append(
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None}
+        )
     with open(man_path, "wb") as fh:
         write_container_generic(
             fh,
@@ -2625,6 +2646,8 @@ def write_iceberg(
         ),
         "schema-id": cur_sid,
     }
+    if lineage_first is not None:
+        snapshot["first-row-id"] = int(lineage_first)
     if parent is not None and parent != -1:
         # spec §snapshots: parent-snapshot-id makes branch ancestry
         # (fast_forward's is-ancestor check) exact instead of
@@ -2635,7 +2658,13 @@ def write_iceberg(
         # the branch head advances; retention knobs ride along
         refs_out[branch] = {**refs_out[branch], "snapshot-id": snap_id}
     new_meta = {
-        "format-version": 2,
+        # a v3 table stays v3 — rebuilding at 2 would downgrade it
+        "format-version": fv_tbl if exists else 2,
+        **(
+            {"next-row-id": int(lineage_next)}
+            if lineage_next is not None
+            else {}
+        ),
         "table-uuid": meta.get("table-uuid", str(uuid.uuid4())),
         "location": os.path.abspath(path),
         "last-sequence-number": seq,
@@ -4432,7 +4461,9 @@ def delete_iceberg_where(
     retained snapshots. Returns the snapshot id."""
     spark = keys_df.sparkSession
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "DELETE", write=True)
+    # equality deletes stay FILES in v3 (DVs replace only position
+    # deletes) and add no data files, so no lineage duty arises
+    _format_version_gate(meta, "DELETE", write=True, v3_write_ok=True)
     _schema, fields = _schema_of(meta)  # rename gate applies
     by_name = {f["name"]: f for f in fields}
     eq_ids: list[int] = []
@@ -4691,7 +4722,9 @@ def delete_iceberg_positions(
     from pyspark.sql import functions as F
 
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "DELETE", write=True)
+    fv = _format_version_gate(
+        meta, "DELETE", write=True, v3_write_ok=True
+    )
     branch_head = None
     if branch is not None:
         bref = (meta.get("refs") or {}).get(branch)
@@ -4745,6 +4778,104 @@ def delete_iceberg_positions(
             sorted(abs_of_base.items()), "__base string, __abs string"
         )
     )
+    if fv >= 3:
+        # v3 writers MUST express position deletes as DELETION
+        # VECTORS, not parquet delete files (table spec §Deletion
+        # vectors): one Puffin file, one deletion-vector-v1 blob per
+        # touched data file, the manifest entries carrying the DV
+        # reference fields. Matched positions pass through the driver
+        # to reach the blob writer — O(matched rows), the same
+        # documented trade as delta_io's DV-mode DELETE.
+        from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+            write_iceberg_dv_blob,
+        )
+        from census_asc5_data_pipeline_spark.sources.puffin import (
+            write_puffin,
+        )
+
+        hit_rows = (
+            scan.where(where)
+            .join(base_df, "__base")
+            .groupBy("__abs")
+            .agg(F.collect_list("__ri").alias("pos"))
+            .collect()
+        )
+        if not hit_rows:
+            return None
+        already = {
+            os.path.basename(_local(d["referenced_data_file"]))
+            for d in delete_fs
+            if _is_dv_entry(d)
+        }
+        clash = sorted(
+            os.path.basename(r["__abs"])
+            for r in hit_rows
+            if os.path.basename(r["__abs"]) in already
+        )
+        if clash:
+            raise NotImplementedError(
+                f"data file(s) {clash[:3]} already carry a deletion "
+                "vector — the spec allows at most one DV per file, "
+                "and replacing one (union + retire the old entry) is "
+                "out of scope; compact first"
+            )
+        new_snap = cur_v + 1
+        new_seq = int(meta.get("last-sequence-number", cur_v)) + 1
+        blobs = []
+        ordered = sorted(hit_rows, key=lambda r: r["__abs"])
+        for r in ordered:
+            blobs.append(
+                (
+                    write_iceberg_dv_blob(
+                        sorted(int(p_) for p_ in r["pos"])
+                    ),
+                    {
+                        "type": "deletion-vector-v1",
+                        "fields": [],
+                        "snapshot-id": new_snap,
+                        "sequence-number": new_seq,
+                        "properties": {
+                            "referenced-data-file": r["__abs"],
+                            "cardinality": str(len(set(r["pos"]))),
+                        },
+                    },
+                )
+            )
+        pf = os.path.join(
+            _meta_dir(path), f"dv-{uuid.uuid4().hex}.puffin"
+        )
+        blob_metas = write_puffin(pf, blobs)
+        dv_schema = _entry_schema_for([])
+        dv_schema["fields"][2]["type"]["fields"] += [
+            {"name": "referenced_data_file",
+             "type": ["null", "string"], "default": None},
+            {"name": "content_offset", "type": ["null", "long"],
+             "default": None},
+            {"name": "content_size_in_bytes",
+             "type": ["null", "long"], "default": None},
+        ]
+        dv_files = [
+            {
+                "content": 1,
+                "file_path": os.path.abspath(pf),
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": len(set(r["pos"])),
+                "file_size_in_bytes": os.path.getsize(pf),
+                "referenced_data_file": r["__abs"],
+                "content_offset": int(bm["offset"]),
+                "content_size_in_bytes": int(bm["length"]),
+            }
+            for r, bm in zip(ordered, blob_metas)
+        ]
+        if _current_metadata(path)[0] != cur_v:
+            raise ValueError(
+                "concurrent commit landed during DV planning — "
+                "aborting without committing (positions may be stale)"
+            )
+        return _commit_delete_snapshot(
+            path, meta, cur_v, dv_files, dv_schema, branch=branch
+        )
     pos_df = (
         scan.where(where)
         .join(base_df, "__base")

@@ -111,9 +111,15 @@ def test_vacuum_protocol_check_reads(spark, tmp_path):
         1,
         2,
     ]
-    # any write (vacuum included) still refuses via the writer gate
-    with pytest.raises(NotImplementedError, match="vacuumProtocolCheck"):
-        d.vacuum_delta(spark, path)
+    # r16: the feature is WRITABLE — vacuum has gated the protocol
+    # BEFORE deleting anything since r14, the feature's entire demand
+    # (the acceptance round-trip is pinned in tests/test_sql_ddl.py)
+    res = d.vacuum_delta(spark, path, keep_versions=1)
+    assert res["retained_versions"] == [0]
+    assert sorted(r.k for r in d.read_delta(spark, path).collect()) == [
+        1,
+        2,
+    ]
 
 
 def test_unknown_feature_combination_still_refuses(spark, tmp_path):

@@ -46,14 +46,13 @@ def test_v3_with_v2_features_reads(spark, tmp_path):
     assert ice.read_iceberg_meta(spark, p, "snapshots").count() >= 1
 
 
-def test_v3_writes_refuse_by_name(spark, tmp_path):
+def test_v3_rewriting_verbs_refuse_by_name(spark, tmp_path):
+    """Verbs that REWRITE rows would have to materialize lineage
+    columns — still refused; append + DV DELETE maintain lineage and
+    write (see test_v3_append_and_dv_delete_write)."""
     p = str(tmp_path / "t")
     _mk_v3(spark, p)
     df = spark.range(2).select(F.col("id"), (F.col("id") % 3).alias("k"))
-    with pytest.raises(NotImplementedError, match="row lineage"):
-        ice.write_iceberg(df, p)
-    with pytest.raises(NotImplementedError, match="row lineage"):
-        ice.delete_iceberg_positions(spark, p, "id = 1")
     with pytest.raises(NotImplementedError, match="row lineage"):
         ice.rewrite_data_files(spark, p)
     with pytest.raises(NotImplementedError, match="row lineage"):
@@ -368,3 +367,69 @@ def test_v3_row_lineage_materialized_wins(spark, tmp_path):
     }
     # hidden lineage columns never leak into a plain read
     assert ice.read_iceberg(spark, p).columns == ["id"]
+
+
+def test_v3_append_and_dv_delete_write(spark, tmp_path):
+    """r16 flagship elective: v3 WRITE for the lineage-preserving
+    verbs — appends stamp first_row_id blocks above next-row-id and
+    advance it (format-version 3 preserved, never downgraded);
+    position DELETEs write Puffin deletion-vector-v1 blobs (the
+    spec's mandatory v3 delete shape) that the scan reads back."""
+    p = str(tmp_path / "t")
+    _mk_v3_lineage_table(spark, p)  # ids 100..105, next-row-id 106
+    sid = ice.write_iceberg(
+        spark.range(50, 53).coalesce(1).select(F.col("id")), p
+    )
+    out = ice.read_iceberg(spark, p, row_lineage=True)
+    rows = {r.id: r._row_id for r in out.collect()}
+    assert rows == {i: 100 + i for i in range(6)} | {
+        50: 106, 51: 107, 52: 108,
+    }
+    _v, meta = ice._current_metadata(p)
+    assert meta["format-version"] == 3  # never downgraded
+    assert meta["next-row-id"] == 109
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == sid
+    )
+    assert snap["first-row-id"] == 106
+    # DV delete: a Puffin blob per touched file, scan applies it
+    did = ice.delete_iceberg_positions(spark, p, "id IN (1, 51)")
+    assert did is not None
+    assert sorted(
+        r.id for r in ice.read_iceberg(spark, p).collect()
+    ) == [0, 2, 3, 4, 5, 50, 52]
+    # survivors keep their lineage ids
+    after = {
+        r.id: r._row_id
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    assert after == {k: v for k, v in rows.items() if k not in (1, 51)}
+    # the delete files really are Puffin DVs
+    _v2, meta2 = ice._current_metadata(p)
+    _live, dels = ice._snapshot_files(p, meta2, None)
+    assert dels and all(ice._is_dv_entry(d) for d in dels)
+    s2 = next(
+        s for s in meta2["snapshots"] if s["snapshot-id"] == did
+    )
+    assert s2["summary"]["added-position-deletes"] == "2"
+    # no-match delete commits nothing
+    assert ice.delete_iceberg_positions(spark, p, "id = 999") is None
+    # a second DV on an already-vectored file refuses (at most one
+    # DV per file, per spec)
+    with pytest.raises(NotImplementedError, match="at most one DV"):
+        ice.delete_iceberg_positions(spark, p, "id = 2")
+
+
+def test_v3_equality_delete_still_writes_files(spark, tmp_path):
+    """Equality deletes remain FILES in v3 (DVs replace only
+    position deletes) — delete_iceberg_where keeps working."""
+    p = str(tmp_path / "t")
+    _mk_v3_lineage_table(spark, p)
+    keys = spark.createDataFrame([(2,), (4,)], "id long")
+    sid = ice.delete_iceberg_where(keys, p)
+    assert sid is not None
+    assert sorted(
+        r.id for r in ice.read_iceberg(spark, p).collect()
+    ) == [0, 1, 3, 5]
+    _v, meta = ice._current_metadata(p)
+    assert meta["format-version"] == 3
