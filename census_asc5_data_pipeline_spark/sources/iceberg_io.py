@@ -496,11 +496,14 @@ def _format_version_gate(
     READS when only v2-compatible features are in play; each
     unsupported feature refuses BY NAME:
 
-    - WRITES to v3 refuse outright: the spec makes row lineage
-      mandatory for v3 writers (``next-row-id`` on metadata,
-      ``first-row-id`` on snapshots/manifests), which this writer
-      does not maintain — and the metadata rebuild would otherwise
-      silently DOWNGRADE the table to format-version 2;
+    - v3 WRITES pass only for verbs that maintain the spec's
+      mandatory row-lineage duties (``v3_write_ok=True``): append /
+      compaction / UPDATE / MERGE stamp first_row_id blocks and
+      materialize rewritten rows' ids, DELETEs commit deletion
+      vectors, and the metadata-only verbs carry ``next-row-id`` /
+      ``format-version`` forward via their dict(meta) rebuilds. A
+      future verb that rebuilds metadata from scratch must keep
+      refusing — it would silently DOWNGRADE the table to v2;
     - schema fields typed ``variant``/``geometry``/``geography``/
       ``timestamp_ns``/``timestamptz_ns``/``unknown`` refuse (no
       v2-compatible mapping);
@@ -529,7 +532,8 @@ def _format_version_gate(
         raise NotImplementedError(
             f"{operation} on a format-version 3 table: this verb "
             "does not maintain the v3 writer duties (row lineage on "
-            "rewrites) — append and DV DELETE do (r16)"
+            "rewrites) — append, DELETE, UPDATE, MERGE and "
+            "compaction do (r16)"
         )
     schemas = meta.get("schemas") or (
         [meta["schema"]] if meta.get("schema") else []
@@ -1470,66 +1474,7 @@ def read_iceberg(
         return out.filter(residual) if residual is not None else out
     files = [_local(d["file_path"]) for d in live]
     if row_lineage:
-        from pyspark.sql import functions as F
-
-        missing = sorted(
-            os.path.basename(_local(d["file_path"]))
-            for d in live
-            if d.get("first_row_id") is None
-        )
-        if missing:
-            raise ValueError(
-                f"{len(missing)} live data file(s) carry no "
-                f"first_row_id (e.g. {missing[0]!r}) — lineage ids "
-                "cannot be materialized for them"
-            )
-        # read the materialized lineage columns alongside the schema
-        # (files without them fill null; materialized wins) and keep
-        # positions through the delete-aware scan
-        lineage_schema = T.StructType(
-            schema.fields
-            + [
-                T.StructField("_row_id", T.LongType(), True),
-                T.StructField(
-                    "_last_updated_sequence_number", T.LongType(), True
-                ),
-            ]
-        )
-        scan = _scan_with_deletes(
-            spark, lineage_schema, _fields, live, deletes,
-            keep_pos=True,
-        )
-        fr_rows = [
-            (
-                os.path.basename(_local(d["file_path"])),
-                int(d["first_row_id"]),
-                int(d["_seq"]),
-            )
-            for d in live
-        ]
-        fr_df = spark.createDataFrame(
-            fr_rows, "__frbase string, __fr long, __fseq long"
-        )
-        out = scan.join(
-            F.broadcast(fr_df),
-            scan["__base"] == fr_df["__frbase"],
-            "left",
-        ).select(
-            [F.col(f.name) for f in schema.fields]
-            + [
-                F.coalesce(
-                    F.col("_row_id"), F.col("__fr") + F.col("__ri")
-                )
-                .cast("long")
-                .alias("_row_id"),
-                F.coalesce(
-                    F.col("_last_updated_sequence_number"),
-                    F.col("__fseq"),
-                )
-                .cast("long")
-                .alias("_last_updated_sequence_number"),
-            ]
-        )
+        out = _lineage_scan(spark, schema, _fields, live, deletes)
         return out.filter(residual) if residual is not None else out
     if renamed:
         out = _read_by_field_id(
@@ -1542,6 +1487,86 @@ def read_iceberg(
     # skipping only prunes files PROVEN matchless; the row-wise
     # filter keeps the semantics exact
     return out.filter(residual) if residual is not None else out
+
+
+def _lineage_scan(
+    spark: SparkSession,
+    schema: T.StructType,
+    fields: list[dict],
+    live: list[dict],
+    deletes: list[dict],
+    keep_pos: bool = False,
+) -> DataFrame:
+    """All schema columns + the v3 Row Lineage pair, coalesced per
+    row per spec: the file's MATERIALIZED ``_row_id`` /
+    ``_last_updated_sequence_number`` columns when non-null (rows
+    carried through a rewrite keep their identity), else the manifest
+    entry's ``first_row_id`` + the row's position / the file's data
+    sequence number. Every live file must carry ``first_row_id``
+    (loud refusal — lineage ids are never fabricated). Shared by
+    ``read_iceberg(row_lineage=True)`` and the v3 rewriting verbs,
+    whose spec duty is to write exactly these values back."""
+    from pyspark.sql import functions as F
+
+    missing = sorted(
+        os.path.basename(_local(d["file_path"]))
+        for d in live
+        if d.get("first_row_id") is None
+    )
+    if missing:
+        raise ValueError(
+            f"{len(missing)} live data file(s) carry no "
+            f"first_row_id (e.g. {missing[0]!r}) — lineage ids "
+            "cannot be materialized for them"
+        )
+    # read the materialized lineage columns alongside the schema
+    # (files without them fill null; materialized wins) and keep
+    # positions through the delete-aware scan
+    lineage_schema = T.StructType(
+        schema.fields
+        + [
+            T.StructField("_row_id", T.LongType(), True),
+            T.StructField(
+                "_last_updated_sequence_number", T.LongType(), True
+            ),
+        ]
+    )
+    scan = _scan_with_deletes(
+        spark, lineage_schema, fields, live, deletes,
+        keep_pos=True,
+    )
+    fr_rows = [
+        (
+            os.path.basename(_local(d["file_path"])),
+            int(d["first_row_id"]),
+            int(d["_seq"]),
+        )
+        for d in live
+    ]
+    fr_df = spark.createDataFrame(
+        fr_rows, "__frbase string, __fr long, __fseq long"
+    )
+    joined = scan.join(
+        F.broadcast(fr_df),
+        scan["__base"] == fr_df["__frbase"],
+        "left",
+    )
+    sel = [F.col(f.name) for f in schema.fields] + [
+        F.coalesce(F.col("_row_id"), F.col("__fr") + F.col("__ri"))
+        .cast("long")
+        .alias("_row_id"),
+        F.coalesce(
+            F.col("_last_updated_sequence_number"),
+            F.col("__fseq"),
+        )
+        .cast("long")
+        .alias("_last_updated_sequence_number"),
+    ]
+    if keep_pos:
+        # the MoR DML planners address rows by (file basename,
+        # position) — keep the scan's addressing columns
+        sel += [scan["__base"], scan["__ri"]]
+    return joined.select(sel)
 
 
 def _scan_with_deletes(
@@ -3114,7 +3139,12 @@ def set_iceberg_properties(path: str, props: dict[str, str]) -> int:
     commits, exactly as the reference engine's table-options DDL
     behaves. Returns the new metadata version number."""
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "SET TBLPROPERTIES", write=True)
+    _format_version_gate(
+        meta, "SET TBLPROPERTIES", write=True,
+        # metadata-only: new_meta = dict(meta) carries format-version
+        # and next-row-id forward, so no lineage duty arises (r16)
+        v3_write_ok=True,
+    )
     merged = dict(meta.get("properties") or {})
     for k, v in props.items():
         if v is None:
@@ -3181,7 +3211,12 @@ def update_sort_order(path: str, order_by: list[str]) -> int:
     provides after the fact. ``[]`` resets to unsorted (order 0).
     Returns the new metadata version."""
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "WRITE ORDERED BY", write=True)
+    _format_version_gate(
+        meta, "WRITE ORDERED BY", write=True,
+        # metadata-only: new_meta = dict(meta) carries format-version
+        # and next-row-id forward, so no lineage duty arises (r16)
+        v3_write_ok=True,
+    )
     _schema, fields = _schema_of(meta)
     by_name = {f["name"]: f for f in fields}
     parsed: list[dict] = []
@@ -3280,7 +3315,12 @@ def update_partition_spec(
     specs. An identical field list is a no-op returning the current
     metadata version. Returns the new metadata version."""
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "partition spec update", write=True)
+    _format_version_gate(
+        meta, "partition spec update", write=True,
+        # metadata-only: new_meta = dict(meta) carries format-version
+        # and next-row-id forward, so no lineage duty arises (r16)
+        v3_write_ok=True,
+    )
     _schema, fields = _schema_of(meta)
     by_name = {f["name"]: f for f in fields}
     parsed = _parse_partition_by(list(partition_by))
@@ -3352,7 +3392,12 @@ def _set_ref(path: str, name: str, entry: dict | None) -> int:
     """Commit a new metadata version whose ``refs[name]`` is
     ``entry`` (None = drop the ref). Metadata-only — no snapshot."""
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "ref update", write=True)
+    _format_version_gate(
+        meta, "ref update", write=True,
+        # metadata-only: new_meta = dict(meta) carries format-version
+        # and next-row-id forward, so no lineage duty arises (r16)
+        v3_write_ok=True,
+    )
     refs = dict(meta.get("refs") or {})
     if entry is None:
         if name not in refs:
@@ -3560,7 +3605,12 @@ def fast_forward(path: str, target: str, source: str) -> int:
     branch ref keeps pointing at the (now-published) head — drop it
     with :func:`drop_ref` when the audit cycle is done."""
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "fast_forward", write=True)
+    _format_version_gate(
+        meta, "fast_forward", write=True,
+        # metadata-only: new_meta = dict(meta) carries format-version
+        # and next-row-id forward, so no lineage duty arises (r16)
+        v3_write_ok=True,
+    )
     refs = meta.get("refs") or {}
     if target == source:
         raise ValueError("fast_forward target and source are the same ref")
@@ -3700,7 +3750,12 @@ def _new_schema_version(path: str, mutate) -> int:
     fields)`` (field ids stable) in a new metadata version — the
     shared shape of ADD/RENAME/DROP COLUMNS. No snapshot."""
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "schema change", write=True)
+    _format_version_gate(
+        meta, "schema change", write=True,
+        # metadata-only: new_meta = dict(meta) carries format-version
+        # and next-row-id forward, so no lineage duty arises (r16)
+        v3_write_ok=True,
+    )
     _s, fields = _schema_of(meta, allow_renames=True)
     new_fields = mutate(meta, [dict(f) for f in fields])
     prev_schemas = meta.get("schemas") or (
@@ -3837,7 +3892,12 @@ def expire_snapshots(
     metadata_files_removed, retained_snapshot_ids}.
     """
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "expire_snapshots", write=True)
+    _format_version_gate(
+        meta, "expire_snapshots", write=True,
+        # metadata-only: new_meta = dict(meta) carries format-version
+        # and next-row-id forward, so no lineage duty arises (r16)
+        v3_write_ok=True,
+    )
     cur_meta_file = os.path.join(
         _meta_dir(path), f"v{cur_v}.metadata.json"
     )
@@ -4161,7 +4221,14 @@ def rewrite_data_files(
     swap. Returns {partitions_compacted, files_before, files_after,
     snapshot_id} (snapshot_id None = nothing to do)."""
     cur_v, meta = _current_metadata(path)
-    _format_version_gate(meta, "rewrite_data_files", write=True)
+    # v3 compaction is lineage-preserving since r16: rewritten rows
+    # carry their coalesced _row_id / _last_updated_sequence_number
+    # as MATERIALIZED columns (the spec's mandatory rewrite duty),
+    # new files still take fresh first_row_id blocks, next-row-id
+    # advances. Materialized lineage columns resolve by NAME on read.
+    fv = _format_version_gate(
+        meta, "rewrite_data_files", write=True, v3_write_ok=True
+    )
     schema, fields = _schema_of(meta)
     specs = meta.get("partition-specs") or (
         [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
@@ -4253,7 +4320,12 @@ def rewrite_data_files(
         staging = os.path.join(
             path, "data", f".staging-{uuid.uuid4().hex}"
         )
-        if delete_fs:
+        if fv >= 3:
+            # carried rows keep their identity: the coalesced lineage
+            # pair writes back as materialized columns (unchanged
+            # rows, so BOTH values are the originals)
+            src = _lineage_scan(spark, schema, fields, files, delete_fs)
+        elif delete_fs:
             src = _scan_with_deletes(
                 spark, schema, fields, files, delete_fs
             )
@@ -4336,6 +4408,8 @@ def rewrite_data_files(
                     "null_value_counts",
                     "lower_bounds",
                     "upper_bounds",
+                    # untouched v3 files keep their lineage block
+                    "first_row_id",
                 )
                 if d.get(k) is not None
             },
@@ -4350,11 +4424,28 @@ def rewrite_data_files(
     man_path = os.path.join(
         _meta_dir(path), f"manifest-{snap_id}-{uuid.uuid4().hex}.avro"
     )
+    lineage_first: int | None = None
+    lineage_next: int | None = None
+    if fv >= 3:
+        # fresh blocks per spec even though every rewritten row has a
+        # materialized _row_id (the block covers only rows whose
+        # materialized id is null — here none); next-row-id advances
+        lineage_first = int(meta.get("next-row-id", 0) or 0)
+        lineage_next = lineage_first
+        for d in new_files:
+            d["first_row_id"] = lineage_next
+            lineage_next += int(d["record_count"])
     all_files = kept + new_files
+    entry_schema = _entry_schema_for(pcol_ice)
+    if fv >= 3:
+        entry_schema["fields"][2]["type"]["fields"].append(
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None}
+        )
     with open(man_path, "wb") as fh:
         write_container_generic(
             fh,
-            _entry_schema_for(pcol_ice),
+            entry_schema,
             [
                 # status=0 EXISTING: rearrangement, not new data
                 {"status": 0, "snapshot_id": snap_id, "data_file": d}
@@ -4423,7 +4514,11 @@ def rewrite_data_files(
         ),
         "schema-id": meta.get("current-schema-id", 0),
     }
+    if lineage_first is not None:
+        snapshot["first-row-id"] = int(lineage_first)
     new_meta = dict(meta)
+    if lineage_next is not None:
+        new_meta["next-row-id"] = int(lineage_next)
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snap_id
@@ -4561,6 +4656,76 @@ def _default_spec_pcol_ice(meta: dict) -> list[tuple[str, str]]:
         return []
 
 
+def _drop_superseded_dv_entries(
+    path: str,
+    prev_manifests: list[dict],
+    superseded: list[tuple[str, int]],
+) -> list[dict]:
+    """Retire REPLACED deletion-vector entries from the re-listed
+    prior manifests (spec §Deletion vectors: at most one DV per data
+    file — a replacement commit must remove the entry it supersedes
+    in the SAME snapshot). Prior delete manifests containing a
+    superseded (puffin path, content_offset) entry are rewritten
+    WITHOUT it into a fresh manifest file (historical snapshots keep
+    pointing at the originals, so time travel is intact); the
+    manifest-list row's counts are recomputed from the surviving
+    entries, and a manifest left empty drops out of the list."""
+    if not superseded:
+        return prev_manifests
+    keys = set(superseded)
+    out: list[dict] = []
+    for m in prev_manifests:
+        if int(m.get("content", 0)) != 1:
+            out.append(m)
+            continue
+        schema_json, entries = read_container_generic(
+            _local(m["manifest_path"])
+        )
+        kept = [
+            e
+            for e in entries
+            if (
+                os.path.abspath(
+                    _local(e["data_file"]["file_path"])
+                ),
+                int(e["data_file"].get("content_offset") or -1),
+            )
+            not in keys
+        ]
+        if len(kept) == len(entries):
+            out.append(m)
+            continue
+        if not kept:
+            continue  # every entry superseded — drop the manifest
+        new_path = os.path.join(
+            _meta_dir(path),
+            f"manifest-dvsup-{uuid.uuid4().hex}.avro",
+        )
+        with open(new_path, "wb") as fh:
+            write_container_generic(fh, schema_json, kept)
+        added = [e for e in kept if int(e.get("status", 1)) == 1]
+        out.append(
+            {
+                **m,
+                "manifest_path": os.path.abspath(new_path),
+                "manifest_length": os.path.getsize(new_path),
+                "added_files_count": len(added),
+                "existing_files_count": len(kept) - len(added),
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    int(e["data_file"]["record_count"]) for e in added
+                ),
+                "existing_rows_count": sum(
+                    int(e["data_file"]["record_count"])
+                    for e in kept
+                    if int(e.get("status", 1)) != 1
+                ),
+                "deleted_rows_count": 0,
+            }
+        )
+    return out
+
+
 def _commit_delete_snapshot(
     path: str,
     meta: dict,
@@ -4568,6 +4733,7 @@ def _commit_delete_snapshot(
     delete_files: list[dict],
     entry_schema: dict,
     branch: str | None = None,
+    superseded: list[tuple[str, int]] | None = None,
 ) -> int:
     """Shared commit tail of :func:`delete_iceberg_where` /
     :func:`delete_iceberg_positions`: list the staged delete files in
@@ -4624,6 +4790,9 @@ def _commit_delete_snapshot(
         _s, prev_manifests = read_container_generic(
             _local(snap["manifest-list"])
         )
+    prev_manifests = _drop_superseded_dv_entries(
+        path, prev_manifests, superseded or []
+    )
     new_manifest = {
         "manifest_path": os.path.abspath(man_path),
         "manifest_length": os.path.getsize(man_path),
@@ -4696,6 +4865,108 @@ def _commit_delete_snapshot(
         ]
     _write_metadata_version(path, new_v, new_meta)
     return snap_id
+
+
+def _stage_dv_files(
+    path: str,
+    meta: dict,
+    cur_v: int,
+    hits: list[tuple[str, list[int]]],
+    existing_deletes: list[dict],
+) -> tuple[list[dict], dict, list[tuple[str, int]]]:
+    """v3 writers MUST express position deletes as DELETION VECTORS,
+    not parquet delete files (table spec §Deletion vectors): one
+    Puffin file, one deletion-vector-v1 blob per touched data file,
+    the manifest entries carrying the DV reference fields. ``hits``
+    is [(absolute data-file path, matched positions)] — positions
+    pass through the driver to reach the blob writer (O(matched
+    rows), the same documented trade as delta_io's DV-mode DELETE).
+    A data file that already carries a DV gets a REPLACEMENT per the
+    spec's at-most-one-DV rule: the new blob is the union of the old
+    positions and the new ones, and the old entry is superseded —
+    the commit must drop it from the re-listed prior manifests
+    (:func:`_drop_superseded_dv_entries`) in the same snapshot.
+    Returns (delete-file entries, their extended manifest-entry
+    schema, superseded (puffin path, content_offset) keys). Shared by
+    DELETE (:func:`delete_iceberg_positions`) and the v3 MoR
+    UPDATE/MERGE commit (merge.py)."""
+    from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+        read_iceberg_dv,
+        write_iceberg_dv_blob,
+    )
+    from census_asc5_data_pipeline_spark.sources.puffin import (
+        write_puffin,
+    )
+
+    old_dv_by_base = {
+        os.path.basename(_local(d["referenced_data_file"])): d
+        for d in existing_deletes
+        if _is_dv_entry(d)
+    }
+    superseded: list[tuple[str, int]] = []
+    merged_hits: list[tuple[str, list[int]]] = []
+    for abs_p, pos in hits:
+        old = old_dv_by_base.get(os.path.basename(abs_p))
+        if old is not None:
+            old_pos = read_iceberg_dv(
+                _local(old["file_path"]),
+                int(old["content_offset"]),
+                int(old["content_size_in_bytes"]),
+            )
+            pos = sorted(set(int(p_) for p_ in pos) | set(old_pos))
+            superseded.append(
+                (
+                    os.path.abspath(_local(old["file_path"])),
+                    int(old["content_offset"]),
+                )
+            )
+        merged_hits.append((abs_p, list(pos)))
+    hits = merged_hits
+    new_snap = cur_v + 1
+    new_seq = int(meta.get("last-sequence-number", cur_v)) + 1
+    ordered = sorted(hits, key=lambda h: h[0])
+    blobs = [
+        (
+            write_iceberg_dv_blob(sorted(int(p_) for p_ in pos)),
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "snapshot-id": new_snap,
+                "sequence-number": new_seq,
+                "properties": {
+                    "referenced-data-file": abs_p,
+                    "cardinality": str(len(set(pos))),
+                },
+            },
+        )
+        for abs_p, pos in ordered
+    ]
+    pf = os.path.join(_meta_dir(path), f"dv-{uuid.uuid4().hex}.puffin")
+    blob_metas = write_puffin(pf, blobs)
+    dv_schema = _entry_schema_for([])
+    dv_schema["fields"][2]["type"]["fields"] += [
+        {"name": "referenced_data_file",
+         "type": ["null", "string"], "default": None},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None},
+        {"name": "content_size_in_bytes",
+         "type": ["null", "long"], "default": None},
+    ]
+    dv_files = [
+        {
+            "content": 1,
+            "file_path": os.path.abspath(pf),
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": len(set(pos)),
+            "file_size_in_bytes": os.path.getsize(pf),
+            "referenced_data_file": abs_p,
+            "content_offset": int(bm["offset"]),
+            "content_size_in_bytes": int(bm["length"]),
+        }
+        for (abs_p, pos), bm in zip(ordered, blob_metas)
+    ]
+    return dv_files, dv_schema, superseded
 
 
 def delete_iceberg_positions(
@@ -4779,20 +5050,6 @@ def delete_iceberg_positions(
         )
     )
     if fv >= 3:
-        # v3 writers MUST express position deletes as DELETION
-        # VECTORS, not parquet delete files (table spec §Deletion
-        # vectors): one Puffin file, one deletion-vector-v1 blob per
-        # touched data file, the manifest entries carrying the DV
-        # reference fields. Matched positions pass through the driver
-        # to reach the blob writer — O(matched rows), the same
-        # documented trade as delta_io's DV-mode DELETE.
-        from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
-            write_iceberg_dv_blob,
-        )
-        from census_asc5_data_pipeline_spark.sources.puffin import (
-            write_puffin,
-        )
-
         hit_rows = (
             scan.where(where)
             .join(base_df, "__base")
@@ -4802,79 +5059,19 @@ def delete_iceberg_positions(
         )
         if not hit_rows:
             return None
-        already = {
-            os.path.basename(_local(d["referenced_data_file"]))
-            for d in delete_fs
-            if _is_dv_entry(d)
-        }
-        clash = sorted(
-            os.path.basename(r["__abs"])
-            for r in hit_rows
-            if os.path.basename(r["__abs"]) in already
+        dv_files, dv_schema, superseded = _stage_dv_files(
+            path, meta, cur_v,
+            [(r["__abs"], list(r["pos"])) for r in hit_rows],
+            delete_fs,
         )
-        if clash:
-            raise NotImplementedError(
-                f"data file(s) {clash[:3]} already carry a deletion "
-                "vector — the spec allows at most one DV per file, "
-                "and replacing one (union + retire the old entry) is "
-                "out of scope; compact first"
-            )
-        new_snap = cur_v + 1
-        new_seq = int(meta.get("last-sequence-number", cur_v)) + 1
-        blobs = []
-        ordered = sorted(hit_rows, key=lambda r: r["__abs"])
-        for r in ordered:
-            blobs.append(
-                (
-                    write_iceberg_dv_blob(
-                        sorted(int(p_) for p_ in r["pos"])
-                    ),
-                    {
-                        "type": "deletion-vector-v1",
-                        "fields": [],
-                        "snapshot-id": new_snap,
-                        "sequence-number": new_seq,
-                        "properties": {
-                            "referenced-data-file": r["__abs"],
-                            "cardinality": str(len(set(r["pos"]))),
-                        },
-                    },
-                )
-            )
-        pf = os.path.join(
-            _meta_dir(path), f"dv-{uuid.uuid4().hex}.puffin"
-        )
-        blob_metas = write_puffin(pf, blobs)
-        dv_schema = _entry_schema_for([])
-        dv_schema["fields"][2]["type"]["fields"] += [
-            {"name": "referenced_data_file",
-             "type": ["null", "string"], "default": None},
-            {"name": "content_offset", "type": ["null", "long"],
-             "default": None},
-            {"name": "content_size_in_bytes",
-             "type": ["null", "long"], "default": None},
-        ]
-        dv_files = [
-            {
-                "content": 1,
-                "file_path": os.path.abspath(pf),
-                "file_format": "PUFFIN",
-                "partition": {},
-                "record_count": len(set(r["pos"])),
-                "file_size_in_bytes": os.path.getsize(pf),
-                "referenced_data_file": r["__abs"],
-                "content_offset": int(bm["offset"]),
-                "content_size_in_bytes": int(bm["length"]),
-            }
-            for r, bm in zip(ordered, blob_metas)
-        ]
         if _current_metadata(path)[0] != cur_v:
             raise ValueError(
                 "concurrent commit landed during DV planning — "
                 "aborting without committing (positions may be stale)"
             )
         return _commit_delete_snapshot(
-            path, meta, cur_v, dv_files, dv_schema, branch=branch
+            path, meta, cur_v, dv_files, dv_schema, branch=branch,
+            superseded=superseded,
         )
     pos_df = (
         scan.where(where)

@@ -803,7 +803,16 @@ def _merge_iceberg(
     )
 
     cur_v, meta = ice._current_metadata(path)
-    ice._format_version_gate(meta, "MERGE", write=True)
+    # v3 MERGE is lineage-preserving since r16: updated rows carry
+    # their _row_id as a materialized column (a null materialized
+    # _last_updated_sequence_number inherits the NEW file's sequence
+    # number — "last updated" semantics for free), inserts take ids
+    # from the new files' first_row_id blocks, and the retirements
+    # commit as Puffin deletion vectors (the spec's mandatory v3
+    # position-delete shape)
+    fv = ice._format_version_gate(
+        meta, "MERGE", write=True, v3_write_ok=True
+    )
     branch_head = _branch_head(meta, branch)
     schema, fields = ice._schema_of(meta)
     pcols = _spec_pcols(meta, fields, "MERGE")
@@ -861,10 +870,16 @@ def _merge_iceberg(
         else schema
     )
     if data_files:
-        scan = ice._scan_with_deletes(
-            spark, old_schema, fields, data_files, delete_fs,
-            keep_pos=True,
-        )
+        if fv >= 3:
+            scan = ice._lineage_scan(
+                spark, old_schema, fields, data_files, delete_fs,
+                keep_pos=True,
+            ).drop("_last_updated_sequence_number")
+        else:
+            scan = ice._scan_with_deletes(
+                spark, old_schema, fields, data_files, delete_fs,
+                keep_pos=True,
+            )
         for f in extra_sp:
             # pre-evolution files scan NULL for the added columns
             scan = scan.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -873,6 +888,11 @@ def _merge_iceberg(
             [],
             T.StructType(
                 schema.fields
+                + (
+                    [T.StructField("_row_id", T.LongType())]
+                    if fv >= 3
+                    else []
+                )
                 + [
                     T.StructField("__base", T.StringType()),
                     T.StructField("__ri", T.LongType()),
@@ -894,8 +914,21 @@ def _merge_iceberg(
     if upd_tags:
         new_rows = tagged.where(F.col("__action").isin(upd_tags)).select(
             _rewritten_cols(matched, nmbs, list(schema.fields))
+            + (
+                # updated rows keep their identity: the target row's
+                # _row_id materializes into the rewritten image
+                [F.col("t._row_id").alias("_row_id")]
+                if fv >= 3
+                else []
+            )
         )
     if inserts is not None:
+        if fv >= 3:
+            # fresh rows: null materialized id → assigned from the
+            # new file's first_row_id block on read
+            inserts = inserts.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
         new_rows = (
             inserts if new_rows is None else new_rows.unionByName(inserts)
         )
@@ -926,6 +959,7 @@ def _merge_iceberg(
     return _commit_iceberg_mor(
         spark, path, cur_v, meta, pos_df, new_rows, pcols,
         evolved_fields=evolved_fields, branch=branch,
+        existing_deletes=delete_fs,
     )
 
 
@@ -952,7 +986,7 @@ def _branch_head(meta: dict, branch: str | None) -> int | None:
 
 def _commit_iceberg_mor(
     spark, path, cur_v, meta, pos_df, new_rows, pcols=None,
-    evolved_fields=None, branch=None,
+    evolved_fields=None, branch=None, existing_deletes=None,
 ) -> int | None:
     """ONE merge-on-read Iceberg snapshot: ``pos_df`` (file_path, pos —
     already sorted) stages as a content=1 position-delete file,
@@ -992,11 +1026,31 @@ def _commit_iceberg_mor(
                 "branch — only branches accept writes"
             )
         branch_base = int(bref["snapshot-id"])
+    fv = int(meta.get("format-version", 2))
     delete_files: list[dict] = []
+    dv_entry_schema: dict | None = None
+    dv_superseded: list[tuple[str, int]] = []
     added_files: list[dict] = []
     staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
     try:
-        if pos_df is not None:
+        if pos_df is not None and fv >= 3:
+            # v3: the retirements commit as Puffin deletion vectors,
+            # one blob per touched data file (iceberg_io's shared
+            # staging; positions ride the driver, O(matched rows))
+            hit = (
+                pos_df.groupBy("file_path")
+                .agg(F.collect_list("pos").alias("pos"))
+                .collect()
+            )
+            if hit:
+                delete_files, dv_entry_schema, dv_superseded = (
+                    ice._stage_dv_files(
+                        path, meta, cur_v,
+                        [(r["file_path"], list(r["pos"])) for r in hit],
+                        existing_deletes or [],
+                    )
+                )
+        elif pos_df is not None:
             pos_df.write.mode("overwrite").parquet(staging)
             for fn in sorted(os.listdir(staging)):
                 if not fn.endswith(".parquet") or fn.startswith("."):
@@ -1143,11 +1197,28 @@ def _commit_iceberg_mor(
             }
             new_specs = specs + [unpart]
         delete_spec_id = unpart["spec-id"]
+    lineage_first: int | None = None
+    lineage_next: int | None = None
+    if fv >= 3 and added_files:
+        # fresh first_row_id blocks above next-row-id (spec: assigned
+        # to every added data file; rows with a materialized _row_id
+        # — the updated images — simply never consult theirs)
+        lineage_first = int(meta.get("next-row-id", 0) or 0)
+        lineage_next = lineage_first
+        for dd in added_files:
+            dd["first_row_id"] = lineage_next
+            lineage_next += int(dd["record_count"])
+    data_entry_schema = ice._entry_schema_for(
+        [(pf["name"], pf["result_type"]) for pf in pcols]
+    )
+    if fv >= 3:
+        data_entry_schema["fields"][2]["type"]["fields"].append(
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None}
+        )
     schemas_by_content = {
-        0: ice._entry_schema_for(
-            [(pf["name"], pf["result_type"]) for pf in pcols]
-        ),
-        1: ice._entry_schema_for([]),
+        0: data_entry_schema,
+        1: dv_entry_schema or ice._entry_schema_for([]),
     }
     spec_by_content = {0: default_spec_id, 1: delete_spec_id}
     manifests: list[dict] = []
@@ -1203,6 +1274,11 @@ def _commit_iceberg_mor(
         _s, prev_manifests = ice.read_container_generic(
             ice._local(snap["manifest-list"])
         )
+    # v3: a replacement DV supersedes the old entry in the SAME
+    # snapshot — drop it from the re-listed prior manifests
+    prev_manifests = ice._drop_superseded_dv_entries(
+        path, prev_manifests, dv_superseded
+    )
     ml_path = os.path.join(
         ice._meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
@@ -1263,9 +1339,13 @@ def _commit_iceberg_mor(
         ),
         "schema-id": new_sid,
     }
+    if lineage_first is not None:
+        snapshot["first-row-id"] = int(lineage_first)
     if cur_snap_id is not None and cur_snap_id != -1:
         snapshot["parent-snapshot-id"] = int(cur_snap_id)
     new_meta = dict(meta)
+    if lineage_next is not None:
+        new_meta["next-row-id"] = int(lineage_next)
     if evolved_schemas is not None:
         # the schema widens ATOMICALLY with the row changes (the
         # Delta evolve_schema twin): new schema-id, name-stable old
@@ -1924,7 +2004,10 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
 
     cur_v, meta = ice._current_metadata(path)
-    ice._format_version_gate(meta, "UPDATE", write=True)
+    # v3 UPDATE preserves lineage (r16): see _merge_iceberg
+    fv = ice._format_version_gate(
+        meta, "UPDATE", write=True, v3_write_ok=True
+    )
     branch_head = _branch_head(meta, branch)
     schema, fields = ice._schema_of(meta)
     pcols = _spec_pcols(meta, fields, "UPDATE")
@@ -1967,9 +2050,15 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
                 "address positions unambiguously"
             )
         abs_of_base[base] = ap
-    scan = ice._scan_with_deletes(
-        spark, schema, fields, data_files, delete_fs, keep_pos=True
-    )
+    if fv >= 3:
+        scan = ice._lineage_scan(
+            spark, schema, fields, data_files, delete_fs,
+            keep_pos=True,
+        ).drop("_last_updated_sequence_number")
+    else:
+        scan = ice._scan_with_deletes(
+            spark, schema, fields, data_files, delete_fs, keep_pos=True
+        )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     matched = scan.filter(pred)
     base_df = F.broadcast(
@@ -1991,10 +2080,16 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
         .repartitionByRange("file_path", "pos")
         .sortWithinPartitions("file_path", "pos")
     )
-    new_rows = matched.select(_set_cols(sets, schema.fields))
+    new_rows = matched.select(
+        _set_cols(sets, schema.fields)
+        # updated rows keep their identity; the dropped null
+        # _last_updated_sequence_number inherits the new file's
+        # sequence number on read
+        + ([F.col("_row_id")] if fv >= 3 else [])
+    )
     return _commit_iceberg_mor(
         spark, path, cur_v, meta, pos_df, new_rows, pcols,
-        branch=branch,
+        branch=branch, existing_deletes=delete_fs,
     )
 
 

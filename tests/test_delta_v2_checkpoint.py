@@ -246,7 +246,8 @@ def test_v2_checkpoint_reader_feature_passes_gate(spark, tmp_path):
     assert [r.id for r in read_delta(spark, path).collect()] == [1]
     # and WRITING passes too since r13 (v2 checkpoints are now a
     # writer capability — create_checkpoint(policy='v2')); a feature
-    # this engine genuinely lacks still refuses
+    # this engine genuinely lacks still refuses (icebergCompatV2
+    # here; typeWidening became SUPPORTED in r16)
     write_delta(_mk(spark, [(2, 2.0)], "id bigint, v double"), path)
     assert sorted(
         r.id for r in read_delta(spark, path).collect()
@@ -261,13 +262,13 @@ def test_v2_checkpoint_reader_feature_passes_gate(spark, tmp_path):
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
                         "readerFeatures": [],
-                        "writerFeatures": ["typeWidening"],
+                        "writerFeatures": ["icebergCompatV2"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         write_delta(_mk(spark, [(3, 3.0)], "id bigint, v double"), path)
 
 

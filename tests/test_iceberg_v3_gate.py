@@ -1,9 +1,12 @@
 """Iceberg v3 per-feature gate (r16, r15 verdict #5): v3 metadata
 PARSES, and tables using only v2-compatible features READ; each
 unsupported feature refuses BY NAME instead of the old v1/v2 blanket
-refusal. Writes to v3 refuse outright (row lineage is a mandatory v3
-writer duty, and the metadata rebuild would downgrade the table)."""
+refusal. Every DML verb WRITES with the v3 lineage duties (append,
+DV delete incl. replacement, equality delete, compaction, UPDATE,
+MERGE); metadata-rebuild verbs still refuse by name."""
 from __future__ import annotations
+
+import os
 
 import pytest
 import pyspark.sql.functions as F
@@ -46,22 +49,25 @@ def test_v3_with_v2_features_reads(spark, tmp_path):
     assert ice.read_iceberg_meta(spark, p, "snapshots").count() >= 1
 
 
-def test_v3_rewriting_verbs_refuse_by_name(spark, tmp_path):
-    """Verbs that REWRITE rows would have to materialize lineage
-    columns — still refused; append + DV DELETE maintain lineage and
-    write (see test_v3_append_and_dv_delete_write)."""
+def test_v3_metadata_verbs_preserve_lineage_metadata(spark, tmp_path):
+    """r16: the metadata-only verbs write v3 too — their dict(meta)
+    rebuilds must carry format-version and next-row-id forward (a
+    dropped next-row-id would reissue row ids; a dropped
+    format-version would downgrade the table)."""
     p = str(tmp_path / "t")
-    _mk_v3(spark, p)
-    df = spark.range(2).select(F.col("id"), (F.col("id") % 3).alias("k"))
-    with pytest.raises(NotImplementedError, match="row lineage"):
-        ice.rewrite_data_files(spark, p)
-    with pytest.raises(NotImplementedError, match="row lineage"):
-        update_where(spark, "iceberg", p, "id = 1", {"k": "k + 1"})
-    with pytest.raises(NotImplementedError, match="row lineage"):
-        merge_into(
-            spark, "iceberg", p, df, "t.id = s.id",
-            matched=[("delete", None)],
-        )
+    _mk_v3_lineage_table(spark, p)  # ids 0..5, _row_id 100..105
+    ice.set_iceberg_properties(p, {"commit.retry.num-retries": "3"})
+    ice.create_branch(p, "audit")
+    ice.add_iceberg_columns(p, "note string")
+    _v, meta = ice._current_metadata(p)
+    assert meta["format-version"] == 3
+    assert int(meta["next-row-id"]) == 106
+    assert meta["properties"]["commit.retry.num-retries"] == "3"
+    # the table still reads, and lineage ids are intact
+    out = ice.read_iceberg(spark, p, row_lineage=True)
+    assert sorted(r._row_id for r in out.collect()) == [
+        100 + i for i in range(6)
+    ]
 
 
 def test_v3_unsupported_types_refuse_by_name(spark, tmp_path):
@@ -414,10 +420,22 @@ def test_v3_append_and_dv_delete_write(spark, tmp_path):
     assert s2["summary"]["added-position-deletes"] == "2"
     # no-match delete commits nothing
     assert ice.delete_iceberg_positions(spark, p, "id = 999") is None
-    # a second DV on an already-vectored file refuses (at most one
-    # DV per file, per spec)
-    with pytest.raises(NotImplementedError, match="at most one DV"):
-        ice.delete_iceberg_positions(spark, p, "id = 2")
+    # a second DV on an already-vectored file REPLACES it (union +
+    # retire, the spec's at-most-one-DV rule): exactly one live DV
+    # per touched file afterwards, both deletions in force
+    assert ice.delete_iceberg_positions(spark, p, "id = 2") is not None
+    assert sorted(
+        r.id for r in ice.read_iceberg(spark, p).collect()
+    ) == [0, 3, 4, 5, 50, 52]
+    _v3, meta3 = ice._current_metadata(p)
+    _live3, dels3 = ice._snapshot_files(p, meta3, None)
+    ref_counts: dict[str, int] = {}
+    for d3 in dels3:
+        b = os.path.basename(ice._local(d3["referenced_data_file"]))
+        ref_counts[b] = ref_counts.get(b, 0) + 1
+    assert all(n == 1 for n in ref_counts.values()), ref_counts
+    # the replacement blob is the UNION: cardinality 2 on file 1
+    assert {int(d3["record_count"]) for d3 in dels3} == {1, 2}
 
 
 def test_v3_equality_delete_still_writes_files(spark, tmp_path):
@@ -433,3 +451,131 @@ def test_v3_equality_delete_still_writes_files(spark, tmp_path):
     ) == [0, 1, 3, 5]
     _v, meta = ice._current_metadata(p)
     assert meta["format-version"] == 3
+
+
+def test_v3_rewrite_preserves_lineage(spark, tmp_path):
+    """r16: v3 COMPACTION is lineage-preserving — rewritten rows
+    carry their coalesced _row_id / _last_updated_sequence_number as
+    materialized columns (the spec's mandatory rewrite duty), live
+    DVs are applied and retired, fresh first_row_id blocks advance
+    next-row-id, and format-version 3 survives the rebuild."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    _mk_v3_lineage_table(spark, p)  # ids 0..5, _row_id 100..105
+    ice.write_iceberg(
+        spark.range(50, 53).coalesce(1).select(F.col("id")), p
+    )  # _row_id 106..108 at next-row-id 106
+    before = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    sid = ice.delete_iceberg_positions(spark, p, "id = 51")
+    assert sid is not None
+    _v, meta = ice._current_metadata(p)
+    next_before = int(meta["next-row-id"])
+    res = ice.rewrite_data_files(spark, p)
+    assert res["snapshot_id"] is not None
+    out = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    # every survivor keeps BOTH lineage values through the rewrite
+    assert out == {k: v for k, v in before.items() if k != 51}
+    _v2, meta2 = ice._current_metadata(p)
+    assert meta2["format-version"] == 3  # never downgraded
+    live, dels = ice._snapshot_files(p, meta2, None)
+    assert not dels  # major compaction retired the DV
+    # fresh first_row_id blocks above the pre-rewrite next-row-id
+    assert all(d.get("first_row_id") is not None for d in live)
+    assert min(int(d["first_row_id"]) for d in live) >= next_before
+    assert int(meta2["next-row-id"]) == next_before + sum(
+        int(d["record_count"]) for d in live
+    )
+    # the rewritten files really carry MATERIALIZED lineage columns
+    cols = pq.ParquetFile(
+        ice._local(live[0]["file_path"])
+    ).schema_arrow.names
+    assert "_row_id" in cols
+    assert "_last_updated_sequence_number" in cols
+    # a fresh DV delete works again (the one-DV-per-file rule was
+    # reset by the rewrite) and survivors still keep their ids
+    assert ice.delete_iceberg_positions(spark, p, "id = 2") is not None
+    after = {
+        r.id: r._row_id
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    assert after == {
+        k: v[0] for k, v in before.items() if k not in (51, 2)
+    }
+
+
+def test_v3_update_and_merge_preserve_lineage(spark, tmp_path):
+    """r16: v3 UPDATE/MERGE write — updated rows keep their _row_id
+    as a materialized column and take the NEW sequence number (the
+    null materialized _last_updated_sequence_number inherits it);
+    inserts draw fresh ids from the new file's first_row_id block;
+    retirements commit as Puffin DVs, and a second DML touching an
+    already-vectored file REPLACES its DV (union + retire)."""
+    p = str(tmp_path / "t")
+    _mk_v3_lineage_table(spark, p)  # ids 0..5, _row_id 100..105
+    before = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    # UPDATE: rows 4,5 get id += 10; ids stable, seq bumps
+    sid = update_where(spark, "iceberg", p, "id >= 4", {"id": "id + 10"})
+    assert sid is not None
+    out = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    assert out[14][0] == before[4][0]
+    assert out[15][0] == before[5][0]
+    assert out[14][1] > before[4][1]  # "last updated" moved
+    assert out[0] == before[0]  # untouched rows unchanged
+    # MERGE: update id=1 -> 101 (keeps id), insert id=77 (fresh id)
+    src = spark.createDataFrame([(1,), (77,)], "id long")
+    sid2 = merge_into(
+        spark, "iceberg", p, src, "t.id = s.id",
+        matched=[("update", None, {"id": "t.id + 100"})],
+        not_matched={"id": "s.id"},
+    )
+    assert sid2 is not None
+    out2 = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    assert out2[101][0] == before[1][0]  # merged-update keeps id
+    assert out2[101][1] > before[1][1]
+    assert out2[77][0] is not None and out2[77][0] >= 106  # fresh id
+    _v, meta = ice._current_metadata(p)
+    assert meta["format-version"] == 3
+    assert int(meta["next-row-id"]) > 106
+    # retirements are DVs; the second DML replaced file 1's DV
+    # (UPDATE vectored rows 4,5 there; MERGE added row 1): exactly
+    # one live DV per referenced file
+    live, dels = ice._snapshot_files(p, meta, None)
+    assert dels and all(ice._is_dv_entry(d) for d in dels)
+    refs = [
+        os.path.basename(ice._local(d["referenced_data_file"]))
+        for d in dels
+    ]
+    assert len(refs) == len(set(refs)), refs
+    # a delete-MERGE on yet another row of the same file replaces
+    # again; survivors keep their ids
+    sid3 = merge_into(
+        spark, "iceberg", p,
+        spark.createDataFrame([(2,)], "id long"),
+        "t.id = s.id", matched=[("delete", None)],
+    )
+    assert sid3 is not None
+    out3 = {
+        r.id: r._row_id
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    assert 2 not in out3
+    assert out3[3] == before[3][0]
+    assert out3[101] == before[1][0]
