@@ -489,7 +489,7 @@ _V3_UNSUPPORTED_TYPES = (
 
 def _format_version_gate(
     meta: dict, operation: str, write: bool = False,
-    v3_write_ok: bool = False,
+    v3_write_ok: bool = False, defaults_ok: bool = False,
 ) -> int:
     """Per-feature format-version gate (r16, r15 verdict #5 — the
     v1/v2 blanket refusal split). v1/v2 pass. v3 metadata PARSES and
@@ -552,12 +552,16 @@ def _format_version_gate(
                 f"v3 column {f.get('name')!r} has type {t_name!r} — "
                 "no v2-compatible mapping in this reader"
             )
-        if f.get("initial-default") is not None:
+        if f.get("initial-default") is not None and not defaults_ok:
+            # read_iceberg materializes defaults since r16
+            # (defaults_ok=True → _scan_with_defaults); every OTHER
+            # surface would surface NULL where the spec says the
+            # default — wrong data, so it refuses
             raise NotImplementedError(
                 f"v3 column {f.get('name')!r} declares an "
-                "initial-default — reading files that predate the "
-                "column would need default materialization this "
-                "reader does not implement (NULL would be wrong data)"
+                "initial-default — this surface does not materialize "
+                "defaults (NULL would be wrong data); the main scan "
+                "(read_iceberg) does"
             )
     if meta.get("encryption-keys"):
         raise NotImplementedError(
@@ -1350,9 +1354,19 @@ def read_iceberg(
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = resolve_ref(meta, ref)
-    fv = _format_version_gate(meta, "read")
+    fv = _format_version_gate(meta, "read", defaults_ok=True)
     renamed = _renamed_ids(meta)
     schema, _fields = _schema_of(meta, allow_renames=bool(renamed))
+    defaulted = (
+        [f for f in _fields if f.get("initial-default") is not None]
+        if fv >= 3
+        else []
+    )
+    if defaulted and renamed:
+        raise NotImplementedError(
+            "initial-default over a renamed-column history — the "
+            "field-id scan and the defaults scan don't compose"
+        )
     atoms = None
     pruner = None
     if predicate:
@@ -1474,7 +1488,18 @@ def read_iceberg(
         return out.filter(residual) if residual is not None else out
     files = [_local(d["file_path"]) for d in live]
     if row_lineage:
+        if defaulted:
+            raise NotImplementedError(
+                "row_lineage over a table with initial-default "
+                "columns — the lineage scan and the defaults scan "
+                "don't compose"
+            )
         out = _lineage_scan(spark, schema, _fields, live, deletes)
+        return out.filter(residual) if residual is not None else out
+    if defaulted:
+        out = _scan_with_defaults(
+            spark, schema, _fields, live, deletes, defaulted
+        )
         return out.filter(residual) if residual is not None else out
     if renamed:
         out = _read_by_field_id(
@@ -1567,6 +1592,81 @@ def _lineage_scan(
         # position) — keep the scan's addressing columns
         sel += [scan["__base"], scan["__ri"]]
     return joined.select(sel)
+
+
+def _default_literal(f: dict, spark_type: T.DataType):
+    """The v3 ``initial-default`` JSON single-value as a typed Spark
+    literal (table spec §JSON single-value serialization): booleans
+    and numbers are their JSON forms; string/date/decimal/timestamp
+    defaults arrive as JSON strings and cast to the column's type.
+    Unsupported shapes (struct/list/map/binary/uuid) refuse by name."""
+    from pyspark.sql import functions as F
+
+    v = f["initial-default"]
+    t = f.get("type")
+    t_name = t if isinstance(t, str) else (t or {}).get("type", "")
+    if isinstance(v, (dict, list)) or str(t_name) in (
+        "binary", "fixed", "uuid", "struct", "list", "map",
+    ):
+        raise NotImplementedError(
+            f"initial-default for column {f.get('name')!r} of type "
+            f"{t_name!r} is out of scope (primitive defaults only)"
+        )
+    return F.lit(v).cast(spark_type)
+
+
+def _scan_with_defaults(
+    spark: SparkSession,
+    schema: T.StructType,
+    fields: list[dict],
+    live: list[dict],
+    deletes: list[dict],
+    defaulted: list[dict],
+) -> DataFrame:
+    """READ a v3 table whose current schema declares
+    ``initial-default`` columns (added after some data was written):
+    rows in files that PREDATE a column must surface its declared
+    default, not NULL — so live files group by which defaulted
+    columns their parquet footer actually lacks (driver-side footer
+    sniff, O(files) metadata; only tables WITH defaults pay it), each
+    group scans once through the delete-aware path, and the missing
+    columns fill with the typed default literal. Files that carry
+    the column keep its stored values — including real NULLs (the
+    spec: initial-default applies only to pre-schema files)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    groups: dict[frozenset, list[dict]] = {}
+    for d in live:
+        fpath = _local(d["file_path"])
+        have = set(pq.ParquetFile(fpath).schema_arrow.names)
+        missing = frozenset(
+            f["name"] for f in defaulted if f["name"] not in have
+        )
+        groups.setdefault(missing, []).append(d)
+    by_name = {f.name: f for f in schema.fields}
+    parts: list[DataFrame] = []
+    for missing, files in sorted(
+        groups.items(), key=lambda kv: sorted(kv[0])
+    ):
+        if deletes:
+            df = _scan_with_deletes(spark, schema, fields, files, deletes)
+        else:
+            df = spark.read.schema(schema).parquet(
+                *[_local(d["file_path"]) for d in files]
+            )
+        for f in defaulted:
+            if f["name"] in missing:
+                df = df.withColumn(
+                    f["name"],
+                    _default_literal(f, by_name[f["name"]].dataType),
+                )
+        parts.append(df.select([F.col(fl.name) for fl in schema.fields]))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
 
 
 def _scan_with_deletes(

@@ -88,22 +88,81 @@ def test_v3_unsupported_types_refuse_by_name(spark, tmp_path):
         ice.read_iceberg(spark, p)
 
 
-def test_v3_initial_default_and_encryption_refuse(spark, tmp_path):
+def _add_default(meta):
+    sid = meta.get("current-schema-id", 0)
+    sch = next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+    )
+    sch["fields"] = sch["fields"] + [
+        {"id": 99, "name": "tag", "required": False,
+         "type": "string", "initial-default": "legacy"}
+    ]
+
+
+def test_v3_initial_default_materializes_on_read(spark, tmp_path):
+    """r16: rows in files that PREDATE an initial-default column
+    surface the declared default on the main scan (NULL would be
+    wrong data); files that CARRY the column keep stored values —
+    including real NULLs. Non-materializing surfaces still refuse."""
+    import shutil
+
     p = str(tmp_path / "t")
-
-    def add_default(meta):
-        sid = meta.get("current-schema-id", 0)
-        sch = next(
-            s for s in meta["schemas"] if s.get("schema-id", 0) == sid
-        )
-        sch["fields"] = sch["fields"] + [
-            {"id": 99, "name": "tag", "required": False,
-             "type": "string", "initial-default": "legacy"}
-        ]
-
-    _mk_v3(spark, p, add_default)
+    ice.write_iceberg(
+        spark.range(3).coalesce(1).select(F.col("id")), p
+    )
+    # a second file that physically CARRIES tag (with one real NULL),
+    # planted by swapping an engine-appended file's bytes
+    before = {
+        os.path.basename(ice._local(d["file_path"]))
+        for d in ice._snapshot_files(p, ice._current_metadata(p)[1], None)[0]
+    }
+    ice.write_iceberg(
+        spark.range(3, 6).coalesce(1).select(F.col("id")), p
+    )
+    cur_v, meta = ice._current_metadata(p)
+    newf = next(
+        d
+        for d in ice._snapshot_files(p, meta, None)[0]
+        if os.path.basename(ice._local(d["file_path"])) not in before
+    )
+    staging = str(tmp_path / "stage")
+    spark.createDataFrame(
+        [(3, "kept"), (4, None), (5, "kept")], "id long, tag string"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    src = next(
+        f
+        for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    shutil.copy(
+        os.path.join(staging, src), ice._local(newf["file_path"])
+    )
+    # stamp v3 + the defaulted column
+    meta2 = dict(ice._current_metadata(p)[1])
+    meta2["format-version"] = 3
+    meta2["next-row-id"] = 6
+    _add_default(meta2)
+    ice._write_metadata_version(p, cur_v + 1, meta2)
+    rows = {
+        r.id: r.tag for r in ice.read_iceberg(spark, p).collect()
+    }
+    assert rows == {
+        0: "legacy", 1: "legacy", 2: "legacy",  # pre-schema: default
+        3: "kept", 4: None, 5: "kept",  # stored values win, NULL real
+    }
+    # predicate composes (prune + residual over the defaulted view)
+    assert {
+        r.id
+        for r in ice.read_iceberg(
+            spark, p, predicate="id >= 1"
+        ).collect()
+    } == {1, 2, 3, 4, 5}
+    # surfaces that would surface NULL still refuse by name
     with pytest.raises(NotImplementedError, match="initial-default"):
-        ice.read_iceberg(spark, p)
+        update_where(spark, "iceberg", p, "id = 1", {"id": "id + 10"})
+
+
+def test_v3_encryption_refuses(spark, tmp_path):
     p2 = str(tmp_path / "t2")
     _mk_v3(
         spark,
