@@ -177,6 +177,7 @@ GROUPS: dict[str, list[str]] = {
     "r16_tail": [
         "liquid_cluster",
         "row_tracking",
+        "iceberg_lineage",
     ],
 }
 

@@ -11842,9 +11842,116 @@ FROM fin GROUP BY prio, cv
 """
 
 
+def q_iceberg_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE facing the driver's oracle (r16 — the
+    delta `row_tracking` twin on the other format): CREATE the 1995
+    order rollup as a BORN-v3 table (``write_iceberg(...,
+    format_version=3)``) in ONE okey-sorted file — every ``_row_id``
+    equals the row's okey rank, so DuckDB reconstructs ids
+    arithmetically — append 1996 the same way (ids continue at n95,
+    sequence number 2), then DV-DELETE a keyed slice
+    (:func:`delete_iceberg_positions` → Puffin deletion vectors, seq
+    3) and UPDATE another (merge-on-read rewrite, seq 4): the UPDATE
+    retires positions in files that ALREADY carry DVs, so the spec's
+    DV REPLACEMENT (union + retire the superseded entry) is on the
+    oracle path; updated rows keep their materialized ``_row_id`` and
+    inherit the new file's sequence number as
+    ``_last_updated_sequence_number`` while survivors keep BOTH
+    original values. Groups (prio, _last_updated_sequence_number)
+    with count / cents / row-id sums — a fabricated id, a lost
+    materialization, a double-counted superseded DV, or a wrong
+    inherited sequence flips the hash vs DuckDB's rank arithmetic.
+    Rebuilds under /tmp per (sf, pid)."""
+    import shutil as _sh
+    import tempfile
+
+    from census_asc5_data_pipeline_spark.sources import iceberg_io
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        update_where,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_iceberg_lineage_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    staged = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    iceberg_io.write_iceberg(
+        staged.filter("yr = 1995").orderBy("okey").coalesce(1),
+        base,
+        format_version=3,
+    )
+    iceberg_io.write_iceberg(
+        staged.filter("yr = 1996").orderBy("okey").coalesce(1), base
+    )
+    iceberg_io.delete_iceberg_positions(spark, base, "okey % 10 < 2")
+    update_where(
+        spark, "iceberg", base, "okey % 10 = 5", {"cents": "cents + 1"}
+    )
+    return (
+        iceberg_io.read_iceberg(spark, base, row_lineage=True)
+        .groupBy(
+            "prio",
+            F.col("_last_updated_sequence_number").alias("seq"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+            F.sum("_row_id").cast("bigint").alias("rid_sum"),
+        )
+    )
+
+
+SQL_ICEBERG_LINEAGE = """
+WITH o95 AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+           AS rid
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+),
+o96 AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST((SELECT COUNT(*) FROM o95)
+              + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+           AS rid
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+),
+base AS (
+  SELECT okey, prio, cents, rid, CAST(1 AS BIGINT) AS seq0 FROM o95
+  UNION ALL
+  SELECT okey, prio, cents, rid, CAST(2 AS BIGINT) FROM o96
+),
+fin AS (
+  SELECT prio, rid,
+         CASE WHEN okey % 10 = 5 THEN cents + 1 ELSE cents END AS cents,
+         CASE WHEN okey % 10 = 5 THEN CAST(4 AS BIGINT) ELSE seq0 END
+           AS seq
+  FROM base WHERE okey % 10 >= 2
+)
+SELECT prio, seq, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(SUM(rid) AS BIGINT) AS rid_sum
+FROM fin GROUP BY prio, seq
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- new in round 16 (verdict #1/#2: liquid clustering WRITE,
-    # row tracking WRITE) ---
+    # row tracking WRITE; late-r16: iceberg v3 row lineage end-to-end
+    # — born-v3 create, DV delete + replacement, lineage-preserving
+    # UPDATE — facing the oracle) ---
+    "iceberg_lineage": q_iceberg_lineage,
     "liquid_cluster": q_liquid_cluster,
     "row_tracking": q_row_tracking,
     # --- r16 driver-window rotation (r15 verdict #8): five veterans
@@ -12108,6 +12215,7 @@ ORACLES: dict[str, str] = {
     # --- new in round 15 ---
     "stream_cdf_rename": SQL_STREAM_CDF_RENAME,
     "history_metrics": SQL_HISTORY_METRICS,
+    "iceberg_lineage": SQL_ICEBERG_LINEAGE,
     "liquid_cluster": SQL_LIQUID_CLUSTER,
     "row_tracking": SQL_ROW_TRACKING,
     "snapshot_summary": SQL_SNAPSHOT_SUMMARY,

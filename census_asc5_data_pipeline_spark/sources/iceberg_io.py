@@ -2360,6 +2360,7 @@ def write_iceberg(
     mode: str = "append",
     partition_by: list[str] | None = None,
     branch: str | None = None,
+    format_version: int | None = None,
 ) -> int:
     """Write ``df`` as a new Iceberg v2 snapshot; returns the
     snapshot id. ``append`` keeps prior manifests in the new
@@ -2381,9 +2382,18 @@ def write_iceberg(
     preserved), and ``current-snapshot-id`` / ``snapshot-log`` (the
     main lineage, per spec) do NOT move. Audit with
     ``read_iceberg(..., ref=branch)``; publish with
-    :func:`fast_forward`."""
+    :func:`fast_forward`.
+
+    ``format_version`` (r16): create the table at format-version 3
+    (row lineage maintained from ``next-row-id`` 0) instead of the
+    default 2. On an EXISTING table the table's own version governs;
+    passing a different one raises."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r} (append|overwrite)")
+    if format_version is not None and int(format_version) not in (2, 3):
+        raise ValueError(
+            f"format_version {format_version!r}: 2 (default) or 3"
+        )
     spark = df.sparkSession
     part_fields = _parse_partition_by(list(partition_by or []))
     for pf in part_fields:
@@ -2634,7 +2644,15 @@ def write_iceberg(
     # first_row_id block above the table's next-row-id, the snapshot
     # records its first-row-id, and next-row-id advances in the same
     # commit — fresh-row identity without any data rewrite
-    fv_tbl = int(meta.get("format-version", 2)) if exists else 2
+    if exists:
+        fv_tbl = int(meta.get("format-version", 2))
+        if format_version is not None and int(format_version) != fv_tbl:
+            raise ValueError(
+                f"table is format-version {fv_tbl}; cannot write it "
+                f"as {format_version} — the table's version governs"
+            )
+    else:
+        fv_tbl = int(format_version or 2)
     lineage_first: int | None = None
     lineage_next: int | None = None
     if fv_tbl >= 3:
@@ -2784,7 +2802,9 @@ def write_iceberg(
         refs_out[branch] = {**refs_out[branch], "snapshot-id": snap_id}
     new_meta = {
         # a v3 table stays v3 — rebuilding at 2 would downgrade it
-        "format-version": fv_tbl if exists else 2,
+        # a v3 table stays v3 (and may be BORN v3 since r16) — the
+        # rebuild preserves the table's version, never downgrades
+        "format-version": fv_tbl,
         **(
             {"next-row-id": int(lineage_next)}
             if lineage_next is not None

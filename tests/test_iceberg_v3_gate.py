@@ -1,9 +1,11 @@
 """Iceberg v3 per-feature gate (r16, r15 verdict #5): v3 metadata
 PARSES, and tables using only v2-compatible features READ; each
 unsupported feature refuses BY NAME instead of the old v1/v2 blanket
-refusal. Every DML verb WRITES with the v3 lineage duties (append,
-DV delete incl. replacement, equality delete, compaction, UPDATE,
-MERGE); metadata-rebuild verbs still refuse by name."""
+refusal. Every verb WRITES v3: the DML verbs maintain the lineage
+duties (append incl. born-v3 create, DV delete incl. replacement,
+equality delete, compaction, UPDATE, MERGE) and the metadata-only
+verbs carry format-version/next-row-id through dict(meta) rebuilds;
+the main scan materializes initial-default columns."""
 from __future__ import annotations
 
 import os
@@ -638,3 +640,30 @@ def test_v3_update_and_merge_preserve_lineage(spark, tmp_path):
     assert 2 not in out3
     assert out3[3] == before[3][0]
     assert out3[101] == before[1][0]
+
+
+def test_born_v3_create(spark, tmp_path):
+    """r16: `write_iceberg(format_version=3)` creates a v3 table
+    with lineage maintained from next-row-id 0; the table's own
+    version governs later writes (a mismatched format_version
+    raises), and v2 stays the default."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.range(5).coalesce(1).select(F.col("id")), p,
+        format_version=3,
+    )
+    out = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    assert out == {i: (i, 1) for i in range(5)}
+    _v, meta = ice._current_metadata(p)
+    assert meta["format-version"] == 3
+    assert int(meta["next-row-id"]) == 5
+    with pytest.raises(ValueError, match="format-version 3"):
+        ice.write_iceberg(
+            spark.range(2).select(F.col("id")), p, format_version=2
+        )
+    p2 = str(tmp_path / "t2")
+    ice.write_iceberg(spark.range(2).select(F.col("id")), p2)
+    assert ice._current_metadata(p2)[1]["format-version"] == 2

@@ -15,8 +15,10 @@ from census_asc5_data_pipeline_spark.queries import ORACLES, QUERIES
 # window held one more round (its two-entry tail falls out).
 PINNED_FIRST_50 = [
     # round-16 window: the new liquid-clustering and row-tracking
-    # WRITE rows lead (r15 verdict #1/#2); the r15 head holds; the
-    # tail pops to keep 50.
+    # WRITE rows lead (r15 verdict #1/#2), joined late-r16 by the
+    # iceberg v3 row-lineage row; the r15 head holds; the tail pops
+    # to keep 50.
+    "iceberg_lineage",
     "liquid_cluster",
     "row_tracking",
     # r16 rotation (r15 verdict #8): five never-windowed veterans
@@ -72,7 +74,6 @@ PINNED_FIRST_50 = [
     "supplier_scorecard",
     "customer_migration",
     "order_cycle_time",
-    "embedding_norm_profile",
 ]
 
 

@@ -23,6 +23,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SHUFFLE_BUDGET = {
     # --- new in round 16 ---
+    # returned plan = one groupBy over the lineage read: the v3 DV
+    # anti-join shuffles (positions frame + data side) plus the
+    # lineage broadcast; the born-v3 create/append/DV-delete/UPDATE
+    # lifecycle runs at construction. Measured 5; 6 = AQE headroom
+    "iceberg_lineage": 6,
     # returned plan = one groupBy (partial/final agg pair) over the
     # re-clustered table's skipping read; the clustered CREATE +
     # append + ALTER + OPTIMIZE recluster run at construction.
