@@ -1487,18 +1487,14 @@ def read_iceberg(
             )
         return out.filter(residual) if residual is not None else out
     files = [_local(d["file_path"]) for d in live]
-    if row_lineage:
-        if defaulted:
-            raise NotImplementedError(
-                "row_lineage over a table with initial-default "
-                "columns — the lineage scan and the defaults scan "
-                "don't compose"
+    if row_lineage or defaulted:
+        out = (
+            _scan_with_defaults(
+                spark, schema, _fields, live, deletes, defaulted,
+                lineage=row_lineage,
             )
-        out = _lineage_scan(spark, schema, _fields, live, deletes)
-        return out.filter(residual) if residual is not None else out
-    if defaulted:
-        out = _scan_with_defaults(
-            spark, schema, _fields, live, deletes, defaulted
+            if defaulted
+            else _lineage_scan(spark, schema, _fields, live, deletes)
         )
         return out.filter(residual) if residual is not None else out
     if renamed:
@@ -1622,8 +1618,10 @@ def _scan_with_defaults(
     live: list[dict],
     deletes: list[dict],
     defaulted: list[dict],
+    keep_pos: bool = False,
+    lineage: bool = False,
 ) -> DataFrame:
-    """READ a v3 table whose current schema declares
+    """Scan a v3 table whose current schema declares
     ``initial-default`` columns (added after some data was written):
     rows in files that PREDATE a column must surface its declared
     default, not NULL — so live files group by which defaulted
@@ -1632,7 +1630,11 @@ def _scan_with_defaults(
     group scans once through the delete-aware path, and the missing
     columns fill with the typed default literal. Files that carry
     the column keep its stored values — including real NULLs (the
-    spec: initial-default applies only to pre-schema files)."""
+    spec: initial-default applies only to pre-schema files).
+    ``lineage`` threads the group scans through
+    :func:`_lineage_scan` (the row-lineage pair rides along);
+    ``keep_pos`` keeps the (``__base``, ``__ri``) addressing columns
+    — together they make the DML planners default-aware."""
     import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
@@ -1646,12 +1648,23 @@ def _scan_with_defaults(
         )
         groups.setdefault(missing, []).append(d)
     by_name = {f.name: f for f in schema.fields}
+    extras = (
+        ["_row_id", "_last_updated_sequence_number"] if lineage else []
+    ) + (["__base", "__ri"] if keep_pos else [])
     parts: list[DataFrame] = []
     for missing, files in sorted(
         groups.items(), key=lambda kv: sorted(kv[0])
     ):
-        if deletes:
-            df = _scan_with_deletes(spark, schema, fields, files, deletes)
+        if lineage:
+            df = _lineage_scan(
+                spark, schema, fields, files, deletes,
+                keep_pos=keep_pos,
+            )
+        elif deletes or keep_pos:
+            df = _scan_with_deletes(
+                spark, schema, fields, files, deletes,
+                keep_pos=keep_pos,
+            )
         else:
             df = spark.read.schema(schema).parquet(
                 *[_local(d["file_path"]) for d in files]
@@ -1662,7 +1675,12 @@ def _scan_with_defaults(
                     f["name"],
                     _default_literal(f, by_name[f["name"]].dataType),
                 )
-        parts.append(df.select([F.col(fl.name) for fl in schema.fields]))
+        parts.append(
+            df.select(
+                [F.col(fl.name) for fl in schema.fields]
+                + [F.col(c) for c in extras]
+            )
+        )
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
@@ -5114,7 +5132,10 @@ def delete_iceberg_positions(
 
     cur_v, meta = _current_metadata(path)
     fv = _format_version_gate(
-        meta, "DELETE", write=True, v3_write_ok=True
+        meta, "DELETE", write=True, v3_write_ok=True,
+        # the predicate scan materializes defaults (r16) — a WHERE
+        # over an initial-default column must match pre-schema rows
+        defaults_ok=True,
     )
     branch_head = None
     if branch is not None:
@@ -5161,9 +5182,20 @@ def delete_iceberg_positions(
                 "address positions unambiguously"
             )
         abs_of_base[base] = ap
-    scan = _scan_with_deletes(
-        spark, schema, fields, data_files, delete_fs, keep_pos=True
+    defaulted = (
+        [f for f in fields if f.get("initial-default") is not None]
+        if fv >= 3
+        else []
     )
+    if defaulted:
+        scan = _scan_with_defaults(
+            spark, schema, fields, data_files, delete_fs, defaulted,
+            keep_pos=True,
+        )
+    else:
+        scan = _scan_with_deletes(
+            spark, schema, fields, data_files, delete_fs, keep_pos=True
+        )
     base_df = F.broadcast(
         spark.createDataFrame(
             sorted(abs_of_base.items()), "__base string, __abs string"

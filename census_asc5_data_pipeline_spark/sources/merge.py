@@ -811,10 +811,18 @@ def _merge_iceberg(
     # commit as Puffin deletion vectors (the spec's mandatory v3
     # position-delete shape)
     fv = ice._format_version_gate(
-        meta, "MERGE", write=True, v3_write_ok=True
+        meta, "MERGE", write=True, v3_write_ok=True,
+        # the target scan materializes defaults (r16) — copied rows'
+        # post-images carry the default, never a wrong NULL
+        defaults_ok=True,
     )
     branch_head = _branch_head(meta, branch)
     schema, fields = ice._schema_of(meta)
+    defaulted = (
+        [f for f in fields if f.get("initial-default") is not None]
+        if fv >= 3
+        else []
+    )
     pcols = _spec_pcols(meta, fields, "MERGE")
     evolved_fields = None
     extra_sp: list[T.StructField] = []
@@ -870,7 +878,12 @@ def _merge_iceberg(
         else schema
     )
     if data_files:
-        if fv >= 3:
+        if defaulted:
+            scan = ice._scan_with_defaults(
+                spark, old_schema, fields, data_files, delete_fs,
+                defaulted, keep_pos=True, lineage=True,
+            ).drop("_last_updated_sequence_number")
+        elif fv >= 3:
             scan = ice._lineage_scan(
                 spark, old_schema, fields, data_files, delete_fs,
                 keep_pos=True,
@@ -2004,12 +2017,18 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
     from census_asc5_data_pipeline_spark.sources import iceberg_io as ice
 
     cur_v, meta = ice._current_metadata(path)
-    # v3 UPDATE preserves lineage (r16): see _merge_iceberg
+    # v3 UPDATE preserves lineage and materializes defaults (r16):
+    # see _merge_iceberg
     fv = ice._format_version_gate(
-        meta, "UPDATE", write=True, v3_write_ok=True
+        meta, "UPDATE", write=True, v3_write_ok=True, defaults_ok=True,
     )
     branch_head = _branch_head(meta, branch)
     schema, fields = ice._schema_of(meta)
+    defaulted = (
+        [f for f in fields if f.get("initial-default") is not None]
+        if fv >= 3
+        else []
+    )
     pcols = _spec_pcols(meta, fields, "UPDATE")
     for c in sets:
         if c not in schema.fieldNames():
@@ -2050,7 +2069,12 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
                 "address positions unambiguously"
             )
         abs_of_base[base] = ap
-    if fv >= 3:
+    if defaulted:
+        scan = ice._scan_with_defaults(
+            spark, schema, fields, data_files, delete_fs, defaulted,
+            keep_pos=True, lineage=True,
+        ).drop("_last_updated_sequence_number")
+    elif fv >= 3:
         scan = ice._lineage_scan(
             spark, schema, fields, data_files, delete_fs,
             keep_pos=True,

@@ -159,8 +159,10 @@ def test_v3_initial_default_materializes_on_read(spark, tmp_path):
             spark, p, predicate="id >= 1"
         ).collect()
     } == {1, 2, 3, 4, 5}
-    # surfaces that would surface NULL still refuse by name
-    with pytest.raises(NotImplementedError, match="initial-default"):
+    # DML scans materialize defaults too (late r16) — but THIS
+    # fixture's files carry no first_row_id, so the lineage side of
+    # the DML scan refuses rather than fabricate ids
+    with pytest.raises(ValueError, match="first_row_id"):
         update_where(spark, "iceberg", p, "id = 1", {"id": "id + 10"})
 
 
@@ -667,3 +669,59 @@ def test_born_v3_create(spark, tmp_path):
     p2 = str(tmp_path / "t2")
     ice.write_iceberg(spark.range(2).select(F.col("id")), p2)
     assert ice._current_metadata(p2)[1]["format-version"] == 2
+
+
+def test_v3_dml_over_initial_default_columns(spark, tmp_path):
+    """late r16: the DML scans materialize initial-default columns —
+    a WHERE / MERGE condition over a defaulted column matches
+    pre-schema rows (NULL would silently skip them), post-images
+    carry the default materialized, lineage rides along, and
+    row_lineage composes with defaults on the read side too."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.range(4).coalesce(1).select(F.col("id")), p,
+        format_version=3,
+    )
+    cur_v, meta = ice._current_metadata(p)
+    meta2 = dict(meta)
+    _add_default(meta2)  # tag string, initial-default 'legacy'
+    ice._write_metadata_version(p, cur_v + 1, meta2)
+    # read composes defaults + lineage
+    rows = {
+        r.id: (r.tag, r._row_id)
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    assert rows == {i: ("legacy", i) for i in range(4)}
+    # UPDATE matched THROUGH the default; id keeps its lineage
+    sid = update_where(
+        spark, "iceberg", p,
+        "tag = 'legacy' AND id = 1", {"tag": "'patched'"},
+    )
+    assert sid is not None
+    after = {
+        r.id: (r.tag, r._row_id)
+        for r in ice.read_iceberg(spark, p, row_lineage=True).collect()
+    }
+    assert after[1] == ("patched", 1)
+    assert after[0] == ("legacy", 0)
+    # the rewritten file CARRIES tag (materialized), others default
+    # DELETE matched through the default too
+    assert ice.delete_iceberg_positions(
+        spark, p, "tag = 'legacy' AND id = 2"
+    ) is not None
+    assert sorted(
+        r.id for r in ice.read_iceberg(spark, p).collect()
+    ) == [0, 1, 3]
+    # MERGE: condition over the defaulted column
+    src = spark.createDataFrame([(0,), (9,)], "id long")
+    sid3 = merge_into(
+        spark, "iceberg", p, src,
+        "t.id = s.id AND t.tag = 'legacy'",
+        matched=[("update", None, {"tag": "'merged'"})],
+        not_matched={"id": "s.id", "tag": "'new'"},
+    )
+    assert sid3 is not None
+    fin = {
+        r.id: r.tag for r in ice.read_iceberg(spark, p).collect()
+    }
+    assert fin == {0: "merged", 1: "patched", 3: "legacy", 9: "new"}
