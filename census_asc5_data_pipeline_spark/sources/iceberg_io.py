@@ -511,11 +511,11 @@ def _format_version_gate(
       ignoring it would surface NULL where the spec says the default
       — wrong data, not a missing feature;
     - ``encryption-keys`` refuses (encrypted bytes);
-    - v3 DELETION VECTORS READ on the scan path (r16 — the Puffin
-      blob decodes through the shared roaring codec,
-      :func:`_dv_positions_frame`); surfaces that recover per-row
-      delete images from parquet delete files (the change feed)
-      still refuse them by name.
+    - v3 DELETION VECTORS READ everywhere (r16): the scan decodes
+      the Puffin blob through the shared roaring codec
+      (:func:`_dv_positions_frame`), and the change feed diffs
+      consecutive DV states to recover each snapshot's retraction
+      images (:func:`read_iceberg_changes`).
 
     Row-lineage METADATA (``next-row-id``, ``first-row-id``) is
     read-harmless — lineage fields are reader-optional — so its
@@ -581,21 +581,6 @@ def _is_dv_entry(d: dict) -> bool:
         or d.get("content_offset") is not None
         or str(d.get("file_format", "")).upper() == "PUFFIN"
     )
-
-
-def _gate_v3_deletes(deletes: list[dict]) -> None:
-    """Refuse v3 deletion vectors by name on surfaces that read
-    delete files AS parquet (the change feed's row-image recovery) —
-    the main scan DECODES them since r16 (:func:`_dv_positions_frame`)."""
-    for d in deletes:
-        if _is_dv_entry(d):
-            raise NotImplementedError(
-                "v3 deletion vectors (delete file "
-                f"{os.path.basename(str(d.get('file_path')))!r} "
-                "references a Puffin DV blob) are READ-supported on "
-                "the scan path only — this surface recovers per-row "
-                "delete images from parquet delete files"
-            )
 
 
 #: above this many total deleted positions (the DV entries' manifest
@@ -2926,20 +2911,25 @@ def _changed_files_of_range(
     list[tuple[str, int]],
     list[tuple[str, int]],
     list[tuple[str, int, tuple]],
+    list[tuple[dict, int]],
 ]:
-    """(inserts, position_deletes, equality_deletes) added by exactly
-    the given snapshots. Attribution comes from the manifest LIST: a
-    manifest belongs to the snapshot named by its
+    """(inserts, position_deletes, equality_deletes, dv_deletes)
+    added by exactly the given snapshots. Attribution comes from the
+    manifest LIST: a manifest belongs to the snapshot named by its
     ``added_snapshot_id``, so a snapshot's changes are the ADDED
     (status=1) entries of exactly its own manifests — appended/delete
     snapshots re-list prior manifests, which are skipped;
     ``rewrite_data_files`` lists status=0 EXISTING entries, also
     skipped (a compaction is not a logical change). Driver-side,
     metadata scale. Tuples: (data_path, sid) / (delete_path, sid) /
-    (delete_path, sid, equality_ids)."""
+    (delete_path, sid, equality_ids) / (full DV entry dict, sid) —
+    the DV entry keeps its reference fields because the feed must
+    DIFF it against the prior DV state (a replacement blob is old ∪
+    new; only the difference is this snapshot's retraction)."""
     inserts: list[tuple[str, int]] = []
     pos_dels: list[tuple[str, int]] = []
     eq_dels: list[tuple[str, int, tuple]] = []
+    dv_dels: list[tuple[dict, int]] = []
     for snap in snaps:
         sid = snap["snapshot-id"]
         _sch, manifests = read_container_generic(
@@ -2962,11 +2952,9 @@ def _changed_files_of_range(
                 p_ = _local(d["file_path"])
                 if content == 0:
                     inserts.append((p_, sid))
+                elif content == 1 and _is_dv_entry(d):
+                    dv_dels.append((dict(d), sid))
                 elif content == 1:
-                    # the change feed recovers row images by reading
-                    # the delete file as parquet — a v3 DV blob can't
-                    # feed that, refuse by name (scan path reads DVs)
-                    _gate_v3_deletes([d])
                     pos_dels.append((p_, sid))
                 elif content == 2:
                     eq_dels.append(
@@ -2976,7 +2964,7 @@ def _changed_files_of_range(
                     raise NotImplementedError(
                         f"data_file content {content!r} in {p_!r}"
                     )
-    return inserts, pos_dels, eq_dels
+    return inserts, pos_dels, eq_dels, dv_dels
 
 
 def read_iceberg_changes(
@@ -3002,7 +2990,12 @@ def read_iceberg_changes(
       equality columns carry the deleted keys, every other column is
       NULL (the delete file stores keys, not row images; emitting
       keys is the spec-faithful retraction, same contract as Iceberg's
-      own changelog procedure for equality deletes).
+      own changelog procedure for equality deletes);
+    - v3 DELETION VECTORS (late r16): each snapshot's retraction set
+      is the DIFF of its DV blob against the file's DV at the parent
+      snapshot (a replacement blob is old ∪ new, so the diff is
+      exactly this snapshot's deletions); full images recover
+      through the same referenced-files join.
 
     ``rewrite_data_files`` compactions emit NOTHING (status=0
     entries are skipped). Returns (frame, last_snapshot_id)."""
@@ -3040,7 +3033,9 @@ def read_iceberg_changes(
         )
         and s["snapshot-id"] <= int(head)
     ]
-    inserts, pos_dels, eq_dels = _changed_files_of_range(path, want)
+    inserts, pos_dels, eq_dels, dv_dels = _changed_files_of_range(
+        path, want
+    )
     from pyspark.sql import functions as F
 
     parts: list[DataFrame] = []
@@ -3125,6 +3120,113 @@ def read_iceberg_changes(
             parts.append(
                 scan.join(
                     pos,
+                    (F.col("__base") == F.col("__pbase"))
+                    & (F.col("__ri") == F.col("__pos")),
+                    "inner",
+                ).select(
+                    [F.col(f.name) for f in schema.fields]
+                    + [
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(sid).cast("long").alias("_snapshot_id"),
+                    ]
+                )
+            )
+    if dv_dels:
+        # v3 DELETION VECTORS (late r16, the r17 #1 candidate pulled
+        # forward): a snapshot's retraction set on file F = positions
+        # in its DV − positions in F's DV at the PARENT snapshot (a
+        # replacement blob is old ∪ new per the at-most-one-DV rule,
+        # so the blob DIFF is exactly this snapshot's deletions).
+        # Blobs decode driver-side — O(deleted rows), the same trade
+        # as the DV writer — and row images recover through the same
+        # (basename, row_index) inner join as parquet position
+        # deletes, over ONLY the referenced data files.
+        from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+            read_iceberg_dv,
+        )
+
+        snap_by_id = {s["snapshot-id"]: s for s in snaps}
+
+        def _dv_positions(entry: dict) -> set[int]:
+            return set(
+                read_iceberg_dv(
+                    _local(entry["file_path"]),
+                    int(entry["content_offset"]),
+                    int(entry["content_size_in_bytes"]),
+                )
+            )
+
+        for sid in sorted({s for _e, s in dv_dels}):
+            entries = [e for e, s in dv_dels if s == sid]
+            snap = snap_by_id[sid]
+            parent = snap.get("parent-snapshot-id")
+            if parent is None:
+                older = [
+                    s["snapshot-id"]
+                    for s in snaps
+                    if s["snapshot-id"] < sid
+                ]
+                parent = max(older) if older else None
+            prior_by_base: dict[str, dict] = {}
+            if parent is not None:
+                _pdata, prior_dels = _snapshot_files(
+                    path, meta, int(parent)
+                )
+                for d in prior_dels:
+                    if _is_dv_entry(d):
+                        prior_by_base[
+                            os.path.basename(
+                                _local(d["referenced_data_file"])
+                            )
+                        ] = d
+            data_at, _cur_dels = _snapshot_files(path, meta, sid)
+            abs_data: dict[str, str] = {}
+            for d in data_at:
+                ap = _local(d["file_path"])
+                base = os.path.basename(ap)
+                if base in abs_data and abs_data[base] != ap:
+                    raise ValueError(
+                        f"duplicate data-file basename {base!r} at "
+                        f"snapshot {sid} — cannot attribute deleted-"
+                        "row images safely"
+                    )
+                abs_data[base] = ap
+            pairs: list[tuple[str, int]] = []
+            for e in entries:
+                base = os.path.basename(
+                    _local(e["referenced_data_file"])
+                )
+                fresh = _dv_positions(e)
+                prior = prior_by_base.get(base)
+                if prior is not None:
+                    fresh -= _dv_positions(prior)
+                pairs += [(base, int(p_)) for p_ in sorted(fresh)]
+            if not pairs:
+                continue
+            ref_bases = sorted({b for b, _p in pairs})
+            missing = [b for b in ref_bases if b not in abs_data]
+            if missing:
+                raise ValueError(
+                    f"deletion vector references data file(s) "
+                    f"{missing} not live at the delete snapshot"
+                )
+            pos = spark.createDataFrame(
+                pairs, "__pbase string, __pos long"
+            )
+            scan = (
+                spark.read.schema(schema)
+                .parquet(*[abs_data[b] for b in ref_bases])
+                .withColumn(
+                    "__base",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+                .withColumn("__ri", F.col("_metadata.row_index"))
+            )
+            parts.append(
+                scan.join(
+                    F.broadcast(pos),
                     (F.col("__base") == F.col("__pbase"))
                     & (F.col("__ri") == F.col("__pos")),
                     "inner",

@@ -78,6 +78,20 @@ class _PosDeletePart(InputPartition):
         self.ref_map = ref_map
 
 
+class _DvDeletePart(InputPartition):
+    """One snapshot's v3 DELETION-VECTOR retractions (late r16): the
+    blob DIFF vs the parent snapshot's DV state is decoded in
+    ``partitions()`` (a replacement blob is old ∪ new — only the diff
+    is this snapshot's deletions), so the part carries the resolved
+    {data file path: [positions]} map directly — O(deleted rows)
+    pickled, the same trade as the DV writer."""
+
+    def __init__(self, snapshot_id, names, pos_map):
+        self.snapshot_id = snapshot_id
+        self.names = names
+        self.pos_map = pos_map
+
+
 class _EqDeletePart(InputPartition):
     """One equality-delete file: emit key-only retraction rows.
     ``arrow_schema`` (picklable) supplies the types for the NULL
@@ -153,13 +167,14 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
         )
         if snap is None:
             return 0, 0
-        ins, pos_d, eq_d = iceberg_io._changed_files_of_range(
+        ins, pos_d, eq_d, dv_d = iceberg_io._changed_files_of_range(
             self.path, [snap]
         )
         paths = (
             [p for p, _s in ins]
             + [p for p, _s in pos_d]
             + [p for p, _s, _ids in eq_d]
+            + [iceberg_io._local(e["file_path"]) for e, _s in dv_d]
         )
         nbytes = sum(
             os.path.getsize(p) for p in paths if os.path.exists(p)
@@ -205,8 +220,8 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                 "stream cannot attribute that range"
             )
         want = [by_id[sid] for sid in range(lo + 1, hi + 1)]
-        inserts, pos_dels, eq_dels = iceberg_io._changed_files_of_range(
-            self.path, want
+        inserts, pos_dels, eq_dels, dv_dels = (
+            iceberg_io._changed_files_of_range(self.path, want)
         )
         _schema, fields = iceberg_io._schema_of(meta)
         name_of_id = {f["id"]: f["name"] for f in fields}
@@ -251,6 +266,74 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
                     {b: abs_data[b] for b in sorted(refs)},
                 )
             )
+        dv_by_sid: dict[int, list[dict]] = {}
+        for e, sid in dv_dels:
+            dv_by_sid.setdefault(sid, []).append(e)
+        for sid in sorted(dv_by_sid):
+            from census_asc5_data_pipeline_spark.sources.deletion_vectors import (
+                read_iceberg_dv,
+            )
+
+            def _dv_pos(entry):
+                return set(
+                    read_iceberg_dv(
+                        iceberg_io._local(entry["file_path"]),
+                        int(entry["content_offset"]),
+                        int(entry["content_size_in_bytes"]),
+                    )
+                )
+
+            snap = by_id[sid]
+            parent = snap.get("parent-snapshot-id")
+            if parent is None:
+                older = [s for s in by_id if s < sid]
+                parent = max(older) if older else None
+            prior_by_base: dict[str, dict] = {}
+            if parent is not None:
+                _pd, prior_dels = iceberg_io._snapshot_files(
+                    self.path, meta, int(parent)
+                )
+                for d in prior_dels:
+                    if iceberg_io._is_dv_entry(d):
+                        prior_by_base[
+                            os.path.basename(
+                                iceberg_io._local(
+                                    d["referenced_data_file"]
+                                )
+                            )
+                        ] = d
+            data_at, _dels2 = iceberg_io._snapshot_files(
+                self.path, meta, sid
+            )
+            abs_data2: dict[str, str] = {}
+            for d in data_at:
+                ap = iceberg_io._local(d["file_path"])
+                base = os.path.basename(ap)
+                if base in abs_data2 and abs_data2[base] != ap:
+                    raise ValueError(
+                        f"duplicate data-file basename {base!r} at "
+                        f"snapshot {sid} — cannot attribute deleted-"
+                        "row images safely"
+                    )
+                abs_data2[base] = ap
+            pos_map: dict[str, list[int]] = {}
+            for e in dv_by_sid[sid]:
+                base = os.path.basename(
+                    iceberg_io._local(e["referenced_data_file"])
+                )
+                if base not in abs_data2:
+                    raise ValueError(
+                        f"deletion vector references data file "
+                        f"{base!r} not live at the delete snapshot"
+                    )
+                fresh = _dv_pos(e)
+                prior = prior_by_base.get(base)
+                if prior is not None:
+                    fresh -= _dv_pos(prior)
+                if fresh:
+                    pos_map[abs_data2[base]] = sorted(fresh)
+            if pos_map:
+                parts.append(_DvDeletePart(sid, self.names, pos_map))
         for p_, sid, ids in eq_dels:
             key_names = []
             for fid in ids:
@@ -301,6 +384,19 @@ class IcebergTailStreamReader(_RateLimitMixin, DataSourceStreamReader):
             for base in sorted(by_base):
                 data = pq.read_table(partition.ref_map[base])
                 taken = data.take(sorted(by_base[base]))
+                for batch in taken.to_batches():
+                    if batch.num_rows:
+                        yield _tag(
+                            batch,
+                            partition.names,
+                            "delete",
+                            partition.snapshot_id,
+                        )
+            return
+        if isinstance(partition, _DvDeletePart):
+            for dpath in sorted(partition.pos_map):
+                data = pq.read_table(dpath)
+                taken = data.take(partition.pos_map[dpath])
                 for batch in taken.to_batches():
                     if batch.num_rows:
                         yield _tag(

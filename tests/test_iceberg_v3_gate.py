@@ -179,27 +179,6 @@ def test_v3_encryption_refuses(spark, tmp_path):
         ice.read_iceberg(spark, p2)
 
 
-def test_v3_deletion_vector_entries_refuse_by_name():
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        ice._gate_v3_deletes(
-            [
-                {
-                    "file_path": "/t/data/dv.puffin",
-                    "content": 1,
-                    "file_format": "PUFFIN",
-                    "referenced_data_file": "/t/data/f1.parquet",
-                    "content_offset": 4,
-                    "content_size_in_bytes": 40,
-                }
-            ]
-        )
-    # v2-style position-delete entries pass untouched
-    ice._gate_v3_deletes(
-        [{"file_path": "/t/data/del.parquet", "content": 1,
-          "file_format": "PARQUET"}]
-    )
-
-
 def test_v4_still_blanket_refuses(spark, tmp_path):
     p = str(tmp_path / "t")
     _mk_v3(spark, p, lambda m: m.update({"format-version": 4}))
@@ -296,10 +275,14 @@ def test_v3_deletion_vectors_read_on_scan_path(spark, tmp_path):
     ]
     # predicate composition still exact over the DV-masked scan
     assert ice.read_iceberg(spark, p, predicate="id >= 4").count() == 6
-    # the change feed recovers row images from parquet delete files —
-    # a DV cannot feed that; refuse BY NAME, never silently empty
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        ice.read_iceberg_changes(spark, p)
+    # the change feed decodes the DV (late r16): the masked rows'
+    # FULL images surface as retractions at the delete snapshot
+    changes, _last = ice.read_iceberg_changes(spark, p)
+    dels = {
+        r.id
+        for r in changes.where("_change_type = 'delete'").collect()
+    }
+    assert dels == {1, 3}
 
 
 def _mk_v3_lineage_table(spark, path: str, materialized: bool = False):
@@ -725,3 +708,83 @@ def test_v3_dml_over_initial_default_columns(spark, tmp_path):
         r.id: r.tag for r in ice.read_iceberg(spark, p).collect()
     }
     assert fin == {0: "merged", 1: "patched", 3: "legacy", 9: "new"}
+
+
+def test_v3_change_feed_diffs_replaced_dvs(spark, tmp_path):
+    """late r16 (r17 #1 pulled forward): the snapshot-diff change
+    feed decodes v3 DVs — and because a second DML on the same file
+    REPLACES its DV with the union blob, the feed must emit only the
+    DIFF vs the parent snapshot's DV state, never re-retract the
+    earlier deletions. Incremental cursors see exactly one
+    retraction per row."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.range(8).coalesce(1).select(F.col("id")), p,
+        format_version=3,
+    )
+    s1 = ice.delete_iceberg_positions(spark, p, "id IN (1, 3)")
+    s2 = ice.delete_iceberg_positions(spark, p, "id = 5")  # replaces
+    changes, last = ice.read_iceberg_changes(spark, p)
+    dels = sorted(
+        (r._snapshot_id, r.id)
+        for r in changes.where("_change_type = 'delete'").collect()
+    )
+    assert dels == [(s1, 1), (s1, 3), (s2, 5)]
+    # incremental: tail from s1 sees ONLY the second snapshot's diff
+    inc, _ = ice.read_iceberg_changes(spark, p, since_snapshot_id=s1)
+    assert sorted(
+        r.id for r in inc.where("_change_type = 'delete'").collect()
+    ) == [5]
+    assert last == s2
+
+
+def test_v3_dv_retractions_through_the_stream(spark, tmp_path):
+    """late r16: the iceberg_tail STREAM emits v3 DV retractions as
+    full row images — and a replacing DV (second delete on the same
+    file) emits only its diff, so a restarted stream that already
+    consumed the first delete never re-retracts those rows."""
+    from census_asc5_data_pipeline_spark.sources import (
+        iceberg_stream_source,
+    )
+
+    iceberg_stream_source.register(spark)
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out: list = []
+
+    def sink(batch_df, epoch_id):
+        out.extend(
+            (r.id, r._change_type, r._snapshot_id)
+            for r in batch_df.collect()
+        )
+
+    ice.write_iceberg(
+        spark.range(6).coalesce(1).select(F.col("id")), table,
+        format_version=3,
+    )  # s1
+    s2 = ice.delete_iceberg_positions(spark, table, "id IN (1, 3)")
+
+    def _drain():
+        q = (
+            spark.readStream.format("iceberg_tail")
+            .option("path", table)
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _drain()
+    assert sorted(out) == sorted(
+        [(i, "insert", 1) for i in range(6)]
+        + [(1, "delete", s2), (3, "delete", s2)]
+    )
+    # a REPLACING DV lands while the stream is down; the restart
+    # emits only the diff (id 5), never re-retracting 1/3
+    out.clear()
+    s3 = ice.delete_iceberg_positions(spark, table, "id = 5")
+    _drain()
+    assert out == [(5, "delete", s3)]
