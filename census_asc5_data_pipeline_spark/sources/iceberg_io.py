@@ -1575,15 +1575,18 @@ def _lineage_scan(
     return joined.select(sel)
 
 
-def _default_literal(f: dict, spark_type: T.DataType):
-    """The v3 ``initial-default`` JSON single-value as a typed Spark
-    literal (table spec §JSON single-value serialization): booleans
-    and numbers are their JSON forms; string/date/decimal/timestamp
-    defaults arrive as JSON strings and cast to the column's type.
-    Unsupported shapes (struct/list/map/binary/uuid) refuse by name."""
+def _default_literal(
+    f: dict, spark_type: T.DataType, key: str = "initial-default"
+):
+    """A v3 ``initial-default`` / ``write-default`` JSON single-value
+    as a typed Spark literal (table spec §JSON single-value
+    serialization): booleans and numbers are their JSON forms;
+    string/date/decimal/timestamp defaults arrive as JSON strings and
+    cast to the column's type. Unsupported shapes
+    (struct/list/map/binary/uuid) refuse by name."""
     from pyspark.sql import functions as F
 
-    v = f["initial-default"]
+    v = f[key]
     t = f.get("type")
     t_name = t if isinstance(t, str) else (t or {}).get("type", "")
     if isinstance(v, (dict, list)) or str(t_name) in (
@@ -2404,6 +2407,39 @@ def write_iceberg(
             raise ValueError(
                 f"partition source column {pf['source']!r} not in DataFrame"
             )
+    # v3 write-default (late r16, table spec §Default values): a df
+    # missing a column whose field declares write-default fills it at
+    # write time and reorders to the table schema — the ordinary
+    # signature enforcement below still guards real drift (a missing
+    # column WITHOUT a write-default keeps raising)
+    if os.path.isdir(_meta_dir(path)) and _metadata_files(path):
+        _wd_meta = _current_metadata(path)[1]
+        if int(_wd_meta.get("format-version", 2)) >= 3:
+            _wd_schema, _wd_fields = _schema_of(_wd_meta)
+            fill = [
+                f
+                for f in _wd_fields
+                if f.get("write-default") is not None
+                and f["name"] not in df.columns
+            ]
+            if fill and {f["name"] for f in _wd_fields} == (
+                set(df.columns) | {f["name"] for f in fill}
+            ):
+                from pyspark.sql import functions as F
+
+                by_name = {f.name: f for f in _wd_schema.fields}
+                for f in fill:
+                    df = df.withColumn(
+                        f["name"],
+                        _default_literal(
+                            f,
+                            by_name[f["name"]].dataType,
+                            key="write-default",
+                        ),
+                    )
+                df = df.select(
+                    [F.col(f.name) for f in _wd_schema.fields]
+                )
     ice_fields = []
     for i, f in enumerate(df.schema.fields):
         t = _SPARK_TO_ICE.get(f.dataType.simpleString())
@@ -2448,7 +2484,10 @@ def write_iceberg(
     if exists:
         cur_v, meta = _current_metadata(path)
         _format_version_gate(
-            meta, "write_iceberg", write=True, v3_write_ok=True
+            meta, "write_iceberg", write=True, v3_write_ok=True,
+            # appends stage files carrying EVERY column (write-default
+            # fill above), so initial-default semantics are unaffected
+            defaults_ok=True,
         )
         if branch is not None:
             bref = (meta.get("refs") or {}).get(branch)

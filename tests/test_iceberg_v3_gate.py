@@ -788,3 +788,47 @@ def test_v3_dv_retractions_through_the_stream(spark, tmp_path):
     s3 = ice.delete_iceberg_positions(spark, table, "id = 5")
     _drain()
     assert out == [(5, "delete", s3)]
+
+
+def test_v3_write_default_fills_appends(spark, tmp_path):
+    """late r16 (table spec §Default values): an append missing a
+    column whose field declares write-default fills it at write time
+    — pre-schema rows still surface the initial-default, supplied
+    rows keep their explicit values, and a missing column WITHOUT a
+    write-default keeps raising the drift error."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(
+        spark.range(3).coalesce(1).select(F.col("id")), p,
+        format_version=3,
+    )
+    cur_v, meta = ice._current_metadata(p)
+    meta2 = dict(meta)
+    sid = meta2.get("current-schema-id", 0)
+    sch = next(
+        s for s in meta2["schemas"] if s.get("schema-id", 0) == sid
+    )
+    sch["fields"] = sch["fields"] + [
+        {"id": 99, "name": "tag", "required": False, "type": "string",
+         "initial-default": "legacy", "write-default": "filled"}
+    ]
+    ice._write_metadata_version(p, cur_v + 1, meta2)
+    # append WITHOUT tag: write-default fills it
+    ice.write_iceberg(
+        spark.range(3, 5).coalesce(1).select(F.col("id")), p
+    )
+    # append WITH tag: explicit values win
+    ice.write_iceberg(
+        spark.createDataFrame([(5, "mine")], "id long, tag string"), p
+    )
+    rows = {r.id: r.tag for r in ice.read_iceberg(spark, p).collect()}
+    assert rows == {
+        0: "legacy", 1: "legacy", 2: "legacy",  # initial-default
+        3: "filled", 4: "filled",  # write-default at write time
+        5: "mine",
+    }
+    # a genuinely missing column (no write-default) still drifts
+    ice.add_iceberg_columns(p, "note string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ice.write_iceberg(
+            spark.range(6, 7).select(F.col("id")), p
+        )
