@@ -1711,6 +1711,11 @@ _WRITER_FEATURES = {
     # enforcement (old narrow files read via Spark's native parquet
     # type promotion, the r14 READ half)
     "typeWidening",
+    # r16: TIMESTAMP_NTZ values write through Spark's parquet codec
+    # unchanged (READ landed r15); the writer's duty is declaring the
+    # feature at (3,7) on creation / schema replacement, which
+    # write_delta does whenever the schema carries the type
+    "timestampNtz",
     # r16: row tracking WRITE — every add-creating commit assigns
     # baseRowId/defaultRowCommitVersion above the delta.rowTracking
     # domain's high-water mark and advances it in the same commit
@@ -4508,6 +4513,18 @@ def write_delta(
                     "minWriterVersion": w,
                 }
         feature_adds: set[str] = set()
+        reader_adds: set[str] = set()
+        if any(
+            "timestamp_ntz" in f.dataType.simpleString()
+            for f in df.schema.fields
+        ):
+            # timestampNtz is a reader+writer table feature (r16,
+            # PROTOCOL.md §Clock/Session Timezone-less Timestamps): a
+            # schema with TIMESTAMP_NTZ columns MUST declare it on
+            # BOTH lists at (3,7) — a legacy reader would misparse
+            # the type
+            feature_adds |= {"timestampNtz"}
+            reader_adds |= {"timestampNtz"}
         if cluster_by:
             # clustering is a true table feature whose state is the
             # delta.clustering domain
@@ -4539,6 +4556,12 @@ def write_delta(
             else:
                 rfeats, wfeats = _implied_features(legacy)
             mrv = int(legacy.get("minReaderVersion", 1))
+            if reader_adds:
+                # a reader feature forces the feature-list reader
+                # protocol: legacy reader capabilities expand into
+                # the list alongside it
+                mrv = 3
+                rfeats |= reader_adds
             create_protocol = {
                 "minReaderVersion": mrv,
                 "minWriterVersion": 7,
@@ -4570,7 +4593,7 @@ def write_delta(
             _p, meta, adds, _txs = _replay(spark, path, None)
         else:
             next_v = 0
-            meta, adds = {}, {}
+            _p, meta, adds = None, {}, {}
         schema_changed = False
         if meta and (_column_mapping(meta) or None) != (
             expected_mapping or None
@@ -4638,6 +4661,37 @@ def write_delta(
                     }
                 }
             )
+        if schema_changed and any(
+            "timestamp_ntz" in f.dataType.simpleString()
+            for f in df.schema.fields
+        ):
+            # the replacement schema introduces TIMESTAMP_NTZ: the
+            # protocol upgrades to (3,7) + timestampNtz on BOTH
+            # lists in the SAME commit (PROTOCOL.md — a legacy
+            # reader would misparse the type)
+            cur_p = _p or {"minReaderVersion": 1, "minWriterVersion": 2}
+            if "timestampNtz" not in set(
+                cur_p.get("writerFeatures") or []
+            ):
+                if "writerFeatures" in cur_p:
+                    up_r = set(cur_p.get("readerFeatures") or [])
+                    up_w = set(cur_p["writerFeatures"])
+                else:
+                    up_r, up_w = _implied_features(cur_p)
+                lines.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(
+                                up_r | {"timestampNtz"}
+                            ),
+                            "writerFeatures": sorted(
+                                up_w | {"timestampNtz"}
+                            ),
+                        }
+                    }
+                )
         if next_v == 0:
             lines.append(
                 {

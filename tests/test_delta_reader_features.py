@@ -89,14 +89,70 @@ def test_timestamp_ntz_table_reads(spark, tmp_path):
         (1, dt.datetime(2024, 5, 1, 12, 30)),
         (2, dt.datetime(2024, 5, 2, 8, 0)),
     ]
-    # writes still refuse (writerFeature unimplemented)
-    with pytest.raises(NotImplementedError, match="timestampNtz"):
-        d.write_delta(
-            spark.createDataFrame(
-                [(3, dt.datetime(2024, 5, 3))], "k bigint, t timestamp_ntz"
-            ),
-            path,
-        )
+    # writes ACCEPT since r16 (timestampNtz joined _WRITER_FEATURES:
+    # the values write through Spark's parquet codec; declaring the
+    # feature was the only duty and the foreign table declares it)
+    d.write_delta(
+        spark.createDataFrame(
+            [(3, dt.datetime(2024, 5, 3))], "k bigint, t timestamp_ntz"
+        ),
+        path,
+    )
+    rows2 = sorted((r.k, r.t) for r in d.read_delta(spark, path).collect())
+    assert rows2 == rows + [(3, dt.datetime(2024, 5, 3))]
+
+
+def test_timestamp_ntz_creation_declares_feature(spark, tmp_path):
+    """r16: CREATING a table whose schema carries TIMESTAMP_NTZ must
+    declare timestampNtz at (3,7) on BOTH protocol lists — a legacy
+    reader would misparse the type; and an overwrite_schema that
+    INTRODUCES the type upgrades the protocol in the same commit."""
+    import json
+    import os
+
+    path = str(tmp_path / "born")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 5, 1, 12, 30))], "k bigint, t timestamp_ntz"
+    )
+    d.write_delta(df, path)
+    first = open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json")
+    ).read()
+    proto = next(
+        json.loads(ln)["protocol"]
+        for ln in first.splitlines()
+        if "protocol" in json.loads(ln)
+    )
+    assert proto["minReaderVersion"] == 3
+    assert "timestampNtz" in proto["readerFeatures"]
+    assert "timestampNtz" in proto["writerFeatures"]
+    got = d.read_delta(spark, path)
+    assert dict(got.dtypes)["t"] == "timestamp_ntz"
+    # schema replacement introducing NTZ upgrades in the same commit
+    p2 = str(tmp_path / "replaced")
+    d.write_delta(spark.createDataFrame([(1, 2)], "k bigint, v bigint"), p2)
+    d.write_delta(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 6, 1))], "k bigint, t timestamp_ntz"
+        ),
+        p2,
+        mode="overwrite",
+        overwrite_schema=True,
+    )
+    v1 = open(
+        os.path.join(p2, "_delta_log", f"{1:020d}.json")
+    ).read()
+    proto2 = next(
+        json.loads(ln)["protocol"]
+        for ln in v1.splitlines()
+        if "protocol" in json.loads(ln)
+    )
+    assert proto2["minReaderVersion"] == 3
+    assert "timestampNtz" in proto2["readerFeatures"]
+    assert "timestampNtz" in proto2["writerFeatures"]
+    got2 = d.read_delta(spark, p2)
+    assert dict(got2.dtypes)["t"] == "timestamp_ntz"
+    assert [r.k for r in got2.collect()] == [1]
 
 
 def test_vacuum_protocol_check_reads(spark, tmp_path):
