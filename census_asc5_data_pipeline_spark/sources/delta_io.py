@@ -1619,6 +1619,20 @@ def _mapping_ids(meta: dict) -> dict[str, int]:
     return out
 
 
+def _ids_from_schema_json(sj: dict | None) -> dict[str, int] | None:
+    """logical name → ``delta.columnMapping.id`` from a schema-JSON
+    dict (a minted creation/replacement schema, or a parsed
+    schemaString); None when absent/unmapped."""
+    if not sj:
+        return None
+    out: dict[str, int] = {}
+    for f in sj.get("fields", []):
+        cid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if cid is not None:
+            out[f["name"]] = int(cid)
+    return out or None
+
+
 def _rebind_by_field_id(
     schema_v: T.StructType,
     pcols_v: list[str],
@@ -4108,22 +4122,48 @@ def _stage_adds(
     return add_actions
 
 
+def _mapped_select(
+    df: DataFrame,
+    physical_of: dict[str, str],
+    field_ids: dict[str, int] | None,
+) -> DataFrame:
+    """The logical→physical rename at the file boundary, stamping
+    each mapped column's ``delta.columnMapping.id`` as a PARQUET
+    field id (late r16): id-mode readers bind columns by field id,
+    so staged files must carry them; name-mode readers ignore the
+    extra footer metadata. Columns without a mapping entry
+    (``_change_type``, row-tracking materializations, staging
+    clones) pass through unstamped."""
+    return df.select(
+        [
+            F.col(c).alias(
+                physical_of.get(c, c),
+                metadata={"parquet.field.id": int(field_ids[c])},
+            )
+            if field_ids and c in field_ids
+            else F.col(c).alias(physical_of.get(c, c))
+            for c in df.columns
+        ]
+    )
+
+
 def _stage_adds_mapped(
     df: DataFrame,
     path: str,
     pcols: list[str],
     physical_of: dict[str, str] | None,
     stats_cols: int = delta_stats.DEFAULT_INDEXED_COLS,
+    field_ids: dict[str, int] | None = None,
 ) -> list[dict]:
     """:func:`_stage_adds` under column mapping: the staged parquet's
     columns and the add actions' partitionValues keys use PHYSICAL
-    names, per spec (round-11: row-level DML on mapped tables). The
-    caller works in logical names throughout; the rename happens only
-    here, at the file boundary."""
+    names, per spec (round-11: row-level DML on mapped tables), and
+    carry their ``delta.columnMapping.id`` as parquet field ids when
+    ``field_ids`` (logical name → id) is supplied. The caller works
+    in logical names throughout; the rename happens only here, at
+    the file boundary."""
     if physical_of:
-        df = df.select(
-            [F.col(c).alias(physical_of.get(c, c)) for c in df.columns]
-        )
+        df = _mapped_select(df, physical_of, field_ids)
         pcols = [physical_of.get(c, c) for c in pcols]
     return _stage_adds(df, path, pcols, stats_cols=stats_cols)
 
@@ -4133,14 +4173,13 @@ def _stage_cdc_mapped(
     path: str,
     pcols: list[str],
     physical_of: dict[str, str] | None,
+    field_ids: dict[str, int] | None = None,
 ) -> list[dict]:
     """:func:`_stage_cdc` under column mapping — change-data files
     follow the table's mapping (``_change_type`` maps to itself, the
     read side's passthrough convention)."""
     if physical_of:
-        df = df.select(
-            [F.col(c).alias(physical_of.get(c, c)) for c in df.columns]
-        )
+        df = _mapped_select(df, physical_of, field_ids)
         pcols = [physical_of.get(c, c) for c in pcols]
     return _stage_cdc(df, path, pcols)
 
@@ -4580,6 +4619,15 @@ def write_delta(
         stats_cols=_stats_cols_of(prev_meta if exists else {
             "configuration": create_conf
         }),
+        field_ids=_ids_from_schema_json(
+            replace_schema_json
+            or (
+                json.loads(prev_meta["schemaString"])
+                if exists and prev_meta.get("schemaString")
+                else None
+            )
+            or create_schema_json
+        ),
     )
     now_ms = int(time.time() * 1000)
 
@@ -5076,6 +5124,7 @@ def delete_delta_where(
         new_adds = _stage_adds_mapped(
             survivors, path, pcols, physical_of,
             stats_cols=_stats_cols_of(meta),
+            field_ids=_mapping_ids(meta),
         )
         for base in sorted(touched):
             a = adds_by_base[base]
@@ -5096,7 +5145,10 @@ def delete_delta_where(
             .select([F.col(f.name) for f in schema.fields])
             .withColumn("_change_type", F.lit("delete"))
         )
-        lines.extend(_stage_cdc_mapped(deleted, path, pcols, physical_of))
+        lines.extend(_stage_cdc_mapped(
+            deleted, path, pcols, physical_of,
+            field_ids=_mapping_ids(meta),
+        ))
 
     c = _commit_counts(lines)
     _stamp_op_metrics(

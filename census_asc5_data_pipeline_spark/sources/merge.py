@@ -642,6 +642,7 @@ def _merge_delta(
         staged_add_lines = d._stage_adds_mapped(
             staged_rows, path, pcols, physical_of,
             stats_cols=d._stats_cols_of(meta),
+            field_ids=d._mapping_ids(meta),
         )
         lines.extend(staged_add_lines)
     if (meta.get("configuration") or {}).get(
@@ -684,7 +685,10 @@ def _merge_delta(
             for p_ in cdc_parts[1:]:
                 cdc = cdc.unionByName(p_)
             lines.extend(
-                d._stage_cdc_mapped(cdc, path, pcols, physical_of)
+                d._stage_cdc_mapped(
+                    cdc, path, pcols, physical_of,
+                    field_ids=d._mapping_ids(meta),
+                )
             )
     c = d._commit_counts(lines)
     dv_pairs = c["dv_adds"] if mode == "dv" else 0
@@ -1913,6 +1917,7 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         staged_add_lines = d._stage_adds_mapped(
             updated, path, pcols, physical_of,
             stats_cols=d._stats_cols_of(meta),
+            field_ids=d._mapping_ids(meta),
         )
         lines.extend(staged_add_lines)
     else:
@@ -1953,6 +1958,7 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         staged_add_lines = d._stage_adds_mapped(
             rewritten, path, pcols, physical_of,
             stats_cols=d._stats_cols_of(meta),
+            field_ids=d._mapping_ids(meta),
         )
         lines.extend(staged_add_lines)
         for base in sorted(touched):
@@ -1970,7 +1976,8 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         ).withColumn("_change_type", F.lit("update_postimage"))
         lines.extend(
             d._stage_cdc_mapped(
-                pre.unionByName(post), path, pcols, physical_of
+                pre.unionByName(post), path, pcols, physical_of,
+                field_ids=d._mapping_ids(meta),
             )
         )
     c = d._commit_counts(lines)

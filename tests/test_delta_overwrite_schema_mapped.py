@@ -117,3 +117,45 @@ def test_follow_up_dml_and_cdf_after_replacement(spark, tmp_path):
     )
     assert ("insert", 3) in got and ("insert", 4) in got
     assert ("delete", 0) in got
+
+
+def test_mapped_staging_stamps_parquet_field_ids(spark, tmp_path):
+    """late r16: every staged file of a column-mapped table carries
+    each column's delta.columnMapping.id as a PARQUET field id —
+    id-mode readers bind columns by field id, so files without them
+    are unreadable to a by-id foreign reader; name-mode readers
+    ignore the footer metadata. Pins the append, DML-rewrite, and
+    overwrite staging paths."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from census_asc5_data_pipeline_spark.sources import delta_io as d
+    from census_asc5_data_pipeline_spark.sources.merge import (
+        update_where,
+    )
+
+    path = str(tmp_path / "t")
+    d.write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint"),
+        path,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    update_where(spark, "delta", path, "id = 2", {"v": "v + 1"})
+    _v, meta, adds, _tx = d._replay(spark, path, None)
+    ids = d._mapping_ids(meta)
+    phys = d._column_mapping(meta)
+    assert ids and phys
+    id_of_phys = {phys[k]: v for k, v in ids.items()}
+    assert len(adds) >= 2  # original + rewritten file
+    for a in adds.values():
+        fp = os.path.join(path, a["path"])
+        sch = pq.ParquetFile(fp).schema_arrow
+        for name in sch.names:
+            if name not in id_of_phys:
+                continue
+            md = sch.field(name).metadata or {}
+            got = md.get(b"PARQUET:field_id")
+            assert got is not None, (a["path"], name)
+            assert int(got) == id_of_phys[name], (a["path"], name)
