@@ -548,7 +548,12 @@ def span_dedup_stats(
             )
         ),
     )
-    spans = explode_computed(toks, spans_arr, "sh")
+    # persist: the span frame feeds the occurrence aggregate AND the
+    # join back — without the cache the corpus tokenize+explode runs
+    # once per consumer (r16; the jaccard postings precedent). 16
+    # bytes/row at ~tokens/span_words rows — an order below corpus
+    # scale; consumers release via queries.unpersist_deps.
+    spans = explode_computed(toks, spans_arr, "sh").persist()
     # agg+join, NOT count().over(Window.partitionBy("sh")): the window
     # form measured ~3x faster at sf0.1 (one shuffle fewer) but
     # WindowExec buffers each partition whole and gets no AQE skew
@@ -557,7 +562,7 @@ def span_dedup_stats(
     # keeps map-side combine and the join inherits AQE skew-join
     # splitting, which is the shape that survives a degenerate corpus.
     occ = spans.groupBy("sh").agg(F.count(F.lit(1)).alias("__occ"))
-    return (
+    out = (
         spans.join(occ, "sh")
         .groupBy("doc_id")
         .agg(
@@ -575,6 +580,8 @@ def span_dedup_stats(
             .alias("dup_span_ppm"),
         )
     )
+    out._cached_deps = [spans]  # type: ignore[attr-defined]
+    return out
 
 
 def cross_corpus_near_pairs(

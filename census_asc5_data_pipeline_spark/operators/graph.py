@@ -78,11 +78,22 @@ def connected_components(
     e = _canonical_edges(edges, src, dst).localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
+        # the fixpoint signature (count + order-independent xxhash
+        # fold) rides the round's OWN checkpoint job as an observe()
+        # metric (r16 — the LPA/k_core probe discipline): one job per
+        # round instead of checkpoint + a separate agg job, identical
+        # signature on the identical frame
+        obs = Observation()
+        e = (
+            _small_star(_large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            )
+            .localCheckpoint()
+        )
+        sig = obs.get
         cur = (sig["n"], sig["h"])
         if cur == prev_sig:
             break

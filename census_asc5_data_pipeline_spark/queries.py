@@ -4812,7 +4812,14 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = explode_computed(toks, bigrams, "bg", keep=()).select(
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
-    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    # persist: the bigram table feeds the unigram re-aggregate AND the
+    # top-200 TakeOrdered — without the cache the corpus tokenize +
+    # count runs once per consumer (aliased subtrees, no
+    # ReuseExchange). Vocabulary²-bounded rows, far below corpus
+    # scale; released via unpersist_deps.
+    bg_counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_bigram")
+    ).persist()
     # unigram counts as FIRST-POSITION occurrences (denominator of the
     # conditional): sum of bigram counts per w1 — derived from the
     # bigram table itself, no second corpus scan
@@ -4820,7 +4827,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = bg_counts.orderBy(
         F.col("n_bigram").desc(), F.col("w1"), F.col("w2")
     ).limit(200)
-    return (
+    out = (
         top.join(uni, "w1")
         .select(
             "w1",
@@ -4835,6 +4842,8 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cond_ppm"),
         )
     )
+    out._cached_deps = [bg_counts]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_BIGRAM_LM = """
@@ -5273,7 +5282,13 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = explode_computed(toks, token_bigrams(F.col("w")), "bigram")
     bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
-    heads = bc.withColumn("w1", F.split("bigram", " ")[0])
+    # persist: the head-annotated bigram LM feeds the unigram
+    # re-aggregate, the V scalar and the scored join — three aliased
+    # consumers that would each re-run the corpus tokenize+count (no
+    # ReuseExchange across aliases). Vocabulary²-bounded; the final
+    # per-doc join is the one remaining corpus pass. Released via
+    # unpersist_deps.
+    heads = bc.withColumn("w1", F.split("bigram", " ")[0]).persist()
     uni = heads.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     v = uni.groupBy().agg(F.count(F.lit(1)).cast("double")).scalar()
     cost = F.floor(
@@ -5283,7 +5298,7 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         heads.join(uni, "w1")
         .select("bigram", cost.alias("cost_micro"))
     )
-    return (
+    out = (
         bg.join(scored, "bigram")
         .groupBy("doc_id")
         .agg(
@@ -5296,6 +5311,8 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    out._cached_deps = [heads]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_DOC_PERPLEXITY = """
@@ -5705,12 +5722,20 @@ def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full pair set); the brand dim ships broadcast."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     brands = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # persist: the (order, brand) basket frame feeds FIVE aliased
+    # consumers (the scalar n_orders subquery, part_cnt, both pair
+    # roles, and the ca/cb broadcast sides). Aliased subtrees don't
+    # canonicalize equal, so ReuseExchange can't dedupe them — without
+    # the cache the join+distinct re-ran per consumer (r16 profile:
+    # two concurrent 1.2s broadcast-side jobs alone). O(orders×brands)
+    # rows — bounded by the fact table, released via unpersist_deps.
     items = (
         li.join(
             F.broadcast(brands), li["l_partkey"] == brands["p_partkey"]
         )
         .select("l_orderkey", F.col("p_brand").alias("l_partkey"))
         .distinct()
+        .persist()
     )
     # in-plan scalar subquery (the tf-idf corpus-count pattern) — no
     # separate driver-side count job
@@ -5742,7 +5767,7 @@ def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(
         F.col("lift_ppm").desc(), F.col("co").desc(), "p_a", "p_b"
     ).limit(100)
-    return top.select(
+    out = top.select(
         F.row_number()
         .over(
             Window.orderBy(
@@ -5758,6 +5783,8 @@ def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb",
         "lift_ppm",
     )
+    out._cached_deps = [items]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_ITEM_AFFINITY = """
@@ -6499,15 +6526,20 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = explode_computed(toks, token_bigrams(F.col("w")), "bigram")
     bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    # persist: the split bigram table feeds four consumers (heads,
+    # tails, the scored filter, and the n_bg scalar) — aliased
+    # subtrees don't ReuseExchange, so each re-ran the corpus
+    # tokenize+count. Vocabulary²-bounded; released via
+    # unpersist_deps.
     split = bc.select(
         "bigram",
         "c_bg",
         F.split("bigram", " ")[0].alias("w1"),
         F.split("bigram", " ")[1].alias("w2"),
-    )
+    ).persist()
     heads = split.groupBy("w1").agg(F.sum("c_bg").alias("c1"))
     tails = split.groupBy("w2").agg(F.sum("c_bg").alias("c2"))
-    n_bg = bc.groupBy().agg(F.sum("c_bg").cast("double")).scalar()
+    n_bg = split.groupBy().agg(F.sum("c_bg").cast("double")).scalar()
     pmi = F.floor(
         F.log(
             F.lit(n_bg)
@@ -6523,11 +6555,13 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tails, "w2")
         .select("bigram", "c_bg", pmi.alias("pmi_micro"))
     )
-    return (
+    out = (
         scored.orderBy(F.col("pmi_micro").desc(), F.col("bigram"))
         .limit(50)
         .select("bigram", "c_bg", "pmi_micro")
     )
+    out._cached_deps = [split]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_TOKEN_PMI = """
@@ -7912,17 +7946,21 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("yr").orderBy(
         F.col("rev_c").desc(), F.col("p_brand")
     )
+    # persist: the ranked frame self-joins year-shifted (aliased
+    # projection — no ReuseExchange), so the fact aggregate + rank
+    # window otherwise run twice. |years|×|brands| rows — tiny at any
+    # scale; released via unpersist_deps.
     ranked = rev.select(
         "yr", "p_brand", "rev_c",
         F.row_number().over(w).cast("bigint").alias("rnk"),
-    )
+    ).persist()
     prev = ranked.select(
         (F.col("yr") + 1).alias("yr"),
         "p_brand",
         F.col("rnk").alias("rnk_prev"),
         F.col("rev_c").alias("rev_prev_c"),
     )
-    return ranked.join(prev, ["yr", "p_brand"]).select(
+    out = ranked.join(prev, ["yr", "p_brand"]).select(
         "yr",
         "p_brand",
         "rnk_prev",
@@ -7931,6 +7969,8 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_prev_c",
         F.col("rev_c").alias("rev_now_c"),
     )
+    out._cached_deps = [ranked]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_TOP_MOVERS = """
@@ -7974,6 +8014,10 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # persist: same year-shift self-join shape as top_movers — the
+    # shifted role is an aliased projection (no ReuseExchange), so the
+    # fact aggregate otherwise runs twice. |years|×|brands| rows;
+    # released via unpersist_deps.
     agg = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("yr", "p_brand")
@@ -7981,6 +8025,7 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_c").cast("bigint").alias("rev_c"),
             F.sum("qty").cast("bigint").alias("qty"),
         )
+        .persist()
     )
     prev = agg.select(
         (F.col("yr") + 1).alias("yr"),
@@ -7993,7 +8038,7 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     price_prev = F.expr("(rev_prev_c * 1000000) DIV qty_prev")
     price_now = F.expr("(rev_c * 1000000) DIV qty")
-    return j.select(
+    out = j.select(
         "yr",
         "p_brand",
         "rev_prev_c",
@@ -8008,6 +8053,8 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_eff_microc"),
     )
+    out._cached_deps = [agg]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_REVENUE_BRIDGE = """
@@ -8069,9 +8116,23 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bucket = F.expr("least(((doc - mn) * 64) DIV span, 63)").cast("bigint")
+    # tokens-per-doc IN-ROW (r16): size(filter(w)) over the words
+    # array replaces the exploded groupBy — one corpus tokenize pass
+    # instead of two (the explode stays only for voc_b's per-token
+    # min-doc aggregate, which genuinely needs token rows). The
+    # n_toks > 0 guard reproduces the exploded form's bucket set
+    # exactly: a doc with zero valid tokens contributed no row there.
+    n_toks_inrow = F.size(
+        F.filter(
+            words(F.col("text")),
+            lambda x: x.isNotNull() & (x != ""),
+        )
+    ).cast("bigint")
     tok_b = (
-        toks.groupBy(F.col("doc_id").alias("doc"))
-        .agg(F.count(F.lit(1)).alias("n_toks"))
+        docs.select(
+            F.col("doc_id").alias("doc"), n_toks_inrow.alias("n_toks")
+        )
+        .filter(F.col("n_toks") > 0)
         .crossJoin(bounds)
         .select(bucket.alias("b"), "n_toks")
         .groupBy("b")
@@ -8365,19 +8426,25 @@ def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("yr").orderBy(
         F.col("spend_c"), F.col("o_custkey")
     )
+    # persist: the tiered frame self-joins year-shifted — the shifted
+    # role is an aliased projection that doesn't ReuseExchange, so the
+    # fact aggregate + ntile window otherwise run twice. O(customers ×
+    # years) rows, far below fact scale; released via unpersist_deps.
     tiered = spend.select(
         "o_custkey", "yr", F.ntile(3).over(w).cast("bigint").alias("tier")
-    )
+    ).persist()
     prev = tiered.select(
         "o_custkey",
         (F.col("yr") + 1).alias("yr"),
         F.col("tier").alias("tier_from"),
     )
-    return (
+    out = (
         tiered.join(prev, ["o_custkey", "yr"])
         .groupBy("yr", "tier_from", F.col("tier").alias("tier_to"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+    out._cached_deps = [tiered]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_CUSTOMER_MIGRATION = """
@@ -9031,6 +9098,14 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.xxhash64("__s").alias("shingle"))
         .distinct()
+        # persist: four aliased consumers (both join roles + the two
+        # broadcast size sides) — aliased subtrees don't canonicalize
+        # equal, so ReuseExchange can't dedupe them and each broadcast
+        # side re-ran the full corpus tokenize+distinct (r16 profile:
+        # two concurrent 2.2s jobs). Vocabulary×|sources|-bounded rows
+        # (16 bytes each), far below corpus scale; released via
+        # unpersist_deps.
+        .persist()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("src_a"), "shingle")
@@ -9043,7 +9118,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
-    return (
+    out = (
         co.join(F.broadcast(sa), "src_a")
         .join(F.broadcast(sb), "src_b")
         .select(
@@ -9060,6 +9135,8 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+    out._cached_deps = [sh]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_SOURCE_OVERLAP = """
@@ -9253,6 +9330,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("b"),
         F.col("source").isin(*target).alias("is_t"),
     )
+    # persist: the bucket census feeds the ratio frame AND the totals
+    # scalar — different projections of the same aggregate, which the
+    # planner treats as two full corpus tokenize passes (aliased
+    # subtrees don't ReuseExchange). <= 1024 rows, metadata scale at
+    # any corpus size; released via unpersist_deps.
     dist = tb.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0))
         .cast("bigint")
@@ -9260,7 +9342,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_t"), 1).otherwise(0))
         .cast("bigint")
         .alias("r_b"),
-    )
+    ).persist()
     totals = dist.agg(
         F.sum("t_b").cast("bigint").alias("t_tot"),
         F.sum("r_b").cast("bigint").alias("r_tot"),
@@ -9288,7 +9370,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    return (
+    out = (
         db.join(F.broadcast(ratio), "b")
         .groupBy("doc_id", "source")
         .agg(
@@ -9298,6 +9380,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_micro"),
         )
     )
+    out._cached_deps = [dist]  # type: ignore[attr-defined]
+    return out
 
 
 SQL_DSIR_WEIGHTS = """
@@ -10241,7 +10325,12 @@ def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.floor(F.col("o_orderkey") / 2048).cast("bigint").alias("kb"),
     )
-    delta_io.write_delta(staged, base, partition_by=["kb"])
+    # repartition by the partition column before the Hive-partitioned
+    # staging write (r16, guide §6 small-files): the single-split scan
+    # otherwise leaves ONE task writing all ~|okey|/2048 partition
+    # dirs serially; clustering by kb spreads the file writes across
+    # the cluster. Same rows, same files-per-partition — layout-only.
+    delta_io.write_delta(staged.repartition("kb"), base, partition_by=["kb"])
     pred = (
         "okey < 4096 AND priority IN ('1-URGENT', '2-HIGH') "
         "AND okey >= 0"
@@ -10327,7 +10416,12 @@ def q_iceberg_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.floor(F.col("o_orderkey") / 2048).cast("bigint").alias("kb"),
     )
-    iceberg_io.write_iceberg(staged, base, partition_by=["kb"])
+    # repartition by the partition column before the partitioned
+    # staging write (r16 — same rationale as data_skipping: one scan
+    # task otherwise writes every partition dir serially)
+    iceberg_io.write_iceberg(
+        staged.repartition("kb"), base, partition_by=["kb"]
+    )
     pred = "okey < 4096 AND priority IN ('1-URGENT', '2-HIGH')"
 
     def _phase(tag: str) -> DataFrame:

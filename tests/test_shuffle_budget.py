@@ -212,8 +212,10 @@ SHUFFLE_BUDGET = {
     "pii_census": 1,
     # doc_perplexity's LM lineage (bigram counts, head marginals,
     # scalar V, per-doc rollup) + the source join, per-source ntile
-    # window and bucket rollup
-    "perplexity_buckets": 7,
+    # window and bucket rollup. r16 +1: the LM heads frame is now
+    # persisted (see doc_perplexity) and the static tree renders the
+    # cached lineage per reference; runtime materializes it once
+    "perplexity_buckets": 8,
     # everything keys on o_custkey: summary agg + the two per-column
     # latest-value subtrees reuse one partitioning (AQE coalesces the
     # equal-key joins)
@@ -353,7 +355,11 @@ SHUFFLE_BUDGET = {
     # static tree re-renders the distinct-basket lineage under both
     # self-join roles plus the part-count and scalar-subquery branches;
     # runtime dedups via ReuseExchange
-    "item_affinity": 9,
+    # r16: the (order, brand) basket frame is persisted (five aliased
+    # consumers re-ran the join+distinct; no ReuseExchange across
+    # aliases). Static tree renders the cached lineage per reference
+    # (+1); runtime materializes once, later refs are InMemoryTableScan
+    "item_affinity": 10,
     # static tree renders the persisted pair lineage under BOTH union
     # branches (same accounting as near_dup_triangles); runtime is one
     # materialization + the per-doc window
@@ -366,7 +372,12 @@ SHUFFLE_BUDGET = {
     # static tree re-renders the jaccard pair lineage per role (see
     # the near_dup_triangles note); runtime is one materialization
     "graph_degree_stats": 10,
-    "doc_perplexity": 6,
+    # r16: the head-annotated LM frame is persisted (heads/uni/V/
+    # scored were each re-running the corpus tokenize — aliased
+    # subtrees don't ReuseExchange). The static tree re-renders the
+    # cached subtree's lineage per reference (+1 here); RUNTIME
+    # materializes it once and later references are InMemoryTableScan
+    "doc_perplexity": 7,
     "source_entropy": 2,
     # returned lineage starts at the final localCheckpoint
     "pagerank": 0,
