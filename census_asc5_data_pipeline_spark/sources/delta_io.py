@@ -5190,6 +5190,24 @@ def delete_delta_where(
             continue
 
 
+def commit_operation_metrics(path: str, version: int) -> dict:
+    """The ``commitInfo.operationMetrics`` map of one commit (empty
+    dict when absent) — a driver-side JSON read, no Spark job. Lets
+    a caller that just committed recover row/file tallies without
+    recounting the data (r16: delta_sink_fold's per-batch count job
+    re-read the whole micro-batch through the Python stream source)."""
+    try:
+        with open(_commit_file(path, version)) as fh:
+            for line in fh:
+                obj = json.loads(line)
+                ci = obj.get("commitInfo")
+                if ci is not None:
+                    return dict(ci.get("operationMetrics") or {})
+    except (OSError, ValueError):
+        return {}
+    return {}
+
+
 def last_txn_version(
     spark: SparkSession, path: str, app_id: str
 ) -> int | None:

@@ -1343,19 +1343,28 @@ def delta_sink_fold(
     Returns rows appended (0 for fenced replays/empty batches)."""
     from census_asc5_data_pipeline_spark.sources import delta_io
 
-    if batch_df.isEmpty():
-        return 0
+    # fence first: a driver-side log replay, no Spark job — a fenced
+    # replay exits before touching the batch at all (r16; previously
+    # an isEmpty job ran even for fenced epochs)
     last = delta_io.last_txn_version(
         batch_df.sparkSession, table_path, app_id
     )
     if last is not None and last >= int(epoch_id):
         return 0
-    n = batch_df.count()
-    delta_io.write_delta(
+    if batch_df.isEmpty():
+        return 0
+    version = delta_io.write_delta(
         batch_df, table_path, mode="append",
         txn=(app_id, int(epoch_id)),
     )
-    return n
+    # rows appended from the commit's own operationMetrics (stamped
+    # from the staged files' footer stats) — the pre-r16 count() job
+    # re-read the whole micro-batch through the Python stream source,
+    # so every batch paid the source scan twice
+    rows = delta_io.commit_operation_metrics(table_path, version).get(
+        "numOutputRows"
+    )
+    return int(rows) if rows is not None else batch_df.count()
 
 
 def stream_to_delta(

@@ -437,6 +437,36 @@ def test_delta_txn_fence_makes_sink_exactly_once(spark, tmp_path):
     assert delta_sink_fold(b1, 1, path, "appA") == 0  # still fenced
 
 
+def test_sink_fold_counts_from_commit_metrics(spark, tmp_path):
+    """r16: delta_sink_fold derives rows-appended from the committed
+    version's operationMetrics (footer-stat numRecords) instead of a
+    second count() pass over the micro-batch — the returned count must
+    stay exact, and commit_operation_metrics must read back exactly
+    what the write stamped."""
+    from census_asc5_data_pipeline_spark.sources.delta_io import (
+        commit_operation_metrics,
+        delta_versions,
+    )
+    from census_asc5_data_pipeline_spark.streaming.pipeline import (
+        delta_sink_fold,
+    )
+
+    path = str(tmp_path / "t")
+    assert delta_sink_fold(
+        _mk(spark, [(i,) for i in range(7)], "id bigint"), 0, path, "m"
+    ) == 7
+    v = max(delta_versions(path))
+    m = commit_operation_metrics(path, v)
+    assert m.get("numOutputRows") == "7"
+    # absent commit → empty dict, never an exception
+    assert commit_operation_metrics(path, 999) == {}
+    # fenced replay returns 0 without a new commit
+    assert delta_sink_fold(
+        _mk(spark, [(1,)], "id bigint"), 0, path, "m"
+    ) == 0
+    assert max(delta_versions(path)) == v
+
+
 def test_stream_to_delta_end_to_end(spark, tmp_path):
     """File-source micro-batches land as Delta commits; the table
     reads back complete and the change feed sees per-epoch commits."""
