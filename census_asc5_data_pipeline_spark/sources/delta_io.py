@@ -2095,7 +2095,22 @@ def _apply_identity(
                     seen += n
                     yield pdf
 
-            df = df.mapInPandas(_assign, out_schema)
+            # EAGER checkpoint of the ALLOCATED rows (r16 correctness
+            # fix): TaskContext.partitionId() is the id within the
+            # EXECUTING STAGE, and a lazy allocation re-executes
+            # inside whatever plan consumes it — when the MERGE
+            # staging write UNIONs rewritten files with the inserts,
+            # the insert side's task ids shift by the left side's
+            # partition count, every offset lookup missed and fell
+            # back to 0, and multi-partition insert frames allocated
+            # DUPLICATE identity values. Materializing here runs the
+            # assignment as its own standalone job over the
+            # checkpointed input — task ids equal the partition ids
+            # the count job grouped by — and every downstream plan
+            # reads the frozen allocated rows.
+            df = df.mapInPandas(_assign, out_schema).localCheckpoint(
+                eager=True
+            )
         else:
             for name, dtype, _s, _st, _h, _a in missing:
                 df = df.withColumn(name, F.lit(None).cast(dtype))

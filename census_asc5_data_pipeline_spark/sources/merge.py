@@ -282,19 +282,30 @@ def merge_into(
             "branch writes are an Iceberg refs feature — Delta has "
             "no branch refs"
         )
-    if fmt == "delta":
-        if mode not in ("cow", "dv"):
-            raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
-        return _merge_delta(
-            spark, path, source, on, matched, nmbs, not_matched, mode,
-            evolve_schema,
-        )
-    if fmt == "iceberg":
+    if fmt not in ("delta", "iceberg"):
+        raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
+    if fmt == "delta" and mode not in ("cow", "dv"):
+        raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
+    # Persist the source for the statement's lifetime (r16): the merge
+    # plan references it from SEPARATE actions — the cardinality-
+    # violation probe, the tagged left join's staging write, and the
+    # insert anti-join — and broadcast builds are not reused across
+    # actions, so an uncached source recomputed its whole lineage per
+    # action. Statement-scoped: released in the finally regardless of
+    # commit outcome.
+    source = source.persist()
+    try:
+        if fmt == "delta":
+            return _merge_delta(
+                spark, path, source, on, matched, nmbs, not_matched,
+                mode, evolve_schema,
+            )
         return _merge_iceberg(
             spark, path, source, on, matched, nmbs, not_matched,
             evolve_schema, branch=branch,
         )
-    raise ValueError(f"unsupported format {fmt!r} (delta|iceberg)")
+    finally:
+        source.unpersist()
 
 
 def _merge_delta(
