@@ -2013,14 +2013,19 @@ def _apply_identity(
     negative step) so later allocations never collide.
 
     Allocation is exact and contiguous: the frame is localCheckpoint-
-    ed (pinning its partitioning), ONE O(partitions) count job sizes
-    per-partition offsets, and an Arrow ``mapInPandas`` assigns
-    ``base + i·step`` with ``TaskContext.partitionId()`` indexing the
-    offsets — no shuffle of the data, no driver row traffic, and the
-    new high water mark is ``base + (N-1)·step`` with zero gaps
+    ed ONCE with its partition id burned into each row (pinning
+    partitioning, row order AND the id the offsets key on), ONE
+    O(partitions) count job sizes per-partition offsets, and a LAZY
+    Arrow ``mapInPandas`` assigns ``base + i·step`` keyed on the
+    row-borne partition id — no shuffle of the data, no driver row
+    traffic, no second full-frame materialization (r17; the r16
+    eager re-checkpoint pinned the whole insert frame twice), and
+    the new high water mark is ``base + (N-1)·step`` with zero gaps
     (the spec allows gaps; this writer simply doesn't need them).
-    The one extra materialization is the price of exactness — the
-    same lineage cut the iterative graph ops already pay per round."""
+    Because the id is data, not ``TaskContext.partitionId()``, every
+    consumer — including a staging write that UNION-embeds the
+    inserts, the r16 duplicate-allocation bug — re-derives identical
+    values from the pinned rows."""
     idents = _identity_columns(meta)
     if not idents:
         return df, {}
@@ -2054,15 +2059,47 @@ def _apply_identity(
             if (step > 0 and mx > basis) or (step < 0 and mx < basis):
                 updates[name] = mx
     if missing:
-        spark = df.sparkSession
-        df = df.localCheckpoint(eager=True)
-        counts = {
-            r["__pid"]: r["count"]
-            for r in df.groupBy(
-                F.spark_partition_id().alias("__pid")
+        # r17 scale-safe allocation (replaces the r16 double
+        # localCheckpoint): the partition id is BURNED INTO the rows
+        # during the one input materialization — spark_partition_id()
+        # evaluated while the checkpoint job runs IS the checkpointed
+        # RDD's partition index — so the offset lookup keys on frozen
+        # DATA, not on TaskContext.partitionId() (which is stage-local
+        # and shifts when a consuming plan UNION-embeds the inserts,
+        # the r16 duplicate-allocation bug). The assignment itself
+        # stays LAZY: every consumer re-derives identical ids from the
+        # pinned rows (stored partition order is deterministic), so
+        # nothing is double-materialized and no full-frame second pin
+        # competes for executor storage at scale.
+        pid_col = "__ident_pid"
+        if pid_col in df.columns:
+            raise ValueError(
+                f"identity allocation reserves column {pid_col!r}"
             )
-            .count()
-            .collect()
+
+        def _stamp_pid(iterator):
+            # runs as the FINAL stage of the eager checkpoint job
+            # below, so TaskContext.partitionId() here IS the index
+            # the partition is stored under. (spark_partition_id()
+            # cannot do this: over a LocalRelation input — a VALUES
+            # insert — it evaluates driver-side as a constant 0.)
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for pdf in iterator:
+                pdf[pid_col] = pid
+                yield pdf
+
+        df = df.mapInPandas(
+            _stamp_pid,
+            T.StructType(
+                list(df.schema.fields)
+                + [T.StructField(pid_col, T.IntegerType(), False)]
+            ),
+        ).localCheckpoint(eager=True)
+        counts = {
+            r[pid_col]: r["count"]
+            for r in df.groupBy(pid_col).count().collect()
         }
         total = sum(counts.values())
         if total:
@@ -2071,47 +2108,49 @@ def _apply_identity(
             for pid in sorted(counts):
                 offs[pid] = acc
                 acc += counts[pid]
-            plan = []  # (name, base, step, spark type ddl)
-            out_schema = T.StructType(list(df.schema.fields))
+            plan = []  # (name, base, step)
+            out_fields = [
+                f for f in df.schema.fields if f.name != pid_col
+            ]
+            out_schema = T.StructType(list(out_fields))
             for name, dtype, start, step, hwm, _a in missing:
                 base = start if hwm is None else hwm + step
                 plan.append((name, base, step))
                 updates[name] = base + (total - 1) * step
                 out_schema = out_schema.add(name, dtype, False)
 
-            def _assign(iterator, _offs=offs, _plan=plan):
-                from pyspark import TaskContext
-
+            def _assign(iterator, _offs=offs, _plan=plan, _pid=pid_col):
                 import numpy as np
 
-                pid = TaskContext.get().partitionId()
-                i0 = _offs.get(pid, 0)
-                seen = 0
+                # a task may iterate several checkpointed partitions
+                # (coalesce) and one Arrow batch may straddle their
+                # boundary — walk contiguous pid runs, each row's
+                # offset comes from ITS partition's entry
+                seen: dict[int, int] = {}
                 for pdf in iterator:
+                    pids = pdf[_pid].to_numpy()
+                    pdf = pdf.drop(columns=[_pid])
                     n = len(pdf)
-                    idx = np.arange(i0 + seen, i0 + seen + n)
+                    if n == 0:
+                        for name, _b, _s in _plan:
+                            pdf[name] = np.array([], dtype="int64")
+                        yield pdf
+                        continue
+                    cuts = np.flatnonzero(np.diff(pids)) + 1
+                    bounds = [0, *cuts.tolist(), n]
+                    idx = np.empty(n, dtype="int64")
+                    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                        pid = int(pids[b0])
+                        s = seen.get(pid, 0)
+                        idx[b0:b1] = _offs[pid] + s + np.arange(b1 - b0)
+                        seen[pid] = s + (b1 - b0)
                     for name, base, step in _plan:
                         pdf[name] = base + idx * step
-                    seen += n
                     yield pdf
 
-            # EAGER checkpoint of the ALLOCATED rows (r16 correctness
-            # fix): TaskContext.partitionId() is the id within the
-            # EXECUTING STAGE, and a lazy allocation re-executes
-            # inside whatever plan consumes it — when the MERGE
-            # staging write UNIONs rewritten files with the inserts,
-            # the insert side's task ids shift by the left side's
-            # partition count, every offset lookup missed and fell
-            # back to 0, and multi-partition insert frames allocated
-            # DUPLICATE identity values. Materializing here runs the
-            # assignment as its own standalone job over the
-            # checkpointed input — task ids equal the partition ids
-            # the count job grouped by — and every downstream plan
-            # reads the frozen allocated rows.
-            df = df.mapInPandas(_assign, out_schema).localCheckpoint(
-                eager=True
-            )
+            df = df.mapInPandas(_assign, out_schema)
         else:
+            df = df.drop(pid_col)
             for name, dtype, _s, _st, _h, _a in missing:
                 df = df.withColumn(name, F.lit(None).cast(dtype))
     tbl_names = [

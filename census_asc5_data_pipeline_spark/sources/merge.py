@@ -103,16 +103,25 @@ def _plan_merge(
     nmbs: list[MatchedClause],
     not_matched: dict | None,
     target_fields: list[T.StructField],
-) -> tuple[DataFrame, DataFrame | None]:
-    """Shared row semantics: returns (tagged, inserts).
+) -> tuple[DataFrame, DataFrame | None, object | None]:
+    """Shared row semantics: returns (tagged, inserts, card_check).
 
     ``tagged`` = every target row of ``scan`` left-joined with the
     source, carrying ``__action`` ('keep' | 'm…' | 'n…') chosen by the
     FIRST matching clause (ANSI order) — WHEN MATCHED clauses for
     matched rows, WHEN NOT MATCHED BY SOURCE clauses (t.*-only
     expressions) for source-absent target rows — plus ``__base`` /
-    ``__ri`` for position addressing. Raises if any target row matches
-    more than one source row (the standard's cardinality violation).
+    ``__ri`` for position addressing.
+    ``card_check`` enforces the standard's cardinality rule (a target
+    row matching more than one source row raises). r17: instead of a
+    dedicated inner-join probe job, two ``observe()`` counts ride the
+    caller's FIRST action over ``tagged`` (the metrics collect / the
+    position staging) — the left join preserves every scan row exactly
+    once UNLESS some target row matches several source rows, so
+    ``count(tagged) > count(scan)`` is exactly the old group-count
+    probe. The caller MUST invoke ``card_check()`` after its first
+    ``tagged`` action and BEFORE committing (None when no WHEN
+    MATCHED clause — the ANSI insert-only exemption).
     ``inserts`` = the NOT MATCHED [BY TARGET] source rows projected to
     the target schema (None when no insert clause). ``not_matched``
     is a {col: expr} dict (one unconditional INSERT) or an ORDERED
@@ -142,26 +151,65 @@ def _plan_merge(
                 "(pass evolve_schema=True to add source columns)"
             )
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
-    j = scan.alias("t").join(src, F.expr(on), "left")
+    scan0 = scan  # un-observed: the insert anti-join must not share
+    card_check = None
     if matched:
-        # cardinality check: one job, O(matched) — a MERGE that
-        # silently picks an arbitrary source row to update/delete by
-        # corrupts the table (the standard's rule)
-        dup = (
-            scan.alias("t")
-            .join(src, F.expr(on), "inner")
-            .groupBy(F.col("t.__base"), F.col("t.__ri"))
-            .count()
-            .where("count > 1")
-            .limit(1)
-            .count()
+        # cardinality check rides the caller's first action over
+        # ``tagged`` (r17 — was a dedicated inner-join probe job): the
+        # left join emits each scan row once per matching source row,
+        # so a fan-out (tagged count above scan count) is exactly a
+        # target row matching more than one source row. Filters do not
+        # push through CollectMetrics, so both counts see every row.
+        from pyspark.sql import Observation
+
+        obs_scan = Observation()
+        obs_tag = Observation()
+        scan = scan.observe(obs_scan, F.count(F.lit(1)).alias("n"))
+        j = scan.alias("t").join(src, F.expr(on), "left").observe(
+            obs_tag, F.count(F.lit(1)).alias("n")
         )
-        if dup:
-            raise ValueError(
-                "MERGE cardinality violation: a target row matches "
-                "more than one source row"
+
+        def _obs_n(obs):
+            # AQE's runtime empty-relation propagation can REPLACE the
+            # subtree holding a CollectMetrics node when a downstream
+            # stage materializes empty (the row-level no-op merge);
+            # the query then completes with an EMPTY metrics row.
+            # Detect that (schema-less zero-length row) and report
+            # "unavailable" instead of tripping toPyRow's assertion.
+            jrow = obs._jo.getRow()
+            if jrow.length() == 0:
+                return None
+            return int(obs.get["n"])
+
+        def card_check(_s=obs_scan, _t=obs_tag):
+            nt, ns = _obs_n(_t), _obs_n(_s)
+            if nt is not None and ns is not None:
+                if nt > ns:
+                    raise ValueError(
+                        "MERGE cardinality violation: a target row "
+                        "matches more than one source row"
+                    )
+                return
+            # metrics dropped by AQE (empty downstream result) — fall
+            # back to the pre-r17 probe job; rare, and exactly the
+            # case where almost nothing matched
+            dup = (
+                scan0.alias("t")
+                .join(src, F.expr(on), "inner")
+                .groupBy(F.col("t.__base"), F.col("t.__ri"))
+                .count()
+                .where("count > 1")
+                .limit(1)
+                .count()
             )
+            if dup:
+                raise ValueError(
+                    "MERGE cardinality violation: a target row "
+                    "matches more than one source row"
+                )
+
     else:
+        j = scan.alias("t").join(src, F.expr(on), "left")
         # insert-only exemption (ANSI / delta-spark): with no WHEN
         # MATCHED clause, multiple source matches are legal — but the
         # left join still fans such target rows out, so collapse them.
@@ -175,7 +223,7 @@ def _plan_merge(
     tagged = j.withColumn("__action", action)
     inserts = None
     if not_matched:
-        anti = src.join(scan.alias("t"), F.expr(on), "left_anti")
+        anti = src.join(scan0.alias("t"), F.expr(on), "left_anti")
         # first insert clause wins (ANSI order); unmatched-by-every-
         # condition rows are skipped
         iclauses = [
@@ -202,7 +250,7 @@ def _plan_merge(
                     ).otherwise(expr)
             cols.append(expr.alias(f.name))
         inserts = anti.select(cols)
-    return tagged, inserts
+    return tagged, inserts, card_check
 
 
 def _rewritten_cols(
@@ -287,13 +335,17 @@ def merge_into(
     if fmt == "delta" and mode not in ("cow", "dv"):
         raise ValueError(f"unsupported mode {mode!r} (cow|dv)")
     # Persist the source for the statement's lifetime (r16): the merge
-    # plan references it from SEPARATE actions — the cardinality-
-    # violation probe, the tagged left join's staging write, and the
-    # insert anti-join — and broadcast builds are not reused across
-    # actions, so an uncached source recomputed its whole lineage per
-    # action. Statement-scoped: released in the finally regardless of
-    # commit outcome.
-    source = source.persist()
+    # plan references it from SEPARATE actions — the tagged left
+    # join's metrics/staging actions and the insert anti-join — and
+    # broadcast builds are not reused across actions, so an uncached
+    # source recomputed its whole lineage per action. Statement-
+    # scoped: released in the finally regardless of commit outcome.
+    # r17 (ADVICE): only when the CALLER has not already cached it —
+    # persisting twice raises on a different storage level, and the
+    # finally must not drop a cache this call did not add.
+    added_cache = not source.is_cached
+    if added_cache:
+        source = source.persist()
     try:
         if fmt == "delta":
             return _merge_delta(
@@ -305,7 +357,8 @@ def merge_into(
             evolve_schema, branch=branch,
         )
     finally:
-        source.unpersist()
+        if added_cache:
+            source.unpersist()
 
 
 def _merge_delta(
@@ -468,113 +521,156 @@ def _merge_delta(
                 "_row_id", F.lit(None).cast("long")
             ).withColumn("__rt_cv", F.lit(None).cast("long"))
         )
-    tagged, inserts = _plan_merge(
+    tagged, inserts, card_check = _plan_merge(
         scan, source, on, matched, nmbs, not_matched, list(schema.fields)
     )
-    del_tags = _delete_tags(matched, nmbs)
-    upd_tags = _update_tags(matched, nmbs)
-    act_tags = del_tags + upd_tags
-    # per-(action, file) matched-row counts ride the SAME shuffle the
-    # old distinct() took (r15: operationMetrics) — touched files AND
-    # numTargetRowsUpdated/Deleted from one job
-    act_rows = (
-        tagged.where(F.col("__action").isin(act_tags))
-        .groupBy(
-            F.col("__action"), F.col("t.__base").alias("__base")
+    # statement-scoped inserts persist (r17): the insert anti-join is
+    # referenced by the n_ins count, the identity allocation pin, the
+    # staging union write AND the CDC union — each a separate action
+    # that would re-run the anti-join (re-scanning the target) on an
+    # uncached frame. Bounded by the (already persisted) source size;
+    # released in the finally regardless of commit outcome.
+    # the commit body is a closure (r17) so the statement-scoped
+    # inserts cache below is released on EVERY exit path — no-op
+    # returns, cardinality/constraint raises, the commit itself —
+    # without threading two dozen locals through a helper signature.
+    # ``inserts`` binds as a default arg because the identity path
+    # rebinds it inside the closure.
+    def _commit_body(inserts=inserts):
+        del_tags = _delete_tags(matched, nmbs)
+        upd_tags = _update_tags(matched, nmbs)
+        act_tags = del_tags + upd_tags
+        # per-(action, file) matched-row counts ride the SAME shuffle the
+        # old distinct() took (r15: operationMetrics) — touched files AND
+        # numTargetRowsUpdated/Deleted from one job, which is also the
+        # action the cardinality observe() pair rides (r17)
+        act_rows = (
+            tagged.where(F.col("__action").isin(act_tags))
+            .groupBy(
+                F.col("__action"), F.col("t.__base").alias("__base")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if act_tags
+            else []
         )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-        if act_tags
-        else []
-    )
-    touched = sorted({r["__base"] for r in act_rows})
-    n_upd = sum(int(r["n"]) for r in act_rows if r["__action"] in upd_tags)
-    n_del = sum(int(r["n"]) for r in act_rows if r["__action"] in del_tags)
-    n_ins = inserts.count() if inserts is not None else 0
-    if not touched and not n_ins and not extra_fields:
-        # row-level no-op AND no schema widening: nothing to commit.
-        # With evolve_schema extra columns the widened metaData still
-        # commits below (r11 ADVICE: a caller relying on the evolved
-        # schema for a follow-up write must not silently see the old
-        # one), just with no add/remove actions.
-        return None
-    identity_updates: dict[str, int] = {}
-    if inserts is not None and n_ins and ident_names:
-        # insert-clause allocation (r14): clauses that DON'T name the
-        # identity column projected it as NULL — drop it so
-        # _apply_identity sees it missing and allocates gap-free;
-        # clauses that DO name it pass explicit values through the
-        # same ALWAYS-refusal / BY DEFAULT hwm-ratchet rules as
-        # INSERT. Update post-images keep their existing values (SET
-        # refused above), so only inserts allocate.
-        unsupplied = [
-            n
-            for n in sorted(ident_names)
-            if not any(n in vals for _c, vals in nm_list)
-        ]
-        alloc_src = inserts.drop(*unsupplied) if unsupplied else inserts
-        alloc_out, identity_updates = d._apply_identity(
-            alloc_src, meta, "MERGE"
-        )
-        inserts = alloc_out.select(
-            [F.col(f"`{f.name}`") for f in schema.fields]
-        )
-    now_ms = int(time.time() * 1000)
-    lines: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "MERGE",
-                "operationParameters": {"predicate": on},
-                "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+        if card_check is not None:
+            card_check()
+        touched = sorted({r["__base"] for r in act_rows})
+        n_upd = sum(int(r["n"]) for r in act_rows if r["__action"] in upd_tags)
+        n_del = sum(int(r["n"]) for r in act_rows if r["__action"] in del_tags)
+        n_ins = inserts.count() if inserts is not None else 0
+        if not touched and not n_ins and not extra_fields:
+            # row-level no-op AND no schema widening: nothing to commit.
+            # With evolve_schema extra columns the widened metaData still
+            # commits below (r11 ADVICE: a caller relying on the evolved
+            # schema for a follow-up write must not silently see the old
+            # one), just with no add/remove actions.
+            return None
+        identity_updates: dict[str, int] = {}
+        if inserts is not None and n_ins and ident_names:
+            # insert-clause allocation (r14): clauses that DON'T name the
+            # identity column projected it as NULL — drop it so
+            # _apply_identity sees it missing and allocates gap-free;
+            # clauses that DO name it pass explicit values through the
+            # same ALWAYS-refusal / BY DEFAULT hwm-ratchet rules as
+            # INSERT. Update post-images keep their existing values (SET
+            # refused above), so only inserts allocate.
+            unsupplied = [
+                n
+                for n in sorted(ident_names)
+                if not any(n in vals for _c, vals in nm_list)
+            ]
+            alloc_src = inserts.drop(*unsupplied) if unsupplied else inserts
+            alloc_out, identity_updates = d._apply_identity(
+                alloc_src, meta, "MERGE"
+            )
+            inserts = alloc_out.select(
+                [F.col(f"`{f.name}`") for f in schema.fields]
+            )
+        now_ms = int(time.time() * 1000)
+        lines: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "MERGE",
+                    "operationParameters": {"predicate": on},
+                    "engineInfo": "census_asc5_data_pipeline_spark delta_io",
+                }
             }
-        }
-    ]
-    if extra_fields or identity_updates or rt_conf_changed:
-        # schema evolution, the advanced identity high water mark
-        # and/or freshly-minted materialized row-id column names
-        # commit atomically with the row changes in ONE metaData
-        # action (old files' missing columns read NULL on scan; the
-        # hwm must land with its allocated rows, per spec)
-        meta_commit = (
-            dict(meta, schemaString=schema.json())
-            if extra_fields
-            else dict(meta)
-        )
-        if identity_updates:
-            meta_commit = d._stamp_identity_hwm(
-                meta_commit, identity_updates
+        ]
+        if extra_fields or identity_updates or rt_conf_changed:
+            # schema evolution, the advanced identity high water mark
+            # and/or freshly-minted materialized row-id column names
+            # commit atomically with the row changes in ONE metaData
+            # action (old files' missing columns read NULL on scan; the
+            # hwm must land with its allocated rows, per spec)
+            meta_commit = (
+                dict(meta, schemaString=schema.json())
+                if extra_fields
+                else dict(meta)
             )
-        lines.append({"metaData": meta_commit})
-    adds_by_base = d._adds_by_base(adds)
-    planned: dict[str, dict | None] = {}
-    staged_rows: DataFrame | None = None
-    if mode == "dv":
-        # DV-retire every acted-on row (update pre-images AND deletes)
-        # and stage only the post-images — untouched rows of touched
-        # files stay in place behind the deletion vector
-        if touched:
-            acted = tagged.where(
-                F.col("__action").isin(act_tags)
-            ).select(
-                F.col("t.__base").alias("__base"),
-                F.col("t.__ri").alias("__ri"),
-            )
-            d._dv_retire(
-                spark, path, protocol, acted, F.lit(True),
-                adds_by_base, lines, planned, now_ms,
-            )
-        if upd_tags:
-            # updated post-images keep their stable id; the commit
-            # version resets to THIS commit (null materialized value
-            # → the new file's defaultRowCommitVersion on read)
-            staged_rows = d._regenerate(
-                tagged.where(F.col("__action").isin(upd_tags)).select(
+            if identity_updates:
+                meta_commit = d._stamp_identity_hwm(
+                    meta_commit, identity_updates
+                )
+            lines.append({"metaData": meta_commit})
+        adds_by_base = d._adds_by_base(adds)
+        planned: dict[str, dict | None] = {}
+        staged_rows: DataFrame | None = None
+        if mode == "dv":
+            # DV-retire every acted-on row (update pre-images AND deletes)
+            # and stage only the post-images — untouched rows of touched
+            # files stay in place behind the deletion vector
+            if touched:
+                acted = tagged.where(
+                    F.col("__action").isin(act_tags)
+                ).select(
+                    F.col("t.__base").alias("__base"),
+                    F.col("t.__ri").alias("__ri"),
+                )
+                d._dv_retire(
+                    spark, path, protocol, acted, F.lit(True),
+                    adds_by_base, lines, planned, now_ms,
+                )
+            if upd_tags:
+                # updated post-images keep their stable id; the commit
+                # version resets to THIS commit (null materialized value
+                # → the new file's defaultRowCommitVersion on read)
+                staged_rows = d._regenerate(
+                    tagged.where(F.col("__action").isin(upd_tags)).select(
+                        _rewritten_cols(matched, nmbs, list(schema.fields))
+                        + (
+                            [
+                                F.col("t._row_id").alias(mat_id),
+                                F.lit(None).cast("long").alias(mat_cv),
+                            ]
+                            if rt_preserve
+                            else []
+                        )
+                    ),
+                    meta,
+                    gens,
+                )
+        elif touched:
+            kept = d._regenerate(
+                tagged.where(
+                    F.col("t.__base").isin(touched)
+                    & ~F.col("__action").isin(del_tags)
+                ).select(
                     _rewritten_cols(matched, nmbs, list(schema.fields))
                     + (
                         [
                             F.col("t._row_id").alias(mat_id),
-                            F.lit(None).cast("long").alias(mat_cv),
+                            # copied rows keep id AND original commit
+                            # version; updated rows keep id, new version
+                            F.when(
+                                F.col("__action").isin(upd_tags),
+                                F.lit(None).cast("long"),
+                            )
+                            .otherwise(F.col("t.__rt_cv"))
+                            .cast("long")
+                            .alias(mat_cv),
                         ]
                         if rt_preserve
                         else []
@@ -583,193 +679,175 @@ def _merge_delta(
                 meta,
                 gens,
             )
-    elif touched:
-        kept = d._regenerate(
-            tagged.where(
-                F.col("t.__base").isin(touched)
-                & ~F.col("__action").isin(del_tags)
-            ).select(
-                _rewritten_cols(matched, nmbs, list(schema.fields))
-                + (
-                    [
-                        F.col("t._row_id").alias(mat_id),
-                        # copied rows keep id AND original commit
-                        # version; updated rows keep id, new version
-                        F.when(
-                            F.col("__action").isin(upd_tags),
-                            F.lit(None).cast("long"),
+            staged_rows = kept
+            for base in sorted(touched):
+                a = adds_by_base[base]
+                planned[a["path"]] = a.get("deletionVector")
+                lines.append({"remove": d._remove_action(a, now_ms)})
+        ins_checks: list[tuple[str, str]] = []
+        if inserts is not None and n_ins and gens:
+            # insert clauses that SUPPLY a generated column are validated
+            # (the check rides the constraint aggregate; regenerated
+            # post-images satisfy it by construction); unsupplied ones
+            # are computed from the generation expression
+            for name, expr, dtype in gens:
+                if any(name in vals for _c, vals in nm_list):
+                    ins_checks.append(
+                        (
+                            f"GENERATED {name}",
+                            f"`{name}` <=> CAST(({expr}) AS "
+                            f"{dtype.simpleString()})",
                         )
-                        .otherwise(F.col("t.__rt_cv"))
-                        .cast("long")
-                        .alias(mat_cv),
-                    ]
-                    if rt_preserve
-                    else []
+                    )
+                else:
+                    inserts = inserts.withColumn(
+                        name, F.expr(expr).cast(dtype)
+                    )
+        if inserts is not None and n_ins:
+            staged_ins = inserts
+            if rt_preserve:
+                # fresh rows materialize NULL — they take the new file's
+                # baseRowId + position on read (kept off the CDF images)
+                staged_ins = staged_ins.withColumn(
+                    mat_id, F.lit(None).cast("long")
+                ).withColumn(mat_cv, F.lit(None).cast("long"))
+            staged_rows = (
+                staged_ins
+                if staged_rows is None
+                else staged_rows.unionByName(staged_ins)
+            )
+        staged_add_lines: list[dict] = []
+        if staged_rows is not None:
+            d._check_constraints(staged_rows, meta, "MERGE", extra=ins_checks)
+            staged_add_lines = d._stage_adds_mapped(
+                staged_rows, path, pcols, physical_of,
+                stats_cols=d._stats_cols_of(meta),
+                field_ids=d._mapping_ids(meta),
+            )
+            lines.extend(staged_add_lines)
+        if (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        ) == "true":
+            cdc_parts = []
+            tcols = [
+                F.col(f"t.{f.name}").alias(f.name) for f in schema.fields
+            ]
+            if del_tags:
+                cdc_parts.append(
+                    tagged.where(F.col("__action").isin(del_tags))
+                    .select(tcols)
+                    .withColumn("_change_type", F.lit("delete"))
                 )
-            ),
-            meta,
-            gens,
-        )
-        staged_rows = kept
-        for base in sorted(touched):
-            a = adds_by_base[base]
-            planned[a["path"]] = a.get("deletionVector")
-            lines.append({"remove": d._remove_action(a, now_ms)})
-    ins_checks: list[tuple[str, str]] = []
-    if inserts is not None and n_ins and gens:
-        # insert clauses that SUPPLY a generated column are validated
-        # (the check rides the constraint aggregate; regenerated
-        # post-images satisfy it by construction); unsupplied ones
-        # are computed from the generation expression
-        for name, expr, dtype in gens:
-            if any(name in vals for _c, vals in nm_list):
-                ins_checks.append(
-                    (
-                        f"GENERATED {name}",
-                        f"`{name}` <=> CAST(({expr}) AS "
-                        f"{dtype.simpleString()})",
+            if upd_tags:
+                upd = tagged.where(F.col("__action").isin(upd_tags))
+                cdc_parts.append(
+                    upd.select(tcols).withColumn(
+                        "_change_type", F.lit("update_preimage")
                     )
                 )
+                cdc_parts.append(
+                    d._regenerate(
+                        upd.select(
+                            _rewritten_cols(
+                                matched, nmbs, list(schema.fields)
+                            )
+                        ),
+                        meta,
+                        gens,
+                    ).withColumn("_change_type", F.lit("update_postimage"))
+                )
+            if inserts is not None and n_ins:
+                cdc_parts.append(
+                    inserts.withColumn("_change_type", F.lit("insert"))
+                )
+            if cdc_parts:
+                cdc = cdc_parts[0]
+                for p_ in cdc_parts[1:]:
+                    cdc = cdc.unionByName(p_)
+                lines.extend(
+                    d._stage_cdc_mapped(
+                        cdc, path, pcols, physical_of,
+                        field_ids=d._mapping_ids(meta),
+                    )
+                )
+        c = d._commit_counts(lines)
+        dv_pairs = c["dv_adds"] if mode == "dv" else 0
+        copied = None
+        if c["add_rows"] is not None:
+            # CoW rewrites carry kept + updated + inserted rows; what's
+            # neither updated nor inserted was copied through. DV mode
+            # stages only post-images + inserts — nothing is copied.
+            copied = (
+                max(0, c["add_rows"] - n_upd - n_ins)
+                if mode == "cow"
+                else 0
+            )
+        d._stamp_op_metrics(
+            lines,
+            numTargetRowsInserted=n_ins,
+            numTargetRowsUpdated=n_upd,
+            numTargetRowsDeleted=n_del,
+            numTargetRowsCopied=copied,
+            numOutputRows=c["add_rows"],
+            # a DV remove+re-add pair masks rows in the same data file —
+            # neither side counts as a file added/removed (delta-spark)
+            numTargetFilesAdded=c["adds"] - dv_pairs,
+            numTargetFilesRemoved=c["removes"] - dv_pairs,
+            numTargetDeletionVectorsAdded=dv_pairs if mode == "dv" else None,
+            numTargetChangeFilesAdded=c["cdc"],
+        )
+        while True:
+            versions = d.delta_versions(path)
+            ckpt = d._read_last_checkpoint(path)
+            next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+            if identity_updates:
+                # the hwm comparison needs the CURRENT metaData — full
+                # replay here; the non-identity path fetches only the
+                # planned adds
+                _p2, _m2, live_now, _t2 = d._replay(spark, path, None)
             else:
-                inserts = inserts.withColumn(
-                    name, F.expr(expr).cast(dtype)
+                live_now = d._live_subset(spark, path, frozenset(planned))
+            for p_, dv in planned.items():
+                cur = live_now.get(p_)
+                if cur is None or cur.get("deletionVector") != dv:
+                    raise ValueError(
+                        f"concurrent commit changed {p_!r} since this MERGE "
+                        "was planned — aborting without committing"
+                    )
+            if identity_updates:
+                # the write_delta concurrent-allocation abort, verbatim:
+                # committing a range another writer also allocated would
+                # duplicate keys
+                cur_basis = {
+                    n: h
+                    for n, _d, _s, _st, h, _a in d._identity_columns(_m2)
+                }
+                if cur_basis != identity_basis:
+                    raise ValueError(
+                        "concurrent identity allocation detected (high "
+                        "water mark moved since this MERGE was planned) "
+                        "— re-run the merge"
+                    )
+            d._stamp_row_tracking(
+                spark, path, protocol, lines, staged_add_lines, next_v
+            )
+            try:
+                d._put_if_absent_commit(path, next_v, lines)
+                d._maybe_auto_checkpoint(
+                    spark, path, next_v, meta.get("configuration")
                 )
-    if inserts is not None and n_ins:
-        staged_ins = inserts
-        if rt_preserve:
-            # fresh rows materialize NULL — they take the new file's
-            # baseRowId + position on read (kept off the CDF images)
-            staged_ins = staged_ins.withColumn(
-                mat_id, F.lit(None).cast("long")
-            ).withColumn(mat_cv, F.lit(None).cast("long"))
-        staged_rows = (
-            staged_ins
-            if staged_rows is None
-            else staged_rows.unionByName(staged_ins)
-        )
-    staged_add_lines: list[dict] = []
-    if staged_rows is not None:
-        d._check_constraints(staged_rows, meta, "MERGE", extra=ins_checks)
-        staged_add_lines = d._stage_adds_mapped(
-            staged_rows, path, pcols, physical_of,
-            stats_cols=d._stats_cols_of(meta),
-            field_ids=d._mapping_ids(meta),
-        )
-        lines.extend(staged_add_lines)
-    if (meta.get("configuration") or {}).get(
-        "delta.enableChangeDataFeed"
-    ) == "true":
-        cdc_parts = []
-        tcols = [
-            F.col(f"t.{f.name}").alias(f.name) for f in schema.fields
-        ]
-        if del_tags:
-            cdc_parts.append(
-                tagged.where(F.col("__action").isin(del_tags))
-                .select(tcols)
-                .withColumn("_change_type", F.lit("delete"))
-            )
-        if upd_tags:
-            upd = tagged.where(F.col("__action").isin(upd_tags))
-            cdc_parts.append(
-                upd.select(tcols).withColumn(
-                    "_change_type", F.lit("update_preimage")
-                )
-            )
-            cdc_parts.append(
-                d._regenerate(
-                    upd.select(
-                        _rewritten_cols(
-                            matched, nmbs, list(schema.fields)
-                        )
-                    ),
-                    meta,
-                    gens,
-                ).withColumn("_change_type", F.lit("update_postimage"))
-            )
-        if inserts is not None and n_ins:
-            cdc_parts.append(
-                inserts.withColumn("_change_type", F.lit("insert"))
-            )
-        if cdc_parts:
-            cdc = cdc_parts[0]
-            for p_ in cdc_parts[1:]:
-                cdc = cdc.unionByName(p_)
-            lines.extend(
-                d._stage_cdc_mapped(
-                    cdc, path, pcols, physical_of,
-                    field_ids=d._mapping_ids(meta),
-                )
-            )
-    c = d._commit_counts(lines)
-    dv_pairs = c["dv_adds"] if mode == "dv" else 0
-    copied = None
-    if c["add_rows"] is not None:
-        # CoW rewrites carry kept + updated + inserted rows; what's
-        # neither updated nor inserted was copied through. DV mode
-        # stages only post-images + inserts — nothing is copied.
-        copied = (
-            max(0, c["add_rows"] - n_upd - n_ins)
-            if mode == "cow"
-            else 0
-        )
-    d._stamp_op_metrics(
-        lines,
-        numTargetRowsInserted=n_ins,
-        numTargetRowsUpdated=n_upd,
-        numTargetRowsDeleted=n_del,
-        numTargetRowsCopied=copied,
-        numOutputRows=c["add_rows"],
-        # a DV remove+re-add pair masks rows in the same data file —
-        # neither side counts as a file added/removed (delta-spark)
-        numTargetFilesAdded=c["adds"] - dv_pairs,
-        numTargetFilesRemoved=c["removes"] - dv_pairs,
-        numTargetDeletionVectorsAdded=dv_pairs if mode == "dv" else None,
-        numTargetChangeFilesAdded=c["cdc"],
-    )
-    while True:
-        versions = d.delta_versions(path)
-        ckpt = d._read_last_checkpoint(path)
-        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
-        if identity_updates:
-            # the hwm comparison needs the CURRENT metaData — full
-            # replay here; the non-identity path fetches only the
-            # planned adds
-            _p2, _m2, live_now, _t2 = d._replay(spark, path, None)
-        else:
-            live_now = d._live_subset(spark, path, frozenset(planned))
-        for p_, dv in planned.items():
-            cur = live_now.get(p_)
-            if cur is None or cur.get("deletionVector") != dv:
-                raise ValueError(
-                    f"concurrent commit changed {p_!r} since this MERGE "
-                    "was planned — aborting without committing"
-                )
-        if identity_updates:
-            # the write_delta concurrent-allocation abort, verbatim:
-            # committing a range another writer also allocated would
-            # duplicate keys
-            cur_basis = {
-                n: h
-                for n, _d, _s, _st, h, _a in d._identity_columns(_m2)
-            }
-            if cur_basis != identity_basis:
-                raise ValueError(
-                    "concurrent identity allocation detected (high "
-                    "water mark moved since this MERGE was planned) "
-                    "— re-run the merge"
-                )
-        d._stamp_row_tracking(
-            spark, path, protocol, lines, staged_add_lines, next_v
-        )
-        try:
-            d._put_if_absent_commit(path, next_v, lines)
-            d._maybe_auto_checkpoint(
-                spark, path, next_v, meta.get("configuration")
-            )
-            return next_v
-        except FileExistsError:
-            continue
+                return next_v
+            except FileExistsError:
+                continue
+
+    ins_cache = None
+    if inserts is not None:
+        inserts = ins_cache = inserts.persist()
+    try:
+        return _commit_body()
+    finally:
+        if ins_cache is not None:
+            ins_cache.unpersist()
 
 
 def _spec_pcols(meta: dict, fields: list[dict], verb: str) -> list[dict]:
@@ -927,9 +1005,33 @@ def _merge_iceberg(
                 ]
             ),
         )
-    tagged, inserts = _plan_merge(
+    tagged, inserts, card_check = _plan_merge(
         scan, source, on, matched, nmbs, not_matched, list(schema.fields)
     )
+    # statement-scoped inserts persist (r17): the insert anti-join is
+    # referenced by both the required-field validation aggregate and
+    # the staging write — each would re-run it (re-scanning the
+    # target) on an uncached frame. Bounded by the (already
+    # persisted) source size; released in the finally.
+    ins_cache = None
+    if inserts is not None:
+        inserts = ins_cache = inserts.persist()
+    try:
+        return _merge_iceberg_commit(
+            spark, path, cur_v, meta, fv, pcols, schema, matched, nmbs,
+            tagged, inserts, card_check, evolved_fields, branch,
+            delete_fs, abs_of_base,
+        )
+    finally:
+        if ins_cache is not None:
+            ins_cache.unpersist()
+
+
+def _merge_iceberg_commit(
+    spark, path, cur_v, meta, fv, pcols, schema, matched, nmbs,
+    tagged, inserts, card_check, evolved_fields, branch, delete_fs,
+    abs_of_base,
+) -> int | None:
     del_tags = _delete_tags(matched, nmbs)
     upd_tags = _update_tags(matched, nmbs)
     act_tags = del_tags + upd_tags
@@ -979,15 +1081,23 @@ def _merge_iceberg(
                 F.col("__abs").alias("file_path"),
                 F.col("__ri").alias("pos"),
             )
-            # per-file sort per spec; range split scales, AQE
-            # coalesces small deletes to one file
-            .repartitionByRange("file_path", "pos")
-            .sortWithinPartitions("file_path", "pos")
         )
+        if fv < 3:
+            # v2 parquet position-delete files must each be sorted by
+            # (file_path, pos); cluster per file with a HASH exchange
+            # — NOT repartitionByRange, whose boundary-sampling pass
+            # re-executes the subtree and double-counts the
+            # cardinality observe() riding it (r17) — and AQE
+            # coalesces small deletes to one file. (v3 skips the
+            # shuffle entirely: the DV grouping below is its own
+            # aggregate and _stage_dv_files sorts per blob.)
+            pos_df = pos_df.repartition("file_path").sortWithinPartitions(
+                "file_path", "pos"
+            )
     return _commit_iceberg_mor(
         spark, path, cur_v, meta, pos_df, new_rows, pcols,
         evolved_fields=evolved_fields, branch=branch,
-        existing_deletes=delete_fs,
+        existing_deletes=delete_fs, precommit_check=card_check,
     )
 
 
@@ -1015,6 +1125,7 @@ def _branch_head(meta: dict, branch: str | None) -> int | None:
 def _commit_iceberg_mor(
     spark, path, cur_v, meta, pos_df, new_rows, pcols=None,
     evolved_fields=None, branch=None, existing_deletes=None,
+    precommit_check=None,
 ) -> int | None:
     """ONE merge-on-read Iceberg snapshot: ``pos_df`` (file_path, pos —
     already sorted) stages as a content=1 position-delete file,
@@ -1070,6 +1181,11 @@ def _commit_iceberg_mor(
                 .agg(F.collect_list("pos").alias("pos"))
                 .collect()
             )
+            # MERGE's cardinality observe() pair fired during the
+            # position collect — validate before anything stages
+            if precommit_check is not None:
+                precommit_check()
+                precommit_check = None
             if hit:
                 delete_files, dv_entry_schema, dv_superseded = (
                     ice._stage_dv_files(
@@ -1080,6 +1196,11 @@ def _commit_iceberg_mor(
                 )
         elif pos_df is not None:
             pos_df.write.mode("overwrite").parquet(staging)
+            # MERGE's cardinality observe() pair fired during the
+            # position staging write — validate before any file moves
+            if precommit_check is not None:
+                precommit_check()
+                precommit_check = None
             for fn in sorted(os.listdir(staging)):
                 if not fn.endswith(".parquet") or fn.startswith("."):
                     continue
