@@ -331,6 +331,48 @@ def main() -> None:
     # dicts go FIRST and the headline summary (both subtotal dicts,
     # value, sf) goes LAST — truncation then eats per-query noise,
     # never the steady/cold headline.
+    # r17 (r16 verdict #9): the sf inputs are single-row-group parquet
+    # files, so EVERY scan is one task regardless of core count — the
+    # driver's low-core scaling ratios measure overhead, not
+    # parallelism. Record the split counts so the scaling block can be
+    # read correctly (a metadata peek, outside any timed region).
+    input_splits: dict[str, int] = {}
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        for tdir in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(tdir))[0]
+            files = (
+                sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+                if os.path.isdir(tdir)
+                else [tdir]
+            )
+            input_splits[name] = sum(
+                pq.ParquetFile(f).num_row_groups for f in files
+            )
+    except Exception:
+        pass
+
+    # r17 (r16 verdict #8): a COMPACT summary line, flushed BEFORE the
+    # full payload — BENCH_r15's stdout was cut mid-print and the whole
+    # round-over-round comparison was lost; if that recurs, this line
+    # still carries the headline total and the per-family subtotals.
+    # The full payload stays the FINAL line (the driver parses the
+    # last JSON line; its key order remains tail-truncation-safe).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time_compact",
+                "unit": "sec",
+                "subtotals": subtotals,
+                "value": total,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
     payload = {
         "metric": "headline_queries_total_time",
         "unit": "sec",
@@ -368,6 +410,8 @@ def main() -> None:
         # the split was being truncated out of BENCH_rN.json — the
         # judge needs it to read machinery rows correctly.
         "construct_queries": construct_times,
+        # single-row-group inputs make every scan one task (see above)
+        "input_splits": input_splits,
         "value": total,
         "sf": sf,
     }

@@ -6371,11 +6371,31 @@ def optimize_delta(
                 zorder_cluster,
             )
 
-            (
-                zorder_cluster(src, list(zorder_by), int(want_files))
-                .write.mode("overwrite")
-                .parquet(staging)
+            # the clustered rewrite reads its input THREE times (lane
+            # min/max stats, the range partitioner's boundary sample,
+            # the write itself) — persist the group when its file
+            # bytes are modest so two of the passes hit the cache
+            # (r17); above the threshold (env-tunable for cluster
+            # memory) keep the streaming behavior: a huge partition
+            # group should not occupy executor storage
+            group_bytes = sum(int(a.get("size", 0)) for a in files)
+            cache_limit = int(
+                os.environ.get(
+                    "SPARK_GRAFT_OPTIMIZE_CACHE_BYTES", str(1 << 30)
+                )
             )
+            src_cache = None
+            if group_bytes <= cache_limit:
+                src = src_cache = src.persist()
+            try:
+                (
+                    zorder_cluster(src, list(zorder_by), int(want_files))
+                    .write.mode("overwrite")
+                    .parquet(staging)
+                )
+            finally:
+                if src_cache is not None:
+                    src_cache.unpersist()
         else:
             (
                 src.coalesce(int(want_files))

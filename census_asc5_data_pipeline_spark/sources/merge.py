@@ -2005,6 +2005,12 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
     if rt_preserve:
         scan = d._rt_stable_cols(spark, scan, cand, meta)
     pred = F.coalesce(F.expr(predicate), F.lit(False))
+    # statement-scoped matched persist (r17): the matched rows feed
+    # the constraint aggregate, the per-file hit counts / DV retire,
+    # and the CDF pre-image staging — each a separate action that
+    # re-scanned every candidate file on an uncached frame. Bounded
+    # by the predicate's match count; released in the finally.
+    matched = scan.filter(pred).persist()
     adds_by_base = d._adds_by_base(adds)
     now_ms = int(time.time() * 1000)
     lines: list[dict] = [
@@ -2021,64 +2027,14 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
         lines.append(rt_meta_line)
     planned: dict[str, dict | None] = {}
     staged_add_lines: list[dict] = []
-    updated = d._regenerate(
-        scan.filter(pred).select(
-            _set_cols(sets, schema.fields)
-            + (
-                [
-                    F.col("_row_id").alias(mat_id),
-                    F.lit(None).cast("long").alias(mat_cv),
-                ]
-                if rt_preserve
-                else []
-            )
-        ),
-        meta,
-        gens,
-    )
-    d._check_constraints(updated, meta, "UPDATE")
-    if mode == "dv":
-        # retire the old positions, append the updated images — the
-        # delta-spark DV UPDATE commit shape
-        n_upd = d._dv_retire(
-            spark, path, protocol, scan, pred, adds_by_base, lines,
-            planned, now_ms,
-        )
-        if not n_upd:
-            return None
-        staged_add_lines = d._stage_adds_mapped(
-            updated, path, pcols, physical_of,
-            stats_cols=d._stats_cols_of(meta),
-            field_ids=d._mapping_ids(meta),
-        )
-        lines.extend(staged_add_lines)
-    else:
-        # per-file matched-row counts ride the SAME shuffle the old
-        # distinct() took (r15: operationMetrics)
-        hit_counts = {
-            r["__base"]: int(r["n"])
-            for r in scan.filter(pred)
-            .groupBy("__base")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        touched = sorted(hit_counts)
-        if not touched:
-            return None
-        n_upd = sum(hit_counts.values())
-        rewritten = d._regenerate(
-            scan.filter(F.col("__base").isin(touched)).select(
-                _set_cols(sets, schema.fields, pred=pred)
+    try:
+        updated = d._regenerate(
+            matched.select(
+                _set_cols(sets, schema.fields)
                 + (
                     [
                         F.col("_row_id").alias(mat_id),
-                        # updated rows reset to the new commit
-                        # version (null materialized); copied rows
-                        # keep their original
-                        F.when(pred, F.lit(None).cast("long"))
-                        .otherwise(F.col("__rt_cv"))
-                        .cast("long")
-                        .alias(mat_cv),
+                        F.lit(None).cast("long").alias(mat_cv),
                     ]
                     if rt_preserve
                     else []
@@ -2087,69 +2043,123 @@ def _update_delta(spark, path, predicate, sets, mode) -> int | None:
             meta,
             gens,
         )
-        staged_add_lines = d._stage_adds_mapped(
-            rewritten, path, pcols, physical_of,
-            stats_cols=d._stats_cols_of(meta),
-            field_ids=d._mapping_ids(meta),
-        )
-        lines.extend(staged_add_lines)
-        for base in sorted(touched):
-            a = adds_by_base[base]
-            planned[a["path"]] = a.get("deletionVector")
-            lines.append({"remove": d._remove_action(a, now_ms)})
-    if (meta.get("configuration") or {}).get(
-        "delta.enableChangeDataFeed"
-    ) == "true":
-        pre = scan.filter(pred).select(
-            [F.col(f.name) for f in schema.fields]
-        ).withColumn("_change_type", F.lit("update_preimage"))
-        post = updated.select(
-            [F.col(f"`{f.name}`") for f in schema.fields]
-        ).withColumn("_change_type", F.lit("update_postimage"))
-        lines.extend(
-            d._stage_cdc_mapped(
-                pre.unionByName(post), path, pcols, physical_of,
+        d._check_constraints(updated, meta, "UPDATE")
+        if mode == "dv":
+            # retire the old positions, append the updated images — the
+            # delta-spark DV UPDATE commit shape
+            n_upd = d._dv_retire(
+                spark, path, protocol, matched, F.lit(True), adds_by_base,
+                lines, planned, now_ms,
+            )
+            if not n_upd:
+                return None
+            staged_add_lines = d._stage_adds_mapped(
+                updated, path, pcols, physical_of,
+                stats_cols=d._stats_cols_of(meta),
                 field_ids=d._mapping_ids(meta),
             )
-        )
-    c = d._commit_counts(lines)
-    dv_pairs = c["dv_adds"] if mode == "dv" else 0
-    d._stamp_op_metrics(
-        lines,
-        numUpdatedRows=n_upd,
-        numCopiedRows=(
-            max(0, c["add_rows"] - n_upd)
-            if mode == "cow" and c["add_rows"] is not None
-            else (0 if mode == "dv" else None)
-        ),
-        numAddedFiles=c["adds"] - dv_pairs,
-        numRemovedFiles=c["removes"] - dv_pairs,
-        numDeletionVectorsAdded=dv_pairs if mode == "dv" else None,
-        numAddedChangeFiles=c["cdc"],
-    )
-    while True:
-        versions = d.delta_versions(path)
-        ckpt = d._read_last_checkpoint(path)
-        next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
-        live_now = d._live_subset(spark, path, frozenset(planned))
-        for p_, dv in planned.items():
-            cur = live_now.get(p_)
-            if cur is None or cur.get("deletionVector") != dv:
-                raise ValueError(
-                    f"concurrent commit changed {p_!r} since this "
-                    "UPDATE was planned — aborting without committing"
-                )
-        d._stamp_row_tracking(
-            spark, path, protocol, lines, staged_add_lines, next_v
-        )
-        try:
-            d._put_if_absent_commit(path, next_v, lines)
-            d._maybe_auto_checkpoint(
-                spark, path, next_v, meta.get("configuration")
+            lines.extend(staged_add_lines)
+        else:
+            # per-file matched-row counts ride the SAME shuffle the old
+            # distinct() took (r15: operationMetrics)
+            hit_counts = {
+                r["__base"]: int(r["n"])
+                for r in matched
+                .groupBy("__base")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            touched = sorted(hit_counts)
+            if not touched:
+                return None
+            n_upd = sum(hit_counts.values())
+            rewritten = d._regenerate(
+                scan.filter(F.col("__base").isin(touched)).select(
+                    _set_cols(sets, schema.fields, pred=pred)
+                    + (
+                        [
+                            F.col("_row_id").alias(mat_id),
+                            # updated rows reset to the new commit
+                            # version (null materialized); copied rows
+                            # keep their original
+                            F.when(pred, F.lit(None).cast("long"))
+                            .otherwise(F.col("__rt_cv"))
+                            .cast("long")
+                            .alias(mat_cv),
+                        ]
+                        if rt_preserve
+                        else []
+                    )
+                ),
+                meta,
+                gens,
             )
-            return next_v
-        except FileExistsError:
-            continue
+            staged_add_lines = d._stage_adds_mapped(
+                rewritten, path, pcols, physical_of,
+                stats_cols=d._stats_cols_of(meta),
+                field_ids=d._mapping_ids(meta),
+            )
+            lines.extend(staged_add_lines)
+            for base in sorted(touched):
+                a = adds_by_base[base]
+                planned[a["path"]] = a.get("deletionVector")
+                lines.append({"remove": d._remove_action(a, now_ms)})
+        if (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        ) == "true":
+            pre = matched.select(
+                [F.col(f.name) for f in schema.fields]
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = updated.select(
+                [F.col(f"`{f.name}`") for f in schema.fields]
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            lines.extend(
+                d._stage_cdc_mapped(
+                    pre.unionByName(post), path, pcols, physical_of,
+                    field_ids=d._mapping_ids(meta),
+                )
+            )
+        c = d._commit_counts(lines)
+        dv_pairs = c["dv_adds"] if mode == "dv" else 0
+        d._stamp_op_metrics(
+            lines,
+            numUpdatedRows=n_upd,
+            numCopiedRows=(
+                max(0, c["add_rows"] - n_upd)
+                if mode == "cow" and c["add_rows"] is not None
+                else (0 if mode == "dv" else None)
+            ),
+            numAddedFiles=c["adds"] - dv_pairs,
+            numRemovedFiles=c["removes"] - dv_pairs,
+            numDeletionVectorsAdded=dv_pairs if mode == "dv" else None,
+            numAddedChangeFiles=c["cdc"],
+        )
+        while True:
+            versions = d.delta_versions(path)
+            ckpt = d._read_last_checkpoint(path)
+            next_v = max(versions + ([ckpt] if ckpt is not None else [])) + 1
+            live_now = d._live_subset(spark, path, frozenset(planned))
+            for p_, dv in planned.items():
+                cur = live_now.get(p_)
+                if cur is None or cur.get("deletionVector") != dv:
+                    raise ValueError(
+                        f"concurrent commit changed {p_!r} since this "
+                        "UPDATE was planned — aborting without committing"
+                    )
+            d._stamp_row_tracking(
+                spark, path, protocol, lines, staged_add_lines, next_v
+            )
+            try:
+                d._put_if_absent_commit(path, next_v, lines)
+                d._maybe_auto_checkpoint(
+                    spark, path, next_v, meta.get("configuration")
+                )
+                return next_v
+            except FileExistsError:
+                continue
+
+    finally:
+        matched.unpersist()
 
 
 def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
@@ -2223,37 +2233,49 @@ def _update_iceberg(spark, path, predicate, sets, branch=None) -> int | None:
             spark, schema, fields, data_files, delete_fs, keep_pos=True
         )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    matched = scan.filter(pred)
-    base_df = F.broadcast(
-        spark.createDataFrame(
-            sorted(abs_of_base.items()), "__base string, __abs string"
+    # statement-scoped matched persist (r17): the matched rows feed
+    # the position-delete staging, the updated-image staging and the
+    # required-field validation — each a separate action that re-ran
+    # the full delete-aware/lineage scan on an uncached frame.
+    # Bounded by the predicate's match count; released in the finally.
+    matched = scan.filter(pred).persist()
+    try:
+        base_df = F.broadcast(
+            spark.createDataFrame(
+                sorted(abs_of_base.items()), "__base string, __abs string"
+            )
         )
-    )
-    pos_df = (
-        matched.select("__base", "__ri")
-        .join(base_df, "__base")
-        .select(
-            F.col("__abs").alias("file_path"),
-            F.col("__ri").alias("pos"),
+        pos_df = (
+            matched.select("__base", "__ri")
+            .join(base_df, "__base")
+            .select(
+                F.col("__abs").alias("file_path"),
+                F.col("__ri").alias("pos"),
+            )
         )
-        # range-partition + in-partition sort: each delete FILE stays
-        # sorted by (file_path, pos) per spec, a 100 TB-scale delete
-        # spreads over many files, and AQE coalesces a small delete
-        # back to one
-        .repartitionByRange("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-    )
-    new_rows = matched.select(
-        _set_cols(sets, schema.fields)
-        # updated rows keep their identity; the dropped null
-        # _last_updated_sequence_number inherits the new file's
-        # sequence number on read
-        + ([F.col("_row_id")] if fv >= 3 else [])
-    )
-    return _commit_iceberg_mor(
-        spark, path, cur_v, meta, pos_df, new_rows, pcols,
-        branch=branch, existing_deletes=delete_fs,
-    )
+        if fv < 3:
+            # each v2 parquet position-delete FILE stays sorted by
+            # (file_path, pos) per spec: hash-cluster per file + sort
+            # within partitions (AQE coalesces a small delete back to
+            # one file; a 100 TB-scale delete spreads over many). v3
+            # skips the shuffle — the DV grouping in the commit is its
+            # own aggregate and _stage_dv_files sorts per blob.
+            pos_df = pos_df.repartition(
+                "file_path"
+            ).sortWithinPartitions("file_path", "pos")
+        new_rows = matched.select(
+            _set_cols(sets, schema.fields)
+            # updated rows keep their identity; the dropped null
+            # _last_updated_sequence_number inherits the new file's
+            # sequence number on read
+            + ([F.col("_row_id")] if fv >= 3 else [])
+        )
+        return _commit_iceberg_mor(
+            spark, path, cur_v, meta, pos_df, new_rows, pcols,
+            branch=branch, existing_deletes=delete_fs,
+        )
+    finally:
+        matched.unpersist()
 
 
 _UPDATE_RE = re.compile(
