@@ -5735,14 +5735,20 @@ def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonicalize equal, so ReuseExchange can't dedupe them — without
     # the cache the join+distinct re-ran per consumer (r16 profile:
     # two concurrent 1.2s broadcast-side jobs alone). O(orders×brands)
-    # rows — bounded by the fact table, released via unpersist_deps.
+    # rows — FACT-table scale, the one registry cache that is not
+    # vocabulary/dimension-bounded, so it persists serialized with a
+    # disk valve (r17 ADVICE): two 8-byte-ish columns spill rather
+    # than pressure executor memory at large SFs. Released via
+    # unpersist_deps.
+    from pyspark import StorageLevel
+
     items = (
         li.join(
             F.broadcast(brands), li["l_partkey"] == brands["p_partkey"]
         )
         .select("l_orderkey", F.col("p_brand").alias("l_partkey"))
         .distinct()
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # in-plan scalar subquery (the tf-idf corpus-count pattern) — no
     # separate driver-side count job
@@ -5831,9 +5837,15 @@ def q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition: the registered pair generator (df_cap'd inverted
     index) symmetrized, then one row_number window per doc. Shares the
     pair list's scale properties; the window adds one keyed shuffle."""
-    pairs = D.ngram_jaccard_pairs(
+    # persist: both symmetrization branches reference the jaccard pair
+    # frame — without the cache the pair join + count aggregate (the
+    # kernel's expensive stage) runs once per branch (r17; every other
+    # multi-reference consumer already does this). O(surviving pairs);
+    # released via unpersist_deps.
+    raw_pairs = D.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold_ppm=100000, df_cap=4096
     )
+    pairs = raw_pairs.select("doc_a", "doc_b", "jaccard_ppm").persist()
     sym = pairs.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("neighbor_id"),
@@ -5853,7 +5865,7 @@ def q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "neighbor_id", "jaccard_ppm")
     )
-    out._cached_deps = list(getattr(pairs, "_cached_deps", ()))  # type: ignore[attr-defined]
+    out._cached_deps = [pairs, *getattr(raw_pairs, "_cached_deps", ())]  # type: ignore[attr-defined]
     return out
 
 

@@ -4326,7 +4326,8 @@ def write_delta(
     commit_operation: str = "WRITE",
     commit_params: dict | None = None,
     cluster_by: list[str] | None = None,
-) -> int:
+    skip_empty: bool = False,
+) -> int | None:
     """Write ``df`` as a Delta commit; returns the committed version.
 
     ``cluster_by`` (table CREATION only, r16 — delta-spark's CREATE
@@ -4683,6 +4684,13 @@ def write_delta(
             or create_schema_json
         ),
     )
+    if skip_empty and not add_actions and mode == "append":
+        # streaming-sink escape (r17): an empty micro-batch appends
+        # nothing — skip the commit entirely instead of paying a
+        # separate isEmpty() pre-scan on EVERY batch. Replays of the
+        # skipped epoch re-run to the same zero rows, so exactly-once
+        # holds without the fence advancing.
+        return None
     now_ms = int(time.time() * 1000)
 
     while True:

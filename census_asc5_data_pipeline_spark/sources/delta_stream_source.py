@@ -916,5 +916,11 @@ class DeltaCdfDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # once per session (r17): registration pickles and ships both
+    # DataSource classes to the JVM (~1s) and is otherwise idempotent
+    # — repeated per-query calls paid it every time
+    if getattr(spark, "_graft_delta_stream_sources", False):
+        return
     spark.dataSource.register(DeltaTailDataSource)
     spark.dataSource.register(DeltaCdfDataSource)
+    spark._graft_delta_stream_sources = True

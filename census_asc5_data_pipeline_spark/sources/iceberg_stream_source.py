@@ -470,4 +470,8 @@ class IcebergTailDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # once per session (r17): see delta_stream_source.register
+    if getattr(spark, "_graft_iceberg_stream_source", False):
+        return
     spark.dataSource.register(IcebergTailDataSource)
+    spark._graft_iceberg_stream_source = True

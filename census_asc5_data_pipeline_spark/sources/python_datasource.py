@@ -110,7 +110,11 @@ class SyntheticDocsDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # once per session (r17): see delta_stream_source.register
+    if getattr(spark, "_graft_synth_docs_source", False):
+        return
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark._graft_synth_docs_source = True
 
 
 # ---------------------------------------------------------------- writer

@@ -1351,12 +1351,16 @@ def delta_sink_fold(
     )
     if last is not None and last >= int(epoch_id):
         return 0
-    if batch_df.isEmpty():
-        return 0
+    # ONE batch scan (r17): stage directly — write_delta(skip_empty=)
+    # returns None without committing when nothing staged, replacing
+    # the r16 isEmpty() job that re-read every batch through the
+    # Python stream source before the staging write read it again
     version = delta_io.write_delta(
         batch_df, table_path, mode="append",
-        txn=(app_id, int(epoch_id)),
+        txn=(app_id, int(epoch_id)), skip_empty=True,
     )
+    if version is None:
+        return 0
     # rows appended from the commit's own operationMetrics (stamped
     # from the staged files' footer stats) — the pre-r16 count() job
     # re-read the whole micro-batch through the Python stream source,
