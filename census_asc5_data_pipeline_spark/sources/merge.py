@@ -537,21 +537,20 @@ def _merge_delta(
     # ``inserts`` binds as a default arg because the identity path
     # rebinds it inside the closure.
     def _commit_body(inserts=inserts):
-        del_tags = _delete_tags(matched, nmbs)
-        upd_tags = _update_tags(matched, nmbs)
-        act_tags = del_tags + upd_tags
         # per-(action, file) matched-row counts ride the SAME shuffle the
         # old distinct() took (r15: operationMetrics) — touched files AND
         # numTargetRowsUpdated/Deleted from one job, which is also the
-        # action the cardinality observe() pair rides (r17)
+        # action the cardinality observe() pair rides (r17) AND the
+        # materialization of the statement-scoped `acted` cache every
+        # later acted-row consumer (DV retire, post-images, CDC
+        # delete/update images) reads instead of re-scanning the target
         act_rows = (
-            tagged.where(F.col("__action").isin(act_tags))
-            .groupBy(
+            acted.groupBy(
                 F.col("__action"), F.col("t.__base").alias("__base")
             )
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-            if act_tags
+            if acted is not None
             else []
         )
         if card_check is not None:
@@ -623,22 +622,20 @@ def _merge_delta(
             # and stage only the post-images — untouched rows of touched
             # files stay in place behind the deletion vector
             if touched:
-                acted = tagged.where(
-                    F.col("__action").isin(act_tags)
-                ).select(
-                    F.col("t.__base").alias("__base"),
-                    F.col("t.__ri").alias("__ri"),
-                )
                 d._dv_retire(
-                    spark, path, protocol, acted, F.lit(True),
-                    adds_by_base, lines, planned, now_ms,
+                    spark, path, protocol,
+                    acted.select(
+                        F.col("t.__base").alias("__base"),
+                        F.col("t.__ri").alias("__ri"),
+                    ),
+                    F.lit(True), adds_by_base, lines, planned, now_ms,
                 )
             if upd_tags:
                 # updated post-images keep their stable id; the commit
                 # version resets to THIS commit (null materialized value
                 # → the new file's defaultRowCommitVersion on read)
                 staged_rows = d._regenerate(
-                    tagged.where(F.col("__action").isin(upd_tags)).select(
+                    acted.where(F.col("__action").isin(upd_tags)).select(
                         _rewritten_cols(matched, nmbs, list(schema.fields))
                         + (
                             [
@@ -734,12 +731,12 @@ def _merge_delta(
             ]
             if del_tags:
                 cdc_parts.append(
-                    tagged.where(F.col("__action").isin(del_tags))
+                    acted.where(F.col("__action").isin(del_tags))
                     .select(tcols)
                     .withColumn("_change_type", F.lit("delete"))
                 )
             if upd_tags:
-                upd = tagged.where(F.col("__action").isin(upd_tags))
+                upd = acted.where(F.col("__action").isin(upd_tags))
                 cdc_parts.append(
                     upd.select(tcols).withColumn(
                         "_change_type", F.lit("update_preimage")
@@ -843,11 +840,26 @@ def _merge_delta(
     ins_cache = None
     if inserts is not None:
         inserts = ins_cache = inserts.persist()
+    # statement-scoped acted-rows persist (r17): the DV retire /
+    # post-image staging and the CDC delete/update images each re-ran
+    # the full target-scan join for the same acted subset. Bounded by
+    # the matched-row count; materialized by the metrics collect,
+    # released in the finally.
+    del_tags = _delete_tags(matched, nmbs)
+    upd_tags = _update_tags(matched, nmbs)
+    act_tags = del_tags + upd_tags
+    acted = (
+        tagged.where(F.col("__action").isin(act_tags)).persist()
+        if act_tags
+        else None
+    )
     try:
         return _commit_body()
     finally:
         if ins_cache is not None:
             ins_cache.unpersist()
+        if acted is not None:
+            acted.unpersist()
 
 
 def _spec_pcols(meta: dict, fields: list[dict], verb: str) -> list[dict]:
