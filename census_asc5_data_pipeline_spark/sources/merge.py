@@ -630,7 +630,7 @@ def _merge_delta(
                     ),
                     F.lit(True), adds_by_base, lines, planned, now_ms,
                 )
-            if upd_tags:
+            if upd_tags and acted is not None:
                 # updated post-images keep their stable id; the commit
                 # version resets to THIS commit (null materialized value
                 # → the new file's defaultRowCommitVersion on read)
@@ -729,13 +729,13 @@ def _merge_delta(
             tcols = [
                 F.col(f"t.{f.name}").alias(f.name) for f in schema.fields
             ]
-            if del_tags:
+            if del_tags and acted is not None:
                 cdc_parts.append(
                     acted.where(F.col("__action").isin(del_tags))
                     .select(tcols)
                     .withColumn("_change_type", F.lit("delete"))
                 )
-            if upd_tags:
+            if upd_tags and acted is not None:
                 upd = acted.where(F.col("__action").isin(upd_tags))
                 cdc_parts.append(
                     upd.select(tcols).withColumn(
@@ -840,6 +840,11 @@ def _merge_delta(
     ins_cache = None
     if inserts is not None:
         inserts = ins_cache = inserts.persist()
+    if not adds:
+        # an EMPTY target cannot match any source row: the cardinality
+        # rule is vacuously satisfied and nothing can be acted on —
+        # skip the probe fallback AND the acted-rows machinery (r17)
+        card_check = None
     # statement-scoped acted-rows persist (r17): the DV retire /
     # post-image staging and the CDC delete/update images each re-ran
     # the full target-scan join for the same acted subset. Bounded by
@@ -850,7 +855,7 @@ def _merge_delta(
     act_tags = del_tags + upd_tags
     acted = (
         tagged.where(F.col("__action").isin(act_tags)).persist()
-        if act_tags
+        if act_tags and adds
         else None
     )
     try:
@@ -1020,6 +1025,11 @@ def _merge_iceberg(
     tagged, inserts, card_check = _plan_merge(
         scan, source, on, matched, nmbs, not_matched, list(schema.fields)
     )
+    if not data_files:
+        # an EMPTY target cannot match any source row: the cardinality
+        # rule is vacuously satisfied (r17 — skips the probe fallback
+        # that AQE's empty-relation handling would otherwise force)
+        card_check = None
     # statement-scoped inserts persist (r17): the insert anti-join is
     # referenced by both the required-field validation aggregate and
     # the staging write — each would re-run it (re-scanning the
@@ -1048,9 +1058,11 @@ def _merge_iceberg_commit(
     upd_tags = _update_tags(matched, nmbs)
     act_tags = del_tags + upd_tags
     # merge-on-read: retire EVERY acted-on row by position, append
-    # update post-images + inserts as new data — one snapshot
+    # update post-images + inserts as new data — one snapshot.
+    # abs_of_base empty = EMPTY target: nothing can be retired, so
+    # skip the position staging write outright (r17)
     retired = tagged.where(F.col("__action").isin(act_tags)) if (
-        act_tags
+        act_tags and abs_of_base
     ) else None
     new_rows: DataFrame | None = None
     if upd_tags:
